@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The full driver-gated query catalog: SURVEY.md §2 operator coverage plus
+  * the training-data-pipeline extensions. SparkEntry delegates here.
+  */
+object Catalog {
+
+  def queries: Seq[Q] =
+    RelationalQueries.all ++
+      FunctionQueries.all ++
+      Scd2Queries.all
+
+  /** Flagship query (driver smoke at sf0.001): the rating_slide analog
+    * (SURVEY.md §7.2) — scan → filter → agg → distributed rank → full-outer
+    * join → coalesce, the largest operator cross-section per line.
+    */
+  def entry(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.engine.Tables.t
+    import graft.operators.GlobalRank
+    val o = t(spark, sfDir, "orders")
+    val cut = lit("1998-01-01").cast("timestamp")
+    def leaderboard(df: DataFrame, rank: String) =
+      GlobalRank.withRowNumber(
+        df.groupBy("o_custkey")
+          .agg(round(sum("o_totalprice"), 4).as("spend")),
+        rank, Seq(desc("spend"), asc("o_custkey")))
+    val early = leaderboard(o.where(col("o_orderdate") < cut), "early_place")
+      .alias("a")
+    val late = leaderboard(o.where(col("o_orderdate") >= cut), "late_place")
+      .alias("b")
+    early.join(late, col("a.o_custkey") === col("b.o_custkey"), "full_outer")
+      .select(
+        coalesce(col("a.o_custkey"), col("b.o_custkey")).as("custkey"),
+        col("a.spend").as("early_spend"), col("a.early_place"),
+        col("b.spend").as("late_spend"), col("b.late_place"))
+      .orderBy(asc_nulls_last("late_place"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Expressions._
+import graft.engine.Tables.t
+
+/** Driver-gated queries covering the reference's scalar-function surface
+  * (SURVEY.md §2 family H). All expressions are codegen'd built-ins — no
+  * UDFs — so they fold into the scan's WholeStageCodegen span.
+  */
+object FunctionQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // H42 — PG `||` concatenation with literals and implicit int→text cast
+    // (mart/genre_metrics.sql:53 `movie_nm||', '||movie_duration||' min'`).
+    Q("q_expr_concat",
+      """SELECT p_partkey,
+        |       p_name || ', ' || CAST(p_size AS VARCHAR) || ' size' AS label
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          pgConcat(col("p_name"), lit(", "), col("p_size"), lit(" size"))
+            .as("label"))
+        .orderBy("p_partkey")
+    },
+
+    // H43/H46/H47 — replace, CASE WHEN sentinel cleansing, coalesce
+    // (mart/employee_data.sql:5-7 shape).
+    Q("q_expr_cleanse",
+      """SELECT doc_id,
+        |       CASE WHEN lang = 'en' THEN ''
+        |            ELSE replace(source, 'src', 'source-') END AS src_fix,
+        |       coalesce(nullif(lang, 'en'), 'english') AS lang2
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("lang") === "en", lit(""))
+            .otherwise(regexp_replace(col("source"), "src", "source-"))
+            .as("src_fix"),
+          coalesce(nullif(col("lang"), lit("en")), lit("english")).as("lang2"))
+        .orderBy("doc_id")
+    },
+
+    // H44 — string_to_array + unnest (core/genre_hub.sql:5-8) =
+    // split + explode, a built-in Generator.
+    Q("q_expr_split_explode",
+      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+        |FROM part ORDER BY p_partkey, word""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          explode(split(col("p_type"), " ")).as("word"))
+        .orderBy("p_partkey", "word")
+    },
+
+    // H45 — JSON field extraction from a text column
+    // (core/movie_genre_link.sql:5 json path; events.props is `{"k": N}`).
+    Q("q_expr_json",
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy("event_id")
+    },
+
+    // H50 — digit extraction: money-string → integer
+    // (imdb parser.py:85 `int(''.join(filter(str.isdigit, s)))`).
+    Q("q_expr_digits",
+      """SELECT o_orderkey,
+        |       CAST(regexp_replace(o_orderpriority, '[^0-9]', '', 'g') AS BIGINT)
+        |         AS prio_num
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          digitsToLong(col("o_orderpriority")).as("prio_num"))
+        .orderBy("o_orderkey")
+    },
+
+    // H51 — duration normalization "Xh Ym" → total minutes
+    // (imdb parser.py:103-113). The string is synthesized from columns so
+    // both engines parse the identical input.
+    Q("q_expr_duration",
+      """SELECT p_partkey,
+        |       CAST(nullif(regexp_extract(dur_str, '(\d+)\s*h', 1), '') AS INTEGER) * 60
+        |       + CAST(nullif(regexp_extract(dur_str, '(\d+)\s*m', 1), '') AS INTEGER)
+        |         AS minutes
+        |FROM (SELECT p_partkey,
+        |             CAST(p_size AS VARCHAR) || 'h ' ||
+        |             CAST(p_partkey % 60 AS VARCHAR) || 'm' AS dur_str
+        |      FROM part) ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          pgConcat(col("p_size"), lit("h "), col("p_partkey") % 60, lit("m"))
+            .as("dur_str"))
+        .select(col("p_partkey"),
+          durationMinutes(col("dur_str")).cast(IntegerType).as("minutes"))
+        .orderBy("p_partkey")
+    },
+
+    // H52/H53 — 4-digit year extraction from a stringified date + ÷10
+    // rescale (metacritic parser.py:56-58,82).
+    Q("q_expr_year_rescale",
+      """SELECT event_id,
+        |       CAST(regexp_extract(CAST(CAST(ts AS TIMESTAMP) AS VARCHAR),
+        |                           '(\d{4})', 1) AS INTEGER) AS yr,
+        |       round(value / 10, 4) AS value_rescaled
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          yearOf(col("ts").cast(StringType)).as("yr"),
+          round(col("value") / 10, 4).as("value_rescaled"))
+        .orderBy("event_id")
+    },
+
+    // H54 — character stripping at ingest (imdb parser.py:241 strips `'`;
+    // same regexp_replace shape on a character class).
+    Q("q_expr_strip",
+      """SELECT doc_id, replace(source, 's', '') AS src_stripped
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("source"), "s", "").as("src_stripped"))
+        .orderBy("doc_id")
+    },
+
+    // H48/§1.3 — strict vs lenient casts: TRY_CAST of garbage → NULL
+    // (scraped 'None'/'NaN' sentinel handling), strict cast of clean ints.
+    Q("q_expr_try_cast",
+      """SELECT event_id, TRY_CAST(props AS INTEGER) AS maybe_int,
+        |       CAST(user_id AS VARCHAR) AS uid_str
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          expr("try_cast(props AS int)").as("maybe_int"),
+          col("user_id").cast(StringType).as("uid_str"))
+        .orderBy("event_id")
+    },
+  )
+}

@@ -1,0 +1,421 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Expressions._
+import graft.engine.Tables.t
+import graft.operators.GlobalRank
+
+/** Driver-gated queries covering the reference's relational operator
+  * inventory (SURVEY.md §2 families A–G) over the synthetic testdata.
+  *
+  * Every query:
+  *  - orders its output by a total key (driver hash-compare determinism),
+  *  - aliases computed columns identically to its DuckDB oracle,
+  *  - rounds doubles produced by order-sensitive aggregation (sum/avg) so
+  *    Spark partial-agg order and DuckDB scan order can't flip low bits.
+  *
+  * Scale notes are per-query; the shared principles: broadcast the dim side
+  * of every star join, keep aggregates partial-ready (map-side combine),
+  * never rank on a single partition (GlobalRank), and let AQE coalesce.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // A10/B13 — scan + projection with computed, aliased columns. The
+    // projection reaches the parquet scan (ReadSchema prunes to 5 cols).
+    Q("q_scan_project",
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem").select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("net_price"))
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // B14/H41 — null-propagating md5 surrogate key + IS NOT NULL filter
+    // (core/movie_hub.sql:13,17 pattern).
+    Q("q_filter_nullkey",
+      """SELECT md5(c_name || CAST(c_nationkey AS VARCHAR)) AS cust_key,
+        |       c_custkey
+        |FROM customer
+        |WHERE md5(c_name || CAST(c_nationkey AS VARCHAR)) IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      c.select(
+          surrogateKey(col("c_name"), col("c_nationkey")).as("cust_key"),
+          col("c_custkey"))
+        .where(surrogateKey(col("c_name"), col("c_nationkey")).isNotNull)
+        .orderBy("c_custkey")
+    },
+
+    // B15 — NOT IN value-list filter (etl_layer_transfer.py:18).
+    Q("q_filter_not_in",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .where(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+
+    // B16/D31 — "latest snapshot" selector: col IN (SELECT max(col) ...).
+    // Spark shape: broadcast scalar-agg + semi join — no driver collect.
+    Q("q_latest_snapshot",
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate IN (SELECT max(l_shipdate) FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val mx = l.agg(max(col("l_shipdate")).as("l_shipdate"))
+      l.join(broadcast(mx), Seq("l_shipdate"), "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // B17/B18 — column-permutation repair: rows failing the domain check
+    // get fields rotated back; good rows pass through; DELETE+INSERT
+    // becomes filter + union (etl_layer_transfer.py:10-20).
+    Q("q_repair_rotate",
+      """SELECT event_id, user_id,
+        |       CASE WHEN event_type IN ('click','view','purchase','signup')
+        |            THEN event_type ELSE props END AS event_type,
+        |       CASE WHEN event_type IN ('click','view','purchase','signup')
+        |            THEN props ELSE event_type END AS props
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val known = Seq("click", "view", "purchase", "signup")
+      val e = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "props")
+      val good = e.where(col("event_type").isin(known: _*))
+      val repaired = e.where(!col("event_type").isin(known: _*))
+        .select(col("event_id"), col("user_id"),
+          col("props").as("event_type"), col("event_type").as("props"))
+      good.union(repaired).orderBy("event_id")
+    },
+
+    // C19 — inner equi join, single key; dim side broadcast.
+    Q("q_join_inner",
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // C20 — inner join on a composite key (core/movie_genre_link.sql:18
+    // pattern: two-column equality).
+    Q("q_join_composite",
+      """WITH dim AS (
+        |  SELECT l_partkey, l_suppkey, count(*) AS pair_cnt
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT l.l_orderkey, l.l_linenumber, d.pair_cnt
+        |FROM lineitem l
+        |JOIN dim d ON l.l_partkey = d.l_partkey AND l.l_suppkey = d.l_suppkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val dim = l.groupBy("l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("pair_cnt"))
+      l.join(dim, Seq("l_partkey", "l_suppkey"))
+        .select("l_orderkey", "l_linenumber", "pair_cnt")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // C21 — join on a computed md5 expression
+    // (core/movie_info_sat.sql:37-39 pattern).
+    Q("q_join_expr",
+      """SELECT c_custkey, n.n_name
+        |FROM customer c
+        |JOIN (SELECT md5(CAST(n_nationkey AS VARCHAR)) AS nkey, n_name
+        |      FROM nation) n
+        |  ON md5(CAST(c_nationkey AS VARCHAR)) = n.nkey
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val dim = t(s, dir, "nation")
+        .select(surrogateKey(col("n_nationkey")).as("nkey"), col("n_name"))
+      t(s, dir, "customer")
+        .join(broadcast(dim), surrogateKey(col("c_nationkey")) === col("nkey"))
+        .select("c_custkey", "n_name")
+        .orderBy("c_custkey")
+    },
+
+    // C22/D30 — 3-way join chain + group aggregate. Two broadcast joins,
+    // one shuffle (the groupBy) — the canonical star-schema plan.
+    Q("q_join_3way",
+      """SELECT r_name, n_name, count(*) AS cust_cnt,
+        |       round(sum(c_acctbal), 4) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("cust_cnt"),
+            round(sum(col("c_acctbal")), 4).as("total_bal"))
+          .orderBy("r_name", "n_name")
+    },
+
+    // C23 — FULL OUTER join + coalesce key resurrection
+    // (mart/rating_slide.sql:28,33-34 pattern): early vs late spend.
+    Q("q_join_full_outer",
+      """WITH a AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS early_spend
+        |           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |           GROUP BY o_custkey),
+        |     b AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS late_spend
+        |           FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |           GROUP BY o_custkey)
+        |SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+        |       a.early_spend, b.late_spend
+        |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val cut = lit("1998-01-01").cast(TimestampType)
+      val a = o.where(col("o_orderdate") < cut).groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 4).as("early_spend")).alias("a")
+      val b = o.where(col("o_orderdate") >= cut).groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 4).as("late_spend")).alias("b")
+      a.join(b, col("a.o_custkey") === col("b.o_custkey"), "full_outer")
+        .select(
+          coalesce(col("a.o_custkey"), col("b.o_custkey")).as("custkey"),
+          col("early_spend"), col("late_spend"))
+        .orderBy("custkey")
+    },
+
+    // C24 — left join + IS NULL change detection (ddl.py:538 pattern):
+    // customers that placed no orders.
+    Q("q_join_left_isnull",
+      """SELECT c_custkey, c_name
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NULL ORDER BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+            "left")
+          .where(col("o_orderkey").isNull)
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+    },
+
+    // C25 — anti join (ddl.py:552 NOT IN pattern; pk non-null so left_anti
+    // matches): parts that never shipped.
+    Q("q_join_anti",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem)
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"),
+          "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    // C26 — semi join (IN-subquery filter): suppliers with shipments.
+    Q("q_join_semi",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    // C27/F36 — correlated ORDER BY ... DESC LIMIT 1 subquery, rewritten as
+    // a partitioned window top-1 (the Spark-legal form; SURVEY.md C27).
+    Q("q_top1_per_group",
+      """SELECT p_brand, p_name, p_retailprice FROM (
+        |  SELECT p_brand, p_name, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) WHERE rn = 1 ORDER BY p_brand""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("p_brand")
+          .orderBy(desc("p_retailprice"), asc("p_partkey"))
+        t(s, dir, "part")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("p_brand", "p_name", "p_retailprice")
+          .orderBy("p_brand")
+    },
+
+    // C27 (max_by form) — the same top-1 via arg_max, the aggregation-only
+    // rewrite used by genre_metrics (no window, one shuffle). DuckDB 1.0's
+    // arg_max takes only scalar ordering keys, so the (price, partkey)
+    // tiebreak is encoded as one exact double: price*1e7 + partkey stays
+    // under 2^53 at every sf, and both engines compute it identically.
+    Q("q_argmax_per_group",
+      """SELECT p_brand,
+        |       arg_max(p_name, p_retailprice * 10000000 + p_partkey) AS top_part
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "part")
+          .groupBy("p_brand")
+          .agg(max_by(col("p_name"),
+            col("p_retailprice") * 10000000 + col("p_partkey")).as("top_part"))
+          .orderBy("p_brand")
+    },
+
+    // D28 — group-by + sum/avg over casts (TPC-H Q1 shape; map-side partial
+    // aggregation then one shuffle on the tiny group key).
+    Q("q_agg_avg_cast",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // D29 — group-by max (order-insensitive, no rounding needed).
+    Q("q_agg_group_max",
+      """SELECT l_partkey, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(max("l_extendedprice").as("max_price"))
+          .orderBy("l_partkey")
+    },
+
+    // D30 — group-by avg + count (mart/genre_metrics.sql:62-65 shape).
+    Q("q_agg_avg_count",
+      """SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_bal,
+        |       count(c_custkey) AS cust_cnt
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(round(avg("c_acctbal"), 4).as("avg_bal"),
+            count("c_custkey").as("cust_cnt"))
+          .orderBy("c_mktsegment")
+    },
+
+    // D31 — global scalar max, no GROUP BY (single-row output).
+    Q("q_agg_global_max",
+      """SELECT max(o_totalprice) AS max_price,
+        |       max(o_orderdate) AS max_date FROM orders""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .agg(max("o_totalprice").as("max_price"),
+            max("o_orderdate").as("max_date"))
+    },
+
+    // D32 — "two most recent snapshots" (mart/rating_slide.sql:23):
+    // dense_rank ≤ 2 over distinct dates, then semi join back.
+    Q("q_second_latest",
+      """WITH d AS (SELECT DISTINCT o_orderdate FROM orders),
+        |     r AS (SELECT o_orderdate,
+        |                  dense_rank() OVER (ORDER BY o_orderdate DESC) AS rk
+        |           FROM d)
+        |SELECT o.o_orderdate, count(*) AS order_cnt
+        |FROM orders o JOIN r ON o.o_orderdate = r.o_orderdate
+        |WHERE r.rk <= 2 GROUP BY o.o_orderdate
+        |ORDER BY o.o_orderdate""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      // Distinct dates are few; orderBy+limit replaces the single-partition
+      // dense_rank window (same result, no 1-task window at scale).
+      val latest2 = o.select("o_orderdate").distinct()
+        .orderBy(desc("o_orderdate")).limit(2)
+      o.join(broadcast(latest2), Seq("o_orderdate"), "left_semi")
+        .groupBy("o_orderdate")
+        .agg(count(lit(1)).as("order_cnt"))
+        .orderBy("o_orderdate")
+    },
+
+    // D33 — ordered string aggregation of a group (string_agg analog,
+    // ddl.py:454 — data-plane form).
+    Q("q_string_agg",
+      """SELECT r_name, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ", ")
+          .as("nations"))
+        .orderBy("r_name")
+    },
+
+    // D34 — DISTINCT dedup (pervasive in the reference's core scripts).
+    Q("q_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // E35 — global leaderboard rank. The reference's empty-PARTITION
+    // row_number funnels all rows through one task; GlobalRank computes the
+    // identical numbering via range-repartition + zipWithIndex (SURVEY §4.4).
+    Q("q_window_rank",
+      """SELECT o_custkey, spend,
+        |       row_number() OVER (ORDER BY spend DESC, o_custkey) AS place
+        |FROM (SELECT o_custkey, round(sum(o_totalprice), 4) AS spend
+        |      FROM orders GROUP BY o_custkey)
+        |ORDER BY place""".stripMargin) { (s, dir) =>
+      val spend = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 4).as("spend"))
+      GlobalRank.withRowNumber(spend, "place",
+          Seq(desc("spend"), asc("o_custkey")))
+        .withColumn("place", col("place").cast(LongType))
+        .orderBy("place")
+    },
+
+    // F36/F37 — global ORDER BY DESC + LIMIT top-k (range-partitioned sort;
+    // Spark plans limit as TakeOrderedAndProject — no full sort at scale).
+    Q("q_orderby_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(100)
+    },
+
+    // G38 — deduplicating UNION (PG UNION semantics = union + distinct,
+    // positional columns).
+    Q("q_union_dedup",
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+          .union(t(s, dir, "supplier").select(col("s_nationkey")))
+          .distinct()
+          .orderBy("nk")
+    },
+
+    // G39 — UNION ALL (dedup deferred, core/genre_hub.sql:13 pattern).
+    Q("q_union_all",
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION ALL SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+          .union(t(s, dir, "supplier").select(col("s_nationkey")))
+          .orderBy("nk")
+    },
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Scd2, Tables}
+import graft.engine.Tables.t
+
+/** Driver-gated queries for the historization engine (SURVEY.md §2 family J)
+  * — the heart of the reference's `stg_checker` procedure, oracled in plain
+  * SQL by replaying the same close-out / keep / insert legs in DuckDB.
+  *
+  * Snapshots are derived deterministically from `orders` so both engines see
+  * identical inputs: snapshot A = orders before 1999 (the "first load");
+  * snapshot B = orders before 2000 with a deterministic price change on
+  * orderkeys divisible by 10 (the "second load" — changed attrs + new pks;
+  * pks that vanished, i.e. none here, are covered by ScalaTest scenarios).
+  */
+object Scd2Queries {
+
+  private val T1 = "2024-01-01 00:00:00"
+  private val T2 = "2024-02-01 00:00:00"
+
+  private def snapA(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "orders")
+      .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  private def snapB(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "orders")
+      .where(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 10 === 0,
+          round(col("o_totalprice") + 100, 2))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+
+  private val sqlSnapA =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1999-01-01'""".stripMargin
+
+  private val sqlSnapB =
+    """SELECT o_orderkey, o_orderstatus,
+      |       CASE WHEN o_orderkey % 10 = 0
+      |            THEN round(o_totalprice + 100, 2)
+      |            ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // J57-J61 — the SCD2 merge: load A at T1, merge B at T2. Output =
+    // history ∪ closed-out ∪ kept-open ∪ new versions, one full-outer join
+    // on pk (SURVEY §4.3).
+    Q("q_scd2_merge",
+      s"""WITH a AS ($sqlSnapA),
+         |     b AS ($sqlSnapB),
+         |tgt AS (SELECT *, TIMESTAMP '$T1' AS valid_from,
+         |               TIMESTAMP '9999-12-31' AS valid_to FROM a),
+         |snap AS (SELECT *, TIMESTAMP '$T2' AS valid_from,
+         |                TIMESTAMP '9999-12-31' AS valid_to FROM b),
+         |diff AS (SELECT t.o_orderkey,
+         |                (t.o_orderstatus != s.o_orderstatus
+         |                 OR t.o_totalprice != s.o_totalprice) AS changed
+         |         FROM tgt t JOIN snap s USING (o_orderkey)),
+         |closed AS (
+         |  SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice,
+         |         t.valid_from, TIMESTAMP '$T2' AS valid_to
+         |  FROM tgt t LEFT JOIN diff d USING (o_orderkey)
+         |  WHERE d.o_orderkey IS NULL OR coalesce(d.changed, FALSE)),
+         |kept AS (
+         |  SELECT t.* FROM tgt t JOIN diff d USING (o_orderkey)
+         |  WHERE NOT coalesce(d.changed, FALSE)),
+         |ins AS (
+         |  SELECT s.* FROM snap s LEFT JOIN diff d USING (o_orderkey)
+         |  WHERE d.o_orderkey IS NULL OR coalesce(d.changed, FALSE))
+         |SELECT * FROM closed UNION ALL SELECT * FROM kept
+         |UNION ALL SELECT * FROM ins
+         |ORDER BY o_orderkey, valid_from, valid_to""".stripMargin) {
+      (s, dir) =>
+        val target = Scd2.stamp(snapA(s, dir), T1)
+        Scd2.merge(target, snapB(s, dir), pk = Seq("o_orderkey"),
+            attrs = Seq("o_orderstatus", "o_totalprice"), loadTs = T2)
+          .orderBy("o_orderkey", "valid_from", "valid_to")
+    },
+
+    // J62 — insert-only-new (hubs/marts): target keeps its rows verbatim,
+    // only unseen pks append (marts accrete, SURVEY.md J62).
+    Q("q_scd2_insert_only",
+      """SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1000
+        |UNION ALL
+        |SELECT c_custkey, c_name || '!' FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_custkey <= 1000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val target = c.where(col("c_custkey") <= 1000)
+        .select("c_custkey", "c_name")
+      val snapshot = c.select(col("c_custkey"),
+        concat(col("c_name"), lit("!")).as("c_name"))
+      Scd2.insertOnlyNew(target, snapshot, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    },
+
+    // J63 — schema reconciliation: declared schema wins — cast present
+    // columns, null-fill missing ones, drop undeclared ones (ddl.py:486-520).
+    Q("q_schema_reconcile",
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+        |       CAST(NULL AS INTEGER) AS loyalty_tier
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val declared = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", StringType),   // int → string migration
+        StructField("loyalty_tier", IntegerType)  // newly declared → null
+      ))
+      Scd2.reconcile(t(s, dir, "customer"), declared)
+        .orderBy("c_custkey")
+    },
+  )
+}

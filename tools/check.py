@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tooling only; the
+shipped library is Scala — see BASELINE.md).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet dump written by graft.Verify,
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
+sf parquet tables, and compares row counts, column names (sorted), and a
+hash of all values (columns sorted by name, rows sorted).
+"""
+import sys, json, hashlib, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            s_cols = [d[0] for d in spark_rel.description]
+            s_rows = spark_rel.fetchall()
+        except Exception as e:
+            failures.append((name, f"spark output unreadable: {e}"))
+            continue
+        try:
+            duck_rel = con.execute(sql)
+            d_cols = [d[0] for d in duck_rel.description]
+            d_rows = duck_rel.fetchall()
+        except Exception as e:
+            failures.append((name, f"oracle sql failed: {e}"))
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            failures.append((name, f"cols spark={sorted(s_cols)} "
+                                   f"duck={sorted(d_cols)}"))
+            continue
+        if len(s_rows) != len(d_rows):
+            failures.append((name, f"rows spark={len(s_rows)} "
+                                   f"duck={len(d_rows)}"))
+            continue
+        hs, hd = table_hash(s_cols, s_rows), table_hash(d_cols, d_rows)
+        if hs != hd:
+            order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            sset = {tuple(canon(r[i]) for i in order) for r in s_rows}
+            dset = {tuple(canon(r[i]) for i in order) for r in d_rows}
+            ex = list(sset - dset)[:2] + ["---"] + list(dset - sset)[:2]
+            failures.append((name, f"hash mismatch; examples {ex}"))
+            continue
+        print(f"  OK  {name} ({len(s_rows)} rows)")
+    for name, why in failures:
+        print(f"FAIL  {name}: {why}")
+    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
