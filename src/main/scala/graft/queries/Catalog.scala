@@ -11,7 +11,10 @@ object Catalog {
   def queries: Seq[Q] =
     RelationalQueries.all ++
       FunctionQueries.all ++
-      Scd2Queries.all
+      Scd2Queries.all ++
+      TextQueries.all ++
+      VectorQueries.all ++
+      EventQueries.all
 
   /** Flagship query (driver smoke at sf0.001): the rating_slide analog
     * (SURVEY.md §7.2) — scan → filter → agg → distributed rank → full-outer

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables.t
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Driver-gated queries for the training-data text pipeline: analysis
+  * (tokens, language ID, quality, fingerprints) and deduplication (exact,
+  * MinHash+LSH, n-gram Jaccard, SimHash) over the `documents` table.
+  *
+  * The md5-based MinHash design (TextFunctions) makes even the LSH pipeline
+  * byte-reproducible in DuckDB — the oracles replay shingling, signatures,
+  * banding, bucket-join, and Jaccard verification in SQL.
+  */
+object TextQueries {
+
+  /** DuckDB fragment: lowercased whitespace tokens. */
+  private val sqlToks = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** DuckDB fragment mirroring TextFunctions.shingles(text, k). */
+  private def sqlShingles(k: Int) =
+    s"""list_distinct(CASE WHEN len($sqlToks) < $k
+       |  THEN [array_to_string($sqlToks, ' ')]
+       |  ELSE list_transform(range(0, len($sqlToks) - ${k - 1}),
+       |         i -> array_to_string(($sqlToks)[i+1:i+$k], ' ')) END)""".stripMargin
+
+  private val langCases = {
+    val hits = stopwords.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter($sqlToks, t -> list_contains($lst, t)))"
+    }
+    val mx = hits.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = hits.map { case (lang, h) =>
+      s"WHEN $h = __mx THEN '$lang'"
+    }.mkString(" ")
+    (mx, whens)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Token counting: whitespace tokens + BPE-ish regex sub-word count.
+    Q("q_text_stats",
+      s"""SELECT doc_id,
+         |       len($sqlToks) AS n_tokens,
+         |       len(regexp_extract_all(text,
+         |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+         |       length(text) AS n_chars_seen
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          bpeTokenCount(col("text")).cast(LongType).as("n_bpe"),
+          length(col("text")).cast(LongType).as("n_chars_seen"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID: stopword-hit argmax with declared priority order.
+    Q("q_text_langid", {
+      val (mx, whens) = langCases
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |       CASE WHEN __mx = 0 THEN 'und' $whens END AS detected_lang
+         |FROM (SELECT doc_id, lang, $mx AS __mx, text FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          langId(col("text")).as("detected_lang"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length saturation + stopword ratio + mean token len.
+    Q("q_text_quality", {
+      val enList = stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |       round(0.4 * least(1.0, len($sqlToks) / 100.0)
+         |           + 0.3 * (len(list_filter($sqlToks,
+         |                        t -> list_contains($enList, t)))
+         |                    / greatest(CAST(len($sqlToks) AS DOUBLE), 1.0))
+         |           + 0.3 * least(1.0,
+         |               (length(regexp_replace(text, '\\s+', '', 'g'))
+         |                / greatest(CAST(len($sqlToks) AS DOUBLE), 1.0)) / 8.0),
+         |             4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Normalized-text fingerprint (exact-dedup key).
+    Q("q_text_fingerprint",
+      """SELECT doc_id,
+        |       md5(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), normFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup after normalization. The corpus has no verbatim dups, so
+    // the query plants them deterministically (uppercased copies, id+100000)
+    // and the operator must find exactly those.
+    Q("q_dedup_exact",
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id < 50),
+        |fp AS (SELECT doc_id AS dup_id,
+        |              md5(regexp_replace(regexp_replace(lower(text),
+        |                  '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+        |                AS fingerprint
+        |       FROM aug),
+        |canon AS (SELECT fingerprint, min(dup_id) AS canonical_id
+        |          FROM fp GROUP BY fingerprint)
+        |SELECT dup_id, canonical_id, fingerprint
+        |FROM fp JOIN canon USING (fingerprint)
+        |WHERE dup_id != canonical_id ORDER BY dup_id""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val aug = docs.select("doc_id", "text").union(
+          docs.where(col("doc_id") < 50)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              upper(col("text")).as("text")))
+        Dedup.exactDuplicates(aug, "doc_id", "text").orderBy("dup_id")
+    },
+
+    // MinHash+LSH near-dup pairs, Jaccard-verified — the full
+    // signature→band→bucket-join→verify pipeline, oracled end-to-end.
+    Q("q_dedup_minhash", {
+      val sh = sqlShingles(5)
+      s"""WITH sh AS (SELECT doc_id, $sh AS sh FROM documents),
+         |sig AS (SELECT doc_id,
+         |               list_transform(range(0, 8), j ->
+         |                 list_aggregate(list_transform(sh,
+         |                   s -> md5(j || ':' || s)), 'min')) AS sig
+         |        FROM sh),
+         |bands AS (SELECT doc_id, b,
+         |                 md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS key
+         |          FROM sig, range(0, 4) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |ver AS (SELECT id1, id2,
+         |               CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         |               / (len(s1.sh) + len(s2.sh)
+         |                  - len(list_intersect(s1.sh, s2.sh))) AS jac
+         |        FROM cand
+         |        JOIN sh s1 ON id1 = s1.doc_id
+         |        JOIN sh s2 ON id2 = s2.doc_id)
+         |SELECT id1, id2, round(jac, 4) AS jaccard FROM ver
+         |WHERE jac >= 0.5 ORDER BY id1, id2""".stripMargin
+    }) { (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, m = 8, bands = 4, threshold = 0.5)
+        .orderBy("id1", "id2")
+    },
+
+    // Brute-force n-gram Jaccard on a bounded subset — the exactness oracle
+    // for the LSH path (O(n²), guarded).
+    Q("q_dedup_ngram", {
+      val sh = sqlShingles(3)
+      s"""WITH sh AS (SELECT doc_id, $sh AS sh FROM documents
+         |            WHERE doc_id < 200)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |             / (len(a.sh) + len(b.sh)
+         |                - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      >= 0.2
+         |ORDER BY id1, id2""".stripMargin
+    }) { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.2, maxDocs = 200)
+        .orderBy("id1", "id2")
+    },
+
+    // SimHash near-dup pairs via the custom codegen'd simhash64 expression.
+    // Murmur3 isn't available in DuckDB → rows-only check here; exactness
+    // is covered by SimHashSpec (known near-dup fixtures).
+    Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 16)
+        .orderBy("id1", "id2")
+    },
+  )
+}

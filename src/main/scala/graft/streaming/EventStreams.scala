@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming pipelines over the events stream — an extension
+  * beyond reference parity (the reference is batch-only, SURVEY.md §7.4);
+  * batch twins are oracled in EventQueries.
+  *
+  * Scale design: watermark + tumbling windows keep state bounded to
+  * (windows in flight × group cardinality); sessionization state is one
+  * small case class per active user, dropped on timeout — no unbounded
+  * driver or executor state.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour rollup with a 2-hour watermark — the streaming twin of
+    * q_events_window (same groupBy(window, event_type) agg). */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String,
+                   value: Double)
+  case class SessionState(start: Long, lastSeen: Long, events: Int,
+                          total: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Int,
+                     total_value: Double)
+
+  /** Gap-based sessionization (30-min inactivity) via
+    * flatMapGroupsWithState — custom per-key state, emitted on timeout.
+    * State is O(active users); the shuffle key is user_id. */
+  def sessionize(events: Dataset[Event],
+                 gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new Timestamp(s.start),
+          new Timestamp(s.lastSeen), s.events, s.total))
+      } else {
+        var closed = List.empty[Session]
+        // Event-time order within the batch; state carries across batches.
+        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          state.getOption match {
+            case Some(s) if t - s.lastSeen <= gapMs =>
+              state.update(SessionState(s.start, t, s.events + 1,
+                s.total + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, new Timestamp(s.start),
+                new Timestamp(s.lastSeen), s.events, s.total)
+              state.update(SessionState(t, t, 1, e.value))
+            case None =>
+              state.update(SessionState(t, t, 1, e.value))
+          }
+        }
+        state.setTimeoutTimestamp(state.get.lastSeen + gapMs)
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Convenience: run a streaming DataFrame to an in-memory sink and block
+    * until all available data is processed (dev/test harness). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}

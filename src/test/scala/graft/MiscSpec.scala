@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+
+class TextFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat sat on the mat and it was happy",
+      "el gato es un animal que vive en la casa",
+      "der Hund ist ein Tier und das ist gut",
+      "xyzzy plugh qwert").toDF("text")
+    assert(df.select(TextFunctions.langId(col("text"))).as[String]
+      .collect().toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("shingles produces n-k+1 distinct word k-grams, short-doc fallback") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+    val out = df.select(TextFunctions.shingles(col("text"), 3))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d", "c d e"))
+    assert(out(1) == Seq("a b"))
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val scores = graft.engine.Tables.t(spark, sf001, "documents")
+      .select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val media = Multimodal.mediaFromDocuments(
+    graft.engine.Tables.t(spark, sf001, "documents"))
+
+  test("media table keeps payloads binary with typed metadata") {
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(media.count() > 0)
+    assert(media.select("kind").distinct().as[String].collect().toSet
+      == Set("image", "audio", "video"))
+  }
+
+  test("extractFeatures is deterministic and partition-local") {
+    val f1 = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.checksum).toMap
+    val f2 = Multimodal.extractFeatures(media.repartition(7)).collect()
+      .map(f => f.media_id -> f.checksum).toMap
+    assert(f1 == f2)
+    val feats = Multimodal.extractFeatures(media).head()
+    assert(feats.feature.length == 8)
+    assert(feats.n_bytes > 0)
+  }
+
+  test("sampleFrames emits nFrames offsets per video") {
+    val frames = Multimodal.sampleFrames(media, nFrames = 4)
+    val perVideo = frames.groupBy("media_id").count()
+      .select("count").as[Long].collect()
+    assert(perVideo.nonEmpty && perVideo.forall(_ == 4))
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hourlyRollup over a memory stream matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = events.toDF().toDF("ts", "event_type", "value")
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    events.addData(
+      (ts(10, 5), "click", 1.0), (ts(10, 40), "click", 2.0),
+      (ts(10, 50), "view", 5.0), (ts(11, 10), "click", 7.0))
+
+    val q = EventStreams.hourlyRollup(df)
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("rollup")
+      .select("hour_start", "event_type", "cnt", "total_value")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 10:00:00.0", "view", 1L, 5.0),
+      ("2024-01-01 11:00:00.0", "click", 1L, 7.0)))
+  }
+
+  test("sessionize closes sessions on gap and carries state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[EventStreams.Event]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val sessions = EventStreams.sessionize(events.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      events.addData(
+        EventStreams.Event(1L, ts(10, 0), "click", 1.0),
+        EventStreams.Event(1L, ts(10, 10), "view", 2.0))
+      q.processAllAvailable()
+      // 2h later: old session must close (gap exceeded), new one opens
+      events.addData(EventStreams.Event(1L, ts(12, 0), "click", 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+      assert(closed.length == 1)
+      val s = closed.head
+      assert(s.getAs[java.sql.Timestamp]("session_start") == ts(10, 0))
+      assert(s.getAs[java.sql.Timestamp]("session_end") == ts(10, 10))
+      assert(s.getAs[Int]("n_events") == 2)
+      assert(s.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import Runner.Warehouse
+
+/** End-to-end Data Vault pipeline over mini raw fixtures in the reference's
+  * own schemas (SURVEY.md §5.2 #4): preprocess → 7 core tables → 5 marts,
+  * across two loads with a rating change in between.
+  */
+class PipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def movieRaw(rating: String) = Seq(
+    ("http://m/1", "The Matrix", "The Matrix", "1999", "R", rating,
+      "['Action', 'Sci-Fi']", "63000000", "467222728", "136"),
+    ("http://m/2", "Heat", "Heat", "1995", "R", "8.3",
+      "['Action', 'Crime']", "60000000", "187436818", "170")
+  ).toDF("url", "movie_name", "original_name", "year", "certificate",
+    "rating", "genres", "budget", "gross_worldwide", "min_duration")
+
+  private val actorRaw = Seq(
+    ("The Matrix", 136, "Keanu Reeves", "Neo", "actor"),
+    ("The Matrix", 136, "Lana Wachowski", "directed by", "director"),
+    ("Heat", 170, "Al Pacino", "Vincent Hanna", "actor"),
+    // column-rotated row (B18): name/raw_role/role shifted
+    ("Heat", 170, "Robert De Niro", "Neil McCauley", "actor")
+  ).toDF("movie_name", "movie_duration", "name", "raw_role", "role")
+
+  private val rotated = Seq(
+    // role column holds the name → preprocess must rotate back
+    ("Heat", 170, "Vincent Hanna2", "actor", "Val Kilmer")
+  ).toDF("movie_name", "movie_duration", "raw_role", "role", "name")
+    .select("movie_name", "movie_duration", "name", "raw_role", "role")
+
+  private def load(wh: Warehouse, rating: String, ts: String): Warehouse = {
+    wh.put(Pipeline.RawMovieImdb, movieRaw(rating))
+    wh.put(Pipeline.RawMovieMeta, movieRaw(rating).limit(0))
+    wh.put(Pipeline.RawActorImdb, actorRaw.union(rotated))
+    wh.put(Pipeline.RawActorMeta, actorRaw.limit(0))
+    Pipeline.runLoad(wh, ts)
+  }
+
+  private lazy val wh: Warehouse = {
+    val w = new Warehouse(spark)
+    load(w, "8.7", "2024-01-01 00:00:00")
+    load(w, "8.8", "2024-02-01 00:00:00") // Matrix rating changes
+    w
+  }
+
+  test("hubs hold distinct business keys") {
+    assert(wh("movie_hub").count() == 2)
+    assert(wh("genre_hub").count() == 3) // Action, Sci-Fi, Crime
+    assert(wh("employee_hub").count() == 5)
+  }
+
+  test("preprocess repaired the rotated actor row") {
+    assert(wh("employee_hub").filter(col("emp_nm") === "Val Kilmer")
+      .count() == 1)
+  }
+
+  test("links join hubs correctly") {
+    assert(wh("movie_genre_link")
+      .filter(col("valid_to") === Scd2.OpenEnd).count() == 4)
+    assert(wh("movie_emp_link")
+      .filter(col("valid_to") === Scd2.OpenEnd).count() == 5)
+  }
+
+  test("satellite versioned the rating change") {
+    val matrixSat = wh("movie_info_sat").filter(col("rating").isin("8.7", "8.8"))
+    assert(matrixSat.count() == 2)
+    assert(matrixSat.filter(col("valid_to") === Scd2.OpenEnd)
+      .select("rating").as[String].collect().toSeq == Seq("8.8"))
+  }
+
+  test("genre_metrics aggregates per genre over current rows") {
+    val gm = wh("genre_metrics").collect()
+      .map(r => r.getAs[String]("genre") -> r.getAs[Int]("genre_movie_quant"))
+      .toMap
+    assert(gm == Map("Action" -> 2, "Sci-Fi" -> 1, "Crime" -> 1))
+  }
+
+  test("rating_slide ranks by current rating") {
+    val rs = wh("rating_slide").orderBy("current_place").collect()
+    assert(rs.map(_.getAs[String]("movie_name")).toSeq ==
+      Seq("The Matrix", "Heat"))
+  }
+
+  test("marts accrete: changed Matrix satellite row re-keyed nothing (stable pk)") {
+    // movie_data pk = title_item_id = md5(movie_id||url): unchanged by the
+    // rating update → mart keeps the first-load row (J62 semantics).
+    val md = wh("movie_data")
+    assert(md.count() == 2)
+    assert(md.filter(col("movie_name") === "The Matrix")
+      .select("rating").as[String].head() == "8.7")
+  }
+}

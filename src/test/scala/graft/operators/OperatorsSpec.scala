@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GlobalRankSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("matches single-partition row_number on a total order") {
+    val df = (1 to 500).map(i => (i, (i * 37) % 211)).toDF("id", "v")
+      .repartition(7)
+    val expected = df.withColumn("r",
+        row_number().over(Window.orderBy(desc("v"), asc("id"))))
+      .select("id", "r").as[(Int, Int)].collect().toMap
+    val got = GlobalRank.withRowNumber(df, "r", Seq(desc("v"), asc("id")))
+      .select(col("id"), col("r").cast("int"))
+      .as[(Int, Int)].collect().toMap
+    assert(got == expected)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "THE  quick Brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "totally unrelated words describing benchmark harness design now")
+  ).toDF("doc_id", "text")
+
+  test("exactDuplicates finds normalized duplicates only") {
+    val dups = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+    assert(dups.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+  }
+
+  test("minhashLshPairs surfaces near-duplicates, skips unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, m = 8, bands = 4, threshold = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhashPairs: identical docs hamming 0; candidates respect the cap") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val h12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(h12.isDefined && h12.get._3 == 0) // same tokens after lowercase
+    assert(pairs.forall(_._3 <= 12))
+  }
+
+  test("simhash distance orders near-dup below unrelated") {
+    graft.expressions.SimHash64.register(spark)
+    import org.apache.spark.sql.functions.expr
+    val sigs = docs.selectExpr("doc_id",
+        "simhash64(split(trim(lower(text)), '\\\\s+')) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) == 0)   // normalization-identical
+    assert(hamming(sigs(1L), sigs(3L)) <
+      hamming(sigs(1L), sigs(4L)))             // one word vs disjoint text
+  }
+
+  test("jaccard is exact on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0)
+      == 0.5)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  import graft.engine.Tables.t
+
+  test("bruteForceTopK scores agree with a driver-side computation") {
+    val emb = t(spark, sf001, "embeddings")
+    val top = Similarity.bruteForceTopK(emb,
+      emb.where(col("vec_id") === 0), k = 3).collect()
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(vecs(0L), v))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(top.map(r => (r.getLong(1), r.getDouble(2))).toSeq == expected)
+  }
+
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    val emb = t(spark, sf001, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, k = 5,
+        nClusters = 8, nProbe = 4)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low") // nProbe/nClusters=0.5
+  }
+}
