@@ -52,8 +52,17 @@ object Runner {
         // Pipeline breaker, like the reference's CREATE TEMP TABLE temp_
         // (ddl.py:559-570): materialize so both merge legs and downstream
         // consumers read a stable snapshot instead of recomputing lineage.
-        df.write.mode("overwrite").parquet(s"$dir/$name")
-        tables(name) = spark.read.parquet(s"$dir/$name")
+        // Write-then-rename so a failed job never leaves a half-written
+        // table (SURVEY §7.4 "atomic-enough"; a real lakehouse commit
+        // protocol — Delta/Iceberg — slots in here unchanged).
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.staging")
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dst, true)
+        fs.rename(tmp, dst)
+        tables(name) = spark.read.parquet(dst.toString)
       case None =>
         tables(name) = df.localCheckpoint(eager = true)
     }

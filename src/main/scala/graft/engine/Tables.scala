@@ -31,4 +31,9 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
+
+  /** Register every testdata table as a temp view (SQL entry path: the
+    * DuckDB oracle text is valid Spark SQL for ANSI queries). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    testdataNames.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
 }

@@ -417,5 +417,65 @@ object RelationalQueries {
           .union(t(s, dir, "supplier").select(col("s_nationkey")))
           .orderBy("nk")
     },
+
+    // Beyond-reference breadth: distinct aggregation (two-phase plan:
+    // partial distinct per partition, then exchange on the group key).
+    Q("q_agg_distinct_count",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("distinct_parts"))
+          .orderBy("l_returnflag")
+    },
+
+    // ROLLUP hierarchy totals. Subtotal rows carry NULLs — normalized with
+    // coalesce sentinels for a total cross-engine sort order. The oracle
+    // text is ANSI and runs verbatim through spark.sql (the SQL entry
+    // path; the DataFrame rollup API trips Spark's ambiguous-self-join
+    // analyzer when grouping columns flow out of a join).
+    {
+      val rollupSql =
+        """SELECT coalesce(r_name, '(all)') AS region,
+          |       coalesce(n_name, '(all)') AS nation,
+          |       count(*) AS cust_cnt
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY region, nation""".stripMargin
+      Q("q_agg_rollup", rollupSql) { (s, dir) =>
+        graft.engine.Tables.registerAll(s, dir)
+        s.sql(rollupSql)
+      }
+    },
+
+    // CUBE over two dimensions (all grouping-set combinations).
+    Q("q_agg_cube",
+      """SELECT coalesce(l_returnflag, '(all)') AS rflag,
+        |       coalesce(l_linestatus, '(all)') AS lstatus,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+          col("sum_qty"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // Sketch aggregation: HyperLogLog++ distinct estimate. Estimator
+    // internals differ per engine → rows-only; accuracy vs exact count is
+    // asserted in OperatorsSpec.
+    Q.rowsOnly("q_agg_approx_distinct") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
   )
 }

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Bucketing, Runner}
+import graft.operators.Salting
+
+class SaltingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join result on skewed keys") {
+    // 90% of rows share one hot key.
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val small = Seq((7L, "hot"), (20L, "a"), (40L, "b")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Salting.saltedJoin(big, small, Seq("k"), saltFactor = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size > 1500) // the hot key actually joined
+  }
+
+  test("left salted join preserves unmatched rows") {
+    val big = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val small = Seq((1L, "m")).toDF("k", "name")
+    val out = Salting.saltedJoin(big, small, Seq("k"), 4, "left")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2))).toSet
+    assert(out == Set((1L, false), (2L, true)))
+  }
+}
+
+class BucketingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    val facts = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    val dims = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    Bucketing.writeBucketed(facts, "b_facts", Seq("k"), 8)
+    Bucketing.writeBucketed(dims, "b_dims", Seq("k"), 8)
+    val joined = Bucketing.table(spark, "b_facts")
+      .hint("merge")
+      .join(Bucketing.table(spark, "b_dims"), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == 1000)
+  }
+}
+
+class WarehousePersistSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("parquet-backed warehouse survives atomically across puts") {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val wh = new Runner.Warehouse(spark, Some(dir))
+    wh.put("t", Seq((1, "a")).toDF("id", "v"))
+    assert(wh("t").count() == 1)
+    wh.put("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(wh("t").count() == 2)
+    // no staging leftovers
+    assert(!Files.exists(java.nio.file.Paths.get(dir, ".t.staging")))
+    // table readable from a fresh reader (the swap completed)
+    assert(spark.read.parquet(s"$dir/t").count() == 2)
+  }
+}
+
+class ApproxSpec extends SparkSpec {
+
+  test("approx_count_distinct lands within 5% of exact") {
+    val l = engine.Tables.t(spark, sf001, "lineitem")
+    val exact = l.select(countDistinct("l_partkey")).head.getLong(0)
+    val approx = l.select(approx_count_distinct("l_partkey", 0.02))
+      .head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
