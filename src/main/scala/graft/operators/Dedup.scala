@@ -51,11 +51,13 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = m / bands
     // Shingling is a higher-order-function expression (CodegenFallback) —
-    // pay it exactly once: persist, then keep every md5 in flat codegen'd
-    // form. Signatures come from explode + hash-agg min (partial aggregation
-    // map-side), NOT nested array transforms — ~10× on a 5k-doc corpus,
-    // and at 100 TB the explode keeps signature work scan-local while only
-    // the m·32-byte signatures shuffle.
+    // pay it exactly once behind a persist. Signatures then come from
+    // explode + codegen'd hash-agg min(md5) with map-side partials (NOT
+    // nested array transforms), and are themselves persisted: m 32-byte
+    // hashes per doc, consumed twice by the banded self-join. (A window/
+    // lead shingle builder was benchmarked and lost: its extra explode-
+    // shuffle + two window passes cost more than the interpreted HOF.)
+    // At 100 TB: shingle+hash work is scan-local; only signatures shuffle.
     val sh = df.select(col(idCol).as("id"),
         shingles(col(textCol), k).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -64,6 +66,7 @@ object Dedup {
       .agg(min(md5(concat(lit(0), lit(":"), col("s")))).as("h0"),
         (1 until m).map(j =>
           min(md5(concat(lit(j), lit(":"), col("s")))).as(s"h$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           md5(concat_ws("|", (0 until rowsPerBand).map(r =>
@@ -76,6 +79,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shA = sh.select(col("id").as("id1"), col("sh").as("sh1"))
     val shB = sh.select(col("id").as("id2"), col("sh").as("sh2"))
     cand.join(shA, "id1").join(shB, "id2")
@@ -114,8 +118,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     graft.expressions.SimHash64.register(df.sparkSession)
+    // persist: the banded self-join consumes the signatures twice
     val sigs = df.select(col(idCol).as("id"),
-      expr(s"simhash64(${tokensSql(textCol)})").as("sig"))
+        expr(s"simhash64(${tokensSql(textCol)})").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
