@@ -12,6 +12,7 @@ object Catalog {
     RelationalQueries.all ++
       FunctionQueries.all ++
       Scd2Queries.all ++
+      VaultQueries.all ++
       TextQueries.all ++
       VectorQueries.all ++
       EventQueries.all

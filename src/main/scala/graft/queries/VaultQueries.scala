@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.CoreQueries
+import graft.engine.Expressions._
+import graft.engine.Tables.t
+
+/** Driver-gated queries for the reference's OWN transforms (core/<n>.sql,
+  * mart/genre_metrics.sql): raw-movie-shaped inputs are derived
+  * deterministically from the testdata `part`/`lineitem` tables — two
+  * overlapping "sources" (imdb = even part keys, metacritic = part keys
+  * divisible by 3) — then the engine's CoreQueries run against a DuckDB
+  * oracle that replays the reference SQL semantics on the same derivation.
+  *
+  * This is the "matches the reference's results on its own test queries"
+  * gate: union-dedup conflation, both genre parse paths, md5 key joins,
+  * satellite keys, and the genre_metrics aggregation (correlated-LIMIT-1
+  * rewritten with a deterministic tiebreak — documented inline).
+  */
+object VaultQueries {
+
+  // ---- derivation: raw movie tables from `part` ------------------------
+
+  private def rawMovies(s: SparkSession, dir: String, mod: Int): DataFrame = {
+    val p = t(s, dir, "part").where(pmod(col("p_partkey"), lit(mod)) === 0)
+    p.select(
+      concat(lit("http://t/"), col("p_partkey").cast(StringType)).as("url"),
+      col("p_name").as("movie_name"),
+      upper(col("p_name")).as("original_name"),
+      (lit(1900) + pmod(col("p_partkey"), lit(120))).cast(StringType).as("year"),
+      col("p_brand").as("certificate"),
+      pmod(col("p_size"), lit(10)).cast(StringType).as("rating"),
+      concat(lit("['"), col("p_type"), lit("', '"), col("p_brand"),
+        lit("']")).as("genres"),
+      (col("p_partkey") * 1000).cast(StringType).as("budget"),
+      (col("p_partkey") * 3000).cast(StringType).as("gross_worldwide"),
+      (lit(60) + pmod(col("p_partkey"), lit(120))).cast(StringType)
+        .as("min_duration"))
+  }
+
+  /** DuckDB twin of [[rawMovies]] (chr(39)=' and chr(34)=" dodge quote
+    * escaping through the JSON dump). */
+  private def sqlRawMovies(mod: Int): String =
+    s"""SELECT 'http://t/' || CAST(p_partkey AS VARCHAR) AS url,
+       |  p_name AS movie_name, upper(p_name) AS original_name,
+       |  CAST(1900 + p_partkey % 120 AS VARCHAR) AS year,
+       |  p_brand AS certificate,
+       |  CAST(p_size % 10 AS VARCHAR) AS rating,
+       |  concat('[', chr(39), p_type, chr(39), ', ', chr(39), p_brand,
+       |         chr(39), ']') AS genres,
+       |  CAST(p_partkey * 1000 AS VARCHAR) AS budget,
+       |  CAST(p_partkey * 3000 AS VARCHAR) AS gross_worldwide,
+       |  CAST(60 + p_partkey % 120 AS VARCHAR) AS min_duration
+       |FROM part WHERE p_partkey % $mod = 0""".stripMargin
+
+  // ---- derivation: raw actor tables from lineitem ⋈ part ---------------
+
+  private def rawActors(s: SparkSession, dir: String, mod: Int): DataFrame =
+    t(s, dir, "lineitem").where(col("l_linenumber") <= 2)
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .where(pmod(col("p_partkey"), lit(mod)) === 0)
+      .select(
+        col("p_name").as("movie_name"),
+        (lit(60) + pmod(col("p_partkey"), lit(120))).cast(IntegerType)
+          .as("movie_duration"),
+        concat(lit("Person "), col("l_suppkey").cast(StringType)).as("name"),
+        concat(lit("role "), col("l_linenumber").cast(StringType))
+          .as("raw_role"),
+        element_at(array(lit("actor"), lit("director"), lit("producer"),
+          lit("writer")), (pmod(col("l_suppkey"), lit(4)) + 1).cast("int"))
+          .as("role"))
+
+  private def sqlRawActors(mod: Int): String =
+    s"""SELECT p_name AS movie_name,
+       |  CAST(60 + p_partkey % 120 AS INTEGER) AS movie_duration,
+       |  'Person ' || CAST(l_suppkey AS VARCHAR) AS name,
+       |  'role ' || CAST(l_linenumber AS VARCHAR) AS raw_role,
+       |  (['actor','director','producer','writer'])[(l_suppkey % 4) + 1]
+       |    AS role
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_linenumber <= 2 AND p_partkey % $mod = 0""".stripMargin
+
+  // ---- shared oracle CTEs ----------------------------------------------
+
+  private val sqlMovieHub =
+    """SELECT DISTINCT
+      |  md5(movie_nm || CAST(movie_duration AS VARCHAR)) AS movie_id,
+      |  movie_nm, movie_duration
+      |FROM (SELECT DISTINCT movie_name AS movie_nm,
+      |             CAST(min_duration AS INTEGER) AS movie_duration
+      |      FROM (SELECT movie_name, min_duration FROM imdb
+      |            UNION ALL
+      |            SELECT movie_name, min_duration FROM meta))
+      |WHERE md5(movie_nm || CAST(movie_duration AS VARCHAR)) IS NOT NULL""".stripMargin
+
+  private val sqlGenreHub =
+    """SELECT md5(genre) AS genre_id, genre AS genre_nm
+      |FROM (SELECT DISTINCT
+      |        unnest(string_split(replace(replace(replace(genres, '[', ''),
+      |               ']', ''), chr(39), ''), ', ')) AS genre
+      |      FROM (SELECT genres FROM imdb
+      |            UNION ALL SELECT genres FROM meta))""".stripMargin
+
+  // ---- queries ----------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+
+    // core/movie_hub.sql — union-dedup conflation of two sources, md5
+    // business key with null propagation.
+    Q("q_vault_movie_hub",
+      s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)})
+         |SELECT movie_id, movie_nm, movie_duration FROM ($sqlMovieHub)
+         |ORDER BY movie_id""".stripMargin) { (s, dir) =>
+      CoreQueries.movieHub(rawMovies(s, dir, 2), rawMovies(s, dir, 3))
+        .orderBy("movie_id")
+    },
+
+    // core/genre_hub.sql — split-based genre parse (path 1) over UNION ALL.
+    Q("q_vault_genre_hub",
+      s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)})
+         |SELECT genre_id, genre_nm FROM ($sqlGenreHub)
+         |ORDER BY genre_id""".stripMargin) { (s, dir) =>
+      CoreQueries.genreHub(rawMovies(s, dir, 2), rawMovies(s, dir, 3))
+        .orderBy("genre_id")
+    },
+
+    // core/employee_hub.sql — md5(name) hub over preprocessed actor union.
+    Q("q_vault_employee_hub",
+      s"""WITH ai AS (${sqlRawActors(2)}), am AS (${sqlRawActors(3)})
+         |SELECT DISTINCT md5(name) AS emp_id, name AS emp_nm
+         |FROM (SELECT DISTINCT * FROM
+         |        (SELECT * FROM ai UNION ALL SELECT * FROM am))
+         |ORDER BY emp_id""".stripMargin) { (s, dir) =>
+      CoreQueries.employeeHub(rawActors(s, dir, 2), rawActors(s, dir, 3))
+        .orderBy("emp_id")
+    },
+
+    // core/movie_genre_link.sql — the JSON genre parse (path 2), composite-
+    // key hub join, genre equi join, md5 link key.
+    Q("q_vault_movie_genre_link",
+      s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)}),
+         |hub AS ($sqlMovieHub), ghub AS ($sqlGenreHub),
+         |src AS (SELECT DISTINCT * FROM (
+         |  SELECT movie_name AS movie_nm,
+         |         CAST(min_duration AS INTEGER) AS duration,
+         |         unnest(CAST(CAST(replace(genres, chr(39), chr(34)) AS JSON)
+         |                AS VARCHAR[])) AS genres
+         |  FROM imdb
+         |  UNION ALL
+         |  SELECT movie_name, CAST(min_duration AS INTEGER),
+         |         unnest(CAST(CAST(replace(genres, chr(39), chr(34)) AS JSON)
+         |                AS VARCHAR[]))
+         |  FROM meta))
+         |SELECT DISTINCT md5(h.movie_id || g.genre_id) AS mv_gen_link_id,
+         |       h.movie_id, g.genre_id
+         |FROM src s
+         |JOIN hub h ON s.movie_nm = h.movie_nm
+         |          AND s.duration = h.movie_duration
+         |JOIN ghub g ON g.genre_nm = s.genres
+         |ORDER BY mv_gen_link_id""".stripMargin) { (s, dir) =>
+      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
+      CoreQueries.movieGenreLink(i, m,
+          CoreQueries.movieHub(i, m), CoreQueries.genreHub(i, m))
+        .orderBy("mv_gen_link_id")
+    },
+
+    // core/movie_info_sat.sql — join on the recomputed md5 expression
+    // (C21), satellite key md5(movie_id||url). Same movie from both
+    // sources shares title_item_id → scr_nm completes the sort key.
+    Q("q_vault_movie_info_sat",
+      s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)}),
+         |hub AS ($sqlMovieHub),
+         |films AS (SELECT DISTINCT * FROM (
+         |  SELECT movie_name, CAST(min_duration AS INTEGER) AS duration,
+         |         original_name, year, certificate, rating, budget,
+         |         gross_worldwide, 'IMDB' AS scr_nm, url
+         |  FROM imdb
+         |  UNION ALL
+         |  SELECT movie_name, CAST(min_duration AS INTEGER), original_name,
+         |         year, certificate, rating, budget, gross_worldwide,
+         |         'METACRITIC', url
+         |  FROM meta))
+         |SELECT DISTINCT md5(h.movie_id || f.url) AS title_item_id,
+         |       h.movie_id, f.original_name, f.year, f.certificate,
+         |       f.rating, f.budget, f.gross_worldwide, f.scr_nm, f.url
+         |FROM films f
+         |JOIN hub h
+         |  ON md5(f.movie_name || CAST(f.duration AS VARCHAR)) = h.movie_id
+         |ORDER BY title_item_id, scr_nm""".stripMargin) { (s, dir) =>
+      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
+      CoreQueries.movieInfoSat(i, m, CoreQueries.movieHub(i, m))
+        .orderBy("title_item_id", "scr_nm")
+    },
+
+    // core/movie_emp_link.sql — actor rows keyed to both hubs with the
+    // null-propagating computed movie key.
+    Q("q_vault_movie_emp_link",
+      s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)}),
+         |ai AS (${sqlRawActors(2)}), am AS (${sqlRawActors(3)}),
+         |hub AS ($sqlMovieHub),
+         |ehub AS (SELECT DISTINCT md5(name) AS emp_id FROM
+         |           (SELECT name FROM ai UNION ALL SELECT name FROM am)),
+         |t2 AS (SELECT md5(movie_nm || CAST(duration AS VARCHAR)) AS movie_id,
+         |              md5(name) AS emp_id
+         |       FROM (SELECT DISTINCT movie_name AS movie_nm,
+         |                    movie_duration AS duration, name
+         |             FROM (SELECT movie_name, movie_duration, name FROM ai
+         |                   UNION ALL
+         |                   SELECT movie_name, movie_duration, name FROM am))
+         |       WHERE md5(movie_nm || CAST(duration AS VARCHAR)) IS NOT NULL)
+         |SELECT DISTINCT md5(h.movie_id || t2.emp_id) AS movie_emp_link_id,
+         |       h.movie_id, t2.emp_id
+         |FROM t2
+         |JOIN ehub e ON t2.emp_id = e.emp_id
+         |JOIN hub h ON h.movie_id = t2.movie_id
+         |ORDER BY movie_emp_link_id""".stripMargin) { (s, dir) =>
+      val (ai, am) = (rawActors(s, dir, 2), rawActors(s, dir, 3))
+      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
+      CoreQueries.movieEmpLink(ai, am,
+          CoreQueries.employeeHub(ai, am), CoreQueries.movieHub(i, m))
+        .orderBy("movie_emp_link_id")
+    },
+
+    // mart/genre_metrics.sql — per-movie avg of string-cast metrics, 3-way
+    // join to genres, per-genre best movies. The reference's correlated
+    // ORDER BY ... DESC LIMIT 1 is nondeterministic under ties (and max_by
+    // inherits that), so this gate fixes the tiebreak to (metric DESC,
+    // movie_id) in BOTH engines — same rewrite MartQueries.genreMetrics
+    // uses, made total.
+    Q("q_vault_genre_metrics",
+      s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)}),
+         |hub AS ($sqlMovieHub), ghub AS ($sqlGenreHub),
+         |films AS (SELECT DISTINCT * FROM (
+         |  SELECT movie_name, CAST(min_duration AS INTEGER) AS duration,
+         |         rating, budget, gross_worldwide, url FROM imdb
+         |  UNION ALL
+         |  SELECT movie_name, CAST(min_duration AS INTEGER), rating, budget,
+         |         gross_worldwide, url FROM meta)),
+         |sat AS (SELECT DISTINCT md5(h.movie_id || f.url) AS title_item_id,
+         |               h.movie_id, f.rating, f.budget, f.gross_worldwide
+         |        FROM films f
+         |        JOIN hub h ON md5(f.movie_name || CAST(f.duration AS VARCHAR))
+         |                      = h.movie_id),
+         |per_movie AS (SELECT movie_id,
+         |                     avg(CAST(rating AS DOUBLE)) AS rating,
+         |                     avg(CAST(budget AS BIGINT)) AS budget,
+         |                     avg(CAST(gross_worldwide AS BIGINT)) AS gross
+         |              FROM sat GROUP BY movie_id),
+         |lnk AS (SELECT DISTINCT h.movie_id, g.genre_id
+         |        FROM (SELECT DISTINCT * FROM (
+         |                SELECT movie_name AS movie_nm,
+         |                       CAST(min_duration AS INTEGER) AS duration,
+         |                       unnest(CAST(CAST(replace(genres, chr(39),
+         |                         chr(34)) AS JSON) AS VARCHAR[])) AS genres
+         |                FROM imdb
+         |                UNION ALL
+         |                SELECT movie_name, CAST(min_duration AS INTEGER),
+         |                       unnest(CAST(CAST(replace(genres, chr(39),
+         |                         chr(34)) AS JSON) AS VARCHAR[]))
+         |                FROM meta)) s
+         |        JOIN hub h ON s.movie_nm = h.movie_nm
+         |                  AND s.duration = h.movie_duration
+         |        JOIN ghub g ON g.genre_nm = s.genres),
+         |t3 AS (SELECT p.*, h.movie_nm, h.movie_duration,
+         |              g.genre_id, g.genre_nm,
+         |              concat(h.movie_nm, ', ',
+         |                CAST(h.movie_duration AS VARCHAR), ' min') AS label
+         |       FROM per_movie p
+         |       JOIN hub h USING (movie_id)
+         |       JOIN lnk USING (movie_id)
+         |       JOIN ghub g USING (genre_id)),
+         |ranked AS (SELECT *,
+         |  row_number() OVER (PARTITION BY genre_id
+         |                     ORDER BY budget DESC, movie_id) AS rb,
+         |  row_number() OVER (PARTITION BY genre_id
+         |                     ORDER BY gross DESC, movie_id) AS rg,
+         |  row_number() OVER (PARTITION BY genre_id
+         |                     ORDER BY rating DESC, movie_id) AS rr
+         |  FROM t3)
+         |SELECT g.genre_id, g.genre_nm AS genre,
+         |       max(CASE WHEN rb = 1 THEN label END) AS max_budget_movie,
+         |       max(CASE WHEN rg = 1 THEN label END) AS max_gross_movie,
+         |       max(CASE WHEN rr = 1 THEN label END) AS best_rated_movie,
+         |       round(avg(rating), 4) AS average_rating,
+         |       count(movie_id) AS genre_movie_quant
+         |FROM ranked g
+         |GROUP BY g.genre_id, g.genre_nm
+         |ORDER BY genre_movie_quant DESC, genre_id""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
+        val hub = CoreQueries.movieHub(i, m)
+        val ghub = CoreQueries.genreHub(i, m)
+        val sat = CoreQueries.movieInfoSat(i, m, hub)
+        val lnk = CoreQueries.movieGenreLink(i, m, hub, ghub)
+        val perMovie = sat.groupBy("movie_id").agg(
+          avg(col("rating").cast(DoubleType)).as("rating"),
+          avg(col("budget").cast(LongType)).as("budget"),
+          avg(col("gross_worldwide").cast(LongType)).as("gross"))
+        val t3 = perMovie
+          .join(broadcast(hub), Seq("movie_id"))
+          .join(lnk.select("movie_id", "genre_id"), Seq("movie_id"))
+          .join(broadcast(ghub), Seq("genre_id"))
+          .withColumn("label", pgConcat(col("movie_nm"), lit(", "),
+            col("movie_duration"), lit(" min")))
+        def top(metric: String) = row_number().over(
+          Window.partitionBy("genre_id").orderBy(desc(metric), asc("movie_id")))
+        t3.withColumn("rb", top("budget"))
+          .withColumn("rg", top("gross"))
+          .withColumn("rr", top("rating"))
+          .groupBy(col("genre_id"), col("genre_nm").as("genre"))
+          .agg(
+            max(when(col("rb") === 1, col("label"))).as("max_budget_movie"),
+            max(when(col("rg") === 1, col("label"))).as("max_gross_movie"),
+            max(when(col("rr") === 1, col("label"))).as("best_rated_movie"),
+            round(avg(col("rating")), 4).as("average_rating"),
+            count(col("movie_id")).as("genre_movie_quant"))
+          .orderBy(desc("genre_movie_quant"), asc("genre_id"))
+    },
+  )
+}
