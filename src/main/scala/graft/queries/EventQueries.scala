@@ -30,6 +30,82 @@ object EventQueries {
           .orderBy("hour_start", "event_type")
     },
 
+    // As-of (point-in-time) join: each click matched to the user's most
+    // recent purchase at-or-before it. The operator is the union+window
+    // algorithm (one shuffle, no range explosion — operators.AsOfJoin);
+    // the oracle is DuckDB's native ASOF LEFT JOIN.
+    Q("q_asof_join",
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, p.ts AS purchase_ts, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val e = t(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("purchase_value"))
+        .withColumn("purchase_ts", col("ts"))
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts",
+          Seq("purchase_ts", "purchase_value"))
+        .select("event_id", "user_id", "purchase_ts", "purchase_value")
+        .orderBy("event_id")
+    },
+
+    // Window-function breadth: lag/lead offsets, a moving-average frame
+    // (ROWS BETWEEN), and ntile quartiles over a per-user event ordering.
+    Q("q_window_analytics",
+      """SELECT event_id, user_id,
+        |       lag(value) OVER w AS prev_value,
+        |       lead(value) OVER w AS next_value,
+        |       round(avg(value) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+        |       ntile(4) OVER w AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          lag("value", 1).over(w).as("prev_value"),
+          lead("value", 1).over(w).as("next_value"),
+          round(avg("value").over(w.rowsBetween(-2, 0)), 4).as("moving_avg"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("event_id")
+    },
+
+    // Statistical aggregates: sample stddev, correlation, covariance,
+    // exact interpolated median — rounded so the two engines' summation
+    // orders agree.
+    Q("q_agg_stats",
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(stddev_samp("l_quantity"), 4).as("sd_qty"),
+            round(corr("l_quantity", "l_extendedprice"), 4)
+              .as("corr_qty_price"),
+            round(covar_samp("l_quantity", "l_extendedprice"), 4)
+              .as("cov_qty_price"),
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
+          .orderBy("l_returnflag")
+    },
+
     // Multimodal metadata plumbing: opaque payload treated as bytes with
     // typed metadata derived scan-side (octet length, content checksum).
     // The decode stub itself (mapPartitions over binary) lives in
