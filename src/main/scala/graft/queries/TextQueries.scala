@@ -188,5 +188,33 @@ object TextQueries {
           maxHamming = 16)
         .orderBy("id1", "id2")
     },
+
+    // Rabin-Karp rolling-hash fingerprint (custom codegen'd expression,
+    // 2^61-1 modulus) — the content-defined-chunking primitive. Algorithm
+    // not reproducible in DuckDB SQL → rows-only; polynomial structure is
+    // proven in RollingHashSpec.
+    Q.rowsOnly("q_text_rolling_hash") { (s, dir) =>
+      graft.expressions.RollingHash64.register(s)
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "rolling_hash64(text) AS fingerprint")
+        .orderBy("doc_id")
+    },
+
+    // PIVOT / conditional aggregation: per-source event-type counts as
+    // columns (oracled via FILTER aggregates — identical semantics).
+    Q("q_pivot",
+      """SELECT user_id % 10 AS user_bucket,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+        |FROM events GROUP BY user_bucket ORDER BY user_bucket""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy((col("user_id") % 10).as("user_bucket"))
+          .pivot("event_type", Seq("click", "view", "purchase"))
+          .count()
+          .na.fill(0L, Seq("click", "view", "purchase"))
+          .orderBy("user_bucket")
+    },
   )
 }
