@@ -477,5 +477,69 @@ object RelationalQueries {
         .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
         .orderBy("l_returnflag")
     },
+
+    // INTERSECT / EXCEPT set operations (absent from the reference;
+    // completes the set-op family): nations that have customers but no
+    // suppliers, and nations with both.
+    Q("q_set_except",
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+          .except(t(s, dir, "supplier").select(col("s_nationkey")))
+          .orderBy("nk")
+    },
+    Q("q_set_intersect",
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+          .intersect(t(s, dir, "supplier").select(col("s_nationkey")))
+          .orderBy("nk")
+    },
+
+    // UNPIVOT (wide → long): the inverse of q_pivot, oracled via the
+    // union-all expansion (identical semantics; DuckDB's UNPIVOT reorders
+    // output, the explicit form doesn't).
+    Q("q_unpivot",
+      """SELECT c_custkey, metric, val FROM (
+        |  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+        |  FROM customer)
+        |ORDER BY c_custkey, metric""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").cast(DoubleType))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_acctbal").as("acctbal"),
+            col("c_nationkey").as("nationkey")),
+          "metric", "val")
+        .orderBy("c_custkey", "metric")
+    },
+
+    // Calendar functions: extract-year/month/day, day arithmetic, and day
+    // difference (both engines' ANSI extract + date_diff semantics).
+    Q("q_expr_datetime",
+      """SELECT o_orderkey,
+        |       CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+        |       CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+        |       CAST(extract(day FROM o_orderdate) AS INTEGER) AS dy,
+        |       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        |       date_diff('day', CAST(o_orderdate AS DATE),
+        |                 DATE '2002-01-01') AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dy"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast(DateType)
+            .as("due_date"),
+          datediff(lit("2002-01-01").cast(DateType),
+            col("o_orderdate").cast(DateType)).cast(LongType)
+            .as("days_to_2002"))
+        .orderBy("o_orderkey")
+    },
   )
 }

@@ -200,6 +200,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Edit-distance near-dup scoring on a bounded pair set: classic DP
+    // levenshtein — identical algorithm in both engines, exact match.
+    Q("q_text_editdist",
+      """WITH d AS (SELECT doc_id, substr(text, 1, 60) AS frag
+        |           FROM documents WHERE doc_id < 40)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       levenshtein(a.frag, b.frag) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("frag"))
+      val a = d.select(col("doc_id").as("id1"), col("frag").as("f1"))
+      val b = d.select(col("doc_id").as("id2"), col("frag").as("f2"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("f1"), col("f2")).as("dist"))
+        .orderBy("id1", "id2")
+    },
+
     // PIVOT / conditional aggregation: per-source event-type counts as
     // columns (oracled via FILTER aggregates — identical semantics).
     Q("q_pivot",
