@@ -479,15 +479,22 @@ object RelationalQueries {
     },
 
     // INTERSECT / EXCEPT set operations (absent from the reference;
-    // completes the set-op family): nations that have customers but no
-    // suppliers, and nations with both.
+    // completes the set-op family). EXCEPT compares customers with urgent
+    // orders against those with low-priority orders — a difference that is
+    // non-empty at every sf (17/188/1759 rows), so the gate discriminates;
+    // the natural key differences (customer∖orders etc.) are all vacuously
+    // empty in this synthetic data.
     Q("q_set_except",
-      """SELECT c_nationkey AS nk FROM customer
-        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) {
-      (s, dir) =>
-        t(s, dir, "customer").select(col("c_nationkey").as("nk"))
-          .except(t(s, dir, "supplier").select(col("s_nationkey")))
-          .orderBy("nk")
+      """SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY ck""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("ck"))
+        .except(o.where(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey")))
+        .orderBy("ck")
     },
     Q("q_set_intersect",
       """SELECT c_nationkey AS nk FROM customer
