@@ -194,29 +194,38 @@ object RelationalQueries {
     },
 
     // C24 — left join + IS NULL change detection (ddl.py:538 pattern):
-    // customers that placed no orders.
+    // customers with no urgent order. (Every customer has SOME order in
+    // this synthetic data — the unfiltered form is vacuously empty and
+    // couldn't catch a broken left join; 203 rows at sf0.01.)
     Q("q_join_left_isnull",
       """SELECT c_custkey, c_name
-        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |WHERE o_orderkey IS NULL ORDER BY c_custkey""".stripMargin) {
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |  ON c_custkey = o.o_custkey
+        |WHERE o.o_orderkey IS NULL ORDER BY c_custkey""".stripMargin) {
       (s, dir) =>
         t(s, dir, "customer")
-          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
-            "left")
+          .join(t(s, dir, "orders")
+              .where(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left")
           .where(col("o_orderkey").isNull)
           .select("c_custkey", "c_name")
           .orderBy("c_custkey")
     },
 
     // C25 — anti join (ddl.py:552 NOT IN pattern; pk non-null so left_anti
-    // matches): parts that never shipped.
+    // matches): parts with no 2001 shipment (every part has SOME shipment
+    // — the unfiltered form is vacuous; 49 rows at sf0.01).
     Q("q_join_anti",
       """SELECT p_partkey, p_name FROM part
-        |WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem)
+        |WHERE p_partkey NOT IN
+        |  (SELECT DISTINCT l_partkey FROM lineitem
+        |   WHERE l_shipdate >= TIMESTAMP '2001-01-01')
         |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
       t(s, dir, "part")
-        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"),
-          "left_anti")
+        .join(t(s, dir, "lineitem")
+            .where(col("l_shipdate") >= lit("2001-01-01").cast(TimestampType)),
+          col("p_partkey") === col("l_partkey"), "left_anti")
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")
     },
