@@ -24,15 +24,20 @@ object VaultQueries {
 
   // ---- derivation: raw movie tables from `part` ------------------------
 
-  private def rawMovies(s: SparkSession, dir: String, mod: Int): DataFrame = {
-    val p = t(s, dir, "part").where(pmod(col("p_partkey"), lit(mod)) === 0)
+  /** @param shift      rating offset — a "second load" with changed ratings
+    * @param dropMod    exclude p_partkey multiples (a movie that vanished) */
+  private def rawMovies(s: SparkSession, dir: String, mod: Int,
+                        shift: Int = 0, dropMod: Int = 0): DataFrame = {
+    val base = t(s, dir, "part").where(pmod(col("p_partkey"), lit(mod)) === 0)
+    val p = if (dropMod == 0) base
+            else base.where(pmod(col("p_partkey"), lit(dropMod)) =!= 0)
     p.select(
       concat(lit("http://t/"), col("p_partkey").cast(StringType)).as("url"),
       col("p_name").as("movie_name"),
       upper(col("p_name")).as("original_name"),
       (lit(1900) + pmod(col("p_partkey"), lit(120))).cast(StringType).as("year"),
       col("p_brand").as("certificate"),
-      pmod(col("p_size"), lit(10)).cast(StringType).as("rating"),
+      pmod(col("p_size") + shift, lit(10)).cast(StringType).as("rating"),
       concat(lit("['"), col("p_type"), lit("', '"), col("p_brand"),
         lit("']")).as("genres"),
       (col("p_partkey") * 1000).cast(StringType).as("budget"),
@@ -43,18 +48,20 @@ object VaultQueries {
 
   /** DuckDB twin of [[rawMovies]] (chr(39)=' and chr(34)=" dodge quote
     * escaping through the JSON dump). */
-  private def sqlRawMovies(mod: Int): String =
+  private def sqlRawMovies(mod: Int, shift: Int = 0, dropMod: Int = 0): String = {
+    val drop = if (dropMod == 0) "" else s" AND p_partkey % $dropMod != 0"
     s"""SELECT 'http://t/' || CAST(p_partkey AS VARCHAR) AS url,
        |  p_name AS movie_name, upper(p_name) AS original_name,
        |  CAST(1900 + p_partkey % 120 AS VARCHAR) AS year,
        |  p_brand AS certificate,
-       |  CAST(p_size % 10 AS VARCHAR) AS rating,
+       |  CAST((p_size + $shift) % 10 AS VARCHAR) AS rating,
        |  concat('[', chr(39), p_type, chr(39), ', ', chr(39), p_brand,
        |         chr(39), ']') AS genres,
        |  CAST(p_partkey * 1000 AS VARCHAR) AS budget,
        |  CAST(p_partkey * 3000 AS VARCHAR) AS gross_worldwide,
        |  CAST(60 + p_partkey % 120 AS VARCHAR) AS min_duration
-       |FROM part WHERE p_partkey % $mod = 0""".stripMargin
+       |FROM part WHERE p_partkey % $mod = 0$drop""".stripMargin
+  }
 
   // ---- derivation: raw actor tables from lineitem ⋈ part ---------------
 
@@ -103,6 +110,43 @@ object VaultQueries {
       |               ']', ''), chr(39), ''), ', ')) AS genre
       |      FROM (SELECT genres FROM imdb
       |            UNION ALL SELECT genres FROM meta))""".stripMargin
+
+  private val sqlEmpHub =
+    """SELECT DISTINCT md5(name) AS emp_id, name AS emp_nm
+      |FROM (SELECT DISTINCT * FROM
+      |        (SELECT * FROM ai UNION ALL SELECT * FROM am))""".stripMargin
+
+  /** movie_emp_link rows (expects ai/am/hub CTEs in scope). */
+  private val sqlMovieEmpLink =
+    """SELECT DISTINCT md5(h.movie_id || t2.emp_id) AS movie_emp_link_id,
+      |       h.movie_id, t2.emp_id
+      |FROM (SELECT md5(movie_nm || CAST(duration AS VARCHAR)) AS movie_id,
+      |             md5(name) AS emp_id
+      |      FROM (SELECT DISTINCT movie_name AS movie_nm,
+      |                   movie_duration AS duration, name
+      |            FROM (SELECT movie_name, movie_duration, name FROM ai
+      |                  UNION ALL
+      |                  SELECT movie_name, movie_duration, name FROM am))
+      |      WHERE md5(movie_nm || CAST(duration AS VARCHAR)) IS NOT NULL) t2
+      |JOIN (SELECT DISTINCT md5(name) AS emp_id FROM
+      |        (SELECT name FROM ai UNION ALL SELECT name FROM am)) e
+      |  ON t2.emp_id = e.emp_id
+      |JOIN hub h ON h.movie_id = t2.movie_id""".stripMargin
+
+  /** emp_movie_l_sat rows (expects ai/am/mel CTEs in scope). */
+  private val sqlEmpMovieLSat =
+    """SELECT DISTINCT
+      |  md5(m.movie_emp_link_id || t3.raw_role || t3.role)
+      |    AS movie_emp_role_id,
+      |  m.movie_emp_link_id, t3.raw_role AS description, t3.role
+      |FROM (SELECT DISTINCT
+      |        md5(movie_id || emp_id) AS emp_movie_link_id, raw_role, role
+      |      FROM (SELECT md5(movie_name || CAST(movie_duration AS VARCHAR))
+      |                     AS movie_id,
+      |                   md5(name) AS emp_id, raw_role, role
+      |            FROM (SELECT DISTINCT * FROM
+      |                    (SELECT * FROM ai UNION ALL SELECT * FROM am)))) t3
+      |JOIN mel m ON t3.emp_movie_link_id = m.movie_emp_link_id""".stripMargin
 
   // ---- queries ----------------------------------------------------------
 
@@ -222,6 +266,167 @@ object VaultQueries {
       CoreQueries.movieEmpLink(ai, am,
           CoreQueries.employeeHub(ai, am), CoreQueries.movieHub(i, m))
         .orderBy("movie_emp_link_id")
+    },
+
+    // core/emp_movie_l_sat.sql — role satellite keyed off the just-built
+    // movie_emp_link (the reference's intra-load dependency, J64).
+    Q("q_vault_emp_movie_l_sat",
+      s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)}),
+         |ai AS (${sqlRawActors(2)}), am AS (${sqlRawActors(3)}),
+         |hub AS ($sqlMovieHub), mel AS ($sqlMovieEmpLink)
+         |SELECT movie_emp_role_id, movie_emp_link_id, description, role
+         |FROM ($sqlEmpMovieLSat)
+         |ORDER BY movie_emp_role_id""".stripMargin) { (s, dir) =>
+      val (ai, am) = (rawActors(s, dir, 2), rawActors(s, dir, 3))
+      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
+      val mel = CoreQueries.movieEmpLink(ai, am,
+        CoreQueries.employeeHub(ai, am), CoreQueries.movieHub(i, m))
+      CoreQueries.empMovieLSat(ai, am, mel)
+        .orderBy("movie_emp_role_id")
+    },
+
+    // mart/movie_data.sql — hub ⋈ latest-snapshot satellite, null→''
+    // coalescing (SCD2 stamp at a fixed load ts; the latest-snapshot
+    // filter then keeps all current rows).
+    Q("q_vault_movie_data",
+      s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)}),
+         |hub AS ($sqlMovieHub),
+         |films AS (SELECT DISTINCT * FROM (
+         |  SELECT movie_name, CAST(min_duration AS INTEGER) AS duration,
+         |         original_name, year, certificate, rating, budget,
+         |         gross_worldwide, 'IMDB' AS scr_nm, url FROM imdb
+         |  UNION ALL
+         |  SELECT movie_name, CAST(min_duration AS INTEGER), original_name,
+         |         year, certificate, rating, budget, gross_worldwide,
+         |         'METACRITIC', url FROM meta)),
+         |sat AS (SELECT DISTINCT md5(h.movie_id || f.url) AS title_item_id,
+         |               h.movie_id, f.original_name, f.year, f.rating,
+         |               f.budget, f.gross_worldwide, f.scr_nm, f.url
+         |        FROM films f
+         |        JOIN hub h
+         |          ON md5(f.movie_name || CAST(f.duration AS VARCHAR))
+         |             = h.movie_id)
+         |SELECT s.title_item_id, h.movie_nm AS movie_name, h.movie_duration,
+         |       coalesce(s.original_name, '') AS original_name,
+         |       coalesce(s.year, '') AS year, s.rating,
+         |       coalesce(s.budget, '') AS budget,
+         |       coalesce(s.gross_worldwide, '') AS worldwide_gross,
+         |       s.scr_nm AS rating_source, s.url
+         |FROM hub h JOIN sat s USING (movie_id)
+         |ORDER BY title_item_id, rating_source""".stripMargin) { (s, dir) =>
+      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
+      val hub = CoreQueries.movieHub(i, m)
+      val sat = graft.engine.Scd2.stamp(
+        CoreQueries.movieInfoSat(i, m, hub), "2024-01-01 00:00:00")
+      graft.engine.MartQueries.movieData(hub, sat)
+        .orderBy("title_item_id", "rating_source")
+    },
+
+    // mart/employee_data.sql — person roles over current link + satellite
+    // versions, description cleansed.
+    Q("q_vault_employee_data",
+      s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)}),
+         |ai AS (${sqlRawActors(2)}), am AS (${sqlRawActors(3)}),
+         |hub AS ($sqlMovieHub), ehub AS ($sqlEmpHub),
+         |mel AS ($sqlMovieEmpLink), esat AS ($sqlEmpMovieLSat)
+         |SELECT DISTINCT esat.movie_emp_role_id, e.emp_nm AS name,
+         |       esat.role,
+         |       CASE WHEN esat.description = 'NaN' THEN ''
+         |            ELSE replace(replace(esat.description, '(', ''),
+         |                         ')', '') END AS role_description
+         |FROM ehub e
+         |JOIN mel ON e.emp_id = mel.emp_id
+         |JOIN esat ON mel.movie_emp_link_id = esat.movie_emp_link_id
+         |ORDER BY movie_emp_role_id""".stripMargin) { (s, dir) =>
+      val (ai, am) = (rawActors(s, dir, 2), rawActors(s, dir, 3))
+      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
+      val ehub = CoreQueries.employeeHub(ai, am)
+      val mel = CoreQueries.movieEmpLink(ai, am, ehub,
+        CoreQueries.movieHub(i, m))
+      val esat = CoreQueries.empMovieLSat(ai, am, mel)
+      val T1 = "2024-01-01 00:00:00"
+      graft.engine.MartQueries.employeeData(ehub,
+          graft.engine.Scd2.stamp(mel, T1),
+          graft.engine.Scd2.stamp(esat, T1))
+        .orderBy("movie_emp_role_id")
+    },
+
+    // mart/movie_employee_link.sql — denormalized movie↔person bridge.
+    Q("q_vault_movie_employee_link",
+      s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)}),
+         |ai AS (${sqlRawActors(2)}), am AS (${sqlRawActors(3)}),
+         |hub AS ($sqlMovieHub), ehub AS ($sqlEmpHub),
+         |mel AS ($sqlMovieEmpLink)
+         |SELECT DISTINCT mel.movie_emp_link_id, h.movie_nm,
+         |       h.movie_duration, e.emp_nm
+         |FROM hub h
+         |JOIN mel ON h.movie_id = mel.movie_id
+         |JOIN ehub e ON mel.emp_id = e.emp_id
+         |ORDER BY movie_emp_link_id""".stripMargin) { (s, dir) =>
+      val (ai, am) = (rawActors(s, dir, 2), rawActors(s, dir, 3))
+      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
+      val ehub = CoreQueries.employeeHub(ai, am)
+      val hub = CoreQueries.movieHub(i, m)
+      val mel = CoreQueries.movieEmpLink(ai, am, ehub, hub)
+      graft.engine.MartQueries.movieEmployeeLink(hub, mel, ehub)
+        .orderBy("movie_emp_link_id")
+    },
+
+    // mart/rating_slide.sql — the two-snapshot leaderboard: SCD2-stamped
+    // satellite across two loads (load 2 shifts ratings and drops some
+    // movies), leaderboard of the latest load full-outer-joined against
+    // the leaderboard of the two latest loads. Exercises the distributed
+    // GlobalRank (E35) + full-outer resurrection (C23) end-to-end; rank
+    // ties broken by movie_id in both engines.
+    Q("q_vault_rating_slide", {
+      val T1 = "2024-01-01 00:00:00"
+      val T2 = "2024-02-01 00:00:00"
+      def sqlSat(src: String, vf: String) =
+        s"""SELECT DISTINCT md5(h.movie_id || f.url) AS title_item_id,
+           |       h.movie_id, f.rating, TIMESTAMP '$vf' AS valid_from
+           |FROM (SELECT DISTINCT movie_name,
+           |             CAST(min_duration AS INTEGER) AS duration, rating,
+           |             url FROM $src) f
+           |JOIN hub h ON md5(f.movie_name || CAST(f.duration AS VARCHAR))
+           |              = h.movie_id""".stripMargin
+      s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)}),
+         |imdb2 AS (${sqlRawMovies(2, 3, 30)}),
+         |meta2 AS (${sqlRawMovies(3, 3, 30)}),
+         |hub AS ($sqlMovieHub),
+         |sat AS (${sqlSat("(SELECT * FROM imdb UNION ALL SELECT * FROM meta)", T1)}
+         |        UNION ALL
+         |        ${sqlSat("(SELECT * FROM imdb2 UNION ALL SELECT * FROM meta2)", T2)}),
+         |lb1 AS (SELECT h.movie_nm, s.movie_id, h.movie_duration,
+         |               avg(CAST(s.rating AS DOUBLE)) AS rating
+         |        FROM sat s JOIN hub h USING (movie_id)
+         |        WHERE s.valid_from = TIMESTAMP '$T2'
+         |        GROUP BY h.movie_nm, s.movie_id, h.movie_duration),
+         |r1 AS (SELECT *, row_number() OVER (ORDER BY rating DESC,
+         |         movie_duration DESC, movie_id) AS latest_place FROM lb1),
+         |lb2 AS (SELECT h.movie_nm, s.movie_id, h.movie_duration,
+         |               avg(CAST(s.rating AS DOUBLE)) AS rating
+         |        FROM sat s JOIN hub h USING (movie_id)
+         |        GROUP BY h.movie_nm, s.movie_id, h.movie_duration),
+         |r2 AS (SELECT *, row_number() OVER (ORDER BY rating DESC,
+         |         movie_duration DESC, movie_id) AS pre_latest_place FROM lb2)
+         |SELECT coalesce(r1.movie_id, r2.movie_id) AS movie_id,
+         |       r1.movie_nm AS movie_name,
+         |       r1.movie_duration AS duration,
+         |       r1.rating AS current_rating,
+         |       r1.latest_place AS current_place
+         |FROM r1 FULL JOIN r2 ON r1.movie_id = r2.movie_id
+         |ORDER BY current_place NULLS LAST, movie_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.engine.{CoreQueries => CQ, MartQueries, Scd2}
+      val (i1, m1) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
+      val (i2, m2) = (rawMovies(s, dir, 2, shift = 3, dropMod = 30),
+        rawMovies(s, dir, 3, shift = 3, dropMod = 30))
+      val hub = CQ.movieHub(i1, m1)
+      val sat = Scd2.stamp(CQ.movieInfoSat(i1, m1, hub), "2024-01-01 00:00:00")
+        .unionByName(Scd2.stamp(CQ.movieInfoSat(i2, m2, hub),
+          "2024-02-01 00:00:00"))
+      MartQueries.ratingSlide(hub, sat)
+        .orderBy(asc_nulls_last("current_place"), asc("movie_id"))
     },
 
     // mart/genre_metrics.sql — per-movie avg of string-cast metrics, 3-way
