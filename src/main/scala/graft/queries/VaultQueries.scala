@@ -65,7 +65,20 @@ object VaultQueries {
 
   // ---- derivation: raw actor tables from lineitem ⋈ part ---------------
 
+  /** Memoized+persisted per (session, dir, mod): the actor derivation joins
+    * lineitem, and four vault queries re-derive the same frame — the same
+    * reason the reference materializes temp staging tables (A11). */
+  private val actorCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int),
+      DataFrame]
+
   private def rawActors(s: SparkSession, dir: String, mod: Int): DataFrame =
+    actorCache.getOrElseUpdate((s, dir, mod),
+      rawActorsUncached(s, dir, mod)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def rawActorsUncached(s: SparkSession, dir: String,
+                                mod: Int): DataFrame =
     t(s, dir, "lineitem").where(col("l_linenumber") <= 2)
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .where(pmod(col("p_partkey"), lit(mod)) === 0)
@@ -280,7 +293,8 @@ object VaultQueries {
       val (ai, am) = (rawActors(s, dir, 2), rawActors(s, dir, 3))
       val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
       val mel = CoreQueries.movieEmpLink(ai, am,
-        CoreQueries.employeeHub(ai, am), CoreQueries.movieHub(i, m))
+          CoreQueries.employeeHub(ai, am), CoreQueries.movieHub(i, m))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       CoreQueries.empMovieLSat(ai, am, mel)
         .orderBy("movie_emp_role_id")
     },
@@ -342,7 +356,8 @@ object VaultQueries {
       val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
       val ehub = CoreQueries.employeeHub(ai, am)
       val mel = CoreQueries.movieEmpLink(ai, am, ehub,
-        CoreQueries.movieHub(i, m))
+          CoreQueries.movieHub(i, m))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val esat = CoreQueries.empMovieLSat(ai, am, mel)
       val T1 = "2024-01-01 00:00:00"
       graft.engine.MartQueries.employeeData(ehub,
@@ -422,9 +437,13 @@ object VaultQueries {
       val (i2, m2) = (rawMovies(s, dir, 2, shift = 3, dropMod = 30),
         rawMovies(s, dir, 3, shift = 3, dropMod = 30))
       val hub = CQ.movieHub(i1, m1)
+      // the leaderboards consume the satellite four ways (loads scan, two
+      // semi joins, two aggregations) — materialize once, like the
+      // reference's temp_ staging table
       val sat = Scd2.stamp(CQ.movieInfoSat(i1, m1, hub), "2024-01-01 00:00:00")
         .unionByName(Scd2.stamp(CQ.movieInfoSat(i2, m2, hub),
           "2024-02-01 00:00:00"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       MartQueries.ratingSlide(hub, sat)
         .orderBy(asc_nulls_last("current_place"), asc("movie_id"))
     },
