@@ -200,6 +200,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TF-IDF: term frequency × inverse document frequency, top term per
+    // document. One explode (scan-local), one (term) aggregation for
+    // document frequencies, broadcast back — the canonical text-weighting
+    // pipeline, fully oracled (scores rounded before the top-1 pick; term
+    // string breaks ties).
+    Q("q_text_tfidf",
+      """WITH tok AS (SELECT doc_id,
+        |               unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |                 AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |       GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |                  round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0),
+        |                        4) AS tfidf
+        |           FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY tfidf DESC, term) AS rn FROM scored)
+        |SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"))
+      val n = docs.count() // corpus size: one scalar, computed once
+      val scored = tf.join(broadcast(df), Seq("term"))
+        .withColumn("tfidf",
+          round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+        .orderBy("doc_id")
+    },
+
     // Edit-distance near-dup scoring on a bounded pair set: classic DP
     // levenshtein — identical algorithm in both engines, exact match.
     Q("q_text_editdist",

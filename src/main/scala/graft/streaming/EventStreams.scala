@@ -79,6 +79,15 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact-dedup: drop events whose id reappears within the
+    * watermark horizon — the streaming twin of Dedup.exactDuplicates.
+    * State is bounded by the watermark (ids older than the horizon are
+    * evicted), so it survives unbounded streams. */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Convenience: run a streaming DataFrame to an in-memory sink and block
     * until all available data is processed (dev/test harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -99,6 +99,22 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "click", 1L, 7.0)))
   }
 
+  test("dedupWithinWatermark drops repeated ids inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val deduped = EventStreams.dedupWithinWatermark(
+      events.toDF().toDF("event_id", "ts", "value"), Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0), (2L, ts(6), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[EventStreams.Event]

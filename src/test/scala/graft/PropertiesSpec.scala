@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.engine.{Expressions, Scd2}
+import graft.operators.GlobalRank
+
+/** Property-based tests (SURVEY.md §5.2 #3) — ScalaCheck generators feed a
+  * single batched DataFrame per property (one Spark job per law, not per
+  * sample).
+  */
+class PropertiesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  private val strGen = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.const(""),
+    Gen.oneOf("None", "NaN", "it's", "a b c"))
+
+  test("md5 surrogate keys: deterministic and null-propagating (H41/B14)") {
+    val rows = sample(Gen.zip(Gen.option(strGen), Gen.option(Gen.chooseNum(0, 500))), 200)
+    val df = rows.toDF("nm", "dur")
+    val out = df.select(col("nm"), col("dur"),
+      Expressions.surrogateKey(col("nm"), col("dur")).as("k1"),
+      Expressions.surrogateKey(col("nm"), col("dur")).as("k2")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(2) == (r.isNullAt(0) || r.isNullAt(1)),
+        s"null propagation broken for $r")
+      assert(r.isNullAt(2) || r.getString(2) == r.getString(3))
+      if (!r.isNullAt(2))
+        assert(r.getString(2).matches("[0-9a-f]{32}"))
+    }
+  }
+
+  test("union-dedup is idempotent and commutative (G38)") {
+    val rows = sample(Gen.zip(Gen.chooseNum(0, 20), strGen), 150)
+    val df = rows.toDF("a", "b")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    val once = df.union(df).distinct()
+    assert(canon(once) == canon(df.distinct()))
+    val other = sample(Gen.zip(Gen.chooseNum(0, 20), strGen), 77).toDF("a", "b")
+    assert(canon(df.union(other).distinct()) ==
+      canon(other.union(df).distinct()))
+  }
+
+  test("reconcile is a projection fixpoint: reconcile∘reconcile = reconcile (J63)") {
+    val rows = sample(Gen.zip(strGen, Gen.chooseNum(-100, 100)), 100)
+    val df = rows.toDF("a", "n")
+    val declared = StructType(Seq(
+      StructField("a", StringType), StructField("n", StringType),
+      StructField("missing", DoubleType)))
+    val once = Scd2.reconcile(df, declared)
+    val twice = Scd2.reconcile(once, declared)
+    assert(once.collect().map(_.toSeq).toSeq ==
+      twice.collect().map(_.toSeq).toSeq)
+  }
+
+  test("GlobalRank is a bijection onto 1..N and respects the order (E35)") {
+    val rows = sample(Gen.zip(Gen.chooseNum(0, 50), Gen.chooseNum(0L, 1L << 40)), 300)
+      .zipWithIndex.map { case ((v, noise), i) => (i.toLong, v, noise) }
+    val df = rows.toDF("id", "v", "noise").repartition(5)
+    val ranked = GlobalRank.withRowNumber(df, "r",
+        Seq(desc("v"), asc("id")))
+      .select("id", "v", "r").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(ranked.map(_._3).sorted.toSeq == (1L to rows.size).toSeq)
+    val byRank = ranked.sortBy(_._3)
+    byRank.sliding(2).foreach {
+      case Array((id1, v1, _), (id2, v2, _)) =>
+        assert(v1 > v2 || (v1 == v2 && id1 < id2),
+          s"order violated: ($id1,$v1) before ($id2,$v2)")
+      case _ =>
+    }
+  }
+
+  test("SCD2 merge preserves the pk row multiset across open rows (J57-J62)") {
+    val pks = sample(Gen.chooseNum(0, 30), 60).distinct
+    val snapA = pks.map(k => (s"k$k", s"v$k")).toDF("pk", "attr")
+    val changed = pks.filter(_ % 3 == 0)
+    val snapB = pks.filter(_ % 5 != 0)
+      .map(k => (s"k$k", if (k % 3 == 0) s"w$k" else s"v$k")).toDF("pk", "attr")
+    val merged = Scd2.merge(Scd2.stamp(snapA, "2024-01-01 00:00:00"), snapB,
+      Seq("pk"), Seq("attr"), "2024-02-01 00:00:00")
+    val open = merged.filter(col(Scd2.ValidTo) === Scd2.OpenEnd)
+      .select("pk").as[String].collect().toSet
+    // open rows = exactly snapshot B's pks
+    assert(open == pks.filter(_ % 5 != 0).map(k => s"k$k").toSet)
+    // every changed pk present in B carries exactly 2 versions
+    val counts = merged.groupBy("pk").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    changed.filter(_ % 5 != 0).foreach { k =>
+      assert(counts(s"k$k") == 2L, s"k$k should have 2 versions")
+    }
+  }
+}
