@@ -26,7 +26,7 @@ object VaultQueries {
 
   /** @param shift      rating offset — a "second load" with changed ratings
     * @param dropMod    exclude p_partkey multiples (a movie that vanished) */
-  private def rawMovies(s: SparkSession, dir: String, mod: Int,
+  private[graft] def rawMovies(s: SparkSession, dir: String, mod: Int,
                         shift: Int = 0, dropMod: Int = 0): DataFrame = {
     val base = t(s, dir, "part").where(pmod(col("p_partkey"), lit(mod)) === 0)
     val p = if (dropMod == 0) base
@@ -72,7 +72,7 @@ object VaultQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int),
       DataFrame]
 
-  private def rawActors(s: SparkSession, dir: String, mod: Int): DataFrame =
+  private[graft] def rawActors(s: SparkSession, dir: String, mod: Int): DataFrame =
     actorCache.getOrElseUpdate((s, dir, mod),
       rawActorsUncached(s, dir, mod)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
