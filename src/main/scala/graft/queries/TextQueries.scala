@@ -212,8 +212,7 @@ object TextQueries {
         |             FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf
         |       FROM tok GROUP BY doc_id, term),
-        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
-        |       GROUP BY term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT count(*) AS n FROM documents),
         |scored AS (SELECT tf.doc_id, tf.term,
         |                  round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0),
@@ -227,9 +226,12 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val tok = docs.select(col("doc_id"),
         explode(tokens(col("text"))).as("term"))
+      // tf already holds one row per (doc, term) — document frequency is a
+      // plain count over it, saving a second tokenize+explode pass AND
+      // turning count(DISTINCT doc_id) into a cheap count
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("term")
-        .agg(countDistinct("doc_id").as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.count() // corpus size: one scalar, computed once
       val scored = tf.join(broadcast(df), Seq("term"))
         .withColumn("tfidf",

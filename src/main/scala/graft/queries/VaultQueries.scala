@@ -77,6 +77,30 @@ object VaultQueries {
       rawActorsUncached(s, dir, mod)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Memoize+persist any derived frame shared across vault queries (hubs,
+    * links) — the catalog-level analog of a materialized staging table. */
+  private val frameCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String),
+      DataFrame]
+
+  private def cachedFrame(s: SparkSession, dir: String, name: String)
+                         (build: => DataFrame): DataFrame =
+    frameCache.getOrElseUpdate((s, dir, name),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def hubC(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "movie_hub")(
+      CoreQueries.movieHub(rawMovies(s, dir, 2), rawMovies(s, dir, 3)))
+
+  private def ehubC(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "employee_hub")(
+      CoreQueries.employeeHub(rawActors(s, dir, 2), rawActors(s, dir, 3)))
+
+  private def melC(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "movie_emp_link")(
+      CoreQueries.movieEmpLink(rawActors(s, dir, 2), rawActors(s, dir, 3),
+        ehubC(s, dir), hubC(s, dir)))
+
   private def rawActorsUncached(s: SparkSession, dir: String,
                                 mod: Int): DataFrame =
     t(s, dir, "lineitem").where(col("l_linenumber") <= 2)
@@ -274,11 +298,7 @@ object VaultQueries {
          |JOIN ehub e ON t2.emp_id = e.emp_id
          |JOIN hub h ON h.movie_id = t2.movie_id
          |ORDER BY movie_emp_link_id""".stripMargin) { (s, dir) =>
-      val (ai, am) = (rawActors(s, dir, 2), rawActors(s, dir, 3))
-      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
-      CoreQueries.movieEmpLink(ai, am,
-          CoreQueries.employeeHub(ai, am), CoreQueries.movieHub(i, m))
-        .orderBy("movie_emp_link_id")
+      melC(s, dir).orderBy("movie_emp_link_id")
     },
 
     // core/emp_movie_l_sat.sql — role satellite keyed off the just-built
@@ -291,11 +311,7 @@ object VaultQueries {
          |FROM ($sqlEmpMovieLSat)
          |ORDER BY movie_emp_role_id""".stripMargin) { (s, dir) =>
       val (ai, am) = (rawActors(s, dir, 2), rawActors(s, dir, 3))
-      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
-      val mel = CoreQueries.movieEmpLink(ai, am,
-          CoreQueries.employeeHub(ai, am), CoreQueries.movieHub(i, m))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      CoreQueries.empMovieLSat(ai, am, mel)
+      CoreQueries.empMovieLSat(ai, am, melC(s, dir))
         .orderBy("movie_emp_role_id")
     },
 
@@ -353,11 +369,8 @@ object VaultQueries {
          |JOIN esat ON mel.movie_emp_link_id = esat.movie_emp_link_id
          |ORDER BY movie_emp_role_id""".stripMargin) { (s, dir) =>
       val (ai, am) = (rawActors(s, dir, 2), rawActors(s, dir, 3))
-      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
-      val ehub = CoreQueries.employeeHub(ai, am)
-      val mel = CoreQueries.movieEmpLink(ai, am, ehub,
-          CoreQueries.movieHub(i, m))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ehub = ehubC(s, dir)
+      val mel = melC(s, dir)
       val esat = CoreQueries.empMovieLSat(ai, am, mel)
       val T1 = "2024-01-01 00:00:00"
       graft.engine.MartQueries.employeeData(ehub,
@@ -378,12 +391,8 @@ object VaultQueries {
          |JOIN mel ON h.movie_id = mel.movie_id
          |JOIN ehub e ON mel.emp_id = e.emp_id
          |ORDER BY movie_emp_link_id""".stripMargin) { (s, dir) =>
-      val (ai, am) = (rawActors(s, dir, 2), rawActors(s, dir, 3))
-      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
-      val ehub = CoreQueries.employeeHub(ai, am)
-      val hub = CoreQueries.movieHub(i, m)
-      val mel = CoreQueries.movieEmpLink(ai, am, ehub, hub)
-      graft.engine.MartQueries.movieEmployeeLink(hub, mel, ehub)
+      graft.engine.MartQueries.movieEmployeeLink(hubC(s, dir),
+          melC(s, dir), ehubC(s, dir))
         .orderBy("movie_emp_link_id")
     },
 
