@@ -157,8 +157,12 @@ object CoreQueries {
     */
   def preprocessActors(actors: DataFrame,
                        knownRoles: Seq[String] = Seq("director", "producer", "writer", "actor")): DataFrame = {
-    val good = actors.where(col("role").isin(knownRoles: _*))
-    val repaired = actors.where(!col("role").isin(knownRoles: _*))
+    // PG `role not in (...)` is UNKNOWN for NULL role — the reference
+    // neither rotates nor deletes such rows (etl_layer_transfer.py:18-20),
+    // so they must pass through unchanged, not vanish from both branches.
+    val rotate = coalesce(!col("role").isin(knownRoles: _*), lit(false))
+    val good = actors.where(!rotate)
+    val repaired = actors.where(rotate)
       .select(
         col("movie_name"), col("movie_duration"),
         col("raw_role").as("name"),

@@ -116,8 +116,11 @@ object MartQueries {
         .groupBy(col("movie_nm"), col("movie_id"),
           col("movie_duration").cast(IntegerType).as("movie_duration"))
         .agg(avg(col("rating").cast(DoubleType)).as("rating"))
+      // PG `ORDER BY x DESC` ranks NULLS FIRST (mart/rating_slide.sql:7) —
+      // Spark desc() is nulls-last, so make the PG ordering explicit.
       GlobalRank.withRowNumber(agg, rankCol,
-        Seq(desc("rating"), desc("movie_duration"), asc("movie_id")))
+        Seq(desc_nulls_first("rating"), desc_nulls_first("movie_duration"),
+          asc("movie_id")))
     }
 
     val latest = movieInfoSat.join(

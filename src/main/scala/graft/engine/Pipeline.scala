@@ -23,10 +23,11 @@ object Pipeline {
   private def s(fields: (String, DataType)*): StructType =
     StructType(fields.map { case (n, t) => StructField(n, t) })
 
-  /** Preprocessed actor views (B17/B18 repair) used by downstream specs. */
+  /** Preprocessed actor views (B17/B18 repair). The reference rotates ONLY
+    * the IMDB actor table (etl_layer_transfer.py:10-20 targets
+    * actor_raw_data_imdb alone); metacritic rows pass through untouched. */
   private def actors(wh: Warehouse): (DataFrame, DataFrame) =
-    (CoreQueries.preprocessActors(wh(RawActorImdb)),
-     CoreQueries.preprocessActors(wh(RawActorMeta)))
+    (CoreQueries.preprocessActors(wh(RawActorImdb)), wh(RawActorMeta))
 
   /** Core (stg) layer specs — hubs insert-only, links/sats SCD2
     * (mode rule ddl.py:526). Schemas: ddl.py:378-414. */

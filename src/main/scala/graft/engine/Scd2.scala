@@ -50,6 +50,12 @@ object Scd2 {
 
   /** The SCD2 merge (links + satellites branch, ddl.py:526-549).
     *
+    * Contract: `snapshot` must be pk-unique (true for every pipeline table
+    * — the transforms end in distinct over md5 keys). Conflicting rows
+    * sharing a pk would multiply through the full-outer join (as they
+    * would corrupt the reference's UPDATE/INSERT legs); exact duplicate
+    * rows are dropped defensively below.
+    *
     * @param target   current table incl. validity columns (may be empty)
     * @param snapshot freshly computed rows, pk + attrs only (no validity)
     * @param pk       primary-key columns (non-null by construction: md5 keys)
@@ -58,12 +64,14 @@ object Scd2 {
   def merge(target: DataFrame, snapshot: DataFrame, pk: Seq[String],
             attrs: Seq[String], loadTs: String): DataFrame = {
     val outCols = pk ++ attrs ++ validityCols
+    val snapshotDeduped = snapshot.dropDuplicates(pk ++ attrs)
 
     val open = target.filter(col(ValidTo) === OpenEnd)
     val history = target.filter(col(ValidTo) =!= OpenEnd)
 
     val o = open.select(outCols.map(col): _*).alias("o")
-    val s = stamp(snapshot, loadTs).select(outCols.map(col): _*).alias("s")
+    val s = stamp(snapshotDeduped, loadTs).select(outCols.map(col): _*)
+      .alias("s")
 
     val joinCond = pk.map(k => col(s"o.$k") === col(s"s.$k")).reduce(_ && _)
     val joined = o.join(s, joinCond, "full_outer")
@@ -102,10 +110,16 @@ object Scd2 {
     * broadcast the snapshot side when it is small relative to the target.
     */
   def insertOnlyNew(target: DataFrame, snapshot: DataFrame,
-                    pk: Seq[String]): DataFrame =
+                    pk: Seq[String]): DataFrame = {
+    // PG `key not in (select key ...)` never inserts a NULL key (UNKNOWN);
+    // left_anti WOULD re-append NULL-pk rows on every run (a NULL key never
+    // matches), accreting duplicates — filter them like the reference.
+    val nonNullPk = pk.map(col(_).isNotNull).reduce(_ && _)
     target.unionByName(
       snapshot.select(target.columns.map(col): _*)
+        .where(nonNullPk)
         .join(target.select(pk.map(col): _*), pk, "left_anti"))
+  }
 
   /** Schema reconciliation (stg_checker's add/alter/drop loops,
     * ddl.py:486-520): the declared schema wins over the physical one on

@@ -20,6 +20,11 @@ import graft.functions.TextFunctions._
   *    equality (4 exchanges of a narrow table), verified by bit_count(xor).
   *  - brute-force n-gram Jaccard: O(n²) — correctness oracle for the LSH
   *    paths, only ever run on a bounded subset.
+  *
+  * Caching note: the LSH operators persist their signature/candidate
+  * intermediates (consumed by self-joins) and do NOT unpersist — the frames
+  * back the lazily returned result. Callers running many dedup passes in
+  * one long-lived session should `spark.catalog.clearCache()` between runs.
   */
 object Dedup {
 
@@ -49,6 +54,11 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, m: Int = 8, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
+    // bands > m would give 0 rows per band — every band key identical, the
+    // candidate join degenerates to the full n² cross product LSH exists
+    // to avoid; a non-divisor silently drops signature entries.
+    require(bands > 0 && bands <= m && m % bands == 0,
+      s"bands ($bands) must divide the signature size ($m)")
     val rowsPerBand = m / bands
     // Shingling is a higher-order-function expression (CodegenFallback) —
     // pay it exactly once behind a persist. Signatures then come from
@@ -100,7 +110,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.2,
                         maxDocs: Int = 200): DataFrame = {
-    val sh = df.where(col(idCol) < maxDocs)
+    // deterministic COUNT cap (lowest maxDocs ids), not an id-value filter
+    // — sparse or offset id spaces would otherwise silently select nothing.
+    val sh = df.orderBy(col(idCol)).limit(maxDocs)
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
     val a = sh.select(col("id").as("id1"), col("sh").as("sh1"))
     val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))

@@ -25,8 +25,12 @@ object GlobalRank {
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
+    // zipWithIndex runs TWO jobs (per-partition counts, then materialize);
+    // persist the sorted frame so the upstream aggregation/sort/shuffle
+    // executes once, not twice.
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = StructType(sorted.schema.fields :+
       StructField(rankCol, LongType, nullable = false))
     val ranked = sorted.rdd.zipWithIndex().map { case (r, idx) =>

@@ -21,6 +21,13 @@ object Salting {
     * evenly; the right side is exploded ×saltFactor — keep it small. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full joins would surface the replicated small side: an
+    // unmatched small-side row appears saltFactor times. Only join types
+    // that never emit unmatched RIGHT rows are result-identical.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti", "cross")
+        .contains(joinType.toLowerCase),
+      s"saltedJoin does not preserve right/full join semantics: $joinType")
     val salted = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",

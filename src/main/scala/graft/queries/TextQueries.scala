@@ -163,8 +163,9 @@ object TextQueries {
     // for the LSH path (O(n²), guarded).
     Q("q_dedup_ngram", {
       val sh = sqlShingles(3)
-      s"""WITH sh AS (SELECT doc_id, $sh AS sh FROM documents
-         |            WHERE doc_id < 200)
+      s"""WITH sh AS (SELECT doc_id, $sh AS sh FROM
+         |              (SELECT doc_id, text FROM documents
+         |               ORDER BY doc_id LIMIT 200) AS documents)
          |SELECT a.doc_id AS id1, b.doc_id AS id2,
          |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |             / (len(a.sh) + len(b.sh)

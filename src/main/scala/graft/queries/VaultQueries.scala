@@ -425,14 +425,16 @@ object VaultQueries {
          |        FROM sat s JOIN hub h USING (movie_id)
          |        WHERE s.valid_from = TIMESTAMP '$T2'
          |        GROUP BY h.movie_nm, s.movie_id, h.movie_duration),
-         |r1 AS (SELECT *, row_number() OVER (ORDER BY rating DESC,
-         |         movie_duration DESC, movie_id) AS latest_place FROM lb1),
+         |r1 AS (SELECT *, row_number() OVER (ORDER BY rating DESC NULLS FIRST,
+         |         movie_duration DESC NULLS FIRST, movie_id)
+         |         AS latest_place FROM lb1),
          |lb2 AS (SELECT h.movie_nm, s.movie_id, h.movie_duration,
          |               avg(CAST(s.rating AS DOUBLE)) AS rating
          |        FROM sat s JOIN hub h USING (movie_id)
          |        GROUP BY h.movie_nm, s.movie_id, h.movie_duration),
-         |r2 AS (SELECT *, row_number() OVER (ORDER BY rating DESC,
-         |         movie_duration DESC, movie_id) AS pre_latest_place FROM lb2)
+         |r2 AS (SELECT *, row_number() OVER (ORDER BY rating DESC NULLS FIRST,
+         |         movie_duration DESC NULLS FIRST, movie_id)
+         |         AS pre_latest_place FROM lb2)
          |SELECT coalesce(r1.movie_id, r2.movie_id) AS movie_id,
          |       r1.movie_nm AS movie_name,
          |       r1.movie_duration AS duration,

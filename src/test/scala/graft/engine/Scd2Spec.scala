@@ -88,6 +88,36 @@ class Scd2Spec extends SparkSpec {
       .collect().toSeq == Seq("x"))
   }
 
+  test("insertOnlyNew never inserts NULL pks (PG NOT IN parity)") {
+    val nullPk = Seq((null.asInstanceOf[String], "v", 1)).toDF("pk", "attr", "num")
+    val run1 = Scd2.insertOnlyNew(snap(("a", "x", 1)), nullPk, Seq("pk"))
+    assert(run1.count() == 1) // NULL-pk row not inserted...
+    val run2 = Scd2.insertOnlyNew(run1, nullPk, Seq("pk"))
+    assert(run2.count() == 1) // ...and cannot accrete across runs
+  }
+
+  test("preprocessActors passes NULL-role rows through unrotated (B18 parity)") {
+    val actors = Seq(
+      ("M", 100, "Name", "Role", "actor"),
+      ("M", 100, "RotatedName", "actor", null.asInstanceOf[String]),
+      ("M", 100, "N2", "R2", null.asInstanceOf[String])
+    ).toDF("movie_name", "movie_duration", "name", "raw_role", "role")
+    val out = CoreQueries.preprocessActors(actors)
+    // PG `role not in (...)` is UNKNOWN for NULL → neither rotated nor
+    // deleted: all 3 rows survive, NULL-role names untouched
+    assert(out.count() == 3)
+    assert(out.filter(col("role").isNull).select("name").as[String]
+      .collect().toSet == Set("RotatedName", "N2"))
+  }
+
+  test("merge survives exact-duplicate snapshot rows (pk-unique contract)") {
+    val dup = snap(("a", "x", 1), ("a", "x", 1), ("b", "y", 2))
+    val out = Scd2.merge(Scd2.stamp(snap(("b", "y", 2)), T1), dup,
+      Seq("pk"), Seq("attr", "num"), T2)
+    assert(out.count() == 2) // one open row per pk, no multiplication
+    assert(out.filter(col(Scd2.ValidTo) === Scd2.OpenEnd).count() == 2)
+  }
+
   test("reconcile is idempotent and enforces the declared schema") {
     import org.apache.spark.sql.types._
     val declared = StructType(Seq(
