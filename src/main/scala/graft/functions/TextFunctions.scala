@@ -81,7 +81,7 @@ object TextFunctions {
     val meanLen = length(regexp_replace(text, "\\s+", "")).cast(DoubleType) /
       greatest(nTok, lit(1.0))
     val lenOk = least(lit(1.0), meanLen / 8.0)
-    round(lit(0.4) * lenSat + lit(0.3) * stopRatio + lit(0.3) * lenOk, 4)
+    Rounding.round4(lit(0.4) * lenSat + lit(0.3) * stopRatio + lit(0.3) * lenOk)
   }
 
   /** Exact-dedup document fingerprint: md5 over the normalized text

@@ -95,7 +95,7 @@ object Dedup {
     cand.join(shA, "id1").join(shB, "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id1"), col("id2"), graft.functions.Rounding.round4(col("jaccard")).as("jaccard"))
   }
 
   /** Exact Jaccard over two distinct-element arrays:
@@ -119,7 +119,7 @@ object Dedup {
     a.join(b, col("id1") < col("id2"))
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id1"), col("id2"), graft.functions.Rounding.round4(col("jaccard")).as("jaccard"))
   }
 
   /** SimHash near-dup pairs: 64-bit signature per doc (custom codegen'd

@@ -30,7 +30,7 @@ object Similarity {
       asDouble(col("embedding")).as("query_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("score",
-        round(cosine(col("query_vec"), col("cand_vec")), 4))
+        graft.functions.Rounding.round4(cosine(col("query_vec"), col("cand_vec"))))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -57,7 +57,7 @@ object Similarity {
         .orderBy(desc("cscore"), asc("centroid_id"))
       df.join(broadcast(cents), expr("true"))
         .withColumn("cscore",
-          round(cosine(col(vecCol), col("centroid_vec")), 4))
+          graft.functions.Rounding.round4(cosine(col(vecCol), col("centroid_vec"))))
         .withColumn("crank", row_number().over(w))
         .where(col("crank") <= n)
         .select(col(idCol), col(vecCol), col("centroid_id"))
@@ -77,7 +77,7 @@ object Similarity {
     probes.join(assigned, Seq("centroid_id"))
       .where(col("query_id") =!= col("cand_id"))
       .withColumn("score",
-        round(cosine(col("query_vec"), col("cand_vec")), 4))
+        graft.functions.Rounding.round4(cosine(col("query_vec"), col("cand_vec"))))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "cand_id", "score", "rank")

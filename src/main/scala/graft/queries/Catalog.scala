@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round4
 
 /** The full driver-gated query catalog: SURVEY.md §2 operator coverage plus
   * the training-data-pipeline extensions. SparkEntry delegates here.
@@ -29,7 +30,7 @@ object Catalog {
     def leaderboard(df: DataFrame, rank: String) =
       GlobalRank.withRowNumber(
         df.groupBy("o_custkey")
-          .agg(round(sum("o_totalprice"), 4).as("spend")),
+          .agg(round4(sum("o_totalprice")).as("spend")),
         rank, Seq(desc("spend"), asc("o_custkey")))
     val early = leaderboard(o.where(col("o_orderdate") < cut), "early_place")
       .alias("a")

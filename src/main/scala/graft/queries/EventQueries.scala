@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
+import graft.functions.Rounding.round4
 
 /** Driver-gated queries over the `events` table: the batch twins of the
   * Structured Streaming pipelines in graft.streaming (same tumbling-window
@@ -24,7 +25,7 @@ object EventQueries {
         t(s, dir, "events")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("cnt"),
-            round(sum("value"), 4).as("total_value"))
+            round4(sum("value")).as("total_value"))
           .select(col("window.start").as("hour_start"), col("event_type"),
             col("cnt"), col("total_value"))
           .orderBy("hour_start", "event_type")
@@ -79,7 +80,7 @@ object EventQueries {
         .select(col("event_id"), col("user_id"),
           lag("value", 1).over(w).as("prev_value"),
           lead("value", 1).over(w).as("next_value"),
-          round(avg("value").over(w.rowsBetween(-2, 0)), 4).as("moving_avg"),
+          round4(avg("value").over(w.rowsBetween(-2, 0))).as("moving_avg"),
           ntile(4).over(w).as("quartile"))
         .orderBy("event_id")
     },
@@ -97,12 +98,12 @@ object EventQueries {
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(round(stddev_samp("l_quantity"), 4).as("sd_qty"),
-            round(corr("l_quantity", "l_extendedprice"), 4)
+          .agg(round4(stddev_samp("l_quantity")).as("sd_qty"),
+            round4(corr("l_quantity", "l_extendedprice"))
               .as("corr_qty_price"),
-            round(covar_samp("l_quantity", "l_extendedprice"), 4)
+            round4(covar_samp("l_quantity", "l_extendedprice"))
               .as("cov_qty_price"),
-            round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
+            round4(expr("percentile(l_quantity, 0.5)")).as("median_qty"))
           .orderBy("l_returnflag")
     },
 

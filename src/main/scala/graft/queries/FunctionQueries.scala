@@ -5,6 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.engine.Expressions._
 import graft.engine.Tables.t
+import graft.functions.Rounding.round4
 
 /** Driver-gated queries covering the reference's scalar-function surface
   * (SURVEY.md §2 family H). All expressions are codegen'd built-ins — no
@@ -111,7 +112,7 @@ object FunctionQueries {
       t(s, dir, "events")
         .select(col("event_id"),
           yearOf(col("ts").cast(StringType)).as("yr"),
-          round(col("value") / 10, 4).as("value_rescaled"))
+          round4(col("value") / 10).as("value_rescaled"))
         .orderBy("event_id")
     },
 

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.engine.Expressions._
 import graft.engine.Tables.t
 import graft.operators.GlobalRank
+import graft.functions.Rounding.round4
 
 /** Driver-gated queries covering the reference's relational operator
   * inventory (SURVEY.md §2 families A–G) over the synthetic testdata.
@@ -34,7 +35,7 @@ object RelationalQueries {
       (s, dir) =>
         t(s, dir, "lineitem").select(
             col("l_orderkey"), col("l_linenumber"),
-            round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            round4(col("l_extendedprice") * (lit(1) - col("l_discount")))
               .as("net_price"))
           .orderBy("l_orderkey", "l_linenumber")
     },
@@ -163,7 +164,7 @@ object RelationalQueries {
             col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(count(lit(1)).as("cust_cnt"),
-            round(sum(col("c_acctbal")), 4).as("total_bal"))
+            round4(sum(col("c_acctbal"))).as("total_bal"))
           .orderBy("r_name", "n_name")
     },
 
@@ -183,9 +184,9 @@ object RelationalQueries {
       val o = t(s, dir, "orders")
       val cut = lit("1998-01-01").cast(TimestampType)
       val a = o.where(col("o_orderdate") < cut).groupBy("o_custkey")
-        .agg(round(sum("o_totalprice"), 4).as("early_spend")).alias("a")
+        .agg(round4(sum("o_totalprice")).as("early_spend")).alias("a")
       val b = o.where(col("o_orderdate") >= cut).groupBy("o_custkey")
-        .agg(round(sum("o_totalprice"), 4).as("late_spend")).alias("b")
+        .agg(round4(sum("o_totalprice")).as("late_spend")).alias("b")
       a.join(b, col("a.o_custkey") === col("b.o_custkey"), "full_outer")
         .select(
           coalesce(col("a.o_custkey"), col("b.o_custkey")).as("custkey"),
@@ -289,8 +290,8 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
+        .agg(round4(sum("l_quantity")).as("sum_qty"),
+          round4(avg("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -314,7 +315,7 @@ object RelationalQueries {
       (s, dir) =>
         t(s, dir, "customer")
           .groupBy("c_mktsegment")
-          .agg(round(avg("c_acctbal"), 4).as("avg_bal"),
+          .agg(round4(avg("c_acctbal")).as("avg_bal"),
             count("c_custkey").as("cust_cnt"))
           .orderBy("c_mktsegment")
     },
@@ -386,7 +387,7 @@ object RelationalQueries {
         |ORDER BY place""".stripMargin) { (s, dir) =>
       val spend = t(s, dir, "orders")
         .groupBy("o_custkey")
-        .agg(round(sum("o_totalprice"), 4).as("spend"))
+        .agg(round4(sum("o_totalprice")).as("spend"))
       GlobalRank.withRowNumber(spend, "place",
           Seq(desc("spend"), asc("o_custkey")))
         .withColumn("place", col("place").cast(LongType))
@@ -470,7 +471,7 @@ object RelationalQueries {
         |ORDER BY rflag, lstatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), 4).as("sum_qty"))
+        .agg(round4(sum("l_quantity")).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
           coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
           col("sum_qty"))

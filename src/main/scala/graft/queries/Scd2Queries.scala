@@ -30,7 +30,7 @@ object Scd2Queries {
       .where(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
       .select(col("o_orderkey"), col("o_orderstatus"),
         when(col("o_orderkey") % 10 === 0,
-          round(col("o_totalprice") + 100, 2))
+          graft.functions.Rounding.roundCompat(col("o_totalprice") + 100, 2))
           .otherwise(col("o_totalprice")).as("o_totalprice"))
 
   private val sqlSnapA =

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import graft.engine.Tables.t
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
+import graft.functions.Rounding.round4
 
 /** Driver-gated queries for the training-data text pipeline: analysis
   * (tokens, language ID, quality, fingerprints) and deduplication (exact,
@@ -236,7 +237,7 @@ object TextQueries {
       val n = docs.count() // corpus size: one scalar, computed once
       val scored = tf.join(broadcast(df), Seq("term"))
         .withColumn("tfidf",
-          round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+          round4(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)))
       val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
       scored.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)

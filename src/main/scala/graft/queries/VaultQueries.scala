@@ -551,7 +551,7 @@ object VaultQueries {
             max(when(col("rb") === 1, col("label"))).as("max_budget_movie"),
             max(when(col("rg") === 1, col("label"))).as("max_gross_movie"),
             max(when(col("rr") === 1, col("label"))).as("best_rated_movie"),
-            round(avg(col("rating")), 4).as("average_rating"),
+            graft.functions.Rounding.round4(avg(col("rating"))).as("average_rating"),
             count(col("movie_id")).as("genre_movie_quant"))
           .orderBy(desc("genre_movie_quant"), asc("genre_id"))
     },
