@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt -batch "runMain graft.Bench"`
+// as the bench JSON (BENCH_r01.json recorded parsed:null because sbt's
+// "[success] Total time" banner printed after it). Suppress the banner so the
+// one-line JSON emitted by Bench is the final line.
+Global / showSuccess := false
+// Pass the forked JVM's stdout through verbatim — sbt's default LoggedOutput
+// prefixes every line with "[info] ", which corrupts Bench's one-line JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

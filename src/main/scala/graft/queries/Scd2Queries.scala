@@ -71,13 +71,23 @@ object Scd2Queries {
          |ins AS (
          |  SELECT s.* FROM snap s LEFT JOIN diff d USING (o_orderkey)
          |  WHERE d.o_orderkey IS NULL OR coalesce(d.changed, FALSE))
-         |SELECT * FROM closed UNION ALL SELECT * FROM kept
-         |UNION ALL SELECT * FROM ins
+         |SELECT o_orderkey, o_orderstatus, o_totalprice,
+         |       CAST(valid_from AS VARCHAR) AS valid_from,
+         |       CAST(valid_to AS VARCHAR) AS valid_to
+         |FROM (SELECT * FROM closed UNION ALL SELECT * FROM kept
+         |      UNION ALL SELECT * FROM ins)
          |ORDER BY o_orderkey, valid_from, valid_to""".stripMargin) {
       (s, dir) =>
+        // valid_from/valid_to are projected as strings: the open-end sentinel
+        // 9999-12-31 written as an INT96 parquet timestamp overflows
+        // datetime64[ns] in nanosecond-based readers (pyarrow wraps it to a
+        // pre-2262 value), corrupting the driver-side compare (ADVICE r1).
+        // Both engines render '9999-12-31 00:00:00' identically as text.
         val target = Scd2.stamp(snapA(s, dir), T1)
         Scd2.merge(target, snapB(s, dir), pk = Seq("o_orderkey"),
             attrs = Seq("o_orderstatus", "o_totalprice"), loadTs = T2)
+          .withColumn("valid_from", col("valid_from").cast("string"))
+          .withColumn("valid_to", col("valid_to").cast("string"))
           .orderBy("o_orderkey", "valid_from", "valid_to")
     },
 
