@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.expressions.{RollingHash64, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.expressions.{MinHashSig, RollingHash64, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -18,5 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => SimHash64(children.head)))
     ext.injectFunction((FunctionIdentifier("rolling_hash64"),
       RollingHash64.info, children => RollingHash64(children.head)))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      children => WordShingles(children.head,
+        children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      children => MinHashSig(children.head,
+        children(1).eval().asInstanceOf[Int])))
   }
 }

@@ -60,27 +60,25 @@ object Dedup {
     require(bands > 0 && bands <= m && m % bands == 0,
       s"bands ($bands) must divide the signature size ($m)")
     val rowsPerBand = m / bands
-    // Shingling is a higher-order-function expression (CodegenFallback) —
-    // pay it exactly once behind a persist. Signatures then come from
-    // explode + codegen'd hash-agg min(md5) with map-side partials (NOT
-    // nested array transforms), and are themselves persisted: m 32-byte
-    // hashes per doc, consumed twice by the banded self-join. (A window/
-    // lead shingle builder was benchmarked and lost: its extra explode-
-    // shuffle + two window passes cost more than the interpreted HOF.)
-    // At 100 TB: shingle+hash work is scan-local; only signatures shuffle.
+    graft.expressions.MinHash.register(df.sparkSession)
+    // Shingles and the m-entry signature are codegen'd native expressions
+    // (graft.expressions.{WordShingles, MinHashSig}) — one tight loop per
+    // document, NOT interpreted higher-order transforms and NOT an
+    // explode + hash-aggregate (which shuffled |shingles|× the corpus just
+    // to compute a per-row value; benchmarked 5-10× slower at sf0.1).
+    // At 100 TB everything up to `banded` is scan-local; the only shuffles
+    // are the (band, key) bucket join and the two verify joins on id.
+    // Persisted: shingle arrays feed both the signature projection and the
+    // verify join; signatures feed the banded self-join twice.
     val sh = df.select(col(idCol).as("id"),
-        shingles(col(textCol), k).as("sh"))
+        expr(s"word_shingles($textCol, $k)").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = sh.select(col("id"), explode(col("sh")).as("s"))
-      .groupBy("id")
-      .agg(min(md5(concat(lit(0), lit(":"), col("s")))).as("h0"),
-        (1 until m).map(j =>
-          min(md5(concat(lit(j), lit(":"), col("s")))).as(s"h$j")): _*)
+    val sigs = sh.select(col("id"), expr(s"minhash_sig(sh, $m)").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-            col(s"h${b * rowsPerBand + r}")): _*))): _*)))
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*)))
       .toDF("id", "band", "key")
     val a = banded.alias("a")
     val b = banded.alias("b")
