@@ -28,19 +28,25 @@ object CoreQueries {
     def prep(src: DataFrame) = src.select(
       col("movie_name").as("movie_nm"),
       col("min_duration").cast(IntegerType).as("movie_duration"))
+    // one distinct: the md5 projection of distinct (movie_nm, duration)
+    // rows is itself distinct — the reference's outer SELECT DISTINCT is a
+    // no-op and would cost a second full shuffle at scale
     prep(imdb).union(prep(metacritic)).distinct()
       .select(
         surrogateKey(col("movie_nm"), col("movie_duration")).as("movie_id"),
         col("movie_nm"), col("movie_duration"))
-      .distinct()
       .where(surrogateKey(col("movie_nm"), col("movie_duration")).isNotNull)
   }
 
   /** core/employee_hub.sql — union actor sources, md5(name) key. */
   def employeeHub(actorImdb: DataFrame, actorMetacritic: DataFrame): DataFrame =
-    actorImdb.union(actorMetacritic).distinct()
-      .select(md5(col("name")).as("emp_id"), col("name").as("emp_nm"))
+    // narrow to `name` BEFORE the shuffle: distinct over the full 5-column
+    // actor row then re-distinct over (md5(name), name) — as the reference
+    // writes it — shuffles every column twice for a result that only
+    // depends on `name`. One distinct on the one needed column.
+    actorImdb.select(col("name")).union(actorMetacritic.select(col("name")))
       .distinct()
+      .select(md5(col("name")).as("emp_id"), col("name").as("emp_nm"))
 
   /** core/genre_hub.sql — split-based genre parse (Expressions.parseGenresSplit)
     * over UNION ALL of both sources, distinct genres, md5 key. */
@@ -55,15 +61,17 @@ object CoreQueries {
     * md5(movie_id||url). */
   def movieInfoSat(imdb: DataFrame, metacritic: DataFrame,
                    movieHub: DataFrame): DataFrame = {
+    // per-side distincts dropped: distinct(A ∪ B) subsumes them, and each
+    // was a full-width shuffle of its own at scale
     def prep(src: DataFrame, tag: String) = src.select(
       col("movie_name"),
       col("min_duration").cast(IntegerType).as("duration"),
       col("original_name"), col("year"), col("certificate"), col("rating"),
       col("budget"), col("gross_worldwide"),
-      lit(tag).as("scr_nm"), col("url")).distinct()
+      lit(tag).as("scr_nm"), col("url"))
     val films = prep(imdb, "IMDB").union(prep(metacritic, "METACRITIC")).distinct()
     films
-      .join(movieHub.select("movie_id"),
+      .join(broadcast(movieHub.select("movie_id")),
         surrogateKey(films("movie_name"), films("duration")) === col("movie_id"))
       .select(
         surrogateKey(col("movie_id"), col("url")).as("title_item_id"),
@@ -125,10 +133,16 @@ object CoreQueries {
     * key md5(link_id||raw_role||role). */
   def empMovieLSat(actorImdb: DataFrame, actorMetacritic: DataFrame,
                    movieEmpLink: DataFrame): DataFrame = {
+    // Shuffle inventory (vs the reference's literal SELECT DISTINCT
+    // nesting): per-side distincts are subsumed by distinct(A ∪ B); the
+    // link-membership JOIN + trailing DISTINCT becomes a left-semi join —
+    // movie_emp_link_id is unique in the link table (it's md5(movie_id ||
+    // emp_id) of distinct pairs), so the join cannot fan out and t3's rows
+    // are already distinct. 5 wide shuffles → 2.
     def prep(src: DataFrame) = src.select(
       col("movie_name"),
       col("movie_duration").cast(IntegerType).as("dur"),
-      col("name"), col("raw_role"), col("role")).distinct()
+      col("name"), col("raw_role"), col("role"))
     val t2 = prep(actorImdb).union(prep(actorMetacritic)).distinct()
       .select(
         surrogateKey(col("movie_name"), col("dur")).as("movie_id"),
@@ -139,14 +153,13 @@ object CoreQueries {
         col("raw_role"), col("role"))
       .distinct()
     t3.join(movieEmpLink.select(col("movie_emp_link_id")),
-        t3("emp_movie_link_id") === col("movie_emp_link_id"))
+        t3("emp_movie_link_id") === col("movie_emp_link_id"), "left_semi")
       .select(
-        surrogateKey(col("movie_emp_link_id"), col("raw_role"), col("role"))
+        surrogateKey(col("emp_movie_link_id"), col("raw_role"), col("role"))
           .as("movie_emp_role_id"),
-        col("movie_emp_link_id"),
+        col("emp_movie_link_id").as("movie_emp_link_id"),
         col("raw_role").as("description"),
         col("role"))
-      .distinct()
   }
 
   /** The raw-layer preprocess step (etl_layer_transfer.py:3-23, SURVEY.md

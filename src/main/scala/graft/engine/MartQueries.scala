@@ -73,9 +73,19 @@ object MartQueries {
     * top-1 subqueries rewritten as max_by (C27). PG sorts NULLS FIRST on
     * DESC, so a movie with NULL budget wins max_budget_movie when present —
     * reproduced via a (isnull, value) struct ordering key.
+    *
+    * The reference's `ORDER BY metric DESC LIMIT 1` is nondeterministic
+    * under metric ties (and max_by inherits that). `tiebreakCol` makes the
+    * pick total: ties resolve to the smallest value of that column
+    * (per-genre `row_number` over (metric DESC, tiebreak ASC) — a window,
+    * not max_by, because max_by cannot express "min id on ties" for string
+    * ids). This is the variant the DuckDB oracle gates
+    * (`q_vault_genre_metrics`); with `tiebreakCol = None` the PG-parity
+    * nulls-first max_by path runs instead.
     */
   def genreMetrics(movieInfoSat: DataFrame, movieHub: DataFrame,
-                   movieGenreLink: DataFrame, genreHub: DataFrame): DataFrame = {
+                   movieGenreLink: DataFrame, genreHub: DataFrame,
+                   tiebreakCol: Option[String] = None): DataFrame = {
     val perMovie = movieInfoSat.groupBy("movie_id").agg(
       avg(col("rating").cast(DoubleType)).as("rating"),
       avg(col("budget").cast(LongType)).as("budget"),
@@ -86,17 +96,36 @@ object MartQueries {
       .join(broadcast(genreHub), Seq("genre_id"))
     val movieLabel = pgConcat(col("movie_nm"), lit(", "),
       col("movie_duration"), lit(" min"))
-    // PG `ORDER BY x DESC LIMIT 1` ranks NULLs first; struct ordering on
-    // (x IS NULL, x) reproduces that under max_by.
-    def pgDescFirst(c: String) = struct(col(c).isNull, col(c))
-    t3.groupBy(col("genre_id"), col("genre_nm").as("genre"))
-      .agg(
-        max_by(movieLabel, pgDescFirst("budget")).as("max_budget_movie"),
-        max_by(movieLabel, pgDescFirst("gross_worldwide")).as("max_gross_movie"),
-        max_by(movieLabel, pgDescFirst("rating")).as("best_rated_movie"),
-        avg(col("rating")).as("average_rating"),
-        count(col("movie_id")).as("genre_movie_quant"))
-      .orderBy(desc("genre_movie_quant"))
+    tiebreakCol match {
+      case Some(tb) =>
+        import org.apache.spark.sql.expressions.Window
+        def top(metric: String) = row_number().over(
+          Window.partitionBy("genre_id").orderBy(desc(metric), asc(tb)))
+        t3.withColumn("label", movieLabel)
+          .withColumn("rb", top("budget"))
+          .withColumn("rg", top("gross_worldwide"))
+          .withColumn("rr", top("rating"))
+          .groupBy(col("genre_id"), col("genre_nm").as("genre"))
+          .agg(
+            max(when(col("rb") === 1, col("label"))).as("max_budget_movie"),
+            max(when(col("rg") === 1, col("label"))).as("max_gross_movie"),
+            max(when(col("rr") === 1, col("label"))).as("best_rated_movie"),
+            avg(col("rating")).as("average_rating"),
+            count(col("movie_id")).as("genre_movie_quant"))
+          .orderBy(desc("genre_movie_quant"))
+      case None =>
+        // PG `ORDER BY x DESC LIMIT 1` ranks NULLs first; struct ordering
+        // on (x IS NULL, x) reproduces that under max_by.
+        def pgDescFirst(c: String) = struct(col(c).isNull, col(c))
+        t3.groupBy(col("genre_id"), col("genre_nm").as("genre"))
+          .agg(
+            max_by(movieLabel, pgDescFirst("budget")).as("max_budget_movie"),
+            max_by(movieLabel, pgDescFirst("gross_worldwide")).as("max_gross_movie"),
+            max_by(movieLabel, pgDescFirst("rating")).as("best_rated_movie"),
+            avg(col("rating")).as("average_rating"),
+            count(col("movie_id")).as("genre_movie_quant"))
+          .orderBy(desc("genre_movie_quant"))
+    }
   }
 
   /** mart/rating_slide.sql — leaderboard of the latest load full-outer-joined

@@ -101,6 +101,25 @@ object VaultQueries {
       CoreQueries.movieEmpLink(rawActors(s, dir, 2), rawActors(s, dir, 3),
         ehubC(s, dir), hubC(s, dir)))
 
+  private def ghubC(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "genre_hub")(
+      CoreQueries.genreHub(rawMovies(s, dir, 2), rawMovies(s, dir, 3)))
+
+  private def satC(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "movie_info_sat")(
+      CoreQueries.movieInfoSat(rawMovies(s, dir, 2), rawMovies(s, dir, 3),
+        hubC(s, dir)))
+
+  private def lnkC(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "movie_genre_link")(
+      CoreQueries.movieGenreLink(rawMovies(s, dir, 2), rawMovies(s, dir, 3),
+        hubC(s, dir), ghubC(s, dir)))
+
+  private def esatC(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "emp_movie_l_sat")(
+      CoreQueries.empMovieLSat(rawActors(s, dir, 2), rawActors(s, dir, 3),
+        melC(s, dir)))
+
   private def rawActorsUncached(s: SparkSession, dir: String,
                                 mod: Int): DataFrame =
     t(s, dir, "lineitem").where(col("l_linenumber") <= 2)
@@ -195,8 +214,7 @@ object VaultQueries {
       s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)})
          |SELECT movie_id, movie_nm, movie_duration FROM ($sqlMovieHub)
          |ORDER BY movie_id""".stripMargin) { (s, dir) =>
-      CoreQueries.movieHub(rawMovies(s, dir, 2), rawMovies(s, dir, 3))
-        .orderBy("movie_id")
+      hubC(s, dir).orderBy("movie_id")
     },
 
     // core/genre_hub.sql — split-based genre parse (path 1) over UNION ALL.
@@ -204,8 +222,7 @@ object VaultQueries {
       s"""WITH imdb AS (${sqlRawMovies(2)}), meta AS (${sqlRawMovies(3)})
          |SELECT genre_id, genre_nm FROM ($sqlGenreHub)
          |ORDER BY genre_id""".stripMargin) { (s, dir) =>
-      CoreQueries.genreHub(rawMovies(s, dir, 2), rawMovies(s, dir, 3))
-        .orderBy("genre_id")
+      ghubC(s, dir).orderBy("genre_id")
     },
 
     // core/employee_hub.sql — md5(name) hub over preprocessed actor union.
@@ -242,10 +259,7 @@ object VaultQueries {
          |          AND s.duration = h.movie_duration
          |JOIN ghub g ON g.genre_nm = s.genres
          |ORDER BY mv_gen_link_id""".stripMargin) { (s, dir) =>
-      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
-      CoreQueries.movieGenreLink(i, m,
-          CoreQueries.movieHub(i, m), CoreQueries.genreHub(i, m))
-        .orderBy("mv_gen_link_id")
+      lnkC(s, dir).orderBy("mv_gen_link_id")
     },
 
     // core/movie_info_sat.sql — join on the recomputed md5 expression
@@ -271,9 +285,7 @@ object VaultQueries {
          |JOIN hub h
          |  ON md5(f.movie_name || CAST(f.duration AS VARCHAR)) = h.movie_id
          |ORDER BY title_item_id, scr_nm""".stripMargin) { (s, dir) =>
-      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
-      CoreQueries.movieInfoSat(i, m, CoreQueries.movieHub(i, m))
-        .orderBy("title_item_id", "scr_nm")
+      satC(s, dir).orderBy("title_item_id", "scr_nm")
     },
 
     // core/movie_emp_link.sql — actor rows keyed to both hubs with the
@@ -310,9 +322,7 @@ object VaultQueries {
          |SELECT movie_emp_role_id, movie_emp_link_id, description, role
          |FROM ($sqlEmpMovieLSat)
          |ORDER BY movie_emp_role_id""".stripMargin) { (s, dir) =>
-      val (ai, am) = (rawActors(s, dir, 2), rawActors(s, dir, 3))
-      CoreQueries.empMovieLSat(ai, am, melC(s, dir))
-        .orderBy("movie_emp_role_id")
+      esatC(s, dir).orderBy("movie_emp_role_id")
     },
 
     // mart/movie_data.sql — hub ⋈ latest-snapshot satellite, null→''
@@ -344,11 +354,8 @@ object VaultQueries {
          |       s.scr_nm AS rating_source, s.url
          |FROM hub h JOIN sat s USING (movie_id)
          |ORDER BY title_item_id, rating_source""".stripMargin) { (s, dir) =>
-      val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
-      val hub = CoreQueries.movieHub(i, m)
-      val sat = graft.engine.Scd2.stamp(
-        CoreQueries.movieInfoSat(i, m, hub), "2024-01-01 00:00:00")
-      graft.engine.MartQueries.movieData(hub, sat)
+      val sat = graft.engine.Scd2.stamp(satC(s, dir), "2024-01-01 00:00:00")
+      graft.engine.MartQueries.movieData(hubC(s, dir), sat)
         .orderBy("title_item_id", "rating_source")
     },
 
@@ -368,14 +375,10 @@ object VaultQueries {
          |JOIN mel ON e.emp_id = mel.emp_id
          |JOIN esat ON mel.movie_emp_link_id = esat.movie_emp_link_id
          |ORDER BY movie_emp_role_id""".stripMargin) { (s, dir) =>
-      val (ai, am) = (rawActors(s, dir, 2), rawActors(s, dir, 3))
-      val ehub = ehubC(s, dir)
-      val mel = melC(s, dir)
-      val esat = CoreQueries.empMovieLSat(ai, am, mel)
       val T1 = "2024-01-01 00:00:00"
-      graft.engine.MartQueries.employeeData(ehub,
-          graft.engine.Scd2.stamp(mel, T1),
-          graft.engine.Scd2.stamp(esat, T1))
+      graft.engine.MartQueries.employeeData(ehubC(s, dir),
+          graft.engine.Scd2.stamp(melC(s, dir), T1),
+          graft.engine.Scd2.stamp(esatC(s, dir), T1))
         .orderBy("movie_emp_role_id")
     },
 
@@ -444,14 +447,13 @@ object VaultQueries {
          |ORDER BY current_place NULLS LAST, movie_id""".stripMargin
     }) { (s, dir) =>
       import graft.engine.{CoreQueries => CQ, MartQueries, Scd2}
-      val (i1, m1) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
       val (i2, m2) = (rawMovies(s, dir, 2, shift = 3, dropMod = 30),
         rawMovies(s, dir, 3, shift = 3, dropMod = 30))
-      val hub = CQ.movieHub(i1, m1)
+      val hub = hubC(s, dir)
       // the leaderboards consume the satellite four ways (loads scan, two
       // semi joins, two aggregations) — materialize once, like the
-      // reference's temp_ staging table
-      val sat = Scd2.stamp(CQ.movieInfoSat(i1, m1, hub), "2024-01-01 00:00:00")
+      // reference's temp_ staging table; load 1 reuses the memoized satC
+      val sat = Scd2.stamp(satC(s, dir), "2024-01-01 00:00:00")
         .unionByName(Scd2.stamp(CQ.movieInfoSat(i2, m2, hub),
           "2024-02-01 00:00:00"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -525,34 +527,15 @@ object VaultQueries {
          |GROUP BY g.genre_id, g.genre_nm
          |ORDER BY genre_movie_quant DESC, genre_id""".stripMargin) {
       (s, dir) =>
-        import org.apache.spark.sql.expressions.Window
-        val (i, m) = (rawMovies(s, dir, 2), rawMovies(s, dir, 3))
-        val hub = CoreQueries.movieHub(i, m)
-        val ghub = CoreQueries.genreHub(i, m)
-        val sat = CoreQueries.movieInfoSat(i, m, hub)
-        val lnk = CoreQueries.movieGenreLink(i, m, hub, ghub)
-        val perMovie = sat.groupBy("movie_id").agg(
-          avg(col("rating").cast(DoubleType)).as("rating"),
-          avg(col("budget").cast(LongType)).as("budget"),
-          avg(col("gross_worldwide").cast(LongType)).as("gross"))
-        val t3 = perMovie
-          .join(broadcast(hub), Seq("movie_id"))
-          .join(lnk.select("movie_id", "genre_id"), Seq("movie_id"))
-          .join(broadcast(ghub), Seq("genre_id"))
-          .withColumn("label", pgConcat(col("movie_nm"), lit(", "),
-            col("movie_duration"), lit(" min")))
-        def top(metric: String) = row_number().over(
-          Window.partitionBy("genre_id").orderBy(desc(metric), asc("movie_id")))
-        t3.withColumn("rb", top("budget"))
-          .withColumn("rg", top("gross"))
-          .withColumn("rr", top("rating"))
-          .groupBy(col("genre_id"), col("genre_nm").as("genre"))
-          .agg(
-            max(when(col("rb") === 1, col("label"))).as("max_budget_movie"),
-            max(when(col("rg") === 1, col("label"))).as("max_gross_movie"),
-            max(when(col("rr") === 1, col("label"))).as("best_rated_movie"),
-            graft.functions.Rounding.round4(avg(col("rating"))).as("average_rating"),
-            count(col("movie_id")).as("genre_movie_quant"))
+        // The gate runs the SHIPPED mart function (ADVICE r1): the
+        // production max_by path is made total via tiebreakCol, and only
+        // presentation concerns (round4 for cross-engine double repr,
+        // total ORDER BY) are layered on top.
+        graft.engine.MartQueries.genreMetrics(satC(s, dir), hubC(s, dir),
+            lnkC(s, dir).select("movie_id", "genre_id"), ghubC(s, dir),
+            tiebreakCol = Some("movie_id"))
+          .withColumn("average_rating",
+            graft.functions.Rounding.round4(col("average_rating")))
           .orderBy(desc("genre_movie_quant"), asc("genre_id"))
     },
   )
