@@ -16,6 +16,7 @@ run / fork := true
 // "[success] Total time" banner printed after it). Suppress the banner so the
 // one-line JSON emitted by Bench is the final line.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Pass the forked JVM's stdout through verbatim — sbt's default LoggedOutput
 // prefixes every line with "[info] ", which corrupts Bench's one-line JSON.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -121,20 +121,41 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit signature per doc (custom codegen'd
-    * expression), candidates = equality on any of the four 16-bit bands
-    * (pigeonhole: hamming ≤ 3 guarantees a shared band), verified with
-    * bit_count(xor) ≤ `maxHamming`.
+    * expression), candidates = equality on any of `maxHamming + 1` bit
+    * bands, verified with bit_count(xor) ≤ `maxHamming`.
+    *
+    * Recall is EXACT by pigeonhole: two signatures within hamming distance
+    * d differ in at most d of the `d + 1` bands, so at least one band is
+    * identical and the pair surfaces as a candidate. (The previous fixed
+    * 4×16-bit layout only guaranteed recall for d ≤ 3 — ADVICE r1.)
+    *
+    * Cost scales with the radius: band width is 64/(maxHamming+1) bits, and
+    * uniform signatures collide on a band with probability ~2^-width, so
+    * expected candidates ≈ (maxHamming+1) · n² / 2^width. Radii ≤ ~7 (width
+    * ≥ 8 bits) are cheap; beyond ~15 the candidate set approaches the n²
+    * scan LSH exists to avoid — prefer a tighter radius or run the verify
+    * stage on the (still exact-recall) flood deliberately.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     graft.expressions.SimHash64.register(df.sparkSession)
+    val bands = maxHamming + 1
+    // distribute the 64 bits as evenly as possible: 64 % bands bands get an
+    // extra bit; offsets are the running sum of widths
+    val widths = Array.tabulate(bands)(b =>
+      64 / bands + (if (b < 64 % bands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     // persist: the banded self-join consumes the signatures twice
     val sigs = df.select(col(idCol).as("id"),
         expr(s"simhash64(${tokensSql(textCol)})").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sig"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+        posexplode(array((0 until bands).map { b =>
+          val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+          shiftrightunsigned(col("sig"), offsets(b)).bitwiseAND(lit(mask))
+        }: _*)))
       .toDF("id", "sig", "band", "key")
     val a = banded.alias("a")
     val b = banded.alias("b")

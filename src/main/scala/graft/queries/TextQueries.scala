@@ -184,10 +184,12 @@ object TextQueries {
 
     // SimHash near-dup pairs via the custom codegen'd simhash64 expression.
     // Murmur3 isn't available in DuckDB → rows-only check here; exactness
-    // is covered by SimHashSpec (known near-dup fixtures).
+    // is covered by SimHashSpec (known near-dup fixtures). Radius 6 = 7
+    // bands of ≥9 bits: exact recall (pigeonhole) at ~2^-9 per-band
+    // collision cost — the sweet spot the operator's scaladoc derives.
     Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 16)
+          maxHamming = 6)
         .orderBy("id1", "id2")
     },
 

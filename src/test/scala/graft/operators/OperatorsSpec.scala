@@ -55,6 +55,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 12))
   }
 
+  test("simhashPairs recall is exact at every radius (pigeonhole banding)") {
+    graft.expressions.SimHash64.register(spark)
+    val sigs = docs.selectExpr("doc_id",
+        "simhash64(split(trim(lower(text)), '\\\\s+')) AS sig")
+      .as[(Long, Long)].collect()
+    def brute(h: Int) = (for {
+      (i, si) <- sigs; (j, sj) <- sigs
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= h
+    } yield (i, j)).toSet
+    for (h <- Seq(0, 3, 6, 12, 25, 63)) {
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = h)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(got == brute(h), s"recall mismatch at maxHamming=$h")
+    }
+  }
+
   test("simhash distance orders near-dup below unrelated") {
     graft.expressions.SimHash64.register(spark)
     import org.apache.spark.sql.functions.expr
