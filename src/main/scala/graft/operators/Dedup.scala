@@ -141,16 +141,24 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
     graft.expressions.SimHash64.register(df.sparkSession)
-    val bands = maxHamming + 1
-    // distribute the 64 bits as evenly as possible: 64 % bands bands get an
-    // extra bit; offsets are the running sum of widths
-    val widths = Array.tabulate(bands)(b =>
-      64 / bands + (if (b < 64 % bands) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
     // persist: the banded self-join consumes the signatures twice
     val sigs = df.select(col(idCol).as("id"),
         expr(s"simhash64(${tokensSql(textCol)})").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigBandPairs(sigs, maxHamming + 1)
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Banded candidate pairs over a `(id, sig: bigint)` frame: `bands` bit
+    * bands distributed as evenly as possible over the 64 signature bits;
+    * docs sharing any (band, key) bucket pair up. Returns distinct
+    * `(id1, id2, hamming)`. Pigeonhole: pairs within hamming distance
+    * `bands - 1` are guaranteed to surface. Shared by the SimHash (text)
+    * and hyperplane-sketch (embedding) dedup paths. */
+  private def sigBandPairs(sigs: DataFrame, bands: Int): DataFrame = {
+    val widths = Array.tabulate(bands)(b =>
+      64 / bands + (if (b < 64 % bands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(array((0 until bands).map { b =>
           val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
@@ -165,7 +173,60 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
+  }
+
+  /** Exact embedding-cosine near-dup pairs on a bounded subset — the
+    * correctness oracle for [[embeddingNearDupLsh]]. O(n²) dot products:
+    * guard with `maxDocs` (deterministic lowest-id cap, like
+    * [[ngramJaccardPairs]]). Scores are double with a fixed fold order and
+    * rounded to 4 decimals — bit-reproducible across engines. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double,
+                            maxDocs: Int = 500): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val v = df.orderBy(col(idCol)).limit(maxDocs)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    val a = v.select(col("id").as("id1"), col("vec").as("v1"))
+    val b = v.select(col("id").as("id2"), col("vec").as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine",
+        graft.functions.Rounding.round4(cosine(col("v1"), col("v2"))))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** Embedding-cosine near-dup pairs at scale: 64-bit hyperplane sign
+    * sketch per vector (`expressions.HyperplaneSig64`, scan-local), banded
+    * candidates via [[sigBandPairs]], exact-cosine verify on candidates
+    * only.
+    *
+    * Recall is exact for pairs whose SKETCHES are within `maxHamming`
+    * (pigeonhole banding); the sketch itself is probabilistic —
+    * P(bit differs) = angle/π — so a pair at cosine `threshold` is missed
+    * with the (small, quantifiable) probability that its 64-bit sketch
+    * hamming exceeds `maxHamming`. Raise `maxHamming` for recall, lower it
+    * for candidate volume; exact copies (hamming 0) are always found.
+    */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, maxHamming: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    graft.expressions.HyperplaneSig64.register(df.sparkSession)
+    // vectors feed the sketch AND the two verify joins; sketches feed the
+    // banded self-join twice
+    val vecs = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = vecs.selectExpr("id", "hyperplane_sig64(vec) AS sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = sigBandPairs(sigs, maxHamming + 1)
       .where(col("hamming") <= maxHamming)
+    cand.join(vecs.select(col("id").as("id1"), col("vec").as("v1")), "id1")
+      .join(vecs.select(col("id").as("id2"), col("vec").as("v2")), "id2")
+      .withColumn("cosine",
+        graft.functions.Rounding.round4(cosine(col("v1"), col("v2"))))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
   }
 
   /** SQL text of the tokenizer (for expr() call sites). */

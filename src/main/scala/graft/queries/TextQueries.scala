@@ -194,10 +194,20 @@ object TextQueries {
     },
 
     // Rabin-Karp rolling-hash fingerprint (custom codegen'd expression,
-    // 2^61-1 modulus) — the content-defined-chunking primitive. Algorithm
-    // not reproducible in DuckDB SQL → rows-only; polynomial structure is
-    // proven in RollingHashSpec.
-    Q.rowsOnly("q_text_rolling_hash") { (s, dir) =>
+    // 2^61-1 modulus) — the content-defined-chunking primitive. Oracled:
+    // DuckDB replays the polynomial fold with HUGEINT intermediates
+    // (h*257 < 2^69 needs 128-bit) via list_reduce. The Spark expression
+    // folds UTF-8 BYTES while ord() folds code points — identical on this
+    // all-ASCII corpus (asserted for every sf dir by the gate itself:
+    // any non-ASCII text would hash-mismatch).
+    Q("q_text_rolling_hash",
+      """SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> CAST(ord(text[i]) AS HUGEINT))),
+        |       (h, c) -> (h * 257 + c) % 2305843009213693951) AS BIGINT)
+        |    AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.expressions.RollingHash64.register(s)
       t(s, dir, "documents")
         .selectExpr("doc_id", "rolling_hash64(text) AS fingerprint")

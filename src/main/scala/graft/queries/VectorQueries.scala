@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** Driver-gated queries for similarity search over the `embeddings` table.
   *
@@ -49,5 +49,59 @@ object VectorQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+
+    // Embedding-cosine near-dup, exact bounded baseline. The corpus is
+    // synthetic-random (max pairwise cosine ≈ 0.51), so near-dups are
+    // PLANTED deterministically: ×2-scaled copies (cosine exactly 1 —
+    // magnitude invariance) and first-component+0.1 perturbations
+    // (cosine ≈ 0.995); threshold 0.99 admits exactly the planted pairs.
+    Q("q_dedup_embed",
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |              FROM embeddings WHERE vec_id < 50),
+         |aug AS (SELECT vec_id, v FROM base
+         |        UNION ALL
+         |        SELECT vec_id + 100000, list_transform(v, x -> x * 2.0)
+         |        FROM base WHERE vec_id < 25
+         |        UNION ALL
+         |        SELECT vec_id + 100000, list_concat([v[1] + 0.1], v[2:64])
+         |        FROM base WHERE vec_id >= 25)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      Dedup.embeddingNearDupPairs(augmentedEmbeddings(s, dir), "vec_id", "v",
+          threshold = 0.99, maxDocs = 1000)
+        .orderBy("id1", "id2")
+    },
+
+    // Embedding near-dup at scale: hyperplane sign sketch + pigeonhole
+    // banding + cosine verify. The sketch is probabilistic (no DuckDB
+    // twin) → rows-only; recall vs the exact baseline is asserted in
+    // SimilaritySpec.
+    Q.rowsOnly("q_dedup_embed_lsh") { (s, dir) =>
+      Dedup.embeddingNearDupLsh(augmentedEmbeddings(s, dir), "vec_id", "v",
+          threshold = 0.99, maxHamming = 10)
+        .orderBy("id1", "id2")
+    },
   )
+
+  /** Embeddings with planted near-dups (see q_dedup_embed): ids < 50, plus
+    * ×2-scaled copies of ids < 25 and +0.1-first-component perturbations of
+    * ids 25-49, planted at id + 100000. All arithmetic in double, mirroring
+    * the DuckDB oracle expression for expression. */
+  private def augmentedEmbeddings(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.VectorFunctions.asDouble
+    val base = t(s, dir, "embeddings").where(col("vec_id") < 50)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val scaled = base.where(col("vec_id") < 25)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), x => x * 2.0).as("v"))
+    val perturbed = base.where(col("vec_id") >= 25)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + 0.1),
+          slice(col("v"), 2, 63)).as("v"))
+    base.union(scaled).union(perturbed)
+  }
 }

@@ -127,4 +127,24 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"IVF recall $recall too low") // nProbe/nClusters=0.5
   }
+
+  test("embedding near-dup: LSH finds what the exact baseline finds") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    // plant exact copies (sketch hamming 0 → banding MUST recall them)
+    val planted = emb.where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000).as("vec_id"), col("v"))
+    val aug = emb.union(planted)
+    val exact = Dedup.embeddingNearDupPairs(aug, "vec_id", "v",
+        threshold = 0.99, maxDocs = 1000)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(aug, "vec_id", "v",
+        threshold = 0.99, maxHamming = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert((0L until 10L).forall(i => lsh.contains((i, i + 1000))))
+    assert(lsh.subsetOf(exact)) // verify stage keeps LSH ⊆ exact
+    assert(exact.size == 10)    // only the planted pairs clear 0.99
+  }
 }
