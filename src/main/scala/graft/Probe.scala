@@ -1,12 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.engine.Tables.t
 
 /** Scratch timing probe (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val qname = args.lift(1).getOrElse("q_vault_rating_slide")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -19,11 +18,11 @@ object Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val docs = t(spark, sfDir, "documents")
-    time("warmup")(docs.count())
-    val n = time("minhash-new")(graft.operators.Dedup.minhashLshPairs(
-      docs, "doc_id", "text", 5, 8, 4, 0.5).count())
-    println(s"[probe] pairs = $n")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+    val fn = SparkEntry.queries(qname)
+    time("cold")(fn(spark, sfDir).count())
+    time("warm")(fn(spark, sfDir).count())
+    time("warm2")(fn(spark, sfDir).count())
     spark.stop()
   }
 }

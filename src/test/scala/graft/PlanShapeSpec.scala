@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+import graft.operators.{Dedup, GlobalRank}
+
+/** Physical-plan shape assertions — the 100 TB contract, checked in CI:
+  * filters and projections must reach the parquet scan, dimension joins
+  * must broadcast, per-row signature work must stay scan-local (no
+  * exchange), rankings must never collapse to one partition, and custom
+  * expressions must not break whole-stage codegen. A regression in any of
+  * these is invisible at sf0.001 wall-clock but fatal at cluster scale.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection push down to the parquet scan") {
+    val df = t(spark, sf001, "lineitem")
+      .where(col("l_partkey") === 5L)
+      .select("l_partkey", "l_quantity")
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_partkey), EqualTo(l_partkey,5)"),
+      s"filter not pushed:\n$plan")
+    // column pruning: the scan must read 2 columns, not all 16
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_partkey") &&
+      readSchema.contains("l_quantity") && !readSchema.contains("l_comment"),
+      s"projection not pruned: $readSchema")
+  }
+
+  test("dimension-side joins broadcast instead of shuffling the fact side") {
+    val plan = physical(SparkEntry.queries("q_join_inner")(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("minhash signatures are a scan-local projection (no exchange)") {
+    graft.expressions.MinHash.register(spark)
+    val sigs = t(spark, sf001, "documents")
+      .selectExpr("doc_id", "minhash_sig(word_shingles(text, 5), 8) AS sig")
+    val plan = physical(sigs)
+    assert(!plan.contains("Exchange"),
+      s"signature computation must not shuffle:\n$plan")
+    // whole-stage codegen renders as a "*(n)" stage prefix in plan text
+    assert(plan.contains("*("),
+      s"signature expressions fell out of codegen:\n$plan")
+  }
+
+  test("hyperplane sketch is scan-local and codegen'd") {
+    graft.expressions.HyperplaneSig64.register(spark)
+    val sigs = t(spark, sf001, "embeddings")
+      .selectExpr("vec_id",
+        "hyperplane_sig64(CAST(embedding AS ARRAY<DOUBLE>)) AS sig")
+    val plan = physical(sigs)
+    assert(!plan.contains("Exchange"), s"sketch must not shuffle:\n$plan")
+    assert(plan.contains("*("),
+      s"sketch fell out of codegen:\n$plan")
+  }
+
+  test("GlobalRank never collapses to a single partition") {
+    val df = spark.range(0, 10000).selectExpr("id", "id % 97 AS v")
+      .repartition(8)
+    val ranked = GlobalRank.withRowNumber(df, "r", Seq(desc("v"), asc("id")))
+    assert(ranked.rdd.getNumPartitions > 1,
+      "global ranking must stay distributed")
+    val plan = physical(ranked)
+    assert(!plan.contains("SinglePartition"),
+      s"global ranking introduced a single-partition exchange:\n$plan")
+  }
+
+  test("exact dedup aggregates with map-side partials (no raw-row shuffle)") {
+    val plan = physical(Dedup.exactDuplicates(
+      t(spark, sf001, "documents"), "doc_id", "text"))
+    // partial_min before the exchange proves the canonical-id agg combines
+    // map-side; the shuffle carries one row per (fingerprint, partition)
+    assert(plan.contains("partial_min") || plan.contains("partial_first"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+}
