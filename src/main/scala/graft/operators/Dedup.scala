@@ -110,8 +110,10 @@ object Dedup {
                         maxDocs: Int = 200): DataFrame = {
     // deterministic COUNT cap (lowest maxDocs ids), not an id-value filter
     // — sparse or offset id spaces would otherwise silently select nothing.
+    graft.expressions.MinHash.register(df.sparkSession)
     val sh = df.orderBy(col(idCol)).limit(maxDocs)
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .select(col(idCol).as("id"),
+        expr(s"word_shingles($textCol, $k)").as("sh"))
     val a = sh.select(col("id").as("id1"), col("sh").as("sh1"))
     val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))
     a.join(b, col("id1") < col("id2"))

@@ -236,7 +236,6 @@ object TextQueries {
         |             ORDER BY tfidf DESC, term) AS rn FROM scored)
         |SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rn = 1
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val tok = docs.select(col("doc_id"),
         explode(tokens(col("text"))).as("term"))
@@ -247,13 +246,21 @@ object TextQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.count() // corpus size: one scalar, computed once
-      val scored = tf.join(broadcast(df), Seq("term"))
+      // no broadcast hint on the df join: the vocabulary of a 100 TB corpus
+      // does not fit the driver — AQE broadcasts at runtime when it IS
+      // small, and falls back to a shuffle join when it isn't
+      val scored = tf.join(df, Seq("term"))
         .withColumn("tfidf",
           round4(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)))
-      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
-      scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+      // top-1 per doc as a hash aggregate, not a window: min_by on the
+      // (-tfidf, term) struct = max tfidf with min-term tiebreak (scores
+      // are pre-rounded, so ties are exact in both engines), no per-group
+      // sort. tfidf >= 1 always, so -tfidf never hits the -0.0 edge.
+      scored.groupBy("doc_id")
+        .agg(min_by(struct(col("term"), col("tfidf")),
+          struct((-col("tfidf")).as("neg"), col("term"))).as("top"))
+        .select(col("doc_id"), col("top.term").as("top_term"),
+          col("top.tfidf").as("tfidf"))
         .orderBy("doc_id")
     },
 
