@@ -479,13 +479,26 @@ object RelationalQueries {
     },
 
     // Sketch aggregation: HyperLogLog++ distinct estimate. Estimator
-    // internals differ per engine → rows-only; accuracy vs exact count is
-    // asserted in OperatorsSpec.
-    Q.rowsOnly("q_agg_approx_distinct") { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
-        .orderBy("l_returnflag")
+    // internals differ per engine, so the estimate itself can't be
+    // hash-compared — instead the query EMITS its own accuracy contract:
+    // the exact per-group count (oracle-checkable) plus a within-5%
+    // boolean the oracle pins to TRUE. If the sketch ever drifts past its
+    // rsd bound, the flag flips and the driver's hash compare fails —
+    // a real gate, not rows-only.
+    Q("q_agg_approx_distinct",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("exact_parts"),
+            approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")) <=
+              col("exact_parts") * 0.05).as("within_5pct"))
+          .orderBy("l_returnflag")
     },
 
     // INTERSECT / EXCEPT set operations (absent from the reference;
