@@ -50,6 +50,31 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF recall contract, oracle-gated: the query computes recall@10 of
+    // the IVF path against the brute-force baseline per query vector and
+    // emits a >= 0.3 flag (nProbe/nClusters = 1/4 of the space searched);
+    // the oracle pins the flag to TRUE. IVF is fully deterministic here
+    // (fixed centroids, rounded scores, id tiebreaks), so a regression in
+    // the probe logic flips the flag and fails the driver's hash gate.
+    Q("q_ann_ivf_recall",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.where(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
+          .select("query_id", "cand_id")
+        val approx = Similarity.ivfTopK(emb, qs, k = 10,
+          nClusters = 16, nProbe = 4).select("query_id", "cand_id")
+        val hits = exact.join(approx, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            (coalesce(col("hits"), lit(0L)) >= col("n") * 0.3).as("recall_ok"))
+          .orderBy("query_id")
+    },
+
     // Embedding-cosine near-dup, exact bounded baseline. The corpus is
     // synthetic-random (max pairwise cosine ≈ 0.51), so near-dups are
     // PLANTED deterministically: ×2-scaled copies (cosine exactly 1 —
