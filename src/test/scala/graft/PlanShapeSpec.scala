@@ -72,6 +72,23 @@ class PlanShapeSpec extends SparkSpec {
       s"global ranking introduced a single-partition exchange:\n$plan")
   }
 
+  test("load-date partitioned layout prunes partitions at the scan") {
+    import graft.sources.Formats
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = spark.range(0, 1000)
+      .selectExpr("id", "CAST(id % 7 AS STRING) AS load_date")
+    Formats.overwrite(df, dir, partitionBy = Seq("load_date"))
+    val read = spark.read.parquet(dir).where(col("load_date") === "3")
+    val plan = physical(read)
+    // the filter must be a PartitionFilter (directory pruning), not a
+    // post-scan DataFilter over all 7 partitions
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("load_date"),
+      s"partition filter not pushed to the scan:\n$plan")
+    assert(read.count() == 1000 / 7 + (if (3 < 1000 % 7) 1 else 0))
+  }
+
   test("exact dedup aggregates with map-side partials (no raw-row shuffle)") {
     val plan = physical(Dedup.exactDuplicates(
       t(spark, sf001, "documents"), "doc_id", "text"))
