@@ -231,6 +231,24 @@ object RelationalQueries {
         .orderBy("p_partkey")
     },
 
+    // Skew-mitigation salted join (operators.Salting): result-identical to
+    // the plain join — the oracle IS the plain join — only the partitioning
+    // of work changes (hot-key rows spread over saltFactor reducers). The
+    // derived nation key (o_custkey % 5) is deliberately low-cardinality:
+    // every key is "hot", the shape AQE's block-splitting can't fix.
+    Q("q_join_salted",
+      """SELECT o_orderkey, o_custkey % 5 AS nat, n_name
+        |FROM orders JOIN nation ON o_custkey % 5 = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_custkey") % 5).as("nat"))
+      val small = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nat"), col("n_name"))
+      graft.operators.Salting.saltedJoin(big, small, Seq("nat"), saltFactor = 8)
+        .select(col("o_orderkey"), col("nat"), col("n_name"))
+        .orderBy("o_orderkey")
+    },
+
     // C26 — semi join (IN-subquery filter): suppliers with shipments.
     Q("q_join_semi",
       """SELECT s_suppkey, s_name FROM supplier
