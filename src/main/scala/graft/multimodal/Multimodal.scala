@@ -72,6 +72,24 @@ object Multimodal {
       }
   }
 
+  /** Resize for image payloads: the metadata math is real (aspect-ratio-
+    * preserving fit into a maxDim×maxDim box, floor semantics, upscale
+    * suppressed); the pixel transform is the marked seam — payload passes
+    * through where a real implementation re-encodes. Scan-local projection:
+    * resizing 100 TB of images shuffles nothing. */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    media.where(col("kind") === "image")
+      .withColumn("__scale", least(lit(1.0),
+        lit(maxDim.toDouble) /
+          greatest(col("width"), col("height")).cast("double")))
+      .withColumn("out_width",
+        greatest(lit(1), floor(col("width") * col("__scale"))).cast("int"))
+      .withColumn("out_height",
+        greatest(lit(1), floor(col("height") * col("__scale"))).cast("int"))
+      .drop("__scale")
+  }
+
   /** Frame sampling stub for video payloads: selects deterministic byte
     * offsets standing in for frame indices — the real version seeks key
     * frames; the sampling *plan* (explode per frame, scan-local) is real. */

@@ -68,6 +68,22 @@ class MultimodalSpec extends SparkSpec {
       .select("count").as[Long].collect()
     assert(perVideo.nonEmpty && perVideo.forall(_ == 4))
   }
+
+  test("resizeImages fits the box, keeps aspect ratio, never upscales") {
+    val out = Multimodal.resizeImages(media, maxDim = 64)
+      .select("width", "height", "out_width", "out_height")
+      .as[(Int, Int, Int, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (w, h, ow, oh) =>
+      assert(ow <= 64 && oh <= 64 && ow >= 1 && oh >= 1)
+      assert(ow <= w && oh <= h) // no upscale
+      if (w.max(h) > 64) {
+        // aspect ratio preserved under floor: ow/oh within 1 of exact scale
+        val scale = 64.0 / w.max(h)
+        assert(math.abs(ow - w * scale) <= 1 && math.abs(oh - h * scale) <= 1)
+      } else assert(ow == w && oh == h) // small images untouched
+    }
+  }
 }
 
 class StreamingSpec extends SparkSpec {
