@@ -193,6 +193,37 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
+    // Duplicate-cluster canonicalization: connected components over a pair
+    // graph (min-label propagation), oracled against a DuckDB recursive
+    // CTE computing min reachable id. Edges form 3-node chains
+    // (d — d+100000 — d+200000) so the gate requires TRANSITIVE closure,
+    // not just pairwise matching.
+    Q("q_dedup_components",
+      """WITH RECURSIVE
+        |edges AS (SELECT doc_id AS id1, doc_id + 100000 AS id2
+        |          FROM documents WHERE doc_id < 30
+        |          UNION ALL
+        |          SELECT doc_id + 100000, doc_id + 200000
+        |          FROM documents WHERE doc_id < 30),
+        |nodes AS (SELECT id1 AS id FROM edges UNION SELECT id2 FROM edges),
+        |sym AS (SELECT id1 AS a, id2 AS b FROM edges
+        |        UNION SELECT id2, id1 FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id)
+        |SELECT id, min(r) AS canonical FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents").where(col("doc_id") < 30)
+        .select(col("doc_id"))
+      val edges = base.select(col("doc_id").as("id1"),
+          (col("doc_id") + 100000).as("id2"))
+        .union(base.select((col("doc_id") + 100000).as("id1"),
+          (col("doc_id") + 200000).as("id2")))
+      graft.operators.ConnectedComponents.canonicalize(edges)
+        .orderBy("id")
+    },
+
     // Rabin-Karp rolling-hash fingerprint (custom codegen'd expression,
     // 2^61-1 modulus) — the content-defined-chunking primitive. Oracled:
     // DuckDB replays the polynomial fold with HUGEINT intermediates

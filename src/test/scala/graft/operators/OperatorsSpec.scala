@@ -88,6 +88,25 @@ class DedupSpec extends SparkSpec {
     assert(df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0)
       == 0.5)
   }
+
+  test("connected components: chains close transitively, clusters stay apart") {
+    // chain 1-2-3-4-5 (diameter 4) + disjoint pair 10-11 + singleton edge 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L),
+      (20L, 21L)).toDF("id1", "id2").repartition(5)
+    val got = ConnectedComponents.canonicalize(edges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 9)
+  }
+
+  test("connected components fails loudly when maxIter is too small") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.canonicalize(chain, maxIter = 1).collect()
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
