@@ -45,16 +45,15 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("b"), col("canonical").as("nb")), "b")
         .groupBy(col("a").as("id"))
         .agg(min("nb").as("neighborMin"))
+      // carry the previous label through the round so convergence is read
+      // off the SAME materialized frame — no extra join per round
       val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("canonical").as("__prev"),
           least(col("canonical"), coalesce(col("neighborMin"),
             col("canonical"))).as("canonical"))
         .localCheckpoint(true) // truncate the iterative lineage
-      converged = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .where(col("u.canonical") =!= col("l.canonical"))
-        .isEmpty
-      labels = updated
+      converged = updated.where(col("canonical") =!= col("__prev")).isEmpty
+      labels = updated.drop("__prev")
       iter += 1
     }
     require(converged,
