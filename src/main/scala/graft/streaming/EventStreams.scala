@@ -88,6 +88,17 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-static enrichment: join the stream against a batch dimension
+    * table — the canonical streaming-lookup shape (event → hub/satellite
+    * attributes). The static side is re-planned per micro-batch, so a
+    * dimension refreshed in place is picked up without restarting the
+    * query; `broadcast` keeps the stream side shuffle-free (dimensions are
+    * hub-sized — for a dimension too big to broadcast, pre-bucket both
+    * sides instead). */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Convenience: run a streaming DataFrame to an in-memory sink and block
     * until all available data is processed (dev/test harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -115,6 +115,26 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "click", 1L, 7.0)))
   }
 
+  test("enrich joins the stream against a static dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val enriched = EventStreams.enrich(
+      events.toDF().toDF("user_id", "value"), dim, Seq("user_id"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("user_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toSet
+      // left join: unmatched stream rows survive with a null dimension
+      assert(got == Set(1L -> Some("gold"), 2L -> Some("silver"),
+        3L -> None))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeated ids inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[(Long, java.sql.Timestamp, Double)]
