@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{MinHashSig, RollingHash64, SimHash64, WordShingles}
+import graft.expressions.{HyperplaneSig64, MinHash, MinHashSig, RollingHash64, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -23,10 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       children => WordShingles(children.head,
-        children(1).eval().asInstanceOf[Int])))
+        MinHash.intArg(children(1), "shingle size k"))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       children => MinHashSig(children.head,
-        children(1).eval().asInstanceOf[Int])))
+        MinHash.intArg(children(1), "signature size m"))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_sig64"),
+      HyperplaneSig64.info, children => HyperplaneSig64(children.head)))
   }
 }

@@ -164,7 +164,10 @@ case class MinHashSig(child: Expression, m: Int) extends UnaryExpression {
 }
 
 object MinHash {
-  private def intArg(e: Expression, what: String): Int = e.eval() match {
+  /** Validated integer-literal argument for function builders (shared with
+    * GraftExtensions so both registration paths reject bad arity/types with
+    * the same descriptive error). */
+  private[graft] def intArg(e: Expression, what: String): Int = e.eval() match {
     case i: Int => i
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")

@@ -42,8 +42,13 @@ object VectorSketchUtil {
       var dot = 0.0
       var j = 0
       while (j < n) {
-        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
-        dot += x * plane(i, j)
+        // null components contribute 0 (skipped), like minhashSig skips
+        // null shingles — without the check, UnsafeArrayData silently
+        // yields 0.0 but GenericArrayData NPEs on unboxing
+        if (!v.isNullAt(j)) {
+          val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+          dot += x * plane(i, j)
+        }
         j += 1
       }
       if (dot >= 0) out |= (1L << i)

@@ -79,14 +79,21 @@ object Multimodal {
     * resizing 100 TB of images shuffles nothing. */
   def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
     require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    // corrupt metadata (null or non-positive dims) propagates as null
+    // output dims — fabricating plausible-looking 1px dimensions would
+    // hide the corruption from downstream filters
+    val valid = col("width").isNotNull && col("height").isNotNull &&
+      col("width") > 0 && col("height") > 0
     media.where(col("kind") === "image")
-      .withColumn("__scale", least(lit(1.0),
+      .withColumn("__scale", when(valid, least(lit(1.0),
         lit(maxDim.toDouble) /
-          greatest(col("width"), col("height")).cast("double")))
-      .withColumn("out_width",
-        greatest(lit(1), floor(col("width") * col("__scale"))).cast("int"))
-      .withColumn("out_height",
-        greatest(lit(1), floor(col("height") * col("__scale"))).cast("int"))
+          greatest(col("width"), col("height")).cast("double"))))
+      // when(valid, ...) must wrap the WHOLE expression: Spark's greatest()
+      // skips nulls, so greatest(1, null) would resurrect a 1px dimension
+      .withColumn("out_width", when(valid,
+        greatest(lit(1), floor(col("width") * col("__scale")))).cast("int"))
+      .withColumn("out_height", when(valid,
+        greatest(lit(1), floor(col("height") * col("__scale")))).cast("int"))
       .drop("__scale")
   }
 

@@ -35,32 +35,33 @@ object ConnectedComponents {
       .union(pairs.select(col(id2Col).as("a"), col(id1Col).as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("canonical", col("id"))
-      .localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val neighborMin = sym
-        .join(labels.select(col("id").as("b"), col("canonical").as("nb")), "b")
-        .groupBy(col("a").as("id"))
-        .agg(min("nb").as("neighborMin"))
-      // carry the previous label through the round so convergence is read
-      // off the SAME materialized frame — no extra join per round
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("canonical").as("__prev"),
-          least(col("canonical"), coalesce(col("neighborMin"),
-            col("canonical"))).as("canonical"))
-        .localCheckpoint(true) // truncate the iterative lineage
-      converged = updated.where(col("canonical") =!= col("__prev")).isEmpty
-      labels = updated.drop("__prev")
-      iter += 1
-    }
-    require(converged,
-      s"connected components did not converge in $maxIter rounds — " +
-        "graph diameter exceeds the bound; raise maxIter or use an " +
-        "alternating-star variant for long-chain graphs")
-    sym.unpersist()
-    labels
+    try {
+      var labels = sym.select(col("a").as("id")).distinct()
+        .withColumn("canonical", col("id"))
+        .localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val neighborMin = sym
+          .join(labels.select(col("id").as("b"), col("canonical").as("nb")), "b")
+          .groupBy(col("a").as("id"))
+          .agg(min("nb").as("neighborMin"))
+        // carry the previous label through the round so convergence is read
+        // off the SAME materialized frame — no extra join per round
+        val updated = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("canonical").as("__prev"),
+            least(col("canonical"), coalesce(col("neighborMin"),
+              col("canonical"))).as("canonical"))
+          .localCheckpoint(true) // truncate the iterative lineage
+        converged = updated.where(col("canonical") =!= col("__prev")).isEmpty
+        labels = updated.drop("__prev")
+        iter += 1
+      }
+      require(converged,
+        s"connected components did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the bound; raise maxIter or use an " +
+          "alternating-star variant for long-chain graphs")
+      labels
+    } finally sym.unpersist() // also on the non-convergence throw
   }
 }

@@ -71,7 +71,7 @@ object Dedup {
     // Persisted: shingle arrays feed both the signature projection and the
     // verify join; signatures feed the banded self-join twice.
     val sh = df.select(col(idCol).as("id"),
-        expr(s"word_shingles($textCol, $k)").as("sh"))
+        expr(s"word_shingles(${q(textCol)}, $k)").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sh.select(col("id"), expr(s"minhash_sig(sh, $m)").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -113,7 +113,7 @@ object Dedup {
     graft.expressions.MinHash.register(df.sparkSession)
     val sh = df.orderBy(col(idCol)).limit(maxDocs)
       .select(col(idCol).as("id"),
-        expr(s"word_shingles($textCol, $k)").as("sh"))
+        expr(s"word_shingles(${q(textCol)}, $k)").as("sh"))
     val a = sh.select(col("id").as("id1"), col("sh").as("sh1"))
     val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))
     a.join(b, col("id1") < col("id2"))
@@ -233,5 +233,11 @@ object Dedup {
 
   /** SQL text of the tokenizer (for expr() call sites). */
   private def tokensSql(textCol: String): String =
-    s"split(trim(lower($textCol)), '\\\\s+')"
+    s"split(trim(lower(${q(textCol)})), '\\\\s+')"
+
+  /** Backtick-quote an identifier for splicing into expr() SQL — column
+    * names with hyphens, spaces, or reserved words must not be parsed as
+    * expressions. Embedded backticks escape by doubling. */
+  private def q(name: String): String =
+    "`" + name.replace("`", "``") + "`"
 }

@@ -84,6 +84,19 @@ class MultimodalSpec extends SparkSpec {
       } else assert(ow == w && oh == h) // small images untouched
     }
   }
+
+  test("resizeImages propagates null for corrupt dimensions") {
+    val corrupt = Seq(
+      (1L, "image", Array[Byte](1), null.asInstanceOf[Integer], Integer.valueOf(100), 0L),
+      (2L, "image", Array[Byte](1), Integer.valueOf(0), Integer.valueOf(50), 0L),
+      (3L, "image", Array[Byte](1), Integer.valueOf(200), Integer.valueOf(100), 0L))
+      .toDF("media_id", "kind", "payload", "width", "height", "duration_ms")
+    val out = Multimodal.resizeImages(corrupt, maxDim = 64)
+      .select("media_id", "out_width", "out_height").collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2))).toSet
+    assert(out == Set((1L, true, true), (2L, true, true),
+      (3L, false, false)))
+  }
 }
 
 class StreamingSpec extends SparkSpec {

@@ -83,6 +83,15 @@ class DedupSpec extends SparkSpec {
       hamming(sigs(1L), sigs(4L)))             // one word vs disjoint text
   }
 
+  test("dedup operators accept exotic column names (quoted identifiers)") {
+    val odd = docs.withColumnRenamed("doc_id", "doc id")
+      .withColumnRenamed("text", "body-text")
+    val pairs = Dedup.minhashLshPairs(odd, "doc id", "body-text",
+        k = 3, m = 8, bands = 4, threshold = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("jaccard is exact on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     assert(df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0)
