@@ -193,6 +193,54 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
+    // End-to-end corpus curation — the training-data pipeline in one
+    // oracled query: language-ID, quality scoring, exact dedup (keep the
+    // lowest doc_id per normalized fingerprint), quality threshold, then a
+    // per-language document/token budget. Composes four operator families;
+    // every stage is the same code the standalone gates exercise.
+    Q("q_corpus_curate", {
+      val (mx, whens) = langCases
+      val enList = stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |         CASE WHEN $mx = 0 THEN 'und' ${whens.replace("__mx", mx)}
+         |         END AS lang,
+         |         round(0.4 * least(1.0, len($sqlToks) / 100.0)
+         |             + 0.3 * (len(list_filter($sqlToks,
+         |                          t -> list_contains($enList, t)))
+         |                      / greatest(CAST(len($sqlToks) AS DOUBLE), 1.0))
+         |             + 0.3 * least(1.0,
+         |                 (length(regexp_replace(text, '\\s+', '', 'g'))
+         |                  / greatest(CAST(len($sqlToks) AS DOUBLE), 1.0)) / 8.0),
+         |               4) AS quality,
+         |         len($sqlToks) AS n_tokens,
+         |         md5(regexp_replace(regexp_replace(lower(text),
+         |             '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |kept AS (SELECT s.* FROM scored s
+         |         JOIN (SELECT fp, min(doc_id) AS keep_id
+         |               FROM scored GROUP BY fp) c
+         |           ON s.fp = c.fp AND s.doc_id = c.keep_id)
+         |SELECT lang, count(*) AS docs, sum(n_tokens) AS tokens
+         |FROM kept WHERE quality >= 0.35
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"),
+        langId(col("text")).as("lang"),
+        qualityScore(col("text")).as("quality"),
+        tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        normFingerprint(col("text")).as("fp"))
+      val canon = scored.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      scored.join(canon,
+          scored("fp") === canon("fp") &&
+            scored("doc_id") === canon("keep_id"), "left_semi")
+        .where(col("quality") >= 0.35)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+        .orderBy("lang")
+    },
+
     // Duplicate-cluster canonicalization: connected components over a pair
     // graph (min-label propagation), oracled against a DuckDB recursive
     // CTE computing min reachable id. Edges form 3-node chains
