@@ -221,7 +221,7 @@ object TextQueries {
          |         JOIN (SELECT fp, min(doc_id) AS keep_id
          |               FROM scored GROUP BY fp) c
          |           ON s.fp = c.fp AND s.doc_id = c.keep_id)
-         |SELECT lang, count(*) AS docs, sum(n_tokens) AS tokens
+         |SELECT lang, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
          |FROM kept WHERE quality >= 0.35
          |GROUP BY lang ORDER BY lang""".stripMargin
     }) { (s, dir) =>
