@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over a near-duplicate pair graph — the step that
   * turns dedup PAIRS into dedup DECISIONS: every document in a duplicate
@@ -17,15 +18,22 @@ import org.apache.spark.sql.functions._
   * a half-converged labeling.
   *
   * Scale shape: one shuffle per round (the neighbor-min aggregation), all
-  * joins on the node id. Lineage is truncated with an eager
-  * `localCheckpoint` per round — without it, the iterative plan nests one
-  * join deeper every round and the optimizer re-walks (and at some depth
-  * re-executes) the whole history. For graphs whose diameter is itself the
-  * problem (billions of edges, long chains), swap in the alternating
-  * large-star/small-star algorithm (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond") — same DataFrame surface.
+  * joins on the node id. Storage discipline: each round persists its
+  * output, materializes it via the convergence count, then frees the
+  * previous round — at most two label copies live at any moment. Every
+  * `CheckpointEvery` rounds the frame is additionally localCheckpoint'ed
+  * to truncate the iterative lineage (the plan would otherwise nest one
+  * join deeper per round and the optimizer re-walks the whole history);
+  * checkpoint blocks are bounded at diameter/CheckpointEvery copies, the
+  * price of fast recovery should a persisted partition be lost. For graphs
+  * whose diameter is itself the problem (billions of edges, long chains),
+  * swap in the alternating large-star/small-star algorithm (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond") — same DataFrame
+  * surface.
   */
 object ConnectedComponents {
+
+  private val CheckpointEvery = 5
 
   /** @param pairs edges as two id columns (any orientation, dups fine)
     * @return (id, canonical) for every id appearing in `pairs` */
@@ -34,11 +42,11 @@ object ConnectedComponents {
     val sym = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
       .union(pairs.select(col(id2Col).as("a"), col(id1Col).as("b")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = sym.select(col("a").as("id")).distinct()
         .withColumn("canonical", col("id"))
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -48,12 +56,19 @@ object ConnectedComponents {
           .agg(min("nb").as("neighborMin"))
         // carry the previous label through the round so convergence is read
         // off the SAME materialized frame — no extra join per round
-        val updated = labels.join(neighborMin, Seq("id"), "left")
+        var updated = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"), col("canonical").as("__prev"),
             least(col("canonical"), coalesce(col("neighborMin"),
               col("canonical"))).as("canonical"))
-          .localCheckpoint(true) // truncate the iterative lineage
-        converged = updated.where(col("canonical") =!= col("__prev")).isEmpty
+        updated =
+          if (iter % CheckpointEvery == CheckpointEvery - 1)
+            updated.localCheckpoint(true) // truncate the iterative lineage
+          else updated.persist(StorageLevel.MEMORY_AND_DISK)
+        // count() (not isEmpty) fully materializes the round before the
+        // previous copy is released
+        converged = updated.where(col("canonical") =!= col("__prev"))
+          .count() == 0
+        labels.unpersist() // updated is materialized; free the prior copy
         labels = updated.drop("__prev")
         iter += 1
       }

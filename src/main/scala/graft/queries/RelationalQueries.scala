@@ -506,16 +506,20 @@ object RelationalQueries {
     Q("q_agg_approx_distinct",
       """SELECT l_returnflag,
         |       count(DISTINCT l_partkey) AS exact_parts,
-        |       TRUE AS within_5pct
+        |       TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, dir) =>
+        // tolerance = 8% = 4 sigma of the requested rsd (0.02): wide enough
+        // that the deterministic HLL++ estimate cannot flip the flag on an
+        // unvalidated scale factor (observed error is ~1% at sf0.001-0.1),
+        // tight enough that real estimator drift still fails the gate
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(countDistinct("l_partkey").as("exact_parts"),
             approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
           .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("approx_parts") - col("exact_parts")) <=
-              col("exact_parts") * 0.05).as("within_5pct"))
+              col("exact_parts") * 0.08).as("within_tol"))
           .orderBy("l_returnflag")
     },
 

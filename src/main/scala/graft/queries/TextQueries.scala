@@ -225,12 +225,16 @@ object TextQueries {
          |FROM kept WHERE quality >= 0.35
          |GROUP BY lang ORDER BY lang""".stripMargin
     }) { (s, dir) =>
+      // persisted: the scored projection (four regex/md5/HOF expression
+      // trees over every document) feeds both the canonical aggregate and
+      // the semi-join probe — pay it once
       val scored = t(s, dir, "documents").select(
         col("doc_id"),
         langId(col("text")).as("lang"),
         qualityScore(col("text")).as("quality"),
         tokenCount(col("text")).cast(LongType).as("n_tokens"),
         normFingerprint(col("text")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val canon = scored.groupBy("fp").agg(min("doc_id").as("keep_id"))
       scored.join(canon,
           scored("fp") === canon("fp") &&

@@ -10,11 +10,9 @@ artifacts (years outside 1677-2262 silently wrap in ns precision).
 
 Usage: python3 tools/check_pyarrow.py <sfDir> <verifyOutDir>
 
-Known stricter-than-driver case: q_expr_datetime's DATE column reads as
-datetime.date objects while the oracle returns midnight timestamps — the
-driver's comparator normalized this in r1 (hash_match=true), so a FAIL
-here for that shape alone is a false alarm; everything else is a real
-hazard.
+The one driver-tolerated shape (DATE columns read as datetime.date objects
+vs the oracle's midnight timestamps — r1 hash_match=true) is normalized in
+norm(), so a healthy tree exits 0 with N/N and ANY fail is a real hazard.
 """
 import glob
 import json
@@ -36,8 +34,30 @@ def load_spark(outdir, name):
 
 
 def norm(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), key=lambda s: s.astype(str))
+    import datetime
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        # normalize the one driver-tolerated shape: DATE columns read as
+        # datetime.date objects (pyarrow) vs midnight timestamps (DuckDB df())
+        nonnull = df[c].dropna()
+        if len(nonnull) and all(isinstance(v, datetime.date) and
+                                not isinstance(v, datetime.datetime)
+                                for v in nonnull.head(20)):
+            df[c] = df[c].map(lambda v: None if v is None else str(v))
+        elif str(df[c].dtype).startswith("datetime64"):
+            ts = pd.to_datetime(df[c])
+            if (ts.dropna() == ts.dropna().dt.normalize()).all():
+                df[c] = ts.dt.strftime("%Y-%m-%d")
+
+    def key(series):
+        # float columns sort by a rounded representation so near-equal
+        # values (inside the 1e-9 compare tolerance) cannot reorder rows
+        # differently between the two frames
+        if series.dtype.kind == "f":
+            return series.round(6)
+        return series.astype(str)
+
+    df = df.sort_values(by=list(df.columns), key=key)
     return df.reset_index(drop=True)
 
 
