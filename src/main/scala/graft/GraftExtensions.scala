@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{HyperplaneSig64, MinHash, MinHashSig, RollingHash64, SimHash64, WordShingles}
+import graft.expressions.{HyperplaneSig64, LangId, MinHash, MinHashSig, QualityScore, RollingHash64, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -30,5 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHash.intArg(children(1), "signature size m"))))
     ext.injectFunction((FunctionIdentifier("hyperplane_sig64"),
       HyperplaneSig64.info, children => HyperplaneSig64(children.head)))
+    ext.injectFunction((FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      children => LangId(children.head)))
+    ext.injectFunction((FunctionIdentifier("quality_score"),
+      new ExpressionInfo(classOf[QualityScore].getName, "quality_score"),
+      children => QualityScore(children.head)))
   }
 }

@@ -32,7 +32,7 @@ object MinHashUtil {
     * UTF8String lowercasing (locale-free), ASCII-space trim, Java regex
     * split with limit -1 (so "" yields a single empty token, matching the
     * built-in). */
-  private def tokenize(text: UTF8String): Array[String] =
+  private[expressions] def tokenize(text: UTF8String): Array[String] =
     text.toLowerCase.trim.toString.split("\\s+", -1)
 
   /** Word k-shingles, first-occurrence-distinct — semantics of
