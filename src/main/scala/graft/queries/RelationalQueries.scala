@@ -496,6 +496,54 @@ object RelationalQueries {
         .orderBy("rflag", "lstatus")
     },
 
+    // Explicit GROUPING SETS (beyond cube/rollup): disjoint per-dimension
+    // rollups in one aggregation pass. Expressed through the SQL surface
+    // (Tables.registerAll makes oracle text valid Spark SQL); nulls from
+    // non-member dimensions coalesce like the cube gate.
+    Q("q_agg_groupsets",
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(*) AS cnt, round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, '(all)') AS status,
+          |       coalesce(o_orderpriority, '(all)') AS priority,
+          |       count(*) AS cnt, sum(o_totalprice) AS total_raw
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |""".stripMargin)
+        .select(col("status"), col("priority"), col("cnt"),
+          graft.functions.Rounding.round4(col("total_raw")).as("total"))
+        .orderBy("status", "priority")
+    },
+
+    // Rank-statistics window family: dense_rank / percent_rank / cume_dist
+    // over a total per-partition order (unique tiebreak → deterministic
+    // fractions; rounded for cross-engine doubles).
+    Q("q_window_rank_stats",
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |       dense_rank() OVER w AS drk,
+        |       round(percent_rank() OVER w, 4) AS prk,
+        |       round(cume_dist() OVER w, 4) AS cd
+        |FROM lineitem WHERE l_orderkey < 100
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        t(s, dir, "lineitem").where(col("l_orderkey") < 100)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            dense_rank().over(w).cast(LongType).as("drk"),
+            graft.functions.Rounding.round4(percent_rank().over(w)).as("prk"),
+            graft.functions.Rounding.round4(cume_dist().over(w)).as("cd"))
+          .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    },
+
     // Sketch aggregation: HyperLogLog++ distinct estimate. Estimator
     // internals differ per engine, so the estimate itself can't be
     // hash-compared — instead the query EMITS its own accuracy contract:
