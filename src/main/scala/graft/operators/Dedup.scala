@@ -231,6 +231,35 @@ object Dedup {
       .select("id1", "id2", "cosine")
   }
 
+  /** Turn near-dup PAIRS into the curation DECISION: group members into
+    * clusters ([[ConnectedComponents.canonicalize]]) and keep exactly one
+    * winner per cluster, chosen by `scoreCols` priority order (e.g.
+    * longest text first, then lowest id as the total tiebreak — make the
+    * order total or the winner is nondeterministic).
+    *
+    * Returns one row per cluster: the canonical (minimum) id, the winning
+    * member's id, and the cluster size. Scale shape: the label propagation
+    * dominates (one shuffle per graph-diameter round); the winner pick is
+    * a single window pass partitioned by cluster — no driver-side state.
+    * Members absent from `pairs` are singletons that need no decision and
+    * are not returned.
+    *
+    * @param members  one row per candidate doc; must contain `idCol` and
+    *                 every column referenced by `scoreCols`
+    * @param pairs    near-dup edges over `idCol` values (`id1`, `id2`)
+    */
+  def keepBest(members: DataFrame, pairs: DataFrame, idCol: String,
+               scoreCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = ConnectedComponents.canonicalize(pairs)
+    val w = Window.partitionBy("canonical").orderBy(scoreCols: _*)
+    members.join(labels, members(idCol) === labels("id"))
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("canonical"))
+      .agg(max(when(col("__rk") === 1, col(idCol))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** SQL text of the tokenizer (for expr() call sites). */
   private def tokensSql(textCol: String): String =
     s"split(trim(lower(${q(textCol)})), '\\\\s+')"

@@ -16,7 +16,8 @@ object Catalog {
       VaultQueries.all ++
       TextQueries.all ++
       VectorQueries.all ++
-      EventQueries.all
+      EventQueries.all ++
+      CurationQueries.all
 
   /** Flagship query (driver smoke at sf0.001): the rating_slide analog
     * (SURVEY.md §7.2) — scan → filter → agg → distributed rank → full-outer

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+import graft.operators.Dedup
+
+/** Driver-gated corpus-curation queries: deterministic train/val/test
+  * splitting, stratified sampling, vocabulary building, and the
+  * keep-one-per-duplicate-cluster decision — the operations a training-data
+  * pipeline runs between dedup and export.
+  *
+  * Sampling here is HASH-based, never RNG-based: md5 of the stable row id
+  * gives the same assignment on any engine, any partitioning, any run —
+  * the property that makes train/test splits reproducible at 100 TB
+  * (`rand(seed)` is partition-order-dependent in every distributed engine
+  * and can't be oracled at all).
+  */
+object CurationQueries {
+
+  /** 0-15 bucket from the first hex nibble of md5(id) — portable across
+    * Spark and DuckDB byte-for-byte (both emit lowercase hex md5 of the
+    * decimal string). */
+  private def nibbleSql(idExpr: String): String =
+    s"instr('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 1, 1)) - 1"
+
+  val all: Seq[Q] = Seq(
+
+    // Deterministic train/val/test split: 10/3/3 sixteenths by hash
+    // nibble. Row-level assignment is hash-gated (not just counts), so a
+    // single misassigned document fails the gate.
+    Q("q_sample_split",
+      s"""SELECT doc_id, ${nibbleSql("doc_id")} AS bucket16,
+         |       CASE WHEN ${nibbleSql("doc_id")} < 10 THEN 'train'
+         |            WHEN ${nibbleSql("doc_id")} < 13 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bucket =
+        (expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1))")
+          - 1).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("bucket16"),
+          when(bucket < 10, "train").when(bucket < 13, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Stratified fixed-n sampling: 20 documents per language, chosen by
+    // hash-ordered row_number — per-group reservoir semantics without an
+    // RNG, one window pass partitioned by the stratum.
+    Q("q_sample_stratified",
+      s"""SELECT doc_id, lang, rn FROM (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents) WHERE rn <= 20
+         |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+        .where(col("rn") <= 20)
+        .orderBy("lang", "doc_id")
+    },
+
+    // Vocabulary building: top-10 alphabetic tokens per language by
+    // frequency (count desc, token asc — total order). One scan-local
+    // explode, one (lang, token) aggregation, one top-k window partitioned
+    // by language.
+    Q("q_text_topk_tokens",
+      """WITH tok AS (
+        |  SELECT lang,
+        |         unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT lang, token, count(*) AS cnt FROM tok
+        |        WHERE token <> '' GROUP BY lang, token),
+        |rk AS (SELECT lang, token, cnt,
+        |              row_number() OVER (PARTITION BY lang
+        |                ORDER BY cnt DESC, token) AS rk
+        |       FROM cnt)
+        |SELECT lang, token, cnt, rk FROM rk WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+        .where(col("token") =!= "")
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+      tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 10)
+        .orderBy("lang", "rk")
+    },
+
+    // Keep-best-per-cluster (Dedup.keepBest): planted 3-member clusters —
+    // original, a truncated copy, a doubled copy — chained by edges so the
+    // cluster only resolves transitively; the longest text wins, lowest id
+    // breaks ties. Oracle replays the clustering as a recursive CTE and
+    // the pick as the same window.
+    Q("q_dedup_keep_best",
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        |aug AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 100000, substr(text, 1, 50) FROM base
+        |  UNION ALL SELECT doc_id + 200000, text || text FROM base),
+        |edges AS (
+        |  SELECT doc_id AS a, doc_id + 100000 AS b FROM base
+        |  UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM base),
+        |nodes AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id),
+        |labels AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id),
+        |ranked AS (
+        |  SELECT l.canonical, a.doc_id,
+        |         row_number() OVER (PARTITION BY l.canonical
+        |           ORDER BY length(a.text) DESC, a.doc_id) AS rk
+        |  FROM labels l JOIN aug a ON a.doc_id = l.id)
+        |SELECT canonical, max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+        |       count(*) AS n_members
+        |FROM ranked GROUP BY canonical ORDER BY canonical""".stripMargin) {
+      (s, dir) =>
+        val base = t(s, dir, "documents").where(col("doc_id") < 30)
+          .select("doc_id", "text")
+        val aug = base
+          .union(base.select((col("doc_id") + 100000).as("doc_id"),
+            substring(col("text"), 1, 50).as("text")))
+          .union(base.select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), col("text")).as("text")))
+        val edges = base.select(col("doc_id").as("id1"),
+            (col("doc_id") + 100000).as("id2"))
+          .union(base.select((col("doc_id") + 100000).as("id1"),
+            (col("doc_id") + 200000).as("id2")))
+        Dedup.keepBest(aug, edges, "doc_id",
+            Seq(length(col("text")).desc, col("doc_id").asc))
+          .orderBy("canonical")
+    },
+  )
+}

@@ -107,6 +107,67 @@ object EventQueries {
           .orderBy("l_returnflag")
     },
 
+    // Batch gap-based sessionization (operators.Sessionize — the batch twin
+    // of EventStreams.sessionize): 6-hour inactivity gap, one window pass
+    // per user, session bounds + totals per session. session_id is cast to
+    // BIGINT on the oracle side because DuckDB's integer sum widens to
+    // HUGEINT.
+    Q("q_events_sessionize",
+      """WITH d AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |              OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
+        |                           CAST(ts AS TIMESTAMP)) > 21600
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |        CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |      FROM d)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events,
+        |       round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize
+        .aggregate(t(s, dir, "events"), Seq("user_id"), "ts", 21600L,
+          Seq(col("event_id")), "value")
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          col("session_end"), col("n_events"),
+          round4(col("value_sum")).as("total_value"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Pure range join (no equi key): views matched to the 15-minute window
+    // after any purchase. The operator (operators.RangeJoin.bucketed)
+    // manufactures an equi key by time-bucketing so the plan is a shuffled
+    // equi join, not the nested-loop Spark would pick for a bare
+    // inequality condition; the oracle is DuckDB's native IEJoin over the
+    // same predicate.
+    Q("q_join_range",
+      """WITH v AS (SELECT event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id,
+        |             CAST(ts AS TIMESTAMP) AS win_start,
+        |             CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE AS win_end
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT view_id, purchase_id
+        |FROM v JOIN p ON view_ts >= win_start AND view_ts < win_end
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("win_end"))
+      graft.operators.RangeJoin
+        .bucketed(views, "view_ts", purchases, "win_start", "win_end", 900L)
+        .select("view_id", "purchase_id")
+        .orderBy("view_id", "purchase_id")
+    },
+
     // Multimodal metadata plumbing: opaque payload treated as bytes with
     // typed metadata derived scan-side (octet length, content checksum).
     // The decode stub itself (mapPartitions over binary) lives in

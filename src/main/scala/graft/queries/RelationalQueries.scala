@@ -520,6 +520,59 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Correlated EXISTS / NOT EXISTS through the SQL surface (Catalyst
+    // rewrites them to left-semi / left-anti joins — asserted by
+    // PlanShapeSpec): customers with at least one big-ticket order and no
+    // finished orders.
+    Q("q_filter_exists",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 150000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderstatus = 'F')
+          |""".stripMargin)
+        .orderBy("c_custkey")
+    },
+
+    // Distributed quantiles: exact interpolated percentiles (single
+    // aggregation pass, oracle-matched) PLUS the approx_percentile sketch
+    // (t-digest-style, engine-specific internals) self-gated by a
+    // within-5% flag the oracle pins to TRUE — the q_agg_approx_distinct
+    // pattern applied to quantile sketches.
+    Q("q_agg_quantiles",
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |       TRUE AS approx_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("ep50"),
+          expr("percentile(o_totalprice, 0.95)").as("ep95"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(o_totalprice, 0.95, 1000)").as("ap95"))
+        .select(col("o_orderpriority"),
+          graft.functions.Rounding.round4(col("ep50")).as("p50"),
+          graft.functions.Rounding.round4(col("ep95")).as("p95"),
+          (abs(col("ap50") - col("ep50")) / col("ep50") <= 0.05 &&
+            abs(col("ap95") - col("ep95")) / col("ep95") <= 0.05)
+            .as("approx_ok"))
+        .orderBy("o_orderpriority")
+    },
+
     // Rank-statistics window family: dense_rank / percent_rank / cume_dist
     // over a total per-partition order (unique tiebreak → deterministic
     // fractions; rounded for cross-engine doubles).

@@ -97,4 +97,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_min") || plan.contains("partial_first"),
       s"no map-side partial aggregation:\n$plan")
   }
+
+  test("range join plans as an equi join on the bucket, not a nested loop") {
+    val plan = physical(SparkEntry.queries("q_join_range")(spark, sf001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join fell back to an O(n*m) join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi join on the manufactured bucket key:\n$plan")
+  }
+
+  test("EXISTS / NOT EXISTS rewrite to semi and anti joins") {
+    val plan = physical(SparkEntry.queries("q_filter_exists")(spark, sf001))
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
+  }
+
+  test("sessionization is one exchange per key (lag and sum share it)") {
+    import graft.operators.Sessionize
+    val plan = physical(Sessionize.assign(t(spark, sf001, "events"),
+      Seq("user_id"), "ts", 21600L, Seq(col("event_id"))))
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1,
+      s"expected exactly one exchange, saw $exchanges:\n$plan")
+  }
 }

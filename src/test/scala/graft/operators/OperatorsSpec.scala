@@ -176,3 +176,83 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.size == 10)    // only the planted pairs clear 0.99
   }
 }
+
+class SessionizeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(user: Long, id: Long, ts: String, v: Double) =
+    (user, id, java.sql.Timestamp.valueOf(ts), v)
+
+  test("gap boundary: diff == gap stays, diff > gap splits") {
+    val df = Seq(
+      ev(1L, 1L, "2024-01-01 00:00:00", 1.0),
+      ev(1L, 2L, "2024-01-01 00:10:00", 1.0), // 600s  → same session
+      ev(1L, 3L, "2024-01-01 01:10:00", 1.0), // 3600s = gap → same
+      ev(1L, 4L, "2024-01-01 02:10:01", 1.0), // 3601s > gap → new
+      ev(2L, 5L, "2024-01-01 05:00:00", 1.0)  // other key starts at 0
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = Sessionize.assign(df, Seq("user_id"), "ts", 3600L,
+        Seq(col("event_id")))
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("aggregate emits bounds and totals per session") {
+    val df = Seq(
+      ev(1L, 1L, "2024-01-01 00:00:00", 2.0),
+      ev(1L, 2L, "2024-01-01 00:30:00", 3.0),
+      ev(1L, 3L, "2024-01-01 09:00:00", 5.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = Sessionize.aggregate(df, Seq("user_id"), "ts", 3600L,
+        Seq(col("event_id")), "value")
+      .select("session_id", "n_events", "value_sum")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((0L, 2L, 5.0), (1L, 1L, 5.0)))
+  }
+}
+
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("containment is [start, end) and bucket-spanning intervals match") {
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // == start       → in
+      (2L, ts("2024-01-01 00:14:59")), // inside         → in
+      (3L, ts("2024-01-01 00:15:00")), // == end         → out
+      (4L, ts("2024-01-01 03:59:59")), // 4th bucket of the long interval
+      (5L, ts("2024-01-01 00:20:00"))  // interval starts mid-prior-bucket
+    ).toDF("pid", "pts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:15:00")),
+      (11L, ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00")),
+      (12L, ts("2024-01-01 00:14:00"), ts("2024-01-01 00:29:00"))
+    ).toDF("iid", "istart", "iend")
+    val got = RangeJoin.bucketed(points, "pts", intervals,
+        "istart", "iend", 900L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (4L, 11L),
+      (2L, 12L), (3L, 12L), (5L, 12L)))
+  }
+}
+
+class KeepBestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("longest text wins per transitive cluster; ties fall to lowest id") {
+    val members = Seq(
+      (1L, "aa"), (2L, "aaa"), (3L, "aaaa"), // chain 1-2-3, 3 longest
+      (10L, "bb"), (11L, "bb")               // tie → 10
+    ).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val got = Dedup.keepBest(members, edges, "doc_id",
+        Seq(length(col("text")).desc, col("doc_id").asc))
+      .select("canonical", "keep_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 3L), (10L, 10L, 2L)))
+  }
+}
