@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{HyperplaneSig64, LangId, MinHash, MinHashSig, QualityScore, RollingHash64, SimHash64, WordShingles}
+import graft.expressions.{HyperplaneSig64, LangId, MinHash, MinHashSig, QualityScore, RollingHash64, SimHash64, WordShingles, ZOrder62}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -36,5 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("quality_score"),
       new ExpressionInfo(classOf[QualityScore].getName, "quality_score"),
       children => QualityScore(children.head)))
+    ext.injectFunction((FunctionIdentifier("zorder62"), ZOrder62.info,
+      children => ZOrder62(children.head, children(1))))
   }
 }

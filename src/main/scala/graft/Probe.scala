@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val qname = args.lift(1).getOrElse("q_vault_rating_slide")
+    val qnames =
+      if (args.length > 1) args.drop(1).toSeq else Seq("q_vault_rating_slide")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -19,10 +20,11 @@ object Probe {
       println(f"[probe] $label%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
-    val fn = SparkEntry.queries(qname)
-    time("cold")(fn(spark, sfDir).count())
-    time("warm")(fn(spark, sfDir).count())
-    time("warm2")(fn(spark, sfDir).count())
+    qnames.foreach { qname =>
+      val fn = SparkEntry.queries(qname)
+      time(s"$qname cold")(fn(spark, sfDir).count())
+      time(s"$qname warm")(fn(spark, sfDir).count())
+    }
     spark.stop()
   }
 }

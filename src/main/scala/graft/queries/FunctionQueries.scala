@@ -45,6 +45,50 @@ object FunctionQueries {
         .orderBy("doc_id")
     },
 
+    // Z-order (Morton) clustering key — the multi-dimensional data-layout
+    // primitive (expressions.ZOrder62, codegen'd): sorting by zkey
+    // co-locates rows close in BOTH dimensions so row-group min/max stats
+    // prune scans on either column. The oracle replays the bit interleave
+    // arithmetically.
+    Q("q_layout_zorder",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(list_sum(list_transform(range(0, 31), i ->
+        |         (((l_partkey & 2147483647) >> i) & 1) * (1::BIGINT << (2*i))
+        |         + (((l_suppkey & 2147483647) >> i) & 1)
+        |           * (1::BIGINT << (2*i + 1)))) AS BIGINT) AS zkey
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) =>
+        graft.expressions.ZOrder62.register(s)
+        t(s, dir, "lineitem")
+          .selectExpr("l_orderkey", "l_linenumber",
+            "zorder62(l_partkey, l_suppkey) AS zkey")
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Array-column surface (beyond the reference, which only ever unnests):
+    // sort / slice / membership / distinct-cardinality on a tokens array,
+    // all codegen'd array intrinsics — the nested-type operations a
+    // metadata-bearing training-data schema leans on. The sliced head is
+    // re-joined to a string so the gate compares scalars, not list cells.
+    Q("q_expr_array",
+      """SELECT doc_id,
+        |       array_to_string(
+        |         list_sort(string_split_regex(trim(lower(text)), '\s+'))[1:3],
+        |         ' ') AS head3,
+        |       list_contains(string_split_regex(trim(lower(text)), '\s+'),
+        |                     'the') AS has_the,
+        |       len(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+        |         AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(slice(array_sort(toks), 1, 3), " ").as("head3"),
+          array_contains(toks, "the").as("has_the"),
+          size(array_distinct(toks)).cast(LongType).as("n_distinct"))
+        .orderBy("doc_id")
+    },
+
     // H44 — string_to_array + unnest (core/genre_hub.sql:5-8) =
     // split + explode, a built-in Generator.
     Q("q_expr_split_explode",

@@ -520,6 +520,41 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Incremental aggregation by partial-state merge: daily partials
+    // (count, sum) roll up to monthly figures WITHOUT rescanning the
+    // facts, and the derived avg comes from the merged states — the
+    // incremental-view-maintenance shape (only changed days recompute at
+    // 100 TB). The oracle computes the month directly from the facts, so
+    // the gate proves merge(partials) == direct.
+    Q("q_agg_incremental",
+      """SELECT o_orderpriority,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+        |       count(*) AS cnt,
+        |       round(sum(o_totalprice), 4) AS total,
+        |       round(round(sum(o_totalprice), 4) / count(*), 4) AS avg_price
+        |FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority, mo""".stripMargin) {
+      (s, dir) =>
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("d_cnt"), sum("o_totalprice").as("d_sum"))
+        daily
+          .groupBy(col("o_orderpriority"),
+            date_trunc("month", col("day")).cast(DateType).as("mo"))
+          .agg(sum("d_cnt").as("cnt"), sum("d_sum").as("raw_total"))
+          // avg derives from the ROUNDED total: the raw sums differ in low
+          // bits across engines (different partial-merge order), and a
+          // quotient landing on a scale-4 half (e.g. x.38125) would round
+          // apart; the rounded total is bit-identical on both sides
+          .select(col("o_orderpriority"), col("mo"), col("cnt"),
+            graft.functions.Rounding.round4(col("raw_total")).as("total"),
+            graft.functions.Rounding
+              .round4(graft.functions.Rounding.round4(col("raw_total"))
+                / col("cnt"))
+              .as("avg_price"))
+          .orderBy("o_orderpriority", "mo")
+    },
+
     // Correlated EXISTS / NOT EXISTS through the SQL surface (Catalyst
     // rewrites them to left-semi / left-anti joins — asserted by
     // PlanShapeSpec): customers with at least one big-ticket order and no

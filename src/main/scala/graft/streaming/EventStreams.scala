@@ -99,6 +99,24 @@ object EventStreams {
              joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), keys, joinType)
 
+  /** Stream-stream interval join: right events correlated to the left
+    * event of the same key that they follow within `within` — e.g. every
+    * purchase within an hour of the click that led to it. Both sides are
+    * watermarked and the time-range condition lets Spark evict buffered
+    * state past `watermark + within`, so state stays bounded on unbounded
+    * streams (an unconstrained stream-stream join would buffer forever).
+    * Column names must be disjoint between the two sides (the equi key is
+    * passed per side).
+    */
+  def joinWithin(left: DataFrame, leftKey: String, leftTs: String,
+                 right: DataFrame, rightKey: String, rightTs: String,
+                 watermark: String, within: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
   /** Convenience: run a streaming DataFrame to an in-memory sink and block
     * until all available data is processed (dev/test harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -164,6 +164,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("joinWithin correlates two streams inside the interval only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val joined = EventStreams.joinWithin(
+      clicks.toDF().toDF("click_id", "c_user", "c_ts"), "c_user", "c_ts",
+      purchases.toDF().toDF("purchase_id", "p_user", "p_ts"), "p_user", "p_ts",
+      watermark = "2 hours", within = "1 HOUR")
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      clicks.addData((100L, 1L, ts(10, 0)), (101L, 2L, ts(10, 0)))
+      purchases.addData(
+        (200L, 1L, ts(10, 30)), // within the hour     → joins
+        (201L, 1L, ts(12, 0)),  // 2h later            → out of interval
+        (202L, 3L, ts(10, 15))) // no matching click   → dropped (inner)
+      q.processAllAvailable()
+      val got = spark.table("attributed")
+        .select("click_id", "purchase_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[EventStreams.Event]

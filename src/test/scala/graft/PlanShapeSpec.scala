@@ -98,6 +98,15 @@ class PlanShapeSpec extends SparkSpec {
       s"no map-side partial aggregation:\n$plan")
   }
 
+  test("zorder key is scan-local and codegen'd") {
+    graft.expressions.ZOrder62.register(spark)
+    val keyed = t(spark, sf001, "lineitem")
+      .selectExpr("l_orderkey", "zorder62(l_partkey, l_suppkey) AS zkey")
+    val plan = physical(keyed)
+    assert(!plan.contains("Exchange"), s"zorder key must not shuffle:\n$plan")
+    assert(plan.contains("*("), s"zorder62 fell out of codegen:\n$plan")
+  }
+
   test("range join plans as an equi join on the bucket, not a nested loop") {
     val plan = physical(SparkEntry.queries("q_join_range")(spark, sf001))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

@@ -57,3 +57,45 @@ class SimHash64ExprSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 }
+
+class ZOrder62Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Bit-by-bit reference: x's bit i at position 2i, y's at 2i+1. */
+  private def ref(x: Long, y: Long): Long = {
+    var out = 0L
+    var i = 0
+    while (i < 31) {
+      out |= ((x >> i) & 1L) << (2 * i)
+      out |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+
+  test("interleave matches the bit-by-bit reference on random inputs") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq((0L, 0L), (3L, 0L), (0L, 3L), (0x7fffffffL, 0x7fffffffL)) ++
+      Seq.fill(200)((rnd.nextLong().abs & 0x7fffffffL,
+        rnd.nextLong().abs & 0x7fffffffL))
+    cases.foreach { case (x, y) =>
+      assert(ZOrderUtil.interleave62(x, y) == ref(x, y), s"($x, $y)")
+    }
+  }
+
+  test("result is non-negative (valid plain sort key) and SQL-callable") {
+    ZOrder62.register(spark)
+    val out = Seq((0x7fffffffL, 0x7fffffffL), (1L, 2L))
+      .toDF("x", "y").selectExpr("zorder62(x, y) AS z").as[Long].collect()
+    assert(out.forall(_ >= 0))
+    assert(out(1) == (1L | (ZOrderUtil.spread31(2L) << 1)))
+  }
+
+  test("locality: quadrant order follows the Z curve") {
+    // (x<2^30, y<2^30) quadrant keys sort before any key with y >= 2^30
+    val lowQuad = ZOrderUtil.interleave62(0x3fffffffL, 0x3fffffffL)
+    val highY = ZOrderUtil.interleave62(0L, 0x40000000L)
+    assert(lowQuad < highY)
+  }
+}
