@@ -520,6 +520,17 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Cross join (explicit cartesian) — bounded dimension × dimension
+    // enumeration, the one join shape where an O(n·m) plan is the point.
+    Q("q_join_cross",
+      """SELECT n.n_name, r.r_name
+        |FROM nation n CROSS JOIN region r
+        |ORDER BY n_name, r_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").select("n_name")
+        .crossJoin(t(s, dir, "region").select("r_name"))
+        .orderBy("n_name", "r_name")
+    },
+
     // Incremental aggregation by partial-state merge: daily partials
     // (count, sum) roll up to monthly figures WITHOUT rescanning the
     // facts, and the derived avg comes from the merged states — the

@@ -49,4 +49,31 @@ object Formats {
   /** A8: the deprecated CSV dump path, kept for capability parity. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Small-files compaction: rewrite a parquet dataset into files of
+    * roughly `targetBytes` each, atomically (write to `path + ".compact"`,
+    * then swap). Incremental appends (A7) accumulate one file per commit
+    * per partition; at 100 TB the resulting footer/open overhead dominates
+    * scan time long before data volume does. File count is derived from
+    * the dataset's actual on-disk size, and the rewrite is a coalesce —
+    * no shuffle — unless `sortBy` asks for a clustering order (e.g. a
+    * [[graft.expressions.ZOrder62]] key), which range-partitions instead.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long,
+              sortBy: Seq[org.apache.spark.sql.Column] = Nil): Long = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, (onDisk + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    val arranged =
+      if (sortBy.nonEmpty) df.repartitionByRange(nFiles, sortBy: _*)
+      else df.coalesce(nFiles)
+    val tmp = new Path(path + ".compact")
+    arranged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    nFiles.toLong
+  }
 }

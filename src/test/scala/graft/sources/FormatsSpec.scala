@@ -55,4 +55,41 @@ class FormatsSpec extends SparkSpec {
     assert(back.orderBy("id").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (2L, "b")))
   }
+
+  test("compact merges a many-file dataset, preserving rows atomically") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    // simulate per-commit appends: 20 tiny files
+    (1 to 20).foreach { i =>
+      Formats.append(spark.range(i * 100L, i * 100L + 10L).toDF("id"), dir)
+    }
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 20)
+    val expect = spark.read.parquet(dir).as[Long].collect().toSet
+    Formats.compact(spark, dir, targetBytes = 1L << 30) // all → 1 file
+    val after = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after == 1, s"expected 1 file after compaction, saw $after")
+    assert(spark.read.parquet(dir).as[Long].collect().toSet == expect)
+  }
+
+  test("compact with a sort key clusters files by that key") {
+    val dir = Files.createTempDirectory("graft-compact2").toString + "/t"
+    Formats.overwrite(
+      spark.range(0, 1000L).toDF("id").repartition(13), dir)
+    Formats.compact(spark, dir, targetBytes = 3000L, // ~7KB on disk → >1 file
+      sortBy = Seq(col("id")))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1)
+    // range partitioning → per-file id ranges are disjoint
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.getPath).as[Long].collect()
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "overlapping files")
+      case _ =>
+    }
+  }
 }
