@@ -93,6 +93,74 @@ object CurationQueries {
         .orderBy("lang", "rk")
     },
 
+    // PII scrubbing: URL/email redaction with portable RE2-safe regexes
+    // (the corpus has neither, so rows plant them deterministically; the
+    // gate hash-compares every scrubbed string and the detection flag).
+    Q("q_text_scrub",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN text ||
+        |                ' contact me@example.com or http://x.io/page now'
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(text,
+        |           'https?://[^ ]+', '<URL>', 'g'),
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |           '<EMAIL>', 'g') AS scrubbed,
+        |       (regexp_matches(text, 'https?://[^ ]+') OR
+        |        regexp_matches(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |         AS had_pii
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val urlRe = "https?://[^ ]+"
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val aug = t(s, dir, "documents").withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"),
+            lit(" contact me@example.com or http://x.io/page now")))
+          .otherwise(col("text")))
+      aug.select(col("doc_id"),
+          regexp_replace(regexp_replace(col("text"), urlRe, "<URL>"),
+            emailRe, "<EMAIL>").as("scrubbed"),
+          (col("text").rlike(urlRe) || col("text").rlike(emailRe))
+            .as("had_pii"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: flag training documents sharing any
+    // 5-gram shingle with a held-out benchmark set — one explode per side
+    // and a semi join on the shingle (scan-local signatures, shuffle on
+    // the shingle key only). Contamination is planted (verbatim benchmark
+    // copies at doc_id+500000) so the gate discriminates.
+    Q("q_text_decontaminate", {
+      val sh5 = TextQueries.sqlShingles(5)
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 5
+         |  UNION ALL
+         |  SELECT doc_id + 500000, text FROM bench),
+         |bsh AS (SELECT DISTINCT unnest($sh5) AS sh FROM bench),
+         |tsh AS (SELECT doc_id, unnest($sh5) AS sh FROM train)
+         |SELECT DISTINCT doc_id FROM tsh
+         |WHERE sh IN (SELECT sh FROM bsh)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.expressions.MinHash.register(s)
+      val d = t(s, dir, "documents")
+      val bench = d.where(col("doc_id") < 5).select("doc_id", "text")
+      val train = d.where(col("doc_id") >= 5).select("doc_id", "text")
+        .union(bench.select((col("doc_id") + 500000).as("doc_id"),
+          col("text")))
+      val bsh = bench.selectExpr("explode(word_shingles(text, 5)) AS sh")
+        .distinct()
+      val tsh = train.selectExpr("doc_id",
+        "explode(word_shingles(text, 5)) AS sh")
+      tsh.join(bsh, Seq("sh"), "left_semi")
+        .select("doc_id").distinct().orderBy("doc_id")
+    },
+
     // Keep-best-per-cluster (Dedup.keepBest): planted 3-member clusters —
     // original, a truncated copy, a doubled copy — chained by edges so the
     // cluster only resolves transitively; the longest text wins, lowest id

@@ -520,6 +520,22 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Null-ordering semantics: ASC NULLS FIRST + LIMIT makes null
+    // placement decide row MEMBERSHIP (the comparator sorts rows, so bare
+    // ORDER BY can't distinguish null policies — top-k can; PG ranks
+    // NULLS FIRST on DESC, engines differ by default, hence explicit).
+    Q("q_orderby_nulls",
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status
+        |FROM orders
+        |ORDER BY status ASC NULLS FIRST, o_orderkey LIMIT 200""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            nullif(col("o_orderstatus"), lit("P")).as("status"))
+          .orderBy(col("status").asc_nulls_first, col("o_orderkey"))
+          .limit(200)
+    },
+
     // Cross join (explicit cartesian) — bounded dimension × dimension
     // enumeration, the one join shape where an O(n·m) plan is the point.
     Q("q_join_cross",

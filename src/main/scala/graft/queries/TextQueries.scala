@@ -19,10 +19,10 @@ import graft.functions.Rounding.round4
 object TextQueries {
 
   /** DuckDB fragment: lowercased whitespace tokens. */
-  private val sqlToks = "string_split_regex(trim(lower(text)), '\\s+')"
+  private[queries] val sqlToks = "string_split_regex(trim(lower(text)), '\\s+')"
 
   /** DuckDB fragment mirroring TextFunctions.shingles(text, k). */
-  private def sqlShingles(k: Int) =
+  private[queries] def sqlShingles(k: Int) =
     s"""list_distinct(CASE WHEN len($sqlToks) < $k
        |  THEN [array_to_string($sqlToks, ' ')]
        |  ELSE list_transform(range(0, len($sqlToks) - ${k - 1}),
