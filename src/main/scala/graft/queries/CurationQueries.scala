@@ -161,6 +161,42 @@ object CurationQueries {
         .select("doc_id").distinct().orderBy("doc_id")
     },
 
+    // Repetition signal (Gopher-style quality filter): the most frequent
+    // token's share of the document — high ratios mark boilerplate/spam.
+    // One explode + per-doc aggregation + top-1 window; the ratio divides
+    // exact integers so both engines produce identical doubles.
+    Q("q_text_repetition",
+      s"""WITH tok AS (SELECT doc_id, unnest(${TextQueries.sqlToks}) AS token
+         |            FROM documents),
+         |cnt AS (SELECT doc_id, token, count(*) AS c FROM tok
+         |        GROUP BY doc_id, token),
+         |rk AS (SELECT doc_id, token, c,
+         |              row_number() OVER (PARTITION BY doc_id
+         |                ORDER BY c DESC, token) AS rk,
+         |              CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT)
+         |                AS n_tok
+         |       FROM cnt)
+         |SELECT doc_id, token AS top_token, c AS top_cnt,
+         |       round(c / CAST(n_tok AS DOUBLE), 4) AS rep_ratio
+         |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      val cnt = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      val byDoc = Window.partitionBy("doc_id")
+      val rk = cnt
+        .withColumn("rk",
+          row_number().over(byDoc.orderBy(col("c").desc, col("token"))))
+        .withColumn("n_tok", sum("c").over(byDoc))
+      rk.where(col("rk") === 1)
+        .select(col("doc_id"), col("token").as("top_token"),
+          col("c").as("top_cnt"),
+          graft.functions.Rounding
+            .round4(col("c") / col("n_tok").cast("double")).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
     // Keep-best-per-cluster (Dedup.keepBest): planted 3-member clusters —
     // original, a truncated copy, a doubled copy — chained by edges so the
     // cluster only resolves transitively; the longest text wins, lowest id
