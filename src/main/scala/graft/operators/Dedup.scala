@@ -231,6 +231,37 @@ object Dedup {
       .select("id1", "id2", "cosine")
   }
 
+  /** Group-level set similarity: one MinHash signature per GROUP (the
+    * element-wise min over member signatures equals the signature of the
+    * union of the members' shingle sets — the mergeability property that
+    * makes MinHash a distributive aggregate), then pairwise estimated
+    * Jaccard = matching positions / m.
+    *
+    * Scale shape: signatures are scan-local (codegen'd `minhash_sig`);
+    * the shuffle carries m small rows per group (posexplode → per-position
+    * min with map-side partials), and the pair join runs on the position
+    * key — never on raw shingles. Estimating similarity between n groups
+    * costs O(n²·m) on m-wide sketches, not O(n²·|vocabulary|).
+    */
+  def groupMinhashSimilarity(df: DataFrame, groupCol: String,
+                             textCol: String, k: Int = 3,
+                             m: Int = 16): DataFrame = {
+    graft.expressions.MinHash.register(df.sparkSession)
+    val sigs = df.selectExpr(q(groupCol),
+        s"posexplode(minhash_sig(word_shingles(${q(textCol)}, $k), $m))" +
+          " AS (pos, v)")
+      .groupBy(col(groupCol), col("pos")).agg(min("v").as("mv"))
+    val a = sigs.select(col(groupCol).as("g1"), col("pos"),
+      col("mv").as("v1"))
+    val b = sigs.select(col(groupCol).as("g2"), col("pos"),
+      col("mv").as("v2"))
+    a.join(b, Seq("pos")).where(col("g1") < col("g2"))
+      .groupBy("g1", "g2")
+      .agg(graft.functions.Rounding
+        .round4(sum(when(col("v1") === col("v2"), 1).otherwise(0))
+          / lit(m)).as("est_jaccard"))
+  }
+
   /** Turn near-dup PAIRS into the curation DECISION: group members into
     * clusters ([[ConnectedComponents.canonicalize]]) and keep exactly one
     * winner per cluster, chosen by `scoreCols` priority order (e.g.

@@ -161,6 +161,33 @@ object CurationQueries {
         .select("doc_id").distinct().orderBy("doc_id")
     },
 
+    // Source-level similarity (Dedup.groupMinhashSimilarity): one MinHash
+    // signature per source — element-wise min over member signatures IS
+    // the signature of the union of their shingle sets (mergeable
+    // aggregate) — then pairwise estimated Jaccard on the 16-wide
+    // sketches. The md5-based design keeps the whole pipeline
+    // byte-reproducible in the oracle.
+    Q("q_dedup_source_sim", {
+      val sh3 = TextQueries.sqlShingles(3)
+      s"""WITH sh AS (SELECT source, $sh3 AS sh FROM documents),
+         |sig AS (SELECT source, j,
+         |               min(list_aggregate(list_transform(sh,
+         |                 s -> md5(j || ':' || s)), 'min')) AS mv
+         |        FROM sh, range(0, 16) AS t(j)
+         |        GROUP BY source, j),
+         |pairs AS (SELECT a.source AS g1, b.source AS g2,
+         |                 CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END AS hit
+         |          FROM sig a JOIN sig b
+         |            ON a.j = b.j AND a.source < b.source)
+         |SELECT g1, g2,
+         |       round(CAST(sum(hit) AS DOUBLE) / 16, 4) AS est_jaccard
+         |FROM pairs GROUP BY g1, g2 ORDER BY g1, g2""".stripMargin
+    }) { (s, dir) =>
+      Dedup.groupMinhashSimilarity(t(s, dir, "documents"), "source", "text",
+          k = 3, m = 16)
+        .orderBy("g1", "g2")
+    },
+
     // Repetition signal (Gopher-style quality filter): the most frequent
     // token's share of the document — high ratios mark boilerplate/spam.
     // One explode + per-doc aggregation + top-1 window; the ratio divides

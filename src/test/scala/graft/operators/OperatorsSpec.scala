@@ -177,6 +177,38 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class GroupMinhashSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("identical groups estimate 1.0; disjoint-vocabulary groups 0.0") {
+    val docs = Seq(
+      ("a", "alpha beta gamma delta epsilon zeta"),
+      ("a", "eta theta iota kappa lambda mu"),
+      ("b", "alpha beta gamma delta epsilon zeta"), // same union as 'a'
+      ("b", "eta theta iota kappa lambda mu"),
+      ("c", "one two three four five six seven")    // disjoint vocabulary
+    ).toDF("src", "text")
+    val got = Dedup.groupMinhashSimilarity(docs, "src", "text", k = 3, m = 16)
+      .as[(String, String, Double)].collect()
+      .map { case (g1, g2, j) => (g1, g2) -> j }.toMap
+    assert(got(("a", "b")) == 1.0) // identical shingle unions, exact match
+    assert(got(("a", "c")) == 0.0 && got(("b", "c")) == 0.0)
+  }
+
+  test("member split does not change the group signature (mergeability)") {
+    val whole = Seq(("g", "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("src", "text")
+    val split = Seq(("h", "w1 w2 w3 w4 w5"), ("h", "w5 w6 w7 w8 w9"))
+      .toDF("src", "text")
+    // shingle unions differ at the split seam (k=3 windows don't cross
+    // documents), so compare via a k=1 sketch where union(tokens) is equal
+    val both = whole.union(split)
+    val sim = Dedup.groupMinhashSimilarity(both, "src", "text", k = 1, m = 16)
+      .as[(String, String, Double)].collect()
+    assert(sim.toSeq == Seq(("g", "h", 1.0)))
+  }
+}
+
 class SessionizeSpec extends SparkSpec {
 
   import spark.implicits._
