@@ -81,6 +81,66 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bucketed range join equals the naive inequality join (random data)") {
+    import graft.operators.RangeJoin
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(offSec: Long) = new java.sql.Timestamp(base + offSec * 1000L)
+    // points and intervals over a 6-hour span; interval lengths 0-40 min
+    // straddle the 15-min bucket width from below AND above
+    val pts = sample(Gen.chooseNum(0L, 21600L), 300).zipWithIndex
+      .map { case (o, i) => (i.toLong, ts(o)) }
+    val ivs = sample(Gen.zip(Gen.chooseNum(0L, 21600L),
+      Gen.chooseNum(0L, 2400L)), 120).zipWithIndex
+      .map { case ((s0, len), i) => (i.toLong, ts(s0), ts(s0 + len)) }
+    val points = pts.toDF("pid", "pts")
+    val intervals = ivs.toDF("iid", "istart", "iend")
+    val naive = points.join(intervals,
+        col("pts") >= col("istart") && col("pts") < col("iend"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val bucketed = RangeJoin.bucketed(points, "pts", intervals,
+        "istart", "iend", 900L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive,
+      s"missing=${(naive -- bucketed).take(5)} extra=${(bucketed -- naive).take(5)}")
+  }
+
+  test("sessionize matches a single-threaded reference on random traces") {
+    import graft.operators.Sessionize
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = sample(Gen.zip(Gen.chooseNum(1L, 5L),
+      Gen.chooseNum(0L, 86400L)), 400).zipWithIndex
+      .map { case ((u, off), i) =>
+        (u, i.toLong, new java.sql.Timestamp(base + off * 1000L)) }
+    val gap = 1800L
+    val df = rows.toDF("user_id", "event_id", "ts")
+    val got = Sessionize.assign(df, Seq("user_id"), "ts", gap,
+        Seq(col("event_id")))
+      .select("user_id", "event_id", "session_id")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, e, s) => (u, e) -> s }.toMap
+    // reference: per user, sort by (ts, event_id), split when gap exceeded
+    rows.groupBy(_._1).foreach { case (u, evs) =>
+      val ordered = evs.sortBy(e => (e._3.getTime, e._2))
+      var sid = -1L
+      var last = Long.MinValue
+      ordered.foreach { case (_, eid, t) =>
+        val sec = t.getTime / 1000L
+        if (last == Long.MinValue || sec - last > gap) sid += 1
+        last = sec
+        assert(got((u, eid)) == sid, s"user $u event $eid")
+      }
+    }
+  }
+
+  test("hash split is stable under repartitioning and re-evaluation") {
+    val ids = sample(Gen.chooseNum(0L, 1000000L), 300).distinct
+    val bucket = expr(
+      "instr('0123456789abcdef', substring(md5(CAST(id AS STRING)), 1, 1)) - 1")
+    def assigns(parts: Int) = ids.toDF("id").repartition(parts)
+      .select(col("id"), bucket.as("b")).as[(Long, Int)].collect().toMap
+    assert(assigns(1) == assigns(13))
+  }
+
   test("SCD2 merge preserves the pk row multiset across open rows (J57-J62)") {
     val pks = sample(Gen.chooseNum(0, 30), 60).distinct
     val snapA = pks.map(k => (s"k$k", s"v$k")).toDF("pk", "attr")
