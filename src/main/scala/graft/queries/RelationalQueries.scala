@@ -520,6 +520,43 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Declarative data-quality validation (operators.Validate — the
+    // engine-side form of the reference's meta.etl_col constraint
+    // registry): four row-level expectations in ONE aggregation pass plus
+    // a key-uniqueness check; two rules have planted violations so the
+    // gate discriminates counts, not just zeros.
+    Q("q_quality_checks",
+      """SELECT 'date_modern' AS rule,
+        |       count(*) FILTER (WHERE NOT o_orderdate >= TIMESTAMP '1996-01-01')
+        |         AS violations FROM orders
+        |UNION ALL
+        |SELECT 'orderkey_unique',
+        |       count(*) FILTER (WHERE o_orderkey IS NOT NULL)
+        |       - count(DISTINCT o_orderkey)
+        |       + count(*) FILTER (WHERE o_orderkey IS NULL) FROM orders
+        |UNION ALL
+        |SELECT 'status_known',
+        |       count(*) FILTER (WHERE NOT o_orderstatus IN ('O','F','P'))
+        |  FROM orders
+        |UNION ALL
+        |SELECT 'status_not_null',
+        |       count(*) FILTER (WHERE nullif(o_orderstatus, 'P') IS NULL)
+        |  FROM orders
+        |UNION ALL
+        |SELECT 'totalprice_positive',
+        |       count(*) FILTER (WHERE NOT o_totalprice > 0) FROM orders
+        |ORDER BY rule""".stripMargin) { (s, dir) =>
+      import graft.operators.Validate
+      val o = t(s, dir, "orders")
+      Validate.report(o, Seq(
+          "date_modern" -> (col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
+          "status_known" -> col("o_orderstatus").isin("O", "F", "P"),
+          "status_not_null" -> nullif(col("o_orderstatus"), lit("P")).isNotNull,
+          "totalprice_positive" -> (col("o_totalprice") > 0)))
+        .union(Validate.uniqueness(o, "orderkey_unique", Seq("o_orderkey")))
+        .orderBy("rule")
+    },
+
     // Null-ordering semantics: ASC NULLS FIRST + LIMIT makes null
     // placement decide row MEMBERSHIP (the comparator sorts rows, so bare
     // ORDER BY can't distinguish null policies — top-k can; PG ranks

@@ -177,6 +177,32 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class ValidateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("report counts violating rows per rule in one pass; null = violation") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (3L, null),
+      (-4L, "a")).toDF("id", "s")
+    val got = Validate.report(df, Seq(
+        "id_positive" -> (col("id") > 0),
+        "s_not_null" -> col("s").isNotNull,
+        "s_known" -> col("s").isin("a", "b")))
+      .as[(String, Long)].collect().toMap
+    // null s fails BOTH s rules (coalesce(pred, false) treats null as fail)
+    assert(got == Map("id_positive" -> 1L, "s_not_null" -> 1L,
+      "s_known" -> 1L))
+  }
+
+  test("uniqueness counts duplicates and null keys") {
+    val df = Seq[java.lang.Long](1L, 1L, 1L, 2L, null, null).toDF("k")
+    val got = Validate.uniqueness(df, "k_unique", Seq("k"))
+      .as[(String, Long)].collect().toSeq
+    // 3 copies of 1 → 2 extra rows; 2 null keys → 2 more
+    assert(got == Seq(("k_unique", 4L)))
+  }
+}
+
 class GroupMinhashSpec extends SparkSpec {
 
   import spark.implicits._
