@@ -122,6 +122,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
   }
 
+  test("validation report reads the table once, whatever the rule count") {
+    import graft.operators.Validate
+    val plan = physical(Validate.report(t(spark, sf001, "orders"), Seq(
+      "a" -> col("o_totalprice").gt(0),
+      "b" -> col("o_orderstatus").isin("O", "F", "P"),
+      "c" -> col("o_orderkey").isNotNull)))
+    val scans = plan.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans == 1, s"expected one scan for 3 rules, saw $scans:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"rule counters must combine map-side:\n$plan")
+  }
+
   test("sessionization is one exchange per key (lag and sum share it)") {
     import graft.operators.Sessionize
     val plan = physical(Sessionize.assign(t(spark, sf001, "events"),
