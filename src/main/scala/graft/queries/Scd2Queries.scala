@@ -125,5 +125,52 @@ object Scd2Queries {
       Scd2.reconcile(t(s, dir, "customer"), declared)
         .orderBy("c_custkey")
     },
+
+    // CDC-style snapshot diff: classify every pk across the two loads as
+    // added / removed / changed / unchanged — one full-outer join on the
+    // pk, the change-data-feed a downstream consumer reads instead of
+    // re-scanning both snapshots. Removed is non-empty here because B's
+    // date window shifts (A-only pks exist), so all four classes are
+    // exercised.
+    Q("q_snapshot_diff", {
+      val a = """SELECT o_orderkey, o_totalprice FROM orders
+                |WHERE o_orderdate < TIMESTAMP '1999-01-01'""".stripMargin
+      val b = """SELECT o_orderkey,
+                |  CASE WHEN o_orderkey % 10 = 0
+                |       THEN round(o_totalprice + 100, 2)
+                |       ELSE o_totalprice END AS o_totalprice
+                |FROM orders
+                |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                |  AND o_orderdate < TIMESTAMP '2000-01-01'""".stripMargin
+      s"""WITH a AS ($a), b AS ($b)
+         |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS pk,
+         |       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+         |            WHEN b.o_orderkey IS NULL THEN 'removed'
+         |            WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+         |              THEN 'changed'
+         |            ELSE 'unchanged' END AS change
+         |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+         |ORDER BY pk""".stripMargin
+    }) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = o.where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0,
+            graft.functions.Rounding.roundCompat(col("o_totalprice") + 100, 2))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      a.alias("a").join(b.alias("b"),
+          col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("pk"),
+          when(col("a.o_orderkey").isNull, "added")
+            .when(col("b.o_orderkey").isNull, "removed")
+            .when(!(col("a.o_totalprice") <=> col("b.o_totalprice")),
+              "changed")
+            .otherwise("unchanged").as("change"))
+        .orderBy("pk")
+    },
   )
 }

@@ -122,6 +122,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
   }
 
+  test("per-group top-k filters push a partial group limit below the shuffle") {
+    val plan = physical(
+      SparkEntry.queries("q_sample_stratified")(spark, sf001))
+    val limits = plan.sliding("WindowGroupLimit".length)
+      .count(_ == "WindowGroupLimit")
+    // one partial (map-side, before the exchange) + one final: only ~k rows
+    // per group per partition ever shuffle, not the whole stratum
+    assert(limits >= 2,
+      s"rank<=k filter did not push a partial WindowGroupLimit:\n$plan")
+  }
+
   test("validation report reads the table once, whatever the rule count") {
     import graft.operators.Validate
     val plan = physical(Validate.report(t(spark, sf001, "orders"), Seq(
