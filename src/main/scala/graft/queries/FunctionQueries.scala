@@ -45,6 +45,29 @@ object FunctionQueries {
         .orderBy("doc_id")
     },
 
+    // Higher-order lambda functions over arrays: transform → filter →
+    // fold, the modern-SQL surface for nested data. Integer-only math so
+    // both engines' folds agree exactly. (Engine hot paths use codegen'd
+    // expressions instead of HOFs — SCALE.md; this gates the SURFACE.)
+    Q("q_expr_lambda",
+      """SELECT doc_id,
+        |       CAST(coalesce(list_sum(list_filter(list_transform(
+        |         string_split_regex(trim(lower(text)), '\s+'),
+        |         t -> length(t) * length(t)), x -> x > 9)), 0) AS BIGINT)
+        |         AS sq_len_sum,
+        |       len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |           t -> length(t) > 3)) AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(
+            filter(transform(toks, t => length(t) * length(t)), _ > 9),
+            lit(0L), (acc, x) => acc + x).as("sq_len_sum"),
+          size(filter(toks, t => length(t) > 3)).cast(LongType).as("n_long"))
+        .orderBy("doc_id")
+    },
+
     // Z-order (Morton) clustering key — the multi-dimensional data-layout
     // primitive (expressions.ZOrder62, codegen'd): sorting by zkey
     // co-locates rows close in BOTH dimensions so row-group min/max stats
