@@ -182,5 +182,49 @@ object EventQueries {
           substring(md5(col("text")), 1, 8).as("checksum"))
         .orderBy("doc_id")
     },
+
+    // Multimodal resize metadata (Multimodal.resizeImages over the derived
+    // media table): aspect-preserving fit into a 64×64 box, floor
+    // semantics, upscale suppressed. The metadata arithmetic is exact IEEE
+    // double on both engines, so the whole transform is hash-gated; the
+    // pixel re-encode is the marked seam and changes none of this.
+    Q("q_multimodal_resize",
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+        |           AS kind,
+        |         CAST(doc_id % 640 + 16 AS INT) AS width,
+        |         CAST(doc_id % 480 + 16 AS INT) AS height
+        |  FROM documents),
+        |r AS (SELECT media_id, width, height,
+        |             least(1.0, 64.0 / greatest(width, height)) AS scale
+        |      FROM media WHERE kind = 'image')
+        |SELECT media_id, width, height,
+        |       CAST(greatest(1, floor(width * scale)) AS INT) AS out_width,
+        |       CAST(greatest(1, floor(height * scale)) AS INT) AS out_height
+        |FROM r ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.resizeImages(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")), 64)
+        .select("media_id", "width", "height", "out_width", "out_height")
+        .orderBy("media_id")
+    },
+
+    // Multimodal frame-sampling plan (Multimodal.sampleFrames): explode a
+    // deterministic offset per frame index — the real version seeks key
+    // frames at the same offsets; the PLAN (scan-local explode, no
+    // shuffle) is what the gate pins.
+    Q("q_multimodal_frames",
+      """SELECT doc_id AS media_id, CAST(j AS INT) AS frame_idx,
+        |       CAST(j * octet_length(encode(text)) AS DOUBLE) / 4
+        |         AS byte_offset
+        |FROM documents, range(0, 4) AS t(j)
+        |WHERE doc_id % 3 = 2
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")), 4)
+        .orderBy("media_id", "frame_idx")
+    },
   )
 }
