@@ -45,6 +45,25 @@ object FunctionQueries {
         .orderBy("doc_id")
     },
 
+    // Map-typed columns: literal map construction, dynamic key lookup,
+    // cardinality. DuckDB map extraction yields a single-element LIST, so
+    // the oracle scalarizes with [1]; the key set is total over the data
+    // so the lookup never misses (ANSI element_at would throw on a miss).
+    Q("q_expr_map",
+      """SELECT o_orderkey,
+        |       (MAP {'O': 1, 'F': 2, 'P': 3})[o_orderstatus][1]
+        |         AS status_code,
+        |       CAST(cardinality(MAP {'O': 1, 'F': 2, 'P': 3}) AS INT)
+        |         AS n_keys
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val m = map(lit("O"), lit(1), lit("F"), lit(2), lit("P"), lit(3))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          element_at(m, col("o_orderstatus")).as("status_code"),
+          size(m).as("n_keys"))
+        .orderBy("o_orderkey")
+    },
+
     // Higher-order lambda functions over arrays: transform → filter →
     // fold, the modern-SQL surface for nested data. Integer-only math so
     // both engines' folds agree exactly. (Engine hot paths use codegen'd
