@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{HyperplaneSig64, LangId, MinHash, MinHashSig, QualityScore, RollingHash64, SimHash64, WordShingles, ZOrder62}
+import graft.expressions.{HyperplaneSig64, LangId, MinHash, MinHashSig, MinHashUnion, QualityScore, RollingHash64, SimHash64, WordShingles, ZOrder62}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -38,5 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => QualityScore(children.head)))
     ext.injectFunction((FunctionIdentifier("zorder62"), ZOrder62.info,
       children => ZOrder62(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_union"),
+      MinHashUnion.info, children => MinHashUnion(children.head)))
   }
 }

@@ -247,10 +247,17 @@ object Dedup {
                              textCol: String, k: Int = 3,
                              m: Int = 16): DataFrame = {
     graft.expressions.MinHash.register(df.sparkSession)
-    val sigs = df.selectExpr(q(groupCol),
-        s"posexplode(minhash_sig(word_shingles(${q(textCol)}, $k), $m))" +
-          " AS (pos, v)")
-      .groupBy(col(groupCol), col("pos")).agg(min("v").as("mv"))
+    graft.expressions.MinHashUnion.register(df.sparkSession)
+    // per-doc signatures stay scan-local; the custom minhash_union
+    // aggregate (element-wise min = union sketch) shuffles ONE m-wide
+    // array per (group, map task) — m× fewer rows than exploding the
+    // positions before the aggregation
+    val groupSigs = df
+      .selectExpr(q(groupCol),
+        s"minhash_sig(word_shingles(${q(textCol)}, $k), $m) AS sig")
+      .groupBy(col(groupCol)).agg(expr("minhash_union(sig)").as("gsig"))
+    val sigs = groupSigs.selectExpr(q(groupCol),
+      "posexplode(gsig) AS (pos, mv)")
     val a = sigs.select(col(groupCol).as("g1"), col("pos"),
       col("mv").as("v1"))
     val b = sigs.select(col(groupCol).as("g2"), col("pos"),

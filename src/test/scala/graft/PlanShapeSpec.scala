@@ -122,6 +122,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
   }
 
+  test("minhash_union aggregates partially before the exchange") {
+    val plan = physical(Dedup.groupMinhashSimilarity(
+      t(spark, sf001, "documents"), "source", "text", k = 3, m = 16))
+    // the custom TypedImperativeAggregate must combine map-side: one
+    // m-wide partial per (group, task) crosses the wire, not per-doc sigs
+    assert(plan.contains("partial_minhash_union"),
+      s"no map-side partial for the union sketch:\n$plan")
+  }
+
   test("per-group top-k filters push a partial group limit below the shuffle") {
     val plan = physical(
       SparkEntry.queries("q_sample_stratified")(spark, sf001))

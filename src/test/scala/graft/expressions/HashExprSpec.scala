@@ -1,5 +1,7 @@
 package graft.expressions
 
+import org.apache.spark.sql.functions.expr
+
 import graft.SparkSpec
 
 class RollingHashSpec extends SparkSpec {
@@ -55,6 +57,49 @@ class SimHash64ExprSpec extends SparkSpec {
     val out = Seq(Option.empty[Seq[String]]).toDF("toks")
       .selectExpr("simhash64(toks)").head
     assert(out.isNullAt(0))
+  }
+}
+
+class MinHashUnionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("aggregate equals per-position min across many partitions") {
+    MinHashUnion.register(spark)
+    val rows = (1 to 200).map { i =>
+      ("g" + (i % 3), Seq(f"$i%03d-a", f"${300 - i}%03d-b", null))
+    }
+    val df = rows.toDF("g", "sig").repartition(7) // force partial merges
+    val got = df.groupBy("g").agg(expr("minhash_union(sig)").as("u"))
+      .as[(String, Seq[String])].collect().toMap
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> (0 until 3).map { i =>
+        val vals = rs.map(_._2(i)).filter(_ != null)
+        if (vals.isEmpty) null else vals.min
+      }
+    }
+    assert(got.view.mapValues(_.toSeq).toMap ==
+      expected.view.mapValues(_.toSeq).toMap)
+  }
+
+  test("all-null positions stay null; null input rows are skipped") {
+    MinHashUnion.register(spark)
+    val df = Seq(
+      ("g", Some(Seq[String]("b", null))),
+      ("g", Some(Seq[String]("a", null))),
+      ("g", Option.empty[Seq[String]])
+    ).toDF("g", "sig")
+    val got = df.groupBy("g").agg(expr("minhash_union(sig)").as("u"))
+      .as[(String, Seq[String])].collect().head._2
+    assert(got == Seq("a", null))
+  }
+
+  test("serialization round-trips the partial buffer exactly") {
+    val agg = MinHashUnion(
+      org.apache.spark.sql.catalyst.expressions.Literal(1))
+    val buf = Array("00af", null, "zz", "")
+    assert(agg.deserialize(agg.serialize(buf)).toSeq == buf.toSeq)
+    assert(agg.deserialize(agg.serialize(Array.empty)).isEmpty)
   }
 }
 
