@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => ZOrder62(children.head, children(1))))
     ext.injectFunction((FunctionIdentifier("minhash_union"),
       MinHashUnion.info, children => MinHashUnion(children.head)))
+    // pure time-range inner joins → bucketed equi joins (no nested loop)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
   }
 }
