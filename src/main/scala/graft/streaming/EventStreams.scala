@@ -117,6 +117,56 @@ object EventStreams {
           col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
 
+  /** Streaming SCD2 sink: historize a stream of dimension updates into a
+    * parquet warehouse table via `foreachBatch` + the batch merge engine
+    * ([[graft.engine.Scd2.merge]]) — the streaming upsert path that turns
+    * a CDC/update feed into a versioned dimension without a rewrite job.
+    *
+    * Each micro-batch: dedup the batch to its LATEST row per key (ordered
+    * by `orderCol` — a batch can carry several updates for one key), read
+    * the current table, run the same close-out/insert merge the batch
+    * pipeline uses, atomically swap the table directory. One merge per
+    * micro-batch, cost O(open ∪ batch) — history partitions are union
+    * legs, untouched (SCALE.md "SCD2 historization").
+    *
+    * Returns the started query; callers own its lifecycle.
+    */
+  def scd2Sink(updates: DataFrame, tablePath: String, pk: Seq[String],
+               attrs: Seq[String], orderCol: String): org.apache.spark.sql
+      .streaming.StreamingQuery = {
+    import graft.engine.Scd2
+    import org.apache.spark.sql.expressions.Window
+    updates.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val w = Window.partitionBy(pk.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val deduped = batch
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+        val latest = deduped.select((pk ++ attrs).map(col): _*)
+        if (!latest.isEmpty) {
+          val loadTs = deduped.agg(max(orderCol)).head.get(0).toString
+          val dir = new java.io.File(tablePath)
+          val target =
+            if (dir.exists()) spark.read.parquet(tablePath)
+            else Scd2.stamp(latest.limit(0), loadTs)
+          val merged = Scd2.merge(target, latest, pk, attrs, loadTs)
+          // materialize before the swap — merged still reads tablePath
+          val tmp = tablePath + ".merge"
+          merged.write.mode("overwrite").parquet(tmp)
+          val fs = new org.apache.hadoop.fs.Path(tablePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(tablePath))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Convenience: run a streaming DataFrame to an in-memory sink and block
     * until all available data is processed (dev/test harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

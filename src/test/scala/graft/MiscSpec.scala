@@ -190,6 +190,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Sink historizes a dimension update stream into versions") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val path = java.nio.file.Files.createTempDirectory("graft-scd2sink")
+      .toString + "/dim"
+    def load(rows: (Long, String, java.sql.Timestamp)*): Unit = {
+      val s = MemoryStream[(Long, String, java.sql.Timestamp)]
+      s.addData(rows: _*)
+      val q = EventStreams.scd2Sink(s.toDF().toDF("id", "attr", "ts"),
+        path, Seq("id"), Seq("attr"), "ts")
+      q.awaitTermination()
+    }
+    // batch 1 carries TWO updates for id 1 — the later one must win
+    load((1L, "a", ts(10, 0)), (1L, "a2", ts(10, 5)), (2L, "b", ts(10, 0)))
+    load((1L, "a3", ts(11, 0))) // id 1 changes, id 2 vanishes → closed
+    val t = spark.read.parquet(path)
+    val open = t.where(col("valid_to") === graft.engine.Scd2.OpenEnd)
+      .select("id", "attr").as[(Long, String)].collect().toSet
+    assert(open == Set((1L, "a3")))
+    val versions = t.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(versions == Map(1L -> 2L, 2L -> 1L)) // a2 closed + a3 open; b closed
+  }
+
   test("sessionize closes sessions on gap and carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[EventStreams.Event]
