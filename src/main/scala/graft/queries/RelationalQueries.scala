@@ -520,6 +520,48 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): rows with a
+    // null key still match the null dimension row — a plain `=` would
+    // silently drop one segment's worth of customers, so row count
+    // discriminates the semantics.
+    Q("q_join_nullsafe",
+      """WITH a AS (SELECT c_custkey,
+        |                  nullif(c_mktsegment, 'BUILDING') AS seg
+        |           FROM customer),
+        |d AS (SELECT DISTINCT seg FROM a)
+        |SELECT a.c_custkey, a.seg
+        |FROM a JOIN d ON a.seg IS NOT DISTINCT FROM d.seg
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val d = a.select(col("seg").as("dseg")).distinct()
+      a.join(d, col("seg") <=> col("dseg"))
+        .select("c_custkey", "seg")
+        .orderBy("c_custkey")
+    },
+
+    // IGNORE NULLS window navigation: last non-null status seen per
+    // customer in order-date order — gap-filling over sparse columns,
+    // the forward-fill primitive.
+    Q("q_window_ignore_nulls",
+      """SELECT o_orderkey,
+        |       last_value(nullif(o_orderstatus, 'P') IGNORE NULLS) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS last_seen
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          last(nullif(col("o_orderstatus"), lit("P")), ignoreNulls = true)
+            .over(w).as("last_seen"))
+        .orderBy("o_orderkey")
+    },
+
     // Declarative data-quality validation (operators.Validate — the
     // engine-side form of the reference's meta.etl_col constraint
     // registry): four row-level expectations in ONE aggregation pass plus

@@ -91,6 +91,29 @@ object Scd2Queries {
           .orderBy("o_orderkey", "valid_from", "valid_to")
     },
 
+    // Point-in-time reconstruction (AsOfJoin.validAt over the merged SCD2
+    // table): state as-of a timestamp BETWEEN the loads must equal
+    // snapshot A verbatim, and as-of T2 must equal snapshot B — the oracle
+    // is just the snapshot definition, so the whole merge + interval
+    // filter machinery has to reproduce it exactly. Validity columns are
+    // dropped from the output (the 9999 sentinel never reaches parquet).
+    Q("q_scd2_pit",
+      s"""SELECT 'mid' AS as_of, * FROM ($sqlSnapA)
+         |UNION ALL
+         |SELECT 't2', * FROM ($sqlSnapB)
+         |ORDER BY as_of, o_orderkey""".stripMargin) { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val merged = Scd2.merge(Scd2.stamp(snapA(s, dir), T1), snapB(s, dir),
+        pk = Seq("o_orderkey"), attrs = Seq("o_orderstatus", "o_totalprice"),
+        loadTs = T2)
+      def at(tag: String, ts: String) =
+        AsOfJoin.validAt(merged, lit(ts).cast("timestamp"))
+          .select(lit(tag).as("as_of"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+      at("mid", "2024-01-15 00:00:00").union(at("t2", T2))
+        .orderBy("as_of", "o_orderkey")
+    },
+
     // J62 — insert-only-new (hubs/marts): target keeps its rows verbatim,
     // only unseen pks append (marts accrete, SURVEY.md J62).
     Q("q_scd2_insert_only",
