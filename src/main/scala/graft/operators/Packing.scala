@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Token-budget sequence packing — the pretraining-data step that groups
+  * documents into fixed-budget bins (training sequences / shard files):
+  * documents are laid out in a deterministic global order and cut into
+  * contiguous bins of ~`budget` total weight.
+  *
+  * The core primitive is a DISTRIBUTED PREFIX SUM. A windowed
+  * `sum() OVER (ORDER BY ...)` with no partition key collapses to a
+  * single-partition window — the same 100 TB cliff GlobalRank avoids for
+  * ranking. Here: range-repartition + sort on the order (one exchange),
+  * per-partition weight totals (one tiny job: one long per partition to
+  * the driver — bounded scalars, not data), broadcast exclusive offsets,
+  * then a partition-local running sum. Every row gets the exact global
+  * cumulative weight without ever funneling rows through one task.
+  *
+  * Bin assignment is contiguous packing: a row's bin is
+  * `(cumulative_before_row) div budget` — so bins are contiguous in the
+  * global order and each bin's weight stays below `budget` + one maximal
+  * row (the greedy contiguous bound). The order must be total (supply a
+  * tiebreak) for determinism, exactly like the window form.
+  */
+object Packing {
+
+  /** Append `cum` (inclusive global running weight) and `bin` columns.
+    * `weightCol` must be a non-negative integral column. */
+  def packByBudget(df: DataFrame, order: Seq[Column], weightCol: String,
+                   budget: Long,
+                   numPartitions: Option[Int] = None): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val parts = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    def weightOf(r: Row): Long = r.get(wIdx) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case other => throw new IllegalArgumentException(
+        s"weight column $weightCol must be integral, got $other")
+    }
+    // one long per partition to the driver — bounded by the partition
+    // count, never by the data
+    val partSums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += weightOf(r))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField("cum", LongType, nullable = false),
+      StructField("bin", LongType, nullable = false)))
+    val packed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { r =>
+        val w = weightOf(r)
+        val bin = run / budget // cumulative BEFORE this row
+        run += w
+        Row.fromSeq(r.toSeq ++ Seq(run, bin))
+      }
+    }
+    spark.createDataFrame(packed, schema)
+  }
+}

@@ -224,6 +224,30 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Token-budget packing (operators.Packing): documents in deterministic
+    // hash order, cut into contiguous ~50k-char bins via a DISTRIBUTED
+    // prefix sum (range partition + per-partition offsets — never a
+    // single-partition window). The oracle replays with a windowed
+    // cumulative sum; equality proves the distributed prefix sum exact.
+    Q("q_pack_bins",
+      """WITH w AS (SELECT doc_id, n_chars AS w,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents),
+        |c AS (SELECT doc_id, w,
+        |             CAST(sum(w) OVER (ORDER BY h, doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM w)
+        |SELECT doc_id, w, cum, (cum - w) // 50000 AS bin
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Packing
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("w"),
+          md5(col("doc_id").cast("string")).as("h"))
+      Packing.packByBudget(w, Seq(col("h"), col("doc_id")), "w", 50000L)
+        .select("doc_id", "w", "cum", "bin")
+        .orderBy("doc_id")
+    },
+
     // Keep-best-per-cluster (Dedup.keepBest): planted 3-member clusters —
     // original, a truncated copy, a doubled copy — chained by edges so the
     // cluster only resolves transitively; the longest text wins, lowest id

@@ -177,6 +177,46 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class PackingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("distributed prefix sum equals the single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map(i => (i.toLong, rnd.nextInt(100).toLong + 1))
+      .toDF("id", "w").repartition(9)
+    val expected = df.withColumn("cum",
+        sum("w").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val got = Packing.packByBudget(df, Seq(col("id")), "w", 1000L)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("bins are contiguous and respect the greedy budget bound") {
+    val df = (1 to 300).map(i => (i.toLong, (i % 37).toLong + 1))
+      .toDF("id", "w")
+    val packed = Packing.packByBudget(df, Seq(col("id")), "w", 100L)
+      .select("id", "w", "bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // contiguous: bin ids never decrease along the order
+    packed.sliding(2).foreach {
+      case Array((_, _, b1), (_, _, b2)) => assert(b1 <= b2)
+      case _ =>
+    }
+    // each bin ≤ budget + one maximal row (greedy contiguous bound)
+    val maxW = packed.map(_._2).max
+    packed.groupBy(_._3).foreach { case (bin, rows) =>
+      assert(rows.map(_._2).sum <= 100L + maxW, s"bin $bin over budget")
+    }
+    // no gaps in bin numbering
+    val bins = packed.map(_._3).distinct.sorted
+    assert(bins.sameElements(bins.head to bins.last))
+  }
+}
+
 class ValidateSpec extends SparkSpec {
 
   import spark.implicits._
