@@ -520,6 +520,48 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Aggregate FILTER clause — per-aggregate predicates in one pass
+    // (the conditional-aggregation surface q_pivot expresses with
+    // sum(CASE...)); exercised through the Spark SQL parser so the SQL
+    // surface itself is gated.
+    Q("q_agg_filter",
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |       round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000),
+        |             4) AS big_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority,
+          |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+          |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+          |       sum(o_totalprice) FILTER (WHERE o_totalprice > 100000)
+          |         AS big_raw
+          |FROM orders GROUP BY o_orderpriority""".stripMargin)
+        .select(col("o_orderpriority"), col("n_open"), col("n_finished"),
+          graft.functions.Rounding.round4(col("big_raw")).as("big_total"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Struct (nested record) columns: construction, field access, and
+    // struct comparison driving a join-free lookup; scalars extracted for
+    // the comparator.
+    Q("q_expr_struct",
+      """SELECT c_custkey,
+        |       {'nation': c_nationkey, 'seg': c_mktsegment}.seg AS seg_out,
+        |       ({'a': c_nationkey} = {'a': 3}) AS is_n3
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          struct(col("c_nationkey").as("nation"),
+            col("c_mktsegment").as("seg")).getField("seg").as("seg_out"),
+          (struct(col("c_nationkey").as("a")) ===
+            struct(lit(3).cast(IntegerType).as("a"))).as("is_n3"))
+        .orderBy("c_custkey")
+    },
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): rows with a
     // null key still match the null dimension row — a plain `=` would
     // silently drop one segment's worth of customers, so row count
