@@ -520,6 +520,60 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // LATERAL correlated subquery in FROM: per-region top-2 nations by
+    // key — the iterate-per-row SQL surface (Catalyst decorrelates it
+    // into a ranked join; same engine path as C27's rewrite).
+    Q("q_join_lateral",
+      """SELECT r.r_name, t.n_name
+        |FROM region r, LATERAL (
+        |  SELECT n_name FROM nation n
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY n_name LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "region").createOrReplaceTempView("region")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT r.r_name, t.n_name
+          |FROM region r, LATERAL (
+          |  SELECT n_name FROM nation n
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  ORDER BY n_name LIMIT 2) t""".stripMargin)
+        .orderBy("r_name", "n_name")
+    },
+
+    // UNION BY NAME: positional-mismatch-proof unions (schema evolution
+    // across sources — columns align by name, not position).
+    Q("q_union_by_name",
+      """SELECT c_custkey AS id, c_name AS name FROM customer
+        |WHERE c_custkey <= 100
+        |UNION ALL BY NAME
+        |SELECT s_name AS name, s_suppkey + 1000000 AS id FROM supplier
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer").where(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val b = t(s, dir, "supplier")
+        .select(col("s_name").as("name"),
+          (col("s_suppkey") + 1000000).as("id"))
+      a.unionByName(b).orderBy("id")
+    },
+
+    // try_ arithmetic: division by planted zeros yields NULL instead of
+    // an ANSI error — the error-tolerant ingest surface next to try_cast.
+    Q("q_expr_try_divide",
+      """SELECT o_orderkey,
+        |       round(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+        |                  ELSE o_totalprice / (o_orderkey % 50) END, 4)
+        |         AS per_unit
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.functions.Rounding.round4(
+            try_divide(col("o_totalprice"),
+              pmod(col("o_orderkey"), lit(50)).cast("double")))
+            .as("per_unit"))
+        .orderBy("o_orderkey")
+    },
+
     // Aggregate FILTER clause — per-aggregate predicates in one pass
     // (the conditional-aggregation surface q_pivot expresses with
     // sum(CASE...)); exercised through the Spark SQL parser so the SQL
