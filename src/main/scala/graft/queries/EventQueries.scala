@@ -168,6 +168,30 @@ object EventQueries {
         .orderBy("view_id", "purchase_id")
     },
 
+    // Value-based RANGE window frame: per-user trailing-hour sum over
+    // event-time seconds — the sliding-aggregate shape ROWS frames can't
+    // express (peers enter by VALUE distance, so no tiebreak is needed
+    // for determinism).
+    Q("q_window_range_frame",
+      """SELECT event_id,
+        |       round(sum(value) OVER (
+        |         PARTITION BY user_id
+        |         ORDER BY date_diff('second', TIMESTAMP '2024-01-01',
+        |                            CAST(ts AS TIMESTAMP))
+        |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+        |         AS hour_sum
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val epoch = col("ts").cast("long") -
+        lit("2024-01-01 00:00:00").cast("timestamp").cast("long")
+      val w = Window.partitionBy("user_id").orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          round4(sum("value").over(w)).as("hour_sum"))
+        .orderBy("event_id")
+    },
+
     // Multimodal metadata plumbing: opaque payload treated as bytes with
     // typed metadata derived scan-side (octet length, content checksum).
     // The decode stub itself (mapPartitions over binary) lives in

@@ -45,6 +45,24 @@ object FunctionQueries {
         .orderBy("doc_id")
     },
 
+    // explode_outer: rows whose array is empty survive with a null
+    // element (plain explode silently drops them — planted empties make
+    // row count discriminate). DuckDB: LEFT JOIN LATERAL unnest.
+    Q("q_expr_explode_outer",
+      """SELECT p.p_partkey, u.word
+        |FROM part p LEFT JOIN LATERAL (
+        |  SELECT unnest(CASE WHEN p.p_partkey % 10 = 0 THEN []
+        |                     ELSE string_split(p.p_type, ' ') END) AS word
+        |) u ON TRUE
+        |ORDER BY p_partkey, word""".stripMargin) { (s, dir) =>
+      val words = when(pmod(col("p_partkey"), lit(10)) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(col("p_type"), " "))
+      t(s, dir, "part")
+        .select(col("p_partkey"), explode_outer(words).as("word"))
+        .orderBy("p_partkey", "word")
+    },
+
     // Map-typed columns: literal map construction, dynamic key lookup,
     // cardinality. DuckDB map extraction yields a single-element LIST, so
     // the oracle scalarizes with [1]; the key set is total over the data
