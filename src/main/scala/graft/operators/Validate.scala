@@ -31,6 +31,31 @@ object Validate {
       "rule", "violations")
   }
 
+  /** Bucketed content checksums — the table-reconciliation primitive:
+    * compare two copies of a 100 TB table (replica, migration target,
+    * another engine) by exchanging `nBuckets` (bucket, count, checksum)
+    * rows instead of data. Row hash = the first 11 hex chars of
+    * md5(concat_ws of the content columns) as a 44-bit integer, summed
+    * per bucket: commutative (scan order irrelevant), engine-portable
+    * (md5 text is byte-identical everywhere — the same property the
+    * MinHash oracles lean on), and 44-bit values keep the sum inside
+    * int64 up to ~2^19 rows per bucket per low-order bit of headroom.
+    * Mismatched buckets localize the diff to 1/nBuckets of the keyspace
+    * for drill-down.
+    *
+    * Content columns should be strings/integrals (cast upstream) —
+    * float-to-string rendering is NOT cross-engine-portable.
+    */
+  def bucketChecksums(df: DataFrame, bucketKey: Column, nBuckets: Int,
+                      contentCols: Seq[Column]): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    df.select(pmod(bucketKey, lit(nBuckets)).as("bucket"),
+        conv(substring(md5(concat_ws("|", contentCols: _*)), 1, 11), 16, 10)
+          .cast("long").as("__rh"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("__rh").as("checksum"))
+  }
+
   /** Key-uniqueness check: violations = rows beyond the first per key.
     * Null keys count as violations (a null pk is never a valid identity).
     */

@@ -520,6 +520,31 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Table reconciliation (Validate.bucketChecksums): 16 bucket
+    // checksums summarize the orders table for cross-system comparison —
+    // the oracle recomputes them in DuckDB, so the gate literally IS the
+    // cross-engine reconciliation it implements.
+    Q("q_table_checksum",
+      """WITH h AS (
+        |  SELECT o_orderkey % 16 AS bucket,
+        |         CAST(list_reduce(list_transform(range(1, 12),
+        |           i -> CAST(strpos('0123456789abcdef',
+        |                  substr(md5(concat_ws('|',
+        |                    CAST(o_orderkey AS VARCHAR), o_orderstatus,
+        |                    o_orderpriority)), CAST(i AS INT), 1)) - 1
+        |                AS BIGINT)),
+        |           (a, b) -> a * 16 + b) AS BIGINT) AS rh
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n, CAST(sum(rh) AS BIGINT) AS checksum
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import graft.operators.Validate
+      Validate.bucketChecksums(t(s, dir, "orders"),
+          col("o_orderkey"), 16,
+          Seq(col("o_orderkey").cast("string"), col("o_orderstatus"),
+            col("o_orderpriority")))
+        .orderBy("bucket")
+    },
+
     // LATERAL correlated subquery in FROM: per-region top-2 nations by
     // key — the iterate-per-row SQL surface (Catalyst decorrelates it
     // into a ranked join; same engine path as C27's rewrite).

@@ -234,6 +234,22 @@ class ValidateSpec extends SparkSpec {
       "s_known" -> 1L))
   }
 
+  test("bucketChecksums detects a single-row mutation, localized") {
+    val base = (1 to 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val mutated = (1 to 400)
+      .map(i => (i.toLong, if (i == 137) "CORRUPT" else s"v$i"))
+      .toDF("id", "v")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Validate.bucketChecksums(df, col("id"), 16,
+          Seq(col("id").cast("string"), col("v")))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+        .toMap
+    val (a, b) = (sums(base), sums(mutated))
+    val diff = a.keySet.filter(k => a(k) != b(k))
+    assert(diff == Set(137L % 16)) // exactly the mutated row's bucket
+    assert(a.values.map(_._1).sum == 400)
+  }
+
   test("uniqueness counts duplicates and null keys") {
     val df = Seq[java.lang.Long](1L, 1L, 1L, 2L, null, null).toDF("k")
     val got = Validate.uniqueness(df, "k_unique", Seq("k"))
