@@ -45,6 +45,64 @@ object FunctionQueries {
         .orderBy("doc_id")
     },
 
+    // Bitwise expression surface: and/or/xor/shifts/negation — the key
+    // manipulation layer under the sketch operators, gated directly.
+    Q("q_expr_bitwise",
+      """SELECT o_orderkey,
+        |       o_orderkey & 255 AS lo,
+        |       o_orderkey | 4096 AS with_flag,
+        |       xor(o_orderkey, 21845) AS mixed,
+        |       o_orderkey << 3 AS shl,
+        |       o_orderkey >> 2 AS shr
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(255).as("lo"),
+          col("o_orderkey").bitwiseOR(4096).as("with_flag"),
+          col("o_orderkey").bitwiseXOR(21845).as("mixed"),
+          shiftleft(col("o_orderkey"), 3).as("shl"),
+          shiftright(col("o_orderkey"), 2).as("shr"))
+        .orderBy("o_orderkey")
+    },
+
+    // String padding/repetition/reversal — fixed-width formatting layer.
+    Q("q_expr_pad",
+      """SELECT p_partkey,
+        |       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_id,
+        |       rpad(p_brand, 12, '.') AS brand_cell,
+        |       repeat('-', CAST(p_size % 8 AS INT)) AS bar,
+        |       reverse(p_name) AS rev_name
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          lpad(col("p_partkey").cast("string"), 10, "0").as("padded_id"),
+          rpad(col("p_brand"), 12, ".").as("brand_cell"),
+          repeat(lit("-"), pmod(col("p_size"), lit(8)).cast("int")).as("bar"),
+          reverse(col("p_name")).as("rev_name"))
+        .orderBy("p_partkey")
+    },
+
+    // greatest/least with null operands (both engines skip nulls) and
+    // bool_and/bool_or aggregates per group.
+    Q("q_agg_bool",
+      """SELECT l_returnflag,
+        |       bool_and(l_quantity > 0) AS all_positive,
+        |       bool_or(l_discount > 0.09) AS any_big_discount,
+        |       max(greatest(l_quantity, CAST(NULL AS DOUBLE),
+        |                    l_discount * 100)) AS gmax,
+        |       min(least(l_quantity, l_extendedprice)) AS lmin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(bool_and(col("l_quantity") > 0).as("all_positive"),
+            bool_or(col("l_discount") > 0.09).as("any_big_discount"),
+            max(greatest(col("l_quantity"), lit(null).cast(DoubleType),
+              col("l_discount") * 100)).as("gmax"),
+            min(least(col("l_quantity"), col("l_extendedprice"))).as("lmin"))
+          .orderBy("l_returnflag")
+    },
+
     // explode_outer: rows whose array is empty survive with a null
     // element (plain explode silently drops them — planted empties make
     // row count discriminate). DuckDB: LEFT JOIN LATERAL unnest.
