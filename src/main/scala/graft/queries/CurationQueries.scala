@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
+import graft.functions.Rounding.round4
 import graft.operators.Dedup
 
 /** Driver-gated corpus-curation queries: deterministic train/val/test
@@ -159,6 +160,69 @@ object CurationQueries {
         "explode(word_shingles(text, 5)) AS sh")
       tsh.join(bsh, Seq("sh"), "left_semi")
         .select("doc_id").distinct().orderBy("doc_id")
+    },
+
+    // Bigram language-model statistics: P(w2 | w1) from corpus counts —
+    // one bigram explode, a bigram aggregation, and a unigram aggregation
+    // joined back. Probabilities are exact integer ratios.
+    Q("q_text_bigram_lm",
+      s"""WITH toks AS (SELECT doc_id, ${TextQueries.sqlToks} AS ts
+         |             FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(ts)),
+         |                i -> [ts[i], ts[i+1]])) AS b
+         |       FROM toks WHERE len(ts) >= 2),
+         |bc AS (SELECT b[1] AS w1, b[2] AS w2, count(*) AS c12
+         |       FROM bg GROUP BY 1, 2),
+         |uc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1)
+         |SELECT bc.w1, bc.w2, bc.c12,
+         |       round(CAST(bc.c12 AS DOUBLE) / uc.c1, 4) AS p
+         |FROM bc JOIN uc USING (w1)
+         |WHERE bc.c12 >= 5
+         |ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      // bigrams stay scan-local: one transform over the token array per
+      // document, exploded to (w1, w2) pairs — no self-join
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val d = t(s, dir, "documents").select(toks.as("ts"))
+        .where(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))"))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val bc = d.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uc = bc.groupBy("w1").agg(sum("c12").as("c1"))
+      bc.join(uc, "w1")
+        .where(col("c12") >= 5)
+        .select(col("w1"), col("w2"), col("c12"),
+          round4(col("c12").cast("double") / col("c1")).as("p"))
+        .orderBy("w1", "w2")
+    },
+
+    // Token-distribution entropy per language — the corpus-diversity
+    // signal (low entropy = repetitive/templated text). Same
+    // -sum(p·ln p) fold both engines; rounded like every float
+    // aggregation in the catalog.
+    Q("q_text_entropy",
+      s"""WITH tok AS (SELECT lang, unnest(${TextQueries.sqlToks}) AS t
+         |            FROM documents),
+         |cnt AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY lang, t),
+         |tot AS (SELECT lang, sum(c) AS n FROM cnt GROUP BY lang)
+         |SELECT cnt.lang,
+         |       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)),
+         |             4) AS entropy,
+         |       CAST(count(*) AS BIGINT) AS vocab
+         |FROM cnt JOIN tot USING (lang)
+         |GROUP BY cnt.lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      val cnt = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("lang").agg(sum("c").as("n"))
+      cnt.join(tot, "lang")
+        .groupBy("lang")
+        .agg(round4(-sum((col("c").cast("double") / col("n")) *
+            log(col("c").cast("double") / col("n")))).as("entropy"),
+          count(lit(1)).as("vocab"))
+        .orderBy("lang")
     },
 
     // Source-level similarity (Dedup.groupMinhashSimilarity): one MinHash

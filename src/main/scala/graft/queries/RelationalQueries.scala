@@ -520,6 +520,26 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Histogram bucketing: fixed 50k-wide bins, clamped top bin — the
+    // distribution-profiling pass. The bin expression is the SAME
+    // explicit arithmetic on both sides (a width_bucket builtin would
+    // pin each engine's internal float association at bin boundaries).
+    Q("q_agg_histogram",
+      """SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 10)
+        |         AS bucket,
+        |       count(*) AS n,
+        |       round(min(o_totalprice), 4) AS lo,
+        |       round(max(o_totalprice), 4) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 50000).cast(LongType),
+          lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Rounding.round4(min("o_totalprice")).as("lo"),
+          graft.functions.Rounding.round4(max("o_totalprice")).as("hi"))
+        .orderBy("bucket")
+    },
+
     // Table reconciliation (Validate.bucketChecksums): 16 bucket
     // checksums summarize the orders table for cross-system comparison —
     // the oracle recomputes them in DuckDB, so the gate literally IS the
