@@ -45,6 +45,29 @@ object FunctionQueries {
         .orderBy("doc_id")
     },
 
+    // Math expression surface — restricted to IEEE-EXACT operations
+    // (sqrt is correctly rounded by standard, abs/sign/mod/multiply are
+    // exact), so no rounding tolerance is needed; transcendentals (exp,
+    // pow) are deliberately excluded from hash gates (entropy's ln is the
+    // one rounded exception).
+    Q("q_expr_math",
+      """SELECT o_orderkey,
+        |       sqrt(o_totalprice) AS root,
+        |       abs(o_totalprice - 200000) AS dist,
+        |       sign(o_totalprice - 200000) AS side,
+        |       o_orderkey % 7 AS m7,
+        |       o_totalprice * o_totalprice AS sq
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          sqrt(col("o_totalprice")).as("root"),
+          abs(col("o_totalprice") - 200000).as("dist"),
+          signum(col("o_totalprice") - 200000).as("side"),
+          pmod(col("o_orderkey"), lit(7)).as("m7"),
+          (col("o_totalprice") * col("o_totalprice")).as("sq"))
+        .orderBy("o_orderkey")
+    },
+
     // Bitwise expression surface: and/or/xor/shifts/negation — the key
     // manipulation layer under the sketch operators, gated directly.
     Q("q_expr_bitwise",
