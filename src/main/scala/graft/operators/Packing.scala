@@ -36,18 +36,32 @@ object Packing {
       spark.sessionState.conf.numShufflePartitions)
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist at the RDD level, not the DataFrame level: the two passes
+    // below must see identical partitions, but a DataFrame persist is
+    // pinned by the session's CacheManager until explicitly unpersisted —
+    // a leak per call in a long-lived session. An RDD persist is released
+    // by the ContextCleaner as soon as the returned frame (whose lineage
+    // holds the only reference) is garbage collected.
+    val sortedRdd = sorted.rdd
+    sortedRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIdx = sorted.schema.fieldIndex(weightCol)
-    def weightOf(r: Row): Long = r.get(wIdx) match {
-      case l: Long => l
-      case i: Int => i.toLong
-      case s: Short => s.toLong
-      case other => throw new IllegalArgumentException(
-        s"weight column $weightCol must be integral, got $other")
+    def weightOf(r: Row): Long = {
+      val w = r.get(wIdx) match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case other => throw new IllegalArgumentException(
+          s"weight column $weightCol must be integral, got $other")
+      }
+      if (w < 0) throw new IllegalArgumentException(
+        s"weight column $weightCol must be non-negative, got $w " +
+          "(a negative weight would make the running sum non-monotone " +
+          "and bin ids decrease)")
+      w
     }
     // one long per partition to the driver — bounded by the partition
     // count, never by the data
-    val partSums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val partSums = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
       it.foreach(r => s += weightOf(r))
       Iterator((pid, s))
@@ -56,7 +70,7 @@ object Packing {
     val schema = StructType(sorted.schema.fields ++ Seq(
       StructField("cum", LongType, nullable = false),
       StructField("bin", LongType, nullable = false)))
-    val packed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val packed = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var run = offsets(pid)
       it.map { r =>
         val w = weightOf(r)

@@ -36,24 +36,32 @@ object Validate {
     * another engine) by exchanging `nBuckets` (bucket, count, checksum)
     * rows instead of data. Row hash = the first 11 hex chars of
     * md5(concat_ws of the content columns) as a 44-bit integer, summed
-    * per bucket: commutative (scan order irrelevant), engine-portable
-    * (md5 text is byte-identical everywhere — the same property the
-    * MinHash oracles lean on), and 44-bit values keep the sum inside
-    * int64 up to ~2^19 rows per bucket per low-order bit of headroom.
-    * Mismatched buckets localize the diff to 1/nBuckets of the keyspace
-    * for drill-down.
+    * per bucket in decimal(38,0) (128-bit — a raw int64 sum would wrap
+    * silently past ~2^19 rows per bucket, exactly the scale the function
+    * targets, and wrap differently from an engine that sums wider) and
+    * reduced modulo the Mersenne prime 2^61-1, so the published checksum
+    * is closed under int64 regardless of bucket cardinality and any
+    * engine that can sum exactly (DuckDB sums to HUGEINT) reproduces it:
+    * commutative (scan order irrelevant), engine-portable (md5 text is
+    * byte-identical everywhere — the same property the MinHash oracles
+    * lean on). Mismatched buckets localize the diff to 1/nBuckets of the
+    * keyspace for drill-down.
     *
     * Content columns should be strings/integrals (cast upstream) —
     * float-to-string rendering is NOT cross-engine-portable.
     */
+  val ChecksumModulus: Long = (1L << 61) - 1 // Mersenne prime 2^61-1
+
   def bucketChecksums(df: DataFrame, bucketKey: Column, nBuckets: Int,
                       contentCols: Seq[Column]): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     df.select(pmod(bucketKey, lit(nBuckets)).as("bucket"),
         conv(substring(md5(concat_ws("|", contentCols: _*)), 1, 11), 16, 10)
-          .cast("long").as("__rh"))
+          .cast("decimal(38,0)").as("__rh"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), sum("__rh").as("checksum"))
+      .agg(count(lit(1)).as("n"),
+        pmod(sum("__rh"), lit(ChecksumModulus))
+          .cast("long").as("checksum"))
   }
 
   /** Key-uniqueness check: violations = rows beyond the first per key.

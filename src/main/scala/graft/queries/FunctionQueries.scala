@@ -49,12 +49,13 @@ object FunctionQueries {
     // (sqrt is correctly rounded by standard, abs/sign/mod/multiply are
     // exact), so no rounding tolerance is needed; transcendentals (exp,
     // pow) are deliberately excluded from hash gates (entropy's ln is the
-    // one rounded exception).
+    // one rounded exception). DuckDB sign() yields TINYINT while Spark
+    // signum yields DOUBLE — the oracle casts to DOUBLE for hash parity.
     Q("q_expr_math",
       """SELECT o_orderkey,
         |       sqrt(o_totalprice) AS root,
         |       abs(o_totalprice - 200000) AS dist,
-        |       sign(o_totalprice - 200000) AS side,
+        |       CAST(sign(o_totalprice - 200000) AS DOUBLE) AS side,
         |       o_orderkey % 7 AS m7,
         |       o_totalprice * o_totalprice AS sq
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>

@@ -555,7 +555,8 @@ object RelationalQueries {
         |                AS BIGINT)),
         |           (a, b) -> a * 16 + b) AS BIGINT) AS rh
         |  FROM orders)
-        |SELECT bucket, count(*) AS n, CAST(sum(rh) AS BIGINT) AS checksum
+        |SELECT bucket, count(*) AS n,
+        |       CAST(sum(rh) % 2305843009213693951 AS BIGINT) AS checksum
         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
       import graft.operators.Validate
       Validate.bucketChecksums(t(s, dir, "orders"),

@@ -1,7 +1,10 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
+
+import java.io.IOException
 
 /** Source/sink surface (SURVEY.md §2 family A): the reference lands scraped
   * rows via per-row INSERTs (A7), a CSV dump path (A8), and truncate-reload
@@ -50,9 +53,68 @@ object Formats {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** A7's warehouse leg: partition-parallel JDBC read. The reference's
+    * load boundary is a live Postgres (`imdb parser.py:229-252`); the
+    * Spark-native read splits `table` into `numPartitions` range slices of
+    * `partitionColumn` so 1000 executors pull concurrently instead of one
+    * cursor streaming 100 TB through a single connection. Without a
+    * partition column the read is single-connection — acceptable only for
+    * dimension-sized tables. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: Map[String, String] = Map.empty,
+               partitionColumn: Option[String] = None,
+               lowerBound: Long = 0L, upperBound: Long = 0L,
+               numPartitions: Int = 8): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    val withProps = props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+    partitionColumn.fold(withProps) { c =>
+      require(upperBound > lowerBound,
+        s"partitioned read needs upperBound > lowerBound, " +
+          s"got [$lowerBound, $upperBound]")
+      withProps.option("partitionColumn", c)
+        .option("lowerBound", lowerBound.toString)
+        .option("upperBound", upperBound.toString)
+        .option("numPartitions", numPartitions.toString)
+    }.load()
+  }
+
+  /** A7's JDBC sink: the reference inserts row-at-a-time under autocommit
+    * (`imdb parser.py:237-248` — one round-trip per scraped row); the
+    * Spark shape is batched writes issued in parallel from every
+    * partition (`batchsize` rows per statement, one transaction per
+    * partition). Target-side keying/constraints stay the warehouse's job,
+    * as in the reference. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: SaveMode = SaveMode.Append,
+                props: Map[String, String] = Map.empty,
+                batchSize: Int = 10000): Unit = {
+    val base = df.write.format("jdbc").mode(mode)
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+    props.foldLeft(base) { case (w, (k, v)) => w.option(k, v) }.save()
+  }
+
+  /** Crash-safe directory swap: rename the live dir aside, rename the new
+    * dir into place, then drop the old. A crash between the two renames
+    * leaves BOTH copies on disk (`.old` + the new dir) for recovery —
+    * unlike delete-then-rename, where a crash after the delete loses the
+    * table. Single-writer warehouse semantics (concurrent readers of the
+    * moving directory are out of scope, as with the reference's
+    * truncate-reload). */
+  def swapInto(fs: FileSystem, newDir: Path, live: Path): Unit = {
+    val old = new Path(live.toString + ".old")
+    fs.delete(old, true) // leftover from a prior crashed swap
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new IOException(s"could not move $live aside to $old")
+    if (!fs.rename(newDir, live))
+      throw new IOException(s"could not move $newDir into place at $live")
+    fs.delete(old, true)
+  }
+
   /** Small-files compaction: rewrite a parquet dataset into files of
-    * roughly `targetBytes` each, atomically (write to `path + ".compact"`,
-    * then swap). Incremental appends (A7) accumulate one file per commit
+    * roughly `targetBytes` each, then swap the directory crash-safely
+    * ([[swapInto]]). Incremental appends (A7) accumulate one file per commit
     * per partition; at 100 TB the resulting footer/open overhead dominates
     * scan time long before data volume does. File count is derived from
     * the dataset's actual on-disk size, and the rewrite is a coalesce —
@@ -61,7 +123,6 @@ object Formats {
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long,
               sortBy: Seq[org.apache.spark.sql.Column] = Nil): Long = {
-    import org.apache.hadoop.fs.Path
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val onDisk = fs.getContentSummary(hPath).getLength
@@ -72,8 +133,7 @@ object Formats {
       else df.coalesce(nFiles)
     val tmp = new Path(path + ".compact")
     arranged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    swapInto(fs, tmp, hPath)
     nFiles.toLong
   }
 }

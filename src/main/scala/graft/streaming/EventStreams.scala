@@ -125,18 +125,29 @@ object EventStreams {
     * Each micro-batch: dedup the batch to its LATEST row per key (ordered
     * by `orderCol` — a batch can carry several updates for one key), read
     * the current table, run the same close-out/insert merge the batch
-    * pipeline uses, atomically swap the table directory. One merge per
-    * micro-batch, cost O(open ∪ batch) — history partitions are union
-    * legs, untouched (SCALE.md "SCD2 historization").
+    * pipeline uses, swap the table directory crash-safely
+    * ([[graft.sources.Formats.swapInto]] — rename aside, rename in, drop;
+    * no delete-before-rename window that could lose the dimension). One
+    * merge per micro-batch, cost O(open ∪ batch) — history partitions are
+    * union legs, untouched (SCALE.md "SCD2 historization").
+    *
+    * `checkpointDir` persists stream progress so a restarted query resumes
+    * from the last committed batch instead of reprocessing the source;
+    * production callers should always pass it (the merge itself is
+    * idempotent per (key, loadTs), so a replayed batch converges, but the
+    * checkpoint is what bounds the replay).
     *
     * Returns the started query; callers own its lifecycle.
     */
   def scd2Sink(updates: DataFrame, tablePath: String, pk: Seq[String],
-               attrs: Seq[String], orderCol: String): org.apache.spark.sql
+               attrs: Seq[String], orderCol: String,
+               checkpointDir: Option[String] = None): org.apache.spark.sql
       .streaming.StreamingQuery = {
     import graft.engine.Scd2
     import org.apache.spark.sql.expressions.Window
-    updates.writeStream.outputMode(OutputMode.Append)
+    val writer = checkpointDir.fold(updates.writeStream)(
+      updates.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val w = Window.partitionBy(pk.map(col): _*)
@@ -155,11 +166,11 @@ object EventStreams {
           // materialize before the swap — merged still reads tablePath
           val tmp = tablePath + ".merge"
           merged.write.mode("overwrite").parquet(tmp)
-          val fs = new org.apache.hadoop.fs.Path(tablePath)
+          val livePath = new org.apache.hadoop.fs.Path(tablePath)
+          val fs = livePath
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(tablePath))
+          graft.sources.Formats.swapInto(fs,
+            new org.apache.hadoop.fs.Path(tmp), livePath)
         }
         ()
       }

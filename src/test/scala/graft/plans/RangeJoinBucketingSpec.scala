@@ -79,4 +79,50 @@ class RangeJoinBucketingSpec extends SparkSpec {
       spark.experimental.extraOptimizations = Nil
     }
   }
+
+  test("a non-positive bucket width falls back instead of emptying the join") {
+    spark.experimental.extraOptimizations = Seq(RangeJoinBucketing)
+    spark.conf.set("graft.rangeJoin.bucketSeconds", "0")
+    try {
+      // width 0 would make IntegralDivide yield null buckets on both
+      // sides — an equi join that silently matches NOTHING
+      assert(naiveJoin.as[(Long, Long)].collect().toSet == expected)
+    } finally {
+      spark.conf.unset("graft.rangeJoin.bucketSeconds")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("wide sentinel intervals take the fallback leg, not a giant explode") {
+    spark.experimental.extraOptimizations = Seq(RangeJoinBucketing)
+    try {
+      // an SCD2-style open row: valid_to = 9999-12-31 spans ~2.8e8 buckets
+      // at the default width — the unguarded rewrite exceeded Spark's max
+      // array length at runtime; the guard must route it around the explode
+      val sentinels = Seq(
+        (90L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")),
+        (12L, ts("2024-01-01 00:14:00"), ts("2024-01-01 00:29:00"))
+      ).toDF("iid", "istart", "iend")
+      val df = points.join(sentinels,
+          col("pts") >= col("istart") && col("pts") < col("iend"))
+        .select("pid", "iid")
+      val got = df.as[(Long, Long)].collect().toSet
+      val want = Set((1L, 90L), (2L, 90L), (3L, 90L), (4L, 90L), (5L, 90L),
+        (2L, 12L), (3L, 12L), (5L, 12L))
+      assert(got == want, "sentinel-guarded rewrite changed the result")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("narrow intervals still avoid the nested loop with the guard in place") {
+    spark.experimental.extraOptimizations = Seq(RangeJoinBucketing)
+    // cap of 1 bucket: interval 11 (1 h wide, 4+1 buckets at W=900)
+    // becomes "wide" and must still join correctly via the fallback leg
+    spark.conf.set("graft.rangeJoin.maxBucketsPerRow", "1")
+    try {
+      assert(naiveJoin.as[(Long, Long)].collect().toSet == expected)
+    } finally {
+      spark.conf.unset("graft.rangeJoin.maxBucketsPerRow")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
 }
