@@ -35,7 +35,11 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * that leg) and the two legs are unioned. Sentinel-heavy tables keep few
   * open rows relative to history, so the nested-loop leg stays small; see
   * the same hazard note on [[graft.operators.AsOfJoin]] /
-  * [[graft.engine.Scd2]].
+  * [[graft.engine.Scd2]]. When NO wide rows exist, AQE's empty-relation
+  * propagation erases the fallback leg at runtime (its broadcast stage
+  * materializes empty → the inner join collapses and the union folds), so
+  * the probe side is not scanned twice — asserted by
+  * RangeJoinBucketingSpec on the final adaptive plan.
   *
   * Installed via `SparkSessionExtensions.injectOptimizerRule`
   * ([[graft.GraftExtensions]]) or `spark.experimental.extraOptimizations`.

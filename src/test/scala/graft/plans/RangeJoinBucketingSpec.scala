@@ -37,11 +37,22 @@ class RangeJoinBucketingSpec extends SparkSpec {
     try {
       val df = naiveJoin
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin") &&
-        !plan.contains("CartesianProduct"),
-        s"rule did not fire — still a nested loop:\n$plan")
-      assert(df.as[(Long, Long)].collect().toSet == expected,
+      assert(plan.contains("__graft_lbkt"), s"rule did not fire:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("SortMergeJoin"),
+        s"narrow leg is not a hash/merge equi join:\n$plan")
+      val ds = df.as[(Long, Long)]
+      assert(ds.collect().toSet == expected,
         "rewritten join changed the result")
+      // No interval here spans more than maxBucketsPerRow, so the wide
+      // fallback leg is runtime-empty; AQE's empty-relation propagation
+      // must erase its nested loop so the probe side is not scanned twice.
+      val planStr = ds.queryExecution.executedPlan.toString
+      assert(planStr.contains("isFinalPlan=true"), planStr)
+      val finalPlan = planStr.split("== Initial Plan ==").head
+      assert(!finalPlan.contains("BroadcastNestedLoopJoin") &&
+        !finalPlan.contains("CartesianProduct"),
+        s"empty wide leg survived AQE:\n$finalPlan")
     } finally spark.experimental.extraOptimizations = Nil
   }
 
