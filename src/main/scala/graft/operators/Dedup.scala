@@ -151,6 +151,29 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Brute-force O(n²) SimHash pairs on a bounded subset — the exactness
+    * oracle for [[simhashPairs]]'s banded path: identical signature
+    * expression, every pair compared directly. Pigeonhole banding makes
+    * the banded path's recall EXACT at radius `maxHamming`, so on the same
+    * input the two outputs must be set-equal — the property
+    * q_dedup_simhash_recall pins per radius. Guard with `maxDocs`
+    * (deterministic lowest-id cap, like [[ngramJaccardPairs]]). */
+  def simhashBrutePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3, maxDocs: Int = 300): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    graft.expressions.SimHash64.register(df.sparkSession)
+    val sigs = df.orderBy(col(idCol)).limit(maxDocs)
+      .select(col(idCol).as("id"),
+        expr(s"simhash64(${tokensSql(textCol)})").as("sig"))
+    val a = sigs.select(col("id").as("id1"), col("sig").as("s1"))
+    val b = sigs.select(col("id").as("id2"), col("sig").as("s2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Banded candidate pairs over a `(id, sig: bigint)` frame: `bands` bit
     * bands distributed as evenly as possible over the 64 signature bits;
     * docs sharing any (band, key) bucket pair up. Returns distinct

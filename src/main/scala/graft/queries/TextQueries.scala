@@ -195,6 +195,40 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
+    // SimHash banding contract, oracle-gated (the q_ann_ivf_recall
+    // pattern): on a bounded subset, the banded path must be set-equal to
+    // a brute-force O(n²) hamming scan over the SAME signatures at every
+    // radius 0..6 — complete (pigeonhole: bands = radius+1 guarantees any
+    // pair within radius shares a band) AND sound (no invented pairs).
+    // The flags derive from the min hamming of each symmetric-difference
+    // side (null = empty = all radii pass), so one pass computes all
+    // seven radii. Deterministic: simhash64 is a fixed hash — the oracle
+    // pins every flag TRUE, converting DedupSpec's property test into a
+    // driver gate.
+    Q("q_dedup_simhash_recall",
+      """SELECT range AS radius, TRUE AS band_complete, TRUE AS band_sound
+        |FROM range(7) ORDER BY radius""".stripMargin) { (s, dir) =>
+      val subset = t(s, dir, "documents").orderBy("doc_id").limit(300)
+      val banded = Dedup.simhashPairs(subset, "doc_id", "text",
+        maxHamming = 6)
+      val brute = Dedup.simhashBrutePairs(subset, "doc_id", "text",
+        maxHamming = 6, maxDocs = 300)
+      val missMin = brute
+        .join(banded.select("id1", "id2"), Seq("id1", "id2"), "left_anti")
+        .agg(min("hamming").as("miss_min"))
+      val extraMin = banded
+        .join(brute.select("id1", "id2"), Seq("id1", "id2"), "left_anti")
+        .agg(min("hamming").as("extra_min"))
+      s.range(7).toDF("radius")
+        .crossJoin(broadcast(missMin)).crossJoin(broadcast(extraMin))
+        .select(col("radius"),
+          (col("miss_min").isNull || col("miss_min") > col("radius"))
+            .as("band_complete"),
+          (col("extra_min").isNull || col("extra_min") > col("radius"))
+            .as("band_sound"))
+        .orderBy("radius")
+    },
+
     // End-to-end corpus curation — the training-data pipeline in one
     // oracled query: language-ID, quality scoring, exact dedup (keep the
     // lowest doc_id per normalized fingerprint), quality threshold, then a

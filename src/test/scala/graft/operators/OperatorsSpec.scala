@@ -175,6 +175,37 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact)) // verify stage keeps LSH ⊆ exact
     assert(exact.size == 10)    // only the planted pairs clear 0.99
   }
+
+  test("k-means centroids beat the first-N stand-in on clustered data") {
+    import spark.implicits._
+    // 4 well-separated directions, 50 points each with deterministic
+    // jitter; ids 0-49 are ALL cluster 0 — the adversarial layout where
+    // "first N vectors as centroids" collapses to near-parallel seeds
+    val dims = 8
+    def point(c: Int, i: Int): Seq[Float] =
+      (0 until dims).map { j =>
+        val base = if (j == c * 2) 1.0 else 0.0
+        (base + ((i * 31 + j * 7) % 5 - 2) * 0.03).toFloat
+      }
+    val emb = (for (c <- 0 until 4; i <- 0 until 50)
+      yield ((c * 50 + i).toLong, point(c, i))).toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") % 50 === 0) // one per cluster
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "cand_id")
+      .as[(Long, Long)].collect().toSet
+    def recallWith(cents: org.apache.spark.sql.DataFrame): Double = {
+      val approx = Similarity.ivfTopK(emb, queries, k = 10,
+          nClusters = 4, nProbe = 1, centroids = Some(cents))
+        .select("query_id", "cand_id")
+        .as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val kmeans = recallWith(Similarity.fitCentroids(emb, k = 4))
+    val firstN = recallWith(Similarity.firstNCentroids(emb, 4))
+    assert(kmeans >= 0.9, s"k-means recall $kmeans below 0.9")
+    assert(kmeans > firstN,
+      s"k-means recall $kmeans not above first-N recall $firstN")
+  }
 }
 
 class PackingSpec extends SparkSpec {
