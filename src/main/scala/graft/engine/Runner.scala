@@ -52,17 +52,72 @@ object Runner {
         // Pipeline breaker, like the reference's CREATE TEMP TABLE temp_
         // (ddl.py:559-570): materialize so both merge legs and downstream
         // consumers read a stable snapshot instead of recomputing lineage.
-        // Write-then-rename so a failed job never leaves a half-written
-        // table (SURVEY §7.4 "atomic-enough"; a real lakehouse commit
-        // protocol — Delta/Iceberg — slots in here unchanged).
+        // Write staging, rename the live dir ASIDE, rename staging into
+        // place, then delete the old copy — a crash at any point leaves
+        // either the old or the new table intact, never neither (SURVEY
+        // §7.4 "atomic-enough"; a real lakehouse commit protocol —
+        // Delta/Iceberg — slots in here unchanged).
         val conf = spark.sparkContext.hadoopConfiguration
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
         val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.staging")
+        val old = new org.apache.hadoop.fs.Path(s"$dir/.$name.old")
         val dst = new org.apache.hadoop.fs.Path(s"$dir/$name")
         df.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dst, true)
+        fs.delete(old, true)
+        if (fs.exists(dst)) fs.rename(dst, old)
         fs.rename(tmp, dst)
+        fs.delete(old, true)
+        // the swap happened behind Spark's back — drop the shared file
+        // listing cache for the path or a later scan serves dead files
+        spark.catalog.refreshByPath(dst.toString)
         tables(name) = spark.read.parquet(dst.toString)
+      case None =>
+        tables(name) = df.localCheckpoint(eager = true)
+    }
+
+    /** SCD2 leg of `put`: history partitioned by the `valid_to` DATE, so
+      * closed history freezes into immutable partitions and an incremental
+      * load rewrites ONLY the partitions the merge can touch — the open
+      * sentinel partition (`valid_to_date=9999-12-31`, rows still open or
+      * newly inserted) and the loadTs close-date partition (rows the run
+      * just closed, plus any closed earlier the same day — dynamic
+      * partition overwrite replaces whole partitions, so the slice keeps
+      * them). At 100 TB this turns the SCD2 write from O(table) into
+      * O(open + changed): years of closed history are never rewritten —
+      * PipelineSpec asserts the frozen partition's files are untouched
+      * across a later load. Partition-grain commit atomicity (per-partition
+      * swap by Spark's dynamic overwrite) replaces `put`'s whole-dir swap;
+      * a lakehouse table format upgrades it to table-grain unchanged.
+      */
+    def putScd2(name: String, df: DataFrame,
+                affectedDates: Seq[String]): Unit = persistDir match {
+      case Some(dir) =>
+        import org.apache.spark.sql.functions.{col, lit, to_date}
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        val fs = dst.getFileSystem(conf)
+        val withPart = df.withColumn("valid_to_date",
+          to_date(col(Scd2.ValidTo)))
+        if (!fs.exists(dst)) {
+          withPart.write.partitionBy("valid_to_date")
+            .mode("overwrite").parquet(dst.toString)
+        } else {
+          // localCheckpoint breaks lineage: the slice derives from a scan
+          // of dst, and Spark (rightly) refuses to overwrite a path its
+          // write plan still reads. Eager materialization is O(changed
+          // partitions), not O(table) — the frozen history is filtered out
+          // BEFORE the checkpoint.
+          val slice = withPart.where(affectedDates
+              .map(d => col("valid_to_date") === to_date(lit(d)))
+              .reduce(_ || _))
+            .localCheckpoint(eager = true)
+          slice.write.partitionBy("valid_to_date")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(dst.toString)
+        }
+        spark.catalog.refreshByPath(dst.toString)
+        tables(name) = spark.read.parquet(dst.toString).drop("valid_to_date")
       case None =>
         tables(name) = df.localCheckpoint(eager = true)
     }
@@ -76,18 +131,24 @@ object Runner {
   def runLoad(wh: Warehouse, specs: Seq[TableSpec], loadTs: String): Warehouse = {
     specs.foreach { spec =>
       val snapshot = Scd2.reconcile(spec.transform(wh), spec.schema)
-      val merged = spec.mode match {
+      spec.mode match {
         case Scd2Merge =>
           val target = wh.get(spec.name).getOrElse(
             emptyTarget(wh.spark, spec))
-          Scd2.merge(target, snapshot, spec.pk, spec.attrs, loadTs)
+          val merged = Scd2.merge(target, snapshot, spec.pk, spec.attrs,
+            loadTs)
+          // the merge can only touch the open sentinel partition and the
+          // partition of rows it closes at loadTs — everything else is
+          // frozen history (see Warehouse.putScd2)
+          wh.putScd2(spec.name, merged,
+            Seq(loadTs.take(10), "9999-12-31"))
         case InsertOnlyNew =>
-          wh.get(spec.name) match {
+          val merged = wh.get(spec.name) match {
             case Some(target) => Scd2.insertOnlyNew(target, snapshot, spec.pk)
             case None => snapshot
           }
+          wh.put(spec.name, merged)
       }
-      wh.put(spec.name, merged)
     }
     wh
   }

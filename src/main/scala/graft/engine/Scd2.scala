@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   *
   * Scale notes (100 TB target):
   *  - `history` never joins — it is a pure union leg, so cost is O(changed),
-  *    not O(table). With the history partitioned by a date derived from
-  *    `valid_to`, the rebuilt table only rewrites the open partition.
+  *    not O(table). The storage side delivers the same bound:
+  *    [[Runner.Warehouse.putScd2]] partitions history by the `valid_to`
+  *    date and dynamic-overwrites only the open + close-date partitions
+  *    (PipelineSpec asserts closed partitions are file-level untouched).
   *  - The single full-outer join shuffles on pk; AQE skew-join splits hot
   *    keys. Both legs are pre-projected to pk+attrs (column pruning).
   *

@@ -96,4 +96,37 @@ class PipelineSpec extends SparkSpec {
     assert(md.filter(col("movie_name") === "The Matrix")
       .select("rating").as[String].head() == "8.7")
   }
+
+  test("SCD2 history partitions freeze: a later load rewrites only the open + close-date partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_part")
+      .toString
+    val w = new Warehouse(spark, Some(dir))
+    load(w, "8.7", "2024-01-01 00:00:00")
+    load(w, "8.8", "2024-02-01 00:00:00") // closes Matrix v1 → 2024-02-01
+    val satDir = java.nio.file.Paths.get(dir, "movie_info_sat")
+    def filesOf(part: String): Map[String, (Long, Long)] = {
+      val d = satDir.resolve(s"valid_to_date=$part").toFile
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }
+    val frozen = filesOf("2024-02-01")
+    assert(frozen.nonEmpty, "expected a closed partition after load 2")
+    load(w, "8.9", "2024-03-01 00:00:00") // closes Matrix v2 → 2024-03-01
+    assert(filesOf("2024-02-01") == frozen,
+      "a frozen closed partition was rewritten by a later load")
+    assert(filesOf("2024-03-01").nonEmpty &&
+      filesOf("9999-12-31").nonEmpty)
+    // and the partitioned table equals the in-memory run, row for row
+    val mem = new Warehouse(spark)
+    load(mem, "8.7", "2024-01-01 00:00:00")
+    load(mem, "8.8", "2024-02-01 00:00:00")
+    load(mem, "8.9", "2024-03-01 00:00:00")
+    val key = Seq("title_item_id", "valid_from", "valid_to").map(col)
+    val got = w("movie_info_sat").orderBy(key: _*).collect().toSeq
+    val want = mem("movie_info_sat")
+      .select(w("movie_info_sat").columns.map(col): _*)
+      .orderBy(key: _*).collect().toSeq
+    assert(got == want, "partitioned SCD2 table diverged from in-memory run")
+  }
 }
