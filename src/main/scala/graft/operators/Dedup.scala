@@ -53,7 +53,9 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, m: Int = 8, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucket: Int = 10000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     // bands > m would give 0 rows per band — every band key identical, the
     // candidate join degenerates to the full n² cross product LSH exists
     // to avoid; a non-divisor silently drops signature entries.
@@ -75,11 +77,27 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sh.select(col("id"), expr(s"minhash_sig(sh, $m)").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("id"),
+    val bandedRaw = sigs.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           md5(concat_ws("|", (0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*)))
       .toDF("id", "band", "key")
+    // Hot-bucket cap: a bucket of n members yields n(n-1)/2 pairs — for
+    // boilerplate-heavy corpora one bucket can go quadratic no matter how
+    // the shuffle is split (AQE fixes partition skew, not join-output
+    // blowup). Keep the `maxBucket` lowest ids per (band, key):
+    // deterministic, and safe in practice because exact/fingerprint dedup
+    // runs FIRST in the curation pipeline, so what remains in a hot bucket
+    // is near-dup variety, which the kept members still represent. The
+    // window shuffles on the same (band, key) the bucket join uses, so the
+    // exchange is reused, not added. Default 10000 caps a bucket at ~5e7
+    // pairs — bounded, and far above any honest bucket's size.
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "key").orderBy("id")
+    val banded = bandedRaw
+      .withColumn("__bn", row_number().over(bucketW))
+      .where(col("__bn") <= maxBucket)
+      .drop("__bn")
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,

@@ -98,6 +98,60 @@ class DedupSpec extends SparkSpec {
       == 0.5)
   }
 
+  test("hot-bucket cap bounds the quadratic boilerplate blowup") {
+    // 400 docs sharing one verbatim boilerplate text: uncapped, the single
+    // LSH bucket yields 400*399/2 = 79 800 candidate pairs — the join-output
+    // blowup no shuffle splitting can fix. The cap keeps the 20 lowest ids
+    // per (band, key): every band keeps the SAME 20, so candidates collapse
+    // to C(20,2) = 190, while near-dups in honest buckets are untouched.
+    val boiler = (100L until 500L).map(i => (i,
+      "standard legal disclaimer boilerplate text repeated verbatim here"))
+    val corpus = docs.union(boiler.toDF("doc_id", "text"))
+    val capped = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        k = 3, m = 8, bands = 4, threshold = 0.3, maxBucket = 20)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val boilerPairs = capped.count { case (i, j) => i >= 100L && j >= 100L }
+    assert(boilerPairs == 190, s"expected C(20,2) capped pairs, got $boilerPairs")
+    assert(capped.contains((1L, 2L)), "honest near-dup pair lost to the cap")
+  }
+
+  test("AQE skew-split fires on a skewed bucket join (executed evidence)") {
+    // The LSH bucket join's skew risk is a hot (band, key): this replays
+    // that join shape — a self-join on a key where one value holds ~3000
+    // rows and the rest are uniform — with thresholds scaled down to the
+    // test's data volume, and asserts the final adaptive plan actually
+    // split the skewed partition.
+    val prev = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val banded = (1L to 3000L).map(i => (i, "hot"))
+        .++((1L to 500L).map(i => (3000L + i, s"k${i % 200}")))
+        .toDF("id", "key").repartition(8)
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      val joined = a.join(b,
+          col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.toLowerCase.contains("skew"),
+        s"AQE did not mark the join skewed:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("connected components: chains close transitively, clusters stay apart") {
     // chain 1-2-3-4-5 (diameter 4) + disjoint pair 10-11 + singleton edge 20-21
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L),
