@@ -163,4 +163,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1,
       s"expected exactly one exchange, saw $exchanges:\n$plan")
   }
+
+  test("math/expression gates stay inside whole-stage codegen") {
+    // IEEE-exact math (q_expr_math) and the simhash signature path must
+    // plan as a codegen'd projection over the scan — an interpreted
+    // Expression here would be a per-row virtual call at 100 TB.
+    for (name <- Seq("q_expr_math", "q_expr_cleanse", "q_expr_digits")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      df.collect() // AQE prints codegen stars only on the executed final plan
+      val plan = physical(df).split("== Initial Plan ==").head
+      assert(plan.contains("*("),
+        s"$name fell out of whole-stage codegen:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+        s"$name routed through a UDF:\n$plan")
+    }
+  }
+
+  test("simhash recall gate's brute leg is bounded, banded leg shuffles once on (band, key)") {
+    val subset = t(spark, sf001, "documents").orderBy("doc_id").limit(50)
+    val plan = physical(Dedup.simhashBrutePairs(subset, "doc_id", "text",
+      maxHamming = 6, maxDocs = 50))
+    // the O(n²) leg must carry the row-cap limit — never a free cross join
+    assert(plan.contains("GlobalLimit") || plan.contains("TakeOrdered"),
+      s"brute leg lost its bound:\n$plan")
+  }
 }
