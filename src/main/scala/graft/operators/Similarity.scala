@@ -20,24 +20,26 @@ object Similarity {
 
   /** Deterministic Lloyd's k-means coarse quantizer for [[ivfTopK]].
     *
-    * Spark shape: the fit runs on a bounded deterministic sample (the
+    * Scale shape: the fit runs on a bounded deterministic sample (the
     * `sampleN` rows with the smallest `xxhash64(id)` — a seedless
-    * pseudo-random draw that is stable across partitionings), so training
-    * cost is O(sampleN · k · iters) regardless of corpus size — the same
-    * train-on-a-sample contract every production coarse quantizer uses.
-    * Each iteration is one distributed pass over the sample: assign via a
-    * broadcast of the k centroids, re-center via posexplode + per-(cluster,
-    * dim) average with map-side partials; only k×dim doubles ever reach
-    * the driver. Assignment of the FULL candidate set stays in [[ivfTopK]].
+    * pseudo-random draw that is stable across partitionings). The sample
+    * is ONE distributed top-k by hash, collected once — ≤ sampleN·dims
+    * doubles (2 MB at defaults) — and Lloyd's runs driver-local on it:
+    * training cost is O(sampleN · k · iters) regardless of corpus size,
+    * the same train-on-a-sample contract every production coarse
+    * quantizer uses, and launching ~k·iters cluster jobs to average a
+    * 2 MB sample would be pure scheduling overhead (measured 10× the
+    * total fit time). Corpus-scale work — assignment and probing — stays
+    * distributed in [[ivfTopK]].
     *
     * Determinism (workflow requirement — no RNG anywhere): init is a
     * farthest-point (k-center greedy) traversal of the sample — seeded at
     * the smallest `xxhash64(id)`, each next centroid is the sample point
     * minimizing its max cosine to the chosen set (id tiebreak) — which
-    * spreads the seeds across the data regardless of id layout; assignment
-    * scores are rounded to 4 decimals with id tiebreaks, and re-centered
-    * components are rounded to 6 decimals so float summation order across
-    * partitions cannot perturb the result. Empty clusters keep their
+    * spreads the seeds across the data regardless of id layout; all
+    * arithmetic is sequential-fold double (no partition-order variance),
+    * with re-centered components rounded to 6 decimals and assignment
+    * ties broken by lowest centroid id. Empty clusters keep their
     * previous centroid. Cosine metric: centroid scale is irrelevant to
     * cosine ranking, so no normalization step.
     */
@@ -45,50 +47,53 @@ object Similarity {
                    sampleN: Int = 4096): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val sample = candidates
+    val sample: Array[(Long, Array[Double])] = candidates
       .select(col("vec_id").as("id"), asDouble(col("embedding")).as("vec"))
       .orderBy(xxhash64(col("id")), col("id")).limit(sampleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val seed = sample.orderBy(xxhash64(col("id")), col("id")).limit(1)
-        .collect().head.getSeq[Double](1)
-      val init = scala.collection.mutable.ArrayBuffer((0, seed))
-      while (init.size < k) {
-        val centDf = broadcast(init.toSeq.toDF("centroid_id", "centroid_vec"))
-        val next = sample.crossJoin(centDf)
-          .groupBy("id").agg(
-            max(graft.functions.Rounding.round4(
-              cosine(col("vec"), col("centroid_vec")))).as("closest"),
-            first(col("vec")).as("vec"))
-          .orderBy(col("closest").asc, col("id").asc).limit(1)
-          .collect().head
-        init += ((init.size, next.getSeq[Double](2)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "cannot fit centroids on an empty corpus")
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
       }
-      var cents: Array[(Int, Seq[Double])] = init.toArray
-      for (_ <- 1 to iters) {
-        val centDf = broadcast(cents.toSeq.toDF("centroid_id", "centroid_vec"))
-        val scored = sample.crossJoin(centDf)
-          .withColumn("cscore", graft.functions.Rounding.round4(
-            cosine(col("vec"), col("centroid_vec"))))
-        // argmax centroid per vector, ties to the lowest centroid id
-        val assigned = scored.groupBy("id").agg(
-          max_by(col("centroid_id"),
-            struct(col("cscore"), -col("centroid_id"))).as("cid"),
-          first(col("vec")).as("vec"))
-        val means = assigned
-          .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos").agg(avg("x").as("m"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .map { case (cid, rows) =>
-            val v = rows.sortBy(_.getInt(1))
-              .map(r => math.rint(r.getDouble(2) * 1e6) / 1e6).toSeq
-            (cid, v)
-          }
-        cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // farthest-point init: hash order gives the seed, then repeatedly the
+    // point least similar to its closest chosen centroid (id tiebreak)
+    val init = scala.collection.mutable.ArrayBuffer(sample.head._2)
+    while (init.size < math.min(k, sample.length)) {
+      val next = sample.minBy { case (id, v) =>
+        (init.map(c => math.rint(cos(v, c) * 1e4) / 1e4).max, id)
       }
-      cents.toSeq.toDF("centroid_id", "centroid_vec")
-    } finally sample.unpersist(blocking = false)
+      init += next._2
+    }
+    var cents: Array[Array[Double]] = init.toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(
+        new Array[Double](sample.head._2.length))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { case (_, v) =>
+        var best = 0; var bestScore = Double.NegativeInfinity; var c = 0
+        while (c < cents.length) {
+          val s = cos(v, cents(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(x => math.rint(x / counts(c) * 1e6) / 1e6)
+      }
+    }
+    cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid_vec")
   }
 
   /** The pre-k-means centroid stand-in (first `k` vectors by id) — kept as
