@@ -61,7 +61,6 @@ object Dedup {
     // to avoid; a non-divisor silently drops signature entries.
     require(bands > 0 && bands <= m && m % bands == 0,
       s"bands ($bands) must divide the signature size ($m)")
-    val rowsPerBand = m / bands
     graft.expressions.MinHash.register(df.sparkSession)
     // Shingles and the m-entry signature are codegen'd native expressions
     // (graft.expressions.{WordShingles, MinHashSig}) — one tight loop per
@@ -77,11 +76,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sh.select(col("id"), expr(s"minhash_sig(sh, $m)").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandedRaw = sigs.select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*)))
-      .toDF("id", "band", "key")
+    val bandedRaw = bandKeys(sigs, m, bands)
     // Hot-bucket cap: a bucket of n members yields n(n-1)/2 pairs — for
     // boilerplate-heavy corpora one bucket can go quadratic no matter how
     // the shuffle is split (AQE fixes partition skew, not join-output
@@ -112,6 +107,75 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), graft.functions.Rounding.round4(col("jaccard")).as("jaccard"))
+  }
+
+  /** The reusable LSH index of a corpus: `(id, sh, sig)` — shingle arrays
+    * (for exact-Jaccard verification) and the m-entry MinHash signature.
+    * Computed scan-local (codegen'd expressions, no shuffle) and meant to
+    * be PERSISTED alongside the corpus (parquet next to the text), so
+    * growing a 100 TB corpus by a day's crawl never re-reads, re-shingles,
+    * or re-signs what is already there — see [[incrementalLshPairs]]. */
+  def signatureIndex(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, m: Int = 8): DataFrame = {
+    graft.expressions.MinHash.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        expr(s"word_shingles(${q(textCol)}, $k)").as("sh"))
+      .select(col("id"), col("sh"), expr(s"minhash_sig(sh, $m)").as("sig"))
+  }
+
+  /** Incremental near-dup detection: match a NEW batch of documents
+    * against an existing corpus [[signatureIndex]] without touching the
+    * corpus text. The batch is shingled + signed scan-local; candidates
+    * come from ONE bucket join of batch band keys against index band keys
+    * (never index × index — the join output is bounded by bucket overlap,
+    * so a day's crawl against a 100 TB corpus costs O(batch + matching
+    * buckets)); verification is exact Jaccard on the candidate pairs only.
+    * Output: (new_id, corpus_id, jaccard) with jaccard ≥ `threshold`.
+    * Same banding, cap, and verify semantics as [[minhashLshPairs]]. */
+  def incrementalLshPairs(index: DataFrame, newDocs: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 5, m: Int = 8, bands: Int = 4,
+                          threshold: Double = 0.5,
+                          maxBucket: Int = 10000): DataFrame = {
+    require(bands > 0 && bands <= m && m % bands == 0,
+      s"bands ($bands) must divide the signature size ($m)")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val batch = signatureIndex(newDocs, idCol, textCol, k, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-bucket cap on the corpus side (boilerplate buckets grow with the
+    // corpus; the batch side is one crawl and stays modest)
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "key").orderBy("id")
+    val corpusBands = bandKeys(index, m, bands)
+      .withColumn("__bn", row_number().over(bucketW))
+      .where(col("__bn") <= maxBucket)
+      .drop("__bn")
+    val cand = bandKeys(batch, m, bands).alias("n")
+      .join(corpusBands.alias("c"),
+        col("n.band") === col("c.band") && col("n.key") === col("c.key") &&
+          col("n.id") =!= col("c.id"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(batch.select(col("id").as("new_id"), col("sh").as("sh1")),
+        "new_id")
+      .join(index.select(col("id").as("corpus_id"), col("sh").as("sh2")),
+        "corpus_id")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        graft.functions.Rounding.round4(col("jaccard")).as("jaccard"))
+  }
+
+  /** Band keys of a `(id, sig)` frame: md5 over each band's signature
+    * slice, exploded to `(id, band, key)` — scan-local. */
+  private def bandKeys(sigs: DataFrame, m: Int, bands: Int): DataFrame = {
+    val rowsPerBand = m / bands
+    sigs.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*)))
+      .toDF("id", "band", "key")
   }
 
   /** Exact Jaccard over two distinct-element arrays:

@@ -162,6 +162,66 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
+    // Incremental near-dup: a NEW batch (perturbed copies of corpus docs +
+    // genuinely new docs) matched against the corpus signature INDEX —
+    // batch×index bucket join, never index×index. The full pipeline
+    // (shingle → sign → band → bucket join → Jaccard verify) is replayed
+    // in DuckDB SQL over the same split, so the gate is value-exact.
+    Q("q_dedup_incremental", {
+      val sh = sqlShingles(5)
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |                WHERE doc_id < 400),
+         |newb AS (SELECT doc_id + 200000 AS doc_id,
+         |                text || ' incremental batch suffix tokens' AS text
+         |         FROM documents WHERE doc_id < 20
+         |         UNION ALL
+         |         SELECT doc_id, text FROM documents
+         |         WHERE doc_id >= 400 AND doc_id < 450),
+         |shc AS (SELECT doc_id, $sh AS sh FROM corpus),
+         |shn AS (SELECT doc_id, $sh AS sh FROM newb),
+         |sigc AS (SELECT doc_id,
+         |                list_transform(range(0, 8), j ->
+         |                  list_aggregate(list_transform(sh,
+         |                    s -> md5(j || ':' || s)), 'min')) AS sig
+         |         FROM shc),
+         |sign AS (SELECT doc_id,
+         |                list_transform(range(0, 8), j ->
+         |                  list_aggregate(list_transform(sh,
+         |                    s -> md5(j || ':' || s)), 'min')) AS sig
+         |         FROM shn),
+         |bc AS (SELECT doc_id, b,
+         |              md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS key
+         |       FROM sigc, range(0, 4) AS t(b)),
+         |bn AS (SELECT doc_id, b,
+         |              md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS key
+         |       FROM sign, range(0, 4) AS t(b)),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |         FROM bn n JOIN bc c
+         |           ON n.b = c.b AND n.key = c.key AND n.doc_id != c.doc_id),
+         |ver AS (SELECT new_id, corpus_id,
+         |               CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         |               / (len(s1.sh) + len(s2.sh)
+         |                  - len(list_intersect(s1.sh, s2.sh))) AS jac
+         |        FROM cand
+         |        JOIN shn s1 ON new_id = s1.doc_id
+         |        JOIN shc s2 ON corpus_id = s2.doc_id)
+         |SELECT new_id, corpus_id, round(jac, 4) AS jaccard FROM ver
+         |WHERE jac >= 0.5 ORDER BY new_id, corpus_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val index = Dedup.signatureIndex(
+        docs.where(col("doc_id") < 400), "doc_id", "text", k = 5, m = 8)
+      val batch = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"),
+            lit(" incremental batch suffix tokens")).as("text"))
+        .union(docs.where(col("doc_id") >= 400 && col("doc_id") < 450)
+          .select("doc_id", "text"))
+      Dedup.incrementalLshPairs(index, batch, "doc_id", "text",
+          k = 5, m = 8, bands = 4, threshold = 0.5)
+        .orderBy("new_id", "corpus_id")
+    },
+
     // Brute-force n-gram Jaccard on a bounded subset — the exactness oracle
     // for the LSH path (O(n²), guarded).
     Q("q_dedup_ngram", {

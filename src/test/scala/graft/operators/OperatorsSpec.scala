@@ -115,6 +115,24 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((1L, 2L)), "honest near-dup pair lost to the cap")
   }
 
+  test("incremental LSH matches a new batch against the corpus index only") {
+    // index over the 5-doc corpus; batch = a perturbed copy of doc 1 plus
+    // an unrelated doc — the copy must pair with its corpus original, the
+    // corpus's own near-dup pair (1,2) must NOT appear (never index×index)
+    val index = Dedup.signatureIndex(docs, "doc_id", "text", k = 3, m = 8)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again extra"),
+      (101L, "entirely novel text about streaming watermarks and state stores")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalLshPairs(index, batch, "doc_id", "text",
+        k = 3, m = 8, bands = 4, threshold = 0.3)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 1L)), s"perturbed copy not matched: $pairs")
+    assert(pairs.forall(_._1 >= 100L),
+      s"emitted a corpus-side pair — index joined itself: $pairs")
+    assert(!pairs.exists(_._1 == 101L), s"unrelated doc matched: $pairs")
+  }
+
   test("AQE skew-split fires on a skewed bucket join (executed evidence)") {
     // The LSH bucket join's skew risk is a hot (band, key): this replays
     // that join shape — a self-join on a key where one value holds ~3000
