@@ -201,26 +201,29 @@ object CurationQueries {
     // signal (low entropy = repetitive/templated text). Same
     // -sum(p·ln p) fold both engines; rounded like every float
     // aggregation in the catalog.
+    // Token entropy per language via the identity
+    // H = -Σ (c/n)·ln(c/n) = ln(n) - Σ c·ln(c) / n — one aggregation over
+    // the per-token counts, no totals join (which recomputed the
+    // explode+count once per branch). Both engines evaluate the identical
+    // rewritten expression, so the hash gate stays exact.
     Q("q_text_entropy",
       s"""WITH tok AS (SELECT lang, unnest(${TextQueries.sqlToks}) AS t
          |            FROM documents),
-         |cnt AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY lang, t),
-         |tot AS (SELECT lang, sum(c) AS n FROM cnt GROUP BY lang)
-         |SELECT cnt.lang,
-         |       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)),
-         |             4) AS entropy,
+         |cnt AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY lang, t)
+         |SELECT lang,
+         |       round(ln(CAST(sum(c) AS DOUBLE))
+         |             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+         |               / CAST(sum(c) AS DOUBLE), 4) AS entropy,
          |       CAST(count(*) AS BIGINT) AS vocab
-         |FROM cnt JOIN tot USING (lang)
-         |GROUP BY cnt.lang ORDER BY lang""".stripMargin) { (s, dir) =>
+         |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       val tok = t(s, dir, "documents")
         .select(col("lang"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
       val cnt = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
-      val tot = cnt.groupBy("lang").agg(sum("c").as("n"))
-      cnt.join(tot, "lang")
-        .groupBy("lang")
-        .agg(round4(-sum((col("c").cast("double") / col("n")) *
-            log(col("c").cast("double") / col("n")))).as("entropy"),
+      cnt.groupBy("lang")
+        .agg(round4(log(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log(col("c").cast("double"))) /
+              sum(col("c")).cast("double")).as("entropy"),
           count(lit(1)).as("vocab"))
         .orderBy("lang")
     },
