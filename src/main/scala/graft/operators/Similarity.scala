@@ -134,31 +134,72 @@ object Similarity {
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               nClusters: Int = 16, nProbe: Int = 4,
               centroids: Option[DataFrame] = None): DataFrame = {
-    val cents = centroids.getOrElse(fitCentroids(candidates, nClusters))
-      .select(col("centroid_id").cast("int").as("centroid_id"),
-        col("centroid_vec").as("centroid_vec"))
-
-    def nearestCentroids(df: DataFrame, idCol: String, vecCol: String,
-                         n: Int): DataFrame = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(desc("cscore"), asc("centroid_id"))
-      df.join(broadcast(cents), expr("true"))
-        .withColumn("cscore",
-          graft.functions.Rounding.round4(cosine(col(vecCol), col("centroid_vec"))))
-        .withColumn("crank", row_number().over(w))
-        .where(col("crank") <= n)
-        .select(col(idCol), col(vecCol), col("centroid_id"))
-    }
-
+    val cents = normalizeCentroids(
+      centroids.getOrElse(fitCentroids(candidates, nClusters)))
     val assigned = nearestCentroids(
       candidates.select(col("vec_id").as("cand_id"),
         asDouble(col("embedding")).as("cand_vec")),
-      "cand_id", "cand_vec", 1)
+      cents, "cand_id", "cand_vec", 1)
+    probeRank(assigned, queries, cents, k, nProbe)
+  }
+
+  /** Persist an IVF index for reuse across sessions: `<dir>/centroids`
+    * (k×dim, one tiny file) and `<dir>/assignments` — every candidate's
+    * vector stored under its cluster — PARTITIONED by `centroid_id`, so
+    * the inverted-file layout is literal directory layout: a probe of
+    * `nProbe` clusters reads those clusters' files and nothing else.
+    * Fitting and assigning happen once per corpus build; every later
+    * search ([[searchIndex]]) pays only its own probe. */
+  def writeIndex(candidates: DataFrame, dir: String,
+                 nClusters: Int = 16): Unit = {
+    val cents = normalizeCentroids(fitCentroids(candidates, nClusters))
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    nearestCentroids(
+        candidates.select(col("vec_id").as("cand_id"),
+          asDouble(col("embedding")).as("cand_vec")),
+        cents, "cand_id", "cand_vec", 1)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/assignments")
+  }
+
+  /** Search a persisted [[writeIndex]] index. Result-identical to running
+    * [[ivfTopK]] directly over the corpus (same deterministic fit, same
+    * probe logic — asserted in SimilaritySpec), without touching corpus
+    * embeddings outside the probed clusters. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = normalizeCentroids(spark.read.parquet(s"$dir/centroids"))
+    val assigned = spark.read.parquet(s"$dir/assignments")
+      .select(col("cand_id"), col("cand_vec"), col("centroid_id"))
+    probeRank(assigned, queries, cents, k, nProbe)
+  }
+
+  private def normalizeCentroids(cents: DataFrame): DataFrame =
+    cents.select(col("centroid_id").cast("int").as("centroid_id"),
+      col("centroid_vec").as("centroid_vec"))
+
+  /** Top-`n` centroids per vector by rounded cosine, ties to the lowest
+    * centroid id — the assignment (n=1) and probe (n=nProbe) primitive. */
+  private def nearestCentroids(df: DataFrame, cents: DataFrame,
+                               idCol: String, vecCol: String,
+                               n: Int): DataFrame = {
+    val w = Window.partitionBy(idCol)
+      .orderBy(desc("cscore"), asc("centroid_id"))
+    df.join(broadcast(cents), expr("true"))
+      .withColumn("cscore",
+        graft.functions.Rounding.round4(cosine(col(vecCol), col("centroid_vec"))))
+      .withColumn("crank", row_number().over(w))
+      .where(col("crank") <= n)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** Join query probes against cluster assignments and rank candidates. */
+  private def probeRank(assigned: DataFrame, queries: DataFrame,
+                        cents: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val probes = nearestCentroids(
       queries.select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("query_vec")),
-      "query_id", "query_vec", nProbe)
-
+      cents, "query_id", "query_vec", nProbe)
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("cand_id"))
     probes.join(assigned, Seq("centroid_id"))

@@ -248,6 +248,25 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.size == 10)    // only the planted pairs clear 0.99
   }
 
+  test("persisted IVF index round-trips and matches the direct search") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIndex(emb, dir, nClusters = 8)
+    // inverted-file layout is literal: one directory per cluster
+    val parts = new java.io.File(s"$dir/assignments").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+    assert(parts.length == 8, s"expected 8 cluster dirs, got ${parts.toSeq}")
+    val qs = emb.where(col("vec_id") < 5)
+    val direct = Similarity.ivfTopK(emb, qs, k = 10,
+        nClusters = 8, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val viaIndex = Similarity.searchIndex(spark, dir, qs, k = 10, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(direct.nonEmpty && direct.sameElements(viaIndex),
+      "persisted-index search diverged from the direct IVF search")
+  }
+
   test("k-means centroids beat the first-N stand-in on clustered data") {
     import spark.implicits._
     // 4 well-separated directions, 50 points each with deterministic
