@@ -91,6 +91,44 @@ object VectorQueries {
           .orderBy("query_id")
     },
 
+    // int8 scalar quantization of embeddings — the 4×-8× memory/IO lever
+    // for ANN storage. Cosine is scale-invariant, so the quantized cosine
+    // runs directly on the codes; the gate emits the code-vs-original
+    // cosine (quantization fidelity, hash-exact: both engines evaluate
+    // the identical floor(x/scale + 0.5) and fold arithmetic) and pins
+    // the per-component reconstruction-error bound |x - q·scale| ≤
+    // scale/2 TRUE.
+    Q("q_embed_quantize",
+      """WITH q AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                 x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings WHERE vec_id < 200),
+        |c AS (SELECT vec_id, v, scale,
+        |             list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+        |               ELSE floor(x / scale + 0.5) END) AS codes
+        |      FROM q)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(codes, v), 4) AS qcos,
+        |       list_max(list_transform(range(1, len(v) + 1),
+        |         i -> abs(v[i] - codes[i] * scale))) <= scale / 2 + 1e-12
+        |         AS err_ok
+        |FROM c ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import graft.functions.VectorFunctions._
+      import graft.functions.Rounding.round4
+      t(s, dir, "embeddings").where(col("vec_id") < 200)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("scale", quantizeScale(col("v")))
+        .withColumn("codes", quantize8(col("v"), col("scale")))
+        .select(col("vec_id"),
+          round4(cosine(col("codes"), col("v"))).as("qcos"),
+          (aggregate(zip_with(col("v"),
+              dequantize8(col("codes"), col("scale")),
+              (x, d) => abs(x - d)), lit(0.0), (acc, e) => greatest(acc, e))
+            <= col("scale") / 2 + 1e-12).as("err_ok"))
+        .orderBy("vec_id")
+    },
+
     // Embedding-cosine near-dup, exact bounded baseline. The corpus is
     // synthetic-random (max pairwise cosine ≈ 0.51), so near-dups are
     // PLANTED deterministically: ×2-scaled copies (cosine exactly 1 —
