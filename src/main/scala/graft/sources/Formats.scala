@@ -32,6 +32,17 @@ object Formats {
                     schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC leg of the columnar surface — same predicate-pushdown and
+    * column-pruning contract as parquet (FormatsSpec asserts
+    * `PushedFilters` reaches the ORC scan), for warehouses standardized
+    * on ORC instead. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** A7: the row-insert sink becomes a batch append. */
   def append(df: DataFrame, path: String,
              partitionBy: Seq[String] = Nil): Unit =

@@ -93,6 +93,21 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("ORC round-trip with predicate pushdown at the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    val df = (1L to 500L).map(i => (i, s"v$i", i % 7)).toDF("id", "v", "m")
+    graft.sources.Formats.writeOrc(df, dir)
+    val back = graft.sources.Formats.readOrc(spark, dir)
+      .where(col("id") > 490L).select("id", "v")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,490)"),
+      s"filter did not reach the ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:string>"),
+      s"projection did not prune the ORC scan:\n$plan")
+    assert(back.as[(Long, String)].collect().toSet ==
+      (491L to 500L).map(i => (i, s"v$i")).toSet)
+  }
+
   test("JDBC round-trip: batched parallel write, partitioned parallel read (A7)") {
     // Embedded Derby (ships with Spark) stands in for the reference's live
     // Postgres: same JDBC surface, no network. The write issues batched
