@@ -129,4 +129,32 @@ class PipelineSpec extends SparkSpec {
       .orderBy(key: _*).collect().toSeq
     assert(got == want, "partitioned SCD2 table diverged from in-memory run")
   }
+
+  test("two SCD2 loads on the same day keep both loads' closed rows") {
+    // dynamic partition overwrite replaces the WHOLE close-date partition —
+    // the second same-day load's slice must carry the rows the first
+    // same-day load closed, or they silently vanish
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_day")
+      .toString
+    val w = new Warehouse(spark, Some(dir))
+    load(w, "8.7", "2024-01-01 00:00:00")
+    load(w, "8.8", "2024-02-01 08:00:00") // closes Matrix v1 at 02-01
+    load(w, "8.9", "2024-02-01 16:00:00") // closes Matrix v2, SAME day
+    val mem = new Warehouse(spark)
+    load(mem, "8.7", "2024-01-01 00:00:00")
+    load(mem, "8.8", "2024-02-01 08:00:00")
+    load(mem, "8.9", "2024-02-01 16:00:00")
+    val key = Seq("title_item_id", "valid_from", "valid_to").map(col)
+    val got = w("movie_info_sat").orderBy(key: _*).collect().toSeq
+    val want = mem("movie_info_sat")
+      .select(w("movie_info_sat").columns.map(col): _*)
+      .orderBy(key: _*).collect().toSeq
+    assert(got == want,
+      "same-day double load diverged from the in-memory run")
+    // both same-day closures must exist in the close-date partition
+    val closed = w("movie_info_sat")
+      .where(col("valid_to").cast("date") === lit("2024-02-01"))
+      .count()
+    assert(closed == 2L, s"expected both same-day closures, got $closed")
+  }
 }
