@@ -60,13 +60,13 @@ object Runner {
         val conf = spark.sparkContext.hadoopConfiguration
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
         val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.staging")
-        val old = new org.apache.hadoop.fs.Path(s"$dir/.$name.old")
         val dst = new org.apache.hadoop.fs.Path(s"$dir/$name")
         df.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(old, true)
-        if (fs.exists(dst)) fs.rename(dst, old)
-        fs.rename(tmp, dst)
-        fs.delete(old, true)
+        // swapInto checks both rename return values — FileSystem.rename
+        // reports most failures by returning false, and an unchecked false
+        // here would either delete the only surviving copy or silently
+        // serve the stale table
+        graft.sources.Formats.swapInto(fs, tmp, dst)
         // the swap happened behind Spark's back — drop the shared file
         // listing cache for the path or a later scan serves dead files
         spark.catalog.refreshByPath(dst.toString)
@@ -98,9 +98,17 @@ object Runner {
         val fs = dst.getFileSystem(conf)
         val withPart = df.withColumn("valid_to_date",
           to_date(col(Scd2.ValidTo)))
-        if (!fs.exists(dst)) {
+        // Incremental ONLY when THIS process holds the merge target: the
+        // merged frame was computed against `tables(name)`, so if the name
+        // is absent from the map (fresh Warehouse over a dir a previous
+        // process wrote), the merge treated the snapshot as all-new and a
+        // partition-scoped write would leave the previous process's closed
+        // partitions on disk as orphaned history. Full rewrite heals that.
+        if (!tables.contains(name) || !fs.exists(dst)) {
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.staging")
           withPart.write.partitionBy("valid_to_date")
-            .mode("overwrite").parquet(dst.toString)
+            .mode("overwrite").parquet(tmp.toString)
+          graft.sources.Formats.swapInto(fs, tmp, dst)
         } else {
           // localCheckpoint breaks lineage: the slice derives from a scan
           // of dst, and Spark (rightly) refuses to overwrite a path its

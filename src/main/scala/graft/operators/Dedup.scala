@@ -142,15 +142,25 @@ object Dedup {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val batch = signatureIndex(newDocs, idCol, textCol, k, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hot-bucket cap on the corpus side (boilerplate buckets grow with the
-    // corpus; the batch side is one crawl and stays modest)
+    val batchBands = bandKeys(batch, m, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Prune the corpus side BEFORE any exchange: a broadcast semi join
+    // against the batch's distinct band keys keeps only buckets the batch
+    // can touch — a map-side filter over the index scan, so the promised
+    // O(batch + matching buckets) bound holds (windowing the FULL corpus
+    // band table first would shuffle O(corpus) rows per daily batch).
+    // The hot-bucket cap then windows only the matching buckets
+    // (boilerplate buckets grow with the corpus; the batch side is one
+    // crawl and stays modest).
+    val touched = broadcast(batchBands.select("band", "key").distinct())
     val bucketW = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "key").orderBy("id")
     val corpusBands = bandKeys(index, m, bands)
+      .join(touched, Seq("band", "key"), "left_semi")
       .withColumn("__bn", row_number().over(bucketW))
       .where(col("__bn") <= maxBucket)
       .drop("__bn")
-    val cand = bandKeys(batch, m, bands).alias("n")
+    val cand = batchBands.alias("n")
       .join(corpusBands.alias("c"),
         col("n.band") === col("c.band") && col("n.key") === col("c.key") &&
           col("n.id") =!= col("c.id"))

@@ -62,12 +62,19 @@ object Similarity {
       else dot / (math.sqrt(na) * math.sqrt(nb))
     }
     // farthest-point init: hash order gives the seed, then repeatedly the
-    // point least similar to its closest chosen centroid (id tiebreak)
+    // point least similar to its closest chosen centroid (id tiebreak).
+    // Chosen ids are EXCLUDED explicitly — relying on self-cosine = 1 to
+    // keep a point from re-winning breaks on all-zero vectors (the cos
+    // guard scores them 0 against everything, themselves included), which
+    // would otherwise fill every remaining slot with the same zero vector.
+    val chosen = scala.collection.mutable.Set(sample.head._1)
     val init = scala.collection.mutable.ArrayBuffer(sample.head._2)
     while (init.size < math.min(k, sample.length)) {
-      val next = sample.minBy { case (id, v) =>
-        (init.map(c => math.rint(cos(v, c) * 1e4) / 1e4).max, id)
-      }
+      val next = sample.filterNot(p => chosen.contains(p._1))
+        .minBy { case (id, v) =>
+          (init.map(c => math.rint(cos(v, c) * 1e4) / 1e4).max, id)
+        }
+      chosen += next._1
       init += next._2
     }
     var cents: Array[Array[Double]] = init.toArray

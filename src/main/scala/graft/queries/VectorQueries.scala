@@ -200,14 +200,17 @@ object VectorQueries {
     },
   )
 
-  /** One k-means fit per SF dir, shared by q_ann_ivf and q_ann_ivf_recall.
-    * The fitted centroids are a driver-local LocalRelation (k×dim doubles),
-    * so the memo is exact across actions and costs no recomputation. */
+  /** One k-means fit per (session, SF dir), shared by q_ann_ivf and
+    * q_ann_ivf_recall. The fitted centroids are a driver-local
+    * LocalRelation (k×dim doubles), so the memo is exact across actions
+    * and costs no recomputation. Keyed by session identity too — a
+    * DataFrame is bound to the session that built it, and serving one to
+    * a different (or restarted) session would fail or mix catalogs. */
   private val centCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def centroids(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame =
-    centCache.getOrElseUpdate(dir,
+    centCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir",
       Similarity.fitCentroids(t(s, dir, "embeddings"), k = 16))
 
   /** Embeddings with planted near-dups (see q_dedup_embed): ids < 50, plus

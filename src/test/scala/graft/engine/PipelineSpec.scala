@@ -157,4 +157,27 @@ class PipelineSpec extends SparkSpec {
       .count()
     assert(closed == 2L, s"expected both same-day closures, got $closed")
   }
+
+  test("a fresh Warehouse over an existing persistDir fully rewrites SCD2 tables") {
+    // restart scenario: the new process's merge target is empty (the
+    // Warehouse map starts blank), so an incremental partition write
+    // would orphan the previous process's closed partitions on disk —
+    // putScd2 must detect the absent in-memory target and rewrite fully
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_restart")
+      .toString
+    val w1 = new Warehouse(spark, Some(dir))
+    load(w1, "8.7", "2024-01-01 00:00:00")
+    load(w1, "8.8", "2024-02-01 00:00:00") // leaves a closed partition
+    val w2 = new Warehouse(spark, Some(dir)) // new process, same dir
+    load(w2, "9.0", "2024-03-01 00:00:00")
+    val mem = new Warehouse(spark)
+    load(mem, "9.0", "2024-03-01 00:00:00")
+    val key = Seq("title_item_id", "valid_from", "valid_to").map(col)
+    val got = w2("movie_info_sat").orderBy(key: _*).collect().toSeq
+    val want = mem("movie_info_sat")
+      .select(w2("movie_info_sat").columns.map(col): _*)
+      .orderBy(key: _*).collect().toSeq
+    assert(got == want,
+      "restarted warehouse kept orphaned history from the previous process")
+  }
 }

@@ -158,7 +158,10 @@ class DedupSpec extends SparkSpec {
       val joined = a.join(b,
           col("a.key") === col("b.key") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      joined.collect()
+      // execute THIS QueryExecution without hauling ~4.5M join rows to
+      // the driver: toRdd shares the adaptive plan instance, and an RDD
+      // count materializes rows on executors only
+      joined.queryExecution.toRdd.count()
       val plan = joined.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
       assert(plan.contains("isFinalPlan=true"), plan)
