@@ -179,6 +179,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup prunes corpus bands with a broadcast semi join") {
+    // the O(batch + matching buckets) bound requires the corpus band
+    // table to be filtered map-side against the (small, broadcast) batch
+    // band keys BEFORE the hot-bucket window shuffles anything
+    val docs = t(spark, sf001, "documents")
+    val index = Dedup.signatureIndex(docs.limit(100), "doc_id", "text")
+    val batch = docs.where(col("doc_id") >= 400).limit(5)
+    val plan = physical(
+      Dedup.incrementalLshPairs(index, batch, "doc_id", "text"))
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+      s"corpus bands are not broadcast-semi-pruned:\n$plan")
+  }
+
   test("simhash recall gate's brute leg is bounded, banded leg shuffles once on (band, key)") {
     val subset = t(spark, sf001, "documents").orderBy("doc_id").limit(50)
     val plan = physical(Dedup.simhashBrutePairs(subset, "doc_id", "text",
