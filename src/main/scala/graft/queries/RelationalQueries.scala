@@ -768,6 +768,48 @@ object RelationalQueries {
         .orderBy("n_name", "r_name")
     },
 
+    // Fuzzy entity-matching join (operators.FuzzyJoin): edit-distance ≤ 1
+    // with prefix+suffix equi-join blocking — the conflation the reference
+    // does by exact movie_name equality, made typo-tolerant without an
+    // n² levenshtein. Planted single-edit variants (prefix edit caught by
+    // the suffix block, suffix edit by the prefix block) of customer
+    // names; the oracle replays blocking + verify exactly.
+    Q("q_join_fuzzy",
+      """WITH l AS (SELECT c_custkey AS id, lower(c_name) AS key
+        |           FROM customer WHERE c_custkey < 200),
+        |r AS (SELECT c_custkey + 1000000 AS id,
+        |             lower(CASE WHEN c_custkey % 2 = 0
+        |               THEN 'X' || substring(c_name, 2)
+        |               ELSE substring(c_name, 1, length(c_name) - 1) || 'X'
+        |             END) AS key
+        |      FROM customer WHERE c_custkey < 50),
+        |cand AS (
+        |  SELECT l.id AS l_id, l.key AS l_key, r.id AS r_id, r.key AS r_key
+        |  FROM l JOIN r ON substring(l.key, 1, 4) = substring(r.key, 1, 4)
+        |  UNION
+        |  SELECT l.id, l.key, r.id, r.key
+        |  FROM l JOIN r
+        |    ON substring(l.key, length(l.key) - 3, 4)
+        |     = substring(r.key, length(r.key) - 3, 4))
+        |SELECT l_id, r_id, CAST(levenshtein(l_key, r_key) AS INT) AS dist
+        |FROM cand WHERE levenshtein(l_key, r_key) <= 1
+        |ORDER BY l_id, r_id""".stripMargin) { (s, dir) =>
+      import graft.operators.FuzzyJoin
+      val cust = t(s, dir, "customer")
+      val left = cust.where(col("c_custkey") < 200)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val right = cust.where(col("c_custkey") < 50)
+        .select((col("c_custkey") + 1000000).as("id"),
+          when(col("c_custkey") % 2 === 0,
+            concat(lit("X"), expr("substring(c_name, 2)")))
+            .otherwise(concat(
+              expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
+            .as("name"))
+      FuzzyJoin.byEditDistance(left, right, "id", "name", "id", "name",
+          maxDist = 1, blockLen = 4)
+        .orderBy("l_id", "r_id")
+    },
+
     // Incremental aggregation by partial-state merge: daily partials
     // (count, sum) roll up to monthly figures WITHOUT rescanning the
     // facts, and the derived avg comes from the merged states — the

@@ -302,6 +302,38 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class FuzzyJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("single edits anywhere are matched; both-ends edits are the documented miss") {
+    val left = Seq((1L, "The Matrix"), (2L, "Heat"), (3L, "Blade Runner"))
+      .toDF("id", "name")
+    val right = Seq(
+      (10L, "Xhe Matrix"),   // prefix edit → suffix block catches it
+      (11L, "The Matrfx"),   // suffix-area edit → prefix block catches it
+      (12L, "The Mutrix"),   // middle edit → both blocks catch it
+      (13L, "Qhe Matriq"),   // edits at BOTH ends → documented miss
+      (14L, "Blade Runner")  // exact (case aside) → dist 0
+    ).toDF("id", "name")
+    val got = graft.operators.FuzzyJoin.byEditDistance(
+        left, right, "id", "name", "id", "name", maxDist = 2, blockLen = 4)
+      .select("l_id", "r_id", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 1), (1L, 11L, 1), (1L, 12L, 1),
+      (3L, 14L, 0)), s"unexpected match set: $got")
+  }
+
+  test("maxDist 0 degenerates to exact (case-insensitive) equality") {
+    val l = Seq((1L, "ALPHA"), (2L, "beta")).toDF("id", "name")
+    val r = Seq((9L, "alpha"), (8L, "betA"), (7L, "gamma")).toDF("id", "name")
+    val got = graft.operators.FuzzyJoin.byEditDistance(
+        l, r, "id", "name", "id", "name", maxDist = 0)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 9L), (2L, 8L)))
+  }
+}
+
 class PackingSpec extends SparkSpec {
 
   import spark.implicits._
