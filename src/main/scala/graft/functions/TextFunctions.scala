@@ -25,6 +25,26 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Fixed-size token windows with overlap — the training-prep chunker.
+    * Window starts are 0, stride, 2·stride, … (stride = chunkLen −
+    * overlap) up to the last start that still begins inside the document;
+    * each chunk is `slice(toks, start+1, chunkLen)` (the final chunk may
+    * be short). Pure per-row array arithmetic: scan-local, codegen'd, no
+    * shuffle — chunking 100 TB is exactly one pass over the text column.
+    * Returns `array<struct<chunk_idx int, chunk array<string>>>`; explode
+    * downstream. */
+  def tokenChunks(toks: Column, chunkLen: Int, overlap: Int): Column = {
+    require(chunkLen > 0, s"chunkLen must be positive, got $chunkLen")
+    require(overlap >= 0 && overlap < chunkLen,
+      s"overlap must be in [0, chunkLen), got $overlap")
+    val stride = chunkLen - overlap
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"))
+    transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.cast("int").as("chunk_idx"),
+        slice(toks, i * stride + 1, lit(chunkLen)).as("chunk")))
+  }
+
   /** BPE-ish sub-word segmentation count: letter runs, digit runs, single
     * punctuation marks (the regex tokenizer a tokenizer-less pipeline uses
     * for cost estimates). */

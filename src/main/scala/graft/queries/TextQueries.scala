@@ -162,6 +162,41 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
+    // Token chunking with overlap (TextFunctions.tokenChunks) — the
+    // training-prep splitter: 64-token windows, 8-token overlap, stride
+    // 56. Pure per-row array arithmetic (scan-local, no shuffle); the
+    // oracle replays the start/stride/slice math and hashes each chunk's
+    // text, so any off-by-one in windowing or the short final chunk fails
+    // the gate.
+    Q("q_text_chunk",
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks
+         |            FROM documents WHERE doc_id < 100),
+         |n AS (SELECT doc_id, toks,
+         |             greatest(1, CAST(ceil(CAST(len(toks) - 8 AS DOUBLE)
+         |                                   / 56) AS INT)) AS nc
+         |      FROM tok),
+         |ch AS (SELECT doc_id,
+         |              unnest(range(0, nc)) AS chunk_idx,
+         |              toks
+         |       FROM n)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |       CAST(len(toks[chunk_idx*56+1 : chunk_idx*56+64]) AS INT)
+         |         AS n_tokens,
+         |       md5(array_to_string(toks[chunk_idx*56+1 : chunk_idx*56+64],
+         |                           ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      t(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokenChunks(
+            TextFunctions.tokens(col("text")), chunkLen = 64, overlap = 8))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          size(col("c.chunk")).cast("int").as("n_tokens"),
+          md5(concat_ws(" ", col("c.chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Incremental near-dup: a NEW batch (perturbed copies of corpus docs +
     // genuinely new docs) matched against the corpus signature INDEX —
     // batch×index bucket join, never index×index. The full pipeline
