@@ -27,11 +27,14 @@ object TextFunctions {
 
   /** Fixed-size token windows with overlap — the training-prep chunker.
     * Window starts are 0, stride, 2·stride, … (stride = chunkLen −
-    * overlap) up to the last start that still begins inside the document;
-    * each chunk is `slice(toks, start+1, chunkLen)` (the final chunk may
-    * be short). Pure per-row array arithmetic: scan-local, codegen'd, no
-    * shuffle — chunking 100 TB is exactly one pass over the text column.
-    * Returns `array<struct<chunk_idx int, chunk array<string>>>`; explode
+    * overlap); a window is emitted only if it contributes at least one
+    * token beyond the previous chunk's coverage (n = max(1,
+    * ceil((size − overlap) / stride)) — a start inside the final chunk's
+    * overlap tail would duplicate tokens already emitted). Each chunk is
+    * `slice(toks, start+1, chunkLen)`; the final chunk may be short. Pure
+    * per-row array arithmetic: scan-local, codegen'd, no shuffle —
+    * chunking 100 TB is exactly one pass over the text column. Returns
+    * `array<struct<chunk_idx int, chunk array<string>>>`; explode
     * downstream. */
   def tokenChunks(toks: Column, chunkLen: Int, overlap: Int): Column = {
     require(chunkLen > 0, s"chunkLen must be positive, got $chunkLen")

@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
   * Scale design: never the n² `levenshtein` cross product. Candidates come
   * from TWO equi-join blocking passes — normalized prefix equality and
   * normalized suffix equality — each an ordinary hash-shuffle join on a
-  * short key; `levenshtein` runs on candidates only. A pair survives
-  * blocking iff prefix OR suffix is untouched by the edits; with
-  * `maxDist < blockLen` an edit run can break at most one of the two
-  * blocks, so recall is total for single-cluster edits and the miss mode
-  * (edits spanning BOTH ends) is explicit and documented rather than
-  * probabilistic. Block keys are lowercase; length-skewed blocks behave
-  * like any hot join key (AQE skew-split applies).
+  * short key; `levenshtein` runs on candidates only. For a key of length
+  * ≥ 2·blockLen the prefix and suffix blocks are disjoint, so (enforced
+  * `maxDist < blockLen`) an edit run can break at most one of the two and
+  * recall is total for single-cluster edits; the miss mode (edits
+  * spanning BOTH ends) is explicit and documented rather than
+  * probabilistic. Keys SHORTER than 2·blockLen have overlapping blocks —
+  * one central edit can break both — so they take a dedicated
+  * short×short pass instead: bounded by the short-key populations (movie
+  * titles ≤ 7 chars are a sliver of a catalog; raise `blockLen` or
+  * pre-partition by length if a corpus is short-heavy). Block keys are
+  * lowercase; length-skewed blocks behave like any hot join key (AQE
+  * skew-split applies).
   */
 object FuzzyJoin {
 
@@ -28,17 +33,33 @@ object FuzzyJoin {
                      rightId: String, rightKey: String,
                      maxDist: Int, blockLen: Int = 4): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    require(blockLen > 0, s"blockLen must be positive, got $blockLen")
+    require(blockLen > maxDist,
+      s"blockLen ($blockLen) must exceed maxDist ($maxDist) — a longer " +
+        "edit run could rewrite a whole block and silently lose recall")
+    val shortLen = 2 * blockLen
     val l = left.select(col(leftId).as("l_id"),
       lower(col(leftKey)).as("l_key"))
     val r = right.select(col(rightId).as("r_id"),
       lower(col(rightKey)).as("r_key"))
     def blocked(keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      l.withColumn("__b", keyOf(col("l_key")))
-        .join(r.withColumn("__b", keyOf(col("r_key"))), "__b")
+      l.where(length(col("l_key")) >= shortLen)
+        .withColumn("__b", keyOf(col("l_key")))
+        .join(r.where(length(col("r_key")) >= shortLen)
+          .withColumn("__b", keyOf(col("r_key"))), "__b")
         .select("l_id", "l_key", "r_id", "r_key")
+    // short keys: overlapping blocks can both be hit by ONE central edit,
+    // so they pair exhaustively among themselves (bounded population).
+    // The < shortLen + maxDist margin on BOTH sides covers pairs that
+    // straddle the boundary (edits change length by at most maxDist, so a
+    // sub-boundary key can only match keys under the margin); keys at or
+    // above the margin on both sides have disjoint blocks and are fully
+    // served by the two blocked passes.
+    val shortPairs = l.where(length(col("l_key")) < shortLen + maxDist)
+      .crossJoin(r.where(length(col("r_key")) < shortLen + maxDist))
+      .select("l_id", "l_key", "r_id", "r_key")
     val cand = blocked(k => substring(k, 1, blockLen))
       .union(blocked(k => substring(k, -blockLen, blockLen)))
+      .union(shortPairs)
       .distinct()
     cand
       .withColumn("dist", levenshtein(col("l_key"), col("r_key")))

@@ -47,10 +47,13 @@ object Similarity {
                    sampleN: Int = 4096): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // distinctBy: duplicate ids would exhaust the chosen-id exclusion in
+    // the farthest-point loop below before k seeds are found
     val sample: Array[(Long, Array[Double])] = candidates
       .select(col("vec_id").as("id"), asDouble(col("embedding")).as("vec"))
       .orderBy(xxhash64(col("id")), col("id")).limit(sampleN)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .distinctBy(_._1)
     require(sample.nonEmpty, "cannot fit centroids on an empty corpus")
 
     def cos(a: Array[Double], b: Array[Double]): Double = {

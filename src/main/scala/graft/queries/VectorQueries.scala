@@ -203,15 +203,25 @@ object VectorQueries {
   /** One k-means fit per (session, SF dir), shared by q_ann_ivf and
     * q_ann_ivf_recall. The fitted centroids are a driver-local
     * LocalRelation (k×dim doubles), so the memo is exact across actions
-    * and costs no recomputation. Keyed by session identity too — a
+    * and costs no recomputation. Keyed WEAKLY by the session object — a
     * DataFrame is bound to the session that built it, and serving one to
-    * a different (or restarted) session would fail or mix catalogs. */
-  private val centCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+    * a different (or restarted) session would fail or mix catalogs; the
+    * weak key also lets a dead session's entries (and the frames pinning
+    * it) be collected instead of accumulating in a long-lived JVM. */
+  private val centCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
   private def centroids(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame =
-    centCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir",
-      Similarity.fitCentroids(t(s, dir, "embeddings"), k = 16))
+    centCache.synchronized {
+      var per = centCache.get(s)
+      if (per == null) {
+        per = scala.collection.mutable.Map.empty
+        centCache.put(s, per)
+      }
+      per.getOrElseUpdate(dir,
+        Similarity.fitCentroids(t(s, dir, "embeddings"), k = 16))
+    }
 
   /** Embeddings with planted near-dups (see q_dedup_embed): ids < 50, plus
     * ×2-scaled copies of ids < 25 and +0.1-first-component perturbations of

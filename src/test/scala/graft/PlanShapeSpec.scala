@@ -188,7 +188,12 @@ class PlanShapeSpec extends SparkSpec {
     val batch = docs.where(col("doc_id") >= 400).limit(5)
     val plan = physical(
       Dedup.incrementalLshPairs(index, batch, "doc_id", "text"))
-    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+    // pin the LeftSemi NODE itself to a broadcast join — a shuffled
+    // SortMergeJoin LeftSemi would satisfy two independent substring
+    // checks (other broadcast joins always exist in this plan)
+    val semiLines = plan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty &&
+      semiLines.forall(_.contains("BroadcastHashJoin")),
       s"corpus bands are not broadcast-semi-pruned:\n$plan")
   }
 

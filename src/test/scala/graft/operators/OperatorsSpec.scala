@@ -324,6 +324,18 @@ class FuzzyJoinSpec extends SparkSpec {
       (3L, 14L, 0)), s"unexpected match set: $got")
   }
 
+  test("short keys (overlapping blocks) still match on a central edit") {
+    // 'Heat' vs 'Hest': the edit at position 3 falls inside BOTH the
+    // 4-char prefix and suffix blocks (len 4 < 2*blockLen) — the
+    // dedicated short×short pass must catch what the blocks cannot
+    val l = Seq((1L, "Heat"), (2L, "Blade Runner II")).toDF("id", "name")
+    val r = Seq((9L, "Hest"), (8L, "Blade Runner II")).toDF("id", "name")
+    val got = graft.operators.FuzzyJoin.byEditDistance(
+        l, r, "id", "name", "id", "name", maxDist = 1, blockLen = 4)
+      .select("l_id", "r_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 9L, 1), (2L, 8L, 0)), s"got $got")
+  }
+
   test("maxDist 0 degenerates to exact (case-insensitive) equality") {
     val l = Seq((1L, "ALPHA"), (2L, "beta")).toDF("id", "name")
     val r = Seq((9L, "alpha"), (8L, "betA"), (7L, "gamma")).toDF("id", "name")
