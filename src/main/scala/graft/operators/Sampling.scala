@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding.roundCompat
+
+/** Temperature-scaled corpus sampling — the language-balancing step of a
+  * multilingual training-data pipeline (the UniMax / mC4 recipe: raw web
+  * corpora are dominated by one language, so groups are sampled with
+  * probability proportional to `mass^(1/T)` instead of `mass`, boosting
+  * low-resource languages as T grows; T=1 is natural sampling, T→∞ is
+  * uniform over groups).
+  *
+  * Everything is deterministic and engine-portable by construction:
+  *
+  *   - group masses are LONG sums (exact, order-independent);
+  *   - acceptance rates are rounded to 6 decimals with the
+  *     DuckDB-compatible scaled-binary rounding (Rounding.roundCompat),
+  *     so the oracle reproduces them bit-for-bit;
+  *   - per-row selection is HASH-based, never RNG-based: a document is
+  *     kept iff the first 24 bits of md5(id) — a uniform integer in
+  *     [0, 2^24) — fall below `floor(rate · 2^24)`. The same row is
+  *     kept on any engine, any partitioning, any run (`rand(seed)` is
+  *     partition-order-dependent and would make splits irreproducible).
+  *
+  * Scale shape: one groupBy over the group column (a handful of rows —
+  * languages, domains), a broadcast join of the rate table back onto the
+  * corpus, and a scan-local filter. Sampling 100 TB is one shuffle-free
+  * pass after a tiny aggregate; the rate table is the only exchanged
+  * state, so the same rates can be persisted and reused across
+  * incremental batches.
+  */
+object Sampling {
+
+  /** Uniform integer in [0, 2^24) from the row id — the portable
+    * sampling coordinate (md5 hex prefix, identical in DuckDB). */
+  def hashU24(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long")
+
+  /** Per-group acceptance rates: weight w_g = mass_g^(1/T), share
+    * s_g = w_g / Σw, rate_g = min(1, budget · s_g / mass_g), rounded to
+    * 6 decimals. Output: (group, mass, rate).
+    *
+    * The Σw total is a sum over the per-group frame (#groups rows —
+    * languages/domains number in the dozens), broadcast back; partial-sum
+    * order can move the double total by ulps, which the 6-dp rounding
+    * absorbs except on a measure-zero tie.
+    */
+  def temperatureRates(df: DataFrame, groupCol: String, massCol: String,
+                       temperature: Double, budget: Long): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val byGroup = df.groupBy(col(groupCol))
+      .agg(sum(col(massCol)).as("mass"))
+      .withColumn("w", pow(col("mass").cast("double"), lit(1.0 / temperature)))
+    val totals = byGroup.agg(sum("w").as("tw"))
+    byGroup.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("mass"),
+        roundCompat(least(lit(1.0),
+          lit(budget.toDouble) * col("w") / col("tw") / col("mass")), 6)
+          .as("rate"))
+  }
+
+  /** Filter `df` down to the temperature sample: compute rates from the
+    * corpus itself, broadcast them back, and keep rows whose hash
+    * coordinate clears the group's rate. Appends the group's `rate`
+    * column; row set and row content are fully hash-reproducible. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        massCol: String, temperature: Double,
+                        budget: Long): DataFrame = {
+    val rates = temperatureRates(df, groupCol, massCol, temperature, budget)
+      .select(col(groupCol), col("rate"))
+    df.join(broadcast(rates), groupCol)
+      .where(hashU24(col(idCol)) <
+        floor(col("rate") * lit(16777216.0)).cast("long"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+import graft.functions.Rounding.round4
+import graft.operators.Sketches
+
+/** Driver-gated approximate-analytics queries: mergeable sketches (HLL
+  * distinct, count-min heavy hitters), bounded-error quantiles, and
+  * percentile-clipped (winsorized) aggregation.
+  *
+  * Gating pattern: approximate answers cannot be hash-compared across
+  * engines, so each gate emits the EXACT companion values (which the
+  * DuckDB oracle recomputes) plus booleans certifying the approximation's
+  * error contract (which the oracle pins TRUE). The sketches are
+  * deterministic — fixed seeds, fixed data, no RNG — so a certified run
+  * stays certified.
+  */
+object ApproxQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // HyperLogLog distinct counting, three contracts at once:
+    //   acd_ok   — approx_count_distinct within 3·rsd of exact;
+    //   hll_ok   — DataSketches HLL estimate within 5% of exact;
+    //   merge_ok — the union of per-shard sketches ALSO lands within the
+    //              5% contract. This is the mergeability/incremental-
+    //              maintenance property as it actually holds: at 100 TB,
+    //              per-partition (or per-day) sketches are built
+    //              scan-locally, only fixed-size sketch bytes cross the
+    //              exchange, and yesterday's sketch unions with today's
+    //              without rescanning history — the union is a valid
+    //              estimator, though NOT byte-identical to a monolithic
+    //              sketch (DataSketches estimates are path-dependent:
+    //              shard sketches still in coupon mode union into
+    //              different internal state than one big sketch; measured
+    //              here as 1991 vs 2019 on 2000 true distincts).
+    Q("q_sketch_hll",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS acd_ok, TRUE AS hll_ok, TRUE AS merge_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val sharded = li.groupBy(col("l_returnflag"), col("l_linenumber"))
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"))
+      val direct = li.groupBy("l_returnflag").agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est_direct"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct("l_partkey", 0.02).as("acd"))
+      direct.join(sharded, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("acd") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.06)).as("acd_ok"),
+          (abs(col("est_direct") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("hll_ok"),
+          (abs(col("est_union") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("merge_ok"))
+        .orderBy("l_returnflag")
+    },
+
+    // Count-min-sketch heavy hitters over the document token stream: the
+    // top-20 tokens by exact count, each certified against the CMS error
+    // contract (estimate ≥ truth always; ≤ truth + ⌈eps·N⌉ at the fixed
+    // seed). The oracle replays the exact top-k; the sketch itself is the
+    // O(1/eps) fixed-size artifact that would ship at 100 TB.
+    Q("q_sketch_cms_topk",
+      s"""WITH tok AS (SELECT unnest(${TextQueries.sqlToks}) AS token
+         |             FROM documents),
+         |cnt AS (SELECT token, count(*) AS true_cnt FROM tok GROUP BY token),
+         |top AS (SELECT token, true_cnt FROM cnt
+         |        ORDER BY true_cnt DESC, token LIMIT 20)
+         |SELECT token, true_cnt, TRUE AS lower_ok, TRUE AS upper_ok
+         |FROM top ORDER BY token""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+      Sketches.cmsHeavyHitters(toks, "token", k = 20,
+        eps = 0.001, confidence = 0.99, seed = 42)
+    },
+
+    // Bounded-error quantiles: percentile_approx (GK sketch, mergeable,
+    // accuracy 1/eps = 10000) certified against exact percentiles at
+    // p ± 2·eps — the rank-error contract, checked element-wise across
+    // four probe points. The oracle recomputes the exact interpolated
+    // quantiles (DuckDB quantile_cont ≡ Spark percentile) and pins the
+    // certificate TRUE.
+    Q("q_sketch_quantile", {
+      val sel = Seq(25, 50, 75, 95).map(p =>
+        s"round(quantile_cont(l_extendedprice, 0.$p), 4) AS q$p")
+        .mkString(",\n|       ")
+      s"""SELECT l_returnflag, $sel, TRUE AS bounds_ok
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      val ps = Seq(0.25, 0.50, 0.75, 0.95)
+      val eps = 1.0 / 10000
+      def arr(xs: Seq[Double]) = xs.mkString("array(", ", ", ")")
+      val lo = ps.map(p => math.max(0.0, p - 2 * eps))
+      val hi = ps.map(p => math.min(1.0, p + 2 * eps))
+      val boundsOk = ps.indices.map(i =>
+        col("apx")(i) >= col("exlo")(i) - lit(1e-9) &&
+          col("apx")(i) <= col("exhi")(i) + lit(1e-9))
+        .reduce(_ && _)
+      val names = Seq("q25", "q50", "q75", "q95")
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        expr(s"percentile_approx(l_extendedprice, ${arr(ps)}, 10000)")
+          .as("apx"),
+        expr(s"percentile(l_extendedprice, ${arr(ps)})").as("ex"),
+        expr(s"percentile(l_extendedprice, ${arr(lo)})").as("exlo"),
+        expr(s"percentile(l_extendedprice, ${arr(hi)})").as("exhi"))
+        .select(col("l_returnflag") +:
+          names.zipWithIndex.map { case (n, i) => round4(col("ex")(i)).as(n) } :+
+          boundsOk.as("bounds_ok"): _*)
+        .orderBy("l_returnflag")
+    },
+
+    // Winsorized aggregation — percentile-clipped sums, the robust-stats
+    // step a curation pipeline applies before fitting thresholds (extreme
+    // outliers saturate at p05/p95 instead of dominating the total). The
+    // clip bounds are rounded to 4 dp BEFORE clipping and the clipped
+    // values are summed as DECIMAL(18,4), so both engines add exact
+    // decimals in any order — bit-identical across partitionings. The
+    // exact sum converts to DOUBLE only at the very end (one rounding,
+    // same on both engines; a double SUM would be partial-order-dependent
+    // and pyarrow types a parquet decimal as object, not float64).
+    Q("q_stats_winsorize",
+      """WITH b AS (SELECT l_returnflag,
+        |                  round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        |                  round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, b.lo, b.hi,
+        |       CAST(sum(CAST(least(greatest(l.l_extendedprice, b.lo), b.hi)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS wsum
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val bounds = li.groupBy("l_returnflag").agg(
+        round4(expr("percentile(l_extendedprice, 0.05)")).as("lo"),
+        round4(expr("percentile(l_extendedprice, 0.95)")).as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(sum(least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+          .cast("decimal(18,4)")).cast("double").as("wsum"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

@@ -17,7 +17,8 @@ object Catalog {
       TextQueries.all ++
       VectorQueries.all ++
       EventQueries.all ++
-      CurationQueries.all
+      CurationQueries.all ++
+      ApproxQueries.all
 
   /** Flagship query (driver smoke at sf0.001): the rating_slide analog
     * (SURVEY.md §7.2) — scan → filter → agg → distributed rank → full-outer

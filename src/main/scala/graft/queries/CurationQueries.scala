@@ -361,5 +361,53 @@ object CurationQueries {
             Seq(length(col("text")).desc, col("doc_id").asc))
           .orderBy("canonical")
     },
+
+    // Temperature-scaled language rates (UniMax/mC4 recipe): weight each
+    // language by mass^(1/T) (T=2 → sqrt — boosts low-resource languages),
+    // normalize, convert the 120k-char budget to a per-language acceptance
+    // rate capped at 1.0 (the cap binds for 'de' on this corpus, so the
+    // least() path is exercised). Rates rounded to 6 dp with the
+    // DuckDB-compatible rounding; masses are exact long sums.
+    Q("q_sample_temp_rates",
+      """WITH m AS (SELECT lang, sum(n_chars) AS mass
+        |           FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(pow(CAST(mass AS DOUBLE), 0.5)) AS tw FROM m)
+        |SELECT lang, mass,
+        |       round(least(1.0, 120000 * pow(CAST(mass AS DOUBLE), 0.5)
+        |                        / tw / mass), 6) AS rate
+        |FROM m, tot ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling
+        .temperatureRates(t(s, dir, "documents"), "lang", "n_chars",
+          temperature = 2.0, budget = 120000L)
+        .orderBy("lang")
+    },
+
+    // The temperature SAMPLE itself, row-level hash-gated: a document is
+    // kept iff the first 24 bits of md5(doc_id) fall below rate·2^24 —
+    // the deterministic coin that makes the sample reproducible on any
+    // engine/partitioning. The oracle replays rates, join, and the
+    // hex-nibble fold; one misselected document fails the gate.
+    Q("q_sample_temperature", {
+      def nib(i: Int) =
+        s"(instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), $i, 1)) - 1)"
+      val u24 = (1 to 6).map(nib).reduce((a, b) => s"($a * 16 + $b)")
+      s"""WITH m AS (SELECT lang, sum(n_chars) AS mass
+         |           FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(pow(CAST(mass AS DOUBLE), 0.5)) AS tw FROM m),
+         |r AS (SELECT lang,
+         |             round(least(1.0, 120000 * pow(CAST(mass AS DOUBLE), 0.5)
+         |                              / tw / mass), 6) AS rate
+         |      FROM m, tot)
+         |SELECT d.doc_id, d.lang, r.rate
+         |FROM documents d JOIN r USING (lang)
+         |WHERE $u24 < CAST(floor(r.rate * 16777216) AS BIGINT)
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Sampling
+        .temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
+          "n_chars", temperature = 2.0, budget = 120000L)
+        .select("doc_id", "lang", "rate")
+        .orderBy("doc_id")
+    },
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1018,6 +1018,65 @@ object RelationalQueries {
             col("o_orderdate").cast(DateType)).cast(LongType)
             .as("days_to_2002"))
         .orderBy("o_orderkey")
+    },
+
+    // Right-to-be-forgotten cascade: a hash-selected forget-set of
+    // customers propagates through orders to lineitem by key containment,
+    // and the gate certifies the surviving/deleted row counts per table.
+    // Scale shape: the forget-set and the dropped-order keyset are both
+    // ~1/16 of a dimension — broadcast to every probe scan, so the
+    // cascade is three shuffle-free scans at any corpus size (the
+    // DELETE-WHERE rewrite A17/B17 applies the same flags to rewrite
+    // files; this gate pins the blast-radius accounting).
+    Q("q_delete_cascade",
+      """WITH forget AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE instr('0123456789abcdef',
+        |              substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1 = 0),
+        |odrop AS (SELECT o_orderkey FROM orders
+        |          WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+        |ldrop AS (SELECT l_orderkey FROM lineitem
+        |          WHERE l_orderkey IN (SELECT o_orderkey FROM odrop))
+        |SELECT * FROM (
+        |  SELECT 'customer' AS tbl,
+        |         (SELECT count(*) FROM customer)
+        |           - (SELECT count(*) FROM forget) AS kept,
+        |         (SELECT count(*) FROM forget) AS dropped
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         (SELECT count(*) FROM lineitem)
+        |           - (SELECT count(*) FROM ldrop),
+        |         (SELECT count(*) FROM ldrop)
+        |  UNION ALL
+        |  SELECT 'orders',
+        |         (SELECT count(*) FROM orders)
+        |           - (SELECT count(*) FROM odrop),
+        |         (SELECT count(*) FROM odrop)
+        |) ORDER BY tbl""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val forget = cust
+        .where(expr("instr('0123456789abcdef', " +
+          "substring(md5(CAST(c_custkey AS STRING)), 1, 1)) - 1") === 0)
+        .select(col("c_custkey").as("k"))
+      def audit(df: DataFrame, name: String, key: Column) = df
+        .join(broadcast(forget.select(col("k"))), key === col("k"), "left")
+        .agg((count(lit(1)) - count(col("k"))).as("kept"),
+          count(col("k")).as("dropped"))
+        .select(lit(name).as("tbl"), col("kept"), col("dropped"))
+      val odropKeys = ord
+        .join(broadcast(forget), col("o_custkey") === col("k"), "left_semi")
+        .select(col("o_orderkey").as("ok"))
+      def auditVia(df: DataFrame, name: String, key: Column) = df
+        .join(broadcast(odropKeys), key === col("ok"), "left")
+        .agg((count(lit(1)) - count(col("ok"))).as("kept"),
+          count(col("ok")).as("dropped"))
+        .select(lit(name).as("tbl"), col("kept"), col("dropped"))
+      audit(cust, "customer", col("c_custkey"))
+        .unionAll(auditVia(li, "lineitem", col("l_orderkey")))
+        .unionAll(auditVia(ord, "orders", col("o_orderkey")))
+        .orderBy("tbl")
     },
   )
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = spark.read
+    .parquet(s"$sf001/documents.parquet")
+    .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  test("T=1 is natural sampling: every group gets the same rate") {
+    val total = corpus.agg(sum("n_chars")).as[Long].head()
+    val rates = Sampling
+      .temperatureRates(corpus, "lang", "n_chars", 1.0, total / 2)
+      .select("rate").as[Double].collect().toSet
+    assert(rates.size == 1, s"expected one uniform rate, got $rates")
+    val r = rates.head
+    assert(math.abs(r - 0.5) < 0.01, s"rate $r should be ~budget/total=0.5")
+  }
+
+  test("T>1 boosts low-resource groups relative to T=1") {
+    val total = corpus.agg(sum("n_chars")).as[Long].head()
+    def rateOf(t: Double) = Sampling
+      .temperatureRates(corpus, "lang", "n_chars", t, total / 2)
+      .select("lang", "rate").as[(String, Double)].collect().toMap
+    val flat = rateOf(1.0)
+    val cooled = rateOf(3.0)
+    val masses = corpus.groupBy("lang").agg(sum("n_chars").as("m"))
+      .as[(String, Long)].collect().toMap
+    val smallest = masses.minBy(_._2)._1
+    val largest = masses.maxBy(_._2)._1
+    assert(cooled(smallest) > flat(smallest),
+      "low-resource language must be upsampled at higher temperature")
+    assert(cooled(largest) < flat(largest),
+      "dominant language must be downsampled at higher temperature")
+  }
+
+  test("sample is the exact deterministic hash-selected row set") {
+    val sampled = Sampling
+      .temperatureSample(corpus, "lang", "doc_id", "n_chars", 2.0, 60000L)
+    val again = Sampling
+      .temperatureSample(corpus.repartition(13), "lang", "doc_id", "n_chars",
+        2.0, 60000L)
+    val a = sampled.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = again.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "selection must be independent of partitioning")
+    assert(a.nonEmpty && a.size < corpus.count(),
+      "a half-budget sample must be a proper nonempty subset")
+    // every kept row actually clears its group's threshold
+    val violations = sampled.where(
+      Sampling.hashU24(col("doc_id")) >=
+        floor(col("rate") * lit(16777216.0)).cast("long")).count()
+    assert(violations == 0)
+  }
+
+  test("rejects non-positive temperature and budget") {
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureRates(corpus, "lang", "n_chars", 0.0, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureRates(corpus, "lang", "n_chars", 1.0, 0L)
+    }
+  }
+}
+
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("CMS heavy hitters certify both error bounds on a skewed stream") {
+    // zipf-ish: item i appears ~ 1000/i times — heavy head, long tail
+    val items = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"item_$i"))
+    val df = items.toDF("token").repartition(8)
+    val out = Sketches
+      .cmsHeavyHitters(df, "token", k = 10, eps = 0.001,
+        confidence = 0.99, seed = 7)
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(out.length == 10)
+    assert(out.forall(_._3), "CMS estimate must never undercount")
+    assert(out.forall(_._4), "CMS overcount must stay within eps·N")
+    val expectedTop = items.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(10).map(_._1).sorted
+    assert(out.map(_._1).sorted.toSeq == expectedTop)
+  }
+}
