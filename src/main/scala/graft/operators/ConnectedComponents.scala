@@ -50,16 +50,22 @@ object ConnectedComponents {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        val neighborMin = sym
-          .join(labels.select(col("id").as("b"), col("canonical").as("nb")), "b")
-          .groupBy(col("a").as("id"))
-          .agg(min("nb").as("neighborMin"))
-        // carry the previous label through the round so convergence is read
-        // off the SAME materialized frame — no extra join per round
-        var updated = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"), col("canonical").as("__prev"),
-            least(col("canonical"), coalesce(col("neighborMin"),
-              col("canonical"))).as("canonical"))
+        // One round = one join + ONE aggregation: neighbor candidates and
+        // the node's own label union into a single min — the self row both
+        // keeps the label monotone (canonical = least(prev, neighborMin))
+        // and carries the previous label through the same aggregate
+        // (min over the unique self row), so convergence is read off the
+        // SAME materialized frame with no per-round re-join. Two
+        // label-sized exchanges per round instead of three.
+        val cand = sym
+          .join(labels.select(col("id").as("b"), col("canonical").as("cand")),
+            "b")
+          .select(col("a").as("id"), col("cand"), lit(false).as("self"))
+          .union(labels.select(col("id"), col("canonical").as("cand"),
+            lit(true).as("self")))
+        var updated = cand.groupBy("id").agg(
+          min(when(col("self"), col("cand"))).as("__prev"),
+          min("cand").as("canonical"))
         updated =
           if (iter % CheckpointEvery == CheckpointEvery - 1)
             updated.localCheckpoint(true) // truncate the iterative lineage
