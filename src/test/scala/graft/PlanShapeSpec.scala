@@ -205,4 +205,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("GlobalLimit") || plan.contains("TakeOrdered"),
       s"brute leg lost its bound:\n$plan")
   }
+
+  test("HLL sketches aggregate partially below every exchange") {
+    // the mergeable-sketch contract physically: executors fold rows into
+    // sketch buffers scan-side (partial_hll_sketch_agg) and only sketch
+    // bytes cross the wire — for both the build and the union levels
+    val li = t(spark, sf001, "lineitem")
+    val plan = physical(li
+      .groupBy(col("l_returnflag"), col("l_linenumber"))
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est")))
+    assert(plan.contains("partial_hll_sketch_agg"),
+      s"sketch build does not combine map-side:\n$plan")
+    assert(plan.contains("partial_hll_union_agg"),
+      s"sketch union does not combine map-side:\n$plan")
+  }
+
+  test("temperature sampling broadcasts the rate table onto the corpus scan") {
+    import graft.operators.Sampling
+    val docs = t(spark, sf001, "documents")
+    val plan = physical(Sampling.temperatureSample(docs, "lang", "doc_id",
+      "n_chars", 2.0, 60000L))
+    // the corpus-side join must be broadcast — a shuffled join here would
+    // re-exchange the full corpus to sample it
+    val joinLines = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("lang")).toSeq
+    assert(joinLines.nonEmpty &&
+      joinLines.forall(_.contains("BroadcastHashJoin")),
+      s"rate table not broadcast:\n$plan")
+  }
+
+  test("delete cascade probes with broadcast joins only") {
+    val df = SparkEntry.queries("q_delete_cascade")(spark, sf001)
+    df.collect() // resolve AQE so the final join strategies are pinned
+    val plan = physical(df).split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"),
+      s"forget-set propagation must broadcast, not shuffle the facts:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
 }
