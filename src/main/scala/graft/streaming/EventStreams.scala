@@ -27,6 +27,23 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("total_value"))
 
+  /** Tumbling-window approximate distinct users — the streaming form of
+    * the q_sketch_hll contract. Per-window state is ONE fixed-size HLL
+    * sketch buffer (KBs) regardless of user cardinality, vs. an exact
+    * distinct whose state grows with users-per-window — the difference
+    * between bounded and unbounded streaming state at 100 TB/day. The
+    * sketch buffer serializes into the state store and merges across
+    * micro-batches exactly like any partial aggregate. */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+        .as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("approx_users"),
+        col("n_events"))
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String,
                    value: Double)
   case class SessionState(start: Long, lastSeen: Long, events: Int,

@@ -128,6 +128,33 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "click", 1L, 7.0)))
   }
 
+  test("hourlyDistinctUsers carries HLL sketch state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = events.toDF().toDF("user_id", "ts")
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val q = EventStreams.hourlyDistinctUsers(df)
+      .writeStream.format("memory").queryName("distinct_users")
+      .outputMode("complete").start()
+    try {
+      // same hour split across two micro-batches, with duplicate users —
+      // the sketch must merge across batches and not double-count
+      events.addData((1L, ts(10, 5)), (2L, ts(10, 10)), (1L, ts(10, 20)))
+      q.processAllAvailable()
+      events.addData((2L, ts(10, 40)), (3L, ts(10, 50)), (9L, ts(11, 5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("distinct_users")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    // 5 tiny cardinalities are exact in an HLL sketch (coupon mode)
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", 3L, 5L),
+      ("2024-01-01 11:00:00.0", 1L, 1L)))
+  }
+
   test("enrich joins the stream against a static dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[(Long, Double)]
