@@ -68,11 +68,44 @@ object Sampling {
     * column; row set and row content are fully hash-reproducible. */
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
                         massCol: String, temperature: Double,
-                        budget: Long): DataFrame = {
-    val rates = temperatureRates(df, groupCol, massCol, temperature, budget)
-      .select(col(groupCol), col("rate"))
-    df.join(broadcast(rates), groupCol)
+                        budget: Long): DataFrame =
+    applyRates(df,
+      temperatureRates(df, groupCol, massCol, temperature, budget),
+      groupCol, idCol)
+
+  /** Explicit-share mixture rates: the caller names each group's share of
+    * the budget directly (the DoReMi-style "domain weights fixed upstream"
+    * case — temperature sampling DERIVES shares from masses, this applies
+    * given ones). rate_g = min(1, budget·w_g / mass_g), rounded to 6 dp.
+    * Groups absent from `weights` get no rate row and are dropped by the
+    * sampling join — an explicit mixture is also an explicit exclusion. */
+  def mixtureRates(df: DataFrame, groupCol: String, massCol: String,
+                   weights: Map[String, Double], budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.sortBy(_._1).toDF(groupCol, "w")
+    df.groupBy(col(groupCol)).agg(sum(col(massCol)).as("mass"))
+      .join(broadcast(w), groupCol)
+      .select(col(groupCol), col("mass"),
+        roundCompat(least(lit(1.0),
+          lit(budget.toDouble) * col("w") / col("mass")), 6).as("rate"))
+  }
+
+  /** Filter `df` down to the explicit mixture sample (see mixtureRates). */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    massCol: String, weights: Map[String, Double],
+                    budget: Long): DataFrame =
+    applyRates(df, mixtureRates(df, groupCol, massCol, weights, budget),
+      groupCol, idCol)
+
+  /** The shared selection step: broadcast the (group, rate) table onto the
+    * corpus scan and keep rows whose u24 hash clears `floor(rate·2^24)` —
+    * integer compare, shuffle-free on the corpus side. */
+  private def applyRates(df: DataFrame, rates: DataFrame, groupCol: String,
+                         idCol: String): DataFrame =
+    df.join(broadcast(rates.select(col(groupCol), col("rate"))), groupCol)
       .where(hashU24(col(idCol)) <
         floor(col("rate") * lit(16777216.0)).cast("long"))
-  }
 }

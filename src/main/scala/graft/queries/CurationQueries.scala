@@ -409,5 +409,55 @@ object CurationQueries {
         .select("doc_id", "lang", "rate")
         .orderBy("doc_id")
     },
+
+    // Explicit-share mixture sampling (the fixed-domain-weights case):
+    // shares are given, not derived — en gets 40% of a 150k-char budget,
+    // the rest 15% each (the cap binds for 'de'). Same hash coin, same
+    // row-level oracle replay; one misselected document fails the gate.
+    Q("q_sample_mixture", {
+      def nib(i: Int) =
+        s"(instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), $i, 1)) - 1)"
+      val u24 = (1 to 6).map(nib).reduce((a, b) => s"($a * 16 + $b)")
+      s"""WITH w(lang, w) AS (VALUES ('de', 0.15), ('en', 0.4), ('es', 0.15),
+         |                          ('fr', 0.15), ('zh', 0.15)),
+         |m AS (SELECT lang, sum(n_chars) AS mass
+         |      FROM documents GROUP BY lang),
+         |r AS (SELECT m.lang,
+         |             round(least(1.0, 150000 * w.w / m.mass), 6) AS rate
+         |      FROM m JOIN w ON m.lang = w.lang)
+         |SELECT d.doc_id, d.lang, r.rate
+         |FROM documents d JOIN r USING (lang)
+         |WHERE $u24 < CAST(floor(r.rate * 16777216) AS BIGINT)
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Sampling
+        .mixtureSample(t(s, dir, "documents"), "lang", "doc_id", "n_chars",
+          weights = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+            "fr" -> 0.15, "zh" -> 0.15),
+          budget = 150000L)
+        .select("doc_id", "lang", "rate")
+        .orderBy("doc_id")
+    },
+
+    // Curriculum phases: per-language quartiles of the (4-dp-rounded, so
+    // bit-stable) quality score — the ordering a curriculum scheduler
+    // feeds batches by. PARTITION BY lang keeps the window distributed;
+    // the (quality, doc_id) composite is a total order, so ntile is
+    // deterministic on both engines.
+    Q("q_curriculum_bins",
+      s"""WITH q AS (SELECT doc_id, lang, ${TextQueries.sqlQuality} AS quality
+         |           FROM documents)
+         |SELECT doc_id, lang, quality,
+         |       ntile(4) OVER (PARTITION BY lang
+         |                      ORDER BY quality, doc_id) AS phase
+         |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.expressions.TextScore.register(s)
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "quality_score(text) AS quality")
+        .withColumn("phase", ntile(4).over(
+          Window.partitionBy("lang").orderBy("quality", "doc_id")))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -21,6 +21,20 @@ object TextQueries {
   /** DuckDB fragment: lowercased whitespace tokens. */
   private[queries] val sqlToks = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** DuckDB fragment mirroring TextFunctions.qualityScore (the rounded
+    * composite the curriculum gates order by). */
+  private[queries] lazy val sqlQuality = {
+    val enList = stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""round(0.4 * least(1.0, len($sqlToks) / 100.0)
+       |           + 0.3 * (len(list_filter($sqlToks,
+       |                        t -> list_contains($enList, t)))
+       |                    / greatest(CAST(len($sqlToks) AS DOUBLE), 1.0))
+       |           + 0.3 * least(1.0,
+       |               (length(regexp_replace(text, '\\s+', '', 'g'))
+       |                / greatest(CAST(len($sqlToks) AS DOUBLE), 1.0)) / 8.0),
+       |             4)""".stripMargin
+  }
+
   /** DuckDB fragment mirroring TextFunctions.shingles(text, k). */
   private[queries] def sqlShingles(k: Int) =
     s"""list_distinct(CASE WHEN len($sqlToks) < $k
@@ -74,19 +88,9 @@ object TextQueries {
     },
 
     // Quality scoring: length saturation + stopword ratio + mean token len.
-    Q("q_text_quality", {
-      val enList = stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""SELECT doc_id,
-         |       round(0.4 * least(1.0, len($sqlToks) / 100.0)
-         |           + 0.3 * (len(list_filter($sqlToks,
-         |                        t -> list_contains($enList, t)))
-         |                    / greatest(CAST(len($sqlToks) AS DOUBLE), 1.0))
-         |           + 0.3 * least(1.0,
-         |               (length(regexp_replace(text, '\\s+', '', 'g'))
-         |                / greatest(CAST(len($sqlToks) AS DOUBLE), 1.0)) / 8.0),
-         |             4) AS quality
-         |FROM documents ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+    Q("q_text_quality",
+      s"""SELECT doc_id, $sqlQuality AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.expressions.TextScore.register(s)
       t(s, dir, "documents")
         .selectExpr("doc_id", "quality_score(text) AS quality")

@@ -57,6 +57,29 @@ class SamplingSpec extends SparkSpec {
     assert(violations == 0)
   }
 
+  test("mixture sampling honors explicit shares and drops unlisted groups") {
+    val rates = Sampling
+      .mixtureRates(corpus, "lang", "n_chars",
+        Map("en" -> 0.6, "de" -> 0.4), 50000L)
+      .select("lang", "rate").as[(String, Double)].collect().toMap
+    assert(rates.keySet == Set("en", "de"),
+      "only weighted groups may receive a rate")
+    val sampled = Sampling
+      .mixtureSample(corpus, "lang", "doc_id", "n_chars",
+        Map("en" -> 0.6, "de" -> 0.4), 50000L)
+    val langs = sampled.select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de")),
+      s"unweighted languages must be excluded, got $langs")
+    // a doubled budget can only widen the selection (rates are monotone)
+    val wider = Sampling
+      .mixtureSample(corpus, "lang", "doc_id", "n_chars",
+        Map("en" -> 0.6, "de" -> 0.4), 100000L)
+      .select("doc_id").as[Long].collect().toSet
+    val narrow = sampled.select("doc_id").as[Long].collect().toSet
+    assert(narrow.subsetOf(wider),
+      "hash-coin selection must be nested across budgets")
+  }
+
   test("rejects non-positive temperature and budget") {
     intercept[IllegalArgumentException] {
       Sampling.temperatureRates(corpus, "lang", "n_chars", 0.0, 100L)
