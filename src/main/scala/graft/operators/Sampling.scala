@@ -100,6 +100,25 @@ object Sampling {
     applyRates(df, mixtureRates(df, groupCol, massCol, weights, budget),
       groupCol, idCol)
 
+  /** Fixed-n per-group sampling: up to `n` rows per group, chosen by the
+    * md5 hash order of the id (deterministic reservoir semantics — no
+    * RNG, partition-order-independent). With semantic clusters as the
+    * groups this is the SemDeDup/diversity-preserving shape: equal
+    * representation per embedding cluster instead of per raw frequency,
+    * so boilerplate-heavy regions of the corpus can't dominate the
+    * sample. One window pass; the `rn <= n` filter pushes a partial
+    * WindowGroupLimit below the exchange, so each map task forwards at
+    * most n rows per group. */
+  def perGroupSample(df: DataFrame, groupCol: String, idCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"per-group sample size must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n).drop("__rn")
+  }
+
   /** The shared selection step: broadcast the (group, rate) table onto the
     * corpus scan and keep rows whose u24 hash clears `floor(rate·2^24)` —
     * integer compare, shuffle-free on the corpus side. */

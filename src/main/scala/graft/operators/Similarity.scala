@@ -153,6 +153,22 @@ object Similarity {
     probeRank(assigned, queries, cents, k, nProbe)
   }
 
+  /** Cluster-assignment surface: each vector's nearest centroid by
+    * rounded cosine with the lowest-id tiebreak — the same deterministic
+    * assignment the IVF index uses, exposed for semantic-stratification
+    * consumers (cluster-balanced sampling, per-cluster stats). Returns
+    * (cand_id, centroid_id); centroids broadcast, no corpus shuffle. */
+  def assignClusters(candidates: DataFrame, nClusters: Int = 16,
+                     centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = normalizeCentroids(
+      centroids.getOrElse(fitCentroids(candidates, nClusters)))
+    nearestCentroids(
+      candidates.select(col("vec_id").as("cand_id"),
+        asDouble(col("embedding")).as("cand_vec")),
+      cents, "cand_id", "cand_vec", 1)
+      .select(col("cand_id"), col("centroid_id"))
+  }
+
   /** Persist an IVF index for reuse across sessions: `<dir>/centroids`
     * (k×dim, one tiny file) and `<dir>/assignments` — every candidate's
     * vector stored under its cluster — PARTITIONED by `centroid_id`, so

@@ -198,6 +198,43 @@ object VectorQueries {
           .crossJoin(broadcast(soundFlag))
           .orderBy("id1")
     },
+
+    // Cluster-balanced (SemDeDup-shape) sampling: k-means clusters as
+    // semantic strata, up to 20 vectors per cluster by deterministic hash
+    // order. The k-means fit has no DuckDB twin, so the gate is
+    // self-certified (the q_ann_ivf_recall pattern): per-cluster counts
+    // must equal least(20, cluster size) (cap_ok), every nonempty cluster
+    // must be represented (cover_ok), and the sample must be a duplicate-
+    // free subset (subset_ok) — the oracle pins all three TRUE and
+    // recomputes the corpus size. Fully deterministic: seedless k-means,
+    // rounded assignment scores, md5 sample order.
+    Q("q_sample_cluster_balanced",
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        |       TRUE AS cap_ok, TRUE AS cover_ok, TRUE AS subset_ok
+        |""".stripMargin) { (s, dir) =>
+      import graft.operators.Sampling
+      val emb = t(s, dir, "embeddings")
+      val assigned = Similarity
+        .assignClusters(emb, nClusters = 16,
+          centroids = Some(centroids(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sampled = Sampling
+        .perGroupSample(assigned, "centroid_id", "cand_id", 20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perCluster = assigned
+        .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+        .join(sampled.groupBy("centroid_id").agg(count(lit(1)).as("sn")),
+          Seq("centroid_id"), "left")
+      val flags = perCluster.agg(
+        every(coalesce(col("sn"), lit(0L)) === least(lit(20L), col("n")))
+          .as("cap_ok"),
+        every(col("sn").isNotNull).as("cover_ok"))
+      val subset = sampled.agg(
+        (count(lit(1)) === countDistinct(col("cand_id"))).as("subset_ok"))
+      emb.agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(flags))
+        .crossJoin(broadcast(subset))
+    },
   )
 
   /** One k-means fit per (session, SF dir), shared by q_ann_ivf and

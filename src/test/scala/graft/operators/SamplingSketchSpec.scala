@@ -80,6 +80,23 @@ class SamplingSpec extends SparkSpec {
       "hash-coin selection must be nested across budgets")
   }
 
+  test("perGroupSample caps every group and is partition-invariant") {
+    val df = spark.range(0, 1000)
+      .selectExpr("id", "CAST(id % 7 AS STRING) AS grp")
+    val a = Sampling.perGroupSample(df, "grp", "id", 11)
+    val counts = a.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 11L),
+      s"every group of 140+ rows must yield exactly 11, got $counts")
+    val b = Sampling.perGroupSample(df.repartition(17), "grp", "id", 11)
+    assert(a.select("id").as[Long].collect().sorted.toSeq ==
+      b.select("id").as[Long].collect().sorted.toSeq,
+      "the sampled set must not depend on partitioning")
+    // groups smaller than n survive whole
+    val tiny = Sampling.perGroupSample(
+      df.where(col("id") < 3), "grp", "id", 11)
+    assert(tiny.count() == 3)
+  }
+
   test("rejects non-positive temperature and budget") {
     intercept[IllegalArgumentException] {
       Sampling.temperatureRates(corpus, "lang", "n_chars", 0.0, 100L)
