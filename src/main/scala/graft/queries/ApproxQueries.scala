@@ -115,6 +115,78 @@ object ApproxQueries {
         .orderBy("l_returnflag")
     },
 
+    // Theta sketches — the set-OPERATION sketch family (HLL can only
+    // union): distinct customers active in the early AND late periods
+    // (intersection), either (union), and early-only (difference), each
+    // estimated from two fixed-size sketches and certified within 5% of
+    // the exact answer (the oracle recomputes exact counts and pins the
+    // flags). At the default lgK the sketches hold sub-4096 cardinalities
+    // in exact mode, so the sf0.01 margins are zero; at 100 TB the same
+    // query exchanges two 32 KB sketches instead of re-scanning both
+    // periods for every set combination.
+    Q("q_sketch_theta",
+      """WITH e AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        |l AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+        |SELECT (SELECT count(*) FROM e) AS n_early,
+        |       (SELECT count(*) FROM l) AS n_late,
+        |       (SELECT count(*) FROM (SELECT * FROM e
+        |                              INTERSECT SELECT * FROM l)) AS n_both,
+        |       (SELECT count(*) FROM (SELECT * FROM e
+        |                              UNION SELECT * FROM l)) AS n_union,
+        |       TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+        |""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val early = col("o_orderdate") < lit("1996-01-01").cast("timestamp")
+      val per = ord.groupBy("o_custkey").agg(
+        max(when(early, 1).otherwise(0)).as("e"),
+        max(when(!early, 1).otherwise(0)).as("l"))
+      val exact = per.agg(
+        sum("e").cast("long").as("n_early"),
+        sum("l").cast("long").as("n_late"),
+        sum(col("e") * col("l")).cast("long").as("n_both"),
+        count(lit(1)).as("n_union"))
+      val est = ord.agg(
+        expr("theta_sketch_agg(CASE WHEN o_orderdate < TIMESTAMP " +
+          "'1996-01-01' THEN o_custkey END)").as("ske"),
+        expr("theta_sketch_agg(CASE WHEN o_orderdate >= TIMESTAMP " +
+          "'1996-01-01' THEN o_custkey END)").as("skl"))
+        .select(
+          expr("theta_sketch_estimate(theta_union(ske, skl))").as("eu"),
+          expr("theta_sketch_estimate(theta_intersection(ske, skl))")
+            .as("ei"),
+          expr("theta_sketch_estimate(theta_difference(ske, skl))").as("ed"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_early"), col("n_late"), col("n_both"), col("n_union"),
+          (abs(col("eu") - col("n_union")) <= col("n_union") * lit(0.05))
+            .as("union_ok"),
+          (abs(col("ei") - col("n_both")) <= col("n_both") * lit(0.05))
+            .as("inter_ok"),
+          (abs(col("ed") - (col("n_early") - col("n_both"))) <=
+            (col("n_early") - col("n_both")) * lit(0.05)).as("diff_ok"))
+    },
+
+    // Linear-regression aggregates (regr_slope/intercept/r2/count) — the
+    // moment-sketch statistics a profiler fits scan-side; rounded like
+    // corr/covar (q_agg_stats) so both engines' summation orders agree.
+    Q("q_agg_regression",
+      """SELECT l_returnflag,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4)
+        |         AS icept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round4(expr("regr_slope(l_extendedprice, l_quantity)")).as("slope"),
+        round4(expr("regr_intercept(l_extendedprice, l_quantity)"))
+          .as("icept"),
+        round4(expr("regr_r2(l_extendedprice, l_quantity)")).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // Winsorized aggregation — percentile-clipped sums, the robust-stats
     // step a curation pipeline applies before fitting thresholds (extreme
     // outliers saturate at p05/p95 instead of dominating the total). The
