@@ -25,6 +25,14 @@ object CurationQueries {
   private def nibbleSql(idExpr: String): String =
     s"instr('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 1, 1)) - 1"
 
+  /** DuckDB fragment mirroring Sampling.hashU24: the first 24 bits of
+    * md5(id) folded from six hex nibbles. */
+  private def sqlU24(idExpr: String): String = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $i, 1)) - 1)"
+    (1 to 6).map(nib).reduce((a, b) => s"($a * 16 + $b)")
+  }
+
   val all: Seq[Q] = Seq(
 
     // Deterministic train/val/test split: 10/3/3 sixteenths by hash
@@ -388,9 +396,7 @@ object CurationQueries {
     // engine/partitioning. The oracle replays rates, join, and the
     // hex-nibble fold; one misselected document fails the gate.
     Q("q_sample_temperature", {
-      def nib(i: Int) =
-        s"(instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), $i, 1)) - 1)"
-      val u24 = (1 to 6).map(nib).reduce((a, b) => s"($a * 16 + $b)")
+      val u24 = sqlU24("d.doc_id")
       s"""WITH m AS (SELECT lang, sum(n_chars) AS mass
          |           FROM documents GROUP BY lang),
          |tot AS (SELECT sum(pow(CAST(mass AS DOUBLE), 0.5)) AS tw FROM m),
@@ -415,9 +421,7 @@ object CurationQueries {
     // the rest 15% each (the cap binds for 'de'). Same hash coin, same
     // row-level oracle replay; one misselected document fails the gate.
     Q("q_sample_mixture", {
-      def nib(i: Int) =
-        s"(instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), $i, 1)) - 1)"
-      val u24 = (1 to 6).map(nib).reduce((a, b) => s"($a * 16 + $b)")
+      val u24 = sqlU24("d.doc_id")
       s"""WITH w(lang, w) AS (VALUES ('de', 0.15), ('en', 0.4), ('es', 0.15),
          |                          ('fr', 0.15), ('zh', 0.15)),
          |m AS (SELECT lang, sum(n_chars) AS mass
@@ -437,6 +441,83 @@ object CurationQueries {
           budget = 150000L)
         .select("doc_id", "lang", "rate")
         .orderBy("doc_id")
+    },
+
+    // The full training-data EXPORT pipeline in one row-level-gated query:
+    // language-ID → quality score → exact dedup (keep lowest doc_id per
+    // normalized fingerprint) → quality threshold → temperature sampling
+    // (T=2 over detected language, 20k-token budget) → overlapping token
+    // chunking (64/16). Every stage is the same operator the standalone
+    // gates exercise; the oracle replays ALL of it in DuckDB down to the
+    // per-chunk md5, so one wrong token in one chunk of one misselected
+    // document fails the driver's hash gate.
+    Q("q_corpus_export", {
+      import TextQueries.{langCases, sqlQuality, sqlToks}
+      val (mx, whens) = langCases
+      val u24 = sqlU24("k.doc_id")
+      s"""WITH scored AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN $mx = 0 THEN 'und' ${whens.replace("__mx", mx)}
+         |         END AS lang,
+         |         $sqlQuality AS quality,
+         |         CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |         md5(regexp_replace(regexp_replace(lower(text),
+         |             '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |kept AS (SELECT s.* FROM scored s
+         |         JOIN (SELECT fp, min(doc_id) AS keep_id
+         |               FROM scored GROUP BY fp) c
+         |           ON s.fp = c.fp AND s.doc_id = c.keep_id
+         |         WHERE s.quality >= 0.35),
+         |m AS (SELECT lang, sum(n_tokens) AS mass FROM kept GROUP BY lang),
+         |tot AS (SELECT sum(pow(CAST(mass AS DOUBLE), 0.5)) AS tw FROM m),
+         |r AS (SELECT lang,
+         |             round(least(1.0, 20000 * pow(CAST(mass AS DOUBLE), 0.5)
+         |                              / tw / mass), 6) AS rate
+         |      FROM m, tot),
+         |samp AS (SELECT k.doc_id, k.lang, $sqlToks AS toks
+         |         FROM kept k JOIN r USING (lang)
+         |         WHERE $u24 < CAST(floor(r.rate * 16777216) AS BIGINT)),
+         |n AS (SELECT doc_id, lang, toks,
+         |             greatest(1, CAST(ceil(CAST(len(toks) - 16 AS DOUBLE)
+         |                                   / 48) AS INT)) AS nc
+         |      FROM samp),
+         |ch AS (SELECT doc_id, lang, toks,
+         |              unnest(range(0, nc)) AS chunk_idx
+         |       FROM n)
+         |SELECT doc_id, lang, CAST(chunk_idx AS INT) AS chunk_idx,
+         |       CAST(len(toks[chunk_idx*48+1 : chunk_idx*48+64]) AS INT)
+         |         AS n_tokens,
+         |       md5(array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64],
+         |                           ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.TextFunctions
+      graft.expressions.TextScore.register(s)
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        expr("lang_id(text)").as("lang"),
+        expr("quality_score(text)").as("quality"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.normFingerprint(col("text")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val canon = scored.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val kept = scored.join(canon,
+          scored("fp") === canon("fp") &&
+            scored("doc_id") === canon("keep_id"), "left_semi")
+        .where(col("quality") >= 0.35)
+      graft.operators.Sampling
+        .temperatureSample(kept, "lang", "doc_id", "n_tokens",
+          temperature = 2.0, budget = 20000L)
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokenChunks(
+            TextFunctions.tokens(col("text")), chunkLen = 64, overlap = 16))
+            .as("c"))
+        .select(col("doc_id"), col("lang"),
+          col("c.chunk_idx").cast("int").as("chunk_idx"),
+          size(col("c.chunk")).cast("int").as("n_tokens"),
+          md5(concat_ws(" ", col("c.chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
     },
 
     // Curriculum phases: per-language quartiles of the (4-dp-rounded, so

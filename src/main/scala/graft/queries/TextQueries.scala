@@ -42,7 +42,7 @@ object TextQueries {
        |  ELSE list_transform(range(0, len($sqlToks) - ${k - 1}),
        |         i -> array_to_string(($sqlToks)[i+1:i+$k], ' ')) END)""".stripMargin
 
-  private val langCases = {
+  private[queries] val langCases = {
     val hits = stopwords.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
       lang -> s"len(list_filter($sqlToks, t -> list_contains($lst, t)))"
