@@ -37,6 +37,12 @@ object Sketches {
   def cmsHeavyHitters(items: DataFrame, itemCol: String, k: Int,
                       eps: Double, confidence: Double,
                       seed: Int): DataFrame = {
+    require(items.schema(itemCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"cmsHeavyHitters certifies string items; $itemCol is " +
+        items.schema(itemCol).dataType.simpleString)
+    require(k > 0 && eps > 0 && confidence > 0 && confidence < 1,
+      s"invalid sketch parameters: k=$k eps=$eps confidence=$confidence")
     val spark = items.sparkSession
     val sk = items.agg(
       expr(s"count_min_sketch($itemCol, CAST($eps AS DOUBLE), " +

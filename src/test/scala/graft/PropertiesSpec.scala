@@ -141,6 +141,43 @@ class PropertiesSpec extends SparkSpec {
     assert(assigns(1) == assigns(13))
   }
 
+  test("hashU24 lands in [0, 2^24) and is stable for arbitrary ids") {
+    import graft.operators.Sampling
+    val ids = sample(Gen.chooseNum(Long.MinValue, Long.MaxValue), 300)
+    val out = ids.toDF("id")
+      .select(col("id"), Sampling.hashU24(col("id")).as("u"),
+        Sampling.hashU24(col("id")).as("u2"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (id, u, u2) =>
+      assert(u >= 0 && u < (1L << 24), s"u24 out of range for $id: $u")
+      assert(u == u2, s"u24 not stable for $id")
+    }
+  }
+
+  test("temperature rates are probabilities and masses are conserved") {
+    import graft.operators.Sampling
+    val rows = sample(Gen.zip(Gen.oneOf("a", "b", "c", "d"),
+      Gen.chooseNum(1, 5000)), 400)
+    val df = rows.zipWithIndex
+      .map { case ((g, m), i) => (i.toLong, g, m.toLong) }
+      .toDF("id", "grp", "mass")
+    for (t <- Seq(1.0, 2.0, 5.0); budget <- Seq(100L, 10000L, 10000000L)) {
+      val rates = Sampling.temperatureRates(df, "grp", "mass", t, budget)
+        .as[(String, Long, Double)].collect()
+      val masses = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2.toLong).sum).toMap
+      rates.foreach { case (g, mass, r) =>
+        assert(r >= 0.0 && r <= 1.0, s"rate out of [0,1] for $g at T=$t: $r")
+        assert(mass == masses(g), s"mass not conserved for $g")
+      }
+      // the expected sampled mass never exceeds the budget (up to the cap)
+      val expected = rates.map { case (_, m, r) => m * r }.sum
+      assert(expected <= budget * 1.001 + rates.map(_._2).sum * 1e-6 ||
+        rates.forall(_._3 == 1.0),
+        s"expected mass $expected exceeds budget $budget at T=$t")
+    }
+  }
+
   test("SCD2 merge preserves the pk row multiset across open rows (J57-J62)") {
     val pks = sample(Gen.chooseNum(0, 30), 60).distinct
     val snapA = pks.map(k => (s"k$k", s"v$k")).toDF("pk", "attr")
