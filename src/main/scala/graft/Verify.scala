@@ -42,8 +42,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the oracle map is ALWAYS written in full, filter or not: a filtered
+    // re-run into a previously-full outDir must not shrink the checked
+    // set (a 1-entry oracle over a 146-dump dir would read as all-green
+    // while checking almost nothing); the checkers skip-with-notice any
+    // oracle entry whose dump is absent instead
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

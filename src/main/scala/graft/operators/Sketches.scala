@@ -48,6 +48,11 @@ object Sketches {
       expr(s"count_min_sketch($itemCol, CAST($eps AS DOUBLE), " +
         s"CAST($confidence AS DOUBLE), $seed)").as("cms"),
       count(lit(1)).as("n")).head()
+    if (sk.isNullAt(0)) { // zero input rows aggregate to a NULL sketch
+      import spark.implicits._
+      return Seq.empty[(String, Long, Boolean, Boolean)]
+        .toDF(itemCol, "true_cnt", "lower_ok", "upper_ok")
+    }
     val cms = CountMinSketch.readFrom(
       new ByteArrayInputStream(sk.getAs[Array[Byte]]("cms")))
     val slack = math.ceil(eps * sk.getAs[Long]("n")).toLong

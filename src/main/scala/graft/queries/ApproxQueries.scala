@@ -81,11 +81,16 @@ object ApproxQueries {
     },
 
     // Bounded-error quantiles: percentile_approx (GK sketch, mergeable,
-    // accuracy 1/eps = 10000) certified against exact percentiles at
-    // p ± 2·eps — the rank-error contract, checked element-wise across
-    // four probe points. The oracle recomputes the exact interpolated
-    // quantiles (DuckDB quantile_cont ≡ Spark percentile) and pins the
-    // certificate TRUE.
+    // accuracy 1/eps = 10000) certified on its actual RANK contract: the
+    // returned element's rank interval [#(x < apx)+1, #(x ≤ apx)] must
+    // intersect [(p−eps)·n − 1, (p+eps)·n + 1]. Checked in scaled INTEGER
+    // arithmetic (P = p·10⁴, so 10⁴·rank vs (P±1)·n ± 10⁴), which is
+    // exact at ANY group size — a value-envelope at p ± 2·eps breaks when
+    // eps·n < 1 rank (observed at sf0.001: the envelope spans less than
+    // one element). Two passes: the sketch pass computes apx, a broadcast
+    // join counts ranks against it. The oracle recomputes the exact
+    // interpolated quantiles (DuckDB quantile_cont ≡ Spark percentile)
+    // and pins the certificate TRUE.
     Q("q_sketch_quantile", {
       val sel = Seq(25, 50, 75, 95).map(p =>
         s"round(quantile_cont(l_extendedprice, 0.$p), 4) AS q$p")
@@ -94,36 +99,46 @@ object ApproxQueries {
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, dir) =>
       val ps = Seq(0.25, 0.50, 0.75, 0.95)
-      val eps = 1.0 / 10000
+      val scaledP = ps.map(p => math.round(p * 10000))
       def arr(xs: Seq[Double]) = xs.mkString("array(", ", ", ")")
-      val lo = ps.map(p => math.max(0.0, p - 2 * eps))
-      val hi = ps.map(p => math.min(1.0, p + 2 * eps))
-      val boundsOk = ps.indices.map(i =>
-        col("apx")(i) >= col("exlo")(i) - lit(1e-9) &&
-          col("apx")(i) <= col("exhi")(i) + lit(1e-9))
-        .reduce(_ && _)
       val names = Seq("q25", "q50", "q75", "q95")
-      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy("l_returnflag").agg(
         expr(s"percentile_approx(l_extendedprice, ${arr(ps)}, 10000)")
           .as("apx"),
-        expr(s"percentile(l_extendedprice, ${arr(ps)})").as("ex"),
-        expr(s"percentile(l_extendedprice, ${arr(lo)})").as("exlo"),
-        expr(s"percentile(l_extendedprice, ${arr(hi)})").as("exhi"))
-        .select(col("l_returnflag") +:
-          names.zipWithIndex.map { case (n, i) => round4(col("ex")(i)).as(n) } :+
-          boundsOk.as("bounds_ok"): _*)
+        expr(s"percentile(l_extendedprice, ${arr(ps)})").as("ex"))
+      val ranked = li.join(broadcast(agg), "l_returnflag")
+        .groupBy("l_returnflag", "apx", "ex")
+        .agg(count(lit(1)).as("n"),
+          ps.indices.map(i => struct(
+            sum(when(col("l_extendedprice") < col("apx")(i), 1L)
+              .otherwise(0L)).as("lo"),
+            sum(when(col("l_extendedprice") <= col("apx")(i), 1L)
+              .otherwise(0L)).as("hi")).as(s"r$i")): _*)
+      val boundsOk = ps.indices.map { i =>
+        val rLo = col(s"r$i").getField("lo") + 1
+        val rHi = col(s"r$i").getField("hi")
+        (lit(10000L) * rHi >= (lit(scaledP(i)) - 1) * col("n") - 10000L) &&
+          (lit(10000L) * rLo <= (lit(scaledP(i)) + 1) * col("n") + 10000L)
+      }.reduce(_ && _)
+      ranked.select(col("l_returnflag") +:
+        names.zipWithIndex.map { case (n, i) => round4(col("ex")(i)).as(n) } :+
+        boundsOk.as("bounds_ok"): _*)
         .orderBy("l_returnflag")
     },
 
     // Theta sketches — the set-OPERATION sketch family (HLL can only
     // union): distinct customers active in the early AND late periods
     // (intersection), either (union), and early-only (difference), each
-    // estimated from two fixed-size sketches and certified within 5% of
-    // the exact answer (the oracle recomputes exact counts and pins the
-    // flags). At the default lgK the sketches hold sub-4096 cardinalities
-    // in exact mode, so the sf0.01 margins are zero; at 100 TB the same
-    // query exchanges two 32 KB sketches instead of re-scanning both
-    // periods for every set combination.
+    // estimated from two fixed-size sketches and certified against the
+    // sketch's actual error model: theta error scales with the UNION
+    // cardinality (a set-difference of 1 can be estimated as 0 — observed
+    // at sf0.1 — so "5% of the difference" would be a false contract),
+    // hence every margin is 5% of n_union. The oracle recomputes exact
+    // counts and pins the flags. At the default lgK the sketches hold
+    // sub-4096 cardinalities in exact mode (sf0.01 margins are zero); at
+    // 100 TB the same query exchanges two 32 KB sketches instead of
+    // re-scanning both periods for every set combination.
     Q("q_sketch_theta",
       """WITH e AS (SELECT DISTINCT o_custkey FROM orders
         |           WHERE o_orderdate < TIMESTAMP '1996-01-01'),
@@ -161,10 +176,10 @@ object ApproxQueries {
         .select(col("n_early"), col("n_late"), col("n_both"), col("n_union"),
           (abs(col("eu") - col("n_union")) <= col("n_union") * lit(0.05))
             .as("union_ok"),
-          (abs(col("ei") - col("n_both")) <= col("n_both") * lit(0.05))
+          (abs(col("ei") - col("n_both")) <= col("n_union") * lit(0.05))
             .as("inter_ok"),
           (abs(col("ed") - (col("n_early") - col("n_both"))) <=
-            (col("n_early") - col("n_both")) * lit(0.05)).as("diff_ok"))
+            col("n_union") * lit(0.05)).as("diff_ok"))
     },
 
     // Linear-regression aggregates (regr_slope/intercept/r2/count) — the

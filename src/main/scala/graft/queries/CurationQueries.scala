@@ -427,7 +427,8 @@ object CurationQueries {
          |m AS (SELECT lang, sum(n_chars) AS mass
          |      FROM documents GROUP BY lang),
          |r AS (SELECT m.lang,
-         |             round(least(1.0, 150000 * w.w / m.mass), 6) AS rate
+         |             round(least(1.0, 150000 * CAST(w.w AS DOUBLE) / m.mass),
+         |                   6) AS rate
          |      FROM m JOIN w ON m.lang = w.lang)
          |SELECT d.doc_id, d.lang, r.rate
          |FROM documents d JOIN r USING (lang)
@@ -501,10 +502,11 @@ object CurationQueries {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextFunctions.normFingerprint(col("text")).as("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val canon = scored.groupBy("fp").agg(min("doc_id").as("keep_id"))
-      val kept = scored.join(canon,
-          scored("fp") === canon("fp") &&
-            scored("doc_id") === canon("keep_id"), "left_semi")
+      // canon is (fp, doc_id) pairs to KEEP; the name-based join keys
+      // avoid the self-derived-column trap (scored("fp") === canon("fp")
+      // resolves to a trivially-true fp == fp)
+      val canon = scored.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val kept = scored.join(canon, Seq("fp", "doc_id"), "left_semi")
         .where(col("quality") >= 0.35)
       graft.operators.Sampling
         .temperatureSample(kept, "lang", "doc_id", "n_tokens",

@@ -373,10 +373,11 @@ object TextQueries {
         tokenCount(col("text")).cast(LongType).as("n_tokens"),
         normFingerprint(col("text")).as("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val canon = scored.groupBy("fp").agg(min("doc_id").as("keep_id"))
-      scored.join(canon,
-          scored("fp") === canon("fp") &&
-            scored("doc_id") === canon("keep_id"), "left_semi")
+      // canon is (fp, doc_id) pairs to KEEP; name-based join keys avoid
+      // the self-derived-column trap (scored("fp") === canon("fp")
+      // resolves to a trivially-true fp == fp)
+      val canon = scored.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      scored.join(canon, Seq("fp", "doc_id"), "left_semi")
         .where(col("quality") >= 0.35)
         .groupBy("lang")
         .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))

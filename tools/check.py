@@ -47,7 +47,15 @@ def main(sf_dir, out_dir):
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
+    import os
+    skipped = [n for n in oracle if not os.path.isdir(f"{out_dir}/{n}")]
+    if skipped:
+        print(f"NOTE  {len(skipped)} oracle entries have no dump in "
+              f"{out_dir} (filtered Verify run?) — NOT checked: "
+              f"{sorted(skipped)[:5]}{'...' if len(skipped) > 5 else ''}")
     for name, sql in sorted(oracle.items()):
+        if name in skipped:
+            continue
         try:
             spark_rel = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -82,7 +90,9 @@ def main(sf_dir, out_dir):
         print(f"  OK  {name} ({len(s_rows)} rows)")
     for name, why in failures:
         print(f"FAIL  {name}: {why}")
-    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} queries match")
+    checked = len(oracle) - len(skipped)
+    print(f"\n{checked - len(failures)}/{checked} queries match"
+          + (f" ({len(skipped)} skipped, no dump)" if skipped else ""))
     sys.exit(1 if failures else 0)
 
 
