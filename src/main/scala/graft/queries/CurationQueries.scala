@@ -452,11 +452,44 @@ object CurationQueries {
     // gates exercise; the oracle replays ALL of it in DuckDB down to the
     // per-chunk md5, so one wrong token in one chunk of one misselected
     // document fails the driver's hash gate.
-    Q("q_corpus_export", {
-      import TextQueries.{langCases, sqlQuality, sqlToks}
-      val (mx, whens) = langCases
-      val u24 = sqlU24("k.doc_id")
-      s"""WITH scored AS (
+    Q("q_corpus_export",
+      s"$exportSqlCore\nORDER BY doc_id, chunk_idx") { (s, dir) =>
+      exportChunks(s, dir).orderBy("doc_id", "chunk_idx")
+    },
+
+    // …and the chunks PACKED into 256-token training bins — the last step
+    // before serialization. Chains the export pipeline into the
+    // distributed prefix-sum packer over the deterministic
+    // (chunk_md5, doc_id, chunk_idx) order; the oracle wraps the full
+    // export replay in a windowed cumulative sum. Raw documents to packed
+    // sequences, every intermediate value hash-gated.
+    Q("q_export_pack",
+      s"""WITH exp AS ($exportSqlCore),
+         |p AS (SELECT doc_id, chunk_idx,
+         |             CAST(n_tokens AS BIGINT) AS w,
+         |             CAST(sum(n_tokens) OVER (
+         |               ORDER BY chunk_md5, doc_id, chunk_idx
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM exp)
+         |SELECT doc_id, chunk_idx, w, cum, (cum - w) // 256 AS bin
+         |FROM p ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      import graft.operators.Packing
+      Packing.packByBudget(
+          exportChunks(s, dir).select(col("doc_id"), col("chunk_idx"),
+            col("chunk_md5"), col("n_tokens").cast("long").as("w")),
+          Seq(col("chunk_md5"), col("doc_id"), col("chunk_idx")), "w", 256L)
+        .select("doc_id", "chunk_idx", "w", "cum", "bin")
+        .orderBy("doc_id", "chunk_idx")
+    },
+  ) ++ curriculumGates
+
+  /** The DuckDB replay of the export pipeline (no ORDER BY — shared by
+    * q_corpus_export and the q_export_pack wrapper). */
+  private lazy val exportSqlCore: String = {
+    import TextQueries.{langCases, sqlQuality, sqlToks}
+    val (mx, whens) = langCases
+    val u24 = sqlU24("k.doc_id")
+    s"""WITH scored AS (
          |  SELECT doc_id, text,
          |         CASE WHEN $mx = 0 THEN 'und' ${whens.replace("__mx", mx)}
          |         END AS lang,
@@ -491,8 +524,13 @@ object CurationQueries {
          |         AS n_tokens,
          |       md5(array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64],
          |                           ' ')) AS chunk_md5
-         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
-    }) { (s, dir) =>
+         |FROM ch""".stripMargin
+  }
+
+  /** The Spark side of the export pipeline (no ORDER BY — shared by
+    * q_corpus_export and q_export_pack). */
+  private def exportChunks(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
       import graft.functions.TextFunctions
       graft.expressions.TextScore.register(s)
       val scored = t(s, dir, "documents").select(
@@ -519,9 +557,9 @@ object CurationQueries {
           col("c.chunk_idx").cast("int").as("chunk_idx"),
           size(col("c.chunk")).cast("int").as("n_tokens"),
           md5(concat_ws(" ", col("c.chunk"))).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")
-    },
+  }
 
+  private lazy val curriculumGates: Seq[Q] = Seq(
     // Curriculum phases: per-language quartiles of the (4-dp-rounded, so
     // bit-stable) quality score — the ordering a curriculum scheduler
     // feeds batches by. PARTITION BY lang keeps the window distributed;
