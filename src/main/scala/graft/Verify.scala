@@ -21,9 +21,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val intended = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => only.forall(_.contains(name)))
+    intended.foreach { name =>
+      val fn = SparkEntry.queries(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -50,6 +51,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the INTENDED query list (post-filter): lets the checkers tell a
+    // deliberately-filtered run (skip those entries) from a query that
+    // CRASHED and wrote no dump (hard failure — previously the two were
+    // indistinguishable and a crashed query read as green)
+    Files.writeString(Paths.get(s"$outDir/intended_queries.json"),
+      intended.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

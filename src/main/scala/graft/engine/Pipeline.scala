@@ -127,6 +127,28 @@ object Pipeline {
 
   val allSpecs: Seq[TableSpec] = coreSpecs ++ martSpecs
 
+  /** mart/movie_employee_link.sql as registered SQL TEXT — the form
+    * `meta.etl_tab_script` actually stores (ddl.py:559-570). Must stay
+    * semantically identical to [[MartQueries.movieEmployeeLink]]; the
+    * PipelineSpec SQL-registry scenario asserts the two produce the same
+    * mart. DISTINCT collapses the SCD2 version duplicates exactly like
+    * the programmatic transform. */
+  val movieEmployeeLinkSql: String =
+    """SELECT DISTINCT l.movie_emp_link_id, h.movie_nm,
+      |       h.movie_duration, e.emp_nm
+      |FROM movie_hub h
+      |JOIN movie_emp_link l ON h.movie_id = l.movie_id
+      |JOIN employee_hub e ON e.emp_id = l.emp_id""".stripMargin
+
+  /** [[allSpecs]] with `name`'s transform swapped for registered SQL text
+    * run via [[Runner.sqlTransform]] — the SQL-text registry execution
+    * path. */
+  def withSqlTransform(name: String, sqlText: String): Seq[TableSpec] =
+    allSpecs.map { sp =>
+      if (sp.name == name) sp.copy(transform = Runner.sqlTransform(sqlText))
+      else sp
+    }
+
   /** One full load: raw tables in, core + marts merged. */
   def runLoad(wh: Warehouse, loadTs: String): Warehouse =
     Runner.runLoad(wh, allSpecs, loadTs)

@@ -131,6 +131,30 @@ object Runner {
     }
   }
 
+  /** The reference's EXECUTING form of the registry: `meta.etl_tab_script`
+    * rows are SQL STRINGS run via dynamic SQL into temp_ staging tables
+    * (ddl.py:559-570). The programmatic `transform` closure is the
+    * preferred Spark mapping (SURVEY.md §2 H56); this constructor adds
+    * mechanism-level parity for registries that hold SQL text: every
+    * table currently loaded in the warehouse is registered as a temp
+    * view, then the text runs through `spark.sql` — Catalyst compiles it
+    * to the same optimized plan the equivalent DataFrame code would
+    * build (same optimizer rules, same physical strategies), so a
+    * SQL-text registry row is a first-class [[TableSpec]] transform. */
+  def sqlTransform(sqlText: String): Warehouse => DataFrame = wh => {
+    wh.names.foreach(n => wh(n).createOrReplaceTempView(n))
+    // RDD boundary = the reference's CREATE TEMP TABLE temp_ step: the
+    // text's result becomes a standalone relation with fresh attribute
+    // ids, not a live view subtree — necessary because the merge unions
+    // the snapshot with a target derived from the same lineage (shared
+    // expression ids crash Union's constraint rewrite), and faithful
+    // because dynamic SQL in the reference lands in a temp table before
+    // the merge reads it. Lazy (nothing runs until the load consumes
+    // it); the row-conversion cost is the temp-table write this models.
+    val df = wh.spark.sql(sqlText)
+    wh.spark.createDataFrame(df.rdd, df.schema)
+  }
+
   /** Run one load cycle (= one `etl_layer_transfer.py` run) over the specs.
     *
     * @param loadTs frozen once per run — PG current_timestamp is

@@ -19,12 +19,11 @@ import org.apache.spark.sql.functions._
   * recall is total for single-cluster edits; the miss mode (edits
   * spanning BOTH ends) is explicit and documented rather than
   * probabilistic. Keys SHORTER than 2·blockLen have overlapping blocks —
-  * one central edit can break both — so they take a dedicated
-  * short×short pass instead: bounded by the short-key populations (movie
-  * titles ≤ 7 chars are a sliver of a catalog; raise `blockLen` or
-  * pre-partition by length if a corpus is short-heavy). Block keys are
-  * lowercase; length-skewed blocks behave like any hot join key (AQE
-  * skew-split applies).
+  * one central edit can break both — so they take a dedicated short-key
+  * pass blocked on key LENGTH (an equi-join on length buckets, right side
+  * exploded ±maxDist): still never a cross product, even on a short-heavy
+  * corpus (SKUs, usernames). Block keys are lowercase; length-skewed
+  * blocks behave like any hot join key (AQE skew-split applies).
   */
 object FuzzyJoin {
 
@@ -48,14 +47,23 @@ object FuzzyJoin {
           .withColumn("__b", keyOf(col("r_key"))), "__b")
         .select("l_id", "l_key", "r_id", "r_key")
     // short keys: overlapping blocks can both be hit by ONE central edit,
-    // so they pair exhaustively among themselves (bounded population).
-    // The < shortLen + maxDist margin on BOTH sides covers pairs that
-    // straddle the boundary (edits change length by at most maxDist, so a
-    // sub-boundary key can only match keys under the margin); keys at or
-    // above the margin on both sides have disjoint blocks and are fully
-    // served by the two blocked passes.
+    // so they pair among themselves — but never exhaustively. Bucket by
+    // key LENGTH: the left side blocks on its exact length, the right
+    // side explodes into lengths ±maxDist, so every pair within edit
+    // distance (which implies |Δlen| ≤ maxDist) meets in exactly one
+    // bucket, and a short-heavy corpus (SKUs, usernames) stays an
+    // ordinary hash join on (2·maxDist+1)·|short| rows instead of a
+    // |short|² cross product. The < shortLen + maxDist margin on BOTH
+    // sides covers pairs that straddle the boundary (edits change length
+    // by at most maxDist, so a sub-boundary key can only match keys under
+    // the margin); keys at or above the margin on both sides have
+    // disjoint blocks and are fully served by the two blocked passes.
     val shortPairs = l.where(length(col("l_key")) < shortLen + maxDist)
-      .crossJoin(r.where(length(col("r_key")) < shortLen + maxDist))
+      .withColumn("__b", length(col("l_key")))
+      .join(r.where(length(col("r_key")) < shortLen + maxDist)
+        .withColumn("__b", explode(sequence(
+          greatest(length(col("r_key")) - maxDist, lit(1)),
+          length(col("r_key")) + maxDist))), "__b")
       .select("l_id", "l_key", "r_id", "r_key")
     val cand = blocked(k => substring(k, 1, blockLen))
       .union(blocked(k => substring(k, -blockLen, blockLen)))

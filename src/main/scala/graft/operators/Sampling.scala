@@ -42,10 +42,11 @@ object Sampling {
     * s_g = w_g / Σw, rate_g = min(1, budget · s_g / mass_g), rounded to
     * 6 decimals. Output: (group, mass, rate).
     *
-    * The Σw total is a sum over the per-group frame (#groups rows —
-    * languages/domains number in the dozens), broadcast back; partial-sum
-    * order can move the double total by ulps, which the 6-dp rounding
-    * absorbs except on a measure-zero tie.
+    * The Σw total is folded over the per-group frame (#groups rows —
+    * languages/domains number in the dozens) in SORTED group order:
+    * collect_list → array_sort → aggregate pins the double-summation
+    * order, so `tw` is bit-identical across runs/partitionings and the
+    * 6-dp rounding can never land on a run-dependent tie.
     */
   def temperatureRates(df: DataFrame, groupCol: String, massCol: String,
                        temperature: Double, budget: Long): DataFrame = {
@@ -54,7 +55,11 @@ object Sampling {
     val byGroup = df.groupBy(col(groupCol))
       .agg(sum(col(massCol)).as("mass"))
       .withColumn("w", pow(col("mass").cast("double"), lit(1.0 / temperature)))
-    val totals = byGroup.agg(sum("w").as("tw"))
+    val totals = byGroup
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(groupCol).as("g"), col("w")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("tw"))
     byGroup.crossJoin(broadcast(totals))
       .select(col(groupCol), col("mass"),
         roundCompat(least(lit(1.0),

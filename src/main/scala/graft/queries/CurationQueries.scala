@@ -377,7 +377,7 @@ object CurationQueries {
     // least() path is exercised). Rates rounded to 6 dp with the
     // DuckDB-compatible rounding; masses are exact long sums.
     Q("q_sample_temp_rates",
-      """WITH m AS (SELECT lang, sum(n_chars) AS mass
+      """WITH m AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass
         |           FROM documents GROUP BY lang),
         |tot AS (SELECT sum(pow(CAST(mass AS DOUBLE), 0.5)) AS tw FROM m)
         |SELECT lang, mass,

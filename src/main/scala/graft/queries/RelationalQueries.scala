@@ -1023,11 +1023,13 @@ object RelationalQueries {
     // Right-to-be-forgotten cascade: a hash-selected forget-set of
     // customers propagates through orders to lineitem by key containment,
     // and the gate certifies the surviving/deleted row counts per table.
-    // Scale shape: the forget-set and the dropped-order keyset are both
-    // ~1/16 of a dimension — broadcast to every probe scan, so the
-    // cascade is three shuffle-free scans at any corpus size (the
-    // DELETE-WHERE rewrite A17/B17 applies the same flags to rewrite
-    // files; this gate pins the blast-radius accounting).
+    // Scale shape: the customer forget-set (~1/16 of a dimension)
+    // broadcasts at any size, but the dropped-ORDER keyset scales with
+    // the orders FACT table — at full scale it exceeds any broadcast
+    // threshold and the lineitem hop becomes a shuffled semi-join on
+    // l_orderkey (the broadcast here is a test-SF convenience, not the
+    // 100 TB plan). The DELETE-WHERE rewrite A17/B17 applies the same
+    // flags to rewrite files; this gate pins the blast-radius accounting.
     Q("q_delete_cascade",
       """WITH forget AS (
         |  SELECT c_custkey FROM customer

@@ -195,5 +195,25 @@ object Scd2Queries {
             .otherwise("unchanged").as("change"))
         .orderBy("pk")
     },
+
+    // H56/J64 — SQL-TEXT registry execution: the reference's metadata rows
+    // store SQL strings run via dynamic SQL (ddl.py:559-570). The gate
+    // seeds a Warehouse with source tables and executes REGISTERED TEXT
+    // through Runner.sqlTransform (temp views + spark.sql); the oracle is
+    // the IDENTICAL text, so both engines run the same registry row.
+    // Scale: the text compiles through Catalyst like any DataFrame plan —
+    // broadcast join on the dim, partial agg, no interpretation overhead.
+    Q("q_registry_sql",
+      """SELECT r.r_name AS region_name, count(*) AS n_nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY region_name""".stripMargin) { (s, dir) =>
+      val wh = new graft.engine.Runner.Warehouse(s)
+      wh.put("nation", t(s, dir, "nation"))
+      wh.put("region", t(s, dir, "region"))
+      graft.engine.Runner.sqlTransform(
+        """SELECT r.r_name AS region_name, count(*) AS n_nations
+          |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name ORDER BY region_name""".stripMargin)(wh)
+    },
   )
 }

@@ -166,6 +166,53 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
+    // Hot-bucket cap UNDER PRESSURE (executed skew evidence): a
+    // boilerplate group of 60 identical docs drives one LSH bucket past
+    // maxBucket=8 in every band, while 5 small near-dup groups (one pair
+    // each) sit in their own buckets. Texts are group-tagged words, so
+    // cross-group Jaccard is exactly 0 and the verified output is fully
+    // deterministic: the capped bucket contributes C(8,2)=28 pairs (the 8
+    // lowest ids — NOT C(60,2)=1770), and every non-boilerplate pair
+    // survives untouched — 33 rows total. The oracle replays the cap's
+    // contract (per-group rank ≤ cap) without needing the text at all.
+    // Scale: this is the join-output blowup AQE cannot fix, bounded by
+    // construction; recall outside the hot bucket is unaffected.
+    Q("q_dedup_skew_cap",
+      """WITH ids AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id)
+        |                      AS rn0
+        |             FROM (SELECT doc_id FROM documents
+        |                   ORDER BY doc_id LIMIT 70)),
+        |members AS (SELECT doc_id,
+        |                   CASE WHEN rn0 <= 60 THEN 0
+        |                        ELSE 1 + (rn0 - 61) // 2 END AS grp
+        |            FROM ids),
+        |ranked AS (SELECT doc_id, grp,
+        |                  row_number() OVER (PARTITION BY grp
+        |                                     ORDER BY doc_id) AS rn
+        |           FROM members)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM ranked a JOIN ranked b
+        |  ON a.grp = b.grp AND a.doc_id < b.doc_id
+        |WHERE a.rn <= 8 AND b.rn <= 8
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ids = t(s, dir, "documents").select("doc_id")
+        .orderBy("doc_id").limit(70)
+        .withColumn("rn0", row_number().over(
+          Window.orderBy("doc_id")))
+      val members = ids.select(col("doc_id"),
+        when(col("rn0") <= 60, lit(0))
+          .otherwise(lit(1) + floor((col("rn0") - 61) / 2).cast("int"))
+          .as("grp"))
+      val corpus = members.withColumn("text",
+        concat_ws(" ", transform(sequence(lit(0), lit(11)),
+          j => concat(lit("w"), col("grp"), lit("_"), j))))
+      Dedup.minhashLshPairs(corpus, "doc_id", "text", k = 5, m = 8,
+          bands = 4, threshold = 0.5, maxBucket = 8)
+        .orderBy("id1", "id2")
+    },
+
     // Token chunking with overlap (TextFunctions.tokenChunks) — the
     // training-prep splitter: 64-token windows, 8-token overlap, stride
     // 56. Pure per-row array arithmetic (scan-local, no shuffle); the

@@ -88,6 +88,19 @@ object VaultQueries {
     frameCache.getOrElseUpdate((s, dir, name),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Drop every memoized frame held for `s` (all dirs): unpersist the
+    * blocks and forget the entries, so a long-lived session doesn't pin
+    * executor storage after a vault catalog sweep. Subsequent vault
+    * queries simply re-derive (and re-memoize) what they need. */
+  def evictCaches(s: SparkSession): Unit = {
+    actorCache.keys.filter(_._1 eq s).foreach { k =>
+      actorCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+    frameCache.keys.filter(_._1 eq s).foreach { k =>
+      frameCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   private def hubC(s: SparkSession, dir: String): DataFrame =
     cachedFrame(s, dir, "movie_hub")(
       CoreQueries.movieHub(rawMovies(s, dir, 2), rawMovies(s, dir, 3)))
@@ -452,11 +465,12 @@ object VaultQueries {
       val hub = hubC(s, dir)
       // the leaderboards consume the satellite four ways (loads scan, two
       // semi joins, two aggregations) — materialize once, like the
-      // reference's temp_ staging table; load 1 reuses the memoized satC
-      val sat = Scd2.stamp(satC(s, dir), "2024-01-01 00:00:00")
-        .unionByName(Scd2.stamp(CQ.movieInfoSat(i2, m2, hub),
-          "2024-02-01 00:00:00"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // reference's temp_ staging table; load 1 reuses the memoized satC.
+      // Held in frameCache so evictCaches() can release it.
+      val sat = cachedFrame(s, dir, "rating_slide_sat")(
+        Scd2.stamp(satC(s, dir), "2024-01-01 00:00:00")
+          .unionByName(Scd2.stamp(CQ.movieInfoSat(i2, m2, hub),
+            "2024-02-01 00:00:00")))
       MartQueries.ratingSlide(hub, sat)
         .orderBy(asc_nulls_last("current_place"), asc("movie_id"))
     },

@@ -266,3 +266,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class VaultCacheSpec extends SparkSpec {
+
+  test("evictCaches releases every memoized vault frame") {
+    import org.apache.spark.storage.StorageLevel
+    import graft.queries.VaultQueries
+    // populate both memo caches: the raw-actor derivation directly, and
+    // the shared hub/satellite frames via a real vault gate
+    val actors = VaultQueries.rawActors(spark, sf001, 2)
+    actors.count()
+    graft.SparkEntry.queries("q_vault_movie_info_sat")(spark, sf001).count()
+    assert(actors.storageLevel != StorageLevel.NONE,
+      "actor derivation should be persisted while memoized")
+    VaultQueries.evictCaches(spark)
+    assert(actors.storageLevel == StorageLevel.NONE,
+      "evictCaches must unpersist the memoized actor derivation")
+    // a fresh call re-derives and re-memoizes rather than failing
+    val again = VaultQueries.rawActors(spark, sf001, 2)
+    assert(again.count() == actors.count())
+    VaultQueries.evictCaches(spark)
+  }
+}

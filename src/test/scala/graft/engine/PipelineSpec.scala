@@ -180,4 +180,31 @@ class PipelineSpec extends SparkSpec {
     assert(got == want,
       "restarted warehouse kept orphaned history from the previous process")
   }
+
+  test("SQL-text registry execution matches the programmatic transform") {
+    // the reference's executing form: meta.etl_tab_script stores SQL
+    // strings run via dynamic SQL (ddl.py:559-570). Swap one mart's
+    // transform for registered SQL text and run the SAME two loads — the
+    // mart must be row-identical to the programmatic pipeline's.
+    val specs = Pipeline.withSqlTransform("movie_employee_link",
+      Pipeline.movieEmployeeLinkSql)
+    val w = new Warehouse(spark)
+    def loadSql(rating: String, ts: String): Unit = {
+      w.put(Pipeline.RawMovieImdb, movieRaw(rating))
+      w.put(Pipeline.RawMovieMeta, movieRaw(rating).limit(0))
+      w.put(Pipeline.RawActorImdb, actorRaw.union(rotated))
+      w.put(Pipeline.RawActorMeta, actorRaw.limit(0))
+      Runner.runLoad(w, specs, ts)
+    }
+    loadSql("8.7", "2024-01-01 00:00:00")
+    loadSql("8.8", "2024-02-01 00:00:00")
+    val cols = wh("movie_employee_link").columns.map(col)
+    val key = Seq(col("movie_emp_link_id"))
+    val got = w("movie_employee_link").select(cols: _*)
+      .orderBy(key: _*).collect().toSeq
+    val want = wh("movie_employee_link").orderBy(key: _*).collect().toSeq
+    assert(got == want,
+      "SQL-text registry run diverged from the programmatic transform")
+    assert(got.nonEmpty)
+  }
 }

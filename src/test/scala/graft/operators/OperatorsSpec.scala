@@ -344,6 +344,25 @@ class FuzzyJoinSpec extends SparkSpec {
       .select("l_id", "r_id").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 9L), (2L, 8L)))
   }
+
+  test("no pass is a cross product — short keys equi-join on length buckets") {
+    // a short-heavy corpus (every key under 2·blockLen) must still plan
+    // as hash/sort-merge joins: the length-bucket block key bounds the
+    // short pass, so no CartesianProduct or nested-loop join may appear
+    val l = (1 to 50).map(i => (i.toLong, s"sku$i")).toDF("id", "name")
+    val r = (1 to 50).map(i => (i.toLong + 100, s"skx$i")).toDF("id", "name")
+    val joined = graft.operators.FuzzyJoin.byEditDistance(
+      l, r, "id", "name", "id", "name", maxDist = 1, blockLen = 4)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cross product in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in plan:\n$plan")
+    // and recall is unaffected: every skuN ↔ skxN pair is one edit apart
+    val got = joined.select("l_id", "r_id")
+      .as[(Long, Long)].collect().toSet
+    assert((1 to 50).forall(i => got.contains((i.toLong, i.toLong + 100))),
+      "length-bucketed short pass lost recall")
+  }
 }
 
 class PackingSpec extends SparkSpec {

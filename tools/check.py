@@ -48,13 +48,26 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     import os
-    skipped = [n for n in oracle if not os.path.isdir(f"{out_dir}/{n}")]
+    # intended_queries.json (written by Verify) names the post-filter run
+    # set: only entries OUTSIDE it may be skipped. An intended entry with
+    # no dump means the query crashed inside Verify — a hard failure, not
+    # a skip. Without the manifest (pre-round-6 dump dir), every missing
+    # dump is a hard failure, as originally.
+    intended_path = f"{out_dir}/intended_queries.json"
+    intended = (set(json.load(open(intended_path)))
+                if os.path.exists(intended_path) else set(oracle))
+    missing = [n for n in oracle if not os.path.isdir(f"{out_dir}/{n}")]
+    skipped = [n for n in missing if n not in intended]
+    for n in missing:
+        if n in intended:
+            failures.append((n, "intended but no dump written — "
+                                "query crashed in Verify?"))
     if skipped:
-        print(f"NOTE  {len(skipped)} oracle entries have no dump in "
-              f"{out_dir} (filtered Verify run?) — NOT checked: "
+        print(f"NOTE  {len(skipped)} oracle entries filtered out of this "
+              f"Verify run — NOT checked: "
               f"{sorted(skipped)[:5]}{'...' if len(skipped) > 5 else ''}")
     for name, sql in sorted(oracle.items()):
-        if name in skipped:
+        if name in missing:
             continue
         try:
             spark_rel = con.execute(

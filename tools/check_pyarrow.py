@@ -83,10 +83,17 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
-    skipped = [n for n in oracle if not os.path.isdir(f"{out}/{n}")]
+    # see check.py: entries outside the Verify run's intended_queries.json
+    # manifest are deliberate filter skips; an intended entry with no dump
+    # is a crashed query and counts as a failure (MISS below)
+    intended_path = f"{out}/intended_queries.json"
+    intended = (set(json.load(open(intended_path)))
+                if os.path.exists(intended_path) else set(oracle))
+    skipped = [n for n in oracle
+               if n not in intended and not os.path.isdir(f"{out}/{n}")]
     if skipped:
-        print(f"NOTE  {len(skipped)} oracle entries have no dump in {out} "
-              f"(filtered Verify run?) — NOT checked")
+        print(f"NOTE  {len(skipped)} oracle entries filtered out of this "
+              f"Verify run — NOT checked")
     bad = 0
     for name in sorted(oracle):
         if name in skipped:
