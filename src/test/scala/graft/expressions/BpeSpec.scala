@@ -1,0 +1,93 @@
+package graft.expressions
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mergesFile(merges: Seq[(String, String)]): String = {
+    val f = Files.createTempFile("graft_merges", ".txt")
+    Files.writeString(f,
+      "# fixture merges\n" +
+        merges.map { case (a, b) => s"$a $b" }.mkString("\n") + "\n")
+    f.toString
+  }
+
+  private def counts(texts: Seq[String], path: String): Seq[Int] = {
+    Bpe.register(spark)
+    texts.toDF("t")
+      .select(expr(s"bpe_token_count(t, '$path')").as("n"))
+      .as[Int].collect().toSeq
+  }
+
+  test("classic merge sequence: lowest-rank adjacent pair merges first") {
+    // the textbook BPE example: l+o → lo, lo+w → low, e+r → er
+    val path = mergesFile(Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+    assert(counts(Seq("lower"), path) == Seq(2))   // low + er
+    assert(counts(Seq("low"), path) == Seq(1))     // low
+    assert(counts(Seq("newer"), path) == Seq(4))   // n e w er
+    assert(counts(Seq("wider"), path) == Seq(4))   // w i d er
+    assert(counts(Seq("low lower"), path) == Seq(3))
+    // unknown chars fall back to one token per char
+    assert(counts(Seq("xyz"), path) == Seq(3))
+    assert(counts(Seq(""), path) == Seq(0))
+  }
+
+  test("merge priority is line order — an early merge can block a later one") {
+    // on "abcd": if (a,b) outranks (b,c), merging ab first strands c and
+    // d ([ab c d], the (bc,d) merge never fires) → 3 tokens; with (b,c)
+    // first, bc forms and then bcd ([a bcd]) → 2 tokens. A greedy
+    // longest-match tokenizer could not tell these vocabularies apart.
+    val p1 = mergesFile(Seq(("a", "b"), ("b", "c"), ("bc", "d")))
+    val p2 = mergesFile(Seq(("b", "c"), ("bc", "d"), ("a", "b")))
+    assert(counts(Seq("abcd"), p1) == Seq(3))
+    assert(counts(Seq("abcd"), p2) == Seq(2))
+  }
+
+  test("learned vocab tracks the regex heuristic within a measured bound") {
+    // learn merges from real corpus text (driver-side bounded sample —
+    // the same train-on-sample contract as the IVF k-means fit), then
+    // measure drift of real-BPE counts vs the letter-run heuristic that
+    // packing/chunking budgets used until now
+    val docs = graft.engine.Tables.t(spark, sf001, "documents")
+      .select("text").limit(100).as[String].collect().toSeq
+    val merges = Bpe.learnMerges(docs, 300)
+    assert(merges.size > 50, s"corpus too small to learn (${merges.size})")
+    val path = mergesFile(merges)
+    Bpe.register(spark)
+    val drift = graft.engine.Tables.t(spark, sf001, "documents")
+      .select(expr(s"bpe_token_count(text, '$path')").as("bpe"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).as("heur"))
+      .where(col("heur") > 0)
+      .select(avg(col("bpe").cast("double") / col("heur")).as("ratio"),
+        max(col("bpe").cast("double") / col("heur")).as("worst"))
+      .head()
+    val ratio = drift.getDouble(0)
+    val worst = drift.getDouble(1)
+    // 300 merges on a small sample: each heuristic token (a word or
+    // punctuation run) splits into a few BPE pieces. The measured bound
+    // documents the approximation: mean within [1, 6], no doc beyond 10.
+    assert(ratio >= 1.0 && ratio <= 6.0,
+      s"mean bpe/heuristic ratio $ratio outside the measured bound")
+    assert(worst <= 10.0, s"worst-case doc ratio $worst exceeds bound")
+  }
+
+  test("null text propagates, bad path fails loudly") {
+    val path = mergesFile(Seq(("e", "r")))
+    Bpe.register(spark)
+    val r = Seq[(Integer, String)]((1, "er"), (2, null)).toDF("id", "t")
+      .select(expr(s"bpe_token_count(t, '$path')").as("n"))
+      .collect()
+    assert(r(0).getInt(0) == 1)
+    assert(r(1).isNullAt(0))
+    val thrown = intercept[Exception] {
+      counts(Seq("x"), "/nonexistent/merges.txt")
+    }
+    assert(thrown.toString.nonEmpty)
+  }
+}
