@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * batches.
   *
   * The Spark-side architecture is real — schema, partitioning, batch shape,
-  * and the mapPartitions seam where a decoder plugs in. The decode itself is
-  * a DETERMINISTIC FAKE (clearly marked below): media codecs aren't
-  * available in this environment, and the engine's job is the dataflow, not
-  * the codec. Swapping `fakeDecode` for an actual decoder (JNI/FFI or a
-  * Python worker via Arrow batches) changes no plan shape.
+  * and the mapPartitions seam where a decoder plugs in. Dimension metadata
+  * is decoded from REAL bytes ([[ImageCodec]]: PNG/BMP header parsing in
+  * [[decodeImageMeta]]); full pixel decode (feature vectors, resampling)
+  * is a DETERMINISTIC FAKE (clearly marked below) because pixel codecs
+  * aren't available in this environment, and the engine's job is the
+  * dataflow, not the codec. Swapping `fakeDecode` for an actual decoder
+  * (JNI/FFI or a Python worker via Arrow batches) changes no plan shape.
   *
   * Scale notes: payloads stay columnar parquet binary — never strings,
   * never driver-collected. Feature extraction is scan-local (no shuffle);
@@ -53,6 +55,51 @@ object Multimodal {
       i += 1
     }
     (checksum, feat)
+  }
+
+  /** Image payloads with REAL encoded headers: even ids get a BMP, odd
+    * ids a PNG (dimensions from the same doc-derived formula as
+    * [[mediaFromDocuments]], plus `doc_id % 32` filler bytes). The bytes
+    * are genuine format headers — [[decodeImageMeta]] must invert this
+    * builder through actual parsing, which the `q_multimodal_meta` gate
+    * pins end-to-end. */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        (col("doc_id") % 640 + 16).cast("int"),
+        (col("doc_id") % 480 + 16).cast("int"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        val pad = (id % 32).toInt
+        val payload =
+          if (id % 2 == 0) ImageCodec.buildBmp(w, h, pad)
+          else ImageCodec.buildPng(w, h, pad)
+        (id, payload)
+      }.toDF("media_id", "payload")
+  }
+
+  /** REAL decode in the mapPartitions seam: parse each payload's actual
+    * bytes ([[ImageCodec]] — PNG/BMP header formats) into typed metadata.
+    * Scan-local, header-only, no shuffle; unparseable payloads yield null
+    * format/dims (corruption is visible, never fabricated). This replaces
+    * the deterministic fake for dimension metadata; full pixel decode
+    * (features, resampling) remains the marked seam below. */
+  def decodeImageMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = if (bytes == null) 0 else bytes.length
+        ImageCodec.parse(bytes) match {
+          case Some(m) =>
+            (id, Option(m.format), Option(m.width), Option(m.height), n)
+          case None =>
+            (id, None: Option[String], None: Option[Int],
+              None: Option[Int], n)
+        }
+      }).toDF("media_id", "format", "width", "height", "n_bytes")
   }
 
   /** Feature extraction over the media table: partition-local, batched,

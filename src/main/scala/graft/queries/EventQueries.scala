@@ -192,19 +192,26 @@ object EventQueries {
         .orderBy("event_id")
     },
 
-    // Multimodal metadata plumbing: opaque payload treated as bytes with
-    // typed metadata derived scan-side (octet length, content checksum).
-    // The decode stub itself (mapPartitions over binary) lives in
-    // graft.multimodal and is exercised by MultimodalSpec.
+    // Multimodal metadata via REAL byte parsing: image payloads are built
+    // as genuine PNG/BMP headers (ImageCodec.buildPng/buildBmp — actual
+    // signature + IHDR / BITMAPINFOHEADER bytes), then decodeImageMeta
+    // parses those bytes back in the mapPartitions seam. The oracle knows
+    // only the dimension FORMULA — it matches iff encode→parse round-trips
+    // exactly (a header off-by-one or endianness slip fails the gate).
+    // Scale: header-only parse, scan-local, no shuffle.
     Q("q_multimodal_meta",
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |       substr(md5(text), 1, 8) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          octet_length(col("text")).cast("long").as("n_bytes"),
-          substring(md5(col("text")), 1, 8).as("checksum"))
-        .orderBy("doc_id")
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END
+        |         AS format,
+        |       CAST(doc_id % 640 + 16 AS INT) AS width,
+        |       CAST(doc_id % 480 + 16 AS INT) AS height,
+        |       CAST((CASE WHEN doc_id % 2 = 0 THEN 26 ELSE 24 END)
+        |            + doc_id % 32 AS INT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.decodeImageMeta(
+          Multimodal.syntheticImages(t(s, dir, "documents")))
+        .orderBy("media_id")
     },
 
     // Multimodal resize metadata (Multimodal.resizeImages over the derived

@@ -97,6 +97,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Set((1L, true, true), (2L, true, true),
       (3L, false, false)))
   }
+
+  test("ImageCodec round-trips PNG and BMP headers and rejects corruption") {
+    import graft.multimodal.ImageCodec
+    assert(ImageCodec.parse(ImageCodec.buildPng(640, 480, pad = 5))
+      .contains(ImageCodec.ImageMeta("png", 640, 480)))
+    assert(ImageCodec.parse(ImageCodec.buildBmp(33, 17))
+      .contains(ImageCodec.ImageMeta("bmp", 33, 17)))
+    // negative BMP height = top-down row order; magnitude is the height
+    val topDown = ImageCodec.buildBmp(8, -4)
+    assert(ImageCodec.parseBmp(topDown)
+      .contains(ImageCodec.ImageMeta("bmp", 8, 4)))
+    // real-world bytes: the first 24 bytes of an actual 1×1 PNG file
+    val realPng = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01).map(_.toByte)
+    assert(ImageCodec.parse(realPng)
+      .contains(ImageCodec.ImageMeta("png", 1, 1)))
+    // corruption: truncated, wrong magic, zero dims → None, never garbage
+    assert(ImageCodec.parse(realPng.take(20)).isEmpty)
+    assert(ImageCodec.parse("JFIF-not-supported-here!!".getBytes).isEmpty)
+    assert(ImageCodec.parse(ImageCodec.buildPng(1, 1).updated(19, 0.toByte)
+      .updated(16, 0.toByte).updated(17, 0.toByte).updated(18, 0.toByte))
+      .isEmpty)
+    assert(ImageCodec.parse(null).isEmpty)
+  }
+
+  test("decodeImageMeta parses real bytes and surfaces unparseable rows as null") {
+    val rows = Seq(
+      (1L, graft.multimodal.ImageCodec.buildPng(100, 50)),
+      (2L, graft.multimodal.ImageCodec.buildBmp(20, 30, pad = 3)),
+      (3L, "not an image".getBytes))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeImageMeta(rows).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3), r.getInt(4))).toMap
+    assert(got(1L) == (("png", 100, 50, 24)))
+    assert(got(2L) == (("bmp", 20, 30, 29)))
+    assert(got(3L) == ((null, -1, -1, 12)))
+  }
 }
 
 class StreamingSpec extends SparkSpec {
