@@ -44,11 +44,23 @@ object Bench {
         .select(col("id").as("id1"), (col("id") + 100).as("id2"))
       graft.operators.ConnectedComponents.canonicalize(edges).count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // dev-only A/B filter (the driver sets no env): comma-separated query
+    // names, each timed `SPARK_GRAFT_BENCH_REPS` times (default 1)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        if (reps > 1) System.err.println(
+          s"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(", ")}")
+        name -> times.min
+      }
     val total = math.round(results.values.sum * 1000) / 1000.0
     // slowest-first, greedily packed into the byte budget left after the
     // fixed fields; each entry costs `"name":sec,`
