@@ -22,11 +22,33 @@ import graft.functions.TextFunctions._
   *    paths, only ever run on a bounded subset.
   *
   * Caching note: the LSH operators persist their signature/candidate
-  * intermediates (consumed by self-joins) and do NOT unpersist — the frames
-  * back the lazily returned result. Callers running many dedup passes in
-  * one long-lived session should `spark.catalog.clearCache()` between runs.
+  * intermediates (consumed by self-joins); the frames back the lazily
+  * returned result, so they cannot unpersist eagerly. Every persist is
+  * TRACKED per session — callers running many dedup passes in one
+  * long-lived session call [[Dedup.releaseCaches]] after consuming each
+  * result (same contract as `VaultQueries.evictCaches`).
   */
 object Dedup {
+
+  private val persisted = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]
+
+  /** persist + remember, so [[releaseCaches]] can unpin later. */
+  private def tracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.getOrElseUpdate(df.sparkSession,
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(p)
+    p
+  }
+
+  /** Unpersist every intermediate this object pinned for `s`. Call after
+    * the returned results are consumed (they recompute if re-used). */
+  def releaseCaches(s: org.apache.spark.sql.SparkSession): Unit =
+    Option(persisted.remove(s).orNull).foreach { q =>
+      var df = q.poll()
+      while (df != null) { df.unpersist(blocking = false); df = q.poll() }
+    }
 
   /** Exact duplicates after normalization: groups sharing a normalized-text
     * fingerprint, keeping the lowest id as canonical. Output: (dup_id,
@@ -73,9 +95,9 @@ object Dedup {
     // verify join; signatures feed the banded self-join twice.
     val sh = df.select(col(idCol).as("id"),
         expr(s"word_shingles(${q(textCol)}, $k)").as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val sigs = sh.select(col("id"), expr(s"minhash_sig(sh, $m)").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val bandedRaw = bandKeys(sigs, m, bands)
     // Hot-bucket cap: a bucket of n members yields n(n-1)/2 pairs — for
     // boilerplate-heavy corpora one bucket can go quadratic no matter how
@@ -100,7 +122,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val shA = sh.select(col("id").as("id1"), col("sh").as("sh1"))
     val shB = sh.select(col("id").as("id2"), col("sh").as("sh2"))
     cand.join(shA, "id1").join(shB, "id2")
@@ -141,9 +163,9 @@ object Dedup {
       s"bands ($bands) must divide the signature size ($m)")
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val batch = signatureIndex(newDocs, idCol, textCol, k, m)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val batchBands = bandKeys(batch, m, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     // Prune the corpus side BEFORE any exchange: a broadcast semi join
     // against the batch's distinct band keys keeps only buckets the batch
     // can touch — a map-side filter over the index scan, so the promised
@@ -238,7 +260,7 @@ object Dedup {
     // persist: the banded self-join consumes the signatures twice
     val sigs = df.select(col(idCol).as("id"),
         expr(s"simhash64(${tokensSql(textCol)})").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     sigBandPairs(sigs, maxHamming + 1)
       .where(col("hamming") <= maxHamming)
   }
@@ -333,9 +355,9 @@ object Dedup {
     // vectors feed the sketch AND the two verify joins; sketches feed the
     // banded self-join twice
     val vecs = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val sigs = vecs.selectExpr("id", "hyperplane_sig64(vec) AS sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val cand = sigBandPairs(sigs, maxHamming + 1)
       .where(col("hamming") <= maxHamming)
     cand.join(vecs.select(col("id").as("id1"), col("vec").as("v1")), "id1")

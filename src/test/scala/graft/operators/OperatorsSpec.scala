@@ -115,6 +115,20 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((1L, 2L)), "honest near-dup pair lost to the cap")
   }
 
+  test("releaseCaches unpins every tracked dedup intermediate") {
+    // a corpus no earlier test used — CacheManager dedups identical plans,
+    // so re-running a previously-cached pass would pin nothing new
+    val fresh = docs.select((col("doc_id") + 9000).as("doc_id"), col("text"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashLshPairs(fresh, "doc_id", "text",
+      k = 3, m = 8, bands = 4, threshold = 0.3).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "expected the LSH pass to pin intermediates")
+    Dedup.releaseCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "releaseCaches left dedup intermediates pinned")
+  }
+
   test("incremental LSH matches a new batch against the corpus index only") {
     // index over the 5-doc corpus; batch = a perturbed copy of doc 1 plus
     // an unrelated doc — the copy must pair with its corpus original, the
