@@ -105,6 +105,21 @@ object Sampling {
     applyRates(df, mixtureRates(df, groupCol, massCol, weights, budget),
       groupCol, idCol)
 
+  /** Deterministic training-order shuffle: global position = rank of the
+    * md5 coin `md5(seed || ':' || id)`, id tiebreak making the order
+    * total. Same corpus + seed → the same order on any engine, any
+    * partitioning, any run (`rand(seed)`/`shuffle()` are partition-order-
+    * dependent and would make training runs irreproducible); the next
+    * epoch is just the next seed string. Scale: one range exchange via
+    * GlobalRank — never a single-task global window. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           seed: String): DataFrame =
+    graft.operators.GlobalRank.withRowNumber(
+        df.withColumn("__coin",
+          md5(concat_ws(":", lit(seed), col(idCol).cast("string")))),
+        "shuffle_pos", Seq(col("__coin"), col(idCol)))
+      .drop("__coin")
+
   /** Fixed-n per-group sampling: up to `n` rows per group, chosen by the
     * md5 hash order of the id (deterministic reservoir semantics — no
     * RNG, partition-order-independent). With semantic clusters as the

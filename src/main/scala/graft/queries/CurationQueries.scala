@@ -54,6 +54,25 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic training-order shuffle: global position = rank of
+    // md5('epoch1:' || doc_id), id tiebreak — the epoch-shuffle step of a
+    // training pipeline, reproducible on any engine/partitioning (an RNG
+    // shuffle is not); the next epoch is the next seed string. Runs
+    // through GlobalRank (range exchange + zipWithIndex), never a
+    // single-task global window; the oracle replays the coin and the
+    // total order. Row-level: one transposed position fails the gate.
+    Q("q_corpus_shuffle",
+      """SELECT doc_id, lang,
+        |       row_number() OVER (
+        |         ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+        |                  doc_id) AS shuffle_pos
+        |FROM documents ORDER BY shuffle_pos""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.deterministicShuffle(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "epoch1")
+        .orderBy("shuffle_pos")
+    },
+
     // Stratified fixed-n sampling: 20 documents per language, chosen by
     // hash-ordered row_number — per-group reservoir semantics without an
     // RNG, one window pass partitioned by the stratum.

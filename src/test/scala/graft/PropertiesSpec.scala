@@ -197,4 +197,58 @@ class PropertiesSpec extends SparkSpec {
       assert(counts(s"k$k") == 2L, s"k$k should have 2 versions")
     }
   }
+
+  test("ImageCodec encode→parse round-trips arbitrary dimensions") {
+    import graft.multimodal.ImageCodec
+    val dims = sample(Gen.zip(Gen.chooseNum(1, 100000),
+      Gen.chooseNum(1, 100000), Gen.chooseNum(0, 64)), 200)
+    dims.foreach { case (w, h, pad) =>
+      assert(ImageCodec.parse(ImageCodec.buildPng(w, h, pad))
+        .contains(ImageCodec.ImageMeta("png", w, h)), s"png $w x $h")
+      assert(ImageCodec.parse(ImageCodec.buildBmp(w, h, pad))
+        .contains(ImageCodec.ImageMeta("bmp", w, h)), s"bmp $w x $h")
+      // top-down BMP: negative stored height, positive parsed magnitude
+      assert(ImageCodec.parseBmp(ImageCodec.buildBmp(w, -h, pad))
+        .contains(ImageCodec.ImageMeta("bmp", w, h)), s"bmp $w x -$h")
+    }
+  }
+
+  test("BPE count bounds: 1 ≤ tokens(word) ≤ codepoints; text = Σ words") {
+    import graft.expressions.{Bpe, BpeUtil}
+    val words = sample(Gen.alphaLowerStr
+      .map(s => if (s.isEmpty) "x" else s.take(10)), 120)
+    val merges = Bpe.learnMerges(words, 50)
+    val f = java.nio.file.Files.createTempFile("graft_prop_merges", ".txt")
+    java.nio.file.Files.writeString(f,
+      merges.map { case (a, b) => s"$a $b" }.mkString("\n") + "\n")
+    val path = org.apache.spark.unsafe.types.UTF8String.fromString(f.toString)
+    def cnt(s: String) =
+      BpeUtil.count(org.apache.spark.unsafe.types.UTF8String.fromString(s), path)
+    words.foreach { w =>
+      val c = cnt(w)
+      assert(c >= 1 && c <= w.codePointCount(0, w.length),
+        s"count $c out of bounds for '$w'")
+      assert(c == cnt(w), s"nondeterministic count for '$w'")
+    }
+    val text = words.mkString(" ")
+    assert(cnt(text) == words.map(cnt).sum,
+      "text count must equal the sum of word counts (whitespace split)")
+  }
+
+  test("deterministicShuffle is a partition-invariant permutation") {
+    import graft.operators.Sampling
+    val ids = sample(Gen.chooseNum(0L, 100000L), 300).distinct
+    val df = ids.toDF("id")
+    val a = Sampling.deterministicShuffle(df, "id", "epoch1")
+    val pos = a.select("shuffle_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (1L to ids.length).toSeq,
+      "positions must be exactly 1..N")
+    val b = Sampling.deterministicShuffle(df.repartition(13), "id", "epoch1")
+    def m(d: org.apache.spark.sql.DataFrame) = d.select("id", "shuffle_pos")
+      .as[(Long, Long)].collect().toMap
+    assert(m(a) == m(b), "shuffle order changed under repartitioning")
+    // a different epoch seed yields a different order (overwhelmingly)
+    val c = Sampling.deterministicShuffle(df, "id", "epoch2")
+    assert(m(a) != m(c), "distinct seeds should give distinct orders")
+  }
 }
