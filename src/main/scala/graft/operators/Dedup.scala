@@ -236,6 +236,47 @@ object Dedup {
       .select(col("id1"), col("id2"), graft.functions.Rounding.round4(col("jaccard")).as("jaccard"))
   }
 
+  /** SUBSTRING-level duplication: documents sharing verbatim PASSAGES,
+    * which document-level near-dup (MinHash/SimHash on whole-doc shingle
+    * sets) under-weights when the rest of the documents differ — the Lee
+    * et al. "Deduplicating Training Data" failure mode. Fingerprints are
+    * winnowed k-gram hashes (`expressions.WinnowFingerprints`, MOSS): any
+    * shared run of ≥ k + w - 1 characters lands at least one identical
+    * fingerprint in both documents, at ~2/(w+1) of the full k-gram
+    * density. Pairs = documents sharing ≥ `minShared` fingerprints.
+    *
+    * Scale shape: fingerprints are scan-local O(n) per doc; ONE shuffle
+    * on the fingerprint value (explode → bucket self-join, the same shape
+    * as the LSH bucket join) with the same `maxBucket` hot-value cap —
+    * a boilerplate passage shared by a million docs is capped, never
+    * quadratic; the per-pair count aggregation rides the same exchange.
+    * Output: (id1, id2, n_shared).
+    */
+  def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 12, w: Int = 8, minShared: Int = 2,
+                        maxBucket: Int = 10000): DataFrame = {
+    require(k > 0 && w > 0, s"k ($k) and w ($w) must be positive")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    graft.expressions.Winnow.register(df.sparkSession)
+    val fps = df.select(col(idCol).as("id"),
+        explode(expr(s"winnow_fingerprints(${q(textCol)}, $k, $w)"))
+          .as("fp"))
+      .transform(tracked)
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("id")
+    val capped = fps
+      .withColumn("__fn", row_number().over(capW))
+      .where(col("__fn") <= maxBucket)
+      .drop("__fn")
+    capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup pairs: 64-bit signature per doc (custom codegen'd
     * expression), candidates = equality on any of `maxHamming + 1` bit
     * bands, verified with bit_count(xor) ≤ `maxHamming`.

@@ -213,6 +213,61 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
+    // SUBSTRING-level dedup via winnowed fingerprints (MOSS / Lee et al.):
+    // k=12-gram rolling hashes, min per w=8 window, pairs sharing ≥ 2
+    // fingerprint values. Any shared verbatim run of ≥ k+w-1 = 19 chars
+    // yields a shared fingerprint in both docs — planted 120-char prefix
+    // copies MUST pair with their originals, and whatever real shared
+    // passages exist in the corpus are replayed identically by the
+    // oracle (full pipeline in SQL: per-position Horner hashes mod
+    // 2^61-1, window minima, distinct, self-join, HAVING). Scale: O(n)
+    // scan-local fingerprints, one shuffle on the fingerprint value with
+    // the LSH-style hot-value cap.
+    Q("q_dedup_substring", {
+      val horner = (lo: String, hi: String) =>
+        s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           |       list_transform(range($lo, $hi),
+           |         i -> CAST(ord(text[i]) AS HUGEINT))),
+           |     (h, c) -> (h * 257 + c) % 2305843009213693951) AS BIGINT)"""
+          .stripMargin
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, substr(text, 1, 120)
+         |  FROM documents WHERE doc_id < 30),
+         |h AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(text) < 12
+         |              THEN [${horner("1", "length(text) + 1")}]
+         |              ELSE list_transform(range(1, length(text) - 10),
+         |                     p -> ${horner("p", "p + 12")})
+         |         END AS hs
+         |  FROM aug),
+         |f AS (
+         |  SELECT doc_id,
+         |         list_distinct(
+         |           CASE WHEN len(hs) <= 8
+         |                THEN [list_aggregate(hs, 'min')]
+         |                ELSE list_transform(range(1, len(hs) - 6),
+         |                       q -> list_aggregate(hs[q:q+7], 'min'))
+         |           END) AS fps
+         |  FROM h),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id1, id2""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val aug = docs.select("doc_id", "text").union(
+        docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            substring(col("text"), 1, 120).as("text")))
+      Dedup.substringDupPairs(aug, "doc_id", "text",
+          k = 12, w = 8, minShared = 2)
+        .orderBy("id1", "id2")
+    },
+
     // Token chunking with overlap (TextFunctions.tokenChunks) — the
     // training-prep splitter: 64-token windows, 8-token overlap, stride
     // 56. Pure per-row array arithmetic (scan-local, no shuffle); the

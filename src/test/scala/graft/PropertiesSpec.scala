@@ -235,6 +235,32 @@ class PropertiesSpec extends SparkSpec {
       "text count must equal the sum of word counts (whitespace split)")
   }
 
+  test("winnowed fingerprints match a brute-force reference on random text") {
+    import graft.expressions.WinnowUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val M = BigInt((1L << 61) - 1)
+    def brute(s: String, k: Int, w: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) return Seq.empty
+      def horner(a: Array[Int]): Long =
+        a.foldLeft(BigInt(0))((h, c) => (h * 257 + c) mod M).toLong
+      if (cps.length < k) return Seq(horner(cps))
+      val hs = cps.sliding(k).map(horner).toArray
+      val mins =
+        if (hs.length <= w) Seq(hs.min)
+        else hs.sliding(w).map(_.min).toSeq
+      mins.distinct.sorted
+    }
+    val texts = sample(Gen.listOfN(40,
+      Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString), 80) ++
+      Seq("", "ab", "abcabcabcabc")
+    texts.foreach { t =>
+      val got = WinnowUtil.fingerprints(UTF8String.fromString(t), 5, 4)
+        .toLongArray().toSeq
+      assert(got == brute(t, 5, 4), s"winnow mismatch on '$t'")
+    }
+  }
+
   test("deterministicShuffle is a partition-invariant permutation") {
     import graft.operators.Sampling
     val ids = sample(Gen.chooseNum(0L, 100000L), 300).distinct

@@ -115,6 +115,25 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((1L, 2L)), "honest near-dup pair lost to the cap")
   }
 
+  test("substringDupPairs finds shared passages inside different documents") {
+    // winnowing guarantee: a shared verbatim run of ≥ k+w-1 chars yields
+    // at least one identical fingerprint in both docs — here a 40-char
+    // passage embedded in otherwise unrelated text (document-level
+    // shingle Jaccard between these is tiny)
+    val passage = "the quick brown fox jumps over the lazy"
+    val corpus = Seq(
+      (1L, s"completely unrelated preamble text here $passage and then some other tail"),
+      (2L, s"$passage surrounded by a different story about watermarks and state"),
+      (3L, "no shared content at all in this one, just filler words repeated"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(corpus, "doc_id", "text",
+        k = 12, w = 8, minShared = 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"shared passage missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc paired: $pairs")
+  }
+
   test("releaseCaches unpins every tracked dedup intermediate") {
     // a corpus no earlier test used — CacheManager dedups identical plans,
     // so re-running a previously-cached pass would pin nothing new
