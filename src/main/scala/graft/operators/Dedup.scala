@@ -277,6 +277,44 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** C4-style CORPUS-LEVEL segment dedup: every distinct `segWords`-word
+    * segment is kept exactly once across the whole corpus (first owner by
+    * (id, position) order — the C4 preprocessing rule "keep one occurrence
+    * of each unique line", applied to fixed word windows because this
+    * corpus has no line structure). Output per document: total segments,
+    * surviving segments, and the md5 of the rebuilt (position-ordered)
+    * surviving text — row-level accounting of exactly what the scrub
+    * removed.
+    *
+    * Scale shape: segmentation is scan-local (tokenChunks arithmetic);
+    * ownership is ONE window shuffle on the segment value whose `rn = 1`
+    * filter pushes a partial WindowGroupLimit below the exchange (each
+    * map task forwards at most one candidate row per segment); rebuild is
+    * one aggregation by document id. A boilerplate segment repeated a
+    * billion times costs its owner row, not a bucket blowup.
+    */
+  def dedupCorpusSegments(df: DataFrame, idCol: String, textCol: String,
+                          segWords: Int = 10): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    val segs = df.select(col(idCol).as("id"),
+        posexplode(graft.functions.TextFunctions.tokenChunks(
+          graft.functions.TextFunctions.tokens(col(textCol)),
+          segWords, 0)))
+      .select(col("id"), col("pos"),
+        array_join(col("col.chunk"), " ").as("seg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy("id", "pos")
+    segs.withColumn("__keep",
+        when(row_number().over(w) === 1, 1).otherwise(0))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(col("__keep")).cast("long").as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__keep") === 1,
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ")).as("kept_md5"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature per doc (custom codegen'd
     * expression), candidates = equality on any of `maxHamming + 1` bit
     * bands, verified with bit_count(xor) ≤ `maxHamming`.

@@ -268,6 +268,41 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
+    // C4-style corpus-level segment dedup: each distinct 10-word segment
+    // survives once corpus-wide (first (doc, position) owner); the gate
+    // pins per-doc totals, survivors, AND the md5 of the rebuilt
+    // surviving text, so one mis-owned or mis-ordered segment fails. The
+    // rn=1 filter pushes a WindowGroupLimit below the segment exchange —
+    // a boilerplate segment repeated a billion times forwards one
+    // candidate per map task, never a hot bucket.
+    Q("q_dedup_segments",
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |             greatest(1, CAST(ceil(len(toks) / 10.0) AS INT))
+         |               AS nc
+         |      FROM tok),
+         |s AS (SELECT doc_id, unnest(range(0, nc)) AS p, toks FROM n),
+         |seg AS (SELECT doc_id, p,
+         |               array_to_string(toks[p*10+1 : p*10+10], ' ')
+         |                 AS seg
+         |        FROM s),
+         |k AS (SELECT doc_id, p, seg,
+         |             row_number() OVER (PARTITION BY seg
+         |                                ORDER BY doc_id, p) AS rn
+         |      FROM seg)
+         |SELECT doc_id, count(*) AS n_seg,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+         |                               ' ' ORDER BY p), '')) AS kept_md5
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        Dedup.dedupCorpusSegments(t(s, dir, "documents"),
+            "doc_id", "text", segWords = 10)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+    },
+
     // Token chunking with overlap (TextFunctions.tokenChunks) — the
     // training-prep splitter: 64-token windows, 8-token overlap, stride
     // 56. Pure per-row array arithmetic (scan-local, no shuffle); the

@@ -134,6 +134,23 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("dedupCorpusSegments keeps each segment once, first owner wins") {
+    // 2-word segments: doc 1 = [a b][c d], doc 2 = [c d][e f] (shares
+    // "c d"), doc 3 = all-duplicate content of doc 1
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupCorpusSegments(corpus, "doc_id", "text",
+        segWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((2L, 2L, md5("a b c d"))), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, md5("e f"))), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, md5(""))), s"doc3: ${got(3L)}")
+  }
+
   test("releaseCaches unpins every tracked dedup intermediate") {
     // a corpus no earlier test used — CacheManager dedups identical plans,
     // so re-running a previously-cached pass would pin nothing new
