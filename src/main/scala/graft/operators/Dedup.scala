@@ -287,11 +287,14 @@ object Dedup {
     * removed.
     *
     * Scale shape: segmentation is scan-local (tokenChunks arithmetic);
-    * ownership is ONE window shuffle on the segment value whose `rn = 1`
-    * filter pushes a partial WindowGroupLimit below the exchange (each
-    * map task forwards at most one candidate row per segment); rebuild is
-    * one aggregation by document id. A boilerplate segment repeated a
-    * billion times costs its owner row, not a bucket blowup.
+    * ownership is `min(struct(id, pos))` per segment value — a PARTIAL
+    * aggregation, so a boilerplate segment repeated a billion times
+    * combines to one candidate per map task before the exchange (a
+    * window rank here would funnel every copy through one reducer —
+    * and a rank-filter's WindowGroupLimit cannot apply because the
+    * non-owning copies must survive into the per-document accounting).
+    * The owner table joins back on the segment value, reusing the same
+    * hash partitioning; rebuild is one aggregation by document id.
     */
   def dedupCorpusSegments(df: DataFrame, idCol: String, textCol: String,
                           segWords: Int = 10): DataFrame = {
@@ -302,10 +305,15 @@ object Dedup {
           segWords, 0)))
       .select(col("id"), col("pos"),
         array_join(col("col.chunk"), " ").as("seg"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("seg").orderBy("id", "pos")
-    segs.withColumn("__keep",
-        when(row_number().over(w) === 1, 1).otherwise(0))
+    // first (id, pos) owner per segment: struct min = lexicographic —
+    // identical to row_number() over (partition by seg order by id, pos)
+    // = 1, but map-side combinable
+    val owners = segs.groupBy("seg")
+      .agg(min(struct(col("id"), col("pos"))).as("own"))
+    segs.join(owners, "seg")
+      .withColumn("__keep",
+        when(col("own.id") === col("id") && col("own.pos") === col("pos"),
+          1).otherwise(0))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_seg"),
         sum(col("__keep")).cast("long").as("n_kept"),

@@ -244,4 +244,40 @@ class PlanShapeSpec extends SparkSpec {
       s"forget-set propagation must broadcast, not shuffle the facts:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
+
+  test("segment ownership aggregates partially — no window funnel, no rank") {
+    // min(struct(id, pos)) per segment must combine map-side: a
+    // boilerplate segment repeated everywhere forwards one candidate per
+    // map task. A window-rank formulation would shuffle every copy to
+    // one reducer per segment — assert it is absent.
+    val plan = physical(Dedup.dedupCorpusSegments(
+      t(spark, sf001, "documents"), "doc_id", "text", segWords = 10))
+    assert(plan.contains("partial_min"),
+      s"segment ownership does not combine map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"segment ownership must not use a window:\n$plan")
+  }
+
+  test("winnowed fingerprints are a scan-local codegen'd projection") {
+    graft.expressions.Winnow.register(spark)
+    val plan = physical(t(spark, sf001, "documents")
+      .selectExpr("doc_id", "winnow_fingerprints(text, 12, 8) AS fps"))
+    assert(!plan.contains("Exchange"),
+      s"fingerprinting must not shuffle:\n$plan")
+    // whole-stage codegen stages print as "*(n)" in the physical plan
+    assert(plan.contains("*(1)"),
+      s"winnow_fingerprints fell out of codegen:\n$plan")
+  }
+
+  test("deterministic shuffle keeps many partitions and uses no window") {
+    import graft.operators.Sampling
+    val out = Sampling.deterministicShuffle(
+      t(spark, sf001, "documents").select("doc_id"), "doc_id", "epoch1")
+    // the result is materialized through GlobalRank's zipWithIndex — the
+    // scale contract is no single-partition funnel and no Window operator
+    assert(out.rdd.getNumPartitions > 1,
+      "epoch shuffle collapsed to one partition")
+    assert(!physical(out).contains("Window"),
+      s"epoch shuffle must not plan a window:\n${physical(out)}")
+  }
 }
