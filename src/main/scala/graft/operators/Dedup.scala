@@ -76,7 +76,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, m: Int = 8, bands: Int = 4,
                       threshold: Double = 0.5,
-                      maxBucket: Int = 10000): DataFrame = {
+                      maxBucket: Int = 1000): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     // bands > m would give 0 rows per band — every band key identical, the
     // candidate join degenerates to the full n² cross product LSH exists
@@ -107,8 +107,14 @@ object Dedup {
     // runs FIRST in the curation pipeline, so what remains in a hot bucket
     // is near-dup variety, which the kept members still represent. The
     // window shuffles on the same (band, key) the bucket join uses, so the
-    // exchange is reused, not added. Default 10000 caps a bucket at ~5e7
-    // pairs — bounded, and far above any honest bucket's size.
+    // exchange is reused, not added. Default 1000 caps a bucket at ~5e5
+    // pairs — bounded, far above any honest bucket's size, and within
+    // spark.sql.optimizer.windowGroupLimitThreshold (1000), so the rank
+    // filter plans a PARTIAL WindowGroupLimit below the exchange: each
+    // map task forwards at most maxBucket rows per bucket and even the
+    // cap's own window never sees a billion-copy hot key (a cap above
+    // the threshold silently loses that protection — the plan audit in
+    // PLANS.md shows both shapes).
     val bucketW = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "key").orderBy("id")
     val banded = bandedRaw
@@ -158,7 +164,7 @@ object Dedup {
                           idCol: String, textCol: String,
                           k: Int = 5, m: Int = 8, bands: Int = 4,
                           threshold: Double = 0.5,
-                          maxBucket: Int = 10000): DataFrame = {
+                          maxBucket: Int = 1000): DataFrame = {
     require(bands > 0 && bands <= m && m % bands == 0,
       s"bands ($bands) must divide the signature size ($m)")
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
@@ -254,7 +260,7 @@ object Dedup {
     */
   def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, w: Int = 8, minShared: Int = 2,
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame = {
     require(k > 0 && w > 0, s"k ($k) and w ($w) must be positive")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
