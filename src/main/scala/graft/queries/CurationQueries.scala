@@ -318,6 +318,54 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher-style rule panel (Rae et al. 2021 §A1.1 adapted to this
+    // corpus): per-document NAMED rule booleans — word count bounds,
+    // mean-word-length bounds, minimum distinct-stopword presence — plus
+    // the conjunctive keep flag, so filtering is auditable per rule
+    // rather than a single opaque score (q_text_quality is the scored
+    // twin). Entirely scan-local per-row array arithmetic: filtering
+    // 100 TB is one pass, no shuffle. Exact-integer ratios + 4 dp
+    // rounding keep both engines bit-identical on the rule boundaries.
+    Q("q_text_gopher",
+      s"""WITH s AS (
+         |  SELECT doc_id, ${TextQueries.sqlToks} AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(toks) AS n_tok,
+         |         round(CAST(list_aggregate(list_transform(toks,
+         |                 t -> length(t)), 'sum') AS DOUBLE)
+         |               / len(toks), 4) AS mean_len,
+         |         len(list_distinct(list_intersect(toks,
+         |             ['the', 'a', 'of', 'and', 'to', 'in']))) AS n_stop
+         |  FROM s)
+         |SELECT doc_id, n_tok, mean_len, CAST(n_stop AS BIGINT) AS n_stop,
+         |       n_tok BETWEEN 50 AND 100000 AS r_wordcount,
+         |       mean_len BETWEEN 3.0 AND 10.0 AS r_meanlen,
+         |       n_stop >= 2 AS r_stop,
+         |       (n_tok BETWEEN 50 AND 100000)
+         |         AND (mean_len BETWEEN 3.0 AND 10.0)
+         |         AND n_stop >= 2 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val stops = array(Seq("the", "a", "of", "and", "to", "in")
+        .map(lit): _*)
+      val nTok = size(toks).cast("long")
+      val meanLen = round4(
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") / size(toks))
+      val nStop = size(array_intersect(toks, stops)).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), nTok.as("n_tok"), meanLen.as("mean_len"),
+          nStop.as("n_stop"))
+        .withColumn("r_wordcount",
+          col("n_tok") >= 50 && col("n_tok") <= 100000)
+        .withColumn("r_meanlen",
+          col("mean_len") >= 3.0 && col("mean_len") <= 10.0)
+        .withColumn("r_stop", col("n_stop") >= 2)
+        .withColumn("keep",
+          col("r_wordcount") && col("r_meanlen") && col("r_stop"))
+        .orderBy("doc_id")
+    },
+
     // Token-budget packing (operators.Packing): documents in deterministic
     // hash order, cut into contiguous ~50k-char bins via a DISTRIBUTED
     // prefix sum (range partition + per-partition offsets — never a
