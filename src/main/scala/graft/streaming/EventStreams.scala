@@ -105,6 +105,25 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Streaming CONTENT dedup: drop documents whose normalized-text
+    * fingerprint (md5 after lowercase/punctuation/whitespace collapse —
+    * the same `TextFunctions.normFingerprint` the batch
+    * `Dedup.exactDuplicates` keys on) already arrived inside the
+    * watermark horizon. This is the streaming ingest gate of a curation
+    * pipeline: a crawl emitting the same page under different ids/urls is
+    * collapsed at arrival, before anything downstream pays for it.
+    * Fingerprinting is scan-local; state holds one fingerprint per
+    * distinct document and is evicted past the horizon, so it survives
+    * unbounded streams. */
+  def dedupByFingerprint(docs: DataFrame, textCol: String,
+                         watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp",
+        graft.functions.TextFunctions.normFingerprint(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stream-static enrichment: join the stream against a batch dimension
     * table — the canonical streaming-lookup shape (event → hub/satellite
     * attributes). The static side is re-planned per micro-batch, so a

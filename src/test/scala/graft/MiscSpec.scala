@@ -232,6 +232,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupByFingerprint collapses same-content docs with different ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val deduped = EventStreams.dedupByFingerprint(
+      docs.toDF().toDF("doc_id", "ts", "text"), "text")
+    val q = deduped.writeStream.format("memory").queryName("fp_dedup")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, ts(0), "The Quick, Brown Fox!"),
+        (2L, ts(5), "the quick brown fox"), // same normalized content
+        (3L, ts(6), "different content entirely"))
+      q.processAllAvailable()
+      // a later micro-batch repeating the content is also dropped
+      docs.addData((4L, ts(10), "THE QUICK  BROWN   FOX"))
+      q.processAllAvailable()
+      val kept = spark.table("fp_dedup").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 3L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("joinWithin correlates two streams inside the interval only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
