@@ -235,6 +235,28 @@ object VectorQueries {
         .crossJoin(broadcast(flags))
         .crossJoin(broadcast(subset))
     },
+
+    // Per-label embedding centroids through the custom vec_mean aggregate
+    // (element-wise mean with a (sum-vector, count) partial buffer — the
+    // posexplode+groupBy(dim) alternative shuffles d rows per vector).
+    // The centroid is exploded back to (label, j, m) rows so the oracle
+    // hash-gates every element; 4 dp rounding absorbs partial-sum order,
+    // the same contract as the built-in sum/avg gates. PlanShapeSpec pins
+    // the partial_vec_mean below the exchange.
+    Q("q_embed_centroids",
+      """SELECT label, CAST(j - 1 AS INT) AS j,
+        |       round(avg(CAST(embedding[j] AS DOUBLE)), 4) AS m
+        |FROM embeddings, unnest(generate_series(1, 64)) AS t(j)
+        |GROUP BY label, j ORDER BY label, j""".stripMargin) { (s, dir) =>
+      graft.expressions.VecMean.register(s)
+      t(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(expr("vec_mean(embedding)").as("centroid"))
+        .select(col("label"), posexplode(col("centroid")))
+        .select(col("label"), col("pos").as("j"),
+          graft.functions.Rounding.round4(col("col")).as("m"))
+        .orderBy("label", "j")
+    },
   )
 
   /** One k-means fit per (session, SF dir), shared by q_ann_ivf and

@@ -269,6 +269,14 @@ class PlanShapeSpec extends SparkSpec {
       s"winnow_fingerprints fell out of codegen:\n$plan")
   }
 
+  test("vec_mean aggregates partially below the exchange") {
+    graft.expressions.VecMean.register(spark)
+    val plan = physical(t(spark, sf001, "embeddings")
+      .groupBy("label").agg(expr("vec_mean(embedding)").as("c")))
+    assert(plan.contains("partial_vec_mean"),
+      s"vector mean does not combine map-side:\n$plan")
+  }
+
   test("deterministic shuffle keeps many partitions and uses no window") {
     import graft.operators.Sampling
     val out = Sampling.deterministicShuffle(

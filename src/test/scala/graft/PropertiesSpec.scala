@@ -261,6 +261,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("vec_mean equals the scalar mean per dimension, any partitioning") {
+    graft.expressions.VecMean.register(spark)
+    val rows = sample(Gen.listOfN(4, Gen.chooseNum(-100, 100)), 90)
+      .zipWithIndex.map { case (v, i) => (i % 5, v.map(_.toFloat)) }
+    val df = rows.toDF("g", "v")
+    def means(d: org.apache.spark.sql.DataFrame): Map[(Int, Int), Double] =
+      d.groupBy("g").agg(expr("vec_mean(v)").as("m"))
+        .select(col("g"), posexplode(col("m")))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (math.rint(r.getDouble(2) * 1e9) / 1e9)).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      (0 until 4).map(j => (g, j) ->
+        (math.rint(vs.map(_._2(j).toDouble).sum / vs.size * 1e9) / 1e9))
+    }
+    assert(means(df) == expected)
+    assert(means(df.repartition(11)) == expected,
+      "vec_mean diverged under repartitioning beyond 1e-9")
+  }
+
   test("deterministicShuffle is a partition-invariant permutation") {
     import graft.operators.Sampling
     val ids = sample(Gen.chooseNum(0L, 100000L), 300).distinct
