@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{HyperplaneSig64, LangId, MinHash, MinHashSig, MinHashUnion, QualityScore, RollingHash64, SimHash64, WordShingles, ZOrder62}
+import graft.expressions.{BpeTokenCount, HyperplaneSig64, LangId, MinHash, MinHashSig, MinHashUnion, QualityScore, RollingHash64, SimHash64, VecMean, WinnowFingerprints, WordShingles, ZOrder62}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -40,6 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => ZOrder62(children.head, children(1))))
     ext.injectFunction((FunctionIdentifier("minhash_union"),
       MinHashUnion.info, children => MinHashUnion(children.head)))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      children => WinnowFingerprints(children(0), children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      children => BpeTokenCount(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("vec_mean"),
+      new ExpressionInfo(classOf[VecMean].getName, "vec_mean"),
+      children => VecMean(children.head)))
     // pure time-range inner joins → bucketed equi joins (no nested loop)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
   }
