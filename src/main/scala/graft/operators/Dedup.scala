@@ -323,6 +323,8 @@ object Dedup {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_seg"),
         sum(col("__keep")).cast("long").as("n_kept"),
+        sum(when(col("__keep") === 1, size(split(col("seg"), " ")))
+          .otherwise(0)).cast("long").as("kept_tokens"),
         md5(array_join(transform(
           array_sort(collect_list(when(col("__keep") === 1,
             struct(col("pos"), col("seg"))))),

@@ -366,6 +366,82 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Round-6 curation capstone: Gopher rule filter → corpus-level
+    // segment dedup (C4) → deterministic epoch shuffle → per-language
+    // doc/token budget with the shuffle's lead document. Every stage is
+    // individually gated (q_text_gopher, q_dedup_segments,
+    // q_corpus_shuffle); this gate proves the COMPOSITION — filters feed
+    // the dedup corpus (ownership is computed only among kept docs),
+    // survivors (n_kept > 0) enter the shuffle, budgets sum the
+    // POST-dedup token counts. One mis-staged document changes a count,
+    // a token sum, or the arg-min lead and fails the hash.
+    Q("q_curation_v2", {
+      val toks = TextQueries.sqlToks
+      s"""WITH g AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE len($toks) BETWEEN 50 AND 100000
+         |    AND round(CAST(list_aggregate(list_transform($toks,
+         |            t -> length(t)), 'sum') AS DOUBLE) / len($toks), 4)
+         |        BETWEEN 3.0 AND 10.0
+         |    AND len(list_distinct(list_intersect($toks,
+         |        ['the', 'a', 'of', 'and', 'to', 'in']))) >= 2),
+         |tok AS (SELECT doc_id, lang, $toks AS toks FROM g),
+         |n AS (SELECT doc_id, lang, toks,
+         |             greatest(1, CAST(ceil(len(toks) / 10.0) AS INT))
+         |               AS nc
+         |      FROM tok),
+         |s AS (SELECT doc_id, lang, unnest(range(0, nc)) AS p, toks
+         |      FROM n),
+         |seg AS (SELECT doc_id, lang, p,
+         |               array_to_string(toks[p*10+1 : p*10+10], ' ')
+         |                 AS seg
+         |        FROM s),
+         |k AS (SELECT doc_id, lang, p, seg,
+         |             row_number() OVER (PARTITION BY seg
+         |                                ORDER BY doc_id, p) AS rn
+         |      FROM seg),
+         |d AS (SELECT doc_id, lang,
+         |             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+         |             CAST(sum(CASE WHEN rn = 1
+         |                           THEN len(string_split(seg, ' '))
+         |                           ELSE 0 END) AS BIGINT) AS kept_tokens
+         |      FROM k GROUP BY doc_id, lang),
+         |surv AS (SELECT doc_id, lang, kept_tokens,
+         |                row_number() OVER (
+         |                  ORDER BY md5('v2:' || CAST(doc_id AS VARCHAR)),
+         |                           doc_id) AS shuffle_pos
+         |         FROM d WHERE n_kept > 0)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens,
+         |       arg_min(doc_id, shuffle_pos) AS first_doc
+         |FROM surv GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val docs = t(s, dir, "documents")
+      val toks = TextFunctions.tokens(col("text"))
+      val stops = array(Seq("the", "a", "of", "and", "to", "in")
+        .map(lit): _*)
+      val meanLen = round4(
+        aggregate(transform(toks, x => length(x).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") / size(toks))
+      val kept = docs.where(
+        size(toks) >= 50 && size(toks) <= 100000 &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          size(array_intersect(toks, stops)) >= 2)
+      val deduped = Dedup.dedupCorpusSegments(kept, "doc_id", "text",
+          segWords = 10)
+        .where(col("n_kept") > 0)
+      val withLang = deduped.join(
+        docs.select(col("doc_id").as("id"), col("lang")), "id")
+      val shuffled = graft.operators.Sampling
+        .deterministicShuffle(withLang, "id", "v2")
+      shuffled.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("kept_tokens").as("kept_tokens"),
+          min_by(col("id"), col("shuffle_pos")).as("first_doc"))
+        .orderBy("lang")
+    },
+
     // Token-budget packing (operators.Packing): documents in deterministic
     // hash order, cut into contiguous ~50k-char bins via a DISTRIBUTED
     // prefix sum (range partition + per-partition offsets — never a

@@ -293,6 +293,9 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_seg,
          |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_kept,
+         |       CAST(sum(CASE WHEN rn = 1
+         |                     THEN len(string_split(seg, ' '))
+         |                     ELSE 0 END) AS BIGINT) AS kept_tokens,
          |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
          |                               ' ' ORDER BY p), '')) AS kept_md5
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) {

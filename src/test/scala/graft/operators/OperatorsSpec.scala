@@ -143,12 +143,12 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.dedupCorpusSegments(corpus, "doc_id", "text",
         segWords = 2)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
     val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(got(1L) == ((2L, 2L, md5("a b c d"))), s"doc1: ${got(1L)}")
-    assert(got(2L) == ((2L, 1L, md5("e f"))), s"doc2: ${got(2L)}")
-    assert(got(3L) == ((2L, 0L, md5(""))), s"doc3: ${got(3L)}")
+    assert(got(1L) == ((2L, 2L, 4L, md5("a b c d"))), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 2L, md5("e f"))), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0L, md5(""))), s"doc3: ${got(3L)}")
   }
 
   test("releaseCaches unpins every tracked dedup intermediate") {
