@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BpeTokenCount, HyperplaneSig64, LangId, MinHash, MinHashSig, MinHashUnion, QualityScore, RollingHash64, SimHash64, VecMean, WinnowFingerprints, WordShingles, ZOrder62}
+import graft.expressions.{BpeTokenCount, HyperplaneSig64, LangId, MinHash, MinHashSig, MinHashUnion, QualityScore, RollingHash64, SimHash64, VecMean, WinnowFingerprintPos, WinnowFingerprints, WordShingles, ZOrder62}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFingerprints].getName,
         "winnow_fingerprints"),
       children => WinnowFingerprints(children(0), children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprint_pos"),
+      new ExpressionInfo(classOf[WinnowFingerprintPos].getName,
+        "winnow_fingerprint_pos"),
+      children => WinnowFingerprintPos(children(0), children(1),
+        children(2))))
     ext.injectFunction((FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
       children => BpeTokenCount(children.head, children(1))))

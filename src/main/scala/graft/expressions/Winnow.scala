@@ -41,7 +41,7 @@ object WinnowUtil {
     r
   }
 
-  def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+  private def codepoints(s: UTF8String): Array[Long] = {
     val str = s.toString
     val n = str.codePointCount(0, str.length)
     val cps = new Array[Long](n)
@@ -53,16 +53,14 @@ object WinnowUtil {
       ci += 1
       off += Character.charCount(cp)
     }
-    if (n == 0) return new GenericArrayData(Array.empty[Long])
-    if (n < k) {
-      var h = 0L
-      var i = 0
-      while (i < n) { h = (mulMod(h, 257) + cps(i)) % M; i += 1 }
-      return new GenericArrayData(Array(h))
-    }
-    val nh = n - k + 1
+    cps
+  }
+
+  /** Rolling k-gram hashes over the code points (Horner base 257 mod M);
+    * requires cps.length >= k. */
+  private def kgramHashes(cps: Array[Long], k: Int): Array[Long] = {
+    val nh = cps.length - k + 1
     val hs = new Array[Long](nh)
-    // B^(k-1) mod M for the roll-out term
     var pk = 1L
     var i = 0
     while (i < k - 1) { pk = mulMod(pk, 257); i += 1 }
@@ -78,6 +76,22 @@ object WinnowUtil {
       hs(i) = h
       i += 1
     }
+    hs
+  }
+
+  def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = codepoints(s)
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    if (n < k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (mulMod(h, 257) + cps(i)) % M; i += 1 }
+      return new GenericArrayData(Array(h))
+    }
+    val hs = kgramHashes(cps, k)
+    val nh = hs.length
+    var i = 0
     val out = new java.util.TreeSet[java.lang.Long]()
     if (nh <= w) {
       var min = hs(0)
@@ -103,6 +117,53 @@ object WinnowUtil {
     i = 0
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new GenericArrayData(arr)
+  }
+
+  /** Position-carrying variant: distinct (fingerprint, pos) selections,
+    * where pos is the 0-based code-point offset of the selected k-gram
+    * (LEFTMOST minimal hash within each window — the tie rule the oracle
+    * replays with list_position). This is the span-reporting form: a
+    * shared fingerprint's positions locate the duplicated passage in
+    * both documents. Sorted by (fp, pos). */
+  def fingerprintsPos(s: UTF8String, k: Int, w: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def rows(sel: Seq[(Long, Int)]): ArrayData =
+      new GenericArrayData(sel.map { case (fp, pos) =>
+        new GenericInternalRow(Array[Any](fp, pos))
+      }.toArray[Any])
+    val cps = codepoints(s)
+    val n = cps.length
+    if (n == 0) return rows(Seq.empty)
+    if (n < k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (mulMod(h, 257) + cps(i)) % M; i += 1 }
+      return rows(Seq((h, 0)))
+    }
+    val hs = kgramHashes(cps, k)
+    val nh = hs.length
+    val sel = scala.collection.mutable.TreeSet.empty[(Long, Int)]
+    if (nh <= w) {
+      var best = 0
+      var i = 1
+      while (i < nh) { if (hs(i) < hs(best)) best = i; i += 1 }
+      sel += ((hs(best), best))
+    } else {
+      // monotonic deque keeping the LEFTMOST minimum on ties (pop only
+      // on strictly greater, so an earlier equal value stays ahead)
+      val dq = new Array[Int](nh)
+      var head = 0
+      var tail = 0
+      var i = 0
+      while (i < nh) {
+        while (tail > head && hs(dq(tail - 1)) > hs(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) sel += ((hs(dq(head)), dq(head)))
+        i += 1
+      }
+    }
+    rows(sel.toSeq)
   }
 }
 
@@ -137,12 +198,55 @@ case class WinnowFingerprints(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** `winnow_fingerprint_pos(text, k, w) -> array<struct<fp:bigint,pos:int>>`
+  * — winnowed fingerprints with the selected k-gram's code-point offset
+  * (leftmost-minimum tie rule). */
+case class WinnowFingerprintPos(first: Expression, second: Expression,
+                                third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "winnow_fingerprint_pos k and w must be constants")
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprint_pos requires (string, int, int), got " +
+          s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos", IntegerType,
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_fingerprint_pos"
+  override protected def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    WinnowUtil.fingerprintsPos(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) =>
+      s"graft.expressions.WinnowUtil.fingerprintsPos($t, $k, $w)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowFingerprintPos =
+    copy(first = f, second = s, third = t)
+}
+
 object Winnow {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,
         "winnow_fingerprints"),
       (children: Seq[Expression]) =>
         WinnowFingerprints(children(0), children(1), children(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("winnow_fingerprint_pos"),
+      new ExpressionInfo(classOf[WinnowFingerprintPos].getName,
+        "winnow_fingerprint_pos"),
+      (children: Seq[Expression]) =>
+        WinnowFingerprintPos(children(0), children(1), children(2)))
+  }
 }

@@ -283,6 +283,43 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Span-reporting form of [[substringDupPairs]]: the same winnowed
+    * fingerprints, carrying each selection's code-point offset, so a pair
+    * reports WHERE the duplication sits on both sides — (n_shared,
+    * min/max matched offset per document), the actionable shape for
+    * targeted span removal (cut the overlapping range, keep the rest of
+    * the document). Same scale shape and hot-value cap as the pair
+    * operator; positions travel as an extra int per fingerprint. */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 12, w: Int = 8, minShared: Int = 2,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(k > 0 && w > 0, s"k ($k) and w ($w) must be positive")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    graft.expressions.Winnow.register(df.sparkSession)
+    val fps = df.select(col(idCol).as("id"),
+        explode(expr(s"winnow_fingerprint_pos(${q(textCol)}, $k, $w)"))
+          .as("u"))
+      .select(col("id"), col("u.fp").as("fp"), col("u.pos").as("pos"))
+      .transform(tracked)
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("id", "pos")
+    val capped = fps
+      .withColumn("__fn", row_number().over(capW))
+      .where(col("__fn") <= maxBucket)
+      .drop("__fn")
+    capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("a.pos")).as("a_min_pos"),
+        max(col("a.pos")).as("a_max_pos"),
+        min(col("b.pos")).as("b_min_pos"),
+        max(col("b.pos")).as("b_max_pos"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** C4-style CORPUS-LEVEL segment dedup: every distinct `segWords`-word
     * segment is kept exactly once across the whole corpus (first owner by
     * (id, position) order — the C4 preprocessing rule "keep one occurrence

@@ -268,6 +268,68 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
+    // Span-reporting substring dedup: the position-carrying winnow
+    // variant (leftmost-minimum tie rule, replayed by list_position)
+    // locates the duplicated passage on BOTH sides of every pair —
+    // min/max matched code-point offsets per document. The planted
+    // prefix copies must report spans inside the first 120 chars on the
+    // copy side; the oracle replays selection positions exactly, so an
+    // off-by-one in the window argmin fails the gate.
+    Q("q_dedup_spans", {
+      val horner = (lo: String, hi: String) =>
+        s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           |       list_transform(range($lo, $hi),
+           |         i -> CAST(ord(text[i]) AS HUGEINT))),
+           |     (h, c) -> (h * 257 + c) % 2305843009213693951) AS BIGINT)"""
+          .stripMargin
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, substr(text, 1, 120)
+         |  FROM documents WHERE doc_id < 30),
+         |h AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(text) < 12
+         |              THEN [${horner("1", "length(text) + 1")}]
+         |              ELSE list_transform(range(1, length(text) - 10),
+         |                     p -> ${horner("p", "p + 12")})
+         |         END AS hs
+         |  FROM aug),
+         |f AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(hs) <= 8
+         |              THEN [{'fp': list_aggregate(hs, 'min'),
+         |                     'pos': list_position(hs,
+         |                              list_aggregate(hs, 'min')) - 1}]
+         |              ELSE list_transform(range(1, len(hs) - 6),
+         |                     q -> {'fp': list_aggregate(hs[q:q+7],
+         |                                   'min'),
+         |                           'pos': q + list_position(hs[q:q+7],
+         |                                    list_aggregate(hs[q:q+7],
+         |                                      'min')) - 2})
+         |         END AS fps
+         |  FROM h),
+         |e AS (SELECT doc_id, unnest(fps) AS u FROM f),
+         |x AS (SELECT DISTINCT doc_id, u.fp AS fp,
+         |             CAST(u.pos AS INT) AS pos
+         |      FROM e)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared,
+         |       min(a.pos) AS a_min_pos, max(a.pos) AS a_max_pos,
+         |       min(b.pos) AS b_min_pos, max(b.pos) AS b_max_pos
+         |FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id1, id2""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val aug = docs.select("doc_id", "text").union(
+        docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            substring(col("text"), 1, 120).as("text")))
+      Dedup.substringDupSpans(aug, "doc_id", "text",
+          k = 12, w = 8, minShared = 2)
+        .orderBy("id1", "id2")
+    },
+
     // C4-style corpus-level segment dedup: each distinct 10-word segment
     // survives once corpus-wide (first (doc, position) owner); the gate
     // pins per-doc totals, survivors, AND the md5 of the rebuilt

@@ -134,6 +134,28 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("substringDupSpans locates the shared passage on both sides") {
+    val passage = "the quick brown fox jumps over the lazy"
+    val prefix = "preamble words here "
+    val corpus = Seq(
+      (1L, s"$prefix$passage and then a long unrelated tail of text"),
+      (2L, s"$passage surrounded by a different story entirely here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(corpus, "doc_id", "text",
+        k = 12, w = 8, minShared = 1)
+      .collect()
+    assert(spans.length == 1)
+    val r = spans.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // doc 1's matches start at/after the preamble; doc 2's start at 0-ish
+    assert(r.getInt(3) >= prefix.length - 11,
+      s"a_min_pos ${r.getInt(3)} outside the shared passage")
+    assert(r.getInt(4) < prefix.length + passage.length,
+      s"a_max_pos ${r.getInt(4)} beyond the shared passage")
+    assert(r.getInt(6) < passage.length,
+      s"b_max_pos ${r.getInt(6)} beyond the passage on the copy side")
+  }
+
   test("dedupCorpusSegments keeps each segment once, first owner wins") {
     // 2-word segments: doc 1 = [a b][c d], doc 2 = [c d][e f] (shares
     // "c d"), doc 3 = all-duplicate content of doc 1
