@@ -330,6 +330,84 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
+    // Targeted span REMOVAL executed: every document that is the higher
+    // side of a substring-dup pair gets its matched range
+    // [lo, hi + k - 1] cut out (prefix + suffix survive). The oracle
+    // replays fingerprinting, span location, range aggregation, and the
+    // substring surgery — the cleaned text's length and md5 are both
+    // hash-gated, so a one-character slip in the cut boundaries fails.
+    // Scale: spans aggregate per document (one small shuffle over the
+    // pair table), then the cut is a scan-local projection.
+    Q("q_dedup_span_removal", {
+      val horner = (lo: String, hi: String) =>
+        s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           |       list_transform(range($lo, $hi),
+           |         i -> CAST(ord(text[i]) AS HUGEINT))),
+           |     (h, c) -> (h * 257 + c) % 2305843009213693951) AS BIGINT)"""
+          .stripMargin
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, substr(text, 1, 120)
+         |  FROM documents WHERE doc_id < 30),
+         |h AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(text) < 12
+         |              THEN [${horner("1", "length(text) + 1")}]
+         |              ELSE list_transform(range(1, length(text) - 10),
+         |                     p -> ${horner("p", "p + 12")})
+         |         END AS hs
+         |  FROM aug),
+         |f AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(hs) <= 8
+         |              THEN [{'fp': list_aggregate(hs, 'min'),
+         |                     'pos': list_position(hs,
+         |                              list_aggregate(hs, 'min')) - 1}]
+         |              ELSE list_transform(range(1, len(hs) - 6),
+         |                     q -> {'fp': list_aggregate(hs[q:q+7],
+         |                                   'min'),
+         |                           'pos': q + list_position(hs[q:q+7],
+         |                                    list_aggregate(hs[q:q+7],
+         |                                      'min')) - 2})
+         |         END AS fps
+         |  FROM h),
+         |e AS (SELECT doc_id, unnest(fps) AS u FROM f),
+         |x AS (SELECT DISTINCT doc_id, u.fp AS fp,
+         |             CAST(u.pos AS INT) AS pos
+         |      FROM e),
+         |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |                min(b.pos) AS blo, max(b.pos) AS bhi
+         |         FROM x a JOIN x b
+         |           ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2 HAVING count(*) >= 2),
+         |per2 AS (SELECT id2 AS doc_id, min(blo) AS lo, max(bhi) AS hi
+         |         FROM pair GROUP BY id2),
+         |c AS (SELECT aug.doc_id,
+         |             substr(text, 1, lo) || substr(text, hi + 13)
+         |               AS clean
+         |      FROM aug JOIN per2 USING (doc_id))
+         |SELECT doc_id, CAST(length(clean) AS INT) AS clean_n,
+         |       md5(clean) AS clean_md5
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val aug = docs.select("doc_id", "text").union(
+        docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            substring(col("text"), 1, 120).as("text")))
+      val spans = Dedup.substringDupSpans(aug, "doc_id", "text",
+        k = 12, w = 8, minShared = 2)
+      val per2 = spans.groupBy(col("id2").as("doc_id"))
+        .agg(min("b_min_pos").as("lo"), max("b_max_pos").as("hi"))
+      aug.join(per2, "doc_id")
+        .withColumn("clean", expr(
+          "concat(substring(text, 1, lo), substring(text, hi + 13))"))
+        .select(col("doc_id"), length(col("clean")).as("clean_n"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // C4-style corpus-level segment dedup: each distinct 10-word segment
     // survives once corpus-wide (first (doc, position) owner); the gate
     // pins per-doc totals, survivors, AND the md5 of the rebuilt
