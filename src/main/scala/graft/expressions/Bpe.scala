@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-pair-encoding token counting against a LOADABLE merges vocabulary —
@@ -55,11 +55,30 @@ object BpeUtil {
       m
     })
 
-  /** Token count of one word under the merge table: chars → repeated
-    * lowest-rank adjacent merge → surviving part count. */
-  private def wordTokens(word: String,
-                         r: java.util.HashMap[String, Int]): Int = {
-    if (word.length <= 1) return word.length
+  /** id table for [[encode]]: symbol -> id, from a vocab file in the
+    * published one-symbol-per-line format (BERT vocab.txt): every line is
+    * a symbol and its id is exactly the 0-based line number — no comment
+    * or blank-line skipping here, since `#` (or anything) is a valid
+    * symbol and skipping would shift every id after it. */
+  private val vocabCache = TrieMap.empty[String, java.util.HashMap[String, Int]]
+
+  private[expressions] def vocabIds(path: String): java.util.HashMap[String, Int] =
+    vocabCache.getOrElseUpdate(path, {
+      val m = new java.util.HashMap[String, Int]()
+      val lines = Files.readAllLines(Paths.get(path)).asScala
+      var id = 0
+      lines.foreach { ln =>
+        m.put(ln, id)
+        id += 1
+      }
+      m
+    })
+
+  /** Surviving BPE parts of one word: chars → repeated lowest-rank
+    * adjacent merge until none remains. */
+  private def wordParts(word: String,
+                        r: java.util.HashMap[String, Int])
+      : java.util.ArrayList[String] = {
     var parts = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) {
@@ -96,8 +115,13 @@ object BpeUtil {
         parts = next
       }
     }
-    parts.size
+    parts
   }
+
+  /** Token count of one word: surviving part count. */
+  private def wordTokens(word: String,
+                         r: java.util.HashMap[String, Int]): Int =
+    if (word.length <= 1) word.length else wordParts(word, r).size
 
   def count(text: UTF8String, path: UTF8String): Int = {
     val r = ranks(path.toString)
@@ -109,6 +133,38 @@ object BpeUtil {
       i += 1
     }
     total
+  }
+
+  /** Encode to token IDS: the same merge loop as [[count]], then each
+    * surviving part mapped through the vocab table (unknown symbol →
+    * `-1`, kept rather than dropped so id-stream length always equals
+    * `bpe_token_count`). Word order and within-word part order are
+    * preserved; whitespace itself emits nothing (the whitespace-word
+    * model this engine's text stack uses throughout). */
+  def encode(text: UTF8String, mergesPath: UTF8String,
+             vocabPath: UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val r = ranks(mergesPath.toString)
+    val v = vocabIds(vocabPath.toString)
+    val words = text.toString.trim.split("\\s+")
+    val out = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val parts = wordParts(words(i), r)
+        var j = 0
+        while (j < parts.size) {
+          val id = v.getOrDefault(parts.get(j), -1)
+          out.add(id)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val arr = new Array[Int](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 }
 
@@ -139,6 +195,42 @@ case class BpeTokenCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `bpe_encode(text, merges_path, vocab_path) -> array<int>` — codegen'd
+  * real-BPE encoding to token ids: the merge loop of `bpe_token_count`
+  * followed by a symbol→id lookup in a one-symbol-per-line vocab file
+  * (line number = id, the published BERT vocab.txt layout; GPT-2 ships
+  * the same table as vocab.json — convert once offline). Unknown symbols
+  * encode as -1 so `size(bpe_encode(..)) == bpe_token_count(..)` always.
+  * Both path arguments must be constant strings. */
+case class BpeEncode(first: Expression, second: Expression,
+                     third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, StringType, StringType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType, StringType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "bpe_encode merges/vocab paths must be constant strings")
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode requires (string, string, string), got " +
+          s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+  override protected def nullSafeEval(text: Any, merges: Any,
+                                      vocab: Any): Any =
+    BpeUtil.encode(text.asInstanceOf[UTF8String],
+      merges.asInstanceOf[UTF8String], vocab.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, m, v) => s"graft.expressions.BpeUtil.encode($t, $m, $v)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BpeEncode =
+    copy(first = f, second = s, third = t)
+}
+
 object Bpe {
 
   /** Column form of `bpe_token_count` (requires [[register]] first) —
@@ -149,12 +241,25 @@ object Bpe {
     org.apache.spark.sql.functions.call_function("bpe_token_count", text,
       org.apache.spark.sql.functions.lit(mergesPath))
 
-  def register(spark: SparkSession): Unit =
+  /** Column form of `bpe_encode` (requires [[register]] first). */
+  def encodeIds(text: org.apache.spark.sql.Column, mergesPath: String,
+                vocabPath: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("bpe_encode", text,
+      org.apache.spark.sql.functions.lit(mergesPath),
+      org.apache.spark.sql.functions.lit(vocabPath))
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
       (children: Seq[Expression]) =>
         BpeTokenCount(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) =>
+        BpeEncode(children.head, children(1), children(2)))
+  }
 
   /** Offline merge learning on a bounded driver-side sample — the same
     * train-on-sample contract as the IVF k-means fit (Similarity.scala):

@@ -18,7 +18,8 @@ object Catalog {
       VectorQueries.all ++
       EventQueries.all ++
       CurationQueries.all ++
-      ApproxQueries.all
+      ApproxQueries.all ++
+      TokenQueries.all
 
   /** Flagship query (driver smoke at sf0.001): the rating_slide analog
     * (SURVEY.md §7.2) — scan → filter → agg → distributed rank → full-outer

@@ -1,0 +1,175 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+import graft.expressions.Bpe
+import graft.operators.Packing
+
+/** Driver-gated queries for BPE token-id encoding and packed token export
+  * — the artifact a pretraining pipeline actually ships: documents →
+  * `bpe_encode` id arrays → budget-packed bins → per-bin packed id
+  * stream, every id hash-gated.
+  *
+  * The fixture vocabulary is tiny but REAL: a well-formed merges table
+  * (every composite symbol is created before any merge consumes it) in
+  * the published GPT-2 merges.txt format, and a one-symbol-per-line
+  * vocab in the BERT vocab.txt layout (line number = id). Well-formedness
+  * is what makes the DuckDB replay exact: for a well-formed table, BPE's
+  * lowest-rank-present merge loop is equivalent to applying each merge as
+  * ONE left-to-right non-overlapping pass in rank order (a merge's
+  * output is strictly longer than either input, so a pass can never
+  * recreate its own pair, and any pair consuming a composite has higher
+  * rank than the merge that created it). The oracle unrolls exactly that:
+  * one `list_reduce` fold per merge, nested in rank order, then a
+  * map-lookup into the vocab — so one wrong id in one word of one
+  * document flips a bin hash and fails the gate.
+  *
+  * Scale shape: encoding is scan-local and codegen'd (only the fixture
+  * PATHS travel in the plan; each executor memoizes the tables once —
+  * Bpe.scala); packing is the distributed prefix sum of Packing.scala
+  * (never a single-partition window). Nothing here collects rows.
+  */
+object TokenQueries {
+
+  /** Fixture merges, rank order. Well-formed: `th` (rank 0) is created
+    * before `th e` (rank 1) consumes it; all other inputs are base
+    * characters. */
+  private[queries] val fixtureMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("a", "t"),
+    ("e", "n"), ("t", "i"))
+
+  /** Fixture vocab: printable ASCII base symbols (space excluded — words
+    * never contain it), then merge outputs in rank order. Line number =
+    * token id. */
+  private[queries] val fixtureVocab: Seq[String] =
+    (33 to 126).map(_.toChar.toString) ++
+      fixtureMerges.map { case (a, b) => a + b }
+
+  /** Materialize a fixture to a deterministic path under java.io.tmpdir
+    * (queries run in the driver JVM; on a real cluster the same files
+    * ship via SparkContext.addFile — Bpe.scala scaladoc). */
+  private def materialize(name: String, lines: Seq[String]): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), name)
+    Files.write(p, lines.asJava, StandardCharsets.UTF_8)
+    p.toString
+  }
+
+  private lazy val mergesPath: String = materialize(
+    "graft_bpe_fixture_merges.txt",
+    fixtureMerges.map { case (a, b) => s"$a $b" })
+
+  private lazy val vocabPath: String = materialize(
+    "graft_bpe_fixture_vocab.txt", fixtureVocab)
+
+  private def sq(s: String): String = s.replace("'", "''")
+
+  /** DuckDB fragment: the unrolled BPE merge loop over `word` — one
+    * left-to-right fold per merge, nested in rank order (see class doc
+    * for why that equals the lowest-rank-present loop). Distinct lambda
+    * variable names per level keep nested scopes unambiguous. */
+  private lazy val sqlParts: String =
+    fixtureMerges.zipWithIndex.foldLeft("string_split(word, '')") {
+      case (inner, ((a, b), i)) =>
+        s"""list_reduce(list_transform($inner, s$i -> [s$i]),
+           |  (a$i, x$i) -> CASE WHEN a$i[-1] = '${sq(a)}' AND x$i[1] = '${sq(b)}'
+           |                THEN a$i[:-2] || ['${sq(a + b)}'] ELSE a$i || x$i END)"""
+          .stripMargin
+    }
+
+  /** DuckDB CTEs shared by both gates: documents → per-word id lists →
+    * per-document id arrays (empty array for a doc with no words, exactly
+    * like the Spark expression). */
+  private lazy val sqlDocIds: String = {
+    val vocabValues = fixtureVocab.zipWithIndex
+      .map { case (s, i) => s"('${sq(s)}', $i)" }.mkString(", ")
+    s"""vocab(sym, id) AS (VALUES $vocabValues),
+       |vm AS (SELECT map(list(sym ORDER BY id), list(id ORDER BY id)) AS m
+       |       FROM vocab),
+       |wsrc AS (SELECT doc_id,
+       |                list_filter(string_split_regex(text, '\\s+'),
+       |                            w -> w <> '') AS ws
+       |         FROM documents),
+       |words AS (SELECT doc_id, unnest(ws) AS word,
+       |                 unnest(range(1, len(ws) + 1)) AS widx
+       |          FROM wsrc),
+       |wids AS (SELECT doc_id, widx,
+       |                list_transform($sqlParts,
+       |                  p -> coalesce(map_extract(vm.m, p)[1], -1)) AS ids
+       |         FROM words, vm),
+       |doc_ids AS (SELECT d.doc_id,
+       |                   coalesce(i.ids, CAST([] AS INT[])) AS ids
+       |            FROM documents d
+       |            LEFT JOIN (SELECT doc_id,
+       |                              flatten(list(ids ORDER BY widx)) AS ids
+       |                       FROM wids GROUP BY doc_id) i
+       |              USING (doc_id))""".stripMargin
+  }
+
+  /** Spark side shared by both gates: doc_id, ids, w. */
+  private def encoded(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    Bpe.register(s)
+    t(s, dir, "documents").select(col("doc_id"),
+        Bpe.encodeIds(col("text"), mergesPath, vocabPath).as("ids"))
+      .withColumn("w", size(col("ids")).cast("long"))
+  }
+
+  /** md5 of a space-joined int array (Spark side). */
+  private def idsMd5(ids: Column): Column =
+    md5(array_join(transform(ids, _.cast("string")), " "))
+
+  val all: Seq[Q] = Seq(
+
+    // Real-BPE encoding to token ids, per document: id-stream md5 +
+    // token count. The oracle replays the entire merge loop and vocab
+    // lookup in SQL — a single mis-merged pair or mis-mapped id in any
+    // document fails the hash.
+    Q("q_bpe_encode",
+      s"""WITH $sqlDocIds
+         |SELECT doc_id, CAST(len(ids) AS INT) AS n_tok,
+         |       md5(array_to_string(list_transform(ids,
+         |             i -> CAST(i AS VARCHAR)), ' ')) AS ids_md5
+         |FROM doc_ids ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      encoded(s, dir)
+        .select(col("doc_id"), size(col("ids")).as("n_tok"),
+          idsMd5(col("ids")).as("ids_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Packed token export — the training-shard artifact: id arrays laid
+    // out in deterministic doc_id order, cut into 512-token bins by the
+    // distributed prefix-sum packer, and each bin's PACKED ID STREAM
+    // hashed. This is q_export_pack upgraded from "bins of counted docs"
+    // to the actual token payload a trainer reads.
+    Q("q_export_tokens",
+      s"""WITH $sqlDocIds,
+         |p AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS w,
+         |             CAST(sum(len(ids)) OVER (
+         |               ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |               AS BIGINT) AS cum
+         |      FROM doc_ids),
+         |b AS (SELECT doc_id, ids, w, (cum - w) // 512 AS bin FROM p)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(w) AS BIGINT) AS total_w,
+         |       md5(array_to_string(list_transform(
+         |             flatten(list(ids ORDER BY doc_id)),
+         |             i -> CAST(i AS VARCHAR)), ' ')) AS ids_md5
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val packed = Packing.packByBudget(encoded(s, dir),
+        Seq(col("doc_id")), "w", 512L)
+      packed.groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("total_w"),
+          idsMd5(flatten(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+            _.getField("ids")))).as("ids_md5"))
+        .orderBy("bin")
+    },
+  )
+}

@@ -77,6 +77,46 @@ class BpeSpec extends SparkSpec {
     assert(worst <= 10.0, s"worst-case doc ratio $worst exceeds bound")
   }
 
+  private def vocabFile(symbols: Seq[String]): String = {
+    val f = Files.createTempFile("graft_vocab", ".txt")
+    Files.writeString(f, symbols.mkString("\n") + "\n")
+    f.toString
+  }
+
+  test("bpe_encode emits the id sequence the merge loop implies") {
+    // vocab line number = id: l=0 o=1 w=2 e=3 r=4 n=5 lo=6 low=7 er=8
+    val mp = mergesFile(Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+    val vp = vocabFile(Seq("l", "o", "w", "e", "r", "n", "lo", "low", "er"))
+    Bpe.register(spark)
+    def ids(t: String): Seq[Int] =
+      Seq(t).toDF("t")
+        .select(expr(s"bpe_encode(t, '$mp', '$vp')").as("ids"))
+        .as[Seq[Int]].head()
+    assert(ids("lower") == Seq(7, 8))            // low er
+    assert(ids("newer") == Seq(5, 3, 2, 8))      // n e w er
+    assert(ids("low lower") == Seq(7, 7, 8))     // words concatenate
+    assert(ids("") == Seq.empty)
+    // unknown surviving symbol -> -1, stream length still == token count
+    assert(ids("lox") == Seq(6, -1))             // lo + x (x not in vocab)
+  }
+
+  test("size(bpe_encode) == bpe_token_count on corpus text") {
+    val docs = graft.engine.Tables.t(spark, sf001, "documents")
+      .select("text").limit(100).as[String].collect().toSeq
+    val merges = Bpe.learnMerges(docs, 120)
+    val mp = mergesFile(merges)
+    // vocab covering base chars + merge outputs (coverage doesn't matter
+    // for the length invariant — unknowns encode as -1, not dropped)
+    val vp = vocabFile((33 to 126).map(_.toChar.toString) ++
+      merges.map { case (a, b) => a + b })
+    Bpe.register(spark)
+    val mismatches = graft.engine.Tables.t(spark, sf001, "documents")
+      .select(expr(s"size(bpe_encode(text, '$mp', '$vp'))").as("n_ids"),
+        expr(s"bpe_token_count(text, '$mp')").as("n_tok"))
+      .where(col("n_ids") =!= col("n_tok")).count()
+    assert(mismatches == 0)
+  }
+
   test("null text propagates, bad path fails loudly") {
     val path = mergesFile(Seq(("e", "r")))
     Bpe.register(spark)
