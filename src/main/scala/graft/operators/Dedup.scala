@@ -320,6 +320,97 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Matched-POSITION form of [[substringDupSpans]]: every winnowed
+    * fingerprint position on the HIGHER-id side of a qualifying pair
+    * (n_shared >= minShared), distinct per (id, pos) — the raw material
+    * for multi-interval span removal, where the per-pair min/max of
+    * [[substringDupSpans]] is too coarse (two duplicated passages with
+    * unique text between them must NOT collapse to one cut). Same
+    * fingerprinting, hot-value cap, and bucket join; one extra
+    * (id1, id2) aggregation to apply the minShared qualification, then a
+    * semi join back — both ride the pair exchange. */
+  def substringDupPositions(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 12, w: Int = 8, minShared: Int = 2,
+                            maxBucket: Int = 1000): DataFrame = {
+    require(k > 0 && w > 0, s"k ($k) and w ($w) must be positive")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    graft.expressions.Winnow.register(df.sparkSession)
+    val fps = df.select(col(idCol).as("id"),
+        explode(expr(s"winnow_fingerprint_pos(${q(textCol)}, $k, $w)"))
+          .as("u"))
+      .select(col("id"), col("u.fp").as("fp"), col("u.pos").as("pos"))
+      .transform(tracked)
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("id", "pos")
+    val capped = fps
+      .withColumn("__fn", row_number().over(capW))
+      .where(col("__fn") <= maxBucket)
+      .drop("__fn")
+    val matched = capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("b.pos").as("pos"))
+      .transform(tracked)
+    val qual = matched.groupBy("id1", "id2")
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minShared)
+      .drop("__n")
+    matched.join(qual, Seq("id1", "id2"), "left_semi")
+      .select(col("id2").as("id"), col("pos"))
+      .distinct()
+  }
+
+  /** Multi-interval span removal: cluster a document's matched
+    * fingerprint positions into ISLANDS (a gap > k + w - 1 — farther
+    * than one winnow window can reach — starts a new island), cut each
+    * island's covered range [lo, hi + k - 1] separately, and keep every
+    * inter-island segment. This is the correct general form of targeted
+    * removal: two duplicated passages at opposite ends of a document
+    * lose only themselves, not the unique text between them.
+    *
+    * Output: (id, n_islands, clean) for documents that had at least one
+    * matched position.
+    *
+    * Scale shape: islands are a gaps-and-islands window PARTITIONED BY
+    * document (never global); the surgery is one join back to the text
+    * and one per-document aggregation assembling kept segments in
+    * island order — every step keyed by document id, so the whole
+    * operator is one doc-id exchange after the positions input. */
+  def removeMatchedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         positions: DataFrame,
+                         k: Int = 12, w: Int = 8): DataFrame = {
+    require(k > 0 && w > 0, s"k ($k) and w ($w) must be positive")
+    val g = k + w - 1
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val isl = positions
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(byPos) > g, 1).otherwise(0))
+      .withColumn("__isl", sum("__brk").over(byPos))
+      .groupBy("id", "__isl")
+      .agg(min("pos").as("lo"), max("pos").as("hi"))
+    val byLo = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("lo")
+    // kept segment BEFORE each island: [prev island's cut end, lo);
+    // the first island keeps the document prefix (prev end = 0)
+    val segs = isl
+      .withColumn("st", coalesce(lag("hi", 1).over(byLo) + k, lit(0)))
+      .join(docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        "id")
+      .withColumn("kept", expr(s"substring(__text, st + 1, lo - st)"))
+    segs.groupBy("id")
+      .agg(count(lit(1)).cast("int").as("n_islands"),
+        collect_list(struct(col("lo"), col("kept"))).as("__ks"),
+        max("hi").as("__mx"), first("__text").as("__text"))
+      .select(col("id"), col("n_islands"),
+        concat(
+          array_join(transform(array_sort(col("__ks")),
+            _.getField("kept")), ""),
+          expr(s"substring(__text, __mx + $k + 1)")).as("clean"))
+  }
+
   /** C4-style CORPUS-LEVEL segment dedup: every distinct `segWords`-word
     * segment is kept exactly once across the whole corpus (first owner by
     * (id, position) order — the C4 preprocessing rule "keep one occurrence

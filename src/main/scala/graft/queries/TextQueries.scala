@@ -408,6 +408,115 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Multi-interval span removal — the general form of the gate above:
+    // matched fingerprint positions cluster into ISLANDS (gap > k+w-1 =
+    // 19 starts a new one) and each island is cut separately, so a
+    // document carrying TWO duplicated passages with unique text between
+    // them keeps the middle. The fixture plants exactly that: synthetic
+    // docs made of two chunks copied from a source doc wrapped around a
+    // per-doc-unique md5 marker; the oracle replays fingerprinting,
+    // pair qualification, island clustering (gaps-and-islands windows),
+    // and the multi-cut surgery — island counts, cleaned lengths, and
+    // cleaned md5s are all hash-gated, so a collapsed-to-one-range cut
+    // (which would delete the unique middle) fails immediately.
+    Q("q_dedup_span_removal_multi", {
+      val horner = (lo: String, hi: String) =>
+        s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           |       list_transform(range($lo, $hi),
+           |         i -> CAST(ord(text[i]) AS HUGEINT))),
+           |     (h, c) -> (h * 257 + c) % 2305843009213693951) AS BIGINT)"""
+          .stripMargin
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |         substr(text, 1, 90) || ' <<' ||
+         |         md5(CAST(doc_id AS VARCHAR)) || '>> ' ||
+         |         substr(text, 120, 90)
+         |  FROM documents WHERE doc_id < 40 AND length(text) >= 250),
+         |h AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(text) < 12
+         |              THEN [${horner("1", "length(text) + 1")}]
+         |              ELSE list_transform(range(1, length(text) - 10),
+         |                     p -> ${horner("p", "p + 12")})
+         |         END AS hs
+         |  FROM aug),
+         |f AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(hs) <= 8
+         |              THEN [{'fp': list_aggregate(hs, 'min'),
+         |                     'pos': list_position(hs,
+         |                              list_aggregate(hs, 'min')) - 1}]
+         |              ELSE list_transform(range(1, len(hs) - 6),
+         |                     q -> {'fp': list_aggregate(hs[q:q+7],
+         |                                   'min'),
+         |                           'pos': q + list_position(hs[q:q+7],
+         |                                    list_aggregate(hs[q:q+7],
+         |                                      'min')) - 2})
+         |         END AS fps
+         |  FROM h),
+         |e AS (SELECT doc_id, unnest(fps) AS u FROM f),
+         |x AS (SELECT DISTINCT doc_id, u.fp AS fp,
+         |             CAST(u.pos AS INT) AS pos
+         |      FROM e),
+         |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM x a JOIN x b
+         |           ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2 HAVING count(*) >= 2),
+         |pos2 AS (SELECT DISTINCT b.doc_id AS doc_id, b.pos AS pos
+         |         FROM x a JOIN x b
+         |           ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |         JOIN pair p ON p.id1 = a.doc_id AND p.id2 = b.doc_id),
+         |brk AS (SELECT doc_id, pos,
+         |               CASE WHEN pos - lag(pos) OVER (
+         |                      PARTITION BY doc_id ORDER BY pos) > 19
+         |                    THEN 1 ELSE 0 END AS b
+         |        FROM pos2),
+         |lbl AS (SELECT doc_id, pos,
+         |               sum(b) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                 AS isl
+         |        FROM brk),
+         |isl AS (SELECT doc_id, isl, min(pos) AS lo, max(pos) AS hi
+         |        FROM lbl GROUP BY 1, 2),
+         |seg AS (SELECT doc_id, lo, hi,
+         |               coalesce(lag(hi) OVER (
+         |                 PARTITION BY doc_id ORDER BY lo), -12) + 12
+         |                 AS st
+         |        FROM isl),
+         |kseg AS (SELECT s.doc_id, s.lo,
+         |                substr(a.text, s.st + 1, s.lo - s.st) AS kept
+         |         FROM seg s JOIN aug a USING (doc_id)),
+         |ni AS (SELECT doc_id, CAST(count(*) AS INT) AS n_islands,
+         |              max(hi) AS mx
+         |       FROM isl GROUP BY doc_id),
+         |cln AS (SELECT k.doc_id,
+         |               string_agg(kept, '' ORDER BY lo) ||
+         |                 substr(a.text, max(n.mx) + 13) AS clean,
+         |               max(n.n_islands) AS n_islands
+         |        FROM kseg k JOIN aug a USING (doc_id)
+         |        JOIN ni n USING (doc_id)
+         |        GROUP BY k.doc_id, a.text)
+         |SELECT doc_id, n_islands, CAST(length(clean) AS INT) AS clean_n,
+         |       md5(clean) AS clean_md5
+         |FROM cln ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val aug = docs.select("doc_id", "text").union(
+        docs.where(col("doc_id") < 40 && length(col("text")) >= 250)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(substring(col("text"), 1, 90), lit(" <<"),
+              md5(col("doc_id").cast("string")), lit(">> "),
+              substring(col("text"), 120, 90)).as("text")))
+      val posns = Dedup.substringDupPositions(aug, "doc_id", "text",
+        k = 12, w = 8, minShared = 2)
+      Dedup.removeMatchedSpans(aug, "doc_id", "text", posns, k = 12, w = 8)
+        .select(col("id").as("doc_id"), col("n_islands"),
+          length(col("clean")).as("clean_n"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // C4-style corpus-level segment dedup: each distinct 10-word segment
     // survives once corpus-wide (first (doc, position) owner); the gate
     // pins per-doc totals, survivors, AND the md5 of the rebuilt

@@ -156,6 +156,37 @@ class DedupSpec extends SparkSpec {
       s"b_max_pos ${r.getInt(6)} beyond the passage on the copy side")
   }
 
+  test("removeMatchedSpans cuts each duplicated passage separately, " +
+      "keeping the unique middle") {
+    // doc 2 copies TWO passages from doc 1, separated by unique text —
+    // the single-min-max form would excise the middle along with them
+    val p1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val p2 = "one two three four five six seven eight nine ten"
+    val middle = " THIS UNIQUE MIDDLE MUST SURVIVE THE SURGERY "
+    val corpus = Seq(
+      (1L, s"$p1 and some more source text follows here $p2"),
+      (2L, s"$p1$middle$p2"))
+      .toDF("doc_id", "text")
+    val posns = Dedup.substringDupPositions(corpus, "doc_id", "text",
+      k = 12, w = 8, minShared = 1)
+    // positions land on doc 2 (higher id) in two clusters
+    val ps = posns.as[(Long, Int)].collect()
+    assert(ps.forall(_._1 == 2L), s"positions on wrong side: ${ps.toSeq}")
+    val cleaned = Dedup.removeMatchedSpans(corpus, "doc_id", "text",
+        posns, k = 12, w = 8)
+      .collect()
+    assert(cleaned.length == 1)
+    val r = cleaned.head
+    assert(r.getLong(0) == 2L)
+    assert(r.getInt(1) == 2, s"expected 2 islands, got ${r.getInt(1)}")
+    val clean = r.getString(2)
+    assert(clean.contains("UNIQUE MIDDLE MUST SURVIVE"),
+      s"unique middle lost: '$clean'")
+    assert(!clean.contains("gamma delta epsilon") &&
+      !clean.contains("four five six"),
+      s"duplicated passage survived the cut: '$clean'")
+  }
+
   test("dedupCorpusSegments keeps each segment once, first owner wins") {
     // 2-word segments: doc 1 = [a b][c d], doc 2 = [c d][e f] (shares
     // "c d"), doc 3 = all-duplicate content of doc 1
