@@ -2,14 +2,18 @@ package graft.multimodal
 
 /** Pure-JVM image header codec — the REAL (non-fake) part of the
   * multimodal decode seam: extracts pixel dimensions from actual encoded
-  * bytes for the two formats whose headers are trivially parseable
-  * without a pixel codec.
+  * bytes for the formats whose headers are parseable without a pixel
+  * codec.
   *
   *   - PNG: 8-byte signature, then the IHDR chunk — width/height as
   *     big-endian uint32 at offsets 16/20 (PNG spec §5.2, §11.2.2).
   *   - BMP: "BM" magic, BITMAPINFOHEADER (DIB size ≥ 40) — width/height
   *     as little-endian int32 at offsets 18/22; negative height means
   *     top-down row order, magnitude is the pixel height.
+  *   - JPEG: SOI, then a marker-segment walk to the first SOFn frame
+  *     header, which carries height/width as big-endian uint16
+  *     (ITU-T T.81 §B.2.2) — unlike the fixed-offset formats, dimensions
+  *     sit at a data-dependent offset behind APPn/DQT/DHT segments.
   *
   * Parsing is header-only and allocation-free: exactly what a 100 TB
   * metadata-extraction scan should do (no pixel decode, no buffering the
@@ -55,8 +59,49 @@ object ImageCodec {
     else Some(ImageMeta("bmp", w, math.abs(h)))
   }
 
+  /** JPEG: SOI marker, then a segment walk — skip every variable-length
+    * segment (APPn, DQT, DHT, COM, ...) by its big-endian length field
+    * until a frame header SOFn (C0-CF except C4 DHT / C8 JPG / CC DAC)
+    * whose payload carries precision(1), height(2 BE), width(2 BE)
+    * (ITU-T T.81 §B.2.2). Height 0 is legal-but-deferred in the spec
+    * (DNL); treated as unparseable here. Stops at SOS/EOI — dimensions
+    * after the scan starts would mean a malformed stream. */
+  def parseJpeg(b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // lost marker alignment
+      // optional fill bytes: any number of FFs may precede a marker
+      while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 3 >= b.length) return None
+      val marker = b(i + 1) & 0xff
+      marker match {
+        case 0x01 | 0xd8 => i += 2 // TEM / (stray) SOI: standalone
+        case m if m >= 0xd0 && m <= 0xd7 => i += 2 // RSTn: standalone
+        case 0xd9 | 0xda => return None // EOI / SOS before any SOF
+        case m if m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          // SOFn: len(2) precision(1) height(2) width(2) ...
+          if (i + 8 >= b.length) return None
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          if (len < 8) return None
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return if (w < 1 || h < 1) None
+          else Some(ImageMeta("jpeg", w, h))
+        case _ =>
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          if (len < 2) return None
+          i += 2 + len
+      }
+    }
+    None
+  }
+
   def parse(b: Array[Byte]): Option[ImageMeta] =
-    if (b == null) None else parsePng(b).orElse(parseBmp(b))
+    if (b == null) None
+    else parsePng(b).orElse(parseBmp(b)).orElse(parseJpeg(b))
 
   // ---- encoders (header-only synthetic assets for fixtures/round-trip) --
 
@@ -83,6 +128,30 @@ object ImageCodec {
     putLe32(out, 14, 40)        // BITMAPINFOHEADER
     putLe32(out, 18, width)
     putLe32(out, 22, height)
+    out
+  }
+
+  /** Minimal JPEG prefix (SOI + 16-byte JFIF APP0 + single-component
+    * SOF0 with dims) + `pad` filler bytes: 33 + pad bytes — a segment
+    * walk must skip APP0 by length to reach the SOF. */
+  def buildJpeg(width: Int, height: Int, pad: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && pad >= 0)
+    require(width <= 0xffff && height <= 0xffff,
+      s"JPEG dims are uint16, got ${width}x$height")
+    val out = new Array[Byte](33 + pad)
+    out(0) = 0xff.toByte; out(1) = 0xd8.toByte // SOI
+    out(2) = 0xff.toByte; out(3) = 0xe0.toByte // APP0
+    out(4) = 0; out(5) = 16                    // APP0 length (incl. itself)
+    out(6) = 'J'; out(7) = 'F'; out(8) = 'I'; out(9) = 'F'; out(10) = 0
+    out(11) = 1; out(12) = 1                   // JFIF 1.1
+    // bytes 13-19: density/thumbnail fields, zero is valid
+    out(20) = 0xff.toByte; out(21) = 0xc0.toByte // SOF0
+    out(22) = 0; out(23) = 11                  // SOF length: baseline, 1 comp
+    out(24) = 8                                // precision
+    out(25) = (height >>> 8).toByte; out(26) = height.toByte
+    out(27) = (width >>> 8).toByte; out(28) = width.toByte
+    out(29) = 1                                // 1 component
+    out(30) = 1; out(31) = 0x11; out(32) = 0   // comp id/sampling/quant
     out
   }
 

@@ -57,12 +57,13 @@ object Multimodal {
     (checksum, feat)
   }
 
-  /** Image payloads with REAL encoded headers: even ids get a BMP, odd
-    * ids a PNG (dimensions from the same doc-derived formula as
-    * [[mediaFromDocuments]], plus `doc_id % 32` filler bytes). The bytes
-    * are genuine format headers — [[decodeImageMeta]] must invert this
-    * builder through actual parsing, which the `q_multimodal_meta` gate
-    * pins end-to-end. */
+  /** Image payloads with REAL encoded headers: ids rotate BMP / PNG /
+    * JPEG by `doc_id % 3` (dimensions from the same doc-derived formula
+    * as [[mediaFromDocuments]], plus `doc_id % 32` filler bytes). The
+    * bytes are genuine format headers — the JPEG even requires a segment
+    * walk past its APP0 to reach the SOF — so [[decodeImageMeta]] must
+    * invert this builder through actual parsing, which the
+    * `q_multimodal_meta` gate pins end-to-end. */
   def syntheticImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -72,9 +73,11 @@ object Multimodal {
       .as[(Long, Int, Int)]
       .map { case (id, w, h) =>
         val pad = (id % 32).toInt
-        val payload =
-          if (id % 2 == 0) ImageCodec.buildBmp(w, h, pad)
-          else ImageCodec.buildPng(w, h, pad)
+        val payload = (id % 3) match {
+          case 0 => ImageCodec.buildBmp(w, h, pad)
+          case 1 => ImageCodec.buildPng(w, h, pad)
+          case _ => ImageCodec.buildJpeg(w, h, pad)
+        }
         (id, payload)
       }.toDF("media_id", "payload")
   }

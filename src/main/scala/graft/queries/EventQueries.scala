@@ -193,20 +193,23 @@ object EventQueries {
     },
 
     // Multimodal metadata via REAL byte parsing: image payloads are built
-    // as genuine PNG/BMP headers (ImageCodec.buildPng/buildBmp — actual
-    // signature + IHDR / BITMAPINFOHEADER bytes), then decodeImageMeta
-    // parses those bytes back in the mapPartitions seam. The oracle knows
-    // only the dimension FORMULA — it matches iff encode→parse round-trips
-    // exactly (a header off-by-one or endianness slip fails the gate).
+    // as genuine PNG/BMP/JPEG headers (ImageCodec.buildPng/buildBmp/
+    // buildJpeg — actual signature + IHDR / BITMAPINFOHEADER / JFIF+SOF0
+    // bytes), then decodeImageMeta parses those bytes back in the
+    // mapPartitions seam; the JPEG path exercises the SOFn segment walk
+    // (APP0 must be skipped by its length field to reach the frame
+    // header). The oracle knows only the dimension FORMULA — it matches
+    // iff encode→parse round-trips exactly (a header off-by-one,
+    // endianness slip, or mis-skipped segment fails the gate).
     // Scale: header-only parse, scan-local, no shuffle.
     Q("q_multimodal_meta",
       """SELECT doc_id AS media_id,
-        |       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END
+        |       (['bmp', 'png', 'jpeg'])[CAST(doc_id % 3 + 1 AS INT)]
         |         AS format,
         |       CAST(doc_id % 640 + 16 AS INT) AS width,
         |       CAST(doc_id % 480 + 16 AS INT) AS height,
-        |       CAST((CASE WHEN doc_id % 2 = 0 THEN 26 ELSE 24 END)
-        |            + doc_id % 32 AS INT) AS n_bytes
+        |       CAST((CASE doc_id % 3 WHEN 0 THEN 26 WHEN 1 THEN 24
+        |             ELSE 33 END) + doc_id % 32 AS INT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
       import graft.multimodal.Multimodal
       Multimodal.decodeImageMeta(

@@ -116,11 +116,34 @@ class MultimodalSpec extends SparkSpec {
       .contains(ImageCodec.ImageMeta("png", 1, 1)))
     // corruption: truncated, wrong magic, zero dims → None, never garbage
     assert(ImageCodec.parse(realPng.take(20)).isEmpty)
-    assert(ImageCodec.parse("JFIF-not-supported-here!!".getBytes).isEmpty)
+    assert(ImageCodec.parse("JFIF-text-without-SOI!!!!".getBytes).isEmpty)
     assert(ImageCodec.parse(ImageCodec.buildPng(1, 1).updated(19, 0.toByte)
       .updated(16, 0.toByte).updated(17, 0.toByte).updated(18, 0.toByte))
       .isEmpty)
     assert(ImageCodec.parse(null).isEmpty)
+  }
+
+  test("ImageCodec walks JPEG segments to the SOF and rejects malformed streams") {
+    import graft.multimodal.ImageCodec
+    assert(ImageCodec.parse(ImageCodec.buildJpeg(1280, 720, pad = 7))
+      .contains(ImageCodec.ImageMeta("jpeg", 1280, 720)))
+    // extra variable-length segments before the SOF must be skipped by
+    // their length fields: splice a DQT (FF DB, len 67) and a COM
+    // (FF FE, len 5) between APP0 and SOF0
+    val base = ImageCodec.buildJpeg(321, 123)
+    val dqt = Array(0xff, 0xdb, 0x00, 0x43).map(_.toByte) ++
+      new Array[Byte](0x43 - 2)
+    val com = Array(0xff, 0xfe, 0x00, 0x05, 'g', 'r', 'f').map(_.toByte)
+    val spliced = base.take(20) ++ dqt ++ com ++ base.drop(20)
+    assert(ImageCodec.parseJpeg(spliced)
+      .contains(ImageCodec.ImageMeta("jpeg", 321, 123)))
+    // truncated mid-walk, SOS before any SOF, and zero dims → None
+    assert(ImageCodec.parseJpeg(base.take(21)).isEmpty)
+    val sosFirst = base.take(20) ++
+      Array(0xff, 0xda, 0x00, 0x02).map(_.toByte) ++ base.drop(20)
+    assert(ImageCodec.parseJpeg(sosFirst).isEmpty)
+    assert(ImageCodec.parseJpeg(
+      base.updated(27, 0.toByte).updated(28, 0.toByte)).isEmpty)
   }
 
   test("decodeImageMeta parses real bytes and surfaces unparseable rows as null") {

@@ -210,6 +210,10 @@ class PropertiesSpec extends SparkSpec {
       // top-down BMP: negative stored height, positive parsed magnitude
       assert(ImageCodec.parseBmp(ImageCodec.buildBmp(w, -h, pad))
         .contains(ImageCodec.ImageMeta("bmp", w, h)), s"bmp $w x -$h")
+      // JPEG dims are uint16 — clamp the generator range, same round-trip
+      val (jw, jh) = (math.min(w, 0xffff), math.min(h, 0xffff))
+      assert(ImageCodec.parse(ImageCodec.buildJpeg(jw, jh, pad))
+        .contains(ImageCodec.ImageMeta("jpeg", jw, jh)), s"jpeg $jw x $jh")
     }
   }
 
