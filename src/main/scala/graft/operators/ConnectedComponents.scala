@@ -85,4 +85,102 @@ object ConnectedComponents {
       labels
     } finally sym.unpersist() // also on the non-convergence throw
   }
+
+  /** Long-diameter variant: alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — converges in O(log n) rounds regardless of graph
+    * diameter, where [[canonicalize]]'s label propagation needs
+    * O(diameter) rounds and fails loudly on adversarial chains.
+    *
+    *   - large-star at node u: every strictly-LARGER neighbor re-attaches
+    *     to min(u ∪ N(u)) — long tails collapse toward small ids.
+    *   - small-star at node u: every smaller-or-equal neighbor (and u)
+    *     re-attaches to the minimum of that set — stars flatten.
+    *
+    * The fixed point is a star forest: every node holds an edge to its
+    * component minimum. Both steps preserve connectivity exactly (each
+    * re-attachment goes through a shared neighborhood), so the final
+    * stars ARE the components.
+    *
+    * Scale shape: each round is two groupBy-min aggregations and two
+    * joins, all keyed on node id — the same exchange family as one
+    * label-propagation round, just O(log n) of them instead of
+    * O(diameter). Edge sets are kept normalized (lo < hi, distinct);
+    * the per-round equality check is one anti-join over the previous
+    * (already-persisted) set. Same storage discipline as
+    * [[canonicalize]]: at most two edge copies live, lineage truncated
+    * every [[CheckpointEvery]] rounds.
+    *
+    * @param pairs edges as two id columns (any orientation, dups fine)
+    * @return (id, canonical) for every id appearing in `pairs` */
+  def canonicalizeDeep(pairs: DataFrame, id1Col: String = "id1",
+                       id2Col: String = "id2",
+                       maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(id1Col).as("id"))
+      .union(pairs.select(col(id2Col).as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var edges = pairs
+      .select(least(col(id1Col), col(id2Col)).as("lo"),
+        greatest(col(id1Col), col(id2Col)).as("hi"))
+      .where(col("lo") =!= col("hi")) // self loops carry no connectivity
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var nEdges = edges.count()
+      var iter = 0
+      var converged = nEdges == 0
+      while (!converged && iter < maxIter) {
+        // large-star: center every node, re-attach larger neighbors to
+        // the neighborhood min (which is <= center < neighbor, so the
+        // output pair is already (min, neighbor)-normalized)
+        val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+          .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+        val nbrMin = sym.groupBy("u").agg(min("v").as("__nm"))
+          .select(col("u"), least(col("__nm"), col("u")).as("m"))
+        val large = sym.where(col("v") > col("u"))
+          .join(nbrMin, "u")
+          .select(col("m").as("lo"), col("v").as("hi"))
+          .where(col("lo") =!= col("hi"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK) // read 3× below
+        // small-star: center the HI side of each normalized edge; its
+        // smaller neighbors (and itself) re-attach to their min
+        val smallMin = large.groupBy(col("hi").as("u"))
+          .agg(min("lo").as("m"))
+        val reattached = large
+          .join(smallMin, large("hi") === smallMin("u"))
+          .select(col("m").as("lo"), large("lo").as("hi"))
+          .where(col("lo") =!= col("hi"))
+        val centers = smallMin
+          .select(col("m").as("lo"), col("u").as("hi"))
+        // eager localCheckpoint EVERY round, not every CheckpointEvery:
+        // one alternating-star round references the prior edge set ~9
+        // times (sym twice, nbrMin, three reads of `large`), so an
+        // un-truncated lineage grows ~9^rounds and the optimizer/explain
+        // machinery blows up after a handful — and rounds are O(log n)
+        // few, so per-round truncation costs almost nothing here
+        val updated = reattached.union(centers).distinct()
+          .localCheckpoint(true)
+        val nUpdated = updated.count()
+        // distinct sets: equal counts + empty anti-join ⇒ equal sets
+        converged = nUpdated == nEdges &&
+          updated.join(edges, Seq("lo", "hi"), "left_anti").isEmpty
+        large.unpersist()
+        edges.unpersist()
+        edges = updated
+        nEdges = nUpdated
+        iter += 1
+      }
+      require(converged,
+        s"alternating-star components did not converge in $maxIter " +
+          "rounds — O(log n) bound exceeded, which indicates a bug or a " +
+          "pathological id space; raise maxIter only after inspecting")
+      // fixed point is a star forest: every non-root appears as hi with
+      // its root as lo; roots (and isolated nodes) map to themselves
+      nodes.join(edges.select(col("hi").as("id"), col("lo").as("root")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("root"), col("id")).as("canonical"))
+    } finally nodes.unpersist()
+  }
 }

@@ -804,6 +804,38 @@ object TextQueries {
         .orderBy("id")
     },
 
+    // Alternating large-star/small-star components (Kiveris et al.) on a
+    // LONG-DIAMETER graph: two planted chains of ~90 and ~60 hops —
+    // far beyond label propagation's O(diameter) budget (canonicalize
+    // aborts at maxIter=20 on these; DedupSpec pins that) — must fully
+    // collapse in O(log n) rounds. Same recursive-CTE min-reachable
+    // oracle as q_dedup_components, so the two operators are held to the
+    // identical transitive-closure contract.
+    Q("q_dedup_components_deep",
+      """WITH RECURSIVE
+        |edges AS (SELECT doc_id AS id1, doc_id + 1 AS id2
+        |          FROM documents WHERE doc_id < 90
+        |          UNION ALL
+        |          SELECT doc_id, doc_id + 1
+        |          FROM documents WHERE doc_id >= 200 AND doc_id < 260),
+        |nodes AS (SELECT id1 AS id FROM edges UNION SELECT id2 FROM edges),
+        |sym AS (SELECT id1 AS a, id2 AS b FROM edges
+        |        UNION SELECT id2, id1 FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id)
+        |SELECT id, min(r) AS canonical FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"))
+      val edges = base.where(col("doc_id") < 90)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        .union(base.where(col("doc_id") >= 200 && col("doc_id") < 260)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2")))
+      graft.operators.ConnectedComponents.canonicalizeDeep(edges)
+        .orderBy("id")
+    },
+
     // Rabin-Karp rolling-hash fingerprint (custom codegen'd expression,
     // 2^61-1 modulus) — the content-defined-chunking primitive. Oracled:
     // DuckDB replays the polynomial fold with HUGEINT intermediates

@@ -294,6 +294,38 @@ class DedupSpec extends SparkSpec {
       ConnectedComponents.canonicalize(chain, maxIter = 1).collect()
     }
   }
+
+  test("alternating-star components converge on a 100-node chain in " +
+      "O(log n) rounds where label propagation aborts") {
+    // a 100-hop path: diameter 99 >> canonicalize's maxIter=20 default —
+    // the documented adversarial case. canonicalizeDeep must finish
+    // within an O(log n) round budget (10 rounds for n=100; log2 = 6.6).
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("id1", "id2")
+      .repartition(7)
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.canonicalize(chain).collect()
+    }
+    val got = ConnectedComponents.canonicalizeDeep(chain, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 100)
+    assert((0L until 100L).forall(got(_) == 0L),
+      s"chain not fully collapsed: ${got.toSeq.sortBy(_._1).take(10)}")
+  }
+
+  test("alternating-star components agree with label propagation on " +
+      "mixed shallow graphs") {
+    // clusters + chain + self loop + isolated-pair mix, shuffled ids
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L),
+      (20L, 21L), (30L, 30L), (41L, 40L), (40L, 42L), (42L, 43L))
+      .toDF("id1", "id2").repartition(5)
+    val viaProp = ConnectedComponents.canonicalize(edges)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = ConnectedComponents.canonicalizeDeep(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaProp,
+      s"disagreement: star=$viaStar prop=$viaProp")
+    assert(viaStar(30L) == 30L) // self loop = isolated node, maps to self
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
