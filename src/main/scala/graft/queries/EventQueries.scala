@@ -192,6 +192,49 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // Batch replay of the streaming content-fingerprint ingest dedup
+    // (EventStreams.dedupByFingerprint): first arrival per normalized
+    // fingerprint wins. Arrival order here is a deterministic scramble
+    // (md5 of the id — NOT id order, so the gate can't pass by keeping
+    // min doc_id like the exact-dedup gate). The rn = 1 filter plans a
+    // partial WindowGroupLimit below the fingerprint exchange; the
+    // StreamingSpec twin asserts the streaming path makes the identical
+    // keep decisions on the same arrival order.
+    Q("q_stream_dedup_replay",
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) || '!!'
+        |  FROM documents WHERE doc_id < 50),
+        |arr AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS arrival,
+        |         md5(regexp_replace(regexp_replace(lower(text),
+        |             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
+        |  FROM aug),
+        |r AS (SELECT doc_id, fp,
+        |             row_number() OVER (PARTITION BY fp
+        |               ORDER BY arrival, doc_id) AS rn
+        |      FROM arr)
+        |SELECT doc_id, fp FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // planted crawl copies: same normalized content under new ids
+      // (case/punctuation noise a crawler would introduce) — the
+      // scrambled arrival decides each pair's winner, so the gate fails
+      // under keep-min-id semantics
+      val aug = docs.select("doc_id", "text").union(
+        docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(upper(col("text")), lit("!!")).as("text")))
+      graft.streaming.EventStreams.dedupByFingerprintReplay(
+          aug.select(col("doc_id"),
+            md5(col("doc_id").cast("string")).as("arrival"),
+            col("text")),
+          "text", arrivalCols = Seq("arrival", "doc_id"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    },
+
     // Multimodal metadata via REAL byte parsing: image payloads are built
     // as genuine PNG/BMP/JPEG headers (ImageCodec.buildPng/buildBmp/
     // buildJpeg — actual signature + IHDR / BITMAPINFOHEADER / JFIF+SOF0

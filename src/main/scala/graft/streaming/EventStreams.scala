@@ -124,6 +124,32 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Batch REPLAY of [[dedupByFingerprint]] — the auditable twin: over a
+    * bounded table with an explicit arrival order, keep exactly the
+    * FIRST row per normalized-content fingerprint (row_number = 1 in
+    * `arrivalCols` order — supply a total order; the id column as the
+    * last tiebreak makes the replay deterministic). This is what the
+    * streaming gate's semantics reduce to on a replayable log, so it
+    * both oracle-checks the streaming path and serves as the backfill
+    * form (reprocess a day's crawl with identical keep decisions).
+    *
+    * Scale shape: one window partitioned by fingerprint; the rn = 1
+    * filter plans a partial WindowGroupLimit below the exchange, so a
+    * fingerprint shared by a million crawl copies forwards one row per
+    * map task, never a hot reducer. Output: input columns plus `fp`. */
+  def dedupByFingerprintReplay(docs: DataFrame, textCol: String,
+                               arrivalCols: Seq[String]): DataFrame = {
+    require(arrivalCols.nonEmpty, "arrivalCols must supply a total order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(arrivalCols.map(col): _*)
+    docs
+      .withColumn("fp",
+        graft.functions.TextFunctions.normFingerprint(col(textCol)))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Stream-static enrichment: join the stream against a batch dimension
     * table — the canonical streaming-lookup shape (event → hub/satellite
     * attributes). The static side is re-planned per micro-batch, so a

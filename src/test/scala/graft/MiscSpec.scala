@@ -275,6 +275,20 @@ class StreamingSpec extends SparkSpec {
       val kept = spark.table("fp_dedup").select("doc_id")
         .as[Long].collect().sorted.toSeq
       assert(kept == Seq(1L, 3L), s"kept $kept")
+      // the batch replay over the same log in the same arrival order
+      // must make the identical keep decisions (the q_stream_dedup_replay
+      // gate's contract)
+      val log = Seq(
+        (1L, ts(0), "The Quick, Brown Fox!"),
+        (2L, ts(5), "the quick brown fox"),
+        (3L, ts(6), "different content entirely"),
+        (4L, ts(10), "THE QUICK  BROWN   FOX"))
+        .toDF("doc_id", "ts", "text")
+      val replay = EventStreams.dedupByFingerprintReplay(log, "text",
+          arrivalCols = Seq("ts", "doc_id"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(replay == kept,
+        s"stream kept $kept but batch replay kept $replay")
     } finally q.stop()
   }
 
