@@ -269,6 +269,41 @@ class PlanShapeSpec extends SparkSpec {
       s"winnow_fingerprints fell out of codegen:\n$plan")
   }
 
+  test("bpe_encode is a scan-local codegen'd projection") {
+    graft.expressions.Bpe.register(spark)
+    val mp = java.nio.file.Files.createTempFile("plan_merges", ".txt")
+    java.nio.file.Files.writeString(mp, "t h\nth e\n")
+    val vp = java.nio.file.Files.createTempFile("plan_vocab", ".txt")
+    java.nio.file.Files.writeString(vp, "t\nh\ne\nth\nthe\n")
+    val ids = t(spark, sf001, "documents")
+      .selectExpr("doc_id", s"bpe_encode(text, '$mp', '$vp') AS ids")
+    val plan = physical(ids)
+    assert(!plan.contains("Exchange"),
+      s"token-id encoding must not shuffle:\n$plan")
+    assert(plan.contains("*("),
+      s"bpe_encode fell out of whole-stage codegen:\n$plan")
+  }
+
+  test("fingerprint-replay dedup pushes a partial WindowGroupLimit " +
+      "below the fingerprint exchange") {
+    val plan = physical(
+      SparkEntry.queries("q_stream_dedup_replay")(spark, sf001))
+    val limits = plan.sliding("WindowGroupLimit".length)
+      .count(_ == "WindowGroupLimit")
+    assert(limits >= 2,
+      s"first-arrival filter did not push a partial WindowGroupLimit:\n$plan")
+  }
+
+  test("multi-interval span removal windows stay partitioned by document") {
+    val plan = physical(
+      SparkEntry.queries("q_dedup_span_removal_multi")(spark, sf001))
+    // gaps-and-islands + segment windows must ride doc-id partitions —
+    // a global (single-partition) window here would funnel the corpus
+    // through one task at 100 TB
+    assert(!plan.contains("SinglePartition"),
+      s"span-removal window collapsed to a single partition:\n$plan")
+  }
+
   test("vec_mean aggregates partially below the exchange") {
     graft.expressions.VecMean.register(spark)
     val plan = physical(t(spark, sf001, "embeddings")
