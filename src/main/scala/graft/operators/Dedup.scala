@@ -347,17 +347,19 @@ object Dedup {
       .withColumn("__fn", row_number().over(capW))
       .where(col("__fn") <= maxBucket)
       .drop("__fn")
-    val matched = capped.alias("a")
+    // pair qualification as a COUNT WINDOW over the pair key rather than
+    // a groupBy + semi join back: one (id1, id2) exchange instead of
+    // three (agg exchange + both semi-join sides), and no second pass
+    // over the bucket join's output
+    val pairW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1", "id2")
+    capped.alias("a")
       .join(capped.alias("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("b.pos").as("pos"))
-      .transform(tracked)
-    val qual = matched.groupBy("id1", "id2")
-      .agg(count(lit(1)).as("__n"))
+      .withColumn("__n", count(lit(1)).over(pairW))
       .where(col("__n") >= minShared)
-      .drop("__n")
-    matched.join(qual, Seq("id1", "id2"), "left_semi")
       .select(col("id2").as("id"), col("pos"))
       .distinct()
   }
