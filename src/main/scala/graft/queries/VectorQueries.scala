@@ -251,6 +251,44 @@ object VectorQueries {
           .orderBy("query_id")
     },
 
+    // Product-quantization ANN (ADC + exact re-rank) recall contract,
+    // oracle-gated exactly like q_ann_ivf_recall: per-query recall@10 of
+    // the PQ path (m=8 subspaces, 16-entry L2 codebooks per subspace,
+    // 100-candidate ADC shortlist re-ranked by exact cosine) against the
+    // brute-force baseline, flags pinned TRUE with integer-exact
+    // comparisons. Measured margins: mean 0.80/0.86/0.66 at
+    // sf0.001/0.01/0.1 (>=1.32x over the 0.5 pin); per-query min
+    // 0.6/0.8/0.4 (>=2x over the 0.2 pin). Fully deterministic: same
+    // xxhash64-bounded sample as the IVF fit, farthest-point init per
+    // subspace, fixed-iteration L2 Lloyd, rounded scores, id tiebreaks.
+    Q("q_ann_pq_recall",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.ProductQuant
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.where(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
+          .select("query_id", "cand_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val approx = ProductQuant.pqTopK(emb, qs,
+            ProductQuant.fitCodebooks(emb), k = 10, rerank = 100)
+          .select("query_id", "cand_id")
+        val hits = exact.join(approx, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        val perQuery = exact.groupBy("query_id").agg(count(lit(1)).as("n"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"), col("n"))
+        val meanFlag = perQuery.agg(
+          (sum("hits") * 2 >= sum("n")).as("mean_ok"))
+        perQuery
+          .select(col("query_id"),
+            (col("hits") * 5 >= col("n")).as("recall_ok"))
+          .crossJoin(broadcast(meanFlag))
+          .orderBy("query_id")
+    },
+
     // int8 scalar quantization of embeddings — the 4×-8× memory/IO lever
     // for ANN storage. Cosine is scale-invariant, so the quantized cosine
     // runs directly on the codes; the gate emits the code-vs-original

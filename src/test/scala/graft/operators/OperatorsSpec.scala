@@ -437,6 +437,64 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class ProductQuantSpec extends SparkSpec {
+
+  import graft.engine.Tables.t
+  import graft.operators.ProductQuant
+
+  test("PQ codes are identical for same-direction vectors and the " +
+      "planted copy tops its original's shortlist") {
+    val emb = t(spark, sf001, "embeddings")
+    val cb = ProductQuant.fitCodebooks(emb, m = 8, ks = 16)
+    // a 2x-scaled copy L2-normalizes to the same vector -> same codes
+    val base = emb.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val scaled = base.select((col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    val codes = ProductQuant.encode(base.union(scaled), cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    (0L until 5L).foreach { id =>
+      assert(codes(id) == codes(id + 1000),
+        s"codes differ for scaled copy of $id")
+    }
+    // ...and ADC+rerank surfaces the copy as the top hit
+    val top = ProductQuant.pqTopK(base.union(scaled), base, cb, k = 1,
+        rerank = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { id =>
+      assert(top(id) == id + 1000, s"copy of $id not top-1: ${top(id)}")
+    }
+  }
+
+  test("PQ fit and search are deterministic across runs and partitionings") {
+    val emb = t(spark, sf001, "embeddings")
+    val qs = emb.where(col("vec_id") < 3)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+      ProductQuant.pqTopK(df, qs, ProductQuant.fitCodebooks(df), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq.sorted
+    val a = run(emb)
+    val b = run(emb.repartition(13))
+    assert(a == b, "PQ results changed across runs/partitionings")
+  }
+
+  test("ADC shortlist + exact rerank matches brute force when the " +
+      "shortlist covers the corpus") {
+    // with rerank >= corpus size the ADC stage cannot prune away a true
+    // neighbor, so the exact re-rank must equal bruteForceTopK exactly
+    val emb = t(spark, sf001, "embeddings").where(col("vec_id") < 40)
+    val qs = emb.where(col("vec_id") < 3)
+    val cb = ProductQuant.fitCodebooks(emb)
+    val pq = ProductQuant.pqTopK(emb, qs, cb, k = 5, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(pq == brute, s"full-shortlist PQ != brute:\n$pq\nvs\n$brute")
+  }
+}
+
 class FuzzyJoinSpec extends SparkSpec {
 
   import spark.implicits._
