@@ -1,0 +1,187 @@
+package graft.queries
+
+/** DuckDB replays of the two bit-sketch pipelines that were rows-only
+  * through round 6 ("Murmur3 isn't available in DuckDB"). It is — the
+  * same way xxhash64 was for the IVF fit (IvfReplay): fixed-width modular
+  * arithmetic in HUGEINT with rotations as shift-or and 64×64-bit
+  * products split at 32 bits. Both oracles were verified row-identical to
+  * the Spark output at sf0.01 before being frozen here.
+  *
+  *   - [[simhashSql]]: Spark's Murmur3_x86_32 over token bytes (4-byte
+  *     little-endian blocks, per-byte tail mixes, fmix avalanche — the
+  *     hashUnsafeBytes variant, seeds 0x9747b28c / 0x85ebca6b exactly as
+  *     SimHashUtil packs them), the ±1 bit vote, pigeonhole banding, and
+  *     the hamming filter. Corpus ASCII makes ord(char) == byte (the
+  *     rolling-hash gate already pins that equivalence per sf dir).
+  *   - [[embedLshSql]]: the splitmix64-style plane generator of
+  *     VectorSketchUtil (note the engine's 0x9e3779b97f4b7c15 increment —
+  *     4B, not canonical splitmix's 4A; the replay mirrors the engine,
+  *     constants copied from the Scala source), sign-bit signatures with
+  *     LEFT-FOLD dot products, 11-band LSH, hamming ≤ 10, and the rounded
+  *     cosine verify — over the same planted augmented embeddings as
+  *     q_dedup_embed.
+  */
+private[queries] object SketchReplay {
+
+  private val M64 = BigInt(1) << 64
+  private val M32 = BigInt(1) << 32
+
+  /** (a*b) mod 2^32 — products of 32-bit values fit HUGEINT directly. */
+  private def mul32(a: String, b: Long): String =
+    s"(($a) * $b) % $M32"
+
+  /** (a*b) mod 2^64 via a 32-bit split (a HUGEINT square would overflow
+    * the signed 128-bit range). */
+  private def mul64(a: String, b: BigInt): String =
+    s"(((($a) // 4294967296) * $b) % 4294967296 * 4294967296" +
+      s" + ((($a) % 4294967296) * $b)) % $M64"
+
+  private def rot32(x: String, r: Int): String =
+    s"((($x) * ${1L << r}) % $M32 + ($x) // ${1L << (32 - r)}) % $M32"
+
+  /** Murmur3 mixK1 then mixH1 folded into one lambda body. */
+  private def mixStep(h: String, k: String): String = {
+    val k1 = s"(($k) * 3432918353) % $M32"                // * 0xcc9e2d51
+    val k2 = rot32(k1, 15)
+    val k3 = s"(($k2) * 461845907) % $M32"                // * 0x1b873593
+    val x = s"xor($h, $k3)"
+    s"((${rot32(x, 13)}) * 5 + 3864292196) % $M32"        // + 0xe6546b64
+  }
+
+  /** 32-bit Murmur3 of token expression `t` (ASCII string) with `seed`,
+    * as Spark's hashUnsafeBytes computes it. */
+  private def murmur32(t: String, seed: BigInt): String = {
+    val blocks =
+      s"""list_transform(range(0, length($t) // 4), i ->
+         |  CAST(ord($t[CAST(4*i+1 AS INT)]) + 256 * ord($t[CAST(4*i+2 AS INT)])
+         |       + 65536 * ord($t[CAST(4*i+3 AS INT)])
+         |       + 16777216 * ord($t[CAST(4*i+4 AS INT)]) AS HUGEINT))""".stripMargin
+    val hb = s"list_reduce(list_prepend(CAST($seed AS HUGEINT), $blocks)," +
+      s" (h, k) -> ${mixStep("h", "k")})"
+    val tail =
+      s"""list_transform(range((length($t) // 4) * 4 + 1, length($t) + 1),
+         |  j -> CAST(ord($t[CAST(j AS INT)]) AS HUGEINT))""".stripMargin
+    val ht = s"list_reduce(list_prepend($hb, $tail)," +
+      s" (h, k) -> ${mixStep("h", "k")})"
+    var h = s"xor($ht, CAST(length($t) AS HUGEINT))"
+    h = s"xor($h, ($h) // 65536)"
+    h = mul32(h, 2246822507L)                             // * 0x85ebca6b
+    h = s"xor($h, ($h) // 8192)"
+    h = mul32(h, 3266489909L)                             // * 0xc2b2ae35
+    s"xor($h, ($h) // 65536)"
+  }
+
+  /** Unsigned 64-bit token hash: (h1 << 32) | h2 like SimHashUtil. */
+  private def tokenHash64(t: String): String =
+    s"(${murmur32(t, BigInt("9747b28c", 16))}) * 4294967296" +
+      s" + (${murmur32(t, BigInt("85ebca6b", 16))})"
+
+  /** Band keys over an unsigned HUGEINT signature column `su`:
+    * `bands` bands distributed as evenly as possible over 64 bits —
+    * exactly Dedup.sigBandPairs' widths/offsets. */
+  private def bandList(su: String, bands: Int): String = {
+    val widths = Array.tabulate(bands)(b =>
+      64 / bands + (if (b < 64 % bands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until bands).map { b =>
+      s"(($su) // ${BigInt(1) << offsets(b)}) % ${BigInt(1) << widths(b)}"
+    }.mkString("[", ", ", "]")
+  }
+
+  private def toSigned64(u: String): String =
+    s"CAST(CASE WHEN ($u) >= ${BigInt(1) << 63} THEN ($u) - $M64" +
+      s" ELSE ($u) END AS BIGINT)"
+
+  /** Full q_dedup_simhash oracle: tokens → 64-bit hashes (distinct-token
+    * memoization, then re-joined so duplicates vote once per occurrence)
+    * → ±1 bit vote → 7-band LSH → hamming ≤ 6. */
+  lazy val simhashSql: String = {
+    val bands = 7 // maxHamming 6 + 1
+    s"""WITH tok AS (SELECT doc_id,
+       |              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |            FROM documents),
+       |dt AS (SELECT DISTINCT t FROM tok),
+       |th AS (SELECT t, CAST(${tokenHash64("t")} AS HUGEINT) AS hu FROM dt),
+       |dh AS (SELECT doc_id, list(hu) AS hs
+       |       FROM tok JOIN th USING (t) GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |                 list_transform(range(0, 64), b ->
+       |                   CASE WHEN 2 * len(list_filter(hs,
+       |                          h -> (h // (CAST(1 AS HUGEINT) << b)) % 2 = 1))
+       |                        > len(hs)
+       |                        THEN CAST(1 AS HUGEINT) << b
+       |                        ELSE CAST(0 AS HUGEINT) END)),
+       |                 (a, x) -> a + x) AS su
+       |        FROM dh),
+       |banded AS (SELECT doc_id, su, unnest(${bandList("su", bands)}) AS key,
+       |                  unnest(range(0, $bands)) AS band
+       |           FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |                 CAST(bit_count(xor(${toSigned64("a.su")},
+       |                                    ${toSigned64("b.su")})) AS INT)
+       |                   AS hamming
+       |          FROM banded a JOIN banded b
+       |            ON a.band = b.band AND a.key = b.key
+       |               AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 6
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** splitmix64-style mixer with the ENGINE's constants
+    * (VectorSketchUtil.mix). */
+  private def mix(z0: String): String = {
+    var z = s"(($z0) + ${BigInt("9e3779b97f4b7c15", 16)}) % $M64"
+    z = mul64(s"xor($z, ($z) // ${1L << 30})", BigInt("bf58476d1ce4e5b9", 16))
+    z = mul64(s"xor($z, ($z) // ${1L << 27})", BigInt("94d049bb133111eb", 16))
+    s"xor($z, ($z) // ${1L << 31})"
+  }
+
+  /** Full q_dedup_embed_lsh oracle: deterministic hyperplane table
+    * (64 planes × 64 dims), sign-bit signatures with left-fold dots,
+    * 11-band LSH, hamming ≤ 10, rounded-cosine ≥ 0.99 verify, over the
+    * same planted augmented embeddings as q_dedup_embed. */
+  lazy val embedLshSql: String = {
+    val bands = 11 // maxHamming 10 + 1
+    val plane = s"(((${mix("CAST(i AS HUGEINT) * 4294967296 + CAST(j AS HUGEINT)")})" +
+      s" // 2048) / 9007199254740992.0) * 2.0 - 1.0"
+    val dot = "list_reduce(list_transform(list_zip(v, pl[CAST(i + 1 AS INT)])," +
+      " z -> z[1] * z[2]), (x1, y1) -> x1 + y1)"
+    s"""WITH pt AS (SELECT i, list(g ORDER BY j) AS gs FROM (
+       |              SELECT i, j, $plane AS g
+       |              FROM range(0, 64) t1(i), range(0, 64) t2(j)) GROUP BY i),
+       |pls AS (SELECT list(gs ORDER BY i) AS pl FROM pt),
+       |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |         FROM embeddings WHERE vec_id < 50),
+       |aug AS (SELECT vec_id, v FROM base
+       |        UNION ALL
+       |        SELECT vec_id + 100000, list_transform(v, x -> x * 2.0)
+       |        FROM base WHERE vec_id < 25
+       |        UNION ALL
+       |        SELECT vec_id + 100000, list_concat([v[1] + 0.1], v[2:64])
+       |        FROM base WHERE vec_id >= 25),
+       |sig AS (SELECT vec_id, v,
+       |               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |                 list_transform(range(0, 64), i ->
+       |                   CASE WHEN $dot >= 0 THEN CAST(1 AS HUGEINT) << i
+       |                        ELSE CAST(0 AS HUGEINT) END)),
+       |                 (a, x) -> a + x) AS su
+       |        FROM aug, pls),
+       |banded AS (SELECT vec_id, v, su,
+       |                  unnest(${bandList("su", bands)}) AS key,
+       |                  unnest(range(0, $bands)) AS band
+       |           FROM sig),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+       |                a.v AS v1, b.v AS v2,
+       |                bit_count(xor(${toSigned64("a.su")},
+       |                              ${toSigned64("b.su")})) AS hamming
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.key = b.key
+       |              AND a.vec_id < b.vec_id)
+       |SELECT id1, id2, round(list_cosine_similarity(v1, v2), 4) AS cosine
+       |FROM cand
+       |WHERE hamming <= 10
+       |  AND round(list_cosine_similarity(v1, v2), 4) >= 0.99
+       |ORDER BY id1, id2""".stripMargin
+  }
+}

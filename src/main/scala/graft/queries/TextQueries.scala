@@ -672,12 +672,15 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
-    // SimHash near-dup pairs via the custom codegen'd simhash64 expression.
-    // Murmur3 isn't available in DuckDB → rows-only check here; exactness
-    // is covered by SimHashSpec (known near-dup fixtures). Radius 6 = 7
-    // bands of ≥9 bits: exact recall (pigeonhole) at ~2^-9 per-band
-    // collision cost — the sweet spot the operator's scaladoc derives.
-    Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
+    // SimHash near-dup pairs via the custom codegen'd simhash64
+    // expression. Rows-only through round 6 ("Murmur3 isn't available in
+    // DuckDB") — it is: SketchReplay.simhashSql replays Spark's
+    // Murmur3_x86_32 in HUGEINT mod-2^32 arithmetic (4-byte LE blocks,
+    // per-byte tail mixes, fmix avalanche, both seeds), the ±1 bit vote,
+    // the 7-band pigeonhole split, and the hamming filter — hash-matched
+    // row-for-row. Radius 6 = 7 bands of ≥9 bits: exact recall at ~2^-9
+    // per-band collision cost (the operator's scaladoc derivation).
+    Q("q_dedup_simhash", SketchReplay.simhashSql) { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 6)
         .orderBy("id1", "id2")

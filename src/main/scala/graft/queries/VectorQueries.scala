@@ -353,10 +353,14 @@ object VectorQueries {
     },
 
     // Embedding near-dup at scale: hyperplane sign sketch + pigeonhole
-    // banding + cosine verify. The sketch is probabilistic (no DuckDB
-    // twin) → rows-only; recall vs the exact baseline is asserted in
-    // SimilaritySpec.
-    Q.rowsOnly("q_dedup_embed_lsh") { (s, dir) =>
+    // banding + cosine verify. Rows-only through round 6 — now fully
+    // oracled: SketchReplay.embedLshSql regenerates the deterministic
+    // plane table (the engine's splitmix64-variant mixer in HUGEINT
+    // mod-2^64 arithmetic), the sign-bit signatures with left-fold dot
+    // products, the 11-band split, the hamming filter, and the rounded
+    // cosine verify — hash-matched row-for-row, so a regression in the
+    // sketch ITSELF (not just the verified output) fails the gate.
+    Q("q_dedup_embed_lsh", SketchReplay.embedLshSql) { (s, dir) =>
       Dedup.embeddingNearDupLsh(augmentedEmbeddings(s, dir), "vec_id", "v",
           threshold = 0.99, maxHamming = 10)
         .orderBy("id1", "id2")
