@@ -49,8 +49,9 @@ private[queries] object SketchReplay {
   }
 
   /** 32-bit Murmur3 of token expression `t` (ASCII string) with `seed`,
-    * as Spark's hashUnsafeBytes computes it. */
-  private def murmur32(t: String, seed: BigInt): String = {
+    * as Spark's hashUnsafeBytes computes it. Also consumed by the
+    * hashed-classifier gate (TextQueries), which buckets by this hash. */
+  private[queries] def murmur32(t: String, seed: BigInt): String = {
     val blocks =
       s"""list_transform(range(0, length($t) // 4), i ->
          |  CAST(ord($t[CAST(4*i+1 AS INT)]) + 256 * ord($t[CAST(4*i+2 AS INT)])

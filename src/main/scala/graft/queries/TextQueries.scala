@@ -21,6 +21,23 @@ object TextQueries {
   /** DuckDB fragment: lowercased whitespace tokens. */
   private[queries] val sqlToks = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** Fixture model for q_text_classifier: 64 hashed-bucket weights from a
+    * deterministic formula (6-dp values round-trip exactly through both
+    * engines' decimal parsing), positive bias so short docs lean keep.
+    * Real deployments load weights from LinearTextScore.learnWeights —
+    * the spec covers that path; the gate pins the scoring machinery. */
+  private[queries] val classifierBias: Double = 0.25
+  private[queries] val classifierWeights: Seq[Double] =
+    (0 until 64).map(i =>
+      math.rint((((i * 2654435761L) % 1000) / 1000.0 - 0.5) * 1e6) / 1e6)
+  private[queries] lazy val classifierWeightsPath: String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_classifier_weights.txt")
+    graft.expressions.LinearTextScore.writeWeights(p.toString,
+      classifierBias, classifierWeights.toArray)
+    p.toString
+  }
+
   /** DuckDB fragment mirroring TextFunctions.qualityScore (the rounded
     * composite the curriculum gates order by). */
   private[queries] lazy val sqlQuality = {
@@ -805,6 +822,44 @@ object TextQueries {
           (col("doc_id") + 200000).as("id2")))
       graft.operators.ConnectedComponents.canonicalize(edges)
         .orderBy("id")
+    },
+
+    // Hashed-feature linear classifier at scan time — the fastText-/
+    // DCLM-shaped quality/domain filter: token → Murmur3 bucket (the
+    // hashing trick, no vocabulary), logit = bias + Σ w[bucket], keep =
+    // logit > 0. One codegen'd scan-local expression per document; the
+    // weights FILE is the loadable artifact. The oracle replays the
+    // murmur bucketing (SketchReplay's mod-2^32 machinery), the weight
+    // lookup, and the IN-TOKEN-ORDER logit fold — scores hash-gated at
+    // 4 dp, not just decisions, so a one-bucket hash slip fails.
+    Q("q_text_classifier", {
+      val values = classifierWeights.zipWithIndex
+        .map { case (w, i) => s"($i, CAST($w AS DOUBLE))" }.mkString(", ")
+      val bucket = s"(${SketchReplay.murmur32("t", BigInt(42))})" +
+        s" % ${classifierWeights.size}"
+      s"""WITH w(i, wt) AS (VALUES $values),
+         |wm AS (SELECT map(list(i ORDER BY i), list(wt ORDER BY i)) AS m
+         |       FROM w),
+         |tok AS (SELECT doc_id,
+         |               list_filter(string_split_regex(trim(lower(text)),
+         |                                              '\\s+'),
+         |                           x0 -> x0 <> '') AS toks
+         |        FROM documents),
+         |lg AS (SELECT doc_id,
+         |              list_reduce(list_prepend(CAST($classifierBias AS DOUBLE),
+         |                list_transform(toks,
+         |                  t -> map_extract(wm.m, $bucket)[1])),
+         |                (a, b) -> a + b) AS z
+         |       FROM tok, wm)
+         |SELECT doc_id, round(z, 4) AS logit, z > 0 AS keep
+         |FROM lg ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.expressions.LinearTextScore.register(s)
+      val z = graft.expressions.LinearTextScore
+        .logitCol(col("text"), classifierWeightsPath)
+      t(s, dir, "documents")
+        .select(col("doc_id"), round4(z).as("logit"), (z > 0).as("keep"))
+        .orderBy("doc_id")
     },
 
     // Alternating large-star/small-star components (Kiveris et al.) on a

@@ -34,6 +34,55 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("hashed_logit matches a driver-side replay of the same model") {
+    import graft.expressions.{LinearTextScore, LinearTextScoreUtil}
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    import org.apache.spark.unsafe.types.UTF8String
+    val d = 16
+    val w = Array.tabulate(d)(i => (i - 7) * 0.125)
+    val p = java.nio.file.Files.createTempFile("cls_w", ".txt").toString
+    LinearTextScore.writeWeights(p, 0.5, w)
+    LinearTextScore.register(spark)
+    val texts = Seq("The Quick  brown FOX", "", "one", "a b c d e f g")
+    val got = texts.toDF("t")
+      .select(LinearTextScore.logitCol(col("t"), p)).as[Double]
+      .collect().toSeq
+    val expected = texts.map { t =>
+      0.5 + t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).map { tok =>
+        val u = UTF8String.fromString(tok)
+        val h = Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject,
+          u.getBaseOffset, u.numBytes(), 42)
+        w(((h.toLong & 0xffffffffL) % d).toInt)
+      }.sum
+    }
+    assert(got == expected, s"$got vs $expected")
+  }
+
+  test("learnWeights separates planted classes and round-trips through " +
+      "the weights file") {
+    import graft.expressions.LinearTextScore
+    val good = Seq("clear prose about distributed systems and storage",
+      "an explanation of query planning with careful structure",
+      "notes on partitioning large tables for fast scans")
+    val bad = Seq("buy buy buy cheap cheap click here now now",
+      "spam spam winner winner click click prize prize",
+      "cheap prize click spam winner buy now here")
+    val sample = good.map((_, true)) ++ bad.map((_, false))
+    val (bias, w) = LinearTextScore.learnWeights(sample, d = 64)
+    val p = java.nio.file.Files.createTempFile("cls_l", ".txt").toString
+    LinearTextScore.writeWeights(p, bias, w)
+    LinearTextScore.register(spark)
+    val logits = (good ++ bad).toDF("t")
+      .select(LinearTextScore.logitCol(col("t"), p)).as[Double]
+      .collect().toSeq
+    val (gl, bl) = logits.splitAt(good.size)
+    assert(gl.forall(_ > 0) && bl.forall(_ < 0),
+      s"classes not separated: good=$gl bad=$bl")
+    // determinism: a second fit is bit-identical (no RNG anywhere)
+    val (bias2, w2) = LinearTextScore.learnWeights(sample, d = 64)
+    assert(bias2 == bias && w2.toSeq == w.toSeq)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
