@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Token-budget sequence packing — the pretraining-data step that groups
@@ -81,4 +82,21 @@ object Packing {
     }
     spark.createDataFrame(packed, schema)
   }
+
+  /** Materialize packed training SHARDS: [[packByBudget]] then a parquet
+    * write PARTITIONED BY bin — one directory per training shard, so a
+    * trainer (or a resumed export job) reads exactly the shards it wants
+    * and nothing else, the same partition-pruning contract as the IVF
+    * index layout (Similarity.writeIndex). The write repartitions on bin
+    * so each shard is one task's output — shard files are contiguous,
+    * not striped across every executor's partials. Deterministic: same
+    * input + order + budget ⇒ byte-identical shard contents (PackingSpec
+    * pins it). */
+  def writeShards(df: DataFrame, order: Seq[Column], weightCol: String,
+                  budget: Long, dir: String,
+                  numPartitions: Option[Int] = None): Unit =
+    packByBudget(df, order, weightCol, budget, numPartitions)
+      .repartition(col("bin"))
+      .sortWithinPartitions(order: _*)
+      .write.mode("overwrite").partitionBy("bin").parquet(dir)
 }

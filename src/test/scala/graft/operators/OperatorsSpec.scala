@@ -596,6 +596,35 @@ class PackingSpec extends SparkSpec {
     val bins = packed.map(_._3).distinct.sorted
     assert(bins.sameElements(bins.head to bins.last))
   }
+
+  test("writeShards materializes one directory per bin with " +
+      "deterministic contents") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 23).toLong + 1))
+      .toDF("id", "w").repartition(7)
+    def writeAndFingerprint(dir: String): (Set[String], Seq[(Long, String)]) = {
+      Packing.writeShards(df, Seq(col("id")), "w", 150L, dir)
+      val binDirs = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      val perBin = spark.read.parquet(dir)
+        .groupBy("bin")
+        .agg(md5(concat_ws(",", sort_array(collect_list(
+          concat_ws(":", col("id"), col("w")))))).as("fp"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      (binDirs, perBin)
+    }
+    val t1 = java.nio.file.Files.createTempDirectory("shards1").toString
+    val t2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    val (dirs1, fp1) = writeAndFingerprint(t1)
+    val (dirs2, fp2) = writeAndFingerprint(t2)
+    // hive-style one directory per bin, covering every bin
+    assert(dirs1.nonEmpty && dirs1.forall(_.startsWith("bin=")), dirs1)
+    assert(dirs1.map(_.stripPrefix("bin=").toLong) ==
+      fp1.map(_._1).toSet)
+    // byte-identical shard contents across two writes
+    assert(fp1 == fp2, s"shard contents differ:\n$fp1\nvs\n$fp2")
+    // every row lands in exactly one shard
+    assert(spark.read.parquet(t1).count() == 200)
+  }
 }
 
 class ValidateSpec extends SparkSpec {
