@@ -200,6 +200,27 @@ object Similarity {
     probeRank(assigned, queries, cents, k, nProbe)
   }
 
+  /** Incremental index growth: assign a NEW batch of vectors against the
+    * index's EXISTING centroids and append them into the partitioned
+    * assignments layout — the ANN analog of Dedup.incrementalLshPairs'
+    * batch-vs-corpus contract. A day's embeddings join a 100 TB index at
+    * O(batch) cost: centroids broadcast, one scan over the batch, an
+    * append into only the touched cluster directories; the corpus-side
+    * assignments are never read, never rewritten. The quantizer is NOT
+    * refit (by design — refitting would re-shuffle every stored vector;
+    * production IVF indexes refresh centroids out-of-band and rebuild).
+    * Post-append, [[searchIndex]] sees old and new vectors identically. */
+  def appendToIndex(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = normalizeCentroids(spark.read.parquet(s"$dir/centroids"))
+    nearestCentroids(
+        newVectors.select(col("vec_id").as("cand_id"),
+          asDouble(col("embedding")).as("cand_vec")),
+        cents, "cand_id", "cand_vec", 1)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/assignments")
+  }
+
   private def normalizeCentroids(cents: DataFrame): DataFrame =
     cents.select(col("centroid_id").cast("int").as("centroid_id"),
       col("centroid_vec").as("centroid_vec"))

@@ -405,6 +405,33 @@ class SimilaritySpec extends SparkSpec {
       "persisted-index search diverged from the direct IVF search")
   }
 
+  test("appendToIndex grows the index batch-at-a-time and search sees " +
+      "old and new vectors identically") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    // build from the first half, append the second half as a new batch
+    val old = emb.where(col("vec_id") % 2 === 0)
+    val batch = emb.where(col("vec_id") % 2 === 1)
+    Similarity.writeIndex(old, dir, nClusters = 8)
+    Similarity.appendToIndex(batch, dir)
+    val qs = emb.where(col("vec_id") < 5)
+    val viaIndex = Similarity.searchIndex(spark, dir, qs, k = 10, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    // reference: a from-scratch search over the FULL corpus with the SAME
+    // centroids (the append contract: assignment against existing
+    // centroids, no refit)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val direct = Similarity.ivfTopK(emb, qs, k = 10, nProbe = 3,
+        centroids = Some(cents))
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(viaIndex.nonEmpty && viaIndex.sameElements(direct),
+      "appended index diverged from a full rebuild on the same centroids")
+    // appended batch actually landed in the layout
+    val total = spark.read.parquet(s"$dir/assignments").count()
+    assert(total == emb.count(), s"index holds $total of ${emb.count()}")
+  }
+
   test("k-means centroids beat the first-N stand-in on clustered data") {
     import spark.implicits._
     // 4 well-separated directions, 50 points each with deterministic
