@@ -138,26 +138,39 @@ object BpeUtil {
   /** Encode to token IDS: the same merge loop as [[count]], then each
     * surviving part mapped through the vocab table (unknown symbol →
     * `-1`, kept rather than dropped so id-stream length always equals
-    * `bpe_token_count`). Word order and within-word part order are
-    * preserved; whitespace itself emits nothing (the whitespace-word
-    * model this engine's text stack uses throughout). */
+    * `bpe_token_count` in the plain mode). Word order and within-word
+    * part order are preserved.
+    *
+    * `spaceAware = false`: whitespace emits nothing (the whitespace-word
+    * model this engine's text stack uses throughout).
+    * `spaceAware = true`: the GPT-2 convention — a word PRECEDED BY
+    * whitespace carries the 'Ġ' (U+0120) marker as its first symbol, so
+    * the vocabulary distinguishes word-initial from word-internal
+    * occurrences and decoding can reconstruct spacing. Merges/vocab must
+    * then contain Ġ-prefixed symbols (GPT-2's published files do). */
   def encode(text: UTF8String, mergesPath: UTF8String,
-             vocabPath: UTF8String)
+             vocabPath: UTF8String, spaceAware: Boolean)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val r = ranks(mergesPath.toString)
     val v = vocabIds(vocabPath.toString)
-    val words = text.toString.trim.split("\\s+")
+    val raw = text.toString
+    val leadingWs = raw.nonEmpty && Character.isWhitespace(raw.charAt(0))
+    val words = raw.trim.split("\\s+")
     val out = new java.util.ArrayList[Int]()
     var i = 0
+    var emitted = 0
     while (i < words.length) {
       if (words(i).nonEmpty) {
-        val parts = wordParts(words(i), r)
+        val marked =
+          if (spaceAware && (emitted > 0 || leadingWs)) "Ġ" + words(i)
+          else words(i)
+        val parts = wordParts(marked, r)
         var j = 0
         while (j < parts.size) {
-          val id = v.getOrDefault(parts.get(j), -1)
-          out.add(id)
+          out.add(v.getOrDefault(parts.get(j), -1))
           j += 1
         }
+        emitted += 1
       }
       i += 1
     }
@@ -203,7 +216,8 @@ case class BpeTokenCount(left: Expression, right: Expression)
   * encode as -1 so `size(bpe_encode(..)) == bpe_token_count(..)` always.
   * Both path arguments must be constant strings. */
 case class BpeEncode(first: Expression, second: Expression,
-                     third: Expression) extends TernaryExpression {
+                     third: Expression,
+                     spaceAware: Boolean = false) extends TernaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (StringType, StringType, StringType)
@@ -217,15 +231,17 @@ case class BpeEncode(first: Expression, second: Expression,
           s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
     }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def prettyName: String = "bpe_encode"
+  override def prettyName: String =
+    if (spaceAware) "bpe_encode_ls" else "bpe_encode"
   override protected def nullSafeEval(text: Any, merges: Any,
                                       vocab: Any): Any =
     BpeUtil.encode(text.asInstanceOf[UTF8String],
-      merges.asInstanceOf[UTF8String], vocab.asInstanceOf[UTF8String])
+      merges.asInstanceOf[UTF8String], vocab.asInstanceOf[UTF8String],
+      spaceAware)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (t, m, v) => s"graft.expressions.BpeUtil.encode($t, $m, $v)")
+      (t, m, v) => s"graft.expressions.BpeUtil.encode($t, $m, $v, $spaceAware)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): BpeEncode =
     copy(first = f, second = s, third = t)
@@ -259,6 +275,12 @@ object Bpe {
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (children: Seq[Expression]) =>
         BpeEncode(children.head, children(1), children(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bpe_encode_ls"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode_ls"),
+      (children: Seq[Expression]) =>
+        BpeEncode(children.head, children(1), children(2),
+          spaceAware = true))
   }
 
   /** Offline merge learning on a bounded driver-side sample — the same

@@ -69,14 +69,35 @@ object TokenQueries {
   private lazy val vocabPath: String = materialize(
     "graft_bpe_fixture_vocab.txt", fixtureVocab)
 
+  private lazy val mergesLsPath: String = materialize(
+    "graft_bpe_fixture_merges_ls.txt",
+    fixtureMergesLs.map { case (a, b) => s"$a $b" })
+
+  private lazy val vocabLsPath: String = materialize(
+    "graft_bpe_fixture_vocab_ls.txt", fixtureVocabLs)
+
+  /** Space-aware fixture (the GPT-2 'Ġ' convention): the plain merges
+    * plus Ġ-prefixed ones. Still well-formed — Ġt/Ġth chain in creation
+    * order; note ranks matter: on "Ġthe" the rank-0 (t,h) fires before
+    * (Ġ,t) ever can, so the surviving parts are [Ġ, the] — BOTH engines
+    * must walk that exact priority order, which is what the gate pins. */
+  private[queries] val fixtureMergesLs: Seq[(String, String)] =
+    fixtureMerges ++ Seq(
+      ("Ġ", "t"), ("Ġt", "h"), ("Ġth", "e"),
+      ("Ġ", "w"), ("Ġw", "e"), ("Ġ", "o"), ("Ġo", "f"))
+
+  private[queries] val fixtureVocabLs: Seq[String] =
+    (33 to 126).map(_.toChar.toString) ++ Seq("Ġ") ++
+      fixtureMergesLs.map { case (a, b) => a + b }
+
   private def sq(s: String): String = s.replace("'", "''")
 
   /** DuckDB fragment: the unrolled BPE merge loop over `word` — one
     * left-to-right fold per merge, nested in rank order (see class doc
     * for why that equals the lowest-rank-present loop). Distinct lambda
     * variable names per level keep nested scopes unambiguous. */
-  private lazy val sqlParts: String =
-    fixtureMerges.zipWithIndex.foldLeft("string_split(word, '')") {
+  private def sqlPartsFor(merges: Seq[(String, String)]): String =
+    merges.zipWithIndex.foldLeft("string_split(word, '')") {
       case (inner, ((a, b), i)) =>
         s"""list_reduce(list_transform($inner, s$i -> [s$i]),
            |  (a$i, x$i) -> CASE WHEN a$i[-1] = '${sq(a)}' AND x$i[1] = '${sq(b)}'
@@ -84,24 +105,35 @@ object TokenQueries {
           .stripMargin
     }
 
-  /** DuckDB CTEs shared by both gates: documents → per-word id lists →
+  /** DuckDB CTEs shared by the gates: documents → per-word id lists →
     * per-document id arrays (empty array for a doc with no words, exactly
-    * like the Spark expression). */
-  private lazy val sqlDocIds: String = {
-    val vocabValues = fixtureVocab.zipWithIndex
+    * like the Spark expression). `spaceAware` prefixes every word after
+    * the first (or after leading whitespace) with 'Ġ' before the merge
+    * walk — the pretokenizer twin of `bpe_encode_ls`. */
+  private def sqlDocIdsFor(merges: Seq[(String, String)],
+                           vocab: Seq[String],
+                           spaceAware: Boolean): String = {
+    val vocabValues = vocab.zipWithIndex
       .map { case (s, i) => s"('${sq(s)}', $i)" }.mkString(", ")
+    val wordExpr =
+      if (spaceAware)
+        """CASE WHEN widx > 1 OR lead_ws THEN 'Ġ' || raw_word
+          |     ELSE raw_word END""".stripMargin
+      else "raw_word"
     s"""vocab(sym, id) AS (VALUES $vocabValues),
        |vm AS (SELECT map(list(sym ORDER BY id), list(id ORDER BY id)) AS m
        |       FROM vocab),
        |wsrc AS (SELECT doc_id,
+       |                regexp_matches(text, '^\\s') AS lead_ws,
        |                list_filter(string_split_regex(text, '\\s+'),
        |                            w -> w <> '') AS ws
        |         FROM documents),
-       |words AS (SELECT doc_id, unnest(ws) AS word,
-       |                 unnest(range(1, len(ws) + 1)) AS widx
-       |          FROM wsrc),
+       |words0 AS (SELECT doc_id, lead_ws, unnest(ws) AS raw_word,
+       |                  unnest(range(1, len(ws) + 1)) AS widx
+       |           FROM wsrc),
+       |words AS (SELECT doc_id, widx, $wordExpr AS word FROM words0),
        |wids AS (SELECT doc_id, widx,
-       |                list_transform($sqlParts,
+       |                list_transform(${sqlPartsFor(merges)},
        |                  p -> coalesce(map_extract(vm.m, p)[1], -1)) AS ids
        |         FROM words, vm),
        |doc_ids AS (SELECT d.doc_id,
@@ -112,6 +144,9 @@ object TokenQueries {
        |                       FROM wids GROUP BY doc_id) i
        |              USING (doc_id))""".stripMargin
   }
+
+  private lazy val sqlDocIds: String =
+    sqlDocIdsFor(fixtureMerges, fixtureVocab, spaceAware = false)
 
   /** Spark side shared by both gates: doc_id, ids, w. */
   private def encoded(s: org.apache.spark.sql.SparkSession, dir: String) = {
@@ -138,6 +173,30 @@ object TokenQueries {
          |             i -> CAST(i AS VARCHAR)), ' ')) AS ids_md5
          |FROM doc_ids ORDER BY doc_id""".stripMargin) { (s, dir) =>
       encoded(s, dir)
+        .select(col("doc_id"), size(col("ids")).as("n_tok"),
+          idsMd5(col("ids")).as("ids_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Space-aware encoding (the GPT-2 'Ġ' convention): every word after
+    // the first carries the Ġ marker into the merge walk, so word-initial
+    // and word-internal occurrences tokenize differently and spacing is
+    // reconstructible at decode time. The oracle replays the marking AND
+    // the priority interplay between plain and Ġ merges — e.g. on "Ġthe"
+    // the rank-0 (t,h) outruns (Ġ,t), so [Ġ, the] survives, while "Ġwe"
+    // (no plain (w,e) merge) collapses through Ġw to Ġwe.
+    Q("q_bpe_encode_ls",
+      s"""WITH ${sqlDocIdsFor(fixtureMergesLs, fixtureVocabLs,
+        spaceAware = true)}
+         |SELECT doc_id, CAST(len(ids) AS INT) AS n_tok,
+         |       md5(array_to_string(list_transform(ids,
+         |             i -> CAST(i AS VARCHAR)), ' ')) AS ids_md5
+         |FROM doc_ids ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Bpe.register(s)
+      val ids = call_function("bpe_encode_ls", col("text"),
+        lit(mergesLsPath), lit(vocabLsPath))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ids.as("ids"))
         .select(col("doc_id"), size(col("ids")).as("n_tok"),
           idsMd5(col("ids")).as("ids_md5"))
         .orderBy("doc_id")

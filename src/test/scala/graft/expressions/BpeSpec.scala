@@ -100,6 +100,31 @@ class BpeSpec extends SparkSpec {
     assert(ids("lox") == Seq(6, -1))             // lo + x (x not in vocab)
   }
 
+  test("bpe_encode_ls marks non-initial words with Ġ through the merge walk") {
+    // merges: plain (t,h) at rank 0 outruns (Ġ,t); Ġw chains to Ġwe
+    val mp = mergesFile(Seq(("t", "h"), ("th", "e"), ("Ġ", "t"),
+      ("Ġt", "h"), ("Ġth", "e"), ("Ġ", "w"), ("Ġw", "e")))
+    // ids: t=0 h=1 e=2 w=3 Ġ=4 th=5 the=6 Ġt=7 Ġth=8 Ġthe=9 Ġw=10 Ġwe=11
+    val vp = vocabFile(Seq("t", "h", "e", "w", "Ġ", "th", "the", "Ġt",
+      "Ġth", "Ġthe", "Ġw", "Ġwe"))
+    Bpe.register(spark)
+    def ids(t: String): Seq[Int] =
+      Seq(t).toDF("t")
+        .select(expr(s"bpe_encode_ls(t, '$mp', '$vp')").as("ids"))
+        .as[Seq[Int]].head()
+    // first word unmarked: "the" -> [the]; second marked: (t,h) fires
+    // before (Ġ,t) ever can, so "Ġthe" survives as [Ġ, the]
+    assert(ids("the the") == Seq(6, 4, 6))
+    // "Ġwe" has no plain (w,e) merge -> Ġ merges fire: Ġw then Ġwe
+    assert(ids("we we") == Seq(3, 2, 11))
+    // leading whitespace marks even the first word
+    assert(ids(" we") == Seq(11))
+    // plain mode is unchanged by Ġ entries in the table
+    assert(Seq("the the").toDF("t")
+      .select(expr(s"bpe_encode(t, '$mp', '$vp')").as("ids"))
+      .as[Seq[Int]].head() == Seq(6, 6))
+  }
+
   test("size(bpe_encode) == bpe_token_count on corpus text") {
     val docs = graft.engine.Tables.t(spark, sf001, "documents")
       .select("text").limit(100).as[String].collect().toSeq
