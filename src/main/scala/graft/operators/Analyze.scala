@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table statistics: per-column row/null counts, distinct
+  * counts, and min/max — the stats a cost-based optimizer (and a data-
+  * quality dashboard) feeds on, computed in ONE aggregation pass and
+  * returned long-form, one row per column.
+  *
+  * Two NDV modes, because the right plan flips with scale:
+  *
+  *   - `exactNdv = true` plans multiple `count(distinct)` through a single
+  *     Expand: each input row is replicated once per distinct-aggregate,
+  *     then a two-level hash aggregation dedups map-side. Exact, and fine
+  *     while rows x columns fits the shuffle — it is the oracle-able gate
+  *     mode.
+  *   - `exactNdv = false` swaps in `approx_count_distinct` (HyperLogLog++,
+  *     fixed-size sketch buffers, no Expand, no extra shuffle volume):
+  *     the 100 TB mode, where an Expand x 6 of the corpus is exactly the
+  *     kind of self-inflicted data explosion a stats pass must not cause.
+  *     AnalyzeSpec pins the two modes within HLL error of each other.
+  *
+  * Min/max are cast to string so heterogeneous columns share one output
+  * schema; callers pre-cast columns whose native string form is not
+  * engine-portable (double/timestamp) — see the q_stats_analyze gate.
+  */
+object Analyze {
+
+  def columnStats(df: DataFrame, cols: Seq[String],
+                  exactNdv: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "columnStats needs at least one column")
+    def ndv(c: Column): Column =
+      if (exactNdv) countDistinct(c) else approx_count_distinct(c)
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        ndv(col(c)).as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__n_$c")).as("n_nulls"),
+        col(s"__ndv_$c").as("ndv"),
+        col(s"__min_$c").as("min_str"),
+        col(s"__max_$c").as("max_str"))
+    }: _*)
+    one.select(explode(rows).as("s")).select(col("s.*")).orderBy("column")
+  }
+}

@@ -230,6 +230,54 @@ object ApproxQueries {
         .agg(sum(least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
           .cast("decimal(18,4)")).cast("double").as("wsum"))
         .orderBy("l_returnflag")
+    },
+
+    // ANALYZE-style column statistics (operators.Analyze): per-column
+    // rows/nulls/NDV/min/max in ONE aggregation pass, long-form output.
+    // The gate runs the exact-NDV mode (multi-count-distinct through one
+    // Expand — oracle-able); AnalyzeSpec pins the HLL mode (the 100 TB
+    // plan: no Expand, fixed-size sketch buffers) within error of exact.
+    // Engine-portable stringification: doubles pre-cast to BIGINT (the
+    // synthetic quantities are integral), timestamps to DATE — native
+    // double/timestamp string forms differ across engines.
+    Q("q_stats_analyze",
+      """WITH p AS (SELECT l_orderkey, l_suppkey, l_returnflag,
+        |                  CAST(l_quantity AS BIGINT) AS l_quantity_int,
+        |                  CAST(l_shipdate AS DATE) AS l_shipdate_day
+        |           FROM lineitem)
+        |SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+        |       count(*) - count(l_orderkey) AS n_nulls,
+        |       count(DISTINCT l_orderkey) AS ndv,
+        |       CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+        |       CAST(max(l_orderkey) AS VARCHAR) AS max_str FROM p
+        |UNION ALL
+        |SELECT 'l_quantity_int', count(*), count(*) - count(l_quantity_int),
+        |       count(DISTINCT l_quantity_int),
+        |       CAST(min(l_quantity_int) AS VARCHAR),
+        |       CAST(max(l_quantity_int) AS VARCHAR) FROM p
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |       count(DISTINCT l_returnflag),
+        |       CAST(min(l_returnflag) AS VARCHAR),
+        |       CAST(max(l_returnflag) AS VARCHAR) FROM p
+        |UNION ALL
+        |SELECT 'l_shipdate_day', count(*), count(*) - count(l_shipdate_day),
+        |       count(DISTINCT l_shipdate_day),
+        |       CAST(min(l_shipdate_day) AS VARCHAR),
+        |       CAST(max(l_shipdate_day) AS VARCHAR) FROM p
+        |UNION ALL
+        |SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey),
+        |       count(DISTINCT l_suppkey),
+        |       CAST(min(l_suppkey) AS VARCHAR),
+        |       CAST(max(l_suppkey) AS VARCHAR) FROM p
+        |ORDER BY "column"""".stripMargin) { (s, dir) =>
+      graft.operators.Analyze.columnStats(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_suppkey"), col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("l_quantity_int"),
+          col("l_shipdate").cast("date").as("l_shipdate_day")),
+        Seq("l_orderkey", "l_quantity_int", "l_returnflag",
+          "l_shipdate_day", "l_suppkey"))
     }
   )
 }

@@ -807,3 +807,41 @@ class KeepBestSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 3L), (10L, 10L, 2L)))
   }
 }
+
+class AnalyzeSpec extends SparkSpec {
+
+  import graft.operators.Analyze
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def li = graft.engine.Tables.t(spark, sf001, "lineitem")
+    .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+
+  test("exact stats: nulls, ndv, min/max per column in one pass") {
+    val df = Seq((Some(1L), "a"), (Some(1L), "b"), (None, "b"))
+      .toDF("k", "s")
+    val got = Analyze.columnStats(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("k", 3L, 1L, 1L, "1", "1"),
+      ("s", 3L, 0L, 2L, "a", "b")))
+  }
+
+  test("approx-NDV mode (the 100 TB plan: no Expand) lands within HLL error") {
+    val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag")
+    val exact = Analyze.columnStats(li, cols)
+      .select("column", "ndv").as[(String, Long)].collect().toMap
+    val approx = Analyze.columnStats(li, cols, exactNdv = false)
+      .select("column", "ndv").as[(String, Long)].collect().toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c).toDouble, approx(c).toDouble)
+      assert(math.abs(a - e) <= math.max(2.0, 0.1 * e),
+        s"$c: approx $a vs exact $e")
+    }
+    // and the rest of the stats are identical across modes
+    val ex = Analyze.columnStats(li, cols).drop("ndv").collect().toSeq
+    val ap = Analyze.columnStats(li, cols, exactNdv = false).drop("ndv")
+      .collect().toSeq
+    assert(ex == ap)
+  }
+}
