@@ -92,6 +92,49 @@ object CurationQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // Domain-level curation (operators.Curation): blocklisted sources
+    // dropped by a broadcast anti-join, every surviving source capped to
+    // its 12 highest-quality documents (n_chars desc, id tiebreak — a
+    // total order). cap=12 <= windowGroupLimitThreshold, so the cap plans
+    // a PARTIAL WindowGroupLimit under the exchange: a hot domain
+    // forwards <= 12 rows per map task, never its full page count. The
+    // per-source digest of kept ids makes the gate row-level — one
+    // mis-kept document flips the md5.
+    Q("q_curate_domains",
+      """WITH live AS (SELECT source, doc_id, n_chars FROM documents
+        |              WHERE source NOT IN ('src0', 'src13')),
+        |kept AS (SELECT source, doc_id FROM (
+        |           SELECT source, doc_id, row_number() OVER (
+        |             PARTITION BY source
+        |             ORDER BY n_chars DESC, doc_id) AS rn
+        |           FROM live) WHERE rn <= 12),
+        |tot AS (SELECT source, count(*) AS n_docs FROM live GROUP BY source)
+        |SELECT t.source, t.n_docs, count(k.doc_id) AS n_kept,
+        |       md5(string_agg(CAST(k.doc_id AS VARCHAR), ','
+        |                      ORDER BY k.doc_id)) AS kept_md5
+        |FROM tot t JOIN kept k ON t.source = k.source
+        |GROUP BY t.source, t.n_docs ORDER BY t.source""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.Curation
+        import s.implicits._
+        val live = t(s, dir, "documents")
+          .select("source", "doc_id", "n_chars")
+        val block = Seq("src0", "src13")
+        val kept = Curation.domainCap(live, "source", cap = 12,
+          order = Seq(col("n_chars").desc, col("doc_id").asc),
+          blocklist = block)
+        val tot = live
+          .join(broadcast(block.toDF("source")), Seq("source"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        kept.groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+              i => i.cast("string")), ",").cast("binary")).as("kept_md5"))
+          .join(tot, "source")
+          .select("source", "n_docs", "n_kept", "kept_md5")
+          .orderBy("source")
+    },
+
     // Vocabulary building: top-10 alphabetic tokens per language by
     // frequency (count desc, token asc — total order). One scan-local
     // explode, one (lang, token) aggregation, one top-k window partitioned

@@ -323,4 +323,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!physical(out).contains("Window"),
       s"epoch shuffle must not plan a window:\n${physical(out)}")
   }
+
+  test("domain cap anti-joins the blocklist broadcast and caps map-side") {
+    import graft.operators.Curation
+    val kept = Curation.domainCap(
+      t(spark, sf001, "documents").select("source", "doc_id", "n_chars"),
+      "source", cap = 12,
+      order = Seq(col("n_chars").desc, col("doc_id").asc),
+      blocklist = Seq("src0", "src13"))
+    val plan = physical(kept)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist did not broadcast anti-join:\n$plan")
+    val limits = plan.sliding("WindowGroupLimit".length)
+      .count(_ == "WindowGroupLimit")
+    assert(limits >= 2,
+      s"domain cap did not push a partial WindowGroupLimit:\n$plan")
+  }
 }

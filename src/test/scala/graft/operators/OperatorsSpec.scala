@@ -845,3 +845,40 @@ class AnalyzeSpec extends SparkSpec {
     assert(ex == ap)
   }
 }
+
+class CurationSpec extends SparkSpec {
+
+  import graft.operators.Curation
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("blocklisted domains vanish; survivors keep exactly top-cap by order") {
+    val docs = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L),
+      ("bad", 4L, 99L),
+      ("b", 5L, 5L)).toDF("source", "doc_id", "n_chars")
+    val kept = Curation.domainCap(docs, "source", cap = 2,
+        order = Seq(col("n_chars").desc, col("doc_id").asc),
+        blocklist = Seq("bad"))
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(kept == Set(("a", 2L), ("a", 3L), ("b", 5L)))
+  }
+
+  test("quality ties fall deterministically to the lowest id") {
+    val docs = Seq(("a", 9L, 7L), ("a", 8L, 7L), ("a", 7L, 7L))
+      .toDF("source", "doc_id", "n_chars")
+    val kept = Curation.domainCap(docs, "source", cap = 2,
+        order = Seq(col("n_chars").desc, col("doc_id").asc),
+        blocklist = Nil)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(7L, 8L))
+  }
+
+  test("cap above the WindowGroupLimit threshold is rejected") {
+    val docs = Seq(("a", 1L, 1L)).toDF("source", "doc_id", "n_chars")
+    intercept[IllegalArgumentException] {
+      Curation.domainCap(docs, "source", cap = 1001,
+        order = Seq(col("doc_id").asc), blocklist = Nil)
+    }
+  }
+}
