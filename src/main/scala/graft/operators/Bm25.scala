@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding.round4
+import graft.functions.TextFunctions.tokens
+
+/** BM25 lexical retrieval over a document corpus — the ranking half of a
+  * dedup/decontamination/retrieval stack (tf-idf's big sibling: term
+  * saturation via k1, length normalization via b).
+  *
+  * Scale shape: the corpus is never indexed wholesale. Query terms are
+  * tiny and broadcast, so the exploded posting stream is PRUNED to query
+  * terms at the scan side of the first exchange — tf aggregation, df
+  * counting, and scoring all run over `docs-containing-query-terms` rows,
+  * not the corpus vocabulary. Corpus-level constants (N, total token
+  * count) are one scalar aggregate each; doc lengths ride the same
+  * pruned join. Top-k per query is a rank window over the scored rows
+  * (bounded by queries x matching docs), never over the corpus.
+  *
+  * Determinism contract: scores are double but each per-(query,doc) sum
+  * folds at most the query's term count (callers keep queries short; the
+  * gate uses 2-term queries, and 2-addend IEEE sums are order-exact);
+  * final scores round to 4 dp BEFORE ranking, doc id breaks ties.
+  */
+object Bm25 {
+
+  /** Top-`k` documents per query. `queries`: (query_id, term) rows —
+    * multi-term queries contribute one row per term. Returns
+    * (query_id, doc_id, score, rank). */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // one scalar row: corpus size + mean doc length (exact-int division)
+    val corpus = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("n_tokens")).collect().head
+    val nDocs = corpus.getLong(0)
+    val avgdl = corpus.getLong(1).toDouble / nDocs
+    val posting = toks
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(queries.select("term").distinct()), "term")
+    val tf = posting.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = df.select(col("term"),
+      log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5)
+        / (col("df") + 0.5)).as("idf"))
+    val termScore = tf.join(broadcast(idf), "term")
+      .withColumn("ts",
+        col("idf") * col("tf") * (lit(k1) + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+    val scored = termScore
+      .join(broadcast(queries), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(round4(sum(col("ts"))).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+}

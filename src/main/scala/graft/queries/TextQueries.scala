@@ -1000,5 +1000,48 @@ object TextQueries {
           .na.fill(0L, Seq("click", "view", "purchase"))
           .orderBy("user_bucket")
     },
+
+    // BM25 lexical retrieval (operators.Bm25): top-10 documents for three
+    // short queries. The corpus is never indexed wholesale — query terms
+    // broadcast onto the exploded posting stream, so tf/df/scoring run
+    // over pruned postings only. Determinism: queries are <= 2 terms
+    // (2-addend IEEE sums are order-exact), scores round to 4 dp BEFORE
+    // ranking, doc id breaks ties; the oracle replays idf, saturation,
+    // and length normalization with the same association order.
+    Q("q_text_bm25",
+      s"""WITH q(query_id, term) AS (VALUES
+         |       (1, 'spark'), (1, 'window'),
+         |       (2, 'customer'), (2, 'table'), (3, 'vector')),
+         |tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS n_tokens
+         |       FROM tk),
+         |post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+         |         FROM tk),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post
+         |       WHERE term IN (SELECT DISTINCT term FROM q)
+         |       GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |ts AS (SELECT tf.doc_id, tf.term,
+         |              ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5)
+         |                       / (df.df + 0.5))
+         |              * tf.tf * (1.2 + 1.0)
+         |              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+         |                   / (CAST(st.n_tokens AS DOUBLE) / st.n_docs)))
+         |                AS ts
+         |       FROM tf JOIN df USING (term) CROSS JOIN st),
+         |sc AS (SELECT q.query_id, ts.doc_id, round(sum(ts.ts), 4) AS score
+         |       FROM ts JOIN q USING (term) GROUP BY q.query_id, ts.doc_id),
+         |rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |       FROM sc)
+         |SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val queries = Seq((1L, "spark"), (1L, "window"),
+        (2L, "customer"), (2L, "table"), (3L, "vector"))
+        .toDF("query_id", "term")
+      graft.operators.Bm25.topK(t(s, dir, "documents"), queries, k = 10)
+        .orderBy("query_id", "rank")
+    },
   )
 }

@@ -324,6 +324,22 @@ class PlanShapeSpec extends SparkSpec {
       s"epoch shuffle must not plan a window:\n${physical(out)}")
   }
 
+  test("BM25 prunes postings with a broadcast of the query terms") {
+    import graft.operators.Bm25
+    import spark.implicits._
+    val queries = Seq((1L, "spark"), (2L, "table")).toDF("query_id", "term")
+    val plan = physical(
+      Bm25.topK(t(spark, sf001, "documents"), queries, k = 10))
+    // the posting explode must meet the query terms in a BroadcastHashJoin
+    // BEFORE any aggregation exchange — the corpus vocabulary never shuffles
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query terms did not broadcast onto the posting stream:\n$plan")
+    val gen = plan.indexOf("Generate explode")
+    val bhj = plan.indexOf("BroadcastHashJoin")
+    assert(gen >= 0 && bhj >= 0 && bhj < gen,
+      s"pruning join is not directly above the scan-side explode:\n$plan")
+  }
+
   test("domain cap anti-joins the blocklist broadcast and caps map-side") {
     import graft.operators.Curation
     val kept = Curation.domainCap(

@@ -882,3 +882,45 @@ class CurationSpec extends SparkSpec {
     }
   }
 }
+
+class Bm25Spec extends SparkSpec {
+
+  import graft.operators.Bm25
+  import spark.implicits._
+
+  private val queries = Seq((1L, "cat")).toDF("query_id", "term")
+
+  test("higher tf wins at equal length; longer doc loses at equal tf") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),  // tf=3, dl=4
+      (2L, "cat cat fish dog"), // tf=2, dl=4
+      (3L, "cat pig"),          // tf=1, dl=2
+      (4L, "cat pig cow hen"),  // tf=1, dl=4 — longer, same tf as 3
+      (5L, "no match here")
+    ).toDF("doc_id", "text")
+    val got = Bm25.topK(docs, queries, k = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L), s"got $got")
+  }
+
+  test("documents without any query term never surface") {
+    val docs = Seq((1L, "cat"), (2L, "dog"), (3L, "bird")).toDF("doc_id", "text")
+    val got = Bm25.topK(docs, queries, k = 10).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("multi-term queries sum per-term contributions") {
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "cat cat"), (3L, "dog dog"), (4L, "fish fish")
+    ).toDF("doc_id", "text")
+    val q2 = Seq((7L, "cat"), (7L, "dog")).toDF("query_id", "term")
+    val both = Bm25.topK(docs, q2, k = 10)
+      .where($"doc_id" === 1L).select("score").as[Double].collect().head
+    val single = Bm25.topK(docs, q2, k = 10)
+      .where($"doc_id" === 2L).select("score").as[Double].collect().head
+    // doc 1 matches both terms — its summed score beats a same-length
+    // doc saturating one term
+    assert(both > single)
+  }
+}
