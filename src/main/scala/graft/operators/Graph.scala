@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over edge DataFrames — the web/link-graph
+  * side of corpus curation (host authority for quality weighting, triangle
+  * density for community/spam signals). No graph library: edges are rows,
+  * every step is a join or an aggregation Catalyst can plan.
+  *
+  * Triangle counting uses the classic degree orientation (Suri &
+  * Vassilvitskii's MR-triangles): direct each undirected edge from its
+  * (degree, id)-lower endpoint to the higher one. The resulting DAG has
+  * max out-degree O(sqrt m) REGARDLESS of in-degree skew, so the wedge
+  * self-join a celebrity vertex would explode (deg^2 pairs) is bounded by
+  * construction — the same role the hot-bucket cap plays in the dedup
+  * stack, achieved by orientation instead of truncation (and therefore
+  * exact, not approximate).
+  *
+  * PageRank runs in FIXED-POINT integer arithmetic: ranks are micro-units
+  * (1e6 total mass / N per node at init), per-edge contributions floor-
+  * divide by degree, damping is (85 * inbound) div 100. Integer sums are
+  * associative — the result is bit-identical on any engine, any partition
+  * order, any fold order, which is what lets the gate hash-match a DuckDB
+  * replay (double-valued PageRank cannot be oracled: its sums are
+  * partial-order-dependent). Iterations build on persisted edges; lineage
+  * is checkpoint-truncated on the same cadence as ConnectedComponents.
+  */
+object Graph {
+
+  /** Canonical undirected edge list: distinct (src < dst), self-loops
+    * dropped. Accepts any two-column numeric frame. */
+  def canonicalEdges(edges: DataFrame): DataFrame = {
+    val Array(a, b) = edges.columns
+    edges.where(col(a) =!= col(b))
+      .select(least(col(a), col(b)).as("src"),
+        greatest(col(a), col(b)).as("dst"))
+      .distinct()
+  }
+
+  /** Undirected degree per vertex of a canonical edge list. */
+  def degrees(canonical: DataFrame): DataFrame =
+    canonical.select(col("src").as("v"))
+      .union(canonical.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+
+  /** All triangles of the undirected graph, one row each, vertices sorted
+    * by id (v1 < v2 < v3). Exact. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = degrees(e)
+    // orient low -> high in the (deg, id) total order
+    val keyed = e
+      .join(deg.select(col("v").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("ddeg")), "dst")
+    val oriented = keyed.select(
+      when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")),
+        struct(col("src").as("u"), col("dst").as("w"), col("ddeg").as("wdeg")))
+        .otherwise(
+          struct(col("dst").as("u"), col("src").as("w"), col("sdeg").as("wdeg")))
+        .as("o"))
+      .select(col("o.u").as("u"), col("o.w").as("w"), col("o.wdeg").as("wdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges at u: ordered pairs of out-neighbors; closing edge, if any,
+    // is oriented (a -> b) because orientation follows the same order
+    val x = oriented.select(col("u"), col("w").as("a"), col("wdeg").as("adeg"))
+    val y = oriented.select(col("u"), col("w").as("b"), col("wdeg").as("bdeg"))
+    val wedges = x.join(y, Seq("u"))
+      .where(struct(col("adeg"), col("a")) < struct(col("bdeg"), col("b")))
+      .select(col("u"), col("a"), col("b"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("a"), col("w").as("b")),
+      Seq("a", "b"), "left_semi")
+    closed
+      .select(array_sort(array(col("u"), col("a"), col("b"))).as("t"))
+      .select(col("t").getItem(0).as("v1"), col("t").getItem(1).as("v2"),
+        col("t").getItem(2).as("v3"))
+  }
+
+  /** Per-vertex triangle participation: (vertex, deg, n_tri, wedges) with
+    * wedges = C(deg, 2) — numerator/denominator of the local clustering
+    * coefficient kept as exact integers (the float ratio would not
+    * hash-gate). Vertices in no triangle report n_tri = 0. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges)
+    val tri = triangles(edges)
+    val perVertex = tri
+      .select(explode(array(col("v1"), col("v2"), col("v3"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    degrees(e)
+      .join(perVertex, Seq("v"), "left")
+      .select(col("v").as("vertex"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (col("deg") * (col("deg") - 1) / 2).cast("long").as("wedges"))
+  }
+
+  /** `iters` rounds of damped PageRank in fixed-point micro-units over the
+    * undirected graph (each edge carries rank both ways). Returns
+    * (vertex, deg, rank_micro). Init: 1e6 div N per vertex; update:
+    * rank' = (150000 div N) + (85 * sum(in_contrib)) div 100 with
+    * in_contrib = rank div deg. All arithmetic is integer — floor
+    * division, associative sums — so results are engine/partitioning-
+    * exact. Mass lost to flooring stays lost (defined semantics, same on
+    * both sides of the gate). */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val e = canonicalEdges(edges)
+    val dir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) persisted once; every iteration joins ranks to it
+    val adj = dir.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()
+    val init = 1000000L / n
+    val base = 150000L / n
+    var ranks = deg.select(col("src").as("v"), lit(init).as("r"))
+    for (i <- 1 to iters) {
+      val inbound = adj.join(ranks, adj("src") === ranks("v"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = deg.select(col("src").as("v"))
+        .join(inbound.select(col("dst").as("v"), col("s")), Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.join(deg.select(col("src").as("v"), col("deg")), "v")
+      .select(col("v").as("vertex"), col("deg"), col("r").as("rank_micro"))
+  }
+}

@@ -19,7 +19,8 @@ object Catalog {
       EventQueries.all ++
       CurationQueries.all ++
       ApproxQueries.all ++
-      TokenQueries.all
+      TokenQueries.all ++
+      GraphQueries.all
 
   /** Flagship query (driver smoke at sf0.001): the rating_slide analog
     * (SURVEY.md §7.2) — scan → filter → agg → distributed rank → full-outer

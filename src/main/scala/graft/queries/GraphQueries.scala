@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+import graft.operators.Graph
+
+/** Driver-gated graph queries (operators.Graph) over a deterministic
+  * edge list derived from the events table: vertex = user_id mod 60, each
+  * event contributes the edge (u, (u + 1 + event_id mod 7) mod 60) — a
+  * circulant-style lattice with offsets 1..7, dense in triangles, exactly
+  * reproducible in SQL. Both gates are integer-exact end to end (the
+  * point of the fixed-point PageRank design), so every row hash-matches.
+  */
+object GraphQueries {
+
+  /** Shared edge fixture in DuckDB form. */
+  private val sqlEdges =
+    """raw AS (SELECT user_id % 60 AS u,
+      |               (user_id % 60 + 1 + event_id % 7) % 60 AS v
+      |        FROM events),
+      |ce AS (SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst
+      |       FROM raw WHERE u != v)""".stripMargin
+
+  private def edges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "events").select(
+      (col("user_id") % 60).as("u"),
+      ((col("user_id") % 60 + 1 + col("event_id") % 7) % 60).as("v"))
+
+  val all: Seq[Q] = Seq(
+
+    // Exact triangle counting with degree orientation: the wedge join's
+    // out-degree is O(sqrt m) by construction, so a celebrity vertex
+    // cannot explode the pair stream (orientation = the exact analog of
+    // the dedup stack's hot-bucket cap). Per-vertex n_tri and
+    // wedges = C(deg,2) stay integers — the clustering coefficient's
+    // numerator and denominator — because the float ratio would not
+    // hash-gate. The oracle counts the same triangles by id ordering
+    // (a<b<c), which equals the orientation count: both enumerate each
+    // triangle exactly once.
+    Q("q_graph_triangles",
+      s"""WITH $sqlEdges,
+         |deg AS (SELECT v, count(*) AS deg FROM (
+         |          SELECT src AS v FROM ce
+         |          UNION ALL SELECT dst FROM ce) GROUP BY v),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |        FROM ce e1
+         |        JOIN ce e2 ON e2.src = e1.dst
+         |        JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |pv AS (SELECT unnest([a, b, c]) AS v FROM tri),
+         |cnt AS (SELECT v, count(*) AS n_tri FROM pv GROUP BY v)
+         |SELECT d.v AS vertex, d.deg, coalesce(c.n_tri, 0) AS n_tri,
+         |       d.deg * (d.deg - 1) // 2 AS wedges
+         |FROM deg d LEFT JOIN cnt c USING (v)
+         |ORDER BY vertex""".stripMargin) { (s, dir) =>
+      Graph.triangleStats(edges(s, dir)).orderBy("vertex")
+    },
+
+    // Fixed-point PageRank, 5 iterations: ranks in integer micro-units,
+    // contributions floor-divide by degree, damping = (85·in) div 100 —
+    // every operation associative-exact, so the gate hash-matches a
+    // plain unrolled SQL replay (float PageRank cannot be oracled: its
+    // per-vertex sums are partial-order-dependent). One shuffle per
+    // iteration on the rank side; the degree-annotated adjacency persists
+    // once and never re-shuffles.
+    Q("q_graph_pagerank", {
+      val iters = 5
+      val unrolled = (1 to iters).map { i =>
+        s"""r$i AS (SELECT d.v, (150000 // nn.n)
+           |          + (85 * coalesce(s.s, 0)) // 100 AS r
+           |        FROM deg d CROSS JOIN nn
+           |        LEFT JOIN (SELECT dir.dst AS v, sum(p.r // g.deg) AS s
+           |                   FROM dir
+           |                   JOIN deg g ON g.v = dir.src
+           |                   JOIN r${i - 1} p ON p.v = dir.src
+           |                   GROUP BY dir.dst) s USING (v))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlEdges,
+         |dir AS (SELECT src, dst FROM ce
+         |        UNION ALL SELECT dst, src FROM ce),
+         |deg AS (SELECT src AS v, count(*) AS deg FROM dir GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT v, 1000000 // nn.n AS r FROM deg CROSS JOIN nn),
+         |$unrolled
+         |SELECT d.v AS vertex, d.deg, r$iters.r AS rank_micro
+         |FROM deg d JOIN r$iters ON r$iters.v = d.v
+         |ORDER BY vertex""".stripMargin
+    }) { (s, dir) =>
+      Graph.pageRankFixedPoint(edges(s, dir), iters = 5).orderBy("vertex")
+    },
+  )
+}
