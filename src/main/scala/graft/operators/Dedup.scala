@@ -660,6 +660,55 @@ object Dedup {
         count(lit(1)).as("n_members"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-dup pruning that never
+    * goes O(n²) on the corpus — k-means clusters bound the pairwise
+    * search the way LSH bands bound the MinHash stack. Each vector is
+    * assigned to its nearest centroid (Similarity.assignClusters — the
+    * deterministic rounded-cosine, lowest-id-tiebreak assignment the IVF
+    * index uses); pairwise cosine runs WITHIN clusters only; a vector is
+    * dropped when a lower-id cluster-mate sits at rounded cosine >=
+    * `threshold`. Lowest-id-wins is deterministic and engine-replayable;
+    * chains prune transitively through the id order (b dropped by a
+    * still drops c — the greedy SemDeDup semantics, defined, tested).
+    *
+    * At 100 TB the cluster count scales with the corpus (k ~ n/target
+    * cluster size), so per-cluster work stays bounded; `maxCluster`
+    * hard-caps the members entering the pairwise join (first by id,
+    * WindowGroupLimit-planned — the q_dedup_skew_cap contract) so one
+    * degenerate mega-cluster degrades to a bounded prune instead of a
+    * quadratic stall.
+    *
+    * Returns one row per vector: (vec_id, cid, keep).
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double,
+                    maxCluster: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosine
+    require(maxCluster > 0 && maxCluster <= 1000,
+      s"maxCluster must stay within the WindowGroupLimit threshold: $maxCluster")
+    val asg = Similarity.assignClusters(
+        vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+        centroids = Some(centroids))
+      .select(col("cand_id").as("id"), col("centroid_id").as("cid"))
+    val av = asg.join(
+        vectors.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("cid").orderBy("id")))
+      .where(col("__rn") <= maxCluster).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = av.select(col("cid"), col("id").as("id1"), col("v").as("v1"))
+    val y = av.select(col("cid"), col("id").as("id2"), col("v").as("v2"))
+    val dropped = x.join(y, Seq("cid"))
+      .where(col("id1") < col("id2"))
+      .where(graft.functions.Rounding.round4(cosine(col("v1"), col("v2")))
+        >= threshold)
+      .select(col("id2").as("id")).distinct()
+    av.join(dropped.withColumn("__hit", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cid"),
+        col("__hit").isNull.as("keep"))
+  }
+
   /** SQL text of the tokenizer (for expr() call sites). */
   private def tokensSql(textCol: String): String =
     s"split(trim(lower(${q(textCol)})), '\\\\s+')"

@@ -91,12 +91,13 @@ object VectorQueries {
         s"WHEN ($y) - floor($y) < 0.5 THEN floor($y) " +
         s"ELSE floor($y) + abs(CAST(CAST(floor($y) AS BIGINT) % 2 AS DOUBLE)) END)"
 
-    lazy val sql: String = {
+    /** CTE chain through `cent` (the converged centroids) — the shared
+      * fit replay, reused by the semantic-dedup oracle. */
+    private lazy val fitPrefix: String = {
       val fpScore =
         rintx("(" + cosx("p.v", "c") + ") * 10000.0") + " / 10000.0"
       val asgCos = cosx("p.v", "c")
-      s"""WITH RECURSIVE
-         |$xxhCtes,
+      s"""$xxhCtes,
          |s1 AS (SELECT list(struct_pack(id := id, v := v) ORDER BY h, id) AS pts
          |       FROM (SELECT id, v, h FROM hk ORDER BY h, id LIMIT 4096)),
          |fp(n, chosen, cents) AS (
@@ -142,7 +143,12 @@ object VectorQueries {
          |  )
          |),
          |cent AS (SELECT unnest(cents) AS cv, unnest(range(0, len(cents))) AS cid
-         |         FROM lloyd WHERE i = 5),
+         |         FROM lloyd WHERE i = 5)""".stripMargin
+    }
+
+    lazy val sql: String =
+      s"""WITH RECURSIVE
+         |$fitPrefix,
          |emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
          |        FROM embeddings),
          |ascore AS (SELECT e.id, e.v, c.cid,
@@ -166,7 +172,40 @@ object VectorQueries {
          |           FROM pairs)
          |SELECT query_id, cand_id, score, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    }
+
+    /** SemDeDup oracle: the same fit replay, then assignment of the
+      * AUGMENTED corpus (planted near-dups — see q_dedup_embed) and a
+      * within-cluster pairwise prune at rounded cosine >= 0.99, dropping
+      * the higher id of every qualifying pair. `list_cosine_similarity`
+      * for the pairwise leg mirrors Dedup.embeddingNearDupPairs (proven
+      * 4-dp-equal in q_dedup_embed); the fold-cosine `cosx` form mirrors
+      * Similarity's assignment internals. */
+    lazy val semanticSql: String =
+      s"""WITH RECURSIVE
+         |$fitPrefix,
+         |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |         FROM embeddings WHERE vec_id < 50),
+         |aug AS (SELECT vec_id, v FROM base
+         |        UNION ALL
+         |        SELECT vec_id + 100000, list_transform(v, x -> x * 2.0)
+         |        FROM base WHERE vec_id < 25
+         |        UNION ALL
+         |        SELECT vec_id + 100000, list_concat([v[1] + 0.1], v[2:64])
+         |        FROM base WHERE vec_id >= 25),
+         |ascore2 AS (SELECT a.vec_id AS id, a.v, c.cid,
+         |                   round(${cosx("a.v", "c.cv")}, 4) AS cs
+         |            FROM aug a, cent c),
+         |asg2 AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY cs DESC, cid) AS rn
+         |  FROM ascore2) WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT y.id FROM asg2 x JOIN asg2 y
+         |            ON x.cid = y.cid AND x.id < y.id
+         |            WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.99)
+         |SELECT a.id AS vec_id, CAST(a.cid AS INT) AS cid,
+         |       (d.id IS NULL) AS keep
+         |FROM asg2 a LEFT JOIN dropped d USING (id)
+         |ORDER BY vec_id""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -399,6 +438,23 @@ object VectorQueries {
             coalesce(col("hit"), lit(false)).as("found"))
           .crossJoin(broadcast(soundFlag))
           .orderBy("id1")
+    },
+
+    // SemDeDup (Dedup.semanticDedup): semantic near-dup pruning bounded
+    // by k-means clusters — pairwise cosine runs within clusters only,
+    // never corpus x corpus; a vector is dropped when a lower-id
+    // cluster-mate sits at rounded cosine >= 0.99. Fully oracled: the
+    // DuckDB side replays the ENTIRE path — xxhash64 sample order,
+    // farthest-point init, 5 Lloyd iterations, augmented-corpus
+    // assignment, within-cluster prune — so a regression anywhere in the
+    // fit, the assignment, or the prune flips a hashed row. The planted
+    // x2-scale copies assign to their originals' clusters exactly
+    // (power-of-two scaling is cosine-invariant in IEEE) and are pruned;
+    // the keep flags are integer-exact.
+    Q("q_dedup_semantic", IvfReplay.semanticSql) { (s, dir) =>
+      Dedup.semanticDedup(augmentedEmbeddings(s, dir), "vec_id", "v",
+          centroids = centroids(s, dir), threshold = 0.99)
+        .orderBy("vec_id")
     },
 
     // Cluster-balanced (SemDeDup-shape) sampling: k-means clusters as

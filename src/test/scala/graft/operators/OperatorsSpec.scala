@@ -924,3 +924,52 @@ class Bm25Spec extends SparkSpec {
     assert(both > single)
   }
 }
+
+class SemanticDedupSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  // two well-separated clusters along axes 0 and 1
+  private def centroidFrame = Seq(
+    (0, Array(1.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0))
+  ).toDF("centroid_id", "centroid_vec")
+
+  test("near-dups prune within a cluster, lowest id wins; chains cascade") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.01, 0.0)),   // cluster 0
+      (2L, Array(2.0, 0.02, 0.0)),   // exact x2 of id 1 → dropped by 1
+      (3L, Array(1.0, 0.011, 0.0)),  // ~1.0 cosine to both → dropped
+      (10L, Array(0.0, 1.0, 0.1)),   // cluster 1, kept
+      (11L, Array(0.9, 0.5, 0.0))    // cluster 0 but far → kept
+    ).toDF("vec_id", "v")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "v",
+        centroids = centroidFrame, threshold = 0.99)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false,
+      10L -> true, 11L -> true))
+  }
+
+  test("identical vectors in DIFFERENT clusters survive — the documented " +
+      "SemDeDup approximation (cluster-bounded search, never corpus-wide)") {
+    val v = Array(0.7, 0.7, 0.0) // equidistant-ish; tie broken by rounded
+    val vecs = Seq((1L, v), (2L, Array(1.0, 0.0, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0))).toDF("vec_id", "v")
+    val asg = Dedup.semanticDedup(vecs, "vec_id", "v",
+        centroids = centroidFrame, threshold = 0.99)
+      .select("vec_id", "cid", "keep")
+      .as[(Long, Int, Boolean)].collect()
+    // ids 2 and 3 live in different clusters; both keep
+    val byId = asg.map(r => r._1 -> r).toMap
+    assert(byId(2L)._2 != byId(3L)._2)
+    assert(asg.forall(_._3))
+  }
+
+  test("maxCluster cap is enforced and bounded") {
+    val vecs = Seq((1L, Array(1.0, 0.0, 0.0))).toDF("vec_id", "v")
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(vecs, "vec_id", "v", centroidFrame, 0.99,
+        maxCluster = 5000)
+    }
+  }
+}
