@@ -139,6 +139,30 @@ object Sampling {
       .where(col("__rn") <= n).drop("__rn")
   }
 
+  /** Weighted per-group sampling, deterministic and engine-replayable:
+    * priority = hashU24(id) / weight, keep the bottom `n` per group.
+    * Heavier rows draw smaller priorities in expectation, so selection
+    * probability grows with weight (the hash plays the role of the RNG
+    * draw in weighted reservoir sampling; like the rest of this module,
+    * no `rand()` — a partition-order-dependent sample can't be oracled
+    * and isn't reproducible at 100 TB). The priority is a DOUBLE division
+    * of two exact integers: IEEE division is correctly rounded, so both
+    * engines derive the bit-identical sort key — ties (same hash/weight
+    * ratio) fall to the id. One window pass per group, n <= 1000 keeps
+    * the partial WindowGroupLimit. Weights must be positive. */
+  def weightedPerGroupSample(df: DataFrame, groupCol: String, idCol: String,
+                             weightCol: String, n: Int): DataFrame = {
+    require(n > 0 && n <= 1000, s"sample size out of (0, 1000]: $n")
+    import org.apache.spark.sql.expressions.Window
+    val pri = hashU24(col(idCol)).cast("double")
+      ./(col(weightCol).cast("double"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(pri.asc, col(idCol))
+    df.where(col(weightCol) > 0)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .withColumnRenamed("__rn", "rn")
+  }
+
   /** The shared selection step: broadcast the (group, rate) table onto the
     * corpus scan and keep rows whose u24 hash clears `floor(rate·2^24)` —
     * integer compare, shuffle-free on the corpus side. */

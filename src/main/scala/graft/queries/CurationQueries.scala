@@ -135,6 +135,27 @@ object CurationQueries {
           .orderBy("source")
     },
 
+    // Weighted per-group sampling (Sampling.weightedPerGroupSample):
+    // priority = hashU24(id)/weight, bottom-8 per language — longer
+    // documents are proportionally likelier to be drawn, with the hash
+    // standing in for the RNG draw of weighted reservoir sampling. The
+    // sort key is a double division of two exact integers (IEEE division
+    // is correctly rounded → bit-identical in both engines), so the gate
+    // hash-matches row-for-row with no rounding step.
+    Q("q_sample_weighted",
+      s"""SELECT lang, doc_id, n_chars, rn FROM (
+         |  SELECT lang, doc_id, n_chars, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY CAST(${sqlU24("doc_id")} AS DOUBLE) / n_chars,
+         |             doc_id) AS rn
+         |  FROM documents WHERE n_chars > 0) WHERE rn <= 8
+         |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.weightedPerGroupSample(
+          t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+          "lang", "doc_id", "n_chars", n = 8)
+        .orderBy("lang", "doc_id")
+    },
+
     // Vocabulary building: top-10 alphabetic tokens per language by
     // frequency (count desc, token asc — total order). One scan-local
     // explode, one (lang, token) aggregation, one top-k window partitioned

@@ -303,5 +303,95 @@ object EventQueries {
           Multimodal.mediaFromDocuments(t(s, dir, "documents")), 4)
         .orderBy("media_id", "frame_idx")
     },
+
+    // Time-series gap fill with LOCF: daily per-type value sums, gaps
+    // PLANTED deterministically (days divisible by 5 withheld), the full
+    // day range regenerated per type (sequence/generate_series — scan-
+    // local explode, one row per day, never a driver loop) and missing
+    // days filled by last-observation-carried-forward — an IGNORE NULLS
+    // running last inside the per-type window. The 4-dp rounding happens
+    // BEFORE the fill so the carried value is bit-identical to the
+    // observed one it copies.
+    Q("q_events_gapfill",
+      """WITH obs AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                    round(sum(value), 4) AS v
+        |             FROM events
+        |             WHERE day(CAST(ts AS DATE)) % 5 != 0
+        |             GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |         FROM obs GROUP BY 1),
+        |days AS (SELECT event_type,
+        |                CAST(unnest(generate_series(d0, d1,
+        |                     INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM span),
+        |joined AS (SELECT d.event_type, d.day, o.v,
+        |                  o.v IS NOT NULL AS observed
+        |           FROM days d LEFT JOIN obs o
+        |             ON o.event_type = d.event_type AND o.day = d.day)
+        |SELECT event_type, day,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS filled_v,
+        |       observed
+        |FROM joined ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val obs = t(s, dir, "events")
+        .withColumn("day", col("ts").cast("date"))
+        .where(dayofmonth(col("day")) % 5 =!= 0)
+        .groupBy("event_type", "day")
+        .agg(round4(sum("value")).as("v"))
+      val days = obs.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+            .as("day"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(obs, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled_v"),
+          col("v").isNotNull.as("observed"))
+        .orderBy("event_type", "day")
+    },
+
+    // Robust anomaly flagging on daily event volumes: median + MAD per
+    // type (outlier-immune, unlike mean/stddev), flag days deviating
+    // > 3 MAD. Medians of integer counts are exact (.0/.5) doubles, so
+    // every comparison is engine-exact with no rounding step at all; the
+    // data yields two genuine anomalies at sf0.01, so the gate
+    // discriminates flags, not just zeros. Two percentile passes over
+    // tiny per-type day counts — at 100 TB the daily rollup (the only
+    // corpus-sized scan) is the same one-shuffle aggregation, and the
+    // median/MAD legs run over days-per-type rows, not events.
+    Q("q_events_anomaly",
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                  count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med
+        |      FROM d GROUP BY 1),
+        |md AS (SELECT d.event_type,
+        |              quantile_cont(abs(d.cnt - m.med), 0.5) AS mad
+        |       FROM d JOIN m USING (event_type) GROUP BY 1)
+        |SELECT d.event_type, d.day, d.cnt, m.med, md.mad,
+        |       abs(d.cnt - m.med) > 3 * md.mad AS is_anomaly
+        |FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = d.groupBy("event_type")
+        .agg(expr("percentile(cnt, 0.5)").as("med"))
+      val md = d.join(m, "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(cnt - med), 0.5)").as("mad"))
+      d.join(broadcast(m), "event_type")
+        .join(broadcast(md), "event_type")
+        .select(col("event_type"), col("day"), col("cnt"), col("med"),
+          col("mad"),
+          (abs(col("cnt") - col("med")) > lit(3) * col("mad"))
+            .as("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
   )
 }

@@ -127,3 +127,31 @@ class SketchesSpec extends SparkSpec {
     assert(out.map(_._1).sorted.toSeq == expectedTop)
   }
 }
+
+class WeightedSampleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("selection probability grows with weight") {
+    // two weight classes: heavy rows (w=100) vs light rows (w=1); draw
+    // 50 of 400 — heavies should dominate the sample
+    val rows = (1L to 400L).map(i => (i, "g", if (i % 2 == 0) 100L else 1L))
+    val df = rows.toDF("id", "g", "w")
+    val picked = Sampling.weightedPerGroupSample(df, "g", "id", "w", n = 50)
+      .select("w").as[Long].collect()
+    val heavies = picked.count(_ == 100L)
+    assert(heavies >= 40, s"expected heavy rows to dominate, got $heavies/50")
+  }
+
+  test("bit-identical across partitionings; nonpositive weights excluded") {
+    val df = (1L to 200L).map(i => (i, s"g${i % 3}", i % 7))
+      .toDF("id", "g", "w")
+    val a = Sampling.weightedPerGroupSample(df.repartition(1), "g", "id", "w", 5)
+      .orderBy("g", "id").collect().toSeq
+    val b = Sampling.weightedPerGroupSample(df.repartition(11), "g", "id", "w", 5)
+      .orderBy("g", "id").collect().toSeq
+    assert(a == b)
+    // rows with w = 0 (i % 7 == 0) never appear
+    assert(a.forall(_.getLong(2) > 0))
+  }
+}
