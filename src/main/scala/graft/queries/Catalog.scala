@@ -20,7 +20,8 @@ object Catalog {
       CurationQueries.all ++
       ApproxQueries.all ++
       TokenQueries.all ++
-      GraphQueries.all
+      GraphQueries.all ++
+      SourceQueries.all
 
   /** Flagship query (driver smoke at sf0.001): the rating_slide analog
     * (SURVEY.md §7.2) — scan → filter → agg → distributed rank → full-outer
