@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding.round4
+import graft.functions.TextFunctions.tokens
+
+/** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling", simplified to unigram
+  * features): score every document by how much more likely its tokens are
+  * under a TARGET distribution (e.g. curated in-domain text) than under
+  * the SOURCE (the raw corpus) — the standard lever for tilting a 100 TB
+  * crawl toward a quality domain without training a classifier.
+  *
+  *   score(d) = (1/|d|) Σ_t [ ln p_tgt(t) − ln p_src(t) ]
+  *
+  * with add-one smoothing over the corpus vocabulary V:
+  * p(t) = (c(t)+1)/(N+V). Documents with score > 0 look more target-like
+  * than source-like.
+  *
+  * Scale shape: ONE token-stats table (token, c_tgt, c_src) built in a
+  * single aggregation over the exploded corpus (target counts are a
+  * conditional count in the same pass — no second scan); the per-token
+  * join is vocabulary×corpus-tokens, the same shape as tf-idf (AQE
+  * broadcasts the stats side when it fits, shuffles when it doesn't).
+  *
+  * Determinism: the per-document Σ folds in TOKEN-POSITION order
+  * (sort_array over (pos, contrib) structs → sequential aggregate), the
+  * same in-token-order contract the hashed classifier gate proved
+  * engine-replayable; the final score rounds to 4 dp.
+  */
+object ImportanceWeights {
+
+  /** Per-document DSIR scores. `targetPred` selects the target slice of
+    * `docs` (its tokens define p_tgt); every document is scored. Returns
+    * (doc_id, n_tok, score, keep). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"), targetPred.as("is_tgt"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    // one pass: source count = all rows, target count = conditional
+    val stats = tok.groupBy("token").agg(
+      count(lit(1)).as("c_src"),
+      count(when(col("is_tgt"), 1)).as("c_tgt"))
+    val totals = stats.agg(
+      sum("c_src").as("n_src"), sum("c_tgt").as("n_tgt"),
+      count(lit(1)).as("v")).collect().head
+    val (nSrc, nTgt, v) =
+      (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val contrib =
+      log((col("c_tgt") + 1.0) / lit((nTgt + v).toDouble)) -
+        log((col("c_src") + 1.0) / lit((nSrc + v).toDouble))
+    val perToken = tok.join(stats, "token")
+      .select(col("id"), col("pos"), contrib.as("w"))
+    // position-ordered fold: sort_array on (pos, w) structs pins the
+    // IEEE accumulation order on both engines
+    perToken.groupBy("id")
+      .agg(count(lit(1)).as("n_tok"),
+        aggregate(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("raw"))
+      .select(col("id").as("doc_id"), col("n_tok"),
+        round4(col("raw") / col("n_tok")).as("score"))
+      .withColumn("keep", col("score") > 0.0)
+  }
+}

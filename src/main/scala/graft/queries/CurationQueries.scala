@@ -156,6 +156,45 @@ object CurationQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // DSIR importance weighting (operators.ImportanceWeights): unigram
+    // target-vs-source log-likelihood ratio with add-one smoothing —
+    // target = 'en' documents, source = the corpus. ONE token-stats pass
+    // (target counts conditional in the same aggregation), one
+    // vocabulary join (tf-idf shape), per-doc Σ folded in TOKEN-POSITION
+    // order (the classifier gate's in-order contract) so the double
+    // accumulation is engine-identical; scores hash-gated at 4 dp, keep
+    // bits derived from them.
+    Q("q_curate_dsir", {
+      val toks = TextQueries.sqlToks
+      s"""WITH tk AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS token,
+         |               lang = 'en' AS is_tgt FROM tk),
+         |stats AS (SELECT token, count(*) AS c_src,
+         |                 count(*) FILTER (WHERE is_tgt) AS c_tgt
+         |          FROM tok GROUP BY token),
+         |tot AS (SELECT sum(c_src) AS n_src, sum(c_tgt) AS n_tgt,
+         |               count(*) AS v FROM stats),
+         |sm AS (SELECT map(list(token ORDER BY token),
+         |                  list([c_src, c_tgt] ORDER BY token)) AS m
+         |       FROM stats),
+         |scored AS (SELECT tk.doc_id, len(toks) AS n_tok,
+         |             list_reduce(list_transform(toks, t ->
+         |               ln((map_extract(sm.m, t)[1][2] + 1.0)
+         |                  / (tot.n_tgt + tot.v))
+         |               - ln((map_extract(sm.m, t)[1][1] + 1.0)
+         |                    / (tot.n_src + tot.v))),
+         |               (a, b) -> a + b) AS raw
+         |           FROM tk, sm, tot)
+         |SELECT doc_id, n_tok, round(raw / n_tok, 4) AS score,
+         |       round(raw / n_tok, 4) > 0.0 AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.ImportanceWeights.dsirScores(
+          t(s, dir, "documents"), "doc_id", "text",
+          targetPred = col("lang") === "en")
+        .orderBy("doc_id")
+    },
+
     // Vocabulary building: top-10 alphabetic tokens per language by
     // frequency (count desc, token asc — total order). One scan-local
     // explode, one (lang, token) aggregation, one top-k window partitioned

@@ -973,3 +973,40 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 }
+
+class ImportanceWeightsSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("target-slice documents outscore source-only documents") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta gamma alpha", true),
+      (3L, "delta epsilon delta zeta", false),
+      (4L, "delta zeta epsilon", false),
+      (5L, "alpha beta beta alpha", false) // target-like text, source slice
+    ).toDF("doc_id", "text", "tgt")
+    val scores = ImportanceWeights.dsirScores(docs, "doc_id", "text",
+        targetPred = col("tgt"))
+      .select("doc_id", "score", "keep")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // docs made of target-heavy tokens score positive, source-only negative
+    assert(scores(1L)._3 && scores(2L)._3, s"target docs not kept: $scores")
+    assert(!scores(3L)._3 && !scores(4L)._3, s"source docs kept: $scores")
+    // importance is about CONTENT, not slice membership: doc 5 reads like
+    // the target and must be pulled in even though it sat in the source
+    assert(scores(5L)._3, s"target-like source doc not kept: $scores")
+  }
+
+  test("scores are partitioning-invariant (ordered fold)") {
+    val docs = graft.engine.Tables.t(spark, sf001, "documents")
+      .limit(60)
+    val a = ImportanceWeights.dsirScores(docs.repartition(1), "doc_id",
+        "text", col("lang") === "en").orderBy("doc_id").collect().toSeq
+    val b = ImportanceWeights.dsirScores(docs.repartition(7), "doc_id",
+        "text", col("lang") === "en").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
