@@ -114,6 +114,18 @@ object TextFunctions {
     md5(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
 
+  /** Deterministic pseudonymization: a salted-hash surrogate replacing a
+    * PII value while preserving equality (same input + salt → same token,
+    * so joins and group-bys still line up across tables and runs). The
+    * salt keeps tokens non-derivable from the bare value by rainbow
+    * lookup; rotating it re-keys the whole corpus. One scan-local md5 —
+    * pseudonymizing 100 TB is shuffle-free. NULL stays NULL (a sentinel
+    * token would fabricate equality between unknown values). */
+  def pseudonymize(value: Column, salt: String, prefix: String = "p_"): Column =
+    when(value.isNotNull,
+      concat(lit(prefix),
+        substring(md5(concat(lit(salt + ":"), value.cast("string"))), 1, 16)))
+
   /** Word k-shingles (distinct): the near-dup unit for MinHash/Jaccard. */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)

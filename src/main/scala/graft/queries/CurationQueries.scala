@@ -260,6 +260,30 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // PII pseudonymization (TextFunctions.pseudonymize): salted-hash
+    // surrogates replace customer names while PRESERVING equality — the
+    // order rollup still groups correctly through the pseudonym, and the
+    // raw name never appears in the output (the scan-local complement to
+    // q_text_scrub's redaction and q_delete_cascade's erasure). The gate
+    // hash-compares every surrogate, so a salt or truncation drift fails.
+    Q("q_pii_pseudonymize",
+      """SELECT 'p_' || substr(md5('k1:' || c.c_name), 1, 16) AS pseudonym,
+        |       count(o.o_orderkey) AS n_orders,
+        |       round(sum(o.o_totalprice), 4) AS spend
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_name ORDER BY pseudonym""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.pseudonymize
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round4(sum(col("o_totalprice"))).as("spend"))
+        .select(pseudonymize(col("c_name"), "k1").as("pseudonym"),
+          col("n_orders"), col("spend"))
+        .orderBy("pseudonym")
+    },
+
     // Benchmark decontamination: flag training documents sharing any
     // 5-gram shingle with a held-out benchmark set — one explode per side
     // and a semi join on the shingle (scan-local signatures, shuffle on

@@ -21,6 +21,26 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().toSeq == Seq("en", "es", "de", "und"))
   }
 
+  test("pseudonymize: stable, salted, null-preserving, no raw leak") {
+    val df = Seq(Some("Customer#000000007"), Some("Customer#000000008"), None)
+      .toDF("name")
+    val out = df.select(TextFunctions.pseudonymize(col("name"), "k1").as("p"),
+        TextFunctions.pseudonymize(col("name"), "k2").as("p2"),
+        col("name"))
+      .collect()
+    val (p7, p7b, raw7) = (out(0).getString(0), out(0).getString(1),
+      out(0).getString(2))
+    assert(p7.startsWith("p_") && p7.length == 18)
+    assert(p7 != out(1).getString(0), "distinct values must not collide")
+    assert(p7 != p7b, "salt rotation must re-key")
+    assert(!p7.contains("Customer"), "raw value leaked into the token")
+    assert(out(2).isNullAt(0), "NULL must stay NULL")
+    // determinism across invocations
+    val again = df.select(TextFunctions.pseudonymize(col("name"), "k1"))
+      .collect()(0).getString(0)
+    assert(again == p7)
+  }
+
   test("shingles produces n-k+1 distinct word k-grams, short-doc fallback") {
     val df = Seq("a b c d e", "a b").toDF("text")
     val out = df.select(TextFunctions.shingles(col("text"), 3))
