@@ -355,6 +355,31 @@ object EventQueries {
         .orderBy("event_type", "day")
     },
 
+    // Sliding (hopping) windows: 2-hour windows every 1 hour — each event
+    // lands in exactly two windows, the overlap structure tumbling
+    // windows can't express (rate trends, smoothed rollups). Spark's
+    // `window(ts, '2 hours', '1 hour')` is a scan-local 2-row explode
+    // before the aggregation; the oracle materializes the same two
+    // window starts per event. Counts are exact ints.
+    Q("q_events_sliding",
+      """WITH w AS (SELECT event_type,
+        |             unnest([date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |                       - INTERVAL 1 HOUR,
+        |                     date_trunc('hour', CAST(ts AS TIMESTAMP))])
+        |               AS wstart
+        |           FROM events)
+        |SELECT wstart, wstart + INTERVAL 2 HOUR AS wend, event_type,
+        |       count(*) AS cnt
+        |FROM w GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("wstart"),
+          col("window.end").as("wend"), col("event_type"), col("cnt"))
+        .orderBy("wstart", "event_type")
+    },
+
     // Robust anomaly flagging on daily event volumes: median + MAD per
     // type (outlier-immune, unlike mean/stddev), flag days deviating
     // > 3 MAD. Medians of integer counts are exact (.0/.5) doubles, so

@@ -81,3 +81,31 @@ class ApproxSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 }
+
+class DynamicPruningSpec extends SparkSpec {
+
+  test("dynamic partition pruning reaches the partitioned fact scan") {
+    // fact partitioned by year on disk; dim rows select a year subset via
+    // a NON-foldable filter (flag lives only in the dim file), so static
+    // partition pruning cannot fire — only DPP can skip fact partitions.
+    // At 100 TB this is the difference between scanning one year and
+    // scanning the warehouse.
+    val base = Files.createTempDirectory("graft-dpp").toString
+    val orders = graft.engine.Tables.t(spark, sf001, "orders")
+      .withColumn("oyear", year(col("o_orderdate")))
+    orders.write.partitionBy("oyear").mode("overwrite")
+      .parquet(s"$base/fact")
+    orders.select(col("oyear")).distinct()
+      .withColumn("flag", (col("oyear") % 2).cast("int"))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.read.parquet(s"$base/dim").where(col("flag") === 0)
+    val joined = fact.join(dim, "oyear")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+    // and the pruned plan returns exactly the statically-filtered result
+    val expected = orders.where((col("oyear") % 2) === 0).count()
+    assert(joined.count() == expected)
+  }
+}
