@@ -99,4 +99,37 @@ object Packing {
       .repartition(col("bin"))
       .sortWithinPartitions(order: _*)
       .write.mode("overwrite").partitionBy("bin").parquet(dir)
+
+  /** Length-bucketed batch assembly (dynamic batching): rows are grouped
+    * into buckets of similar length, then cut into fixed-size batches
+    * inside each bucket — padded-batch training/inference wastes
+    * `batch·max(len) − Σlen` tokens per batch, and bucketing by length
+    * is the standard way to shrink that waste without an O(n log n)
+    * global sort. Returns per-batch accounting:
+    * (bucket, batch_idx, n_rows, max_len, len_sum, padding_waste).
+    *
+    * Deterministic: bucket = min(len div bucketWidth, maxBucket), batch
+    * order = id within bucket. The per-bucket window is a full
+    * row_number (every row needs a batch), so the shuffle is one
+    * exchange on bucket — at 100 TB use more buckets (smaller
+    * `bucketWidth`) to keep per-bucket partitions bounded; the
+    * integer-exact accounting hash-gates. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, lenCol: String,
+                          bucketWidth: Long, maxBucket: Int,
+                          batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0 && maxBucket >= 0)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+    df.select(col(idCol), col(lenCol).cast("long").as("len"),
+        least(col(lenCol).cast("long").divide(bucketWidth).cast("long"),
+          lit(maxBucket.toLong)).as("bucket"))
+      .withColumn("batch_idx",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy("bucket", "batch_idx")
+      .agg(count(lit(1)).as("n_rows"), max("len").as("max_len"),
+        sum("len").as("len_sum"))
+      .withColumn("padding_waste",
+        col("n_rows") * col("max_len") - col("len_sum"))
+  }
 }

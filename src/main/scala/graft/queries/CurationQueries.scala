@@ -156,6 +156,94 @@ object CurationQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // Dataset-card manifest: the one-pass summary a corpus release ships
+    // with — sizes, language/source breadth, exact-dup rate, mean
+    // quality — every number produced by an already-gated operator and
+    // folded into ONE aggregation (count-distincts share the pass via
+    // Expand, the Analyze trade-off; the 100 TB variant swaps HLL in the
+    // same shape). All values surface as DOUBLE so the comparator hashes
+    // bits, not formatting.
+    Q("q_dataset_card", {
+      val toks = TextQueries.sqlToks
+      val q = TextQueries.sqlQuality
+      val fp = "md5(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+      s"""WITH m AS (SELECT count(*) AS n_docs,
+         |                  sum(len($toks)) AS n_tokens,
+         |                  sum(n_chars) AS n_chars,
+         |                  count(DISTINCT lang) AS n_langs,
+         |                  count(DISTINCT source) AS n_sources,
+         |                  count(*) FILTER (WHERE lang = 'en') AS n_en,
+         |                  count(DISTINCT $fp) AS n_fp,
+         |                  round(avg($q), 4) AS mean_q
+         |           FROM documents)
+         |SELECT 'dup_rate' AS metric,
+         |       round(1.0 - CAST(n_fp AS DOUBLE) / n_docs, 4) AS value
+         |  FROM m
+         |UNION ALL SELECT 'mean_quality', mean_q FROM m
+         |UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM m
+         |UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM m
+         |UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM m
+         |UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM m
+         |UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM m
+         |UNION ALL SELECT 'pct_en',
+         |       round(CAST(n_en AS DOUBLE) / n_docs, 4) FROM m
+         |ORDER BY metric""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.TextFunctions.{normFingerprint, qualityScore,
+        tokens}
+      val m = t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        count(when(col("lang") === "en", 1)).as("n_en"),
+        countDistinct(normFingerprint(col("text"))).as("n_fp"),
+        round4(avg(qualityScore(col("text")))).as("mean_q"))
+      val card = array(
+        struct(lit("dup_rate").as("metric"),
+          round4(lit(1.0) - col("n_fp").cast("double") / col("n_docs"))
+            .as("value")),
+        struct(lit("mean_quality").as("metric"), col("mean_q").as("value")),
+        struct(lit("n_chars").as("metric"),
+          col("n_chars").cast("double").as("value")),
+        struct(lit("n_docs").as("metric"),
+          col("n_docs").cast("double").as("value")),
+        struct(lit("n_langs").as("metric"),
+          col("n_langs").cast("double").as("value")),
+        struct(lit("n_sources").as("metric"),
+          col("n_sources").cast("double").as("value")),
+        struct(lit("n_tokens").as("metric"),
+          col("n_tokens").cast("double").as("value")),
+        struct(lit("pct_en").as("metric"),
+          round4(col("n_en").cast("double") / col("n_docs")).as("value")))
+      m.select(explode(card).as("s")).select(col("s.*")).orderBy("metric")
+    },
+
+    // Length-bucketed batch assembly (Packing.lengthBucketBatches):
+    // dynamic batching for padded training/inference — similar-length
+    // docs batch together so batch·max(len) − Σlen (the padding waste)
+    // stays small; the per-batch accounting is integer-exact and
+    // hash-gated. One exchange on bucket; the batch cut is a row_number
+    // inside each bucket.
+    Q("q_pack_length_buckets",
+      """WITH b AS (SELECT doc_id, n_chars AS len,
+        |                  least(n_chars // 64, 7) AS bucket
+        |           FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+        |                                   ORDER BY doc_id) AS rn FROM b)
+        |SELECT bucket, (rn - 1) // 16 AS batch_idx, count(*) AS n_rows,
+        |       max(len) AS max_len, sum(len) AS len_sum,
+        |       count(*) * max(len) - sum(len) AS padding_waste
+        |FROM r GROUP BY bucket, batch_idx
+        |ORDER BY bucket, batch_idx""".stripMargin) { (s, dir) =>
+      graft.operators.Packing.lengthBucketBatches(
+          t(s, dir, "documents"), "doc_id", "n_chars",
+          bucketWidth = 64, maxBucket = 7, batchSize = 16)
+        .orderBy("bucket", "batch_idx")
+    },
+
     // DSIR importance weighting (operators.ImportanceWeights): unigram
     // target-vs-source log-likelihood ratio with add-one smoothing —
     // target = 'en' documents, source = the corpus. ONE token-stats pass

@@ -1010,3 +1010,35 @@ class ImportanceWeightsSpec extends SparkSpec {
     assert(a == b)
   }
 }
+
+class LengthBucketSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("batches group similar lengths; waste arithmetic is exact") {
+    // lengths 10,12 (bucket 0 at width 16) and 100,104,120 (buckets 6,7)
+    val df = Seq((1L, 10L), (2L, 12L), (3L, 100L), (4L, 104L), (5L, 120L))
+      .toDF("id", "len")
+    val got = Packing.lengthBucketBatches(df, "id", "len",
+        bucketWidth = 16, maxBucket = 7, batchSize = 2)
+      .orderBy("bucket", "batch_idx")
+      .select("bucket", "batch_idx", "n_rows", "max_len", "padding_waste")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 12L, 2L),   // 2*12 - 22
+      (6L, 0L, 2L, 104L, 4L),  // 2*104 - 204
+      (7L, 0L, 1L, 120L, 0L))) // singleton pads nothing
+  }
+
+  test("every row is batched exactly once and results are partition-stable") {
+    val df = (1L to 300L).map(i => (i, (i * 37) % 200 + 1)).toDF("id", "len")
+    val a = Packing.lengthBucketBatches(df.repartition(1), "id", "len",
+      32, 7, 16)
+    val b = Packing.lengthBucketBatches(df.repartition(9), "id", "len",
+      32, 7, 16)
+    assert(a.orderBy("bucket", "batch_idx").collect().toSeq ==
+      b.orderBy("bucket", "batch_idx").collect().toSeq)
+    assert(a.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0)
+      == 300L)
+  }
+}
