@@ -37,6 +37,10 @@ object Bm25 {
     val corpus = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).as("n_tokens")).collect().head
     val nDocs = corpus.getLong(0)
+    if (nDocs == 0) // empty corpus: empty result, not a NaN avgdl
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
+          lit(0.0).as("score"), lit(0).as("rank")).limit(0)
     val avgdl = corpus.getLong(1).toDouble / nDocs
     val posting = toks
       .select(col("doc_id"), size(col("toks")).as("dl"),

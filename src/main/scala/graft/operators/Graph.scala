@@ -112,6 +112,7 @@ object Graph {
     val adj = dir.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.count()
+    require(n > 0, "pageRank needs a non-empty graph")
     val init = 1000000L / n
     val base = 150000L / n
     var ranks = deg.select(col("src").as("v"), lit(init).as("r"))

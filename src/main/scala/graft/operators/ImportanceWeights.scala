@@ -45,7 +45,8 @@ object ImportanceWeights {
       count(lit(1)).as("c_src"),
       count(when(col("is_tgt"), 1)).as("c_tgt"))
     val totals = stats.agg(
-      sum("c_src").as("n_src"), sum("c_tgt").as("n_tgt"),
+      coalesce(sum("c_src"), lit(0L)).as("n_src"),
+      coalesce(sum("c_tgt"), lit(0L)).as("n_tgt"),
       count(lit(1)).as("v")).collect().head
     val (nSrc, nTgt, v) =
       (totals.getLong(0), totals.getLong(1), totals.getLong(2))

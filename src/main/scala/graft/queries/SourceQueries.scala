@@ -68,5 +68,91 @@ object SourceQueries {
           col("n_chars"))
       valid.union(summary).orderBy("doc_id")
     },
+
+    // Cross-format federation: the parquet corpus and the JSONL batch
+    // unioned BY NAME (the jsonl fixture's column order differs from the
+    // select order — positional union would silently cross-wire), then
+    // one aggregation spanning both sources. At 100 TB this is the
+    // landing union: yesterday's parquet warehouse + today's raw JSONL
+    // drop queried as one table before conversion.
+    Q("q_source_federated", {
+      val path = jsonlFixturePath
+      s"""WITH pq AS (SELECT 'parquet' AS src, lang, n_chars
+         |            FROM documents WHERE doc_id < 40),
+         |js AS (SELECT 'jsonl' AS src, lang, n_chars
+         |       FROM read_json('$path',
+         |         format = 'newline_delimited',
+         |         columns = {'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+         |                    'n_chars': 'BIGINT'},
+         |         ignore_errors = true)
+         |       WHERE doc_id IS NOT NULL),
+         |u AS (SELECT * FROM pq UNION ALL SELECT * FROM js)
+         |SELECT src, lang, count(*) AS n_docs, sum(n_chars) AS chars
+         |FROM u GROUP BY src, lang ORDER BY src, lang""".stripMargin
+    }) { (s, dir) =>
+      import graft.engine.Tables.t
+      val path = jsonlFixturePath
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType)))
+      val pq = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(lit("parquet").as("src"), col("lang"), col("n_chars"))
+      val js = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .where(col("_corrupt_record").isNull)
+        // deliberately different column order: unionByName must align
+        .select(col("n_chars"), col("lang"), lit("jsonl").as("src"))
+      pq.unionByName(js)
+        .groupBy("src", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+        .orderBy("src", "lang")
+    },
+
+    // RFC 4180 CSV: quoted fields carrying the delimiter, doubled-quote
+    // escapes, and an EMBEDDED NEWLINE — the shapes naive line-split
+    // ingest corrupts silently. Spark needs multiLine + quote-escape
+    // configured (the default escape is backslash, not RFC 4180);
+    // DuckDB's reader is RFC-native — agreement IS the gate.
+    Q("q_source_csv", {
+      val path = csvFixturePath
+      s"""SELECT id, title, val
+         |FROM read_csv('$path', header = true,
+         |  columns = {'id': 'BIGINT', 'title': 'VARCHAR', 'val': 'BIGINT'})
+         |ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      val path = csvFixturePath
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("title", StringType),
+        StructField("val", LongType)))
+      s.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", "\"").option("escape", "\"")
+        .csv(path)
+        .orderBy("id")
+    },
   )
+
+  /** RFC 4180 CSV fixture: 20 formula rows whose titles exercise quoted
+    * commas, doubled-quote escapes, and one embedded newline. */
+  private[queries] lazy val csvFixturePath: String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_csv_fixture.csv")
+    val rows = (0 until 20).map { i =>
+      val title = i % 4 match {
+        case 0 => s"plain title $i"
+        case 1 => s"\"comma, inside $i\""
+        case 2 => s"\"she said \"\"hi\"\" $i\""
+        case _ => s"\"line one $i\nline two\""
+      }
+      s"$i,$title,${i * 11}"
+    }
+    val content = ("id,title,val" +: rows).mkString("", "\n", "\n")
+    java.nio.file.Files.write(p,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    p.toString
+  }
 }

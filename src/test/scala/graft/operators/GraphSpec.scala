@@ -60,3 +60,43 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 }
+
+class EmptyInputSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+
+  test("graph operators on an empty edge set") {
+    assert(Graph.triangles(noEdges).count() == 0)
+    assert(Graph.triangleStats(noEdges).count() == 0)
+    intercept[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(noEdges, iters = 3).count()
+    }
+  }
+
+  test("bm25 on an empty corpus returns an empty, well-typed frame") {
+    val q = Seq((1L, "cat")).toDF("query_id", "term")
+    val out = Bm25.topK(noDocs, q, k = 5)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("query_id", "doc_id", "score", "rank"))
+  }
+
+  test("dsir on an empty corpus returns no scores (and does not NPE)") {
+    val out = ImportanceWeights.dsirScores(noDocs, "doc_id", "text",
+      lit(true))
+    assert(out.count() == 0)
+  }
+
+  test("analyze/curation/packing on empty inputs") {
+    val noSrc = Seq.empty[(String, Long, Long)]
+      .toDF("source", "doc_id", "n_chars")
+    assert(Analyze.columnStats(noDocs, Seq("doc_id")).count() == 1) // zeros row
+    assert(Curation.domainCap(noSrc, "source", 5,
+      Seq(col("doc_id").asc), Seq("x")).count() == 0)
+    assert(Packing.lengthBucketBatches(noSrc, "doc_id", "n_chars",
+      64, 7, 16).count() == 0)
+  }
+}
