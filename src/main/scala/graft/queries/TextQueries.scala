@@ -21,6 +21,38 @@ object TextQueries {
   /** DuckDB fragment: lowercased whitespace tokens. */
   private[queries] val sqlToks = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** Memoize+persist the prefix-copy substring-dup SPANS frame shared by
+    * q_dedup_spans and q_dedup_span_removal (identical aug, identical
+    * winnow parameters) — the vault family's staging-table pattern: the
+    * first gate pays the winnow + bucket join once per (session, dir),
+    * the second reuses the pinned result. Tracked and releasable via
+    * [[evictCaches]]. */
+  private val spansCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  private def prefixAug(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select("doc_id", "text").union(
+      docs.where(col("doc_id") < 30)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          substring(col("text"), 1, 120).as("text")))
+  }
+
+  private def prefixDupSpans(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame =
+    spansCache.getOrElseUpdate((s, dir),
+      Dedup.substringDupSpans(prefixAug(s, dir), "doc_id", "text",
+          k = 12, w = 8, minShared = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop the memoized spans frames held for `s` (all dirs). */
+  def evictCaches(s: org.apache.spark.sql.SparkSession): Unit =
+    spansCache.keys.filter(_._1 eq s).foreach { k =>
+      spansCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
   /** Fixture model for q_text_classifier: 64 hashed-bucket weights from a
     * deterministic formula (6-dp values round-trip exactly through both
     * engines' decimal parsing), positive bias so short docs lean keep.
@@ -337,14 +369,7 @@ object TextQueries {
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY id1, id2""".stripMargin
     }) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val aug = docs.select("doc_id", "text").union(
-        docs.where(col("doc_id") < 30)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            substring(col("text"), 1, 120).as("text")))
-      Dedup.substringDupSpans(aug, "doc_id", "text",
-          k = 12, w = 8, minShared = 2)
-        .orderBy("id1", "id2")
+      prefixDupSpans(s, dir).orderBy("id1", "id2")
     },
 
     // Targeted span REMOVAL executed: every document that is the higher
@@ -408,13 +433,8 @@ object TextQueries {
          |       md5(clean) AS clean_md5
          |FROM c ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val aug = docs.select("doc_id", "text").union(
-        docs.where(col("doc_id") < 30)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            substring(col("text"), 1, 120).as("text")))
-      val spans = Dedup.substringDupSpans(aug, "doc_id", "text",
-        k = 12, w = 8, minShared = 2)
+      val aug = prefixAug(s, dir)
+      val spans = prefixDupSpans(s, dir)
       val per2 = spans.groupBy(col("id2").as("doc_id"))
         .agg(min("b_min_pos").as("lo"), max("b_max_pos").as("hi"))
       aug.join(per2, "doc_id")

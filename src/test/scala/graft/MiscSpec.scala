@@ -458,3 +458,22 @@ class VaultCacheSpec extends SparkSpec {
     VaultQueries.evictCaches(spark)
   }
 }
+
+class SpansCacheSpec extends SparkSpec {
+
+  test("TextQueries.evictCaches releases the shared spans frame") {
+    import org.apache.spark.storage.StorageLevel
+    import graft.queries.TextQueries
+    // run one of the two sharing gates to populate the memo, then find
+    // the pinned frame via a second call (getOrElseUpdate returns it)
+    val a = graft.SparkEntry.queries("q_dedup_spans")(spark, sf001)
+    val n = a.count()
+    // q_dedup_span_removal reuses the same memoized spans frame
+    graft.SparkEntry.queries("q_dedup_span_removal")(spark, sf001).count()
+    TextQueries.evictCaches(spark)
+    // re-running re-derives and re-memoizes rather than failing
+    val again = graft.SparkEntry.queries("q_dedup_spans")(spark, sf001)
+    assert(again.count() == n)
+    TextQueries.evictCaches(spark)
+  }
+}
