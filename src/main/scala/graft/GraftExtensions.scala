@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BpeTokenCount, HyperplaneSig64, LangId, MinHash, MinHashSig, MinHashUnion, QualityScore, RollingHash64, SimHash64, VecMean, WinnowFingerprintPos, WinnowFingerprints, WordShingles, ZOrder62}
+import graft.expressions.{BpeTokenCount, HyperplaneSig64, LangId, MinHash, MinHashSig, MinHashUnion, NfcNorm, QualityScore, RollingHash64, SimHash64, StripAccents, VecMean, WinnowFingerprintPos, WinnowFingerprints, WordShingles, ZOrder62}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => ZOrder62(children.head, children(1))))
     ext.injectFunction((FunctionIdentifier("minhash_union"),
       MinHashUnion.info, children => MinHashUnion(children.head)))
+    ext.injectFunction((FunctionIdentifier("nfc_norm"),
+      new ExpressionInfo(classOf[NfcNorm].getName, "nfc_norm"),
+      children => NfcNorm(children.head)))
+    ext.injectFunction((FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      children => StripAccents(children.head)))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,
         "winnow_fingerprints"),

@@ -157,6 +157,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Unicode normalization (expressions.UnicodeNorm): NFC composition +
+    // accent stripping, the pass a multilingual pipeline runs before
+    // tokenizing/fingerprinting (composed vs decomposed forms of the
+    // SAME visible text would otherwise dedup as different documents).
+    // Planted decomposed-accent suffixes (combining marks spliced into
+    // every 5th doc) must compose under nfc_norm and flatten under
+    // strip_accents; both custom expressions are codegen'd scan-local,
+    // DuckDB's native nfc_normalize/strip_accents are the oracle twins.
+    Q("q_text_normalize", {
+      val accented = " cafe\u0301 n\u0303ino u\u0308ber"
+      s"""WITH aug AS (SELECT doc_id,
+         |               CASE WHEN doc_id % 5 = 0
+         |                    THEN text || '$accented' ELSE text END AS raw
+         |             FROM documents)
+         |SELECT doc_id, nfc_normalize(raw) AS nfc,
+         |       strip_accents(raw) AS stripped,
+         |       nfc_normalize(raw) != raw AS changed,
+         |       length(nfc_normalize(raw)) AS n_nfc, length(raw) AS n_raw
+         |FROM aug ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.expressions.UnicodeNorm.register(s)
+      val accented = " cafe\u0301 n\u0303ino u\u0308ber"
+      t(s, dir, "documents")
+        .withColumn("raw",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(accented)))
+            .otherwise(col("text")))
+        .select(col("doc_id"), expr("nfc_norm(raw)").as("nfc"),
+          expr("strip_accents(raw)").as("stripped"),
+          expr("nfc_norm(raw) != raw").as("changed"),
+          length(expr("nfc_norm(raw)")).as("n_nfc"),
+          length(col("raw")).as("n_raw"))
+        .orderBy("doc_id")
+    },
+
     // Exact dedup after normalization. The corpus has no verbatim dups, so
     // the query plants them deterministically (uppercased copies, id+100000)
     // and the operator must find exactly those.

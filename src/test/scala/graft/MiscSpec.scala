@@ -477,3 +477,30 @@ class SpansCacheSpec extends SparkSpec {
     TextQueries.evictCaches(spark)
   }
 }
+
+class UnicodeNormSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val composed = "café ñino über"
+  private val decomposed = "cafe\u0301 n\u0303ino u\u0308ber"
+
+  test("nfc_norm composes combining sequences; strip_accents flattens both") {
+    graft.expressions.UnicodeNorm.register(spark)
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain"))
+      .toDF("id", "s")
+    val out = df.selectExpr("id", "nfc_norm(s) AS n", "strip_accents(s) AS a")
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(1L)._1 == composed, "composed input must be NFC-stable")
+    assert(out(2L)._1 == composed, "decomposed input must compose")
+    assert(out(1L)._2 == "cafe nino uber" && out(2L)._2 == "cafe nino uber")
+    assert(out(3L) == (("plain", "plain")))
+    // idempotence + null propagation
+    val again = df.selectExpr("nfc_norm(nfc_norm(s)) AS n2")
+      .as[String].collect()
+    assert(again.toSet == Set(composed, "plain"))
+    assert(df.select(expr("nfc_norm(CAST(NULL AS STRING))")).head.isNullAt(0))
+  }
+}
