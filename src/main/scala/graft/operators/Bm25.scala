@@ -66,4 +66,75 @@ object Bm25 {
       .where(col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
   }
+
+  /** Number of term-hash partitions in a persisted index. */
+  val IndexBuckets = 64
+
+  /** Persist an inverted index for repeated retrieval: postings
+    * (term, doc_id, dl, tf) PARTITIONED BY `term_bucket` =
+    * hash(term) mod 64 — the high-query-volume complement to [[topK]]'s
+    * scan+prune (same trade as Similarity.writeIndex: build once, then
+    * every search reads only its query terms' buckets, ~1/64th of the
+    * postings per term). A one-row `stats` dataset carries the corpus
+    * constants. A term's postings live entirely inside its bucket, so
+    * df computed from probed buckets alone is exact. */
+  def writeIndex(docs: DataFrame, dir: String): Unit = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).as("n_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    toks
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket",
+        pmod(hash(col("term")), lit(IndexBuckets)))
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Search a persisted [[writeIndex]] index — result-identical to
+    * running [[topK]] over the original corpus (Bm25Spec pins it), but
+    * the scan touches only the query terms' partitions: the bucket
+    * filter is a partition filter, so non-matching directories are never
+    * opened. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queries: DataFrame, k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = spark.read.parquet(s"$dir/stats").collect().head
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val qTerms = queries.select("term").distinct().collect()
+      .map(_.getString(0))
+    val buckets = qTerms
+      .map(t => org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      .map(u => math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+            u.numBytes, 42),
+        IndexBuckets))
+      .distinct
+    val tf = spark.read.parquet(s"$dir/postings")
+      .where(col("term_bucket").isin(buckets.map(Integer.valueOf): _*))
+      .where(col("term").isin(qTerms: _*))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = df.select(col("term"),
+      log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5)
+        / (col("df") + 0.5)).as("idf"))
+    val termScore = tf.join(broadcast(idf), "term")
+      .withColumn("ts",
+        col("idf") * col("tf") * (lit(k1) + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+    val scored = termScore
+      .join(broadcast(queries), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(round4(sum(col("ts"))).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
 }

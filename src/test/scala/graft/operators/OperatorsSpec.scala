@@ -1042,3 +1042,26 @@ class LengthBucketSpec extends SparkSpec {
       == 300L)
   }
 }
+
+class Bm25IndexSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("persisted-index search is result-identical to scan+prune topK " +
+      "and reads only the query terms' partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val docs = graft.engine.Tables.t(spark, sf001, "documents")
+    val queries = Seq((1L, "spark"), (1L, "window"), (2L, "customer"))
+      .toDF("query_id", "term")
+    Bm25.writeIndex(docs, dir)
+    val direct = Bm25.topK(docs, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val indexed = Bm25.searchIndex(spark, dir, queries, k = 10)
+    assert(indexed.orderBy("query_id", "rank").collect().toSeq == direct)
+    // the bucket predicate must prune at the PARTITION level, not post-scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("term_bucket"),
+      s"no term_bucket partition pruning visible:\n$plan")
+  }
+}
