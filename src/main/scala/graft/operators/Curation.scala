@@ -33,4 +33,49 @@ object Curation {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= cap).drop("__rn")
   }
+
+  /** Tracking-parameter keys stripped by [[canonicalUrl]] (exact-match;
+    * `utm_*` is matched as a prefix). */
+  val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "msclkid", "ref")
+
+  /** URL canonicalization — the key-normalization step of web-corpus
+    * dedup: crawls see the same page under scheme/host case variants,
+    * default ports, tracking parameters, permuted query strings, trailing
+    * slashes, and fragments, and deduping on the RAW url misses all of
+    * them. Rules (the common subset of the canonical-URL literature):
+    * lowercase scheme and host; drop the port when it is the scheme
+    * default (http:80 / https:443), keep it otherwise; strip the
+    * fragment; strip tracking parameters (`utm_*` prefix plus
+    * [[TrackingParams]]); SORT the surviving query parameters (byte
+    * order) so permutations collide; trim trailing path slashes (bare
+    * authority → "/").
+    *
+    * Scale shape: entirely scan-local over Spark builtins (`parse_url`,
+    * `regexp_extract`, array `filter`/`array_sort`) — no UDF, no
+    * shuffle; the canonical key then feeds the ordinary exact-dedup hash
+    * shuffle. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(parse_url(noFrag, lit("HOST")))
+    val port = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path0 = regexp_replace(
+      coalesce(parse_url(noFrag, lit("PATH")), lit("")), "/+$", "")
+    val path = when(path0 === "", "/").otherwise(path0)
+    val query = coalesce(parse_url(noFrag, lit("QUERY")), lit(""))
+    val key = (p: Column) => element_at(split(p, "="), 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !key(p).rlike("^utm_") &&
+        !key(p).isInCollection(TrackingParams))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(""),
+      path,
+      when(q === "", "").otherwise(concat(lit("?"), q)))
+  }
 }

@@ -163,6 +163,48 @@ object Sampling {
       .withColumnRenamed("__rn", "rn")
   }
 
+  /** Leakage-safe train/val/test split: near-duplicates must land in the
+    * SAME split, or the test set contaminates training (the dedup-aware
+    * twin of [[q_sample_split]]'s per-document hash split — a document
+    * split independently of its near-copies leaks test content into
+    * train verbatim). The split coin is thrown on the dup-cluster
+    * CANONICAL id ([[ConnectedComponents.canonicalize]] over the pair
+    * graph), so every member of a cluster draws the same coin; documents
+    * in no pair split on their own id (canonical = id), unchanged from
+    * the per-document split.
+    *
+    * Deterministic and engine-replayable: the coin is the first md5
+    * nibble of the canonical id (16 buckets — `trainNibbles` to train,
+    * `valNibbles` to val, rest to test), no RNG. Scale shape: components
+    * is the bounded-round label propagation (one join + one agg per
+    * round); the split itself is a broadcast-sized left join of the
+    * id universe against the component labeling (only ids that appear in
+    * a pair carry a label; the label frame is |dup nodes|, not |corpus|)
+    * and a scan-local hash — no extra shuffle beyond components.
+    *
+    * @param ids   one row per corpus member, `idCol` must be total
+    * @param pairs near-dup edges (id1, id2), any orientation
+    * @return (id, canonical, split) for every row of `ids` */
+  def leakageSafeSplit(ids: DataFrame, pairs: DataFrame,
+                       idCol: String = "id", id1Col: String = "id1",
+                       id2Col: String = "id2", trainNibbles: Int = 10,
+                       valNibbles: Int = 3): DataFrame = {
+    require(trainNibbles > 0 && valNibbles >= 0 &&
+      trainNibbles + valNibbles <= 16,
+      s"nibble budgets out of range: train=$trainNibbles val=$valNibbles")
+    val canon = ConnectedComponents.canonicalize(pairs, id1Col, id2Col)
+    val labeled = ids.select(col(idCol).as("id"))
+      .join(canon, Seq("id"), "left")
+      .withColumn("canonical", coalesce(col("canonical"), col("id")))
+    val bucket = (expr(
+      "instr('0123456789abcdef', substring(md5(CAST(canonical AS STRING)), 1, 1))")
+      - 1).cast("long")
+    labeled.select(col("id"), col("canonical"),
+      when(bucket < trainNibbles, "train")
+        .when(bucket < trainNibbles + valNibbles, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** The shared selection step: broadcast the (group, rate) table onto the
     * corpus scan and keep rows whose u24 hash clears `floor(rate·2^24)` —
     * integer compare, shuffle-free on the corpus side. */

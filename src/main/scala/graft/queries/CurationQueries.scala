@@ -54,6 +54,136 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // URL canonicalization — the key-normalization step of web-corpus
+    // dedup: scheme/host case, default ports, tracking params, permuted
+    // query strings, trailing slashes, and fragments all alias the same
+    // page. Planted variants exercise every rule; the gate pins the
+    // row-level canonical string AND the collision structure (n_dups per
+    // canonical) — case 2 (utm-stripped) and case 4 (fragment-stripped,
+    // params permuted) must collide, as must cases 0/1 (casing + default
+    // port + trailing slash).
+    Q("q_curate_url_norm", {
+      val urlCase =
+        // NB: interpolated into a stripMargin'd outer string — no line here
+        // may start with '|' (a leading SQL '||' would lose a pipe)
+        """CASE doc_id % 5
+          |  WHEN 0 THEN 'http://EXAMPLE.com/a/' || seg || '/'
+          |  WHEN 1 THEN 'HTTP://example.com:80/a/' || seg
+          |  WHEN 2 THEN 'http://example.com/a/' || seg ||
+          |              '?utm_source=feed&b=2&a=1'
+          |  WHEN 3 THEN 'https://example.com:8080/a/' || seg ||
+          |              '?a=1&b=2&fbclid=XYZ' || seg
+          |  ELSE 'http://example.com/a/' || seg || '?b=2&a=1#frag'
+          |END""".stripMargin
+      s"""WITH urls AS (
+         |  SELECT doc_id, $urlCase AS url
+         |  FROM (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS seg
+         |        FROM documents)),
+         |parts AS (
+         |  SELECT doc_id, url,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         |      AS scheme,
+         |    lower(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+         |    regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port,
+         |    regexp_replace(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+         |      '/+$$', '') AS path0,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+         |  FROM urls),
+         |canon AS (
+         |  SELECT doc_id,
+         |    scheme || '://' || host ||
+         |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+         |              AND NOT (scheme = 'https' AND port = '443')
+         |         THEN ':' || port ELSE '' END ||
+         |    CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+         |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+         |  FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+         |          string_split(query, '&'),
+         |          p -> p <> ''
+         |               AND NOT regexp_matches(string_split(p, '=')[1],
+         |                                      '^utm_')
+         |               AND string_split(p, '=')[1] NOT IN
+         |                   ('fbclid', 'gclid', 'msclkid', 'ref'))),
+         |          '&'), '') AS q
+         |        FROM parts))
+         |SELECT doc_id, canon_url,
+         |       CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+         |         AS n_dups
+         |FROM canon ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val seg = (col("doc_id") % 7).cast("string")
+      val urlCol = when(col("doc_id") % 5 === 0,
+          concat(lit("http://EXAMPLE.com/a/"), seg, lit("/")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("HTTP://example.com:80/a/"), seg))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://example.com/a/"), seg,
+            lit("?utm_source=feed&b=2&a=1")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://example.com:8080/a/"), seg,
+            lit("?a=1&b=2&fbclid=XYZ"), seg))
+        .otherwise(concat(lit("http://example.com/a/"), seg,
+          lit("?b=2&a=1#frag")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Curation.canonicalUrl(urlCol).as("canon_url"))
+        .withColumn("n_dups",
+          count(lit(1)).over(Window.partitionBy("canon_url")))
+        .orderBy("doc_id")
+    },
+
+    // Leakage-safe split: near-duplicates must land in the SAME split or
+    // test content leaks into training verbatim. The coin is thrown on
+    // the dup-cluster canonical id (connected components over the pair
+    // graph), not the document id — a planted 3-chain (doc → +100000 →
+    // +200000) exercises TRANSITIVE grouping: the far end of the chain
+    // shares no direct edge with the near end, yet must draw the same
+    // split. Row-level: one misassigned member fails the hash.
+    Q("q_split_leakage_safe",
+      s"""WITH RECURSIVE
+         |edges AS (SELECT doc_id AS id1, doc_id + 100000 AS id2
+         |          FROM documents WHERE doc_id < 40
+         |          UNION ALL
+         |          SELECT doc_id + 100000, doc_id + 200000
+         |          FROM documents WHERE doc_id < 15),
+         |universe AS (SELECT doc_id AS id FROM documents
+         |             UNION ALL
+         |             SELECT doc_id + 100000 FROM documents WHERE doc_id < 40
+         |             UNION ALL
+         |             SELECT doc_id + 200000 FROM documents WHERE doc_id < 15),
+         |nodes AS (SELECT id1 AS id FROM edges UNION SELECT id2 FROM edges),
+         |sym AS (SELECT id1 AS a, id2 AS b FROM edges
+         |        UNION SELECT id2, id1 FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id),
+         |canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id),
+         |lab AS (SELECT u.id, coalesce(c.canonical, u.id) AS canonical
+         |        FROM universe u LEFT JOIN canon c USING (id))
+         |SELECT id, canonical,
+         |       CASE WHEN ${nibbleSql("canonical")} < 10 THEN 'train'
+         |            WHEN ${nibbleSql("canonical")} < 13 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM lab ORDER BY id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val b40 = docs.where(col("doc_id") < 40)
+      val b15 = docs.where(col("doc_id") < 15)
+      val edges = b40.select(col("doc_id").as("id1"),
+          (col("doc_id") + 100000).as("id2"))
+        .union(b15.select((col("doc_id") + 100000).as("id1"),
+          (col("doc_id") + 200000).as("id2")))
+      val universe = docs.select(col("doc_id").as("id"))
+        .union(b40.select((col("doc_id") + 100000).as("id")))
+        .union(b15.select((col("doc_id") + 200000).as("id")))
+      graft.operators.Sampling.leakageSafeSplit(universe, edges)
+        .orderBy("id")
+    },
+
     // Deterministic training-order shuffle: global position = rank of
     // md5('epoch1:' || doc_id), id tiebreak — the epoch-shuffle step of a
     // training pipeline, reproducible on any engine/partitioning (an RNG

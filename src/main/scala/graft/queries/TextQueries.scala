@@ -1097,5 +1097,60 @@ object TextQueries {
       graft.operators.Bm25.topK(t(s, dir, "documents"), queries, k = 10)
         .orderBy("query_id", "rank")
     },
+
+    // HTML → text extraction (boilerplate strip): script/style payloads
+    // dropped WHOLE (a tag-only strip would leak `var x = 1 < 2;` into
+    // the corpus — planted), comments and tags dropped, the six dominant
+    // entities decoded with &amp; LAST (so planted '&amp;lt;x' yields the
+    // literal '&lt;x', never double-decodes to '<x'), whitespace
+    // collapsed. Both engines run the same RE2-safe rule chain (no
+    // backreferences); output text is md5-gated per document.
+    Q("q_text_html_strip", {
+      val htmlSql =
+        """'<html><head><title>' || t1 ||
+          |          '</title><script type="text/javascript">var x = 1 < 2;' ||
+          |          '</script><style>.c { color: red; }</style></head>' ||
+          |          '<body><h1>' || t1 || '</h1><!-- hidden --><p>' || t2 ||
+          |          ' &amp; &lt;tags&gt; &quot;q&quot; &#39;s&#39;' ||
+          |          '&nbsp;mid &amp;lt;x</p></body></html>'""".stripMargin
+      s"""WITH src AS (SELECT doc_id, substr(text, 1, 30) AS t1,
+         |                    substr(text, 31, 60) AS t2
+         |             FROM documents),
+         |h AS (SELECT doc_id, $htmlSql AS html FROM src),
+         |s1 AS (SELECT doc_id, regexp_replace(html,
+         |         '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS x
+         |       FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(x,
+         |         '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS x
+         |       FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(x,
+         |         '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]+>', ' ', 'g')
+         |         AS x FROM s3),
+         |s5 AS (SELECT doc_id,
+         |         replace(replace(replace(replace(replace(replace(x,
+         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x
+         |       FROM s4)
+         |SELECT doc_id,
+         |       CAST(length(trim(regexp_replace(x, '\\s+', ' ', 'g')))
+         |         AS INT) AS n_chars,
+         |       md5(trim(regexp_replace(x, '\\s+', ' ', 'g'))) AS text_md5
+         |FROM s5 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val t1 = substring(col("text"), 1, 30)
+      val t2 = substring(col("text"), 31, 60)
+      val html = concat(lit("<html><head><title>"), t1,
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><style>.c { color: red; }</style></head><body><h1>"),
+        t1, lit("</h1><!-- hidden --><p>"), t2,
+        lit(" &amp; &lt;tags&gt; &quot;q&quot; &#39;s&#39;" +
+          "&nbsp;mid &amp;lt;x</p></body></html>"))
+      val stripped = graft.functions.TextFunctions.stripHtml(html)
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(stripped).as("n_chars"),
+          md5(stripped).as("text_md5"))
+        .orderBy("doc_id")
+    },
   )
 }

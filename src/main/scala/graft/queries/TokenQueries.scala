@@ -230,5 +230,51 @@ object TokenQueries {
             _.getField("ids")))).as("ids_md5"))
         .orderBy("bin")
     },
+
+    // Packed export WITH document-boundary offsets — the attention-mask
+    // metadata: a trainer packing multiple documents into one sequence
+    // needs each document's start offset inside the bin to build the
+    // block-diagonal attention mask (and to avoid cross-document
+    // attention). Per bin: the ordered within-bin start offset of every
+    // document, hash-gated — one transposed or off-by-one boundary in
+    // any bin fails. The offsets are a windowed prefix sum PARTITIONED
+    // BY bin (bins are budget-bounded, so the partition-local window is
+    // tiny — never the single-partition global window the packer itself
+    // avoids).
+    Q("q_export_tokens_mask",
+      s"""WITH $sqlDocIds,
+         |p AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS w,
+         |             CAST(sum(len(ids)) OVER (
+         |               ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |               AS BIGINT) AS cum
+         |      FROM doc_ids),
+         |b AS (SELECT doc_id, w, (cum - w) // 512 AS bin FROM p),
+         |o AS (SELECT bin, doc_id, w,
+         |             CAST(sum(w) OVER (PARTITION BY bin ORDER BY doc_id
+         |                    ROWS UNBOUNDED PRECEDING) - w
+         |               AS BIGINT) AS doc_start
+         |      FROM b)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(w) AS BIGINT) AS total_w,
+         |       md5(array_to_string(list_transform(
+         |             list(doc_start ORDER BY doc_id),
+         |             x -> CAST(x AS VARCHAR)), ' ')) AS bounds_md5
+         |FROM o GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val packed = Packing.packByBudget(encoded(s, dir),
+        Seq(col("doc_id")), "w", 512L)
+      val w = Window.partitionBy("bin").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      packed
+        .withColumn("doc_start", coalesce(sum("w").over(w), lit(0L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("total_w"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"),
+              col("doc_start")))),
+            _.getField("doc_start").cast("string")), " "))
+            .as("bounds_md5"))
+        .orderBy("bin")
+    },
   )
 }

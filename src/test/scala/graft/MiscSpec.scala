@@ -21,6 +21,19 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().toSeq == Seq("en", "es", "de", "und"))
   }
 
+  test("stripHtml: script/style payloads die whole, entities decode once") {
+    val html = """<html><head><script>var x = 1 < 2;</script>
+      |<style>.c { color: red }</style></head><body>
+      |<h1 class="t">Title</h1><!-- note --><p>A &amp; B &lt;c&gt;
+      |&quot;d&quot; &#39;e&#39;&nbsp;f &amp;lt;raw</p></body></html>"""
+      .stripMargin
+    val got = Seq(html).toDF("h")
+      .select(TextFunctions.stripHtml(col("h"))).as[String].head()
+    assert(got == "Title A & B <c> \"d\" 'e' f &lt;raw", s"got: [$got]")
+    // script CONTENT (not just tags) is gone
+    assert(!got.contains("var x"))
+  }
+
   test("pseudonymize: stable, salted, null-preserving, no raw leak") {
     val df = Seq(Some("Customer#000000007"), Some("Customer#000000008"), None)
       .toDF("name")

@@ -109,3 +109,54 @@ class DynamicPruningSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 }
+
+class BloomFilterJoinSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // The row-level twin of DPP: a selective filter on the build side of
+    // a shuffle join injects a bloom filter onto the probe-side SCAN, so
+    // probe rows that cannot match die before the exchange — at 100 TB
+    // the difference between shuffling the fact table and shuffling the
+    // matching slice. Thresholds scaled to test volume; broadcast
+    // disabled so the join actually shuffles (a broadcast join needs no
+    // bloom — the filter exists to cut exchange volume).
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val line = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val orders = spark.read.parquet(s"$sf001/orders.parquet")
+        .where(col("o_totalprice") > 400000.0)
+      val joined = line.join(orders,
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy().agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      val got = joined.head
+      // bloom is a pre-filter, never a semantics change: same result with
+      // the injection disabled
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "false")
+      val expect = line.join(orders,
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy().agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+        .head
+      assert(got == expect, s"$got != $expect")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

@@ -881,6 +881,33 @@ class CurationSpec extends SparkSpec {
         order = Seq(col("doc_id").asc), blocklist = Nil)
     }
   }
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Curation.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  test("canonicalUrl: case, default port, trailing slash, fragment alias") {
+    assert(canon(
+      "http://EXAMPLE.com/a/1/",
+      "HTTP://example.com:80/a/1",
+      "http://example.com/a/1#section-3").distinct ==
+      Seq("http://example.com/a/1"))
+  }
+
+  test("canonicalUrl: tracking params dropped, survivors sorted") {
+    assert(canon("http://example.com/p?utm_source=x&b=2&fbclid=Y&a=1") ==
+      Seq("http://example.com/p?a=1&b=2"))
+    // permuted params collide after the sort
+    assert(canon("http://example.com/p?b=2&a=1") ==
+      canon("http://example.com/p?a=1&b=2"))
+  }
+
+  test("canonicalUrl: non-default port kept; bare authority gets '/'") {
+    assert(canon("https://example.com:8080/x") ==
+      Seq("https://example.com:8080/x"))
+    assert(canon("https://Example.com:443") == Seq("https://example.com/"))
+    assert(canon("http://example.com") == Seq("http://example.com/"))
+  }
 }
 
 class Bm25Spec extends SparkSpec {

@@ -155,3 +155,53 @@ class WeightedSampleSpec extends SparkSpec {
     assert(a.forall(_.getLong(2) > 0))
   }
 }
+
+class LeakageSplitSpec extends SparkSpec {
+
+  import graft.operators.Sampling
+  import spark.implicits._
+
+  test("every member of a chained dup cluster draws one split") {
+    // 0-1-2-3-4 is a path: 4 shares no edge with 0, yet transitivity must
+    // put the whole chain in one split
+    val ids = (0L to 20L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("id1", "id2")
+    val out = Sampling.leakageSafeSplit(ids, pairs)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, c, sp) => id -> ((c, sp)) }.toMap
+    val chain = (0L to 4L).map(out)
+    assert(chain.map(_._1).distinct == Seq(0L), s"canonical drift: $chain")
+    assert(chain.map(_._2).distinct.size == 1, s"split leak: $chain")
+  }
+
+  test("singletons keep the plain per-id hash split") {
+    val ids = (50L to 80L).toDF("id")
+    val out = Sampling.leakageSafeSplit(ids,
+        Seq.empty[(Long, Long)].toDF("id1", "id2"))
+      .as[(Long, Long, String)].collect()
+    assert(out.forall { case (id, canonical, _) => canonical == id })
+    // matches the nibble rule on the id itself
+    val nib = ids.select(col("id"),
+      (expr("instr('0123456789abcdef', substring(md5(CAST(id AS STRING)), 1, 1))")
+        - 1).cast("long").as("b")).as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, split) =>
+      val expect =
+        if (nib(id) < 10) "train" else if (nib(id) < 13) "val" else "test"
+      assert(split == expect, s"id $id: $split != $expect")
+    }
+  }
+
+  test("partition-invariant; bad nibble budgets rejected") {
+    val ids = (0L to 99L).toDF("id")
+    val pairs = (0L until 30L).map(i => (i, i + 1000L)).toDF("id1", "id2")
+    val a = Sampling.leakageSafeSplit(ids.repartition(1), pairs)
+      .orderBy("id").collect().toSeq
+    val b = Sampling.leakageSafeSplit(ids.repartition(13), pairs)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(ids, pairs, trainNibbles = 17)
+    }
+  }
+}
