@@ -134,6 +134,36 @@ object SourceQueries {
         .csv(path)
         .orderBy("id")
     },
+
+    // ORC round-trip: the warehouse scan written to ORC and read back
+    // through graft.sources.Formats, rolled up per language. DuckDB
+    // cannot read ORC, so the oracle computes the SAME rollup from the
+    // parquet source — agreement pins write/read fidelity (row loss,
+    // type drift, or encoding damage in either direction flips a hash).
+    // Every value column participates: counts, exact sums, and an md5
+    // over the sorted per-doc fingerprints.
+    Q("q_source_orc",
+      """WITH h AS (SELECT lang, n_chars,
+        |             md5(CAST(doc_id AS VARCHAR) || ':' || text) AS dh
+        |           FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       md5(string_agg(dh, ' ' ORDER BY dh)) AS docs_md5
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        import graft.sources.Formats
+        val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_orc_roundtrip_" +
+            Integer.toHexString(dir.hashCode)).toString
+        Formats.writeOrc(graft.engine.Tables.t(s, dir, "documents"), tmp)
+        Formats.readOrc(s, tmp)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+            md5(array_join(array_sort(collect_list(
+              md5(concat(col("doc_id").cast("string"), lit(":"),
+                col("text"))))), " ")).as("docs_md5"))
+          .orderBy("lang")
+    },
   )
 
   /** RFC 4180 CSV fixture: 20 formula rows whose titles exercise quoted

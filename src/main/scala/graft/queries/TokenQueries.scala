@@ -90,6 +90,18 @@ object TokenQueries {
     (33 to 126).map(_.toChar.toString) ++ Seq("Ġ") ++
       fixtureMergesLs.map { case (a, b) => a + b }
 
+  /** Vocab with holes (no q/x/z/j): symbols the merge walk can emit but
+    * the id table cannot map — the OOV case a real pipeline must account
+    * for before shipping token streams (a -1 in a training shard is a
+    * corrupt example). Line number = id, so the REMOVAL also shifts every
+    * later id — both engines must read the same table, which the gate
+    * pins. */
+  private[queries] val fixtureVocabHoles: Seq[String] =
+    fixtureVocab.filterNot(Set("q", "x", "z", "j"))
+
+  private lazy val vocabHolesPath: String = materialize(
+    "graft_bpe_fixture_vocab_holes.txt", fixtureVocabHoles)
+
   private def sq(s: String): String = s.replace("'", "''")
 
   /** DuckDB fragment: the unrolled BPE merge loop over `word` — one
@@ -229,6 +241,37 @@ object TokenQueries {
             array_sort(collect_list(struct(col("doc_id"), col("ids")))),
             _.getField("ids")))).as("ids_md5"))
         .orderBy("bin")
+    },
+
+    // Vocabulary-coverage (OOV) accounting: encode against a vocab with
+    // planted holes and gate the per-document unknown-token count plus
+    // the id-stream hash — the pre-ship audit that catches a
+    // vocab/merges mismatch before -1 ids reach a training shard. Also
+    // pins the line-number=id contract: removing a vocab line shifts
+    // every later id, and one shifted id anywhere fails the hash.
+    Q("q_bpe_oov",
+      s"""WITH ${sqlDocIdsFor(fixtureMerges, fixtureVocabHoles,
+        spaceAware = false)}
+         |SELECT doc_id, CAST(len(ids) AS INT) AS n_tok,
+         |       CAST(len(list_filter(ids, i -> i = -1)) AS INT) AS n_oov,
+         |       round(CASE WHEN len(ids) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(ids, i -> i = -1))
+         |                    AS DOUBLE) / len(ids) END, 4) AS oov_rate,
+         |       md5(array_to_string(list_transform(ids,
+         |             i -> CAST(i AS VARCHAR)), ' ')) AS ids_md5
+         |FROM doc_ids ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Bpe.register(s)
+      val ids = Bpe.encodeIds(col("text"), mergesPath, vocabHolesPath)
+      val nOov = size(filter(col("ids"), _ === -1))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ids.as("ids"))
+        .select(col("doc_id"), size(col("ids")).as("n_tok"),
+          nOov.as("n_oov"),
+          round(when(size(col("ids")) === 0, 0.0)
+            .otherwise(nOov.cast("double") / size(col("ids"))), 4)
+            .as("oov_rate"),
+          idsMd5(col("ids")).as("ids_md5"))
+        .orderBy("doc_id")
     },
 
     // Packed export WITH document-boundary offsets — the attention-mask

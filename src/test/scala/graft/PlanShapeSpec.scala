@@ -355,4 +355,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(limits >= 2,
       s"domain cap did not push a partial WindowGroupLimit:\n$plan")
   }
+
+  test("url canonicalization is a scan-local codegen'd projection") {
+    val plan = physical(t(spark, sf001, "documents")
+      .select(col("doc_id"),
+        graft.operators.Curation.canonicalUrl(
+          concat(lit("http://Example.com/a/"),
+            col("doc_id").cast("string"))).as("canon")))
+    assert(!plan.contains("Exchange"),
+      s"url canonicalization must not shuffle:\n$plan")
+    assert(plan.contains("*("),
+      s"canonicalUrl fell out of whole-stage codegen:\n$plan")
+  }
+
+  test("html strip is a scan-local codegen'd projection") {
+    val plan = physical(t(spark, sf001, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.stripHtml(col("text")).as("s")))
+    assert(!plan.contains("Exchange"),
+      s"html strip must not shuffle:\n$plan")
+    assert(plan.contains("*("),
+      s"stripHtml fell out of whole-stage codegen:\n$plan")
+  }
+
+  test("packed-export boundary offsets never use a single-partition window") {
+    val plan = physical(
+      SparkEntry.queries("q_export_tokens_mask")(spark, sf001))
+    // the only windows are partitioned by bin — a window whose spec does
+    // not lead with the bin key would funnel the corpus through one task
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"no window found in packed export:\n$plan")
+    winLines.foreach { ln =>
+      assert(ln.contains("windowspecdefinition(bin"),
+        s"window not partitioned by bin:\n$ln")
+    }
+  }
 }
