@@ -14,6 +14,34 @@ object EventQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Watermark late-data accounting, replayed: which rows would a
+    // streaming query with a 2-hour watermark DROP? Arrival order :=
+    // event_id; ~1% planted stragglers (event_id % 97, shifted back 3h)
+    // make the flag discriminating — the natural stream is in-order.
+    // The running global max is the distributed prefix scan, never a
+    // single-partition window; the oracle replays it AS that window.
+    Q("q_stream_late_replay",
+      """WITH e AS (SELECT event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP))
+        |             - CASE WHEN event_id % 97 = 0
+        |                    THEN 10800000000 ELSE 0 END AS ts_us
+        |           FROM events),
+        |w AS (SELECT event_id, ts_us,
+        |             max(ts_us) OVER (ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS wm
+        |      FROM e)
+        |SELECT event_id, coalesce(ts_us < wm - 7200000000, FALSE) AS late
+        |FROM w ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("event_id"),
+        (unix_micros(col("ts")) -
+          when(col("event_id") % 97 === 0, 10800000000L).otherwise(0L))
+          .as("ts_us"))
+      graft.streaming.EventStreams
+        .watermarkLateReplay(e, "event_id", "ts_us", 7200000000L)
+        .select("event_id", "late").orderBy("event_id")
+    },
+
     // Tumbling 1-hour window aggregation (batch twin of
     // EventStreams.hourlyRollup; window(ts) start == date_trunc('hour')).
     Q("q_events_window",

@@ -150,6 +150,61 @@ object EventStreams {
       .drop("__rn")
   }
 
+  /** Batch REPLAY of Spark's global watermark accounting: which rows of
+    * a replayable log would a streaming query with `withWatermark(ts,
+    * delay)` treat as LATE (event time strictly below the watermark at
+    * arrival)? The watermark is what Structured Streaming maintains —
+    * the max event time seen over the arrival prefix, minus the delay —
+    * with arrival order made explicit (`orderCol`, a total order), so
+    * the replay is deterministic and engine-checkable. Backfills use
+    * this to reproduce the exact drop set of the live stream.
+    *
+    * Scale shape: the running max over a global arrival order is the
+    * same cliff as a global running sum — a windowed `max() OVER (ORDER
+    * BY ...)` collapses to ONE partition. This replays it as the
+    * distributed prefix scan of Packing.packByBudget: range-repartition
+    * on the arrival order, per-partition maxes (one long per partition
+    * to the driver), broadcast exclusive prefix maxes, partition-local
+    * running max. Every row gets the exact global watermark without a
+    * single-task window.
+    *
+    * @param tsUsCol event time in MICROSECONDS (`unix_micros(ts)`) —
+    *                integer math keeps both engines bit-exact
+    * @return input columns plus `late` */
+  def watermarkLateReplay(events: DataFrame, orderCol: String,
+                          tsUsCol: String, delayUs: Long,
+                          numPartitions: Option[Int] = None): DataFrame = {
+    require(delayUs >= 0, s"watermark delay must be non-negative: $delayUs")
+    val spark = events.sparkSession
+    val parts = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val sorted = events.repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tIdx = sorted.schema.fieldIndex(tsUsCol)
+    // one long per partition to the driver — bounded by partition count
+    val partMax = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var m = Long.MinValue
+      it.foreach(r => m = math.max(m, r.getLong(tIdx)))
+      Iterator((pid, m))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partMax.scanLeft(Long.MinValue)(math.max)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "late", org.apache.spark.sql.types.BooleanType, nullable = false))
+    val flagged = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var wm = offsets(pid) // max event time BEFORE this row
+      it.map { r =>
+        val ts = r.getLong(tIdx)
+        val late = wm != Long.MinValue && ts < wm - delayUs
+        wm = math.max(wm, ts)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ late)
+      }
+    }
+    spark.createDataFrame(flagged, schema)
+  }
+
   /** Stream-static enrichment: join the stream against a batch dimension
     * table — the canonical streaming-lookup shape (event → hub/satellite
     * attributes). The static side is re-planned per micro-batch, so a

@@ -448,6 +448,26 @@ class StreamingSpec extends SparkSpec {
       assert(s.getAs[Double]("total_value") == 3.0)
     } finally q.stop()
   }
+
+  test("watermarkLateReplay flags exactly the behind-watermark stragglers") {
+    // arrival order 1..6; event times (minutes): 0, 60, 120, 5, 119, 180
+    // with delay = 1h: row 4 (t=5) arrives when wm=120-60=60 → late;
+    // row 5 (t=119) arrives when wm=60 → NOT late (within the horizon)
+    val us = 60L * 1000000L
+    val rows = Seq((1L, 0L), (2L, 60L), (3L, 120L), (4L, 5L), (5L, 119L),
+      (6L, 180L)).map { case (id, m) => (id, m * us) }
+    val df = rows.toDF("event_id", "ts_us").repartition(3)
+    val got = EventStreams
+      .watermarkLateReplay(df, "event_id", "ts_us", 60L * us)
+      .select("event_id", "late").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true,
+      5L -> false, 6L -> false), s"got $got")
+    // partition invariance: the same flags on any input layout
+    val again = EventStreams
+      .watermarkLateReplay(df.repartition(1), "event_id", "ts_us", 60L * us)
+      .select("event_id", "late").as[(Long, Boolean)].collect().toMap
+    assert(again == got)
+  }
 }
 
 class VaultCacheSpec extends SparkSpec {
