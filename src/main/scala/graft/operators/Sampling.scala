@@ -163,6 +163,39 @@ object Sampling {
       .withColumnRenamed("__rn", "rn")
   }
 
+  /** Deterministic hash-ring negative mining for contrastive training:
+    * every anchor draws `k` negatives from the corpus WITHOUT a cross
+    * join, an RNG, or a similarity search — lay the corpus on a ring
+    * (the [[deterministicShuffle]] position), then each (anchor, j)
+    * jumps a hash-chosen offset in [1, n-1] around the ring. The offset
+    * can never be 0 mod n, so an anchor never draws itself; uniform
+    * offsets give negatives that are uniform over the corpus
+    * (random-negative semantics, reproducible on any engine or
+    * partitioning — the property batch-hard miners give up).
+    *
+    * Scale shape: one global-rank pass for the ring (range exchange +
+    * zipWithIndex, never a single-task window), a scan-local k-way
+    * explode, and ONE equi join on the ring position. The only driver
+    * scalar is the corpus count. */
+  def hashNegatives(docs: DataFrame, idCol: String, k: Int,
+                    seed: String): DataFrame = {
+    require(k > 0 && k <= 64, s"negatives per anchor out of (0, 64]: $k")
+    val ring = deterministicShuffle(docs.select(col(idCol)), idCol, seed)
+    val n = ring.count()
+    require(n > 1, s"need at least 2 rows to draw negatives, got $n")
+    val off = lit(1L) + hashU24(concat_ws(":", lit(seed + ":off"),
+      col(idCol).cast("string"), col("j").cast("string"))) % lit(n - 1L)
+    val anchors = ring
+      .withColumn("j", explode(array((1 to k).map(lit): _*)))
+      .withColumn("neg_pos",
+        (col("shuffle_pos") - 1L + off) % lit(n) + 1L)
+    anchors.join(
+        ring.select(col("shuffle_pos").as("neg_pos"),
+          col(idCol).as("neg_id")),
+        "neg_pos")
+      .select(col(idCol), col("j"), col("neg_id"))
+  }
+
   /** Leakage-safe train/val/test split: near-duplicates must land in the
     * SAME split, or the test set contaminates training (the dedup-aware
     * twin of [[q_sample_split]]'s per-document hash split — a document

@@ -184,6 +184,36 @@ object CurationQueries {
         .orderBy("id")
     },
 
+    // Hash-ring negative mining for contrastive training: k uniform
+    // negatives per anchor with no cross join, no RNG, no self-draw —
+    // corpus on a deterministic ring, hash-chosen jumps in [1, n-1].
+    // Row-level: the oracle replays ring positions, offsets, and the
+    // position join; one transposed negative anywhere fails the hash.
+    Q("q_sample_negatives", {
+      val offKey =
+        "'neg1:off:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+      s"""WITH c AS (SELECT count(*) AS n FROM documents),
+         |ring AS (SELECT doc_id, row_number() OVER (
+         |           ORDER BY md5('neg1:' || CAST(doc_id AS VARCHAR)),
+         |                    doc_id) AS sp
+         |         FROM documents),
+         |x AS (SELECT doc_id, sp, unnest([1, 2, 3]) AS j FROM ring),
+         |o AS (SELECT doc_id, sp, j,
+         |        1 + ${sqlU24(offKey)} % (c.n - 1) AS off
+         |      FROM x, c),
+         |p AS (SELECT doc_id, j,
+         |        ((sp - 1 + off) % (SELECT n FROM c)) + 1 AS neg_pos
+         |      FROM o)
+         |SELECT p.doc_id, CAST(p.j AS INT) AS j, r.doc_id AS neg_id
+         |FROM p JOIN ring r ON r.sp = p.neg_pos
+         |ORDER BY p.doc_id, p.j""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Sampling.hashNegatives(
+          t(s, dir, "documents").select("doc_id"),
+          "doc_id", k = 3, seed = "neg1")
+        .orderBy("doc_id", "j")
+    },
+
     // Deterministic training-order shuffle: global position = rank of
     // md5('epoch1:' || doc_id), id tiebreak — the epoch-shuffle step of a
     // training pipeline, reproducible on any engine/partitioning (an RNG

@@ -164,7 +164,43 @@ object SourceQueries {
                 col("text"))))), " ")).as("docs_md5"))
           .orderBy("lang")
     },
+
+    // Parquet schema evolution on read: a dataset whose later files
+    // carry ADDED columns (the normal life of a long-lived corpus dir)
+    // read as one frame with `mergeSchema` — old files surface NULL for
+    // the new columns, nothing is dropped or cross-wired. The oracle
+    // reads the same two generations with DuckDB's union_by_name.
+    // Row-level: every value of every generation is hash-compared.
+    Q("q_schema_merge",
+      s"""SELECT doc_id, lang, n_chars, source
+         |FROM read_parquet(['$schemaMergeV1/*.parquet',
+         |                   '$schemaMergeV2/*.parquet'],
+         |                  union_by_name = true)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      (0L until 40L).map(i => (i, fixtureLangs((i % 5).toInt)))
+        .toDF("doc_id", "lang")
+        .coalesce(1).write.mode("overwrite").parquet(schemaMergeV1)
+      (40L until 80L).map(i => (i, fixtureLangs((i % 5).toInt),
+          100L + 7L * i, s"src${i % 3}"))
+        .toDF("doc_id", "lang", "n_chars", "source")
+        .coalesce(1).write.mode("overwrite").parquet(schemaMergeV2)
+      s.read.option("mergeSchema", "true")
+        .parquet(schemaMergeV1, schemaMergeV2)
+        .select("doc_id", "lang", "n_chars", "source")
+        .orderBy("doc_id")
+    },
   )
+
+  /** Schema-evolution fixture dirs (written by the q_schema_merge gate
+    * itself — parquet needs a SparkSession): v1 is the ORIGINAL schema
+    * (doc_id, lang); v2 the EVOLVED one (+ n_chars, + source). Formula
+    * content, idempotent overwrite, sf-independent — the static oracle
+    * SQL can name the paths. */
+  private[queries] lazy val schemaMergeV1: String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"), "graft_schema_merge", "v1").toString
+  private[queries] lazy val schemaMergeV2: String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"), "graft_schema_merge", "v2").toString
 
   /** RFC 4180 CSV fixture: 20 formula rows whose titles exercise quoted
     * commas, doubled-quote escapes, and one embedded newline. */

@@ -205,3 +205,38 @@ class LeakageSplitSpec extends SparkSpec {
     }
   }
 }
+
+class HashNegativesSpec extends SparkSpec {
+
+  import graft.operators.Sampling
+  import spark.implicits._
+
+  test("k negatives per anchor, never the anchor itself, deterministic") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val got = Sampling.hashNegatives(docs, "doc_id", k = 4, seed = "s1")
+      .as[(Long, Int, Long)].collect()
+    assert(got.length == 200 * 4)
+    assert(got.forall { case (a, _, n) => a != n },
+      "an anchor drew itself as a negative")
+    // every anchor has exactly k draws, j = 1..4
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.size == 200 &&
+      byAnchor.values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4)))
+    // same draws on a different partitioning
+    val again = Sampling
+      .hashNegatives(docs.repartition(7), "doc_id", k = 4, seed = "s1")
+      .as[(Long, Int, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq ==
+      got.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("negatives spread over the corpus, not a fixed stride") {
+    val docs = (0L until 300L).toDF("doc_id")
+    val negs = Sampling.hashNegatives(docs, "doc_id", k = 2, seed = "s2")
+      .select("neg_id").as[Long].collect()
+    // uniform draws: many distinct negatives, no single dominator
+    assert(negs.distinct.length > 150, s"only ${negs.distinct.length} distinct")
+    val topShare = negs.groupBy(identity).values.map(_.length).max
+    assert(topShare <= 10, s"one negative drawn $topShare times")
+  }
+}

@@ -137,4 +137,26 @@ class FormatsSpec extends SparkSpec {
     assert(graft.sources.Formats.readJdbc(spark, url, "people",
       props = props).count() == 1010)
   }
+
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    // the incremental-reload contract at 100 TB: rewriting one load_date
+    // must not truncate the other thousand partitions (static overwrite
+    // mode would drop them all)
+    val dir = Files.createTempDirectory("graft-dpo").toString + "/t"
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("id", "p").write.partitionBy("p").parquet(dir)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((30L, "b")).toDF("id", "p").write
+        .mode("overwrite").partitionBy("p").parquet(dir)
+      val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "a"), (30L, "b")),
+        s"dynamic overwrite damaged untouched partitions: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }
