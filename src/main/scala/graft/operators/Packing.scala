@@ -27,11 +27,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Packing {
 
   /** Append `cum` (inclusive global running weight) and `bin` columns.
-    * `weightCol` must be a non-negative integral column. */
+    * `weightCol` must be a non-negative integral column.
+    *
+    * `startCum` is the RESUME contract: pass the previous export's final
+    * `cum` and the new batch continues the same global prefix sum — bins
+    * keep numbering where the last run stopped, and packing a corpus in
+    * two appends is row-identical to packing it whole (PackingSpec pins
+    * the equivalence), provided the appended order keys sort after the
+    * already-packed ones. At 100 TB this is what makes the nightly
+    * export incremental: O(new batch), never a repack of history. */
   def packByBudget(df: DataFrame, order: Seq[Column], weightCol: String,
                    budget: Long,
-                   numPartitions: Option[Int] = None): DataFrame = {
+                   numPartitions: Option[Int] = None,
+                   startCum: Long = 0L): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(startCum >= 0, s"startCum must be non-negative, got $startCum")
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
@@ -67,7 +77,7 @@ object Packing {
       it.foreach(r => s += weightOf(r))
       Iterator((pid, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
+    val offsets = partSums.scanLeft(startCum)(_ + _)
     val schema = StructType(sorted.schema.fields ++ Seq(
       StructField("cum", LongType, nullable = false),
       StructField("bin", LongType, nullable = false)))

@@ -274,6 +274,48 @@ object TokenQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental (resumable) packed export: the corpus packed in TWO
+    // appends — history first, then the new batch continued from the
+    // stored final cum via startCum — must be row-identical to packing
+    // the whole corpus. The oracle packs the whole corpus; the engine
+    // side takes the two-append path, so any drift in the resume
+    // arithmetic (bin numbering, carry-over inside a partially-filled
+    // bin) fails the hash. This is the nightly-export contract at
+    // 100 TB: O(new batch), never a repack of history.
+    Q("q_export_resume",
+      s"""WITH $sqlDocIds,
+         |p AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS w,
+         |             CAST(sum(len(ids)) OVER (
+         |               ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |               AS BIGINT) AS cum
+         |      FROM doc_ids),
+         |b AS (SELECT doc_id, ids, w, (cum - w) // 512 AS bin FROM p)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(w) AS BIGINT) AS total_w,
+         |       md5(array_to_string(list_transform(
+         |             flatten(list(ids ORDER BY doc_id)),
+         |             i -> CAST(i AS VARCHAR)), ' ')) AS ids_md5
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val enc = encoded(s, dir)
+      val history = enc.where(col("doc_id") < 250)
+      val batch = enc.where(col("doc_id") >= 250)
+      val packedHistory = Packing.packByBudget(history,
+        Seq(col("doc_id")), "w", 512L)
+      // the stored manifest scalar a real resume would read back
+      // (coalesce: an empty history resumes from zero, not an NPE)
+      val historyCum = packedHistory
+        .agg(coalesce(max("cum"), lit(0L))).head.getLong(0)
+      val packedBatch = Packing.packByBudget(batch,
+        Seq(col("doc_id")), "w", 512L, startCum = historyCum)
+      packedHistory.unionAll(packedBatch)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("total_w"),
+          idsMd5(flatten(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+            _.getField("ids")))).as("ids_md5"))
+        .orderBy("bin")
+    },
+
     // Packed export WITH document-boundary offsets — the attention-mask
     // metadata: a trainer packing multiple documents into one sequence
     // needs each document's start offset inside the bin to build the

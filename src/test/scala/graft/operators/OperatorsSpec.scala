@@ -652,6 +652,25 @@ class PackingSpec extends SparkSpec {
     // every row lands in exactly one shard
     assert(spark.read.parquet(t1).count() == 200)
   }
+
+  test("startCum resume: packing in two appends equals packing whole") {
+    val rows = (1 to 400).map(i => (i.toLong, (i % 29).toLong + 1))
+    val whole = Packing.packByBudget(rows.toDF("id", "w").repartition(5),
+        Seq(col("id")), "w", 90L)
+      .select("id", "cum", "bin").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val (a, b) = rows.splitAt(250)
+    val packedA = Packing.packByBudget(a.toDF("id", "w").repartition(3),
+      Seq(col("id")), "w", 90L)
+    val totalA = packedA.agg(max("cum")).head.getLong(0)
+    val packedB = Packing.packByBudget(b.toDF("id", "w").repartition(4),
+      Seq(col("id")), "w", 90L, startCum = totalA)
+    val resumed = (packedA.select("id", "cum", "bin")
+        .unionAll(packedB.select("id", "cum", "bin")))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(resumed == whole,
+      "append with startCum diverged from packing the whole corpus")
+  }
 }
 
 class ValidateSpec extends SparkSpec {
