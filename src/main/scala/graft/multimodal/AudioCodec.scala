@@ -1,0 +1,115 @@
+package graft.multimodal
+
+/** Pure-JVM audio header codec — the audio leg of the real (non-fake)
+  * multimodal decode seam, same policy as [[ImageCodec]]: parse actual
+  * encoded bytes, header-only, allocation-free, and return None for
+  * anything unparseable (corruption becomes null metadata, never
+  * fabricated parameters).
+  *
+  * WAV/RIFF (the format whose header carries everything a curation scan
+  * wants without a sample decoder): "RIFF" + size + "WAVE", then a chunk
+  * walk — each chunk is a 4-byte id, a little-endian uint32 size, and a
+  * WORD-ALIGNED payload (odd sizes carry a pad byte, which a naive
+  * walker misses). The `fmt ` chunk carries channels / sample rate /
+  * bits per sample (little-endian); the `data` chunk's SIZE field gives
+  * the payload length, so frame count and duration derive from the
+  * header even when the payload itself is truncated or absent — exactly
+  * right for a 100 TB metadata scan that reads only byte prefixes.
+  */
+object AudioCodec {
+
+  /** `nFrames` = sample frames (all channels together);
+    * `durationUs` = nFrames · 1e6 / sampleRate, integer µs. */
+  final case class AudioMeta(format: String, channels: Int,
+                             sampleRate: Int, bitsPerSample: Int,
+                             nFrames: Long, durationUs: Long)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  def parseWav(b: Array[Byte]): Option[AudioMeta] = {
+    if (b == null || b.length < 36) return None
+    if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var i = 12
+    var channels = -1
+    var sampleRate = -1L
+    var bits = -1
+    var blockAlign = -1
+    var dataSize = -1L
+    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val id = tag(b, i)
+      val size = le32(b, i + 4)
+      if (id == "fmt ") {
+        // PCM fmt payload: format(2) channels(2) rate(4) byteRate(4)
+        // blockAlign(2) bits(2)
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        blockAlign = le16(b, i + 20)
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataSize = size // header field — payload may be truncated
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte
+      i += 8 + size.toInt + (size & 1L).toInt
+      if (i < 0) return None // hostile size overflowed the cursor
+    }
+    if (channels < 1 || sampleRate < 1 || bits < 1 || blockAlign < 1 ||
+        dataSize < 0) None
+    else {
+      val frames = dataSize / blockAlign
+      Some(AudioMeta("wav", channels, sampleRate.toInt, bits, frames,
+        frames * 1000000L / sampleRate))
+    }
+  }
+
+  /** Minimal canonical WAV header (44 bytes, no payload bytes emitted —
+    * the data SIZE field alone declares `nFrames`), plus an optional
+    * odd-sized LIST chunk before `fmt ` so fixtures exercise the
+    * word-aligned walk. */
+  def buildWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+               nFrames: Long, listPad: Int = 0): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && bitsPerSample > 0 &&
+      nFrames >= 0 && listPad >= 0)
+    val blockAlign = channels * bitsPerSample / 8
+    require(blockAlign > 0, "bitsPerSample must be a byte multiple")
+    val listChunk = if (listPad > 0) 8 + listPad + (listPad & 1) else 0
+    val out = new Array[Byte](12 + listChunk + 24 + 8)
+    def putTag(i: Int, s: String): Unit = {
+      var k = 0; while (k < 4) { out(i + k) = s.charAt(k).toByte; k += 1 }
+    }
+    def putLe16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLe32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte
+      out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putTag(0, "RIFF"); putLe32(4, out.length - 8L); putTag(8, "WAVE")
+    var i = 12
+    if (listPad > 0) {
+      putTag(i, "LIST"); putLe32(i + 4, listPad.toLong)
+      i += 8 + listPad + (listPad & 1) // pad byte on odd sizes
+    }
+    putTag(i, "fmt "); putLe32(i + 4, 16L)
+    putLe16(i + 8, 1) // PCM
+    putLe16(i + 10, channels)
+    putLe32(i + 12, sampleRate.toLong)
+    putLe32(i + 16, sampleRate.toLong * blockAlign)
+    putLe16(i + 20, blockAlign)
+    putLe16(i + 22, bitsPerSample)
+    i += 24
+    putTag(i, "data"); putLe32(i + 4, nFrames * blockAlign)
+    out
+  }
+}

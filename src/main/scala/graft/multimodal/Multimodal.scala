@@ -105,6 +105,45 @@ object Multimodal {
       }).toDF("media_id", "format", "width", "height", "n_bytes")
   }
 
+  /** Synthetic WAV assets from formula parameters — real RIFF bytes
+    * ([[AudioCodec.buildWav]]), including an odd-sized LIST chunk every
+    * third row so the decode walk must handle word alignment. */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val channels = (id % 2 + 1).toInt
+        val rate = Seq(8000, 16000, 44100)((id % 3).toInt)
+        val bits = Seq(8, 16)((id % 2).toInt)
+        val frames = id % 1000 + 1
+        val listPad = if (id % 3 == 0) (id % 7 + 1).toInt else 0
+        (id, AudioCodec.buildWav(channels, rate, bits, frames, listPad))
+      }.toDF("media_id", "payload")
+  }
+
+  /** REAL audio decode in the mapPartitions seam: parse each payload's
+    * actual RIFF bytes into typed metadata. Scan-local, header-only;
+    * unparseable payloads yield null metadata (nothing fabricated). */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        AudioCodec.parseWav(bytes) match {
+          case Some(m) =>
+            (id, Option(m.channels), Option(m.sampleRate),
+              Option(m.bitsPerSample), Option(m.nFrames),
+              Option(m.durationUs))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long])
+        }
+      }).toDF("media_id", "channels", "sample_rate", "bits", "n_frames",
+        "duration_us")
+  }
+
   /** Feature extraction over the media table: partition-local, batched,
     * no shuffle. The mapPartitions seam is where a real codec (or an Arrow
     * round-trip to a Python worker) slots in. */

@@ -288,6 +288,29 @@ object EventQueries {
         .orderBy("media_id")
     },
 
+    // Audio-header decode (AudioCodec.parseWav over real RIFF bytes built
+    // by the fixture): channels / rate / bits / frame count read from the
+    // actual chunk walk — including an odd-sized LIST chunk every third
+    // row, so a walker that misses WORD alignment derails and fails the
+    // gate. The oracle replays the planted parameter formulas; duration
+    // is integer µs arithmetic on both sides.
+    Q("q_multimodal_audio",
+      """SELECT doc_id AS media_id,
+        |       CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |       ([8000, 16000, 44100])[CAST(doc_id % 3 + 1 AS INT)]
+        |         AS sample_rate,
+        |       ([8, 16])[CAST(doc_id % 2 + 1 AS INT)] AS bits,
+        |       CAST(doc_id % 1000 + 1 AS BIGINT) AS n_frames,
+        |       CAST((doc_id % 1000 + 1) * 1000000
+        |            // ([8000, 16000, 44100])[CAST(doc_id % 3 + 1 AS INT)]
+        |         AS BIGINT) AS duration_us
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.decodeAudioMeta(
+          Multimodal.syntheticAudio(t(s, dir, "documents")))
+        .orderBy("media_id")
+    },
+
     // Multimodal resize metadata (Multimodal.resizeImages over the derived
     // media table): aspect-preserving fit into a 64×64 box, floor
     // semantics, upscale suppressed. The metadata arithmetic is exact IEEE

@@ -133,6 +133,26 @@ class MultimodalSpec extends SparkSpec {
       == Set("image", "audio", "video"))
   }
 
+  test("parseWav round-trips builder params, walks odd chunks, rejects junk") {
+    import graft.multimodal.AudioCodec
+    // odd-sized LIST chunk before fmt: the walk must skip the pad byte
+    val b = AudioCodec.buildWav(2, 44100, 16, 12345L, listPad = 5)
+    val m = AudioCodec.parseWav(b).get
+    assert((m.channels, m.sampleRate, m.bitsPerSample, m.nFrames) ==
+      ((2, 44100, 16, 12345L)))
+    assert(m.durationUs == 12345L * 1000000L / 44100L)
+    // no payload bytes were ever emitted: frames derive from the header
+    // (the 100 TB prefix-scan property)
+    assert(b.length == 12 + 14 + 24 + 8)
+    // corruption → None, never fabricated params
+    assert(AudioCodec.parseWav(null) == None)
+    assert(AudioCodec.parseWav("RIFFnope".getBytes) == None)
+    assert(AudioCodec.parseWav(Array.fill[Byte](50)(0x11)) == None)
+    val plain = AudioCodec.buildWav(1, 8000, 8, 10L) // fmt tag at byte 12
+    val noFmt = plain.clone(); noFmt(12) = 'X'
+    assert(AudioCodec.parseWav(noFmt) == None)
+  }
+
   test("extractFeatures is deterministic and partition-local") {
     val f1 = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f.checksum).toMap
