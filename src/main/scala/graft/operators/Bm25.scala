@@ -37,11 +37,11 @@ object Bm25 {
     val corpus = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).as("n_tokens")).collect().head
     val nDocs = corpus.getLong(0)
-    if (nDocs == 0) // empty corpus: empty result, not a NaN avgdl
-      return docs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
-          lit(0.0).as("score"), lit(0).as("rank")).limit(0)
-    val avgdl = corpus.getLong(1).toDouble / nDocs
+    // empty corpus: a neutral avgdl keeps the (empty) pipeline NaN-free,
+    // and the result schema stays the real plan's — no hardcoded types
+    // that could diverge from the ids' actual types
+    val avgdl =
+      if (nDocs == 0) 1.0 else corpus.getLong(1).toDouble / nDocs
     val posting = toks
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
@@ -105,7 +105,11 @@ object Bm25 {
     import org.apache.spark.sql.expressions.Window
     val stats = spark.read.parquet(s"$dir/stats").collect().head
     val nDocs = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / nDocs
+    // an index written from an empty corpus has n_docs = 0 and a NULL
+    // token sum — same neutral-avgdl guard as topK, empty result flows
+    val avgdl =
+      if (nDocs == 0 || stats.isNullAt(1)) 1.0
+      else stats.getLong(1).toDouble / nDocs
     val qTerms = queries.select("term").distinct().collect()
       .map(_.getString(0))
     val buckets = qTerms

@@ -78,10 +78,16 @@ object ConnectedComponents {
         labels = updated.drop("__prev")
         iter += 1
       }
-      require(converged,
-        s"connected components did not converge in $maxIter rounds — " +
-          "graph diameter exceeds the bound; raise maxIter or use an " +
-          "alternating-star variant for long-chain graphs")
+      if (!converged) {
+        // free the last round's persisted frame before failing loudly —
+        // the finally below only covers `sym`
+        labels.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"requirement failed: connected components did not converge " +
+            s"in $maxIter rounds — graph diameter exceeds the bound; " +
+            "raise maxIter or use an alternating-star variant for " +
+            "long-chain graphs")
+      }
       labels
     } finally sym.unpersist() // also on the non-convergence throw
   }

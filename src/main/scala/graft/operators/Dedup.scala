@@ -28,27 +28,7 @@ import graft.functions.TextFunctions._
   * long-lived session call [[Dedup.releaseCaches]] after consuming each
   * result (same contract as `VaultQueries.evictCaches`).
   */
-object Dedup {
-
-  private val persisted = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]
-
-  /** persist + remember, so [[releaseCaches]] can unpin later. */
-  private def tracked(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.getOrElseUpdate(df.sparkSession,
-      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(p)
-    p
-  }
-
-  /** Unpersist every intermediate this object pinned for `s`. Call after
-    * the returned results are consumed (they recompute if re-used). */
-  def releaseCaches(s: org.apache.spark.sql.SparkSession): Unit =
-    Option(persisted.remove(s).orNull).foreach { q =>
-      var df = q.poll()
-      while (df != null) { df.unpersist(blocking = false); df = q.poll() }
-    }
+object Dedup extends TrackedCaches {
 
   /** Exact duplicates after normalization: groups sharing a normalized-text
     * fingerprint, keeping the lowest id as canonical. Output: (dup_id,
@@ -691,12 +671,11 @@ object Dedup {
         vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
         centroids = Some(centroids))
       .select(col("cand_id").as("id"), col("centroid_id").as("cid"))
-    val av = asg.join(
+    val av = tracked(asg.join(
         vectors.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
       .withColumn("__rn",
         row_number().over(Window.partitionBy("cid").orderBy("id")))
-      .where(col("__rn") <= maxCluster).drop("__rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .where(col("__rn") <= maxCluster).drop("__rn"))
     val x = av.select(col("cid"), col("id").as("id1"), col("v").as("v1"))
     val y = av.select(col("cid"), col("id").as("id2"), col("v").as("v2"))
     val dropped = x.join(y, Seq("cid"))

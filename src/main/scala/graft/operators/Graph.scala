@@ -25,8 +25,14 @@ import org.apache.spark.sql.functions._
   * replay (double-valued PageRank cannot be oracled: its sums are
   * partial-order-dependent). Iterations build on persisted edges; lineage
   * is checkpoint-truncated on the same cadence as ConnectedComponents.
+  *
+  * Caching note: the self-joining intermediates (canonical edges, the
+  * oriented DAG, the degree-annotated adjacency) persist per call and
+  * back the lazily returned results — every persist is session-TRACKED;
+  * long-lived sessions call [[Graph.releaseCaches]] after consuming each
+  * result (same contract as [[Dedup.releaseCaches]]).
   */
-object Graph {
+object Graph extends TrackedCaches {
 
   /** Canonical undirected edge list: distinct (src < dst), self-loops
     * dropped. Accepts any two-column numeric frame. */
@@ -46,22 +52,25 @@ object Graph {
 
   /** All triangles of the undirected graph, one row each, vertices sorted
     * by id (v1 < v2 < v3). Exact. */
-  def triangles(edges: DataFrame): DataFrame = {
-    val e = canonicalEdges(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def triangles(edges: DataFrame): DataFrame =
+    trianglesOf(tracked(canonicalEdges(edges)))
+
+  /** [[triangles]] over an already-canonical (and ideally persisted)
+    * edge frame — lets [[triangleStats]] share one canonical edge scan
+    * between the triangle enumeration and the degree table. */
+  private def trianglesOf(e: DataFrame): DataFrame = {
     val deg = degrees(e)
     // orient low -> high in the (deg, id) total order
     val keyed = e
       .join(deg.select(col("v").as("src"), col("deg").as("sdeg")), "src")
       .join(deg.select(col("v").as("dst"), col("deg").as("ddeg")), "dst")
-    val oriented = keyed.select(
+    val oriented = tracked(keyed.select(
       when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")),
         struct(col("src").as("u"), col("dst").as("w"), col("ddeg").as("wdeg")))
         .otherwise(
           struct(col("dst").as("u"), col("src").as("w"), col("sdeg").as("wdeg")))
         .as("o"))
-      .select(col("o.u").as("u"), col("o.w").as("w"), col("o.wdeg").as("wdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("o.u").as("u"), col("o.w").as("w"), col("o.wdeg").as("wdeg")))
     // wedges at u: ordered pairs of out-neighbors; closing edge, if any,
     // is oriented (a -> b) because orientation follows the same order
     val x = oriented.select(col("u"), col("w").as("a"), col("wdeg").as("adeg"))
@@ -83,8 +92,8 @@ object Graph {
     * coefficient kept as exact integers (the float ratio would not
     * hash-gate). Vertices in no triangle report n_tri = 0. */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = canonicalEdges(edges)
-    val tri = triangles(edges)
+    val e = tracked(canonicalEdges(edges))
+    val tri = trianglesOf(e)
     val perVertex = tri
       .select(explode(array(col("v1"), col("v2"), col("v3"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
@@ -93,6 +102,45 @@ object Graph {
       .select(col("v").as("vertex"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         (col("deg") * (col("deg") - 1) / 2).cast("long").as("wedges"))
+  }
+
+  /** Up to `rounds` rounds of k-core peeling over the undirected graph:
+    * each round computes degrees over the remaining canonical edges and
+    * drops every vertex (and its incident edges) with degree < `k`.
+    * Returns the surviving vertices with their WITHIN-CORE degrees:
+    * (vertex, deg). Semantics are "exactly `rounds` peels" — the loop
+    * early-exits once a round removes nothing because further peels are
+    * no-ops, so the result is identical to running all `rounds`, which is
+    * what lets a fixed-unroll SQL replay hash-match regardless of where
+    * convergence lands.
+    *
+    * Scale shape: every round is one degree aggregation plus two
+    * semi-joins keyed on the vertex id — the same exchange family as one
+    * label-propagation round in ConnectedComponents; the edge set only
+    * ever shrinks, and each round's (small) edge frame persists via the
+    * tracked cache so re-scans within the round are free. Peeling removes
+    * vertices in WAVES (all sub-k vertices at once), the parallel analog
+    * of the sequential min-degree peel — rounds needed = peel depth, not
+    * vertex count. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    var e = tracked(canonicalEdges(edges))
+    var stable = false
+    var i = 0
+    while (i < rounds && !stable) {
+      val deg = degrees(e)
+      stable = deg.where(col("deg") < k).isEmpty
+      if (!stable) {
+        val keep = deg.where(col("deg") >= k).select("v")
+        e = tracked(e
+          .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst"))
+      }
+      i += 1
+    }
+    degrees(e).select(col("v").as("vertex"), col("deg"))
   }
 
   /** `iters` rounds of damped PageRank in fixed-point micro-units over the
@@ -109,8 +157,7 @@ object Graph {
     val dir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg) persisted once; every iteration joins ranks to it
-    val adj = dir.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = tracked(dir.join(deg, "src"))
     val n = deg.count()
     require(n > 0, "pageRank needs a non-empty graph")
     val init = 1000000L / n

@@ -25,10 +25,11 @@ import graft.functions.TextFunctions.tokens
   * join is vocabulary×corpus-tokens, the same shape as tf-idf (AQE
   * broadcasts the stats side when it fits, shuffles when it doesn't).
   *
-  * Determinism: the per-document Σ folds in TOKEN-POSITION order
-  * (sort_array over (pos, contrib) structs → sequential aggregate), the
-  * same in-token-order contract the hashed classifier gate proved
-  * engine-replayable; the final score rounds to 4 dp.
+  * Determinism: each per-token log contribution is quantized to integer
+  * MICRO-NATS (round(w·1e6) as long) at the vocabulary table, so the
+  * per-document Σ is exact integer arithmetic — commutative (no fold
+  * order to pin) and immune to libm ln() ulp differences across
+  * engines; a single double division then feeds the 4-dp rounding.
   */
 object ImportanceWeights {
 
@@ -39,7 +40,7 @@ object ImportanceWeights {
                  targetPred: Column): DataFrame = {
     val tok = docs
       .select(col(idCol).as("id"), targetPred.as("is_tgt"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+        explode(tokens(col(textCol))).as("token"))
     // one pass: source count = all rows, target count = conditional
     val stats = tok.groupBy("token").agg(
       count(lit(1)).as("c_src"),
@@ -53,17 +54,16 @@ object ImportanceWeights {
     val contrib =
       log((col("c_tgt") + 1.0) / lit((nTgt + v).toDouble)) -
         log((col("c_src") + 1.0) / lit((nSrc + v).toDouble))
+    // quantize at the vocabulary table (one ln pair per DISTINCT token),
+    // then the per-doc Σ is an exact integer sum — no fold order to pin
     val perToken = tok.join(stats, "token")
-      .select(col("id"), col("pos"), contrib.as("w"))
-    // position-ordered fold: sort_array on (pos, w) structs pins the
-    // IEEE accumulation order on both engines
+      .select(col("id"),
+        round(contrib * lit(1000000.0), 0).cast("long").as("micro"))
     perToken.groupBy("id")
-      .agg(count(lit(1)).as("n_tok"),
-        aggregate(
-          sort_array(collect_list(struct(col("pos"), col("w")))),
-          lit(0.0), (acc, x) => acc + x.getField("w")).as("raw"))
+      .agg(count(lit(1)).as("n_tok"), sum("micro").as("raw_micro"))
       .select(col("id").as("doc_id"), col("n_tok"),
-        round4(col("raw") / col("n_tok")).as("score"))
+        round4(col("raw_micro") / (col("n_tok") * lit(1000000.0)))
+          .as("score"))
       .withColumn("keep", col("score") > 0.0)
   }
 }

@@ -70,4 +70,77 @@ object Sketches {
     rows.toDF(itemCol, "true_cnt", "lower_ok", "upper_ok")
       .orderBy(itemCol)
   }
+
+  /** Number of bits per Bloom word — 32 keeps every word value positive
+    * in a signed 64-bit lane on both engines (1 << 31 fits BIGINT), so
+    * the filter is bit-replayable with no shift-overflow hazards. */
+  val BloomWordBits = 32
+
+  /** Per-key Bloom bit positions via Kirsch–Mitzenmacher double hashing:
+    * pos_j = (h1 + j·step) mod m with h1 = rolling_hash64(key) mod m and
+    * step = 1 + rolling_hash64('g2:' || key) mod (m−1) (never 0, so the
+    * k probes never collapse onto one bit). Both hashes are the codegen'd
+    * Rabin–Karp Horner fold — integer-exact and DuckDB-replayable. */
+  private def bloomPositions(key: org.apache.spark.sql.Column,
+                             mBits: Int, kHashes: Int) = {
+    val h1 = pmod(call_function("rolling_hash64", key), lit(mBits.toLong))
+    val step = lit(1L) + pmod(
+      call_function("rolling_hash64", concat(lit("g2:"), key)),
+      lit(mBits.toLong - 1L))
+    transform(sequence(lit(0L), lit(kHashes.toLong - 1L)),
+      j => pmod(h1 + j * step, lit(mBits.toLong)))
+  }
+
+  /** Build a Bloom filter over `keys(keyCol)` as a DataFrame of 32-bit
+    * words: (word_idx, bits) — only words with at least one set bit are
+    * emitted (absent ⇒ 0). `mBits` must be a multiple of 32.
+    *
+    * Scale shape: a DISTRIBUTIVE bit-or aggregate — executors fold their
+    * partition's keys into partial words scan-locally and the exchange
+    * carries at most m/32 rows regardless of key count; the finished
+    * filter is KBs and broadcastable, which is the point: build once over
+    * a dimension's join keys, then pre-filter a 100 TB fact scan
+    * map-side ([[bloomMightContain]]) before the real join — the
+    * semi-join-pushdown pattern (Spark's own runtime row-group Bloom
+    * pushdown does this inside parquet; this one is engine-portable and
+    * hash-gatable bit for bit). */
+  def bloomBuild(keys: DataFrame, keyCol: String,
+                 mBits: Int, kHashes: Int): DataFrame = {
+    require(mBits > 0 && mBits % BloomWordBits == 0,
+      s"mBits must be a positive multiple of $BloomWordBits: $mBits")
+    require(kHashes >= 1 && kHashes <= 16, s"kHashes out of range: $kHashes")
+    graft.expressions.RollingHash64.register(keys.sparkSession)
+    keys.select(col(keyCol).as("key")).where(col("key").isNotNull)
+      .distinct()
+      .select(explode(bloomPositions(col("key"), mBits, kHashes)).as("pos"))
+      .groupBy((col("pos") / BloomWordBits).cast("long").as("word_idx"))
+      .agg(call_function("bit_or",
+        call_function("shiftleft", lit(1L),
+          (col("pos") % BloomWordBits).cast("int"))).as("bits"))
+  }
+
+  /** Probe a [[bloomBuild]] filter: (key, maybe_present) per distinct
+    * probe key — `maybe_present` is false only when some probed bit is
+    * unset (no false negatives, by construction). The filter words are
+    * broadcast, so the probe is one map-side join on word_idx: the shape
+    * that lets a scan drop rows before any fact-sized exchange. */
+  def bloomMightContain(filter: DataFrame, probes: DataFrame,
+                        keyCol: String, mBits: Int,
+                        kHashes: Int): DataFrame = {
+    require(mBits > 0 && mBits % BloomWordBits == 0,
+      s"mBits must be a positive multiple of $BloomWordBits: $mBits")
+    graft.expressions.RollingHash64.register(probes.sparkSession)
+    probes.select(col(keyCol).as("key")).where(col("key").isNotNull)
+      .distinct()
+      .select(col("key"),
+        explode(bloomPositions(col("key"), mBits, kHashes)).as("pos"))
+      .select(col("key"), (col("pos") / BloomWordBits).cast("long")
+        .as("word_idx"), (col("pos") % BloomWordBits).cast("int").as("bit"))
+      .join(broadcast(filter), Seq("word_idx"), "left")
+      .groupBy("key")
+      .agg(min(call_function("shiftright",
+          coalesce(col("bits"), lit(0L)), col("bit"))
+        .bitwiseAND(lit(1L))).as("__min_bit"))
+      .select(col("key"), (col("__min_bit") === 1L).as("maybe_present"))
+  }
 }

@@ -394,8 +394,9 @@ object CurationQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket
         |                                   ORDER BY doc_id) AS rn FROM b)
         |SELECT bucket, (rn - 1) // 16 AS batch_idx, count(*) AS n_rows,
-        |       max(len) AS max_len, sum(len) AS len_sum,
-        |       count(*) * max(len) - sum(len) AS padding_waste
+        |       max(len) AS max_len, CAST(sum(len) AS BIGINT) AS len_sum,
+        |       CAST(count(*) * max(len) - sum(len) AS BIGINT)
+        |         AS padding_waste
         |FROM r GROUP BY bucket, batch_idx
         |ORDER BY bucket, batch_idx""".stripMargin) { (s, dir) =>
       graft.operators.Packing.lengthBucketBatches(
@@ -408,10 +409,12 @@ object CurationQueries {
     // target-vs-source log-likelihood ratio with add-one smoothing —
     // target = 'en' documents, source = the corpus. ONE token-stats pass
     // (target counts conditional in the same aggregation), one
-    // vocabulary join (tf-idf shape), per-doc Σ folded in TOKEN-POSITION
-    // order (the classifier gate's in-order contract) so the double
-    // accumulation is engine-identical; scores hash-gated at 4 dp, keep
-    // bits derived from them.
+    // vocabulary join (tf-idf shape). Determinism: each per-token log
+    // contribution is quantized to integer MICRO-NATS (round(·×1e6) as
+    // BIGINT) before the per-doc Σ, so the sum is exact integer
+    // arithmetic — order-independent and immune to libm ln() ulp
+    // differences across engines; only ONE final double division feeds
+    // the 4-dp rounding.
     Q("q_curate_dsir", {
       val toks = TextQueries.sqlToks
       s"""WITH tk AS (SELECT doc_id, lang, $toks AS toks FROM documents),
@@ -420,21 +423,21 @@ object CurationQueries {
          |stats AS (SELECT token, count(*) AS c_src,
          |                 count(*) FILTER (WHERE is_tgt) AS c_tgt
          |          FROM tok GROUP BY token),
-         |tot AS (SELECT sum(c_src) AS n_src, sum(c_tgt) AS n_tgt,
+         |tot AS (SELECT CAST(sum(c_src) AS BIGINT) AS n_src,
+         |               CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
          |               count(*) AS v FROM stats),
-         |sm AS (SELECT map(list(token ORDER BY token),
-         |                  list([c_src, c_tgt] ORDER BY token)) AS m
-         |       FROM stats),
-         |scored AS (SELECT tk.doc_id, len(toks) AS n_tok,
-         |             list_reduce(list_transform(toks, t ->
-         |               ln((map_extract(sm.m, t)[1][2] + 1.0)
-         |                  / (tot.n_tgt + tot.v))
-         |               - ln((map_extract(sm.m, t)[1][1] + 1.0)
-         |                    / (tot.n_src + tot.v))),
-         |               (a, b) -> a + b) AS raw
-         |           FROM tk, sm, tot)
-         |SELECT doc_id, n_tok, round(raw / n_tok, 4) AS score,
-         |       round(raw / n_tok, 4) > 0.0 AS keep
+         |contrib AS (SELECT token,
+         |              CAST(round((ln((c_tgt + 1.0) / (tot.n_tgt + tot.v))
+         |                     - ln((c_src + 1.0) / (tot.n_src + tot.v)))
+         |                   * 1000000) AS BIGINT) AS micro
+         |            FROM stats, tot),
+         |scored AS (SELECT tok.doc_id, count(*) AS n_tok,
+         |                  CAST(sum(c.micro) AS BIGINT) AS raw_micro
+         |           FROM tok JOIN contrib c USING (token)
+         |           GROUP BY tok.doc_id)
+         |SELECT doc_id, n_tok,
+         |       round(raw_micro / (n_tok * 1000000.0), 4) AS score,
+         |       round(raw_micro / (n_tok * 1000000.0), 4) > 0.0 AS keep
          |FROM scored ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       graft.operators.ImportanceWeights.dsirScores(

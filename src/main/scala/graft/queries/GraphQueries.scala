@@ -66,10 +66,11 @@ object GraphQueries {
     Q("q_graph_pagerank", {
       val iters = 5
       val unrolled = (1 to iters).map { i =>
-        s"""r$i AS (SELECT d.v, (150000 // nn.n)
-           |          + (85 * coalesce(s.s, 0)) // 100 AS r
+        s"""r$i AS (SELECT d.v, CAST((150000 // nn.n)
+           |          + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
            |        FROM deg d CROSS JOIN nn
-           |        LEFT JOIN (SELECT dir.dst AS v, sum(p.r // g.deg) AS s
+           |        LEFT JOIN (SELECT dir.dst AS v,
+           |                     CAST(sum(p.r // g.deg) AS BIGINT) AS s
            |                   FROM dir
            |                   JOIN deg g ON g.v = dir.src
            |                   JOIN r${i - 1} p ON p.v = dir.src

@@ -87,7 +87,8 @@ object SourceQueries {
          |         ignore_errors = true)
          |       WHERE doc_id IS NOT NULL),
          |u AS (SELECT * FROM pq UNION ALL SELECT * FROM js)
-         |SELECT src, lang, count(*) AS n_docs, sum(n_chars) AS chars
+         |SELECT src, lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars
          |FROM u GROUP BY src, lang ORDER BY src, lang""".stripMargin
     }) { (s, dir) =>
       import graft.engine.Tables.t
