@@ -51,4 +51,47 @@ object Analyze {
     }: _*)
     one.select(explode(rows).as("s")).select(col("s.*")).orderBy("column")
   }
+
+  /** Zone-map pruning accounting: lay `df` out as files of `rowsPerFile`
+    * rows in the given total `order`, keep one (min, max) zone per file
+    * on `valueCol`, and report — per half-open predicate range
+    * [lo, hi) — how many files the zones alone would skip and how many
+    * rows the surviving files force a reader to scan:
+    * (pred_id, n_files, n_skipped, rows_scanned, rows_selected).
+    *
+    * This is the row-group/file-statistics pruning model every columnar
+    * lake reader applies: `rows_scanned` vs `rows_selected` IS the
+    * measured value of clustering by the predicate column — run it once
+    * over a sort-clustered layout and once over arrival order and the
+    * difference is the scan volume a 100 TB re-cluster buys. File
+    * assignment uses the distributed GlobalRank (range-repartition +
+    * zipWithIndex), never a single-partition window; the per-file zones
+    * are one aggregation; every number is integer-exact. */
+  def zoneMapPruning(df: DataFrame, valueCol: String, order: Seq[Column],
+                     rowsPerFile: Int,
+                     ranges: Seq[(Int, Column, Column)]): DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
+    require(ranges.nonEmpty, "need at least one predicate range")
+    val ranked = GlobalRank.withRowNumber(df, "__rn", order)
+      .select(col(valueCol).as("v"),
+        ((col("__rn") - 1) / rowsPerFile).cast("long").as("file_id"))
+    val matchCols = ranges.map { case (id, lo, hi) =>
+      count(when(col("v") >= lo && col("v") < hi, 1)).as(s"__m$id")
+    }
+    val files = ranked.groupBy("file_id").agg(
+      min("v").as("min_v"),
+      (max("v").as("max_v") +: count(lit(1)).as("n_rows") +: matchCols): _*)
+    ranges.map { case (id, lo, hi) =>
+      val skip = col("max_v") < lo || col("min_v") >= hi
+      files.agg(
+          count(lit(1)).as("n_files"),
+          coalesce(sum(when(skip, 1L).otherwise(0L)), lit(0L))
+            .as("n_skipped"),
+          coalesce(sum(when(!skip, col("n_rows"))), lit(0L))
+            .as("rows_scanned"),
+          coalesce(sum(col(s"__m$id")), lit(0L)).as("rows_selected"))
+        .select(lit(id).as("pred_id"), col("n_files"), col("n_skipped"),
+          col("rows_scanned"), col("rows_selected"))
+    }.reduce(_ union _)
+  }
 }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * The ordering must be total (add a unique tiebreaker) for a deterministic
   * result — the same requirement the window form has.
   */
-object GlobalRank {
+object GlobalRank extends TrackedCaches {
 
   def withRowNumber(df: DataFrame, rankCol: String, order: Seq[Column],
                     numPartitions: Option[Int] = None): DataFrame = {
@@ -27,10 +27,10 @@ object GlobalRank {
       spark.sessionState.conf.numShufflePartitions)
     // zipWithIndex runs TWO jobs (per-partition counts, then materialize);
     // persist the sorted frame so the upstream aggregation/sort/shuffle
-    // executes once, not twice.
-    val sorted = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // executes once, not twice. Session-tracked: long-lived sessions call
+    // [[GlobalRank.releaseCaches]] after consuming results.
+    val sorted = tracked(df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*))
     val schema = StructType(sorted.schema.fields :+
       StructField(rankCol, LongType, nullable = false))
     val ranked = sorted.rdd.zipWithIndex().map { case (r, idx) =>

@@ -133,10 +133,17 @@ object Graph extends TrackedCaches {
       stable = deg.where(col("deg") < k).isEmpty
       if (!stable) {
         val keep = deg.where(col("deg") >= k).select("v")
+        // localCheckpoint (eager) EVERY round: a round's plan references
+        // the previous round's frame three times (two semi-joins + the
+        // degree aggregate), so without truncation the logical plan
+        // TRIPLES per round and a 13-round peel OOMs the driver in
+        // Catalyst before a single task runs. Checkpointing bounds the
+        // plan at one round; the frame is edge-sized and only shrinks.
         e = tracked(e
           .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
           .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
-          .select("src", "dst"))
+          .select("src", "dst")
+          .localCheckpoint(true))
       }
       i += 1
     }

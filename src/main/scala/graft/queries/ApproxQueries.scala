@@ -278,6 +278,107 @@ object ApproxQueries {
           col("l_shipdate").cast("date").as("l_shipdate_day")),
         Seq("l_orderkey", "l_quantity_int", "l_returnflag",
           "l_shipdate_day", "l_suppkey"))
+    },
+
+    // Bloom filter over the English vocabulary (Sketches.bloomBuild):
+    // m = 16384 bits as 512 32-bit words, 4 Kirsch–Mitzenmacher double
+    // hashes derived from the replayable Rabin–Karp Horner fold (second
+    // hash = same fold over a salted key). The gate hash-compares the
+    // FILTER ITSELF bit for bit — build is a distributive bit_or
+    // aggregate, so at 100 TB only m/32 partial words cross the
+    // exchange regardless of key count.
+    Q("q_sketch_bloom", {
+      val (m, mw, kh) = (16384, 16383, 4)
+      s"""WITH vocab AS (SELECT DISTINCT unnest(${TextQueries.sqlToks})
+         |                 AS key
+         |               FROM documents WHERE lang = 'en'),
+         |kk AS (SELECT key, 'g2:' || key AS key2 FROM vocab),
+         |h AS (SELECT key, ${sqlHorner("key")} % $m AS h1,
+         |             1 + ${sqlHorner("key2")} % $mw AS step
+         |      FROM kk),
+         |pos AS (SELECT unnest(list_transform(range(0, $kh),
+         |                 j -> (h1 + j * step) % $m)) AS pos
+         |        FROM h)
+         |SELECT pos // 32 AS word_idx,
+         |       CAST(bit_or(CAST(1 AS BIGINT)
+         |         << CAST(pos % 32 AS INTEGER)) AS BIGINT) AS bits
+         |FROM pos GROUP BY 1 ORDER BY word_idx""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      val en = t(s, dir, "documents").where(col("lang") === "en")
+        .select(explode(tokens(col("text"))).as("key"))
+      Sketches.bloomBuild(en, "key", mBits = 16384, kHashes = 4)
+        .orderBy("word_idx")
+    },
+
+    // Probe the q_sketch_bloom filter with the NON-English vocabulary and
+    // cross-tabulate maybe_present against actual membership: the
+    // (false, true) row CANNOT exist — a Bloom filter has no false
+    // negatives — so the hash gate pins the no-false-negative contract
+    // plus the exact false-positive count. Probe is a broadcast join on
+    // word_idx: the map-side pre-filter shape that drops fact rows
+    // before any fact-sized exchange in a bloom-join.
+    Q("q_sketch_bloom_probe", {
+      val (m, mw, kh) = (16384, 16383, 4)
+      s"""WITH vocab AS (SELECT DISTINCT unnest(${TextQueries.sqlToks})
+         |                 AS key
+         |               FROM documents WHERE lang = 'en'),
+         |kk AS (SELECT key, 'g2:' || key AS key2 FROM vocab),
+         |h AS (SELECT key, ${sqlHorner("key")} % $m AS h1,
+         |             1 + ${sqlHorner("key2")} % $mw AS step
+         |      FROM kk),
+         |pos AS (SELECT unnest(list_transform(range(0, $kh),
+         |                 j -> (h1 + j * step) % $m)) AS pos
+         |        FROM h),
+         |words AS (SELECT pos // 32 AS word_idx,
+         |                 CAST(bit_or(CAST(1 AS BIGINT)
+         |                   << CAST(pos % 32 AS INTEGER)) AS BIGINT)
+         |                   AS bits
+         |          FROM pos GROUP BY 1),
+         |probe AS (SELECT DISTINCT unnest(${TextQueries.sqlToks}) AS key
+         |          FROM documents WHERE lang <> 'en'),
+         |pk AS (SELECT key, 'g2:' || key AS key2 FROM probe),
+         |ph AS (SELECT key, ${sqlHorner("key")} % $m AS h1,
+         |              1 + ${sqlHorner("key2")} % $mw AS step
+         |       FROM pk),
+         |pp AS (SELECT key, unnest(list_transform(range(0, $kh),
+         |                j -> (h1 + j * step) % $m)) AS pos
+         |       FROM ph),
+         |mb AS (SELECT pp.key,
+         |              min((coalesce(w.bits, 0)
+         |                >> CAST(pp.pos % 32 AS INTEGER)) & 1) AS b
+         |       FROM pp LEFT JOIN words w ON w.word_idx = pp.pos // 32
+         |       GROUP BY pp.key)
+         |SELECT (b = 1) AS maybe_present,
+         |       (key IN (SELECT key FROM vocab)) AS actual_present,
+         |       count(*) AS n
+         |FROM mb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      val docs = t(s, dir, "documents")
+      val en = docs.where(col("lang") === "en")
+        .select(explode(tokens(col("text"))).as("key"))
+      val filter = Sketches.bloomBuild(en, "key", mBits = 16384, kHashes = 4)
+      val probes = docs.where(col("lang") =!= "en")
+        .select(explode(tokens(col("text"))).as("key"))
+      Sketches.bloomMightContain(filter, probes, "key",
+          mBits = 16384, kHashes = 4)
+        .join(en.distinct().withColumn("__in", lit(true)), Seq("key"), "left")
+        .groupBy(col("maybe_present"),
+          col("__in").isNotNull.as("actual_present"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("maybe_present", "actual_present")
     }
   )
+
+  /** DuckDB Rabin–Karp Horner fold over an ASCII varchar column `c`:
+    * h = fold(h*257 + codepoint) mod 2^61−1 — byte-identical to the
+    * codegen'd rolling_hash64 on the ASCII corpus (same contract as the
+    * winnowing gates). */
+  private def sqlHorner(c: String): String =
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |       list_transform(range(1, length($c) + 1),
+       |         i -> CAST(ord($c[i]) AS HUGEINT))),
+       |     (h, x) -> (h * 257 + x) % 2305843009213693951) AS BIGINT)"""
+      .stripMargin
 }

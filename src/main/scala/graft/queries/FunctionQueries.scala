@@ -207,6 +207,71 @@ object FunctionQueries {
           .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Zone-map (file min/max statistics) pruning accounting
+    // (operators.Analyze.zoneMapPruning): orders laid out as 500-row
+    // files under TWO layouts — clustered by (o_orderdate, o_orderkey)
+    // vs arrival (o_orderkey) — then, per half-open date predicate, the
+    // files a reader skips on zones alone and the rows the surviving
+    // files force it to scan. rows_scanned(clustered) ≪
+    // rows_scanned(arrival) at identical rows_selected IS the measured
+    // value of re-clustering, the decision a 100 TB lake optimizes on
+    // row-group stats. File assignment is the distributed GlobalRank,
+    // never a one-task window; all outputs integer-exact.
+    Q("q_layout_zonemap", {
+      val preds =
+        """preds AS (
+          |  SELECT 1 AS pred_id, TIMESTAMP '1996-01-01' AS lo,
+          |         TIMESTAMP '1996-07-01' AS hi
+          |  UNION ALL SELECT 2, TIMESTAMP '1999-01-01',
+          |                    TIMESTAMP '2000-01-01'
+          |  UNION ALL SELECT 3, TIMESTAMP '2001-06-01',
+          |                    TIMESTAMP '2002-01-01')""".stripMargin
+      def layout(tag: String, name: String, ob: String) =
+        s"""$tag AS (SELECT o_orderdate AS v,
+           |           row_number() OVER (ORDER BY $ob) AS rn
+           |         FROM orders),
+           |${tag}f AS (SELECT p.pred_id, p.lo, p.hi,
+           |           (rn - 1) // 500 AS file_id,
+           |           min(v) AS min_v, max(v) AS max_v,
+           |           count(*) AS n_rows,
+           |           count(*) FILTER (WHERE v >= p.lo AND v < p.hi) AS m
+           |         FROM $tag CROSS JOIN preds p GROUP BY 1, 2, 3, 4),
+           |${tag}s AS (SELECT '$name' AS layout, pred_id,
+           |           CAST(count(*) AS BIGINT) AS n_files,
+           |           CAST(sum(CASE WHEN max_v < lo OR min_v >= hi
+           |                         THEN 1 ELSE 0 END) AS BIGINT)
+           |             AS n_skipped,
+           |           CAST(sum(CASE WHEN max_v < lo OR min_v >= hi
+           |                         THEN 0 ELSE n_rows END) AS BIGINT)
+           |             AS rows_scanned,
+           |           CAST(sum(m) AS BIGINT) AS rows_selected
+           |         FROM ${tag}f GROUP BY 1, 2)""".stripMargin
+      s"""WITH $preds,
+         |${layout("cl", "clustered", "o_orderdate, o_orderkey")},
+         |${layout("ar", "arrival", "o_orderkey")}
+         |SELECT * FROM cls UNION ALL SELECT * FROM ars
+         |ORDER BY layout, pred_id""".stripMargin
+    }) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val ranges = Seq(
+        (1, lit("1996-01-01").cast("timestamp"),
+          lit("1996-07-01").cast("timestamp")),
+        (2, lit("1999-01-01").cast("timestamp"),
+          lit("2000-01-01").cast("timestamp")),
+        (3, lit("2001-06-01").cast("timestamp"),
+          lit("2002-01-01").cast("timestamp")))
+      val cl = graft.operators.Analyze.zoneMapPruning(orders, "o_orderdate",
+          Seq(col("o_orderdate"), col("o_orderkey")), 500, ranges)
+        .withColumn("layout", lit("clustered"))
+      val ar = graft.operators.Analyze.zoneMapPruning(orders, "o_orderdate",
+          Seq(col("o_orderkey")), 500, ranges)
+        .withColumn("layout", lit("arrival"))
+      cl.unionByName(ar)
+        .select("layout", "pred_id", "n_files", "n_skipped",
+          "rows_scanned", "rows_selected")
+        .orderBy("layout", "pred_id")
+    },
+
     // Array-column surface (beyond the reference, which only ever unnests):
     // sort / slice / membership / distinct-cardinality on a tokens array,
     // all codegen'd array intrinsics — the nested-type operations a

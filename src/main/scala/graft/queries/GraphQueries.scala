@@ -89,5 +89,51 @@ object GraphQueries {
     }) { (s, dir) =>
       Graph.pageRankFixedPoint(edges(s, dir), iters = 5).orderBy("vertex")
     },
+
+    // k-core decomposition by wave peeling (operators.Graph.kCore): each
+    // round drops every vertex with degree < k and its edges; surviving
+    // vertices report their within-core degree. The fixture is a SPARSE
+    // bipartite slice of events (1/17th of rows) whose degree variance
+    // drives a 13-round peel cascade at sf0.01 before the 3-core
+    // stabilizes. Semantics = exactly 16 peel rounds (idempotent after
+    // convergence), so the oracle's fixed unroll hash-matches wherever
+    // convergence lands — all arithmetic integer, like the other graph
+    // gates.
+    Q("q_graph_kcore", {
+      val k = 3
+      val rounds = 16
+      // Every e_i MUST be MATERIALIZED: each round references the
+      // previous round's edge CTE four times (degree union twice + two
+      // membership filters), so an inlining planner would expand the
+      // 16-round chain into 4^16 scans of events.parquet — materializing
+      // pins each round to one evaluation, mirroring the Spark side's
+      // per-round localCheckpoint.
+      val unrolled = (1 to rounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+           |          SELECT src AS v FROM e${i - 1}
+           |          UNION ALL SELECT dst FROM e${i - 1}) GROUP BY v),
+           |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $k),
+           |e$i AS MATERIALIZED (SELECT src, dst FROM e${i - 1}
+           |        WHERE src IN (SELECT v FROM k$i)
+           |          AND dst IN (SELECT v FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (SELECT user_id % 120 AS u,
+         |                    120 + event_id % 180 AS v
+         |             FROM events WHERE event_id % 17 = 0),
+         |e0 AS MATERIALIZED (
+         |       SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst
+         |       FROM raw WHERE u != v),
+         |$unrolled
+         |SELECT v AS vertex, count(*) AS deg FROM (
+         |  SELECT src AS v FROM e$rounds
+         |  UNION ALL SELECT dst FROM e$rounds) GROUP BY v
+         |ORDER BY vertex""".stripMargin
+    }) { (s, dir) =>
+      val sparse = t(s, dir, "events")
+        .where(col("event_id") % 17 === 0)
+        .select((col("user_id") % 120).as("u"),
+          (lit(120) + col("event_id") % 180).as("v"))
+      Graph.kCore(sparse, k = 3, rounds = 16).orderBy("vertex")
+    },
   )
 }
