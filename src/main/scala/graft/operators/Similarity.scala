@@ -221,6 +221,70 @@ object Similarity {
       .parquet(s"$dir/assignments")
   }
 
+  /** Out-of-band centroid refresh — the maintenance step [[appendToIndex]]
+    * deliberately skips. Batches appended against stale centroids land in
+    * the nearest SURVIVING cell, so as the corpus drifts the quantizer's
+    * cells stop matching the data and probe recall decays; this refits the
+    * quantizer from the vectors THE INDEX ALREADY STORES (no original
+    * corpus needed) and rewrites the partitioned layout under the new
+    * cells.
+    *
+    * Equivalence contract (SimilaritySpec): after recentering, the index
+    * is bit-identical to [[writeIndex]] built fresh over the same vector
+    * set — the fit samples by `xxhash64(id)`, which depends only on the
+    * (id, vector) set, never on which layout supplied it.
+    *
+    * Scale shape: one bounded-sample fit (driver-local Lloyd's on ≤4096
+    * vectors), one scan of the stored assignments to reassign against the
+    * ≤k broadcast new centroids, one partitioned rewrite — O(index), no
+    * per-query cost, run on whatever cadence drift warrants. Both
+    * directories swap crash-safely ([[graft.sources.Formats.swapInto]]):
+    * a crash mid-recenter leaves the old index (or old + staging) on
+    * disk, never a torn one. Assignments swap BEFORE centroids: a search
+    * racing the swap sees matched (old, old) or — only in the
+    * between-renames window — (new assignments, old centroids), which
+    * degrades probe choice but never fabricates vectors; centroids-first
+    * would aim probes at cells the stored layout doesn't have yet.
+    *
+    * @return one-row drift report: (n_vectors, n_moved, n_clusters) —
+    *         n_moved / n_vectors is the fraction that changed cell, the
+    *         signal for whether the refresh cadence is right. */
+  def recenterIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    nClusters: Int = 16): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = spark.read.parquet(s"$dir/assignments")
+      .select(col("cand_id"), col("cand_vec"),
+        col("centroid_id").as("old_cid"))
+    val cents = normalizeCentroids(fitCentroids(
+      old.select(col("cand_id").as("vec_id"),
+        col("cand_vec").as("embedding")), nClusters))
+    val tmpC = new org.apache.hadoop.fs.Path(s"$dir/.centroids.staging")
+    val tmpA = new org.apache.hadoop.fs.Path(s"$dir/.assignments.staging")
+    cents.coalesce(1).write.mode("overwrite").parquet(tmpC.toString)
+    nearestCentroids(old.select(col("cand_id"), col("cand_vec")),
+        cents, "cand_id", "cand_vec", 1)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(tmpA.toString)
+    // drift stats from the STAGED layout, while the old one is still live
+    // — one join on cand_id, before either swap can disturb a reader
+    val Seq((total, moved)) = spark.read.parquet(tmpA.toString)
+      .select(col("cand_id"), col("centroid_id"))
+      .join(old.select(col("cand_id"), col("old_cid")), "cand_id")
+      .agg(count(lit(1)), sum(when(col("centroid_id") =!= col("old_cid"),
+        1L).otherwise(0L)))
+      .as[(Long, Long)].collect().toSeq
+    graft.sources.Formats.swapInto(fs,
+      tmpA, new org.apache.hadoop.fs.Path(s"$dir/assignments"))
+    graft.sources.Formats.swapInto(fs,
+      tmpC, new org.apache.hadoop.fs.Path(s"$dir/centroids"))
+    spark.catalog.refreshByPath(s"$dir/assignments")
+    spark.catalog.refreshByPath(s"$dir/centroids")
+    Seq((total, moved, nClusters.toLong))
+      .toDF("n_vectors", "n_moved", "n_clusters")
+  }
+
   private def normalizeCentroids(cents: DataFrame): DataFrame =
     cents.select(col("centroid_id").cast("int").as("centroid_id"),
       col("centroid_vec").as("centroid_vec"))

@@ -432,6 +432,39 @@ class SimilaritySpec extends SparkSpec {
     assert(total == emb.count(), s"index holds $total of ${emb.count()}")
   }
 
+  test("recenterIndex refits drifted centroids and equals a fresh rebuild " +
+      "over the same vectors") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rec").toString
+    // build from half the corpus, append the rest against the STALE
+    // centroids, then recenter — the drift-maintenance lifecycle
+    val old = emb.where(col("vec_id") % 2 === 0)
+    val batch = emb.where(col("vec_id") % 2 === 1)
+    Similarity.writeIndex(old, dir, nClusters = 8)
+    Similarity.appendToIndex(batch, dir)
+    val stats = Similarity.recenterIndex(spark, dir, nClusters = 8)
+      .as[(Long, Long, Long)].collect().head
+    assert(stats._1 == emb.count(), s"drift report counted ${stats._1}")
+    assert(stats._2 > 0, "half-corpus fit vs full-corpus fit moved nothing")
+    assert(stats._3 == 8)
+    // equivalence: the recentered index answers EXACTLY like one built
+    // fresh over the full corpus (fit depends only on the vector set)
+    val fresh = java.nio.file.Files.createTempDirectory("ivf_ref").toString
+    Similarity.writeIndex(emb, fresh, nClusters = 8)
+    val qs = emb.where(col("vec_id") < 5)
+    val rec = Similarity.searchIndex(spark, dir, qs, k = 10, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val ref = Similarity.searchIndex(spark, fresh, qs, k = 10, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(rec.nonEmpty && rec.sameElements(ref),
+      "recentered index diverged from a fresh build over the same vectors")
+    // crash-safe swap left no staging or .old directories behind
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.contains("staging") || n.endsWith(".old"))
+    assert(leftovers.isEmpty, s"swap leftovers: ${leftovers.toSeq}")
+  }
+
   test("k-means centroids beat the first-N stand-in on clustered data") {
     import spark.implicits._
     // 4 well-separated directions, 50 points each with deterministic
