@@ -143,4 +143,46 @@ object Sketches {
         .bitwiseAND(lit(1L))).as("__min_bit"))
       .select(col("key"), (col("__min_bit") === 1L).as("maybe_present"))
   }
+
+  /** Bloom-pre-filtered inner equi join: build a filter over the dim
+    * side's join keys, drop every fact row whose key cannot be in the dim
+    * MAP-SIDE, then run the exact join on the survivors — false positives
+    * fall out of the real join, false negatives cannot exist, so the
+    * result is ROW-IDENTICAL to `fact JOIN dim` (the gate hash-pins
+    * this). Keys hash through their canonical string form, so any
+    * key type probes the same filter [[bloomBuild]] built.
+    *
+    * Scale shape — the reason this exists: when the dim side is filtered
+    * ("suppliers in nation 5") the shuffled join still exchanges EVERY
+    * fact row; here the filter words densify into ONE array row (m/32
+    * longs, KBs) broadcast to every scan task, and each fact row tests
+    * its k bit positions in-place — non-matching rows die before the
+    * fact-sized exchange. At a 0.1% match rate that is a 1000× cut in
+    * shuffled bytes for one broadcast variable; Spark's own runtime
+    * bloom pushdown makes the same trade inside parquet, this form is
+    * engine-portable and composes with any downstream plan. */
+  def bloomJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                dimKey: String, mBits: Int = 16384,
+                kHashes: Int = 4): DataFrame = {
+    require(mBits > 0 && mBits % BloomWordBits == 0,
+      s"mBits must be a positive multiple of $BloomWordBits: $mBits")
+    val nWords = mBits / BloomWordBits
+    val words = bloomBuild(dim.select(col(dimKey).cast("string")), dimKey,
+        mBits, kHashes)
+      .agg(map_from_entries(collect_list(struct(col("word_idx"),
+        col("bits")))).as("__m"))
+      .select(transform(sequence(lit(0L), lit(nWords.toLong - 1L)),
+        i => coalesce(element_at(col("__m"), i), lit(0L)))
+        .as("__bloom_words"))
+    val passed = fact.crossJoin(broadcast(words))
+      .where(forall(
+        bloomPositions(col(factKey).cast("string"), mBits, kHashes),
+        p => call_function("shiftright",
+            element_at(col("__bloom_words"),
+              (p / BloomWordBits).cast("int") + 1),
+            (p % BloomWordBits).cast("int"))
+          .bitwiseAND(lit(1L)) === 1L))
+      .drop("__bloom_words")
+    passed.join(dim, passed(factKey) === dim(dimKey))
+  }
 }

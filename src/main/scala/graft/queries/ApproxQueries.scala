@@ -368,6 +368,30 @@ object ApproxQueries {
           col("__in").isNotNull.as("actual_present"))
         .agg(count(lit(1)).as("n"))
         .orderBy("maybe_present", "actual_present")
+    },
+
+    // Bloom-pre-filtered join (Sketches.bloomJoin): lineitem joins the
+    // nation-5 suppliers through a broadcast Bloom filter that kills
+    // ~96% of fact rows map-side before the exact join settles the false
+    // positives. The oracle is the PLAIN join — the gate hash-pins that
+    // the bloom path is row-identical to the join it accelerates (false
+    // negatives impossible, false positives joined away), which is the
+    // entire correctness contract of a semi-join pushdown at 100 TB.
+    Q("q_join_bloom",
+      """SELECT s.s_suppkey, count(*) AS n_items,
+        |       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_nationkey = 5
+        |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""".stripMargin) {
+      (s, dir) =>
+        val dim = t(s, dir, "supplier").where(col("s_nationkey") === 5)
+          .select("s_suppkey")
+        val fact = t(s, dir, "lineitem").select("l_suppkey", "l_quantity")
+        Sketches.bloomJoin(fact, dim, "l_suppkey", "s_suppkey")
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum("l_quantity").cast("long").as("sum_qty"))
+          .orderBy("s_suppkey")
     }
   )
 

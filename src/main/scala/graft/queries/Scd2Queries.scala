@@ -215,5 +215,59 @@ object Scd2Queries {
           |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
           |GROUP BY r.r_name ORDER BY region_name""".stripMargin)(wh)
     },
+
+    // CDC changelog application (operators.Cdc.applyChangelog): a
+    // deterministic event log over the orders snapshot exercises every
+    // last-writer-wins case — update (U@1), update-then-delete (U@1,D@2),
+    // delete (D@1), delete-then-update (D@1,U@2 — the key survives with
+    // the U payload), and inserts of brand-new keys — folded into current
+    // state in two pk-keyed exchanges (changelog argmax + snapshot anti
+    // join). The oracle replays the same log with a window argmax; the
+    // hash pins that replaying a delta equals the state it encodes,
+    // CDC's entire correctness contract.
+    Q("q_cdc_apply",
+      """WITH snap AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |                     o_totalprice AS p
+        |              FROM orders),
+        |chg AS (
+        |  SELECT k, c, p + 1000.0 AS p, 'U' AS op, 1 AS lsn FROM snap
+        |  WHERE k % 10 = 3
+        |  UNION ALL SELECT k, c, p, 'D', 2 FROM snap WHERE k % 20 = 3
+        |  UNION ALL SELECT k, c, p, 'D', 1 FROM snap WHERE k % 10 = 7
+        |  UNION ALL SELECT k, c, p * 2.0, 'U', 2 FROM snap
+        |  WHERE k % 20 = 7
+        |  UNION ALL SELECT k + 100000000, c, 999.0, 'I', 1 FROM snap
+        |  WHERE k % 100 = 1),
+        |latest AS (SELECT k, c, p, op FROM (
+        |  SELECT k, c, p, op,
+        |         row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn
+        |  FROM chg) WHERE rn = 1),
+        |kept AS (SELECT s.k, s.c, s.p FROM snap s
+        |         LEFT JOIN latest l ON s.k = l.k WHERE l.k IS NULL),
+        |outp AS (SELECT k, c, p FROM kept
+        |         UNION ALL SELECT k, c, p FROM latest WHERE op <> 'D')
+        |SELECT k AS o_orderkey, c AS o_custkey, round(p, 4) AS price
+        |FROM outp ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val snap = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          col("o_totalprice").as("p"))
+      def slice(m: Int, r: Int) = snap.where(col("k") % m === r)
+      val chg = slice(10, 3)
+        .select(col("k"), col("c"), (col("p") + 1000.0).as("p"),
+          lit("U").as("op"), lit(1).as("lsn"))
+        .unionByName(slice(20, 3).select(col("k"), col("c"), col("p"),
+          lit("D").as("op"), lit(2).as("lsn")))
+        .unionByName(slice(10, 7).select(col("k"), col("c"), col("p"),
+          lit("D").as("op"), lit(1).as("lsn")))
+        .unionByName(slice(20, 7).select(col("k"), col("c"),
+          (col("p") * 2.0).as("p"), lit("U").as("op"), lit(2).as("lsn")))
+        .unionByName(slice(100, 1).select((col("k") + 100000000L).as("k"),
+          col("c"), lit(999.0).as("p"), lit("I").as("op"),
+          lit(1).as("lsn")))
+      graft.operators.Cdc.applyChangelog(snap, chg, Seq("k"))
+        .select(col("k").as("o_orderkey"), col("c").as("o_custkey"),
+          graft.functions.Rounding.round4(col("p")).as("price"))
+        .orderBy("o_orderkey")
+    },
   )
 }

@@ -136,3 +136,55 @@ class Scd2Spec extends SparkSpec {
     assert(once.head.isNullAt(2))         // missing → typed null
   }
 }
+
+/** CDC changelog application invariants: last-writer-wins ordering,
+  * loud rejection of malformed logs, and the diff→apply round trip. */
+class CdcSpec extends SparkSpec {
+
+  import spark.implicits._
+  import graft.operators.Cdc
+
+  private def snap: DataFrame =
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "amt")
+
+  test("applyChangelog: LWW picks the highest lsn; D removes; I inserts") {
+    val chg = Seq(
+      (1L, "a2", 11.0, "U", 1L), (1L, "a3", 12.0, "U", 2L), // latest wins
+      (2L, "b", 20.0, "D", 1L),                             // delete
+      (3L, "c", 30.0, "D", 1L), (3L, "c2", 33.0, "U", 2L),  // D then U: kept
+      (9L, "z", 99.0, "I", 1L))                             // brand new
+      .toDF("id", "name", "amt", "op", "lsn")
+    val out = Cdc.applyChangelog(snap, chg, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a3", 12.0), (3L, "c2", 33.0), (9L, "z", 99.0)))
+  }
+
+  test("applyChangelog refuses duplicate (pk, lsn) and unknown ops") {
+    val dup = Seq((1L, "x", 1.0, "U", 1L), (1L, "y", 2.0, "U", 1L))
+      .toDF("id", "name", "amt", "op", "lsn")
+    val e1 = intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(snap, dup, Seq("id"))
+    }
+    assert(e1.getMessage.contains("ambiguous"))
+    val bad = Seq((1L, "x", 1.0, "X", 1L)).toDF("id", "name", "amt", "op", "lsn")
+    val e2 = intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(snap, bad, Seq("id"))
+    }
+    assert(e2.getMessage.contains("outside I/U/D"))
+  }
+
+  test("diffToChangelog emits the minimal I/U/D log and round-trips") {
+    val after = Seq((1L, "a", 10.0),   // unchanged → no event
+        (2L, "b2", 21.0),              // changed → U
+        (4L, "d", 40.0))               // new → I   (3 vanished → D)
+      .toDF("id", "name", "amt")
+    val log = Cdc.diffToChangelog(snap, after, Seq("id"))
+    val ops = log.select("id", "op").as[(Long, String)].collect().toMap
+    assert(ops == Map(2L -> "U", 3L -> "D", 4L -> "I"))
+    val replayed = Cdc.applyChangelog(snap, log, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(replayed == after.orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq)
+  }
+}
