@@ -74,4 +74,41 @@ object FuzzyJoin {
       .where(col("dist") <= maxDist)
       .select(col("l_id"), col("r_id"), col("dist"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge):
+    * globally sort the records by a blocking key, then candidate-pair
+    * each record with only its next `window` neighbors in that order —
+    * O(n·window) candidates total, independent of key distribution. The
+    * complementary family to [[byEditDistance]]'s prefix/suffix blocks:
+    * substring blocks recall pairs sharing an exact block but miss pairs
+    * whose every block is touched; sort order recalls pairs that agree on
+    * a long PREFIX of the key (names, addresses, normalized titles) no
+    * matter where later edits fall. Production linkage runs several
+    * passes with different key orderings and unions the candidates —
+    * compose this with byEditDistance for that.
+    *
+    * Scale shape: the global sort is [[GlobalRank]]'s range exchange
+    * (never a one-task window); neighbor pairing explodes each row into
+    * `window` probe ranks and equi-joins rank-to-rank — shuffle volume is
+    * n·window rows of (id, key), no self cross product anywhere. The
+    * expensive `levenshtein` runs on candidates only.
+    *
+    * @return (id1, id2, dist) with id1 the sort-order-earlier record,
+    *         dist ≤ maxDist */
+  def sortedNeighborhood(records: DataFrame, idCol: String, keyCol: String,
+                         window: Int, maxDist: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val keyed = records.select(col(idCol).as("id"),
+      lower(col(keyCol)).as("key"))
+    val ranked = GlobalRank.withRowNumber(keyed, "rn",
+      Seq(col("key"), col("id")))
+    val probes = ranked.select(col("id").as("id1"), col("key").as("k1"),
+      explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
+    probes.join(ranked.select(col("id").as("id2"), col("key").as("k2"),
+        col("rn")), "rn")
+      .withColumn("dist", levenshtein(col("k1"), col("k2")))
+      .where(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
 }

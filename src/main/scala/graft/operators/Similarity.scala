@@ -285,6 +285,94 @@ object Similarity {
       .toDF("n_vectors", "n_moved", "n_clusters")
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein): from
+    * each query's `shortlist` most-relevant candidates, greedily pick `k`
+    * that balance relevance against similarity to what's already picked —
+    * pick 1 is the relevance argmax, pick i maximizes
+    * `λ·rel − (1−λ)·max_sim_to_selected`. The standard diversification
+    * pass over a retrieval shortlist (dedup-at-serving for RAG, diverse
+    * negative mining) — pure relevance returns near-duplicates; MMR
+    * spends the k slots covering the neighborhood.
+    *
+    * Determinism: λ = `lambdaNum`/`lambdaDen` is applied in INTEGER
+    * arithmetic over 4-dp-integerized cosines
+    * (`score = lambdaNum·rel − (lambdaDen−lambdaNum)·maxsim`), ties to
+    * the lowest candidate id — no IEEE boundary can flip a pick, which is
+    * what lets a DuckDB replay hash-match the gate.
+    *
+    * Scale shape: relevance is one broadcast-queries pass over the
+    * corpus; everything after — the s² pairwise sims and k greedy rounds
+    * — touches only |Q|·shortlist rows, grouped and joined on query_id
+    * (queries proceed in parallel; the loop is k small shuffles, plan
+    * growth truncated per round the same way kCore does). Bound
+    * `shortlist` (s ≤ ~100) and the s² stays trivial; the corpus is
+    * never touched again. */
+  def mmrTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              shortlist: Int, lambdaNum: Int = 7,
+              lambdaDen: Int = 10): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $k/$shortlist")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda out of [0,1]: $lambdaNum/$lambdaDen")
+    val wNum = lambdaNum.toLong
+    val wPen = (lambdaDen - lambdaNum).toLong
+    val c = candidates.select(col("vec_id").as("cid"),
+      asDouble(col("embedding")).as("cv"))
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+    val wRel = Window.partitionBy("qid").orderBy(desc("rel"), asc("cid"))
+    // relevance over the corpus (broadcast queries), then the bounded
+    // shortlist — the only corpus-sized stage
+    val short = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("rel", i4(cosine(col("qv"), col("cv"))))
+      .withColumn("__rn", row_number().over(wRel))
+      .where(col("__rn") <= shortlist)
+      .select("qid", "cid", "cv", "rel")
+      .localCheckpoint(true)
+    // pairwise sims within each query's shortlist: s² rows per query
+    val a = short.select(col("qid"), col("cid").as("ca"), col("cv").as("va"))
+    val b = short.select(col("qid"), col("cid").as("cb"), col("cv").as("vb"))
+    val sims = a.join(b, Seq("qid"))
+      .where(col("ca") =!= col("cb"))
+      .select(col("qid"), col("ca"), col("cb"),
+        i4(cosine(col("va"), col("vb"))).as("sim"))
+      .localCheckpoint(true)
+    val members = short.select("qid", "cid", "rel")
+    var sel = members
+      .withColumn("__rn", row_number().over(wRel))
+      .where(col("__rn") === 1)
+      .select(col("qid"), col("cid"), col("rel"), lit(1).as("pick"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val rem = members.join(sel.select("qid", "cid"), Seq("qid", "cid"),
+        "left_anti")
+      val wS = Window.partitionBy("qid").orderBy(desc("score"), asc("cid"))
+      val simsR = sims.select(col("qid"), col("ca").as("cid"),
+        col("cb").as("selected"), col("sim"))
+      val next = rem
+        .join(sel.select(col("qid"), col("cid").as("selected")), Seq("qid"))
+        .join(simsR, Seq("qid", "cid", "selected"))
+        .groupBy("qid", "cid", "rel")
+        .agg(max("sim").as("__ms"))
+        .withColumn("score", lit(wNum) * col("rel") - lit(wPen) * col("__ms"))
+        .withColumn("__rn", row_number().over(wS))
+        .where(col("__rn") === 1)
+        .select(col("qid"), col("cid"), col("rel"), lit(i).as("pick"))
+      sel = sel.unionByName(next).localCheckpoint(true)
+    }
+    sel.select(col("qid").as("query_id"), col("pick"),
+      col("cid").as("cand_id"), col("rel").as("rel_i4"))
+  }
+
+  /** 4-dp integerization of a double — `roundCompat(c, 4) · 10⁴` computed
+    * WITHOUT the final division, so the result is an exact long and every
+    * downstream comparison is integer (the division back would
+    * reintroduce binary representation noise). Matches DuckDB's
+    * `round(x, 4) * 10000` decision-for-decision. */
+  private def i4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = c * 10000.0
+    when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5)).cast("long")
+  }
+
   private def normalizeCentroids(cents: DataFrame): DataFrame =
     cents.select(col("centroid_id").cast("int").as("centroid_id"),
       col("centroid_vec").as("centroid_vec"))

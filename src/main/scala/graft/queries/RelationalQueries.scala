@@ -810,6 +810,43 @@ object RelationalQueries {
         .orderBy("l_id", "r_id")
     },
 
+    // Sorted-neighborhood record linkage (FuzzyJoin.sortedNeighborhood,
+    // Hernández & Stolfo merge/purge): customers plus planted one-edit
+    // twins sort adjacently by name; each record candidate-pairs with
+    // only its next 3 neighbors in the global sort order — O(n·w)
+    // candidates via GlobalRank's range exchange, never a window over one
+    // task, never a cross product — and levenshtein prunes to true
+    // near-matches. The oracle replays the identical sort (total order on
+    // (key, id)) with a rank band join.
+    Q("q_linkage_snm",
+      """WITH base AS (SELECT c_custkey AS id, lower(c_name) AS key
+        |              FROM customer),
+        |pert AS (SELECT c_custkey + 1000000 AS id,
+        |                lower(substring(c_name, 1, length(c_name) - 1)
+        |                      || 'x') AS key
+        |         FROM customer WHERE c_custkey < 50),
+        |recs AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |r AS (SELECT id, key,
+        |             row_number() OVER (ORDER BY key, id) AS rn
+        |      FROM recs)
+        |SELECT a.id AS id1, b.id AS id2,
+        |       CAST(levenshtein(a.key, b.key) AS INT) AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+        |WHERE levenshtein(a.key, b.key) <= 1
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      import graft.operators.FuzzyJoin
+      val cust = t(s, dir, "customer")
+      val base = cust.select(col("c_custkey").as("rid"),
+        col("c_name").as("name"))
+      val pert = cust.where(col("c_custkey") < 50)
+        .select((col("c_custkey") + 1000000).as("rid"),
+          concat(expr("substring(c_name, 1, length(c_name) - 1)"),
+            lit("x")).as("name"))
+      FuzzyJoin.sortedNeighborhood(base.unionByName(pert), "rid", "name",
+          window = 3, maxDist = 1)
+        .orderBy("id1", "id2")
+    },
+
     // Incremental aggregation by partial-state merge: daily partials
     // (count, sum) roll up to monthly figures WITHOUT rescanning the
     // facts, and the derived avg comes from the merged states — the

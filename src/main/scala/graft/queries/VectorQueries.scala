@@ -515,6 +515,62 @@ object VectorQueries {
           graft.functions.Rounding.round4(col("col")).as("m"))
         .orderBy("label", "j")
     },
+
+    // MMR diversified top-k (Similarity.mmrTopK): per query, 5 picks from
+    // the 12-candidate relevance shortlist, greedily maximizing
+    // 7·rel − 3·max_sim_to_selected in INTEGER 4-dp-cosine units with id
+    // tiebreaks — no IEEE boundary can flip a pick, so the oracle's
+    // 4-round unrolled greedy replay (MATERIALIZED — each round reads the
+    // previous selection three times) hash-matches exactly. The corpus is
+    // touched once (relevance scan); rounds run on |Q|·12 rows.
+    Q("q_ann_mmr", {
+      def i4(e: String) =
+        s"CAST(CASE WHEN ($e) * 10000.0 >= 0 " +
+          s"THEN floor(($e) * 10000.0 + 0.5) " +
+          s"ELSE ceil(($e) * 10000.0 - 0.5) END AS BIGINT)"
+      val rounds = (2 to 5).map { i =>
+        s"""rem$i AS (SELECT m.* FROM members m
+           |  LEFT JOIN s${i - 1} x ON m.qid = x.qid AND m.cid = x.cid
+           |  WHERE x.cid IS NULL),
+           |pen$i AS (SELECT r.qid, r.cid, r.rel, max(sm.sim) AS ms
+           |  FROM rem$i r JOIN s${i - 1} sel ON r.qid = sel.qid
+           |  JOIN sims sm ON sm.qid = r.qid AND sm.ca = r.cid
+           |             AND sm.cb = sel.cid
+           |  GROUP BY 1, 2, 3),
+           |p$i AS (SELECT qid, cid, rel FROM (
+           |  SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+           |    ORDER BY 7 * rel - 3 * ms DESC, cid) AS rn
+           |  FROM pen$i) WHERE rn = 1),
+           |s$i AS MATERIALIZED (SELECT qid, cid, rel, pick FROM s${i - 1}
+           |  UNION ALL SELECT qid, cid, rel, $i FROM p$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |      FROM embeddings),
+         |scored AS (SELECT qid, cid, cv,
+         |                  ${i4("list_cosine_similarity(qv, cv)")} AS rel
+         |           FROM q JOIN c ON cid != qid),
+         |short AS MATERIALIZED (SELECT qid, cid, cv, rel FROM (
+         |  SELECT qid, cid, cv, rel, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel DESC, cid) AS rn FROM scored) WHERE rn <= 12),
+         |members AS (SELECT qid, cid, rel FROM short),
+         |sims AS MATERIALIZED (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+         |         ${i4("list_cosine_similarity(a.cv, b.cv)")} AS sim
+         |       FROM short a JOIN short b
+         |         ON a.qid = b.qid AND a.cid != b.cid),
+         |s1 AS MATERIALIZED (SELECT qid, cid, rel, 1 AS pick FROM (
+         |  SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel DESC, cid) AS rn FROM members) WHERE rn = 1),
+         |$rounds
+         |SELECT qid AS query_id, pick, cid AS cand_id, rel AS rel_i4
+         |FROM s5 ORDER BY query_id, pick""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrTopK(emb, emb.where(col("vec_id") < 3),
+          k = 5, shortlist = 12)
+        .orderBy("query_id", "pick")
+    },
   )
 
   /** One k-means fit per (session, SF dir), shared by q_ann_ivf and
