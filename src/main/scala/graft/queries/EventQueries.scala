@@ -42,6 +42,43 @@ object EventQueries {
         .select("event_id", "late").orderBy("event_id")
     },
 
+    // Stream-stream interval join, batch-replayed: every purchase within
+    // 30 minutes AFTER a click by the same user, through the LITERAL
+    // streaming operator (EventStreams.joinWithin — withWatermark is a
+    // no-op under batch execution, so the gate runs the exact production
+    // code path and the oracle pins its complete-data semantics; the
+    // watermark's only streaming-mode effect is state eviction, which by
+    // construction never changes emitted rows for in-order data). Output
+    // is integer µs deltas — no timestamp column shapes in the dump.
+    Q("q_stream_join_replay",
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |                  CAST(ts AS TIMESTAMP) AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |             CAST(ts AS TIMESTAMP) AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        |       epoch_us(p_ts) - epoch_us(c_ts) AS delta_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      graft.streaming.EventStreams.joinWithin(
+          clicks, "c_user", "c_ts", purch, "p_user", "p_ts",
+          watermark = "1 hour", within = "30 minutes")
+        .select(col("c_user").as("user_id"), col("click_id"),
+          col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .as("delta_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+
     // Tumbling 1-hour window aggregation (batch twin of
     // EventStreams.hourlyRollup; window(ts) start == date_trunc('hour')).
     Q("q_events_window",

@@ -361,5 +361,60 @@ object TokenQueries {
             .as("bounds_md5"))
         .orderBy("bin")
     },
+
+    // BPE merge TRAINING (operators.BpeTrain) — the other half of the
+    // stack: LEARN 12 merges from the corpus's 150 most frequent ascii
+    // words (Sennrich's algorithm: count adjacent symbol pairs weighted
+    // by word frequency, merge the winner, repeat; ties to the smallest
+    // (left, right)). Both engines run the identical greedy semantics —
+    // a merge is the left-to-right greedy fold over the space-joined
+    // symbol form (Spark `aggregate` HOF ≡ DuckDB `list_reduce`) — so
+    // the full 12-round training trajectory hash-matches, count for
+    // count. The corpus appears only
+    // in the word-frequency stage; each round is one vocab-sized
+    // sum-shuffle plus ONE winning row to the driver.
+    Q("q_bpe_train", {
+      val rounds = (1 to 12).map { i =>
+        s"""c$i AS (SELECT pr.l AS l, pr.r AS r,
+           |              CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |  SELECT unnest(list_transform(range(1, len(p)),
+           |           j -> struct_pack(l := p[j], r := p[j + 1]))) AS pr,
+           |         freq
+           |  FROM (SELECT string_split(trim(s), ' ') AS p, freq
+           |        FROM w${i - 1})) GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT l, r, cnt FROM c$i
+           |  ORDER BY cnt DESC, l, r LIMIT 1),
+           |w$i AS MATERIALIZED (SELECT
+           |  list_reduce(list_prepend('', string_split(trim(s), ' ')),
+           |    (acc, x) -> CASE WHEN ends_with(acc, concat(' ', b$i.l))
+           |                      AND x = b$i.r
+           |                THEN concat(acc, x)
+           |                ELSE concat(acc, ' ', x) END) || ' ' AS s,
+           |  freq
+           |  FROM w${i - 1}, b$i)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 12)
+        .map(i => s"SELECT $i AS rank, l, r, cnt FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH toks AS (SELECT unnest(${TextQueries.sqlToks}) AS word
+         |              FROM documents),
+         |vocab AS MATERIALIZED (SELECT word, freq FROM (
+         |  SELECT word, count(*) AS freq FROM toks
+         |  WHERE regexp_matches(word, '^[a-z]+${"$"}')
+         |    AND length(word) >= 2
+         |  GROUP BY word) ORDER BY freq DESC, word LIMIT 150),
+         |w0 AS MATERIALIZED (SELECT
+         |  ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, freq
+         |  FROM vocab),
+         |$rounds
+         |SELECT rank, l AS merge_left, r AS merge_right, cnt
+         |FROM ($union) ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.BpeTrain.trainFromCorpus(
+          t(s, dir, "documents"), "text", vocabSize = 150, nMerges = 12)
+        .select(col("rank"), col("left").as("merge_left"),
+          col("right").as("merge_right"), col("cnt"))
+        .orderBy("rank")
+    },
   )
 }

@@ -1144,3 +1144,39 @@ class Bm25IndexSpec extends SparkSpec {
       s"no term_bucket partition pruning visible:\n$plan")
   }
 }
+
+/** BPE merge learning on the textbook corpus (Sennrich et al. §3.2's
+  * low/lower/newest/widest example, char-level without the </w> marker). */
+class BpeTrainSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("learnMerges reproduces the classic merge sequence") {
+    // freqs: low 5, lower 2, newest 6, widest 3
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("word", "freq")
+    val merges = BpeTrain.learnMerges(words, nMerges = 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // round 1: (e,s) 6+3=9; round 2: (es,t) 9; round 3: (l,o) 7;
+    // round 4: (lo,w) 7 — each winner is unique at its round, ties none
+    assert(merges == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+  }
+
+  test("learnMerges counts overlapping pairs and merges greedily left-first") {
+    val words = Seq(("aaaa", 1L)).toDF("word", "freq")
+    val merges = BpeTrain.learnMerges(words, nMerges = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // (a,a) occurs at 3 adjacent positions; the greedy replace yields
+    // [aa][aa], so round 2 merges (aa,aa) once
+    assert(merges == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("learnMerges fails loudly when the vocabulary is fully merged") {
+    val words = Seq(("ab", 1L)).toDF("word", "freq")
+    val e = intercept[IllegalArgumentException] {
+      BpeTrain.learnMerges(words, nMerges = 3)
+    }
+    assert(e.getMessage.contains("fully merged"))
+  }
+}
