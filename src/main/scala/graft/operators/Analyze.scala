@@ -67,6 +67,63 @@ object Analyze {
     * assignment uses the distributed GlobalRank (range-repartition +
     * zipWithIndex), never a single-partition window; the per-file zones
     * are one aggregation; every number is integer-exact. */
+  /** Key-skew diagnosis — the measurement that decides WHETHER to salt
+    * ([[Salting.saltedJoin]]) and how hard: bucket the key space the way
+    * a hash shuffle would (`rolling_hash64(key) mod nBuckets` — the
+    * replayable stand-in for the engine's partitioner) and report, per
+    * bucket, the rows it would receive, the distinct keys behind them,
+    * and the single heaviest key with its row count:
+    * (bucket, n_rows, n_keys, top_key, top_key_rows).
+    *
+    * Read it like a shuffle post-mortem: `max(n_rows) / avg(n_rows)` is
+    * the straggler factor a join/agg on this key would suffer, and
+    * whether `top_key_rows ≈ n_rows` distinguishes ONE hot key (salt
+    * that key) from many colliding keys (raise partitions). Cost: one
+    * per-key aggregation (map-side combined) plus a bucket-sized
+    * summary — the per-key frame never reaches the driver. All counts
+    * integer-exact. */
+  def keySkew(df: DataFrame, keyCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    graft.expressions.RollingHash64.register(df.sparkSession)
+    val perKey = df.select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", pmod(call_function("rolling_hash64",
+        col("key")), lit(nBuckets.toLong)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+      .orderBy(desc("cnt"), asc("key"))
+    perKey
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("bucket")
+      .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+        max(when(col("__rn") === 1, col("key"))).as("top_key"),
+        max(when(col("__rn") === 1, col("cnt"))).as("top_key_rows"))
+      .orderBy("bucket")
+  }
+
+  /** Equi-join output cardinality WITHOUT running the join: aggregate
+    * each side to per-key counts (map-side combined, key-sized), merge on
+    * the key, and sum the count products — `Σ_k cnt_a(k)·cnt_b(k)` IS the
+    * inner-join row count, exactly. The pre-flight check that catches a
+    * many-to-many blowup before it happens: the per-key frame also yields
+    * the worst single key (`max_key_pairs`), so "this join emits 4×10¹²
+    * rows and key X alone contributes 10¹²" costs two aggregations
+    * instead of a cluster-melting shuffle. Returns one row:
+    * (join_rows, n_join_keys, max_key_pairs, max_key). */
+  def joinCardinality(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String): DataFrame = {
+    val a = left.select(col(leftKey).as("k")).where(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("ca"))
+    val b = right.select(col(rightKey).as("k")).where(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("cb"))
+    a.join(b, "k")
+      .select(col("k"), (col("ca") * col("cb")).as("pairs"))
+      .agg(sum("pairs").as("join_rows"), count(lit(1)).as("n_join_keys"),
+        max("pairs").as("max_key_pairs"),
+        // deterministic argmax: ties on pairs resolve to the highest key
+        max_by(col("k"), struct(col("pairs"), col("k"))).as("max_key"))
+  }
+
   def zoneMapPruning(df: DataFrame, valueCol: String, order: Seq[Column],
                      rowsPerFile: Int,
                      ranges: Seq[(Int, Column, Column)]): DataFrame = {

@@ -392,6 +392,61 @@ object ApproxQueries {
           .agg(count(lit(1)).as("n_items"),
             sum("l_quantity").cast("long").as("sum_qty"))
           .orderBy("s_suppkey")
+    },
+
+    // Key-skew diagnosis (operators.Analyze.keySkew): the measurement
+    // that decides whether to salt and how hard. The fixture plants one
+    // hot key holding a third of lineitem (the adversarial join input);
+    // the report buckets keys the way a hash shuffle would (replayable
+    // rolling_hash64 mod 16) and pins, per bucket, its row load, its
+    // distinct keys, and its heaviest key — so the hot bucket's
+    // top_key_rows ≈ n_rows reads "salt THIS key", not "more
+    // partitions". Integer-exact end to end.
+    Q("q_stats_skew", {
+      val k = "CASE WHEN l_orderkey % 3 = 0 THEN CAST(0 AS VARCHAR) " +
+        "ELSE CAST(l_suppkey AS VARCHAR) END"
+      s"""WITH pk AS (SELECT key, count(*) AS cnt FROM (
+         |  SELECT $k AS key FROM lineitem) WHERE key IS NOT NULL
+         |  GROUP BY key),
+         |b AS (SELECT key, cnt, ${sqlHorner("key")} % 16 AS bucket
+         |      FROM pk),
+         |tk AS (SELECT bucket, key, cnt FROM (
+         |  SELECT bucket, key, cnt, row_number() OVER (PARTITION BY bucket
+         |    ORDER BY cnt DESC, key) AS rn FROM b) WHERE rn = 1)
+         |SELECT b.bucket, CAST(sum(b.cnt) AS BIGINT) AS n_rows,
+         |       count(*) AS n_keys,
+         |       min(tk.key) AS top_key,
+         |       CAST(min(tk.cnt) AS BIGINT) AS top_key_rows
+         |FROM b JOIN tk ON b.bucket = tk.bucket
+         |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin
+    }) { (s, dir) =>
+      val fixture = t(s, dir, "lineitem")
+        .select(when(col("l_orderkey") % 3 === 0, lit("0"))
+          .otherwise(col("l_suppkey").cast("string")).as("k"))
+      graft.operators.Analyze.keySkew(fixture, "k", nBuckets = 16)
+    },
+
+    // Join-cardinality pre-flight (operators.Analyze.joinCardinality):
+    // the exact output size of the lineitem⋈lineitem self-join on
+    // l_suppkey — ~36M rows from 60k inputs at sf0.01 — computed WITHOUT
+    // running the join: per-key counts on each side (map-side combined),
+    // one key-sized merge, Σ cnt·cnt. The report names the worst key, so
+    // the blowup is diagnosed before a cluster-melting shuffle, not
+    // after. The oracle computes the same arithmetic; neither engine
+    // materializes a single joined row.
+    Q("q_stats_join_size",
+      """WITH pk AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem
+        |            WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT k, c * c AS pairs FROM pk)
+        |SELECT CAST(sum(pairs) AS BIGINT) AS join_rows,
+        |       count(*) AS n_join_keys,
+        |       CAST(max(pairs) AS BIGINT) AS max_key_pairs,
+        |       (SELECT k FROM j WHERE pairs = (SELECT max(pairs) FROM j)
+        |        ORDER BY k DESC LIMIT 1) AS max_key
+        |FROM j""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      graft.operators.Analyze.joinCardinality(li, "l_suppkey",
+        li, "l_suppkey")
     }
   )
 

@@ -79,6 +79,36 @@ object EventQueries {
         .orderBy("user_id", "click_id", "purchase_id")
     },
 
+    // Retention cohorts — the warehouse-classic user-lifecycle analytic:
+    // users grouped by first-seen ISO week, distinct-counted in each
+    // later week, as (cohort, weeks_since, n_users). Both engines
+    // truncate to Monday weeks and derive weeks_since as day-diff ÷ 7
+    // (integer on aligned Mondays, so no week-numbering convention can
+    // disagree). Two shuffles: the per-user min and the cohort-week
+    // distinct count.
+    Q("q_events_retention",
+      """WITH e AS (SELECT user_id,
+        |             CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+        |               AS DATE) AS wk
+        |           FROM events),
+        |fs AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+        |SELECT f.cohort,
+        |       CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT)
+        |         AS weeks_since,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN fs f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      val first = e.groupBy("user_id").agg(min("wk").as("cohort"))
+      e.join(first, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int")
+            .as("weeks_since"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "weeks_since")
+    },
+
     // Tumbling 1-hour window aggregation (batch twin of
     // EventStreams.hourlyRollup; window(ts) start == date_trunc('hour')).
     Q("q_events_window",
