@@ -17,6 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Embedding-space decontamination — the semantic complement of the
+    * n-gram overlap check (`q_text_decontaminate`): flag every training
+    * vector whose cosine against ANY test/benchmark vector reaches
+    * `threshold`, catching paraphrases and format-shifted copies that
+    * share no 8-gram. Returns every train row as (vec_id, contaminated,
+    * n_hits, best_tid) with `best_tid` the lowest matching test id —
+    * keep `WHERE NOT contaminated`, audit the rest.
+    *
+    * Scale shape: benchmarks are small and corpora are not, so the TEST
+    * side broadcasts and the train side is ONE scan with scan-local
+    * cosine scoring + map-side-combinable aggregation — no shuffle of
+    * the corpus, no LSH recall risk (this check must not miss; exact
+    * scoring over a broadcast test set is both exact and the cheap
+    * direction). Scores round to 4 dp before the threshold compare so
+    * the decision replays bit-identically cross-engine. */
+  def decontaminateByEmbedding(train: DataFrame, test: DataFrame,
+                               threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, cosine}
+    val tr = train.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val te = test.select(col("vec_id").as("tid"),
+      asDouble(col("embedding")).as("tv"))
+    tr.join(broadcast(te), expr("true"))
+      .withColumn("cs",
+        graft.functions.Rounding.round4(cosine(col("v"), col("tv"))))
+      .groupBy("vec_id")
+      .agg(sum(when(col("cs") >= threshold, 1L).otherwise(0L))
+          .as("n_hits"),
+        min(when(col("cs") >= threshold, col("tid"))).as("best_tid"))
+      .select(col("vec_id"), (col("n_hits") > 0).as("contaminated"),
+        col("n_hits"), col("best_tid"))
+  }
+
   /** Rows of `df` minus blocklisted domains, keeping the top `cap` rows
     * per domain by `order` (callers pass a total order — quality desc
     * with an id tiebreak — so the kept set is deterministic). */

@@ -241,6 +241,46 @@ object Sampling {
   /** The shared selection step: broadcast the (group, rate) table onto the
     * corpus scan and keep rows whose u24 hash clears `floor(rate·2^24)` —
     * integer compare, shuffle-free on the corpus side. */
+  /** Deterministic weighted interleave — the SCHEDULE for mixing corpora
+    * into one training stream, complementing [[mixtureSample]] (which
+    * decides WHAT to keep, this decides in WHICH ORDER it streams).
+    * Stride scheduling (Waldspurger & Weihl): a source of weight w emits
+    * its r-th row at virtual time (2r−1)·(L/w) with L = lcm(weights), so
+    * any prefix of the merged stream holds each source in proportion w/ΣW
+    * to within one row — the property that keeps a data mixture stable
+    * under checkpoint/resume at any step, with no RNG anywhere.
+    *
+    * Per-source order comes from `orderBy` (give a total order); virtual
+    *-time ties break by source name then rank, so the merge is a total
+    * order too. Scale shape: one [[GlobalRank]] range exchange per source
+    * plus one over the union — no windows over a single partition, no
+    * driver materialization; at 100 TB the stream is written out
+    * partitioned by `pos` ranges exactly like any packed export.
+    *
+    * @param sources (name, frame, weight) — frames must share a schema
+    * @return the union schema plus (src, pos) with pos the 1-based global
+    *         interleave position */
+  def interleave(sources: Seq[(String, DataFrame, Long)],
+                 orderBy: Seq[Column]): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    require(sources.forall(_._3 > 0), "weights must be positive")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source names must be unique")
+    def lcm(a: Long, b: Long): Long = a / gcd(a, b) * b
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = sources.map(_._3).reduce(lcm)
+    require(l <= 1000000L, s"lcm(weights) too large for exact strides: $l")
+    val staged = sources.map { case (name, df, w) =>
+      GlobalRank.withRowNumber(df, "__r", orderBy)
+        .withColumn("src", lit(name))
+        .withColumn("__vt", (lit(2L) * col("__r") - 1L) * lit(l / w))
+    }
+    val merged = staged.reduce(_ unionByName _)
+    GlobalRank.withRowNumber(merged, "pos",
+        Seq(col("__vt"), col("src"), col("__r")))
+      .drop("__vt", "__r")
+  }
+
   private def applyRates(df: DataFrame, rates: DataFrame, groupCol: String,
                          idCol: String): DataFrame =
     df.join(broadcast(rates.select(col(groupCol), col("rate"))), groupCol)

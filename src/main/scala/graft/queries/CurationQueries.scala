@@ -1101,5 +1101,76 @@ object CurationQueries {
           Window.partitionBy("lang").orderBy("quality", "doc_id")))
         .orderBy("doc_id")
     },
+
+    // Deterministic weighted interleave (Sampling.interleave, stride
+    // scheduling): English docs at weight 3 merge with the rest at
+    // weight 1 into ONE stream whose every prefix holds ~3:1 English —
+    // the mixing SCHEDULE (q_sample_mixture decides what to keep; this
+    // decides the order it streams), stable under checkpoint/resume at
+    // any step, no RNG. Virtual times are exact integers
+    // ((2r−1)·lcm/w), ranks come from GlobalRank's range exchange, and
+    // the oracle replays the identical stride arithmetic.
+    Q("q_mix_interleave",
+      """WITH en AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id)
+        |              AS r
+        |            FROM documents WHERE lang = 'en'),
+        |oth AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+        |        FROM documents WHERE lang <> 'en'),
+        |u AS (SELECT 'en' AS src, doc_id, r, (2 * r - 1) * 1 AS vt
+        |      FROM en
+        |      UNION ALL
+        |      SELECT 'other', doc_id, r, (2 * r - 1) * 3 AS vt
+        |      FROM oth)
+        |SELECT row_number() OVER (ORDER BY vt, src, r) AS pos, src, doc_id
+        |FROM u ORDER BY pos""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling.interleave(
+          Seq(("en", docs.where(col("lang") === "en").select("doc_id"), 3L),
+            ("other", docs.where(col("lang") =!= "en").select("doc_id"), 1L)),
+          orderBy = Seq(col("doc_id")))
+        .select("pos", "src", "doc_id")
+        .orderBy("pos")
+    },
+
+    // Embedding-space decontamination (Curation.decontaminateByEmbedding)
+    // — the semantic complement of the n-gram q_text_decontaminate: train
+    // vectors are flagged when their 4-dp cosine against ANY benchmark
+    // vector reaches 0.99. The fixture plants 10 scaled copies of test
+    // vectors in the train side (cosine exactly 1.0, no shared bytes —
+    // the paraphrase shape n-grams miss); the broadcast-test scan must
+    // flag exactly those. Exact scoring, no LSH recall risk — a
+    // contamination check must not miss.
+    Q("q_curate_decontam_embed",
+      """WITH test AS (SELECT vec_id AS tid,
+        |                     CAST(embedding AS DOUBLE[]) AS tv
+        |              FROM embeddings WHERE vec_id < 20),
+        |train AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |          FROM embeddings WHERE vec_id >= 20
+        |          UNION ALL
+        |          SELECT vec_id + 200000,
+        |                 list_transform(CAST(embedding AS DOUBLE[]),
+        |                                x -> x * 2.0)
+        |          FROM embeddings WHERE vec_id < 10),
+        |hits AS (SELECT tr.id, te.tid,
+        |                round(list_cosine_similarity(tr.v, te.tv), 4) AS cs
+        |         FROM train tr, test te),
+        |agg AS (SELECT id,
+        |               count(*) FILTER (WHERE cs >= 0.99) AS n_hits,
+        |               min(tid) FILTER (WHERE cs >= 0.99) AS best_tid
+        |        FROM hits GROUP BY id)
+        |SELECT id AS vec_id, n_hits > 0 AS contaminated,
+        |       CAST(n_hits AS BIGINT) AS n_hits, best_tid
+        |FROM agg ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val test = emb.where(col("vec_id") < 20)
+      val planted = emb.where(col("vec_id") < 10)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), x => x * 2.0f).as("embedding"))
+      val train = emb.where(col("vec_id") >= 20)
+        .select("vec_id", "embedding").unionByName(planted)
+      graft.operators.Curation.decontaminateByEmbedding(train, test,
+          threshold = 0.99)
+        .orderBy("vec_id")
+    },
   )
 }

@@ -391,4 +391,66 @@ class PlanShapeSpec extends SparkSpec {
         s"window not partitioned by bin:\n$ln")
     }
   }
+
+  test("bloom join probes the fact scan-side: broadcast words, no fact " +
+      "exchange before the bit filter") {
+    import graft.operators.Sketches
+    val fact = t(spark, sf001, "lineitem").select("l_suppkey", "l_quantity")
+    val dim = t(spark, sf001, "supplier").where(col("s_nationkey") === 5)
+      .select("s_suppkey")
+    val plan = physical(Sketches.bloomJoin(fact, dim,
+      "l_suppkey", "s_suppkey"))
+    // the filter words reach the fact rows via broadcast (nested-loop on
+    // the one-row words frame + broadcast hash for the exact join)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"words not broadcast:\n$plan")
+    // the fact side must NOT shuffle: every non-broadcast exchange in the
+    // plan belongs to the KB-sized words build (the distinct-keys and
+    // word-densify aggregations) — none may partition on the fact key
+    val exchanges = plan.linesIterator
+      .filter(ln => ln.contains("Exchange") &&
+        !ln.contains("BroadcastExchange")).toSeq
+    assert(exchanges.forall(!_.contains("l_suppkey")),
+      s"fact side shuffled before the bloom filter:\n${exchanges.mkString("\n")}")
+  }
+
+  test("sorted-neighborhood pairing is rank-to-rank equi joins, never a " +
+      "cross product") {
+    import graft.operators.FuzzyJoin
+    val recs = t(spark, sf001, "customer")
+      .select(col("c_custkey").as("rid"), col("c_name").as("name"))
+    val plan = physical(FuzzyJoin.sortedNeighborhood(recs, "rid", "name",
+      window = 3, maxDist = 1))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"SNM fell back to a cross product:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"no equi join on the neighbor rank:\n$plan")
+  }
+
+  test("join-cardinality pre-flight aggregates map-side and never " +
+      "materializes the join") {
+    val li = t(spark, sf001, "lineitem")
+    val plan = physical(graft.operators.Analyze.joinCardinality(
+      li, "l_suppkey", li, "l_suppkey"))
+    // partial aggregation below the exchange on both sides
+    assert(plan.contains("partial_count"),
+      s"per-key counts not map-side combined:\n$plan")
+    // the only join is key-sized (per-key counts), after both aggregations
+    assert(!plan.contains("CartesianProduct"),
+      s"cardinality estimate planned a cross product:\n$plan")
+  }
+
+  test("CDC apply shuffles the changelog once for the argmax and anti-joins " +
+      "the snapshot on the same key") {
+    val plan = physical(
+      SparkEntry.queries("q_cdc_apply")(spark, sf001))
+    // the per-key latest-change argmax must be a pk-partitioned window
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains(
+      "windowspecdefinition(k")),
+      s"changelog argmax not partitioned by pk:\n${winLines.mkString("\n")}")
+  }
 }
