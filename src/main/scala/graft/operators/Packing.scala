@@ -93,6 +93,55 @@ object Packing {
     spark.createDataFrame(packed, schema)
   }
 
+  /** Append `cum` — the inclusive global running sum of `deltaCol` in the
+    * given total `order` — with SIGNED deltas, which is what
+    * [[packByBudget]]'s monotone contract forbids and what a sweep line
+    * needs: interval-overlap problems (peak concurrency, active-session
+    * counts, resource high-water marks) reduce to +1/−1 points swept in
+    * time order, and `cum` IS the concurrency at each point. Same
+    * distributed shape as the packer: range exchange on the order, one
+    * signed long per partition to the driver, partition-local rescan —
+    * never a single-partition window. The order must be total (add a
+    * unique tiebreaker) and, for sweeps, must place an interval's end
+    * before an unrelated start at the same instant iff touching
+    * intervals shouldn't count as overlap — the caller encodes that in
+    * the delta sort position. */
+  def runningTotal(df: DataFrame, order: Seq[Column], deltaCol: String,
+                   numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    // RDD-level persist for the two passes — see packByBudget's note
+    val sortedRdd = sorted.rdd
+    sortedRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dIdx = sorted.schema.fieldIndex(deltaCol)
+    def deltaOf(r: Row): Long = r.get(dIdx) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case other => throw new IllegalArgumentException(
+        s"delta column $deltaCol must be integral, got $other")
+    }
+    val partSums = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += deltaOf(r))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("cum", LongType, nullable = false))
+    val swept = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { r =>
+        run += deltaOf(r)
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    spark.createDataFrame(swept, schema)
+  }
+
   /** Materialize packed training SHARDS: [[packByBudget]] then a parquet
     * write PARTITIONED BY bin — one directory per training shard, so a
     * trainer (or a resumed export job) reads exactly the shards it wants

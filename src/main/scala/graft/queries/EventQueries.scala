@@ -109,6 +109,40 @@ object EventQueries {
         .orderBy("cohort", "weeks_since")
     },
 
+    // Peak concurrency by sweep line: every event opens a 30-minute
+    // session; (+1 at start, −1 at end) points swept in (time, delta,
+    // id) order give the live-session count at every instant, and the
+    // per-day max is the capacity-planning number. The global running
+    // sum is Packing.runningTotal's distributed prefix scan (range
+    // exchange + one signed long per partition to the driver) — the
+    // oracle replays it AS the single-task window it must never be.
+    // Day keys are integer µs-epoch days; all arithmetic integer.
+    Q("q_events_concurrency",
+      """WITH base AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |                     event_id
+        |              FROM events),
+        |pts AS (SELECT t, CAST(1 AS BIGINT) AS delta, event_id FROM base
+        |        UNION ALL
+        |        SELECT t + 1800000000, CAST(-1 AS BIGINT), event_id
+        |        FROM base),
+        |sw AS (SELECT t, sum(delta)
+        |                  OVER (ORDER BY t, delta, event_id) AS cum
+        |       FROM pts)
+        |SELECT t // 86400000000 AS day_idx,
+        |       CAST(max(cum) AS BIGINT) AS peak
+        |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events")
+        .select(unix_micros(col("ts")).as("t"), col("event_id"))
+      val pts = base.select(col("t"), lit(1L).as("delta"), col("event_id"))
+        .unionByName(base.select((col("t") + 1800000000L).as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+      graft.operators.Packing.runningTotal(pts,
+          Seq(col("t"), col("delta"), col("event_id")), "delta")
+        .groupBy(expr("t div 86400000000").as("day_idx"))
+        .agg(max("cum").as("peak"))
+        .orderBy("day_idx")
+    },
+
     // Tumbling 1-hour window aggregation (batch twin of
     // EventStreams.hourlyRollup; window(ts) start == date_trunc('hour')).
     Q("q_events_window",

@@ -166,6 +166,43 @@ object SourceQueries {
           .orderBy("lang")
     },
 
+    // Time travel (sources.Versioned): two successive commits of a
+    // rollup table — the 1996 close and the 1997 close — then BOTH
+    // versions read back through the pointer history and compared
+    // against recomputing each from the facts. Reading v1 after v2
+    // committed returning the 1996 numbers bit-for-bit IS the
+    // reproducibility contract (yesterday's pipeline re-runs against
+    // yesterday's inputs); the commit protocol (snapshot first, pointer
+    // rename last) is what makes each version immutable. VersionedSpec
+    // covers crash orphans and VACUUM.
+    Q("q_source_timetravel",
+      """WITH v1 AS (SELECT o_orderpriority AS prio, count(*) AS n
+        |            FROM orders
+        |            WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |            GROUP BY 1),
+        |v2 AS (SELECT o_orderpriority AS prio, count(*) AS n
+        |       FROM orders
+        |       WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |       GROUP BY 1)
+        |SELECT 1 AS version, prio, n FROM v1
+        |UNION ALL SELECT 2 AS version, prio, n FROM v2
+        |ORDER BY version, prio""".stripMargin) { (s, dir) =>
+      import graft.sources.Versioned
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_timetravel").toString
+      def rollup(cutoff: String) = graft.engine.Tables.t(s, dir, "orders")
+        .where(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"))
+      Versioned.write(rollup("1997-01-01"), tmp)
+      Versioned.write(rollup("1998-01-01"), tmp)
+      Versioned.read(s, tmp, Some(1)).withColumn("version", lit(1))
+        .unionByName(Versioned.read(s, tmp, Some(2))
+          .withColumn("version", lit(2)))
+        .select("version", "prio", "n")
+        .orderBy("version", "prio")
+    },
+
     // Parquet schema evolution on read: a dataset whose later files
     // carry ADDED columns (the normal life of a long-lived corpus dir)
     // read as one frame with `mergeSchema` — old files surface NULL for

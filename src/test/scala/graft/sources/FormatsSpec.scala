@@ -160,3 +160,60 @@ class FormatsSpec extends SparkSpec {
     }
   }
 }
+
+/** Versioned table directory: commit protocol, time travel, vacuum. */
+class VersionedSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("write/read round-trips, versions accumulate, time travel works") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ver").toString
+    assert(Versioned.write(Seq((1, "a")).toDF("id", "s"), dir) == 1)
+    assert(Versioned.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), dir) == 2)
+    assert(Versioned.write(Seq((9, "z")).toDF("id", "s"), dir) == 3)
+    assert(Versioned.versions(spark, dir) == Seq(1, 2, 3))
+    assert(Versioned.latestVersion(spark, dir).contains(3))
+    assert(Versioned.read(spark, dir).as[(Int, String)].collect().toSeq
+      == Seq((9, "z")))
+    assert(Versioned.read(spark, dir, Some(1))
+      .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    assert(Versioned.read(spark, dir, Some(2))
+      .orderBy("id").as[(Int, String)].collect().toSeq
+      == Seq((1, "a"), (2, "b")))
+  }
+
+  test("a crashed write (snapshot without pointer) is invisible and " +
+      "reclaimed by the next commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ver2").toString
+    Versioned.write(Seq((1, "a")).toDF("id", "s"), dir)
+    // simulate a crash AFTER the data write, BEFORE the pointer move:
+    // write the v=2 dir directly with different content, no pointer
+    Seq((666, "orphan")).toDF("id", "s")
+      .write.parquet(s"$dir/v=2")
+    assert(Versioned.versions(spark, dir) == Seq(1), "orphan visible")
+    assert(Versioned.read(spark, dir).as[(Int, String)].collect().toSeq
+      == Seq((1, "a")))
+    // the next commit reclaims the number; the orphan's content is gone
+    assert(Versioned.write(Seq((2, "b")).toDF("id", "s"), dir) == 2)
+    assert(Versioned.read(spark, dir).as[(Int, String)].collect().toSeq
+      == Seq((2, "b")))
+  }
+
+  test("prune drops old versions, keeps the live one, and pruned reads " +
+      "fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ver3").toString
+    (1 to 4).foreach(i =>
+      Versioned.write(Seq((i, s"v$i")).toDF("id", "s"), dir))
+    assert(Versioned.prune(spark, dir, keep = 2) == Seq(1, 2))
+    assert(Versioned.versions(spark, dir) == Seq(3, 4))
+    assert(Versioned.read(spark, dir, Some(4))
+      .as[(Int, String)].collect().toSeq == Seq((4, "v4")))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.read(spark, dir, Some(1))
+    }
+    assert(e.getMessage.contains("pruned"))
+    intercept[IllegalArgumentException] {
+      Versioned.prune(spark, dir, keep = 0)
+    }
+  }
+}
