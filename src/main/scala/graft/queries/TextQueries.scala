@@ -878,6 +878,43 @@ object TextQueries {
         .orderBy("id")
     },
 
+    // Incremental components (ConnectedComponents.incrementalCanonicalize)
+    // — the daily-increment path: yesterday's labeling (the d—d+100000
+    // pair legs) absorbs today's batch (the d+100000—d+200000 bridging
+    // legs) by contracting the batch to current canonicals and
+    // propagating over ≤|batch| edges; the corpus-sized labeling is
+    // touched by one broadcast-remap scan. The oracle is the FULL
+    // recompute over all pairs — the gate pins
+    // incremental(labels, batch) == from-scratch, which is the entire
+    // point of the operator.
+    Q("q_dedup_components_inc",
+      """WITH RECURSIVE
+        |edges AS (SELECT doc_id AS id1, doc_id + 100000 AS id2
+        |          FROM documents WHERE doc_id < 30
+        |          UNION ALL
+        |          SELECT doc_id + 100000, doc_id + 200000
+        |          FROM documents WHERE doc_id < 30),
+        |nodes AS (SELECT id1 AS id FROM edges UNION SELECT id2 FROM edges),
+        |sym AS (SELECT id1 AS a, id2 AS b FROM edges
+        |        UNION SELECT id2, id1 FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id)
+        |SELECT id, min(r) AS canonical FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      import graft.operators.ConnectedComponents
+      val base = t(s, dir, "documents").where(col("doc_id") < 30)
+        .select(col("doc_id"))
+      val day1 = base.select(col("doc_id").as("id1"),
+        (col("doc_id") + 100000).as("id2"))
+      val day2 = base.select((col("doc_id") + 100000).as("id1"),
+        (col("doc_id") + 200000).as("id2"))
+      val labels = ConnectedComponents.canonicalize(day1)
+      ConnectedComponents.incrementalCanonicalize(labels, day2)
+        .orderBy("id")
+    },
+
     // Hashed-feature linear classifier at scan time — the fastText-/
     // DCLM-shaped quality/domain filter: token → Murmur3 bucket (the
     // hashing trick, no vocabulary), logit = bias + Σ w[bucket], keep =

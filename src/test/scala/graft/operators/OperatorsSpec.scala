@@ -1180,3 +1180,43 @@ class BpeTrainSpec extends SparkSpec {
     assert(e.getMessage.contains("fully merged"))
   }
 }
+
+/** Incremental connected components: batch absorption == full recompute. */
+class IncrementalCcSpec extends SparkSpec {
+
+  import spark.implicits._
+  import graft.operators.ConnectedComponents
+
+  test("bridging batches cascade merges exactly like a full recompute") {
+    // day 1: two separate chains 1-2, 3-4 and a singleton pair 7-8
+    val day1 = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("id1", "id2")
+    // day 2: bridge the chains (2-3), attach a NEW id to 8 (8-9), and a
+    // completely new component (20-21)
+    val day2 = Seq((2L, 3L), (8L, 9L), (20L, 21L)).toDF("id1", "id2")
+    val inc = ConnectedComponents.incrementalCanonicalize(
+        ConnectedComponents.canonicalize(day1), day2)
+      .as[(Long, Long)].collect().toMap
+    val full = ConnectedComponents.canonicalize(day1.union(day2))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"incremental $inc != full $full")
+    assert(inc(4L) == 1L && inc(9L) == 7L && inc(21L) == 20L)
+  }
+
+  test("a batch that adds nothing new leaves the labeling unchanged") {
+    val day1 = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val labels = ConnectedComponents.canonicalize(day1)
+    val redundant = Seq((1L, 2L), (2L, 1L)).toDF("id1", "id2")
+    val inc = ConnectedComponents.incrementalCanonicalize(labels, redundant)
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("three-way cascade: one batch edge merges three old components") {
+    val day1 = Seq((10L, 11L), (20L, 21L), (30L, 31L)).toDF("id1", "id2")
+    val day2 = Seq((11L, 21L), (21L, 31L)).toDF("id1", "id2")
+    val inc = ConnectedComponents.incrementalCanonicalize(
+        ConnectedComponents.canonicalize(day1), day2)
+      .as[(Long, Long)].collect().toMap
+    assert(inc.values.toSet == Set(10L) && inc.size == 6)
+  }
+}
