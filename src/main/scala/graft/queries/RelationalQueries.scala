@@ -847,6 +847,50 @@ object RelationalQueries {
         .orderBy("id1", "id2")
     },
 
+    // Recursive CTE parity (Spark 4's WITH RECURSIVE): a forest derived
+    // from orderkeys (parent = k div 7, roots = nodes whose parent is
+    // absent), walked root-down with depth and root carried, then rolled
+    // up per (root, depth). BOTH engines execute the same recursive SQL
+    // — Spark through spark.sql (Catalyst's UnionLoop), DuckDB natively
+    // — so the gate pins the engine's recursion semantics (iterate to
+    // fixpoint, UNION ALL accumulation), not an operator re-expression.
+    // All arithmetic integer; the hierarchy-explosion guard is
+    // structural (a forest: each node has one parent, termination by
+    // construction).
+    Q("q_recursive_tree", {
+      def text(intDiv: String) =
+        s"""WITH RECURSIVE
+           |nodes AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           |          WHERE o_orderkey >= 1 AND o_orderkey < 2000),
+           |tree(k, depth, root) AS (
+           |  SELECT k, 0 AS depth, k AS root FROM nodes n
+           |  WHERE NOT EXISTS (SELECT 1 FROM nodes p
+           |                    WHERE p.k = n.k $intDiv 7)
+           |  UNION ALL
+           |  SELECT c.k, t.depth + 1, t.root
+           |  FROM tree t JOIN nodes c ON c.k $intDiv 7 = t.k)
+           |SELECT root, depth, count(*) AS n,
+           |       CAST(sum(k) AS BIGINT) AS sum_k
+           |FROM tree GROUP BY root, depth ORDER BY root, depth""".stripMargin
+      text("//")
+    }) { (s, dir) =>
+      graft.engine.Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """WITH RECURSIVE
+          |nodes AS (SELECT DISTINCT o_orderkey AS k FROM orders
+          |          WHERE o_orderkey >= 1 AND o_orderkey < 2000),
+          |tree(k, depth, root) AS (
+          |  SELECT k, 0 AS depth, k AS root FROM nodes n
+          |  WHERE NOT EXISTS (SELECT 1 FROM nodes p
+          |                    WHERE p.k = n.k div 7)
+          |  UNION ALL
+          |  SELECT c.k, t.depth + 1, t.root
+          |  FROM tree t JOIN nodes c ON c.k div 7 = t.k)
+          |SELECT root, depth, count(*) AS n,
+          |       CAST(sum(k) AS BIGINT) AS sum_k
+          |FROM tree GROUP BY root, depth ORDER BY root, depth""".stripMargin)
+    },
+
     // Incremental aggregation by partial-state merge: daily partials
     // (count, sum) roll up to monthly figures WITHOUT rescanning the
     // facts, and the derived avg comes from the merged states — the
