@@ -143,6 +143,69 @@ object EventQueries {
         .orderBy("day_idx")
     },
 
+    // Funnel conversion by first-occurrence ordering: a user converts
+    // through click → view → purchase iff their FIRST click precedes
+    // their first view precedes their first purchase. One shuffle (the
+    // per-user min-per-step rollup); step counts and strictly-ordered
+    // conversions are integer-exact. Ties (equal first timestamps)
+    // break by the step's µs value being strictly smaller — equal
+    // instants do NOT convert, same rule both engines.
+    Q("q_events_funnel",
+      """WITH m AS (SELECT user_id,
+        |             min(CASE WHEN event_type = 'click'
+        |                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t1,
+        |             min(CASE WHEN event_type = 'view'
+        |                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t2,
+        |             min(CASE WHEN event_type = 'purchase'
+        |                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t3
+        |           FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |       CAST(sum(CASE WHEN t1 IS NOT NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS step1,
+        |       CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS step2,
+        |       CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS step3
+        |FROM m""".stripMargin) { (s, dir) =>
+      val m = t(s, dir, "events").groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "click",
+            unix_micros(col("ts")))).as("t1"),
+          min(when(col("event_type") === "view",
+            unix_micros(col("ts")))).as("t2"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("t3"))
+      m.agg(count(lit(1)).as("n_users"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("step1"),
+        sum(when(col("t1").isNotNull && col("t2") > col("t1"), 1L)
+          .otherwise(0L)).as("step2"),
+        sum(when(col("t1").isNotNull && col("t2") > col("t1")
+          && col("t3") > col("t2"), 1L).otherwise(0L)).as("step3"))
+    },
+
+    // Event-sequence transition matrix: per user, consecutive event
+    // pairs in (ts, event_id) order — the bigram counts a session-flow /
+    // Markov analysis starts from. The lag window partitions by user
+    // (distributed across users); the rollup is one small shuffle.
+    Q("q_events_transitions",
+      """WITH seq AS (SELECT user_id, event_type,
+        |               lag(event_type) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS prev_type
+        |             FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lag("event_type", 1).over(w).as("prev_type"))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    },
+
     // Tumbling 1-hour window aggregation (batch twin of
     // EventStreams.hourlyRollup; window(ts) start == date_trunc('hour')).
     Q("q_events_window",

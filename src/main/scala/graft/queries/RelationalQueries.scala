@@ -1057,6 +1057,42 @@ object RelationalQueries {
           .orderBy("nk")
     },
 
+    // MULTISET set ops (ALL variants): bag semantics preserve
+    // multiplicity — EXCEPT ALL keeps max(a−b, 0) copies per key,
+    // INTERSECT ALL keeps min(a, b) — the correct accounting when rows
+    // are events, not members. The aggregated rollup pins the per-key
+    // copy counts exactly (a raw dump would hash-match trivially on any
+    // multiplicity bug that preserves the key set).
+    Q("q_set_ops_all",
+      """WITH ex AS (SELECT o_custkey AS ck FROM orders
+        |            WHERE o_orderpriority = '1-URGENT'
+        |            EXCEPT ALL
+        |            SELECT o_custkey FROM orders
+        |            WHERE o_orderpriority = '5-LOW'),
+        |ix AS (SELECT o_custkey AS ck FROM orders
+        |       WHERE o_orderpriority = '1-URGENT'
+        |       INTERSECT ALL
+        |       SELECT o_custkey FROM orders
+        |       WHERE o_orderpriority = '5-LOW')
+        |SELECT 'except_all' AS op, count(*) AS n_rows,
+        |       count(DISTINCT ck) AS n_keys FROM ex
+        |UNION ALL
+        |SELECT 'intersect_all', count(*), count(DISTINCT ck) FROM ix
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("ck"))
+      val low = o.where(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey").as("ck"))
+      val ex = urgent.exceptAll(low)
+        .agg(count(lit(1)).as("n_rows"), countDistinct("ck").as("n_keys"))
+        .select(lit("except_all").as("op"), col("n_rows"), col("n_keys"))
+      val ix = urgent.intersectAll(low)
+        .agg(count(lit(1)).as("n_rows"), countDistinct("ck").as("n_keys"))
+        .select(lit("intersect_all").as("op"), col("n_rows"), col("n_keys"))
+      ex.unionByName(ix).orderBy("op")
+    },
+
     // UNPIVOT (wide → long): the inverse of q_pivot, oracled via the
     // union-all expansion (identical semantics; DuckDB's UNPIVOT reorders
     // output, the explicit form doesn't).
