@@ -215,36 +215,39 @@ object ConnectedComponents {
   def incrementalCanonicalize(labels: DataFrame, newPairs: DataFrame,
                               id1Col: String = "id1", id2Col: String = "id2",
                               maxIter: Int = 20): DataFrame = {
-    val l = labels.select(col("id"), col("canonical"))
+    // Eager localCheckpoints at every boundary, not persists: the inputs
+    // and the remap carry DEEP iterative lineage (labels is usually a
+    // canonicalize result), and each downstream join re-references it —
+    // under plain persist, consumers whose cache lookup misses after
+    // attribute deduplication re-ANALYZE the nested plan, and the
+    // multiplicative plan size costs tens of seconds of Catalyst time on
+    // 60-row frames (measured 52 s before truncation, 1.4 s after).
+    // Checkpointed leaves make every plan below shallow.
+    val l = labels.select(col("id"), col("canonical")).localCheckpoint(true)
     val p = newPairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val mapped = p
-        .join(l.select(col("id").as("a"), col("canonical").as("ca")),
-          Seq("a"), "left")
-        .join(l.select(col("id").as("b"), col("canonical").as("cb")),
-          Seq("b"), "left")
-        .select(coalesce(col("ca"), col("a")).as("ca"),
-          coalesce(col("cb"), col("b")).as("cb"))
-      val contracted = mapped.where(col("ca") =!= col("cb"))
-      val remap = canonicalize(contracted, "ca", "cb", maxIter)
-        .select(col("id").as("old_c"), col("canonical").as("new_c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val updated = l
-          .join(remap, l("canonical") === remap("old_c"), "left")
-          .select(col("id"),
-            coalesce(col("new_c"), col("canonical")).as("canonical"))
-        val newIds = p.select(col("a").as("id"))
-          .union(p.select(col("b").as("id"))).distinct()
-          .join(l.select("id"), Seq("id"), "left_anti")
-        val newLabeled = newIds
-          .join(remap, newIds("id") === remap("old_c"), "left")
-          .select(col("id"),
-            coalesce(col("new_c"), col("id")).as("canonical"))
-        // materialize before releasing the remap cache
-        updated.unionByName(newLabeled).localCheckpoint(true)
-      } finally remap.unpersist()
-    } finally p.unpersist()
+      .localCheckpoint(true)
+    val mapped = p
+      .join(l.select(col("id").as("a"), col("canonical").as("ca")),
+        Seq("a"), "left")
+      .join(l.select(col("id").as("b"), col("canonical").as("cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("ca"),
+        coalesce(col("cb"), col("b")).as("cb"))
+    val contracted = mapped.where(col("ca") =!= col("cb"))
+    val remap = canonicalize(contracted, "ca", "cb", maxIter)
+      .select(col("id").as("old_c"), col("canonical").as("new_c"))
+      .localCheckpoint(true)
+    val updated = l
+      .join(remap, l("canonical") === remap("old_c"), "left")
+      .select(col("id"),
+        coalesce(col("new_c"), col("canonical")).as("canonical"))
+    val newIds = p.select(col("a").as("id"))
+      .union(p.select(col("b").as("id"))).distinct()
+      .join(l.select("id"), Seq("id"), "left_anti")
+    val newLabeled = newIds
+      .join(remap, newIds("id") === remap("old_c"), "left")
+      .select(col("id"),
+        coalesce(col("new_c"), col("id")).as("canonical"))
+    updated.unionByName(newLabeled)
   }
 }
