@@ -55,6 +55,9 @@ object Bench {
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          // released INSIDE the timed span: a query pays for its own
+          // cache cleanup, and the next query starts unburdened
+          graft.operators.OperatorCaches.releaseAll(spark)
           (System.nanoTime() - t0) / 1e9
         }
         if (reps > 1) System.err.println(

@@ -31,7 +31,7 @@ import org.apache.spark.storage.StorageLevel
   * al., "Connected Components in MapReduce and Beyond") — same DataFrame
   * surface.
   */
-object ConnectedComponents {
+object ConnectedComponents extends TrackedCaches {
 
   private val CheckpointEvery = 5
 
@@ -44,9 +44,8 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = sym.select(col("a").as("id")).distinct()
-        .withColumn("canonical", col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = tracked(sym.select(col("a").as("id")).distinct()
+        .withColumn("canonical", col("id")))
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -69,7 +68,7 @@ object ConnectedComponents {
         updated =
           if (iter % CheckpointEvery == CheckpointEvery - 1)
             updated.localCheckpoint(true) // truncate the iterative lineage
-          else updated.persist(StorageLevel.MEMORY_AND_DISK)
+          else tracked(updated)
         // count() (not isEmpty) fully materializes the round before the
         // previous copy is released
         converged = updated.where(col("canonical") =!= col("__prev"))
@@ -126,12 +125,11 @@ object ConnectedComponents {
       .union(pairs.select(col(id2Col).as("id")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var edges = pairs
+    var edges = tracked(pairs
       .select(least(col(id1Col), col(id2Col)).as("lo"),
         greatest(col(id1Col), col(id2Col)).as("hi"))
       .where(col("lo") =!= col("hi")) // self loops carry no connectivity
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     try {
       var nEdges = edges.count()
       var iter = 0

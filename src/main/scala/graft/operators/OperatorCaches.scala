@@ -1,0 +1,24 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call release of every per-call operator cache
+  * ([[TrackedCaches]] adopters). For long-lived sessions running many
+  * independent passes — the driver's Verify/Bench sessions run 200+
+  * gates back to back — per-call persists otherwise accumulate for the
+  * whole session and the CacheManager's pinned blocks crowd the
+  * executors' storage memory (MEMORY_AND_DISK degrades to disk churn
+  * under that pressure, read as random straggler queries). Safe at any
+  * point AFTER a pass's results are materialized: released frames
+  * recompute if re-referenced. Deliberately does NOT touch the
+  * cross-gate memoized staging caches (TextQueries / VaultQueries /
+  * VectorQueries fixtures) — those are shared across queries by design
+  * and pay for themselves. */
+object OperatorCaches {
+  def releaseAll(s: SparkSession): Unit = {
+    Dedup.releaseCaches(s)
+    Graph.releaseCaches(s)
+    GlobalRank.releaseCaches(s)
+    ConnectedComponents.releaseCaches(s)
+  }
+}

@@ -238,6 +238,29 @@ object Sampling {
         .otherwise("test").as("split"))
   }
 
+  /** Leakage-safe k-fold assignment — [[leakageSafeSplit]]'s
+    * cross-validation sibling: the fold coin is thrown on the duplicate-
+    * cluster CANONICAL id, so near-duplicates always share a fold and no
+    * fold's validation half ever contains a paraphrase of another fold's
+    * training half. Fold = first md5 byte of the canonical id mod k —
+    * deterministic, engine-replayable, uniform. Returns
+    * (id, canonical, fold). Same scale shape as the split: components
+    * run over the pair graph (not the corpus), the corpus pays one left
+    * join + a scan-local hash. */
+  def kFold(ids: DataFrame, pairs: DataFrame, k: Int,
+            idCol: String = "id", id1Col: String = "id1",
+            id2Col: String = "id2"): DataFrame = {
+    require(k >= 2 && k <= 256, s"fold count out of range: $k")
+    val canon = ConnectedComponents.canonicalize(pairs, id1Col, id2Col)
+    ids.select(col(idCol).as("id"))
+      .join(canon, Seq("id"), "left")
+      .withColumn("canonical", coalesce(col("canonical"), col("id")))
+      .withColumn("fold", (expr(
+        "(instr('0123456789abcdef', substring(md5(CAST(canonical AS STRING)), 1, 1)) - 1) * 16" +
+          " + instr('0123456789abcdef', substring(md5(CAST(canonical AS STRING)), 2, 1)) - 1")
+        .cast("long") % k).cast("int"))
+  }
+
   /** The shared selection step: broadcast the (group, rate) table onto the
     * corpus scan and keep rows whose u24 hash clears `floor(rate·2^24)` —
     * integer compare, shuffle-free on the corpus side. */

@@ -184,6 +184,58 @@ object CurationQueries {
         .orderBy("id")
     },
 
+    // Leakage-safe K-FOLD assignment (Sampling.kFold) — the
+    // cross-validation sibling of the split above: the fold coin is the
+    // first md5 BYTE of the duplicate-cluster canonical id mod 5, so the
+    // planted 3-chains land whole in one fold and no fold's validation
+    // half holds a paraphrase of another's training half. Same fixture
+    // as q_split_leakage_safe, so the two gates together pin that split
+    // and folds agree on cluster structure. Row-level.
+    Q("q_split_kfold", {
+      val byte = "((instr('0123456789abcdef', " +
+        "substr(md5(CAST(canonical AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+        "instr('0123456789abcdef', " +
+        "substr(md5(CAST(canonical AS VARCHAR)), 2, 1)) - 1)"
+      s"""WITH RECURSIVE
+         |edges AS (SELECT doc_id AS id1, doc_id + 100000 AS id2
+         |          FROM documents WHERE doc_id < 40
+         |          UNION ALL
+         |          SELECT doc_id + 100000, doc_id + 200000
+         |          FROM documents WHERE doc_id < 15),
+         |universe AS (SELECT doc_id AS id FROM documents
+         |             UNION ALL
+         |             SELECT doc_id + 100000 FROM documents
+         |             WHERE doc_id < 40
+         |             UNION ALL
+         |             SELECT doc_id + 200000 FROM documents
+         |             WHERE doc_id < 15),
+         |nodes AS (SELECT id1 AS id FROM edges UNION SELECT id2 FROM edges),
+         |sym AS (SELECT id1 AS a, id2 AS b FROM edges
+         |        UNION SELECT id2, id1 FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id),
+         |canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id),
+         |lab AS (SELECT u.id, coalesce(c.canonical, u.id) AS canonical
+         |        FROM universe u LEFT JOIN canon c USING (id))
+         |SELECT id, canonical, CAST($byte % 5 AS INT) AS fold
+         |FROM lab ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val b40 = docs.where(col("doc_id") < 40)
+      val b15 = docs.where(col("doc_id") < 15)
+      val edges = b40.select(col("doc_id").as("id1"),
+          (col("doc_id") + 100000).as("id2"))
+        .union(b15.select((col("doc_id") + 100000).as("id1"),
+          (col("doc_id") + 200000).as("id2")))
+      val universe = docs.select(col("doc_id").as("id"))
+        .union(b40.select((col("doc_id") + 100000).as("id")))
+        .union(b15.select((col("doc_id") + 200000).as("id")))
+      graft.operators.Sampling.kFold(universe, edges, k = 5)
+        .orderBy("id")
+    },
+
     // Hash-ring negative mining for contrastive training: k uniform
     // negatives per anchor with no cross join, no RNG, no self-draw —
     // corpus on a deterministic ring, hash-chosen jumps in [1, n-1].
