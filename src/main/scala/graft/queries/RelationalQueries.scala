@@ -1057,6 +1057,34 @@ object RelationalQueries {
           .orderBy("nk")
     },
 
+    // Frequent co-occurring pairs (market-basket): part pairs appearing
+    // together in ≥ 3 orders, with support counts. The pair explosion is
+    // a per-basket self-join on the order key — bounded by basket size
+    // (≤ 7 lineitems per TPC-H order ⇒ ≤ 21 pairs), the same
+    // bounded-blowup discipline as the LSH bucket cap: at 100 TB the
+    // candidate volume is Σ C(basket,2), never corpus², and a pipeline
+    // caps pathological baskets before this step. One shuffle on the
+    // basket key, one on the pair.
+    Q("q_basket_pairs",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |               FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |          FROM items a JOIN items b
+        |            ON a.l_orderkey = b.l_orderkey
+        |           AND a.l_partkey < b.l_partkey)
+        |SELECT p1, p2, count(*) AS support
+        |FROM pairs GROUP BY p1, p2 HAVING count(*) >= 3
+        |ORDER BY p1, p2""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      a.join(b, Seq("l_orderkey")).where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+        .where(col("support") >= 3)
+        .orderBy("p1", "p2")
+    },
+
     // MULTISET set ops (ALL variants): bag semantics preserve
     // multiplicity — EXCEPT ALL keeps max(a−b, 0) copies per key,
     // INTERSECT ALL keeps min(a, b) — the correct accounting when rows
