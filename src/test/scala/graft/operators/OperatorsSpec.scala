@@ -1220,3 +1220,96 @@ class IncrementalCcSpec extends SparkSpec {
     assert(inc.values.toSet == Set(10L) && inc.size == 6)
   }
 }
+
+/** Round-8 operator invariants beyond what the hash gates pin. */
+class RoundEightOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("interleave: every prefix holds each source proportional within " +
+      "one emission") {
+    val a = (1L to 90L).map(i => (i, "a")).toDF("id", "tag")
+    val b = (1L to 30L).map(i => (i + 1000, "b")).toDF("id", "tag")
+    val out = Sampling.interleave(Seq(("a", a, 3L), ("b", b, 1L)),
+        orderBy = Seq(col("id")))
+      .orderBy("pos").select("src").as[String].collect()
+    assert(out.length == 120)
+    // stride scheduling: in any prefix of length n, source counts are
+    // within ONE emission of n·w/ΣW
+    for (n <- 1 to out.length) {
+      val na = out.take(n).count(_ == "a")
+      val expect = n * 3.0 / 4.0
+      assert(math.abs(na - expect) <= 1.0 + 1e-9,
+        s"prefix $n: $na a's, expected ~$expect")
+    }
+  }
+
+  test("runningTotal matches a single-partition window running sum, " +
+      "signed deltas included") {
+    val rows = (1 to 500).map(i =>
+      (i.toLong, if (i % 3 == 0) -2L else 1L)).toDF("k", "d")
+      .repartition(13)
+    val got = Packing.runningTotal(rows, Seq(col("k")), "d")
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    var run = 0L
+    (1 to 500).foreach { i =>
+      run += (if (i % 3 == 0) -2L else 1L)
+      assert(got(i.toLong) == run, s"cum mismatch at $i")
+    }
+  }
+
+  test("bloomJoin equals the plain join on long and string keys") {
+    val fact = (1L to 2000L).map(i => (i % 97, s"row$i"))
+      .toDF("k", "payload")
+    val dim = Seq(3L, 5L, 96L).toDF("k")
+    val viaBloom = Sketches.bloomJoin(fact, dim, "k", "k")
+      .select("payload").as[String].collect().sorted.toSeq
+    val plain = fact.join(dim, "k")
+      .select("payload").as[String].collect().sorted.toSeq
+    assert(viaBloom == plain && plain.nonEmpty)
+    val factS = fact.select(concat(lit("k"), col("k")).as("ks"),
+      col("payload"))
+    val dimS = dim.select(concat(lit("k"), col("k")).as("ks"))
+    val viaBloomS = Sketches.bloomJoin(factS, dimS, "ks", "ks")
+      .select("payload").as[String].collect().sorted.toSeq
+    assert(viaBloomS == plain)
+  }
+
+  test("zoneMapPruning accounting is exact on a hand-computed layout") {
+    // 10 files of 10 rows, values 0..99 in order: predicate [25, 40)
+    // scans only files 2 [20..29] and 3 [30..39] (20 rows, 15 selected);
+    // file 4 [40..49] is zone-skipped because min = hi and hi is
+    // EXCLUSIVE — 8 files skipped in all
+    val df = (0 until 100).map(v => (v, v)).toDF("v", "id")
+    val out = Analyze.zoneMapPruning(df, "v", Seq(col("v")), 10,
+        Seq((1, lit(25), lit(40))))
+      .as[(Int, Long, Long, Long, Long)].collect().head
+    assert(out == ((1, 10L, 8L, 20L, 15L)),
+      s"zone accounting off: $out")
+  }
+
+  test("kFold: every member of a dup cluster lands in the same fold") {
+    val ids = (1L to 300L).toDF("id")
+    val pairs = (1L to 100L).map(i => (i, i + 100)).toDF("id1", "id2")
+      .union((1L to 100L).map(i => (i + 100, i + 200)).toDF("id1", "id2"))
+    val folds = Sampling.kFold(ids, pairs, k = 5)
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    (1L to 100L).foreach { i =>
+      assert(folds(i) == folds(i + 100) && folds(i) == folds(i + 200),
+        s"cluster $i straddles folds")
+    }
+    assert(folds.values.toSet.size == 5, "fold space not covered")
+  }
+
+  test("keySkew: the planted hot key dominates its bucket and counts " +
+      "are exact") {
+    val df = ((1 to 900).map(_ => "hot") ++ (1 to 300).map(i => s"k$i"))
+      .toDF("k")
+    val rows = Analyze.keySkew(df, "k", nBuckets = 8)
+      .as[(Long, Long, Long, String, Long)].collect()
+    assert(rows.map(_._2).sum == 1200L)
+    assert(rows.map(_._3).sum == 301L)
+    val hot = rows.find(_._4 == "hot").get
+    assert(hot._5 == 900L, s"hot key rows: ${hot._5}")
+  }
+}
