@@ -52,6 +52,7 @@ object Dedup extends TrackedCaches {
     * The verify join re-fetches shingle arrays by id (two broadcast-or-
     * shuffle hash joins on id) — at scale this is the standard
     * signature-then-verify two-pass, never materializing n² pairs.
+    * Choose `m`/`bands` with [[lshPlan]] rather than folklore defaults.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, m: Int = 8, bands: Int = 4,
@@ -697,4 +698,48 @@ object Dedup extends TrackedCaches {
     * expressions. Embedded backticks escape by doubling. */
   private def q(name: String): String =
     "`" + name.replace("`", "``") + "`"
+
+  /** Choose LSH banding parameters for a target Jaccard `threshold`: the
+    * exhaustive search over every (bands b, rows r) with b·r ≤
+    * `maxSignature` minimizing the S-curve's total misclassification
+    * mass, `∫₀ᵗ P(s) ds + fnWeight·∫ₜ¹ (1 − P(s)) ds` with
+    * P(s) = 1 − (1 − s^r)^b — left mass is false-candidate volume (wasted
+    * verify work), right mass is missed near-dups. `fnWeight` > 1 buys
+    * recall with extra verify cost (dedup pipelines usually prefer it:
+    * a false candidate costs one Jaccard check, a false negative costs a
+    * leaked duplicate).
+    *
+    * Driver-side arithmetic over a fixed 1e-3 midpoint grid —
+    * deterministic, microseconds, no data touched. Returns
+    * (bands, rows, error); feed bands·rows as `m` and bands as `bands`
+    * into [[minhashLshPairs]].
+    */
+  def lshPlan(threshold: Double, maxSignature: Int,
+              fnWeight: Double = 1.0): (Int, Int, Double) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1): $threshold")
+    require(maxSignature >= 2, s"maxSignature too small: $maxSignature")
+    require(fnWeight > 0.0, s"fnWeight must be positive: $fnWeight")
+    val steps = 1000
+    var best: (Int, Int, Double) = null
+    for {
+      r <- 1 to maxSignature
+      b <- 1 to maxSignature / r
+    } {
+      var err = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        err += (if (s < threshold) p else fnWeight * (1.0 - p)) / steps
+        i += 1
+      }
+      // deterministic tiebreak: smaller signature, then more bands
+      if (best == null || err < best._3 - 1e-12 ||
+        (math.abs(err - best._3) <= 1e-12 && (b * r < best._1 * best._2 ||
+          (b * r == best._1 * best._2 && b > best._1))))
+        best = (b, r, err)
+    }
+    best
+  }
 }

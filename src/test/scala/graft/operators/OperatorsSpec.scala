@@ -1313,3 +1313,49 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(hot._5 == 900L, s"hot key rows: ${hot._5}")
   }
 }
+
+/** LSH banding planner: S-curve placement and error monotonicity. */
+class LshPlanSpec extends SparkSpec {
+
+  test("the chosen S-curve midpoint tracks the target threshold") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val (b, r, err) = Dedup.lshPlan(t, maxSignature = 128)
+      // the curve's steepest point is ~(1/b)^(1/r); it should land near t
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(mid - t) < 0.15,
+        s"t=$t chose (b=$b, r=$r), curve midpoint $mid")
+      assert(err > 0.0 && err < 0.5)
+    }
+  }
+
+  test("a larger signature budget never increases the error") {
+    val errs = Seq(16, 32, 64, 128)
+      .map(m => Dedup.lshPlan(0.5, m)._3)
+    assert(errs.sliding(2).forall { case Seq(a, b) => b <= a + 1e-12 },
+      s"error not monotone in budget: $errs")
+  }
+
+  test("recall weighting shifts the curve left (more candidates kept)") {
+    val (b1, r1, _) = Dedup.lshPlan(0.6, 64, fnWeight = 1.0)
+    val (b5, r5, _) = Dedup.lshPlan(0.6, 64, fnWeight = 5.0)
+    val mid1 = math.pow(1.0 / b1, 1.0 / r1)
+    val mid5 = math.pow(1.0 / b5, 1.0 / r5)
+    assert(mid5 < mid1,
+      s"fnWeight=5 should move the midpoint left: $mid5 vs $mid1")
+  }
+
+  test("the planned parameters drive minhashLshPairs at full recall on " +
+      "planted dups") {
+    import spark.implicits._
+    val base = (1L to 20L).map(i =>
+      (i, s"shared boilerplate prefix tokens here unique tail $i words"))
+    val copies = base.take(10).map { case (i, t) => (i + 100, t) }
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val (bands, rows, _) = Dedup.lshPlan(0.7, 32, fnWeight = 5.0)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, m = bands * rows, bands = bands, threshold = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    (1L to 10L).foreach(i => assert(pairs.contains((i, i + 100)),
+      s"planted dup $i missed under planned (b=$bands, r=$rows)"))
+  }
+}
