@@ -183,6 +183,33 @@ object EventQueries {
           && col("t3") > col("t2"), 1L).otherwise(0L)).as("step3"))
     },
 
+    // Relative-rank window surface: percent_rank and cume_dist per
+    // partition — the remaining two ranking functions the catalog hadn't
+    // pinned. Both are exact rational values of small-integer rank
+    // arithmetic ((rank−1)/(n−1), peers/n) — identical IEEE divisions on
+    // both engines, no rounding step needed; ntile(7) rides the same
+    // window. Windows partition by nation (distributed across groups).
+    Q("q_window_percentiles",
+      """SELECT c_custkey,
+        |       c_nationkey,
+        |       round(percent_rank() OVER w, 4) AS pr,
+        |       round(cume_dist() OVER w, 4) AS cd,
+        |       ntile(7) OVER w AS bucket
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          round4(percent_rank().over(w)).as("pr"),
+          round4(cume_dist().over(w)).as("cd"),
+          ntile(7).over(w).as("bucket"))
+        .orderBy("c_custkey")
+    },
+
     // Event-sequence transition matrix: per user, consecutive event
     // pairs in (ts, event_id) order — the bigram counts a session-flow /
     // Markov analysis starts from. The lag window partitions by user

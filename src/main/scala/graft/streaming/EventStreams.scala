@@ -256,6 +256,49 @@ object EventStreams {
     *
     * Returns the started query; callers own its lifecycle.
     */
+  /** Streaming duplicate-graph maintenance: a stream of near-dup PAIRS
+    * (from an incremental miner — Dedup.incrementalLshPairs per batch)
+    * folds into a standing (id, canonical) labels table via
+    * [[graft.operators.ConnectedComponents.incrementalCanonicalize]] —
+    * each micro-batch pays O(batch) propagation, the labels table is
+    * rewritten once per batch through the crash-safe directory swap, and
+    * after any prefix of batches the table equals a full recompute over
+    * every pair seen (the incremental operator's pinned equivalence,
+    * exercised across REAL micro-batch boundaries in StreamingSpec).
+    * This is the missing streaming leg of the dedup stack: pairs arrive
+    * continuously, dedup DECISIONS stay current continuously. */
+  def componentsSink(pairs: DataFrame, tablePath: String,
+                     checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.ConnectedComponents
+    val writer = checkpointDir.fold(pairs.writeStream)(
+      pairs.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dir = new java.io.File(tablePath)
+          val labels =
+            if (dir.exists()) spark.read.parquet(tablePath)
+            else batch.sparkSession.emptyDataFrame
+              .select(lit(0L).as("id"), lit(0L).as("canonical")).limit(0)
+          val updated = ConnectedComponents
+            .incrementalCanonicalize(labels, batch)
+          val tmp = tablePath + ".cc"
+          updated.write.mode("overwrite").parquet(tmp)
+          val livePath = new org.apache.hadoop.fs.Path(tablePath)
+          val fs = livePath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          graft.sources.Formats.swapInto(fs,
+            new org.apache.hadoop.fs.Path(tmp), livePath)
+          ConnectedComponents.releaseCaches(spark)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   def scd2Sink(updates: DataFrame, tablePath: String, pk: Seq[String],
                attrs: Seq[String], orderCol: String,
                checkpointDir: Option[String] = None): org.apache.spark.sql

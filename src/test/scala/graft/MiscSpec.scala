@@ -557,3 +557,37 @@ class UnicodeNormSpec extends SparkSpec {
     assert(df.select(expr("nfc_norm(CAST(NULL AS STRING))")).head.isNullAt(0))
   }
 }
+
+class ComponentsSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("componentsSink maintains the labels table across micro-batches " +
+      "and matches a full recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft-ccsink")
+      .toString + "/labels"
+    def feed(rows: (Long, Long)*): Unit = {
+      val s = MemoryStream[(Long, Long)]
+      s.addData(rows: _*)
+      val q = graft.streaming.EventStreams.componentsSink(
+        s.toDF().toDF("id1", "id2"), path)
+      q.awaitTermination()
+    }
+    // batch 1: two chains; batch 2: a bridge + a brand-new component
+    feed((1L, 2L), (3L, 4L))
+    feed((2L, 3L), (20L, 21L))
+    val got = spark.read.parquet(path)
+      .as[(Long, Long)].collect().toMap
+    val full = graft.operators.ConnectedComponents.canonicalize(
+        Seq((1L, 2L), (3L, 4L), (2L, 3L), (20L, 21L)).toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == full, s"streamed $got != full $full")
+    assert(got(4L) == 1L && got(21L) == 20L)
+    // no staging leftovers from the swap
+    val parent = new java.io.File(path).getParentFile.listFiles()
+      .map(_.getName).filter(n => n.endsWith(".cc") || n.endsWith(".old"))
+    assert(parent.isEmpty, s"swap leftovers: ${parent.toSeq}")
+  }
+}
