@@ -101,6 +101,47 @@ object Analyze {
       .orderBy("bucket")
   }
 
+  /** Two-dimensional [[zoneMapPruning]]: per-file (min, max) zones on TWO
+    * columns, pruned by a conjunctive box predicate
+    * `[loA, hiA) × [loB, hiB)` — the measurement that shows what
+    * Z-ordering actually buys: a single-column sort layout prunes only on
+    * its lead column, while a Morton layout bounds BOTH columns per file,
+    * so the same box skips most files. Same shape as the 1-D form:
+    * GlobalRank file assignment, one aggregation for the zones,
+    * bucket-sized accounting, integer-exact. */
+  def zoneMapPruning2(df: DataFrame, colA: String, colB: String,
+                      order: Seq[Column], rowsPerFile: Int,
+                      ranges: Seq[(Int, Column, Column, Column, Column)])
+      : DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
+    require(ranges.nonEmpty, "need at least one predicate box")
+    val ranked = GlobalRank.withRowNumber(df, "__rn", order)
+      .select(col(colA).as("va"), col(colB).as("vb"),
+        ((col("__rn") - 1) / rowsPerFile).cast("long").as("file_id"))
+    val matchCols = ranges.map { case (id, loA, hiA, loB, hiB) =>
+      count(when(col("va") >= loA && col("va") < hiA &&
+        col("vb") >= loB && col("vb") < hiB, 1)).as(s"__m$id")
+    }
+    val files = ranked.groupBy("file_id").agg(
+      min("va").as("min_a"),
+      (max("va").as("max_a") +: min("vb").as("min_b") +:
+        max("vb").as("max_b") +: count(lit(1)).as("n_rows") +:
+        matchCols): _*)
+    ranges.map { case (id, loA, hiA, loB, hiB) =>
+      val skip = col("max_a") < loA || col("min_a") >= hiA ||
+        col("max_b") < loB || col("min_b") >= hiB
+      files.agg(
+          count(lit(1)).as("n_files"),
+          coalesce(sum(when(skip, 1L).otherwise(0L)), lit(0L))
+            .as("n_skipped"),
+          coalesce(sum(when(!skip, col("n_rows"))), lit(0L))
+            .as("rows_scanned"),
+          coalesce(sum(col(s"__m$id")), lit(0L)).as("rows_selected"))
+        .select(lit(id).as("pred_id"), col("n_files"), col("n_skipped"),
+          col("rows_scanned"), col("rows_selected"))
+    }.reduce(_ union _)
+  }
+
   /** Equi-join output cardinality WITHOUT running the join: aggregate
     * each side to per-key counts (map-side combined, key-sized), merge on
     * the key, and sum the count products — `Σ_k cnt_a(k)·cnt_b(k)` IS the

@@ -207,6 +207,83 @@ object FunctionQueries {
           .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // 2-D zone-map pruning under Z-ORDER vs single-column sort
+    // (Analyze.zoneMapPruning2 over expressions.ZOrder62): the same
+    // (partkey × suppkey) box predicates against lineitem laid out as
+    // 500-row files in Morton order vs in l_partkey order. Per-file
+    // zones bound BOTH columns under Z-order, so the box skips most
+    // files; the partkey sort prunes only its lead column and every
+    // suppkey-selective box scans broadly. rows_scanned(zorder) ≪
+    // rows_scanned(lead-column) at identical rows_selected IS what
+    // multi-dimensional clustering buys — measured, integer-exact,
+    // layout replayed in the oracle bit for bit (the Morton key is the
+    // proven q_layout_zorder interleave).
+    Q("q_layout_zorder_prune", {
+      val zkey =
+        """CAST(list_sum(list_transform(range(0, 31), i ->
+          |  (((l_partkey & 2147483647) >> i) & 1) * (1::BIGINT << (2*i))
+          |  + (((l_suppkey & 2147483647) >> i) & 1)
+          |    * (1::BIGINT << (2*i + 1)))) AS BIGINT)""".stripMargin
+      val preds =
+        """preds AS (
+          |  SELECT 1 AS pred_id, 100 AS lo_a, 300 AS hi_a,
+          |         10 AS lo_b, 30 AS hi_b
+          |  UNION ALL SELECT 2, 1500, 1600, 50, 90
+          |  UNION ALL SELECT 3, 0, 2000000, 5, 6)""".stripMargin
+      def layout(tag: String, name: String, ob: String) =
+        s"""$tag AS (SELECT l_partkey AS va, l_suppkey AS vb,
+           |           row_number() OVER (ORDER BY $ob) AS rn
+           |         FROM lineitem),
+           |${tag}f AS (SELECT p.pred_id, p.lo_a, p.hi_a, p.lo_b, p.hi_b,
+           |           (rn - 1) // 500 AS file_id,
+           |           min(va) AS min_a, max(va) AS max_a,
+           |           min(vb) AS min_b, max(vb) AS max_b,
+           |           count(*) AS n_rows,
+           |           count(*) FILTER (WHERE va >= p.lo_a AND va < p.hi_a
+           |             AND vb >= p.lo_b AND vb < p.hi_b) AS m
+           |         FROM $tag CROSS JOIN preds p
+           |         GROUP BY 1, 2, 3, 4, 5, 6),
+           |${tag}s AS (SELECT '$name' AS layout, pred_id,
+           |           CAST(count(*) AS BIGINT) AS n_files,
+           |           CAST(sum(CASE WHEN max_a < lo_a OR min_a >= hi_a
+           |                      OR max_b < lo_b OR min_b >= hi_b
+           |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           |           CAST(sum(CASE WHEN max_a < lo_a OR min_a >= hi_a
+           |                      OR max_b < lo_b OR min_b >= hi_b
+           |                    THEN 0 ELSE n_rows END) AS BIGINT)
+           |             AS rows_scanned,
+           |           CAST(sum(m) AS BIGINT) AS rows_selected
+           |         FROM ${tag}f GROUP BY 1, 2)""".stripMargin
+      s"""WITH $preds,
+         |${layout("zo", "zorder",
+          s"$zkey, l_orderkey, l_linenumber")},
+         |${layout("lc", "lead_col",
+          "l_partkey, l_orderkey, l_linenumber")}
+         |SELECT * FROM zos UNION ALL SELECT * FROM lcs
+         |ORDER BY layout, pred_id""".stripMargin
+    }) { (s, dir) =>
+      graft.expressions.ZOrder62.register(s)
+      val li = t(s, dir, "lineitem")
+      val ranges = Seq(
+        (1, lit(100L), lit(300L), lit(10L), lit(30L)),
+        (2, lit(1500L), lit(1600L), lit(50L), lit(90L)),
+        (3, lit(0L), lit(2000000L), lit(5L), lit(6L)))
+      val zo = graft.operators.Analyze.zoneMapPruning2(li,
+          "l_partkey", "l_suppkey",
+          Seq(expr("zorder62(l_partkey, l_suppkey)"), col("l_orderkey"),
+            col("l_linenumber")), 500, ranges)
+        .withColumn("layout", lit("zorder"))
+      val lc = graft.operators.Analyze.zoneMapPruning2(li,
+          "l_partkey", "l_suppkey",
+          Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber")),
+          500, ranges)
+        .withColumn("layout", lit("lead_col"))
+      zo.unionByName(lc)
+        .select("layout", "pred_id", "n_files", "n_skipped",
+          "rows_scanned", "rows_selected")
+        .orderBy("layout", "pred_id")
+    },
+
     // Zone-map (file min/max statistics) pruning accounting
     // (operators.Analyze.zoneMapPruning): orders laid out as 500-row
     // files under TWO layouts — clustered by (o_orderdate, o_orderkey)
