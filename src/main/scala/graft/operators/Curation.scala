@@ -49,6 +49,38 @@ object Curation {
         col("n_hits"), col("best_tid"))
   }
 
+  /** Quality-constrained selection under a token budget — the decision a
+    * pretraining data team actually makes: fill `totalBudget` weight
+    * (tokens/chars) with the best-`order` rows while no domain exceeds
+    * `perDomainCap`. Two-stage greedy with DEFINED semantics: stage 1
+    * walks each domain in `order` and keeps rows while the domain's
+    * inclusive running weight stays ≤ cap; stage 2 walks the survivors
+    * in the same global order and keeps rows while the global running
+    * weight stays ≤ budget. Deterministic given a total `order` (pass
+    * quality desc + id); both stages replay exactly in SQL windows, so
+    * the kept SET hash-gates.
+    *
+    * Scale shape: stage 1 is a domain-partitioned window — fine while
+    * single domains fit a task's window (the lengthBucketBatches
+    * contract: more/finer domains, not bigger windows); a mega-domain
+    * upgrade runs stage 1 as one [[Packing.runningTotal]] per oversized
+    * domain. Stage 2 IS [[Packing.runningTotal]] — range exchange, one
+    * scalar per partition, never a single-task window over the corpus. */
+  def selectUnderBudget(df: DataFrame, domainCol: String, weightCol: String,
+                        order: Seq[Column], perDomainCap: Long,
+                        totalBudget: Long): DataFrame = {
+    require(perDomainCap > 0 && totalBudget > 0,
+      s"cap/budget must be positive: $perDomainCap/$totalBudget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(domainCol).orderBy(order: _*)
+    val surv = df.withColumn("__dcum", sum(col(weightCol)).over(w))
+      .where(col("__dcum") <= perDomainCap)
+      .drop("__dcum")
+    Packing.runningTotal(surv, order, weightCol)
+      .where(col("cum") <= totalBudget)
+      .drop("cum")
+  }
+
   /** Rows of `df` minus blocklisted domains, keeping the top `cap` rows
     * per domain by `order` (callers pass a total order — quality desc
     * with an id tiebreak — so the kept set is deterministic). */

@@ -1224,5 +1224,41 @@ object CurationQueries {
           threshold = 0.99)
         .orderBy("vec_id")
     },
+
+    // Quality-constrained selection under a char budget
+    // (Curation.selectUnderBudget): fill 50k chars with the
+    // best-quality documents while no language exceeds 15k — BOTH
+    // constraints bind at sf0.01 (corpus ≈ 149k chars, en alone 64k):
+    // every language hits its cap and the global budget then cuts the
+    // capped survivors — the
+    // two-stage greedy every pretraining mixture ships (domain caps,
+    // then global budget), with DEFINED inclusive-prefix semantics so
+    // the kept SET is exact. Ordering is (4-dp quality desc, doc_id):
+    // the rounding is what makes the cross-engine order — and therefore
+    // the cut line — identical. Stage 2's global prefix sum is the
+    // distributed runningTotal; the oracle replays both stages as
+    // windows.
+    Q("q_curate_budget",
+      s"""WITH q AS (SELECT doc_id, lang, n_chars,
+         |             ${TextQueries.sqlQuality} AS qs
+         |           FROM documents),
+         |s1 AS (SELECT *, sum(n_chars) OVER (PARTITION BY lang
+         |         ORDER BY qs DESC, doc_id) AS dcum FROM q),
+         |surv AS (SELECT doc_id, lang, n_chars, qs FROM s1
+         |         WHERE dcum <= 15000),
+         |s2 AS (SELECT *, sum(n_chars) OVER (ORDER BY qs DESC, doc_id)
+         |         AS gcum FROM surv)
+         |SELECT doc_id, lang, n_chars, qs FROM s2 WHERE gcum <= 50000
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.expressions.TextScore.register(s)
+      val docs = t(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "n_chars",
+          "quality_score(text) AS qs")
+      graft.operators.Curation.selectUnderBudget(docs, "lang", "n_chars",
+          Seq(col("qs").desc, col("doc_id").asc),
+          perDomainCap = 15000L, totalBudget = 50000L)
+        .select("doc_id", "lang", "n_chars", "qs")
+        .orderBy("doc_id")
+    },
   )
 }
