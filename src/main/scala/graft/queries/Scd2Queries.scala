@@ -269,5 +269,50 @@ object Scd2Queries {
           graft.functions.Rounding.round4(col("p")).as("price"))
         .orderBy("o_orderkey")
     },
+
+    // The inverse CDC direction (Cdc.diffToChangelog): derive the
+    // MINIMAL I/U/D event log that turns snapshot A (orders before 1999)
+    // into snapshot B (a shifted window with planted price changes) —
+    // new keys emit I with B's payload, vanished keys emit D carrying
+    // A's payload, null-safe attribute comparison emits U. One
+    // full-outer join on the pk; unchanged keys emit NOTHING, which is
+    // the entire point of shipping deltas instead of snapshots. The
+    // apply gate (q_cdc_apply) plus this one pin both directions of the
+    // diff↔apply round trip the spec closes.
+    Q("q_cdc_diff",
+      """WITH a AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        |           WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+        |b AS (SELECT o_orderkey AS k,
+        |             CASE WHEN o_orderkey % 10 = 0
+        |                  THEN round(o_totalprice + 100, 2)
+        |                  ELSE o_totalprice END AS p
+        |      FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '2000-01-01')
+        |SELECT coalesce(a.k, b.k) AS k,
+        |       round(CASE WHEN a.k IS NULL OR b.k IS NOT NULL
+        |                  THEN b.p ELSE a.p END, 4) AS p,
+        |       CASE WHEN a.k IS NULL THEN 'I'
+        |            WHEN b.k IS NULL THEN 'D'
+        |            ELSE 'U' END AS op,
+        |       1 AS lsn
+        |FROM a FULL OUTER JOIN b ON a.k = b.k
+        |WHERE a.k IS NULL OR b.k IS NULL
+        |   OR a.p IS DISTINCT FROM b.p
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val b = o.where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 10 === 0,
+            graft.functions.Rounding.roundCompat(col("o_totalprice") + 100, 2))
+            .otherwise(col("o_totalprice")).as("p"))
+      graft.operators.Cdc.diffToChangelog(a, b, Seq("k"))
+        .select(col("k"), graft.functions.Rounding.round4(col("p")).as("p"),
+          col("op"), col("lsn").cast("int").as("lsn"))
+        .orderBy("k")
+    },
   )
 }
