@@ -362,6 +362,53 @@ object TokenQueries {
         .orderBy("bin")
     },
 
+    // BPE DECODE — the inverse closing the tokenizer loop: ids map back
+    // through the vocab (line number = id), symbols concatenate, and the
+    // Ġ marker turns back into spacing. The gate pins per-doc decoded
+    // md5 AND the round-trip contract `decode(encode(text)) ==
+    // whitespace-normalized text` (single-space joins, leading-space
+    // preserved via the lead-Ġ rule) — true exactly where the text is
+    // vocab-representable, false (identically on both engines) where
+    // OOV symbols decoded to U+FFFD. One scan; the vocab is a literal.
+    Q("q_bpe_decode", {
+      val n = fixtureVocabLs.size
+      s"""WITH ${sqlDocIdsFor(fixtureMergesLs, fixtureVocabLs,
+        spaceAware = true)},
+         |vl AS (SELECT list(sym ORDER BY id) AS l FROM vocab),
+         |dec AS (SELECT doc_id,
+         |          translate(array_to_string(list_transform(ids,
+         |            i -> CASE WHEN i >= 0 AND i < $n THEN l[i + 1]
+         |                 ELSE '�' END), ''), 'Ġ', ' ') AS dec
+         |        FROM doc_ids, vl),
+         |expd AS (SELECT doc_id,
+         |           (CASE WHEN lead_ws THEN ' ' ELSE '' END)
+         |             || array_to_string(ws, ' ') AS expect
+         |         FROM wsrc)
+         |SELECT d.doc_id, md5(dec) AS dec_md5,
+         |       (dec = expect) AS round_trip_ok
+         |FROM dec d JOIN expd e ON d.doc_id = e.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      Bpe.register(s)
+      val n = fixtureVocabLs.size
+      val vlist = array(fixtureVocabLs.map(lit): _*)
+      val ids = call_function("bpe_encode_ls", col("text"),
+        lit(mergesLsPath), lit(vocabLsPath))
+      val dec = translate(array_join(transform(col("ids"), i =>
+        when(i >= 0 && i < lit(n), element_at(vlist, i + 1))
+          .otherwise(lit("�"))), ""), "Ġ", " ")
+      val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+      val expect = concat(
+        when(col("text").rlike("^\\s"), lit(" ")).otherwise(lit("")),
+        array_join(ws, " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ids.as("ids"), col("text"))
+        .select(col("doc_id"), dec.as("dec"), expect.as("expect"))
+        .select(col("doc_id"), md5(col("dec")).as("dec_md5"),
+          (col("dec") === col("expect")).as("round_trip_ok"))
+        .orderBy("doc_id")
+    },
+
     // BPE merge TRAINING (operators.BpeTrain) — the other half of the
     // stack: LEARN 12 merges from the corpus's 150 most frequent ascii
     // words (Sennrich's algorithm: count adjacent symbol pairs weighted
