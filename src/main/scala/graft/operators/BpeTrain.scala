@@ -99,6 +99,9 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("word"))
       .limit(vocabSize)
+      // the top-N lands in ONE partition (TakeOrderedAndProject); spread
+      // it back out or every merge round's pair explode runs serial
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
     learnMerges(counts, nMerges)
   }
 }
