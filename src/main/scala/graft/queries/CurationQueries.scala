@@ -441,11 +441,12 @@ object CurationQueries {
     // inside each bucket.
     Q("q_pack_length_buckets",
       """WITH b AS (SELECT doc_id, n_chars AS len,
-        |                  least(n_chars // 64, 7) AS bucket
+        |                  CAST(least(n_chars // 64, 7) AS BIGINT) AS bucket
         |           FROM documents),
         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket
         |                                   ORDER BY doc_id) AS rn FROM b)
-        |SELECT bucket, (rn - 1) // 16 AS batch_idx, count(*) AS n_rows,
+        |SELECT bucket, CAST((rn - 1) // 16 AS BIGINT) AS batch_idx,
+        |       count(*) AS n_rows,
         |       max(len) AS max_len, CAST(sum(len) AS BIGINT) AS len_sum,
         |       CAST(count(*) * max(len) - sum(len) AS BIGINT)
         |         AS padding_waste

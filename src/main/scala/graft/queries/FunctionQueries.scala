@@ -106,14 +106,19 @@ object FunctionQueries {
         .orderBy("p_partkey")
     },
 
-    // greatest/least with null operands (both engines skip nulls) and
-    // bool_and/bool_or aggregates per group.
+    // greatest/least (Spark side exercises its null-skipping greatest via
+    // an explicit NULL operand) and bool_and/bool_or aggregates per group.
+    // The ORACLE deliberately avoids least/greatest-with-NULL: DuckDB's
+    // NULL handling for those functions is version-dependent (the r7
+    // driver-mismatch class), so the null-skipping comparison is spelled
+    // as a CASE over the two non-null operands — identical result in
+    // every engine version.
     Q("q_agg_bool",
       """SELECT l_returnflag,
         |       bool_and(l_quantity > 0) AS all_positive,
         |       bool_or(l_discount > 0.09) AS any_big_discount,
-        |       max(greatest(l_quantity, CAST(NULL AS DOUBLE),
-        |                    l_discount * 100)) AS gmax,
+        |       max(CASE WHEN l_quantity >= l_discount * 100 THEN l_quantity
+        |                ELSE l_discount * 100 END) AS gmax,
         |       min(least(l_quantity, l_extendedprice)) AS lmin
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, dir) =>

@@ -47,6 +47,14 @@ def main(sf_dir, out_dir):
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
+    # Portability lint first: a gate that only passes on ONE DuckDB
+    # version is not correct, it is lucky (the r7 lesson).
+    try:
+        from lint_oracles import lint
+        failures.extend((n, f"portability lint: {why}")
+                        for n, why in lint(con, oracle))
+    except ImportError:
+        print("NOTE  tools/lint_oracles.py not importable — lint skipped")
     import os
     # intended_queries.json (written by Verify) names the post-filter run
     # set: only entries OUTSIDE it may be skipped. An intended entry with
