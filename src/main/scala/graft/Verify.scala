@@ -23,12 +23,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val intended = SparkEntry.queries.keys.toSeq.sorted
       .filter(name => only.forall(_.contains(name)))
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     intended.foreach { name =>
       val fn = SparkEntry.queries(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .take(500)
       }
       // the dump is written — drop this query's per-call operator caches
       // so 200+ gates don't pile pinned blocks into one session
@@ -60,6 +64,13 @@ object Verify {
     // indistinguishable and a crashed query read as green)
     Files.writeString(Paths.get(s"$outDir/intended_queries.json"),
       intended.map(q).mkString("[", ",", "]"))
+    // crashed queries as a first-class round artifact: name → exception.
+    // A gate that fails at analysis must show up as an `err` row in the
+    // correctness diff, never as silent absence (the r8 failure mode:
+    // 7 crashed gates simply had no row and read as "not run").
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

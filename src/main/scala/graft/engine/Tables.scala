@@ -16,20 +16,39 @@ object Tables {
 
   /** Read one testdata table from an sf dir.
     *
-    * `events.ts` is written with nanosecond precision, which Spark's parquet
-    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * (Verify.scala/Bench.scala) and this reader normalizes the long back to
-    * a microsecond timestamp (`ts div 1000` — integer division, since nanos
-    * since epoch exceed 2^53 and must never pass through a double).
+    * `events.ts` has shipped in two physical encodings across testdata
+    * generations, and this reader normalizes BOTH to a tz-aware
+    * microsecond [[org.apache.spark.sql.types.TimestampType]]:
+    *
+    *  - int64 nanoseconds: Spark's parquet reader rejects nano precision
+    *    unless `spark.sql.legacy.parquet.nanosAsLong` is set (it is, in
+    *    Verify/Bench sessions); the long is converted via `ts div 1000`
+    *    (integer division — nanos since epoch exceed 2^53 and must never
+    *    pass through a double).
+    *  - `timestamp[us]` without timezone: Spark reads it as
+    *    TIMESTAMP_NTZ, which none of the epoch-cast operators accept
+    *    (`CAST(ts AS BIGINT)` / `unix_micros(ts)` fail analysis on NTZ).
+    *    Sessions pin `spark.sql.session.timeZone=UTC`, so casting
+    *    NTZ → TIMESTAMP is lossless: the wall-clock field values ARE the
+    *    UTC instant.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalize the `ts` column of an events-shaped frame to TimestampType.
+    * Exposed for specs that exercise both physical encodings directly. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every testdata table as a temp view (SQL entry path: the

@@ -164,4 +164,179 @@ object ImageCodec {
     b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
     b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
   }
+
+  // ---- full PNG pixel codec (spec-complete for 8-bit gray/RGB) --------
+  //
+  // Everything here is public knowledge: the PNG spec (RFC 2083 /
+  // ISO 15948 §9 filtering, §11 chunks) and java.util.zip for the zlib
+  // IDAT stream. No interlace, bit depth 8, color types 0 (grayscale)
+  // and 2 (truecolor) — the shapes a training-data pipeline's thumbnail
+  // features actually need; anything else parses as None, never as
+  // made-up pixels.
+
+  final case class PixelImage(width: Int, height: Int, channels: Int,
+                              pixels: Array[Byte])
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+                    data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4); putBe32(len, 0, data.length)
+    out.write(len)
+    val t = typ.getBytes("US-ASCII")
+    out.write(t)
+    out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    val c = new Array[Byte](4); putBe32(c, 0, crc.getValue.toInt)
+    out.write(c)
+  }
+
+  /** Encode 8-bit pixels (1 channel = grayscale, 3 = RGB, row-major,
+    * interleaved) as a REAL standards-conformant PNG: signature, IHDR,
+    * one zlib-deflated IDAT, IEND, all CRC'd. Row filters cycle
+    * None/Sub/Up/Average/Paeth (`row % 5`), so any decoder — ours
+    * included — must implement the complete filter suite to invert it. */
+  def buildPngPixels(width: Int, height: Int, channels: Int,
+                     pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(channels == 1 || channels == 3, s"channels must be 1|3")
+    require(pixels.length == width * height * channels,
+      s"expected ${width * height * channels} bytes, got ${pixels.length}")
+    val rowLen = width * channels
+    val raw = new Array[Byte](height * (1 + rowLen))
+    var r = 0
+    while (r < height) {
+      val f = r % 5
+      raw(r * (1 + rowLen)) = f.toByte
+      var x = 0
+      while (x < rowLen) {
+        val cur = pixels(r * rowLen + x) & 0xff
+        val a = if (x >= channels) pixels(r * rowLen + x - channels) & 0xff
+                else 0
+        val b = if (r > 0) pixels((r - 1) * rowLen + x) & 0xff else 0
+        val c = if (r > 0 && x >= channels)
+                  pixels((r - 1) * rowLen + x - channels) & 0xff
+                else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(r * (1 + rowLen) + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val zipped = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(zipped)
+    dos.write(raw); dos.finish(); dos.close()
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = if (channels == 1) 0 else 2 // color type gray | truecolor
+    // ihdr(10..12): compression 0, filter 0, interlace 0
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", zipped.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode a PNG's ACTUAL pixels: chunk walk (IDAT may be split),
+    * zlib inflate, and the full §9 un-filter pass. Supports the shapes
+    * [[buildPngPixels]] emits (8-bit, gray/RGB, non-interlaced); any
+    * other shape, bad CRC-length structure, or short/corrupt pixel data
+    * returns None — corruption is visible, never fabricated. */
+  def parsePngPixels(bytes: Array[Byte]): Option[PixelImage] = {
+    if (bytes == null || bytes.length < 8) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
+    var width = 0; var height = 0; var channels = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    var seenIhdr = false; var seenIend = false
+    while (!seenIend) {
+      if (pos + 8 > bytes.length) return None
+      val len = be32(bytes, pos)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > bytes.length)
+        return None
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val dataOff = pos + 8
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          val w = be32(bytes, dataOff); val h = be32(bytes, dataOff + 4)
+          if (w < 1 || h < 1 || w > (1 << 24) || h > (1 << 24)) return None
+          val depth = bytes(dataOff + 8) & 0xff
+          val color = bytes(dataOff + 9) & 0xff
+          val interlace = bytes(dataOff + 12) & 0xff
+          if (depth != 8 || (color != 0 && color != 2) || interlace != 0)
+            return None
+          width = w.toInt; height = h.toInt
+          channels = if (color == 0) 1 else 3
+          seenIhdr = true
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(bytes, dataOff, len.toInt)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped by length
+      }
+      pos = dataOff + len.toInt + 4 // + CRC
+    }
+    if (!seenIhdr) return None
+    // hostile-input bound: cap the decode buffer (64 MiB of pixels) so a
+    // forged IHDR can't make a metadata scan allocate per-row gigabytes
+    if (width.toLong * height * channels > (1L << 26)) return None
+    val rowLen = width * channels
+    val expect = height * (1 + rowLen)
+    val raw = new Array[Byte](expect)
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < expect && !inf.finished()) {
+        val n = inf.inflate(raw, got, expect - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      inf.end()
+      if (got < expect) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    val px = new Array[Byte](height * rowLen)
+    var r = 0
+    while (r < height) {
+      val f = raw(r * (1 + rowLen)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < rowLen) {
+        val filt = raw(r * (1 + rowLen) + 1 + x) & 0xff
+        val a = if (x >= channels) px(r * rowLen + x - channels) & 0xff
+                else 0
+        val b = if (r > 0) px((r - 1) * rowLen + x) & 0xff else 0
+        val c = if (r > 0 && x >= channels)
+                  px((r - 1) * rowLen + x - channels) & 0xff
+                else 0
+        val recon = f match {
+          case 0 => filt
+          case 1 => filt + a
+          case 2 => filt + b
+          case 3 => filt + ((a + b) >> 1)
+          case 4 => filt + paeth(a, b, c)
+        }
+        px(r * rowLen + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    Some(PixelImage(width, height, channels, px))
+  }
 }

@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed in partition-sized
   * batches.
   *
-  * The Spark-side architecture is real — schema, partitioning, batch shape,
-  * and the mapPartitions seam where a decoder plugs in. Dimension metadata
-  * is decoded from REAL bytes ([[ImageCodec]]: PNG/BMP header parsing in
-  * [[decodeImageMeta]]); full pixel decode (feature vectors, resampling)
-  * is a DETERMINISTIC FAKE (clearly marked below) because pixel codecs
-  * aren't available in this environment, and the engine's job is the
-  * dataflow, not the codec. Swapping `fakeDecode` for an actual decoder
-  * (JNI/FFI or a Python worker via Arrow batches) changes no plan shape.
+  * The Spark-side architecture is real — schema, partitioning, batch
+  * shape, and the mapPartitions seam where decoders plug in. The decode
+  * itself is REAL bytes end to end: header metadata from actual
+  * PNG/BMP/JPEG/WAV encodings ([[decodeImageMeta]]/[[decodeAudioMeta]]),
+  * and FULL PIXEL decode for PNG ([[ImageCodec.parsePngPixels]]: chunk
+  * walk → zlib inflate → the complete §9 un-filter pass), gated on exact
+  * pixel statistics (`q_multimodal_pixels`). Payloads in codecs the JVM
+  * can't decode (video containers, lossy audio) take [[byteFeatures]] —
+  * an honest byte-level content signature that never pretends to be a
+  * decoder. Swapping in further codecs (JNI/FFI or a Python worker via
+  * Arrow batches) changes no plan shape.
   *
   * Scale notes: payloads stay columnar parquet binary — never strings,
   * never driver-collected. Feature extraction is scan-local (no shuffle);
@@ -40,18 +43,48 @@ object Multimodal {
       (col("doc_id") % 480 + 16).cast("int").as("height"),
       (col("n_chars") * 10).as("duration_ms"))
 
-  /** DETERMINISTIC FAKE of a media decoder: derives an 8-dim feature vector
-    * from payload bytes (rolling checksum buckets). A real implementation
-    * decodes/resamples here; everything around it — the Dataset encoder,
-    * the partition-local batch loop, the output schema — is production
-    * shape. */
-  def fakeDecode(payload: Array[Byte]): (Long, Array[Float]) = {
+  /** Byte-level content signature (rolling checksum + 8 byte-value
+    * buckets) for payloads in codecs the JVM can't decode. This is NOT a
+    * decoder and doesn't claim to be — it's the honest fallback feature
+    * for opaque binary (video containers, proprietary audio); decodable
+    * payloads (PNG) take the real pixel path in [[extractFeatures]]. */
+  def byteFeatures(payload: Array[Byte]): (Long, Array[Float]) = {
     var checksum = 0L
     val feat = new Array[Float](8)
     var i = 0
     while (i < payload.length) {
       checksum = checksum * 31 + (payload(i) & 0xff)
       feat(i % 8) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    (checksum, feat)
+  }
+
+  /** Real pixel features for a decoded image: checksum over the
+    * reconstructed pixel stream and an 8-bucket intensity profile
+    * (mean pixel value per spatial eighth of the stream, normalized) —
+    * deterministic, and wrong-by-construction if the un-filter pass or
+    * inflate is off by even one byte. */
+  private def pixelFeatures(img: ImageCodec.PixelImage)
+      : (Long, Array[Float]) = {
+    val px = img.pixels
+    var checksum = 0L
+    val sums = new Array[Long](8)
+    val counts = new Array[Long](8)
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      checksum = checksum * 31 + v
+      val bucket = (i.toLong * 8 / px.length).toInt
+      sums(bucket) += v; counts(bucket) += 1
+      i += 1
+    }
+    val feat = new Array[Float](8)
+    i = 0
+    while (i < 8) {
+      feat(i) =
+        if (counts(i) == 0) 0f
+        else (sums(i).toDouble / counts(i) / 255.0).toFloat
       i += 1
     }
     (checksum, feat)
@@ -105,6 +138,69 @@ object Multimodal {
       }).toDF("media_id", "format", "width", "height", "n_bytes")
   }
 
+  /** Synthetic images WITH PIXELS: real PNGs ([[ImageCodec.buildPngPixels]]
+    * — zlib IDAT, all five row filters in rotation) whose pixel values
+    * follow a pure-arithmetic formula an SQL oracle can replay:
+    * dims `(id%13+4) × (id%11+4)`, grayscale/RGB by id parity, pixel k =
+    * `(id·31 + k·7 + 13) mod 251`. The `q_multimodal_pixels` gate decodes
+    * these back and must reproduce the formula's statistics exactly —
+    * deflate, chunk CRC layout, and every filter inversion sit on the
+    * gated path. */
+  def syntheticPixelImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 13 + 4).toInt
+        val h = (id % 11 + 4).toInt
+        val ch = if (id % 2 == 0) 1 else 3
+        val px = new Array[Byte](w * h * ch)
+        var k = 0
+        while (k < px.length) {
+          px(k) = ((id * 31 + k.toLong * 7 + 13) % 251).toByte
+          k += 1
+        }
+        (id, ImageCodec.buildPngPixels(w, h, ch, px))
+      }.toDF("media_id", "payload")
+  }
+
+  /** REAL pixel decode in the mapPartitions seam: inflate + un-filter
+    * each payload's actual IDAT bytes and reduce the reconstructed pixel
+    * stream to exact integer statistics (sum, min, max, and a
+    * position-weighted sum that catches any reordering). Scan-local, no
+    * shuffle; undecodable payloads yield null stats, never fabricated
+    * pixels. */
+  def decodePixelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageCodec.parsePngPixels(bytes) match {
+          case Some(img) =>
+            val px = img.pixels
+            var sum = 0L; var wsum = 0L
+            var mn = 255; var mx = 0
+            var k = 0
+            while (k < px.length) {
+              val v = px(k) & 0xff
+              sum += v; wsum += (k + 1).toLong * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              k += 1
+            }
+            (id, Option(img.width), Option(img.height),
+              Option(img.channels), Option(px.length.toLong), Option(sum),
+              Option(mn), Option(mx), Option(wsum))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long], None: Option[Int],
+              None: Option[Int], None: Option[Long])
+        }
+      }).toDF("media_id", "width", "height", "channels", "n_px",
+        "px_sum", "px_min", "px_max", "px_wsum")
+  }
+
   /** Synthetic WAV assets from formula parameters — real RIFF bytes
     * ([[AudioCodec.buildWav]]), including an odd-sized LIST chunk every
     * third row so the decode walk must handle word alignment. */
@@ -145,8 +241,11 @@ object Multimodal {
   }
 
   /** Feature extraction over the media table: partition-local, batched,
-    * no shuffle. The mapPartitions seam is where a real codec (or an Arrow
-    * round-trip to a Python worker) slots in. */
+    * no shuffle. PNG payloads are ACTUALLY decoded
+    * ([[ImageCodec.parsePngPixels]]) and featurized from reconstructed
+    * pixels; everything else gets the honest [[byteFeatures]] signature.
+    * The mapPartitions seam is where further codecs (or an Arrow
+    * round-trip to a Python worker) slot in. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -155,7 +254,10 @@ object Multimodal {
       .as[(Long, String, Array[Byte], Int, Int, Long)]
       .mapPartitions { rows =>
         rows.map { case (id, kind, payload, _, _, _) =>
-          val (checksum, feat) = fakeDecode(payload)
+          val (checksum, feat) = ImageCodec.parsePngPixels(payload) match {
+            case Some(img) => pixelFeatures(img)
+            case None => byteFeatures(payload)
+          }
           MediaFeatures(id, kind, payload.length, checksum, feat)
         }
       }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Corpus drift monitor: how far apart are two slices of a corpus
+  * (yesterday's crawl vs today's, source A vs source B, train vs
+  * incoming batch) in unigram token distribution? The standing guardrail
+  * of a 100 TB ingestion pipeline: a scraper regression or an upstream
+  * format change shows up as token-distribution drift long before it
+  * shows up in model metrics.
+  *
+  * Two readouts over ONE shared stats pass (explode → single
+  * aggregation with conditional counts — the ImportanceWeights shape):
+  *
+  *  - [[topDrift]]: the tokens that moved most. Ranked by the EXACT
+  *    integer cross-product score `|c_a·n_b − c_b·n_a|` (the unnormalized
+  *    probability gap — no floating point in the ranking or the gate).
+  *  - [[jsDivergence]]: Jensen-Shannon divergence in nats. Per-token
+  *    terms are quantized to integer MICRO-NATS before summation, so the
+  *    total is an exact commutative integer sum (no double-fold order to
+  *    pin); JS terms are ≤ ln2/vocab in magnitude, so micro-nat `round`
+  *    boundaries sit ~6 orders of magnitude above libm ln() ulp noise.
+  *
+  * Scale: one token-stats aggregation (map-side combinable), one
+  * 2-scalar collect for the totals, then scan-local arithmetic over the
+  * vocabulary frame. Never materializes a doc×token matrix.
+  */
+object DriftMonitor {
+
+  /** Shared stats: (token, c_a, c_b) with slice A = rows matching
+    * `slicePred`, B = the rest; plus the (n_a, n_b) totals. */
+  private def stats(docs: DataFrame, textCol: String, slicePred: Column)
+      : (DataFrame, Long, Long) = {
+    val tok = docs
+      .select(slicePred.as("in_a"), explode(tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy("token").agg(
+      count(when(col("in_a"), 1)).as("c_a"),
+      count(when(!col("in_a"), 1)).as("c_b"))
+    val tot = counts.agg(
+      coalesce(sum("c_a"), lit(0L)).as("n_a"),
+      coalesce(sum("c_b"), lit(0L)).as("n_b")).collect().head
+    (counts, tot.getLong(0), tot.getLong(1))
+  }
+
+  /** Top-k drifted tokens: (token, c_a, c_b, drift_x) with
+    * drift_x = |c_a·n_b − c_b·n_a| — exact BIGINT arithmetic end to end,
+    * ties broken by token for a total order. */
+  def topDrift(docs: DataFrame, textCol: String, slicePred: Column,
+               k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val (counts, nA, nB) = stats(docs, textCol, slicePred)
+    require(nA > 0 && nB > 0,
+      s"both slices need tokens to compare (n_a=$nA, n_b=$nB)")
+    counts
+      .withColumn("drift_x",
+        abs(col("c_a") * lit(nB) - col("c_b") * lit(nA)))
+      .orderBy(col("drift_x").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Jensen-Shannon divergence between the slices' unigram
+    * distributions: ONE row (n_a, n_b, vocab, js_micro) with js_micro =
+    * Σ round(term·1e6) over the vocabulary — exact integer sum of
+    * micro-nat-quantized per-token terms; ranges 0 (identical) to
+    * ~693147 (disjoint, ln 2). */
+  def jsDivergence(docs: DataFrame, textCol: String, slicePred: Column)
+      : DataFrame = {
+    val (counts, nA, nB) = stats(docs, textCol, slicePred)
+    require(nA > 0 && nB > 0,
+      s"both slices need tokens to compare (n_a=$nA, n_b=$nB)")
+    val pa = col("c_a") / lit(nA.toDouble)
+    val pb = col("c_b") / lit(nB.toDouble)
+    val m = (pa + pb) / 2.0
+    val term =
+      (when(col("c_a") > 0, pa * log(pa / m)).otherwise(lit(0.0)) +
+        when(col("c_b") > 0, pb * log(pb / m)).otherwise(lit(0.0))) * 0.5
+    counts
+      .select(round(term * lit(1000000.0), 0).cast("long").as("micro"))
+      .agg(
+        lit(nA).as("n_a"), lit(nB).as("n_b"),
+        count(lit(1)).as("vocab"),
+        coalesce(sum("micro"), lit(0L)).as("js_micro"))
+  }
+}

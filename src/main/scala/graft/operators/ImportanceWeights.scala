@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Rounding.round4
 import graft.functions.TextFunctions.tokens
 
 /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
@@ -26,16 +25,21 @@ import graft.functions.TextFunctions.tokens
   * broadcasts the stats side when it fits, shuffles when it doesn't).
   *
   * Determinism: each per-token log contribution is quantized to integer
-  * MICRO-NATS (round(w·1e6) as long) at the vocabulary table, so the
+  * MILLI-NATS (round(w·1e3) as long) at the vocabulary table, so the
   * per-document Σ is exact integer arithmetic — commutative (no fold
-  * order to pin) and immune to libm ln() ulp differences across
-  * engines; a single double division then feeds the 4-dp rounding.
+  * order to pin). Milli (not micro) keeps the `round` boundary density
+  * negligible against libm `ln()` ulp differences across engines, and
+  * the gate-facing columns avoid floating-point decimal rounding
+  * entirely: `score_milli = floor(raw_milli / n_tok)` is bit-exact on
+  * every IEEE engine (correctly-rounded division + exact floor), and
+  * `keep` tests the integer sum's sign. The convenience `score` double
+  * is raw_milli/(n_tok·1000) unrounded — API surface, not gated.
   */
 object ImportanceWeights {
 
   /** Per-document DSIR scores. `targetPred` selects the target slice of
     * `docs` (its tokens define p_tgt); every document is scored. Returns
-    * (doc_id, n_tok, score, keep). */
+    * (doc_id, n_tok, score_milli, score, keep). */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
                  targetPred: Column): DataFrame = {
     val tok = docs
@@ -58,12 +62,12 @@ object ImportanceWeights {
     // then the per-doc Σ is an exact integer sum — no fold order to pin
     val perToken = tok.join(stats, "token")
       .select(col("id"),
-        round(contrib * lit(1000000.0), 0).cast("long").as("micro"))
+        round(contrib * lit(1000.0), 0).cast("long").as("milli"))
     perToken.groupBy("id")
-      .agg(count(lit(1)).as("n_tok"), sum("micro").as("raw_micro"))
+      .agg(count(lit(1)).as("n_tok"), sum("milli").as("raw_milli"))
       .select(col("id").as("doc_id"), col("n_tok"),
-        round4(col("raw_micro") / (col("n_tok") * lit(1000000.0)))
-          .as("score"))
-      .withColumn("keep", col("score") > 0.0)
+        floor(col("raw_milli") / col("n_tok")).as("score_milli"),
+        (col("raw_milli") / (col("n_tok") * lit(1000.0))).as("score"),
+        (col("raw_milli") > 0L).as("keep"))
   }
 }

@@ -20,5 +20,6 @@ object OperatorCaches {
     Graph.releaseCaches(s)
     GlobalRank.releaseCaches(s)
     ConnectedComponents.releaseCaches(s)
+    StagingCaches.releaseCaches(s)
   }
 }

@@ -463,11 +463,15 @@ object CurationQueries {
     // target = 'en' documents, source = the corpus. ONE token-stats pass
     // (target counts conditional in the same aggregation), one
     // vocabulary join (tf-idf shape). Determinism: each per-token log
-    // contribution is quantized to integer MICRO-NATS (round(·×1e6) as
+    // contribution is quantized to integer MILLI-NATS (round(·×1e3) as
     // BIGINT) before the per-doc Σ, so the sum is exact integer
-    // arithmetic — order-independent and immune to libm ln() ulp
-    // differences across engines; only ONE final double division feeds
-    // the 4-dp rounding.
+    // arithmetic — order-independent, with the `round` boundary density
+    // 1000× below the micro-nat variant that libm ln() ulps could flip.
+    // The GATE hashes integer-exact columns only: floor of a
+    // correctly-rounded IEEE division (bit-identical on every engine and
+    // every DuckDB version) and the integer sum's sign — no decimal
+    // round(·, k) on doubles anywhere (round-at-precision on doubles is
+    // version-sensitive DuckDB surface, the r7/r8 failure class).
     Q("q_curate_dsir", {
       val toks = TextQueries.sqlToks
       s"""WITH tk AS (SELECT doc_id, lang, $toks AS toks FROM documents),
@@ -482,20 +486,121 @@ object CurationQueries {
          |contrib AS (SELECT token,
          |              CAST(round((ln((c_tgt + 1.0) / (tot.n_tgt + tot.v))
          |                     - ln((c_src + 1.0) / (tot.n_src + tot.v)))
-         |                   * 1000000) AS BIGINT) AS micro
+         |                   * 1000) AS BIGINT) AS milli
          |            FROM stats, tot),
          |scored AS (SELECT tok.doc_id, count(*) AS n_tok,
-         |                  CAST(sum(c.micro) AS BIGINT) AS raw_micro
+         |                  CAST(sum(c.milli) AS BIGINT) AS raw_milli
          |           FROM tok JOIN contrib c USING (token)
          |           GROUP BY tok.doc_id)
          |SELECT doc_id, n_tok,
-         |       round(raw_micro / (n_tok * 1000000.0), 4) AS score,
-         |       round(raw_micro / (n_tok * 1000000.0), 4) > 0.0 AS keep
+         |       CAST(floor(raw_milli * 1.0 / n_tok) AS BIGINT)
+         |         AS score_milli,
+         |       raw_milli > 0 AS keep
          |FROM scored ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       graft.operators.ImportanceWeights.dsirScores(
           t(s, dir, "documents"), "doc_id", "text",
           targetPred = col("lang") === "en")
+        .select("doc_id", "n_tok", "score_milli", "keep")
+        .orderBy("doc_id")
+    },
+
+    // Corpus drift — top moved tokens (operators.DriftMonitor.topDrift):
+    // which tokens shifted most between the 'en' slice and the rest.
+    // Ranking and gate are EXACT integer arithmetic end to end:
+    // drift_x = |c_a·n_b − c_b·n_a| (the cross-multiplied probability
+    // gap — no floating point, no rounding step anywhere), total order
+    // by (drift_x DESC, token).
+    Q("q_drift_tokens", {
+      val toks = TextQueries.sqlToks
+      s"""WITH tk AS (SELECT lang = 'en' AS in_a, $toks AS toks
+         |            FROM documents),
+         |tok AS (SELECT in_a, unnest(toks) AS token FROM tk),
+         |cnt AS (SELECT token,
+         |               count(*) FILTER (WHERE in_a) AS c_a,
+         |               count(*) FILTER (WHERE NOT in_a) AS c_b
+         |        FROM tok GROUP BY token),
+         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+         |               CAST(sum(c_b) AS BIGINT) AS n_b FROM cnt)
+         |SELECT token, CAST(c_a AS BIGINT) AS c_a,
+         |       CAST(c_b AS BIGINT) AS c_b,
+         |       CAST(abs(c_a * tot.n_b - c_b * tot.n_a) AS BIGINT)
+         |         AS drift_x
+         |FROM cnt, tot
+         |ORDER BY drift_x DESC, token LIMIT 40""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.DriftMonitor.topDrift(
+          t(s, dir, "documents"), "text", col("lang") === "en", k = 40)
+        .orderBy(col("drift_x").desc, col("token"))
+    },
+
+    // Corpus drift — Jensen-Shannon divergence
+    // (operators.DriftMonitor.jsDivergence): one scalar row. Per-token
+    // JS terms are provably non-negative (log-sum inequality), quantized
+    // to integer MICRO-NATS at the vocabulary frame, then integer-summed
+    // — commutative (no double-fold order) and ~6 orders of magnitude
+    // above libm ln() ulp noise at the round boundary (JS terms are
+    // ≤ ln2/vocab; contrast the r7/r8 dsir lesson where 10-nat
+    // contributions made micro-rounding fragile).
+    Q("q_drift_total", {
+      val toks = TextQueries.sqlToks
+      s"""WITH tk AS (SELECT lang = 'en' AS in_a, $toks AS toks
+         |            FROM documents),
+         |tok AS (SELECT in_a, unnest(toks) AS token FROM tk),
+         |cnt AS (SELECT token,
+         |               count(*) FILTER (WHERE in_a) AS c_a,
+         |               count(*) FILTER (WHERE NOT in_a) AS c_b
+         |        FROM tok GROUP BY token),
+         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+         |               CAST(sum(c_b) AS BIGINT) AS n_b FROM cnt),
+         |term AS (SELECT CAST(round((
+         |           CASE WHEN c_a > 0
+         |                THEN (c_a * 1.0 / tot.n_a) *
+         |                     ln((c_a * 1.0 / tot.n_a) /
+         |                        (((c_a * 1.0 / tot.n_a) +
+         |                          (c_b * 1.0 / tot.n_b)) / 2.0))
+         |                ELSE 0.0 END +
+         |           CASE WHEN c_b > 0
+         |                THEN (c_b * 1.0 / tot.n_b) *
+         |                     ln((c_b * 1.0 / tot.n_b) /
+         |                        (((c_a * 1.0 / tot.n_a) +
+         |                          (c_b * 1.0 / tot.n_b)) / 2.0))
+         |                ELSE 0.0 END) * 0.5 * 1000000.0) AS BIGINT)
+         |           AS micro
+         |         FROM cnt, tot)
+         |SELECT tot.n_a, tot.n_b, count(*) AS vocab,
+         |       CAST(sum(micro) AS BIGINT) AS js_micro
+         |FROM term, tot GROUP BY tot.n_a, tot.n_b""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.DriftMonitor.jsDivergence(
+        t(s, dir, "documents"), "text", col("lang") === "en")
+    },
+
+    // C4-style blocklist phrase filter: per-document occurrence counts
+    // of a (broadcast-small) banned-phrase list via the exact
+    // substring-count identity (len − len(replace))/len(phrase) — all
+    // integer, scan-local, codegen'd; replace() is non-overlapping
+    // left-to-right on both engines so counts are engine-identical.
+    Q("q_text_blocklist",
+      """WITH l AS (SELECT doc_id, lower(text) AS lt FROM documents)
+        |SELECT doc_id,
+        |       CAST((len(lt) - len(replace(lt, 'slow join', ''))) / 9
+        |          + (len(lt) - len(replace(lt, 'batch batch', ''))) / 11
+        |          + (len(lt) - len(replace(lt, 'dup', ''))) / 3 AS INT)
+        |         AS n_hits,
+        |       (len(lt) - len(replace(lt, 'slow join', ''))
+        |        + len(lt) - len(replace(lt, 'batch batch', ''))
+        |        + len(lt) - len(replace(lt, 'dup', ''))) > 0 AS flagged
+        |FROM l ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val phrases = Seq("slow join", "batch batch", "dup")
+      val lt = lower(col("text"))
+      val nHits = phrases.map(p =>
+          (length(lt) - length(replace(lt, lit(p), lit("")))) /
+            lit(p.length))
+        .reduce(_ + _).cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), nHits.as("n_hits"))
+        .withColumn("flagged", col("n_hits") > 0)
         .orderBy("doc_id")
     },
 
@@ -562,6 +667,99 @@ object CurationQueries {
           (col("text").rlike(urlRe) || col("text").rlike(emailRe))
             .as("had_pii"))
         .orderBy("doc_id")
+    },
+
+    // PII span detection with Luhn validation (functions.PiiFunctions):
+    // emails / phones / IPv4s / card-shaped digit runs counted per doc,
+    // card candidates VALIDATED by the Luhn checksum as a pure integer
+    // HOF fold (no UDF, scan-local). The fixture plants a doc_id-derived
+    // 16-digit number whose check digit is CORRECT iff doc_id%3=0 — and
+    // the oracle scores card validity from that GROUND TRUTH, not by
+    // replaying Luhn, so a wrong doubling offset or 2d-9 slip in the
+    // Spark fold fails the hash (both-sides-wrong can't cancel). The
+    // planted '256.1.1.1' must NOT count as an IPv4 (octet range is in
+    // the pattern, identical under Java-greedy and RE2-longest).
+    Q("q_pii_detect", {
+      import graft.functions.PiiFunctions
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |         lpad(CAST((doc_id * 7919 + 12345) % 1000000000000000
+         |                   AS VARCHAR), 15, '0') AS payload
+         |  FROM documents),
+         |luhn AS (
+         |  SELECT doc_id, text, payload,
+         |         list_reduce(list_transform(range(1, 16), j ->
+         |           CASE WHEN j % 2 = 1
+         |                THEN CASE WHEN 2 * CAST(substr(reverse(payload),
+         |                               CAST(j AS INT), 1) AS INT) > 9
+         |                          THEN 2 * CAST(substr(reverse(payload),
+         |                               CAST(j AS INT), 1) AS INT) - 9
+         |                          ELSE 2 * CAST(substr(reverse(payload),
+         |                               CAST(j AS INT), 1) AS INT) END
+         |                ELSE CAST(substr(reverse(payload),
+         |                          CAST(j AS INT), 1) AS INT) END),
+         |           (a, b) -> a + b) AS sum_p
+         |  FROM base),
+         |aug AS (
+         |  SELECT doc_id,
+         |         text
+         |         || CASE WHEN doc_id % 2 = 0 THEN ' card ' || payload ||
+         |              CAST(CASE WHEN doc_id % 3 = 0
+         |                        THEN (10 - sum_p % 10) % 10
+         |                        ELSE ((10 - sum_p % 10) % 10 + 1) % 10
+         |                   END AS VARCHAR) || ' ok' ELSE '' END
+         |         || CASE WHEN doc_id % 5 = 0
+         |                 THEN ' call +1 415 555 0137 now' ELSE '' END
+         |         || CASE WHEN doc_id % 7 = 0
+         |                 THEN ' from 10.0.0.7 and 256.1.1.1 out'
+         |                 ELSE '' END
+         |         || CASE WHEN doc_id % 11 = 0
+         |                 THEN ' mail a.b+c@test.org end' ELSE '' END
+         |           AS text
+         |  FROM luhn)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text,
+         |            '${PiiFunctions.emailRe}')) AS INT) AS n_email,
+         |       CAST(len(regexp_extract_all(text,
+         |            '${PiiFunctions.phoneRe}')) AS INT) AS n_phone,
+         |       CAST(len(regexp_extract_all(text,
+         |            '${PiiFunctions.ipv4Re}')) AS INT) AS n_ipv4,
+         |       CAST(len(regexp_extract_all(text,
+         |            '${PiiFunctions.cardRe}')) AS INT) AS n_card_like,
+         |       CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS INT)
+         |         AS n_card_valid,
+         |       (doc_id % 11 = 0 OR doc_id % 5 = 0 OR doc_id % 7 = 0
+         |        OR doc_id % 6 = 0) AS has_pii
+         |FROM aug ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.PiiFunctions
+      val id = col("doc_id")
+      val payload = lpad(
+        ((id * 7919 + 12345) % 1000000000000000L).cast("string"), 15, "0")
+      // check-digit construction: double payload digits at EVEN 0-based
+      // distance from the right (they land at odd distance once the
+      // check digit is appended — the exact inverse of luhnValid's fold)
+      val revDigits = transform(
+        slice(split(reverse(payload), ""), lit(1), lit(15)),
+        c => c.cast("int"))
+      val sumP = aggregate(
+        zip_with(revDigits, sequence(lit(0), lit(14)),
+          (d, i) => when(i % 2 === 0,
+            when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)),
+        lit(0), (acc, x) => acc + x)
+      val check = (lit(10) - sumP % 10) % 10
+      val digit16 = when(id % 3 === 0, check).otherwise((check + 1) % 10)
+      val aug = t(s, dir, "documents").select(id, concat(
+          col("text"),
+          when(id % 2 === 0, concat(lit(" card "), payload,
+            digit16.cast("string"), lit(" ok"))).otherwise(lit("")),
+          when(id % 5 === 0, lit(" call +1 415 555 0137 now"))
+            .otherwise(lit("")),
+          when(id % 7 === 0, lit(" from 10.0.0.7 and 256.1.1.1 out"))
+            .otherwise(lit("")),
+          when(id % 11 === 0, lit(" mail a.b+c@test.org end"))
+            .otherwise(lit(""))).as("text"))
+      PiiFunctions.detect(aug, "doc_id", "text").orderBy("doc_id")
     },
 
     // PII pseudonymization (TextFunctions.pseudonymize): salted-hash
@@ -1107,13 +1305,15 @@ object CurationQueries {
                            dir: String): org.apache.spark.sql.DataFrame = {
       import graft.functions.TextFunctions
       graft.expressions.TextScore.register(s)
-      val scored = t(s, dir, "documents").select(
-        col("doc_id"), col("text"),
-        expr("lang_id(text)").as("lang"),
-        expr("quality_score(text)").as("quality"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextFunctions.normFingerprint(col("text")).as("fp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tracked (not raw .persist): released with the operator caches
+      // after each Verify/Bench gate, so 200+-gate sessions don't pin it
+      val scored = graft.operators.StagingCaches.cache(
+        t(s, dir, "documents").select(
+          col("doc_id"), col("text"),
+          expr("lang_id(text)").as("lang"),
+          expr("quality_score(text)").as("quality"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.normFingerprint(col("text")).as("fp")))
       // canon is (fp, doc_id) pairs to KEEP; the name-based join keys
       // avoid the self-derived-column trap (scored("fp") === canon("fp")
       // resolves to a trivially-true fp == fp)

@@ -479,6 +479,42 @@ object EventQueries {
         .orderBy("media_id")
     },
 
+    // FULL PNG pixel decode (ImageCodec.parsePngPixels): the fixture
+    // encodes formula pixels as real PNGs — zlib-deflated IDAT, CRC'd
+    // chunks, and ALL FIVE §9 row filters in rotation — and the Spark
+    // side must inflate + un-filter them back. The oracle knows only the
+    // pixel FORMULA (value k = (id·31+k·7+13) mod 251): it matches iff
+    // the byte-exact encode→inflate→unfilter round-trip reproduces every
+    // pixel (a single wrong Paeth predictor or off-by-one scanline
+    // offset shifts px_wsum). Exact integer stats only — no doubles.
+    // Scale: decode is scan-local mapPartitions, no shuffle.
+    Q("q_multimodal_pixels",
+      """WITH p AS (SELECT doc_id,
+        |                  CAST(doc_id % 13 + 4 AS INT) AS width,
+        |                  CAST(doc_id % 11 + 4 AS INT) AS height,
+        |                  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END
+        |                       AS INT) AS channels
+        |           FROM documents),
+        |px AS (SELECT doc_id, width, height, channels,
+        |              unnest(range(0, width * height * channels)) AS k
+        |       FROM p),
+        |v AS (SELECT doc_id, width, height, channels, k,
+        |             (doc_id * 31 + k * 7 + 13) % 251 AS val
+        |      FROM px)
+        |SELECT doc_id AS media_id, width, height, channels,
+        |       CAST(count(*) AS BIGINT) AS n_px,
+        |       CAST(sum(val) AS BIGINT) AS px_sum,
+        |       CAST(min(val) AS INT) AS px_min,
+        |       CAST(max(val) AS INT) AS px_max,
+        |       CAST(sum((k + 1) * val) AS BIGINT) AS px_wsum
+        |FROM v GROUP BY doc_id, width, height, channels
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.decodePixelStats(
+          Multimodal.syntheticPixelImages(t(s, dir, "documents")))
+        .orderBy("media_id")
+    },
+
     // Audio-header decode (AudioCodec.parseWav over real RIFF bytes built
     // by the fixture): channels / rate / bits / frame count read from the
     // actual chunk walk — including an odd-sized LIST chunk every third

@@ -929,19 +929,22 @@ object TextQueries {
       val bucket = s"(${SketchReplay.murmur32("t", BigInt(42))})" +
         s" % ${classifierWeights.size}"
       s"""WITH w(i, wt) AS (VALUES $values),
-         |wm AS (SELECT map(list(i ORDER BY i), list(wt ORDER BY i)) AS m
-         |       FROM w),
          |tok AS (SELECT doc_id,
          |               list_filter(string_split_regex(trim(lower(text)),
          |                                              '\\s+'),
          |                           x0 -> x0 <> '') AS toks
          |        FROM documents),
-         |lg AS (SELECT doc_id,
+         |tt AS (SELECT doc_id, unnest(toks) AS t,
+         |              unnest(range(1, len(toks) + 1)) AS pos
+         |       FROM tok),
+         |tw AS (SELECT tt.doc_id, list(w.wt ORDER BY tt.pos) AS wts
+         |       FROM tt JOIN w ON w.i = $bucket
+         |       GROUP BY tt.doc_id),
+         |lg AS (SELECT tok.doc_id,
          |              list_reduce(list_prepend(CAST($classifierBias AS DOUBLE),
-         |                list_transform(toks,
-         |                  t -> map_extract(wm.m, $bucket)[1])),
+         |                coalesce(tw.wts, CAST([] AS DOUBLE[]))),
          |                (a, b) -> a + b) AS z
-         |       FROM tok, wm)
+         |       FROM tok LEFT JOIN tw USING (doc_id))
          |SELECT doc_id, round(z, 4) AS logit, z > 0 AS keep
          |FROM lg ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>

@@ -133,8 +133,6 @@ object TokenQueries {
           |     ELSE raw_word END""".stripMargin
       else "raw_word"
     s"""vocab(sym, id) AS (VALUES $vocabValues),
-       |vm AS (SELECT map(list(sym ORDER BY id), list(id ORDER BY id)) AS m
-       |       FROM vocab),
        |wsrc AS (SELECT doc_id,
        |                regexp_matches(text, '^\\s') AS lead_ws,
        |                list_filter(string_split_regex(text, '\\s+'),
@@ -144,10 +142,15 @@ object TokenQueries {
        |                  unnest(range(1, len(ws) + 1)) AS widx
        |           FROM wsrc),
        |words AS (SELECT doc_id, widx, $wordExpr AS word FROM words0),
-       |wids AS (SELECT doc_id, widx,
-       |                list_transform(${sqlPartsFor(merges)},
-       |                  p -> coalesce(map_extract(vm.m, p)[1], -1)) AS ids
-       |         FROM words, vm),
+       |wparts AS (SELECT doc_id, widx, ${sqlPartsFor(merges)} AS parts
+       |           FROM words),
+       |wpart AS (SELECT doc_id, widx, unnest(parts) AS psym,
+       |                 unnest(range(1, len(parts) + 1)) AS pidx
+       |          FROM wparts),
+       |wids AS (SELECT wp.doc_id, wp.widx,
+       |                list(coalesce(v.id, -1) ORDER BY wp.pidx) AS ids
+       |         FROM wpart wp LEFT JOIN vocab v ON v.sym = wp.psym
+       |         GROUP BY wp.doc_id, wp.widx),
        |doc_ids AS (SELECT d.doc_id,
        |                   coalesce(i.ids, CAST([] AS INT[])) AS ids
        |            FROM documents d

@@ -153,6 +153,42 @@ class MultimodalSpec extends SparkSpec {
     assert(AudioCodec.parseWav(noFmt) == None)
   }
 
+  test("PNG pixel codec: exact round-trip through all five filters") {
+    import graft.multimodal.ImageCodec
+    // dims exercise every filter in the r%5 rotation (h ≥ 5) plus the
+    // x < bpp edge (w = 1: Sub/Average/Paeth left-neighbor is 0) and the
+    // single-row edge (h = 1: Up/Paeth upper-neighbor is 0)
+    for ((w, h, ch) <- Seq((1, 7, 1), (1, 6, 3), (8, 8, 1), (16, 14, 3),
+                           (5, 1, 3), (13, 5, 1))) {
+      val px = Array.tabulate(w * h * ch)(k => ((k * 37 + 11) % 256).toByte)
+      val bytes = ImageCodec.buildPngPixels(w, h, ch, px)
+      // the header-only path agrees with the pixel path
+      val meta = ImageCodec.parsePng(bytes).get
+      assert((meta.format, meta.width, meta.height) == (("png", w, h)))
+      val img = ImageCodec.parsePngPixels(bytes).get
+      assert((img.width, img.height, img.channels) == ((w, h, ch)))
+      assert(img.pixels.toSeq == px.toSeq,
+        s"pixel mismatch after round-trip at ${w}x$h ch=$ch")
+    }
+  }
+
+  test("PNG pixel decode: corruption yields None, never fabricated pixels") {
+    import graft.multimodal.ImageCodec
+    val good = ImageCodec.buildPngPixels(8, 8, 3,
+      Array.tabulate(192)(k => (k % 251).toByte))
+    assert(ImageCodec.parsePngPixels(null).isEmpty)
+    assert(ImageCodec.parsePngPixels(good.take(20)).isEmpty) // mid-IHDR cut
+    assert(ImageCodec.parsePngPixels(good.dropRight(15)).isEmpty) // IDAT cut
+    val depth16 = good.clone(); depth16(24) = 16 // IHDR bit depth field
+    assert(ImageCodec.parsePngPixels(depth16).isEmpty)
+    val interlaced = good.clone(); interlaced(28) = 1 // IHDR interlace field
+    assert(ImageCodec.parsePngPixels(interlaced).isEmpty)
+    // first IDAT data byte is the zlib header — corrupt stream must fail
+    val badZlib = good.clone(); badZlib(41) = 0x77
+    assert(ImageCodec.parsePngPixels(badZlib).isEmpty)
+    assert(ImageCodec.parsePngPixels(Array.fill[Byte](64)(0x42)).isEmpty)
+  }
+
   test("extractFeatures is deterministic and partition-local") {
     val f1 = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f.checksum).toMap
@@ -528,6 +564,32 @@ class SpansCacheSpec extends SparkSpec {
     val again = graft.SparkEntry.queries("q_dedup_spans")(spark, sf001)
     assert(again.count() == n)
     TextQueries.evictCaches(spark)
+  }
+}
+
+class StagingCacheSpec extends SparkSpec {
+
+  test("OperatorCaches.releaseAll unpins query-layer staging frames") {
+    import org.apache.spark.storage.StorageLevel
+    val df = graft.operators.StagingCaches.cache(
+      graft.engine.Tables.t(spark, sf001, "documents").select(col("doc_id")))
+    df.count()
+    assert(df.storageLevel != StorageLevel.NONE, "cache() did not persist")
+    graft.operators.OperatorCaches.releaseAll(spark)
+    assert(df.storageLevel == StorageLevel.NONE,
+      "releaseAll left the staging frame pinned")
+    // the export gate routes its scored-documents stage through the same
+    // tracked cache: after a gate + releaseAll cycle, NO pinned blocks
+    // from this pass survive (the driver's 223-gate session contract),
+    // and a re-run re-derives cleanly
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val n = graft.SparkEntry.queries("q_corpus_export")(spark, sf001).count()
+    graft.operators.OperatorCaches.releaseAll(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"export pass leaked pinned RDDs: $leaked")
+    assert(graft.SparkEntry.queries("q_corpus_export")(spark, sf001)
+      .count() == n)
+    graft.operators.OperatorCaches.releaseAll(spark)
   }
 }
 

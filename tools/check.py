@@ -64,18 +64,28 @@ def main(sf_dir, out_dir):
     intended_path = f"{out_dir}/intended_queries.json"
     intended = (set(json.load(open(intended_path)))
                 if os.path.exists(intended_path) else set(oracle))
+    # errors.json (written by Verify) carries the actual exception for
+    # every query that crashed instead of dumping — surfaced here as an
+    # err row so a crashed gate can never read as mere absence.
+    errors_path = f"{out_dir}/errors.json"
+    verify_errors = (json.load(open(errors_path))
+                     if os.path.exists(errors_path) else {})
     missing = [n for n in oracle if not os.path.isdir(f"{out_dir}/{n}")]
     skipped = [n for n in missing if n not in intended]
     for n in missing:
         if n in intended:
-            failures.append((n, "intended but no dump written — "
-                                "query crashed in Verify?"))
+            failures.append((n, json.dumps({"err": verify_errors.get(
+                n, "intended but no dump written — crashed in Verify?")})))
+    # a query can also crash AFTER writing a stale dump from an earlier
+    # run into the same outDir — an errors.json entry always wins
+    for n in sorted(set(verify_errors) - set(missing)):
+        failures.append((n, json.dumps({"err": verify_errors[n]})))
     if skipped:
         print(f"NOTE  {len(skipped)} oracle entries filtered out of this "
               f"Verify run — NOT checked: "
               f"{sorted(skipped)[:5]}{'...' if len(skipped) > 5 else ''}")
     for name, sql in sorted(oracle.items()):
-        if name in missing:
+        if name in missing or name in verify_errors:
             continue
         try:
             spark_rel = con.execute(
