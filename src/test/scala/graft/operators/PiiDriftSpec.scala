@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.PiiFunctions
+
+class PiiFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("luhnValid agrees with the ISO 7812 reference on known numbers") {
+    // 4532015112830366 / 79927398713 (the textbook example) are valid;
+    // single-digit perturbations are not; all-zeros is trivially valid
+    val cases = Seq(
+      ("4532015112830366", true), ("79927398713", true),
+      ("4532015112830367", false), ("79927398710", false),
+      ("1234567812345670", true), ("0000000000000000", true))
+    val got = cases.map(_._1).toDF("d")
+      .select(col("d"), PiiFunctions.luhnValid(col("d")).as("v"))
+      .as[(String, Boolean)].collect().toMap
+    for ((num, expect) <- cases)
+      assert(got(num) == expect, s"luhn($num) = ${got(num)}, want $expect")
+  }
+
+  test("detect counts each category once and only where planted") {
+    val docs = Seq(
+      (1L, "plain text with nothing in it"),
+      (2L, "mail a@b.org and b@c.net twice"),
+      (3L, "call +1 415 555 0137 now"),
+      (4L, "host 10.0.0.7 but not 256.1.1.1 or 1.2.3"),
+      (5L, "card 4532015112830366 ok"),     // Luhn-valid
+      (6L, "card 4532015112830367 bad"),    // card-shaped, invalid
+      (7L, "short 123456789012 run")        // 12 digits: not card-shaped
+    ).toDF("doc_id", "text")
+    val out = PiiFunctions.detect(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Int, Int, Int, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0, 0, 0, 0, 0, false)))
+    assert(out(2L) == ((2L, 2, 0, 0, 0, 0, true)))
+    assert(out(3L) == ((3L, 0, 1, 0, 0, 0, true)))
+    // 256.1.1.1 must NOT match (octet > 255), nor the 3-octet 1.2.3
+    assert(out(4L) == ((4L, 0, 0, 1, 0, 0, true)))
+    assert(out(5L) == ((5L, 0, 0, 0, 1, 1, true)))
+    // card-shaped but Luhn-invalid: counted as card_like, NOT as valid,
+    // and does not flag the document on its own
+    assert(out(6L) == ((6L, 0, 0, 0, 1, 0, false)))
+    assert(out(7L) == ((7L, 0, 0, 0, 0, 0, false)))
+  }
+
+  test("pii detection plans scan-local (no exchange, codegen'd)") {
+    val docs = graft.engine.Tables.t(spark, sf001, "documents")
+    val plan = PiiFunctions.detect(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"pii detect must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      s"pii detect routed through a UDF:\n$plan")
+  }
+}
+
+class DriftMonitorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, Boolean)*) =
+    rows.toSeq.toDF("id", "text", "in_a")
+
+  test("identical slices have zero divergence and zero drift") {
+    val d = docs(
+      (1L, "alpha beta gamma", true), (2L, "alpha beta gamma", false),
+      (3L, "beta beta alpha", true), (4L, "beta beta alpha", false))
+    val js = DriftMonitor.jsDivergence(d, "text", col("in_a"))
+      .select("js_micro").as[Long].head()
+    assert(js == 0L, s"identical slices must give JS 0, got $js micro")
+    val top = DriftMonitor.topDrift(d, "text", col("in_a"), 10)
+      .select("drift_x").as[Long].collect()
+    assert(top.forall(_ == 0L), "identical slices must have zero drift_x")
+  }
+
+  test("disjoint vocabularies approach ln 2; drifted token ranks first") {
+    val d = docs(
+      (1L, "aa aa aa aa", true), (2L, "bb bb bb bb", false))
+    val js = DriftMonitor.jsDivergence(d, "text", col("in_a"))
+      .select("js_micro").as[Long].head()
+    // ln 2 = 0.693147… nats = 693147 micro-nats; per-token rounding can
+    // move the sum by at most vocab/2 micro
+    assert(math.abs(js - 693147L) <= 1,
+      s"disjoint slices must give ~ln2, got $js micro")
+    val d2 = docs(
+      (1L, "same same drift drift drift", true),
+      (2L, "same same still", false))
+    val top = DriftMonitor.topDrift(d2, "text", col("in_a"), 1)
+      .select("token").as[String].head()
+    assert(top == "drift", s"expected 'drift' to rank first, got $top")
+  }
+
+  test("jsDivergence is partitioning-invariant (integer quantization)") {
+    val base = graft.engine.Tables.t(spark, sf001, "documents").limit(80)
+    val a = DriftMonitor.jsDivergence(base.repartition(1), "text",
+      col("lang") === "en").collect().toSeq
+    val b = DriftMonitor.jsDivergence(base.repartition(7), "text",
+      col("lang") === "en").collect().toSeq
+    assert(a == b)
+  }
+
+  test("empty slice fails loudly instead of emitting NaN") {
+    val d = docs((1L, "only one side", true))
+    val e = intercept[IllegalArgumentException] {
+      DriftMonitor.jsDivergence(d, "text", col("in_a")).collect()
+    }
+    assert(e.getMessage.contains("both slices"))
+  }
+}
