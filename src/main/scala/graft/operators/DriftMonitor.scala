@@ -30,15 +30,29 @@ import graft.functions.TextFunctions.tokens
   */
 object DriftMonitor {
 
-  /** Shared stats: (token, c_a, c_b) with slice A = rows matching
-    * `slicePred`, B = the rest; plus the (n_a, n_b) totals. */
+  /** Token counts of a corpus (batch): (token, c_a, c_b) with slice A =
+    * rows matching `slicePred`, B = the rest. The INCREMENTAL unit: a
+    * nightly batch's counts merge into the standing table with
+    * [[mergeCounts]] and every readout below works off the merged frame
+    * — drift against a 100 TB reference corpus costs one aggregation of
+    * the NEW batch, never a rescan of the reference. */
+  def tokenCounts(docs: DataFrame, textCol: String, slicePred: Column)
+      : DataFrame =
+    docs
+      .select(slicePred.as("in_a"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(
+        count(when(col("in_a"), 1)).as("c_a"),
+        count(when(!col("in_a"), 1)).as("c_b"))
+
+  /** Merge two counts tables (token-keyed sum — associative and
+    * commutative, so batches fold in any order). */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("token").agg(
+      sum("c_a").as("c_a"), sum("c_b").as("c_b"))
+
   private def stats(docs: DataFrame, textCol: String, slicePred: Column)
       : (DataFrame, Long, Long) = {
-    val tok = docs
-      .select(slicePred.as("in_a"), explode(tokens(col(textCol))).as("token"))
-    val counts = tok.groupBy("token").agg(
-      count(when(col("in_a"), 1)).as("c_a"),
-      count(when(!col("in_a"), 1)).as("c_b"))
+    val counts = tokenCounts(docs, textCol, slicePred)
     val tot = counts.agg(
       coalesce(sum("c_a"), lit(0L)).as("n_a"),
       coalesce(sum("c_b"), lit(0L)).as("n_b")).collect().head
@@ -67,8 +81,16 @@ object DriftMonitor {
     * micro-nat-quantized per-token terms; ranges 0 (identical) to
     * ~693147 (disjoint, ln 2). */
   def jsDivergence(docs: DataFrame, textCol: String, slicePred: Column)
-      : DataFrame = {
-    val (counts, nA, nB) = stats(docs, textCol, slicePred)
+      : DataFrame =
+    jsFromCounts(tokenCounts(docs, textCol, slicePred))
+
+  /** The JS readout off a (possibly merged) counts table — see
+    * [[jsDivergence]] for semantics and determinism. */
+  def jsFromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(
+      coalesce(sum("c_a"), lit(0L)).as("n_a"),
+      coalesce(sum("c_b"), lit(0L)).as("n_b")).collect().head
+    val (nA, nB) = (tot.getLong(0), tot.getLong(1))
     require(nA > 0 && nB > 0,
       s"both slices need tokens to compare (n_a=$nA, n_b=$nB)")
     val pa = col("c_a") / lit(nA.toDouble)

@@ -576,6 +576,96 @@ object CurationQueries {
         t(s, dir, "documents"), "text", col("lang") === "en")
     },
 
+    // Incremental drift (DriftMonitor.tokenCounts/mergeCounts/
+    // jsFromCounts): the corpus arrives as two batches (doc_id parity),
+    // each batch aggregated separately, count tables merged token-wise,
+    // readout off the merged frame. The ORACLE is the full one-pass
+    // computation — incremental ≡ full is the gate's contract (exact:
+    // counts are integers, terms quantize identically), which is what
+    // makes drift affordable as a standing nightly guardrail: O(batch)
+    // per night against a 100 TB reference, never a rescan.
+    Q("q_drift_incremental", {
+      val toks = TextQueries.sqlToks
+      s"""WITH tk AS (SELECT lang = 'en' AS in_a, $toks AS toks
+         |            FROM documents),
+         |tok AS (SELECT in_a, unnest(toks) AS token FROM tk),
+         |cnt AS (SELECT token,
+         |               count(*) FILTER (WHERE in_a) AS c_a,
+         |               count(*) FILTER (WHERE NOT in_a) AS c_b
+         |        FROM tok GROUP BY token),
+         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+         |               CAST(sum(c_b) AS BIGINT) AS n_b FROM cnt),
+         |term AS (SELECT CAST(round((
+         |           CASE WHEN c_a > 0
+         |                THEN (c_a * 1.0 / tot.n_a) *
+         |                     ln((c_a * 1.0 / tot.n_a) /
+         |                        (((c_a * 1.0 / tot.n_a) +
+         |                          (c_b * 1.0 / tot.n_b)) / 2.0))
+         |                ELSE 0.0 END +
+         |           CASE WHEN c_b > 0
+         |                THEN (c_b * 1.0 / tot.n_b) *
+         |                     ln((c_b * 1.0 / tot.n_b) /
+         |                        (((c_a * 1.0 / tot.n_a) +
+         |                          (c_b * 1.0 / tot.n_b)) / 2.0))
+         |                ELSE 0.0 END) * 0.5 * 1000000.0) AS BIGINT)
+         |           AS micro
+         |         FROM cnt, tot)
+         |SELECT tot.n_a, tot.n_b, count(*) AS vocab,
+         |       CAST(sum(micro) AS BIGINT) AS js_micro
+         |FROM term, tot GROUP BY tot.n_a, tot.n_b""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.DriftMonitor
+      val docs = t(s, dir, "documents")
+      val pred = col("lang") === "en"
+      val b0 = DriftMonitor.tokenCounts(
+        docs.where(col("doc_id") % 2 === 0), "text", pred)
+      val b1 = DriftMonitor.tokenCounts(
+        docs.where(col("doc_id") % 2 === 1), "text", pred)
+      DriftMonitor.jsFromCounts(DriftMonitor.mergeCounts(b0, b1))
+    },
+
+    // Export shard manifest: the integrity artifact a training job reads
+    // before consuming a packed export — per-bin chunk count, token sum,
+    // running-total end, and an md5 over the bin's (doc:chunk) sequence
+    // IN PACK ORDER, so a reordered, dropped, or duplicated chunk
+    // anywhere in the export flips exactly the affected bins' rows.
+    // Spark side rolls up the distributed packer's output; the oracle
+    // replays pack order in a windowed cumulative sum and aggregates the
+    // same manifest.
+    Q("q_export_manifest",
+      s"""WITH exp AS ($exportSqlCore),
+         |p AS (SELECT doc_id, chunk_idx, chunk_md5,
+         |             CAST(n_tokens AS BIGINT) AS w,
+         |             CAST(sum(n_tokens) OVER (
+         |               ORDER BY chunk_md5, doc_id, chunk_idx
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM exp),
+         |b AS (SELECT doc_id, chunk_idx, chunk_md5, w, cum,
+         |             (cum - w) // 256 AS bin FROM p)
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(w) AS BIGINT) AS token_sum,
+         |       CAST(max(cum) AS BIGINT) AS cum_end,
+         |       md5(string_agg(doc_id || ':' || chunk_idx, ' '
+         |           ORDER BY chunk_md5, doc_id, chunk_idx)) AS ids_md5
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      import graft.operators.Packing
+      val packed = Packing.packByBudget(
+        exportChunks(s, dir).select(col("doc_id"), col("chunk_idx"),
+          col("chunk_md5"), col("n_tokens").cast("long").as("w")),
+        Seq(col("chunk_md5"), col("doc_id"), col("chunk_idx")), "w", 256L)
+      packed.groupBy("bin").agg(
+          count(lit(1)).as("n_chunks"),
+          sum("w").as("token_sum"),
+          max("cum").as("cum_end"),
+          md5(array_join(transform(
+            array_sort(collect_list(
+              struct(col("chunk_md5"), col("doc_id"), col("chunk_idx")))),
+            x => concat(x.getField("doc_id").cast("string"), lit(":"),
+              x.getField("chunk_idx").cast("string"))), " ")).as("ids_md5"))
+        .orderBy("bin")
+    },
+
     // C4-style blocklist phrase filter: per-document occurrence counts
     // of a (broadcast-small) banned-phrase list via the exact
     // substring-count identity (len − len(replace))/len(phrase) — all

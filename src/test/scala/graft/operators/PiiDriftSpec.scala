@@ -104,6 +104,24 @@ class DriftMonitorSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mergeCounts folds batches in any order to the full-pass readout") {
+    val docs = graft.engine.Tables.t(spark, sf001, "documents").limit(90)
+    val pred = col("lang") === "en"
+    val parts = (0 to 2).map(r => DriftMonitor.tokenCounts(
+      docs.where(pmod(col("doc_id"), lit(3)) === r),
+      "text", pred))
+    val leftFold = DriftMonitor.jsFromCounts(DriftMonitor.mergeCounts(
+      DriftMonitor.mergeCounts(parts(0), parts(1)), parts(2)))
+      .collect().toSeq
+    val rightFold = DriftMonitor.jsFromCounts(DriftMonitor.mergeCounts(
+      parts(2), DriftMonitor.mergeCounts(parts(1), parts(0))))
+      .collect().toSeq
+    val full = DriftMonitor.jsDivergence(docs, "text", pred)
+      .collect().toSeq
+    assert(leftFold == full, "left fold differs from the one-pass readout")
+    assert(rightFold == full, "fold order changed the readout")
+  }
+
   test("empty slice fails loudly instead of emitting NaN") {
     val d = docs((1L, "only one side", true))
     val e = intercept[IllegalArgumentException] {
