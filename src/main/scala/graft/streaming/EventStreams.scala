@@ -299,6 +299,51 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming corpus-drift maintenance: each micro-batch of documents
+    * aggregates to token counts
+    * ([[graft.operators.DriftMonitor.tokenCounts]] — slice membership
+    * evaluated per arriving row) and folds token-wise into the standing
+    * counts table at `tablePath`
+    * ([[graft.operators.DriftMonitor.mergeCounts]]), committed through
+    * the same crash-safe directory swap as the other sinks. State is
+    * O(vocabulary), never O(stream); after any prefix of batches the
+    * table equals a full recompute over every document seen (the
+    * merge-fold equivalence pinned in DriftMonitorSpec, exercised here
+    * across REAL micro-batch boundaries), so the
+    * `jsFromCounts`/drift readouts stay current continuously — the
+    * streaming leg of the ingestion guardrail. */
+  def driftSink(docs: DataFrame, textCol: String,
+                slicePred: org.apache.spark.sql.Column, tablePath: String,
+                checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DriftMonitor
+    val writer = checkpointDir.fold(docs.writeStream)(
+      docs.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val counts =
+            DriftMonitor.tokenCounts(batch.toDF(), textCol, slicePred)
+          val dir = new java.io.File(tablePath)
+          val merged =
+            if (dir.exists())
+              DriftMonitor.mergeCounts(spark.read.parquet(tablePath), counts)
+            else counts
+          val tmp = tablePath + ".drift"
+          merged.write.mode("overwrite").parquet(tmp)
+          val livePath = new org.apache.hadoop.fs.Path(tablePath)
+          val fs = livePath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          graft.sources.Formats.swapInto(fs,
+            new org.apache.hadoop.fs.Path(tmp), livePath)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   def scd2Sink(updates: DataFrame, tablePath: String, pk: Seq[String],
                attrs: Seq[String], orderCol: String,
                checkpointDir: Option[String] = None): org.apache.spark.sql

@@ -653,3 +653,39 @@ class ComponentsSinkSpec extends SparkSpec {
     assert(parent.isEmpty, s"swap leftovers: ${parent.toSeq}")
   }
 }
+
+class DriftSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("driftSink folds micro-batch counts into the standing table " +
+      "and matches a full recompute") {
+    import graft.operators.DriftMonitor
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft-driftsink")
+      .toString + "/counts"
+    def feed(rows: (String, Boolean)*): Unit = {
+      val s = MemoryStream[(String, Boolean)]
+      s.addData(rows: _*)
+      val q = graft.streaming.EventStreams.driftSink(
+        s.toDF().toDF("text", "in_a"), "text", col("in_a"), path)
+      q.awaitTermination()
+    }
+    val batch1 = Seq(("alpha beta beta", true), ("alpha gamma", false))
+    val batch2 = Seq(("beta beta drift", true), ("gamma gamma", false))
+    feed(batch1: _*)
+    feed(batch2: _*)
+    val streamed = DriftMonitor.jsFromCounts(spark.read.parquet(path))
+      .collect().toSeq
+    val full = DriftMonitor.jsDivergence(
+      (batch1 ++ batch2).toDF("text", "in_a"), "text", col("in_a"))
+      .collect().toSeq
+    assert(streamed == full,
+      s"streamed counts diverge from full recompute: $streamed vs $full")
+    // no staging leftovers from the swap
+    val parent = new java.io.File(path).getParentFile.listFiles()
+      .map(_.getName).filter(n => n.endsWith(".drift") || n.endsWith(".old"))
+    assert(parent.isEmpty, s"swap leftovers: ${parent.toSeq}")
+  }
+}
