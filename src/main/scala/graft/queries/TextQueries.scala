@@ -1009,6 +1009,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // N-gram novelty / memorization-risk profile: per document, how many
+    // of its distinct 5-gram word shingles also occur in OTHER documents
+    // (corpus shingle frequency ≥ 2) — high overlap marks boilerplate or
+    // memorization-prone text that dedup thresholds didn't catch. One
+    // scan-local shingle projection, one shingle-frequency aggregation
+    // (map-side combinable), one join back — the tf-idf shape. Gate is
+    // integer-exact end to end: counts, a floor'd permille ratio (IEEE
+    // division of exact ints + exact floor), and the ≥50% flag as a
+    // cross-multiplied integer comparison — no rounding step anywhere.
+    Q("q_text_novelty", {
+      val sh = sqlShingles(5)
+      s"""WITH sh AS (SELECT doc_id, unnest($sh) AS shingle
+         |            FROM documents),
+         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |j AS (SELECT s.doc_id, d.df FROM sh s JOIN df d USING (shingle))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT)
+         |         AS n_shared,
+         |       CAST(floor(count(*) FILTER (WHERE df >= 2) * 1000.0
+         |                  / count(*)) AS BIGINT) AS shared_permille,
+         |       count(*) FILTER (WHERE df >= 2) * 1000 >= 500 * count(*)
+         |         AS high_overlap
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val sh = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 5)).as("shingle"))
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.join(df, "shingle")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          count(when(col("df") >= 2, 1)).as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          floor(col("n_shared") * lit(1000.0) / col("n_shingles"))
+            .as("shared_permille"),
+          (col("n_shared") * 1000 >= col("n_shingles") * 500)
+            .as("high_overlap"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF: term frequency × inverse document frequency, top term per
     // document. One explode (scan-local), one (term) aggregation for
     // document frequencies, broadcast back — the canonical text-weighting

@@ -466,5 +466,30 @@ object TokenQueries {
           col("right").as("merge_right"), col("cnt"))
         .orderBy("rank")
     },
+
+    // Tokenizer fertility by language: BPE tokens and characters per
+    // language slice — the diagnostic that drives per-language budget
+    // and mixture decisions (a language whose fertility is 2× pays 2×
+    // the compute per character). Exact integer sums only; the oracle
+    // replays the ENTIRE merge walk per document (same shared CTE as
+    // q_bpe_encode) and rolls up, so one mis-merged word anywhere in
+    // the corpus shifts a language's token sum and fails the hash.
+    Q("q_bpe_fertility",
+      s"""WITH $sqlDocIds
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(i.ids)) AS BIGINT) AS n_tokens,
+         |       CAST(sum(len(d.text)) AS BIGINT) AS n_chars
+         |FROM documents d JOIN doc_ids i USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_ch"))
+      encoded(s, dir).join(docs, "doc_id")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_tokens"),
+          sum(col("n_ch")).as("n_chars"))
+        .orderBy("lang")
+    },
   )
 }
