@@ -33,6 +33,22 @@ object CurationQueries {
     (1 to 6).map(nib).reduce((a, b) => s"($a * 16 + $b)")
   }
 
+  /** Blocklist fixture: overlapping phrases on purpose ('batch' inside
+    * 'batch batch'; 'slow join' and 'join sort' overlap in 'slow join
+    * sort') so the automaton's dict-suffix aggregation is on the gated
+    * path, not just plain matching. */
+  private val blocklistPhrases = Seq(
+    "slow join", "join sort", "batch batch", "batch", "dup", "spark table")
+
+  private lazy val blocklistPath: String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_blocklist_fixture.txt")
+    java.nio.file.Files.write(p,
+      ("# fixture blocklist" +: blocklistPhrases)
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    p.toString
+  }
+
   val all: Seq[Q] = Seq(
 
     // Deterministic train/val/test split: 10/3/3 sixteenths by hash
@@ -664,6 +680,36 @@ object CurationQueries {
             x => concat(x.getField("doc_id").cast("string"), lit(":"),
               x.getField("chunk_idx").cast("string"))), " ")).as("ids_md5"))
         .orderBy("bin")
+    },
+
+    // Aho-Corasick blocklist at scale (expressions.MultiMatch): real
+    // blocklists hold thousands of phrases, and per-phrase replace()
+    // passes are O(phrases · corpus); the automaton matches ALL phrases
+    // in ONE codegen'd pass — O(text + matches), loadable phrase FILE
+    // (only the path travels in the plan, per-executor memoized build).
+    // Semantics are overlap-inclusive (every phrase at every position —
+    // 'batch' counts inside 'batch batch'), which the oracle replays by
+    // brute-force substring-position enumeration: a wrong fail link or
+    // missed dict-suffix aggregation undercounts and fails the hash.
+    Q("q_text_blocklist_ac", {
+      val perPhrase = blocklistPhrases.map { p =>
+        s"""len(list_filter(range(1, greatest(len(lt) - ${p.length} + 2,
+           |                                  1)),
+           |      i -> substr(lt, CAST(i AS INT), ${p.length}) = '$p'))"""
+          .stripMargin
+      }.mkString("(", "\n + ", ")")
+      s"""WITH l AS (SELECT doc_id, lower(text) AS lt FROM documents)
+         |SELECT doc_id, CAST($perPhrase AS BIGINT) AS n_hits,
+         |       $perPhrase > 0 AS flagged
+         |FROM l ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.expressions.MultiMatch.register(s)
+      val hits = graft.expressions.MultiMatch
+        .countCol(lower(col("text")), blocklistPath)
+      t(s, dir, "documents")
+        .select(col("doc_id"), hits.as("n_hits"),
+          (hits > 0).as("flagged"))
+        .orderBy("doc_id")
     },
 
     // C4-style blocklist phrase filter: per-document occurrence counts

@@ -59,6 +59,56 @@ class PiiFunctionsSpec extends SparkSpec {
   }
 }
 
+class MultiMatchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def phraseFile(name: String, phrases: Seq[String]): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name)
+    java.nio.file.Files.write(p, phrases.mkString("\n").getBytes("UTF-8"))
+    p.toString
+  }
+
+  /** Brute-force reference: overlapping occurrences of every phrase. */
+  private def brute(text: String, phrases: Seq[String]): Long =
+    phrases.map { p =>
+      (0 to text.length - p.length)
+        .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    }.sum
+
+  test("multi_match_count equals brute force incl. overlaps and suffixes") {
+    graft.expressions.MultiMatch.register(spark)
+    val phrases = Seq("aba", "ba", "a", "abab")
+    val path = phraseFile("graft_mm_spec.txt", phrases)
+    val texts = Seq("ababa", "aaaa", "", "xyz", "abababab", "ba",
+      "the batch ababa dup")
+    val got = texts.toDF("t")
+      .select(graft.expressions.MultiMatch.countCol(col("t"), path))
+      .as[Long].collect().toSeq
+    val want = texts.map(brute(_, phrases))
+    assert(got == want, s"AC $got != brute $want")
+    // "ababa": a@1,3,5 + ba@2,4 + aba@1,3 + abab@1 = 3+2+2+1 = 8
+    assert(want.head == 8L)
+    // null text propagates null, not 0
+    assert(texts.take(1).toDF("t")
+      .select(graft.expressions.MultiMatch.countCol(
+        org.apache.spark.sql.functions.lit(null).cast("string"), path))
+      .collect().head.isNullAt(0))
+  }
+
+  test("multi_match_count stays inside whole-stage codegen") {
+    graft.expressions.MultiMatch.register(spark)
+    val path = phraseFile("graft_mm_spec2.txt", Seq("the", "batch"))
+    val df = graft.engine.Tables.t(spark, sf001, "documents")
+      .select(graft.expressions.MultiMatch.countCol(lower(col("text")),
+        path).as("n"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"multi_match_count fell out of codegen:\n$plan")
+    assert(!plan.contains("Exchange"), s"multi_match must not shuffle:\n$plan")
+  }
+}
+
 class DriftMonitorSpec extends SparkSpec {
 
   import spark.implicits._
