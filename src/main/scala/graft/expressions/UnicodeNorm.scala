@@ -43,6 +43,19 @@ object UnicodeNormUtil {
     UTF8String.fromString(
       Normalizer.normalize(stripped, Normalizer.Form.NFC))
   }
+
+  def nfkc(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      Normalizer.normalize(s.toString, Normalizer.Form.NFKC))
+
+  // format-class invisibles crawled text actually carries: zero-width
+  // space/joiners (200B-D), word joiner (2060), BOM (FEFF), soft hyphen
+  // (00AD), directional marks (200E/200F)
+  private val invisible =
+    "[\\u200B\\u200C\\u200D\\u2060\\uFEFF\\u00AD\\u200E\\u200F]+".r
+
+  def stripInvisible(s: UTF8String): UTF8String =
+    UTF8String.fromString(invisible.replaceAllIn(s.toString, ""))
 }
 
 /** `nfc_norm(string) -> string` — canonical composition. */
@@ -83,6 +96,52 @@ case class StripAccents(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `nfkc_norm(string) -> string` — compatibility composition (NFKC):
+  * ligatures (ﬁ→fi), fullwidth forms (Ａ→A), circled digits (①→1) and
+  * other compatibility variants fold to their canonical text, the
+  * normalization tokenizers and dedup fingerprints want for crawled
+  * multilingual data. */
+case class NfkcNorm(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfkc_norm requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfkc_norm"
+  override protected def nullSafeEval(input: Any): Any =
+    UnicodeNormUtil.nfkc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.UnicodeNormUtil.nfkc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfkcNorm =
+    copy(child = newChild)
+}
+
+/** `strip_invisible(string) -> string` — remove format-class invisible
+  * code points (zero-width space/joiners, word joiner, BOM, soft
+  * hyphen, directional marks): the characters that make two visually
+  * identical crawled strings hash differently and smuggle through
+  * whitespace tokenizers. */
+case class StripInvisible(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"strip_invisible requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_invisible"
+  override protected def nullSafeEval(input: Any): Any =
+    UnicodeNormUtil.stripInvisible(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.UnicodeNormUtil.stripInvisible($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): StripInvisible =
+    copy(child = newChild)
+}
+
 object UnicodeNorm {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -93,5 +152,13 @@ object UnicodeNorm {
       FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
       (children: Seq[Expression]) => StripAccents(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nfkc_norm"),
+      new ExpressionInfo(classOf[NfkcNorm].getName, "nfkc_norm"),
+      (children: Seq[Expression]) => NfkcNorm(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("strip_invisible"),
+      new ExpressionInfo(classOf[StripInvisible].getName, "strip_invisible"),
+      (children: Seq[Expression]) => StripInvisible(children.head))
   }
 }

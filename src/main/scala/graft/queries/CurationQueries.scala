@@ -682,6 +682,53 @@ object CurationQueries {
         .orderBy("bin")
     },
 
+    // NFKC compatibility normalization + invisible stripping
+    // (expressions.UnicodeNorm): crawled text carries ligatures (ﬁ),
+    // fullwidth/halfwidth forms, unit squares (㎒), zero-width
+    // joiners/BOM/soft hyphens — the characters that make visually
+    // identical strings hash differently and smuggle through whitespace
+    // tokenizers (NFKC does NOT remove the invisibles; strip_invisible
+    // is a separate, deliberate pass). The oracle knows only the planted
+    // GROUND-TRUTH folds (file/A1/1, カタカナ/MHz, abc/xyz), so the gate
+    // verifies the real JDK Normalizer walk against the Unicode tables
+    // rather than replaying an implementation.
+    Q("q_text_nfkc", {
+      val p0 = " ﬁle Ａ１ ①"
+      val e0 = " file A1 1"
+      val p1 = " ｶﾀｶﾅ ㎒"
+      val e1 = " カタカナ MHz"
+      val p2 = " a\u200Bb\u200C\u200Dc\uFEFF x\u00ADy\u200Ez"
+      val e2 = " abc xyz"
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || CASE CAST(doc_id % 4 AS INT)
+         |                 WHEN 0 THEN '$p0' WHEN 1 THEN '$p1'
+         |                 WHEN 2 THEN '$p2' ELSE '' END AS raw,
+         |         text || CASE CAST(doc_id % 4 AS INT)
+         |                 WHEN 0 THEN '$e0' WHEN 1 THEN '$e1'
+         |                 WHEN 2 THEN '$e2' ELSE '' END AS expected
+         |  FROM documents)
+         |SELECT doc_id, expected AS cleaned, expected <> raw AS changed
+         |FROM aug ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.expressions.UnicodeNorm.register(s)
+      val p0 = " ﬁle Ａ１ ①"
+      val p1 = " ｶﾀｶﾅ ㎒"
+      val p2 = " a\u200Bb\u200C\u200Dc\uFEFF x\u00ADy\u200Ez"
+      val raw = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(p0))
+          .when(col("doc_id") % 4 === 1, lit(p1))
+          .when(col("doc_id") % 4 === 2, lit(p2))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .selectExpr("doc_id", "raw",
+          "nfkc_norm(strip_invisible(raw)) AS cleaned")
+        .select(col("doc_id"), col("cleaned"),
+          (col("cleaned") =!= col("raw")).as("changed"))
+        .orderBy("doc_id")
+    },
+
     // Aho-Corasick blocklist at scale (expressions.MultiMatch): real
     // blocklists hold thousands of phrases, and per-phrase replace()
     // passes are O(phrases · corpus); the automaton matches ALL phrases

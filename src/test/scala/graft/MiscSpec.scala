@@ -618,6 +618,35 @@ class UnicodeNormSpec extends SparkSpec {
     assert(again.toSet == Set(composed, "plain"))
     assert(df.select(expr("nfc_norm(CAST(NULL AS STRING))")).head.isNullAt(0))
   }
+
+  test("nfkc_norm folds compatibility forms; strip_invisible is separate") {
+    graft.expressions.UnicodeNorm.register(spark)
+    val df = Seq(
+      ("ﬁle Ａ１ ①", "file A1 1"),  // ligature/fullwidth/circled
+      ("ｶﾀｶﾅ ㎒", "カタカナ MHz"), // halfwidth kana, unit square
+      ("plain ascii 123", "plain ascii 123")
+    ).toDF("s", "want")
+    val got = df.selectExpr("nfkc_norm(s) AS g", "want")
+      .as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w, s"nfkc: [$g] != [$w]") }
+    // invisibles SURVIVE nfkc (format class) — stripping is deliberate
+    val zw = "a\u200Bb\u200C\u200Dc\uFEFF x\u00ADy\u200Ez"
+    val out = Seq(zw).toDF("s")
+      .selectExpr("nfkc_norm(s) AS n", "strip_invisible(s) AS t",
+        "strip_invisible(nfkc_norm(s)) AS both")
+      .as[(String, String, String)].head()
+    assert(out._1 == zw, "nfkc must not remove format-class invisibles")
+    assert(out._2 == "abc xyz")
+    assert(out._3 == "abc xyz")
+    // idempotence + null propagation
+    assert(Seq(zw).toDF("s")
+      .selectExpr("strip_invisible(strip_invisible(s))")
+      .as[String].head() == "abc xyz")
+    assert(df.select(expr("nfkc_norm(CAST(NULL AS STRING))"))
+      .head.isNullAt(0))
+    assert(df.select(expr("strip_invisible(CAST(NULL AS STRING))"))
+      .head.isNullAt(0))
+  }
 }
 
 class ComponentsSinkSpec extends SparkSpec {
