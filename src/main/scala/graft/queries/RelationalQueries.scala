@@ -847,6 +847,77 @@ object RelationalQueries {
         .orderBy("id1", "id2")
     },
 
+    // Entity-resolution capstone (composition): the full conflation
+    // pipeline a warehouse runs to merge records across sources —
+    // blocked fuzzy candidate generation (FuzzyJoin.byEditDistance,
+    // never n²), levenshtein verify, transitive closure over match
+    // pairs (ConnectedComponents), canonical id + cluster size per
+    // record (singletons stay their own canonical). The oracle replays
+    // every stage independently: the same blocking, DuckDB's native
+    // levenshtein, and a recursive-CTE closure — so Spark's blocking,
+    // verify, AND label propagation must all agree row for row.
+    Q("q_entity_resolution",
+      """WITH RECURSIVE
+        |l AS (SELECT c_custkey AS id, lower(c_name) AS key
+        |      FROM customer WHERE c_custkey < 200),
+        |r AS (SELECT c_custkey + 1000000 AS id,
+        |             lower(CASE WHEN c_custkey % 2 = 0
+        |               THEN 'X' || substring(c_name, 2)
+        |               ELSE substring(c_name, 1, length(c_name) - 1) || 'X'
+        |             END) AS key
+        |      FROM customer WHERE c_custkey < 50),
+        |all_rec AS (SELECT id FROM l UNION ALL SELECT id FROM r),
+        |cand AS (
+        |  SELECT l.id AS l_id, l.key AS l_key, r.id AS r_id, r.key AS r_key
+        |  FROM l JOIN r ON substring(l.key, 1, 4) = substring(r.key, 1, 4)
+        |  UNION
+        |  SELECT l.id, l.key, r.id, r.key
+        |  FROM l JOIN r
+        |    ON substring(l.key, length(l.key) - 3, 4)
+        |     = substring(r.key, length(r.key) - 3, 4)),
+        |pairs AS (SELECT l_id AS a, r_id AS b FROM cand
+        |          WHERE levenshtein(l_key, r_key) <= 1),
+        |nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, rt) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.b, reach.rt FROM reach JOIN sym s ON s.a = reach.id),
+        |lab AS (SELECT id, min(rt) AS canonical FROM reach GROUP BY id),
+        |rec AS (SELECT ar.id, coalesce(lab.canonical, ar.id) AS canonical
+        |        FROM all_rec ar LEFT JOIN lab USING (id)),
+        |siz AS (SELECT canonical, count(*) AS cluster_size
+        |        FROM rec GROUP BY canonical)
+        |SELECT rec.id, rec.canonical,
+        |       CAST(siz.cluster_size AS BIGINT) AS cluster_size
+        |FROM rec JOIN siz USING (canonical)
+        |ORDER BY rec.id""".stripMargin) { (s, dir) =>
+      import graft.operators.{ConnectedComponents, FuzzyJoin}
+      val cust = t(s, dir, "customer")
+      val left = cust.where(col("c_custkey") < 200)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val right = cust.where(col("c_custkey") < 50)
+        .select((col("c_custkey") + 1000000).as("id"),
+          when(col("c_custkey") % 2 === 0,
+            concat(lit("X"), expr("substring(c_name, 2)")))
+            .otherwise(concat(
+              expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
+            .as("name"))
+      val pairs = FuzzyJoin.byEditDistance(left, right, "id", "name",
+          "id", "name", maxDist = 1, blockLen = 4)
+        .select(col("l_id").as("id1"), col("r_id").as("id2"))
+      val labels = ConnectedComponents.canonicalize(pairs)
+      val allRec = left.select("id").unionByName(right.select("id"))
+      val rec = allRec.join(labels, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("canonical"), col("id")).as("canonical"))
+      val sizes = rec.groupBy("canonical").agg(
+        count(lit(1)).as("cluster_size"))
+      rec.join(sizes, "canonical")
+        .select("id", "canonical", "cluster_size")
+        .orderBy("id")
+    },
+
     // Recursive CTE parity (Spark 4's WITH RECURSIVE): a forest derived
     // from orderkeys (parent = k div 7, roots = nodes whose parent is
     // absent), walked root-down with depth and root carried, then rolled
