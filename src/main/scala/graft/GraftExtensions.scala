@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BpeTokenCount, HyperplaneSig64, LangId, MinHash, MinHashSig, MinHashUnion, NfcNorm, QualityScore, RollingHash64, SimHash64, StripAccents, VecMean, WinnowFingerprintPos, WinnowFingerprints, WordShingles, ZOrder62}
+import graft.expressions.{BpeTokenCount, HyperplaneSig64, LangId, MinHash, MinHashSig, MinHashUnion, MultiMatchCount, NfcNorm, NfkcNorm, QualityScore, RollingHash64, SimHash64, StripAccents, StripInvisible, VecMean, WinnowFingerprintPos, WinnowFingerprints, WordShingles, ZOrder62}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -61,6 +61,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_mean"),
       new ExpressionInfo(classOf[VecMean].getName, "vec_mean"),
       children => VecMean(children.head)))
+    ext.injectFunction((FunctionIdentifier("nfkc_norm"),
+      new ExpressionInfo(classOf[NfkcNorm].getName, "nfkc_norm"),
+      children => NfkcNorm(children.head)))
+    ext.injectFunction((FunctionIdentifier("strip_invisible"),
+      new ExpressionInfo(classOf[StripInvisible].getName, "strip_invisible"),
+      children => StripInvisible(children.head)))
+    ext.injectFunction((FunctionIdentifier("multi_match_count"),
+      new ExpressionInfo(classOf[MultiMatchCount].getName,
+        "multi_match_count"),
+      children => MultiMatchCount(children.head, children(1))))
     // pure time-range inner joins → bucketed equi joins (no nested loop)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
   }
