@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Token-budget sequence packing — the pretraining-data step that groups
@@ -158,6 +158,66 @@ object Packing {
       .repartition(col("bin"))
       .sortWithinPartitions(order: _*)
       .write.mode("overwrite").partitionBy("bin").parquet(dir)
+
+  /** Per-bin integrity manifest of a packed frame (a `packByBudget`
+    * output): row count, weight sum, running-total end, and an md5 over
+    * `idExpr` values IN PACK ORDER — order imposed by
+    * `array_sort(collect_list(struct))`, never by collect order. A
+    * dropped, duplicated, or reordered row flips exactly the affected
+    * bins' rows; the manifest is what a training job checks before
+    * consuming an export (gated end-to-end by `q_export_manifest`). */
+  def shardManifest(packed: DataFrame, order: Seq[Column], idExpr: Column,
+                    weightCol: String): DataFrame = {
+    val sortKey = struct(order :+ idExpr.as("__id"): _*)
+    packed.groupBy("bin").agg(
+      count(lit(1)).as("n_rows"),
+      sum(weightCol).as("weight_sum"),
+      max("cum").as("cum_end"),
+      md5(array_join(transform(array_sort(collect_list(sortKey)),
+        x => x.getField("__id")), " ")).as("ids_md5"))
+  }
+
+  /** [[writeShards]] plus the manifest: `dir/data/bin=N/` shards and
+    * `dir/manifest/` — the export artifact pair a trainer consumes.
+    * Manifest is written AFTER the data (a crash between the two leaves
+    * data without a manifest — visibly unverifiable, never silently
+    * wrong). */
+  def writeShardsWithManifest(df: DataFrame, order: Seq[Column],
+                              idExpr: Column, weightCol: String,
+                              budget: Long, dir: String,
+                              numPartitions: Option[Int] = None): Unit = {
+    val packed = packByBudget(df, order, weightCol, budget, numPartitions)
+    packed.repartition(col("bin"))
+      .sortWithinPartitions(order: _*)
+      .write.mode("overwrite").partitionBy("bin").parquet(s"$dir/data")
+    shardManifest(packed, order, idExpr, weightCol)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  /** Validate a written export against its manifest: recompute every
+    * bin's integrity row from the data actually on disk and full-outer
+    * join with the stored manifest — returns one row per bin with `ok`
+    * (false for corrupted, missing, or phantom bins). Reading the data
+    * once is the entire cost; partition pruning lets a consumer validate
+    * a bin subset by filtering before the aggregation. */
+  def validateShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     order: Seq[Column], idExpr: Column,
+                     weightCol: String): DataFrame = {
+    val data = spark.read.parquet(s"$dir/data")
+    val recomputed = shardManifest(data, order, idExpr, weightCol)
+      .withColumnRenamed("n_rows", "got_n_rows")
+      .withColumnRenamed("weight_sum", "got_weight_sum")
+      .withColumnRenamed("cum_end", "got_cum_end")
+      .withColumnRenamed("ids_md5", "got_ids_md5")
+    val stored = spark.read.parquet(s"$dir/manifest")
+    stored.join(recomputed, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        (col("n_rows") === col("got_n_rows") &&
+          col("weight_sum") === col("got_weight_sum") &&
+          col("cum_end") === col("got_cum_end") &&
+          col("ids_md5") === col("got_ids_md5")).as("ok"))
+      .withColumn("ok", coalesce(col("ok"), lit(false)))
+  }
 
   /** Length-bucketed batch assembly (dynamic batching): rows are grouped
     * into buckets of similar length, then cut into fixed-size batches

@@ -670,15 +670,13 @@ object CurationQueries {
         exportChunks(s, dir).select(col("doc_id"), col("chunk_idx"),
           col("chunk_md5"), col("n_tokens").cast("long").as("w")),
         Seq(col("chunk_md5"), col("doc_id"), col("chunk_idx")), "w", 256L)
-      packed.groupBy("bin").agg(
-          count(lit(1)).as("n_chunks"),
-          sum("w").as("token_sum"),
-          max("cum").as("cum_end"),
-          md5(array_join(transform(
-            array_sort(collect_list(
-              struct(col("chunk_md5"), col("doc_id"), col("chunk_idx")))),
-            x => concat(x.getField("doc_id").cast("string"), lit(":"),
-              x.getField("chunk_idx").cast("string"))), " ")).as("ids_md5"))
+      Packing.shardManifest(packed,
+          Seq(col("chunk_md5"), col("doc_id"), col("chunk_idx")),
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("chunk_idx").cast("string")), "w")
+        .select(col("bin"), col("n_rows").as("n_chunks"),
+          col("weight_sum").as("token_sum"), col("cum_end"),
+          col("ids_md5"))
         .orderBy("bin")
     },
 

@@ -686,6 +686,35 @@ class PackingSpec extends SparkSpec {
     assert(spark.read.parquet(t1).count() == 200)
   }
 
+  test("shard manifest round-trip: valid export validates; corruption " +
+      "is localized to the touched bin") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 23).toLong + 1))
+      .toDF("id", "w").repartition(7)
+    val dir = java.nio.file.Files.createTempDirectory("shards-m").toString
+    val order = Seq(col("id"))
+    val idExpr = col("id").cast("string")
+    Packing.writeShardsWithManifest(df, order, idExpr, "w", 150L, dir)
+    val ok1 = Packing.validateShards(spark, dir, order, idExpr, "w")
+      .as[(Long, Boolean)].collect().toMap
+    assert(ok1.nonEmpty && ok1.values.forall(identity),
+      s"fresh export must validate: $ok1")
+    // corrupt ONE bin: rewrite its shard with a dropped row
+    val firstBin = ok1.keys.min
+    val binDir = s"$dir/data/bin=$firstBin"
+    val rows = spark.read.parquet(binDir)
+    val victim = rows.orderBy("id").limit(1)
+      .select("id").as[Long].head()
+    rows.where(col("id") =!= victim)
+      .write.mode("overwrite").parquet("/tmp/graft_corrupt_bin")
+    spark.read.parquet("/tmp/graft_corrupt_bin")
+      .write.mode("overwrite").parquet(binDir)
+    val ok2 = Packing.validateShards(spark, dir, order, idExpr, "w")
+      .as[(Long, Boolean)].collect().toMap
+    assert(!ok2(firstBin), "dropped row must fail its bin's manifest row")
+    assert((ok2 - firstBin).values.forall(identity),
+      s"corruption must stay localized: $ok2")
+  }
+
   test("startCum resume: packing in two appends equals packing whole") {
     val rows = (1 to 400).map(i => (i.toLong, (i % 29).toLong + 1))
     val whole = Packing.packByBudget(rows.toDF("id", "w").repartition(5),
