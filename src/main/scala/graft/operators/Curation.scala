@@ -118,6 +118,23 @@ object Curation {
     * `regexp_extract`, array `filter`/`array_sort`) — no UDF, no
     * shuffle; the canonical key then feeds the ordinary exact-dedup hash
     * shuffle. */
+  /** k-anonymity audit: how re-identifiable is each row through its
+    * quasi-identifier combination? Rows whose (quasi-id tuple) group
+    * holds fewer than `k` records fail the audit — the standard check a
+    * pipeline runs before releasing per-record data (suppress or
+    * generalize the failing rows downstream). One aggregation on the
+    * quasi-id tuple (map-side combinable) joined back — the tf-idf
+    * shape; AQE broadcasts the group table when it fits. Returns the
+    * input plus (group_n, k_ok). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    val groups = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+    df.join(groups, quasiCols)
+      .withColumn("k_ok", col("group_n") >= k)
+  }
+
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag,

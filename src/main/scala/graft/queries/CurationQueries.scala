@@ -943,6 +943,26 @@ object CurationQueries {
       PiiFunctions.detect(aug, "doc_id", "text").orderBy("doc_id")
     },
 
+    // k-anonymity audit (Curation.kAnonymity): per-row re-identifiability
+    // through the (nation, market-segment) quasi-identifier tuple —
+    // groups under k=12 records fail (k chosen to split the sf fixture: 55 of 125 groups fail at sf0.01) and would be suppressed/generalized
+    // before release. One map-side-combinable aggregation joined back;
+    // counts exact, flag a pure integer comparison.
+    Q("q_pii_kanon",
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |                  count(*) AS group_n
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT c.c_custkey, CAST(g.group_n AS BIGINT) AS group_n,
+        |       g.group_n >= 12 AS k_ok
+        |FROM customer c
+        |JOIN g USING (c_nationkey, c_mktsegment)
+        |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+      graft.operators.Curation.kAnonymity(
+          t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 12)
+        .select("c_custkey", "group_n", "k_ok")
+        .orderBy("c_custkey")
+    },
+
     // PII pseudonymization (TextFunctions.pseudonymize): salted-hash
     // surrogates replace customer names while PRESERVING equality — the
     // order rollup still groups correctly through the pseudonym, and the
