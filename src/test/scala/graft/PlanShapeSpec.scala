@@ -164,6 +164,30 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one exchange, saw $exchanges:\n$plan")
   }
 
+  test("drift top-k plans as TakeOrdered over partial aggs (no full sort)") {
+    val plan = physical(SparkEntry.queries("q_drift_tokens")(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k drift must not materialize a global sort:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"token counts must combine map-side:\n$plan")
+  }
+
+  test("novelty joins the shingle-frequency table, never a cartesian") {
+    val plan = physical(SparkEntry.queries("q_text_novelty")(spark, sf001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty fell to an O(n*m) join:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"shingle frequencies must hash-aggregate:\n$plan")
+  }
+
+  test("export manifest never plans a window (prefix sum is distributed)") {
+    val plan = physical(SparkEntry.queries("q_export_manifest")(spark, sf001))
+    assert(!plan.contains("Window"),
+      s"manifest must ride the packer's distributed prefix sum, " +
+        s"not a window:\n$plan")
+  }
+
   test("math/expression gates stay inside whole-stage codegen") {
     // IEEE-exact math (q_expr_math) and the simhash signature path must
     // plan as a codegen'd projection over the scan — an interpreted
