@@ -290,11 +290,62 @@ object Multimodal {
 
   /** Frame sampling stub for video payloads: selects deterministic byte
     * offsets standing in for frame indices — the real version seeks key
-    * frames; the sampling *plan* (explode per frame, scan-local) is real. */
+    * frames; the sampling *plan* (explode per frame, scan-local) is real.
+    * For containers the JVM can actually walk, [[indexGifFrames]] below
+    * is the real thing. */
   def sampleFrames(media: DataFrame, nFrames: Int = 4): DataFrame =
     media.where(col("kind") === "video")
       .select(col("media_id"),
         posexplode(transform(sequence(lit(0), lit(nFrames - 1)),
           i => i * octet_length(col("payload")) / nFrames)))
       .toDF("media_id", "frame_idx", "byte_offset")
+
+  /** Synthetic animated GIFs with REAL container structure
+    * ([[GifCodec.buildGif]] — GIF89a, graphic-control extensions, image
+    * descriptors, length-prefixed LZW sub-blocks): frame count, per-frame
+    * geometry, and delays all follow doc_id formulas an SQL oracle can
+    * replay; payload filler varies (including zero-length) so the walk
+    * must skip data blocks by their actual length bytes. */
+  def syntheticGifs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (id % 5 + 1).toInt
+        val frames = (0 until n).map { i =>
+          (((id + i) % 3).toInt, ((id + 2 * i) % 2).toInt,
+            ((id + i) % 13 + 1).toInt, ((id + 2 * i) % 11 + 1).toInt,
+            ((id + i) % 50 + 2).toInt)
+        }
+        (id, GifCodec.buildGif(16, 16, frames,
+          i => ((id + i) % 7).toInt))
+      }.toDF("media_id", "payload")
+  }
+
+  /** REAL frame indexing in the mapPartitions seam: walk each payload's
+    * actual GIF block stream ([[GifCodec.parseFrames]]) and emit one row
+    * per frame — geometry, timing, byte offset of the image descriptor
+    * (a downstream decoder seeks straight to a sampled frame). Scan-local
+    * explode, O(container bytes), LZW payloads skipped by length and
+    * never inflated; unparseable payloads emit a single all-null frame
+    * row (corruption visible, never silent absence). */
+  def indexGifFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        GifCodec.parseFrames(bytes) match {
+          case Some(frames) => frames.iterator.map(f =>
+            (id, Option(f.index), Option(f.x), Option(f.y),
+              Option(f.width), Option(f.height), Option(f.delayCs),
+              Option(f.byteOffset)))
+          case None => Iterator.single(
+            (id, None: Option[Int], None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Int],
+              None: Option[Int]))
+        }
+      }).toDF("media_id", "frame_idx", "x", "y", "width", "height",
+        "delay_cs", "byte_offset")
+  }
 }

@@ -582,6 +582,32 @@ object EventQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // REAL animated-container frame indexing (GifCodec.parseFrames): the
+    // fixture encodes formula frames as structurally real GIF89a bytes —
+    // graphic-control delays, image descriptors, length-prefixed LZW
+    // sub-blocks (including zero-length fillers) — and the Spark side
+    // must walk the actual block stream back. The oracle knows only the
+    // frame FORMULAS: one mis-skipped sub-block desynchronizes the walk
+    // and every later frame's geometry fails the hash. Byte offsets are
+    // pinned separately in MultimodalSpec (structure arithmetic).
+    Q("q_multimodal_gif",
+      """SELECT doc_id AS media_id, CAST(j AS INT) AS frame_idx,
+        |       CAST((doc_id + j) % 3 AS INT) AS x,
+        |       CAST((doc_id + 2 * j) % 2 AS INT) AS y,
+        |       CAST((doc_id + j) % 13 + 1 AS INT) AS width,
+        |       CAST((doc_id + 2 * j) % 11 + 1 AS INT) AS height,
+        |       CAST((doc_id + j) % 50 + 2 AS INT) AS delay_cs
+        |FROM documents, range(0, 5) AS t(j)
+        |WHERE j < doc_id % 5 + 1
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.indexGifFrames(
+          Multimodal.syntheticGifs(t(s, dir, "documents")))
+        .select("media_id", "frame_idx", "x", "y", "width", "height",
+          "delay_cs")
+        .orderBy("media_id", "frame_idx")
+    },
+
     // Time-series gap fill with LOCF: daily per-type value sums, gaps
     // PLANTED deterministically (days divisible by 5 withheld), the full
     // day range regenerated per type (sequence/generate_series — scan-

@@ -189,6 +189,36 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.parsePngPixels(Array.fill[Byte](64)(0x42)).isEmpty)
   }
 
+  test("GIF frame walk: offsets match structure arithmetic; corruption " +
+      "yields None") {
+    import graft.multimodal.GifCodec
+    val frames = Seq((0, 1, 5, 4, 10), (2, 0, 13, 11, 50), (1, 1, 1, 1, 2))
+    val pads = Array(3, 0, 6) // middle frame has a ZERO-length payload
+    val gif = GifCodec.buildGif(16, 16, frames, pads)
+    val got = GifCodec.parseFrames(gif).get
+    assert(got.map(f => (f.x, f.y, f.width, f.height, f.delayCs)) == frames)
+    // byte offsets: header 13, then per frame 8 (GCE) + descriptor, with
+    // block size 10 desc + 1 lzw + (pad>0 ? 1+pad : 0) + 1 terminator
+    var expect = 13
+    got.zipWithIndex.foreach { case (f, i) =>
+      expect += 8 // the frame's own GCE precedes its descriptor
+      assert(f.byteOffset == expect,
+        s"frame $i descriptor offset ${f.byteOffset}, want $expect")
+      expect += 10 + 1 + (if (pads(i) > 0) 1 + pads(i) else 0) + 1
+    }
+    // corruption → None, never fabricated frames
+    assert(GifCodec.parseFrames(null).isEmpty)
+    assert(GifCodec.parseFrames("GIF89a".getBytes).isEmpty)
+    assert(GifCodec.parseFrames(gif.dropRight(1)).isEmpty) // no trailer
+    val badBlock = gif.clone(); badBlock(13) = 0x55 // unknown block type
+    assert(GifCodec.parseFrames(badBlock).isEmpty)
+    // a sub-block length pointing past the end must not walk off
+    val badLen = gif.clone()
+    badLen(gif.length - 2) = 0x7f // corrupt near the tail
+    assert(GifCodec.parseFrames(badLen).isEmpty ||
+      GifCodec.parseFrames(badLen).nonEmpty) // must not throw
+  }
+
   test("extractFeatures is deterministic and partition-local") {
     val f1 = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f.checksum).toMap
