@@ -112,4 +112,90 @@ object AudioCodec {
     putTag(i, "data"); putLe32(i + 4, nFrames * blockAlign)
     out
   }
+
+  /** Full WAV with a REAL PCM payload: interleaved `samples`
+    * (frames × channels values) encoded per spec — 8-bit as unsigned
+    * bytes (0-255), 16-bit as signed little-endian — with the RIFF pad
+    * byte on odd data sizes. The sample-decode twin of
+    * [[ImageCodec.buildPngPixels]]. */
+  def buildWavPcm(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                  samples: Array[Int]): Array[Byte] = {
+    require(bitsPerSample == 8 || bitsPerSample == 16,
+      s"PCM fixture supports 8/16 bits, got $bitsPerSample")
+    require(channels > 0 && samples.length % channels == 0,
+      s"samples (${samples.length}) must be a multiple of channels")
+    val bytesPer = bitsPerSample / 8
+    val nFrames = samples.length / channels
+    val header = buildWav(channels, sampleRate, bitsPerSample,
+      nFrames.toLong)
+    val dataSize = samples.length * bytesPer
+    val out = new Array[Byte](header.length + dataSize + (dataSize & 1))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var k = 0
+    while (k < samples.length) {
+      val v = samples(k)
+      if (bitsPerSample == 8) {
+        require(v >= 0 && v <= 255, s"8-bit sample out of range: $v")
+        out(header.length + k) = v.toByte
+      } else {
+        require(v >= -32768 && v <= 32767, s"16-bit sample range: $v")
+        out(header.length + 2 * k) = (v & 0xff).toByte
+        out(header.length + 2 * k + 1) = ((v >> 8) & 0xff).toByte
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Decode a WAV's ACTUAL PCM samples (8-bit unsigned / 16-bit signed
+    * LE, the shapes [[buildWavPcm]] emits): the chunk walk of
+    * [[parseWav]] plus a full-payload read — a data chunk whose declared
+    * size exceeds the bytes present is corruption and returns None,
+    * never a silently short sample array. */
+  def parseWavSamples(b: Array[Byte]): Option[(AudioMeta, Array[Int])] = {
+    if (b == null || b.length < 36) return None
+    if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var i = 12
+    var channels = -1
+    var sampleRate = -1L
+    var bits = -1
+    var blockAlign = -1
+    var dataSize = -1L
+    var dataOff = -1
+    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val id = tag(b, i)
+      val size = le32(b, i + 4)
+      if (id == "fmt ") {
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        blockAlign = le16(b, i + 20)
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataSize = size
+        dataOff = i + 8
+      }
+      i += 8 + size.toInt + (size & 1L).toInt
+      if (i < 0) return None
+    }
+    if (channels < 1 || sampleRate < 1 || blockAlign < 1 || dataSize < 0 ||
+        (bits != 8 && bits != 16)) return None
+    if (dataOff + dataSize > b.length) return None // truncated payload
+    val n = (dataSize / (bits / 8)).toInt
+    val samples = new Array[Int](n)
+    var k = 0
+    if (bits == 8) {
+      while (k < n) { samples(k) = b(dataOff + k) & 0xff; k += 1 }
+    } else {
+      while (k < n) {
+        samples(k) =
+          ((b(dataOff + 2 * k) & 0xff) |
+            (b(dataOff + 2 * k + 1) << 8)).toShort.toInt
+        k += 1
+      }
+    }
+    val frames = dataSize / blockAlign
+    Some((AudioMeta("wav", channels, sampleRate.toInt, bits, frames,
+      frames * 1000000L / sampleRate), samples))
+  }
 }

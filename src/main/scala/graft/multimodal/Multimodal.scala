@@ -218,6 +218,61 @@ object Multimodal {
       }.toDF("media_id", "payload")
   }
 
+  /** Synthetic WAVs WITH PCM PAYLOADS ([[AudioCodec.buildWavPcm]]):
+    * sample values follow doc_id formulas an SQL oracle can replay —
+    * 8-bit unsigned on every third id (odd data sizes exercise the RIFF
+    * pad byte), 16-bit signed otherwise. */
+  def syntheticPcmAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val channels = (id % 2 + 1).toInt
+        val bits = if (id % 3 == 0) 8 else 16
+        val nFrames = (id % 50 + 4).toInt
+        val samples = Array.tabulate(nFrames * channels) { k =>
+          if (bits == 8) ((id * 7 + k.toLong * 13) % 256).toInt
+          else ((id * 7 + k.toLong * 13) % 65536).toInt - 32768
+        }
+        (id, AudioCodec.buildWavPcm(channels, 8000, bits, samples))
+      }.toDF("media_id", "payload")
+  }
+
+  /** REAL PCM sample decode in the mapPartitions seam: parse each
+    * payload's actual data-chunk bytes back to samples and reduce to
+    * exact integer statistics (sum, min, max, position-weighted sum —
+    * the same shape as [[decodePixelStats]]). Scan-local, no shuffle;
+    * truncated payloads yield null stats. */
+  def decodePcmStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        AudioCodec.parseWavSamples(bytes) match {
+          case Some((m, samples)) =>
+            var sum = 0L; var wsum = 0L
+            var mn = Int.MaxValue; var mx = Int.MinValue
+            var k = 0
+            while (k < samples.length) {
+              val v = samples(k)
+              sum += v; wsum += (k + 1).toLong * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              k += 1
+            }
+            (id, Option(m.channels), Option(m.bitsPerSample),
+              Option(m.nFrames), Option(samples.length.toLong),
+              Option(sum), Option(mn), Option(mx), Option(wsum))
+          case None =>
+            (id, None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Int], None: Option[Int], None: Option[Long])
+        }
+      }).toDF("media_id", "channels", "bits", "n_frames", "n_samples",
+        "s_sum", "s_min", "s_max", "s_wsum")
+  }
+
   /** REAL audio decode in the mapPartitions seam: parse each payload's
     * actual RIFF bytes into typed metadata. Scan-local, header-only;
     * unparseable payloads yield null metadata (nothing fabricated). */

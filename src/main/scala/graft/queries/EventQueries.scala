@@ -538,6 +538,41 @@ object EventQueries {
         .orderBy("media_id")
     },
 
+    // REAL PCM sample decode (AudioCodec.parseWavSamples): formula
+    // samples encoded as actual WAV data chunks — 8-bit unsigned on
+    // every third id (odd data sizes put the RIFF pad byte on the gated
+    // path), 16-bit signed LE otherwise — decoded back to exact integer
+    // statistics. The position-weighted sum catches any interleave or
+    // endianness slip; a sign-extension bug shifts s_min/s_max.
+    Q("q_multimodal_pcm",
+      """WITH p AS (SELECT doc_id,
+        |                  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |                  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END
+        |                       AS INT) AS bits,
+        |                  CAST(doc_id % 50 + 4 AS BIGINT) AS n_frames
+        |           FROM documents),
+        |s AS (SELECT doc_id, channels, bits, n_frames,
+        |             unnest(range(0, n_frames * channels)) AS k
+        |      FROM p),
+        |v AS (SELECT doc_id, channels, bits, n_frames, k,
+        |             CASE WHEN bits = 8 THEN (doc_id * 7 + k * 13) % 256
+        |                  ELSE ((doc_id * 7 + k * 13) % 65536) - 32768
+        |             END AS val
+        |      FROM s)
+        |SELECT doc_id AS media_id, channels, bits, n_frames,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(val) AS BIGINT) AS s_sum,
+        |       CAST(min(val) AS INT) AS s_min,
+        |       CAST(max(val) AS INT) AS s_max,
+        |       CAST(sum((k + 1) * val) AS BIGINT) AS s_wsum
+        |FROM v GROUP BY doc_id, channels, bits, n_frames
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.decodePcmStats(
+          Multimodal.syntheticPcmAudio(t(s, dir, "documents")))
+        .orderBy("media_id")
+    },
+
     // Multimodal resize metadata (Multimodal.resizeImages over the derived
     // media table): aspect-preserving fit into a 64×64 box, floor
     // semantics, upscale suppressed. The metadata arithmetic is exact IEEE

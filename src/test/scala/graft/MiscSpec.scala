@@ -189,6 +189,31 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.parsePngPixels(Array.fill[Byte](64)(0x42)).isEmpty)
   }
 
+  test("WAV PCM codec: exact sample round-trip, pad byte, truncation") {
+    import graft.multimodal.AudioCodec
+    // 16-bit stereo incl. extreme values (sign-extension on the path)
+    val s16 = Array(-32768, 32767, -1, 0, 1, 12345, -12345, 255)
+    val b16 = AudioCodec.buildWavPcm(2, 44100, 16, s16)
+    val (m16, got16) = AudioCodec.parseWavSamples(b16).get
+    assert((m16.channels, m16.bitsPerSample, m16.nFrames) == ((2, 16, 4L)))
+    assert(got16.toSeq == s16.toSeq)
+    // 8-bit mono with an ODD data size: the RIFF pad byte is on the path
+    val s8 = Array(0, 255, 128, 7, 200)
+    val b8 = AudioCodec.buildWavPcm(1, 8000, 8, s8)
+    assert(b8.length % 2 == 0, "odd data chunk must carry a pad byte")
+    val (m8, got8) = AudioCodec.parseWavSamples(b8).get
+    assert((m8.channels, m8.bitsPerSample, m8.nFrames) == ((1, 8, 5L)))
+    assert(got8.toSeq == s8.toSeq)
+    // truncated payload: declared size exceeds bytes present → None
+    assert(AudioCodec.parseWavSamples(b16.dropRight(3)).isEmpty)
+    assert(AudioCodec.parseWavSamples(null).isEmpty)
+    // header-only builder (no payload) is truncation for the SAMPLE
+    // reader even though the metadata reader accepts it
+    val headerOnly = AudioCodec.buildWav(1, 8000, 8, 10L)
+    assert(AudioCodec.parseWav(headerOnly).nonEmpty)
+    assert(AudioCodec.parseWavSamples(headerOnly).isEmpty)
+  }
+
   test("GIF frame walk: offsets match structure arithmetic; corruption " +
       "yields None") {
     import graft.multimodal.GifCodec
