@@ -136,6 +136,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Language-ID quality accounting: the confusion matrix of the
+    // detector against the corpus's GROUND-TRUTH labels, plus per-truth
+    // recall as an exact integer permille — the eval artifact that says
+    // whether the scan-local heuristic is good enough per language
+    // before it gates a 100 TB filter. One aggregation; counts exact.
+    Q("q_text_lang_confusion", {
+      val (mx, whens) = langCases
+      s"""WITH pred AS (SELECT lang AS truth,
+         |                     CASE WHEN __mx = 0 THEN 'und' $whens END
+         |                       AS detected
+         |              FROM (SELECT lang, $mx AS __mx, text
+         |                    FROM documents)),
+         |cell AS (SELECT truth, detected, count(*) AS n
+         |         FROM pred GROUP BY truth, detected),
+         |tot AS (SELECT truth, sum(n) AS truth_n FROM cell GROUP BY truth)
+         |SELECT c.truth, c.detected, CAST(c.n AS BIGINT) AS n,
+         |       CAST(floor(c.n * 1000.0 / t.truth_n) AS BIGINT)
+         |         AS cell_permille
+         |FROM cell c JOIN tot t USING (truth)
+         |ORDER BY truth, detected""".stripMargin
+    }) { (s, dir) =>
+      graft.expressions.TextScore.register(s)
+      val pred = t(s, dir, "documents")
+        .selectExpr("lang AS truth", "lang_id(text) AS detected")
+      val cell = pred.groupBy("truth", "detected")
+        .agg(count(lit(1)).as("n"))
+      val tot = cell.groupBy("truth").agg(sum("n").as("truth_n"))
+      cell.join(tot, "truth")
+        .select(col("truth"), col("detected"), col("n"),
+          floor(col("n") * lit(1000.0) / col("truth_n"))
+            .as("cell_permille"))
+        .orderBy("truth", "detected")
+    },
+
     // Quality scoring: length saturation + stopword ratio + mean token len.
     Q("q_text_quality",
       s"""SELECT doc_id, $sqlQuality AS quality
