@@ -58,9 +58,11 @@ object AudioCodec {
       } else if (id == "data") {
         dataSize = size // header field — payload may be truncated
       }
-      // chunks are word-aligned: odd sizes carry one pad byte
-      i += 8 + size.toInt + (size & 1L).toInt
-      if (i < 0) return None // hostile size overflowed the cursor
+      // chunks are word-aligned: odd sizes carry one pad byte. Long
+      // arithmetic: a hostile LE32 size near 0xFFFFFFF8 truncated to Int
+      // would yield a zero (or negative) step and spin forever.
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > b.length) b.length else next.toInt
     }
     if (channels < 1 || sampleRate < 1 || bits < 1 || blockAlign < 1 ||
         dataSize < 0) None
@@ -175,8 +177,10 @@ object AudioCodec {
         dataSize = size
         dataOff = i + 8
       }
-      i += 8 + size.toInt + (size & 1L).toInt
-      if (i < 0) return None
+      // Long step, clamped to the buffer: see the parseWav walk — an
+      // Int-truncated hostile size would otherwise stall the cursor.
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > b.length) b.length else next.toInt
     }
     if (channels < 1 || sampleRate < 1 || blockAlign < 1 || dataSize < 0 ||
         (bits != 8 && bits != 16)) return None

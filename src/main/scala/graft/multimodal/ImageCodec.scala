@@ -299,8 +299,11 @@ object ImageCodec {
     val rowLen = width * channels
     val expect = height * (1 + rowLen)
     val raw = new Array[Byte](expect)
+    // finally-scoped end(): the truncated-stream return and the
+    // DataFormatException path must still release the native zlib
+    // buffer, or executors scanning many corrupt payloads leak until GC
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       var got = 0
       while (got < expect && !inf.finished()) {
@@ -308,9 +311,9 @@ object ImageCodec {
         if (n == 0 && inf.needsInput()) return None // truncated stream
         got += n
       }
-      inf.end()
       if (got < expect) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
     val px = new Array[Byte](height * rowLen)
     var r = 0
     while (r < height) {

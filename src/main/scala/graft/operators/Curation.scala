@@ -131,7 +131,14 @@ object Curation {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier")
     val groups = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("group_n"))
-    df.join(groups, quasiCols)
+      .select(quasiCols.map(c => col(c).as(s"__g_$c")) :+ col("group_n"): _*)
+    // Null-safe equi-join (<=>): groupBy already counts a NULL quasi-id
+    // tuple as a group, and a plain equi-join would silently DROP those
+    // rows from the audit — the one population a privacy audit most
+    // needs to keep visible. <=> is still an extractable hash-join key.
+    val cond = quasiCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(groups, cond)
+      .drop(quasiCols.map(c => s"__g_$c"): _*)
       .withColumn("k_ok", col("group_n") >= k)
   }
 

@@ -863,13 +863,13 @@ object TextQueries {
       // measured ~1.7x faster than recomputing the probe side (column
       // pruning spares the aggregate branch either way)
       graft.expressions.TextScore.register(s)
-      val scored = t(s, dir, "documents").select(
-        col("doc_id"),
-        expr("lang_id(text)").as("lang"),
-        expr("quality_score(text)").as("quality"),
-        tokenCount(col("text")).cast(LongType).as("n_tokens"),
-        normFingerprint(col("text")).as("fp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val scored = graft.operators.StagingCaches.cache(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          expr("lang_id(text)").as("lang"),
+          expr("quality_score(text)").as("quality"),
+          tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          normFingerprint(col("text")).as("fp")))
       // canon is (fp, doc_id) pairs to KEEP; name-based join keys avoid
       // the self-derived-column trap (scored("fp") === canon("fp")
       // resolves to a trivially-true fp == fp)
@@ -1068,8 +1068,12 @@ object TextQueries {
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       import graft.functions.TextFunctions
-      val sh = t(s, dir, "documents").select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), 5)).as("shingle"))
+      // staged: the shingle explode feeds BOTH the frequency aggregation
+      // and the join probe — un-persisted, Spark re-derives the
+      // tokenize+explode for each, i.e. two full corpus scans at 100 TB
+      val sh = graft.operators.StagingCaches.cache(
+        t(s, dir, "documents").select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 5)).as("shingle")))
       val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       sh.join(df, "shingle")
         .groupBy("doc_id").agg(
@@ -1111,8 +1115,8 @@ object TextQueries {
       // tf already holds one row per (doc, term) — document frequency is a
       // plain count over it, saving a second tokenize+explode pass AND
       // turning count(DISTINCT doc_id) into a cheap count
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tf = graft.operators.StagingCaches.cache(
+        tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.count() // corpus size: one scalar, computed once
       // no broadcast hint on the df join: the vocabulary of a 100 TB corpus

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, StagingCaches}
 
 /** Driver-gated queries for similarity search over the `embeddings` table.
   *
@@ -269,9 +269,9 @@ object VectorQueries {
         val qs = emb.where(col("vec_id") < 5)
         // persisted: the brute-force frame feeds both the hit join and the
         // per-query denominator — without it the full cosine scan runs twice
-        val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
-          .select("query_id", "cand_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val exact = StagingCaches.cache(
+          Similarity.bruteForceTopK(emb, qs, k = 10)
+            .select("query_id", "cand_id"))
         val approx = Similarity.ivfTopK(emb, qs, k = 10,
           nClusters = 16, nProbe = 8,
           centroids = Some(centroids(s, dir))).select("query_id", "cand_id")
@@ -307,9 +307,9 @@ object VectorQueries {
         import graft.operators.ProductQuant
         val emb = t(s, dir, "embeddings")
         val qs = emb.where(col("vec_id") < 5)
-        val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
-          .select("query_id", "cand_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val exact = StagingCaches.cache(
+          Similarity.bruteForceTopK(emb, qs, k = 10)
+            .select("query_id", "cand_id"))
         val approx = ProductQuant.pqTopK(emb, qs,
             ProductQuant.fitCodebooks(emb), k = 10, rerank = 100)
           .select("query_id", "cand_id")
@@ -420,10 +420,10 @@ object VectorQueries {
         |FROM embeddings WHERE vec_id < 50 ORDER BY id1""".stripMargin) {
       (s, dir) =>
         val aug = augmentedEmbeddings(s, dir)
-        val lsh = Dedup.embeddingNearDupLsh(aug, "vec_id", "v",
-            threshold = 0.99, maxHamming = 10)
-          .select("id1", "id2")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lsh = StagingCaches.cache(
+          Dedup.embeddingNearDupLsh(aug, "vec_id", "v",
+              threshold = 0.99, maxHamming = 10)
+            .select("id1", "id2"))
         val exact = Dedup.embeddingNearDupPairs(aug, "vec_id", "v",
             threshold = 0.99, maxDocs = 1000)
           .select("id1", "id2")
@@ -472,13 +472,11 @@ object VectorQueries {
         |""".stripMargin) { (s, dir) =>
       import graft.operators.Sampling
       val emb = t(s, dir, "embeddings")
-      val assigned = Similarity
+      val assigned = StagingCaches.cache(Similarity
         .assignClusters(emb, nClusters = 16,
-          centroids = Some(centroids(s, dir)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sampled = Sampling
-        .perGroupSample(assigned, "centroid_id", "cand_id", 20)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          centroids = Some(centroids(s, dir))))
+      val sampled = StagingCaches.cache(Sampling
+        .perGroupSample(assigned, "centroid_id", "cand_id", 20))
       val perCluster = assigned
         .groupBy("centroid_id").agg(count(lit(1)).as("n"))
         .join(sampled.groupBy("centroid_id").agg(count(lit(1)).as("sn")),

@@ -316,32 +316,84 @@ object EventStreams {
                 slicePred: org.apache.spark.sql.Column, tablePath: String,
                 checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.DriftMonitor
     val writer = checkpointDir.fold(docs.writeStream)(
       docs.writeStream.option("checkpointLocation", _))
     writer.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val counts =
-            DriftMonitor.tokenCounts(batch.toDF(), textCol, slicePred)
-          val dir = new java.io.File(tablePath)
-          val merged =
-            if (dir.exists())
-              DriftMonitor.mergeCounts(spark.read.parquet(tablePath), counts)
-            else counts
-          val tmp = tablePath + ".drift"
-          merged.write.mode("overwrite").parquet(tmp)
-          val livePath = new org.apache.hadoop.fs.Path(tablePath)
-          val fs = livePath
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          graft.sources.Formats.swapInto(fs,
-            new org.apache.hadoop.fs.Path(tmp), livePath)
-        }
-        ()
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            driftFold(batch.toDF(), batchId, textCol, slicePred, tablePath,
+              checkpointDir)
+          ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
+
+  /** One [[driftSink]] micro-batch fold, idempotent under foreachBatch's
+    * at-least-once contract: a `_committed_batch` marker (query tag +
+    * highest batchId folded in) is written INSIDE the swap directory, so
+    * it commits atomically with the counts it describes. A batch
+    * replayed after a crash between the directory swap and the
+    * checkpoint commit sees marker >= its own id and skips — without
+    * this, the replay folds its token counts in a second time and
+    * permanently skews every downstream drift/JS readout. (The other
+    * sinks recompute or upsert per key, so replay is benign there; a
+    * merge-fold is the one shape that needs the marker.)
+    *
+    * The marker is scoped by `queryTag` — the checkpoint location,
+    * which is exactly the identity that survives a restart: batchIds
+    * restart from 0 for every UN-checkpointed query (which can never
+    * replay, having nothing to restart from), so only a matching tag
+    * may suppress a fold. */
+  def driftFold(batch: DataFrame, batchId: Long, textCol: String,
+                slicePred: org.apache.spark.sql.Column, tablePath: String,
+                queryTag: Option[String]): Unit = {
+    import graft.operators.DriftMonitor
+    val spark = batch.sparkSession
+    val livePath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.exists(livePath)
+    if (live && queryTag.exists(t => readBatchMarker(fs, livePath)
+        .exists { case (tag, id) => tag == t && id >= batchId })) return
+    val counts = DriftMonitor.tokenCounts(batch, textCol, slicePred)
+    val merged =
+      if (live) DriftMonitor.mergeCounts(spark.read.parquet(tablePath),
+        counts)
+      else counts
+    val tmp = tablePath + ".drift"
+    merged.write.mode("overwrite").parquet(tmp)
+    writeBatchMarker(fs, new org.apache.hadoop.fs.Path(tmp),
+      queryTag.getOrElse(""), batchId)
+    graft.sources.Formats.swapInto(fs,
+      new org.apache.hadoop.fs.Path(tmp), livePath)
+  }
+
+  /** `_committed_batch` sits behind Spark's hidden-file convention
+    * (leading underscore), so the parquet scan of the counts table never
+    * sees it. Two lines: query tag, batchId. Absent or unreadable →
+    * None (pre-marker tables never suppress a fold). */
+  private def readBatchMarker(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: org.apache.hadoop.fs.Path)
+      : Option[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_committed_batch")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val lines = new String(in.readAllBytes(), "UTF-8").split("\n", 2)
+      if (lines.length < 2) None
+      else Some((lines(0), lines(1).trim.toLong))
+    } catch { case _: NumberFormatException => None }
+    finally in.close()
+  }
+
+  private def writeBatchMarker(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path,
+                               tag: String, id: Long): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_committed_batch"), true)
+    try out.write(s"$tag\n$id".getBytes("UTF-8"))
+    finally out.close()
   }
 
   def scd2Sink(updates: DataFrame, tablePath: String, pk: Seq[String],

@@ -214,6 +214,29 @@ class MultimodalSpec extends SparkSpec {
     assert(AudioCodec.parseWavSamples(headerOnly).isEmpty)
   }
 
+  test("WAV chunk walk terminates on hostile chunk sizes (zero-step " +
+      "cursor)") {
+    import graft.multimodal.AudioCodec
+    // An LE32 size of 0xFFFFFFF8 truncates to Int -8, making the naive
+    // step 8 + (-8) + 0 = 0: the cursor never advances and the walk
+    // spins forever. 0xFFFFFFF7 does the same through the pad byte.
+    // Plant each as the FIRST chunk so the walk must step over it.
+    for (hostile <- Seq(0xFFFFFFF8L, 0xFFFFFFF7L, 0xFFFFFFFFL)) {
+      val b = AudioCodec.buildWav(1, 8000, 8, 10L)
+      val out = new Array[Byte](12 + 8 + b.length - 12)
+      System.arraycopy(b, 0, out, 0, 12) // RIFF..WAVE
+      out(12) = 'J'; out(13) = 'U'; out(14) = 'N'; out(15) = 'K'
+      var k = 0
+      while (k < 4) {
+        out(16 + k) = ((hostile >> (8 * k)) & 0xff).toByte; k += 1
+      }
+      System.arraycopy(b, 12, out, 20, b.length - 12)
+      // must RETURN (not hang); the clamped walk ends at the buffer edge
+      assert(AudioCodec.parseWav(out).isEmpty)
+      assert(AudioCodec.parseWavSamples(out).isEmpty)
+    }
+  }
+
   test("GIF frame walk: offsets match structure arithmetic; corruption " +
       "yields None") {
     import graft.multimodal.GifCodec
@@ -646,6 +669,25 @@ class StagingCacheSpec extends SparkSpec {
       .count() == n)
     graft.operators.OperatorCaches.releaseAll(spark)
   }
+
+  test("every staged gate leaves zero pinned blocks after releaseAll " +
+      "(the 239-gate driver-session contract)") {
+    // every gate whose lambda stages an intermediate through
+    // StagingCaches (the r9 sweep of raw per-call persists): a pinned
+    // block surviving releaseAll here is exactly the leak class the
+    // driver's long sessions accumulate
+    val staged = Seq("q_corpus_curate", "q_text_tfidf", "q_text_novelty",
+      "q_ann_ivf_recall", "q_ann_pq_recall", "q_dedup_embed_lsh_recall",
+      "q_sample_cluster_balanced")
+    graft.operators.OperatorCaches.releaseAll(spark)
+    for (name <- staged) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      assert(graft.SparkEntry.queries(name)(spark, sf001).count() > 0)
+      graft.operators.OperatorCaches.releaseAll(spark)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$name leaked pinned RDDs: $leaked")
+    }
+  }
 }
 
 class UnicodeNormSpec extends SparkSpec {
@@ -771,5 +813,43 @@ class DriftSinkSpec extends SparkSpec {
     val parent = new java.io.File(path).getParentFile.listFiles()
       .map(_.getName).filter(n => n.endsWith(".drift") || n.endsWith(".old"))
     assert(parent.isEmpty, s"swap leftovers: ${parent.toSeq}")
+  }
+
+  test("driftFold is idempotent under at-least-once replay of a " +
+      "checkpointed batch") {
+    import graft.operators.DriftMonitor
+    import graft.streaming.EventStreams
+    val path = java.nio.file.Files.createTempDirectory("graft-driftfold")
+      .toString + "/counts"
+    val tag = Some("ckpt-A")
+    val b0 = Seq(("alpha beta beta", true), ("alpha gamma", false))
+      .toDF("text", "in_a")
+    val b1 = Seq(("beta drift", true)).toDF("text", "in_a")
+    def counts() = spark.read.parquet(path)
+      .orderBy("token").collect().toSeq
+    EventStreams.driftFold(b0, 0L, "text", col("in_a"), path, tag)
+    val afterB0 = counts()
+    // crash between swap and checkpoint commit → foreachBatch replays
+    // batch 0: the fold must be a no-op, not a double-count
+    EventStreams.driftFold(b0, 0L, "text", col("in_a"), path, tag)
+    assert(counts() == afterB0, "replayed batch must not fold twice")
+    // the NEXT batch under the same query still folds
+    EventStreams.driftFold(b1, 1L, "text", col("in_a"), path, tag)
+    val afterB1 = counts()
+    assert(afterB1 != afterB0)
+    // a DIFFERENT query lineage (new checkpoint) restarts batchIds at 0
+    // and must never be suppressed by the old marker
+    EventStreams.driftFold(b1, 0L, "text", col("in_a"), path,
+      Some("ckpt-B"))
+    assert(counts() != afterB1, "a new query's batch 0 must fold")
+    // and the streamed table still equals a full recompute of all folds
+    val streamed = DriftMonitor.jsFromCounts(spark.read.parquet(path))
+      .collect().toSeq
+    val full = DriftMonitor.jsDivergence(
+      Seq(("alpha beta beta", true), ("alpha gamma", false),
+        ("beta drift", true), ("beta drift", true))
+        .toDF("text", "in_a"), "text", col("in_a")).collect().toSeq
+    assert(streamed == full,
+      s"marker bookkeeping changed the counts: $streamed vs $full")
   }
 }

@@ -48,6 +48,29 @@ class PiiFunctionsSpec extends SparkSpec {
     assert(out(7L) == ((7L, 0, 0, 0, 0, 0, false)))
   }
 
+  test("kAnonymity keeps NULL quasi-identifier rows visible in the " +
+      "audit (null-safe join)") {
+    // 3 rows share (NULL, "x") — a k=3-OK group only if NULLs group and
+    // JOIN; 1 lone (NULL, NULL) row must surface as k_ok=false, and the
+    // pre-fix plain equi-join dropped all four rows from the audit
+    val df = Seq(
+      (1L, Option.empty[String], Some("x")),
+      (2L, Option.empty[String], Some("x")),
+      (3L, Option.empty[String], Some("x")),
+      (4L, Option.empty[String], Option.empty[String]),
+      (5L, Some("a"), Some("x")),
+      (6L, Some("a"), Some("x"))).toDF("id", "q1", "q2")
+    val out = Curation.kAnonymity(df, Seq("q1", "q2"), 3)
+      .select("id", "group_n", "k_ok")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, n, ok) => id -> ((n, ok)) }.toMap
+    assert(out.size == 6, s"audit must keep every input row, got $out")
+    assert(out(1L) == ((3L, true)) && out(2L) == ((3L, true)) &&
+      out(3L) == ((3L, true)))
+    assert(out(4L) == ((1L, false)), "all-NULL row must fail, not vanish")
+    assert(out(5L) == ((2L, false)) && out(6L) == ((2L, false)))
+  }
+
   test("pii detection plans scan-local (no exchange, codegen'd)") {
     val docs = graft.engine.Tables.t(spark, sf001, "documents")
     val plan = PiiFunctions.detect(docs, "doc_id", "text")

@@ -40,13 +40,35 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
+def repo_guards():
+    """The two source-level guard rails (cache hygiene, leak check) run
+    with every correctness check, so one `tools/check.py` invocation
+    fails on ANY of the three round-close gates — the third (oracle
+    portability) runs below against the live oracle set."""
+    fails = []
+    try:
+        from lint_persists import lint as persist_lint
+        fails.extend((f"persist lint src/.../{rel}:{ln}", why)
+                     for rel, ln, why in persist_lint())
+    except ImportError:
+        print("NOTE  tools/lint_persists.py not importable — lint skipped")
+    import subprocess, os as _os
+    leak = subprocess.run(
+        [sys.executable, _os.path.join(_os.path.dirname(
+            _os.path.abspath(__file__)), "leakcheck.py")],
+        capture_output=True, text=True)
+    if leak.returncode != 0:
+        fails.append(("leakcheck", leak.stdout[-800:] + leak.stderr[-400:]))
+    return fails
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    failures = []
+    failures = list(repo_guards())
     # Portability lint first: a gate that only passes on ONE DuckDB
     # version is not correct, it is lucky (the r7 lesson).
     try:
