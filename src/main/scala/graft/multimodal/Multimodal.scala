@@ -403,4 +403,76 @@ object Multimodal {
       }).toDF("media_id", "frame_idx", "x", "y", "width", "height",
         "delay_cs", "byte_offset")
   }
+
+  /** Synthetic GIFs WITH PIXELS ([[GifCodec.buildGifPixels]] — real
+    * global color table + genuine LZW-compressed frame data): palette
+    * size, palette entries, and every color index follow doc_id
+    * formulas an SQL oracle can replay — dims `(id%13+4) × (id%11+4)`,
+    * 2^(id%4+2) colors, palette j = ((3j+7)%256, (5j+11)%256,
+    * (7j+13)%256), index k = `(id·17 + k·23 + 5) mod nColors`. Every
+    * third id is stored INTERLACED, so the 4-pass row reorder sits on
+    * the gated path too. */
+  def syntheticGifPixels(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 13 + 4).toInt
+        val h = (id % 11 + 4).toInt
+        val m = (id % 4 + 2).toInt
+        val n = 1 << m
+        val pal = new Array[Byte](3 * n)
+        var j = 0
+        while (j < n) {
+          pal(3 * j) = ((3 * j + 7) % 256).toByte
+          pal(3 * j + 1) = ((5 * j + 11) % 256).toByte
+          pal(3 * j + 2) = ((7 * j + 13) % 256).toByte
+          j += 1
+        }
+        val idx = new Array[Byte](w * h)
+        var k = 0
+        while (k < idx.length) {
+          idx(k) = ((id * 17 + k.toLong * 23 + 5) % n).toByte
+          k += 1
+        }
+        (id, GifCodec.buildGifPixels(w, h, pal, idx,
+          interlaced = id % 3 == 0))
+      }.toDF("media_id", "payload")
+  }
+
+  /** REAL GIF pixel decode in the mapPartitions seam: LZW-decompress
+    * each payload's first frame ([[GifCodec.parseGifPixels]]) and reduce
+    * indices AND palette-mapped RGB to exact integer statistics (the
+    * position-weighted index sum catches any reordering — including a
+    * missed or misordered de-interlace pass; the RGB sum catches palette
+    * lookup slips). Scan-local, no shuffle; undecodable payloads yield
+    * null stats, never fabricated pixels. */
+  def decodeGifPixelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        GifCodec.parseGifPixels(bytes) match {
+          case Some(img) =>
+            var iSum = 0L; var iWsum = 0L; var rgbSum = 0L
+            var k = 0
+            while (k < img.indices.length) {
+              val v = img.indices(k) & 0xff
+              iSum += v; iWsum += (k + 1).toLong * v
+              rgbSum += (img.rgb(3 * k) & 0xff) +
+                (img.rgb(3 * k + 1) & 0xff) + (img.rgb(3 * k + 2) & 0xff)
+              k += 1
+            }
+            (id, Option(img.width), Option(img.height),
+              Option(img.nColors), Option(img.indices.length.toLong),
+              Option(iSum), Option(iWsum), Option(rgbSum))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long])
+        }
+      }).toDF("media_id", "width", "height", "n_colors", "n_px",
+        "idx_sum", "idx_wsum", "rgb_sum")
+  }
 }

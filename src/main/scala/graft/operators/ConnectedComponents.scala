@@ -35,15 +35,75 @@ object ConnectedComponents extends TrackedCaches {
 
   private val CheckpointEvery = 5
 
+  /** Edge-count bound under which [[canonicalize]] solves the closure
+    * driver-locally. Small match graphs (entity-resolution fixtures,
+    * incremental batches, contracted remaps) are dominated by per-round
+    * JOB overhead, not data: each distributed round costs a
+    * join+aggregate+count of scheduler/codegen latency, while ≤ 2^16
+    * edges are a ~1 MB bounded collect that union-find answers exactly
+    * in microseconds — the same bounded-collect pattern as Packing's
+    * prefix-scan offsets and Similarity's k centroids. Above the bound
+    * the plan is exactly the pre-existing distributed loop. */
+  private val SmallGraph = 1 << 16
+
+  private val integralTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(LongType, IntegerType, ShortType, ByteType)
+  }
+
+  /** Driver-local min-root union-find over a BOUNDED, already-counted
+    * edge set: exact for any component shape (no radius/diameter bound,
+    * unlike label propagation's maxIter), canonical = component min.
+    * Only reached behind [[SmallGraph]]'s probe, so the collect is
+    * capped by construction. */
+  private def localLabels(sym: DataFrame): DataFrame = {
+    val idType = sym.schema("a").dataType
+    val edges = sym.select(col("a").cast("long"), col("b").cast("long"))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val spark = sym.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+      .toDF("id", "canonical")
+      .select(col("id").cast(idType).as("id"),
+        col("canonical").cast(idType).as("canonical"))
+  }
+
   /** @param pairs edges as two id columns (any orientation, dups fine)
+    * @param localThreshold edge bound for the driver-local fast path
+    *        (0 disables it — every input runs the distributed loop)
     * @return (id, canonical) for every id appearing in `pairs` */
   def canonicalize(pairs: DataFrame, id1Col: String = "id1",
-                   id2Col: String = "id2", maxIter: Int = 20): DataFrame = {
+                   id2Col: String = "id2", maxIter: Int = 20,
+                   localThreshold: Int = SmallGraph): DataFrame = {
     val sym = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
       .union(pairs.select(col(id2Col).as("a"), col(id1Col).as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // bounded probe (the limit short-circuits — never a full count at
+      // scale): small integral-id graphs skip the round loop entirely
+      if (localThreshold > 0 &&
+          sym.schema.fields.forall(f => integralTypes(f.dataType)) &&
+          sym.limit(localThreshold + 1).count() <= localThreshold)
+        return localLabels(sym)
       var labels = tracked(sym.select(col("a").as("id")).distinct()
         .withColumn("canonical", col("id")))
       var iter = 0
@@ -120,7 +180,8 @@ object ConnectedComponents extends TrackedCaches {
     * @return (id, canonical) for every id appearing in `pairs` */
   def canonicalizeDeep(pairs: DataFrame, id1Col: String = "id1",
                        id2Col: String = "id2",
-                       maxIter: Int = 30): DataFrame = {
+                       maxIter: Int = 30,
+                       localThreshold: Int = SmallGraph): DataFrame = {
     val nodes = pairs.select(col(id1Col).as("id"))
       .union(pairs.select(col(id2Col).as("id")))
       .distinct()
@@ -131,6 +192,20 @@ object ConnectedComponents extends TrackedCaches {
       .where(col("lo") =!= col("hi")) // self loops carry no connectivity
       .distinct())
     try {
+      // same bounded driver-local fast path as [[canonicalize]] — the
+      // star rounds, like label propagation, pay scheduler latency per
+      // round that dwarfs the data work on small graphs. Union-find is
+      // orientation-agnostic, so the DISTINCT normalized edge set
+      // suffices (never the raw pairs, whose duplication is unbounded);
+      // nodes ride along as self-loops so self-loop-only singletons
+      // still get labeled, with their own bounded probe.
+      if (localThreshold > 0 &&
+          edges.schema.fields.forall(f => integralTypes(f.dataType)) &&
+          edges.limit(localThreshold + 1).count() <= localThreshold &&
+          nodes.limit(localThreshold + 1).count() <= localThreshold)
+        return localLabels(edges
+          .select(col("lo").as("a"), col("hi").as("b"))
+          .union(nodes.select(col("id").as("a"), col("id").as("b"))))
       var nEdges = edges.count()
       var iter = 0
       var converged = nEdges == 0

@@ -643,6 +643,42 @@ object EventQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // FULL GIF pixel decode (GifCodec.parseGifPixels): the fixture
+    // LZW-compresses formula color indices behind a formula global
+    // palette (GifCodec.buildGifPixels — real GIF89a, every third id
+    // interlaced), and the Spark side must decompress the actual
+    // variable-width code stream back — dictionary growth, width
+    // bumps, KwKwK, de-interlace, and palette lookup all sit on the
+    // gated path. The oracle knows only the index/palette FORMULAS:
+    // one mis-stepped code width or interlace pass shifts idx_wsum.
+    // Exact integer stats only. Scale: scan-local mapPartitions.
+    Q("q_multimodal_gif_pixels",
+      """WITH p AS (SELECT doc_id,
+        |                  CAST(doc_id % 13 + 4 AS INT) AS width,
+        |                  CAST(doc_id % 11 + 4 AS INT) AS height,
+        |                  CAST(1 << CAST(doc_id % 4 + 2 AS INT) AS INT)
+        |                    AS n_colors
+        |           FROM documents),
+        |px AS (SELECT doc_id, width, height, n_colors,
+        |              unnest(range(0, width * height)) AS k
+        |       FROM p),
+        |v AS (SELECT doc_id, width, height, n_colors, k,
+        |             (doc_id * 17 + k * 23 + 5) % n_colors AS idx
+        |      FROM px)
+        |SELECT doc_id AS media_id, width, height, n_colors,
+        |       CAST(count(*) AS BIGINT) AS n_px,
+        |       CAST(sum(idx) AS BIGINT) AS idx_sum,
+        |       CAST(sum((k + 1) * idx) AS BIGINT) AS idx_wsum,
+        |       CAST(sum((3 * idx + 7) % 256 + (5 * idx + 11) % 256
+        |                + (7 * idx + 13) % 256) AS BIGINT) AS rgb_sum
+        |FROM v GROUP BY doc_id, width, height, n_colors
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.decodeGifPixelStats(
+          Multimodal.syntheticGifPixels(t(s, dir, "documents")))
+        .orderBy("media_id")
+    },
+
     // Time-series gap fill with LOCF: daily per-type value sums, gaps
     // PLANTED deterministically (days divisible by 5 withheld), the full
     // day range regenerated per type (sequence/generate_series — scan-

@@ -237,6 +237,94 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GIF LZW pixel codec: exact round-trip across palette sizes, " +
+      "KwKwK, width growth, interlace, table overflow") {
+    import graft.multimodal.GifCodec
+    def pal(n: Int): Array[Byte] = {
+      val p = new Array[Byte](3 * n)
+      for (j <- 0 until n) {
+        p(3 * j) = ((3 * j + 7) % 256).toByte
+        p(3 * j + 1) = ((5 * j + 11) % 256).toByte
+        p(3 * j + 2) = ((7 * j + 13) % 256).toByte
+      }
+      p
+    }
+    // palette sizes 4..256; formula indices exercise dictionary growth
+    // and (at 4 colors) the 3->4->5-bit width ladder
+    for (m <- Seq(2, 4, 6, 8); interlaced <- Seq(false, true)) {
+      val n = 1 << m
+      val (w, h) = (29, 23)
+      val idx = Array.tabulate(w * h)(k => ((k * 23 + 5) % n).toByte)
+      val gif = GifCodec.buildGifPixels(w, h, pal(n), idx, interlaced)
+      val got = GifCodec.parseGifPixels(gif).get
+      assert((got.width, got.height, got.nColors) == ((w, h, n)))
+      assert(got.indices.toSeq == idx.toSeq,
+        s"m=$m interlaced=$interlaced index mismatch")
+      val v0 = got.indices(0) & 0xff
+      assert((got.rgb(0) & 0xff) == (3 * v0 + 7) % 256)
+    }
+    // constant run: first data code pair forces code == nextFree (KwKwK)
+    val flat = Array.fill[Byte](64 * 64)(3)
+    val kw = GifCodec.parseGifPixels(
+      GifCodec.buildGifPixels(64, 64, pal(16), flat)).get
+    assert(kw.indices.forall(_ == 3))
+    // 70k pseudo-random indices over 256 colors overflow the 4096-entry
+    // table: the deferred clear + rebuild path round-trips too
+    val big = Array.tabulate(280 * 250)(k =>
+      ((k * 7919 + (k >> 3) * 31 + 13) % 256).toByte)
+    val bigGot = GifCodec.parseGifPixels(
+      GifCodec.buildGifPixels(280, 250, pal(256), big)).get
+    assert(bigGot.indices.toSeq == big.toSeq, "table-overflow round-trip")
+    // corruption: every truncation must yield None, never padded pixels
+    val whole = GifCodec.buildGifPixels(29, 23, pal(16),
+      Array.tabulate(29 * 23)(k => (k % 16).toByte))
+    assert(GifCodec.parseGifPixels(null).isEmpty)
+    assert(GifCodec.parseGifPixels(whole.take(10)).isEmpty)
+    assert(GifCodec.parseGifPixels(whole.take(40)).isEmpty) // mid-GCT
+    assert(GifCodec.parseGifPixels(whole.dropRight(6)).isEmpty)
+    // a missing TRAILER alone doesn't corrupt the first frame: its data
+    // sub-blocks and terminator are intact, so first-frame decode
+    // succeeds (parseFrames, which walks the whole container, still
+    // rejects) — matching multi-frame reality where the first frame
+    // never sees the trailer
+    assert(GifCodec.parseGifPixels(whole.dropRight(1)).nonEmpty)
+    assert(GifCodec.parseFrames(whole.dropRight(1)).isEmpty)
+    // index-only payloads with no palette anywhere: undecodable
+    val noPal = graft.multimodal.GifCodec.buildGif(8, 8,
+      Seq((0, 0, 8, 8, 2)), _ => 4)
+    assert(GifCodec.parseGifPixels(noPal).isEmpty)
+  }
+
+  test("GIF LZW decoder agrees with an INDEPENDENT encoder (javax " +
+      "ImageIO) pixel for pixel") {
+    import graft.multimodal.GifCodec
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val (w, h) = (37, 29)
+    val n = 16
+    val r = Array.tabulate(n)(j => ((3 * j + 7) % 256).toByte)
+    val g = Array.tabulate(n)(j => ((5 * j + 11) % 256).toByte)
+    val b = Array.tabulate(n)(j => ((7 * j + 13) % 256).toByte)
+    val cm = new IndexColorModel(4, n, r, g, b)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (x * 23 + y * 5 + 3) % n)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", baos),
+      "JRE has no GIF writer?")
+    // decode the JRE-encoded bytes with OUR decoder: any matched
+    // encoder/decoder bug pair in our round-trip tests cannot survive a
+    // third-party code stream
+    val got = GifCodec.parseGifPixels(baos.toByteArray).get
+    assert((got.width, got.height) == ((w, h)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = y * w + x
+      val rgb = ((got.rgb(3 * k) & 0xff) << 16) |
+        ((got.rgb(3 * k + 1) & 0xff) << 8) | (got.rgb(3 * k + 2) & 0xff)
+      assert(rgb == (bi.getRGB(x, y) & 0xffffff),
+        s"pixel ($x,$y): ours=$rgb awt=${bi.getRGB(x, y) & 0xffffff}")
+    }
+  }
+
   test("GIF frame walk: offsets match structure arithmetic; corruption " +
       "yields None") {
     import graft.multimodal.GifCodec

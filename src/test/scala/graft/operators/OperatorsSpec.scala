@@ -288,10 +288,34 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 9)
   }
 
+  test("driver-local fast path matches the distributed closure on " +
+      "every small shape, including deep chains") {
+    // pure ER shape (stars + bridges) AND a radius-3 chain: the bounded
+    // union-find must agree with BOTH distributed operators exactly
+    val edges = Seq((5L, 50L), (5L, 51L), (6L, 50L), // l-r-l bridge
+      (9L, 90L), (12L, 91L), (12L, 92L), (13L, 92L),
+      (4L, 55L), (3L, 4L), (2L, 3L), (1L, 2L), (7L, 8L)).toDF("id1", "id2")
+    val fast = ConnectedComponents.canonicalize(edges)
+      .as[(Long, Long)].collect().toMap
+    val loop = ConnectedComponents.canonicalize(edges, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    val deep = ConnectedComponents
+      .canonicalizeDeep(edges, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop, s"$fast vs $loop")
+    assert(fast == deep, s"$fast vs $deep")
+    assert(fast(51L) == 5L && fast(6L) == 5L && fast(13L) == 12L)
+    assert((1L to 4L).forall(fast(_) == 1L) && fast(55L) == 1L &&
+      fast(8L) == 7L)
+  }
+
   test("connected components fails loudly when maxIter is too small") {
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
     intercept[IllegalArgumentException] {
-      ConnectedComponents.canonicalize(chain, maxIter = 1).collect()
+      // localThreshold = 0 forces the distributed loop — the bounded
+      // union-find would otherwise solve any small chain exactly
+      ConnectedComponents.canonicalize(chain, maxIter = 1,
+        localThreshold = 0).collect()
     }
   }
 
@@ -303,9 +327,10 @@ class DedupSpec extends SparkSpec {
     val chain = (0L until 99L).map(i => (i, i + 1)).toDF("id1", "id2")
       .repartition(7)
     intercept[IllegalArgumentException] {
-      ConnectedComponents.canonicalize(chain).collect()
+      ConnectedComponents.canonicalize(chain, localThreshold = 0).collect()
     }
-    val got = ConnectedComponents.canonicalizeDeep(chain, maxIter = 10)
+    val got = ConnectedComponents.canonicalizeDeep(chain, maxIter = 10,
+        localThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(got.size == 100)
     assert((0L until 100L).forall(got(_) == 0L),
@@ -320,7 +345,8 @@ class DedupSpec extends SparkSpec {
       .toDF("id1", "id2").repartition(5)
     val viaProp = ConnectedComponents.canonicalize(edges)
       .as[(Long, Long)].collect().toMap
-    val viaStar = ConnectedComponents.canonicalizeDeep(edges)
+    val viaStar = ConnectedComponents.canonicalizeDeep(edges,
+      localThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(viaStar == viaProp,
       s"disagreement: star=$viaStar prop=$viaProp")
