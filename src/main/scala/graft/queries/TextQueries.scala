@@ -1270,5 +1270,160 @@ object TextQueries {
           md5(stripped).as("text_md5"))
         .orderBy("doc_id")
     },
+
+    // C4-style cross-document LINE dedup (TextClean.dedupLines):
+    // boilerplate lines repeat across millions of pages and survive
+    // whole-document fingerprints; a line with corpus frequency > 1
+    // survives only in its min-doc_id owner. The fixture PLANTS line
+    // structure both engines replay identically — 8-word chunks of the
+    // base text as lines plus boilerplate appended by doc_id formula
+    // (subscribe/follow lines land on every 3rd/5th doc). Gate is
+    // line counts + md5 of the reassembled text, so a kept/dropped
+    // slip or an order slip in reassembly fails the hash.
+    Q("q_text_line_dedup", {
+      s"""WITH w AS (SELECT doc_id,
+         |            string_split_regex(trim(text), '\\s+') AS words
+         |           FROM documents),
+         |c AS (SELECT doc_id, list_transform(
+         |        range(0, (len(words) + 7) // 8),
+         |        i -> array_to_string(words[i*8+1:i*8+8], ' ')) AS chunks
+         |      FROM w),
+         |p AS (SELECT doc_id, array_to_string(chunks, chr(10))
+         |    || CASE WHEN doc_id % 3 = 0
+         |       THEN chr(10) || 'subscribe to our newsletter today'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0
+         |       THEN chr(10) || 'follow us on social media now'
+         |       ELSE '' END AS text
+         |      FROM c),
+         |lx AS (SELECT doc_id, ss, unnest(range(0, len(ss))) AS pos
+         |       FROM (SELECT doc_id, string_split(text, chr(10)) AS ss
+         |             FROM p)),
+         |l AS (SELECT doc_id, pos, ss[CAST(pos AS INT) + 1] AS line
+         |      FROM lx),
+         |st AS (SELECT line, count(*) AS cnt, min(doc_id) AS owner
+         |       FROM l GROUP BY line),
+         |k AS (SELECT l.doc_id, l.pos, l.line,
+         |             (st.cnt = 1 OR l.doc_id = st.owner) AS keep
+         |      FROM l JOIN st USING (line))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+         |             FILTER (WHERE keep), '')) AS clean_md5
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.TextClean
+        .dedupLines(plantedLineDocs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
+    // C4-style per-line quality rules (TextClean.filterLines): minimum
+    // word count + banned-substring drop, scan-local per line. The
+    // fixture plants violations by formula — a 'lorem ipsum' line on
+    // every 7th doc, a 2-word line on every 4th — and the trailing
+    // base chunk goes under the word floor whenever len(words) % 8 is
+    // 1 or 2, so the rule path is exercised on organic lines too.
+    Q("q_text_c4_lines", {
+      s"""WITH w AS (SELECT doc_id,
+         |            string_split_regex(trim(text), '\\s+') AS words
+         |           FROM documents),
+         |c AS (SELECT doc_id, list_transform(
+         |        range(0, (len(words) + 7) // 8),
+         |        i -> array_to_string(words[i*8+1:i*8+8], ' ')) AS chunks
+         |      FROM w),
+         |p AS (SELECT doc_id, array_to_string(chunks, chr(10))
+         |    || CASE WHEN doc_id % 7 = 0
+         |       THEN chr(10) || 'lorem ipsum dolor sit amet'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0
+         |       THEN chr(10) || 'tiny line' ELSE '' END AS text
+         |      FROM c),
+         |lx AS (SELECT doc_id, ss, unnest(range(0, len(ss))) AS pos
+         |       FROM (SELECT doc_id, string_split(text, chr(10)) AS ss
+         |             FROM p)),
+         |l AS (SELECT doc_id, pos, ss[CAST(pos AS INT) + 1] AS line
+         |      FROM lx),
+         |k AS (SELECT doc_id, pos, line,
+         |             (len(string_split_regex(trim(line), '\\s+')) >= 3
+         |              AND trim(line) != ''
+         |              AND lower(line) NOT LIKE '%lorem ipsum%'
+         |              AND line NOT LIKE '%{%') AS keep
+         |      FROM l)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+         |             FILTER (WHERE keep), '')) AS clean_md5
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.TextClean
+        .filterLines(plantedC4Docs(s, dir), "doc_id", "text",
+          minWords = 3, banned = Seq("lorem ipsum", "{"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Duplicate-cluster size histogram — the audit artifact a dedup
+    // pass publishes (how much of the corpus is singleton vs 2x vs
+    // heavy boilerplate). Same planted crawl copies as the replay
+    // gate; two map-side-combinable aggregations, no joins.
+    Q("q_dedup_cluster_histogram",
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) || '!!'
+        |  FROM documents WHERE doc_id < 50),
+        |f AS (SELECT md5(regexp_replace(regexp_replace(lower(text),
+        |             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
+        |      FROM aug),
+        |g AS (SELECT fp, count(*) AS sz FROM f GROUP BY fp)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |       CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM g GROUP BY sz ORDER BY cluster_size""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val aug = docs.select("doc_id", "text").union(
+          docs.where(col("doc_id") < 50)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              concat(upper(col("text")), lit("!!")).as("text")))
+        aug.select(normFingerprint(col("text")).as("fp"))
+          .groupBy("fp").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"))
+          .orderBy("cluster_size")
+    },
   )
+
+  /** Planted multi-line frame shared by the line-cleaning gates: 8-word
+    * chunks of the base text as lines (the oracle replays the same
+    * chunking), plus formula boilerplate lines. */
+  private def chunked(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val nChunks = (size(words) + 7).divide(8).cast("int")
+    t(s, dir, "documents").select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(words, i * 8 + 1, lit(8)), " ")),
+        "\n").as("base"))
+  }
+
+  private def plantedLineDocs(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    chunked(s, dir).select(col("doc_id"), concat(col("base"),
+      when(col("doc_id") % 3 === 0,
+        lit("\nsubscribe to our newsletter today")).otherwise(""),
+      when(col("doc_id") % 5 === 0,
+        lit("\nfollow us on social media now")).otherwise(""))
+      .as("text"))
+
+  private def plantedC4Docs(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    chunked(s, dir).select(col("doc_id"), concat(col("base"),
+      when(col("doc_id") % 7 === 0,
+        lit("\nlorem ipsum dolor sit amet")).otherwise(""),
+      when(col("doc_id") % 4 === 0, lit("\ntiny line")).otherwise(""))
+      .as("text"))
 }

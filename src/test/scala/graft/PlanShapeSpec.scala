@@ -179,6 +179,33 @@ class PlanShapeSpec extends SparkSpec {
       s"novelty fell to an O(n*m) join:\n$plan")
     assert(plan.contains("HashAggregate"),
       s"shingle frequencies must hash-aggregate:\n$plan")
+    graft.operators.OperatorCaches.releaseAll(spark)
+  }
+
+  test("novelty derives the shingle explode ONCE (staged), feeding both " +
+      "join sides from the cache") {
+    // the staging persist turns the double tokenize+explode (one per
+    // join side — two full corpus scans at 100 TB) into a single
+    // Generate inside the cached plan, read back via InMemoryTableScan
+    // on BOTH sides
+    val df = SparkEntry.queries("q_text_novelty")(spark, sf001)
+    val plan = physical(df)
+    // a Generate is fine INSIDE the InMemoryRelation's cached-plan
+    // rendering (that's the one staged derivation); any Generate in the
+    // live tree means a join side re-derives the explode from source
+    def indent(l: String): Int = l.indexWhere(_.isLetter)
+    var cachedDepth = -1
+    var outerGenerates = 0
+    for (l <- plan.linesIterator; i = indent(l); if i >= 0) {
+      if (cachedDepth >= 0 && i <= cachedDepth) cachedDepth = -1
+      if (l.contains("Generate") && cachedDepth < 0) outerGenerates += 1
+      if (l.contains("InMemoryRelation") && cachedDepth < 0) cachedDepth = i
+    }
+    assert(plan.contains("InMemoryTableScan"),
+      s"shingle frame is not staged:\n$plan")
+    assert(outerGenerates == 0,
+      s"explode re-derived outside the staged frame:\n$plan")
+    graft.operators.OperatorCaches.releaseAll(spark)
   }
 
   test("export manifest never plans a window (prefix sum is distributed)") {

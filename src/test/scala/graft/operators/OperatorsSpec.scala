@@ -1414,3 +1414,47 @@ class LshPlanSpec extends SparkSpec {
       s"planted dup $i missed under planned (b=$bands, r=$rows)"))
   }
 }
+
+class TextCleanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("dedupLines keeps a repeated line only in its min-id owner, " +
+      "preserves order, keeps unique lines") {
+    val docs = Seq(
+      (3L, "alpha one\nSUBSCRIBE NOW\nbeta two"),
+      (1L, "gamma three\nSUBSCRIBE NOW\ndelta four"),
+      (2L, "SUBSCRIBE NOW\nepsilon five")).toDF("doc_id", "text")
+    val got = TextClean.dedupLines(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 3L, "gamma three\nSUBSCRIBE NOW\ndelta four")))
+    assert(got(3L) == ((3L, 2L, "alpha one\nbeta two")),
+      "non-owner must lose the boilerplate copy but keep line order")
+    assert(got(2L) == ((2L, 1L, "epsilon five")))
+  }
+
+  test("filterLines applies word floor and case-insensitive bans; a " +
+      "fully-dropped doc still reports, empty text") {
+    val docs = Seq(
+      (1L, "keep these three words\nno\nLorem Ipsum here today\nok fine then"),
+      (2L, "x { y z w")).toDF("doc_id", "text")
+    val got = TextClean.filterLines(docs, "doc_id", "text",
+        minWords = 3, banned = Seq("lorem ipsum", "{"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 2L, "keep these three words\nok fine then")))
+    assert(got(2L) == ((1L, 0L, "")),
+      "all-dropped doc must still surface with n_kept = 0")
+  }
+
+  test("dedupLines treats the separator as a literal (split AND rejoin)") {
+    val docs = Seq((1L, "a b c|dup line here"), (2L, "dup line here|x y z"))
+      .toDF("doc_id", "text")
+    val got = TextClean.dedupLines(docs, "doc_id", "text", sep = "|")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got(1L) == "a b c|dup line here", s"got ${got(1L)}")
+    assert(got(2L) == "x y z", s"got ${got(2L)}")
+  }
+}
