@@ -355,6 +355,229 @@ object Multimodal {
           i => i * octet_length(col("payload")) / nFrames)))
       .toDF("media_id", "frame_idx", "byte_offset")
 
+  /** Synthetic image corpus WITH PLANTED NEAR-DUPLICATES for the
+    * perceptual-hash dedup gates: every id with `id % 5 == 4` re-encodes
+    * the PREVIOUS id's image with a tiny perturbation (every 97th pixel
+    * bumped by one, mod 251) — a recompressed/retouched copy, the exact
+    * thing image dedup must catch. Grayscale PNGs, real zlib IDAT bytes.
+    * The pixel stride is base-dependent (`7 + base % 7`): with a fixed
+    * stride, two images of the same dimensions differ only by a CONSTANT
+    * intensity shift, and a mean-threshold hash is deliberately
+    * brightness-invariant — every same-shape pair would collide. An SQL
+    * oracle replays the formula. */
+  def syntheticNearDupImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val base = if (id % 5 == 4) id - 1 else id
+        // dims at least the 8x8 hash grid: smaller images leave most
+        // blocks empty (few informative bits), degenerating the hash
+        val w = (base % 13 + 8).toInt
+        val h = (base % 11 + 8).toInt
+        val px = new Array[Byte](w * h)
+        val stride = 7 + (base % 7)
+        var k = 0
+        while (k < px.length) {
+          val v = (base * 31 + k.toLong * stride + 13) % 251
+          px(k) =
+            if (id % 5 == 4 && k % 97 == 0) ((v + 1) % 251).toByte
+            else v.toByte
+          k += 1
+        }
+        (id, ImageCodec.buildPngPixels(w, h, 1, px))
+      }.toDF("media_id", "payload")
+  }
+
+  /** Perceptual block-mean hash (blockhash/aHash family — public
+    * algorithm, e.g. Zauner 2010) over REAL decoded pixels: the image is
+    * cut into an 8×8 grid (block of pixel (x,y) = `(y*8/h)*8 + x*8/w` —
+    * integer floor, so ragged edges are deterministic), per-block
+    * intensity sums are compared to the global mean CROSS-MULTIPLIED
+    * (`blockSum * nPx > totalSum * blockPx`) so the whole hash is
+    * integer-exact — no float mean an oracle could disagree with. Bits
+    * land in two 32-bit halves (`hash_hi` = blocks 32-63) to keep the
+    * values positive in any SQL dialect. Intensity = sum of channel
+    * bytes, so the same code hashes grayscale and RGB. Blocks an image
+    * narrower than the grid never touches hash as 0 on both sides.
+    * Scan-local, no shuffle; undecodable payloads yield null hashes. */
+  def imageBlockHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageCodec.parsePngPixels(bytes) match {
+          case Some(img) =>
+            val w = img.width; val h = img.height; val ch = img.channels
+            val bs = new Array[Long](64)
+            val bn = new Array[Long](64)
+            var ts = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var v = 0; var c = 0
+                while (c < ch) {
+                  v += img.pixels((y * w + x) * ch + c) & 0xff; c += 1
+                }
+                val blk = (y * 8 / h) * 8 + x * 8 / w
+                bs(blk) += v; bn(blk) += 1; ts += v
+                x += 1
+              }
+              y += 1
+            }
+            val tn = w.toLong * h
+            // cross-multiplied compare: exact in Long up to ~2^26 px;
+            // beyond that (gigapixel scans) fall back to BigInt — the
+            // guard costs one compare per block, not per pixel
+            val big = tn > (1L << 26)
+            var hi = 0L; var lo = 0L; var i = 0
+            while (i < 64) {
+              val gt =
+                if (big) BigInt(bs(i)) * tn > BigInt(ts) * bn(i)
+                else bs(i) * tn > ts * bn(i)
+              if (gt) { if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32) }
+              i += 1
+            }
+            (id, Option(w), Option(h), Option(hi), Option(lo))
+          case None =>
+            (id, None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long])
+        }
+      }).toDF("media_id", "width", "height", "hash_hi", "hash_lo")
+  }
+
+  /** Near-duplicate image pairs by banded perceptual hash: the 64-bit
+    * block hash splits into four 16-bit bands; only pairs sharing at
+    * least one exact band meet (equi-join on (band, value) — a shuffle
+    * join on a compact key, NEVER all-pairs), then the full Hamming
+    * distance over both halves gates the candidates. A recompressed
+    * copy differs in a few borderline bits, so some band almost always
+    * survives intact — the standard banding argument from MinHash-LSH
+    * applied to perceptual hashes. `maxBucket` caps degenerate bands
+    * (e.g. millions of blank thumbnails hashing to 0) exactly like
+    * [[graft.operators.Dedup]]'s hot-bucket cap. */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 6,
+                    maxBucket: Int = 100000): DataFrame = {
+    val h = hashes.where(col("hash_hi").isNotNull)
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+    val bands = h.select(col("media_id"), col("hash_hi"), col("hash_lo"),
+      posexplode(array(
+        col("hash_lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("hash_lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("hash_hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("hash_hi"), 16).bitwiseAND(lit(0xffffL)))))
+      .toDF("media_id", "hash_hi", "hash_lo", "band", "v")
+    val capped = bands.withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "v")))
+      .where(col("__n") <= maxBucket).drop("__n")
+    val a = capped.select(col("media_id").as("id1"),
+      col("hash_hi").as("hi1"), col("hash_lo").as("lo1"),
+      col("band"), col("v"))
+    val b = capped.select(col("media_id").as("id2"),
+      col("hash_hi").as("hi2"), col("hash_lo").as("lo2"),
+      col("band"), col("v"))
+    a.join(b, Seq("band", "v"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2", "hi1", "lo1", "hi2", "lo2")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi1").bitwiseXOR(col("hi2"))) +
+          bit_count(col("lo1").bitwiseXOR(col("lo2")))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Mono 16-bit PCM fixtures for the windowed-feature gate: real RIFF
+    * bytes ([[AudioCodec.buildWavPcm]]), sample values from a doc_id
+    * formula an SQL oracle can replay. */
+  def syntheticMonoPcm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (id % 200 + 32).toInt
+        val samples = Array.tabulate(n) { k =>
+          ((id * 7 + k.toLong * 13) % 65536).toInt - 32768
+        }
+        (id, AudioCodec.buildWavPcm(1, 8000, 16, samples))
+      }.toDF("media_id", "payload")
+  }
+
+  /** Windowed audio features over REAL decoded PCM: fixed windows of
+    * `win` samples (last window ragged), per window the energy proxy
+    * (sum of squares), amplitude extremes, and the zero-crossing count
+    * (sign flips between consecutive samples INSIDE the window;
+    * `sign(0)` counts as non-negative) — the standard cheap features a
+    * speech-data pipeline filters on (silence/clipping detection).
+    * All-integer, scan-local flatMap, no shuffle; undecodable payloads
+    * emit nothing (corruption surfaces in the meta gate, not here). */
+  def audioFrameFeatures(media: DataFrame, win: Int = 16): DataFrame = {
+    require(win > 0, s"win must be positive, got $win")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.parseWavSamples(bytes) match {
+          case Some((_, samples)) =>
+            val nWin = (samples.length + win - 1) / win
+            (0 until nWin).iterator.map { f =>
+              val start = f * win
+              val end = math.min(samples.length, start + win)
+              var sum = 0L; var sq = 0L; var zc = 0L
+              var mn = Int.MaxValue; var mx = Int.MinValue
+              var k = start
+              while (k < end) {
+                val s = samples(k)
+                sum += s; sq += s.toLong * s
+                if (s < mn) mn = s
+                if (s > mx) mx = s
+                if (k > start) {
+                  val p = samples(k - 1)
+                  if ((p < 0 && s >= 0) || (p >= 0 && s < 0)) zc += 1
+                }
+                k += 1
+              }
+              (id, f, (end - start).toLong, sum, sq,
+                mn.toLong, mx.toLong, zc)
+            }
+          case None => Iterator.empty
+        }
+      }).toDF("media_id", "frame_idx", "n_samples", "s_sum", "sq_sum",
+        "s_min", "s_max", "zc")
+  }
+
+  /** Uniform frame sampling over a REAL container walk: index the GIF's
+    * actual frames ([[GifCodec.parseFrames]]), then keep the distinct
+    * indices `⌊j·n/k⌋` for `j < k` — the deterministic uniform-k policy
+    * a video pipeline uses when it can't afford every frame. Emits the
+    * sampled frames' geometry/timing plus the image-descriptor byte
+    * offset a decoder would seek to. Scan-local; unparseable payloads
+    * emit nothing. */
+  def sampleGifFramesUniform(media: DataFrame, k: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        GifCodec.parseFrames(bytes) match {
+          case Some(frames) =>
+            val n = frames.length
+            (0 until k).map(j => j * n / k).distinct.iterator.map { fi =>
+              val f = frames(fi)
+              (id, f.index, f.x, f.y, f.width, f.height, f.delayCs,
+                f.byteOffset)
+            }
+          case None => Iterator.empty
+        }
+      }).toDF("media_id", "frame_idx", "x", "y", "width", "height",
+        "delay_cs", "byte_offset")
+  }
+
   /** Synthetic animated GIFs with REAL container structure
     * ([[GifCodec.buildGif]] — GIF89a, graphic-control extensions, image
     * descriptors, length-prefixed LZW sub-blocks): frame count, per-frame

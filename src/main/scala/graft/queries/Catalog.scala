@@ -17,6 +17,7 @@ object Catalog {
       TextQueries.all ++
       VectorQueries.all ++
       EventQueries.all ++
+      MediaQueries.all ++
       CurationQueries.all ++
       ApproxQueries.all ++
       TokenQueries.all ++

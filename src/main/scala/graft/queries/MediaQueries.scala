@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+
+/** Driver-gated queries over the multimodal seam's REAL byte decoders:
+  * perceptual-hash image dedup, windowed PCM audio features, and uniform
+  * frame sampling. Fixtures are genuine encoded bytes (PNG zlib IDAT, RIFF
+  * PCM, GIF89a block streams) built from doc_id formulas, so the DuckDB
+  * oracle replays the FORMULAS while Spark must earn the same numbers by
+  * decoding the actual payloads — one slipped bit fails the hash.
+  */
+object MediaQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Perceptual block-mean hash over real decoded PNG pixels
+    // (Multimodal.imageBlockHash): 8x8 grid, per-block intensity vs the
+    // global mean, CROSS-MULTIPLIED so every bit is integer-exact. The
+    // oracle rebuilds the grid arithmetic from the pixel formula —
+    // including the planted near-duplicate class (id % 5 == 4 re-encodes
+    // the previous id's image with every 97th pixel bumped), so the gate
+    // also pins that copies hash close to their originals.
+    Q("q_multimodal_blockhash",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CASE WHEN doc_id % 5 = 4 THEN doc_id - 1
+        |                       ELSE doc_id END AS b
+        |           FROM documents),
+        |d AS (SELECT id, b, CAST(b % 13 + 8 AS INT) AS w,
+        |             CAST(b % 11 + 8 AS INT) AS h
+        |      FROM p),
+        |px AS (SELECT id, b, w, h, unnest(range(0, w * h)) AS k FROM d),
+        |v AS (SELECT id, w, h, k,
+        |             CASE WHEN id % 5 = 4 AND k % 97 = 0
+        |                  THEN ((b * 31 + k * (7 + b % 7) + 13) % 251
+        |                        + 1) % 251
+        |                  ELSE (b * 31 + k * (7 + b % 7) + 13) % 251
+        |             END AS val
+        |      FROM px),
+        |blk AS (SELECT id, w, h,
+        |               ((k // w) * 8 // h) * 8 + (k % w) * 8 // w AS blk,
+        |               val
+        |        FROM v),
+        |bsum AS (SELECT id, blk, sum(val) AS bs, count(*) AS bn
+        |         FROM blk GROUP BY 1, 2),
+        |tot AS (SELECT id, max(w) AS w, max(h) AS h, sum(val) AS ts,
+        |               count(*) AS tn
+        |        FROM blk GROUP BY 1),
+        |bits AS (SELECT s.id, s.blk,
+        |                CASE WHEN s.bs * t.tn > t.ts * s.bn THEN 1
+        |                     ELSE 0 END AS bit
+        |         FROM bsum s JOIN tot t USING (id))
+        |SELECT t.id AS media_id, t.w AS width, t.h AS height,
+        |       CAST(coalesce(sum(CASE WHEN x.blk >= 32
+        |                 THEN x.bit * (CAST(1 AS BIGINT) << (x.blk - 32))
+        |                 ELSE 0 END), 0) AS BIGINT) AS hash_hi,
+        |       CAST(coalesce(sum(CASE WHEN x.blk < 32
+        |                 THEN x.bit * (CAST(1 AS BIGINT) << x.blk)
+        |                 ELSE 0 END), 0) AS BIGINT) AS hash_lo
+        |FROM tot t JOIN bits x ON t.id = x.id
+        |GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.imageBlockHash(
+          Multimodal.syntheticNearDupImages(t(s, dir, "documents")))
+        .select("media_id", "width", "height", "hash_hi", "hash_lo")
+        .orderBy("media_id")
+    },
+
+    // Image near-dup pairs by banded perceptual hash
+    // (Multimodal.imageNearDups): four 16-bit bands gate candidates
+    // through an equi-join (never all-pairs — PlanShapeSpec pins the
+    // join shape), full 64-bit Hamming <= 6 confirms. The oracle replays
+    // the SAME banding semantics, so a pair reachable only through a
+    // non-matching band stays out on both sides. The planted id%5==4
+    // copies are the expected survivors.
+    Q("q_image_neardup",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CASE WHEN doc_id % 5 = 4 THEN doc_id - 1
+        |                       ELSE doc_id END AS b
+        |           FROM documents),
+        |d AS (SELECT id, b, CAST(b % 13 + 8 AS INT) AS w,
+        |             CAST(b % 11 + 8 AS INT) AS h
+        |      FROM p),
+        |px AS (SELECT id, b, w, h, unnest(range(0, w * h)) AS k FROM d),
+        |v AS (SELECT id, w, h, k,
+        |             CASE WHEN id % 5 = 4 AND k % 97 = 0
+        |                  THEN ((b * 31 + k * (7 + b % 7) + 13) % 251
+        |                        + 1) % 251
+        |                  ELSE (b * 31 + k * (7 + b % 7) + 13) % 251
+        |             END AS val
+        |      FROM px),
+        |blk AS (SELECT id,
+        |               ((k // w) * 8 // h) * 8 + (k % w) * 8 // w AS blk,
+        |               val
+        |        FROM v),
+        |bsum AS (SELECT id, blk, sum(val) AS bs, count(*) AS bn
+        |         FROM blk GROUP BY 1, 2),
+        |tot AS (SELECT id, sum(val) AS ts, count(*) AS tn
+        |        FROM blk GROUP BY 1),
+        |bits AS (SELECT s.id, s.blk,
+        |                CASE WHEN s.bs * t.tn > t.ts * s.bn THEN 1
+        |                     ELSE 0 END AS bit
+        |         FROM bsum s JOIN tot t USING (id)),
+        |hs AS (SELECT t.id,
+        |              CAST(coalesce(sum(CASE WHEN x.blk >= 32
+        |                    THEN x.bit * (CAST(1 AS BIGINT) << (x.blk - 32))
+        |                    ELSE 0 END), 0) AS BIGINT) AS hi,
+        |              CAST(coalesce(sum(CASE WHEN x.blk < 32
+        |                    THEN x.bit * (CAST(1 AS BIGINT) << x.blk)
+        |                    ELSE 0 END), 0) AS BIGINT) AS lo
+        |       FROM tot t JOIN bits x ON t.id = x.id GROUP BY 1),
+        |bands AS (SELECT id, hi, lo, j AS band,
+        |                 CASE j WHEN 0 THEN lo % 65536
+        |                        WHEN 1 THEN (lo // 65536) % 65536
+        |                        WHEN 2 THEN hi % 65536
+        |                        ELSE (hi // 65536) % 65536 END AS bv
+        |          FROM hs, range(0, 4) AS r(j)),
+        |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
+        |                a.hi AS hi1, a.lo AS lo1, b.hi AS hi2, b.lo AS lo2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+        |SELECT id1, id2,
+        |       CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2))
+        |            AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= 6
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.imageNearDups(
+          Multimodal.imageBlockHash(
+            Multimodal.syntheticNearDupImages(t(s, dir, "documents"))))
+        .orderBy("id1", "id2")
+    },
+
+    // Windowed PCM audio features (Multimodal.audioFrameFeatures) over
+    // real decoded RIFF bytes: 16-sample windows, energy proxy (sum of
+    // squares), amplitude extremes, zero-crossing count — the cheap
+    // silence/clipping filters of a speech pipeline. All-integer; the
+    // oracle regenerates the samples and replays the window arithmetic
+    // with a lag() for the crossings.
+    Q("q_multimodal_audio_frames",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CAST(doc_id % 200 + 32 AS BIGINT) AS n
+        |           FROM documents),
+        |s AS (SELECT id, unnest(range(0, n)) AS k FROM p),
+        |v AS (SELECT id, k,
+        |             CAST((id * 7 + k * 13) % 65536 - 32768 AS BIGINT) AS s
+        |      FROM s),
+        |w AS (SELECT id, k, s, CAST(k // 16 AS INT) AS frame_idx,
+        |             lag(s) OVER (PARTITION BY id ORDER BY k) AS prev
+        |      FROM v)
+        |SELECT id AS media_id, frame_idx,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(s) AS BIGINT) AS s_sum,
+        |       CAST(sum(s * s) AS BIGINT) AS sq_sum,
+        |       CAST(min(s) AS BIGINT) AS s_min,
+        |       CAST(max(s) AS BIGINT) AS s_max,
+        |       CAST(sum(CASE WHEN k % 16 > 0 AND
+        |                          ((prev < 0 AND s >= 0) OR
+        |                           (prev >= 0 AND s < 0))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        |FROM w GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin) {
+      (s, dir) =>
+        import graft.multimodal.Multimodal
+        Multimodal.audioFrameFeatures(
+            Multimodal.syntheticMonoPcm(t(s, dir, "documents")))
+          .orderBy("media_id", "frame_idx")
+    },
+
+    // Uniform-k frame sampling over the real GIF container walk
+    // (Multimodal.sampleGifFramesUniform): keep frames floor(j*n/4),
+    // j < 4, deduplicated — the budgeted sampling policy of a video
+    // pipeline. The oracle knows only the frame-count and geometry
+    // formulas; byte offsets (decoder seek targets) are pinned
+    // separately in MultimodalSpec because SQL can't walk bytes.
+    Q("q_multimodal_frame_sample",
+      """WITH p AS (SELECT doc_id AS id, CAST(doc_id % 5 + 1 AS INT) AS n
+        |           FROM documents),
+        |sel AS (SELECT DISTINCT id, n, CAST(j * n // 4 AS INT) AS fi
+        |        FROM p, range(0, 4) AS r(j))
+        |SELECT id AS media_id, fi AS frame_idx,
+        |       CAST((id + fi) % 3 AS INT) AS x,
+        |       CAST((id + 2 * fi) % 2 AS INT) AS y,
+        |       CAST((id + fi) % 13 + 1 AS INT) AS width,
+        |       CAST((id + 2 * fi) % 11 + 1 AS INT) AS height,
+        |       CAST((id + fi) % 50 + 2 AS INT) AS delay_cs
+        |FROM sel ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.sampleGifFramesUniform(
+          Multimodal.syntheticGifs(t(s, dir, "documents")))
+        .select("media_id", "frame_idx", "x", "y", "width", "height",
+          "delay_cs")
+        .orderBy("media_id", "frame_idx")
+    })
+}

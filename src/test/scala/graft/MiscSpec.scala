@@ -465,6 +465,92 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == (("bmp", 20, 30, 29)))
     assert(got(3L) == ((null, -1, -1, 12)))
   }
+
+  test("imageBlockHash: deterministic, copies hash close, corruption null") {
+    import graft.multimodal.ImageCodec
+    def png(seed: Long, w: Int, h: Int, perturb: Boolean) = {
+      val px = Array.tabulate(w * h) { k =>
+        val v = (seed * 31 + k.toLong * 7 + 13) % 251
+        if (perturb && k % 97 == 0) ((v + 1) % 251).toByte else v.toByte
+      }
+      ImageCodec.buildPngPixels(w, h, 1, px)
+    }
+    val rows = Seq(
+      (3L, png(3, 9, 7, perturb = false)),
+      (4L, png(3, 9, 7, perturb = true)), // retouched copy of id 3
+      (7L, png(7, 11, 8, perturb = false)),
+      (9L, "junk".getBytes)).toDF("media_id", "payload")
+    val h = Multimodal.imageBlockHash(rows).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None
+         else Some((r.getLong(3), r.getLong(4))))).toMap
+    assert(h(9L).isEmpty, "corrupt payload must yield null hash")
+    assert(h(3L).isDefined && h(7L).isDefined)
+    val Some((hi3, lo3)) = h(3L)
+    val Some((hi4, lo4)) = h(4L)
+    val ham = java.lang.Long.bitCount(hi3 ^ hi4) +
+      java.lang.Long.bitCount(lo3 ^ lo4)
+    assert(ham <= 6, s"retouched copy should hash close, hamming=$ham")
+    assert(h(3L) != h(7L), "distinct images should differ")
+    // bit-identical on re-run (no RNG, no float mean)
+    val h2 = Multimodal.imageBlockHash(rows).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None
+         else Some((r.getLong(3), r.getLong(4))))).toMap
+    assert(h2 == h)
+  }
+
+  test("imageNearDups finds planted copies via bands, bounds hamming") {
+    val media = Multimodal.syntheticNearDupImages(
+      graft.engine.Tables.t(spark, sf001, "documents"))
+    val pairs = Multimodal.imageNearDups(Multimodal.imageBlockHash(media))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty, "planted near-dups must surface")
+    assert(pairs.forall(_._3 <= 6))
+    // the planted class: (id-1, id) for id % 5 == 4 dominates the pairs
+    val planted = pairs.count(p => p._2 == p._1 + 1 && p._2 % 5 == 4)
+    assert(planted * 2 > pairs.length,
+      s"planted pairs should dominate: $planted of ${pairs.length}")
+  }
+
+  test("audioFrameFeatures: hand-checked windows, corruption emits nothing") {
+    import graft.multimodal.AudioCodec
+    val samples = Array(-3, -1, 0, 2, 5, -5, 4, -4, 1) // 9 samples
+    val rows = Seq(
+      (1L, AudioCodec.buildWavPcm(1, 8000, 16, samples)),
+      (2L, "nope".getBytes)).toDF("media_id", "payload")
+    val got = Multimodal.audioFrameFeatures(rows, win = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(got.keySet == Set((1L, 0), (1L, 1), (1L, 2)))
+    // window 0: [-3,-1,0,2] → sum -2, sq 14, min -3, max 2, zc 1 (-1→0)
+    assert(got((1L, 0)) == ((4L, -2L, 14L, -3L, 2L, 1L)))
+    // window 1: [5,-5,4,-4] → sum 0, sq 82, zc 3
+    assert(got((1L, 1)) == ((4L, 0L, 82L, -5L, 5L, 3L)))
+    // ragged window 2: [1] → no crossings possible
+    assert(got((1L, 2)) == ((1L, 1L, 1L, 1L, 1L, 0L)))
+  }
+
+  test("sampleGifFramesUniform picks floor(j*n/k) distinct, real offsets") {
+    import graft.multimodal.GifCodec
+    def gif(n: Int) = GifCodec.buildGif(16, 16,
+      (0 until n).map(i => (i % 3, i % 2, i + 1, i + 2, 10 + i)), _ => 2)
+    val rows = Seq((1L, gif(5)), (2L, gif(2)), (3L, "x".getBytes))
+      .toDF("media_id", "payload")
+    val got = Multimodal.sampleGifFramesUniform(rows, k = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(7)))
+    // n=5: floor(j*5/4) = 0,1,2,3; n=2: 0,0,1,1 → {0,1}; corrupt → none
+    assert(got.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 0), (1L, 1), (1L, 2), (1L, 3), (2L, 0), (2L, 1)))
+    // byte offsets agree with the full container walk
+    val idx = Multimodal.indexGifFrames(
+        rows.where($"media_id" === 1L)).collect()
+      .map(r => r.getInt(1) -> r.getInt(7)).toMap
+    got.filter(_._1 == 1L).foreach { case (_, fi, off) =>
+      assert(idx(fi) == off, s"offset mismatch for frame $fi")
+    }
+  }
 }
 
 class StreamingSpec extends SparkSpec {

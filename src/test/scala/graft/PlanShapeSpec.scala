@@ -504,4 +504,15 @@ class PlanShapeSpec extends SparkSpec {
       "windowspecdefinition(k")),
       s"changelog argmax not partitioned by pk:\n${winLines.mkString("\n")}")
   }
+
+  test("image near-dup pairs meet through the band equi-join, never " +
+      "all-pairs") {
+    val plan = physical(
+      SparkEntry.queries("q_image_neardup")(spark, sf001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"perceptual-hash pairing fell back to O(n^2):\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi join on the (band, value) key:\n$plan")
+  }
 }
