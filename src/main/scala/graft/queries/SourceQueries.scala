@@ -228,6 +228,34 @@ object SourceQueries {
         .select("doc_id", "lang", "n_chars", "source")
         .orderBy("doc_id")
     },
+
+    // Small-file compaction (Formats.compact): a deliberately fragmented
+    // copy of orders (32 shards) compacts in place — coalesce (no
+    // shuffle), staging dir + atomic swap — and the gate reads the
+    // compacted table back against the ORIGINAL facts: every key must
+    // survive, exactly once, which the per-group sorted-key md5 pins.
+    // File-count mechanics (before/after, swap atomicity, sort-key
+    // clustering) are FormatsSpec's; this gate owns row fidelity.
+    Q("q_source_compact",
+      """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+        |       md5(string_agg(CAST(o_orderkey AS VARCHAR), ' '
+        |                      ORDER BY o_orderkey)) AS keys_md5
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin) { (s, dir) =>
+      import graft.sources.Formats
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_compact").toString + "/orders"
+      graft.engine.Tables.t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(32) // the small-file problem, planted
+        .write.parquet(tmp)
+      Formats.compact(s, tmp, targetBytes = 1L << 30)
+      s.read.parquet(tmp)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          md5(array_join(transform(array_sort(collect_list("o_orderkey")),
+            _.cast("string")), " ")).as("keys_md5"))
+        .orderBy("prio")
+    },
   )
 
   /** Schema-evolution fixture dirs (written by the q_schema_merge gate
