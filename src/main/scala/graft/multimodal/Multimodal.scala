@@ -118,9 +118,9 @@ object Multimodal {
   /** REAL decode in the mapPartitions seam: parse each payload's actual
     * bytes ([[ImageCodec]] — PNG/BMP header formats) into typed metadata.
     * Scan-local, header-only, no shuffle; unparseable payloads yield null
-    * format/dims (corruption is visible, never fabricated). This replaces
-    * the deterministic fake for dimension metadata; full pixel decode
-    * (features, resampling) remains the marked seam below. */
+    * format/dims (corruption is visible, never fabricated). Full pixel
+    * decode, featurization, and resampling are equally real —
+    * [[decodePixelStats]], [[extractFeatures]], [[resizePixels]]. */
   def decodeImageMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -318,11 +318,62 @@ object Multimodal {
       }
   }
 
-  /** Resize for image payloads: the metadata math is real (aspect-ratio-
-    * preserving fit into a maxDim×maxDim box, floor semantics, upscale
-    * suppressed); the pixel transform is the marked seam — payload passes
-    * through where a real implementation re-encodes. Scan-local projection:
-    * resizing 100 TB of images shuffles nothing. */
+  /** REAL pixel resize over decoded PNGs: aspect-ratio-preserving fit
+    * into a maxDim×maxDim box with ALL-INTEGER geometry (`out_w =
+    * w·maxDim / max(w,h)` floored, min 1, upscale suppressed) and
+    * nearest-neighbor resampling (`src_x = x·w / out_w` floored — the
+    * deterministic NN convention an SQL oracle can replay; box/bilinear
+    * filters slot into the same loop). Emits the resampled buffer's
+    * exact integer statistics; re-encoding to PNG is one
+    * [[ImageCodec.buildPngPixels]] call away and changes no plan shape.
+    * Scan-local mapPartitions, no shuffle; undecodable payloads yield
+    * null stats. */
+  def resizePixels(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageCodec.parsePngPixels(bytes) match {
+          case Some(img) =>
+            val w = img.width; val h = img.height; val ch = img.channels
+            val m = math.max(w, h)
+            val ow = if (m <= maxDim) w else math.max(1, w * maxDim / m)
+            val oh = if (m <= maxDim) h else math.max(1, h * maxDim / m)
+            var sum = 0L; var wsum = 0L
+            var y = 0
+            while (y < oh) {
+              val sy = y * h / oh
+              var x = 0
+              while (x < ow) {
+                val sx = x * w / ow
+                var c = 0
+                while (c < ch) {
+                  val v = img.pixels((sy * w + sx) * ch + c) & 0xff
+                  val k = (y * ow + x) * ch + c
+                  sum += v; wsum += (k + 1).toLong * v
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (id, Option(w), Option(h), Option(ow), Option(oh), Option(ch),
+              Option(ow.toLong * oh * ch), Option(sum), Option(wsum))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Long],
+              None: Option[Long], None: Option[Long])
+        }
+      }).toDF("media_id", "in_w", "in_h", "out_w", "out_h", "channels",
+        "n_px", "px_sum", "px_wsum")
+  }
+
+  /** Resize for image METADATA tables (no payload decode): the same
+    * aspect-fit geometry as [[resizePixels]] expressed as a scan-local
+    * projection — the planning path when only dimensions are known.
+    * Scan-local: resizing 100 TB of images shuffles nothing. */
   def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
     require(maxDim > 0, s"maxDim must be positive, got $maxDim")
     // corrupt metadata (null or non-positive dims) propagates as null

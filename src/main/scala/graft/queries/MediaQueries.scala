@@ -133,6 +133,50 @@ object MediaQueries {
         .orderBy("id1", "id2")
     },
 
+    // REAL nearest-neighbor pixel resize (Multimodal.resizePixels) over
+    // decoded PNGs: integer aspect-fit geometry (w*maxDim/max(w,h),
+    // floored, upscale suppressed) + integer NN source mapping
+    // (src_x = x*out->in floor). The oracle replays geometry, sampling,
+    // AND the pixel formula; the position-weighted sum catches any
+    // row-order or channel slip in the resampled buffer. Images already
+    // inside the box pass through unscaled (out == in), so both branches
+    // sit on the gated path.
+    Q("q_multimodal_resize",
+      """WITH p AS (SELECT doc_id AS id, CAST(doc_id % 13 + 4 AS INT) AS w,
+        |                  CAST(doc_id % 11 + 4 AS INT) AS h,
+        |                  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+        |           FROM documents),
+        |g AS (SELECT id, w, h, ch, greatest(w, h) AS m FROM p),
+        |o AS (SELECT id, w, h, ch,
+        |             CASE WHEN m <= 8 THEN w
+        |                  ELSE greatest(1, w * 8 // m) END AS ow,
+        |             CASE WHEN m <= 8 THEN h
+        |                  ELSE greatest(1, h * 8 // m) END AS oh
+        |      FROM g),
+        |px AS (SELECT id, w, h, ch, ow, oh,
+        |              unnest(range(0, ow * oh * ch)) AS k
+        |       FROM o),
+        |v AS (SELECT id, w, h, ch, ow, oh, k,
+        |             ((((k // ch) // ow) * h // oh) * w
+        |              + ((k // ch) % ow) * w // ow) * ch
+        |             + k % ch AS ki
+        |      FROM px)
+        |SELECT id AS media_id, w AS in_w, h AS in_h,
+        |       CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |       ch AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_px,
+        |       CAST(sum((id * 31 + ki * 7 + 13) % 251) AS BIGINT)
+        |         AS px_sum,
+        |       CAST(sum((k + 1) * ((id * 31 + ki * 7 + 13) % 251))
+        |            AS BIGINT) AS px_wsum
+        |FROM v GROUP BY 1, 2, 3, 4, 5, 6
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.resizePixels(
+          Multimodal.syntheticPixelImages(t(s, dir, "documents")), 8)
+        .orderBy("media_id")
+    },
+
     // Windowed PCM audio features (Multimodal.audioFrameFeatures) over
     // real decoded RIFF bytes: 16-sample windows, energy proxy (sum of
     // squares), amplitude extremes, zero-crossing count — the cheap

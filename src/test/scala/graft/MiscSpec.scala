@@ -532,6 +532,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got((1L, 2)) == ((1L, 1L, 1L, 1L, 1L, 0L)))
   }
 
+  test("resizePixels: hand-checked NN sample, pass-through, corruption") {
+    import graft.multimodal.ImageCodec
+    // 4x2 grayscale, pixels 10,20,30,40 / 50,60,70,80
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val rows = Seq(
+      (1L, ImageCodec.buildPngPixels(4, 2, 1, px)),
+      (2L, ImageCodec.buildPngPixels(2, 2, 1, Array[Byte](1, 2, 3, 4))),
+      (3L, "junk".getBytes)).toDF("media_id", "payload")
+    val got = Multimodal.resizePixels(rows, maxDim = 2).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None
+         else Some((r.getInt(3), r.getInt(4), r.getLong(6), r.getLong(7),
+           r.getLong(8))))).toMap
+    // 4x2 → ow=2, oh=1; NN keeps in(0,0)=10 and in(0,2)=30:
+    // sum 40, wsum 1*10 + 2*30 = 70
+    assert(got(1L) == Some((2, 1, 2L, 40L, 70L)))
+    // already inside the box: pass-through, sum 10, wsum 1+4+9+16 = 30
+    assert(got(2L) == Some((2, 2, 4L, 10L, 30L)))
+    assert(got(3L).isEmpty)
+  }
+
   test("sampleGifFramesUniform picks floor(j*n/k) distinct, real offsets") {
     import graft.multimodal.GifCodec
     def gif(n: Int) = GifCodec.buildGif(16, 16,
