@@ -601,6 +601,73 @@ object Multimodal {
         "s_min", "s_max", "zc")
   }
 
+  /** PCM fixtures with PLANTED SILENCE for the segmentation gate: every
+    * 7-window cycle, windows 2-3 carry near-silence (|s| ≤ 2) while the
+    * rest replay the loud formula (mean square ≥ ~58k per window — no
+    * knife-edge against the threshold). Real RIFF bytes; an SQL oracle
+    * replays the formulas. */
+  def syntheticSpeechPcm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (id % 200 + 48).toInt
+        val samples = Array.tabulate(n) { k =>
+          if ((k / 16) % 7 == 2 || (k / 16) % 7 == 3)
+            ((id + k) % 5).toInt - 2
+          else ((id * 7 + k.toLong * 13) % 65536).toInt - 32768
+        }
+        (id, AudioCodec.buildWavPcm(1, 8000, 16, samples))
+      }.toDF("media_id", "payload")
+  }
+
+  /** Silence segmentation over REAL decoded PCM (the
+    * voice-activity-detection shape a speech pipeline trims with): a
+    * window of `win` samples is silent when its energy stays under the
+    * mean-square threshold (`sq_sum < threshold·n` — integer
+    * cross-multiply, no division), and consecutive silent windows merge
+    * into one segment (start/end frame, length). Segmentation is
+    * per-payload, so the whole operator is ONE scan-local flatMap — the
+    * gaps-and-islands pass costs no shuffle at all, unlike its SQL
+    * twin. Undecodable payloads emit nothing. */
+  def silenceSegments(media: DataFrame, win: Int = 16,
+                      meanSquareThreshold: Long = 100): DataFrame = {
+    require(win > 0, s"win must be positive, got $win")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.parseWavSamples(bytes) match {
+          case Some((_, samples)) =>
+            val nWin = (samples.length + win - 1) / win
+            val segs = Seq.newBuilder[(Long, Int, Int, Long)]
+            var runStart = -1
+            var f = 0
+            while (f < nWin) {
+              val start = f * win
+              val end = math.min(samples.length, start + win)
+              var sq = 0L
+              var k = start
+              while (k < end) {
+                val s = samples(k); sq += s.toLong * s; k += 1
+              }
+              val silent = sq < meanSquareThreshold * (end - start)
+              if (silent && runStart < 0) runStart = f
+              if (!silent && runStart >= 0) {
+                segs += ((id, runStart, f - 1, (f - runStart).toLong))
+                runStart = -1
+              }
+              f += 1
+            }
+            if (runStart >= 0)
+              segs += ((id, runStart, nWin - 1, (nWin - runStart).toLong))
+            segs.result().iterator
+          case None => Iterator.empty
+        }
+      }).toDF("media_id", "start_frame", "end_frame", "n_frames")
+  }
+
   /** Uniform frame sampling over a REAL container walk: index the GIF's
     * actual frames ([[GifCodec.parseFrames]]), then keep the distinct
     * indices `⌊j·n/k⌋` for `j < k` — the deterministic uniform-k policy

@@ -212,6 +212,43 @@ object MediaQueries {
           .orderBy("media_id", "frame_idx")
     },
 
+    // Silence segmentation (Multimodal.silenceSegments) over real
+    // decoded PCM with PLANTED silence blocks: windows 2-3 of every
+    // 7-window cycle are near-silent, the rest loud by >=30x margin.
+    // Spark does the gaps-and-islands merge inside one scan-local
+    // flatMap (no shuffle); the oracle pays the SQL way — energy
+    // windows, silent filter, f - row_number() islands — and must land
+    // on identical segments.
+    Q("q_multimodal_silence",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CAST(doc_id % 200 + 48 AS BIGINT) AS n
+        |           FROM documents),
+        |s AS (SELECT id, unnest(range(0, n)) AS k FROM p),
+        |v AS (SELECT id, k,
+        |             CAST(CASE WHEN (k // 16) % 7 IN (2, 3)
+        |                       THEN (id + k) % 5 - 2
+        |                       ELSE (id * 7 + k * 13) % 65536 - 32768
+        |                  END AS BIGINT) AS s
+        |      FROM s),
+        |w AS (SELECT id, CAST(k // 16 AS INT) AS f, sum(s * s) AS sq,
+        |             count(*) AS cnt
+        |      FROM v GROUP BY 1, 2),
+        |sil AS (SELECT id, f FROM w WHERE sq < 100 * cnt),
+        |isl AS (SELECT id, f,
+        |               f - row_number() OVER (PARTITION BY id ORDER BY f)
+        |                 AS g
+        |        FROM sil)
+        |SELECT id AS media_id, CAST(min(f) AS INT) AS start_frame,
+        |       CAST(max(f) AS INT) AS end_frame,
+        |       CAST(count(*) AS BIGINT) AS n_frames
+        |FROM isl GROUP BY id, g
+        |ORDER BY media_id, start_frame""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.silenceSegments(
+          Multimodal.syntheticSpeechPcm(t(s, dir, "documents")))
+        .orderBy("media_id", "start_frame")
+    },
+
     // Uniform-k frame sampling over the real GIF container walk
     // (Multimodal.sampleGifFramesUniform): keep frames floor(j*n/4),
     // j < 4, deduplicated — the budgeted sampling policy of a video

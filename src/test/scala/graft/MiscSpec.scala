@@ -553,6 +553,23 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).isEmpty)
   }
 
+  test("silenceSegments merges silent windows, hand-checked runs") {
+    import graft.multimodal.AudioCodec
+    // win=4: windows loud/SILENT/SILENT/loud/SILENT (ragged tail of 2)
+    val samples =
+      Array(900, -900, 900, -900, 0, 1, -1, 0, 1, 0, 0, -1,
+        800, 800, -800, -800, 2, -2)
+    val rows = Seq(
+      (1L, AudioCodec.buildWavPcm(1, 8000, 16, samples)),
+      (2L, AudioCodec.buildWavPcm(1, 8000, 16,
+        Array(500, -500, 500, -500))), // no silence at all
+      (3L, "x".getBytes)).toDF("media_id", "payload")
+    val got = Multimodal.silenceSegments(rows, win = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSet == Set((1L, 1, 2, 2L), (1L, 4, 4, 1L)),
+      s"unexpected segments: ${got.toSeq}")
+  }
+
   test("sampleGifFramesUniform picks floor(j*n/k) distinct, real offsets") {
     import graft.multimodal.GifCodec
     def gif(n: Int) = GifCodec.buildGif(16, 16,
