@@ -295,12 +295,42 @@ object Multimodal {
         "duration_us")
   }
 
+  /** Real sample features for decoded PCM audio: checksum over the
+    * sample stream and an 8-bucket mean-amplitude profile (|s|
+    * normalized by the 16-bit range) — the audio twin of
+    * [[pixelFeatures]], wrong-by-construction on any sample-decode
+    * slip. */
+  private def sampleFeatures(samples: Array[Int]): (Long, Array[Float]) = {
+    var checksum = 0L
+    val sums = new Array[Long](8)
+    val counts = new Array[Long](8)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      checksum = checksum * 31 + s
+      val bucket = (i.toLong * 8 / samples.length).toInt
+      sums(bucket) += math.abs(s); counts(bucket) += 1
+      i += 1
+    }
+    val feat = new Array[Float](8)
+    i = 0
+    while (i < 8) {
+      feat(i) =
+        if (counts(i) == 0) 0f
+        else (sums(i).toDouble / counts(i) / 32768.0).toFloat
+      i += 1
+    }
+    (checksum, feat)
+  }
+
   /** Feature extraction over the media table: partition-local, batched,
     * no shuffle. PNG payloads are ACTUALLY decoded
     * ([[ImageCodec.parsePngPixels]]) and featurized from reconstructed
-    * pixels; everything else gets the honest [[byteFeatures]] signature.
-    * The mapPartitions seam is where further codecs (or an Arrow
-    * round-trip to a Python worker) slot in. */
+    * pixels; WAV payloads decode to samples ([[AudioCodec
+    * .parseWavSamples]]) and featurize from those; everything else gets
+    * the honest [[byteFeatures]] signature. The mapPartitions seam is
+    * where further codecs (or an Arrow round-trip to a Python worker)
+    * slot in. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -311,7 +341,11 @@ object Multimodal {
         rows.map { case (id, kind, payload, _, _, _) =>
           val (checksum, feat) = ImageCodec.parsePngPixels(payload) match {
             case Some(img) => pixelFeatures(img)
-            case None => byteFeatures(payload)
+            case None => AudioCodec.parseWavSamples(payload) match {
+              case Some((_, samples)) if samples.nonEmpty =>
+                sampleFeatures(samples)
+              case _ => byteFeatures(payload)
+            }
           }
           MediaFeatures(id, kind, payload.length, checksum, feat)
         }
@@ -520,10 +554,14 @@ object Multimodal {
         col("hash_hi").bitwiseAND(lit(0xffffL)),
         shiftright(col("hash_hi"), 16).bitwiseAND(lit(0xffffL)))))
       .toDF("media_id", "hash_hi", "hash_lo", "band", "v")
-    val capped = bands.withColumn("__n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "v")))
-      .where(col("__n") <= maxBucket).drop("__n")
+    // staged: the decode → hash → band derivation feeds BOTH join sides;
+    // un-persisted, Spark would decode and hash every image twice (the
+    // tracked persist is released by OperatorCaches.releaseAll)
+    val capped = graft.operators.StagingCaches.cache(
+      bands.withColumn("__n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "v")))
+        .where(col("__n") <= maxBucket).drop("__n"))
     val a = capped.select(col("media_id").as("id1"),
       col("hash_hi").as("hi1"), col("hash_lo").as("lo1"),
       col("band"), col("v"))

@@ -366,6 +366,22 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.n_bytes > 0)
   }
 
+  test("extractFeatures takes the real sample path for WAV payloads") {
+    import graft.multimodal.AudioCodec
+    val samples = Array(16384, -16384, 0, 32767)
+    val wav = Seq((1L, "audio", AudioCodec.buildWavPcm(1, 8000, 16,
+        samples), 0, 0, 0L))
+      .toDF("media_id", "kind", "payload", "width", "height",
+        "duration_ms")
+    val f = Multimodal.extractFeatures(wav).head()
+    // checksum over SAMPLES, not container bytes: 31-fold of the values
+    val expected = samples.foldLeft(0L)((acc, s) => acc * 31 + s)
+    assert(f.checksum == expected,
+      s"WAV featurized from bytes, not samples: ${f.checksum}")
+    // 4 samples over 8 buckets: two samples map to buckets 0/2/4/6
+    assert(f.feature(0) == 16384 / 32768.0f && f.feature(1) == 0f)
+  }
+
   test("sampleFrames emits nFrames offsets per video") {
     val frames = Multimodal.sampleFrames(media, nFrames = 4)
     val perVideo = frames.groupBy("media_id").count()
