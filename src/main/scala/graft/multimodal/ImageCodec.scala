@@ -308,7 +308,10 @@ object ImageCodec {
       var got = 0
       while (got < expect && !inf.finished()) {
         val n = inf.inflate(raw, got, expect - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // 0 while unfinished = truncated stream (needsInput) OR a
+        // preset-dictionary demand (FDICT set — legal zlib, forbidden
+        // in PNG): both corruption; looping on the latter spins forever
+        if (n == 0) return None
         got += n
       }
       if (got < expect) return None

@@ -189,6 +189,26 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.parsePngPixels(Array.fill[Byte](64)(0x42)).isEmpty)
   }
 
+  test("PNG pixel decode: FDICT zlib stream rejects promptly, no spin") {
+    import graft.multimodal.ImageCodec
+    // hand-built 1x1 grayscale PNG whose IDAT carries a VALID zlib
+    // header with the preset-dictionary flag set (0x78 0x20 passes the
+    // %31 check): Inflater.inflate returns 0 with needsInput()==false
+    // and finished()==false — the old needsInput-only guard spun forever
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val len = data.length
+      Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte) ++
+        typ.getBytes("US-ASCII") ++ data ++ Array[Byte](0, 0, 0, 0)
+    }
+    val ihdr = Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 0, 0, 0, 0)
+    val fdictIdat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8)
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", fdictIdat) ++ chunk("IEND", Array.empty[Byte])
+    assert(ImageCodec.parsePngPixels(png).isEmpty)
+  }
+
   test("WAV PCM codec: exact sample round-trip, pad byte, truncation") {
     import graft.multimodal.AudioCodec
     // 16-bit stereo incl. extreme values (sign-extension on the path)
