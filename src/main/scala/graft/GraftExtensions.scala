@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BpeTokenCount, HyperplaneSig64, LangId, MinHash, MinHashSig, MinHashUnion, MultiMatchCount, NfcNorm, NfkcNorm, QualityScore, RollingHash64, SimHash64, StripAccents, StripInvisible, VecMean, WinnowFingerprintPos, WinnowFingerprints, WordShingles, ZOrder62}
+import graft.expressions.{BpeTokenCount, HyperplaneSig64, LangId, MaxMatchCount, MaxMatchEncode, MinHash, MinHashSig, MinHashUnion, MultiMatchCount, NfcNorm, NfkcNorm, QualityScore, RollingHash64, SimHash64, StripAccents, StripInvisible, VecMean, WinnowFingerprintPos, WinnowFingerprints, WordShingles, ZOrder62}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -71,6 +71,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MultiMatchCount].getName,
         "multi_match_count"),
       children => MultiMatchCount(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("max_match_encode"),
+      new ExpressionInfo(classOf[MaxMatchEncode].getName,
+        "max_match_encode"),
+      children => MaxMatchEncode(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("max_match_count"),
+      new ExpressionInfo(classOf[MaxMatchCount].getName, "max_match_count"),
+      children => MaxMatchCount(children.head, children(1))))
     // pure time-range inner joins → bucketed equi joins (no nested loop)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
   }

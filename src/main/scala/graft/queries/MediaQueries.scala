@@ -141,7 +141,7 @@ object MediaQueries {
     // row-order or channel slip in the resampled buffer. Images already
     // inside the box pass through unscaled (out == in), so both branches
     // sit on the gated path.
-    Q("q_multimodal_resize",
+    Q("q_multimodal_resize_pixels",
       """WITH p AS (SELECT doc_id AS id, CAST(doc_id % 13 + 4 AS INT) AS w,
         |                  CAST(doc_id % 11 + 4 AS INT) AS h,
         |                  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch

@@ -491,5 +491,75 @@ object TokenQueries {
           sum(col("n_ch")).as("n_chars"))
         .orderBy("lang")
     },
+
+    // Greedy longest-match (MaxMatch) tokenization — the WordPiece
+    // family's inference algorithm (expressions.MaxMatch), the second
+    // tokenizer family next to BPE's merge walk. The fixture text is a
+    // CONSTRUCTION the algorithm provably inverts: every vocab piece is
+    // one consonant + 1-2 vowels, so at a piece boundary no longer
+    // match can cross into the next piece (its first char is a
+    // consonant), while 2-vowel tails ("ae", "oo") contain in-vocab
+    // 1-vowel prefixes — the longest-vs-shorter preference is exercised
+    // at every such piece. A planted 'z' (no piece starts with z) pins
+    // UNK handling. The oracle knows only the construction formulas;
+    // Spark must recover them by actually matching the string against
+    // the loaded vocab trie. One wrong match anywhere shifts ids_md5.
+    Q("q_tok_maxmatch",
+      """WITH d AS (SELECT doc_id AS id, CAST(doc_id % 17 + 3 AS INT) AS m
+        |           FROM documents),
+        |t AS (SELECT id, unnest(range(0, m)) AS j FROM d),
+        |p AS (SELECT id, j, (id * 7 + 3 * j * j + j) % 35 AS pid FROM t),
+        |a AS (SELECT id, CAST(count(*) AS INT) AS np,
+        |             CAST(sum(CASE WHEN pid % 7 < 5 THEN 2 ELSE 3 END)
+        |                  AS INT) AS pc,
+        |             string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY j)
+        |               AS ids_str
+        |      FROM p GROUP BY id)
+        |SELECT id AS doc_id,
+        |       np + CASE WHEN id % 13 = 0 THEN 1 ELSE 0 END AS n_tokens,
+        |       pc + CASE WHEN id % 13 = 0 THEN 1 ELSE 0 END AS n_chars,
+        |       CAST(CASE WHEN id % 13 = 0 THEN 1 ELSE 0 END AS INT)
+        |         AS n_unk,
+        |       md5(ids_str ||
+        |           CASE WHEN id % 13 = 0 THEN ' -1' ELSE '' END)
+        |         AS ids_md5
+        |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.expressions.MaxMatch
+      MaxMatch.register(s)
+      val text = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val m = (id % 17 + 3).toInt
+          val sb = new StringBuilder
+          var j = 0
+          while (j < m) {
+            val pid = ((id * 7 + 3L * j * j + j) % 35).toInt
+            sb.append(maxMatchPieces(pid))
+            j += 1
+          }
+          if (id % 13 == 0) sb.append('z')
+          (id, sb.toString)
+        }.toDF("doc_id", "text")
+      text.select(col("doc_id"),
+          MaxMatch.encodeIds(col("text"), maxMatchVocabPath).as("ids"),
+          length(col("text")).as("n_chars"))
+        .select(col("doc_id"),
+          size(col("ids")).as("n_tokens"), col("n_chars"),
+          expr("size(filter(ids, x -> x = -1))").as("n_unk"),
+          md5(array_join(transform(col("ids"), _.cast("string")), " "))
+            .as("ids_md5"))
+        .orderBy("doc_id")
+    },
   )
+
+  /** MaxMatch fixture vocab: 35 pieces, one consonant + a 1-2 vowel
+    * tail; id = line number = 7·consonant + tail. */
+  private[queries] lazy val maxMatchPieces: IndexedSeq[String] = {
+    val cons = "bcdfg"
+    val tails = Vector("a", "e", "i", "o", "u", "ae", "oo")
+    for (c <- cons.toVector; t <- tails) yield s"$c$t"
+  }
+
+  private lazy val maxMatchVocabPath: String =
+    materialize("graft_maxmatch_vocab.txt", maxMatchPieces)
 }
