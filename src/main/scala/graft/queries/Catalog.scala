@@ -9,7 +9,17 @@ import graft.functions.Rounding.round4
   */
 object Catalog {
 
-  def queries: Seq[Q] =
+  def queries: Seq[Q] = {
+    val qs = all
+    // SparkEntry exposes these as a Map: a duplicated name would silently
+    // shadow an earlier gate (its oracle would then judge the WRONG
+    // query). Round 10 shipped exactly that for a day — fail loudly.
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate catalog query names: ${dups.mkString(", ")}")
+    qs
+  }
+
+  private def all: Seq[Q] =
     RelationalQueries.all ++
       FunctionQueries.all ++
       Scd2Queries.all ++

@@ -118,6 +118,20 @@ class TextFunctionsSpec extends SparkSpec {
   }
 }
 
+class CatalogSpec extends SparkSpec {
+
+  test("catalog names are unique and every oracle belongs to a query") {
+    // a duplicated name silently shadows an earlier gate in the
+    // SparkEntry Map — its oracle would then judge the WRONG query
+    // (round-10 q_multimodal_resize did exactly this); Catalog.queries
+    // now throws, and this spec keeps the guard honest
+    val qs = graft.queries.Catalog.queries
+    assert(qs.map(_.name).distinct.size == qs.size)
+    assert(SparkEntry.queries.size == qs.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.map(_.name).toSet))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   import spark.implicits._
