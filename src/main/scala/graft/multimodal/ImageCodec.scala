@@ -251,6 +251,75 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Splice tEXt metadata chunks (PNG §11.3.4: keyword, NUL, Latin-1
+    * text) into a PNG right after its IHDR — real chunks, real CRCs;
+    * any standards-conformant reader sees them. */
+  def addPngTexts(png: Array[Byte],
+                  texts: Seq[(String, String)]): Array[Byte] = {
+    require(png.length >= 33, "not a PNG with an IHDR")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, 33) // signature + IHDR chunk
+    texts.foreach { case (k, v) =>
+      chunk(out, "tEXt",
+        k.getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+          v.getBytes("ISO-8859-1"))
+    }
+    out.write(png, 33, png.length - 33)
+    out.toByteArray
+  }
+
+  /** Collect tEXt key/value pairs via the real chunk walk (stops at
+    * IEND); structural corruption → None, never a partial fabrication. */
+  def parsePngTexts(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    if (b == null || b.length < 8) return None
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return None; i += 1 }
+    val out = Seq.newBuilder[(String, String)]
+    var pos = 8
+    var seenIend = false
+    while (!seenIend) {
+      if (pos + 8 > b.length) return None
+      val len = be32(b, pos)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > b.length) return None
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      if (typ == "tEXt") {
+        val data = java.util.Arrays.copyOfRange(b, pos + 8,
+          pos + 8 + len.toInt)
+        val nul = data.indexOf(0: Byte)
+        if (nul < 0) return None // keyword must be NUL-terminated
+        out += ((new String(data, 0, nul, "ISO-8859-1"),
+          new String(data, nul + 1, data.length - nul - 1, "ISO-8859-1")))
+      }
+      if (typ == "IEND") seenIend = true
+      pos += 12 + len.toInt
+    }
+    Some(out.result())
+  }
+
+  /** Strip ancillary chunks (PNG §5.4: ancillary = bit 5 of the first
+    * type byte set — tEXt, zTXt, iTXt, tIME, eXIf, ...) keeping the
+    * critical ones byte-identical: the privacy pass a crawled-image
+    * pipeline runs before training export. Corruption → None. */
+  def stripPngMetadata(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b == null || b.length < 8) return None
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return None; i += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(b, 0, 8)
+    var pos = 8
+    var seenIend = false
+    while (!seenIend) {
+      if (pos + 8 > b.length) return None
+      val len = be32(b, pos)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > b.length) return None
+      val critical = (b(pos + 4) & 0x20) == 0
+      if (new String(b, pos + 4, 4, "US-ASCII") == "IEND") seenIend = true
+      if (critical) out.write(b, pos, 12 + len.toInt)
+      pos += 12 + len.toInt
+    }
+    Some(out.toByteArray)
+  }
+
   /** Decode a PNG's ACTUAL pixels: chunk walk (IDAT may be split),
     * zlib inflate, and the full §9 un-filter pass. Supports the shapes
     * [[buildPngPixels]] emits (8-bit, gray/RGB, non-interlaced); any

@@ -201,6 +201,63 @@ object Multimodal {
         "px_sum", "px_min", "px_max", "px_wsum")
   }
 
+  /** Annotated-image fixtures: real PNGs (4×4 grayscale, formula pixels
+    * `(id·13 + k·11 + 7) mod 251`) carrying real tEXt metadata chunks —
+    * provenance ("source", "license") on every image and a planted PII
+    * contact line on every 11th. An SQL oracle replays the string
+    * formulas; the Spark side must walk actual chunks back. */
+  def syntheticAnnotatedImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val licenses = Vector("cc0", "cc-by", "proprietary")
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val px = Array.tabulate(16)(k =>
+          ((id * 13 + k.toLong * 11 + 7) % 251).toByte)
+        val texts = Seq(
+          "source" -> s"crawl-${id % 7}",
+          "license" -> licenses((id % 3).toInt)) ++
+          (if (id % 11 == 0)
+             Seq("contact" -> s"user$id@mail.example")
+           else Nil)
+        (id, ImageCodec.addPngTexts(
+          ImageCodec.buildPngPixels(4, 4, 1, px), texts))
+      }.toDF("media_id", "payload")
+  }
+
+  /** Metadata extraction over the real chunk walk: one row per tEXt
+    * entry — the provenance/compliance surface a curation pipeline
+    * filters and audits on. Scan-local flatMap; unparseable payloads
+    * emit a single null-key row (corruption visible). */
+  def extractImageMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.parsePngTexts(bytes) match {
+          case Some(texts) => texts.iterator.map(t =>
+            (id, Option(t._1), Option(t._2)))
+          case None => Iterator.single(
+            (id, None: Option[String], None: Option[String]))
+        }
+      }).toDF("media_id", "meta_key", "meta_value")
+  }
+
+  /** Privacy strip: drop every ancillary chunk (tEXt/zTXt/iTXt/tIME/
+    * eXIf — where camera serials, GPS tags, and contact lines live)
+    * keeping the image content byte-identical. Scan-local projection;
+    * corrupt payloads become null (visible, not passed through). */
+  def stripImageMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, ImageCodec.stripPngMetadata(bytes).orNull)
+      }).toDF("media_id", "payload")
+  }
+
   /** Synthetic WAV assets from formula parameters — real RIFF bytes
     * ([[AudioCodec.buildWav]]), including an odd-sized LIST chunk every
     * third row so the decode walk must handle word alignment. */

@@ -212,6 +212,58 @@ object MediaQueries {
           .orderBy("media_id", "frame_idx")
     },
 
+    // PNG tEXt metadata extraction (Multimodal.extractImageMetadata):
+    // the fixture splices REAL tEXt chunks (keyword NUL Latin-1 value,
+    // CRC'd) into real PNGs — provenance on every image, a planted PII
+    // contact on every 11th — and the Spark side must walk the actual
+    // chunk stream back. The oracle knows only the string formulas.
+    Q("q_multimodal_text_meta",
+      """WITH k AS (SELECT doc_id AS id FROM documents),
+        |t AS (SELECT id, 'source' AS meta_key,
+        |             'crawl-' || CAST(id % 7 AS VARCHAR) AS meta_value
+        |      FROM k
+        |      UNION ALL
+        |      SELECT id, 'license',
+        |             (['cc0', 'cc-by', 'proprietary'])
+        |               [CAST(id % 3 + 1 AS INT)]
+        |      FROM k
+        |      UNION ALL
+        |      SELECT id, 'contact',
+        |             'user' || CAST(id AS VARCHAR) || '@mail.example'
+        |      FROM k WHERE id % 11 = 0)
+        |SELECT id AS media_id, meta_key, meta_value
+        |FROM t ORDER BY media_id, meta_key""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.extractImageMetadata(
+          Multimodal.syntheticAnnotatedImages(t(s, dir, "documents")))
+        .orderBy("media_id", "meta_key")
+    },
+
+    // Privacy metadata strip (Multimodal.stripImageMetadata): ancillary
+    // chunks dropped, image content kept byte-identical — gated by
+    // re-extracting (must find ZERO entries) AND re-decoding pixels
+    // (must still match the formula exactly). A strip that touched one
+    // IDAT byte or left one tEXt chunk behind fails the hash.
+    Q("q_multimodal_meta_strip",
+      """WITH p AS (SELECT doc_id AS id FROM documents),
+        |px AS (SELECT id, unnest(range(0, 16)) AS k FROM p)
+        |SELECT id AS media_id, CAST(0 AS BIGINT) AS n_meta,
+        |       CAST(sum((id * 13 + k * 11 + 7) % 251) AS BIGINT) AS px_sum
+        |FROM px GROUP BY id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val stripped = Multimodal.stripImageMetadata(
+        Multimodal.syntheticAnnotatedImages(t(s, dir, "documents")))
+      val leftover = Multimodal.extractImageMetadata(stripped)
+        .where(col("meta_key").isNotNull)
+        .groupBy("media_id").agg(count(lit(1)).as("n_meta"))
+      Multimodal.decodePixelStats(stripped)
+        .select(col("media_id"), col("px_sum"))
+        .join(leftover, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("n_meta"), lit(0L)).as("n_meta"), col("px_sum"))
+        .orderBy("media_id")
+    },
+
     // Silence segmentation (Multimodal.silenceSegments) over real
     // decoded PCM with PLANTED silence blocks: windows 2-3 of every
     // 7-window cycle are near-silent, the rest loud by >=30x margin.

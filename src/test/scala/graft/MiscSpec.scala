@@ -203,6 +203,27 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.parsePngPixels(Array.fill[Byte](64)(0x42)).isEmpty)
   }
 
+  test("PNG tEXt: splice, extract, strip — byte-identical critical chunks") {
+    import graft.multimodal.ImageCodec
+    val px = Array.tabulate(16)(k => (k * 3).toByte)
+    val base = ImageCodec.buildPngPixels(4, 4, 1, px)
+    val ann = ImageCodec.addPngTexts(base, Seq("a" -> "1", "b" -> "x y"))
+    assert(ImageCodec.parsePngTexts(ann) ==
+      Some(Seq("a" -> "1", "b" -> "x y")))
+    // metadata chunks must not disturb the pixel path
+    assert(ImageCodec.parsePngPixels(ann).get.pixels.toSeq == px.toSeq)
+    val stripped = ImageCodec.stripPngMetadata(ann).get
+    assert(ImageCodec.parsePngTexts(stripped) == Some(Nil))
+    assert(stripped.toSeq == base.toSeq,
+      "strip must reproduce the clean PNG byte-for-byte")
+    // corruption: junk, truncation, and a tEXt without its NUL
+    assert(ImageCodec.parsePngTexts("junk".getBytes).isEmpty)
+    assert(ImageCodec.stripPngMetadata(ann.dropRight(3)).isEmpty)
+    val noNul = ann.clone()
+    noNul(42) = 'Q' // the keyword NUL of the first spliced tEXt
+    assert(ImageCodec.parsePngTexts(noNul).isEmpty)
+  }
+
   test("PNG pixel decode: FDICT zlib stream rejects promptly, no spin") {
     import graft.multimodal.ImageCodec
     // hand-built 1x1 grayscale PNG whose IDAT carries a VALID zlib
