@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BpeTokenCount, HyperplaneSig64, LangId, MaxMatchCount, MaxMatchEncode, MinHash, MinHashSig, MinHashUnion, MultiMatchCount, NfcNorm, NfkcNorm, QualityScore, RollingHash64, SimHash64, StripAccents, StripInvisible, VecMean, WinnowFingerprintPos, WinnowFingerprints, WordShingles, ZOrder62}
+import graft.expressions.{BpeTokenCount, HyperplaneSig64, LangId, MaxMatchCount, MaxMatchEncode, MinHash, MinHashSig, MinHashUnion, MultiMatchCount, NfcNorm, NfkcNorm, QualityScore, RollingHash64, SimHash64, StripAccents, StripInvisible, UnigramCost, UnigramEncode, VecMean, WinnowFingerprintPos, WinnowFingerprints, WordShingles, ZOrder62}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -78,6 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("max_match_count"),
       new ExpressionInfo(classOf[MaxMatchCount].getName, "max_match_count"),
       children => MaxMatchCount(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("unigram_encode"),
+      new ExpressionInfo(classOf[UnigramEncode].getName, "unigram_encode"),
+      children => UnigramEncode(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("unigram_cost"),
+      new ExpressionInfo(classOf[UnigramCost].getName, "unigram_cost"),
+      children => UnigramCost(children.head, children(1))))
     // pure time-range inner joins → bucketed equi joins (no nested loop)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
   }

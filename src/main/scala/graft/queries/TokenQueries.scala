@@ -550,6 +550,65 @@ object TokenQueries {
             .as("ids_md5"))
         .orderBy("doc_id")
     },
+
+    // Unigram-LM (SentencePiece-family) Viterbi tokenization
+    // (expressions.Unigram) — the THIRD tokenizer family, globally
+    // min-cost where BPE walks merge ranks and MaxMatch grabs greedily.
+    // Same provably-invertible construction class as q_tok_maxmatch
+    // (consonant+vowel pieces: the only full cover IS the
+    // construction, and the UNK fallback costs 100x any piece, so the
+    // DP's minimum is the construction exactly); integer micro-nat
+    // piece costs make total_cost hash-exact — the oracle sums the
+    // cost formula while Spark must earn it through the actual DP.
+    Q("q_tok_unigram",
+      """WITH d AS (SELECT doc_id AS id, CAST(doc_id % 19 + 2 AS INT) AS m
+        |           FROM documents),
+        |t AS (SELECT id, unnest(range(0, m)) AS j FROM d),
+        |p AS (SELECT id, j, (id * 11 + 5 * j * j + 2 * j) % 35 AS pid
+        |      FROM t),
+        |a AS (SELECT id, CAST(count(*) AS INT) AS np,
+        |             CAST(sum(1000000 + pid * 1000) AS BIGINT) AS pcost,
+        |             string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY j)
+        |               AS ids_str
+        |      FROM p GROUP BY id)
+        |SELECT id AS doc_id,
+        |       np + CASE WHEN id % 13 = 0 THEN 1 ELSE 0 END AS n_tokens,
+        |       CAST(CASE WHEN id % 13 = 0 THEN 1 ELSE 0 END AS INT)
+        |         AS n_unk,
+        |       CAST(pcost + CASE WHEN id % 13 = 0 THEN 100000000
+        |                         ELSE 0 END AS BIGINT) AS total_cost,
+        |       md5(ids_str ||
+        |           CASE WHEN id % 13 = 0 THEN ' -1' ELSE '' END)
+        |         AS ids_md5
+        |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.expressions.Unigram
+      Unigram.register(s)
+      val text = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val m = (id % 19 + 2).toInt
+          val sb = new StringBuilder
+          var j = 0
+          while (j < m) {
+            val pid = ((id * 11 + 5L * j * j + 2L * j) % 35).toInt
+            sb.append(maxMatchPieces(pid))
+            j += 1
+          }
+          if (id % 13 == 0) sb.append('z')
+          (id, sb.toString)
+        }.toDF("doc_id", "text")
+      text.select(col("doc_id"),
+          Unigram.encodeIds(col("text"), unigramVocabPath).as("ids"),
+          Unigram.segmentCost(col("text"), unigramVocabPath)
+            .as("total_cost"))
+        .select(col("doc_id"),
+          size(col("ids")).as("n_tokens"),
+          expr("size(filter(ids, x -> x = -1))").as("n_unk"),
+          col("total_cost"),
+          md5(array_join(transform(col("ids"), _.cast("string")), " "))
+            .as("ids_md5"))
+        .orderBy("doc_id")
+    },
   )
 
   /** MaxMatch fixture vocab: 35 pieces, one consonant + a 1-2 vowel
@@ -562,4 +621,12 @@ object TokenQueries {
 
   private lazy val maxMatchVocabPath: String =
     materialize("graft_maxmatch_vocab.txt", maxMatchPieces)
+
+  /** Unigram fixture vocab: the same 35 pieces with integer micro-nat
+    * costs `1000000 + id·1000` (piece<TAB>cost, id = line number). */
+  private lazy val unigramVocabPath: String =
+    materialize("graft_unigram_vocab.txt",
+      maxMatchPieces.zipWithIndex.map { case (p, i) =>
+        s"$p	${1000000 + i * 1000}"
+      })
 }
