@@ -223,6 +223,83 @@ object Dedup extends TrackedCaches {
       .select(col("id1"), col("id2"), graft.functions.Rounding.round4(col("jaccard")).as("jaccard"))
   }
 
+  /** EXACT Jaccard-threshold set-similarity self-join via prefix
+    * filtering (the PPJoin family — Xiao et al., WWW 2008; public
+    * algorithm): where MinHash-LSH trades recall for speed, this path is
+    * LOSSLESS — every pair with Jaccard ≥ t is found — yet never goes
+    * all-pairs. Each document's token set is ordered by a global
+    * rarest-first key `(df, token)`; only its PREFIX (the first
+    * `|x| − ⌈t·|x|⌉ + 1` tokens) is posted, because a pair meeting the
+    * threshold must intersect inside both prefixes: if all shared tokens
+    * sat in x's suffix, the intersection would be < t·|x| ≤ t·|union| —
+    * contradiction. Candidates = prefix-posting equi-join (+ the size
+    * ratio filter `t·|x| ≤ |y|`), then exact verification on the full
+    * sets. The threshold is an integer PERCENT and every gate decision
+    * is a cross-multiplied integer compare (`inter·100 ≥ pct·union`) —
+    * no float boundary anywhere.
+    *
+    * Scale shape: one df-count aggregation, one per-doc sort (scan-local
+    * after the df join), a posting self-join whose lists hold the
+    * RAREST tokens only (tiny for natural vocabularies), `maxPosting`
+    * capping degenerate tokens, and a verify join on candidate ids.
+    * The tokens frame is a tracked staging persist — postings and both
+    * verify sides read one derivation. Output: (id1, id2, jaccard).
+    */
+  def jaccardJoinExact(df: DataFrame, idCol: String, tokensCol: String,
+                       thresholdPct: Int = 50,
+                       maxPosting: Int = 100000): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct must be 1..100, got $thresholdPct")
+    // the empty-set filter sits ABOVE the cache boundary on purpose: as
+    // part of the cached plan, predicate pushdown drags it (with the
+    // whole token-derivation expression inside) below any caller-side
+    // repartition, collapsing the derivation onto the source's
+    // partitioning — a single-file corpus then tokenizes on one core
+    val toks = graft.operators.StagingCaches.cache(
+        df.select(col(idCol).as("id"), col(tokensCol).as("ts")))
+      .where(size(col("ts")) > 0)
+    val tf = toks.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tdf"))
+    val pref = toks.select(col("id"), explode(col("ts")).as("tok"))
+      .join(tf, "tok")
+      .groupBy("id").agg(
+        array_sort(collect_list(struct(col("tdf"), col("tok"))))
+          .as("sorted"))
+      .select(col("id"), size(col("sorted")).as("n"),
+        expr(s"slice(sorted, 1, size(sorted) - " +
+          s"((size(sorted) * $thresholdPct + 99) div 100) + 1)")
+          .as("prefix"))
+    val postings = pref
+      .select(col("id"), col("n"), explode(col("prefix")).as("p"))
+      .select(col("p.tok").as("tok"), col("id"), col("n"))
+    // staged: the whole posting derivation (explode → df join → per-doc
+    // sort → prefix slice → hot cap) feeds BOTH sides of the candidate
+    // self-join; un-persisted, Spark derives it twice end to end
+    val capped = graft.operators.StagingCaches.cache(
+      postings.withColumn("__c",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("tok")))
+        .where(col("__c") <= maxPosting).drop("__c"))
+    val a = capped.select(col("tok"), col("id").as("id1"),
+      col("n").as("n1"))
+    val b = capped.select(col("tok"), col("id").as("id2"),
+      col("n").as("n2"))
+    val cand = a.join(b, Seq("tok"))
+      .where(col("id1") < col("id2") &&
+        col("n2") * 100 >= col("n1") * thresholdPct &&
+        col("n1") * 100 >= col("n2") * thresholdPct)
+      .select("id1", "id2").distinct()
+    val x = toks.select(col("id").as("id1"), col("ts").as("ts1"))
+    val y = toks.select(col("id").as("id2"), col("ts").as("ts2"))
+    cand.join(x, "id1").join(y, "id2")
+      .withColumn("__i", size(array_intersect(col("ts1"), col("ts2"))))
+      .withColumn("__u",
+        size(col("ts1")) + size(col("ts2")) - col("__i"))
+      .where(col("__i") * 100 >= col("__u") * thresholdPct)
+      .select(col("id1"), col("id2"), graft.functions.Rounding.round4(
+        col("__i").cast(DoubleType) / col("__u")).as("jaccard"))
+  }
+
   /** SUBSTRING-level duplication: documents sharing verbatim PASSAGES,
     * which document-level near-dup (MinHash/SimHash on whole-doc shingle
     * sets) under-weights when the rest of the documents differ — the Lee

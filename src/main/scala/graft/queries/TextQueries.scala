@@ -1394,6 +1394,39 @@ object TextQueries {
           .select(col("sz").as("cluster_size"), col("n_clusters"))
           .orderBy("cluster_size")
     },
+
+    // EXACT Jaccard-threshold similarity self-join via prefix filtering
+    // (Dedup.jaccardJoinExact — PPJoin family): lossless, so the oracle
+    // is a plain brute-force over all pairs and the gate PROVES the
+    // prefix optimization exact — any pair the rarest-token postings
+    // miss fails the hash. Sets are 3-word shingles (16k-item universe
+    // here; raw words would leave a 31-word vocabulary where "rarest
+    // first" prunes nothing — the known PPJoin degenerate case, worth
+    // avoiding in the fixture precisely because real corpora are not
+    // like that); the threshold is an integer percent and every gate
+    // decision is a cross-multiplied integer compare.
+    Q("q_dedup_jaccard_exact",
+      s"""WITH tk AS (SELECT doc_id, ${sqlShingles(3)} AS ts
+        |            FROM documents),
+        |nz AS (SELECT doc_id, ts, len(ts) AS n FROM tk
+        |       WHERE len(ts) > 0),
+        |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |              len(list_intersect(a.ts, b.ts)) AS i,
+        |              a.n + b.n - len(list_intersect(a.ts, b.ts)) AS u
+        |       FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2, round(CAST(i AS DOUBLE) / u, 4) AS jaccard
+        |FROM pr WHERE i * 100 >= 80 * u
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      // the sf parquet is one small file = ONE partition; without the
+      // spread, the whole shingle scan runs on a single core (probe:
+      // 2.8 s single-threaded vs 0.1 s spread at sf0.1). At 100 TB the
+      // source arrives in many splits and this is a no-op-sized shuffle
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), shingles(col("text"), 3).as("ts"))
+      graft.operators.Dedup.jaccardJoinExact(docs, "doc_id", "ts", 80)
+        .orderBy("id1", "id2")
+    },
   )
 
   /** Planted multi-line frame shared by the line-cleaning gates: 8-word

@@ -505,6 +505,16 @@ class PlanShapeSpec extends SparkSpec {
       s"changelog argmax not partitioned by pk:\n${winLines.mkString("\n")}")
   }
 
+  test("exact jaccard join meets through prefix postings, never all-pairs") {
+    val plan = physical(
+      SparkEntry.queries("q_dedup_jaccard_exact")(spark, sf001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filtered set-similarity join fell back to O(n^2):\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi join on the posting token:\n$plan")
+  }
+
   test("image near-dup pairs meet through the band equi-join, never " +
       "all-pairs") {
     val plan = physical(
