@@ -1071,9 +1071,14 @@ object TextQueries {
       // staged: the shingle explode feeds BOTH the frequency aggregation
       // and the join probe — un-persisted, Spark re-derives the
       // tokenize+explode for each, i.e. two full corpus scans at 100 TB
+      // the repartition spreads the shingle derivation: one parquet
+      // split would otherwise run the whole (interpreted-HOF) shingle
+      // scan on a single core before the cache materializes
       val sh = graft.operators.StagingCaches.cache(
-        t(s, dir, "documents").select(col("doc_id"),
-          explode(TextFunctions.shingles(col("text"), 5)).as("shingle")))
+        t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode(TextFunctions.shingles(col("text"), 5)).as("shingle")))
       val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       sh.join(df, "shingle")
         .groupBy("doc_id").agg(
