@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{AudioCodec, GifCodec, ImageCodec}
+
+/** Deterministic mutation-fuzz over every byte-level parser: random
+  * payloads and corrupted-real payloads must parse to None or a sane
+  * value — never throw, never hang. The hostile-input bugs this class
+  * has actually caught (the WAV zero-step cursor in round 9, the PNG
+  * FDICT inflate spin in round 10) were both "valid-prefix, hostile
+  * middle" shapes, which is exactly what the mutation arm generates.
+  * No SparkSession needed: parsers are plain functions.
+  */
+class MultimodalFuzzSpec extends AnyFunSuite {
+
+  private val rnd = new java.util.Random(0x5eed5eedL)
+
+  private def randomBytes(n: Int): Array[Byte] = {
+    val b = new Array[Byte](n); rnd.nextBytes(b); b
+  }
+
+  /** Flip 1-4 bytes, or truncate, or splice random bytes mid-stream. */
+  private def mutate(base: Array[Byte]): Array[Byte] =
+    rnd.nextInt(3) match {
+      case 0 =>
+        val b = base.clone()
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        b
+      case 1 => base.take(rnd.nextInt(base.length + 1))
+      case _ =>
+        val at = rnd.nextInt(base.length)
+        base.take(at) ++ randomBytes(1 + rnd.nextInt(16)) ++ base.drop(at)
+    }
+
+  private def exercise(name: String, valid: Seq[Array[Byte]],
+                       parsers: Seq[Array[Byte] => Any]): Unit = {
+    // pure-random arm
+    (0 until 200).foreach { _ =>
+      val b = randomBytes(rnd.nextInt(400))
+      parsers.foreach(p => p(b))
+    }
+    // mutation arm: corrupted versions of every valid asset
+    valid.foreach { base =>
+      (0 until 120).foreach { _ =>
+        val b = mutate(base)
+        parsers.foreach(p => p(b))
+      }
+    }
+    // null and empty are table stakes
+    parsers.foreach { p => p(null); p(Array.emptyByteArray) }
+  }
+
+  test("image parsers survive random and mutated payloads") {
+    val px = Array.tabulate(9 * 7)(k => (k * 5 % 251).toByte)
+    val valid = Seq(
+      ImageCodec.buildPng(33, 44, pad = 5),
+      ImageCodec.buildBmp(12, 9, pad = 2),
+      ImageCodec.buildJpeg(65, 43, pad = 7),
+      ImageCodec.buildPngPixels(9, 7, 1, px),
+      ImageCodec.addPngTexts(ImageCodec.buildPngPixels(9, 7, 1, px),
+        Seq("k" -> "v", "a" -> "b c")))
+    exercise("image", valid, Seq(
+      b => ImageCodec.parse(b),
+      b => ImageCodec.parsePngPixels(b),
+      b => ImageCodec.parsePngTexts(b),
+      b => ImageCodec.stripPngMetadata(b)))
+  }
+
+  test("gif parsers survive random and mutated payloads") {
+    val pal = Array.tabulate(3 * 8)(j => (j * 11 % 256).toByte)
+    val idx = Array.tabulate(10 * 6)(k => (k % 8).toByte)
+    val valid = Seq(
+      GifCodec.buildGif(16, 16,
+        Seq((0, 0, 4, 3, 10), (1, 1, 5, 4, 12)), i => i + 1),
+      GifCodec.buildGifPixels(10, 6, pal, idx, interlaced = false),
+      GifCodec.buildGifPixels(10, 6, pal, idx, interlaced = true))
+    exercise("gif", valid, Seq(
+      b => GifCodec.parseFrames(b),
+      b => GifCodec.parseGifPixels(b)))
+  }
+
+  test("wav parsers survive random and mutated payloads") {
+    val valid = Seq(
+      AudioCodec.buildWav(2, 44100, 16, 1234L, listPad = 3),
+      AudioCodec.buildWavPcm(1, 8000, 16, Array(5, -5, 100, -32768)),
+      AudioCodec.buildWavPcm(1, 8000, 8, Array(0, 255, 17)))
+    exercise("wav", valid, Seq(
+      b => AudioCodec.parseWav(b),
+      b => AudioCodec.parseWavSamples(b)))
+  }
+}
