@@ -332,6 +332,161 @@ object GifCodec {
     out.toByteArray
   }
 
+  /** Decode ONE image-descriptor block (`pos` at its 0x2c): palette
+    * selection (local wins over global; neither → None), LZW
+    * decompression of the concatenated sub-blocks, de-interlace when
+    * flagged, palette→RGB. Returns the frame plus the position just
+    * past the block's terminator. Shared by the first-frame and
+    * all-frames decoders. */
+  private def decodeImageBlock(b: Array[Byte], pos: Int,
+      gct: Array[Byte]): Option[(GifPixels, Int)] = {
+    if (pos + 10 > b.length) return None
+    val w = le16(b, pos + 5); val h = le16(b, pos + 7)
+    if (w < 1 || h < 1) return None
+    // hostile-geometry bound, as in parsePngPixels
+    if (w.toLong * h > (1L << 26)) return None
+    val iflags = b(pos + 9) & 0xff
+    var p = pos + 10
+    var pal = gct
+    if ((iflags & 0x80) != 0) {
+      val sz = 3 * (1 << ((iflags & 7) + 1))
+      if (p + sz > b.length) return None
+      pal = java.util.Arrays.copyOfRange(b, p, p + sz)
+      p += sz
+    }
+    if (pal == null) return None // no palette anywhere: undecodable
+    if (p >= b.length) return None
+    val minCode = b(p) & 0xff
+    p += 1
+    val data = new java.io.ByteArrayOutputStream()
+    while (p < b.length && (b(p) & 0xff) != 0) {
+      val len = b(p) & 0xff
+      if (p + 1 + len > b.length) return None
+      data.write(b, p + 1, len)
+      p += 1 + len
+    }
+    if (p >= b.length) return None
+    p += 1 // sub-block terminator
+    val nColors = pal.length / 3
+    lzwDecode(minCode, data.toByteArray, w * h).flatMap { stored =>
+      val idx =
+        if ((iflags & 0x40) == 0) stored
+        else {
+          val de = new Array[Byte](stored.length)
+          val order = interlaceRows(h)
+          var s = 0
+          while (s < h) {
+            System.arraycopy(stored, s * w, de, order(s) * w, w)
+            s += 1
+          }
+          de
+        }
+      val rgb = new Array[Byte](3 * idx.length)
+      var k = 0
+      var bad = false
+      while (k < idx.length && !bad) {
+        val v = idx(k) & 0xff
+        if (v >= nColors) bad = true // index outside the palette
+        else {
+          rgb(3 * k) = pal(3 * v)
+          rgb(3 * k + 1) = pal(3 * v + 1)
+          rgb(3 * k + 2) = pal(3 * v + 2)
+          k += 1
+        }
+      }
+      if (bad) None else Some((GifPixels(w, h, nColors, idx, rgb), p))
+    }
+  }
+
+  /** Decode EVERY frame's pixels (no canvas compositing: each frame is
+    * returned as its own rect — full-frame animations, the keyframe
+    * detector's input, cover the screen each frame anyway). Strict: a
+    * single undecodable frame, or a missing trailer, fails the WHOLE
+    * payload — a half-decoded animation is corruption, not data. */
+  def parseGifFramesPixels(b: Array[Byte]): Option[Seq[GifPixels]] = {
+    if (b == null || b.length < 13) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    var pos = 6
+    pos += 4
+    val flags = b(pos) & 0xff
+    pos += 3
+    var gct: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val sz = 3 * (1 << ((flags & 7) + 1))
+      if (pos + sz > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, pos, pos + sz)
+      pos += sz
+    }
+    val out = Seq.newBuilder[GifPixels]
+    var n = 0
+    while (pos < b.length) {
+      (b(pos) & 0xff) match {
+        case 0x3b =>
+          return if (n > 0) Some(out.result()) else None
+        case 0x21 =>
+          if (pos + 2 >= b.length) return None
+          var p = pos + 2
+          while (p < b.length && (b(p) & 0xff) != 0) {
+            p += 1 + (b(p) & 0xff)
+            if (p > b.length) return None
+          }
+          if (p >= b.length) return None
+          pos = p + 1
+        case 0x2c =>
+          decodeImageBlock(b, pos, gct) match {
+            case None => return None
+            case Some((frame, next)) =>
+              out += frame; n += 1; pos = next
+          }
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** Real multi-frame GIF89a WITH PIXELS: one global color table, every
+    * frame screen-sized at (0,0), indices LZW-compressed per frame —
+    * the animation fixture for the keyframe detector. */
+  def buildGifAnimPixels(width: Int, height: Int, palette: Array[Byte],
+                         frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(frames.nonEmpty, "need at least one frame")
+    val n = palette.length / 3
+    require(palette.length == 3 * n && Integer.bitCount(n) == 1 &&
+      n >= 4 && n <= 256, s"palette must be 3*2^m bytes (m in 2..8)")
+    val m = Integer.numberOfTrailingZeros(n)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xff); out.write(width >>> 8)
+    out.write(height & 0xff); out.write(height >>> 8)
+    out.write(0x80 | (m - 1))
+    out.write(0); out.write(0)
+    out.write(palette)
+    frames.foreach { indices =>
+      require(indices.length == width * height,
+        s"expected ${width * height} indices, got ${indices.length}")
+      out.write(0x2c)
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(width & 0xff); out.write(width >>> 8)
+      out.write(height & 0xff); out.write(height >>> 8)
+      out.write(0)
+      val minCode = math.max(2, m)
+      out.write(minCode)
+      val lzw = lzwEncode(minCode, indices)
+      var off = 0
+      while (off < lzw.length) {
+        val len = math.min(255, lzw.length - off)
+        out.write(len)
+        out.write(lzw, off, len)
+        off += len
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** Decode a GIF's FIRST frame to actual pixels: container walk to the
     * first image descriptor, palette selection (local wins over global;
     * neither → None), full LZW decompression of the concatenated data

@@ -876,6 +876,83 @@ object Multimodal {
       }.toDF("media_id", "payload")
   }
 
+  /** Animated fixtures for the keyframe detector: real multi-frame
+    * GIF89a ([[GifCodec.buildGifAnimPixels]]) where frames pair into
+    * SCENES (frame f draws scene `f/2`: within a scene, frames are
+    * identical; across scenes every pixel shifts by 37 mod nColors —
+    * 37 is odd and nColors a power of two, so the shift never cancels
+    * and the boundary is knife-edge free). An SQL oracle replays the
+    * index formulas. */
+  def syntheticAnimatedPixels(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 9 + 4).toInt
+        val h = (id % 7 + 4).toInt
+        val m = (id % 3 + 2).toInt
+        val n = 1 << m
+        val pal = new Array[Byte](3 * n)
+        var j = 0
+        while (j < n) {
+          pal(3 * j) = ((3 * j + 7) % 256).toByte
+          pal(3 * j + 1) = ((5 * j + 11) % 256).toByte
+          pal(3 * j + 2) = ((7 * j + 13) % 256).toByte
+          j += 1
+        }
+        val nf = (id % 4 + 2).toInt
+        val frames = (0 until nf).map { f =>
+          val sc = f / 2
+          Array.tabulate(w * h)(k =>
+            ((id * 17 + k.toLong * 23 + sc * 37 + 5) % n).toByte)
+        }
+        (id, GifCodec.buildGifAnimPixels(w, h, pal, frames))
+      }.toDF("media_id", "payload")
+  }
+
+  /** Content-based keyframe detection over REAL all-frame decode
+    * ([[GifCodec.parseGifFramesPixels]]): per frame, the sum of
+    * absolute index deltas against the previous frame — zero within a
+    * still scene, large at a cut — marks keyframes (frame 0 always
+    * is). This is the real version of the uniform-k budget policy in
+    * [[sampleGifFramesUniform]]: sample where content CHANGES. The
+    * whole delta chain runs inside one scan-local flatMap (frames of
+    * one payload never cross a partition boundary, so no shuffle);
+    * frames whose geometry differs from their predecessor count as
+    * keyframes with a null delta. Undecodable payloads emit nothing. */
+  def gifKeyframes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        GifCodec.parseGifFramesPixels(bytes) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.map { case (f, i) =>
+              if (i == 0) (id, i, f.indices.length.toLong,
+                None: Option[Long], true)
+              else {
+                val prev = frames(i - 1)
+                if (prev.width != f.width || prev.height != f.height)
+                  (id, i, f.indices.length.toLong, None: Option[Long],
+                    true)
+                else {
+                  var d = 0L
+                  var k = 0
+                  while (k < f.indices.length) {
+                    d += math.abs((f.indices(k) & 0xff) -
+                      (prev.indices(k) & 0xff))
+                    k += 1
+                  }
+                  (id, i, f.indices.length.toLong, Option(d), d > 0)
+                }
+              }
+            }
+          case None => Iterator.empty
+        }
+      }).toDF("media_id", "frame_idx", "n_px", "delta_sum", "is_key")
+  }
+
   /** REAL GIF pixel decode in the mapPartitions seam: LZW-decompress
     * each payload's first frame ([[GifCodec.parseGifPixels]]) and reduce
     * indices AND palette-mapped RGB to exact integer statistics (the

@@ -212,6 +212,41 @@ object MediaQueries {
           .orderBy("media_id", "frame_idx")
     },
 
+    // Content-based keyframe detection (Multimodal.gifKeyframes) over
+    // REAL all-frame LZW decode: frames pair into scenes (identical
+    // within, every pixel shifted across — knife-edge free), and a
+    // frame is a keyframe when its index-delta sum against the previous
+    // frame is nonzero. The oracle replays the per-frame index formulas
+    // and their absolute differences; Spark must decompress every
+    // frame's actual code stream to earn the same sums. This is the
+    // content-aware upgrade of the uniform-k sampling policy.
+    Q("q_multimodal_keyframes",
+      """WITH p AS (SELECT doc_id AS id, CAST(doc_id % 9 + 4 AS INT) AS w,
+        |                  CAST(doc_id % 7 + 4 AS INT) AS h,
+        |                  CAST(1 << CAST(doc_id % 3 + 2 AS INT) AS INT)
+        |                    AS nc,
+        |                  CAST(doc_id % 4 + 2 AS INT) AS nf
+        |           FROM documents),
+        |f AS (SELECT id, w, h, nc, unnest(range(0, nf)) AS fi FROM p),
+        |px AS (SELECT id, nc, fi, unnest(range(0, w * h)) AS k FROM f),
+        |v AS (SELECT id, fi, k,
+        |             (id * 17 + k * 23 + (fi // 2) * 37 + 5) % nc AS cur,
+        |             CASE WHEN fi = 0 THEN NULL
+        |                  ELSE (id * 17 + k * 23 + ((fi - 1) // 2) * 37
+        |                        + 5) % nc END AS prev
+        |      FROM px)
+        |SELECT id AS media_id, CAST(fi AS INT) AS frame_idx,
+        |       CAST(count(*) AS BIGINT) AS n_px,
+        |       CAST(sum(abs(cur - prev)) AS BIGINT) AS delta_sum,
+        |       (fi = 0 OR sum(abs(cur - prev)) > 0) AS is_key
+        |FROM v GROUP BY id, fi
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.gifKeyframes(
+          Multimodal.syntheticAnimatedPixels(t(s, dir, "documents")))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // PNG tEXt metadata extraction (Multimodal.extractImageMetadata):
     // the fixture splices REAL tEXt chunks (keyword NUL Latin-1 value,
     // CRC'd) into real PNGs — provenance on every image, a planted PII

@@ -624,6 +624,31 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).isEmpty)
   }
 
+  test("gifKeyframes: all-frame decode, scene cuts flagged, stills not") {
+    import graft.multimodal.GifCodec
+    val pal = Array.tabulate(3 * 4)(j => (j * 9).toByte)
+    val a = Array.tabulate(6)(k => (k % 4).toByte)
+    val b2 = Array.tabulate(6)(k => ((k + 1) % 4).toByte)
+    // frames A, A, B: still at 1, cut at 2
+    val anim = GifCodec.buildGifAnimPixels(3, 2, pal, Seq(a, a, b2))
+    // round-trip through the all-frames decoder first
+    val frames = GifCodec.parseGifFramesPixels(anim).get
+    assert(frames.length == 3)
+    assert(frames(0).indices.toSeq == a.toSeq)
+    assert(frames(2).indices.toSeq == b2.toSeq)
+    val rows = Seq((1L, anim), (2L, "junk".getBytes))
+      .toDF("media_id", "payload")
+    val got = Multimodal.gifKeyframes(rows).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3)), r.getBoolean(4)))
+      .toMap
+    assert(got.keySet == Set((1L, 0), (1L, 1), (1L, 2)))
+    assert(got((1L, 0)) == ((-1L, true)))  // frame 0: always key
+    assert(got((1L, 1)) == ((0L, false))) // still frame
+    // cut: |(k+1)%4 - k%4| = 1,1,1,3,1,1 -> 8
+    assert(got((1L, 2)) == ((8L, true)))
+  }
+
   test("silenceSegments merges silent windows, hand-checked runs") {
     import graft.multimodal.AudioCodec
     // win=4: windows loud/SILENT/SILENT/loud/SILENT (ragged tail of 2)
