@@ -590,6 +590,78 @@ object Multimodal {
       }).toDF("media_id", "width", "height", "hash_hi", "hash_lo")
   }
 
+  /** The four 16-bit bands of a 64-bit block hash, exploded one row per
+    * band — the LSH key both the self-join and the incremental
+    * batch×index join meet on. */
+  private def hashBands(hashes: DataFrame): DataFrame =
+    hashes.where(col("hash_hi").isNotNull)
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"),
+        posexplode(array(
+          col("hash_lo").bitwiseAND(lit(0xffffL)),
+          shiftright(col("hash_lo"), 16).bitwiseAND(lit(0xffffL)),
+          col("hash_hi").bitwiseAND(lit(0xffffL)),
+          shiftright(col("hash_hi"), 16).bitwiseAND(lit(0xffffL)))))
+      .toDF("media_id", "hash_hi", "hash_lo", "band", "v")
+
+  /** Incremental image near-dup: a NEW batch of images against a
+    * standing hash index — the nightly-ingest path, mirroring
+    * [[graft.operators.Dedup.incrementalLshPairs]]. Only the batch is
+    * decoded and hashed; the index contributes 3 longs per known image
+    * and only its hash-colliding band buckets are touched, so the cost
+    * is O(batch + matching buckets), never a corpus rescan. `maxBucket`
+    * caps degenerate index bands the same way the self-join does.
+    * Output: (batch_id, index_id, hamming). */
+  def incrementalImageNearDups(index: DataFrame, batch: DataFrame,
+                               maxHamming: Int = 6,
+                               maxBucket: Int = 100000): DataFrame = {
+    val ib = hashBands(index
+        .select(col("media_id"), col("hash_hi"), col("hash_lo")))
+      .withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "v")))
+      .where(col("__n") <= maxBucket).drop("__n")
+      .select(col("media_id").as("index_id"), col("hash_hi").as("ihi"),
+        col("hash_lo").as("ilo"), col("band"), col("v"))
+    val bb = hashBands(imageBlockHash(batch))
+      .select(col("media_id").as("batch_id"), col("hash_hi").as("bhi"),
+        col("hash_lo").as("blo"), col("band"), col("v"))
+    bb.join(ib, Seq("band", "v"))
+      .select("batch_id", "index_id", "bhi", "blo", "ihi", "ilo")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("bhi").bitwiseXOR(col("ihi"))) +
+          bit_count(col("blo").bitwiseXOR(col("ilo")))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("batch_id", "index_id", "hamming")
+  }
+
+  /** Retouched-batch fixtures for the incremental gate: every 10th id
+    * re-encodes ITS OWN image with a second, different perturbation
+    * (every 89th pixel bumped by two) under a shifted media id — the
+    * next crawl's slightly-recompressed copies arriving against the
+    * standing index. */
+  def syntheticBatchImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter(_ % 10 == 0)
+      .map { id =>
+        val w = (id % 13 + 8).toInt
+        val h = (id % 11 + 8).toInt
+        val px = new Array[Byte](w * h)
+        val stride = 7 + (id % 7)
+        var k = 0
+        while (k < px.length) {
+          val v = (id * 31 + k.toLong * stride + 13) % 251
+          px(k) =
+            if (k % 89 == 0) ((v + 2) % 251).toByte
+            else v.toByte
+          k += 1
+        }
+        (id + 1000000, ImageCodec.buildPngPixels(w, h, 1, px))
+      }.toDF("media_id", "payload")
+  }
+
   /** Near-duplicate image pairs by banded perceptual hash: the 64-bit
     * block hash splits into four 16-bit bands; only pairs sharing at
     * least one exact band meet (equi-join on (band, value) — a shuffle
@@ -602,15 +674,7 @@ object Multimodal {
     * [[graft.operators.Dedup]]'s hot-bucket cap. */
   def imageNearDups(hashes: DataFrame, maxHamming: Int = 6,
                     maxBucket: Int = 100000): DataFrame = {
-    val h = hashes.where(col("hash_hi").isNotNull)
-      .select(col("media_id"), col("hash_hi"), col("hash_lo"))
-    val bands = h.select(col("media_id"), col("hash_hi"), col("hash_lo"),
-      posexplode(array(
-        col("hash_lo").bitwiseAND(lit(0xffffL)),
-        shiftright(col("hash_lo"), 16).bitwiseAND(lit(0xffffL)),
-        col("hash_hi").bitwiseAND(lit(0xffffL)),
-        shiftright(col("hash_hi"), 16).bitwiseAND(lit(0xffffL)))))
-      .toDF("media_id", "hash_hi", "hash_lo", "band", "v")
+    val bands = hashBands(hashes)
     // staged: the decode → hash → band derivation feeds BOTH join sides;
     // un-persisted, Spark would decode and hash every image twice (the
     // tracked persist is released by OperatorCaches.releaseAll)

@@ -133,6 +133,83 @@ object MediaQueries {
         .orderBy("id1", "id2")
     },
 
+    // Incremental image near-dup (Multimodal.incrementalImageNearDups):
+    // a new crawl batch (retouched re-encodes, +2 bump every 89th
+    // pixel) lands against the STANDING hash index — only the batch is
+    // decoded, only colliding index buckets are touched. The oracle
+    // replays both fixture formulas through the shared grid arithmetic
+    // and the same band-join semantics, sides tagged in one union.
+    Q("q_image_neardup_inc",
+      """WITH u AS (
+        |  SELECT 0 AS side, doc_id AS mid,
+        |         CASE WHEN doc_id % 5 = 4 THEN doc_id - 1
+        |              ELSE doc_id END AS b,
+        |         doc_id AS oid
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 1, doc_id + 1000000, doc_id, doc_id
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT side, mid, b, oid, CAST(b % 13 + 8 AS INT) AS w,
+        |             CAST(b % 11 + 8 AS INT) AS h
+        |      FROM u),
+        |px AS (SELECT side, mid, b, oid, w, h,
+        |              unnest(range(0, w * h)) AS k
+        |       FROM d),
+        |v AS (SELECT side, mid, k,
+        |             CASE
+        |               WHEN side = 0 AND oid % 5 = 4 AND k % 97 = 0
+        |                 THEN ((b * 31 + k * (7 + b % 7) + 13) % 251
+        |                       + 1) % 251
+        |               WHEN side = 1 AND k % 89 = 0
+        |                 THEN ((b * 31 + k * (7 + b % 7) + 13) % 251
+        |                       + 2) % 251
+        |               ELSE (b * 31 + k * (7 + b % 7) + 13) % 251
+        |             END AS val,
+        |             ((k // w) * 8 // h) * 8 + (k % w) * 8 // w AS blk
+        |      FROM px),
+        |bsum AS (SELECT side, mid, blk, sum(val) AS bs, count(*) AS bn
+        |         FROM v GROUP BY 1, 2, 3),
+        |tot AS (SELECT side, mid, sum(val) AS ts, count(*) AS tn
+        |        FROM v GROUP BY 1, 2),
+        |bits AS (SELECT s.side, s.mid, s.blk,
+        |                CASE WHEN s.bs * t.tn > t.ts * s.bn THEN 1
+        |                     ELSE 0 END AS bit
+        |         FROM bsum s
+        |         JOIN tot t ON s.side = t.side AND s.mid = t.mid),
+        |hs AS (SELECT side, mid,
+        |              CAST(coalesce(sum(CASE WHEN blk >= 32
+        |                    THEN bit * (CAST(1 AS BIGINT) << (blk - 32))
+        |                    ELSE 0 END), 0) AS BIGINT) AS hi,
+        |              CAST(coalesce(sum(CASE WHEN blk < 32
+        |                    THEN bit * (CAST(1 AS BIGINT) << blk)
+        |                    ELSE 0 END), 0) AS BIGINT) AS lo
+        |       FROM bits GROUP BY 1, 2),
+        |bands AS (SELECT side, mid, hi, lo, j AS band,
+        |                 CASE j WHEN 0 THEN lo % 65536
+        |                        WHEN 1 THEN (lo // 65536) % 65536
+        |                        WHEN 2 THEN hi % 65536
+        |                        ELSE (hi // 65536) % 65536 END AS bv
+        |          FROM hs, range(0, 4) AS r(j)),
+        |cand AS (SELECT DISTINCT bb.mid AS batch_id, aa.mid AS index_id,
+        |                bb.hi AS bhi, bb.lo AS blo,
+        |                aa.hi AS ihi, aa.lo AS ilo
+        |         FROM bands aa JOIN bands bb
+        |           ON aa.band = bb.band AND aa.bv = bb.bv
+        |         WHERE aa.side = 0 AND bb.side = 1)
+        |SELECT batch_id, index_id,
+        |       CAST(bit_count(xor(bhi, ihi)) + bit_count(xor(blo, ilo))
+        |            AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(bhi, ihi)) + bit_count(xor(blo, ilo)) <= 6
+        |ORDER BY batch_id, index_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val index = Multimodal.imageBlockHash(
+        Multimodal.syntheticNearDupImages(t(s, dir, "documents")))
+      Multimodal.incrementalImageNearDups(index,
+          Multimodal.syntheticBatchImages(t(s, dir, "documents")))
+        .orderBy("batch_id", "index_id")
+    },
+
     // REAL nearest-neighbor pixel resize (Multimodal.resizePixels) over
     // decoded PNGs: integer aspect-fit geometry (w*maxDim/max(w,h),
     // floored, upscale suppressed) + integer NN source mapping

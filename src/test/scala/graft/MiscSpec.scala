@@ -584,6 +584,19 @@ class MultimodalSpec extends SparkSpec {
       s"planted pairs should dominate: $planted of ${pairs.length}")
   }
 
+  test("incrementalImageNearDups matches every batch item to its source") {
+    val docs = graft.engine.Tables.t(spark, sf001, "documents")
+    val index = Multimodal.imageBlockHash(
+      Multimodal.syntheticNearDupImages(docs))
+    val pairs = Multimodal.incrementalImageNearDups(index,
+        Multimodal.syntheticBatchImages(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // 500 docs → 50 batch re-encodes; each must find its own source
+    val self = pairs.count(p => p._1 == p._2 + 1000000)
+    assert(self == 50, s"expected 50 self matches, got $self")
+    assert(pairs.forall(_._3 <= 6))
+  }
+
   test("audioFrameFeatures: hand-checked windows, corruption emits nothing") {
     import graft.multimodal.AudioCodec
     val samples = Array(-3, -1, 0, 2, 5, -5, 4, -4, 1) // 9 samples
