@@ -990,6 +990,68 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Distributed full-batch logistic-regression TRAINING (LogRegTrain):
+    // 3 GD epochs over the whole corpus, label = (lang = 'en'), d = 64
+    // hashed buckets. The oracle replays all three epochs unrolled —
+    // per-doc in-token-order logit fold, sigmoid, MILLI-quantized
+    // integer gradient sums (QSGD-style; re-syncs both engines each
+    // epoch so cross-libm exp() ulps can't compound), and the fixed
+    // IEEE weight-update sequence — then hash-compares the trained
+    // model bit-for-bit (raw doubles, no rounding).
+    Q("q_train_logreg", {
+      val bucket = s"(${SketchReplay.murmur32("t", BigInt(42))}) % 64"
+      def epoch(k: Int) =
+        s"""z$k AS (SELECT d.doc_id, d.y,
+           |         list_reduce(list_prepend((SELECT b FROM b$k),
+           |             coalesce(x.wts, CAST([] AS DOUBLE[]))),
+           |           (a, c) -> a + c) AS z
+           |       FROM docs d LEFT JOIN
+           |         (SELECT tt.doc_id, list(w.wt ORDER BY tt.pos) AS wts
+           |          FROM tt JOIN w$k w ON w.i = tt.i
+           |          GROUP BY tt.doc_id) x USING (doc_id)),
+           |g$k AS (SELECT doc_id,
+           |         CAST(round((1.0 / (1.0 + exp(-z)) - y) * 1000)
+           |              AS BIGINT) AS gm
+           |       FROM z$k),
+           |s$k AS (SELECT tt.i, CAST(sum(g.gm) AS BIGINT) AS gs
+           |        FROM tt JOIN g$k g USING (doc_id) GROUP BY tt.i),
+           |w${k + 1}(i, wt) AS (SELECT w.i,
+           |         w.wt - 0.5 * ((CAST(coalesce(s.gs, 0) AS DOUBLE)
+           |             / 1000.0) / (SELECT nd FROM meta))
+           |       FROM w$k w LEFT JOIN s$k s USING (i)),
+           |b${k + 1}(b) AS (SELECT b - 0.5 * (((SELECT
+           |             CAST(coalesce(sum(gm), 0) AS DOUBLE) FROM g$k)
+           |             / 1000.0) / (SELECT nd FROM meta))
+           |       FROM b$k)""".stripMargin
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |         CAST(coalesce(lang = 'en', FALSE) AS DOUBLE) AS y,
+         |         list_filter(string_split_regex(trim(lower(text)),
+         |                                        '\\s+'),
+         |                     x0 -> x0 <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |tt0 AS (SELECT doc_id, unnest(toks) AS t,
+         |               unnest(range(1, len(toks) + 1)) AS pos FROM docs),
+         |tt AS (SELECT doc_id, pos, CAST($bucket AS BIGINT) AS i FROM tt0),
+         |meta AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM docs),
+         |w0(i, wt) AS (SELECT CAST(r.i AS BIGINT), CAST(0.0 AS DOUBLE)
+         |              FROM range(0, 64) r(i)),
+         |b0(b) AS (SELECT CAST(0.0 AS DOUBLE)),
+         |${epoch(0)},
+         |${epoch(1)},
+         |${epoch(2)}
+         |SELECT i, wt FROM w3
+         |UNION ALL SELECT CAST(-1 AS BIGINT) AS i, b AS wt FROM b3
+         |ORDER BY i""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.LogRegTrain
+      val docs = t(s, dir, "documents")
+        .withColumn("y_en", coalesce(col("lang") === "en", lit(false)))
+      val m = LogRegTrain.fit(docs, "text", "y_en",
+        d = 64, epochs = 3, lr = 0.5)
+      LogRegTrain.modelFrame(s, m).orderBy("i")
+    },
+
     // Alternating large-star/small-star components (Kiveris et al.) on a
     // LONG-DIAMETER graph: two planted chains of ~90 and ~60 hops —
     // far beyond label propagation's O(diameter) budget (canonicalize
