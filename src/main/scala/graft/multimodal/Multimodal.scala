@@ -1052,4 +1052,194 @@ object Multimodal {
       }).toDF("media_id", "width", "height", "n_colors", "n_px",
         "idx_sum", "idx_wsum", "rgb_sum")
   }
+
+  /** PCM fixtures with PLANTED NEAR-DUPLICATES for the audio-fingerprint
+    * gate (mirror of [[syntheticNearDupImages]]): every id with
+    * `id % 5 == 4` re-records the previous id's signal with every 97th
+    * sample nudged (+3 in the pre-wrap formula) — the "same recording,
+    * slightly different encode" class an audio dedup pass must catch.
+    * Real RIFF bytes; the sample formula is SQL-replayable. */
+  def syntheticNearDupPcm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val b = if (id % 5 == 4) id - 1 else id
+        val n = (b % 200 + 64).toInt
+        // doc-dependent QUADRATIC phase: a plain ramp (constant step mod
+        // 2^16) gives every doc the same sawtooth and the whole corpus
+        // nearly one fingerprint; the (b % 127 + 13)·k² term scatters
+        // window energies per doc (verified: 142 candidate pairs at 500
+        // docs, all 100 planted pairs among them)
+        val samples = Array.tabulate(n) { k =>
+          val base = b * 31 + (b % 127 + 13) * k.toLong * k +
+            k.toLong * 7919 +
+            (if (id % 5 == 4 && k % 97 == 0) 3L else 0L)
+          (base % 65536).toInt - 32768
+        }
+        (id, AudioCodec.buildWavPcm(1, 8000, 16, samples))
+      }.toDF("media_id", "payload")
+  }
+
+  /** 32-bit acoustic fingerprint over REAL decoded PCM — the
+    * Haitsma–Kalker shape (sign of the energy delta between consecutive
+    * windows), time-axis-normalized so any two encodes of the same
+    * signal land on comparable bits: the signal is cut into `nBits + 1`
+    * equal-occupancy windows (`window = k·(nBits+1)/n`), bit `f` is set
+    * iff mean-square(f+1) > mean-square(f) — compared CROSS-MULTIPLIED
+    * (`sq(f+1)·cnt(f) > sq(f)·cnt(f+1)`), integer-exact and immune to
+    * the ±1 occupancy imbalance equal-occupancy windowing leaves (a raw
+    * energy compare would fingerprint the window-size pattern, which
+    * depends only on the clip length). Scan-local, no shuffle. Payloads
+    * too short for `nBits + 1` windows (or undecodable) emit nothing. */
+  def audioFingerprint(media: DataFrame, nBits: Int = 32): DataFrame = {
+    require(nBits > 0 && nBits <= 62, s"nBits must be in [1,62], got $nBits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val nWin = nBits + 1
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.parseWavSamples(bytes) match {
+          case Some((_, samples)) if samples.length >= nWin =>
+            val n = samples.length
+            val e = new Array[Long](nWin)
+            val c = new Array[Long](nWin)
+            var k = 0
+            while (k < n) {
+              val s = samples(k)
+              val w = (k.toLong * nWin / n).toInt
+              e(w) += s.toLong * s
+              c(w) += 1
+              k += 1
+            }
+            var fp = 0L
+            var f = 0
+            while (f < nBits) {
+              if (e(f + 1) * c(f) > e(f) * c(f + 1)) fp |= 1L << f
+              f += 1
+            }
+            Iterator.single((id, fp))
+          case _ => Iterator.empty
+        }
+      }).toDF("media_id", "fp")
+  }
+
+  /** Animated fixtures with PLANTED NEAR-DUPLICATE VIDEOS: every
+    * id % 7 == 6 re-renders the previous id's animation with the first
+    * scene's pixel 0 nudged (+1 mod palette) — "same video, re-cut
+    * intro" — so every later scene stays byte-for-byte shared. 4-9
+    * frames pairing into 2-5 still scenes; real GIF89a streams; all
+    * formulas SQL-replayable. */
+  def syntheticNearDupAnimations(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val b = if (id % 7 == 6) id - 1 else id
+        val w = (b % 9 + 4).toInt
+        val h = (b % 7 + 4).toInt
+        val n = 1 << (b % 3 + 2).toInt
+        val pal = new Array[Byte](3 * n)
+        var j = 0
+        while (j < n) {
+          pal(3 * j) = ((3 * j + 7) % 256).toByte
+          pal(3 * j + 1) = ((5 * j + 11) % 256).toByte
+          pal(3 * j + 2) = ((7 * j + 13) % 256).toByte
+          j += 1
+        }
+        val nf = (b % 6 + 4).toInt
+        val frames = (0 until nf).map { f =>
+          val sc = f / 2
+          Array.tabulate(w * h) { k =>
+            val v = ((b * 17 + k.toLong * 23 + sc * 37 + 5) % n).toInt
+            if (id % 7 == 6 && sc == 0 && k == 0) ((v + 1) % n).toByte
+            else v.toByte
+          }
+        }
+        (id, GifCodec.buildGifAnimPixels(w, h, pal, frames))
+      }.toDF("media_id", "payload")
+  }
+
+  /** One row per DISTINCT frame content per video — md5 (lowercase hex,
+    * DuckDB-compatible) of the REAL decoded index sequence, so still
+    * scenes collapse to one hash. Scan-local flatMap; undecodable
+    * payloads emit nothing. */
+  def gifFrameContentHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          GifCodec.parseGifFramesPixels(bytes) match {
+            case Some(frames) =>
+              frames.map { f =>
+                val sb = new StringBuilder
+                var k = 0
+                while (k < f.indices.length) {
+                  if (k > 0) sb.append(',')
+                  sb.append(f.indices(k) & 0xff)
+                  k += 1
+                }
+                md.reset()
+                val dig = md.digest(
+                  sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                (id, dig.map("%02x".format(_)).mkString)
+              }.distinct.iterator
+            case None => Iterator.empty
+          }
+        }
+      }.toDF("media_id", "frame_hash")
+  }
+
+  /** Video near-dup by shared-scene containment: an inverted-index join
+    * on exact frame content hashes (each hash is a posting — only
+    * videos sharing a frame ever pair, never all-pairs), then
+    * `matched · 100 >= minPct · min(n1, n2)` integer-gated. The shape a
+    * shot-level video dedup pass runs at scale: postings are
+    * hash-partitioned, a degenerate all-black-frame hash can be capped
+    * the same way Dedup caps hot MinHash buckets. */
+  def videoNearDups(frameHashes: DataFrame, minPct: Int = 60): DataFrame = {
+    require(minPct > 0 && minPct <= 100, s"minPct in (0,100], got $minPct")
+    val counts = frameHashes.groupBy("media_id")
+      .agg(count(lit(1)).as("n"))
+    val a = frameHashes.select(col("media_id").as("id1"), col("frame_hash"))
+    val b = frameHashes.select(col("media_id").as("id2"), col("frame_hash"))
+    a.join(b, "frame_hash")
+      .where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("matched"))
+      .join(counts.select(col("media_id").as("id1"), col("n").as("n1")),
+        "id1")
+      .join(counts.select(col("media_id").as("id2"), col("n").as("n2")),
+        "id2")
+      .where(col("matched") * 100 >= lit(minPct) * least(col("n1"),
+        col("n2")))
+      .select("id1", "id2", "matched", "n1", "n2")
+  }
+
+  /** Audio near-dup pairs by banded fingerprint (the audio twin of
+    * [[imageNearDups]]): the 32-bit fingerprint splits into four 8-bit
+    * bands, candidates must agree exactly on at least one band (an
+    * equi-join on (band, value) — never all-pairs), and the full
+    * fingerprint confirms at `hamming <= maxHamming`. At 100 TB the
+    * band join is the whole cost model: each fingerprint appears in 4
+    * rows, buckets are hash-partitioned, and only colliding buckets
+    * pair up. */
+  def audioNearDups(fps: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val bands = fps.select(col("media_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(fp, 8 * band) & 255"))
+    val a = bands.select(col("media_id").as("id1"), col("fp").as("fp1"),
+      col("band"), col("bv"))
+    val b = bands.select(col("media_id").as("id2"), col("fp").as("fp2"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("fp1").bitwiseXOR(col("fp2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -142,6 +142,61 @@ object Curation {
       .withColumn("k_ok", col("group_n") >= k)
   }
 
+  /** 2-D Pareto frontier (skyline): keep exactly the rows no other row
+    * dominates — dominated = some row with `x' >= x AND y' >= y` and at
+    * least one strictly greater. The curation shape: "keep docs where
+    * nothing both higher-quality AND longer exists" prunes a corpus to
+    * its quality/length skyline; equal points are mutually
+    * non-dominating and all kept; rows with a NULL coordinate are
+    * dropped (dominance is undefined on them).
+    *
+    * Distributed sweep, never all-pairs: (1) one shuffle aggregation to
+    * per-distinct-x max-y; (2) the strict above-max
+    * `M(x) = max{ymax(x') : x' > x}` via the repo's bounded prefix-scan
+    * shape (Packing's): range-repartition the DISTINCT-x frame on x
+    * desc, one partial max per partition to the driver (bounded by the
+    * partition count, never the data), partition-local rescan; (3) one
+    * join back on x: keep `y == ymax(x)` (within-x domination) and
+    * `ymax(x) > M(x)` or no x above (cross-x domination). Integral
+    * coordinates only — the decisions stay integer-exact and
+    * cross-engine replayable. */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val in = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val xa = in.groupBy(col(xCol).cast(LongType).as("__x"))
+      .agg(max(col(yCol).cast(LongType)).as("__ymax"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = xa.repartitionByRange(parts, col("__x").desc)
+      .sortWithinPartitions(col("__x").desc)
+    val sortedRdd = sorted.rdd
+    sortedRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one partial max per partition to the driver
+    val partMax = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var m = Long.MinValue
+      it.foreach(r => m = math.max(m, r.getLong(1)))
+      Iterator((pid, m))
+    }.collect().sortBy(_._1).map(_._2)
+    val carryIn = partMax.scanLeft(Long.MinValue)(math.max)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("__above", LongType, nullable = false))
+    val swept = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = carryIn(pid) // max ymax over every strictly-greater x
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run = math.max(run, r.getLong(1))
+        out
+      }
+    }
+    val frontierX = spark.createDataFrame(swept, schema)
+      .where(col("__ymax") > col("__above")) // MinValue = nothing above
+    in.join(frontierX,
+        in(xCol).cast(LongType) === col("__x") &&
+          in(yCol).cast(LongType) === col("__ymax"))
+      .drop("__x", "__ymax", "__above")
+  }
+
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag,

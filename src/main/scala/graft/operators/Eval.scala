@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation aggregates for the classifier/quality-filter loop of a
+  * training-data pipeline (train → score corpus → audit the scorer). All
+  * rank arithmetic is integer-exact so the results replay bit-identically
+  * cross-engine; only the final ratios are doubles (rounded by callers'
+  * gates per the repo determinism contract).
+  */
+object Eval {
+
+  /** ROC-AUC by the Mann–Whitney rank-sum identity, with exact average-
+    * rank tie handling: `AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻)` where `R⁺`
+    * sums positives' average ranks by ascending score. Works on integral
+    * scores (the repo's deterministic-score contract; cast upstream).
+    *
+    * Scale shape: one aggregation to per-distinct-score (count, positive
+    * count) — map-side combinable, the corpus never ranks row-by-row —
+    * then [[Packing.runningTotal]]'s bounded prefix scan over the
+    * DISTINCT-score frame (range exchange + one partial sum per
+    * partition to the driver), one final scalar aggregation. No window,
+    * no self-join, nothing driver-side beyond the partition offsets.
+    * Doubled-rank units (`2·rank`) keep average ranks integral.
+    *
+    * Returns one row: (n_pos, n_neg, u2, auc) with `u2 = 2·U` exact and
+    * `auc` rounded to 4 dp. */
+  def rocAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val byScore = df.groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("pos"))
+    val cum = Packing.runningTotal(byScore, Seq(asc("score")), "cnt")
+    // average rank of a tied score group, in doubled units:
+    // 2·avgRank = 2·(cumBefore) + cnt + 1
+    cum.select(col("pos"), col("cnt"), col("cum"))
+      .agg(
+        sum("pos").as("n_pos"),
+        (sum("cnt") - sum("pos")).as("n_neg"),
+        sum(col("pos") * (lit(2) * (col("cum") - col("cnt"))
+          + col("cnt") + 1)).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r2") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        round(col("u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 4)
+          .as("auc"))
+  }
+
+  /** Calibration table (reliability diagram): bucket predictions by
+    * integral score into `nBins` equal-width bins over [0, scoreMax],
+    * report per-bin count, positive count, and observed positive rate —
+    * one map-side-combinable aggregation, no shuffle beyond it. */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+                      scoreMax: Long, nBins: Int): DataFrame = {
+    require(nBins > 0 && scoreMax > 0, "nBins and scoreMax must be positive")
+    // `div` (not `/`): Spark's / on longs is a double divide
+    val b = least(expr(s"cast($scoreCol as bigint) * $nBins div $scoreMax"),
+      lit(nBins - 1)).cast("int")
+    df.groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos") / col("n").cast("double"), 4).as("pos_rate"))
+  }
+}

@@ -20,6 +20,7 @@ object OperatorCaches {
     Graph.releaseCaches(s)
     GlobalRank.releaseCaches(s)
     ConnectedComponents.releaseCaches(s)
+    SuffixArray.releaseCaches(s)
     StagingCaches.releaseCaches(s)
   }
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed generalized suffix array over a document corpus — the EXACT
+  * machinery behind substring-level dedup in the training-data literature
+  * (suffix-array dedup a la "Deduplicating Training Data Makes Language
+  * Models Better"; [[graft.expressions.Winnow]] is the cheap approximate
+  * path, this is the exact one).
+  *
+  * Construction is prefix doubling (Manber–Myers, the standard
+  * shuffle-friendly formulation used by MapReduce/MPI suffix-array
+  * builders): round k knows each suffix's dense rank by its first `h = 2^k`
+  * characters; the next round ranks pairs `(rank_h(pos), rank_h(pos + h))`
+  * — one self-join on `(doc, pos + h)` plus one global dense-rank — and
+  * doubles `h`. O(log maxLen) rounds total, each a bounded number of
+  * shuffles on `(doc, pos)` / rank keys; nothing driver-side but one
+  * scalar (maxLen). Dense ranking reuses [[GlobalRank]]'s range-partition
+  * + zipWithIndex path over the DISTINCT rank pairs, so no single-task
+  * window anywhere.
+  *
+  * Suffixes never cross document boundaries (generalized SA), shorter
+  * prefixes sort before their extensions (missing right rank = 0, real
+  * ranks start at 1), and identical suffixes share a rank — the result is
+  * exactly `dense_rank() over (order by suffix_string)` without ever
+  * materializing a suffix string.
+  *
+  * LCP of rank-adjacent suffixes comes from the retained per-round rank
+  * tables by binary descent (the sparse-table walk): for `h` from the
+  * largest table down, if `rank_h(a + lcp) == rank_h(b + lcp)` then
+  * `lcp += h` — O(log maxLen) rounds of two equi-joins each, clamped to
+  * the shorter suffix at the end (equal ranks of truncated prefixes can
+  * overshoot by design; the clamp restores exactness).
+  */
+object SuffixArray extends TrackedCaches {
+
+  /** `ranks`: (doc, pos, r) — dense suffix rank; `rankTables`: the
+    * per-power rank frames (h → rank by first h chars), kept for LCP. */
+  final case class Built(ranks: DataFrame, rankTables: Seq[(Int, DataFrame)])
+
+  /** Build the generalized suffix array of `docs(docCol, textCol)`. */
+  def build(docs: DataFrame, docCol: String = "doc_id",
+            textCol: String = "text"): Built = {
+    val chars = docs.select(col(docCol).as("doc"),
+        posexplode(split(col(textCol), ""))).toDF("doc", "pos", "c")
+      .where(length(col("c")) === 1)
+    val maxLen = chars.agg(max("pos")).head() match {
+      case row if row.isNullAt(0) => 0
+      case row => row.getInt(0) + 1
+    }
+    // rank_1: dense rank of the first character (alphabet-sized frame)
+    val alpha = GlobalRank.withRowNumber(
+      chars.select("c").distinct(), "r", Seq(asc("c")))
+    var cur = tracked(chars.join(alpha, "c").select("doc", "pos", "r"))
+    cur.count()
+    var tables = List(1 -> cur)
+    var h = 1
+    while (h < maxLen) {
+      // right half of the comparison: the rank h positions later (missing
+      // → 0: a shorter prefix sorts before every extension of it)
+      val shifted = cur.select(col("doc"), (col("pos") - h).as("pos"),
+        col("r").as("r2"))
+      val pairs = cur.join(shifted, Seq("doc", "pos"), "left")
+        .select(col("doc"), col("pos"), col("r"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+      val ranked = GlobalRank.withRowNumber(
+        pairs.select("r", "r2").distinct(), "nr",
+        Seq(asc("r"), asc("r2")))
+      val nxt = tracked(pairs.join(ranked, Seq("r", "r2"))
+        .select(col("doc"), col("pos"), col("nr").as("r")))
+      nxt.count() // materialize: truncate the per-round recompute chain
+      cur = nxt
+      h *= 2
+      tables ::= h -> cur
+    }
+    Built(cur, tables.reverse)
+  }
+
+  /** LCP between each suffix and its successor in suffix-array order
+    * (ties broken by (doc, pos) — a total order). Output:
+    * (doc1, pos1, doc2, pos2, lcp). */
+  def adjacentLcp(b: Built): DataFrame = {
+    val ord = GlobalRank.withRowNumber(b.ranks, "rn",
+      Seq(asc("r"), asc("doc"), asc("pos")))
+    val nxt = ord.select((col("rn") - 1).as("rn"), col("doc").as("doc2"),
+      col("pos").as("pos2"))
+    var cur = ord.join(nxt, "rn")
+      .select(col("doc").as("doc1"), col("pos").as("pos1"),
+        col("doc2"), col("pos2"), lit(0).as("lcp"))
+    for ((h, tbl) <- b.rankTables.sortBy(-_._1)) {
+      val t1 = tbl.select(col("doc").as("doc1"), col("pos").as("q1"),
+        col("r").as("rh1"))
+      val t2 = tbl.select(col("doc").as("doc2"), col("pos").as("q2"),
+        col("r").as("rh2"))
+      cur = cur
+        .withColumn("q1", col("pos1") + col("lcp"))
+        .withColumn("q2", col("pos2") + col("lcp"))
+        .join(t1, Seq("doc1", "q1"), "left")
+        .join(t2, Seq("doc2", "q2"), "left")
+        .withColumn("lcp",
+          when(col("rh1").isNotNull && col("rh1") === col("rh2"),
+            col("lcp") + h).otherwise(col("lcp")))
+        .drop("q1", "q2", "rh1", "rh2")
+    }
+    // equal ranks of truncated prefixes overshoot past the string end —
+    // clamp to the shorter remaining suffix (restores exact LCP)
+    val lens = b.ranks.groupBy("doc").agg((max("pos") + 1).as("len"))
+    cur
+      .join(lens.select(col("doc").as("doc1"), col("len").as("len1")),
+        "doc1")
+      .join(lens.select(col("doc").as("doc2"), col("len").as("len2")),
+        "doc2")
+      .select(col("doc1"), col("pos1"), col("doc2"), col("pos2"),
+        least(col("lcp"), col("len1") - col("pos1"),
+          col("len2") - col("pos2")).as("lcp"))
+  }
+
+  /** Longest repeated substring per document: for each doc, the length of
+    * the longest substring that occurs anywhere else in the corpus
+    * (another doc or another position of the same doc). Exact via the
+    * classic reduction: a suffix's best match is one of its suffix-array
+    * neighbors, so the answer is the per-doc max over adjacent-pair LCPs
+    * in both directions. */
+  def maxRepeatPerDoc(b: Built): DataFrame = {
+    val l = adjacentLcp(b)
+    l.select(col("doc1").as("doc"), col("lcp"))
+      .union(l.select(col("doc2").as("doc"), col("lcp")))
+      .groupBy("doc").agg(max("lcp").as("max_repeat"))
+  }
+}

@@ -32,7 +32,8 @@ object Catalog {
       ApproxQueries.all ++
       TokenQueries.all ++
       GraphQueries.all ++
-      SourceQueries.all
+      SourceQueries.all ++
+      EvalQueries.all
 
   /** Flagship query (driver smoke at sf0.001): the rating_slide analog
     * (SURVEY.md §7.2) — scan → filter → agg → distributed rank → full-outer

@@ -1662,5 +1662,35 @@ object CurationQueries {
         .select("doc_id", "lang", "n_chars", "qs")
         .orderBy("doc_id")
     },
+
+    // 2-D Pareto frontier / skyline (Curation.paretoFrontier): the docs
+    // no other doc beats on BOTH axes (here: length and 'e'-count, both
+    // integer and data-derived). Spark pays one aggregation + the
+    // bounded prefix-scan over distinct x (range exchange, one partial
+    // max per partition to the driver) + one join back — never a
+    // self-join; the oracle brute-forces NOT EXISTS domination over all
+    // pairs, so any sweep slip (tie handling, strictness, carry-in
+    // boundary) fails the hash.
+    Q("q_curate_pareto",
+      """WITH s AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |                  CAST(length(text)
+        |                       - length(replace(text, 'e', '')) AS INT)
+        |                    AS n_e
+        |           FROM documents)
+        |SELECT doc_id, n_chars, n_e FROM s a
+        |WHERE NOT EXISTS (SELECT 1 FROM s b
+        |                  WHERE b.n_chars >= a.n_chars
+        |                    AND b.n_e >= a.n_e
+        |                    AND (b.n_chars > a.n_chars
+        |                         OR b.n_e > a.n_e))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        (length(col("text"))
+          - length(translate(col("text"), "e", ""))).as("n_e"))
+      graft.operators.Curation.paretoFrontier(docs, "n_chars", "n_e")
+        .select("doc_id", "n_chars", "n_e")
+        .orderBy("doc_id")
+    },
   )
 }

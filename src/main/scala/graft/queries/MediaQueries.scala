@@ -413,6 +413,111 @@ object MediaQueries {
         .orderBy("media_id", "start_frame")
     },
 
+    // Audio near-dup pairs by banded acoustic fingerprint
+    // (Multimodal.audioFingerprint + audioNearDups): real RIFF decode,
+    // 33 equal-occupancy windows, Haitsma–Kalker sign-of-mean-square-
+    // delta bits (cross-multiplied) packed to 32, four 8-bit bands gate
+    // candidates through an
+    // equi-join (never all-pairs), full Hamming <= 4 confirms. The
+    // fixture plants id%5==4 re-records of the previous id's signal
+    // (every 97th sample nudged); the oracle replays the sample formula
+    // AND the same banding semantics, so both sides miss identically.
+    Q("q_audio_neardup",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CASE WHEN doc_id % 5 = 4 THEN doc_id - 1
+        |                       ELSE doc_id END AS b
+        |           FROM documents),
+        |d AS (SELECT id, b, CAST(b % 200 + 64 AS BIGINT) AS n FROM p),
+        |s AS (SELECT id, b, n, unnest(range(0, n)) AS k FROM d),
+        |v AS (SELECT id, n, k,
+        |             CAST((b * 31 + (b % 127 + 13) * k * k + k * 7919
+        |                   + CASE WHEN id % 5 = 4 AND k % 97 = 0
+        |                          THEN 3 ELSE 0 END) % 65536 - 32768
+        |                  AS BIGINT) AS s
+        |      FROM s),
+        |w AS (SELECT id, CAST(k * 33 // n AS INT) AS f, sum(s * s) AS e,
+        |             count(*) AS c
+        |      FROM v GROUP BY 1, 2),
+        |bits AS (SELECT a.id, a.f AS bit,
+        |                CASE WHEN b.e * a.c > a.e * b.c THEN 1 ELSE 0 END
+        |                  AS bv
+        |         FROM w a JOIN w b ON a.id = b.id AND b.f = a.f + 1
+        |         WHERE a.f < 32),
+        |fp AS (SELECT id,
+        |              CAST(coalesce(sum(bv * (CAST(1 AS BIGINT) << bit)),
+        |                            0) AS BIGINT) AS fp
+        |       FROM bits GROUP BY 1),
+        |bands AS (SELECT id, fp, j AS band,
+        |                 (fp // (CAST(1 AS BIGINT) << (8 * j))) % 256
+        |                   AS bv
+        |          FROM fp, range(0, 4) AS r(j)),
+        |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
+        |                a.fp AS fp1, b.fp AS fp2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+        |SELECT id1, id2,
+        |       CAST(bit_count(xor(fp1, fp2)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(fp1, fp2)) <= 4
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.audioNearDups(
+          Multimodal.audioFingerprint(
+            Multimodal.syntheticNearDupPcm(t(s, dir, "documents"))))
+        .orderBy("id1", "id2")
+    },
+
+    // Video near-dup by shared-scene containment
+    // (Multimodal.gifFrameContentHashes + videoNearDups): every frame
+    // of every GIF is REALLY LZW-decoded, still scenes collapse to one
+    // content hash, and videos pair through an inverted-index join on
+    // those hashes (never all-pairs) with an integer containment gate.
+    // The fixture plants id%7==6 re-cuts of the previous id's animation
+    // (first scene nudged, later scenes byte-shared); the oracle replays
+    // the frame formulas INCLUDING the md5-over-index-string hashing,
+    // so one slipped pixel in any decoded frame fails the hash.
+    Q("q_video_neardup",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CASE WHEN doc_id % 7 = 6 THEN doc_id - 1
+        |                       ELSE doc_id END AS b
+        |           FROM documents),
+        |g AS (SELECT id, b, CAST(b % 9 + 4 AS INT) AS w,
+        |             CAST(b % 7 + 4 AS INT) AS h,
+        |             CAST(1 << CAST(b % 3 + 2 AS INT) AS INT) AS nc,
+        |             CAST(b % 6 + 4 AS INT) AS nf
+        |      FROM p),
+        |f AS (SELECT id, b, w, h, nc, unnest(range(0, nf)) AS fi FROM g),
+        |px AS (SELECT id, b, nc, fi, fi // 2 AS sc,
+        |              unnest(range(0, w * h)) AS k
+        |       FROM f),
+        |v AS (SELECT id, fi, k,
+        |             CASE WHEN id % 7 = 6 AND fi // 2 = 0 AND k = 0
+        |                  THEN ((b * 17 + k * 23 + sc * 37 + 5) % nc + 1)
+        |                       % nc
+        |                  ELSE (b * 17 + k * 23 + sc * 37 + 5) % nc
+        |             END AS val
+        |      FROM px),
+        |fr AS (SELECT id, fi,
+        |              md5(string_agg(CAST(val AS VARCHAR), ','
+        |                             ORDER BY k)) AS fh
+        |       FROM v GROUP BY id, fi),
+        |dh AS (SELECT DISTINCT id, fh FROM fr),
+        |cnt AS (SELECT id, count(*) AS n FROM dh GROUP BY id),
+        |m AS (SELECT a.id AS id1, b.id AS id2, count(*) AS matched
+        |      FROM dh a JOIN dh b ON a.fh = b.fh AND a.id < b.id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, CAST(matched AS BIGINT) AS matched,
+        |       CAST(c1.n AS BIGINT) AS n1, CAST(c2.n AS BIGINT) AS n2
+        |FROM m JOIN cnt c1 ON m.id1 = c1.id JOIN cnt c2 ON m.id2 = c2.id
+        |WHERE matched * 100 >= 60 * least(c1.n, c2.n)
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.videoNearDups(
+          Multimodal.gifFrameContentHashes(
+            Multimodal.syntheticNearDupAnimations(t(s, dir, "documents"))))
+        .orderBy("id1", "id2")
+    },
+
     // Uniform-k frame sampling over the real GIF container walk
     // (Multimodal.sampleGifFramesUniform): keep frames floor(j*n/4),
     // j < 4, deduplicated — the budgeted sampling policy of a video

@@ -1494,6 +1494,93 @@ object TextQueries {
       graft.operators.Dedup.jaccardJoinExact(docs, "doc_id", "ts", 80)
         .orderBy("id1", "id2")
     },
+
+    // Distributed generalized SUFFIX ARRAY (SuffixArray.build): prefix
+    // doubling, O(log L) rounds of join + distributed dense-rank, no
+    // suffix string ever materialized on the Spark side. The fixture is
+    // 32-char a-z strings by doc_id formula with a PLANTED 16-char motif
+    // shared by every doc_id % 3 == 0 document (so rank ties and deep
+    // LCPs both exist). The oracle pays the memory-hungry way — build
+    // every suffix string, dense_rank over them — and Spark must land on
+    // the IDENTICAL corpus-global total order via doubling alone.
+    // Output trimmed to every 5th doc; ranks stay corpus-global.
+    Q("q_text_suffix_rank",
+      """WITH d AS (SELECT doc_id AS doc FROM documents),
+        |ch AS (SELECT doc, i,
+        |              chr(97 + CAST(CASE WHEN doc % 3 = 0
+        |                                      AND i BETWEEN 8 AND 23
+        |                                 THEN (i * 11 + 5) % 26
+        |                                 ELSE (doc * 7 + i * 11) % 26
+        |                            END AS INT)) AS c
+        |       FROM d, range(0, 32) AS r(i)),
+        |strs AS (SELECT doc, string_agg(c, '' ORDER BY i) AS t
+        |         FROM ch GROUP BY doc),
+        |suf AS (SELECT doc, CAST(i AS INT) AS pos,
+        |               substr(t, CAST(i + 1 AS INT)) AS s
+        |        FROM strs, range(0, 32) AS r(i)),
+        |rk AS (SELECT doc, pos, dense_rank() OVER (ORDER BY s) AS rnk
+        |       FROM suf)
+        |SELECT doc AS doc_id, pos, CAST(rnk AS BIGINT) AS suffix_rank
+        |FROM rk WHERE doc % 5 = 0 ORDER BY doc_id, pos""".stripMargin) {
+      (s, dir) =>
+        graft.operators.SuffixArray.build(motifDocs(s, dir)).ranks
+          .where(col("doc") % 5 === 0)
+          .select(col("doc").as("doc_id"), col("pos"),
+            col("r").as("suffix_rank"))
+          .orderBy("doc_id", "pos")
+    },
+
+    // Longest repeated substring per document — EXACT substring-level
+    // dedup signal (the suffix-array method of "Deduplicating Training
+    // Data Makes Language Models Better"), via the classic reduction:
+    // a suffix's best match is a suffix-array neighbor, so per-doc max
+    // over adjacent-pair LCPs (both directions) is exact. Spark computes
+    // LCPs by binary descent over the retained doubling rank tables
+    // (never comparing characters); the oracle brute-forces each
+    // adjacent pair character by character. The planted motif makes
+    // every doc % 3 == 0 document report >= 16.
+    Q("q_text_longest_repeat",
+      """WITH d AS (SELECT doc_id AS doc FROM documents),
+        |ch AS (SELECT doc, i,
+        |              chr(97 + CAST(CASE WHEN doc % 3 = 0
+        |                                      AND i BETWEEN 8 AND 23
+        |                                 THEN (i * 11 + 5) % 26
+        |                                 ELSE (doc * 7 + i * 11) % 26
+        |                            END AS INT)) AS c
+        |       FROM d, range(0, 32) AS r(i)),
+        |strs AS (SELECT doc, string_agg(c, '' ORDER BY i) AS t
+        |         FROM ch GROUP BY doc),
+        |suf AS (SELECT doc, CAST(i AS INT) AS pos,
+        |               substr(t, CAST(i + 1 AS INT)) AS s
+        |        FROM strs, range(0, 32) AS r(i)),
+        |rk AS (SELECT doc, pos, s,
+        |              row_number() OVER (ORDER BY s, doc, pos) AS rn
+        |       FROM suf),
+        |nb AS (SELECT a.doc, a.rn, 1 AS dir, a.s AS s1, b.s AS s2
+        |       FROM rk a JOIN rk b ON b.rn = a.rn + 1
+        |       UNION ALL
+        |       SELECT b.doc, b.rn, 2, b.s, a.s
+        |       FROM rk a JOIN rk b ON b.rn = a.rn + 1),
+        |ex AS (SELECT doc, rn, dir, s1, s2,
+        |              least(length(s1), length(s2)) AS m,
+        |              unnest(range(0, least(length(s1), length(s2))))
+        |                AS j
+        |       FROM nb),
+        |lc AS (SELECT doc, rn, dir,
+        |              coalesce(min(CASE WHEN substr(s1, CAST(j + 1 AS INT),
+        |                                            1)
+        |                                     <> substr(s2,
+        |                                               CAST(j + 1 AS INT),
+        |                                               1)
+        |                                THEN j END), max(m)) AS lcp
+        |       FROM ex GROUP BY 1, 2, 3)
+        |SELECT doc AS doc_id, CAST(max(lcp) AS INT) AS max_repeat
+        |FROM lc GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.SuffixArray
+        .maxRepeatPerDoc(graft.operators.SuffixArray.build(motifDocs(s, dir)))
+        .select(col("doc").as("doc_id"), col("max_repeat"))
+        .orderBy("doc_id")
+    },
   )
 
   /** Planted multi-line frame shared by the line-cleaning gates: 8-word
@@ -1526,4 +1613,20 @@ object TextQueries {
         lit("\nlorem ipsum dolor sit amet")).otherwise(""),
       when(col("doc_id") % 4 === 0, lit("\ntiny line")).otherwise(""))
       .as("text"))
+
+  /** 32-char a-z fixture strings for the suffix-array gates: formula
+    * chars with a planted 16-char motif (positions 8-23) shared by every
+    * doc_id % 3 == 0 document — the SQL oracle replays the formula. */
+  private def motifDocs(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val cs = Array.tabulate(32) { i =>
+        val v = if (id % 3 == 0 && i >= 8 && i <= 23) (i * 11 + 5) % 26
+                else ((id * 7 + i * 11) % 26).toInt
+        ('a' + v).toChar
+      }
+      (id, new String(cs))
+    }.toDF("doc_id", "text")
+  }
 }

@@ -616,6 +616,78 @@ class MultimodalSpec extends SparkSpec {
     assert(got((1L, 2)) == ((1L, 1L, 1L, 1L, 1L, 0L)))
   }
 
+  test("audioFingerprint: hand-checked bits, short/corrupt emit nothing") {
+    import graft.multimodal.AudioCodec
+    // nBits=3 → 4 equal-occupancy windows of 2 samples each:
+    // energies 2, 18, 8, 50 → deltas up,down,up → fp = 0b101 = 5
+    val rows = Seq(
+      (1L, AudioCodec.buildWavPcm(1, 8000, 16,
+        Array(1, 1, 3, 3, 2, 2, 5, 5))),
+      (2L, AudioCodec.buildWavPcm(1, 8000, 16, Array(1, 2))), // too short
+      (3L, "junk".getBytes)).toDF("media_id", "payload")
+    val got = Multimodal.audioFingerprint(rows, nBits = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 5L))
+  }
+
+  test("audioNearDups: band gate + hamming confirm, hand-checked") {
+    // (1,2): bands 1-3 agree, hamming 1 → pair. (3): no band matches
+    // anything. (10,11): band 1-3 agree but hamming 8 > 4 → filtered.
+    val fps = Seq((1L, 0x0F0F0F0FL), (2L, 0x0F0F0F1FL),
+      (3L, 0xF0F0F0F0L), (10L, 0L), (11L, 0xFFL))
+      .toDF("media_id", "fp")
+    val got = Multimodal.audioNearDups(fps).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet == Set((1L, 2L, 1)), s"got: ${got.toSeq}")
+  }
+
+  test("audio near-dup end-to-end: planted re-records pair with originals") {
+    val docs = (0L until 50L).toDF("doc_id")
+    val pairs = Multimodal.audioNearDups(
+        Multimodal.audioFingerprint(Multimodal.syntheticNearDupPcm(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val planted = (0L until 50L).filter(_ % 5 == 4).map(id => (id - 1, id))
+    val missed = planted.filterNot(pairs.contains)
+    assert(missed.isEmpty, s"planted near-dups missed: $missed")
+  }
+
+  test("videoNearDups: shared-scene containment, hand-checked") {
+    import graft.multimodal.GifCodec
+    val pal = Array.tabulate(3 * 4)(j => (j * 9).toByte)
+    val A = Array.tabulate(6)(k => (k % 4).toByte)
+    val A2 = { val x = A.clone(); x(0) = ((x(0) + 1) % 4).toByte; x }
+    val B = Array.tabulate(6)(k => ((k + 1) % 4).toByte)
+    val C = Array.tabulate(6)(k => ((k + 2) % 4).toByte)
+    val rows = Seq(
+      (1L, GifCodec.buildGifAnimPixels(3, 2, pal, Seq(A, A, B))), // {A,B}
+      (2L, GifCodec.buildGifAnimPixels(3, 2, pal, Seq(A2, B))),   // {A2,B}
+      (3L, GifCodec.buildGifAnimPixels(3, 2, pal, Seq(A, B, C))), // {A,B,C}
+      (4L, "junk".getBytes)).toDF("media_id", "payload")
+    val got = Multimodal.videoNearDups(
+        Multimodal.gifFrameContentHashes(rows))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (1,2): share B only → 1/2 = 50% < 60 → out. (1,3): share A,B →
+    // 2/min(2,3) = 100% → in. (2,3): share B → 50% → out.
+    assert(got == Map((1L, 3L) -> ((2L, 2L, 3L))), s"got: $got")
+  }
+
+  test("video near-dup end-to-end: planted re-cuts pair with originals") {
+    val docs = (0L until 70L).toDF("doc_id")
+    val pairs = Multimodal.videoNearDups(
+        Multimodal.gifFrameContentHashes(
+          Multimodal.syntheticNearDupAnimations(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted (id-1, id) survives the 60% gate when the video has >= 3
+    // scenes, i.e. nf = b % 6 + 4 >= 5
+    val expected = (0L until 70L)
+      .filter(id => id % 7 == 6 && (id - 1) % 6 != 0)
+      .map(id => (id - 1, id))
+    val missed = expected.filterNot(pairs.contains)
+    assert(missed.isEmpty, s"planted near-dup videos missed: $missed")
+  }
+
   test("resizePixels: hand-checked NN sample, pass-through, corruption") {
     import graft.multimodal.ImageCodec
     // 4x2 grayscale, pixels 10,20,30,40 / 50,60,70,80

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rocAuc: hand-checked with cross-class ties (average ranks)") {
+    // scores asc: 1(neg) 2(neg) 2(pos) 3(pos); tie group avg rank 2.5
+    // R+ = 2.5 + 4 = 6.5, U = 3.5, AUC = 3.5/4 = 0.875
+    val df = Seq((true, 3L), (true, 2L), (false, 2L), (false, 1L))
+      .toDF("label", "score")
+    val r = Eval.rocAuc(df, "label", "score").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 7L)))
+    assert(r.getDouble(3) == 0.875)
+  }
+
+  test("rocAuc: perfect separation = 1.0, reversed = 0.0") {
+    val perfect = Seq((true, 10L), (true, 9L), (false, 2L), (false, 1L))
+      .toDF("label", "score")
+    assert(Eval.rocAuc(perfect, "label", "score")
+      .collect().head.getDouble(3) == 1.0)
+    val reversed = Seq((false, 10L), (false, 9L), (true, 2L), (true, 1L))
+      .toDF("label", "score")
+    assert(Eval.rocAuc(reversed, "label", "score")
+      .collect().head.getDouble(3) == 0.0)
+  }
+
+  test("calibrationBins: integral bin edges, clamp at top") {
+    val df = Seq((false, 0L), (false, 99L), (true, 100L), (true, 999L),
+      (true, 1000L)).toDF("label", "score")
+    val got = Eval.calibrationBins(df, "label", "score", 1000L, 10)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // 0,99 → bin 0; 100 → bin 1; 999 → bin 9; 1000 clamps to bin 9
+    assert(got == Map(0 -> ((2L, 0L)), 1 -> ((1L, 1L)),
+      9 -> ((2L, 2L))), s"got: $got")
+  }
+}

@@ -71,6 +71,32 @@ class PiiFunctionsSpec extends SparkSpec {
     assert(out(5L) == ((2L, false)) && out(6L) == ((2L, false)))
   }
 
+  test("paretoFrontier: skyline with ties, duplicates, and x-groups") {
+    val df = Seq(
+      (1L, 0, 9),  // frontier (max y)
+      (2L, 1, 5),  // dominated by (2,5): x strictly less, y equal
+      (3L, 2, 5),  // frontier
+      (4L, 3, 3),  // frontier (duplicate point — both kept)
+      (5L, 3, 3),  // frontier (duplicate point — both kept)
+      (6L, 3, 1),  // dominated within x-group by (3,3)
+      (7L, 4, 1),  // frontier
+      (8L, 1, 1)   // dominated by many
+    ).toDF("id", "x", "y")
+    val got = Curation.paretoFrontier(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L, 5L, 7L), s"got: $got")
+  }
+
+  test("paretoFrontier: null coordinates drop, single point survives") {
+    val df = Seq(
+      (1L, Some(5), Some(5)),
+      (2L, None, Some(9)),
+      (3L, Some(9), None)).toDF("id", "x", "y")
+    val got = Curation.paretoFrontier(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L), s"got: $got")
+  }
+
   test("pii detection plans scan-local (no exchange, codegen'd)") {
     val docs = graft.engine.Tables.t(spark, sf001, "documents")
     val plan = PiiFunctions.detect(docs, "doc_id", "text")

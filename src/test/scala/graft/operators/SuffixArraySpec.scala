@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("suffix ranks: banana + ana, dense ranks with cross-doc ties") {
+    val docs = Seq((1L, "banana"), (2L, "ana")).toDF("doc_id", "text")
+    val got = SuffixArray.build(docs).ranks.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // sorted suffixes: a | ana | anana | banana | na | nana
+    val expected = Map(
+      (1L, 5) -> 1L, (2L, 2) -> 1L, // "a" (tie)
+      (1L, 3) -> 2L, (2L, 0) -> 2L, // "ana" (tie)
+      (1L, 1) -> 3L,                // "anana"
+      (1L, 0) -> 4L,                // "banana"
+      (1L, 4) -> 5L, (2L, 1) -> 5L, // "na" (tie)
+      (1L, 2) -> 6L)                // "nana"
+    assert(got == expected, s"got: $got")
+  }
+
+  test("maxRepeatPerDoc: longest repeated substring, hand-checked") {
+    val docs = Seq((1L, "banana"), (2L, "ana"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val got = SuffixArray.maxRepeatPerDoc(SuffixArray.build(docs))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // "ana" repeats inside banana (pos 1 overlap pos 3) and equals doc 2
+    // wholesale; doc 3 shares nothing but trivial... not even 1 char
+    assert(got == Map(1L -> 3, 2L -> 3, 3L -> 0), s"got: $got")
+  }
+
+  test("identical docs report full-length repeats") {
+    val docs = Seq((1L, "abcd"), (2L, "abcd")).toDF("doc_id", "text")
+    val got = SuffixArray.maxRepeatPerDoc(SuffixArray.build(docs))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 4, 2L -> 4), s"got: $got")
+  }
+}
