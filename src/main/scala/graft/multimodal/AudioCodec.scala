@@ -202,4 +202,117 @@ object AudioCodec {
     Some((AudioMeta("wav", channels, sampleRate.toInt, bits, frames,
       frames * 1000000L / sampleRate), samples))
   }
+
+  /** Splice a REAL `LIST`/`INFO` metadata chunk (RIFF spec: fourCC
+    * sub-chunks, NUL-terminated Latin-1 text, word-aligned) directly
+    * after the RIFF header of an existing WAV — the provenance/tag
+    * surface players and taggers read. Keys must be exactly 4 ASCII
+    * chars (`IART`, `INAM`, `ICMT`, ...). */
+  def addWavInfo(wav: Array[Byte], entries: Seq[(String, String)])
+      : Array[Byte] = {
+    require(wav.length >= 12 && tag(wav, 0) == "RIFF" &&
+      tag(wav, 8) == "WAVE", "not a RIFF/WAVE payload")
+    entries.foreach { case (k, _) =>
+      require(k.length == 4 && k.forall(c => c >= 0x20 && c < 0x7f),
+        s"INFO key must be 4 printable ASCII chars, got '$k'")
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("INFO".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    entries.foreach { case (k, v) =>
+      val vb = v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      require(!vb.contains(0.toByte), "INFO value must be NUL-free")
+      val size = vb.length + 1 // include the terminating NUL
+      body.write(k.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      body.write(size & 0xff); body.write((size >> 8) & 0xff)
+      body.write((size >> 16) & 0xff); body.write((size >> 24) & 0xff)
+      body.write(vb); body.write(0)
+      if ((size & 1) == 1) body.write(0) // word alignment pad
+    }
+    val payload = body.toByteArray
+    val out = new Array[Byte](wav.length + 8 + payload.length)
+    System.arraycopy(wav, 0, out, 0, 12)
+    out(12) = 'L'.toByte; out(13) = 'I'.toByte
+    out(14) = 'S'.toByte; out(15) = 'T'.toByte
+    val sz = payload.length.toLong
+    out(16) = (sz & 0xff).toByte; out(17) = ((sz >> 8) & 0xff).toByte
+    out(18) = ((sz >> 16) & 0xff).toByte
+    out(19) = ((sz >> 24) & 0xff).toByte
+    System.arraycopy(payload, 0, out, 20, payload.length)
+    System.arraycopy(wav, 12, out, 20 + payload.length, wav.length - 12)
+    // patch the RIFF size to cover the spliced chunk
+    val riff = out.length - 8L
+    out(4) = (riff & 0xff).toByte; out(5) = ((riff >> 8) & 0xff).toByte
+    out(6) = ((riff >> 16) & 0xff).toByte
+    out(7) = ((riff >> 24) & 0xff).toByte
+    out
+  }
+
+  /** Walk the WAV's actual chunk stream back into (key, value) INFO
+    * entries. Same clamped-Long cursor discipline as [[parseWav]] —
+    * hostile sizes terminate, truncation/malformation returns None, a
+    * valid WAV without a LIST/INFO chunk returns Some(empty). */
+  def parseWavInfo(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    if (b == null || b.length < 12) return None
+    if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    val out = Seq.newBuilder[(String, String)]
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = tag(b, i)
+      val size = le32(b, i + 4)
+      if (size > b.length - i - 8) return None // declared past the end
+      if (id == "LIST" && size >= 4 && tag(b, i + 8) == "INFO") {
+        var j = i + 12
+        val end = i + 8 + size.toInt
+        while (j + 8 <= end) {
+          val key = tag(b, j)
+          val vsize = le32(b, j + 4)
+          if (vsize < 1 || vsize > end - j - 8) return None
+          val vend = j + 8 + vsize.toInt
+          if (b(vend - 1) != 0) return None // spec: NUL-terminated
+          out += key -> new String(b, j + 8, vsize.toInt - 1,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val nj = j.toLong + 8L + vsize + (vsize & 1L)
+          j = if (nj > end) end else nj.toInt
+        }
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > b.length) b.length else next.toInt
+    }
+    Some(out.result())
+  }
+
+  /** Privacy strip: rebuild the WAV keeping ONLY the `fmt ` and `data`
+    * chunks (every LIST/INFO/bext/id3-style ancillary chunk — where
+    * recorder serials and contact tags live — is dropped), with the
+    * RIFF size re-patched and the audio content byte-identical.
+    * Corruption returns None, never a half-stripped payload. */
+  def stripWavMetadata(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b == null || b.length < 12) return None
+    if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    val kept = Seq.newBuilder[(Int, Int)] // (offset, byte length incl pad)
+    var total = 0
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = tag(b, i)
+      val size = le32(b, i + 4)
+      if (size > b.length - i - 8) return None
+      val span = (8L + size + (size & 1L)).toInt
+      if (id == "fmt " || id == "data") {
+        kept += ((i, span)); total += span
+      }
+      val next = i.toLong + span
+      i = if (next > b.length) b.length else next.toInt
+    }
+    val out = new Array[Byte](12 + total)
+    System.arraycopy(b, 0, out, 0, 12)
+    var o = 12
+    kept.result().foreach { case (off, len) =>
+      System.arraycopy(b, off, out, o, len); o += len
+    }
+    val riff = out.length - 8L
+    out(4) = (riff & 0xff).toByte; out(5) = ((riff >> 8) & 0xff).toByte
+    out(6) = ((riff >> 16) & 0xff).toByte
+    out(7) = ((riff >> 24) & 0xff).toByte
+    Some(out)
+  }
 }

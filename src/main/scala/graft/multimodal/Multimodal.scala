@@ -258,6 +258,58 @@ object Multimodal {
       }).toDF("media_id", "payload")
   }
 
+  /** WAV fixtures with REAL spliced LIST/INFO tags (the audio twin of
+    * [[syntheticAnnotatedImages]]): recorder provenance on every clip, a
+    * planted PII contact comment on every 11th; sample values from a
+    * doc_id formula an SQL oracle can replay. */
+  def syntheticAnnotatedWavs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (id % 50 + 16).toInt
+        val samples = Array.tabulate(n)(k =>
+          ((id * 13 + k.toLong * 11 + 7) % 251).toInt - 125)
+        val entries = Seq(
+          "IART" -> s"crawler-${id % 7}",
+          "INAM" -> s"clip-${id % 5}") ++
+          (if (id % 11 == 0) Seq("ICMT" -> s"user$id@mail.example")
+           else Nil)
+        (id, AudioCodec.addWavInfo(
+          AudioCodec.buildWavPcm(1, 8000, 16, samples), entries))
+      }.toDF("media_id", "payload")
+  }
+
+  /** INFO-tag extraction over the real RIFF chunk walk: one row per
+    * entry; unparseable payloads emit a single null-key row (corruption
+    * visible, mirroring [[extractImageMetadata]]). */
+  def extractAudioMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.parseWavInfo(bytes) match {
+          case Some(texts) => texts.iterator.map(t =>
+            (id, Option(t._1), Option(t._2)))
+          case None => Iterator.single(
+            (id, None: Option[String], None: Option[String]))
+        }
+      }).toDF("media_id", "meta_key", "meta_value")
+  }
+
+  /** Privacy strip for audio: every ancillary RIFF chunk dropped, PCM
+    * content byte-identical; corrupt payloads become null. */
+  def stripAudioMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, AudioCodec.stripWavMetadata(bytes).orNull)
+      }).toDF("media_id", "payload")
+  }
+
   /** Synthetic WAV assets from formula parameters — real RIFF bytes
     * ([[AudioCodec.buildWav]]), including an odd-sized LIST chunk every
     * third row so the decode walk must handle word alignment. */

@@ -197,6 +197,65 @@ object Curation {
       .drop("__x", "__ymax", "__above")
   }
 
+  /** Waterfilling token-budget allocation across domains — the mixture
+    * computation behind "cap every source at the same level and spend
+    * exactly the budget": θ* is the largest integral per-domain cap with
+    * `Σ_d min(w_d, θ*) <= budget`, and each domain gets
+    * `alloc = min(w_d, θ*)`. Small domains keep everything; the level θ*
+    * splits the rest evenly — the fair-cap allocation the epoch-capped
+    * mixture literature converges to.
+    *
+    * Scale shape: one map-side-combinable aggregation to per-domain
+    * weights, then everything runs on the DOMAIN frame (bounded by
+    * domain cardinality): [[Packing.runningTotal]]'s bounded prefix scan
+    * for the sorted cumulative weights, [[GlobalRank]] for the sorted
+    * index, one self-join for the predecessor weight, one scalar max.
+    * θ* candidates: with domains sorted by weight ascending, row i
+    * (1-based, prefix-before p, remaining r = n−i+1) proposes
+    * `θ_i = (budget − p) div r`, valid iff `θ_i >= w_{i−1}` (every
+    * smaller domain is genuinely saturated below the level); f(θ) is
+    * monotone so the max valid candidate IS θ*. Integral weights only —
+    * every decision replays exactly cross-engine. */
+  def waterfill(df: DataFrame, domainCol: String, weightCol: String,
+                budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val dom = df.groupBy(domainCol)
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val order = Seq(asc("w"), asc(domainCol))
+    val rn = GlobalRank.withRowNumber(
+      Packing.runningTotal(dom, order, "w"), "rn", order)
+    val nDf = dom.agg(count(lit(1)).as("__n"))
+    val cand = rn.crossJoin(broadcast(nDf))
+      .withColumn("theta",
+        expr(s"(${budget}L - (cum - w)) div (__n - rn + 1)"))
+    val prev = cand.select((col("rn") + 1).as("rn"), col("w").as("prev_w"))
+    val theta = cand.join(prev, Seq("rn"), "left")
+      .where(col("prev_w").isNull || col("theta") >= col("prev_w"))
+      .agg(max("theta").as("theta"))
+    dom.crossJoin(broadcast(theta))
+      .select(col(domainCol), col("w"),
+        least(col("w"), col("theta")).as("alloc"))
+  }
+
+  /** Top-p% per domain by a caller-supplied total order — the fair
+    * cross-domain quality threshold: a single global score cutoff lets
+    * one domain's score distribution crowd out every other, a per-domain
+    * PERCENTILE keeps the same fraction of each. Integer-gated
+    * (`rn·100 <= p·count`), window partitioned BY DOMAIN (shuffle on the
+    * domain key, no single-task window; the finer-domains contract
+    * applies if one domain outgrows a task). */
+  def topPercentPerDomain(df: DataFrame, domainCol: String, p: Int,
+                          order: Seq[Column]): DataFrame = {
+    require(p > 0 && p <= 100, s"p must be in (0,100], got $p")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(domainCol).orderBy(order: _*)
+    val cw = Window.partitionBy(domainCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(cw))
+      .where(col("__rn") * 100 <= lit(p) * col("__cnt"))
+      .drop("__rn", "__cnt")
+  }
+
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag,

@@ -1692,5 +1692,58 @@ object CurationQueries {
         .select("doc_id", "n_chars", "n_e")
         .orderBy("doc_id")
     },
+
+    // Waterfilling token-budget allocation (Curation.waterfill): the
+    // largest integral per-domain cap θ* with Σ min(w_d, θ*) <= budget;
+    // small domains keep everything, the level splits the rest. At the
+    // fixture's 100k-char budget over ~149k corpus chars, θ* binds four
+    // of the five languages — both the saturated and unsaturated
+    // branches sit on the gated path. Everything past the first
+    // aggregation runs on the bounded domain frame (prefix scan + one
+    // predecessor self-join), and the oracle replays the candidate/
+    // validity arithmetic in windows.
+    Q("q_mix_waterfill",
+      """WITH dom AS (SELECT lang AS domain, sum(n_chars) AS w
+        |             FROM documents GROUP BY 1),
+        |o AS (SELECT domain, w,
+        |             row_number() OVER (ORDER BY w, domain) AS rn,
+        |             sum(w) OVER (ORDER BY w, domain) AS cum,
+        |             count(*) OVER () AS n
+        |      FROM dom),
+        |c AS (SELECT a.rn, a.w,
+        |             (100000 - (a.cum - a.w)) // (a.n - a.rn + 1)
+        |               AS theta,
+        |             b.w AS prev_w
+        |      FROM o a LEFT JOIN o b ON b.rn = a.rn - 1),
+        |t AS (SELECT max(theta) AS theta FROM c
+        |      WHERE prev_w IS NULL OR theta >= prev_w)
+        |SELECT domain, CAST(w AS BIGINT) AS w,
+        |       CAST(least(w, theta) AS BIGINT) AS alloc
+        |FROM dom, t ORDER BY domain""".stripMargin) { (s, dir) =>
+      graft.operators.Curation.waterfill(
+          t(s, dir, "documents"), "lang", "n_chars", budget = 100000L)
+        .select(col("lang").as("domain"), col("w"), col("alloc"))
+        .orderBy("domain")
+    },
+
+    // Per-domain top-p% quality threshold (Curation.topPercentPerDomain):
+    // a single global cutoff lets one domain's score distribution crowd
+    // out the rest; the per-domain percentile keeps the same fraction of
+    // each. Integer gate rn·100 <= p·count, window partitioned by the
+    // domain key — shuffles on lang, never a single-task window.
+    Q("q_curate_domain_topp",
+      """WITH c AS (SELECT doc_id, lang, n_chars,
+        |                  row_number() OVER (PARTITION BY lang
+        |                    ORDER BY n_chars DESC, doc_id) AS rn,
+        |                  count(*) OVER (PARTITION BY lang) AS cnt
+        |           FROM documents)
+        |SELECT doc_id, lang, n_chars FROM c
+        |WHERE rn * 100 <= 40 * cnt
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Curation.topPercentPerDomain(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", 40, Seq(col("n_chars").desc, col("doc_id").asc))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -467,6 +467,64 @@ object MediaQueries {
         .orderBy("id1", "id2")
     },
 
+    // WAV LIST/INFO tag extraction (Multimodal.extractAudioMetadata):
+    // the fixture splices REAL INFO sub-chunks (fourCC, NUL-terminated
+    // Latin-1, word-aligned, RIFF size re-patched) into real PCM WAVs —
+    // recorder provenance on every clip, a planted PII contact on every
+    // 11th — and Spark must walk the actual chunk stream back. The
+    // oracle knows only the string formulas. Audio twin of
+    // q_multimodal_text_meta.
+    Q("q_audio_meta",
+      """WITH k AS (SELECT doc_id AS id FROM documents),
+        |t AS (SELECT id, 'IART' AS meta_key,
+        |             'crawler-' || CAST(id % 7 AS VARCHAR) AS meta_value
+        |      FROM k
+        |      UNION ALL
+        |      SELECT id, 'INAM', 'clip-' || CAST(id % 5 AS VARCHAR)
+        |      FROM k
+        |      UNION ALL
+        |      SELECT id, 'ICMT',
+        |             'user' || CAST(id AS VARCHAR) || '@mail.example'
+        |      FROM k WHERE id % 11 = 0)
+        |SELECT id AS media_id, meta_key, meta_value
+        |FROM t ORDER BY media_id, meta_key""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.extractAudioMetadata(
+          Multimodal.syntheticAnnotatedWavs(t(s, dir, "documents")))
+        .orderBy("media_id", "meta_key")
+    },
+
+    // Audio privacy strip (Multimodal.stripAudioMetadata): ancillary
+    // RIFF chunks dropped, PCM content kept byte-identical — gated by
+    // re-extracting (must find ZERO entries) AND re-decoding samples
+    // (sum + position-weighted sum must still match the formula, so a
+    // strip that touched one data byte or reordered samples fails).
+    Q("q_audio_meta_strip",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CAST(doc_id % 50 + 16 AS BIGINT) AS n
+        |           FROM documents),
+        |s AS (SELECT id, unnest(range(0, n)) AS k FROM p)
+        |SELECT id AS media_id, CAST(0 AS BIGINT) AS n_meta,
+        |       CAST(sum((id * 13 + k * 11 + 7) % 251 - 125) AS BIGINT)
+        |         AS s_sum,
+        |       CAST(sum((k + 1) * ((id * 13 + k * 11 + 7) % 251 - 125))
+        |            AS BIGINT) AS s_wsum
+        |FROM s GROUP BY id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val stripped = Multimodal.stripAudioMetadata(
+        Multimodal.syntheticAnnotatedWavs(t(s, dir, "documents")))
+      val leftover = Multimodal.extractAudioMetadata(stripped)
+        .where(col("meta_key").isNotNull)
+        .groupBy("media_id").agg(count(lit(1)).as("n_meta"))
+      Multimodal.decodePcmStats(stripped)
+        .select(col("media_id"), col("s_sum"), col("s_wsum"))
+        .join(leftover, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("n_meta"), lit(0L)).as("n_meta"),
+          col("s_sum"), col("s_wsum"))
+        .orderBy("media_id")
+    },
+
     // Video near-dup by shared-scene containment
     // (Multimodal.gifFrameContentHashes + videoNearDups): every frame
     // of every GIF is REALLY LZW-decoded, still scenes collapse to one

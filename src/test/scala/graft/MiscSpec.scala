@@ -651,6 +651,33 @@ class MultimodalSpec extends SparkSpec {
     assert(missed.isEmpty, s"planted near-dups missed: $missed")
   }
 
+  test("WAV INFO: splice, extract, strip round-trip; corruption null") {
+    import graft.multimodal.AudioCodec
+    val base = AudioCodec.buildWavPcm(1, 8000, 16, Array(5, -7, 9))
+    // odd-length value exercises the word-alignment pad
+    val tagged = AudioCodec.addWavInfo(base,
+      Seq("IART" -> "crawler-3", "ICMT" -> "odd"))
+    assert(AudioCodec.parseWavInfo(tagged).get ==
+      Seq("IART" -> "crawler-3", "ICMT" -> "odd"))
+    // tags must not disturb the PCM decode
+    assert(AudioCodec.parseWavSamples(tagged).get._2.toSeq ==
+      Seq(5, -7, 9))
+    val stripped = AudioCodec.stripWavMetadata(tagged).get
+    assert(AudioCodec.parseWavInfo(stripped).get.isEmpty)
+    assert(AudioCodec.parseWavSamples(stripped).get._2.toSeq ==
+      Seq(5, -7, 9))
+    // a bare WAV has no tags but parses fine
+    assert(AudioCodec.parseWavInfo(base).get.isEmpty)
+    assert(AudioCodec.parseWavInfo("junk".getBytes).isEmpty)
+    assert(AudioCodec.stripWavMetadata("junk".getBytes).isEmpty)
+    // hostile INFO sub-chunk size (bytes 28-31: first entry's LE32 size)
+    // must not loop or overread
+    val evil = tagged.clone()
+    evil(28) = 0xf8.toByte; evil(29) = 0xff.toByte
+    evil(30) = 0xff.toByte; evil(31) = 0xff.toByte
+    assert(AudioCodec.parseWavInfo(evil).isEmpty)
+  }
+
   test("videoNearDups: shared-scene containment, hand-checked") {
     import graft.multimodal.GifCodec
     val pal = Array.tabulate(3 * 4)(j => (j * 9).toByte)

@@ -86,9 +86,14 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     val valid = Seq(
       AudioCodec.buildWav(2, 44100, 16, 1234L, listPad = 3),
       AudioCodec.buildWavPcm(1, 8000, 16, Array(5, -5, 100, -32768)),
-      AudioCodec.buildWavPcm(1, 8000, 8, Array(0, 255, 17)))
+      AudioCodec.buildWavPcm(1, 8000, 8, Array(0, 255, 17)),
+      AudioCodec.addWavInfo(
+        AudioCodec.buildWavPcm(1, 8000, 16, Array(9, -9)),
+        Seq("IART" -> "a", "ICMT" -> "longer odd value")))
     exercise("wav", valid, Seq(
       b => AudioCodec.parseWav(b),
-      b => AudioCodec.parseWavSamples(b)))
+      b => AudioCodec.parseWavSamples(b),
+      b => AudioCodec.parseWavInfo(b),
+      b => AudioCodec.stripWavMetadata(b)))
   }
 }

@@ -525,4 +525,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       s"no equi join on the (band, value) key:\n$plan")
   }
+
+  test("audio near-dup pairs meet through the band equi-join, never " +
+      "all-pairs") {
+    val plan = physical(
+      SparkEntry.queries("q_audio_neardup")(spark, sf001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"acoustic-fingerprint pairing fell back to O(n^2):\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi join on the (band, value) key:\n$plan")
+  }
+
+  test("video near-dup pairs meet through the frame-hash posting join, " +
+      "never all-pairs") {
+    val plan = physical(
+      SparkEntry.queries("q_video_neardup")(spark, sf001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"shared-scene pairing fell back to O(n^2):\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi join on the frame hash:\n$plan")
+  }
+
+  test("suffix-array construction never plans a single-partition window") {
+    val plan = physical(
+      SparkEntry.queries("q_text_suffix_rank")(spark, sf001))
+    assert(!plan.contains("Window"),
+      s"prefix doubling must rank via GlobalRank, not a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"doubling join fell back to O(n^2):\n$plan")
+  }
+
+  test("pareto frontier joins back on the x key, never a self cross") {
+    val plan = physical(
+      SparkEntry.queries("q_curate_pareto")(spark, sf001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"skyline fell back to the all-pairs domination test:\n$plan")
+  }
+
+  test("ROC-AUC aggregates per distinct score with no window and no " +
+      "row-level rank") {
+    val plan = physical(SparkEntry.queries("q_eval_auc")(spark, sf001))
+    assert(!plan.contains("Window"),
+      s"rank-sum AUC must use the bounded prefix scan, not a window:\n$plan")
+  }
 }

@@ -97,6 +97,33 @@ class PiiFunctionsSpec extends SparkSpec {
     assert(got == Set(1L), s"got: $got")
   }
 
+  test("waterfill: level binds big domains, small ones keep everything") {
+    // weights 1, 5, 10; budget 9 → f(4) = 1+4+4 = 9 → θ* = 4
+    val df = Seq(("a", 1L), ("b", 5L), ("c", 10L)).toDF("dom", "w0")
+    val got = Curation.waterfill(df, "dom", "w0", budget = 9L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map("a" -> ((1L, 1L)), "b" -> ((5L, 4L)),
+      "c" -> ((10L, 4L))), s"got: $got")
+  }
+
+  test("waterfill: budget above total keeps every domain whole") {
+    val df = Seq(("a", 3L), ("b", 7L)).toDF("dom", "w0")
+    val got = Curation.waterfill(df, "dom", "w0", budget = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 7L), s"got: $got")
+  }
+
+  test("topPercentPerDomain keeps the same fraction of each domain") {
+    val df = (1 to 10).map(i => ("x", i.toLong, i * 10)) ++
+      (1 to 5).map(i => ("y", 100L + i, i))
+    val got = Curation.topPercentPerDomain(df.toDF("dom", "id", "score"),
+        "dom", 40, Seq(col("score").desc, col("id").asc))
+      .select("id").as[Long].collect().toSet
+    // x: top 4 of 10 by score → ids 7,8,9,10; y: top 2 of 5 → 104,105
+    assert(got == Set(7L, 8L, 9L, 10L, 104L, 105L), s"got: $got")
+  }
+
   test("pii detection plans scan-local (no exchange, codegen'd)") {
     val docs = graft.engine.Tables.t(spark, sf001, "documents")
     val plan = PiiFunctions.detect(docs, "doc_id", "text")
