@@ -32,16 +32,52 @@ import org.apache.spark.sql.functions._
   * `lcp += h` — O(log maxLen) rounds of two equi-joins each, clamped to
   * the shorter suffix at the end (equal ranks of truncated prefixes can
   * overshoot by design; the clamp restores exactness).
+  *
+  * Small corpora (bounded probe: ≤ [[SmallDocs]] documents AND
+  * ≤ `localThreshold` total characters, integral doc ids) skip the round
+  * loop for a driver-local sort — the [[ConnectedComponents]] SmallGraph
+  * contract: distributed rounds are dominated by per-round JOB overhead
+  * at that size (measured: 18-41 s/gate at 160k chars for work a local
+  * sort answers in milliseconds), and the bounded collect is the same
+  * size class as Packing's prefix offsets. `localThreshold = 0` pins the
+  * distributed path (its own specs use it); equivalence of the two paths
+  * is asserted in SuffixArraySpec.
   */
 object SuffixArray extends TrackedCaches {
 
+  /** Document-count bound under which the char-count probe (a bounded
+    * scan) may elect the driver-local path. */
+  private val SmallDocs = 1 << 15
+
   /** `ranks`: (doc, pos, r) — dense suffix rank; `rankTables`: the
-    * per-power rank frames (h → rank by first h chars), kept for LCP. */
-  final case class Built(ranks: DataFrame, rankTables: Seq[(Int, DataFrame)])
+    * per-power rank frames (h → rank by first h chars), kept for LCP;
+    * `localAdjacent`: the adjacent-pair LCP frame, precomputed when the
+    * driver-local path ran (the sort walk yields it for free). */
+  final case class Built(ranks: DataFrame,
+                         rankTables: Seq[(Int, DataFrame)],
+                         localAdjacent: Option[DataFrame])
 
   /** Build the generalized suffix array of `docs(docCol, textCol)`. */
   def build(docs: DataFrame, docCol: String = "doc_id",
-            textCol: String = "text"): Built = {
+            textCol: String = "text",
+            localThreshold: Long = 1L << 20): Built = {
+    val integralDoc = {
+      import org.apache.spark.sql.types._
+      Set[DataType](LongType, IntegerType, ShortType, ByteType)
+        .contains(docs.schema(docCol).dataType)
+    }
+    if (localThreshold > 0 && integralDoc &&
+        docs.limit(SmallDocs + 1).count() <= SmallDocs) {
+      val rows = docs.select(col(docCol).cast("long"), col(textCol))
+        .collect()
+      val totalChars = rows.iterator
+        .map(r => if (r.isNullAt(1)) 0L else r.getString(1).length.toLong)
+        .sum
+      if (totalChars <= localThreshold)
+        return buildLocal(docs.sparkSession,
+          rows.map(r => (r.getLong(0),
+            if (r.isNullAt(1)) "" else r.getString(1))))
+    }
     val chars = docs.select(col(docCol).as("doc"),
         posexplode(split(col(textCol), ""))).toDF("doc", "pos", "c")
       .where(length(col("c")) === 1)
@@ -74,13 +110,77 @@ object SuffixArray extends TrackedCaches {
       h *= 2
       tables ::= h -> cur
     }
-    Built(cur, tables.reverse)
+    Built(cur, tables.reverse, None)
+  }
+
+  /** Driver-local build over a BOUNDED, already-collected corpus: one
+    * comparator suffix sort, then a single walk assigns dense ranks and
+    * yields every adjacent-pair LCP for free. Exact same total order and
+    * tie-break as the distributed path (SuffixArraySpec pins the
+    * equivalence). Only reached behind [[build]]'s bounded probes. */
+  private def buildLocal(spark: org.apache.spark.sql.SparkSession,
+                         docsArr: Array[(Long, String)]): Built = {
+    import spark.implicits._
+    val ids = docsArr.map(_._1)
+    val texts = docsArr.map(_._2)
+    val refs = Array.newBuilder[(Int, Int)]
+    var d = 0
+    while (d < texts.length) {
+      var p = 0
+      while (p < texts(d).length) { refs += ((d, p)); p += 1 }
+      d += 1
+    }
+    val arr = refs.result()
+    def lcpOf(a: (Int, Int), b: (Int, Int)): Int = {
+      val sa = texts(a._1); val sb = texts(b._1)
+      var i = a._2; var j = b._2
+      while (i < sa.length && j < sb.length && sa.charAt(i) == sb.charAt(j)) {
+        i += 1; j += 1
+      }
+      i - a._2
+    }
+    def lessThan(x: (Int, Int), y: (Int, Int)): Boolean = {
+      val sa = texts(x._1); val sb = texts(y._1)
+      var i = x._2; var j = y._2
+      while (i < sa.length && j < sb.length) {
+        val c = sa.charAt(i) - sb.charAt(j)
+        if (c != 0) return c < 0
+        i += 1; j += 1
+      }
+      val la = sa.length - x._2; val lb = sb.length - y._2
+      if (la != lb) la < lb
+      else if (ids(x._1) != ids(y._1)) ids(x._1) < ids(y._1)
+      else x._2 < y._2
+    }
+    val sorted = arr.sortWith(lessThan)
+    val n = sorted.length
+    val ranksOut = new Array[(Long, Int, Long)](n)
+    val adj = Seq.newBuilder[(Long, Int, Long, Int, Int)]
+    var rank = 0L
+    var i = 0
+    while (i < n) {
+      if (i == 0) rank = 1
+      else {
+        val prev = sorted(i - 1); val cur = sorted(i)
+        val l = lcpOf(prev, cur)
+        adj += ((ids(prev._1), prev._2, ids(cur._1), cur._2, l))
+        val equalSuffix =
+          l == texts(prev._1).length - prev._2 &&
+            l == texts(cur._1).length - cur._2
+        if (!equalSuffix) rank += 1
+      }
+      ranksOut(i) = (ids(sorted(i)._1), sorted(i)._2, rank)
+      i += 1
+    }
+    Built(ranksOut.toSeq.toDF("doc", "pos", "r"), Nil,
+      Some(adj.result().toDF("doc1", "pos1", "doc2", "pos2", "lcp")))
   }
 
   /** LCP between each suffix and its successor in suffix-array order
     * (ties broken by (doc, pos) — a total order). Output:
-    * (doc1, pos1, doc2, pos2, lcp). */
-  def adjacentLcp(b: Built): DataFrame = {
+    * (doc1, pos1, doc2, pos2, lcp). Precomputed when the driver-local
+    * build ran; otherwise the rank-table binary descent. */
+  def adjacentLcp(b: Built): DataFrame = b.localAdjacent.getOrElse {
     val ord = GlobalRank.withRowNumber(b.ranks, "rn",
       Seq(asc("r"), asc("doc"), asc("pos")))
     val nxt = ord.select((col("rn") - 1).as("rn"), col("doc").as("doc2"),

@@ -249,6 +249,25 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // The PERSISTED index lifecycle through the driver hash: writeIndex
+    // (deterministic fit + partitioned inverted-file layout on disk) then
+    // searchIndex reading ONLY centroids + probed cluster directories —
+    // gated against the SAME full-fit SQL replay as q_ann_ivf, so the
+    // on-disk round trip (including the partitionBy(centroid_id) layout
+    // and the probe path) must be result-identical to the in-memory
+    // operator, row for row.
+    Q("q_ann_index_search", IvfReplay.sql) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ivf_index",
+        dir.replace('/', '_').replace(':', '_')).toString
+      Similarity.writeIndex(emb, idxDir, nClusters = 16)
+      Similarity.searchIndex(s, idxDir, emb.where(col("vec_id") < 5),
+          k = 10, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF recall contract, oracle-gated: the query computes recall@10 of
     // the IVF path against the brute-force baseline per query vector and
     // emits two flags the oracle pins TRUE — per-query recall >= 0.2 and

@@ -548,14 +548,20 @@ class PlanShapeSpec extends SparkSpec {
       s"no equi join on the frame hash:\n$plan")
   }
 
-  test("suffix-array construction never plans a single-partition window") {
-    val plan = physical(
-      SparkEntry.queries("q_text_suffix_rank")(spark, sf001))
+  test("suffix-array distributed path (doubling + LCP descent) never " +
+      "plans a window or cross join") {
+    import spark.implicits._
+    val docs = Seq((1L, "banana"), (2L, "bandana"), (3L, "anab"))
+      .toDF("doc_id", "text")
+    // localThreshold = 0 pins the distributed loop (the gate's default
+    // elects the bounded driver-local sort at these sizes)
+    val b = graft.operators.SuffixArray.build(docs, localThreshold = 0)
+    val plan = physical(graft.operators.SuffixArray.adjacentLcp(b))
     assert(!plan.contains("Window"),
-      s"prefix doubling must rank via GlobalRank, not a window:\n$plan")
+      s"doubling/descent must rank via GlobalRank, not a window:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
-      s"doubling join fell back to O(n^2):\n$plan")
+      s"descent join fell back to O(n^2):\n$plan")
   }
 
   test("pareto frontier joins back on the x key, never a self cross") {

@@ -36,4 +36,20 @@ class SuffixArraySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(1L -> 4, 2L -> 4), s"got: $got")
   }
+
+  test("driver-local fast path = distributed doubling (ranks and LCPs)") {
+    val docs = Seq((1L, "banana"), (2L, "ana"), (3L, "abcabcx"),
+      (4L, ""), (5L, "banana")).toDF("doc_id", "text")
+    val local = SuffixArray.build(docs) // under every probe bound
+    assert(local.localAdjacent.isDefined, "expected the local path")
+    val dist = SuffixArray.build(docs, localThreshold = 0) // pinned loop
+    assert(dist.localAdjacent.isEmpty, "expected the distributed path")
+    def ranksOf(b: SuffixArray.Built) = b.ranks.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ranksOf(local) == ranksOf(dist))
+    def repeats(b: SuffixArray.Built) =
+      SuffixArray.maxRepeatPerDoc(b).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(repeats(local) == repeats(dist))
+  }
 }
