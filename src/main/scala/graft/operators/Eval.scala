@@ -47,6 +47,39 @@ object Eval {
           .as("auc"))
   }
 
+  /** Precision/recall operating points at fixed integral thresholds —
+    * the table a pipeline reads to choose its quality-filter cutoff.
+    * ONE corpus aggregation (per-distinct-score counts, map-side
+    * combinable); the threshold sweep runs on that bounded frame against
+    * a broadcast literal, so adding operating points costs nothing at
+    * corpus scale. Ratios are null when undefined (no predicted
+    * positives), rounded to 4 dp. */
+  def prAtThresholds(df: DataFrame, labelCol: String, scoreCol: String,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byScore = df.groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("pos"))
+    val th = thresholds.toDF("threshold")
+    byScore.crossJoin(broadcast(th))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("score") >= col("threshold"), col("pos"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("threshold"),
+          col("cnt") - col("pos")).otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("threshold"), col("pos"))
+          .otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp") / (col("tp") + col("fp")), 4)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp") / (col("tp") + col("fn")), 4)).as("recall"))
+  }
+
   /** Calibration table (reliability diagram): bucket predictions by
     * integral score into `nBins` equal-width bins over [0, scoreMax],
     * report per-bin count, positive count, and observed positive rate —

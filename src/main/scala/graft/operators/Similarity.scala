@@ -191,13 +191,129 @@ object Similarity {
   /** Search a persisted [[writeIndex]] index. Result-identical to running
     * [[ivfTopK]] directly over the corpus (same deterministic fit, same
     * probe logic — asserted in SimilaritySpec), without touching corpus
-    * embeddings outside the probed clusters. */
+    * embeddings outside the probed clusters. Un-compacted streaming
+    * batch directories ([[appendBatchDir]]) union in transparently;
+    * batch dirs at or below the compaction high-water marker are
+    * already merged into the base layout and skipped. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                   queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val cents = normalizeCentroids(spark.read.parquet(s"$dir/centroids"))
     val assigned = spark.read.parquet(s"$dir/assignments")
       .select(col("cand_id"), col("cand_vec"), col("centroid_id"))
-    probeRank(assigned, queries, cents, k, nProbe)
+    val all = liveBatchDirs(spark, dir).foldLeft(assigned) { (acc, p) =>
+      acc.union(spark.read.parquet(p)
+        .select(col("cand_id"), col("cand_vec"), col("centroid_id")))
+    }
+    probeRank(all, queries, cents, k, nProbe)
+  }
+
+  /** EXACTLY-ONCE streaming append: assign `newVectors` against the
+    * standing centroids and write them to the batch-scoped directory
+    * `<dir>/batches/<md5(tag)>/<batchId>` with OVERWRITE — a replayed
+    * micro-batch (foreachBatch is at-least-once) rewrites the same
+    * location instead of double-appending, which is the idempotency the
+    * in-place [[appendToIndex]] append cannot give a stream. Each batch
+    * dir is itself partitioned by `centroid_id`, so probe pruning still
+    * prunes files; [[compactIndexBatches]] folds accumulated batch dirs
+    * into the base layout out-of-band. */
+  def appendBatchDir(newVectors: DataFrame, dir: String, tag: String,
+                     batchId: Long): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = normalizeCentroids(spark.read.parquet(s"$dir/centroids"))
+    nearestCentroids(
+        newVectors.select(col("vec_id").as("cand_id"),
+          asDouble(col("embedding")).as("cand_vec")),
+        cents, "cand_id", "cand_vec", 1)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/batches/${tagHash(tag)}/$batchId")
+  }
+
+  /** Fold every live batch directory into the base assignments layout:
+    * one read of base ∪ batches, one partitioned rewrite behind the
+    * crash-safe staging swap, with the compaction HIGH-WATER MARKER
+    * (`_compacted_batches`: tag-hash → highest folded batchId) written
+    * INSIDE the staged directory so it commits atomically with the data
+    * it describes. Batch-dir deletion afterwards is best-effort: a
+    * crash between swap and delete leaves dirs the marker already
+    * suppresses — [[searchIndex]] never double-counts. */
+  def compactIndexBatches(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    val live = liveBatchDirs(spark, dir)
+    if (live.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(s"$dir/assignments")
+      .select(col("cand_id"), col("cand_vec"), col("centroid_id"))
+    val merged = live.foldLeft(base) { (acc, p) =>
+      acc.union(spark.read.parquet(p)
+        .select(col("cand_id"), col("cand_vec"), col("centroid_id")))
+    }
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.assignments.compact")
+    merged.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(tmp.toString)
+    // merge the old high-waters with everything folded in this pass
+    val folded = live.flatMap(batchDirKey)
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+    val hw = (readCompactionMarker(fs, new org.apache.hadoop.fs.Path(
+      s"$dir/assignments")) ++ folded)
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(tmp, "_compacted_batches"), true)
+    try out.write(hw.map { case (t, id) => s"$t\t$id" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    graft.sources.Formats.swapInto(fs, tmp,
+      new org.apache.hadoop.fs.Path(s"$dir/assignments"))
+    spark.catalog.refreshByPath(s"$dir/assignments")
+    live.foreach(p => // best-effort; the marker already suppresses them
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
+
+  private def tagHash(tag: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+
+  /** (tagHash, batchId) of a batch dir path, None for foreign files. */
+  private def batchDirKey(p: String): Option[(String, Long)] = {
+    val parts = p.split('/')
+    if (parts.length < 2) return None
+    try Some((parts(parts.length - 2), parts(parts.length - 1).toLong))
+    catch { case _: NumberFormatException => None }
+  }
+
+  private def readCompactionMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                   assignments: org.apache.hadoop.fs.Path)
+      : Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(assignments, "_compacted_batches")
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8").split("\n")
+      .filter(_.contains("\t"))
+      .map { ln =>
+        val Array(t, id) = ln.split("\t", 2)
+        t -> id.trim.toLong
+      }.toMap
+    catch { case _: NumberFormatException => Map.empty }
+    finally in.close()
+  }
+
+  /** Batch directories not yet folded in by [[compactIndexBatches]]. */
+  private def liveBatchDirs(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val hw = readCompactionMarker(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/assignments"))
+    fs.listStatus(root).filter(_.isDirectory).toSeq.flatMap { tagDir =>
+      fs.listStatus(tagDir.getPath).filter(_.isDirectory).toSeq
+        .map(_.getPath.toString)
+        .filter(p => batchDirKey(p) match {
+          case Some((t, id)) => hw.get(t).forall(id > _)
+          case None => false
+        })
+    }.sorted
   }
 
   /** Incremental index growth: assign a NEW batch of vectors against the

@@ -56,6 +56,39 @@ object EvalQueries {
       Eval.rocAuc(fixture(s, dir), "label", "score")
     },
 
+    // Precision/recall operating points (Eval.prAtThresholds): one
+    // corpus aggregation, threshold sweep on the bounded distinct-score
+    // frame against a broadcast literal. TP/FP/FN gate integer-exact
+    // before the rounded ratios could mask a slip.
+    Q("q_eval_pr",
+      s"""WITH s AS ($fixtureSql),
+         |g AS (SELECT score, count(*) AS cnt,
+         |             sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos
+         |      FROM s GROUP BY score),
+         |t(th) AS (VALUES (200), (400), (600), (800)),
+         |a AS (SELECT th,
+         |             sum(CASE WHEN score >= th THEN pos ELSE 0 END)
+         |               AS tp,
+         |             sum(CASE WHEN score >= th THEN cnt - pos
+         |                 ELSE 0 END) AS fp,
+         |             sum(CASE WHEN score < th THEN pos ELSE 0 END)
+         |               AS fn
+         |      FROM g, t GROUP BY 1)
+         |SELECT CAST(th AS BIGINT) AS threshold,
+         |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |       CAST(fn AS BIGINT) AS fn,
+         |       CASE WHEN tp + fp > 0
+         |            THEN round(tp / CAST(tp + fp AS DOUBLE), 4)
+         |       END AS precision,
+         |       CASE WHEN tp + fn > 0
+         |            THEN round(tp / CAST(tp + fn AS DOUBLE), 4)
+         |       END AS recall
+         |FROM a ORDER BY threshold""".stripMargin) { (s, dir) =>
+      Eval.prAtThresholds(fixture(s, dir), "label", "score",
+          Seq(200L, 400L, 600L, 800L))
+        .orderBy("threshold")
+    },
+
     // Calibration / reliability table (Eval.calibrationBins): equal-width
     // score bins with per-bin observed positive rate — ONE map-side-
     // combinable aggregation. Integral bin math (`div`, not a double

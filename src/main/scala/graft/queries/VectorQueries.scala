@@ -55,13 +55,15 @@ object VectorQueries {
     private def sh(x: String, r: Int): String =
       s"xor($x, ($x) // ${BigInt(1) << r})"
 
-    /** CTE chain computing `h = xxhash64(vec_id)` alongside (id, v). */
-    private val xxhCtes: String =
+    /** CTE chain computing `h = xxhash64(vec_id)` alongside (id, v);
+      * `src` is the fit corpus (a table or CTE with vec_id/embedding —
+      * the recenter oracle fits over the appended union). */
+    private def xxhCtes(src: String): String =
       s"""hk0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
          |               CAST(CASE WHEN vec_id < 0
          |                    THEN CAST(vec_id AS HUGEINT) + $M
          |                    ELSE CAST(vec_id AS HUGEINT) END AS HUGEINT) AS u
-         |        FROM embeddings),
+         |        FROM $src),
          |hk1 AS (SELECT id, v, ${mm("u", P2)} AS x FROM hk0),
          |hk2 AS (SELECT id, v, ${rot("x", 31)} AS x FROM hk1),
          |hk3 AS (SELECT id, v, ${mm("x", P1)} AS x FROM hk2),
@@ -92,12 +94,13 @@ object VectorQueries {
         s"ELSE floor($y) + abs(CAST(CAST(floor($y) AS BIGINT) % 2 AS DOUBLE)) END)"
 
     /** CTE chain through `cent` (the converged centroids) — the shared
-      * fit replay, reused by the semantic-dedup oracle. */
-    private lazy val fitPrefix: String = {
+      * fit replay, reused by the semantic-dedup and index-lifecycle
+      * oracles; `src` is the fit corpus. */
+    private def fitPrefix(src: String = "embeddings"): String = {
       val fpScore =
         rintx("(" + cosx("p.v", "c") + ") * 10000.0") + " / 10000.0"
       val asgCos = cosx("p.v", "c")
-      s"""$xxhCtes,
+      s"""${xxhCtes(src)},
          |s1 AS (SELECT list(struct_pack(id := id, v := v) ORDER BY h, id) AS pts
          |       FROM (SELECT id, v, h FROM hk ORDER BY h, id LIMIT 4096)),
          |fp(n, chosen, cents) AS (
@@ -148,9 +151,86 @@ object VectorQueries {
 
     lazy val sql: String =
       s"""WITH RECURSIVE
-         |$fitPrefix,
+         |${fitPrefix()},
          |emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
          |        FROM embeddings),
+         |ascore AS (SELECT e.id, e.v, c.cid,
+         |                  round(${cosx("e.v", "c.cv")}, 4) AS cs
+         |           FROM emb e, cent c),
+         |assigned AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY cs DESC, cid) AS rn
+         |  FROM ascore) WHERE rn = 1),
+         |probes AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY cs DESC, cid) AS rn
+         |  FROM ascore WHERE id < 5) WHERE rn <= 4),
+         |pairs AS (SELECT p.id AS query_id, a.id AS cand_id,
+         |                 round(${cosx("p.v", "a.v")}, 4) AS score
+         |          FROM probes p JOIN assigned a USING (cid)
+         |          WHERE a.id != p.id),
+         |ranked AS (SELECT query_id, cand_id, score,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score DESC, cand_id) AS rank
+         |           FROM pairs)
+         |SELECT query_id, cand_id, score, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+    /** Append-lifecycle oracle: the SAME fit replay (the quantizer is
+      * deliberately NOT refit on append — centroids come from the
+      * original corpus only), but candidates are the original corpus
+      * UNION the appended batch (first-component +0.1 perturbations of
+      * vec_id < 20, landed at vec_id + 1000000). Probes still rank over
+      * everything the index stores, so a search after appendToIndex
+      * must surface the new vectors exactly where the in-SQL replay
+      * puts them. */
+    lazy val appendSql: String =
+      s"""WITH RECURSIVE
+         |${fitPrefix()},
+         |emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |        FROM embeddings
+         |        UNION ALL
+         |        SELECT vec_id + 1000000,
+         |               list_concat([CAST(embedding AS DOUBLE[])[1] + 0.1],
+         |                           CAST(embedding AS DOUBLE[])[2:64])
+         |        FROM embeddings WHERE vec_id < 20),
+         |ascore AS (SELECT e.id, e.v, c.cid,
+         |                  round(${cosx("e.v", "c.cv")}, 4) AS cs
+         |           FROM emb e, cent c),
+         |assigned AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY cs DESC, cid) AS rn
+         |  FROM ascore) WHERE rn = 1),
+         |probes AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY cs DESC, cid) AS rn
+         |  FROM ascore WHERE id < 5) WHERE rn <= 4),
+         |pairs AS (SELECT p.id AS query_id, a.id AS cand_id,
+         |                 round(${cosx("p.v", "a.v")}, 4) AS score
+         |          FROM probes p JOIN assigned a USING (cid)
+         |          WHERE a.id != p.id),
+         |ranked AS (SELECT query_id, cand_id, score,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score DESC, cand_id) AS rank
+         |           FROM pairs)
+         |SELECT query_id, cand_id, score, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+    /** Recenter-lifecycle oracle: recenterIndex REFITS the quantizer
+      * from the vectors THE INDEX STORES (original corpus + appended
+      * batch), so the whole fit replay runs over that union; assignment
+      * and probe rank the same union under the NEW cells. */
+    lazy val recenterSql: String =
+      s"""WITH RECURSIVE
+         |u0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+         |       FROM embeddings
+         |       UNION ALL
+         |       SELECT vec_id + 1000000,
+         |              list_concat([CAST(embedding AS DOUBLE[])[1] + 0.1],
+         |                          CAST(embedding AS DOUBLE[])[2:64])
+         |       FROM embeddings WHERE vec_id < 20),
+         |${fitPrefix("u0")},
+         |emb AS (SELECT vec_id AS id, embedding AS v FROM u0),
          |ascore AS (SELECT e.id, e.v, c.cid,
          |                  round(${cosx("e.v", "c.cv")}, 4) AS cs
          |           FROM emb e, cent c),
@@ -182,7 +262,7 @@ object VectorQueries {
       * Similarity's assignment internals. */
     lazy val semanticSql: String =
       s"""WITH RECURSIVE
-         |$fitPrefix,
+         |${fitPrefix()},
          |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |         FROM embeddings WHERE vec_id < 50),
          |aug AS (SELECT vec_id, v FROM base
@@ -262,6 +342,106 @@ object VectorQueries {
         "graft_ivf_index",
         dir.replace('/', '_').replace(':', '_')).toString
       Similarity.writeIndex(emb, idxDir, nClusters = 16)
+      Similarity.searchIndex(s, idxDir, emb.where(col("vec_id") < 5),
+          k = 10, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Incremental index growth through the driver hash
+    // (Similarity.appendToIndex): writeIndex over the corpus, append a
+    // perturbed batch against the STANDING centroids (quantizer
+    // deliberately not refit — the production IVF contract), search.
+    // The oracle reruns the full fit replay with the batch unioned into
+    // the candidates, so the appended vectors must surface exactly where
+    // the SQL puts them — through the on-disk partitioned layout.
+    // writeIndex's overwrite makes the gate idempotent per invocation
+    // (bench reps never double-append).
+    Q("q_ann_index_append", IvfReplay.appendSql) { (s, dir) =>
+      import graft.functions.VectorFunctions.asDouble
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ivf_index_append",
+        dir.replace('/', '_').replace(':', '_')).toString
+      Similarity.writeIndex(emb, idxDir, nClusters = 16)
+      val v = asDouble(col("embedding"))
+      val batch = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+            .as("embedding"))
+      Similarity.appendToIndex(batch, idxDir)
+      Similarity.searchIndex(s, idxDir, emb.where(col("vec_id") < 5),
+          k = 10, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Out-of-band quantizer refresh through the driver hash
+    // (Similarity.recenterIndex): write + append + RECENTER — the refit
+    // samples from the vectors the index stores, both directories swap
+    // crash-safely — then search under the new cells. The oracle reruns
+    // the entire k-means replay over the appended union, so the refit's
+    // sample order, Lloyd folds, and the staged double swap must all
+    // land exactly where the SQL does.
+    Q("q_ann_index_recenter", IvfReplay.recenterSql) { (s, dir) =>
+      import graft.functions.VectorFunctions.asDouble
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ivf_index_recenter",
+        dir.replace('/', '_').replace(':', '_')).toString
+      Similarity.writeIndex(emb, idxDir, nClusters = 16)
+      val v = asDouble(col("embedding"))
+      val batch = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+            .as("embedding"))
+      Similarity.appendToIndex(batch, idxDir)
+      Similarity.recenterIndex(s, idxDir, nClusters = 16).collect()
+      Similarity.searchIndex(s, idxDir, emb.where(col("vec_id") < 5),
+          k = 10, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // STREAMING index ingestion through the driver hash
+    // (EventStreams.indexSink): a real foreachBatch query lands each
+    // micro-batch in an idempotent batch-scoped directory under the
+    // index (overwrite by (tag, batchId) — exactly-once by placement),
+    // and searchIndex unions live batch dirs transparently. Two one-shot
+    // streams feed the same perturbed batch q_ann_index_append uses
+    // (split 0-9 / 10-19), so the post-stream search must hash-match the
+    // SAME full-fit SQL replay — batch boundaries must not be visible in
+    // the result. The index dir is wiped first, making the gate
+    // idempotent per invocation.
+    Q("q_stream_index_replay", IvfReplay.appendSql) { (s, dir) =>
+      import graft.functions.VectorFunctions.asDouble
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ivf_index_stream",
+        dir.replace('/', '_').replace(':', '_')).toString
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      Similarity.writeIndex(emb, idxDir, nClusters = 16)
+      val v = asDouble(col("embedding"))
+      import s.implicits._
+      def feed(lo: Long, hi: Long, tag: String): Unit = {
+        val rows = emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+              .as("embedding"))
+          .as[(Long, Seq[Double])].collect().toSeq
+        val src = MemoryStream[(Long, Seq[Double])]
+        src.addData(rows: _*)
+        graft.streaming.EventStreams.indexSink(
+            src.toDF().toDF("vec_id", "embedding"), idxDir,
+            tagOverride = Some(tag))
+          .awaitTermination()
+      }
+      feed(0L, 10L, "crawl-a")
+      feed(10L, 20L, "crawl-b")
       Similarity.searchIndex(s, idxDir, emb.where(col("vec_id") < 5),
           k = 10, nProbe = 4)
         .withColumn("rank", col("rank").cast("long"))

@@ -299,6 +299,42 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming embedding ingestion into a persisted IVF index
+    * ([[graft.operators.Similarity]]): each micro-batch of
+    * (vec_id, embedding) rows assigns against the index's STANDING
+    * centroids (broadcast; the quantizer is deliberately not refit —
+    * `recenterIndex` is the out-of-band refresh) and lands in a
+    * batch-scoped directory under the index
+    * (`Similarity.appendBatchDir`) — written with OVERWRITE, so
+    * foreachBatch's at-least-once replay rewrites the same location
+    * instead of double-storing the batch: exactly-once by idempotent
+    * placement, no marker needed on the hot path. `searchIndex` unions
+    * live batch dirs transparently; `compactIndexBatches` folds them
+    * into the base layout on whatever cadence suits. State is O(0) —
+    * the index IS the state. */
+  def indexSink(vectors: DataFrame, indexDir: String,
+                checkpointDir: Option[String] = None,
+                tagOverride: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the tag scopes batch-dir placement: normally the checkpoint
+    // location (the identity that survives a restart); un-checkpointed
+    // callers running several one-shot queries against one index pass
+    // distinct tagOverrides so their batch-0 dirs don't collide
+    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
+    val writer = checkpointDir.fold(vectors.writeStream)(
+      vectors.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Similarity.appendBatchDir(
+              batch.toDF(), indexDir, tag, batchId)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming corpus-drift maintenance: each micro-batch of documents
     * aggregates to token counts
     * ([[graft.operators.DriftMonitor.tokenCounts]] — slice membership

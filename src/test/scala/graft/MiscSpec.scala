@@ -1235,6 +1235,63 @@ class DriftSinkSpec extends SparkSpec {
     assert(parent.isEmpty, s"swap leftovers: ${parent.toSeq}")
   }
 
+  test("indexSink: streamed batches land idempotently; search equals " +
+      "in-memory ivfTopK over the union; compaction preserves results") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.asDouble
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxsink")
+      .toString + "/idx"
+    Similarity.writeIndex(emb, dir, nClusters = 16)
+    val v = asDouble(col("embedding"))
+    def batchRows(lo: Long, hi: Long) =
+      emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+            .as("embedding"))
+    def feed(lo: Long, hi: Long, tag: String): Unit = {
+      val rows = batchRows(lo, hi).as[(Long, Seq[Double])].collect().toSeq
+      val src = MemoryStream[(Long, Seq[Double])]
+      src.addData(rows: _*)
+      graft.streaming.EventStreams.indexSink(
+          src.toDF().toDF("vec_id", "embedding"), dir,
+          tagOverride = Some(tag))
+        .awaitTermination()
+    }
+    feed(0L, 6L, "a")
+    feed(6L, 12L, "b")
+    val queries = emb.where(col("vec_id") < 3)
+    def results() = Similarity.searchIndex(spark, dir, queries,
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val streamed = results()
+    // equals the in-memory operator over the union with the BASE fit
+    val union = emb.select(col("vec_id"), v.as("embedding"))
+      .union(batchRows(0L, 12L))
+    val direct = Similarity.ivfTopK(union, queries, k = 5, nProbe = 4,
+        centroids = Some(Similarity.fitCentroids(emb, 16)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(streamed == direct, "streamed index diverges from ivfTopK")
+    // replaying a batch (same tag + id) rewrites in place: no change
+    Similarity.appendBatchDir(batchRows(0L, 6L), dir, "a", 0L)
+    assert(results() == streamed, "replay changed the index")
+    // compaction folds batch dirs into the base layout: same results,
+    // high-water marker suppresses the folded dirs, re-compaction no-ops
+    Similarity.compactIndexBatches(spark, dir)
+    assert(results() == streamed, "compaction changed the results")
+    Similarity.compactIndexBatches(spark, dir)
+    assert(results() == streamed, "re-compaction changed the results")
+    // a post-compaction stream batch still lands and surfaces
+    feed(12L, 15L, "c")
+    val withNew = results()
+    assert(withNew == (Similarity.ivfTopK(
+        union.union(batchRows(12L, 15L)), queries, k = 5, nProbe = 4,
+        centroids = Some(Similarity.fitCentroids(emb, 16)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toSet), "post-compaction batch missing from search")
+  }
+
   test("driftFold is idempotent under at-least-once replay of a " +
       "checkpointed batch") {
     import graft.operators.DriftMonitor

@@ -301,4 +301,67 @@ class PropertiesSpec extends SparkSpec {
     val c = Sampling.deterministicShuffle(df, "id", "epoch2")
     assert(m(a) != m(c), "distinct seeds should give distinct orders")
   }
+
+  test("paretoFrontier is an anti-chain that dominates every dropped row") {
+    import graft.operators.Curation
+    val pts = sample(Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(0, 40)),
+      250).zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val df = pts.toDF("id", "x", "y")
+    val front = Curation.paretoFrontier(df, "x", "y")
+      .select("id", "x", "y").as[(Long, Int, Int)].collect()
+    def dominates(a: (Int, Int), b: (Int, Int)) =
+      a._1 >= b._1 && a._2 >= b._2 && (a._1 > b._1 || a._2 > b._2)
+    // no frontier point dominates another (anti-chain)
+    for (a <- front; b <- front)
+      assert(!dominates((a._2, a._3), (b._2, b._3)),
+        s"frontier point $a dominates frontier point $b")
+    // every dropped point is dominated by some frontier point
+    val kept = front.map(_._1).toSet
+    for ((id, x, y) <- pts if !kept.contains(id))
+      assert(front.exists(f => dominates((f._2, f._3), (x, y))),
+        s"dropped point ($id, $x, $y) is dominated by nothing")
+  }
+
+  test("rocAuc: bounded in [0,1] and label-flip antisymmetric") {
+    import graft.operators.Eval
+    val rows = sample(Gen.zip(Gen.oneOf(true, false),
+      Gen.chooseNum(0L, 30L)), 400)
+    // guarantee both classes exist
+    val df = (rows :+ ((true, 5L)) :+ ((false, 7L))).toDF("label", "score")
+    val auc = Eval.rocAuc(df, "label", "score").collect().head.getDouble(3)
+    assert(auc >= 0.0 && auc <= 1.0, s"auc out of range: $auc")
+    val flipped = df.select((!col("label")).as("label"), col("score"))
+    val auc2 = Eval.rocAuc(flipped, "label", "score")
+      .collect().head.getDouble(3)
+    // flip symmetry: auc + auc(flipped) == 1 (exact for the rank-sum
+    // identity with average-rank ties; 4-dp rounding adds <= 1e-4)
+    assert(math.abs(auc + auc2 - 1.0) <= 1.0001e-4,
+      s"flip symmetry violated: $auc + $auc2")
+  }
+
+  test("waterfill: feasible, capped, and maximal at theta* + 1") {
+    import graft.operators.Curation
+    val ws = sample(Gen.chooseNum(0L, 500L), 40).zipWithIndex
+      .map { case (w, i) => (s"d$i", w + 1) } // positive weights
+    val total = ws.map(_._2).sum
+    for (budget <- Seq(total / 7, total / 2, total + 10)) {
+      val out = Curation.waterfill(ws.toDF("dom", "w0"), "dom", "w0",
+          budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val allocSum = out.map(_._3).sum
+      assert(allocSum <= budget, s"overspent: $allocSum > $budget")
+      out.foreach { case (d, w, a) =>
+        assert(a <= w && a >= 0, s"alloc out of range for $d: $a vs $w")
+      }
+      // maximality: raising the level by 1 must break the budget
+      // (unless every domain is already kept whole)
+      val theta = out.collect { case (_, w, a) if a < w => a }
+        .sorted.lastOption
+      theta.foreach { th =>
+        val atPlus1 = out.map { case (_, w, _) => math.min(w, th + 1) }.sum
+        assert(atPlus1 > budget,
+          s"theta* $th not maximal: level ${th + 1} still fits")
+      }
+    }
+  }
 }

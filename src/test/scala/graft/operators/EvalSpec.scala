@@ -26,6 +26,22 @@ class EvalSpec extends SparkSpec {
       .collect().head.getDouble(3) == 0.0)
   }
 
+  test("prAtThresholds: hand-checked operating points, null when " +
+      "undefined") {
+    val df = Seq((true, 9L), (true, 5L), (false, 5L), (false, 1L))
+      .toDF("label", "score")
+    val got = Eval.prAtThresholds(df, "label", "score", Seq(5L, 100L))
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4),
+          if (r.isNullAt(5)) -1.0 else r.getDouble(5)))
+      }.toMap
+    // t=5: tp 2, fp 1, fn 0 → p 0.6667, r 1.0
+    assert(got(5L) == ((2L, 1L, 0L, 0.6667, 1.0)), s"got: $got")
+    // t=100: nothing predicted positive → precision undefined (null)
+    assert(got(100L) == ((0L, 0L, 2L, -1.0, 0.0)), s"got: $got")
+  }
+
   test("calibrationBins: integral bin edges, clamp at top") {
     val df = Seq((false, 0L), (false, 99L), (true, 100L), (true, 999L),
       (true, 1000L)).toDF("label", "score")
