@@ -133,6 +133,32 @@ object Similarity {
       .select("query_id", "cand_id", "score", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * MOST-similar candidates excluding near-duplicates (rounded score
+    * >= `dupThreshold` — those are positives or leakage, not
+    * negatives). The useful negatives are exactly the hard band just
+    * under the duplicate line; random negatives (Sampling.hashNegatives)
+    * are the cheap complement. Same scale shape as [[bruteForceTopK]]
+    * (broadcast queries, one corpus scan, per-query window); swap the
+    * scan for the IVF probe path when the corpus outgrows it. */
+  def hardNegativeTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                       dupThreshold: Double = 0.99): DataFrame = {
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      asDouble(col("embedding")).as("cand_vec"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("query_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("score",
+        graft.functions.Rounding.round4(
+          cosine(col("query_vec"), col("cand_vec"))))
+      .where(col("score") < dupThreshold)
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
   /** IVF (inverted-file) ANN: assign candidates to their nearest centroid,
     * then search only the `nProbe` centroids closest to each query.
     *
@@ -368,6 +394,10 @@ object Similarity {
   def recenterIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     nClusters: Int = 16): DataFrame = {
     import spark.implicits._
+    // fold live streaming batch dirs in FIRST: their rows carry cluster
+    // ids of the OLD cells, and a recenter that ignored them would
+    // leave searchIndex probing those vectors under stale routing
+    compactIndexBatches(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = spark.read.parquet(s"$dir/assignments")
@@ -391,8 +421,17 @@ object Similarity {
       .agg(count(lit(1)), sum(when(col("centroid_id") =!= col("old_cid"),
         1L).otherwise(0L)))
       .as[(Long, Long)].collect().toSeq
-    graft.sources.Formats.swapInto(fs,
-      tmpA, new org.apache.hadoop.fs.Path(s"$dir/assignments"))
+    // carry the compaction high-water marker through the rewrite: losing
+    // it would resurface any already-folded batch dir whose best-effort
+    // delete had failed, and searchIndex would double-count those rows
+    val liveA = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+    val oldMarker = new org.apache.hadoop.fs.Path(liveA,
+      "_compacted_batches")
+    if (fs.exists(oldMarker))
+      org.apache.hadoop.fs.FileUtil.copy(fs, oldMarker, fs,
+        new org.apache.hadoop.fs.Path(tmpA, "_compacted_batches"),
+        false, spark.sparkContext.hadoopConfiguration)
+    graft.sources.Formats.swapInto(fs, tmpA, liveA)
     graft.sources.Formats.swapInto(fs,
       tmpC, new org.apache.hadoop.fs.Path(s"$dir/centroids"))
     spark.catalog.refreshByPath(s"$dir/assignments")

@@ -314,6 +314,45 @@ object VectorQueries {
           .orderBy("query_id", "rank")
     },
 
+    // Hard-negative mining (Similarity.hardNegativeTopK): the top-k
+    // most-similar candidates per query EXCLUDING near-duplicates
+    // (rounded score >= 0.99 — positives/leakage, not negatives). The
+    // fixture is the planted-near-dup corpus of q_dedup_embed: the ×2
+    // scaled copies score exactly 1.0 against their originals and MUST
+    // be excluded, so the dup-exclusion branch gates alongside the hard
+    // band that survives.
+    Q("q_sample_hard_negatives",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings WHERE vec_id < 50),
+        |aug AS (SELECT vec_id, v FROM base
+        |        UNION ALL
+        |        SELECT vec_id + 100000, list_transform(v, x -> x * 2.0)
+        |        FROM base WHERE vec_id < 25
+        |        UNION ALL
+        |        SELECT vec_id + 100000, list_concat([v[1] + 0.1], v[2:64])
+        |        FROM base WHERE vec_id >= 25),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM base
+        |      WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, a.vec_id AS cand_id,
+        |         round(list_cosine_similarity(qv, a.v), 4) AS score
+        |  FROM q, aug a WHERE a.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id) AS rank
+        |  FROM scored WHERE score < 0.99)
+        |SELECT query_id, cand_id, score, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+        val aug = augmentedEmbeddings(s, dir)
+          .select(col("vec_id"), col("v").as("embedding"))
+        Similarity.hardNegativeTopK(aug,
+            aug.where(col("vec_id") < 5), k = 10)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
+    },
+
     // IVF ANN: k-means coarse quantizer + multi-probe search — the scale
     // path. Approximate relative to brute force but fully DETERMINISTIC,
     // and since round 7 fully ORACLED: IvfReplay regenerates the entire

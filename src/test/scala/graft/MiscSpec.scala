@@ -1290,6 +1290,16 @@ class DriftSinkSpec extends SparkSpec {
         centroids = Some(Similarity.fitCentroids(emb, 16)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
       .toSet), "post-compaction batch missing from search")
+    // recenter with live batch dirs: folds them FIRST (their rows carry
+    // old-cell routing), then refits from everything the index stores —
+    // must equal ivfTopK over the union with centroids REFIT on it
+    Similarity.recenterIndex(spark, dir, nClusters = 16).collect()
+    val unionAll = union.union(batchRows(12L, 15L))
+    val refit = Similarity.ivfTopK(unionAll, queries, k = 5, nProbe = 4,
+        centroids = Some(Similarity.fitCentroids(unionAll, 16)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(results() == refit,
+      "recenter over streamed batches diverges from the refit ivfTopK")
   }
 
   test("driftFold is idempotent under at-least-once replay of a " +

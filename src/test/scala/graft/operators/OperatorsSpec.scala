@@ -358,6 +358,22 @@ class SimilaritySpec extends SparkSpec {
 
   import graft.engine.Tables.t
 
+  test("hardNegativeTopK drops near-duplicates, ranks the hard band") {
+    import spark.implicits._
+    // query 1; exact dup (2), hard negative (3: same direction plus a
+    // small orthogonal kick), easy negative (4: mostly orthogonal)
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(2.0, 0.0, 0.0)),  // cosine 1.0 → excluded
+      (3L, Seq(1.0, 0.4, 0.0)),  // cosine ~0.9285 → hard, rank 1
+      (4L, Seq(0.1, 1.0, 0.0))). // cosine ~0.0995 → rank 2
+      toDF("vec_id", "embedding")
+    val got = Similarity.hardNegativeTopK(rows,
+        rows.where(col("vec_id") === 1), k = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((3L, 1), (4L, 2)), s"got: ${got.toSeq}")
+  }
+
   test("bruteForceTopK scores agree with a driver-side computation") {
     val emb = t(spark, sf001, "embeddings")
     val top = Similarity.bruteForceTopK(emb,
