@@ -80,6 +80,30 @@ object Eval {
           round(col("tp") / (col("tp") + col("fn")), 4)).as("recall"))
   }
 
+  /** Expected calibration error with an EXACT INTEGER numerator:
+    * `ECE = Σ_b (n_b/N)·|pos_rate_b − mean_score_b/scoreMax|` algebraically
+    * reduces to `Σ_b |n_pos_b·scoreMax − s_sum_b| / (N·scoreMax)` — every
+    * per-bin term is an integer, so the cross-engine result is exact up
+    * to one final rounded division (no order-dependent double summation
+    * anywhere). One map-side-combinable aggregation. */
+  def expectedCalibrationError(df: DataFrame, labelCol: String,
+                               scoreCol: String, scoreMax: Long,
+                               nBins: Int): DataFrame = {
+    require(nBins > 0 && scoreMax > 0, "nBins and scoreMax must be positive")
+    val b = least(expr(s"cast($scoreCol as bigint) * $nBins div $scoreMax"),
+      lit(nBins - 1)).cast("int")
+    df.groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_pos"),
+        sum(col(scoreCol).cast("long")).as("s_sum"))
+      .agg(sum("n").as("n"),
+        sum(abs(col("n_pos") * scoreMax - col("s_sum"))).as("ece_num"))
+      .select(col("n"), col("ece_num"),
+        round(col("ece_num") / (col("n") * lit(scoreMax.toDouble)), 4)
+          .as("ece"))
+  }
+
   /** Calibration table (reliability diagram): bucket predictions by
     * integral score into `nBins` equal-width bins over [0, scoreMax],
     * report per-bin count, positive count, and observed positive rate —

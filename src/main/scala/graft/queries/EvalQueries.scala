@@ -89,6 +89,27 @@ object EvalQueries {
         .orderBy("threshold")
     },
 
+    // Expected calibration error (Eval.expectedCalibrationError): the
+    // scalar audit over the reliability bins, with the numerator kept
+    // INTEGER (|n_pos·scoreMax − s_sum| per bin) so no order-dependent
+    // double summation exists — one rounded division at the very end.
+    Q("q_eval_ece",
+      s"""WITH s AS ($fixtureSql),
+         |b AS (SELECT least(score * 10 // 1000, 9) AS bin, score,
+         |             CASE WHEN label THEN 1 ELSE 0 END AS lab
+         |      FROM s),
+         |g AS (SELECT bin, count(*) AS n, sum(lab) AS n_pos,
+         |             sum(score) AS s_sum
+         |      FROM b GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n,
+         |       CAST(sum(abs(n_pos * 1000 - s_sum)) AS BIGINT) AS ece_num,
+         |       round(sum(abs(n_pos * 1000 - s_sum))
+         |             / (sum(n) * 1000.0), 4) AS ece
+         |FROM g""".stripMargin) { (s, dir) =>
+      Eval.expectedCalibrationError(fixture(s, dir), "label", "score",
+        scoreMax = 1000L, nBins = 10)
+    },
+
     // Calibration / reliability table (Eval.calibrationBins): equal-width
     // score bins with per-bin observed positive rate — ONE map-side-
     // combinable aggregation. Integral bin math (`div`, not a double

@@ -576,6 +576,89 @@ object MediaQueries {
         .orderBy("id1", "id2")
     },
 
+    // MEDIA CURATION CAPSTONE: the full image-dedup decision chain in
+    // one gate — real PNG decode → perceptual block hash → banded
+    // near-dup pairs → connected components → keep-canonical policy
+    // (cluster minimum survives, singletons keep themselves). The
+    // oracle replays every stage: the pixel/grid arithmetic, the SAME
+    // banding semantics, and a recursive-CTE closure over the surviving
+    // pairs. The integration twin of q_entity_resolution, on media.
+    Q("q_media_curation",
+      """WITH RECURSIVE
+        |p AS (SELECT doc_id AS id,
+        |             CASE WHEN doc_id % 5 = 4 THEN doc_id - 1
+        |                  ELSE doc_id END AS b
+        |      FROM documents),
+        |d AS (SELECT id, b, CAST(b % 13 + 8 AS INT) AS w,
+        |             CAST(b % 11 + 8 AS INT) AS h
+        |      FROM p),
+        |px AS (SELECT id, b, w, h, unnest(range(0, w * h)) AS k FROM d),
+        |v AS (SELECT id, w, h, k,
+        |             CASE WHEN id % 5 = 4 AND k % 97 = 0
+        |                  THEN ((b * 31 + k * (7 + b % 7) + 13) % 251
+        |                        + 1) % 251
+        |                  ELSE (b * 31 + k * (7 + b % 7) + 13) % 251
+        |             END AS val
+        |      FROM px),
+        |blk AS (SELECT id,
+        |               ((k // w) * 8 // h) * 8 + (k % w) * 8 // w AS blk,
+        |               val
+        |        FROM v),
+        |bsum AS (SELECT id, blk, sum(val) AS bs, count(*) AS bn
+        |         FROM blk GROUP BY 1, 2),
+        |tot AS (SELECT id, sum(val) AS ts, count(*) AS tn
+        |        FROM blk GROUP BY 1),
+        |bits AS (SELECT s.id, s.blk,
+        |                CASE WHEN s.bs * t.tn > t.ts * s.bn THEN 1
+        |                     ELSE 0 END AS bit
+        |         FROM bsum s JOIN tot t USING (id)),
+        |hs AS (SELECT t.id,
+        |              CAST(coalesce(sum(CASE WHEN x.blk >= 32
+        |                    THEN x.bit * (CAST(1 AS BIGINT) << (x.blk - 32))
+        |                    ELSE 0 END), 0) AS BIGINT) AS hi,
+        |              CAST(coalesce(sum(CASE WHEN x.blk < 32
+        |                    THEN x.bit * (CAST(1 AS BIGINT) << x.blk)
+        |                    ELSE 0 END), 0) AS BIGINT) AS lo
+        |       FROM tot t JOIN bits x ON t.id = x.id GROUP BY 1),
+        |bands AS (SELECT id, hi, lo, j AS band,
+        |                 CASE j WHEN 0 THEN lo % 65536
+        |                        WHEN 1 THEN (lo // 65536) % 65536
+        |                        WHEN 2 THEN hi % 65536
+        |                        ELSE (hi // 65536) % 65536 END AS bv
+        |          FROM hs, range(0, 4) AS r(j)),
+        |prs AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+        |        FROM bands a JOIN bands b
+        |          ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+        |        WHERE bit_count(xor(a.hi, b.hi))
+        |              + bit_count(xor(a.lo, b.lo)) <= 6),
+        |nodes AS (SELECT id1 AS id FROM prs UNION SELECT id2 FROM prs),
+        |sym AS (SELECT id1 AS a, id2 AS b FROM prs
+        |        UNION SELECT id2, id1 FROM prs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id),
+        |lbl AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+        |SELECT p.id AS media_id,
+        |       CAST(coalesce(l.canonical, p.id) AS BIGINT) AS canonical,
+        |       (coalesce(l.canonical, p.id) = p.id) AS keep
+        |FROM p LEFT JOIN lbl l ON p.id = l.id
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val docs = t(s, dir, "documents")
+      val pairs = Multimodal.imageNearDups(
+        Multimodal.imageBlockHash(Multimodal.syntheticNearDupImages(docs)))
+      val labels = graft.operators.ConnectedComponents.canonicalize(pairs)
+      docs.select(col("doc_id").as("media_id"))
+        .join(labels.select(col("id").as("media_id"), col("canonical")),
+          Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("canonical"), col("media_id")).as("canonical"),
+          (coalesce(col("canonical"), col("media_id")) === col("media_id"))
+            .as("keep"))
+        .orderBy("media_id")
+    },
+
     // Uniform-k frame sampling over the real GIF container walk
     // (Multimodal.sampleGifFramesUniform): keep frames floor(j*n/4),
     // j < 4, deduplicated — the budgeted sampling policy of a video

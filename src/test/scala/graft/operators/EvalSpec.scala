@@ -42,6 +42,16 @@ class EvalSpec extends SparkSpec {
     assert(got(100L) == ((0L, 0L, 2L, -1.0, 0.0)), s"got: $got")
   }
 
+  test("expectedCalibrationError: integer numerator, hand-checked") {
+    // bin0 {1,2}: |0*10-3| = 3; bin1 {9,8}: |20-17| = 3 → 6/(4*10)
+    val df = Seq((true, 9L), (false, 1L), (true, 8L), (false, 2L))
+      .toDF("label", "score")
+    val r = Eval.expectedCalibrationError(df, "label", "score",
+      scoreMax = 10L, nBins = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) ==
+      ((4L, 6L, 0.15)))
+  }
+
   test("calibrationBins: integral bin edges, clamp at top") {
     val df = Seq((false, 0L), (false, 99L), (true, 100L), (true, 999L),
       (true, 1000L)).toDF("label", "score")
