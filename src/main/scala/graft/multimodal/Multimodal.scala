@@ -1153,7 +1153,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         AudioCodec.parseWavSamples(bytes) match {
-          case Some((_, samples)) if samples.length >= nWin =>
+          // upper bound keeps the cross-multiplied compare inside Long:
+          // sq_sum <= 2^30 per sample × 2^24/33 per window ≈ 2^49, times
+          // a 2^19 count stays under 2^63. 2^24 samples is ~35 min at
+          // 8 kHz — anything longer emits nothing (visible, not wrong)
+          case Some((_, samples))
+              if samples.length >= nWin && samples.length <= (1 << 24) =>
             val n = samples.length
             val e = new Array[Long](nWin)
             val c = new Array[Long](nWin)

@@ -226,8 +226,14 @@ object Curation {
       Packing.runningTotal(dom, order, "w"), "rn", order)
     val nDf = dom.agg(count(lit(1)).as("__n"))
     val cand = rn.crossJoin(broadcast(nDf))
+      // FLOOR division (pmod form), not `div`'s truncation: negative
+      // numerators happen past the budget, and a trunc-vs-floor slip of
+      // 1 on a candidate that then passes validity (possible only with
+      // zero-weight domains) would diverge from the floor-div oracle
       .withColumn("theta",
-        expr(s"(${budget}L - (cum - w)) div (__n - rn + 1)"))
+        expr(s"(${budget}L - (cum - w)" +
+          s" - pmod(${budget}L - (cum - w), __n - rn + 1))" +
+          " div (__n - rn + 1)"))
     val prev = cand.select((col("rn") + 1).as("rn"), col("w").as("prev_w"))
     val theta = cand.join(prev, Seq("rn"), "left")
       .where(col("prev_w").isNull || col("theta") >= col("prev_w"))

@@ -90,9 +90,7 @@ object Eval {
                                scoreCol: String, scoreMax: Long,
                                nBins: Int): DataFrame = {
     require(nBins > 0 && scoreMax > 0, "nBins and scoreMax must be positive")
-    val b = least(expr(s"cast($scoreCol as bigint) * $nBins div $scoreMax"),
-      lit(nBins - 1)).cast("int")
-    df.groupBy(b.as("bin"))
+    df.groupBy(binCol(scoreCol, scoreMax, nBins).as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
           .as("n_pos"),
@@ -111,14 +109,22 @@ object Eval {
   def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
                       scoreMax: Long, nBins: Int): DataFrame = {
     require(nBins > 0 && scoreMax > 0, "nBins and scoreMax must be positive")
-    // `div` (not `/`): Spark's / on longs is a double divide
-    val b = least(expr(s"cast($scoreCol as bigint) * $nBins div $scoreMax"),
-      lit(nBins - 1)).cast("int")
-    df.groupBy(b.as("bin"))
+    df.groupBy(binCol(scoreCol, scoreMax, nBins).as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
           .as("n_pos"))
       .select(col("bin"), col("n"), col("n_pos"),
         round(col("n_pos") / col("n").cast("double"), 4).as("pos_rate"))
+  }
+
+  /** Equal-width integral bin — FLOOR division (pmod form) so negative
+    * scores bin the same way the SQL oracle's `//` floors them (`div`
+    * truncates toward zero and would disagree one bin below zero);
+    * integer throughout (Spark's `/` on longs is a double divide). */
+  private def binCol(scoreCol: String, scoreMax: Long, nBins: Int)
+      : org.apache.spark.sql.Column = {
+    val num = s"cast($scoreCol as bigint) * $nBins"
+    least(expr(s"($num - pmod($num, ${scoreMax}L)) div ${scoreMax}L"),
+      lit(nBins - 1)).cast("int")
   }
 }

@@ -92,6 +92,7 @@ object SuffixArray extends TrackedCaches {
     cur.count()
     var tables = List(1 -> cur)
     var h = 1
+    var round = 0
     while (h < maxLen) {
       // right half of the comparison: the rank h positions later (missing
       // → 0: a shorter prefix sorts before every extension of it)
@@ -103,11 +104,18 @@ object SuffixArray extends TrackedCaches {
       val ranked = GlobalRank.withRowNumber(
         pairs.select("r", "r2").distinct(), "nr",
         Seq(asc("r"), asc("r2")))
-      val nxt = tracked(pairs.join(ranked, Seq("r", "r2"))
-        .select(col("doc"), col("pos"), col("nr").as("r")))
-      nxt.count() // materialize: truncate the per-round recompute chain
+      var nxt = pairs.join(ranked, Seq("r", "r2"))
+        .select(col("doc"), col("pos"), col("nr").as("r"))
+      // periodic lineage truncation (the ConnectedComponents contract):
+      // without it the per-round plan nests one join deeper every round
+      // and the optimizer/AQE re-walk (even just RENDERING) the whole
+      // history — long-doc corpora blow the driver on plan strings alone
+      nxt =
+        if (round % 3 == 2) nxt.localCheckpoint(true)
+        else { val t = tracked(nxt); t.count(); t }
       cur = nxt
       h *= 2
+      round += 1
       tables ::= h -> cur
     }
     Built(cur, tables.reverse, None)
@@ -123,57 +131,112 @@ object SuffixArray extends TrackedCaches {
     import spark.implicits._
     val ids = docsArr.map(_._1)
     val texts = docsArr.map(_._2)
-    val refs = Array.newBuilder[(Int, Int)]
+    val n = texts.iterator.map(_.length).sum
+    if (n == 0)
+      return Built(Seq.empty[(Long, Int, Long)].toDF("doc", "pos", "r"),
+        Nil, Some(Seq.empty[(Long, Int, Long, Int, Int)]
+          .toDF("doc1", "pos1", "doc2", "pos2", "lcp")))
+    // flatten suffixes to global indices; sufIdx maps (doc, pos) back
+    val docOf = new Array[Int](n)
+    val posOf = new Array[Int](n)
+    val sufIdx = new Array[Array[Int]](texts.length)
+    var g = 0
     var d = 0
     while (d < texts.length) {
+      sufIdx(d) = new Array[Int](texts(d).length)
       var p = 0
-      while (p < texts(d).length) { refs += ((d, p)); p += 1 }
+      while (p < texts(d).length) {
+        docOf(g) = d; posOf(g) = p; sufIdx(d)(p) = g; g += 1; p += 1
+      }
       d += 1
     }
-    val arr = refs.result()
-    def lcpOf(a: (Int, Int), b: (Int, Int)): Int = {
-      val sa = texts(a._1); val sb = texts(b._1)
-      var i = a._2; var j = b._2
-      while (i < sa.length && j < sb.length && sa.charAt(i) == sb.charAt(j)) {
-        i += 1; j += 1
-      }
-      i - a._2
+    // prefix doubling with integer sorts — unlike a comparator suffix
+    // sort, O(n log² n) REGARDLESS of content (a megabyte of one
+    // repeated character is the adversarial case that makes
+    // char-comparison sorting quadratic)
+    val idx = Array.tabulate(n)(identity)
+    var rank = new Array[Int](n)
+    var order = idx.sortBy(i => texts(docOf(i)).charAt(posOf(i)))
+    var r = 0
+    var j = 1
+    rank(order(0)) = 0
+    while (j < n) {
+      if (texts(docOf(order(j))).charAt(posOf(order(j))) !=
+          texts(docOf(order(j - 1))).charAt(posOf(order(j - 1)))) r += 1
+      rank(order(j)) = r
+      j += 1
     }
-    def lessThan(x: (Int, Int), y: (Int, Int)): Boolean = {
-      val sa = texts(x._1); val sb = texts(y._1)
-      var i = x._2; var j = y._2
-      while (i < sa.length && j < sb.length) {
-        val c = sa.charAt(i) - sb.charAt(j)
-        if (c != 0) return c < 0
-        i += 1; j += 1
+    val maxLen = texts.iterator.map(_.length).max
+    var h = 1
+    while (h < maxLen) {
+      val hh = h
+      def r2(i: Int): Int = {
+        val p = posOf(i) + hh
+        if (p < texts(docOf(i)).length) rank(sufIdx(docOf(i))(p)) + 1
+        else 0
       }
-      val la = sa.length - x._2; val lb = sb.length - y._2
-      if (la != lb) la < lb
-      else if (ids(x._1) != ids(y._1)) ids(x._1) < ids(y._1)
-      else x._2 < y._2
+      order = idx.sortBy(i => (rank(i), r2(i)))
+      val next = new Array[Int](n)
+      r = 0
+      next(order(0)) = 0
+      j = 1
+      while (j < n) {
+        val a = order(j - 1); val b = order(j)
+        if (rank(a) != rank(b) || r2(a) != r2(b)) r += 1
+        next(b) = r
+        j += 1
+      }
+      rank = next
+      h *= 2
     }
-    val sorted = arr.sortWith(lessThan)
-    val n = sorted.length
+    // total order: (dense rank, doc id, pos) — same tie-break as the
+    // distributed path
+    order = idx.sortBy(i => (rank(i), ids(docOf(i)), posOf(i)))
+    val saPos = new Array[Int](n)
+    j = 0
+    while (j < n) { saPos(order(j)) = j; j += 1 }
+    // Kasai: adjacent-pair LCPs in O(n) amortized per doc (the h-hint
+    // carries within a text; correctness is by direct char compare)
+    val lcpArr = new Array[Int](n)
+    d = 0
+    while (d < texts.length) {
+      val sa = texts(d)
+      var h0 = 0
+      var p = 0
+      while (p < sa.length) {
+        val pos = saPos(sufIdx(d)(p))
+        if (pos > 0) {
+          val k = order(pos - 1)
+          val sb = texts(docOf(k))
+          var x = p + h0; var y = posOf(k) + h0
+          while (x < sa.length && y < sb.length &&
+              sa.charAt(x) == sb.charAt(y)) {
+            x += 1; y += 1
+          }
+          lcpArr(pos) = x - p
+          h0 = if (x - p > 0) x - p - 1 else 0
+        } else h0 = 0
+        p += 1
+      }
+      d += 1
+    }
     val ranksOut = new Array[(Long, Int, Long)](n)
-    val adj = Seq.newBuilder[(Long, Int, Long, Int, Int)]
-    var rank = 0L
-    var i = 0
-    while (i < n) {
-      if (i == 0) rank = 1
-      else {
-        val prev = sorted(i - 1); val cur = sorted(i)
-        val l = lcpOf(prev, cur)
-        adj += ((ids(prev._1), prev._2, ids(cur._1), cur._2, l))
-        val equalSuffix =
-          l == texts(prev._1).length - prev._2 &&
-            l == texts(cur._1).length - cur._2
-        if (!equalSuffix) rank += 1
-      }
-      ranksOut(i) = (ids(sorted(i)._1), sorted(i)._2, rank)
-      i += 1
+    j = 0
+    while (j < n) {
+      val i = order(j)
+      ranksOut(j) = (ids(docOf(i)), posOf(i), rank(i) + 1L)
+      j += 1
+    }
+    val adj = new Array[(Long, Int, Long, Int, Int)](n - 1)
+    j = 1
+    while (j < n) {
+      val a = order(j - 1); val b = order(j)
+      adj(j - 1) = (ids(docOf(a)), posOf(a), ids(docOf(b)), posOf(b),
+        lcpArr(j))
+      j += 1
     }
     Built(ranksOut.toSeq.toDF("doc", "pos", "r"), Nil,
-      Some(adj.result().toDF("doc1", "pos1", "doc2", "pos2", "lcp")))
+      Some(adj.toSeq.toDF("doc1", "pos1", "doc2", "pos2", "lcp")))
   }
 
   /** LCP between each suffix and its successor in suffix-array order
@@ -188,6 +251,7 @@ object SuffixArray extends TrackedCaches {
     var cur = ord.join(nxt, "rn")
       .select(col("doc").as("doc1"), col("pos").as("pos1"),
         col("doc2"), col("pos2"), lit(0).as("lcp"))
+    var round = 0
     for ((h, tbl) <- b.rankTables.sortBy(-_._1)) {
       val t1 = tbl.select(col("doc").as("doc1"), col("pos").as("q1"),
         col("r").as("rh1"))
@@ -202,6 +266,9 @@ object SuffixArray extends TrackedCaches {
           when(col("rh1").isNotNull && col("rh1") === col("rh2"),
             col("lcp") + h).otherwise(col("lcp")))
         .drop("q1", "q2", "rh1", "rh2")
+      // same lineage bound as the build loop: two joins nest per table
+      if (round % 3 == 2) cur = cur.localCheckpoint(true)
+      round += 1
     }
     // equal ranks of truncated prefixes overshoot past the string end —
     // clamp to the shorter remaining suffix (restores exact LCP)

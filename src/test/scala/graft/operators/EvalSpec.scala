@@ -62,4 +62,13 @@ class EvalSpec extends SparkSpec {
     assert(got == Map(0 -> ((2L, 0L)), 1 -> ((1L, 1L)),
       9 -> ((2L, 2L))), s"got: $got")
   }
+
+  test("calibrationBins floors negative scores (matches SQL //)") {
+    // floor(-1*2/10) = -1, not trunc's 0 — a stray negative score must
+    // land one bin BELOW zero on both engines, never fold into bin 0
+    val df = Seq((false, -1L), (false, 0L)).toDF("label", "score")
+    val got = Eval.calibrationBins(df, "label", "score", 10L, 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(-1 -> 1L, 0 -> 1L), s"got: $got")
+  }
 }

@@ -37,6 +37,25 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == Map(1L -> 4, 2L -> 4), s"got: $got")
   }
 
+  test("pathological repeats: local doubling stays fast and matches " +
+      "the distributed path") {
+    // all-same-char content is the adversarial case for a comparator
+    // suffix sort (quadratic char compares); integer doubling + Kasai
+    // are content-immune
+    val docs = Seq((1L, "a" * 200), (2L, "a" * 100 + "b"))
+      .toDF("doc_id", "text")
+    val local = SuffixArray.build(docs)
+    assert(local.localAdjacent.isDefined)
+    val dist = SuffixArray.build(docs, localThreshold = 0)
+    def repeats(b: SuffixArray.Built) =
+      SuffixArray.maxRepeatPerDoc(b).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = repeats(local)
+    assert(got == repeats(dist), s"local $got != distributed")
+    // "aaaa…" overlaps itself: longest repeat = len - 1
+    assert(got == Set((1L, 199), (2L, 100)), s"got: $got")
+  }
+
   test("driver-local fast path = distributed doubling (ranks and LCPs)") {
     val docs = Seq((1L, "banana"), (2L, "ana"), (3L, "abcabcx"),
       (4L, ""), (5L, "banana")).toDF("doc_id", "text")
