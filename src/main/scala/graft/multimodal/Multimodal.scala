@@ -1276,6 +1276,11 @@ object Multimodal {
       .select("id1", "id2", "matched", "n1", "n2")
   }
 
+  private def audioBands(fps: DataFrame): DataFrame =
+    fps.select(col("media_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(fp, 8 * band) & 255"))
+
   /** Audio near-dup pairs by banded fingerprint (the audio twin of
     * [[imageNearDups]]): the 32-bit fingerprint splits into four 8-bit
     * bands, candidates must agree exactly on at least one band (an
@@ -1285,9 +1290,7 @@ object Multimodal {
     * rows, buckets are hash-partitioned, and only colliding buckets
     * pair up. */
   def audioNearDups(fps: DataFrame, maxHamming: Int = 4): DataFrame = {
-    val bands = fps.select(col("media_id"), col("fp"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bv", expr("shiftright(fp, 8 * band) & 255"))
+    val bands = audioBands(fps)
     val a = bands.select(col("media_id").as("id1"), col("fp").as("fp1"),
       col("band"), col("bv"))
     val b = bands.select(col("media_id").as("id2"), col("fp").as("fp2"),
@@ -1298,5 +1301,44 @@ object Multimodal {
         bit_count(col("fp1").bitwiseXOR(col("fp2"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental audio near-dup — a new recording batch against the
+    * STANDING fingerprint index (the audio twin of
+    * [[incrementalImageNearDups]]): only the batch decodes; the index
+    * contributes one long per known clip and only band-colliding
+    * buckets are touched — O(batch + matching buckets), never a
+    * re-scan of the corpus. */
+  def incrementalAudioNearDups(indexFps: DataFrame, batchFps: DataFrame,
+                               maxHamming: Int = 4): DataFrame = {
+    val ib = audioBands(indexFps).select(col("media_id").as("index_id"),
+      col("fp").as("ifp"), col("band"), col("bv"))
+    val bb = audioBands(batchFps).select(col("media_id").as("batch_id"),
+      col("fp").as("bfp"), col("band"), col("bv"))
+    bb.join(ib, Seq("band", "bv"))
+      .select(col("batch_id"), col("index_id"),
+        bit_count(col("bfp").bitwiseXOR(col("ifp"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Batch fixtures for the incremental gate: every id % 10 == 0 clip
+    * re-recorded (every 89th sample nudged +5 pre-wrap), landed at
+    * id + 1000000 — same SQL-replayable formula family as
+    * [[syntheticNearDupPcm]]. */
+  def syntheticBatchPcm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter(_ % 10 == 0)
+      .map { b =>
+        val n = (b % 200 + 64).toInt
+        val samples = Array.tabulate(n) { k =>
+          val base = b * 31 + (b % 127 + 13) * k.toLong * k +
+            k.toLong * 7919 + (if (k % 89 == 0) 5L else 0L)
+          (base % 65536).toInt - 32768
+        }
+        (b + 1000000, AudioCodec.buildWavPcm(1, 8000, 16, samples))
+      }.toDF("media_id", "payload")
   }
 }

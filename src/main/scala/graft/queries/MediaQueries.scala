@@ -525,6 +525,73 @@ object MediaQueries {
         .orderBy("media_id")
     },
 
+    // Incremental audio near-dup (Multimodal.incrementalAudioNearDups):
+    // a new recording batch (id%10==0 re-records, +5 every 89th sample)
+    // lands against the STANDING fingerprint index — only the batch
+    // decodes, only band-colliding buckets are touched. The oracle
+    // replays both fixture formulas through the shared window/fingerprint
+    // arithmetic and the same band-join semantics, sides tagged in one
+    // union. Audio twin of q_image_neardup_inc.
+    Q("q_audio_neardup_inc",
+      """WITH u AS (
+        |  SELECT 0 AS side, doc_id AS mid,
+        |         CASE WHEN doc_id % 5 = 4 THEN doc_id - 1
+        |              ELSE doc_id END AS b,
+        |         doc_id AS oid
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 1, doc_id + 1000000, doc_id, doc_id
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT side, mid, b, oid,
+        |             CAST(b % 200 + 64 AS BIGINT) AS n
+        |      FROM u),
+        |s AS (SELECT side, mid, b, oid, n, unnest(range(0, n)) AS k
+        |      FROM d),
+        |v AS (SELECT side, mid, n, k,
+        |             CAST((b * 31 + (b % 127 + 13) * k * k + k * 7919
+        |                   + CASE WHEN side = 0 AND oid % 5 = 4
+        |                               AND k % 97 = 0 THEN 3
+        |                          WHEN side = 1 AND k % 89 = 0 THEN 5
+        |                          ELSE 0 END) % 65536 - 32768
+        |                  AS BIGINT) AS s
+        |      FROM s),
+        |w AS (SELECT side, mid, CAST(k * 33 // n AS INT) AS f,
+        |             sum(s * s) AS e, count(*) AS c
+        |      FROM v GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.side, a.mid, a.f AS bit,
+        |                CASE WHEN b.e * a.c > a.e * b.c THEN 1 ELSE 0 END
+        |                  AS bv
+        |         FROM w a JOIN w b
+        |           ON a.side = b.side AND a.mid = b.mid
+        |              AND b.f = a.f + 1
+        |         WHERE a.f < 32),
+        |fp AS (SELECT side, mid,
+        |              CAST(coalesce(sum(bv * (CAST(1 AS BIGINT) << bit)),
+        |                            0) AS BIGINT) AS fp
+        |       FROM bits GROUP BY 1, 2),
+        |bands AS (SELECT side, mid, fp, j AS band,
+        |                 (fp // (CAST(1 AS BIGINT) << (8 * j))) % 256
+        |                   AS bv2
+        |          FROM fp, range(0, 4) AS r(j)),
+        |cand AS (SELECT DISTINCT bb.mid AS batch_id, aa.mid AS index_id,
+        |                bb.fp AS bfp, aa.fp AS ifp
+        |         FROM bands aa JOIN bands bb
+        |           ON aa.band = bb.band AND aa.bv2 = bb.bv2
+        |         WHERE aa.side = 0 AND bb.side = 1)
+        |SELECT batch_id, index_id,
+        |       CAST(bit_count(xor(bfp, ifp)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(bfp, ifp)) <= 4
+        |ORDER BY batch_id, index_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val index = Multimodal.audioFingerprint(
+        Multimodal.syntheticNearDupPcm(t(s, dir, "documents")))
+      Multimodal.incrementalAudioNearDups(index,
+          Multimodal.audioFingerprint(
+            Multimodal.syntheticBatchPcm(t(s, dir, "documents"))))
+        .orderBy("batch_id", "index_id")
+    },
+
     // Video near-dup by shared-scene containment
     // (Multimodal.gifFrameContentHashes + videoNearDups): every frame
     // of every GIF is REALLY LZW-decoded, still scenes collapse to one

@@ -678,6 +678,20 @@ class MultimodalSpec extends SparkSpec {
     assert(AudioCodec.parseWavInfo(evil).isEmpty)
   }
 
+  test("incremental audio near-dup: every batch re-record finds its " +
+      "source in the standing index") {
+    val docs = (0L until 50L).toDF("doc_id")
+    val index = Multimodal.audioFingerprint(
+      Multimodal.syntheticNearDupPcm(docs))
+    val pairs = Multimodal.incrementalAudioNearDups(index,
+        Multimodal.audioFingerprint(Multimodal.syntheticBatchPcm(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 50L).filter(_ % 10 == 0)
+      .map(b => (b + 1000000, b))
+    val missed = expected.filterNot(pairs.contains)
+    assert(missed.isEmpty, s"batch re-records missing their source: $missed")
+  }
+
   test("videoNearDups: shared-scene containment, hand-checked") {
     import graft.multimodal.GifCodec
     val pal = Array.tabulate(3 * 4)(j => (j * 9).toByte)
