@@ -49,34 +49,7 @@ object Scd2Queries {
     // J57-J61 — the SCD2 merge: load A at T1, merge B at T2. Output =
     // history ∪ closed-out ∪ kept-open ∪ new versions, one full-outer join
     // on pk (SURVEY §4.3).
-    Q("q_scd2_merge",
-      s"""WITH a AS ($sqlSnapA),
-         |     b AS ($sqlSnapB),
-         |tgt AS (SELECT *, TIMESTAMP '$T1' AS valid_from,
-         |               TIMESTAMP '9999-12-31' AS valid_to FROM a),
-         |snap AS (SELECT *, TIMESTAMP '$T2' AS valid_from,
-         |                TIMESTAMP '9999-12-31' AS valid_to FROM b),
-         |diff AS (SELECT t.o_orderkey,
-         |                (t.o_orderstatus != s.o_orderstatus
-         |                 OR t.o_totalprice != s.o_totalprice) AS changed
-         |         FROM tgt t JOIN snap s USING (o_orderkey)),
-         |closed AS (
-         |  SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice,
-         |         t.valid_from, TIMESTAMP '$T2' AS valid_to
-         |  FROM tgt t LEFT JOIN diff d USING (o_orderkey)
-         |  WHERE d.o_orderkey IS NULL OR coalesce(d.changed, FALSE)),
-         |kept AS (
-         |  SELECT t.* FROM tgt t JOIN diff d USING (o_orderkey)
-         |  WHERE NOT coalesce(d.changed, FALSE)),
-         |ins AS (
-         |  SELECT s.* FROM snap s LEFT JOIN diff d USING (o_orderkey)
-         |  WHERE d.o_orderkey IS NULL OR coalesce(d.changed, FALSE))
-         |SELECT o_orderkey, o_orderstatus, o_totalprice,
-         |       CAST(valid_from AS VARCHAR) AS valid_from,
-         |       CAST(valid_to AS VARCHAR) AS valid_to
-         |FROM (SELECT * FROM closed UNION ALL SELECT * FROM kept
-         |      UNION ALL SELECT * FROM ins)
-         |ORDER BY o_orderkey, valid_from, valid_to""".stripMargin) {
+    Q("q_scd2_merge", mergeOracle) {
       (s, dir) =>
         // valid_from/valid_to are projected as strings: the open-end sentinel
         // 9999-12-31 written as an INT96 parquet timestamp overflows
@@ -90,6 +63,83 @@ object Scd2Queries {
           .withColumn("valid_to", col("valid_to").cast("string"))
           .orderBy("o_orderkey", "valid_from", "valid_to")
     },
+
+    // The STREAMING twin through the driver hash (EventStreams.scd2Sink):
+    // a real foreachBatch query merges each arriving snapshot into the
+    // parquet table behind a crash-safe swap — two one-shot streams
+    // deliver load A then load B, and the final table must hash-match
+    // the SAME oracle as the batch merge: micro-batch boundaries and the
+    // swap machinery must be invisible in the history.
+    Q("q_stream_scd2_replay", mergeOracle) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val tablePath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_scd2_stream",
+        dir.replace('/', '_').replace(':', '_')).toString
+      val fs = new org.apache.hadoop.fs.Path(tablePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
+      def feed(snap: org.apache.spark.sql.DataFrame, ts: String): Unit = {
+        val rows = snap.select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .as[(Long, String, Double)].collect().toSeq
+        val src = MemoryStream[(Long, String, Double)]
+        src.addData(rows: _*)
+        graft.streaming.EventStreams.scd2Sink(
+            src.toDF()
+              .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+              .withColumn("load_ts", lit(ts).cast("timestamp")),
+            tablePath, pk = Seq("o_orderkey"),
+            attrs = Seq("o_orderstatus", "o_totalprice"),
+            orderCol = "load_ts")
+          .awaitTermination()
+      }
+      feed(snapA(s, dir), T1)
+      feed(snapB(s, dir), T2)
+      s.read.parquet(tablePath)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          col("valid_from").cast("string").as("valid_from"),
+          col("valid_to").cast("string").as("valid_to"))
+        .orderBy("o_orderkey", "valid_from", "valid_to")
+    },
+  ) ++ rest
+
+  /** J57-J61 — the SCD2 merge oracle, shared verbatim by the batch gate
+    * and the streaming-sink replay gate (the stream must land on the
+    * IDENTICAL table). Output = history ∪ closed-out ∪ kept-open ∪ new
+    * versions (SURVEY §4.3). */
+  private lazy val mergeOracle: String =
+    s"""WITH a AS ($sqlSnapA),
+       |     b AS ($sqlSnapB),
+       |tgt AS (SELECT *, TIMESTAMP '$T1' AS valid_from,
+       |               TIMESTAMP '9999-12-31' AS valid_to FROM a),
+       |snap AS (SELECT *, TIMESTAMP '$T2' AS valid_from,
+       |                TIMESTAMP '9999-12-31' AS valid_to FROM b),
+       |diff AS (SELECT t.o_orderkey,
+       |                (t.o_orderstatus != s.o_orderstatus
+       |                 OR t.o_totalprice != s.o_totalprice) AS changed
+       |         FROM tgt t JOIN snap s USING (o_orderkey)),
+       |closed AS (
+       |  SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice,
+       |         t.valid_from, TIMESTAMP '$T2' AS valid_to
+       |  FROM tgt t LEFT JOIN diff d USING (o_orderkey)
+       |  WHERE d.o_orderkey IS NULL OR coalesce(d.changed, FALSE)),
+       |kept AS (
+       |  SELECT t.* FROM tgt t JOIN diff d USING (o_orderkey)
+       |  WHERE NOT coalesce(d.changed, FALSE)),
+       |ins AS (
+       |  SELECT s.* FROM snap s LEFT JOIN diff d USING (o_orderkey)
+       |  WHERE d.o_orderkey IS NULL OR coalesce(d.changed, FALSE))
+       |SELECT o_orderkey, o_orderstatus, o_totalprice,
+       |       CAST(valid_from AS VARCHAR) AS valid_from,
+       |       CAST(valid_to AS VARCHAR) AS valid_to
+       |FROM (SELECT * FROM closed UNION ALL SELECT * FROM kept
+       |      UNION ALL SELECT * FROM ins)
+       |ORDER BY o_orderkey, valid_from, valid_to""".stripMargin
+
+  private def rest: Seq[Q] = Seq(
 
     // Point-in-time reconstruction (AsOfJoin.validAt over the merged SCD2
     // table): state as-of a timestamp BETWEEN the loads must equal
