@@ -49,6 +49,40 @@ object CurationQueries {
     p.toString
   }
 
+  /** Token-drift full-recompute oracle — shared verbatim by the batch
+    * incremental-fold gate and the streaming-sink replay gate (the
+    * stream must land on the identical counts). */
+  private lazy val driftOracle: String = {
+    val toks = TextQueries.sqlToks
+    s"""WITH tk AS (SELECT lang = 'en' AS in_a, $toks AS toks
+       |            FROM documents),
+       |tok AS (SELECT in_a, unnest(toks) AS token FROM tk),
+       |cnt AS (SELECT token,
+       |               count(*) FILTER (WHERE in_a) AS c_a,
+       |               count(*) FILTER (WHERE NOT in_a) AS c_b
+       |        FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+       |               CAST(sum(c_b) AS BIGINT) AS n_b FROM cnt),
+       |term AS (SELECT CAST(round((
+       |           CASE WHEN c_a > 0
+       |                THEN (c_a * 1.0 / tot.n_a) *
+       |                     ln((c_a * 1.0 / tot.n_a) /
+       |                        (((c_a * 1.0 / tot.n_a) +
+       |                          (c_b * 1.0 / tot.n_b)) / 2.0))
+       |                ELSE 0.0 END +
+       |           CASE WHEN c_b > 0
+       |                THEN (c_b * 1.0 / tot.n_b) *
+       |                     ln((c_b * 1.0 / tot.n_b) /
+       |                        (((c_a * 1.0 / tot.n_a) +
+       |                          (c_b * 1.0 / tot.n_b)) / 2.0))
+       |                ELSE 0.0 END) * 0.5 * 1000000.0) AS BIGINT)
+       |           AS micro
+       |         FROM cnt, tot)
+       |SELECT tot.n_a, tot.n_b, count(*) AS vocab,
+       |       CAST(sum(micro) AS BIGINT) AS js_micro
+       |FROM term, tot GROUP BY tot.n_a, tot.n_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Deterministic train/val/test split: 10/3/3 sixteenths by hash
@@ -600,36 +634,7 @@ object CurationQueries {
     // counts are integers, terms quantize identically), which is what
     // makes drift affordable as a standing nightly guardrail: O(batch)
     // per night against a 100 TB reference, never a rescan.
-    Q("q_drift_incremental", {
-      val toks = TextQueries.sqlToks
-      s"""WITH tk AS (SELECT lang = 'en' AS in_a, $toks AS toks
-         |            FROM documents),
-         |tok AS (SELECT in_a, unnest(toks) AS token FROM tk),
-         |cnt AS (SELECT token,
-         |               count(*) FILTER (WHERE in_a) AS c_a,
-         |               count(*) FILTER (WHERE NOT in_a) AS c_b
-         |        FROM tok GROUP BY token),
-         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
-         |               CAST(sum(c_b) AS BIGINT) AS n_b FROM cnt),
-         |term AS (SELECT CAST(round((
-         |           CASE WHEN c_a > 0
-         |                THEN (c_a * 1.0 / tot.n_a) *
-         |                     ln((c_a * 1.0 / tot.n_a) /
-         |                        (((c_a * 1.0 / tot.n_a) +
-         |                          (c_b * 1.0 / tot.n_b)) / 2.0))
-         |                ELSE 0.0 END +
-         |           CASE WHEN c_b > 0
-         |                THEN (c_b * 1.0 / tot.n_b) *
-         |                     ln((c_b * 1.0 / tot.n_b) /
-         |                        (((c_a * 1.0 / tot.n_a) +
-         |                          (c_b * 1.0 / tot.n_b)) / 2.0))
-         |                ELSE 0.0 END) * 0.5 * 1000000.0) AS BIGINT)
-         |           AS micro
-         |         FROM cnt, tot)
-         |SELECT tot.n_a, tot.n_b, count(*) AS vocab,
-         |       CAST(sum(micro) AS BIGINT) AS js_micro
-         |FROM term, tot GROUP BY tot.n_a, tot.n_b""".stripMargin
-    }) { (s, dir) =>
+    Q("q_drift_incremental", driftOracle) { (s, dir) =>
       import graft.operators.DriftMonitor
       val docs = t(s, dir, "documents")
       val pred = col("lang") === "en"
@@ -638,6 +643,40 @@ object CurationQueries {
       val b1 = DriftMonitor.tokenCounts(
         docs.where(col("doc_id") % 2 === 1), "text", pred)
       DriftMonitor.jsFromCounts(DriftMonitor.mergeCounts(b0, b1))
+    },
+
+    // The STREAMING drift twin through the driver hash
+    // (EventStreams.driftSink): a real foreachBatch query folds each
+    // micro-batch's token counts into the standing table behind the
+    // crash-safe swap — two one-shot streams deliver the even then the
+    // odd docs, and the js readout from the persisted counts must
+    // hash-match the SAME full-recompute oracle as q_drift_incremental:
+    // batch boundaries and the swap must be invisible in the counts.
+    Q("q_stream_drift_replay", driftOracle) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val tablePath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_drift_stream",
+        dir.replace('/', '_').replace(':', '_')).toString
+      val fs = new org.apache.hadoop.fs.Path(tablePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
+      def feed(m: Long): Unit = {
+        val rows = t(s, dir, "documents")
+          .where(col("doc_id") % 2 === m)
+          .select(col("text"), (col("lang") === "en").as("in_a"))
+          .as[(String, Boolean)].collect().toSeq
+        val src = MemoryStream[(String, Boolean)]
+        src.addData(rows: _*)
+        graft.streaming.EventStreams.driftSink(
+            src.toDF().toDF("text", "in_a"), "text", col("in_a"),
+            tablePath)
+          .awaitTermination()
+      }
+      feed(0L)
+      feed(1L)
+      graft.operators.DriftMonitor.jsFromCounts(s.read.parquet(tablePath))
     },
 
     // Export shard manifest: the integrity artifact a training job reads

@@ -886,22 +886,7 @@ object TextQueries {
     // CTE computing min reachable id. Edges form 3-node chains
     // (d — d+100000 — d+200000) so the gate requires TRANSITIVE closure,
     // not just pairwise matching.
-    Q("q_dedup_components",
-      """WITH RECURSIVE
-        |edges AS (SELECT doc_id AS id1, doc_id + 100000 AS id2
-        |          FROM documents WHERE doc_id < 30
-        |          UNION ALL
-        |          SELECT doc_id + 100000, doc_id + 200000
-        |          FROM documents WHERE doc_id < 30),
-        |nodes AS (SELECT id1 AS id FROM edges UNION SELECT id2 FROM edges),
-        |sym AS (SELECT id1 AS a, id2 AS b FROM edges
-        |        UNION SELECT id2, id1 FROM edges),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id)
-        |SELECT id, min(r) AS canonical FROM reach GROUP BY id
-        |ORDER BY id""".stripMargin) { (s, dir) =>
+    Q("q_dedup_components", componentsOracle) { (s, dir) =>
       val base = t(s, dir, "documents").where(col("doc_id") < 30)
         .select(col("doc_id"))
       val edges = base.select(col("doc_id").as("id1"),
@@ -910,6 +895,37 @@ object TextQueries {
           (col("doc_id") + 200000).as("id2")))
       graft.operators.ConnectedComponents.canonicalize(edges)
         .orderBy("id")
+    },
+
+    // The STREAMING components twin through the driver hash
+    // (EventStreams.componentsSink): a real foreachBatch query absorbs
+    // each edge micro-batch into the standing labels table behind the
+    // crash-safe swap — the chain legs arrive in batch 1, the bridging
+    // legs in batch 2 (so the second batch MUST re-canonicalize
+    // yesterday's labels, not just append) — and the final table
+    // hash-matches the SAME full-recompute closure oracle.
+    Q("q_stream_components_replay", componentsOracle) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val tablePath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_cc_stream",
+        dir.replace('/', '_').replace(':', '_')).toString
+      val fs = new org.apache.hadoop.fs.Path(tablePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
+      val ids = t(s, dir, "documents").where(col("doc_id") < 30)
+        .select(col("doc_id")).as[Long].collect().toSeq
+      def feed(rows: Seq[(Long, Long)]): Unit = {
+        val src = MemoryStream[(Long, Long)]
+        src.addData(rows: _*)
+        graft.streaming.EventStreams.componentsSink(
+            src.toDF().toDF("id1", "id2"), tablePath)
+          .awaitTermination()
+      }
+      feed(ids.map(d => (d, d + 100000)))
+      feed(ids.map(d => (d + 100000, d + 200000)))
+      s.read.parquet(tablePath).orderBy("id")
     },
 
     // Incremental components (ConnectedComponents.incrementalCanonicalize)
@@ -1613,6 +1629,26 @@ object TextQueries {
         lit("\nlorem ipsum dolor sit amet")).otherwise(""),
       when(col("doc_id") % 4 === 0, lit("\ntiny line")).otherwise(""))
       .as("text"))
+
+  /** Connected-components closure oracle — shared verbatim by the batch
+    * gate and the streaming-sink replay gate (the stream must land on
+    * the identical labeling). */
+  private lazy val componentsOracle: String =
+    """WITH RECURSIVE
+      |edges AS (SELECT doc_id AS id1, doc_id + 100000 AS id2
+      |          FROM documents WHERE doc_id < 30
+      |          UNION ALL
+      |          SELECT doc_id + 100000, doc_id + 200000
+      |          FROM documents WHERE doc_id < 30),
+      |nodes AS (SELECT id1 AS id FROM edges UNION SELECT id2 FROM edges),
+      |sym AS (SELECT id1 AS a, id2 AS b FROM edges
+      |        UNION SELECT id2, id1 FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id)
+      |SELECT id, min(r) AS canonical FROM reach GROUP BY id
+      |ORDER BY id""".stripMargin
 
   /** 32-char a-z fixture strings for the suffix-array gates: formula
     * chars with a planted 16-char motif (positions 8-23) shared by every
