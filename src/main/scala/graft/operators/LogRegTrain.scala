@@ -130,6 +130,34 @@ object LogRegTrain {
       .toDF("i", "wt")
   }
 
+  /** HASH-GATEABLE log-loss: per-document loss rounded to integer
+    * MILLI-NATS (the training oracle's own sigmoid granularity) and
+    * summed as a Long — no order-dependent double summation anywhere,
+    * so the corpus total replays exactly cross-engine. Returns one row
+    * (n_docs, loss_milli, mean_loss). */
+  def logLossMilli(docs: DataFrame, textCol: String, labelCol: String,
+                   m: Model): DataFrame = {
+    val spark = docs.sparkSession
+    LinearTextScore.register(spark)
+    val sig = MessageDigest.getInstance("MD5")
+      .digest((m.bias.toString + m.weights.mkString(",")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val p = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_logreg_$sig.txt").toString
+    LinearTextScore.writeWeights(p, m.bias, m.weights)
+    val z = LinearTextScore.logitCol(col(textCol), p)
+    val y = coalesce(col(labelCol).cast("double"), lit(0.0))
+    val pr = lit(1.0) / (lit(1.0) + exp(-z))
+    val eps = lit(1e-12)
+    val lm = round(-(y * log(pr + eps) +
+      (lit(1.0) - y) * log(lit(1.0) - pr + eps)) * 1000).cast("long")
+    docs.where(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"), sum(lm).as("loss_milli"))
+      .select(col("n_docs"), col("loss_milli"),
+        round(col("loss_milli") / (col("n_docs") * lit(1000.0)), 4)
+          .as("mean_loss"))
+  }
+
   /** Mean log-loss of `m` on `docs` (rounded to 6 dp — diagnostic
     * surface for specs; not hash-gated, so the rounding is cosmetic). */
   def logLoss(docs: DataFrame, textCol: String, labelCol: String,

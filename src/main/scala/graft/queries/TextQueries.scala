@@ -1014,7 +1014,57 @@ object TextQueries {
     // epoch so cross-libm exp() ulps can't compound), and the fixed
     // IEEE weight-update sequence — then hash-compares the trained
     // model bit-for-bit (raw doubles, no rounding).
-    Q("q_train_logreg", {
+    Q("q_train_logreg",
+      s"""$logregTrainPrefix
+         |SELECT i, wt FROM w3
+         |UNION ALL SELECT CAST(-1 AS BIGINT) AS i, b AS wt FROM b3
+         |ORDER BY i""".stripMargin) { (s, dir) =>
+      import graft.operators.LogRegTrain
+      val docs = t(s, dir, "documents")
+        .withColumn("y_en", coalesce(col("lang") === "en", lit(false)))
+      val m = LogRegTrain.fit(docs, "text", "y_en",
+        d = 64, epochs = 3, lr = 0.5)
+      LogRegTrain.modelFrame(s, m).orderBy("i")
+    },
+
+    // Log-loss of the TRAINED model over the corpus — the eval leg of
+    // the training loop, hash-gated: per-doc loss in integer MILLI-NATS
+    // (the training oracle's own sigmoid granularity, so cross-libm
+    // exp/ln ulps can't flip the rounding) summed as a Long; the oracle
+    // extends the full 3-epoch training replay with one scoring pass.
+    Q("q_eval_logloss",
+      s"""$logregTrainPrefix,
+         |zf AS (SELECT d.doc_id, d.y,
+         |         list_reduce(list_prepend((SELECT b FROM b3),
+         |             coalesce(x.wts, CAST([] AS DOUBLE[]))),
+         |           (a, c) -> a + c) AS z
+         |       FROM docs d LEFT JOIN
+         |         (SELECT tt.doc_id, list(w.wt ORDER BY tt.pos) AS wts
+         |          FROM tt JOIN w3 w ON w.i = tt.i
+         |          GROUP BY tt.doc_id) x USING (doc_id)),
+         |lossd AS (SELECT doc_id,
+         |            CAST(round((-(y * ln(1.0 / (1.0 + exp(-z)) + 1e-12)
+         |                  + (1.0 - y)
+         |                    * ln(1.0 - 1.0 / (1.0 + exp(-z)) + 1e-12)))
+         |                 * 1000.0) AS BIGINT) AS lm
+         |          FROM zf)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(lm) AS BIGINT) AS loss_milli,
+         |       round(sum(lm) / (count(*) * 1000.0), 4) AS mean_loss
+         |FROM lossd""".stripMargin) { (s, dir) =>
+      import graft.operators.LogRegTrain
+      val docs = t(s, dir, "documents")
+        .withColumn("y_en", coalesce(col("lang") === "en", lit(false)))
+      val m = LogRegTrain.fit(docs, "text", "y_en",
+        d = 64, epochs = 3, lr = 0.5)
+      LogRegTrain.logLossMilli(docs, "text", "y_en", m)
+    },
+  ) ++ moreGates
+
+  /** The full 3-epoch training replay through `w3`/`b3` — shared by the
+    * train gate (which selects the model) and the log-loss gate (which
+    * appends one scoring pass). */
+  private lazy val logregTrainPrefix: String = {
       val bucket = s"(${SketchReplay.murmur32("t", BigInt(42))}) % 64"
       def epoch(k: Int) =
         s"""z$k AS (SELECT d.doc_id, d.y,
@@ -1055,18 +1105,10 @@ object TextQueries {
          |b0(b) AS (SELECT CAST(0.0 AS DOUBLE)),
          |${epoch(0)},
          |${epoch(1)},
-         |${epoch(2)}
-         |SELECT i, wt FROM w3
-         |UNION ALL SELECT CAST(-1 AS BIGINT) AS i, b AS wt FROM b3
-         |ORDER BY i""".stripMargin
-    }) { (s, dir) =>
-      import graft.operators.LogRegTrain
-      val docs = t(s, dir, "documents")
-        .withColumn("y_en", coalesce(col("lang") === "en", lit(false)))
-      val m = LogRegTrain.fit(docs, "text", "y_en",
-        d = 64, epochs = 3, lr = 0.5)
-      LogRegTrain.modelFrame(s, m).orderBy("i")
-    },
+         |${epoch(2)}""".stripMargin
+  }
+
+  private def moreGates: Seq[Q] = Seq(
 
     // Alternating large-star/small-star components (Kiveris et al.) on a
     // LONG-DIAMETER graph: two planted chains of ~90 and ~60 hops —
