@@ -37,6 +37,39 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == Map(1L -> 4, 2L -> 4), s"got: $got")
   }
 
+  test("ranks and adjacent LCPs match a naive reference on random " +
+      "corpora") {
+    val rnd = new scala.util.Random(0xa5a5)
+    val docs = (0 until 30).map { i =>
+      val len = rnd.nextInt(13)
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString) // 3-letter alphabet forces ties and deep LCPs
+    }
+    val built = SuffixArray.build(docs.toDF("doc_id", "text"))
+    // naive reference: materialize every suffix string, sort, dense-rank
+    val suf = docs.flatMap { case (id, t) =>
+      t.indices.map(p => (id, p, t.substring(p)))
+    }
+    val sorted = suf.sortBy { case (id, p, s) => (s, id, p) }
+    val rankOf = sorted.map(_._3).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    val expectRanks = suf.map { case (id, p, s) => (id, p) -> rankOf(s) }
+      .toMap
+    val gotRanks = built.ranks.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotRanks == expectRanks)
+    // adjacent LCPs against direct common-prefix computation
+    def lcp(a: String, b: String) =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val expectAdj = sorted.zip(sorted.tail).map { case (a, b) =>
+      ((a._1, a._2, b._1, b._2), lcp(a._3, b._3))
+    }.toMap
+    val gotAdj = SuffixArray.adjacentLcp(built).collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)),
+        r.getInt(4))).toMap
+    assert(gotAdj == expectAdj)
+  }
+
   test("pathological repeats: local doubling stays fast and matches " +
       "the distributed path") {
     // all-same-char content is the adversarial case for a comparator
