@@ -183,4 +183,40 @@ object Graph extends TrackedCaches {
     ranks.join(deg.select(col("src").as("v"), col("deg")), "v")
       .select(col("v").as("vertex"), col("deg"), col("r").as("rank_micro"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.),
+    * made DETERMINISTIC: every node starts labeled with its own id; each
+    * round every node adopts the label with the highest count among its
+    * neighbors, ties to the SMALLEST label (`min(struct(-cnt, label))` —
+    * one lexicographic aggregate, no RNG, no visit order). A FIXED round
+    * count (synchronous sweeps) keeps the run replayable in unrolled SQL
+    * — unlike convergence-loop LPA, whose oscillations make "until
+    * stable" engine-dependent.
+    *
+    * Scale shape: one join + one two-level aggregation per round, all
+    * keyed on node id — the ConnectedComponents exchange family — with
+    * the same persisted-adjacency reuse and lineage cadence as PageRank.
+    * Isolated nodes never appear (edges define the population). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    val e = canonicalEdges(edges)
+    val sym = tracked(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
+    sym.count()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (i <- 1 to rounds) {
+      val neigh = sym
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = neigh
+        .groupBy("id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
+          .as("best"))
+        .select(col("id"), col("best.l").as("lbl"))
+      if (i % 5 == 0 && i < rounds) labels = labels.localCheckpoint()
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
 }

@@ -135,5 +135,47 @@ object GraphQueries {
           (lit(120) + col("event_id") % 180).as("v"))
       Graph.kCore(sparse, k = 3, rounds = 16).orderBy("vertex")
     },
+
+    // Deterministic synchronous label-propagation communities
+    // (Graph.labelPropagation): two planted stars bridged at one edge,
+    // three fixed sweeps, highest-count label with the SMALLEST-label
+    // tiebreak. The oracle unrolls all three rounds (the q_train_logreg
+    // pattern) with the identical argmax-via-window semantics, so a
+    // tiebreak or round-boundary slip anywhere diverges.
+    Q("q_graph_communities", {
+      def round(k: Int) =
+        s"""n$k AS (SELECT s.dst AS id, l.lbl, count(*) AS c
+           |        FROM sym s JOIN l$k l ON l.id = s.src
+           |        GROUP BY 1, 2),
+           |l${k + 1} AS (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER (PARTITION BY id
+           |           ORDER BY c DESC, lbl) AS rn
+           |  FROM n$k) WHERE rn = 1)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT CAST(0 AS BIGINT) AS id1, doc_id AS id2
+         |  FROM documents WHERE doc_id BETWEEN 1 AND 9
+         |  UNION ALL
+         |  SELECT 50, doc_id FROM documents
+         |  WHERE doc_id BETWEEN 51 AND 59
+         |  UNION ALL SELECT 9, 59),
+         |sym AS (SELECT id1 AS src, id2 AS dst FROM e0
+         |        UNION ALL SELECT id2, id1 FROM e0),
+         |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM sym),
+         |${round(0)},
+         |${round(1)},
+         |${round(2)}
+         |SELECT id, lbl AS community FROM l3
+         |ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs
+        .where(col("doc_id").between(1, 9))
+        .select(lit(0L).as("id1"), col("doc_id").as("id2"))
+        .union(docs.where(col("doc_id").between(51, 59))
+          .select(lit(50L).as("id1"), col("doc_id").as("id2")))
+        .union(Seq((9L, 59L)).toDF("id1", "id2"))
+      Graph.labelPropagation(edges, rounds = 3).orderBy("id")
+    },
   )
 }

@@ -69,6 +69,26 @@ class EmptyInputSpec extends SparkSpec {
   private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
   private val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
 
+  test("labelPropagation: two cliques with a bridge separate; ties go " +
+      "to the smallest label") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge: after enough sweeps each
+    // triangle converges to its own minimum label
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+      .toDF("id1", "id2")
+    val got = Graph.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // within each triangle all members share a community label
+    assert(Set(got(1L), got(2L)).size == 1 && got(1L) == got(2L))
+    assert(got(10L) == got(11L) && got(11L) == got(12L))
+    // determinism: a rerun lands on the identical labeling
+    val again = Graph.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("graph operators on an empty edge set") {
     assert(Graph.triangles(noEdges).count() == 0)
     assert(Graph.triangleStats(noEdges).count() == 0)
