@@ -302,6 +302,32 @@ class PropertiesSpec extends SparkSpec {
     assert(m(a) != m(c), "distinct seeds should give distinct orders")
   }
 
+  test("audioFingerprint is partitioning-invariant and decode-stable") {
+    import graft.multimodal.Multimodal
+    val docs = sample(Gen.chooseNum(0L, 5000L), 60).distinct.toDF("doc_id")
+    val pcm = Multimodal.syntheticNearDupPcm(docs)
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.audioFingerprint(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = fps(pcm)
+    val b = fps(pcm.repartition(13))
+    assert(a == b, "fingerprints changed under repartitioning")
+    assert(a.nonEmpty)
+  }
+
+  test("videoNearDups: containment gate is threshold-monotone") {
+    import graft.multimodal.Multimodal
+    val docs = sample(Gen.chooseNum(0L, 3000L), 40).distinct.toDF("doc_id")
+    val hashes = Multimodal.gifFrameContentHashes(
+      Multimodal.syntheticNearDupAnimations(docs))
+    def pairs(pct: Int) = Multimodal.videoNearDups(hashes, pct)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val loose = pairs(40)
+    val strict = pairs(90)
+    assert(strict.subsetOf(loose),
+      "raising the containment threshold must only remove pairs")
+  }
+
   test("paretoFrontier is an anti-chain that dominates every dropped row") {
     import graft.operators.Curation
     val pts = sample(Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(0, 40)),
