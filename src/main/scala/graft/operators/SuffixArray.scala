@@ -68,15 +68,20 @@ object SuffixArray extends TrackedCaches {
     }
     if (localThreshold > 0 && integralDoc &&
         docs.limit(SmallDocs + 1).count() <= SmallDocs) {
-      val rows = docs.select(col(docCol).cast("long"), col(textCol))
-        .collect()
-      val totalChars = rows.iterator
-        .map(r => if (r.isNullAt(1)) 0L else r.getString(1).length.toLong)
-        .sum
-      if (totalChars <= localThreshold)
+      // BOTH bounds gate the driver transfer: doc count does not bound
+      // bytes (32k book-sized docs is hundreds of GB), so the char total
+      // is probed DISTRIBUTED — a scan-local sum, one scalar back —
+      // before any row leaves the executors.
+      val totalChars = docs
+        .agg(coalesce(sum(length(col(textCol))), lit(0L)).cast("long"))
+        .head().getLong(0)
+      if (totalChars <= localThreshold) {
+        val rows = docs.select(col(docCol).cast("long"), col(textCol))
+          .collect()
         return buildLocal(docs.sparkSession,
           rows.map(r => (r.getLong(0),
             if (r.isNullAt(1)) "" else r.getString(1))))
+      }
     }
     val chars = docs.select(col(docCol).as("doc"),
         posexplode(split(col(textCol), ""))).toDF("doc", "pos", "c")
@@ -125,12 +130,18 @@ object SuffixArray extends TrackedCaches {
     * comparator suffix sort, then a single walk assigns dense ranks and
     * yields every adjacent-pair LCP for free. Exact same total order and
     * tie-break as the distributed path (SuffixArraySpec pins the
-    * equivalence). Only reached behind [[build]]'s bounded probes. */
+    * equivalence). Only reached behind [[build]]'s bounded probes.
+    *
+    * Texts are decoded to CODE POINT arrays up front: the distributed
+    * path's `split(text, "")` tokenizes per code point with code-point
+    * positions and UTF-8 binary (= code point) ordering, so indexing or
+    * comparing UTF-16 code units here would make the two paths disagree
+    * on any text containing non-BMP characters (emoji, SMP CJK). */
   private def buildLocal(spark: org.apache.spark.sql.SparkSession,
                          docsArr: Array[(Long, String)]): Built = {
     import spark.implicits._
     val ids = docsArr.map(_._1)
-    val texts = docsArr.map(_._2)
+    val texts: Array[Array[Int]] = docsArr.map(_._2.codePoints().toArray)
     val n = texts.iterator.map(_.length).sum
     if (n == 0)
       return Built(Seq.empty[(Long, Int, Long)].toDF("doc", "pos", "r"),
@@ -156,13 +167,13 @@ object SuffixArray extends TrackedCaches {
     // char-comparison sorting quadratic)
     val idx = Array.tabulate(n)(identity)
     var rank = new Array[Int](n)
-    var order = idx.sortBy(i => texts(docOf(i)).charAt(posOf(i)))
+    var order = idx.sortBy(i => texts(docOf(i))(posOf(i)))
     var r = 0
     var j = 1
     rank(order(0)) = 0
     while (j < n) {
-      if (texts(docOf(order(j))).charAt(posOf(order(j))) !=
-          texts(docOf(order(j - 1))).charAt(posOf(order(j - 1)))) r += 1
+      if (texts(docOf(order(j)))(posOf(order(j))) !=
+          texts(docOf(order(j - 1)))(posOf(order(j - 1)))) r += 1
       rank(order(j)) = r
       j += 1
     }
@@ -209,8 +220,7 @@ object SuffixArray extends TrackedCaches {
           val k = order(pos - 1)
           val sb = texts(docOf(k))
           var x = p + h0; var y = posOf(k) + h0
-          while (x < sa.length && y < sb.length &&
-              sa.charAt(x) == sb.charAt(y)) {
+          while (x < sa.length && y < sb.length && sa(x) == sb(y)) {
             x += 1; y += 1
           }
           lcpArr(pos) = x - p

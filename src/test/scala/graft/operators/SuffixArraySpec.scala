@@ -89,6 +89,41 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == Set((1L, 199), (2L, 100)), s"got: $got")
   }
 
+  test("char-total bound elects the distributed path even under the " +
+      "doc-count bound") {
+    // few docs but chars over the budget: the probe must sum lengths
+    // DISTRIBUTED and refuse the driver collect (doc count alone does
+    // not bound bytes — the 100 TB hazard this guards)
+    val docs = Seq((1L, "x" * 60), (2L, "y" * 60)).toDF("doc_id", "text")
+    val b = SuffixArray.build(docs, localThreshold = 100)
+    assert(b.localAdjacent.isEmpty,
+      "expected the distributed path when totalChars > localThreshold")
+    assert(SuffixArray.build(docs, localThreshold = 200)
+      .localAdjacent.isDefined, "within budget should stay local")
+  }
+
+  test("non-BMP text: local and distributed paths agree on code-point " +
+      "positions and order") {
+    // U+1F600 is a surrogate pair in UTF-16; both paths must index and
+    // compare by CODE POINT (the distributed split/sort semantics)
+    val docs = Seq((1L, "a😀b"), (2L, "😀b"),
+      (3L, "zb")).toDF("doc_id", "text")
+    def ranksOf(b: SuffixArray.Built) = b.ranks.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val local = SuffixArray.build(docs)
+    assert(local.localAdjacent.isDefined, "expected the local path")
+    val dist = SuffixArray.build(docs, localThreshold = 0)
+    val lr = ranksOf(local)
+    assert(lr == ranksOf(dist), s"local $lr != distributed")
+    // doc 1 has exactly 3 code-point positions (not 4 UTF-16 units)
+    assert(lr.collect { case (1L, p, _) => p } == Set(0, 1, 2))
+    // order is by code point: 'b' < 'z' < U+1F600, so the suffix set
+    // sorted is: b(x2) | 😀b(x2) | a😀b | zb — "zb" ranks BELOW "😀b"
+    val rankBySuffix = lr.map { case (d, p, r) => (d, p) -> r }.toMap
+    assert(rankBySuffix((3L, 0)) < rankBySuffix((2L, 0)),
+      "zb must sort before 😀b under code-point order")
+  }
+
   test("driver-local fast path = distributed doubling (ranks and LCPs)") {
     val docs = Seq((1L, "banana"), (2L, "ana"), (3L, "abcabcx"),
       (4L, ""), (5L, "banana")).toDF("doc_id", "text")
