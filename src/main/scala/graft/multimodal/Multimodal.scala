@@ -1153,10 +1153,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         AudioCodec.parseWavSamples(bytes) match {
-          // upper bound keeps the cross-multiplied compare inside Long:
-          // sq_sum <= 2^30 per sample × 2^24/33 per window ≈ 2^49, times
-          // a 2^19 count stays under 2^63. 2^24 samples is ~35 min at
-          // 8 kHz — anything longer emits nothing (visible, not wrong)
+          // the 2^24-sample cap (~35 min at 8 kHz) bounds per-clip work;
+          // anything longer emits nothing (visible, not wrong). At that
+          // cap the cross products reach ~2^68 (sq_sum <= 2^30/sample ×
+          // 2^19/window ≈ 2^49, × a 2^19 count), so the compare is done
+          // in exact 128 bits via multiplyHigh — matching the oracle's
+          // HUGEINT arithmetic — never a wrapping Long multiply.
           case Some((_, samples))
               if samples.length >= nWin && samples.length <= (1 << 24) =>
             val n = samples.length
@@ -1170,10 +1172,18 @@ object Multimodal {
               c(w) += 1
               k += 1
             }
+            // a > b compared as exact 128-bit products (operands are
+            // nonnegative: high words via multiplyHigh, low words unsigned)
+            def gt128(a1: Long, a2: Long, b1: Long, b2: Long): Boolean = {
+              val ha = Math.multiplyHigh(a1, a2); val la = a1 * a2
+              val hb = Math.multiplyHigh(b1, b2); val lb = b1 * b2
+              if (ha != hb) ha > hb
+              else java.lang.Long.compareUnsigned(la, lb) > 0
+            }
             var fp = 0L
             var f = 0
             while (f < nBits) {
-              if (e(f + 1) * c(f) > e(f) * c(f + 1)) fp |= 1L << f
+              if (gt128(e(f + 1), c(f), e(f), c(f + 1))) fp |= 1L << f
               f += 1
             }
             Iterator.single((id, fp))

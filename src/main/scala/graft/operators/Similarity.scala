@@ -314,13 +314,24 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(assignments, "_compacted_batches")
     if (!fs.exists(p)) return Map.empty
     val in = fs.open(p)
+    // The marker is the ONLY thing suppressing already-folded batch dirs
+    // whose best-effort delete failed: silently discarding it (or any
+    // valid line in it) would resurrect those batches and double-count
+    // rows in every subsequent search. Blank lines are tolerated; any
+    // other unparseable line means real corruption — fail loudly rather
+    // than serve duplicated data.
     try new String(in.readAllBytes(), "UTF-8").split("\n")
-      .filter(_.contains("\t"))
+      .filter(_.trim.nonEmpty)
       .map { ln =>
-        val Array(t, id) = ln.split("\t", 2)
-        t -> id.trim.toLong
+        ln.split("\t", 2) match {
+          case Array(t, id) if scala.util.Try(id.trim.toLong).isSuccess =>
+            t -> id.trim.toLong
+          case _ => throw new IllegalStateException(
+            s"corrupt compaction marker $p: unparseable line " +
+              s"'${ln.take(80)}' — refusing to treat folded batches as " +
+              "live (would double-count); repair or remove the marker")
+        }
       }.toMap
-    catch { case _: NumberFormatException => Map.empty }
     finally in.close()
   }
 

@@ -630,6 +630,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Map(1L -> 5L))
   }
 
+  test("audioFingerprint: cross products past 2^63 compare exactly " +
+      "(no Long wrap)") {
+    import graft.multimodal.AudioCodec
+    // nBits=1 → 2 windows of 2^17 samples. Window 0: 2^15 full-scale
+    // samples (energy 2^45); window 1: 2^16 full-scale (energy 2^46).
+    // Cross products: e(1)·c(0) = 2^63 (wraps to Long.MIN under a raw
+    // multiply) vs e(0)·c(1) = 2^62 — a wrapped compare would CLEAR the
+    // bit; the exact 128-bit compare sets it.
+    val half = 1 << 17
+    val samples = new Array[Int](2 * half)
+    var i = 0
+    while (i < (1 << 15)) { samples(i) = -32768; i += 1 }
+    i = half
+    while (i < half + (1 << 16)) { samples(i) = -32768; i += 1 }
+    val rows = Seq((7L, AudioCodec.buildWavPcm(1, 8000, 16, samples)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.audioFingerprint(rows, nBits = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 1L), s"got: $got")
+  }
+
   test("audioNearDups: band gate + hamming confirm, hand-checked") {
     // (1,2): bands 1-3 agree, hamming 1 → pair. (3): no band matches
     // anything. (10,11): band 1-3 agree but hamming 8 > 4 → filtered.

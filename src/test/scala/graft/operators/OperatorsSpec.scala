@@ -474,6 +474,47 @@ class SimilaritySpec extends SparkSpec {
     assert(total == emb.count(), s"index holds $total of ${emb.count()}")
   }
 
+  test("corrupt compaction marker fails loudly instead of resurrecting " +
+      "folded batches") {
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_mark").toString
+    Similarity.writeIndex(emb.where(col("vec_id") % 2 === 0), dir,
+      nClusters = 4)
+    Similarity.appendBatchDir(emb.where(col("vec_id") % 2 === 1), dir,
+      "t", 0L)
+    Similarity.compactIndexBatches(spark, dir)
+    val markerPath = new org.apache.hadoop.fs.Path(
+      s"$dir/assignments/_compacted_batches")
+    val fs = markerPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(markerPath),
+      "compaction must write the high-water marker")
+    val qs = emb.where(col("vec_id") < 3)
+    val clean = Similarity.searchIndex(spark, dir, qs, k = 5).collect()
+    // corrupt ONE line (through the Hadoop FS so the crc sidecar stays
+    // consistent): the marker is the only duplicate suppression, so the
+    // read must throw — silently dropping it would double-count any
+    // folded batch whose best-effort delete had failed
+    def writeMarker(content: Array[Byte]): Unit = {
+      val out = fs.create(markerPath, true)
+      try out.write(content) finally out.close()
+    }
+    val orig = {
+      val in = fs.open(markerPath)
+      try in.readAllBytes() finally in.close()
+    }
+    writeMarker((new String(orig, "UTF-8") + "\ngarbage without structure")
+      .getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      Similarity.searchIndex(spark, dir, qs, k = 5).collect()
+    }
+    assert(ex.getMessage.contains("corrupt compaction marker"))
+    // restoring the marker restores service, bit-identical results
+    writeMarker(orig)
+    assert(Similarity.searchIndex(spark, dir, qs, k = 5).collect()
+      .sameElements(clean))
+  }
+
   test("recenterIndex refits drifted centroids and equals a fresh rebuild " +
       "over the same vectors") {
     import spark.implicits._
