@@ -296,7 +296,11 @@ object AudioCodec {
       val id = tag(b, i)
       val size = le32(b, i + 4)
       if (size > b.length - i - 8) return None
-      val span = (8L + size + (size & 1L)).toInt
+      // the pad byte on an odd final chunk may be absent at EOF — clamp
+      // the copied span to the bytes that exist (the guard above only
+      // bounds the DATA, not the pad)
+      val span = math.min(8L + size + (size & 1L), b.length - i.toLong)
+        .toInt
       if (id == "fmt " || id == "data") {
         kept += ((i, span)); total += span
       }

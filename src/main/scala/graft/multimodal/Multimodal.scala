@@ -1228,6 +1228,74 @@ object Multimodal {
       }.toDF("media_id", "payload")
   }
 
+  /** Real ISO-BMFF fixtures with PLANTED NEAR-DUPLICATE VIDEOS — the
+    * MP4 twin of [[syntheticNearDupAnimations]]: every id % 7 == 6
+    * re-cuts the previous id's video (first scene's first byte value
+    * nudged +1 mod 256, all later scenes byte-shared). Samples pair
+    * into still scenes (sample j belongs to scene j/2, both samples of
+    * a scene carry IDENTICAL bytes), every sample's content is the
+    * ASCII string of formula values so the oracle can replay the md5s,
+    * and ids % 3 == 0 carry a second (sound) track so the per-track
+    * walk is exercised. All geometry/timing fields are formula-driven
+    * for the metadata gate: width b%320+16, height b%240+16, video
+    * timescale 600·(b%4+1), sample delta b%50+10, b%6+4 samples. */
+  def syntheticNearDupMp4s(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val b = if (id % 7 == 6) id - 1 else id
+        val nf = (b % 6 + 4).toInt
+        val len = (b % 10 + 6).toInt
+        val samples = (0 until nf).map { j =>
+          val sc = j / 2
+          (0 until len).map { k =>
+            val v = ((b * 19 + k.toLong * 29 + sc * 43 + 11) % 256).toInt
+            if (id % 7 == 6 && sc == 0 && k == 0) (v + 1) % 256 else v
+          }.mkString(",")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        val video = Mp4Codec.TrackSpec("vide", 600L * (b % 4 + 1),
+          b % 50 + 10, samples, (b % 320 + 16).toInt, (b % 240 + 16).toInt)
+        val tracks =
+          if (b % 3 == 0)
+            Seq(video, Mp4Codec.TrackSpec("soun", 8000L, 100L,
+              Seq(Array[Byte](1, 2), Array[Byte](3, 4))))
+          else Seq(video)
+        (id, Mp4Codec.buildMp4(tracks))
+      }.toDF("media_id", "payload")
+  }
+
+  /** One row per DISTINCT video-sample content per MP4 — the container
+    * analog of [[gifFrameContentHashes]]: the stsc×stco×stsz walk
+    * yields each sample's REAL byte range, the bytes are md5'd
+    * (lowercase hex, DuckDB-compatible), and still scenes collapse
+    * through the distinct. Sound tracks are skipped; undecodable
+    * payloads emit nothing. Scan-local flatMap, no shuffle. */
+  def mp4SampleContentHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          Mp4Codec.parseMp4SampleRanges(bytes) match {
+            case Some(tracks) =>
+              tracks.iterator
+                .filter(_._2 == "vide")
+                .flatMap(_._3)
+                .map { case (off, sz) =>
+                  md.reset()
+                  md.update(bytes, off.toInt, sz.toInt)
+                  (id, md.digest().map("%02x".format(_)).mkString)
+                }.toSeq.distinct.iterator
+            case None => Iterator.empty
+          }
+        }
+      }.toDF("media_id", "frame_hash")
+  }
+
   /** One row per DISTINCT frame content per video — md5 (lowercase hex,
     * DuckDB-compatible) of the REAL decoded index sequence, so still
     * scenes collapse to one hash. Scan-local flatMap; undecodable

@@ -732,6 +732,101 @@ object MediaQueries {
     // pipeline. The oracle knows only the frame-count and geometry
     // formulas; byte offsets (decoder seek targets) are pinned
     // separately in MultimodalSpec because SQL can't walk bytes.
+    // MP4/ISO-BMFF container walk (Mp4Codec.parseMp4Meta): REAL box
+    // trees — ftyp brand, mvhd movie timescale/duration, per-trak
+    // tkhd/mdhd/hdlr/stsz — over fixtures whose every field derives
+    // from doc_id formulas, so the oracle replays the formulas while
+    // Spark must earn them from the bytes. Movie duration is the MAX
+    // over tracks in movie ticks (ids % 3 == 0 carry a 25 ms audio
+    // track that outlasts the shortest videos — the oracle's GREATEST).
+    Q("q_video_mp4_meta",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CASE WHEN doc_id % 7 = 6 THEN doc_id - 1
+        |                       ELSE doc_id END AS b
+        |           FROM documents),
+        |g AS (SELECT id, b, CAST(b % 6 + 4 AS BIGINT) AS nf,
+        |             CAST(b % 50 + 10 AS BIGINT) AS delta,
+        |             CAST(600 * (b % 4 + 1) AS BIGINT) AS ts
+        |      FROM p)
+        |SELECT id AS media_id, 'isom' AS brand,
+        |       CAST(1000 AS BIGINT) AS movie_ts,
+        |       CAST(greatest(nf * delta * 1000 // ts,
+        |                     CASE WHEN b % 3 = 0 THEN 25 ELSE 0 END)
+        |            AS BIGINT) AS movie_dur,
+        |       CAST(CASE WHEN b % 3 = 0 THEN 2 ELSE 1 END AS INT)
+        |         AS n_tracks,
+        |       CAST(b % 320 + 16 AS INT) AS width,
+        |       CAST(b % 240 + 16 AS INT) AS height,
+        |       ts AS v_ts, nf * delta AS v_dur, nf AS v_samples
+        |FROM g ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.{Mp4Codec, Multimodal}
+      Multimodal.syntheticNearDupMp4s(t(s, dir, "documents"))
+        .select(col("media_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          Mp4Codec.parseMp4Meta(bytes).flatMap { m =>
+            m.tracks.find(_.handler == "vide").map { v =>
+              (id, m.majorBrand, m.movieTimescale, m.movieDuration,
+                m.tracks.length, v.width, v.height, v.timescale,
+                v.duration, v.sampleCount)
+            }
+          }
+        }
+        .toDF("media_id", "brand", "movie_ts", "movie_dur", "n_tracks",
+          "width", "height", "v_ts", "v_dur", "v_samples")
+        .orderBy("media_id")
+    },
+
+    // Video near-dup over REAL MP4 sample ranges (Mp4Codec
+    // .parseMp4SampleRanges + Multimodal.videoNearDups): each video
+    // sample's byte range comes from the stsc×stco×stsz walk, its
+    // bytes are md5'd, still scenes collapse through the distinct, and
+    // videos pair through the same inverted-index containment join as
+    // the GIF gate. The fixture plants id%7==6 re-cuts (first scene's
+    // first value nudged, later scenes byte-shared); the oracle
+    // replays the sample-content formulas INCLUDING the md5 — a
+    // one-byte slip in any extracted range fails the hash.
+    Q("q_video_mp4_neardup",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CASE WHEN doc_id % 7 = 6 THEN doc_id - 1
+        |                       ELSE doc_id END AS b
+        |           FROM documents),
+        |g AS (SELECT id, b, CAST(b % 6 + 4 AS INT) AS nf,
+        |             CAST(b % 10 + 6 AS INT) AS len
+        |      FROM p),
+        |f AS (SELECT id, b, len, unnest(range(0, nf)) AS j FROM g),
+        |vals AS (SELECT id, b, j, j // 2 AS sc,
+        |                unnest(range(0, len)) AS k
+        |         FROM f),
+        |v AS (SELECT id, j, k,
+        |             CASE WHEN id % 7 = 6 AND j // 2 = 0 AND k = 0
+        |                  THEN ((b * 19 + k * 29 + sc * 43 + 11) % 256
+        |                        + 1) % 256
+        |                  ELSE (b * 19 + k * 29 + sc * 43 + 11) % 256
+        |             END AS val
+        |      FROM vals),
+        |fr AS (SELECT id, j,
+        |              md5(string_agg(CAST(val AS VARCHAR), ','
+        |                             ORDER BY k)) AS fh
+        |       FROM v GROUP BY id, j),
+        |dh AS (SELECT DISTINCT id, fh FROM fr),
+        |cnt AS (SELECT id, count(*) AS n FROM dh GROUP BY id),
+        |m AS (SELECT a.id AS id1, b.id AS id2, count(*) AS matched
+        |      FROM dh a JOIN dh b ON a.fh = b.fh AND a.id < b.id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, CAST(matched AS BIGINT) AS matched,
+        |       CAST(c1.n AS BIGINT) AS n1, CAST(c2.n AS BIGINT) AS n2
+        |FROM m JOIN cnt c1 ON m.id1 = c1.id JOIN cnt c2 ON m.id2 = c2.id
+        |WHERE matched * 100 >= 60 * least(c1.n, c2.n)
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.videoNearDups(
+          Multimodal.mp4SampleContentHashes(
+            Multimodal.syntheticNearDupMp4s(t(s, dir, "documents"))))
+        .orderBy("id1", "id2")
+    },
+
     Q("q_multimodal_frame_sample",
       """WITH p AS (SELECT doc_id AS id, CAST(doc_id % 5 + 1 AS INT) AS n
         |           FROM documents),

@@ -750,6 +750,70 @@ class MultimodalSpec extends SparkSpec {
     assert(missed.isEmpty, s"planted near-dup videos missed: $missed")
   }
 
+  test("mp4 box walk: meta round-trips the builder, corruption is None") {
+    import graft.multimodal.Mp4Codec
+    val vSamples = (0 until 5).map(j =>
+      Array.tabulate(6 + j)(k => (k * 7 + j).toByte))
+    val video = Mp4Codec.TrackSpec("vide", 2400L, 25L, vSamples,
+      width = 320, height = 176)
+    val audio = Mp4Codec.TrackSpec("soun", 8000L, 100L,
+      Seq(Array[Byte](1, 2), Array[Byte](3, 4)))
+    val bytes = Mp4Codec.buildMp4(Seq(video, audio),
+      movieTimescale = 1000L, majorBrand = "mp42")
+    val m = Mp4Codec.parseMp4Meta(bytes).get
+    assert(m.majorBrand == "mp42")
+    assert(m.movieTimescale == 1000L)
+    // video: 5*25 ticks @2400 = 52 ms; audio: 200 @8000 = 25 ms → max
+    assert(m.movieDuration == 52L, s"movieDuration ${m.movieDuration}")
+    assert(m.tracks.map(t =>
+      (t.trackId, t.handler, t.timescale, t.duration, t.sampleCount,
+        t.width, t.height)) ==
+      Seq((1L, "vide", 2400L, 125L, 5L, 320, 176),
+        (2L, "soun", 8000L, 200L, 2L, 0, 0)))
+    // corruption: truncated, oversized child box, junk
+    assert(Mp4Codec.parseMp4Meta(bytes.take(40)).isEmpty)
+    val bad = bytes.clone()
+    bad(0) = 0x7f.toByte // ftyp size explodes past EOF
+    assert(Mp4Codec.parseMp4Meta(bad).isEmpty)
+    assert(Mp4Codec.parseMp4Meta("not an mp4 at all".getBytes).isEmpty)
+  }
+
+  test("mp4 sample ranges: stsc×stco×stsz walk extracts the exact " +
+      "sample bytes across chunks") {
+    import graft.multimodal.Mp4Codec
+    val vSamples = (0 until 5).map(j =>
+      Array.tabulate(6 + j)(k => (k * 7 + j).toByte))
+    val audioSamples = Seq(Array[Byte](1, 2), Array[Byte](3, 4))
+    val bytes = Mp4Codec.buildMp4(Seq(
+      Mp4Codec.TrackSpec("vide", 600L, 20L, vSamples, 32, 24),
+      Mp4Codec.TrackSpec("soun", 8000L, 100L, audioSamples)))
+    val tracks = Mp4Codec.parseMp4SampleRanges(bytes).get
+    assert(tracks.map(t => (t._1, t._2)) ==
+      Seq((1L, "vide"), (2L, "soun")))
+    def extract(rs: Seq[(Long, Long)]) =
+      rs.map { case (o, s) => bytes.slice(o.toInt, (o + s).toInt).toSeq }
+    assert(extract(tracks(0)._3) == vSamples.map(_.toSeq))
+    assert(extract(tracks(1)._3) == audioSamples.map(_.toSeq))
+    // a range pushed past EOF parses as corrupt, not as a bad slice:
+    // clip the file right inside mdat
+    assert(Mp4Codec.parseMp4SampleRanges(bytes.dropRight(3)).isEmpty)
+  }
+
+  test("mp4 near-dup end-to-end: planted re-cuts pair with originals") {
+    val docs = (0L until 70L).toDF("doc_id")
+    val pairs = Multimodal.videoNearDups(
+        Multimodal.mp4SampleContentHashes(
+          Multimodal.syntheticNearDupMp4s(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted (id-1, id) survives the 60% gate when the video has >= 3
+    // scenes, i.e. nf = b % 6 + 4 >= 5
+    val expected = (0L until 70L)
+      .filter(id => id % 7 == 6 && (id - 1) % 6 != 0)
+      .map(id => (id - 1, id))
+    val missed = expected.filterNot(pairs.contains)
+    assert(missed.isEmpty, s"planted near-dup mp4s missed: $missed")
+  }
+
   test("resizePixels: hand-checked NN sample, pass-through, corruption") {
     import graft.multimodal.ImageCodec
     // 4x2 grayscale, pixels 10,20,30,40 / 50,60,70,80

@@ -82,6 +82,22 @@ class MultimodalFuzzSpec extends AnyFunSuite {
       b => GifCodec.parseGifPixels(b)))
   }
 
+  test("mp4 parsers survive random and mutated payloads") {
+    import graft.multimodal.Mp4Codec
+    def sample(j: Int) = Array.tabulate(6 + j)(k => (k * 7 + j).toByte)
+    val video = Mp4Codec.TrackSpec("vide", 600L, 20L,
+      (0 until 5).map(sample), width = 32, height = 24)
+    val audio = Mp4Codec.TrackSpec("soun", 8000L, 100L,
+      Seq(Array[Byte](1, 2), Array[Byte](3, 4)))
+    val valid = Seq(
+      Mp4Codec.buildMp4(Seq(video)),
+      Mp4Codec.buildMp4(Seq(video, audio)),
+      Mp4Codec.buildMp4(Seq(video.copy(samples = Seq(sample(0))))))
+    exercise("mp4", valid, Seq(
+      b => Mp4Codec.parseMp4Meta(b),
+      b => Mp4Codec.parseMp4SampleRanges(b)))
+  }
+
   test("wav parsers survive random and mutated payloads") {
     val valid = Seq(
       AudioCodec.buildWav(2, 44100, 16, 1234L, listPad = 3),
