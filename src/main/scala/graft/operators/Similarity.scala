@@ -481,18 +481,8 @@ object Similarity {
       s"lambda out of [0,1]: $lambdaNum/$lambdaDen")
     val wNum = lambdaNum.toLong
     val wPen = (lambdaDen - lambdaNum).toLong
-    val c = candidates.select(col("vec_id").as("cid"),
-      asDouble(col("embedding")).as("cv"))
-    val q = queries.select(col("vec_id").as("qid"),
-      asDouble(col("embedding")).as("qv"))
     val wRel = Window.partitionBy("qid").orderBy(desc("rel"), asc("cid"))
-    // relevance over the corpus (broadcast queries), then the bounded
-    // shortlist — the only corpus-sized stage
-    val short = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("rel", i4(cosine(col("qv"), col("cv"))))
-      .withColumn("__rn", row_number().over(wRel))
-      .where(col("__rn") <= shortlist)
-      .select("qid", "cid", "cv", "rel")
+    val short = mmrShortlist(candidates, queries, shortlist)
       .localCheckpoint(true)
     // pairwise sims within each query's shortlist: s² rows per query
     val a = short.select(col("qid"), col("cid").as("ca"), col("cv").as("va"))
@@ -527,6 +517,26 @@ object Similarity {
     }
     sel.select(col("qid").as("query_id"), col("pick"),
       col("cid").as("cand_id"), col("rel").as("rel_i4"))
+  }
+
+  /** [[mmrTopK]]'s only corpus-sized stage, exposed pre-checkpoint so
+    * PlanShapeSpec can pin its shape: queries BROADCAST onto one corpus
+    * pass, relevance integerized, and the per-query shortlist cut by a
+    * window PARTITIONED on qid (never a global sort). Everything
+    * downstream of this frame touches |Q|·shortlist rows only. */
+  private[graft] def mmrShortlist(candidates: DataFrame,
+                                  queries: DataFrame,
+                                  shortlist: Int): DataFrame = {
+    val c = candidates.select(col("vec_id").as("cid"),
+      asDouble(col("embedding")).as("cv"))
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+    val wRel = Window.partitionBy("qid").orderBy(desc("rel"), asc("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("rel", i4(cosine(col("qv"), col("cv"))))
+      .withColumn("__rn", row_number().over(wRel))
+      .where(col("__rn") <= shortlist)
+      .select("qid", "cid", "cv", "rel")
   }
 
   /** 4-dp integerization of a double — `roundCompat(c, 4) · 10⁴` computed

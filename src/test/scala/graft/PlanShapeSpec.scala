@@ -208,6 +208,59 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.OperatorCaches.releaseAll(spark)
   }
 
+  test("MMR shortlist broadcasts the queries onto one corpus pass, " +
+      "window partitioned per query") {
+    val emb = t(spark, sf001, "embeddings")
+    val plan = physical(graft.operators.Similarity.mmrShortlist(
+      emb, emb.where(col("vec_id") < 3), shortlist = 10))
+    assert(plan.contains("BroadcastExchange"),
+      s"queries must broadcast onto the corpus scan:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"shortlist cut must partition by qid, not globally:\n$plan")
+  }
+
+  test("exact jaccard join derives the staged postings ONCE, feeding " +
+      "both self-join sides from the cache") {
+    import graft.operators.{Dedup, StagingCaches}
+    val docs = t(spark, sf001, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+    val plan = physical(
+      Dedup.jaccardJoinExact(docs, "doc_id", "toks"))
+    // both the posting self-join sides and both verify sides must read
+    // InMemoryTableScan; any Generate OUTSIDE a cached plan means a
+    // side re-derives the explode chain from source (two full corpus
+    // scans at 100 TB)
+    def indent(l: String): Int = l.indexWhere(_.isLetter)
+    var cachedDepth = -1
+    var outerGenerates = 0
+    for (l <- plan.linesIterator; i = indent(l); if i >= 0) {
+      if (cachedDepth >= 0 && i <= cachedDepth) cachedDepth = -1
+      if (l.contains("Generate") && cachedDepth < 0) outerGenerates += 1
+      if (l.contains("InMemoryRelation") && cachedDepth < 0) cachedDepth = i
+    }
+    val imtsCount = plan.linesIterator
+      .count(_.contains("InMemoryTableScan"))
+    assert(imtsCount >= 2,
+      s"staged postings must feed both join sides ($imtsCount):\n$plan")
+    assert(outerGenerates == 0,
+      s"posting derivation re-derived outside the cache:\n$plan")
+    StagingCaches.releaseCaches(spark)
+  }
+
+  test("suffix-array distributed build stays multi-partition; the LCP " +
+      "descent plans no single-partition exchange") {
+    import graft.operators.SuffixArray
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"abcab${i % 7}xy${i % 3}"))
+      .toDF("doc_id", "text").repartition(8)
+    val b = SuffixArray.build(docs, localThreshold = 0)
+    assert(b.ranks.rdd.getNumPartitions > 1,
+      "suffix ranks must stay distributed")
+    val lcp = SuffixArray.adjacentLcp(b)
+    assert(!physical(lcp).contains("SinglePartition"),
+      s"LCP binary descent collapsed to one partition:\n${physical(lcp)}")
+  }
+
   test("export manifest never plans a window (prefix sum is distributed)") {
     val plan = physical(SparkEntry.queries("q_export_manifest")(spark, sf001))
     assert(!plan.contains("Window"),
