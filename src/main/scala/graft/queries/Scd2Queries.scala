@@ -71,32 +71,34 @@ object Scd2Queries {
     // the SAME oracle as the batch merge: micro-batch boundaries and the
     // swap machinery must be invisible in the history.
     Q("q_stream_scd2_replay", mergeOracle) { (s, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
       val tablePath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_scd2_stream",
         dir.replace('/', '_').replace(':', '_')).toString
       val fs = new org.apache.hadoop.fs.Path(tablePath)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
-      def feed(snap: org.apache.spark.sql.DataFrame, ts: String): Unit = {
-        val rows = snap.select(col("o_orderkey"), col("o_orderstatus"),
-            col("o_totalprice"))
-          .as[(Long, String, Double)].collect().toSeq
-        val src = MemoryStream[(Long, String, Double)]
-        src.addData(rows: _*)
+      // each load is STAGED to a snapshot directory and ingested through
+      // a real file-source readStream — no snapshot-sized collect, no
+      // driver funnel: the sink sees exactly what a landing-zone
+      // directory on a cluster would deliver
+      def feed(snap: org.apache.spark.sql.DataFrame, ts: String,
+               load: Int): Unit = {
+        val stageDir = s"$tablePath.stage_$load"
+        fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+        val projected = snap.select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        projected.write.mode("overwrite").parquet(stageDir)
         graft.streaming.EventStreams.scd2Sink(
-            src.toDF()
-              .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+            s.readStream.schema(projected.schema).parquet(stageDir)
               .withColumn("load_ts", lit(ts).cast("timestamp")),
             tablePath, pk = Seq("o_orderkey"),
             attrs = Seq("o_orderstatus", "o_totalprice"),
             orderCol = "load_ts")
           .awaitTermination()
+        fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
       }
-      feed(snapA(s, dir), T1)
-      feed(snapB(s, dir), T2)
+      feed(snapA(s, dir), T1, 1)
+      feed(snapB(s, dir), T2, 2)
       s.read.parquet(tablePath)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"),
