@@ -1,0 +1,580 @@
+package graft.multimodal
+
+/** Pure-JVM baseline JPEG pixel decoder — ITU-T T.81 sequential DCT with
+  * Huffman entropy coding, the one format of the multimodal seam that
+  * was still header-only. Same policy as the other codecs: parse the
+  * actual encoded bytes and return None for anything unparseable or
+  * outside the baseline profile (progressive, arithmetic, 12-bit) —
+  * corruption becomes null, never fabricated pixels.
+  *
+  * Coverage: SOF0/SOF1 (Huffman sequential), 8-bit precision, 1 or 3
+  * components, arbitrary sampling factors up to 4 (4:4:4 / 4:2:2 /
+  * 4:2:0 all land here), restart intervals, byte stuffing, multiple
+  * DQT/DHT segments. Chroma upsampling is nearest-neighbor (the
+  * T.81-sanctioned replication); IDCT is an exact double-precision
+  * separable transform, so DC-only blocks reconstruct bit-exactly —
+  * which is what lets [[buildJpegDcOnly]] fixtures carry a
+  * formula-replayable oracle. The entropy decoder is mutation-fuzzed
+  * alongside the other byte parsers (MultimodalFuzzSpec).
+  */
+object JpegCodec {
+
+  /** Interleaved pixels: 1 byte/px grayscale or 3 bytes/px RGB. */
+  final case class Decoded(width: Int, height: Int, nComp: Int,
+                           pixels: Array[Byte])
+
+  /** Natural-order index for zigzag position i (T.81 figure A.6). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Image dimension cap: fixtures and tests are tiny; a hostile SOF
+    * claiming gigapixels must not drive allocation. */
+  private val MaxDim = 1 << 14
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** Canonical Huffman table: BITS (16 counts) + HUFFVAL, decoded with
+    * the T.81 F.2.2.3 sequential-code algorithm. */
+  private final class Huff(counts: Array[Int], vals: Array[Byte]) {
+    // mincode/maxcode per length (1-based), valptr per length
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) == 0) -1 else code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(l: Int, code: Int): Int =
+      vals(valPtr(l) + code - minCode(l)) & 0xff
+  }
+
+  /** Entropy-segment bit reader honoring 0xFF00 stuffing; stops (and
+    * reports) at any real marker. Throws Corrupt on overrun — caught at
+    * the decode boundary. */
+  private object Corrupt extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var atMarker = false
+    var markerByte = 0
+
+    def align(): Unit = { acc = 0; nbits = 0 }
+
+    private def fill(): Unit = {
+      if (atMarker) throw Corrupt
+      if (pos >= b.length) throw Corrupt
+      val v = b(pos) & 0xff
+      if (v == 0xff) {
+        if (pos + 1 >= b.length) throw Corrupt
+        val n = b(pos + 1) & 0xff
+        if (n == 0x00) { pos += 2 } // stuffed
+        else { atMarker = true; markerByte = n; throw Corrupt }
+      } else pos += 1
+      acc = (acc << 8) | v
+      nbits += 8
+    }
+
+    def bit(): Int = {
+      if (nbits == 0) fill()
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    def huffDecode(h: Huff): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16) {
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l))
+          return h.value(l, code)
+        code = (code << 1) | bit()
+        l += 1
+      }
+      throw Corrupt
+    }
+
+    /** Peek for a restart marker at the current byte position. */
+    def consumeRestart(expected: Int): Boolean = {
+      align()
+      if (pos + 2 > b.length) return false
+      if ((b(pos) & 0xff) == 0xff &&
+          (b(pos + 1) & 0xff) == 0xd0 + expected) {
+        pos += 2
+        atMarker = false
+        true
+      } else false
+    }
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map an s-bit magnitude to its signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0
+    else if (v < (1 << (s - 1))) v - (1 << s) + 1
+    else v
+
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+
+  /** Exact separable 2-D IDCT (doubles), then level shift + clamp. */
+  private def idctBlock(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows: 1-D IDCT over u for each v row
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) 0.70710678118654752 else 1.0
+          s += cu * coef(y * 8 + u) * CosTable(x * 8 + u)
+          u += 1
+        }
+        tmp(y * 8 + x) = s / 2.0
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) { // columns
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) 0.70710678118654752 else 1.0
+          s += cv * tmp(v * 8 + x) * CosTable(yy * 8 + v)
+          v += 1
+        }
+        val p = math.round(s / 2.0 + 128.0).toInt
+        out(yy * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
+
+  def decodeJpegPixels(b: Array[Byte]): Option[Decoded] = {
+    if (b == null || b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    try decodeInner(b)
+    catch {
+      case Corrupt => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  private def decodeInner(b: Array[Byte]): Option[Decoded] = {
+    val qt = Array.ofDim[Int](4, 64) // zigzag order
+    val qtSeen = new Array[Boolean](4)
+    val dcTab = new Array[Huff](4)
+    val acTab = new Array[Huff](4)
+    var width = 0
+    var height = 0
+    var comps: Array[Comp] = null
+    var restartInterval = 0
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd9) return None // EOI before any scan
+      val len = be16(b, i + 2)
+      if (len < 2 || i + 2 + len > b.length) return None
+      val seg = i + 4
+      val segEnd = i + 2 + len
+      marker match {
+        case 0xdb => // DQT
+          var p = seg
+          while (p < segEnd) {
+            val pq = (b(p) & 0xff) >> 4
+            val tq = b(p) & 0x0f
+            if (tq > 3 || pq > 1) return None
+            val n = if (pq == 0) 64 else 128
+            if (p + 1 + n > segEnd) return None
+            var k = 0
+            while (k < 64) {
+              qt(tq)(k) =
+                if (pq == 0) b(p + 1 + k) & 0xff
+                else be16(b, p + 1 + 2 * k)
+              k += 1
+            }
+            qtSeen(tq) = true
+            p += 1 + n
+          }
+        case 0xc4 => // DHT
+          var p = seg
+          while (p < segEnd) {
+            val tc = (b(p) & 0xff) >> 4
+            val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) return None
+            if (p + 17 > segEnd) return None
+            val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
+            val total = counts.sum
+            if (total > 256 || p + 17 + total > segEnd) return None
+            val vals = java.util.Arrays.copyOfRange(b, p + 17,
+              p + 17 + total)
+            val h = new Huff(counts, vals)
+            if (tc == 0) dcTab(th) = h else acTab(th) = h
+            p += 17 + total
+          }
+        case 0xc0 | 0xc1 => // SOF0/1: baseline + extended sequential
+          if (seg + 6 > segEnd) return None
+          val precision = b(seg) & 0xff
+          if (precision != 8) return None
+          height = be16(b, seg + 1)
+          width = be16(b, seg + 3)
+          val nc = b(seg + 5) & 0xff
+          if (width < 1 || height < 1 || width > MaxDim ||
+              height > MaxDim) return None
+          if (nc != 1 && nc != 3) return None
+          if (seg + 6 + 3 * nc > segEnd) return None
+          comps = Array.tabulate(nc) { k =>
+            val o = seg + 6 + 3 * k
+            val c = Comp(b(o) & 0xff, (b(o + 1) & 0xff) >> 4,
+              b(o + 1) & 0x0f, b(o + 2) & 0xff)
+            c
+          }
+          if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 ||
+              c.v > 4 || c.tq > 3)) return None
+        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            0xcd | 0xce | 0xcf =>
+          return None // progressive / lossless / arithmetic: not baseline
+        case 0xdd => // DRI
+          if (len != 4) return None
+          restartInterval = be16(b, seg)
+        case 0xda => // SOS — decode the scan and finish
+          if (comps == null) return None
+          if (seg + 1 > segEnd) return None
+          val ns = b(seg) & 0xff
+          if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd)
+            return None
+          val scanSel = Array.tabulate(ns) { k =>
+            val cs = b(seg + 1 + 2 * k) & 0xff
+            val td = (b(seg + 2 + 2 * k) & 0xff) >> 4
+            val ta = b(seg + 2 + 2 * k) & 0x0f
+            (cs, td, ta)
+          }
+          return decodeScan(b, segEnd, width, height, comps, scanSel,
+            qt, qtSeen, dcTab, acTab, restartInterval)
+        case m if m >= 0xe0 && m <= 0xef => () // APPn
+        case 0xfe => () // COM
+        case _ => return None
+      }
+      i = segEnd
+    }
+    None
+  }
+
+  private def decodeScan(b: Array[Byte], dataStart: Int, width: Int,
+                         height: Int, comps: Array[Comp],
+                         scanSel: Array[(Int, Int, Int)],
+                         qt: Array[Array[Int]], qtSeen: Array[Boolean],
+                         dcTab: Array[Huff], acTab: Array[Huff],
+                         restartInterval: Int): Option[Decoded] = {
+    val nc = comps.length
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    // per-component plane (MCU-padded geometry)
+    val planeW = comps.map(c => mcusX * 8 * c.h)
+    val planeH = comps.map(c => mcusY * 8 * c.v)
+    val planes = Array.tabulate(nc)(k =>
+      new Array[Int](planeW(k) * planeH(k)))
+    val tables = comps.indices.map { k =>
+      val sel = scanSel.find(_._1 == comps(k).id).getOrElse(return None)
+      if (!qtSeen(comps(k).tq)) return None
+      val dc = dcTab(sel._2)
+      val ac = acTab(sel._3)
+      if (dc == null || ac == null) return None
+      (dc, ac, qt(comps(k).tq))
+    }
+    val rd = new BitReader(b, dataStart)
+    val pred = new Array[Int](nc)
+    val coef = new Array[Int](64)
+    val px = new Array[Int](64)
+    var restartCount = 0
+    var mcusSinceRestart = 0
+    try {
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 &&
+              mcusSinceRestart == restartInterval) {
+            if (!rd.consumeRestart(restartCount & 7)) throw Corrupt
+            restartCount += 1
+            mcusSinceRestart = 0
+            java.util.Arrays.fill(pred, 0)
+          }
+          var k = 0
+          while (k < nc) {
+            val c = comps(k)
+            val (dcH, acH, q) = tables(k)
+            var bv = 0
+            while (bv < c.v) {
+              var bh = 0
+              while (bh < c.h) {
+                java.util.Arrays.fill(coef, 0)
+                val t = rd.huffDecode(dcH)
+                if (t > 11) throw Corrupt
+                val diff = extend(rd.bits(t), t)
+                pred(k) += diff
+                coef(0) = pred(k) * q(0)
+                var zz = 1
+                var eob = false
+                while (zz < 64 && !eob) {
+                  val rs = rd.huffDecode(acH)
+                  val r = rs >> 4
+                  val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) zz += 16 else eob = true
+                  } else {
+                    zz += r
+                    if (zz > 63) throw Corrupt
+                    coef(Zigzag(zz)) = extend(rd.bits(s), s) * q(zz)
+                    zz += 1
+                  }
+                }
+                idctBlock(coef, px)
+                val ox = (mx * c.h + bh) * 8
+                val oy = (my * c.v + bv) * 8
+                val pw = planeW(k)
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    planes(k)((oy + yy) * pw + ox + xx) = px(yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                bh += 1
+              }
+              bv += 1
+            }
+            k += 1
+          }
+          mcusSinceRestart += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } catch { case Corrupt => return None }
+    // assemble: replication up-sampling, then color transform
+    if (nc == 1) {
+      val out = new Array[Byte](width * height)
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = planes(0)(y * pw + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Decoded(width, height, 1, out))
+    } else {
+      val out = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          def sample(k: Int): Int = {
+            val c = comps(k)
+            val sx = x * c.h / hmax
+            val sy = y * c.v / vmax
+            planes(k)(sy * planeW(k) + sx)
+          }
+          val yv = sample(0)
+          val cb = sample(1) - 128
+          val cr = sample(2) - 128
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val o = (y * width + x) * 3
+          out(o) = clamp(yv + 1.402 * cr)
+          out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yv + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      Some(Decoded(width, height, 3, out))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture builder: DC-only grayscale baseline JPEG. Every 8x8 block
+  // is flat at clamp(dc + 128) (quant table all 8s makes the IDCT of
+  // the DC coefficient EXACT), so decoded pixels are pure formulas a
+  // SQL oracle can replay while the decoder still runs the full marker
+  // walk, canonical Huffman entropy decode, dequant and IDCT.
+  // ------------------------------------------------------------------
+
+  /** T.81 Annex K.3.1 typical luminance DC table. */
+  private val StdDcCounts =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcVals =
+    Array[Byte](0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  /** Annex K.3.2 typical luminance AC table (only EOB = 0x00 is emitted
+    * by the builder, but the full table ships so the decoder exercises
+    * real table construction). */
+  private val StdAcCounts =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val StdAcVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = {
+      if (nbits > 0) { put(0x7f, 8 - nbits) } // 1-pad to byte edge
+    }
+  }
+
+  /** Codes for a canonical table: value → (code, length). */
+  private def huffCodes(counts: Array[Int],
+                        vals: Array[Byte]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var c = 0
+      while (c < counts(l - 1)) {
+        m(vals(k) & 0xff) = (code, l)
+        code += 1; k += 1; c += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    m.toMap
+  }
+
+  /** Grayscale baseline JPEG whose block (i, j) decodes to the flat
+    * value `clamp(blockVals(j * (w/8) + i) - 128 + 128)` — i.e. the
+    * given value verbatim for values in [0, 255]. `w` and `h` must be
+    * multiples of 8. */
+  def buildJpegDcOnly(w: Int, h: Int, blockVals: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      s"dimensions must be 8-multiples, got ${w}x$h")
+    val bx = w / 8
+    val by = h / 8
+    require(blockVals.length == bx * by,
+      s"need ${bx * by} block values, got ${blockVals.length}")
+    require(blockVals.forall(v => v >= 0 && v <= 255),
+      "block values must be bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64) // DQT, all 8s
+    out.write(0x00)
+    (0 until 64).foreach(_ => out.write(8))
+    marker(0xc0); u16(2 + 6 + 3) // SOF0, 1 component 1x1
+    out.write(8); u16(h); u16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    marker(0xc4) // DHT: DC table 0 + AC table 0 in one segment
+    u16(2 + (1 + 16 + StdDcVals.length) + (1 + 16 + StdAcVals.length))
+    out.write(0x00); StdDcCounts.foreach(out.write)
+    StdDcVals.foreach(v => out.write(v & 0xff))
+    out.write(0x10); StdAcCounts.foreach(out.write)
+    StdAcVals.foreach(v => out.write(v & 0xff))
+    marker(0xda); u16(2 + 1 + 2 + 3) // SOS
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val dcCodes = huffCodes(StdDcCounts, StdDcVals)
+    val acCodes = huffCodes(StdAcCounts, StdAcVals)
+    val bw = new BitWriter(out)
+    var pred = 0
+    var j = 0
+    while (j < by) {
+      var i = 0
+      while (i < bx) {
+        val dc = blockVals(j * bx + i) - 128
+        val diff = dc - pred
+        pred = dc
+        val mag = math.abs(diff)
+        val s = 32 - Integer.numberOfLeadingZeros(mag) // bit length
+        val (code, len) = dcCodes(s)
+        bw.put(code, len)
+        if (s > 0)
+          bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        val (ecode, elen) = acCodes(0x00) // EOB: no AC coefficients
+        bw.put(ecode, elen)
+        i += 1
+      }
+      j += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+}

@@ -1228,6 +1228,27 @@ object Multimodal {
       }.toDF("media_id", "payload")
   }
 
+  /** Real baseline-JPEG fixtures ([[JpegCodec.buildJpegDcOnly]]): every
+    * 8x8 block flat at the formula value `(b*7 + blockIdx*13 + 37) %
+    * 256`, geometry `8·(b%3+2) × 8·(b%2+2)` — DC-only blocks decode
+    * EXACTLY (quant 8, exact IDCT), so the oracle replays the pixel
+    * formulas while Spark must earn them through the full marker walk,
+    * canonical Huffman entropy decode, dequant and IDCT. */
+  def syntheticDcJpegs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { b =>
+        val w = 8 * (b % 3 + 2).toInt
+        val h = 8 * (b % 2 + 2).toInt
+        val bx = w / 8
+        val by = h / 8
+        val vals = Array.tabulate(bx * by)(k =>
+          ((b * 7 + k.toLong * 13 + 37) % 256).toInt)
+        (b, JpegCodec.buildJpegDcOnly(w, h, vals))
+      }.toDF("media_id", "payload")
+  }
+
   /** Real ISO-BMFF fixtures with PLANTED NEAR-DUPLICATE VIDEOS — the
     * MP4 twin of [[syntheticNearDupAnimations]]: every id % 7 == 6
     * re-cuts the previous id's video (first scene's first byte value

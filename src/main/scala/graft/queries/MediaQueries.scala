@@ -732,6 +732,55 @@ object MediaQueries {
     // pipeline. The oracle knows only the frame-count and geometry
     // formulas; byte offsets (decoder seek targets) are pinned
     // separately in MultimodalSpec because SQL can't walk bytes.
+    // Baseline JPEG pixel decode (JpegCodec.decodeJpegPixels, ITU T.81
+    // sequential Huffman): fixtures are REAL entropy-coded streams —
+    // marker walk, canonical Huffman tables, DC-diff decode, dequant,
+    // exact IDCT — whose DC-only blocks reconstruct bit-exactly, so the
+    // oracle replays the block-value formulas INCLUDING the md5 over
+    // the row-major pixel string. One slipped bit anywhere in the
+    // entropy decoder fails the hash on every image it touches.
+    Q("q_multimodal_jpeg_pixels",
+      """WITH d AS (SELECT doc_id AS b,
+        |                  CAST(8 * (doc_id % 3 + 2) AS INT) AS w,
+        |                  CAST(8 * (doc_id % 2 + 2) AS INT) AS h
+        |           FROM documents),
+        |px AS (SELECT b, w, h, unnest(range(0, w * h)) AS k FROM d),
+        |v AS (SELECT b, w, h, k,
+        |             (b * 7 + ((k // w // 8) * (w // 8) + (k % w) // 8)
+        |              * 13 + 37) % 256 AS val
+        |      FROM px)
+        |SELECT b AS media_id, max(w) AS width, max(h) AS height,
+        |       md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY k))
+        |         AS px_md5
+        |FROM v GROUP BY b ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.{JpegCodec, Multimodal}
+      Multimodal.syntheticDcJpegs(t(s, dir, "documents"))
+        .select(col("media_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, bytes) =>
+            JpegCodec.decodeJpegPixels(bytes).map { d =>
+              val sb = new StringBuilder
+              var k = 0
+              while (k < d.pixels.length) {
+                if (k > 0) sb.append(',')
+                sb.append(d.pixels(k) & 0xff)
+                k += 1
+              }
+              md.reset()
+              val dig = md.digest(sb.toString
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              (id, d.width, d.height,
+                dig.map("%02x".format(_)).mkString)
+            }
+          }
+        }
+        .toDF("media_id", "width", "height", "px_md5")
+        .orderBy("media_id")
+    },
+
     // MP4/ISO-BMFF container walk (Mp4Codec.parseMp4Meta): REAL box
     // trees — ftyp brand, mvhd movie timescale/duration, per-trak
     // tkhd/mdhd/hdlr/stsz — over fixtures whose every field derives

@@ -750,6 +750,80 @@ class MultimodalSpec extends SparkSpec {
     assert(missed.isEmpty, s"planted near-dup videos missed: $missed")
   }
 
+  test("jpeg baseline decode: DC-only blocks round-trip bit-exactly") {
+    import graft.multimodal.JpegCodec
+    // 24x16 = 3x2 blocks with values spanning the signed-diff range
+    val vals = Array(0, 255, 128, 37, 201, 64)
+    val bytes = JpegCodec.buildJpegDcOnly(24, 16, vals)
+    val d = JpegCodec.decodeJpegPixels(bytes).get
+    assert((d.width, d.height, d.nComp) == ((24, 16, 1)))
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val expect = vals((y / 8) * 3 + x / 8)
+      val got = d.pixels(y * 24 + x) & 0xff
+      assert(got == expect, s"($x,$y): $got != $expect")
+    }
+  }
+
+  test("jpeg decoder agrees with an INDEPENDENT encoder (javax ImageIO) " +
+      "on grayscale within IDCT tolerance") {
+    import graft.multimodal.JpegCodec
+    val rnd = new scala.util.Random(42)
+    val w = 40
+    val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 13 + rnd.nextInt(32)) % 256
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val mine = JpegCodec.decodeJpegPixels(bytes).get
+    assert((mine.width, mine.height, mine.nComp) == ((w, h, 1)))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = mine.pixels(y * w + x) & 0xff
+      val r = ref.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(a - r))
+    }
+    // both decoders are T.81-compliant; IDCT rounding may differ ±1
+    assert(maxDiff <= 1, s"max pixel diff $maxDiff > 1")
+  }
+
+  test("jpeg decoder handles ImageIO color (4:2:0) flat regions and " +
+      "rejects non-baseline/corrupt streams") {
+    import graft.multimodal.JpegCodec
+    // flat color: upsampling strategy cannot matter, only IDCT rounding
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(200, 80, 40))
+    g.fillRect(0, 0, 32, 16)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val d = JpegCodec.decodeJpegPixels(bos.toByteArray).get
+    assert((d.width, d.height, d.nComp) == ((32, 16, 3)))
+    for (k <- 0 until 32 * 16) {
+      val (r, gg, b) = (d.pixels(3 * k) & 0xff, d.pixels(3 * k + 1) & 0xff,
+        d.pixels(3 * k + 2) & 0xff)
+      assert(math.abs(r - 200) <= 3 && math.abs(gg - 80) <= 3 &&
+        math.abs(b - 40) <= 3, s"px $k: ($r,$gg,$b)")
+    }
+    // rejections: progressive SOF, truncation, junk
+    val base = JpegCodec.buildJpegDcOnly(16, 16, Array(1, 2, 3, 4))
+    val prog = base.clone()
+    val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
+      (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(JpegCodec.decodeJpegPixels(prog).isEmpty, "progressive accepted")
+    assert(JpegCodec.decodeJpegPixels(base.take(30)).isEmpty)
+    assert(JpegCodec.decodeJpegPixels("not a jpeg".getBytes).isEmpty)
+  }
+
   test("mp4 box walk: meta round-trips the builder, corruption is None") {
     import graft.multimodal.Mp4Codec
     val vSamples = (0 until 5).map(j =>

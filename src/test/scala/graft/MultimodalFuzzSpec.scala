@@ -82,6 +82,15 @@ class MultimodalFuzzSpec extends AnyFunSuite {
       b => GifCodec.parseGifPixels(b)))
   }
 
+  test("jpeg entropy decoder survives random and mutated payloads") {
+    import graft.multimodal.JpegCodec
+    val valid = Seq(
+      JpegCodec.buildJpegDcOnly(16, 16, Array(0, 255, 7, 200)),
+      JpegCodec.buildJpegDcOnly(24, 8, Array(10, 20, 30)))
+    exercise("jpeg", valid, Seq(
+      b => JpegCodec.decodeJpegPixels(b)))
+  }
+
   test("mp4 parsers survive random and mutated payloads") {
     import graft.multimodal.Mp4Codec
     def sample(j: Int) = Array.tabulate(6 + j)(k => (k * 7 + j).toByte)
