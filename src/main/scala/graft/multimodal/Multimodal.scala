@@ -595,13 +595,22 @@ object Multimodal {
     * bytes, so the same code hashes grayscale and RGB. Blocks an image
     * narrower than the grid never touches hash as 0 on both sides.
     * Scan-local, no shuffle; undecodable payloads yield null hashes. */
+  /** Format-agnostic pixel decode: PNG (zlib IDAT) first, then baseline
+    * JPEG — so the perceptual pipeline is container-blind and the SAME
+    * image stored in both formats lands on the same hash. */
+  private def decodeAnyPixels(bytes: Array[Byte])
+      : Option[ImageCodec.PixelImage] =
+    ImageCodec.parsePngPixels(bytes).orElse(
+      JpegCodec.decodeJpegPixels(bytes).map(d =>
+        ImageCodec.PixelImage(d.width, d.height, d.nComp, d.pixels)))
+
   def imageBlockHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        ImageCodec.parsePngPixels(bytes) match {
+        decodeAnyPixels(bytes) match {
           case Some(img) =>
             val w = img.width; val h = img.height; val ch = img.channels
             val bs = new Array[Long](64)
@@ -1115,21 +1124,51 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
+      .map(id =>
+        (id, AudioCodec.buildWavPcm(1, 8000, 16, neardupPcmSamples(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** The [[syntheticNearDupPcm]] sample formula, shared with the MP4
+    * cross-container twin so both containers carry byte-identical PCM.
+    * Doc-dependent QUADRATIC phase: a plain ramp (constant step mod
+    * 2^16) gives every doc the same sawtooth and the whole corpus
+    * nearly one fingerprint; the (b % 127 + 13)·k² term scatters
+    * window energies per doc (verified: 142 candidate pairs at 500
+    * docs, all 100 planted pairs among them). */
+  private def neardupPcmSamples(id: Long): Array[Int] = {
+    val b = if (id % 5 == 4) id - 1 else id
+    val n = (b % 200 + 64).toInt
+    Array.tabulate(n) { k =>
+      val base = b * 31 + (b % 127 + 13) * k.toLong * k +
+        k.toLong * 7919 +
+        (if (id % 5 == 4 && k % 97 == 0) 3L else 0L)
+      (base % 65536).toInt - 32768
+    }
+  }
+
+  /** MP4 twins of the [[syntheticNearDupPcm]] corpus, landed at
+    * id + 1000000: each clip's EXACT PCM byte stream (s16le) rides a
+    * real ISO-BMFF sound track, split into 64-byte samples so the
+    * stsc×stco×stsz walk is non-trivial — "the same recording delivered
+    * in a different container", which a cross-container audio dedup
+    * pass must match to its WAV original. */
+  def syntheticPcmMp4s(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
       .map { id =>
-        val b = if (id % 5 == 4) id - 1 else id
-        val n = (b % 200 + 64).toInt
-        // doc-dependent QUADRATIC phase: a plain ramp (constant step mod
-        // 2^16) gives every doc the same sawtooth and the whole corpus
-        // nearly one fingerprint; the (b % 127 + 13)·k² term scatters
-        // window energies per doc (verified: 142 candidate pairs at 500
-        // docs, all 100 planted pairs among them)
-        val samples = Array.tabulate(n) { k =>
-          val base = b * 31 + (b % 127 + 13) * k.toLong * k +
-            k.toLong * 7919 +
-            (if (id % 5 == 4 && k % 97 == 0) 3L else 0L)
-          (base % 65536).toInt - 32768
+        val samples = neardupPcmSamples(id)
+        val pcm = new Array[Byte](samples.length * 2)
+        var k = 0
+        while (k < samples.length) {
+          pcm(2 * k) = (samples(k) & 0xff).toByte
+          pcm(2 * k + 1) = ((samples(k) >> 8) & 0xff).toByte
+          k += 1
         }
-        (id, AudioCodec.buildWavPcm(1, 8000, 16, samples))
+        val mp4Samples = pcm.grouped(64).toSeq
+        (id + 1000000L, Mp4Codec.buildMp4(Seq(
+          Mp4Codec.TrackSpec("soun", 8000L, 32L, mp4Samples))))
       }.toDF("media_id", "payload")
   }
 
@@ -1153,42 +1192,90 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         AudioCodec.parseWavSamples(bytes) match {
-          // the 2^24-sample cap (~35 min at 8 kHz) bounds per-clip work;
-          // anything longer emits nothing (visible, not wrong). At that
-          // cap the cross products reach ~2^68 (sq_sum <= 2^30/sample ×
-          // 2^19/window ≈ 2^49, × a 2^19 count), so the compare is done
-          // in exact 128 bits via multiplyHigh — matching the oracle's
-          // HUGEINT arithmetic — never a wrapping Long multiply.
-          case Some((_, samples))
-              if samples.length >= nWin && samples.length <= (1 << 24) =>
-            val n = samples.length
-            val e = new Array[Long](nWin)
-            val c = new Array[Long](nWin)
-            var k = 0
-            while (k < n) {
-              val s = samples(k)
-              val w = (k.toLong * nWin / n).toInt
-              e(w) += s.toLong * s
-              c(w) += 1
-              k += 1
-            }
-            // a > b compared as exact 128-bit products (operands are
-            // nonnegative: high words via multiplyHigh, low words unsigned)
-            def gt128(a1: Long, a2: Long, b1: Long, b2: Long): Boolean = {
-              val ha = Math.multiplyHigh(a1, a2); val la = a1 * a2
-              val hb = Math.multiplyHigh(b1, b2); val lb = b1 * b2
-              if (ha != hb) ha > hb
-              else java.lang.Long.compareUnsigned(la, lb) > 0
-            }
-            var fp = 0L
-            var f = 0
-            while (f < nBits) {
-              if (gt128(e(f + 1), c(f), e(f), c(f + 1))) fp |= 1L << f
-              f += 1
-            }
-            Iterator.single((id, fp))
+          case Some((_, samples)) =>
+            fingerprintFromSamples(samples, nBits).map(fp => (id, fp))
+              .iterator
           case _ => Iterator.empty
         }
+      }).toDF("media_id", "fp")
+  }
+
+  /** The fingerprint arithmetic itself, container-independent — shared
+    * by the WAV path and [[mp4AudioFingerprint]] so the same PCM yields
+    * the same bits whatever carried it. The 2^24-sample cap (~35 min at
+    * 8 kHz) bounds per-clip work; anything longer yields None (visible,
+    * not wrong). At that cap the cross products reach ~2^68 (sq_sum <=
+    * 2^30/sample × 2^19/window ≈ 2^49, × a 2^19 count), so the compare
+    * runs in exact 128 bits via multiplyHigh — matching the oracle's
+    * HUGEINT arithmetic — never a wrapping Long multiply. */
+  private def fingerprintFromSamples(samples: Array[Int],
+                                     nBits: Int): Option[Long] = {
+    val nWin = nBits + 1
+    if (samples.length < nWin || samples.length > (1 << 24)) return None
+    val n = samples.length
+    val e = new Array[Long](nWin)
+    val c = new Array[Long](nWin)
+    var k = 0
+    while (k < n) {
+      val s = samples(k)
+      val w = (k.toLong * nWin / n).toInt
+      e(w) += s.toLong * s
+      c(w) += 1
+      k += 1
+    }
+    // a > b compared as exact 128-bit products (operands are
+    // nonnegative: high words via multiplyHigh, low words unsigned)
+    def gt128(a1: Long, a2: Long, b1: Long, b2: Long): Boolean = {
+      val ha = Math.multiplyHigh(a1, a2); val la = a1 * a2
+      val hb = Math.multiplyHigh(b1, b2); val lb = b1 * b2
+      if (ha != hb) ha > hb
+      else java.lang.Long.compareUnsigned(la, lb) > 0
+    }
+    var fp = 0L
+    var f = 0
+    while (f < nBits) {
+      if (gt128(e(f + 1), c(f), e(f), c(f + 1))) fp |= 1L << f
+      f += 1
+    }
+    Some(fp)
+  }
+
+  /** Acoustic fingerprint of the PCM riding an MP4 sound track: the
+    * stsc×stco×stsz walk yields the track's sample byte ranges, their
+    * concatenation decodes as s16le, and the SAME windowed-energy bits
+    * as [[audioFingerprint]] follow — so a recording deduplicates
+    * against its WAV original across containers. First sound track per
+    * file; undecodable payloads or odd byte counts emit nothing.
+    * Scan-local flatMap, no shuffle. */
+  def mp4AudioFingerprint(media: DataFrame, nBits: Int = 32): DataFrame = {
+    require(nBits > 0 && nBits <= 62, s"nBits must be in [1,62], got $nBits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        (for {
+          tracks <- Mp4Codec.parseMp4SampleRanges(bytes)
+          soun <- tracks.find(_._2 == "soun")
+          totalBytes = soun._3.map(_._2).sum
+          if totalBytes % 2 == 0 && totalBytes <= (1L << 25)
+          samples = {
+            val out = new Array[Int](totalBytes.toInt / 2)
+            var o = 0
+            soun._3.foreach { case (off, sz) =>
+              var p = off.toInt
+              val end = (off + sz).toInt
+              while (p + 1 < end) {
+                out(o) = ((bytes(p) & 0xff) |
+                  (bytes(p + 1) << 8)).toShort.toInt
+                o += 1
+                p += 2
+              }
+            }
+            out
+          }
+          fp <- fingerprintFromSamples(samples, nBits)
+        } yield (id, fp)).iterator
       }).toDF("media_id", "fp")
   }
 
@@ -1225,6 +1312,36 @@ object Multimodal {
           }
         }
         (id, GifCodec.buildGifAnimPixels(w, h, pal, frames))
+      }.toDF("media_id", "payload")
+  }
+
+  /** Cross-format twins: the SAME image carried once as PNG (media_id =
+    * doc_id) and once as baseline JPEG (media_id = doc_id + 1000000) —
+    * flat 8x8 blocks with the [[syntheticDcJpegs]] formula, so the JPEG
+    * side decodes bit-identically to the PNG side and a format-blind
+    * perceptual dedup MUST pair every twin at hamming 0. */
+  def syntheticCrossFormatImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .flatMap { b =>
+        val w = 8 * (b % 3 + 2).toInt
+        val h = 8 * (b % 2 + 2).toInt
+        val bx = w / 8
+        val vals = Array.tabulate(bx * (h / 8))(k =>
+          ((b * 7 + k.toLong * 13 + 37) % 256).toInt)
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) = vals((y / 8) * bx + x / 8).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Seq((b, ImageCodec.buildPngPixels(w, h, 1, px)),
+          (b + 1000000L, JpegCodec.buildJpegDcOnly(w, h, vals)))
       }.toDF("media_id", "payload")
   }
 

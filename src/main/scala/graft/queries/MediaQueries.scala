@@ -732,6 +732,115 @@ object MediaQueries {
     // pipeline. The oracle knows only the frame-count and geometry
     // formulas; byte offsets (decoder seek targets) are pinned
     // separately in MultimodalSpec because SQL can't walk bytes.
+    // FORMAT-BLIND perceptual hashing: the SAME image carried as PNG
+    // and as baseline JPEG must land on the SAME 64-bit block hash —
+    // two completely different real decoders (zlib/filters vs Huffman/
+    // IDCT) converging on identical pixels. The oracle computes the
+    // hash ONCE from the block formulas and demands it from both
+    // columns; a one-bit divergence in either decoder fails the row.
+    Q("q_image_crossformat_hash",
+      """WITH d AS (SELECT doc_id AS b,
+        |                  CAST(8 * (doc_id % 3 + 2) AS INT) AS w,
+        |                  CAST(8 * (doc_id % 2 + 2) AS INT) AS h
+        |           FROM documents),
+        |px AS (SELECT b, w, h, unnest(range(0, w * h)) AS k FROM d),
+        |v AS (SELECT b, w, h, k,
+        |             (b * 7 + ((k // w // 8) * (w // 8) + (k % w) // 8)
+        |              * 13 + 37) % 256 AS val
+        |      FROM px),
+        |blk AS (SELECT b, ((k // w) * 8 // h) * 8 + (k % w) * 8 // w
+        |                 AS blk, val
+        |        FROM v),
+        |bsum AS (SELECT b, blk, sum(val) AS bs, count(*) AS bn
+        |         FROM blk GROUP BY 1, 2),
+        |tot AS (SELECT b, max(w) AS w, max(h) AS h, sum(val) AS ts,
+        |               count(*) AS tn
+        |        FROM v GROUP BY 1),
+        |bits AS (SELECT s.b, s.blk,
+        |                CASE WHEN s.bs * t.tn > t.ts * s.bn THEN 1
+        |                     ELSE 0 END AS bit
+        |         FROM bsum s JOIN tot t USING (b)),
+        |hs AS (SELECT t.b, max(t.w) AS width, max(t.h) AS height,
+        |              CAST(coalesce(sum(CASE WHEN x.blk >= 32
+        |                    THEN x.bit * (CAST(1 AS BIGINT) << (x.blk - 32))
+        |                    ELSE 0 END), 0) AS BIGINT) AS hi,
+        |              CAST(coalesce(sum(CASE WHEN x.blk < 32
+        |                    THEN x.bit * (CAST(1 AS BIGINT) << x.blk)
+        |                    ELSE 0 END), 0) AS BIGINT) AS lo
+        |       FROM tot t JOIN bits x ON t.b = x.b GROUP BY t.b)
+        |SELECT b AS media_id, width, height,
+        |       hi AS png_hi, lo AS png_lo, hi AS jpg_hi, lo AS jpg_lo
+        |FROM hs ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val hs = Multimodal.imageBlockHash(
+        Multimodal.syntheticCrossFormatImages(t(s, dir, "documents")))
+      val png = hs.where(col("media_id") < 1000000L)
+        .select(col("media_id"), col("width"), col("height"),
+          col("hash_hi").as("png_hi"), col("hash_lo").as("png_lo"))
+      val jpg = hs.where(col("media_id") >= 1000000L)
+        .select((col("media_id") - 1000000L).as("media_id"),
+          col("hash_hi").as("jpg_hi"), col("hash_lo").as("jpg_lo"))
+      png.join(jpg, "media_id")
+        .select("media_id", "width", "height", "png_hi", "png_lo",
+          "jpg_hi", "jpg_lo")
+        .orderBy("media_id")
+    },
+
+    // CROSS-CONTAINER audio dedup: the same recording delivered as a
+    // WAV file and as PCM riding an MP4 sound track (real stsc×stco×
+    // stsz walk, 64-byte samples) must fingerprint identically — the
+    // batch-vs-standing-index join pairs every MP4 clip with its WAV
+    // original at hamming 0, plus the planted re-record cross matches.
+    // The oracle computes the fingerprint ONCE per recording and
+    // replays the banded incremental join.
+    Q("q_audio_mp4_crossdup",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CASE WHEN doc_id % 5 = 4 THEN doc_id - 1
+        |                       ELSE doc_id END AS b
+        |           FROM documents),
+        |d AS (SELECT id, b, CAST(b % 200 + 64 AS BIGINT) AS n FROM p),
+        |s AS (SELECT id, b, n, unnest(range(0, n)) AS k FROM d),
+        |v AS (SELECT id, n, k,
+        |             CAST((b * 31 + (b % 127 + 13) * k * k + k * 7919
+        |                   + CASE WHEN id % 5 = 4 AND k % 97 = 0
+        |                          THEN 3 ELSE 0 END) % 65536 - 32768
+        |                  AS BIGINT) AS s
+        |      FROM s),
+        |w AS (SELECT id, CAST(k * 33 // n AS INT) AS f, sum(s * s) AS e,
+        |             count(*) AS c
+        |      FROM v GROUP BY 1, 2),
+        |bits AS (SELECT a.id, a.f AS bit,
+        |                CASE WHEN b.e * a.c > a.e * b.c THEN 1 ELSE 0 END
+        |                  AS bv
+        |         FROM w a JOIN w b ON a.id = b.id AND b.f = a.f + 1
+        |         WHERE a.f < 32),
+        |fp AS (SELECT id,
+        |              CAST(coalesce(sum(bv * (CAST(1 AS BIGINT) << bit)),
+        |                            0) AS BIGINT) AS fp
+        |       FROM bits GROUP BY 1),
+        |bands AS (SELECT id, fp, j AS band,
+        |                 (fp // (CAST(1 AS BIGINT) << (8 * j))) % 256
+        |                   AS bv
+        |          FROM fp, range(0, 4) AS r(j)),
+        |cand AS (SELECT DISTINCT bb.id + 1000000 AS batch_id,
+        |                aa.id AS index_id, bb.fp AS bfp, aa.fp AS ifp
+        |         FROM bands aa JOIN bands bb
+        |           ON aa.band = bb.band AND aa.bv = bb.bv)
+        |SELECT batch_id, index_id,
+        |       CAST(bit_count(xor(bfp, ifp)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(bfp, ifp)) <= 4
+        |ORDER BY batch_id, index_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val docs = t(s, dir, "documents")
+      Multimodal.incrementalAudioNearDups(
+          Multimodal.audioFingerprint(
+            Multimodal.syntheticNearDupPcm(docs)),
+          Multimodal.mp4AudioFingerprint(
+            Multimodal.syntheticPcmMp4s(docs)))
+        .orderBy("batch_id", "index_id")
+    },
+
     // Baseline JPEG pixel decode (JpegCodec.decodeJpegPixels, ITU T.81
     // sequential Huffman): fixtures are REAL entropy-coded streams —
     // marker walk, canonical Huffman tables, DC-diff decode, dequant,

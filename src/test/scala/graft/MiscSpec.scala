@@ -824,6 +824,34 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decodeJpegPixels("not a jpeg".getBytes).isEmpty)
   }
 
+  test("cross-format twins: PNG and JPEG carriers of the same image " +
+      "hash identically") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val hs = Multimodal.imageBlockHash(
+        Multimodal.syntheticCrossFormatImages(docs))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(hs.size == 60, s"expected 60 hashes, got ${hs.size}")
+    for (b <- 0L until 30L)
+      assert(hs(b) == hs(b + 1000000L), s"doc $b: PNG ${hs(b)} != " +
+        s"JPEG ${hs(b + 1000000L)}")
+  }
+
+  test("cross-container audio: MP4-carried PCM fingerprints equal the " +
+      "WAV originals") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val wav = Multimodal.audioFingerprint(
+        Multimodal.syntheticNearDupPcm(docs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mp4 = Multimodal.mp4AudioFingerprint(
+        Multimodal.syntheticPcmMp4s(docs)).collect()
+      .map(r => (r.getLong(0) - 1000000L) -> r.getLong(1)).toMap
+    assert(wav.size == 30 && mp4.size == 30)
+    for (b <- 0L until 30L)
+      assert(wav(b) == mp4(b), s"doc $b: wav fp ${wav(b)} != mp4 ${mp4(b)}")
+  }
+
   test("mp4 box walk: meta round-trips the builder, corruption is None") {
     import graft.multimodal.Mp4Codec
     val vSamples = (0 until 5).map(j =>
