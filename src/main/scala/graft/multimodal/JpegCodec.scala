@@ -521,8 +521,12 @@ object JpegCodec {
   /** Grayscale baseline JPEG whose block (i, j) decodes to the flat
     * value `clamp(blockVals(j * (w/8) + i) - 128 + 128)` — i.e. the
     * given value verbatim for values in [0, 255]. `w` and `h` must be
-    * multiples of 8. */
-  def buildJpegDcOnly(w: Int, h: Int, blockVals: Array[Int]): Array[Byte] = {
+    * multiples of 8. `restartInterval > 0` emits a DRI segment and
+    * RST0-7 markers every that many MCUs (with the spec-mandated DC
+    * predictor reset and byte alignment), exercising the decoder's
+    * resync path with a real stream. */
+  def buildJpegDcOnly(w: Int, h: Int, blockVals: Array[Int],
+                      restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
       s"dimensions must be 8-multiples, got ${w}x$h")
     val bx = w / 8
@@ -541,6 +545,7 @@ object JpegCodec {
     marker(0xc0); u16(2 + 6 + 3) // SOF0, 1 component 1x1
     out.write(8); u16(h); u16(w); out.write(1)
     out.write(1); out.write(0x11); out.write(0)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     marker(0xc4) // DHT: DC table 0 + AC table 0 in one segment
     u16(2 + (1 + 16 + StdDcVals.length) + (1 + 16 + StdAcVals.length))
     out.write(0x00); StdDcCounts.foreach(out.write)
@@ -552,12 +557,22 @@ object JpegCodec {
     out.write(0); out.write(63); out.write(0)
     val dcCodes = huffCodes(StdDcCounts, StdDcVals)
     val acCodes = huffCodes(StdAcCounts, StdAcVals)
-    val bw = new BitWriter(out)
+    var bw = new BitWriter(out)
     var pred = 0
+    var mcu = 0
+    var rst = 0
     var j = 0
     while (j < by) {
       var i = 0
       while (i < bx) {
+        if (restartInterval > 0 && mcu == restartInterval) {
+          bw.flush()
+          marker(0xd0 + (rst & 7))
+          rst += 1
+          mcu = 0
+          pred = 0
+          bw = new BitWriter(out)
+        }
         val dc = blockVals(j * bx + i) - 128
         val diff = dc - pred
         pred = dc
@@ -569,6 +584,7 @@ object JpegCodec {
           bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
         val (ecode, elen) = acCodes(0x00) // EOB: no AC coefficients
         bw.put(ecode, elen)
+        mcu += 1
         i += 1
       }
       j += 1

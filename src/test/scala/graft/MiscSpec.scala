@@ -764,6 +764,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpeg restart markers: DRI stream round-trips with predictor " +
+      "resets and resync") {
+    import graft.multimodal.JpegCodec
+    // 4x3 blocks, restart every 5 MCUs → two RST markers mid-stream;
+    // values force large negative diffs right AFTER each reset
+    val vals = Array(250, 3, 247, 8, 240, 12, 233, 16, 225, 21, 218, 25)
+    val bytes = JpegCodec.buildJpegDcOnly(32, 24, vals,
+      restartInterval = 5)
+    // the stream really contains RST0 and RST1
+    def hasMarker(m: Int) = bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(hasMarker(0xd0) && hasMarker(0xd1), "RST markers missing")
+    val d = JpegCodec.decodeJpegPixels(bytes).get
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val expect = vals((y / 8) * 4 + x / 8)
+      val got = d.pixels(y * 32 + x) & 0xff
+      assert(got == expect, s"($x,$y): $got != $expect")
+    }
+  }
+
   test("jpeg decoder agrees with an INDEPENDENT encoder (javax ImageIO) " +
       "on grayscale within IDCT tolerance") {
     import graft.multimodal.JpegCodec

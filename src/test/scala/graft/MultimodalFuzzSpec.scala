@@ -86,7 +86,9 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     import graft.multimodal.JpegCodec
     val valid = Seq(
       JpegCodec.buildJpegDcOnly(16, 16, Array(0, 255, 7, 200)),
-      JpegCodec.buildJpegDcOnly(24, 8, Array(10, 20, 30)))
+      JpegCodec.buildJpegDcOnly(24, 8, Array(10, 20, 30)),
+      JpegCodec.buildJpegDcOnly(32, 8, Array(9, 250, 17, 180),
+        restartInterval = 2))
     exercise("jpeg", valid, Seq(
       b => JpegCodec.decodeJpegPixels(b)))
   }
