@@ -1404,6 +1404,36 @@ object Multimodal {
       }.toDF("media_id", "payload")
   }
 
+  /** Uniform-k sample selection over the REAL MP4 sample table — the
+    * container twin of [[sampleGifFramesUniform]]: keep the distinct
+    * `⌊j·n/k⌋` video samples with their true byte offsets and sizes
+    * from the stsc×stco×stsz walk, i.e. exactly the seek targets a
+    * budgeted frame-decode pass would read. Scan-local; payloads
+    * without a decodable video track emit nothing. */
+  def sampleMp4FramesUniform(media: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Mp4Codec.parseMp4SampleRanges(bytes) match {
+          case Some(tracks) =>
+            tracks.find(_._2 == "vide") match {
+              case Some((_, _, ranges)) if ranges.nonEmpty =>
+                val n = ranges.length
+                (0 until k).map(j => j * n / k).distinct.iterator
+                  .map { si =>
+                    val (off, sz) = ranges(si)
+                    (id, si, off, sz)
+                  }
+              case _ => Iterator.empty
+            }
+          case None => Iterator.empty
+        }
+      }).toDF("media_id", "sample_idx", "byte_offset", "size")
+  }
+
   /** One row per DISTINCT video-sample content per MP4 — the container
     * analog of [[gifFrameContentHashes]]: the stsc×stco×stsz walk
     * yields each sample's REAL byte range, the bytes are md5'd

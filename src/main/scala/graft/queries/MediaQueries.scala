@@ -732,6 +732,47 @@ object MediaQueries {
     // pipeline. The oracle knows only the frame-count and geometry
     // formulas; byte offsets (decoder seek targets) are pinned
     // separately in MultimodalSpec because SQL can't walk bytes.
+    // Uniform-k sampling over the real MP4 sample table (Multimodal
+    // .sampleMp4FramesUniform): the budgeted frame-decode policy for
+    // video containers — keep distinct floor(j*n/4) samples with true
+    // byte geometry from the stsc×stco×stsz walk. The oracle replays
+    // the selection AND each selected sample's SIZE (the fixture's
+    // content-string length — sum of the decimal widths of the formula
+    // values plus separators); byte offsets are decoder seek targets
+    // pinned in spec because SQL cannot walk the box tree.
+    Q("q_video_mp4_frame_sample",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CASE WHEN doc_id % 7 = 6 THEN doc_id - 1
+        |                       ELSE doc_id END AS b
+        |           FROM documents),
+        |g AS (SELECT id, b, CAST(b % 6 + 4 AS INT) AS nf,
+        |             CAST(b % 10 + 6 AS INT) AS len
+        |      FROM p),
+        |sel AS (SELECT DISTINCT id, b, len,
+        |               CAST(j * nf // 4 AS INT) AS si
+        |        FROM g, range(0, 4) AS r(j)),
+        |vals AS (SELECT id, b, si, si // 2 AS sc, len,
+        |                unnest(range(0, len)) AS k
+        |         FROM sel),
+        |v AS (SELECT id, si, k,
+        |             CASE WHEN id % 7 = 6 AND si // 2 = 0 AND k = 0
+        |                  THEN ((b * 19 + k * 29 + sc * 43 + 11) % 256
+        |                        + 1) % 256
+        |                  ELSE (b * 19 + k * 29 + sc * 43 + 11) % 256
+        |             END AS val
+        |      FROM vals)
+        |SELECT id AS media_id, si AS sample_idx,
+        |       CAST(sum(length(CAST(val AS VARCHAR))) + count(*) - 1
+        |            AS BIGINT) AS size
+        |FROM v GROUP BY id, si
+        |ORDER BY media_id, sample_idx""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.sampleMp4FramesUniform(
+          Multimodal.syntheticNearDupMp4s(t(s, dir, "documents")))
+        .select(col("media_id"), col("sample_idx"), col("size"))
+        .orderBy("media_id", "sample_idx")
+    },
+
     // FORMAT-BLIND perceptual hashing: the SAME image carried as PNG
     // and as baseline JPEG must land on the SAME 64-bit block hash —
     // two completely different real decoders (zlib/filters vs Huffman/

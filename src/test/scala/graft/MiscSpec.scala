@@ -921,6 +921,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Mp4Codec.parseMp4SampleRanges(bytes.dropRight(3)).isEmpty)
   }
 
+  test("sampleMp4FramesUniform: floor(j*n/4) selection with REAL byte " +
+      "offsets (extracted bytes match the planted content)") {
+    val docs = (0L until 12L).toDF("doc_id")
+    val media = Multimodal.syntheticNearDupMp4s(docs)
+    val payloads = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val got = Multimodal.sampleMp4FramesUniform(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, si, off, sz) =>
+      val b = if (id % 7 == 6) id - 1 else id
+      val nf = (b % 6 + 4).toInt
+      assert((0 until 4).map(j => j * nf / 4).distinct.contains(si),
+        s"media $id sampled non-uniform index $si")
+      val len = (b % 10 + 6).toInt
+      val sc = si / 2
+      val expect = (0 until len).map { k =>
+        val v = ((b * 19 + k.toLong * 29 + sc * 43 + 11) % 256).toInt
+        if (id % 7 == 6 && sc == 0 && k == 0) (v + 1) % 256 else v
+      }.mkString(",")
+      val bytes = payloads(id)
+      val slice = new String(bytes, off.toInt, sz.toInt,
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(slice == expect, s"media $id sample $si: offset $off does " +
+        s"not point at the planted content")
+    }
+  }
+
   test("mp4 near-dup end-to-end: planted re-cuts pair with originals") {
     val docs = (0L until 70L).toDF("doc_id")
     val pairs = Multimodal.videoNearDups(
