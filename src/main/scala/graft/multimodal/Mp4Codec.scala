@@ -215,16 +215,19 @@ object Mp4Codec {
     else Some(Mp4Meta(brand, movieTs, movieDur, tracks.toSeq))
   }
 
-  /** Per-track absolute sample byte ranges from the stsc × stco × stsz
-    * walk: (trackId, handler, ranges) where each range is (offset,
-    * size) into the file. Every range is validated against the byte
-    * length — a table pointing outside the file parses as corrupt. */
+  /** Per-track absolute sample byte ranges: (trackId, handler, ranges)
+    * where each range is (offset, size) into the file. Covers BOTH
+    * layouts — the flat stsc × stco × stsz walk and fragmented files
+    * (moof/traf: tfhd base-data-offset / default-base-is-moof +
+    * default-sample-size, trun data-offset + per-sample sizes), with
+    * fragment runs appended to their track in file order. Every range
+    * is validated against the byte length — a table pointing outside
+    * the file parses as corrupt. */
   def parseMp4SampleRanges(b: Array[Byte])
       : Option[Seq[(Long, String, Seq[(Long, Long)])]] = {
     if (b == null || b.length < 16) return None
-    val out =
-      scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, Seq[(Long, Long)])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, scala.collection.mutable.ArrayBuffer[(Long, Long)])]
     var sawMoov = false
 
     def parseTrak(ts: Long, te: Long): Boolean = {
@@ -312,8 +315,9 @@ object Mp4Codec {
       }
       if (!ok || trackId < 0 || handler == null || sizes == null)
         return false
-      if (sizes.isEmpty) { // zero-sample track: trivially empty ranges
-        out += ((trackId, handler, Nil))
+      if (sizes.isEmpty) { // zero-sample stbl (fragmented layout): the
+        out += ((trackId, handler,  // track exists, runs come from moofs
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]))
         return true
       }
       if (chunkOffsets == null || stsc == null || stsc.isEmpty)
@@ -343,20 +347,115 @@ object Mp4Codec {
         chunk += 1
       }
       if (sample != sizes.length) return false // table shortfall
-      out += ((trackId, handler, ranges.toSeq))
+      out += ((trackId, handler, ranges))
       true
     }
 
-    val ok = walkBoxes(b, 0L, b.length.toLong) { (typ, s, e) =>
-      if (typ != "moov") true
-      else {
-        sawMoov = true
-        walkBoxes(b, s, e) { (t1, s1, e1) =>
-          if (t1 != "trak") true else parseTrak(s1, e1)
+    // One movie fragment's traf: tfhd carries the track id, the base
+    // offset policy (explicit base-data-offset or default-base-is-moof)
+    // and an optional default sample size; each trun contributes a run
+    // of consecutive samples (explicit per-sample sizes when flag 0x200,
+    // else the tfhd default), runs without a data offset continuing
+    // from the previous run's end.
+    def parseTraf(ts: Long, te: Long, moofStart: Long): Boolean = {
+      var trackId = -1L
+      var baseOffset = moofStart
+      var defSize = -1L
+      var cursor = -1L
+      val ok = walkBoxes(b, ts, te) { (t2, s2, e2) =>
+        t2 match {
+          case "tfhd" =>
+            if (s2 + 8 > e2) false
+            else {
+              val flags = (be32(b, s2.toInt) & 0xffffffL).toInt
+              trackId = be32(b, s2.toInt + 4)
+              var p = s2 + 8
+              var good = true
+              if ((flags & 0x01) != 0) {
+                if (p + 8 > e2) good = false
+                else { baseOffset = be64(b, p.toInt); p += 8 }
+              }
+              if (good && (flags & 0x02) != 0) p += 4 // sample-desc idx
+              if (good && (flags & 0x08) != 0) p += 4 // default duration
+              if (good && (flags & 0x10) != 0) {
+                if (p + 4 > e2) good = false
+                else { defSize = be32(b, p.toInt); p += 4 }
+              }
+              good && p <= e2
+            }
+          case "trun" =>
+            if (trackId < 0 || s2 + 8 > e2) false
+            else {
+              val flags = (be32(b, s2.toInt) & 0xffffffL).toInt
+              val n = be32(b, s2.toInt + 4)
+              if (n > MaxEntries) false
+              else {
+                var p = s2 + 8
+                var good = true
+                if ((flags & 0x01) != 0) {
+                  if (p + 4 > e2) good = false
+                  else { cursor = baseOffset + be32(b, p.toInt).toInt
+                    p += 4 }
+                } else if (cursor < 0) good = false // no start anchor
+                if (good && (flags & 0x04) != 0) p += 4 // first-flags
+                val perSample =
+                  (if ((flags & 0x100) != 0) 4 else 0) +
+                    (if ((flags & 0x200) != 0) 4 else 0) +
+                    (if ((flags & 0x400) != 0) 4 else 0) +
+                    (if ((flags & 0x800) != 0) 4 else 0)
+                if (good && p + perSample.toLong * n > e2) good = false
+                if (good && (flags & 0x200) == 0 && defSize < 0)
+                  good = false // no size source at all
+                if (!good) false
+                else {
+                  val track = out.find(_._1 == trackId).orNull
+                  if (track == null) false
+                  else {
+                    val sizeOff = if ((flags & 0x100) != 0) 4 else 0
+                    var k = 0L
+                    var fine = true
+                    while (fine && k < n) {
+                      val base = p + perSample * k
+                      val sz =
+                        if ((flags & 0x200) != 0)
+                          be32(b, (base + sizeOff).toInt)
+                        else defSize
+                      if (sz < 0 || cursor < 0 ||
+                          cursor + sz > b.length) fine = false
+                      else {
+                        track._3 += ((cursor, sz))
+                        cursor += sz
+                        k += 1
+                      }
+                    }
+                    fine
+                  }
+                }
+              }
+            }
+          case _ => true
         }
       }
+      ok && trackId >= 0
     }
-    if (!ok || !sawMoov || out.isEmpty) None else Some(out.toSeq)
+
+    val ok = walkBoxes(b, 0L, b.length.toLong) { (typ, s, e) =>
+      typ match {
+        case "moov" =>
+          sawMoov = true
+          walkBoxes(b, s, e) { (t1, s1, e1) =>
+            if (t1 != "trak") true else parseTrak(s1, e1)
+          }
+        case "moof" =>
+          val moofStart = s - 8 // boxes here never use largesize
+          walkBoxes(b, s, e) { (t1, s1, e1) =>
+            if (t1 != "traf") true else parseTraf(s1, e1, moofStart)
+          }
+        case _ => true
+      }
+    }
+    if (!ok || !sawMoov || out.isEmpty) None
+    else Some(out.toSeq.map { case (id, h, rs) => (id, h, rs.toSeq) })
   }
 
   // ------------------------------------------------------------------
@@ -398,6 +497,12 @@ object Mp4Codec {
   private def chunkSplit(n: Int): Seq[Int] =
     if (n >= 2) Seq((n + 1) / 2, n / 2) else Seq(n)
 
+  private def ftypBox(majorBrand: String): Array[Byte] = box("ftyp", {
+    val w = new W
+    w.tag(majorBrand).u32(0L).tag(majorBrand).tag("iso2")
+    w.bytes
+  })
+
   /** Assemble a complete MP4. `movieTimescale` defaults to 1000 (ms
     * ticks); chunk offsets are absolute, computed by building moov once
     * with zeroed stco then rebuilding with the real offsets (box sizes
@@ -408,11 +513,7 @@ object Mp4Codec {
     require(tracks.nonEmpty, "at least one track")
     require(tracks.forall(t => t.handler.length == 4 &&
       t.timescale > 0 && t.sampleDelta > 0), "bad track spec")
-    val ftyp = box("ftyp", {
-      val w = new W
-      w.tag(majorBrand).u32(0L).tag(majorBrand).tag("iso2")
-      w.bytes
-    })
+    val ftyp = ftypBox(majorBrand)
     val movieDur = tracks.map(t =>
       t.samples.length * t.sampleDelta * movieTimescale / t.timescale)
       .foldLeft(0L)(math.max)
@@ -564,5 +665,82 @@ object Mp4Codec {
       w.bytes
     }
     ftyp ++ moov(realOffsets) ++ box("mdat", mdatBody)
+  }
+
+  /** Assemble a FRAGMENTED MP4 (CMAF/DASH shape): ftyp + moov whose
+    * sample tables are empty (mvex/trex declares the fragment
+    * defaults), then one moof+mdat pair per `samplesPerFragment`
+    * samples — tfhd with default-base-is-moof, trun with explicit
+    * data offset and per-sample sizes. Content-identical to
+    * [[buildMp4]] of the same tracks: the sample BYTES and their
+    * per-track order are the same, only the container layout differs —
+    * which is exactly the property the cross-layout gate pins. */
+  def buildFragmentedMp4(tracks: Seq[TrackSpec],
+                         samplesPerFragment: Int = 2,
+                         movieTimescale: Long = 1000L,
+                         majorBrand: String = "isom"): Array[Byte] = {
+    require(tracks.nonEmpty, "at least one track")
+    require(samplesPerFragment >= 1, "samplesPerFragment must be >= 1")
+    // moov with EMPTY sample tables, then splice mvex (trex per track)
+    // into its body — box sizes are self-describing, so the rebuild is
+    // a size-field recompute
+    val empty = buildMp4(tracks.map(_.copy(samples = Nil)),
+      movieTimescale, majorBrand)
+    val ftypLen = be32(empty, 0).toInt
+    val moovLen = be32(empty, ftypLen).toInt
+    val moovBody = java.util.Arrays.copyOfRange(empty, ftypLen + 8,
+      ftypLen + moovLen)
+    val mvex = box("mvex", tracks.indices.map { ti =>
+      box("trex", {
+        val w = new W
+        w.u32(0L) // version/flags
+        w.u32(ti + 1L) // track_ID
+        w.u32(1L) // default_sample_description_index
+        w.u32(tracks(ti).sampleDelta) // default_sample_duration
+        w.u32(0L).u32(0L) // default size, default flags
+        w.bytes
+      })
+    }.reduce(_ ++ _))
+    val head = java.util.Arrays.copyOfRange(empty, 0, ftypLen) ++
+      box("moov", moovBody ++ mvex)
+
+    val nFrags = tracks.map(t => (t.samples.length +
+      samplesPerFragment - 1) / samplesPerFragment).foldLeft(1)(math.max)
+    val frags = (0 until nFrags).map { f =>
+      val runs = tracks.zipWithIndex.flatMap { case (t, ti) =>
+        val part = t.samples.slice(f * samplesPerFragment,
+          (f + 1) * samplesPerFragment)
+        if (part.isEmpty) None else Some((ti + 1L, part))
+      }
+      def moof(dataOffsets: Seq[Long]): Array[Byte] = {
+        val mfhd = box("mfhd", { val w = new W
+          w.u32(0L).u32(f + 1L); w.bytes })
+        val trafs = runs.zip(dataOffsets).map { case ((tid, part), off) =>
+          val tfhd = box("tfhd", { val w = new W
+            w.u8(0).u8(2).u16(0) // version 0, flags 0x020000 (base-is-moof)
+            w.u32(tid); w.bytes })
+          val trun = box("trun", { val w = new W
+            w.u8(0).u8(0).u16(0x201) // data-offset + sample-size present
+            w.u32(part.length.toLong)
+            w.u32(off)
+            part.foreach(s => w.u32(s.length.toLong))
+            w.bytes })
+          box("traf", tfhd ++ trun)
+        }
+        box("moof", trafs.foldLeft(mfhd)(_ ++ _))
+      }
+      val moofLen = moof(runs.map(_ => 0L)).length
+      var cursor = moofLen + 8L // into the fragment, from moof start
+      val offsets = runs.map { case (_, part) =>
+        val o = cursor
+        part.foreach(s => cursor += s.length)
+        o
+      }
+      val mdatBody = { val w = new W
+        runs.foreach(_._2.foreach(w.raw)); w.bytes }
+      moof(offsets) ++ box("mdat", mdatBody)
+    }
+    // drop the empty-moov build's trailing empty mdat (8 bytes)
+    frags.foldLeft(head)(_ ++ _)
   }
 }

@@ -1377,24 +1377,32 @@ object Multimodal {
     * walk is exercised. All geometry/timing fields are formula-driven
     * for the metadata gate: width b%320+16, height b%240+16, video
     * timescale 600·(b%4+1), sample delta b%50+10, b%6+4 samples. */
+  /** The [[syntheticNearDupMp4s]] video track, shared with the
+    * fragmented-layout twin so both layouts carry byte-identical
+    * sample content. */
+  private def neardupMp4VideoTrack(id: Long): Mp4Codec.TrackSpec = {
+    val b = if (id % 7 == 6) id - 1 else id
+    val nf = (b % 6 + 4).toInt
+    val len = (b % 10 + 6).toInt
+    val samples = (0 until nf).map { j =>
+      val sc = j / 2
+      (0 until len).map { k =>
+        val v = ((b * 19 + k.toLong * 29 + sc * 43 + 11) % 256).toInt
+        if (id % 7 == 6 && sc == 0 && k == 0) (v + 1) % 256 else v
+      }.mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    Mp4Codec.TrackSpec("vide", 600L * (b % 4 + 1), b % 50 + 10,
+      samples, (b % 320 + 16).toInt, (b % 240 + 16).toInt)
+  }
+
   def syntheticNearDupMp4s(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
       .map { id =>
         val b = if (id % 7 == 6) id - 1 else id
-        val nf = (b % 6 + 4).toInt
-        val len = (b % 10 + 6).toInt
-        val samples = (0 until nf).map { j =>
-          val sc = j / 2
-          (0 until len).map { k =>
-            val v = ((b * 19 + k.toLong * 29 + sc * 43 + 11) % 256).toInt
-            if (id % 7 == 6 && sc == 0 && k == 0) (v + 1) % 256 else v
-          }.mkString(",")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        }
-        val video = Mp4Codec.TrackSpec("vide", 600L * (b % 4 + 1),
-          b % 50 + 10, samples, (b % 320 + 16).toInt, (b % 240 + 16).toInt)
+        val video = neardupMp4VideoTrack(id)
         val tracks =
           if (b % 3 == 0)
             Seq(video, Mp4Codec.TrackSpec("soun", 8000L, 100L,
@@ -1402,6 +1410,20 @@ object Multimodal {
           else Seq(video)
         (id, Mp4Codec.buildMp4(tracks))
       }.toDF("media_id", "payload")
+  }
+
+  /** Fragmented-layout (CMAF/DASH) twins of [[syntheticNearDupMp4s]]:
+    * the SAME video-sample bytes carried as moof/trun fragments of two
+    * samples each — a sample walk that handles only the flat stbl
+    * layout sees zero samples here, so the cross-layout gate proves
+    * the fragment walk end to end. */
+  def syntheticFragmentedMp4s(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => (id,
+        Mp4Codec.buildFragmentedMp4(Seq(neardupMp4VideoTrack(id)))))
+      .toDF("media_id", "payload")
   }
 
   /** Uniform-k sample selection over the REAL MP4 sample table — the

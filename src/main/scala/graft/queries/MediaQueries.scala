@@ -732,6 +732,59 @@ object MediaQueries {
     // pipeline. The oracle knows only the frame-count and geometry
     // formulas; byte offsets (decoder seek targets) are pinned
     // separately in MultimodalSpec because SQL can't walk bytes.
+    // CROSS-LAYOUT container convergence: the same video carried as a
+    // flat MP4 (stsc×stco×stsz) and as a FRAGMENTED MP4 (moof/tfhd/
+    // trun, the CMAF/DASH shape) must yield the identical distinct
+    // scene-hash set — two different sample-table walks converging on
+    // the same bytes. The oracle derives the hash set ONCE from the
+    // content formulas and demands it from both columns.
+    Q("q_video_mp4_frag_hash",
+      """WITH p AS (SELECT doc_id AS id,
+        |                  CASE WHEN doc_id % 7 = 6 THEN doc_id - 1
+        |                       ELSE doc_id END AS b
+        |           FROM documents),
+        |g AS (SELECT id, b, CAST(b % 6 + 4 AS INT) AS nf,
+        |             CAST(b % 10 + 6 AS INT) AS len
+        |      FROM p),
+        |f AS (SELECT id, b, len, unnest(range(0, nf)) AS j FROM g),
+        |vals AS (SELECT id, b, j, j // 2 AS sc,
+        |                unnest(range(0, len)) AS k
+        |         FROM f),
+        |v AS (SELECT id, j, k,
+        |             CASE WHEN id % 7 = 6 AND j // 2 = 0 AND k = 0
+        |                  THEN ((b * 19 + k * 29 + sc * 43 + 11) % 256
+        |                        + 1) % 256
+        |                  ELSE (b * 19 + k * 29 + sc * 43 + 11) % 256
+        |             END AS val
+        |      FROM vals),
+        |fr AS (SELECT id, j,
+        |              md5(string_agg(CAST(val AS VARCHAR), ','
+        |                             ORDER BY k)) AS fh
+        |       FROM v GROUP BY id, j),
+        |dh AS (SELECT DISTINCT id, fh FROM fr),
+        |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_scenes,
+        |               string_agg(fh, ',' ORDER BY fh) AS hashes
+        |        FROM dh GROUP BY id)
+        |SELECT id AS media_id, n_scenes,
+        |       hashes AS flat_hashes, hashes AS frag_hashes
+        |FROM agg ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val docs = t(s, dir, "documents")
+      def hashSet(hashes: org.apache.spark.sql.DataFrame, out: String) =
+        hashes.groupBy("media_id")
+          .agg(count(lit(1)).as(s"__n_$out"),
+            array_join(array_sort(collect_list(col("frame_hash"))), ",")
+              .as(out))
+      val flat = hashSet(Multimodal.mp4SampleContentHashes(
+        Multimodal.syntheticNearDupMp4s(docs)), "flat_hashes")
+      val frag = hashSet(Multimodal.mp4SampleContentHashes(
+        Multimodal.syntheticFragmentedMp4s(docs)), "frag_hashes")
+      flat.join(frag, "media_id")
+        .select(col("media_id"), col("__n_flat_hashes").as("n_scenes"),
+          col("flat_hashes"), col("frag_hashes"))
+        .orderBy("media_id")
+    },
+
     // Uniform-k sampling over the real MP4 sample table (Multimodal
     // .sampleMp4FramesUniform): the budgeted frame-decode policy for
     // video containers — keep distinct floor(j*n/4) samples with true

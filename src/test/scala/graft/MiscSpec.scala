@@ -949,6 +949,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fragmented mp4: moof/tfhd/trun walk extracts the exact sample " +
+      "bytes, matching the flat layout") {
+    import graft.multimodal.Mp4Codec
+    val vSamples = (0 until 5).map(j =>
+      Array.tabulate(6 + j)(k => (k * 11 + j).toByte))
+    val audio = Mp4Codec.TrackSpec("soun", 8000L, 100L,
+      Seq(Array[Byte](1, 2), Array[Byte](3, 4), Array[Byte](5, 6)))
+    val video = Mp4Codec.TrackSpec("vide", 600L, 20L, vSamples, 32, 24)
+    val frag = Mp4Codec.buildFragmentedMp4(Seq(video, audio),
+      samplesPerFragment = 2)
+    // the flat walk must see ZERO samples in the moov (tables empty)
+    // and the fragment walk must recover every sample byte-for-byte
+    val tracks = Mp4Codec.parseMp4SampleRanges(frag).get
+    assert(tracks.map(t => (t._1, t._2)) ==
+      Seq((1L, "vide"), (2L, "soun")))
+    def extract(rs: Seq[(Long, Long)]) =
+      rs.map { case (o, s) => frag.slice(o.toInt, (o + s).toInt).toSeq }
+    assert(extract(tracks(0)._3) == vSamples.map(_.toSeq))
+    assert(extract(tracks(1)._3) == audio.samples.map(_.toSeq))
+    // truncating inside the last mdat corrupts cleanly
+    assert(Mp4Codec.parseMp4SampleRanges(frag.dropRight(3)).isEmpty)
+    // and meta still parses the moov (fragmented: stbl counts are 0)
+    val m = Mp4Codec.parseMp4Meta(frag).get
+    assert(m.tracks.map(_.sampleCount) == Seq(0L, 0L))
+  }
+
   test("mp4 near-dup end-to-end: planted re-cuts pair with originals") {
     val docs = (0L until 70L).toDF("doc_id")
     val pairs = Multimodal.videoNearDups(

@@ -103,7 +103,9 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     val valid = Seq(
       Mp4Codec.buildMp4(Seq(video)),
       Mp4Codec.buildMp4(Seq(video, audio)),
-      Mp4Codec.buildMp4(Seq(video.copy(samples = Seq(sample(0))))))
+      Mp4Codec.buildMp4(Seq(video.copy(samples = Seq(sample(0))))),
+      Mp4Codec.buildFragmentedMp4(Seq(video, audio)),
+      Mp4Codec.buildFragmentedMp4(Seq(video), samplesPerFragment = 3))
     exercise("mp4", valid, Seq(
       b => Mp4Codec.parseMp4Meta(b),
       b => Mp4Codec.parseMp4SampleRanges(b)))
