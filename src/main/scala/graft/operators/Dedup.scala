@@ -323,9 +323,16 @@ object Dedup extends TrackedCaches {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     graft.expressions.Winnow.register(df.sparkSession)
-    val fps = df.select(col(idCol).as("id"),
-        explode(expr(s"winnow_fingerprints(${q(textCol)}, $k, $w)"))
-          .as("fp"))
+    // spread the raw rows BEFORE the winnow explode: a single-split
+    // corpus (one parquet file = one partition) would otherwise
+    // fingerprint on one core of 32 — the q_text_novelty /
+    // jaccardJoinExact lesson (PLANS.md), applied at the operator so
+    // every caller gets it. At cluster scale sources arrive pre-split
+    // and the exchange is noise.
+    val fps = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"),
+        explode(expr(s"winnow_fingerprints(__t, $k, $w)")).as("fp"))
       .transform(tracked)
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("id")
@@ -355,9 +362,11 @@ object Dedup extends TrackedCaches {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     graft.expressions.Winnow.register(df.sparkSession)
-    val fps = df.select(col(idCol).as("id"),
-        explode(expr(s"winnow_fingerprint_pos(${q(textCol)}, $k, $w)"))
-          .as("u"))
+    // same single-split spread as substringDupPairs (see note there)
+    val fps = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"),
+        explode(expr(s"winnow_fingerprint_pos(__t, $k, $w)")).as("u"))
       .select(col("id"), col("u.fp").as("fp"), col("u.pos").as("pos"))
       .transform(tracked)
     val capW = org.apache.spark.sql.expressions.Window
@@ -394,9 +403,11 @@ object Dedup extends TrackedCaches {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     graft.expressions.Winnow.register(df.sparkSession)
-    val fps = df.select(col(idCol).as("id"),
-        explode(expr(s"winnow_fingerprint_pos(${q(textCol)}, $k, $w)"))
-          .as("u"))
+    // same single-split spread as substringDupPairs (see note there)
+    val fps = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"),
+        explode(expr(s"winnow_fingerprint_pos(__t, $k, $w)")).as("u"))
       .select(col("id"), col("u.fp").as("fp"), col("u.pos").as("pos"))
       .transform(tracked)
     val capW = org.apache.spark.sql.expressions.Window
