@@ -1,21 +1,28 @@
 package graft.multimodal
 
-/** Pure-JVM baseline JPEG pixel decoder — ITU-T T.81 sequential DCT with
-  * Huffman entropy coding, the one format of the multimodal seam that
-  * was still header-only. Same policy as the other codecs: parse the
-  * actual encoded bytes and return None for anything unparseable or
-  * outside the baseline profile (progressive, arithmetic, 12-bit) —
-  * corruption becomes null, never fabricated pixels.
+/** Pure-JVM JPEG pixel decoder — ITU-T T.81 Huffman DCT, sequential
+  * (SOF0/SOF1) AND progressive (SOF2), the format of the multimodal
+  * seam that was still header-only. Same policy as the other codecs:
+  * parse the actual encoded bytes and return None for anything
+  * unparseable or outside these profiles (arithmetic coding, lossless,
+  * hierarchical, 12-bit) — corruption becomes null, never fabricated
+  * pixels.
   *
-  * Coverage: SOF0/SOF1 (Huffman sequential), 8-bit precision, 1 or 3
-  * components, arbitrary sampling factors up to 4 (4:4:4 / 4:2:2 /
-  * 4:2:0 all land here), restart intervals, byte stuffing, multiple
-  * DQT/DHT segments. Chroma upsampling is nearest-neighbor (the
-  * T.81-sanctioned replication); IDCT is an exact double-precision
-  * separable transform, so DC-only blocks reconstruct bit-exactly —
-  * which is what lets [[buildJpegDcOnly]] fixtures carry a
-  * formula-replayable oracle. The entropy decoder is mutation-fuzzed
-  * alongside the other byte parsers (MultimodalFuzzSpec).
+  * Coverage: 8-bit precision, 1 or 3 components, arbitrary sampling
+  * factors up to 4 (4:4:4 / 4:2:2 / 4:2:0 all land here), restart
+  * intervals, byte stuffing, multiple DQT/DHT segments between scans.
+  * Progressive files accumulate coefficients across scans (spectral
+  * selection × successive approximation, interleaved DC and
+  * non-interleaved AC walks, EOB runs with per-coefficient correction
+  * bits per T.81 G.2) and dequantize + IDCT once at EOI. Chroma
+  * upsampling is nearest-neighbor (the T.81-sanctioned replication);
+  * IDCT is an exact double-precision separable transform, so DC-only
+  * blocks reconstruct bit-exactly — which is what lets
+  * [[buildJpegDcOnly]] fixtures carry a formula-replayable oracle.
+  * Both entropy decoders are mutation-fuzzed alongside the other byte
+  * parsers (MultimodalFuzzSpec); grayscale output is cross-checked
+  * pixel-for-pixel (±1 IDCT tolerance) against javax ImageIO's
+  * independent codec for both sequential and progressive streams.
   */
 object JpegCodec {
 
@@ -187,8 +194,6 @@ object JpegCodec {
     }
   }
 
-  private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
-
   def decodeJpegPixels(b: Array[Byte]): Option[Decoded] = {
     if (b == null || b.length < 4) return None
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -200,6 +205,28 @@ object JpegCodec {
     }
   }
 
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
+
+  /** Per-component mutable decode state: the coefficient store every
+    * scan accumulates into — progressive files touch each block in
+    * several scans (spectral bands × successive-approximation passes),
+    * so dequantization and the IDCT run once at EOI, not per scan.
+    * Block geometry is MCU-padded; non-interleaved scans walk only the
+    * component's own `niBlocks` grid inside it, per T.81 A.2.2. */
+  private final class CompState(val comp: Comp, mcusX: Int, mcusY: Int,
+                                hmax: Int, vmax: Int,
+                                imgW: Int, imgH: Int) {
+    val blocksW: Int = mcusX * comp.h
+    val blocksH: Int = mcusY * comp.v
+    private val compW = (imgW * comp.h + hmax - 1) / hmax
+    private val compH = (imgH * comp.v + vmax - 1) / vmax
+    val niBlocksW: Int = (compW + 7) / 8
+    val niBlocksH: Int = (compH + 7) / 8
+    val coefs: Array[Array[Int]] =
+      Array.fill(blocksW * blocksH)(new Array[Int](64))
+    var pred = 0
+  }
+
   private def decodeInner(b: Array[Byte]): Option[Decoded] = {
     val qt = Array.ofDim[Int](4, 64) // zigzag order
     val qtSeen = new Array[Boolean](4)
@@ -208,199 +235,400 @@ object JpegCodec {
     var width = 0
     var height = 0
     var comps: Array[Comp] = null
+    var states: Array[CompState] = null
+    var progressive = false
+    var hmax = 0
+    var vmax = 0
+    var mcusX = 0
+    var mcusY = 0
     var restartInterval = 0
+    var sawScan = false
     var i = 2
-    while (i + 4 <= b.length) {
+    while (i + 2 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None
       val marker = b(i + 1) & 0xff
-      if (marker == 0xd9) return None // EOI before any scan
-      val len = be16(b, i + 2)
-      if (len < 2 || i + 2 + len > b.length) return None
-      val seg = i + 4
-      val segEnd = i + 2 + len
-      marker match {
-        case 0xdb => // DQT
-          var p = seg
-          while (p < segEnd) {
-            val pq = (b(p) & 0xff) >> 4
-            val tq = b(p) & 0x0f
-            if (tq > 3 || pq > 1) return None
-            val n = if (pq == 0) 64 else 128
-            if (p + 1 + n > segEnd) return None
+      if (marker == 0xd9) { // EOI: dequant + IDCT + assemble
+        return if (!sawScan) None
+        else finish(width, height, comps, states, qt, qtSeen,
+          hmax, vmax)
+      }
+      if (marker == 0xff) { i += 1 } // fill byte before a marker
+      else if (marker >= 0xd0 && marker <= 0xd7) { i += 2 } // stray RST
+      else {
+        if (i + 4 > b.length) return None
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        var nextPos = segEnd
+        marker match {
+          case 0xdb => // DQT
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (tq > 3 || pq > 1) return None
+              val n = if (pq == 0) 64 else 128
+              if (p + 1 + n > segEnd) return None
+              var k = 0
+              while (k < 64) {
+                qt(tq)(k) =
+                  if (pq == 0) b(p + 1 + k) & 0xff
+                  else be16(b, p + 1 + 2 * k)
+                k += 1
+              }
+              qtSeen(tq) = true
+              p += 1 + n
+            }
+          case 0xc4 => // DHT
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              if (p + 17 > segEnd) return None
+              val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
+              val total = counts.sum
+              if (total > 256 || p + 17 + total > segEnd) return None
+              val vals = java.util.Arrays.copyOfRange(b, p + 17,
+                p + 17 + total)
+              val h = new Huff(counts, vals)
+              if (tc == 0) dcTab(th) = h else acTab(th) = h
+              p += 17 + total
+            }
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline, SOF2 progressive
+            if (comps != null) return None // one frame per file
+            progressive = marker == 0xc2
+            if (seg + 6 > segEnd) return None
+            val precision = b(seg) & 0xff
+            if (precision != 8) return None
+            height = be16(b, seg + 1)
+            width = be16(b, seg + 3)
+            val nc = b(seg + 5) & 0xff
+            if (width < 1 || height < 1 || width > MaxDim ||
+                height > MaxDim) return None
+            // total-pixels cap bounds the coefficient-store allocation
+            if (width.toLong * height > (1L << 24)) return None
+            if (nc != 1 && nc != 3) return None
+            if (seg + 6 + 3 * nc > segEnd) return None
+            comps = Array.tabulate(nc) { k =>
+              val o = seg + 6 + 3 * k
+              Comp(b(o) & 0xff, (b(o + 1) & 0xff) >> 4,
+                b(o + 1) & 0x0f, b(o + 2) & 0xff)
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 ||
+                c.v > 4 || c.tq > 3)) return None
+            hmax = comps.map(_.h).max
+            vmax = comps.map(_.v).max
+            mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+            states = comps.map(c =>
+              new CompState(c, mcusX, mcusY, hmax, vmax, width, height))
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
+              0xce | 0xcf =>
+            return None // lossless / arithmetic / hierarchical
+          case 0xdd => // DRI
+            if (len != 4) return None
+            restartInterval = be16(b, seg)
+          case 0xda => // SOS
+            if (comps == null) return None
+            if (seg + 1 > segEnd) return None
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > comps.length ||
+                seg + 1 + 2 * ns + 3 > segEnd) return None
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ahal = b(seg + 3 + 2 * ns) & 0xff
+            val ah = ahal >> 4
+            val al = ahal & 15
+            if (!progressive &&
+                !(ss == 0 && se == 63 && ah == 0 && al == 0)) return None
+            if (progressive) {
+              if (ss == 0 && se != 0) return None
+              if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
+              if (al > 13) return None
+            }
+            val scan = new Array[(CompState, Huff, Huff)](ns)
             var k = 0
-            while (k < 64) {
-              qt(tq)(k) =
-                if (pq == 0) b(p + 1 + k) & 0xff
-                else be16(b, p + 1 + 2 * k)
+            while (k < ns) {
+              val cs = b(seg + 1 + 2 * k) & 0xff
+              val td = (b(seg + 2 + 2 * k) & 0xff) >> 4
+              val ta = b(seg + 2 + 2 * k) & 0x0f
+              if (td > 3 || ta > 3) return None
+              val st = states.find(_.comp.id == cs).orNull
+              if (st == null) return None
+              val dc = dcTab(td)
+              val ac = acTab(ta)
+              // DC refinement reads raw bits (no table); AC scans and
+              // baseline need the AC table; DC-first needs the DC table
+              if (ss == 0 && ah == 0 && dc == null) return None
+              if ((!progressive || ss > 0) && ac == null) return None
+              scan(k) = (st, dc, ac)
               k += 1
             }
-            qtSeen(tq) = true
-            p += 1 + n
-          }
-        case 0xc4 => // DHT
-          var p = seg
-          while (p < segEnd) {
-            val tc = (b(p) & 0xff) >> 4
-            val th = b(p) & 0x0f
-            if (tc > 1 || th > 3) return None
-            if (p + 17 > segEnd) return None
-            val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
-            val total = counts.sum
-            if (total > 256 || p + 17 + total > segEnd) return None
-            val vals = java.util.Arrays.copyOfRange(b, p + 17,
-              p + 17 + total)
-            val h = new Huff(counts, vals)
-            if (tc == 0) dcTab(th) = h else acTab(th) = h
-            p += 17 + total
-          }
-        case 0xc0 | 0xc1 => // SOF0/1: baseline + extended sequential
-          if (seg + 6 > segEnd) return None
-          val precision = b(seg) & 0xff
-          if (precision != 8) return None
-          height = be16(b, seg + 1)
-          width = be16(b, seg + 3)
-          val nc = b(seg + 5) & 0xff
-          if (width < 1 || height < 1 || width > MaxDim ||
-              height > MaxDim) return None
-          if (nc != 1 && nc != 3) return None
-          if (seg + 6 + 3 * nc > segEnd) return None
-          comps = Array.tabulate(nc) { k =>
-            val o = seg + 6 + 3 * k
-            val c = Comp(b(o) & 0xff, (b(o + 1) & 0xff) >> 4,
-              b(o + 1) & 0x0f, b(o + 2) & 0xff)
-            c
-          }
-          if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 ||
-              c.v > 4 || c.tq > 3)) return None
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
-            0xcd | 0xce | 0xcf =>
-          return None // progressive / lossless / arithmetic: not baseline
-        case 0xdd => // DRI
-          if (len != 4) return None
-          restartInterval = be16(b, seg)
-        case 0xda => // SOS — decode the scan and finish
-          if (comps == null) return None
-          if (seg + 1 > segEnd) return None
-          val ns = b(seg) & 0xff
-          if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd)
-            return None
-          val scanSel = Array.tabulate(ns) { k =>
-            val cs = b(seg + 1 + 2 * k) & 0xff
-            val td = (b(seg + 2 + 2 * k) & 0xff) >> 4
-            val ta = b(seg + 2 + 2 * k) & 0x0f
-            (cs, td, ta)
-          }
-          return decodeScan(b, segEnd, width, height, comps, scanSel,
-            qt, qtSeen, dcTab, acTab, restartInterval)
-        case m if m >= 0xe0 && m <= 0xef => () // APPn
-        case 0xfe => () // COM
-        case _ => return None
+            val p = decodeScan(b, segEnd, scan, ss, se, ah, al,
+              progressive, mcusX, mcusY, restartInterval)
+            if (p < 0) return None
+            sawScan = true
+            nextPos = p
+          case m if m >= 0xe0 && m <= 0xef => () // APPn
+          case 0xfe => () // COM
+          case _ => return None
+        }
+        i = nextPos
       }
-      i = segEnd
     }
-    None
+    None // ran out of bytes without EOI
   }
 
-  private def decodeScan(b: Array[Byte], dataStart: Int, width: Int,
-                         height: Int, comps: Array[Comp],
-                         scanSel: Array[(Int, Int, Int)],
-                         qt: Array[Array[Int]], qtSeen: Array[Boolean],
-                         dcTab: Array[Huff], acTab: Array[Huff],
-                         restartInterval: Int): Option[Decoded] = {
-    val nc = comps.length
-    val hmax = comps.map(_.h).max
-    val vmax = comps.map(_.v).max
-    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
-    // per-component plane (MCU-padded geometry)
-    val planeW = comps.map(c => mcusX * 8 * c.h)
-    val planeH = comps.map(c => mcusY * 8 * c.v)
-    val planes = Array.tabulate(nc)(k =>
-      new Array[Int](planeW(k) * planeH(k)))
-    val tables = comps.indices.map { k =>
-      val sel = scanSel.find(_._1 == comps(k).id).getOrElse(return None)
-      if (!qtSeen(comps(k).tq)) return None
-      val dc = dcTab(sel._2)
-      val ac = acTab(sel._3)
-      if (dc == null || ac == null) return None
-      (dc, ac, qt(comps(k).tq))
-    }
+  /** Decode one scan's entropy data into the coefficient stores.
+    * Returns the byte position of the next marker, or -1 on corrupt
+    * data. Handles all four progressive block shapes (DC/AC ×
+    * first/refine) plus the baseline combined shape, interleaved
+    * (ns > 1, MCU walk) and non-interleaved (ns == 1, the component's
+    * own block grid), with restart-marker resync in both. */
+  private def decodeScan(b: Array[Byte], dataStart: Int,
+                         scan: Array[(CompState, Huff, Huff)],
+                         ss: Int, se: Int, ah: Int, al: Int,
+                         progressive: Boolean, mcusX: Int, mcusY: Int,
+                         restartInterval: Int): Int = {
     val rd = new BitReader(b, dataStart)
-    val pred = new Array[Int](nc)
-    val coef = new Array[Int](64)
-    val px = new Array[Int](64)
+    scan.foreach(_._1.pred = 0)
+    var eobrun = 0
     var restartCount = 0
-    var mcusSinceRestart = 0
-    try {
-      var my = 0
-      while (my < mcusY) {
-        var mx = 0
-        while (mx < mcusX) {
-          if (restartInterval > 0 &&
-              mcusSinceRestart == restartInterval) {
-            if (!rd.consumeRestart(restartCount & 7)) throw Corrupt
-            restartCount += 1
-            mcusSinceRestart = 0
-            java.util.Arrays.fill(pred, 0)
+    var unitsSince = 0
+
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unitsSince == restartInterval) {
+        if (!rd.consumeRestart(restartCount & 7)) throw Corrupt
+        restartCount += 1
+        unitsSince = 0
+        eobrun = 0
+        scan.foreach(_._1.pred = 0)
+      }
+
+    def baselineBlock(st: CompState, dcH: Huff, acH: Huff,
+                      coef: Array[Int]): Unit = {
+      val t = rd.huffDecode(dcH)
+      if (t > 11) throw Corrupt
+      st.pred += extend(rd.bits(t), t)
+      coef(0) = st.pred
+      var k = 1
+      var eob = false
+      while (k <= 63 && !eob) {
+        val rs = rd.huffDecode(acH)
+        val r = rs >> 4
+        val s = rs & 15
+        if (s == 0) { if (r == 15) k += 16 else eob = true }
+        else {
+          k += r
+          if (k > 63) throw Corrupt
+          coef(Zigzag(k)) = extend(rd.bits(s), s)
+          k += 1
+        }
+      }
+    }
+
+    def dcFirst(st: CompState, dcH: Huff, coef: Array[Int]): Unit = {
+      val t = rd.huffDecode(dcH)
+      if (t > 11) throw Corrupt
+      st.pred += extend(rd.bits(t), t)
+      coef(0) = st.pred << al
+    }
+
+    def dcRefine(coef: Array[Int]): Unit =
+      if (rd.bit() == 1) coef(0) |= (1 << al)
+
+    def acFirst(acH: Huff, coef: Array[Int]): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      var done = false
+      while (!done && k <= se) {
+        val rs = rd.huffDecode(acH)
+        val r = rs >> 4
+        val s = rs & 15
+        if (s == 0) {
+          if (r < 15) {
+            eobrun = (1 << r) - 1 // this block counts as consumed
+            if (r > 0) eobrun += rd.bits(r)
+            done = true
+          } else k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) throw Corrupt
+          coef(Zigzag(k)) = extend(rd.bits(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    // T.81 G.2 / the libjpeg decode_mcu_AC_refine structure: run-lengths
+    // count ZERO-HISTORY coefficients only; every already-nonzero
+    // coefficient passed on the way carries one correction bit.
+    def acRefine(acH: Huff, coef: Array[Int]): Unit = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      def correct(z: Int): Unit =
+        if (rd.bit() == 1 && (coef(z) & p1) == 0)
+          coef(z) += (if (coef(z) > 0) p1 else m1)
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (!done && k <= se) {
+          val rs = rd.huffDecode(acH)
+          var r = rs >> 4
+          val s = rs & 15
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += rd.bits(r)
+              done = true // rest of the band handled by the EOB branch
+            }
+            // r == 15: advance over 16 zero-history coefficients
+          } else {
+            if (s != 1) throw Corrupt
+            newval = if (rd.bit() == 1) p1 else m1
           }
-          var k = 0
-          while (k < nc) {
-            val c = comps(k)
-            val (dcH, acH, q) = tables(k)
-            var bv = 0
-            while (bv < c.v) {
-              var bh = 0
-              while (bh < c.h) {
-                java.util.Arrays.fill(coef, 0)
-                val t = rd.huffDecode(dcH)
-                if (t > 11) throw Corrupt
-                val diff = extend(rd.bits(t), t)
-                pred(k) += diff
-                coef(0) = pred(k) * q(0)
-                var zz = 1
-                var eob = false
-                while (zz < 64 && !eob) {
-                  val rs = rd.huffDecode(acH)
-                  val r = rs >> 4
-                  val s = rs & 15
-                  if (s == 0) {
-                    if (r == 15) zz += 16 else eob = true
-                  } else {
-                    zz += r
-                    if (zz > 63) throw Corrupt
-                    coef(Zigzag(zz)) = extend(rd.bits(s), s) * q(zz)
-                    zz += 1
-                  }
-                }
-                idctBlock(coef, px)
-                val ox = (mx * c.h + bh) * 8
-                val oy = (my * c.v + bv) * 8
-                val pw = planeW(k)
-                var yy = 0
-                while (yy < 8) {
-                  var xx = 0
-                  while (xx < 8) {
-                    planes(k)((oy + yy) * pw + ox + xx) = px(yy * 8 + xx)
-                    xx += 1
-                  }
-                  yy += 1
-                }
-                bh += 1
+          if (!done) {
+            var advancing = true
+            while (advancing && k <= se) {
+              val z = Zigzag(k)
+              if (coef(z) != 0) correct(z)
+              else {
+                if (r == 0) advancing = false else r -= 1
               }
-              bv += 1
+              if (advancing) k += 1
+            }
+            if (newval != 0) {
+              if (k > se) throw Corrupt
+              coef(Zigzag(k)) = newval
             }
             k += 1
           }
-          mcusSinceRestart += 1
-          mx += 1
         }
-        my += 1
       }
-    } catch { case Corrupt => return None }
-    // assemble: replication up-sampling, then color transform
-    if (nc == 1) {
+      if (eobrun > 0) {
+        // inside an EOB run only coefficients that ALREADY carry history
+        // receive correction bits — zeros consume nothing (T.81 G.2.2)
+        while (k <= se) {
+          val z = Zigzag(k)
+          if (coef(z) != 0) correct(z)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def decodeBlock(st: CompState, dcH: Huff, acH: Huff,
+                    coef: Array[Int]): Unit =
+      if (!progressive) baselineBlock(st, dcH, acH, coef)
+      else if (ss == 0) {
+        if (ah == 0) dcFirst(st, dcH, coef) else dcRefine(coef)
+      } else {
+        if (ah == 0) acFirst(acH, coef) else acRefine(acH, coef)
+      }
+
+    try {
+      if (scan.length > 1) { // interleaved MCU walk (DC or baseline)
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var k = 0
+            while (k < scan.length) {
+              val (st, dcH, acH) = scan(k)
+              val c = st.comp
+              var bv = 0
+              while (bv < c.v) {
+                var bh = 0
+                while (bh < c.h) {
+                  decodeBlock(st, dcH, acH, st.coefs(
+                    (my * c.v + bv) * st.blocksW + mx * c.h + bh))
+                  bh += 1
+                }
+                bv += 1
+              }
+              k += 1
+            }
+            unitsSince += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // non-interleaved: the component's own block grid
+        val (st, dcH, acH) = scan(0)
+        var by = 0
+        while (by < st.niBlocksH) {
+          var bx = 0
+          while (bx < st.niBlocksW) {
+            maybeRestart()
+            decodeBlock(st, dcH, acH, st.coefs(by * st.blocksW + bx))
+            unitsSince += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } catch { case Corrupt => return -1 }
+    // advance to the next true marker: skip stuffed zeros, trailing
+    // entropy padding, and any stray restart markers
+    var p = rd.pos
+    while (p < b.length) {
+      if ((b(p) & 0xff) == 0xff && p + 1 < b.length) {
+        val n = b(p + 1) & 0xff
+        if (n == 0x00 || (n >= 0xd0 && n <= 0xd7)) p += 2
+        else return p
+      } else p += 1
+    }
+    -1
+  }
+
+  /** Dequantize + IDCT every block and assemble the pixel surface —
+    * shared by baseline (one scan) and progressive (many). */
+  private def finish(width: Int, height: Int,
+                     comps: Array[Comp], states: Array[CompState],
+                     qt: Array[Array[Int]], qtSeen: Array[Boolean],
+                     hmax: Int, vmax: Int): Option[Decoded] = {
+    if (comps == null || states == null) return None
+    if (comps.exists(c => !qtSeen(c.tq))) return None
+    val planes = states.map(st =>
+      new Array[Int](st.blocksW * 8 * st.blocksH * 8))
+    val tmp = new Array[Int](64)
+    val px = new Array[Int](64)
+    var k = 0
+    while (k < states.length) {
+      val st = states(k)
+      val q = qt(st.comp.tq)
+      val pw = st.blocksW * 8
+      var bi = 0
+      while (bi < st.coefs.length) {
+        val coef = st.coefs(bi)
+        var zz = 0
+        while (zz < 64) {
+          tmp(Zigzag(zz)) = coef(Zigzag(zz)) * q(zz)
+          zz += 1
+        }
+        idctBlock(tmp, px)
+        val ox = (bi % st.blocksW) * 8
+        val oy = (bi / st.blocksW) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(k)((oy + yy) * pw + ox + xx) = px(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        bi += 1
+      }
+      k += 1
+    }
+    if (comps.length == 1) {
       val out = new Array[Byte](width * height)
-      val pw = planeW(0)
+      val pw = states(0).blocksW * 8
       var y = 0
       while (y < height) {
         var x = 0
@@ -417,11 +645,11 @@ object JpegCodec {
       while (y < height) {
         var x = 0
         while (x < width) {
-          def sample(k: Int): Int = {
-            val c = comps(k)
+          def sample(ci: Int): Int = {
+            val c = comps(ci)
             val sx = x * c.h / hmax
             val sy = y * c.v / vmax
-            planes(k)(sy * planeW(k) + sx)
+            planes(ci)(sy * states(ci).blocksW * 8 + sx)
           }
           val yv = sample(0)
           val cb = sample(1) - 128
@@ -441,6 +669,7 @@ object JpegCodec {
       Some(Decoded(width, height, 3, out))
     }
   }
+
 
   // ------------------------------------------------------------------
   // Fixture builder: DC-only grayscale baseline JPEG. Every 8x8 block

@@ -813,6 +813,62 @@ class MultimodalSpec extends SparkSpec {
     assert(maxDiff <= 1, s"max pixel diff $maxDiff > 1")
   }
 
+  test("jpeg PROGRESSIVE decode: real multi-scan SOF2 streams from " +
+      "ImageIO match its own decoder") {
+    import graft.multimodal.JpegCodec
+    def progressiveBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    def isProgressive(b: Array[Byte]) = b.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+    // grayscale gradient + deterministic noise
+    val rnd = new scala.util.Random(7)
+    val w = 48
+    val h = 32
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0,
+        (x * 5 + y * 11 + rnd.nextInt(48)) % 256)
+    val gb = progressiveBytes(gray)
+    assert(isProgressive(gb), "ImageIO did not emit SOF2")
+    val mine = JpegCodec.decodeJpegPixels(gb).get
+    assert((mine.width, mine.height, mine.nComp) == ((w, h, 1)))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gb))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff, math.abs(
+        (mine.pixels(y * w + x) & 0xff) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 1, s"grayscale progressive max diff $maxDiff > 1")
+    // color, flat regions (upsampling-strategy-proof), 4:2:0 subsampled
+    val col = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = col.createGraphics()
+    g.setColor(new java.awt.Color(30, 140, 220))
+    g.fillRect(0, 0, 32, 16)
+    g.dispose()
+    val cb = progressiveBytes(col)
+    assert(isProgressive(cb), "ImageIO did not emit SOF2 for color")
+    val d = JpegCodec.decodeJpegPixels(cb).get
+    assert((d.width, d.height, d.nComp) == ((32, 16, 3)))
+    for (k <- 0 until 32 * 16) {
+      val (r, gg, b2) = (d.pixels(3 * k) & 0xff,
+        d.pixels(3 * k + 1) & 0xff, d.pixels(3 * k + 2) & 0xff)
+      assert(math.abs(r - 30) <= 3 && math.abs(gg - 140) <= 3 &&
+        math.abs(b2 - 220) <= 3, s"px $k: ($r,$gg,$b2)")
+    }
+  }
+
   test("jpeg decoder handles ImageIO color (4:2:0) flat regions and " +
       "rejects non-baseline/corrupt streams") {
     import graft.multimodal.JpegCodec

@@ -84,11 +84,29 @@ class MultimodalFuzzSpec extends AnyFunSuite {
 
   test("jpeg entropy decoder survives random and mutated payloads") {
     import graft.multimodal.JpegCodec
+    val progressive = {
+      val img = new java.awt.image.BufferedImage(24, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 24)
+        img.getRaster.setSample(x, y, 0, (x * 9 + y * 5) % 256)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null),
+        param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
     val valid = Seq(
       JpegCodec.buildJpegDcOnly(16, 16, Array(0, 255, 7, 200)),
       JpegCodec.buildJpegDcOnly(24, 8, Array(10, 20, 30)),
       JpegCodec.buildJpegDcOnly(32, 8, Array(9, 250, 17, 180),
-        restartInterval = 2))
+        restartInterval = 2),
+      progressive)
     exercise("jpeg", valid, Seq(
       b => JpegCodec.decodeJpegPixels(b)))
   }
