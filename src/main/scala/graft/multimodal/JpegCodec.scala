@@ -822,4 +822,85 @@ object JpegCodec {
     marker(0xd9) // EOI
     out.toByteArray
   }
+
+  /** PROGRESSIVE (SOF2) twin of [[buildJpegDcOnly]]: the same flat
+    * 8x8 blocks delivered as a real three-scan progressive script —
+    * DC first at Al=1 (successive-approximation high bits), a DC
+    * refinement scan carrying each block's low bit, and an AC first
+    * scan that is one EOB run spanning every block (all ACs zero).
+    * Reconstruction is exact: `((dc >> 1) << 1) | (dc & 1) = dc` in
+    * two's complement, so the decoder must walk spectral selection,
+    * successive approximation AND the EOB-run machinery to land on the
+    * identical formula pixels the sequential fixture yields. */
+  def buildJpegDcOnlyProgressive(w: Int, h: Int,
+                                 blockVals: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      s"dimensions must be 8-multiples, got ${w}x$h")
+    val bx = w / 8
+    val by = h / 8
+    require(blockVals.length == bx * by,
+      s"need ${bx * by} block values, got ${blockVals.length}")
+    require(blockVals.forall(v => v >= 0 && v <= 255),
+      "block values must be bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64) // DQT, all 8s
+    out.write(0x00)
+    (0 until 64).foreach(_ => out.write(8))
+    marker(0xc2); u16(2 + 6 + 3) // SOF2, 1 component 1x1
+    out.write(8); u16(h); u16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    // AC table with EOB0..EOB4 run symbols — progressive-only codes the
+    // Annex K baseline table deliberately lacks
+    val acCountsP = Array(1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acValsP = Array[Byte](0x00, 0x10, 0x20, 0x30, 0x40)
+    marker(0xc4) // DHT: DC table 0 + progressive AC table 0
+    u16(2 + (1 + 16 + StdDcVals.length) + (1 + 16 + acValsP.length))
+    out.write(0x00); StdDcCounts.foreach(out.write)
+    StdDcVals.foreach(v => out.write(v & 0xff))
+    out.write(0x10); acCountsP.foreach(out.write)
+    acValsP.foreach(v => out.write(v & 0xff))
+    val dcCodes = huffCodes(StdDcCounts, StdDcVals)
+    val acCodes = huffCodes(acCountsP, acValsP)
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); u16(2 + 1 + 2 + 3)
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    // scan 1: DC first, Al = 1 — diffs of the point-transformed values
+    sos(0, 0, 0, 1)
+    var bw = new BitWriter(out)
+    var pred = 0
+    blockVals.foreach { v =>
+      val hi = (v - 128) >> 1
+      val diff = hi - pred
+      pred = hi
+      val mag = math.abs(diff)
+      val s = 32 - Integer.numberOfLeadingZeros(mag)
+      val (code, len) = dcCodes(s)
+      bw.put(code, len)
+      if (s > 0)
+        bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    bw.flush()
+    // scan 2: DC refinement, Ah = 1, Al = 0 — one low bit per block
+    sos(0, 0, 1, 0)
+    bw = new BitWriter(out)
+    blockVals.foreach(v => bw.put((v - 128) & 1, 1))
+    bw.flush()
+    // scan 3: AC first 1..63 — a single EOB run spanning every block
+    sos(1, 63, 0, 0)
+    bw = new BitWriter(out)
+    val n = blockVals.length
+    val r = 31 - Integer.numberOfLeadingZeros(n) // floor(log2(n))
+    require(r <= 14, s"EOB run too long for one symbol: $n blocks")
+    val (ecode, elen) = acCodes(r << 4)
+    bw.put(ecode, elen)
+    if (r > 0) bw.put(n - (1 << r), r)
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
 }

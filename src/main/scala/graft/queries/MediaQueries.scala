@@ -942,6 +942,60 @@ object MediaQueries {
     // oracle replays the block-value formulas INCLUDING the md5 over
     // the row-major pixel string. One slipped bit anywhere in the
     // entropy decoder fails the hash on every image it touches.
+    // PROGRESSIVE JPEG decode (SOF2, three real scans: DC first at
+    // Al=1, DC refinement, one spanning EOB run): the same formula
+    // pixels as the sequential gate, but the decoder must walk
+    // spectral selection, successive approximation and the EOB-run
+    // machinery to earn them — the oracle is byte-identical to the
+    // sequential gate's, so the two layouts must converge exactly.
+    Q("q_multimodal_jpeg_progressive",
+      """WITH d AS (SELECT doc_id AS b,
+        |                  CAST(8 * (doc_id % 3 + 2) AS INT) AS w,
+        |                  CAST(8 * (doc_id % 2 + 2) AS INT) AS h
+        |           FROM documents),
+        |px AS (SELECT b, w, h, unnest(range(0, w * h)) AS k FROM d),
+        |v AS (SELECT b, w, h, k,
+        |             (b * 7 + ((k // w // 8) * (w // 8) + (k % w) // 8)
+        |              * 13 + 37) % 256 AS val
+        |      FROM px)
+        |SELECT b AS media_id, max(w) AS width, max(h) AS height,
+        |       md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY k))
+        |         AS px_md5
+        |FROM v GROUP BY b ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.JpegCodec
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { b =>
+          val w = 8 * (b % 3 + 2).toInt
+          val h = 8 * (b % 2 + 2).toInt
+          val bx = w / 8
+          val vals = Array.tabulate(bx * (h / 8))(k =>
+            ((b * 7 + k.toLong * 13 + 37) % 256).toInt)
+          (b, JpegCodec.buildJpegDcOnlyProgressive(w, h, vals))
+        }
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, bytes) =>
+            JpegCodec.decodeJpegPixels(bytes).map { d =>
+              val sb = new StringBuilder
+              var k = 0
+              while (k < d.pixels.length) {
+                if (k > 0) sb.append(',')
+                sb.append(d.pixels(k) & 0xff)
+                k += 1
+              }
+              md.reset()
+              val dig = md.digest(sb.toString
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              (id, d.width, d.height,
+                dig.map("%02x".format(_)).mkString)
+            }
+          }
+        }
+        .toDF("media_id", "width", "height", "px_md5")
+        .orderBy("media_id")
+    },
+
     Q("q_multimodal_jpeg_pixels",
       """WITH d AS (SELECT doc_id AS b,
         |                  CAST(8 * (doc_id % 3 + 2) AS INT) AS w,

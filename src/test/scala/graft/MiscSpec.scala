@@ -813,6 +813,26 @@ class MultimodalSpec extends SparkSpec {
     assert(maxDiff <= 1, s"max pixel diff $maxDiff > 1")
   }
 
+  test("jpeg progressive fixture builder: three-scan SOF2 stream " +
+      "round-trips bit-exactly, matching the sequential twin") {
+    import graft.multimodal.JpegCodec
+    val vals = Array(0, 255, 128, 37, 201, 64, 5, 250, 129, 127, 1, 254)
+    val prog = JpegCodec.buildJpegDcOnlyProgressive(32, 24, vals)
+    def countMarker(m: Int) = prog.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(countMarker(0xc2) == 1, "not SOF2")
+    assert(countMarker(0xda) == 3, "expected three scans")
+    val d = JpegCodec.decodeJpegPixels(prog).get
+    val seq = JpegCodec.decodeJpegPixels(
+      JpegCodec.buildJpegDcOnly(32, 24, vals)).get
+    assert(d.pixels.sameElements(seq.pixels),
+      "progressive and sequential twins diverged")
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val expect = vals((y / 8) * 4 + x / 8)
+      assert((d.pixels(y * 32 + x) & 0xff) == expect, s"($x,$y)")
+    }
+  }
+
   test("jpeg PROGRESSIVE decode: real multi-scan SOF2 streams from " +
       "ImageIO match its own decoder") {
     import graft.multimodal.JpegCodec

@@ -106,6 +106,7 @@ class MultimodalFuzzSpec extends AnyFunSuite {
       JpegCodec.buildJpegDcOnly(24, 8, Array(10, 20, 30)),
       JpegCodec.buildJpegDcOnly(32, 8, Array(9, 250, 17, 180),
         restartInterval = 2),
+      JpegCodec.buildJpegDcOnlyProgressive(16, 16, Array(3, 130, 255, 0)),
       progressive)
     exercise("jpeg", valid, Seq(
       b => JpegCodec.decodeJpegPixels(b)))
