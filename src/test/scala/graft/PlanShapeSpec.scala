@@ -261,6 +261,22 @@ class PlanShapeSpec extends SparkSpec {
       s"LCP binary descent collapsed to one partition:\n${physical(lcp)}")
   }
 
+  test("cross-format hash gate: two scan-local decode pipelines meet in " +
+      "one broadcast equi-join, no decode re-derivation") {
+    val df = SparkEntry.queries("q_image_crossformat_hash")(spark, sf001)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"),
+      s"twin sides must meet in an equi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-format comparison must never go all-pairs:\n$plan")
+    // each side decodes once: exactly two MapPartitions decode stages
+    val decodes = plan.linesIterator.count(_.contains("MapPartitions"))
+    assert(decodes <= 4, // 2 decode + 2 fixture-build object stages
+      s"decode pipelines re-derived ($decodes MapPartitions):\n$plan")
+  }
+
   test("export manifest never plans a window (prefix sum is distributed)") {
     val plan = physical(SparkEntry.queries("q_export_manifest")(spark, sf001))
     assert(!plan.contains("Window"),
