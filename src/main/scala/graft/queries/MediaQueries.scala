@@ -942,6 +942,75 @@ object MediaQueries {
     // oracle replays the block-value formulas INCLUDING the md5 over
     // the row-major pixel string. One slipped bit anywhere in the
     // entropy decoder fails the hash on every image it touches.
+    // Compressed text-column ingestion (Multimodal.gunzipText): every
+    // document's text round-trips through REAL RFC 1952 gzip members —
+    // deflate on the fixture side, the zip-bomb-guarded streaming
+    // inflate on the decode side — and the recovered text must md5-match
+    // the source column directly. The Common-Crawl-shaped path of a
+    // compressed 100 TB text lake, as one scan-local mapPartitions.
+    Q("q_multimodal_gzip_text",
+      """SELECT doc_id AS media_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       md5(text) AS text_md5
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.gunzipText(
+          Multimodal.gzipTexts(t(s, dir, "documents")))
+        .select(col("media_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("media_id")
+    },
+
+    // Mixed-codec lake decode (Multimodal.sniffDecompressText): even
+    // doc_ids arrive as RFC 1952 gzip, odd as RFC 8878 zstd frames
+    // (the real zstd-jni codec), with NO codec column — the decoder
+    // must sniff the frame magic, dispatch, and round-trip the text
+    // md5-exactly, reporting which codec it found. Codec generations
+    // mix in any lake that has lived through a migration.
+    Q("q_multimodal_codec_sniff",
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'gzip' ELSE 'zstd' END AS codec,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       md5(text) AS text_md5
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.sniffDecompressText(
+          Multimodal.compressedTexts(t(s, dir, "documents")))
+        .select(col("media_id"), col("codec"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("media_id")
+    },
+
+    // WARC crawl-shard ingestion (WarcCodec + Multimodal.warcResponses):
+    // documents ride REAL ISO 28500 .warc.gz shards — ~16 records per
+    // shard, one gzip member per record, warcinfo + request + response
+    // per document — and the parser must skip the non-response records,
+    // strip each HTTP/1.1 header block, and hand back the exact UTF-8
+    // body; URI and WARC-Date are replayed from doc_id formulas and the
+    // body must md5-match the source column. The first job of a real
+    // crawl lake, end to end, as one scan-local flatMap.
+    Q("q_multimodal_warc_records",
+      """SELECT doc_id,
+        |       'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |       '2026-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+        |       CAST(200 AS INTEGER) AS http_status,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.warcResponses(
+          Multimodal.syntheticWarcFiles(t(s, dir, "documents")))
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("url"), col("warc_date"), col("http_status"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+
     // PROGRESSIVE JPEG decode (SOF2, three real scans: DC first at
     // Al=1, DC refinement, one spanning EOB run): the same formula
     // pixels as the sequential gate, but the decoder must walk

@@ -750,6 +750,90 @@ class MultimodalSpec extends SparkSpec {
     assert(missed.isEmpty, s"planted near-dup videos missed: $missed")
   }
 
+  test("gunzipText: round-trip, corrupt stream null, zip bomb capped") {
+    val rows = Seq((1L, "hello compressed world"), (2L, ""),
+      (3L, "x" * 5000)).toDF("doc_id", "text")
+    val got = Multimodal.gunzipText(Multimodal.gzipTexts(rows))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map(1L -> "hello compressed world", 2L -> "",
+      3L -> "x" * 5000))
+    // corruption → null, never a throw
+    val bad = Seq((9L, "definitely not gzip".getBytes),
+      (10L, Array[Byte](0x1f, 0x8b.toByte, 8, 0)))
+      .toDF("media_id", "payload")
+    val badGot = Multimodal.gunzipText(bad).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(badGot == Map(9L -> true, 10L -> true))
+    // bomb guard: a 5000-char text against a 1 KB cap yields null
+    val capped = Multimodal.gunzipText(
+        Multimodal.gzipTexts(rows), maxBytes = 1024)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(capped == Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("sniffDecompressText: gzip/zstd dispatch, unknown magic, bomb cap") {
+    val rows = Seq((0L, "even doc is gzip"), (1L, "odd doc is zstd"),
+      (2L, ""), (3L, "y" * 4000)).toDF("doc_id", "text")
+    val got = Multimodal.sniffDecompressText(Multimodal.compressedTexts(rows))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    assert(got == Map(
+      0L -> (("gzip", "even doc is gzip")), 1L -> (("zstd", "odd doc is zstd")),
+      2L -> (("gzip", "")), 3L -> (("zstd", "y" * 4000))))
+    // unknown magic / short payloads -> codec 'unknown', null text
+    val bad = Seq((9L, "plain".getBytes), (10L, Array[Byte](0x1f)))
+      .toDF("media_id", "payload")
+    val badGot = Multimodal.sniffDecompressText(bad).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.isNullAt(2)))).toMap
+    assert(badGot == Map(9L -> (("unknown", true)), 10L -> (("unknown", true))))
+    // bomb guard applies to both codecs
+    val capped = Multimodal.sniffDecompressText(
+        Multimodal.compressedTexts(Seq((4L, "z" * 3000), (5L, "z" * 3000))
+          .toDF("doc_id", "text")), maxBytes = 1024)
+      .collect().map(r => (r.getString(1), r.isNullAt(2))).toSet
+    assert(capped == Set(("gzip", true), ("zstd", true)))
+  }
+
+  test("warcResponses: multi-record shards round-trip; non-response skipped") {
+    val rows = Seq((0L, "alpha body"), (1L, ""), (2L, "café élève"),
+      (17L, "second shard")).toDF("doc_id", "text")
+    val got = Multimodal.warcResponses(
+        Multimodal.syntheticWarcFiles(rows, docsPerFile = 16))
+      .collect().map(r => (r.getString(1), (r.getLong(0), r.getString(2),
+        r.getInt(3), r.getString(4)))).toMap
+    assert(got.size == 4)
+    assert(got("https://example.com/doc/2") ==
+      ((0L, "2026-01-01T00:00:02Z", 200, "café élève")))
+    assert(got("https://example.com/doc/17") ==
+      ((1L, "2026-01-01T00:00:17Z", 200, "second shard")))
+    assert(got("https://example.com/doc/1")._4 == "")
+  }
+
+  test("parseWarcGz: corrupt gzip -> Nil, truncated tail keeps prefix, bomb capped") {
+    import graft.multimodal.WarcCodec
+    val r1 = WarcCodec.WarcRecord("response", Some("https://example.com/a"),
+      Some("2026-01-01T00:00:00Z"),
+      WarcCodec.httpResponsePayload(200, "one".getBytes("UTF-8")))
+    val r2 = r1.copy(targetUri = Some("https://example.com/b"),
+      body = WarcCodec.httpResponsePayload(404, "gone".getBytes("UTF-8")))
+    val shard = WarcCodec.buildWarcGz(Seq(r1, r2))
+    assert(WarcCodec.parseWarcGz(shard).map(_.targetUri.get) ==
+      Seq("https://example.com/a", "https://example.com/b"))
+    // 404 status surfaces through httpBody
+    assert(WarcCodec.httpBody(r2.body).get._1 == 404)
+    // corrupt stream -> no records, no throw
+    assert(WarcCodec.parseWarcGz("not gzip at all".getBytes).isEmpty)
+    // tail member cut mid-deflate -> the intact first record survives
+    // (an 8-byte cut would only drop the gzip trailer: data intact,
+    // record 2 still parses — also correct; 24 bytes loses real data)
+    val cut = java.util.Arrays.copyOfRange(shard, 0, shard.length - 24)
+    val partial = WarcCodec.parseWarcGz(cut)
+    assert(partial.map(_.targetUri.get) == Seq("https://example.com/a"))
+    // bomb guard: inflated bytes over the cap -> Nil
+    assert(WarcCodec.parseWarcGz(shard, maxBytes = 16).isEmpty)
+  }
+
   test("jpeg baseline decode: DC-only blocks round-trip bit-exactly") {
     import graft.multimodal.JpegCodec
     // 24x16 = 3x2 blocks with values spanning the signed-diff range

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{AudioCodec, GifCodec, ImageCodec}
+import graft.multimodal.{AudioCodec, GifCodec, ImageCodec, WarcCodec}
 
 /** Deterministic mutation-fuzz over every byte-level parser: random
   * payloads and corrupted-real payloads must parse to None or a sane
@@ -128,6 +128,26 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     exercise("mp4", valid, Seq(
       b => Mp4Codec.parseMp4Meta(b),
       b => Mp4Codec.parseMp4SampleRanges(b)))
+  }
+
+  test("warc parser survives random and mutated payloads") {
+    val valid = Seq(
+      WarcCodec.buildWarcGz(Seq(
+        WarcCodec.WarcRecord("warcinfo", None, Some("2026-01-01T00:00:00Z"),
+          "software: graft\r\n".getBytes("UTF-8")),
+        WarcCodec.WarcRecord("response", Some("https://example.com/doc/1"),
+          Some("2026-01-01T00:00:01Z"),
+          WarcCodec.httpResponsePayload(200, "hello warc".getBytes("UTF-8"))),
+        WarcCodec.WarcRecord("request", Some("https://example.com/doc/1"),
+          Some("2026-01-01T00:00:01Z"),
+          "GET /doc/1 HTTP/1.1\r\n\r\n".getBytes("UTF-8")))),
+      WarcCodec.buildWarcGz(Seq(
+        WarcCodec.WarcRecord("response", Some("https://example.com/doc/2"),
+          None, WarcCodec.httpResponsePayload(404, Array.emptyByteArray)))))
+    exercise("warc", valid, Seq(
+      b => WarcCodec.parseWarcGz(b),
+      b => WarcCodec.parseWarcGz(b, maxBytes = 64),
+      b => WarcCodec.httpBody(if (b == null) Array.emptyByteArray else b)))
   }
 
   test("wav parsers survive random and mutated payloads") {
