@@ -225,6 +225,12 @@ object JpegCodec {
     val coefs: Array[Array[Int]] =
       Array.fill(blocksW * blocksH)(new Array[Int](64))
     var pred = 0
+    // Quant table snapshot latched at this component's FIRST scan:
+    // T.81 binds a DQT slot to the scans that follow it, so a stream
+    // redefining a slot between scans must dequantize earlier scans
+    // with the table in force when they were decoded (libjpeg latches
+    // the same way), not whatever the slot holds at EOI.
+    var qtab: Array[Int] = null
   }
 
   private def decodeInner(b: Array[Byte]): Option[Decoded] = {
@@ -364,6 +370,11 @@ object JpegCodec {
               if (ss == 0 && ah == 0 && dc == null) return None
               if ((!progressive || ss > 0) && ac == null) return None
               scan(k) = (st, dc, ac)
+              // latch the component's quant table at its first scan
+              if (st.qtab == null) {
+                if (!qtSeen(st.comp.tq)) return None
+                st.qtab = qt(st.comp.tq).clone()
+              }
               k += 1
             }
             val p = decodeScan(b, segEnd, scan, ss, se, ah, al,
@@ -600,7 +611,10 @@ object JpegCodec {
     var k = 0
     while (k < states.length) {
       val st = states(k)
-      val q = qt(st.comp.tq)
+      // qtab is null only for a component no scan ever touched — its
+      // coefficients are all zero, so any table dequantizes it to the
+      // same flat plane; fall back to the slot's EOI state.
+      val q = if (st.qtab != null) st.qtab else qt(st.comp.tq)
       val pw = st.blocksW * 8
       var bi = 0
       while (bi < st.coefs.length) {

@@ -49,11 +49,14 @@ object Mp4Codec {
       java.nio.charset.StandardCharsets.US_ASCII)
 
   /** Walk the direct children of `[start, end)`, calling `f(type,
-    * bodyStart, bodyEnd)` per box. Returns false (corrupt) on any
+    * boxStart, bodyStart, bodyEnd)` per box — boxStart is the first
+    * byte of the box HEADER, which is what tfhd's default-base-is-moof
+    * rule anchors to (and differs from bodyStart by 16, not 8, when
+    * the box uses a largesize header). Returns false (corrupt) on any
     * header that overruns, shrinks below its own header size, or fails
     * to advance the cursor. */
-  private def walkBoxes(b: Array[Byte], start: Long, end: Long)(
-      f: (String, Long, Long) => Boolean): Boolean = {
+  private def walkBoxesWithStart(b: Array[Byte], start: Long, end: Long)(
+      f: (String, Long, Long, Long) => Boolean): Boolean = {
     var i = start
     while (i < end) {
       if (i + 8 > end) return false
@@ -69,11 +72,15 @@ object Mp4Codec {
         size = end - i // "to end of enclosing container"
       }
       if (size < header || i + size > end) return false
-      if (!f(typ, i + header, i + size)) return false
+      if (!f(typ, i, i + header, i + size)) return false
       i += size
     }
     true
   }
+
+  private def walkBoxes(b: Array[Byte], start: Long, end: Long)(
+      f: (String, Long, Long) => Boolean): Boolean =
+    walkBoxesWithStart(b, start, end)((typ, _, s, e) => f(typ, s, e))
 
   /** Container-level metadata: brand + mvhd + one entry per trak. */
   def parseMp4Meta(b: Array[Byte]): Option[Mp4Meta] = {
@@ -215,24 +222,36 @@ object Mp4Codec {
     else Some(Mp4Meta(brand, movieTs, movieDur, tracks.toSeq))
   }
 
-  /** Per-track absolute sample byte ranges: (trackId, handler, ranges)
-    * where each range is (offset, size) into the file. Covers BOTH
-    * layouts — the flat stsc × stco × stsz walk and fragmented files
-    * (moof/traf: tfhd base-data-offset / default-base-is-moof +
-    * default-sample-size, trun data-offset + per-sample sizes), with
-    * fragment runs appended to their track in file order. Every range
-    * is validated against the byte length — a table pointing outside
-    * the file parses as corrupt. */
+  /** [[parseMp4SampleRangesWithCodec]] without the codec column —
+    * kept for call sites that only walk bytes (hashing, counting). */
   def parseMp4SampleRanges(b: Array[Byte])
-      : Option[Seq[(Long, String, Seq[(Long, Long)])]] = {
+      : Option[Seq[(Long, String, Seq[(Long, Long)])]] =
+    parseMp4SampleRangesWithCodec(b).map(_.map {
+      case (id, h, _, rs) => (id, h, rs)
+    })
+
+  /** Per-track absolute sample byte ranges: (trackId, handler, codec,
+    * ranges) where `codec` is the stsd first-sample-entry fourcc (""
+    * when the track carries no parseable stsd) and each range is
+    * (offset, size) into the file. Covers BOTH layouts — the flat
+    * stsc × stco × stsz walk and fragmented files (moof/traf: tfhd
+    * base-data-offset / default-base-is-moof / implicit
+    * end-of-previous-traf + default-sample-size, trun data-offset +
+    * per-sample sizes), with fragment runs appended to their track in
+    * file order. Every range is validated against the byte length — a
+    * table pointing outside the file parses as corrupt. */
+  def parseMp4SampleRangesWithCodec(b: Array[Byte])
+      : Option[Seq[(Long, String, String, Seq[(Long, Long)])]] = {
     if (b == null || b.length < 16) return None
     val out = scala.collection.mutable.ArrayBuffer.empty[
-      (Long, String, scala.collection.mutable.ArrayBuffer[(Long, Long)])]
+      (Long, String, String,
+        scala.collection.mutable.ArrayBuffer[(Long, Long)])]
     var sawMoov = false
 
     def parseTrak(ts: Long, te: Long): Boolean = {
       var trackId = -1L
       var handler: String = null
+      var codec: String = ""
       var sizes: Array[Long] = null
       var chunkOffsets: Array[Long] = null
       var stsc: Array[(Long, Long)] = null // (firstChunk, samplesPerChunk)
@@ -257,6 +276,11 @@ object Mp4Codec {
                     if (t4 != "stbl") true
                     else walkBoxes(b, s4, e4) { (t5, s5, e5) =>
                       t5 match {
+                        case "stsd" =>
+                          // version/flags(4) entry_count(4), then the
+                          // first sample-entry box: size(4) fourcc(4)
+                          if (s5 + 16 > e5) true // no parseable entry
+                          else { codec = fourcc(b, s5.toInt + 12); true }
                         case "stsz" =>
                           if (s5 + 12 > e5) false
                           else {
@@ -316,7 +340,7 @@ object Mp4Codec {
       if (!ok || trackId < 0 || handler == null || sizes == null)
         return false
       if (sizes.isEmpty) { // zero-sample stbl (fragmented layout): the
-        out += ((trackId, handler,  // track exists, runs come from moofs
+        out += ((trackId, handler, codec, // track exists, runs come from moofs
           scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]))
         return true
       }
@@ -347,21 +371,28 @@ object Mp4Codec {
         chunk += 1
       }
       if (sample != sizes.length) return false // table shortfall
-      out += ((trackId, handler, ranges))
+      out += ((trackId, handler, codec, ranges))
       true
     }
 
     // One movie fragment's traf: tfhd carries the track id, the base
-    // offset policy (explicit base-data-offset or default-base-is-moof)
-    // and an optional default sample size; each trun contributes a run
-    // of consecutive samples (explicit per-sample sizes when flag 0x200,
-    // else the tfhd default), runs without a data offset continuing
-    // from the previous run's end.
-    def parseTraf(ts: Long, te: Long, moofStart: Long): Boolean = {
+    // offset policy and an optional default sample size; each trun
+    // contributes a run of consecutive samples (explicit per-sample
+    // sizes when flag 0x200, else the tfhd default), runs without a
+    // data offset continuing from the previous run's end. Base policy
+    // per ISO 14496-12 §8.8.7: explicit base-data-offset (flag 0x1)
+    // wins; else default-base-is-moof (flag 0x020000) anchors at the
+    // moof HEADER start; else the first traf anchors at moof start and
+    // later trafs at the END OF THE PREVIOUS TRAF'S DATA (prevEnd).
+    // Returns Long.MinValue on corrupt, else the end of this traf's
+    // data (prevEnd unchanged if the traf defined no samples).
+    def parseTraf(ts: Long, te: Long, moofStart: Long,
+                  prevEnd: Long): Long = {
       var trackId = -1L
       var baseOffset = moofStart
       var defSize = -1L
       var cursor = -1L
+      var dataEnd = -1L
       val ok = walkBoxes(b, ts, te) { (t2, s2, e2) =>
         t2 match {
           case "tfhd" =>
@@ -369,6 +400,10 @@ object Mp4Codec {
             else {
               val flags = (be32(b, s2.toInt) & 0xffffffL).toInt
               trackId = be32(b, s2.toInt + 4)
+              baseOffset =
+                if ((flags & 0x020000) != 0) moofStart
+                else if (prevEnd >= 0) prevEnd
+                else moofStart
               var p = s2 + 8
               var good = true
               if ((flags & 0x01) != 0) {
@@ -411,6 +446,7 @@ object Mp4Codec {
                   val track = out.find(_._1 == trackId).orNull
                   if (track == null) false
                   else {
+                    val ranges = track._4
                     val sizeOff = if ((flags & 0x100) != 0) 4 else 0
                     var k = 0L
                     var fine = true
@@ -423,11 +459,12 @@ object Mp4Codec {
                       if (sz < 0 || cursor < 0 ||
                           cursor + sz > b.length) fine = false
                       else {
-                        track._3 += ((cursor, sz))
+                        ranges += ((cursor, sz))
                         cursor += sz
                         k += 1
                       }
                     }
+                    if (fine && cursor > dataEnd) dataEnd = cursor
                     fine
                   }
                 }
@@ -436,10 +473,12 @@ object Mp4Codec {
           case _ => true
         }
       }
-      ok && trackId >= 0
+      if (!ok || trackId < 0) Long.MinValue
+      else if (dataEnd >= 0) dataEnd
+      else prevEnd
     }
 
-    val ok = walkBoxes(b, 0L, b.length.toLong) { (typ, s, e) =>
+    val ok = walkBoxesWithStart(b, 0L, b.length.toLong) { (typ, bs, s, e) =>
       typ match {
         case "moov" =>
           sawMoov = true
@@ -447,15 +486,21 @@ object Mp4Codec {
             if (t1 != "trak") true else parseTrak(s1, e1)
           }
         case "moof" =>
-          val moofStart = s - 8 // boxes here never use largesize
+          val moofStart = bs // the box HEADER start, largesize-proof
+          var prevEnd = -1L  // implicit-base anchor for trafs after the first
           walkBoxes(b, s, e) { (t1, s1, e1) =>
-            if (t1 != "traf") true else parseTraf(s1, e1, moofStart)
+            if (t1 != "traf") true
+            else {
+              val r = parseTraf(s1, e1, moofStart, prevEnd)
+              if (r == Long.MinValue) false
+              else { prevEnd = r; true }
+            }
           }
         case _ => true
       }
     }
     if (!ok || !sawMoov || out.isEmpty) None
-    else Some(out.toSeq.map { case (id, h, rs) => (id, h, rs.toSeq) })
+    else Some(out.toSeq.map { case (id, h, c, rs) => (id, h, c, rs.toSeq) })
   }
 
   // ------------------------------------------------------------------
@@ -593,7 +638,10 @@ object Mp4Codec {
               sw.u16(24).u16(0xffff) // depth, pre_defined
               sw.bytes }))
           else
-            w.raw(box("mp4a", { val sw = new W
+            // 'sowt' = 16-bit little-endian uncompressed PCM — the
+            // honest fourcc for the raw s16le samples the fixtures
+            // carry (an 'mp4a' entry would claim AAC over raw PCM)
+            w.raw(box("sowt", { val sw = new W
               sw.zeros(6).u16(1)
               sw.zeros(8) // reserved
               sw.u16(1).u16(16).u32(0L) // channels, samplesize, reserved

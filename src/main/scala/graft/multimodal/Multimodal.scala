@@ -1256,15 +1256,20 @@ object Multimodal {
       }).toDF("media_id", "codec", "text")
   }
 
-  /** WARC.gz shard fixtures for the crawl-ingestion gate: documents
+  /** WARC shard fixtures for the crawl-ingestion gate: documents
     * grouped ~[[docsPerFile]] per shard (the real layout — thousands of
     * records per 1 GB shard, not one file per page), each shard a real
-    * ISO 28500 stream via [[WarcCodec.buildWarcGz]]: a warcinfo record,
-    * then per document a request record AND a response record whose
-    * HTTP/1.1 payload carries the text — so the parser must both skip
-    * non-response records and strip HTTP headers. URI and WARC-Date
-    * follow doc_id formulas an SQL oracle can replay. The groupBy here
-    * is fixture-side only; the graded decode is scan-local. */
+    * ISO 28500 stream: a warcinfo record, then per document a request
+    * record AND a response record whose HTTP/1.1 payload carries the
+    * text — so the parser must both skip non-response records and
+    * strip HTTP headers. Crawl lakes mix GENERATIONS, and the fixture
+    * plants all of them by fileId % 3: 0 → plain (uncompressed) WARC
+    * with Content-Length bodies, 1 → per-record-gzip .warc.gz with
+    * Content-Length bodies, 2 → .warc.gz whose responses use chunked
+    * transfer-encoding with gzip (even ids) / deflate (odd) content
+    * encoding. URI and WARC-Date follow doc_id formulas an SQL oracle
+    * can replay. The groupBy here is fixture-side only; the graded
+    * decode is scan-local. */
   def syntheticWarcFiles(docs: DataFrame, docsPerFile: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1272,6 +1277,7 @@ object Multimodal {
       .groupByKey { case (id, _) => Math.floorDiv(id, docsPerFile.toLong) }
       .mapGroups { (fileId, it) =>
         val members = it.toArray.sortBy(_._1)
+        val chunkedGen = fileId % 3 == 2
         val info = WarcCodec.WarcRecord("warcinfo", None,
           Some(warcDate(fileId * docsPerFile)),
           "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1279,28 +1285,43 @@ object Multimodal {
           val uri = s"https://example.com/doc/$id"
           val body = (if (text == null) "" else text)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val payload =
+            if (chunkedGen)
+              WarcCodec.httpResponsePayloadChunked(200, body,
+                chunkSize = 64,
+                contentEncoding =
+                  Some(if (id % 2 == 0) "gzip" else "deflate"))
+            else
+              WarcCodec.httpResponsePayload(200, body,
+                Seq("X-Doc-Id" -> id.toString))
           Seq(
             WarcCodec.WarcRecord("request", Some(uri), Some(warcDate(id)),
               (s"GET /doc/$id HTTP/1.1\r\nHost: example.com\r\n\r\n")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
             WarcCodec.WarcRecord("response", Some(uri), Some(warcDate(id)),
-              WarcCodec.httpResponsePayload(200, body,
-                Seq("X-Doc-Id" -> id.toString))))
+              payload))
         }
-        (fileId, WarcCodec.buildWarcGz(recs.toSeq))
+        val shard =
+          if (fileId % 3 == 0) WarcCodec.buildWarc(recs.toSeq)
+          else WarcCodec.buildWarcGz(recs.toSeq)
+        (fileId, shard)
       }.toDF("file_id", "payload")
   }
 
   private def warcDate(id: Long): String =
     f"2026-01-01T00:00:${(id % 60 + 60) % 60}%02dZ"
 
-  /** Crawl-shard ingestion: explode each WARC.gz shard into its HTTP
-    * response documents — parse records ([[WarcCodec.parseWarcGz]],
-    * zip-bomb-guarded), keep `WARC-Type: response`, strip the HTTP
-    * header block, decode the UTF-8 body. One scan-local mapPartitions
-    * flatMap over the payload column: at 100 TB this is the map side of
-    * the lake's very first job, no shuffle; corrupt shards contribute
-    * their parseable prefix and nothing else (never a throw). */
+  /** Crawl-shard ingestion: explode each WARC shard into its HTTP
+    * response documents — sniff plain-vs-gzip shards
+    * ([[WarcCodec.parseWarc]], zip-bomb-guarded), keep `WARC-Type:
+    * response`, strip the HTTP header block, undo chunked
+    * transfer-encoding and gzip/deflate content-encoding
+    * ([[WarcCodec.httpBodyDecoded]]), decode the UTF-8 body. One
+    * scan-local mapPartitions flatMap over the payload column: at
+    * 100 TB this is the map side of the lake's very first job, no
+    * shuffle; corrupt shards contribute their parseable prefix and
+    * nothing else, undecodable bodies drop their record (never a
+    * throw, never fabricated text). */
   def warcResponses(media: DataFrame, maxBytes: Int = 1 << 26): DataFrame = {
     require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
     val spark = media.sparkSession
@@ -1308,12 +1329,13 @@ object Multimodal {
     media.select(col("file_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (fid, bytes) =>
-        WarcCodec.parseWarcGz(bytes, maxBytes).iterator
+        WarcCodec.parseWarc(bytes, maxBytes).iterator
           .filter(_.warcType == "response")
           .flatMap { r =>
-            WarcCodec.httpBody(r.body).map { case (status, body) =>
-              (fid, r.targetUri.orNull, r.date.orNull, status,
-                new String(body, java.nio.charset.StandardCharsets.UTF_8))
+            WarcCodec.httpBodyDecoded(r.body, maxBytes).map {
+              case (status, body) =>
+                (fid, r.targetUri.orNull, r.date.orNull, status,
+                  new String(body, java.nio.charset.StandardCharsets.UTF_8))
             }
           }
       }).toDF("file_id", "url", "warc_date", "http_status", "text")
@@ -1432,11 +1454,15 @@ object Multimodal {
 
   /** Acoustic fingerprint of the PCM riding an MP4 sound track: the
     * stsc×stco×stsz walk yields the track's sample byte ranges, their
-    * concatenation decodes as s16le, and the SAME windowed-energy bits
-    * as [[audioFingerprint]] follow — so a recording deduplicates
-    * against its WAV original across containers. First sound track per
-    * file; undecodable payloads or odd byte counts emit nothing.
-    * Scan-local flatMap, no shuffle. */
+    * concatenation decodes as ONE s16 stream, and the SAME
+    * windowed-energy bits as [[audioFingerprint]] follow — so a
+    * recording deduplicates against its WAV original across
+    * containers. First sound track per file; only uncompressed-PCM
+    * stsd entries decode — 'sowt' (s16le) and 'twos' (s16be); a
+    * compressed track (e.g. AAC 'mp4a') emits NOTHING rather than a
+    * fabricated fingerprint over codec bytes. A sample may straddle
+    * two ranges, so the dangling byte carries across the boundary
+    * instead of being dropped. Scan-local flatMap, no shuffle. */
   def mp4AudioFingerprint(media: DataFrame, nBits: Int = 32): DataFrame = {
     require(nBits > 0 && nBits <= 62, s"nBits must be in [1,62], got $nBits")
     val spark = media.sparkSession
@@ -1445,22 +1471,34 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         (for {
-          tracks <- Mp4Codec.parseMp4SampleRanges(bytes)
+          tracks <- Mp4Codec.parseMp4SampleRangesWithCodec(bytes)
           soun <- tracks.find(_._2 == "soun")
-          totalBytes = soun._3.map(_._2).sum
+          codec = soun._3
+          if codec == "sowt" || codec == "twos"
+          totalBytes = soun._4.map(_._2).sum
           if totalBytes % 2 == 0 && totalBytes <= (1L << 25)
           samples = {
+            val bigEndian = codec == "twos"
             val out = new Array[Int](totalBytes.toInt / 2)
             var o = 0
-            soun._3.foreach { case (off, sz) =>
+            var carry = -1 // dangling byte from the previous range
+            soun._4.foreach { case (off, sz) =>
               var p = off.toInt
               val end = (off + sz).toInt
-              while (p + 1 < end) {
-                out(o) = ((bytes(p) & 0xff) |
-                  (bytes(p + 1) << 8)).toShort.toInt
-                o += 1
-                p += 2
+              if (carry >= 0 && p < end) {
+                val b1 = bytes(p) & 0xff
+                out(o) = (if (bigEndian) (carry << 8) | b1
+                          else carry | (b1 << 8)).toShort.toInt
+                o += 1; p += 1; carry = -1
               }
+              while (p + 1 < end) {
+                val b0 = bytes(p) & 0xff
+                val b1 = bytes(p + 1) & 0xff
+                out(o) = (if (bigEndian) (b0 << 8) | b1
+                          else b0 | (b1 << 8)).toShort.toInt
+                o += 1; p += 2
+              }
+              if (p < end) carry = bytes(p) & 0xff
             }
             out
           }

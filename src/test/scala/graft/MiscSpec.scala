@@ -1232,6 +1232,220 @@ class MultimodalSpec extends SparkSpec {
       assert(idx(fi) == off, s"offset mismatch for frame $fi")
     }
   }
+
+  test("warc realism: plain shards sniff, chunked + gzip/deflate bodies " +
+      "decode, truncated plain keeps prefix") {
+    import graft.multimodal.WarcCodec
+    val text = "chunked body text, long enough to span several 8-byte chunks"
+    def rec(uri: String, payload: Array[Byte]) =
+      WarcCodec.WarcRecord("response", Some(uri), None, payload)
+    val rGz = rec("https://example.com/gz",
+      WarcCodec.httpResponsePayloadChunked(200, text.getBytes("UTF-8"),
+        chunkSize = 8, contentEncoding = Some("gzip")))
+    val rDf = rec("https://example.com/df",
+      WarcCodec.httpResponsePayloadChunked(200, text.getBytes("UTF-8"),
+        chunkSize = 8, contentEncoding = Some("deflate")))
+    val rCh = rec("https://example.com/ch",
+      WarcCodec.httpResponsePayloadChunked(200, text.getBytes("UTF-8"),
+        chunkSize = 8))
+    val plain = WarcCodec.buildWarc(Seq(rGz, rDf, rCh))
+    // sniff routes the plain generation; every wire shape decodes back
+    val recs = WarcCodec.parseWarc(plain)
+    assert(recs.map(_.targetUri.get) == Seq("https://example.com/gz",
+      "https://example.com/df", "https://example.com/ch"))
+    recs.foreach { r =>
+      val (status, body) = WarcCodec.httpBodyDecoded(r.body).get
+      assert(status == 200)
+      assert(new String(body, "UTF-8") == text, r.targetUri.get)
+    }
+    // the gzip generation routes through the same sniff
+    assert(WarcCodec.parseWarc(WarcCodec.buildWarcGz(Seq(rGz)))
+      .flatMap(r => WarcCodec.httpBodyDecoded(r.body))
+      .map(p => new String(p._2, "UTF-8")) == Seq(text))
+    // raw httpBody of an encoded record is NOT the text (still framed)
+    assert(!WarcCodec.httpBody(rGz.body).get._2
+      .sameElements(text.getBytes("UTF-8")))
+    // truncated plain record: intact prefix survives, tail dropped
+    val cut = java.util.Arrays.copyOfRange(plain, 0, plain.length - 10)
+    assert(WarcCodec.parseWarc(cut).map(_.targetUri.get) ==
+      Seq("https://example.com/gz", "https://example.com/df"))
+    // per-shard memory cap applies to the plain path too
+    assert(WarcCodec.parseWarc(plain, maxBytes = 16).isEmpty)
+    // framing violations -> None, never a throw: bad hex size line
+    val badHex = rCh.body.clone()
+    val bodyAt = { // first chunk-size line sits right after CRLFCRLF
+      var i = 0
+      while (!(badHex(i) == '\r' && badHex(i + 1) == '\n' &&
+        badHex(i + 2) == '\r' && badHex(i + 3) == '\n')) i += 1
+      i + 4
+    }
+    badHex(bodyAt) = 'z'.toByte
+    assert(WarcCodec.httpBodyDecoded(badHex).isEmpty)
+    // corrupt compressed entity -> None (a half document must not
+    // pose as whole)
+    val badGz = rGz.body.clone()
+    badGz(badGz.length - 20) = (badGz(badGz.length - 20) ^ 0x5a).toByte
+    assert(WarcCodec.httpBodyDecoded(badGz).isEmpty ||
+      new String(WarcCodec.httpBodyDecoded(badGz).get._2, "UTF-8") == text)
+    // inflation cap on the entity body
+    assert(WarcCodec.httpBodyDecoded(rGz.body, maxBytes = 8).isEmpty)
+  }
+
+  test("mp4 fragmented: implicit traf base (end of previous traf) and " +
+      "largesize moof header both anchor ranges correctly") {
+    import graft.multimodal.Mp4Codec
+    def tag(b: Array[Byte], t: String, from: Int = 0): Int = {
+      val want = t.getBytes("US-ASCII")
+      var i = from
+      while (i + 4 <= b.length) {
+        if (b(i) == want(0) && b(i + 1) == want(1) &&
+          b(i + 2) == want(2) && b(i + 3) == want(3)) return i
+        i += 1
+      }
+      -1
+    }
+    def be32w(b: Array[Byte], i: Int, v: Long): Unit = {
+      b(i) = (v >> 24).toByte; b(i + 1) = (v >> 16).toByte
+      b(i + 2) = (v >> 8).toByte; b(i + 3) = v.toByte
+    }
+    val vSamples = (0 until 4).map(j =>
+      Array.tabulate(5 + j)(k => (k * 11 + j).toByte))
+    val aSamples = Seq(Array[Byte](1, 2), Array[Byte](3, 4),
+      Array[Byte](5, 6), Array[Byte](7, 8))
+    val video = Mp4Codec.TrackSpec("vide", 600L, 20L, vSamples, 32, 24)
+    val audio = Mp4Codec.TrackSpec("soun", 8000L, 100L, aSamples)
+    // ONE fragment holding both tracks' runs -> two trafs in one moof
+    val frag = Mp4Codec.buildFragmentedMp4(Seq(video, audio),
+      samplesPerFragment = 4)
+    def extract(b: Array[Byte]) =
+      Mp4Codec.parseMp4SampleRanges(b).get.map { case (_, h, rs) =>
+        h -> rs.map { case (o, s) => b.slice(o.toInt, (o + s).toInt).toSeq }
+      }.toMap
+    val want = Map(
+      "vide" -> vSamples.map(_.toSeq),
+      "soun" -> aSamples.map(_.toSeq))
+    assert(extract(frag) == want) // builder shape (default-base-is-moof)
+
+    // --- implicit-base generation: clear BOTH tfhd base flags; traf 1
+    // then anchors at moof start, traf 2 at the end of traf 1's data,
+    // so traf 2's trun data_offset becomes 0
+    val implicitBase = frag.clone()
+    var t1 = tag(implicitBase, "tfhd")
+    val t2 = tag(implicitBase, "tfhd", t1 + 4)
+    assert(t1 >= 0 && t2 >= 0)
+    // tfhd box: [size][tfhd][version|flags24][track_id]; builder wrote
+    // flags 0x020000 (default-base-is-moof)
+    assert(implicitBase(t1 + 5) == 2 && implicitBase(t2 + 5) == 2)
+    implicitBase(t1 + 5) = 0
+    implicitBase(t2 + 5) = 0
+    val u1 = tag(implicitBase, "trun")
+    val u2 = tag(implicitBase, "trun", u1 + 4)
+    assert(u1 >= 0 && u2 >= 0)
+    be32w(implicitBase, u2 + 12, 0L) // second trun: offset 0 from implicit base
+    assert(extract(implicitBase) == want,
+      "implicit end-of-previous-traf base must reproduce the same ranges")
+
+    // --- largesize generation: rewrite the moof header to use
+    // size32=1 + 64-bit largesize (mdat shifts by 8, so the
+    // moof-relative trun offsets each grow by 8)
+    val moofTag = tag(frag, "moof")
+    val moofStart = moofTag - 4
+    val moofSize = ((frag(moofStart) & 0xffL) << 24) |
+      ((frag(moofStart + 1) & 0xffL) << 16) |
+      ((frag(moofStart + 2) & 0xffL) << 8) | (frag(moofStart + 3) & 0xffL)
+    val wide = new java.io.ByteArrayOutputStream()
+    wide.write(frag, 0, moofStart)
+    wide.write(Array[Byte](0, 0, 0, 1)) // size32 = 1 -> largesize
+    wide.write("moof".getBytes("US-ASCII"))
+    val ls = moofSize + 8
+    wide.write(Array[Byte]((ls >> 56).toByte, (ls >> 48).toByte,
+      (ls >> 40).toByte, (ls >> 32).toByte, (ls >> 24).toByte,
+      (ls >> 16).toByte, (ls >> 8).toByte, ls.toByte))
+    wide.write(frag, moofStart + 8, frag.length - moofStart - 8)
+    val wideBytes = wide.toByteArray
+    val w1 = tag(wideBytes, "trun")
+    val w2 = tag(wideBytes, "trun", w1 + 4)
+    def bump(b: Array[Byte], at: Int): Unit = {
+      val old = ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
+        ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
+      be32w(b, at, old + 8)
+    }
+    bump(wideBytes, w1 + 12)
+    bump(wideBytes, w2 + 12)
+    assert(extract(wideBytes) == want,
+      "largesize moof header must not shift the computed base")
+  }
+
+  test("mp4 audio: stsd gates PCM decode; odd-sized ranges carry the " +
+      "dangling byte instead of dropping it") {
+    import graft.multimodal.{AudioCodec, Mp4Codec}
+    // odd-length samples (63 + 65 bytes): each sample is its own byte
+    // range, so s16 frames straddle the range boundary; 64 PCM frames
+    // total is enough for the 33-window fingerprint
+    val longBytes = Array.tabulate(128)(k => ((k * 73 + 5) % 256).toByte)
+    val longOdd = Seq(longBytes.slice(0, 63), longBytes.slice(63, 128))
+    assert(longOdd.map(_.length).forall(_ % 2 == 1)) // premise holds
+    val mp4 = Mp4Codec.buildMp4(Seq(
+      Mp4Codec.TrackSpec("soun", 8000L, 100L, longOdd)))
+    // the stsd fourcc the builder writes is the honest PCM tag
+    val tracks = Mp4Codec.parseMp4SampleRangesWithCodec(mp4).get
+    assert(tracks.map(t => (t._2, t._3)) == Seq(("soun", "sowt")))
+    val media = Seq((1L, mp4)).toDF("media_id", "payload")
+    val mp4Fp = Multimodal.mp4AudioFingerprint(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the SAME pcm through the WAV path must fingerprint identically —
+    // possible only if the mp4 decode carries bytes across ranges
+    val pcm = Array.tabulate(64)(k =>
+      (((longBytes(2 * k) & 0xff) | (longBytes(2 * k + 1) << 8))
+        .toShort).toInt)
+    val wavFp = Multimodal.audioFingerprint(
+        Seq((1L, AudioCodec.buildWavPcm(1, 8000, 16, pcm)))
+          .toDF("media_id", "payload")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mp4Fp.toSeq == wavFp.toSeq,
+      "cross-container fingerprints must converge on odd-range PCM")
+    // a non-PCM stsd entry (AAC) must emit NOTHING, not a fabricated
+    // fingerprint over compressed bytes
+    val aac = mp4.clone()
+    val sowt = "sowt".getBytes("US-ASCII")
+    val at = {
+      var i = 0
+      while (!(aac(i) == sowt(0) && aac(i + 1) == sowt(1) &&
+        aac(i + 2) == sowt(2) && aac(i + 3) == sowt(3))) i += 1
+      i
+    }
+    "mp4a".getBytes("US-ASCII").zipWithIndex
+      .foreach { case (c, k) => aac(at + k) = c }
+    assert(Multimodal.mp4AudioFingerprint(
+      Seq((1L, aac)).toDF("media_id", "payload")).count() == 0L)
+  }
+
+  test("jpeg: a DQT redefined between scans dequantizes with the table " +
+      "latched at each component's first scan") {
+    import graft.multimodal.JpegCodec
+    val vals = Array(3, 130, 255, 0)
+    val prog = JpegCodec.buildJpegDcOnlyProgressive(16, 16, vals)
+    val base = JpegCodec.decodeJpegPixels(prog).get
+    // splice a hostile DQT (all 99s, same table id 0) right before the
+    // LAST SOS: T.81 binds it to scans that follow, and all scans of
+    // every component began earlier, so pixels must not change
+    var lastSos = -1
+    var i = 2
+    while (i + 1 < prog.length) {
+      if ((prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda)
+        lastSos = i
+      i += 1
+    }
+    assert(lastSos > 0)
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(prog, 0, lastSos)
+    seg.write(Array[Byte](0xff.toByte, 0xdb.toByte, 0, 67, 0)) // DQT len 67, Pq=0 Tq=0
+    (0 until 64).foreach(_ => seg.write(99))
+    seg.write(prog, lastSos, prog.length - lastSos)
+    val redefined = JpegCodec.decodeJpegPixels(seg.toByteArray).get
+    assert(redefined.pixels.sameElements(base.pixels),
+      "mid-stream DQT redefinition leaked into earlier scans' dequant")
+  }
 }
 
 class StreamingSpec extends SparkSpec {
