@@ -98,10 +98,20 @@ object Bm25 {
     * running [[topK]] over the original corpus (Bm25Spec pins it), but
     * the scan touches only the query terms' partitions: the bucket
     * filter is a partition filter, so non-matching directories are never
-    * opened. */
+    * opened.
+    *
+    * Bounded-driver contract: the partition-pruning path enumerates the
+    * distinct query terms driver-side, so it only runs when a cheap
+    * `limit(maxTerms+1)` probe confirms the term set is small. Beyond
+    * the cap the search stays fully distributed — a shuffle join of the
+    * postings against the distinct-term frame (no driver collect, no
+    * broadcast of the big query side) — trading partition pruning for
+    * unbounded query volume with identical results (Bm25Spec pins the
+    * equivalence). */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                   queries: DataFrame, k: Int,
-                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                  k1: Double = 1.2, b: Double = 0.75,
+                  maxTerms: Int = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stats = spark.read.parquet(s"$dir/stats").collect().head
     val nDocs = stats.getLong(0)
@@ -110,19 +120,26 @@ object Bm25 {
     val avgdl =
       if (nDocs == 0 || stats.isNullAt(1)) 1.0
       else stats.getLong(1).toDouble / nDocs
-    val qTerms = queries.select("term").distinct().collect()
-      .map(_.getString(0))
-    val buckets = qTerms
-      .map(t => org.apache.spark.unsafe.types.UTF8String.fromString(t))
-      .map(u => math.floorMod(
-        org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
-            u.numBytes, 42),
-        IndexBuckets))
-      .distinct
-    val tf = spark.read.parquet(s"$dir/postings")
-      .where(col("term_bucket").isin(buckets.map(Integer.valueOf): _*))
-      .where(col("term").isin(qTerms: _*))
+    val qTermDf = queries.select("term").distinct()
+    val smallQ = qTermDf.limit(maxTerms + 1).count() <= maxTerms
+    val postings = spark.read.parquet(s"$dir/postings")
+    val tf =
+      if (smallQ) {
+        val qTerms = qTermDf.collect().map(_.getString(0))
+        val buckets = qTerms
+          .map(t => org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          .map(u => math.floorMod(
+            org.apache.spark.unsafe.hash.Murmur3_x86_32
+              .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+                u.numBytes, 42),
+            IndexBuckets))
+          .distinct
+        postings
+          .where(col("term_bucket").isin(buckets.map(Integer.valueOf): _*))
+          .where(col("term").isin(qTerms: _*))
+      } else {
+        postings.join(qTermDf, "term")
+      }
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = df.select(col("term"),
       log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5)
@@ -132,7 +149,7 @@ object Bm25 {
         col("idf") * col("tf") * (lit(k1) + 1.0)
           / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
     val scored = termScore
-      .join(broadcast(queries), Seq("term"))
+      .join(if (smallQ) broadcast(queries) else queries, Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(round4(sum(col("ts"))).as("score"))
     val w = Window.partitionBy("query_id")

@@ -167,12 +167,24 @@ object ProductQuant {
   /** ADC top-k with exact re-rank: approximate every (query, candidate)
     * cosine as the sum of m inner-product table lookups over the codes,
     * keep the `rerank` best per query, then re-score that shortlist with
-    * exact cosine. Scores rounded to 4 decimals, id tiebreaks. */
+    * exact cosine. Scores rounded to 4 decimals, id tiebreaks.
+    *
+    * Bounded-driver contract: the query side is collected to build the
+    * broadcast IP tables, so it must be small. A cheap `limit(maxQ+1)`
+    * probe (one column, scan stops early) enforces the bound BEFORE the
+    * collect — an oversized query table fails loudly instead of OOMing
+    * the driver (same discipline as [[fitCodebooks]]' `limit(sampleN)`
+    * sample). Callers with more queries batch them. */
   def pqTopK(candidates: DataFrame, queries: DataFrame, cb: Codebooks,
-             k: Int = 10, rerank: Int = 50): DataFrame = {
+             k: Int = 10, rerank: Int = 50, maxQ: Int = 65536): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val spark = candidates.sparkSession
     import spark.implicits._
+    val qProbe = queries.select("vec_id").limit(maxQ + 1).count()
+    require(qProbe <= maxQ,
+      s"pqTopK query side exceeds maxQ=$maxQ rows: the per-query ADC " +
+        "tables are built driver-side and broadcast, so the query table " +
+        "must be bounded — batch the queries or raise maxQ explicitly")
     // per-query IP tables against the codebooks: |Q| x m x ks doubles,
     // built from the two tiny inputs and broadcast onto the codes scan
     val qRows = queries

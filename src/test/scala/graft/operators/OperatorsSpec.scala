@@ -1255,6 +1255,48 @@ class Bm25IndexSpec extends SparkSpec {
     assert(plan.contains("term_bucket"),
       s"no term_bucket partition pruning visible:\n$plan")
   }
+
+  test("over-cap query term set falls back to the distributed join " +
+      "path with identical results (bounded-driver contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25b").toString
+    val docs = graft.engine.Tables.t(spark, sf001, "documents")
+    val queries = Seq((1L, "spark"), (1L, "window"), (2L, "customer"))
+      .toDF("query_id", "term")
+    Bm25.writeIndex(docs, dir)
+    // maxTerms=2 < 3 distinct terms -> the driver-side term enumeration
+    // is skipped and the shuffle-join fallback must produce the same rows
+    val pruned = Bm25.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val fallback = Bm25.searchIndex(spark, dir, queries, k = 10,
+      maxTerms = 2)
+    assert(fallback.orderBy("query_id", "rank").collect().toSeq == pruned)
+    // ...and the fallback plan must NOT carry the driver-enumerated
+    // per-term bucket IN-list (it reads all buckets via the join)
+    val plan = fallback.queryExecution.executedPlan.toString
+    assert(!plan.contains("term_bucket IN"),
+      s"fallback still uses driver-enumerated bucket pruning:\n$plan")
+  }
+}
+
+/** Bounded-driver contract on the PQ search's query-side collect. */
+class PqBoundedSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  test("pqTopK fails loudly (no driver collect) when the query table " +
+      "exceeds maxQ") {
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val cb = ProductQuant.fitCodebooks(emb.where(col("vec_id") < 64))
+    val ex = intercept[IllegalArgumentException] {
+      ProductQuant.pqTopK(emb.where(col("vec_id") < 64), emb, cb,
+        k = 1, rerank = 5, maxQ = 8)
+    }
+    assert(ex.getMessage.contains("maxQ"), ex.getMessage)
+    // at-the-cap query side still runs
+    val ok = ProductQuant.pqTopK(emb.where(col("vec_id") < 64),
+      emb.where(col("vec_id") < 8), cb, k = 1, rerank = 5, maxQ = 8)
+    assert(ok.count() == 8L)
+  }
 }
 
 /** BPE merge learning on the textbook corpus (Sennrich et al. §3.2's
