@@ -464,7 +464,11 @@ object Mp4Codec {
                         k += 1
                       }
                     }
-                    if (fine && cursor > dataEnd) dataEnd = cursor
+                    // a zero-sample trun defines no data: its cursor is
+                    // just the (possibly arbitrary) data-offset anchor,
+                    // and letting it move dataEnd would hand a following
+                    // implicit-base traf an end-of-nothing anchor
+                    if (fine && n > 0 && cursor > dataEnd) dataEnd = cursor
                     fine
                   }
                 }

@@ -245,6 +245,12 @@ object WarcCodec {
     if (parts.length < 2) return None
     val status = try parts(1).toInt catch { case _: NumberFormatException => return None }
     var chunked = false
+    // any transfer coding we can't undo (gzip/deflate/compress in the
+    // Transfer-Encoding list — rare but legal, RFC 9112 §6.1) → None:
+    // dechunking alone would return still-compressed bytes as "decoded"
+    // text, breaking the never-fabricated-bytes contract (same policy
+    // as an unknown Content-Encoding below)
+    var unknownTransferCoding = false
     var encoding: String = null
     lines.iterator.drop(1).foreach { ln =>
       val c = ln.indexOf(':')
@@ -253,12 +259,17 @@ object WarcCodec {
         val v = ln.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT)
         k match {
           case "transfer-encoding" =>
-            if (v.split(",").exists(_.trim == "chunked")) chunked = true
+            v.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+              case "chunked" => chunked = true
+              case "identity" => ()
+              case _ => unknownTransferCoding = true
+            }
           case "content-encoding" => encoding = v
           case _ => ()
         }
       }
     }
+    if (unknownTransferCoding) return None
     val wire = java.util.Arrays.copyOfRange(payload, headEnd + 4, payload.length)
     val framed = if (chunked) dechunk(wire, maxBytes) else Some(wire)
     framed.flatMap { body =>
@@ -284,8 +295,16 @@ object WarcCodec {
       var e = p
       while (e + 1 < b.length && !(b(e) == '\r' && b(e + 1) == '\n')) e += 1
       if (e + 1 >= b.length) return None
-      val hexPart = new String(b, p, e - p, UTF_8).split(";", 2)(0).trim
-      if (hexPart.isEmpty || hexPart.length > 8) return None
+      val hexRaw = new String(b, p, e - p, UTF_8).split(";", 2)(0).trim
+      if (hexRaw.isEmpty) return None
+      // leading-zero-padded sizes ("000000040") are legal per RFC 9112
+      // and appear in the wild — strip the padding BEFORE the 8-digit
+      // overflow cap, keeping one zero for the terminal chunk
+      val hexPart = {
+        val s = hexRaw.dropWhile(_ == '0')
+        if (s.isEmpty) "0" else s
+      }
+      if (hexPart.length > 8) return None
       val size = try java.lang.Long.parseLong(hexPart, 16)
         catch { case _: NumberFormatException => return None }
       if (size < 0) return None

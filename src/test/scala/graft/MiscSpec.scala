@@ -1291,6 +1291,51 @@ class MultimodalSpec extends SparkSpec {
     assert(WarcCodec.httpBodyDecoded(rGz.body, maxBytes = 8).isEmpty)
   }
 
+  test("warc transfer codings: undecodable Transfer-Encoding drops the " +
+      "record, leading-zero-padded chunk sizes decode") {
+    import graft.multimodal.WarcCodec
+    // 'Transfer-Encoding: gzip, chunked' — dechunking alone would hand
+    // back still-compressed bytes as text; the decoder must refuse
+    val gzBody = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write("hidden".getBytes("UTF-8")); gz.close()
+      bo.toByteArray
+    }
+    def chunked(body: Array[Byte], sizeLine: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write(sizeLine.getBytes("UTF-8")); bo.write('\r'); bo.write('\n')
+      bo.write(body); bo.write('\r'); bo.write('\n')
+      bo.write("0\r\n\r\n".getBytes("UTF-8"))
+      bo.toByteArray
+    }
+    def resp(headers: String, body: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write(s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n".getBytes("UTF-8"))
+      bo.write(body)
+      bo.toByteArray
+    }
+    val teGzip = resp("Transfer-Encoding: gzip, chunked",
+      chunked(gzBody, gzBody.length.toHexString))
+    assert(WarcCodec.httpBodyDecoded(teGzip).isEmpty,
+      "a transfer coding we cannot undo must drop the record")
+    // 'chunked, identity' stays decodable
+    val teOk = resp("Transfer-Encoding: chunked, identity",
+      chunked("hello".getBytes("UTF-8"), "5"))
+    assert(WarcCodec.httpBodyDecoded(teOk)
+      .map(p => new String(p._2, "UTF-8")) == Some("hello"))
+    // RFC 9112 allows leading zeros on the chunk-size line; the 8-digit
+    // overflow cap applies to the SIGNIFICANT digits
+    val padded = resp("Transfer-Encoding: chunked",
+      chunked("hello".getBytes("UTF-8"), "000000005"))
+    assert(WarcCodec.httpBodyDecoded(padded)
+      .map(p => new String(p._2, "UTF-8")) == Some("hello"))
+    // ...without weakening the cap on real overflows
+    val huge = resp("Transfer-Encoding: chunked",
+      chunked("hello".getBytes("UTF-8"), "000100000000"))
+    assert(WarcCodec.httpBodyDecoded(huge).isEmpty)
+  }
+
   test("mp4 fragmented: implicit traf base (end of previous traf) and " +
       "largesize moof header both anchor ranges correctly") {
     import graft.multimodal.Mp4Codec
@@ -1374,6 +1419,79 @@ class MultimodalSpec extends SparkSpec {
     bump(wideBytes, w2 + 12)
     assert(extract(wideBytes) == want,
       "largesize moof header must not shift the computed base")
+  }
+
+  test("mp4 fragmented: a zero-sample trun's data-offset must not move " +
+      "the implicit end-of-previous-traf anchor") {
+    import graft.multimodal.Mp4Codec
+    def tag(b: Array[Byte], t: String, from: Int = 0): Int = {
+      val want = t.getBytes("US-ASCII")
+      var i = from
+      while (i + 4 <= b.length) {
+        if (b(i) == want(0) && b(i + 1) == want(1) &&
+          b(i + 2) == want(2) && b(i + 3) == want(3)) return i
+        i += 1
+      }
+      -1
+    }
+    def rd32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def wr32(b: Array[Byte], i: Int, v: Long): Unit = {
+      b(i) = (v >> 24).toByte; b(i + 1) = (v >> 16).toByte
+      b(i + 2) = (v >> 8).toByte; b(i + 3) = v.toByte
+    }
+    val vSamples = (0 until 4).map(j =>
+      Array.tabulate(5 + j)(k => (k * 11 + j).toByte))
+    val aSamples = Seq(Array[Byte](1, 2), Array[Byte](3, 4),
+      Array[Byte](5, 6), Array[Byte](7, 8))
+    val frag = Mp4Codec.buildFragmentedMp4(Seq(
+        Mp4Codec.TrackSpec("vide", 600L, 20L, vSamples, 32, 24),
+        Mp4Codec.TrackSpec("soun", 8000L, 100L, aSamples)),
+      samplesPerFragment = 4)
+    // implicit-base generation (same surgery as the test above): clear
+    // both tfhd base flags, second trun continues at end of traf 1
+    val base = frag.clone()
+    val t1 = tag(base, "tfhd"); val t2 = tag(base, "tfhd", t1 + 4)
+    base(t1 + 5) = 0; base(t2 + 5) = 0
+    val u1 = tag(base, "trun"); val u2 = tag(base, "trun", u1 + 4)
+    wr32(base, u2 + 12, 0L)
+    // splice a zero-sample trun (data-offset flag set, pointing FAR past
+    // every real byte) at the END of traf 1 — per ISO 14496-12 it
+    // defines no data, so traf 2's implicit anchor must stay at the end
+    // of traf 1's real samples
+    val moofStart = tag(base, "moof") - 4
+    val trafStart = tag(base, "traf") - 4
+    val trafSize = rd32(base, trafStart)
+    val insertAt = trafStart + trafSize.toInt
+    val zt = new java.io.ByteArrayOutputStream()
+    zt.write(Array[Byte](0, 0, 0, 20)) // box size
+    zt.write("trun".getBytes("US-ASCII"))
+    // version 0, flags: data-offset + sample-size-present (so the
+    // parser's size-source check passes; zero samples still use none)
+    zt.write(Array[Byte](0, 0, 2, 1))
+    zt.write(Array[Byte](0, 0, 0, 0)) // sample_count = 0
+    val far = base.length + 4096 - moofStart
+    zt.write(Array[Byte]((far >> 24).toByte, (far >> 16).toByte,
+      (far >> 8).toByte, far.toByte))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, insertAt)
+    out.write(zt.toByteArray)
+    out.write(base, insertAt, base.length - insertAt)
+    val spliced = out.toByteArray
+    wr32(spliced, moofStart, rd32(spliced, moofStart) + 20)
+    wr32(spliced, trafStart, trafSize + 20)
+    // the mdat moved +20, so traf 1's explicit trun offset shifts too
+    wr32(spliced, u1 + 12, rd32(spliced, u1 + 12) + 20)
+    val got = Mp4Codec.parseMp4SampleRanges(spliced).get
+      .map { case (_, h, rs) =>
+        h -> rs.map { case (o, s) =>
+          spliced.slice(o.toInt, (o + s).toInt).toSeq }
+      }.toMap
+    assert(got == Map(
+      "vide" -> vSamples.map(_.toSeq),
+      "soun" -> aSamples.map(_.toSeq)),
+      "zero-sample trun moved the implicit traf anchor")
   }
 
   test("mp4 audio: stsd gates PCM decode; odd-sized ranges carry the " +
