@@ -334,6 +334,17 @@ object Dedup extends TrackedCaches {
       .select(col("id"),
         explode(expr(s"winnow_fingerprints(__t, $k, $w)")).as("fp"))
       .transform(tracked)
+    substringDupPairsFromDistinctFps(fps, minShared, maxBucket)
+  }
+
+  /** [[substringDupPairs]] over a precomputed (id, fp) frame that is
+    * already distinct per document — `winnow_fingerprints` output, or a
+    * [[winnowPosFingerprints]] staging frame reduced with
+    * `.select("id", "fp").distinct()`. */
+  def substringDupPairsFromDistinctFps(fps: DataFrame, minShared: Int = 2,
+                                       maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("id")
     val capped = fps
@@ -359,16 +370,38 @@ object Dedup extends TrackedCaches {
                         k: Int = 12, w: Int = 8, minShared: Int = 2,
                         maxBucket: Int = 1000): DataFrame = {
     require(k > 0 && w > 0, s"k ($k) and w ($w) must be positive")
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    substringDupSpansFromFps(
+      winnowPosFingerprints(df, idCol, textCol, k, w).transform(tracked),
+      minShared, maxBucket)
+  }
+
+  /** The winnowed (id, fp, pos) fingerprint frame the substring-dup
+    * operators consume — exposed so callers can MEMOIZE the corpus-side
+    * fingerprints once (the staging-table pattern) and union per-analysis
+    * extras before the [[substringDupSpansFromFps]] /
+    * [[substringDupPositionsFromFps]] bucket joins: fingerprinting is the
+    * scan-heavy half, and two analyses over `corpus ∪ extrasA` and
+    * `corpus ∪ extrasB` should not winnow the corpus twice. Results are
+    * identical either way — the caps and windows order by (id, pos),
+    * never by arrival. */
+  def winnowPosFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 12, w: Int = 8): DataFrame = {
+    require(k > 0 && w > 0, s"k ($k) and w ($w) must be positive")
     graft.expressions.Winnow.register(df.sparkSession)
     // same single-split spread as substringDupPairs (see note there)
-    val fps = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"),
         explode(expr(s"winnow_fingerprint_pos(__t, $k, $w)")).as("u"))
       .select(col("id"), col("u.fp").as("fp"), col("u.pos").as("pos"))
-      .transform(tracked)
+  }
+
+  /** [[substringDupSpans]] over a precomputed [[winnowPosFingerprints]]
+    * frame. */
+  def substringDupSpansFromFps(fps: DataFrame, minShared: Int = 2,
+                               maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("id", "pos")
     val capped = fps
@@ -400,16 +433,17 @@ object Dedup extends TrackedCaches {
                             k: Int = 12, w: Int = 8, minShared: Int = 2,
                             maxBucket: Int = 1000): DataFrame = {
     require(k > 0 && w > 0, s"k ($k) and w ($w) must be positive")
+    substringDupPositionsFromFps(
+      winnowPosFingerprints(df, idCol, textCol, k, w).transform(tracked),
+      minShared, maxBucket)
+  }
+
+  /** [[substringDupPositions]] over a precomputed
+    * [[winnowPosFingerprints]] frame. */
+  def substringDupPositionsFromFps(fps: DataFrame, minShared: Int = 2,
+                                   maxBucket: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    graft.expressions.Winnow.register(df.sparkSession)
-    // same single-split spread as substringDupPairs (see note there)
-    val fps = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id"),
-        explode(expr(s"winnow_fingerprint_pos(__t, $k, $w)")).as("u"))
-      .select(col("id"), col("u.fp").as("fp"), col("u.pos").as("pos"))
-      .transform(tracked)
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("id", "pos")
     val capped = fps

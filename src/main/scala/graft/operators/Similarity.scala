@@ -206,12 +206,31 @@ object Similarity {
                  nClusters: Int = 16): Unit = {
     val cents = normalizeCentroids(fitCentroids(candidates, nClusters))
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    nearestCentroids(
+    clusteredWrite(nearestCentroids(
         candidates.select(col("vec_id").as("cand_id"),
           asDouble(col("embedding")).as("cand_vec")),
-        cents, "cand_id", "cand_vec", 1)
+        cents, "cand_id", "cand_vec", 1),
+      nClusters, s"$dir/assignments")
+  }
+
+  /** Cluster assignment rows toward their output directory before the
+    * dynamic-partitioning write: without it every upstream task writes a
+    * file into every cluster dir (tasks × nClusters small files — the
+    * classic dynamic-partition file explosion; at cluster scale that is
+    * 10⁵+ tiny files per rewrite). Clustering on centroid_id ALONE would
+    * cap write parallelism at nClusters, so a second hash slice keeps
+    * every core writing while bounding the layout to `slices` files per
+    * cluster dir. Streaming micro-batch appends skip this — a shuffle
+    * per tiny batch costs more than the files it saves. */
+  private def clusteredWrite(assigned: DataFrame, nClusters: Int,
+                             path: String): Unit = {
+    val slices = math.max(1,
+      assigned.sparkSession.sparkContext.defaultParallelism / nClusters)
+    assigned
+      .repartition(nClusters * slices, col("centroid_id"),
+        pmod(hash(col("cand_id")), lit(slices)))
       .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/assignments")
+      .parquet(path)
   }
 
   /** Search a persisted [[writeIndex]] index. Result-identical to running
@@ -275,8 +294,8 @@ object Similarity {
         .select(col("cand_id"), col("cand_vec"), col("centroid_id")))
     }
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.assignments.compact")
-    merged.write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(tmp.toString)
+    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+    clusteredWrite(merged, math.max(1, nClusters), tmp.toString)
     // merge the old high-waters with everything folded in this pass
     val folded = live.flatMap(batchDirKey)
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
@@ -420,10 +439,10 @@ object Similarity {
     val tmpC = new org.apache.hadoop.fs.Path(s"$dir/.centroids.staging")
     val tmpA = new org.apache.hadoop.fs.Path(s"$dir/.assignments.staging")
     cents.coalesce(1).write.mode("overwrite").parquet(tmpC.toString)
-    nearestCentroids(old.select(col("cand_id"), col("cand_vec")),
-        cents, "cand_id", "cand_vec", 1)
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(tmpA.toString)
+    clusteredWrite(
+      nearestCentroids(old.select(col("cand_id"), col("cand_vec")),
+        cents, "cand_id", "cand_vec", 1),
+      nClusters, tmpA.toString)
     // drift stats from the STAGED layout, while the old one is still live
     // — one join on cand_id, before either swap can disturb a reader
     val Seq((total, moved)) = spark.read.parquet(tmpA.toString)

@@ -31,27 +31,59 @@ object TextQueries {
     .empty[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]
 
+  /** Memoize+persist the winnowed (k=12, w=8) fingerprints of the BASE
+    * `documents` table — the corpus-side staging frame EVERY substring-dup
+    * gate unions its (tiny, synthetic) extra docs onto. The prefix-copy
+    * gates and the multi-island gate use different augs, so they can't
+    * share a spans frame — but ~99% of each aug IS the base corpus, and
+    * winnowing it is the scan-heavy half of every one of those gates.
+    * At 100 TB this is exactly the "fingerprint the corpus once, reuse
+    * across analyses" shape. */
+  private val baseFpsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  private def baseFps(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame =
+    baseFpsCache.getOrElseUpdate((s, dir),
+      Dedup.winnowPosFingerprints(t(s, dir, "documents"), "doc_id",
+          "text", k = 12, w = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def prefixAug(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame = {
     val docs = t(s, dir, "documents")
-    docs.select("doc_id", "text").union(
-      docs.where(col("doc_id") < 30)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          substring(col("text"), 1, 120).as("text")))
+    docs.select("doc_id", "text").union(prefixExtras(s, dir))
   }
+
+  private def prefixExtras(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents").where(col("doc_id") < 30)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        substring(col("text"), 1, 120).as("text"))
 
   private def prefixDupSpans(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame =
     spansCache.getOrElseUpdate((s, dir),
-      Dedup.substringDupSpans(prefixAug(s, dir), "doc_id", "text",
-          k = 12, w = 8, minShared = 2)
+      buildPrefixDupSpans(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  private def buildPrefixDupSpans(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    Dedup.substringDupSpansFromFps(
+      baseFps(s, dir).union(Dedup.winnowPosFingerprints(
+        prefixExtras(s, dir), "doc_id", "text", k = 12, w = 8)),
+      minShared = 2)
+
   /** Drop the memoized spans frames held for `s` (all dirs). */
-  def evictCaches(s: org.apache.spark.sql.SparkSession): Unit =
+  def evictCaches(s: org.apache.spark.sql.SparkSession): Unit = {
     spansCache.keys.filter(_._1 eq s).foreach { k =>
       spansCache.remove(k).foreach(_.unpersist(blocking = false))
     }
+    baseFpsCache.keys.filter(_._1 eq s).foreach { k =>
+      baseFpsCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
 
   /** Fixture model for q_text_classifier: 64 hashed-bucket weights from a
     * deterministic formula (6-dp values round-trip exactly through both
@@ -375,13 +407,13 @@ object TextQueries {
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY id1, id2""".stripMargin
     }) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val aug = docs.select("doc_id", "text").union(
-        docs.where(col("doc_id") < 30)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            substring(col("text"), 1, 120).as("text")))
-      Dedup.substringDupPairs(aug, "doc_id", "text",
-          k = 12, w = 8, minShared = 2)
+      // the distinct-per-doc fp frame reduces from the SAME memoized
+      // corpus fingerprint staging the span gates use (positions dropped)
+      Dedup.substringDupPairsFromDistinctFps(
+          baseFps(s, dir).union(Dedup.winnowPosFingerprints(
+            prefixExtras(s, dir), "doc_id", "text", k = 12, w = 8))
+            .select("id", "fp").distinct(),
+          minShared = 2)
         .orderBy("id1", "id2")
     },
 
@@ -607,14 +639,19 @@ object TextQueries {
          |FROM cln ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val aug = docs.select("doc_id", "text").union(
-        docs.where(col("doc_id") < 40 && length(col("text")) >= 250)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            concat(substring(col("text"), 1, 90), lit(" <<"),
-              md5(col("doc_id").cast("string")), lit(">> "),
-              substring(col("text"), 120, 90)).as("text")))
-      val posns = Dedup.substringDupPositions(aug, "doc_id", "text",
-        k = 12, w = 8, minShared = 2)
+      val extras = docs
+        .where(col("doc_id") < 40 && length(col("text")) >= 250)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 90), lit(" <<"),
+            md5(col("doc_id").cast("string")), lit(">> "),
+            substring(col("text"), 120, 90)).as("text"))
+      val aug = docs.select("doc_id", "text").union(extras)
+      // corpus fingerprints come from the shared memoized staging frame;
+      // only the 40 synthetic marker docs are winnowed here
+      val posns = Dedup.substringDupPositionsFromFps(
+        baseFps(s, dir).union(Dedup.winnowPosFingerprints(
+          extras, "doc_id", "text", k = 12, w = 8)),
+        minShared = 2)
       Dedup.removeMatchedSpans(aug, "doc_id", "text", posns, k = 12, w = 8)
         .select(col("id").as("doc_id"), col("n_islands"),
           length(col("clean")).as("clean_n"),
