@@ -917,4 +917,229 @@ object JpegCodec {
     marker(0xd9) // EOI
     out.toByteArray
   }
+
+  // ------------------------------------------------------------------
+  // Arbitrary-coefficient fixtures: the same zigzag-ordered quantized
+  // coefficient blocks delivered as a SEQUENTIAL (SOF0) stream and as
+  // an AC-REFINED PROGRESSIVE (SOF2) stream, so the two decodes must
+  // converge bit-for-bit. The progressive script is the T.81 G.2
+  // successive-approximation shape the flat fixtures cannot reach:
+  // AC first at Al=1, then an AC refinement scan (Ah=1 → Al=0) with
+  // correction bits on history coefficients, newly-significant ±1
+  // placement, ZRL inside refinement, cross-block EOB runs carrying
+  // buffered correction bits, and a DHT redefinition between scans.
+  // ------------------------------------------------------------------
+
+  private def writeGrayHeader(out: java.io.ByteArrayOutputStream,
+                              sof: Int, w: Int, h: Int): Unit = {
+    def u16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xdb); u16(2 + 1 + 64) // DQT all 8s
+    out.write(0x00)
+    (0 until 64).foreach(_ => out.write(8))
+    out.write(0xff); out.write(sof); u16(2 + 6 + 3) // 1 component 1x1
+    out.write(8); u16(h); u16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+  }
+
+  private def writeDht(out: java.io.ByteArrayOutputStream,
+                       entries: Seq[(Int, Array[Int], Array[Byte])]): Unit = {
+    def u16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xc4)
+    u16(2 + entries.map { case (_, _, v) => 1 + 16 + v.length }.sum)
+    entries.foreach { case (cls, counts, vals) =>
+      out.write(cls); counts.foreach(out.write)
+      vals.foreach(v => out.write(v & 0xff))
+    }
+  }
+
+  private def dcSize(mag: Int): Int = 32 - Integer.numberOfLeadingZeros(mag)
+
+  /** Grayscale SEQUENTIAL JPEG from full zigzag coefficient blocks
+    * (DC at index 0, signed, quant all 8s). Annex K tables. */
+  def buildJpegGrayFromCoefs(w: Int, h: Int,
+                             blocks: Array[Array[Int]]): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      s"dimensions must be 8-multiples, got ${w}x$h")
+    require(blocks.length == (w / 8) * (h / 8) &&
+      blocks.forall(_.length == 64), "need one 64-coef array per block")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+    writeGrayHeader(out, 0xc0, w, h)
+    writeDht(out, Seq((0x00, StdDcCounts, StdDcVals),
+      (0x10, StdAcCounts, StdAcVals)))
+    out.write(0xff); out.write(0xda); u16(2 + 1 + 2 + 3) // SOS
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val dcCodes = huffCodes(StdDcCounts, StdDcVals)
+    val acCodes = huffCodes(StdAcCounts, StdAcVals)
+    val bw = new BitWriter(out)
+    var pred = 0
+    blocks.foreach { c =>
+      val diff = c(0) - pred
+      pred = c(0)
+      val s = dcSize(math.abs(diff))
+      val (code, len) = dcCodes(s)
+      bw.put(code, len)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      var r = 0
+      var k = 1
+      while (k <= 63) {
+        val t = c(k)
+        if (t == 0) r += 1
+        else {
+          while (r > 15) {
+            val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); r -= 16
+          }
+          val sz = dcSize(math.abs(t))
+          val (ac, al) = acCodes((r << 4) | sz)
+          bw.put(ac, al)
+          bw.put(if (t >= 0) t else t + (1 << sz) - 1, sz)
+          r = 0
+        }
+        k += 1
+      }
+      if (r > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Grayscale AC-REFINED PROGRESSIVE (SOF2) twin of
+    * [[buildJpegGrayFromCoefs]] — three scans: full-precision DC first;
+    * AC 1..63 first at Al=1 (values arithmetically halved, so every odd
+    * coefficient is incomplete and every ±1 is invisible); AC 1..63
+    * refinement at Ah=1, Al=0 delivering the missing low bits as
+    * correction bits and the ±1s as newly-significant placements. The
+    * refinement entropy coder follows T.81 G.2 (the libjpeg
+    * encode_mcu_AC_refine structure): zero runs count zero-HISTORY
+    * positions only, history coefficients buffer one correction bit
+    * each and flush after the next emitted symbol (ZRL included),
+    * end-of-band tails fold into cross-block EOB runs whose buffered
+    * correction bits follow the EOBn length bits. The refinement scan
+    * redefines AC table 0 mid-stream (EOBn symbols the first-scan table
+    * lacks), exercising the decoder's table latch per scan. */
+  def buildJpegAcRefineProgressive(w: Int, h: Int,
+                                   blocks: Array[Array[Int]]): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      s"dimensions must be 8-multiples, got ${w}x$h")
+    require(blocks.length == (w / 8) * (h / 8) &&
+      blocks.forall(_.length == 64), "need one 64-coef array per block")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      out.write(0xff); out.write(0xda); u16(2 + 1 + 2 + 3)
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    writeGrayHeader(out, 0xc2, w, h)
+    writeDht(out, Seq((0x00, StdDcCounts, StdDcVals),
+      (0x10, StdAcCounts, StdAcVals)))
+    // scan 1: DC first, full precision (Al = 0)
+    sos(0, 0, 0, 0)
+    val dcCodes = huffCodes(StdDcCounts, StdDcVals)
+    var bw = new BitWriter(out)
+    var pred = 0
+    blocks.foreach { c =>
+      val diff = c(0) - pred
+      pred = c(0)
+      val s = dcSize(math.abs(diff))
+      val (code, len) = dcCodes(s)
+      bw.put(code, len)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    bw.flush()
+    // scan 2: AC first at Al = 1 — standard run/size coding of v >> 1
+    // (signed point transform), per-block EOB0, Annex K table
+    sos(1, 63, 0, 1)
+    val acCodes = huffCodes(StdAcCounts, StdAcVals)
+    bw = new BitWriter(out)
+    blocks.foreach { c =>
+      var r = 0
+      var k = 1
+      while (k <= 63) {
+        val t = { val v = c(k); if (v < 0) -(-v >> 1) else v >> 1 }
+        if (t == 0) r += 1
+        else {
+          while (r > 15) {
+            val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); r -= 16
+          }
+          val sz = dcSize(math.abs(t))
+          val (ac, al2) = acCodes((r << 4) | sz)
+          bw.put(ac, al2)
+          bw.put(if (t >= 0) t else t + (1 << sz) - 1, sz)
+          r = 0
+        }
+        k += 1
+      }
+      if (r > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
+    }
+    bw.flush()
+    // scan 3: AC refinement, Ah = 1 → Al = 0, with a refinement-shaped
+    // AC table (EOB0..EOB4, ZRL, (r<<4)|1 for r = 0..14) redefined
+    // mid-stream — 21 symbols, all at code length 5
+    val refVals: Array[Byte] =
+      (Seq(0x00, 0x10, 0x20, 0x30, 0x40, 0xf0) ++
+        (0 to 14).map(r => (r << 4) | 1)).map(_.toByte).toArray
+    val refCounts = Array(0, 0, 0, 0, refVals.length,
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    writeDht(out, Seq((0x10, refCounts, refVals)))
+    val refCodes = huffCodes(refCounts, refVals)
+    sos(1, 63, 1, 0)
+    bw = new BitWriter(out)
+    val bwF = bw
+    def putSym(sym: Int): Unit = {
+      val (c2, l2) = refCodes(sym); bwF.put(c2, l2)
+    }
+    var eobRun = 0
+    val runPend = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def flushEob(): Unit = if (eobRun > 0) {
+      val r = 31 - Integer.numberOfLeadingZeros(eobRun)
+      require(r <= 4, s"EOB run too long for the table: $eobRun")
+      putSym(r << 4)
+      if (r > 0) bwF.put(eobRun - (1 << r), r)
+      runPend.foreach(bwF.put(_, 1))
+      runPend.clear()
+      eobRun = 0
+    }
+    blocks.foreach { c =>
+      // last newly-significant position bounds ZRL emission (trailing
+      // zeros past it fold into the EOB run instead — T.81 G.2)
+      var lastNew = 0
+      var k = 1
+      while (k <= 63) { if (math.abs(c(k)) == 1) lastNew = k; k += 1 }
+      if (lastNew > 0) flushEob() // this block emits symbols of its own
+      var r = 0
+      val pend = scala.collection.mutable.ArrayBuffer.empty[Int]
+      k = 1
+      while (k <= 63) {
+        val v = c(k)
+        val a = math.abs(v)
+        if (a == 0) r += 1
+        else {
+          while (r > 15 && k <= lastNew) {
+            putSym(0xf0); r -= 16
+            pend.foreach(bwF.put(_, 1)); pend.clear()
+          }
+          if (a > 1) pend += (a & 1)
+          else {
+            putSym((r << 4) | 1); r = 0
+            bwF.put(if (v > 0) 1 else 0, 1)
+            pend.foreach(bwF.put(_, 1)); pend.clear()
+          }
+        }
+        k += 1
+      }
+      if (r > 0 || pend.nonEmpty || lastNew == 0) {
+        eobRun += 1 // band tail (or whole band) joins the EOB run
+        runPend ++= pend
+        if (eobRun == 31) flushEob() // table caps EOBn at r = 4
+      }
+    }
+    flushEob()
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
 }

@@ -1285,12 +1285,23 @@ object Multimodal {
           val uri = s"https://example.com/doc/$id"
           val body = (if (text == null) "" else text)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val enc = if (id % 2 == 0) "gzip" else "deflate"
           val payload =
-            if (chunkedGen)
+            if (chunkedGen && id % docsPerFile == 7)
+              // malformed chunk frame: first chunk-size hex digit is
+              // not hex — the decoder must DROP this record (None),
+              // never throw, and the shard's other records survive
+              corruptFirstChunkSize(WarcCodec.httpResponsePayloadChunked(
+                200, body, chunkSize = 64, contentEncoding = Some(enc)))
+            else if (chunkedGen && id % docsPerFile == 11)
+              // truncated compressed stream inside INTACT chunk
+              // framing: dechunk succeeds, the strict inflate hits EOF
+              // mid-stream — drop-record-not-throw again, and never a
+              // half document posing as whole
+              truncatedEncodedChunked(body, enc)
+            else if (chunkedGen)
               WarcCodec.httpResponsePayloadChunked(200, body,
-                chunkSize = 64,
-                contentEncoding =
-                  Some(if (id % 2 == 0) "gzip" else "deflate"))
+                chunkSize = 64, contentEncoding = Some(enc))
             else
               WarcCodec.httpResponsePayload(200, body,
                 Seq("X-Doc-Id" -> id.toString))
@@ -1310,6 +1321,44 @@ object Multimodal {
 
   private def warcDate(id: Long): String =
     f"2026-01-01T00:00:${(id % 60 + 60) % 60}%02dZ"
+
+  /** Fixture corruption: overwrite the first chunk-size hex digit (the
+    * byte right after the header CRLFCRLF) with a non-hex character. */
+  private def corruptFirstChunkSize(payload: Array[Byte]): Array[Byte] = {
+    val out = payload.clone()
+    var i = 0
+    while (i + 3 < out.length && !(out(i) == '\r' && out(i + 1) == '\n' &&
+      out(i + 2) == '\r' && out(i + 3) == '\n')) i += 1
+    out(i + 4) = 'z'.toByte
+    out
+  }
+
+  /** Fixture corruption: a chunked response whose chunk FRAMING is
+    * intact but whose gzip/deflate entity stream is cut mid-stream, so
+    * only the strict content-decoding stage can reject it. */
+  private def truncatedEncodedChunked(body: Array[Byte],
+                                      enc: String): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val zo: java.io.OutputStream =
+      if (enc == "gzip") new java.util.zip.GZIPOutputStream(bo)
+      else new java.util.zip.DeflaterOutputStream(bo)
+    zo.write(body); zo.close()
+    val full = bo.toByteArray
+    val cut = java.util.Arrays.copyOfRange(full, 0,
+      math.max(1, full.length / 2))
+    val head = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/plain; charset=utf-8\r\n" +
+      s"Content-Encoding: $enc\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" +
+      cut.length.toHexString + "\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head)
+    out.write(cut)
+    out.write("\r\n0\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.toByteArray
+  }
 
   /** Crawl-shard ingestion: explode each WARC shard into its HTTP
     * response documents — sniff plain-vs-gzip shards

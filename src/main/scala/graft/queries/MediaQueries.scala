@@ -990,7 +990,13 @@ object MediaQueries {
     // strip each HTTP/1.1 header block, and hand back the exact UTF-8
     // body; URI and WARC-Date are replayed from doc_id formulas and the
     // body must md5-match the source column. The first job of a real
-    // crawl lake, end to end, as one scan-local flatMap.
+    // crawl lake, end to end, as one scan-local flatMap. The chunked
+    // generation (shard % 3 == 2) also plants two DAMAGED records per
+    // shard — a malformed chunk-size line (doc % 16 == 7) and a
+    // compressed entity truncated mid-stream inside intact chunk
+    // framing (doc % 16 == 11) — and the oracle EXCLUDES exactly those
+    // doc_ids: the decoder must drop each damaged record (None, never a
+    // throw, never partial text) while every shard-mate survives.
     Q("q_multimodal_warc_records",
       """SELECT doc_id,
         |       'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
@@ -998,7 +1004,9 @@ object MediaQueries {
         |       CAST(200 AS INTEGER) AS http_status,
         |       CAST(length(text) AS BIGINT) AS n_chars,
         |       md5(text) AS text_md5
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM documents
+        |WHERE NOT ((doc_id // 16) % 3 = 2 AND doc_id % 16 IN (7, 11))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import graft.multimodal.Multimodal
       Multimodal.warcResponses(
           Multimodal.syntheticWarcFiles(t(s, dir, "documents")))
@@ -1062,6 +1070,74 @@ object MediaQueries {
           }
         }
         .toDF("media_id", "width", "height", "px_md5")
+        .orderBy("media_id")
+    },
+
+    // AC-REFINED progressive JPEG (the successive-approximation corner
+    // the flat fixture can't reach): per doc a coefficient set with
+    // history corrections, newly-significant ±1 after a >16 zero run
+    // (ZRL inside refinement), EOB runs carrying buffered correction
+    // bits, and a mid-stream DHT redefinition — delivered BOTH as a
+    // sequential SOF0 stream and as the 3-scan SOF2 script. The gate
+    // hashes (a) exact pixel convergence of the two decodes and (b)
+    // agreement with the JDK's independent ImageIO decoder within 1
+    // IDCT rounding step, per stream. A decoder that drops correction
+    // bits, misplaces a newly-significant coefficient, or misreads an
+    // EOB run diverges from the sequential twin immediately.
+    Q("q_multimodal_jpeg_ac_refine",
+      """SELECT doc_id AS media_id,
+        |       CAST(8 * (doc_id % 3 + 2) AS INT) AS width,
+        |       CAST(8 * (doc_id % 2 + 2) AS INT) AS height,
+        |       TRUE AS converged, TRUE AS imageio_ok
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.JpegCodec
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { b =>
+            val w = 8 * (b % 3 + 2).toInt
+            val h = 8 * (b % 2 + 2).toInt
+            val blocks = Array.tabulate((w / 8) * (h / 8)) { k =>
+              val c = new Array[Int](64)
+              c(0) = ((b * 7 + k * 13 + 37) % 256).toInt - 128
+              (k % 5) match {
+                case 0 => c(1) = 5; c(2) = -3; c(20) = 1
+                case 1 => ()
+                case 2 => c(1) = -1; c(10) = 4
+                case 3 => c(5) = 2; c(40) = -7
+                case _ => c(3) = 9; c(63) = 1
+              }
+              c
+            }
+            val seq = JpegCodec.buildJpegGrayFromCoefs(w, h, blocks)
+            val prog = JpegCodec.buildJpegAcRefineProgressive(w, h, blocks)
+            val ds = JpegCodec.decodeJpegPixels(seq)
+            val dp = JpegCodec.decodeJpegPixels(prog)
+            val converged = ds.nonEmpty && dp.nonEmpty &&
+              ds.get.width == w && ds.get.height == h &&
+              java.util.Arrays.equals(ds.get.pixels, dp.get.pixels)
+            val imageioOk = dp.nonEmpty && Seq(seq, prog).forall { bytes =>
+              val ref = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              ref != null && {
+                var ok = true
+                var y = 0
+                while (ok && y < h) {
+                  var x = 0
+                  while (ok && x < w) {
+                    ok = math.abs((dp.get.pixels(y * w + x) & 0xff) -
+                      ref.getRaster.getSample(x, y, 0)) <= 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                ok
+              }
+            }
+            (b, w, h, converged, imageioOk)
+          }
+        }
+        .toDF("media_id", "width", "height", "converged", "imageio_ok")
         .orderBy("media_id")
     },
 

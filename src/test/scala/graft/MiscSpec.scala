@@ -810,6 +810,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got("https://example.com/doc/1")._4 == "")
   }
 
+  test("warcResponses: damaged records in the chunked generation drop " +
+      "while their shard-mates survive") {
+    // doc ids 32..47 land in file 2 -> the chunked+encoded generation;
+    // %16==7 (id 39) carries a malformed chunk-size line, %16==11
+    // (id 43) a mid-stream-truncated compressed entity
+    val rows = (32L to 47L).map(i => (i, s"body of doc $i with some " +
+      "padding text to give the compressor something real to chew on"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.warcResponses(
+        Multimodal.syntheticWarcFiles(rows, docsPerFile = 16))
+      .collect().map(r => (r.getString(1),
+        r.getString(4))).toMap
+    val urls = got.keySet
+    assert(!urls.contains("https://example.com/doc/39"),
+      "malformed chunk frame must drop its record")
+    assert(!urls.contains("https://example.com/doc/43"),
+      "truncated compressed entity must drop its record")
+    (32L to 47L).filterNot(i => i == 39 || i == 43).foreach { i =>
+      assert(got.get(s"https://example.com/doc/$i")
+        .contains(s"body of doc $i with some padding text to give the " +
+          "compressor something real to chew on"), s"doc $i lost")
+    }
+  }
+
   test("parseWarcGz: corrupt gzip -> Nil, truncated tail keeps prefix, bomb capped") {
     import graft.multimodal.WarcCodec
     val r1 = WarcCodec.WarcRecord("response", Some("https://example.com/a"),
@@ -914,6 +938,63 @@ class MultimodalSpec extends SparkSpec {
     for (y <- 0 until 24; x <- 0 until 32) {
       val expect = vals((y / 8) * 4 + x / 8)
       assert((d.pixels(y * 32 + x) & 0xff) == expect, s"($x,$y)")
+    }
+  }
+
+  test("jpeg AC-refinement progressive: successive-approximation AC " +
+      "scans (Ss>0, Ah>0) converge with the sequential twin and with " +
+      "ImageIO") {
+    import graft.multimodal.JpegCodec
+    // per-block coefficient patterns chosen to force every refinement
+    // path: history coefficients with 1- and 0-valued correction bits,
+    // newly-significant ±1 after a >16 zero-history run (ZRL inside the
+    // refinement scan), corrections buffered across the run, blocks
+    // with only history (EOB-run members carrying correction bits),
+    // all-zero blocks extending the run, and a band-end coefficient
+    def mkBlocks(w: Int, h: Int, seed: Int): Array[Array[Int]] =
+      Array.tabulate((w / 8) * (h / 8)) { k =>
+        val c = new Array[Int](64)
+        c(0) = (seed * 7 + k * 13 + 37) % 256 - 128
+        (k % 5) match {
+          case 0 => // history ±, then newly-significant after ZRL run
+            c(1) = 5; c(2) = -3; c(20) = 1
+          case 1 => () // all-zero band: EOB-run member
+          case 2 => // newly-significant first, then history w/ 0 bit
+            c(1) = -1; c(10) = 4
+          case 3 => // only history: joins the EOB run with corrections
+            c(5) = 2; c(40) = -7
+          case _ => // band-end newly-significant + odd history
+            c(3) = 9; c(63) = 1
+        }
+        c
+      }
+    for (seed <- 0 until 6) {
+      val w = 8 * (seed % 3 + 2)
+      val h = 8 * (seed % 2 + 2)
+      val blocks = mkBlocks(w, h, seed)
+      val seq = JpegCodec.buildJpegGrayFromCoefs(w, h, blocks)
+      val prog = JpegCodec.buildJpegAcRefineProgressive(w, h, blocks)
+      // the progressive stream really is SOF2 with three scans
+      assert(prog.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+      assert(prog.sliding(2).count(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda) == 3)
+      val ds = JpegCodec.decodeJpegPixels(seq).get
+      val dp = JpegCodec.decodeJpegPixels(prog).get
+      assert((dp.width, dp.height) == ((w, h)))
+      assert(java.util.Arrays.equals(ds.pixels, dp.pixels),
+        s"seed $seed: sequential and AC-refined progressive diverge")
+      // independent decoder agrees within IDCT rounding
+      for ((bytes, label) <- Seq((seq, "seq"), (prog, "prog"))) {
+        val ref = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        var maxDiff = 0
+        for (y <- 0 until h; x <- 0 until w)
+          maxDiff = math.max(maxDiff, math.abs(
+            (dp.pixels(y * w + x) & 0xff) -
+              ref.getRaster.getSample(x, y, 0)))
+        assert(maxDiff <= 1, s"seed $seed $label: ImageIO diff $maxDiff")
+      }
     }
   }
 
