@@ -1093,6 +1093,68 @@ object CurationQueries {
         .orderBy("w1", "w2")
     },
 
+    // CCNet-shape perplexity filter (operators.BackoffLm): train a bigram
+    // stupid-backoff LM on the even-doc_id half of the corpus, score EVERY
+    // document in integer micro-nats (per-token costs quantized before the
+    // sum — no float-order exposure), flag documents whose average cost
+    // exceeds the corpus-wide per-token average. Held-out odd docs hit the
+    // unseen-bigram/unseen-unigram backoff paths, so the 0.4-factor
+    // arithmetic is on the gated path, not just the seen-count ratio.
+    Q("q_text_ppl_filter",
+      s"""WITH toks AS (SELECT doc_id, ${TextQueries.sqlToks} AS ts
+         |              FROM documents),
+         |tr AS (SELECT ts FROM toks WHERE doc_id % 2 = 0),
+         |uc AS (SELECT t AS w, count(*) AS c
+         |       FROM (SELECT unnest(ts) AS t FROM tr) GROUP BY 1),
+         |nn AS (SELECT greatest(CAST(coalesce(sum(c), 0) AS DOUBLE), 1.0)
+         |              AS n FROM uc),
+         |bc AS (SELECT b[1] AS w1, b[2] AS w2, count(*) AS c12
+         |       FROM (SELECT unnest(list_transform(range(1, len(ts)),
+         |                      i -> [ts[i], ts[i+1]])) AS b
+         |             FROM tr WHERE len(ts) >= 2) GROUP BY 1, 2),
+         |cx AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+         |st AS (SELECT doc_id, x.i AS i, x.w AS w, x.pw AS pw
+         |       FROM (SELECT doc_id,
+         |               unnest(list_transform(range(1, len(ts) + 1),
+         |                 i -> {'i': i, 'w': ts[i],
+         |                       'pw': CASE WHEN i > 1 THEN ts[i-1] END}))
+         |                 AS x
+         |             FROM toks WHERE len(ts) >= 1)),
+         |cost AS (SELECT s.doc_id,
+         |           CAST(floor(-1000000.0 * ln(
+         |             CASE WHEN bc.c12 IS NOT NULL
+         |                  THEN CAST(bc.c12 AS DOUBLE) / cx.c1
+         |                  ELSE (CASE WHEN s.i = 1 THEN 1.0 ELSE 0.4 END)
+         |                       * coalesce(CAST(uc.c AS DOUBLE), 0.4)
+         |                       / nn.n END) + 0.5) AS BIGINT) AS unats
+         |         FROM st s
+         |         LEFT JOIN uc ON uc.w = s.w
+         |         LEFT JOIN bc ON bc.w1 = s.pw AND bc.w2 = s.w
+         |         LEFT JOIN cx ON cx.w1 = s.pw
+         |         CROSS JOIN nn),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |             CAST(sum(unats) AS BIGINT) AS total_unats
+         |      FROM cost GROUP BY 1),
+         |g AS (SELECT CAST(sum(total_unats) AS BIGINT)
+         |             // CAST(sum(n_tokens) AS BIGINT) AS gavg FROM d)
+         |SELECT doc_id, n_tokens, total_unats,
+         |       total_unats // n_tokens AS avg_unats,
+         |       (total_unats // n_tokens) > g.gavg AS flagged
+         |FROM d CROSS JOIN g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.BackoffLm
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("ts"))
+      val m = BackoffLm.train(
+        toks.where(col("doc_id") % 2 === 0).select("ts"))
+      val scored = BackoffLm.score(toks, m)
+      val g = scored.agg(
+        expr("sum(total_unats) div sum(n_tokens)").as("gavg"))
+      scored.crossJoin(broadcast(g))
+        .select(col("doc_id"), col("n_tokens"), col("total_unats"),
+          col("avg_unats"), (col("avg_unats") > col("gavg")).as("flagged"))
+        .orderBy("doc_id")
+    },
+
     // Token-distribution entropy per language — the corpus-diversity
     // signal (low entropy = repetitive/templated text). Same
     // -sum(p·ln p) fold both engines; rounded like every float

@@ -1254,6 +1254,19 @@ class Bm25IndexSpec extends SparkSpec {
     val plan = indexed.queryExecution.executedPlan.toString
     assert(plan.contains("term_bucket"),
       s"no term_bucket partition pruning visible:\n$plan")
+    // clustered-write layout contract: the two-key repartition before the
+    // dynamic partitionBy bounds files per bucket dir at `slices`
+    // (cores / IndexBuckets), instead of upstream-tasks x dirs
+    val slices = math.max(1,
+      spark.sparkContext.defaultParallelism / Bm25.IndexBuckets)
+    val bucketDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("term_bucket="))
+    assert(bucketDirs.nonEmpty, "no term_bucket partition dirs written")
+    for (d <- bucketDirs) {
+      val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts <= slices,
+        s"${d.getName} has $parts part files, layout cap is $slices")
+    }
   }
 
   test("over-cap query term set falls back to the distributed join " +
@@ -1555,5 +1568,66 @@ class TextCleanSpec extends SparkSpec {
       .map(r => r._1 -> r._4).toMap
     assert(got(1L) == "a b c|dup line here", s"got ${got(1L)}")
     assert(got(2L) == "x y z", s"got ${got(2L)}")
+  }
+}
+
+/** Bigram stupid-backoff LM scoring (the CCNet-shape perplexity
+  * filter): hand-verified micro-nat costs on a fixture small enough to
+  * walk every backoff branch, plus the separation property the filter
+  * exists for. */
+class BackoffLmSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def unats(p: Double): Long =
+    math.floor(-1e6 * math.log(p) + 0.5).toLong
+
+  test("score walks seen-bigram, backoff-to-unigram, and unseen-token " +
+      "branches with exact integer micro-nat costs") {
+    val train = Seq(Tuple1(Seq("a", "b", "a"))).toDF("ts")
+    val m = BackoffLm.train(train)
+    assert(m.nTokens == 3L)
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")), // seen uni, seen bigram, double backoff
+      (2L, Seq("a")),           // single token: unigram only, no 0.4
+      (3L, Seq.empty[String])). // zero tokens: dropped, not divided by
+      toDF("doc_id", "ts")
+    val got = BackoffLm.score(docs, m)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: S(a)=2/3; S(b|a)=c12(a,b)/c1(a)=1/1 (cost 0);
+    //        S(c|b) backs off twice: 0.4 * (0.4 / 3)
+    val c1 = unats(2.0 / 3) + unats(1.0) + unats(0.4 * 0.4 / 3)
+    assert(got(1L) == ((3L, c1, c1 / 3)), s"got ${got(1L)}")
+    // doc 2: first token has no context -> NO 0.4 factor on the unigram
+    assert(got(2L) == ((1L, unats(2.0 / 3), unats(2.0 / 3))))
+    assert(!got.contains(3L), "zero-token doc must be dropped")
+  }
+
+  test("bigram denominator is the context count (sum of bigrams), not " +
+      "the raw unigram count") {
+    // 'a' appears 3 times but only twice as a bigram CONTEXT (the final
+    // 'a' ends the doc) -> S(b|a) must be 2/2 = 1, not 2/3
+    val m = BackoffLm.train(Seq(Tuple1(Seq("a", "b", "a", "b", "a")))
+      .toDF("ts"))
+    val got = BackoffLm.score(Seq((1L, Seq("a", "b"))).toDF("doc_id", "ts"), m)
+      .as[(Long, Long, Long, Long)].collect().head
+    // S(a)=3/5 then S(b|a)=2/2: total = unats(3/5) + 0
+    assert(got._3 == unats(3.0 / 5), s"got $got")
+  }
+
+  test("held-out documents with unseen vocabulary score strictly worse " +
+      "than in-domain text (the property the filter ranks on)") {
+    val m = BackoffLm.train(
+      Seq(Tuple1(Seq("the", "quick", "fox", "jumps", "the", "quick"))).toDF("ts"))
+    val docs = Seq(
+      (1L, Seq("the", "quick", "fox")),
+      (2L, Seq("zxq", "vvw", "qqj"))).toDF("doc_id", "ts")
+    val got = BackoffLm.score(docs, m)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got(2L) > got(1L),
+      s"unseen-vocab doc must cost more: $got")
   }
 }
