@@ -83,13 +83,21 @@ object Bm25 {
     toks.agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks"))).as("n_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    // cluster rows toward their bucket dir, but NOT on term_bucket
+    // alone — that would cap the write at IndexBuckets tasks. The
+    // second hash slice keeps every core writing while bounding the
+    // layout to `slices` files per bucket dir (same shape as
+    // Similarity's clustered index writes).
+    val slices = math.max(1,
+      docs.sparkSession.sparkContext.defaultParallelism / IndexBuckets)
     toks
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
       .withColumn("term_bucket",
         pmod(hash(col("term")), lit(IndexBuckets)))
-      .repartition(col("term_bucket"))
+      .repartition(IndexBuckets * slices, col("term_bucket"),
+        pmod(hash(col("doc_id")), lit(slices)))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$dir/postings")
   }
