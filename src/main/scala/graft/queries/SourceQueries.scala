@@ -166,6 +166,52 @@ object SourceQueries {
           .orderBy("lang")
     },
 
+    // Avro OCF round-trip with planted damage: the corpus written as one
+    // deflate container per partition (sources.AvroCodec — Spark ships
+    // the Avro runtime but not the DataSource, so the codec drives the
+    // container format through the binaryFile seam), read back and
+    // rolled up per language. Two hostile files live in the same dir: a
+    // mid-block-truncated container of fake 'xx' rows (the damaged block
+    // must drop entirely, not partially decode) and a non-Avro byte blob
+    // (dropped whole) — a leak from either creates an 'xx' group and
+    // flips the row count. DuckDB cannot read Avro, so the oracle
+    // recomputes the same rollup from the parquet source: agreement pins
+    // write/read fidelity for every value of every column.
+    Q("q_source_avro",
+      """WITH h AS (SELECT lang, n_chars,
+        |             md5(CAST(doc_id AS VARCHAR) || ':' || text) AS dh
+        |           FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       CAST(min(7919 * (1 + n_chars % 97)) AS BIGINT) AS probe,
+        |       md5(string_agg(dh, ' ' ORDER BY dh)) AS docs_md5
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import graft.sources.AvroCodec
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_avro_roundtrip_" +
+          Integer.toHexString(dir.hashCode)).toString
+      // clean slate — a stale dir from a wider-partition run would leak
+      // extra part files into the glob
+      val hPath = new org.apache.hadoop.fs.Path(tmp)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hPath, true)
+      val docs = graft.engine.Tables.t(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars", "text")
+      AvroCodec.writeAvro(docs, tmp)
+      plantDamagedAvro(tmp)
+      AvroCodec.readAvro(s, tmp, StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("n_chars", LongType), StructField("text", StringType))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+          min(lit(7919) * (lit(1) + col("n_chars") % 97))
+            .cast("long").as("probe"),
+          md5(array_join(array_sort(collect_list(
+            md5(concat(col("doc_id").cast("string"), lit(":"),
+              col("text"))))), " ")).as("docs_md5"))
+        .orderBy("lang")
+    },
+
     // Time travel (sources.Versioned): two successive commits of a
     // rollup table — the 1996 close and the 1997 close — then BOTH
     // versions read back through the pointer history and compared
@@ -267,6 +313,41 @@ object SourceQueries {
     .get(sys.props("java.io.tmpdir"), "graft_schema_merge", "v1").toString
   private[queries] lazy val schemaMergeV2: String = java.nio.file.Paths
     .get(sys.props("java.io.tmpdir"), "graft_schema_merge", "v2").toString
+
+  /** Plant the q_source_avro hostile files: a deflate OCF of five fake
+    * lang='xx' rows (all in ONE block) truncated mid-block — intact-block
+    * decoding must surrender all five — and a blob that is not an Avro
+    * container at all. Idempotent fixed names, deterministic bytes. */
+  private def plantDamagedAvro(dir: String): Unit = {
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+      GenericRecord}
+    val st = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("text", StringType)))
+    val schema = graft.sources.AvroCodec.avroSchema(st)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(CodecFactory.deflateCodec(6))
+    w.create(schema, bos)
+    (1 to 5).foreach { i =>
+      val rec = new GenericData.Record(schema)
+      rec.put("doc_id", -i.toLong)
+      rec.put("lang", "xx")
+      rec.put("n_chars", 0L)
+      rec.put("text", s"must never surface $i")
+      w.append(rec)
+    }
+    w.close()
+    val bytes = bos.toByteArray
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "damaged.avro"),
+      java.util.Arrays.copyOf(bytes, bytes.length - 9))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "garbage.avro"),
+      "this is not an avro object container file".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** RFC 4180 CSV fixture: 20 formula rows whose titles exercise quoted
     * commas, doubled-quote escapes, and one embedded newline. */
