@@ -354,6 +354,40 @@ object FunctionQueries {
         .orderBy("layout", "pred_id")
     },
 
+    // Parquet bloom-filter layout (sources.ParquetBloom): orders written
+    // with split-block blooms on o_custkey — the unsorted
+    // high-cardinality key where zone maps are useless (every group's
+    // [min,max] spans the domain) — in ~1 MB row groups, then an IN
+    // point-lookup over a formula key set with most probes ABSENT at
+    // small sf, so the reader-side bloom row-group skip sits on the
+    // executed path (parquet.filter.bloom.enabled is default-on for
+    // pushed = / IN). ParquetBloomSpec proves footer presence,
+    // membership answers, and measured group pruning; this gate owns
+    // end-to-end row fidelity through the bloom-enabled files.
+    Q("q_layout_parquet_bloom", {
+      val keys = (0 until 24).map(k => 7L + 131L * k)
+      s"""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |            AS BIGINT) AS cents
+         |FROM orders WHERE o_custkey IN (${keys.mkString(", ")})
+         |GROUP BY 1 ORDER BY o_custkey""".stripMargin
+    }) { (s, dir) =>
+      import graft.sources.ParquetBloom
+      val keys = (0 until 24).map(k => 7L + 131L * k)
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_pq_bloom_" + Integer.toHexString(dir.hashCode)).toString
+      ParquetBloom.writeWithBloom(
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        tmp, Seq("o_custkey"), rowGroupBytes = 1L << 20)
+      s.read.parquet(tmp)
+        .where(col("o_custkey").isin(keys: _*))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+        .orderBy("o_custkey")
+    },
+
     // Array-column surface (beyond the reference, which only ever unnests):
     // sort / slice / membership / distinct-cardinality on a tokens array,
     // all codegen'd array intrinsics — the nested-type operations a
