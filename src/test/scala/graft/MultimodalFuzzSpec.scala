@@ -150,6 +150,35 @@ class MultimodalFuzzSpec extends AnyFunSuite {
       b => WarcCodec.httpBody(if (b == null) Array.emptyByteArray else b)))
   }
 
+  test("avro container decoder survives random and mutated payloads") {
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    def container(n: Int, deflate: Boolean): Array[Byte] = {
+      val avro = graft.sources.AvroCodec.avroSchema(st)
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](avro))
+      if (deflate)
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      w.create(avro, bos)
+      (0 until n).foreach { i =>
+        val rec = new org.apache.avro.generic.GenericData.Record(avro)
+        rec.put("id", i.toLong)
+        rec.put("name", s"row $i")
+        w.append(rec)
+        if (i % 7 == 6) w.sync()
+      }
+      w.close()
+      bos.toByteArray
+    }
+    val valid = Seq(container(20, deflate = true),
+      container(3, deflate = false))
+    exercise("avro", valid, Seq(
+      b => graft.sources.AvroCodec.decodeContainer(b, st)))
+  }
+
   test("wav parsers survive random and mutated payloads") {
     val valid = Seq(
       AudioCodec.buildWav(2, 44100, 16, 1234L, listPad = 3),

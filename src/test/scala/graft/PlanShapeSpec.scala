@@ -647,4 +647,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"rank-sum AUC must use the bounded prefix scan, not a window:\n$plan")
   }
+
+  test("bloom-layout point lookup pushes the IN predicate to the " +
+      "parquet scan") {
+    // the reader-side bloom row-group skip only engages for predicates
+    // that reach the scan — an unpushed IN filters post-read and the
+    // bloom bytes are dead weight
+    val plan = physical(
+      SparkEntry.queries("q_layout_parquet_bloom")(spark, sf001))
+    assert(plan.contains("PushedFilters: [In(o_custkey"),
+      s"IN predicate not pushed to the bloom-enabled scan:\n$plan")
+    val readSchema = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchema.contains("o_orderkey"),
+      s"projection not pruned on the bloom-enabled scan: $readSchema")
+  }
 }
