@@ -1378,6 +1378,39 @@ object TextQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Positional phrase search (operators.PhraseSearch): exact
+    // consecutive-token matching — the retrieval op a bag-of-words index
+    // cannot express and the decontamination primitive ("does this
+    // benchmark sentence appear verbatim"). Phrases are the first three
+    // tokens of three fixed documents, derived DISTRIBUTEDLY on both
+    // sides (no driver collect); each must at minimum hit its source
+    // doc, and overlapping occurrences count individually. One broadcast
+    // term join + start-vote aggregation regardless of phrase length —
+    // never a k-way self-join chain. The oracle replays every candidate
+    // start with a nested-lambda window compare.
+    Q("q_text_phrase",
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+         |ph AS (SELECT doc_id AS phrase_id, ts[1:3] AS p FROM toks
+         |       WHERE doc_id IN (3, 7, 11)),
+         |m AS (SELECT ph.phrase_id, t.doc_id,
+         |        list_filter(range(1, len(t.ts) - len(ph.p) + 2),
+         |          i -> len(list_filter(range(1, len(ph.p) + 1),
+         |                 j -> t.ts[i + j - 1] = ph.p[j])) = len(ph.p))
+         |          AS starts
+         |      FROM toks t CROSS JOIN ph)
+         |SELECT phrase_id, doc_id, CAST(len(starts) AS BIGINT) AS n_hits,
+         |       CAST(starts[1] AS BIGINT) AS first_pos
+         |FROM m WHERE len(starts) > 0
+         |ORDER BY phrase_id, doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val phrases = docs.where(col("doc_id").isin(3L, 7L, 11L))
+        .select(col("doc_id").as("phrase_id"),
+          slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3)
+            .as("terms"))
+      graft.operators.PhraseSearch.phraseHits(docs, phrases)
+        .orderBy("phrase_id", "doc_id")
+    },
+
     // HTML → text extraction (boilerplate strip): script/style payloads
     // dropped WHOLE (a tag-only strip would leak `var x = 1 < 2;` into
     // the corpus — planted), comments and tags dropped, the six dominant

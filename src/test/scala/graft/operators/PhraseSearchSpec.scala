@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PhraseSearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def phrases(ps: (Long, Seq[String])*) =
+    ps.toDF("phrase_id", "terms")
+
+  test("overlapping occurrences count individually") {
+    val docs = Seq((1L, "a a a a"), (2L, "a b a")).toDF("doc_id", "text")
+    val out = PhraseSearch.phraseHits(docs, phrases(10L -> Seq("a", "a")))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 1L, 3L, 1L)))
+  }
+
+  test("a phrase with a repeated term matches only true windows") {
+    val docs = Seq((1L, "x the big the big the y"),
+      (2L, "the big dog")).toDF("doc_id", "text")
+    val out = PhraseSearch
+      .phraseHits(docs, phrases(1L -> Seq("the", "big", "the")))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L)),
+      s"expected starts 2 and 4 in doc 1 only, got ${out.toSeq}")
+  }
+
+  test("prefix/suffix fragments and cross-doc sequences never match") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    assert(PhraseSearch
+      .phraseHits(docs, phrases(1L -> Seq("beta", "gamma"))).count() == 0)
+    assert(PhraseSearch
+      .phraseHits(docs, phrases(2L -> Seq("alpha", "beta", "gamma")))
+      .count() == 0)
+  }
+
+  test("multiple phrases attribute hits independently") {
+    val docs = Seq((1L, "p q r"), (2L, "q r s"), (3L, "r s"))
+      .toDF("doc_id", "text")
+    val out = PhraseSearch.phraseHits(docs,
+        phrases(1L -> Seq("p", "q"), 2L -> Seq("q", "r"),
+          3L -> Seq("r", "s")))
+      .orderBy("phrase_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 1L), (2L, 2L, 1L),
+      (3L, 2L, 1L), (3L, 3L, 1L)))
+  }
+
+  test("positional postings are 1-based and lowercased") {
+    val docs = Seq((1L, "  Hello   World  ")).toDF("doc_id", "text")
+    val out = PhraseSearch.positionalPostings(docs)
+      .orderBy("pos")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.toSeq == Seq(("hello", 1L), ("world", 2L)))
+  }
+
+  test("the phrase join broadcasts the query side, never a cartesian") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = PhraseSearch.phraseHits(docs, phrases(1L -> Seq("a", "b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase terms must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"phrase search fell back to all-pairs:\n$plan")
+  }
+}
