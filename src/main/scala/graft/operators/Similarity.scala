@@ -211,6 +211,12 @@ object Similarity {
           asDouble(col("embedding")).as("cand_vec")),
         cents, "cand_id", "cand_vec", 1),
       nClusters, s"$dir/assignments")
+    // a full rebuild resets the deletion ledger: standing tombstones
+    // refer to the pre-rebuild corpus, and the caller-provided
+    // candidate set IS the post-rebuild truth
+    val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    ts.getFileSystem(candidates.sparkSession.sparkContext
+      .hadoopConfiguration).delete(ts, true)
   }
 
   /** Cluster assignment rows toward their output directory before the
@@ -249,7 +255,71 @@ object Similarity {
       acc.union(spark.read.parquet(p)
         .select(col("cand_id"), col("cand_vec"), col("centroid_id")))
     }
-    probeRank(all, queries, cents, k, nProbe)
+    // anti-join the deletion ledger BEFORE ranking, so a tombstoned
+    // vector can never occupy a top-k slot; unhinted — AQE broadcasts
+    // the ledger while it is small and shuffles past that (deletions
+    // are unbounded over an index's lifetime until vacuum)
+    val live = tombstoneDf(spark, dir)
+      .map(ts => all.join(ts, Seq("cand_id"), "left_anti"))
+      .getOrElse(all)
+    probeRank(live, queries, cents, k, nProbe)
+  }
+
+  /** Append-only deletion (the training-data right-to-be-forgotten op):
+    * `ids` (a `vec_id` column) land in the `tombstones` ledger; the
+    * vectors stay on disk until [[vacuumIndex]], but [[searchIndex]]
+    * filters them immediately. Never rewrites corpus partitions — a
+    * delete costs one tiny parquet append regardless of index size. */
+  def deleteFromIndex(ids: DataFrame, dir: String): Unit =
+    ids.select(col("vec_id").as("cand_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+
+  private def tombstoneDf(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(
+        _.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(p.toString).select("cand_id").distinct())
+    else None
+  }
+
+  /** Physically remove tombstoned vectors: fold live batch dirs first
+    * ([[compactIndexBatches]] — so one rewrite covers everything, and a
+    * delete-then-re-append within the epoch resolves to DELETED, the
+    * same answer [[searchIndex]] gives), anti-join the ledger snapshot,
+    * rewrite assignments behind the crash-safe staged swap CARRYING the
+    * compaction high-water marker forward, then clear exactly the
+    * ledger files this pass consumed (concurrent new tombstones
+    * survive). Returns the number of rows removed. */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Long = {
+    val tsPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ts = tombstoneDf(spark, dir).getOrElse(return 0L)
+    val consumed = fs.listStatus(tsPath).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    compactIndexBatches(spark, dir)
+    val asgPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+    val base = spark.read.parquet(asgPath.toString)
+      .select(col("cand_id"), col("cand_vec"), col("centroid_id"))
+    val keep = base.join(ts, Seq("cand_id"), "left_anti")
+    val removed = base.count() - keep.count()
+    val marker = readCompactionMarker(fs, asgPath)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.assignments.vacuum")
+    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+    clusteredWrite(keep, math.max(1, nClusters), tmp.toString)
+    if (marker.nonEmpty) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(tmp, "_compacted_batches"), true)
+      try out.write(marker.map { case (t, id) => s"$t\t$id" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    graft.sources.Formats.swapInto(fs, tmp, asgPath)
+    spark.catalog.refreshByPath(asgPath.toString)
+    consumed.foreach(p => fs.delete(p, false))
+    removed
   }
 
   /** EXACTLY-ONCE streaming append: assign `newVectors` against the

@@ -216,6 +216,23 @@ object VectorQueries {
          |SELECT query_id, cand_id, score, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+    /** Delete-lifecycle oracle: the same fit replay (tombstones never
+      * touch the quantizer) with the formula delete set (id % 17 = 3)
+      * excluded from the CANDIDATE side only — a deleted id may still
+      * query, it just can't be retrieved. Two phases of identical rows:
+      * the tombstone-filtered search and the post-vacuum search must
+      * agree row for row, so both the ledger anti-join and the physical
+      * rewrite are pinned by one hash. */
+    lazy val deleteSql: String = sql
+      .replace("WHERE a.id != p.id",
+        "WHERE a.id != p.id AND a.id % 17 != 3")
+      .replace(
+        "SELECT query_id, cand_id, score, rank FROM ranked\n" +
+          "WHERE rank <= 10 ORDER BY query_id, rank",
+        "SELECT ph.phase, query_id, cand_id, score, rank FROM ranked\n" +
+          "CROSS JOIN (SELECT unnest(['tombstoned', 'vacuumed']) AS phase)" +
+          " ph\nWHERE rank <= 10 ORDER BY phase, query_id, rank")
+
     /** Recenter-lifecycle oracle: recenterIndex REFITS the quantizer
       * from the vectors THE INDEX STORES (original corpus + appended
       * batch), so the whole fit replay runs over that union; assignment
@@ -440,6 +457,38 @@ object VectorQueries {
           k = 10, nProbe = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // Index deletion lifecycle through the driver hash
+    // (Similarity.deleteFromIndex / vacuumIndex — the training-data
+    // right-to-be-forgotten op): rebuild, tombstone the formula set
+    // (vec_id % 17 = 3; one tiny ledger append, no corpus rewrite),
+    // search; then VACUUM (physical anti-join rewrite behind the staged
+    // swap, ledger cleared) and search again. Both phases must
+    // hash-match the same filtered fit replay — the ledger anti-join
+    // and the post-vacuum layout pinned by one oracle. A deleted id may
+    // still query (id 3 does); it just can't be retrieved.
+    Q("q_ann_index_delete", IvfReplay.deleteSql) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ivf_index_delete",
+        dir.replace('/', '_').replace(':', '_')).toString
+      // writeIndex's overwrite + tombstone reset makes the gate
+      // idempotent per invocation (bench reps never double-delete)
+      Similarity.writeIndex(emb, idxDir, nClusters = 16)
+      Similarity.deleteFromIndex(
+        emb.where(col("vec_id") % 17 === 3).select("vec_id"), idxDir)
+      def search(phase: String) =
+        Similarity.searchIndex(s, idxDir, emb.where(col("vec_id") < 5),
+            k = 10, nProbe = 4)
+          .withColumn("rank", col("rank").cast("long"))
+          .withColumn("phase", lit(phase))
+      val tombstoned = search("tombstoned")
+      val before = tombstoned.localCheckpoint() // materialize pre-vacuum
+      Similarity.vacuumIndex(s, idxDir)
+      before.unionByName(search("vacuumed"))
+        .select("phase", "query_id", "cand_id", "score", "rank")
+        .orderBy("phase", "query_id", "rank")
     },
 
     // STREAMING index ingestion through the driver hash

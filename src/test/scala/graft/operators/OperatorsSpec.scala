@@ -474,6 +474,87 @@ class SimilaritySpec extends SparkSpec {
     assert(total == emb.count(), s"index holds $total of ${emb.count()}")
   }
 
+  test("tombstoned vectors vanish from search immediately and vacuum " +
+      "makes the removal physical") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    Similarity.writeIndex(emb, dir, nClusters = 8)
+    val deleted = emb.where(col("vec_id") % 17 === 3)
+    val deletedIds = deleted.select("vec_id").as[Long].collect().toSet
+    assert(deletedIds.nonEmpty)
+    Similarity.deleteFromIndex(deleted.select("vec_id"), dir)
+    val qs = emb.where(col("vec_id") < 5)
+    def hits() = Similarity.searchIndex(spark, dir, qs, k = 10, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val tombstoned = hits()
+    assert(tombstoned.nonEmpty &&
+      !tombstoned.exists(r => deletedIds.contains(r._2)),
+      "a tombstoned id surfaced in search results")
+    // reference: ranking over the surviving candidates under the SAME
+    // standing centroids must agree exactly
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val direct = Similarity.ivfTopK(emb.where(col("vec_id") % 17 =!= 3),
+        qs, k = 10, nProbe = 3, centroids = Some(cents))
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(tombstoned.sameElements(direct),
+      "ledger anti-join diverged from ranking the surviving candidates")
+    // vacuum: physical rewrite, ledger consumed, results unchanged
+    val removed = Similarity.vacuumIndex(spark, dir)
+    assert(removed == deletedIds.size.toLong,
+      s"vacuum removed $removed, expected ${deletedIds.size}")
+    val onDisk = spark.read.parquet(s"$dir/assignments")
+      .select("cand_id").as[Long].collect().toSet
+    assert(deletedIds.forall(!onDisk.contains(_)),
+      "vacuum left tombstoned rows in the assignments layout")
+    assert(hits().sameElements(tombstoned),
+      "search results changed across vacuum")
+    assert(Similarity.vacuumIndex(spark, dir) == 0L,
+      "a second vacuum with an empty ledger must be a no-op")
+  }
+
+  test("vacuum folds batches, carries the compaction marker, and a " +
+      "rebuild resets the ledger") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_delmk").toString
+    Similarity.writeIndex(emb.where(col("vec_id") % 2 === 0), dir,
+      nClusters = 4)
+    Similarity.appendBatchDir(emb.where(col("vec_id") % 2 === 1), dir,
+      "t", 0L)
+    Similarity.compactIndexBatches(spark, dir)
+    Similarity.deleteFromIndex(
+      emb.where(col("vec_id") % 17 === 3).select("vec_id"), dir)
+    val removed = Similarity.vacuumIndex(spark, dir)
+    assert(removed > 0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/assignments/_compacted_batches")),
+      "vacuum dropped the compaction high-water marker")
+    // post-vacuum search still ranks the survivors correctly
+    val qs = emb.where(col("vec_id") < 3)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val via = Similarity.searchIndex(spark, dir, qs, k = 5, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val direct = Similarity.ivfTopK(emb.where(col("vec_id") % 17 =!= 3),
+        qs, k = 5, nProbe = 2, centroids = Some(cents))
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(via.nonEmpty && via.sameElements(direct))
+    // a full rebuild resets the deletion ledger
+    Similarity.deleteFromIndex(
+      emb.where(col("vec_id") === 0L).select("vec_id"), dir)
+    Similarity.writeIndex(emb, dir, nClusters = 4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "writeIndex must reset the tombstone ledger")
+    val restored = spark.read.parquet(s"$dir/assignments")
+      .select("cand_id").as[Long].collect().toSet
+    assert(restored.exists(_ % 17 == 3),
+      "post-rebuild layout must hold previously tombstoned ids again")
+    assert(Similarity.searchIndex(spark, dir, qs, k = 5, nProbe = 2)
+      .count() > 0)
+  }
+
   test("corrupt compaction marker fails loudly instead of resurrecting " +
       "folded batches") {
     val emb = t(spark, sf001, "embeddings")
