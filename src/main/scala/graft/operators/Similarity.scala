@@ -274,14 +274,45 @@ object Similarity {
     ids.select(col("vec_id").as("cand_id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
 
+  /** EXACTLY-ONCE streaming deletion: the micro-batch's ids land in the
+    * batch-scoped ledger dataset
+    * `<dir>/tombstones/<md5(tag)>-<batchId>` with OVERWRITE, so a
+    * replayed batch (foreachBatch is at-least-once) rewrites its own
+    * location instead of accreting duplicate ledger rows — the same
+    * idempotency-by-placement contract as [[appendBatchDir]]. (Duplicate
+    * tombstones would be semantically harmless — the ledger reads
+    * distinct — but the ledger would grow with every replay.) */
+  def deleteBatchDir(ids: DataFrame, dir: String, tag: String,
+                     batchId: Long): Unit =
+    ids.select(col("vec_id").as("cand_id")).distinct()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/tombstones/${tagHash(tag)}-$batchId")
+
+  /** Every parquet leaf file under the ledger — batch appends write
+    * flat files, streaming deletes write batch-scoped subdirectories;
+    * one recursive enumeration serves both layouts. */
+  private def tombstoneFiles(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (!fs.exists(root)) return Nil
+    val out = Seq.newBuilder[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    }
+    out.result()
+  }
+
   private def tombstoneDf(spark: org.apache.spark.sql.SparkSession,
                           dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(
-        _.getPath.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(p.toString).select("cand_id").distinct())
-    else None
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = tombstoneFiles(fs, dir)
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.map(_.toString): _*)
+      .select("cand_id").distinct())
   }
 
   /** Physically remove tombstoned vectors: fold live batch dirs first
@@ -297,8 +328,7 @@ object Similarity {
     val tsPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ts = tombstoneDf(spark, dir).getOrElse(return 0L)
-    val consumed = fs.listStatus(tsPath).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
+    val consumed = tombstoneFiles(fs, dir)
     compactIndexBatches(spark, dir)
     val asgPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
     val base = spark.read.parquet(asgPath.toString)
@@ -319,6 +349,13 @@ object Similarity {
     graft.sources.Formats.swapInto(fs, tmp, asgPath)
     spark.catalog.refreshByPath(asgPath.toString)
     consumed.foreach(p => fs.delete(p, false))
+    // drop batch-scoped ledger dirs this pass emptied (concurrent new
+    // deletes into fresh dirs survive; a non-empty dir stays)
+    if (fs.exists(tsPath))
+      fs.listStatus(tsPath).filter(_.isDirectory).map(_.getPath)
+        .filter(p => !fs.listStatus(p).exists(
+          _.getPath.getName.endsWith(".parquet")))
+        .foreach(p => fs.delete(p, true))
     removed
   }
 

@@ -223,9 +223,15 @@ object VectorQueries {
       * the tombstone-filtered search and the post-vacuum search must
       * agree row for row, so both the ledger anti-join and the physical
       * rewrite are pinned by one hash. */
-    lazy val deleteSql: String = sql
+    /** Single-phase filtered replay: candidates minus the formula delete
+      * set, quantizer untouched — the post-delete search contract shared
+      * by the batch ledger (q_ann_index_delete phases it) and the
+      * streaming ledger (q_stream_delete_replay uses it as-is). */
+    lazy val streamDeleteSql: String = sql
       .replace("WHERE a.id != p.id",
         "WHERE a.id != p.id AND a.id % 17 != 3")
+
+    lazy val deleteSql: String = streamDeleteSql
       .replace(
         "SELECT query_id, cand_id, score, rank FROM ranked\n" +
           "WHERE rank <= 10 ORDER BY query_id, rank",
@@ -489,6 +495,43 @@ object VectorQueries {
       before.unionByName(search("vacuumed"))
         .select("phase", "query_id", "cand_id", "score", "rank")
         .orderBy("phase", "query_id", "rank")
+    },
+
+    // STREAMING index deletion through the driver hash
+    // (EventStreams.deleteSink): two one-shot foreachBatch queries land
+    // delete requests in batch-scoped ledger datasets (overwrite by
+    // (tag, batchId) — exactly-once by placement), splitting the
+    // formula set (vec_id % 17 = 3) across streams; the post-stream
+    // search must hash-match the single-phase filtered fit replay, so
+    // ledger batch boundaries must not be visible. The index dir is
+    // wiped first, making the gate idempotent per invocation.
+    Q("q_stream_delete_replay", IvfReplay.streamDeleteSql) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ivf_index_streamdel",
+        dir.replace('/', '_').replace(':', '_')).toString
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      Similarity.writeIndex(emb, idxDir, nClusters = 16)
+      import s.implicits._
+      def feed(pred: org.apache.spark.sql.Column, tag: String): Unit = {
+        val rows = emb.where(col("vec_id") % 17 === 3 && pred)
+          .select("vec_id").as[Long].collect().toSeq
+        val src = MemoryStream[Long]
+        src.addData(rows: _*)
+        graft.streaming.EventStreams.deleteSink(
+            src.toDF().toDF("vec_id"), idxDir, tagOverride = Some(tag))
+          .awaitTermination()
+      }
+      feed(col("vec_id") < 250, "purge-a")
+      feed(col("vec_id") >= 250, "purge-b")
+      Similarity.searchIndex(s, idxDir, emb.where(col("vec_id") < 5),
+          k = 10, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     },
 
     // STREAMING index ingestion through the driver hash

@@ -335,6 +335,31 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming index deletion (the GDPR purge feed): each micro-batch
+    * of `vec_id` delete requests lands in a batch-scoped ledger dataset
+    * ([[graft.operators.Similarity.deleteBatchDir]] — overwrite by
+    * (tag, batchId), exactly-once by placement, same contract as
+    * [[indexSink]]); `searchIndex` filters the ledger immediately and
+    * `vacuumIndex` makes removals physical out-of-band. */
+  def deleteSink(ids: DataFrame, indexDir: String,
+                 checkpointDir: Option[String] = None,
+                 tagOverride: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
+    val writer = checkpointDir.fold(ids.writeStream)(
+      ids.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Similarity.deleteBatchDir(
+              batch.toDF(), indexDir, tag, batchId)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming corpus-drift maintenance: each micro-batch of documents
     * aggregates to token counts
     * ([[graft.operators.DriftMonitor.tokenCounts]] — slice membership
