@@ -1077,11 +1077,14 @@ object JpegCodec {
     }
     bw.flush()
     // scan 3: AC refinement, Ah = 1 → Al = 0, with a refinement-shaped
-    // AC table (EOB0..EOB4, ZRL, (r<<4)|1 for r = 0..14) redefined
-    // mid-stream — 21 symbols, all at code length 5
+    // AC table (EOB0..EOB4, ZRL, (r<<4)|1 for r = 0..15) redefined
+    // mid-stream — 22 symbols, all at code length 5 (≤ 31, so the
+    // all-ones code stays reserved). r = 15 is legal and reachable: a
+    // block with exactly 15 zero-history coefficients before a
+    // newly-significant ±1 encodes 0xF1, not ZRL + 0x01.
     val refVals: Array[Byte] =
       (Seq(0x00, 0x10, 0x20, 0x30, 0x40, 0xf0) ++
-        (0 to 14).map(r => (r << 4) | 1)).map(_.toByte).toArray
+        (0 to 15).map(r => (r << 4) | 1)).map(_.toByte).toArray
     val refCounts = Array(0, 0, 0, 0, refVals.length,
       0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     writeDht(out, Seq((0x10, refCounts, refVals)))

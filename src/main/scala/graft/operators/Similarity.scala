@@ -309,11 +309,24 @@ object Similarity {
                           dir: String): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = tombstoneFiles(fs, dir)
+    tombstoneDfFrom(spark, tombstoneFiles(fs, dir))
+  }
+
+  /** The ledger read over an EXPLICIT file list — [[vacuumIndex]] must
+    * build its anti-join input and its end-of-pass delete set from ONE
+    * enumeration, or a tombstone landing between two listings would be
+    * deleted without ever being applied. */
+  private def tombstoneDfFrom(spark: org.apache.spark.sql.SparkSession,
+                              files: Seq[org.apache.hadoop.fs.Path])
+      : Option[DataFrame] =
     if (files.isEmpty) None
     else Some(spark.read.parquet(files.map(_.toString): _*)
       .select("cand_id").distinct())
-  }
+
+  /** Test seam: runs after [[vacuumIndex]] snapshots the ledger file list
+    * and before it rewrites/cleans up — the race-window a concurrent
+    * [[deleteFromIndex]] lands in. Production leaves it a no-op. */
+  private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
 
   /** Physically remove tombstoned vectors: fold live batch dirs first
     * ([[compactIndexBatches]] — so one rewrite covers everything, and a
@@ -327,18 +340,32 @@ object Similarity {
                   dir: String): Long = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ts = tombstoneDf(spark, dir).getOrElse(return 0L)
+    // ONE ledger enumeration feeds both the anti-join and the end-of-pass
+    // cleanup: a tombstone file that lands after this snapshot is neither
+    // applied nor deleted this pass — it survives for the next one, and
+    // searchIndex keeps masking its vector in the meantime.
     val consumed = tombstoneFiles(fs, dir)
+    val ts = tombstoneDfFrom(spark, consumed).getOrElse(return 0L)
+    vacuumAfterSnapshotHook()
     compactIndexBatches(spark, dir)
     val asgPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
     val base = spark.read.parquet(asgPath.toString)
       .select(col("cand_id"), col("cand_vec"), col("centroid_id"))
     val keep = base.join(ts, Seq("cand_id"), "left_anti")
-    val removed = base.count() - keep.count()
+    val keepCount = keep.count()
+    val removed = base.count() - keepCount
     val marker = readCompactionMarker(fs, asgPath)
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.assignments.vacuum")
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
-    clusteredWrite(keep, math.max(1, nClusters), tmp.toString)
+    if (keepCount == 0L) {
+      // full purge: a dynamic-partition write of zero rows emits no part
+      // files (only _SUCCESS), and every later read of the swapped-in
+      // directory dies on schema inference. Write the empty frame
+      // UNPARTITIONED instead — FileFormatWriter emits one zero-row
+      // parquet file that preserves the schema, and searchIndex /
+      // compactIndexBatches read centroid_id as an ordinary column.
+      keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    } else clusteredWrite(keep, math.max(1, nClusters), tmp.toString)
     if (marker.nonEmpty) {
       val out = fs.create(
         new org.apache.hadoop.fs.Path(tmp, "_compacted_batches"), true)

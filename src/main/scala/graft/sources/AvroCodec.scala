@@ -26,19 +26,47 @@ import org.apache.spark.sql.types._
   * (Kafka/connect dumps, Sqoop-era warehouse exports).
   *
   * Scale shape: WRITE side emits one container per partition (full write
-  * parallelism, no driver funnel) through the Hadoop FS API, so the same
-  * code lands on HDFS/object stores; READ side is file-per-task via the
-  * `binaryFile` source with the size cap pushed down as a `length`
-  * predicate — whole-file reads are the unit of parallelism, matching how
-  * OCF is consumed when a splitter index is absent (sync-marker splitting
-  * is an optimization for giant single files; lake landings are
-  * many-file). Decode never shuffles.
+  * parallelism, no driver funnel) through the Hadoop FS API with the
+  * session's Hadoop configuration broadcast to the executors (object-store
+  * credentials/endpoints set via spark.hadoop.* apply), so the same code
+  * lands on HDFS/object stores. READ side has two legs: [[readAvro]] is
+  * file-per-task via the `binaryFile` source with the size cap pushed down
+  * as a `length` predicate — the right unit for many-file lake landings —
+  * and [[readAvroSplit]] carves large containers into sync-marker-aligned
+  * byte ranges (the classic Avro input-split protocol: a task owns every
+  * block whose sync marker sits inside its range), so ONE giant container
+  * still decodes with full parallelism instead of one straggler task.
+  * Decode never shuffles, and decompressed output is capped per task
+  * (`maxDecoded`) — a small deflate bomb surrenders its own remainder
+  * instead of OOMing an executor, the WarcCodec discipline.
   *
   * Type surface: the primitive column types the landing contract uses
   * (long/int/double/float/boolean/string/binary), each nullable via
   * `union(null, T)`. Nested rows stay parquet's job.
   */
 object AvroCodec {
+
+  /** The session's Hadoop configuration flattened to serializable entries
+    * (Configuration itself is a Writable, not java-serializable, and
+    * Spark's SerializableConfiguration wrapper is private[spark]). The
+    * iterator includes resolved defaults, so rebuilding with
+    * `loadDefaults = false` reproduces the driver's view — including the
+    * spark.hadoop.* object-store credentials/endpoints that a bare
+    * `new Configuration()` on an executor would drop. */
+  private def confEntries(
+      conf: org.apache.hadoop.conf.Configuration): Array[(String, String)] = {
+    val b = ArrayBuffer.empty[(String, String)]
+    val it = conf.iterator()
+    while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+    b.toArray
+  }
+
+  private def confFrom(
+      entries: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
   /** Map a flat Spark schema onto an Avro record schema, every field
     * `union(null, T)` with null default (Spark columns are nullable). */
@@ -73,11 +101,16 @@ object AvroCodec {
     val schemaJson = avroSchema(st).toString
     val n = st.fields.length
     val types = st.fields.map(_.dataType)
+    // the SESSION's Hadoop conf, not a bare `new Configuration()`: the
+    // spark.hadoop.* settings (object-store credentials, endpoints) must
+    // reach the executor-side FileSystem resolution
+    val hconf = df.sparkSession.sparkContext.broadcast(
+      confEntries(df.sparkSession.sparkContext.hadoopConfiguration))
     df.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
         val path = new Path(dir, f"part-$pid%05d.avro")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(confFrom(hconf.value))
         val out = fs.create(path, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         w.setCodec(CodecFactory.deflateCodec(6))
@@ -100,36 +133,55 @@ object AvroCodec {
     }.count() // the action that runs the write
   }
 
+  /** One decoded record → Row of `st`, returning the row plus its decoded
+    * SIZE contribution (string/binary payload bytes + a fixed per-field
+    * floor) — the unit the decompression-bomb cap accounts in. */
+  private def recToRow(rec: GenericRecord, names: Array[String],
+                       n: Int): (Row, Long) = {
+    val vals = new Array[Any](n)
+    var sz = 0L
+    var i = 0
+    while (i < n) {
+      vals(i) = rec.get(names(i)) match {
+        case null                         => null
+        case u: org.apache.avro.util.Utf8 =>
+          val s = u.toString; sz += s.length.toLong; s
+        case b: java.nio.ByteBuffer =>
+          val a = new Array[Byte](b.remaining()); b.get(a)
+          sz += a.length.toLong; a
+        case x                            => sz += 8L; x
+      }
+      i += 1
+    }
+    (Row.fromSeq(vals.toIndexedSeq), sz + 16L)
+  }
+
   /** Decode one container's bytes into rows of `st`. Returns the rows of
     * every block that decodes intact; the first damaged block (truncation,
     * bit rot, codec damage) drops itself and the file's remainder. Bytes
     * that are not an OCF at all (bad magic / unparseable header) yield
-    * nothing. Never throws. */
-  def decodeContainer(bytes: Array[Byte], st: StructType): Seq[Row] = {
+    * nothing. `maxDecoded` caps the cumulative DECOMPRESSED output — the
+    * compressed-length predicate in [[readAvro]] cannot bound what a
+    * deflate bomb expands to, so the cap is enforced on what actually
+    * accumulates: a container that exceeds it keeps the under-cap prefix
+    * and surrenders its remainder (never the scan, never the executor).
+    * Never throws. */
+  def decodeContainer(bytes: Array[Byte], st: StructType,
+                      maxDecoded: Long = 1L << 30): Seq[Row] = {
     if (bytes == null || bytes.length < 4) return Nil
     val out = ArrayBuffer.empty[Row]
     val n = st.fields.length
+    var decoded = 0L
     try {
       val in = new java.io.ByteArrayInputStream(bytes)
       val reader = new DataFileStream[GenericRecord](
         in, new GenericDatumReader[GenericRecord]())
       try {
         val names = st.fields.map(_.name)
-        while (reader.hasNext) {
-          val rec = reader.next()
-          val vals = new Array[Any](n)
-          var i = 0
-          while (i < n) {
-            vals(i) = rec.get(names(i)) match {
-              case null                            => null
-              case u: org.apache.avro.util.Utf8    => u.toString
-              case b: java.nio.ByteBuffer =>
-                val a = new Array[Byte](b.remaining()); b.get(a); a
-              case x                               => x
-            }
-            i += 1
-          }
-          out += Row.fromSeq(vals.toIndexedSeq)
+        while (decoded <= maxDecoded && reader.hasNext) {
+          val (row, sz) = recToRow(reader.next(), names, n)
+          decoded += sz
+          if (decoded <= maxDecoded) out += row
         }
       } finally reader.close()
     } catch {
@@ -141,14 +193,89 @@ object AvroCodec {
   /** Read every `*.avro` container under `dir` as one DataFrame of `st`.
     * The size cap is pushed down on the `binaryFile` source's `length`
     * column, so over-cap containers are skipped without their bytes ever
-    * being read; decode is scan-local ([[decodeContainer]] per file). */
+    * being read; decode is scan-local ([[decodeContainer]] per file) with
+    * `maxDecoded` bounding each container's decompressed output. */
   def readAvro(spark: SparkSession, dir: String, st: StructType,
-               maxBytes: Long = 1L << 30): DataFrame = {
+               maxBytes: Long = 1L << 30,
+               maxDecoded: Long = 1L << 30): DataFrame = {
     val bin = spark.read.format("binaryFile").load(s"$dir/*.avro")
       .where(col("length") <= maxBytes)
       .select("content")
     val rows = bin.rdd.flatMap(r =>
-      decodeContainer(r.getAs[Array[Byte]](0), st))
+      decodeContainer(r.getAs[Array[Byte]](0), st, maxDecoded))
+    spark.createDataFrame(rows, st)
+  }
+
+  /** [[org.apache.avro.file.SeekableInput]] over a Hadoop stream — the
+    * adapter [[readAvroSplit]] needs to hand a byte range of an HDFS /
+    * object-store file to Avro's block reader. */
+  private final class HadoopSeekableInput(
+      in: org.apache.hadoop.fs.FSDataInputStream, len: Long)
+      extends org.apache.avro.file.SeekableInput {
+    override def seek(p: Long): Unit = in.seek(p)
+    override def tell(): Long = in.getPos
+    override def length(): Long = len
+    override def read(b: Array[Byte], off: Int, n: Int): Int =
+      in.read(b, off, n)
+    override def close(): Unit = in.close()
+  }
+
+  /** Read `*.avro` containers under `dir` as sync-marker-aligned byte
+    * RANGES of at most `splitBytes` each — the Avro input-split protocol:
+    * every task seeks to the first sync marker at/after its range start
+    * (the OCF header ends with the marker, so range 0 lands on the first
+    * block) and decodes blocks until the next marker past its range end.
+    * One giant container therefore decodes with `ceil(size / splitBytes)`
+    * -way parallelism instead of one whale task; results are identical to
+    * [[readAvro]] (block ownership is a partition of the file — asserted
+    * in AvroCodecSpec). Damage inside a range surrenders that range's
+    * remainder only; `maxDecoded` caps each range's decompressed output.
+    * The driver does one directory listing (planning metadata, not data —
+    * the same listing every file source performs). */
+  def readAvroSplit(spark: SparkSession, dir: String, st: StructType,
+                    splitBytes: Long = 128L << 20,
+                    maxDecoded: Long = 1L << 30): DataFrame = {
+    require(splitBytes > 0, s"splitBytes must be positive, got $splitBytes")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ranges = fs.globStatus(new Path(root, "*.avro")).toSeq.flatMap { f =>
+      val len = f.getLen
+      val nSplits = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until nSplits).map(i =>
+        (f.getPath.toString, i * splitBytes,
+          math.min((i + 1) * splitBytes, len), len))
+    }
+    if (ranges.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], st)
+    val hconf = spark.sparkContext.broadcast(
+      confEntries(spark.sparkContext.hadoopConfiguration))
+    val n = st.fields.length
+    val names = st.fields.map(_.name)
+    val rows = spark.sparkContext
+      .parallelize(ranges, ranges.length)
+      .flatMap { case (p, start, end, len) =>
+        val out = ArrayBuffer.empty[Row]
+        var decoded = 0L
+        try {
+          val path = new Path(p)
+          val in = new HadoopSeekableInput(
+            path.getFileSystem(confFrom(hconf.value)).open(path), len)
+          val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+            in, new GenericDatumReader[GenericRecord]())
+          try {
+            reader.sync(start) // first block whose marker is >= start
+            while (decoded <= maxDecoded && !reader.pastSync(end) &&
+                reader.hasNext) {
+              val (row, sz) = recToRow(reader.next(), names, n)
+              decoded += sz
+              if (decoded <= maxDecoded) out += row
+            }
+          } finally reader.close()
+        } catch {
+          case _: java.io.IOException | _: RuntimeException => ()
+        }
+        out
+      }
     spark.createDataFrame(rows, st)
   }
 }

@@ -555,6 +555,73 @@ class SimilaritySpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("a tombstone landing inside vacuum's race window survives the " +
+      "pass and keeps masking its vector") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_race").toString
+    Similarity.writeIndex(emb, dir, nClusters = 4)
+    Similarity.deleteFromIndex(
+      emb.where(col("vec_id") % 17 === 3).select("vec_id"), dir)
+    val lateId = emb.where(col("vec_id") % 17 === 5)
+      .select("vec_id").as[Long].head()
+    // fire a concurrent delete between vacuum's ledger snapshot and its
+    // rewrite/cleanup — the window the single-enumeration contract covers
+    Similarity.vacuumAfterSnapshotHook = () =>
+      Similarity.deleteFromIndex(
+        emb.where(col("vec_id") === lateId).select("vec_id"), dir)
+    try Similarity.vacuumIndex(spark, dir)
+    finally Similarity.vacuumAfterSnapshotHook = () => ()
+    // the late tombstone's ledger file survived the pass (not deleted
+    // un-applied)...
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tsRoot = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    assert(fs.exists(tsRoot) && {
+      val it = fs.listFiles(tsRoot, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n > 0
+    }, "the race-window tombstone was consumed without being applied")
+    // ...its vector is still physically on disk (this pass never saw it)...
+    assert(spark.read.parquet(s"$dir/assignments")
+      .where(col("cand_id") === lateId).count() == 1L,
+      "vacuum applied a tombstone it never snapshot")
+    // ...but search masks it immediately: querying with the vector's own
+    // embedding must not return the vector itself
+    val self = Similarity.searchIndex(spark, dir,
+        emb.where(col("vec_id") === lateId), k = 1, nProbe = 4)
+      .where(col("cand_id") === lateId)
+    assert(self.count() == 0L,
+      "a live tombstone failed to mask its vector after vacuum")
+    // the NEXT vacuum applies exactly the surviving tombstone
+    assert(Similarity.vacuumIndex(spark, dir) == 1L)
+    assert(spark.read.parquet(s"$dir/assignments")
+      .where(col("cand_id") === lateId).count() == 0L)
+  }
+
+  test("a full purge leaves a readable empty index, not a bricked one") {
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_purge").toString
+    Similarity.writeIndex(emb, dir, nClusters = 4)
+    Similarity.deleteFromIndex(emb.select("vec_id"), dir)
+    assert(Similarity.vacuumIndex(spark, dir) == emb.count())
+    val qs = emb.where(col("vec_id") < 3)
+    // empty but readable: search answers zero rows instead of dying on
+    // parquet schema inference over a part-file-less directory
+    assert(Similarity.searchIndex(spark, dir, qs, k = 5, nProbe = 4)
+      .count() == 0L)
+    // and the index keeps living: append, search, compact, search
+    Similarity.appendBatchDir(emb.where(col("vec_id") < 10), dir, "t", 0L)
+    assert(Similarity.searchIndex(spark, dir, qs, k = 5, nProbe = 4)
+      .count() > 0L)
+    Similarity.compactIndexBatches(spark, dir)
+    assert(Similarity.searchIndex(spark, dir, qs, k = 5, nProbe = 4)
+      .count() > 0L)
+  }
+
   test("corrupt compaction marker fails loudly instead of resurrecting " +
       "folded batches") {
     val emb = t(spark, sf001, "embeddings")

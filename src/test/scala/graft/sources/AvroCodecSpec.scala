@@ -96,6 +96,56 @@ class AvroCodecSpec extends SparkSpec {
       == 0)
   }
 
+  test("the decompression-bomb cap bounds decoded output, keeping the " +
+      "under-cap prefix") {
+    val st = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    // highly compressible payload: 400 rows × 5 KB of 'a' deflates to a
+    // few KB on disk but expands to ~2 MB decoded
+    val bytes = container(
+      (1L to 400L).map(i => (i, "a" * 5000)), syncEvery = 16)
+    assert(bytes.length < 100000, "fixture should compress far below 2 MB")
+    val full = AvroCodec.decodeContainer(bytes, st)
+    assert(full.length == 400)
+    val capped = AvroCodec.decodeContainer(bytes, st, maxDecoded = 100000L)
+    assert(capped.nonEmpty && capped.length < 400,
+      s"cap kept ${capped.length} rows — expected a proper prefix")
+    assert(capped.map(_.getLong(0)) == (1L to capped.length.toLong),
+      "cap must keep the leading prefix, not an arbitrary subset")
+    // the scan-level reader honors the same cap
+    val dir = Files.createTempDirectory("graft-avro-bomb").toString
+    Files.write(java.nio.file.Paths.get(dir, "bomb.avro"), bytes)
+    assert(AvroCodec.readAvro(spark, dir, st,
+      maxDecoded = 100000L).count() < 400)
+  }
+
+  test("sync-marker range reads decode one giant container in parallel, " +
+      "identical to the whole-file read") {
+    val st = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    // incompressible payload (md5 hex chains), so the container's on-disk
+    // size comfortably spans several 4 KB split ranges
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Long) = (0 until 4).map(j =>
+      md.digest(s"$i-$j".getBytes).map("%02x".format(_)).mkString).mkString
+    val bytes = container(
+      (1L to 2000L).map(i => (i, hex(i))), syncEvery = 25)
+    val dir = Files.createTempDirectory("graft-avro-split").toString
+    Files.write(java.nio.file.Paths.get(dir, "big.avro"), bytes)
+    assert(bytes.length > 16384,
+      "fixture must span several 4 KB split ranges")
+    val whole = AvroCodec.readAvro(spark, dir, st)
+      .orderBy("id").collect().toSeq
+    val split = AvroCodec.readAvroSplit(spark, dir, st, splitBytes = 4096L)
+    assert(split.rdd.getNumPartitions > 1,
+      "one giant container must fan out over multiple range tasks")
+    assert(split.orderBy("id").collect().toSeq == whole,
+      "range ownership must partition the file: no dropped/double blocks")
+    // oversized split (one range) also agrees — boundary sanity
+    assert(AvroCodec.readAvroSplit(spark, dir, st, splitBytes = 1L << 30)
+      .orderBy("id").collect().toSeq == whole)
+  }
+
   test("unsupported column types are rejected at schema mapping") {
     intercept[IllegalArgumentException] {
       AvroCodec.avroSchema(StructType(Seq(
