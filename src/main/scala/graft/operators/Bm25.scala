@@ -134,14 +134,7 @@ object Bm25 {
     val tf =
       if (smallQ) {
         val qTerms = qTermDf.collect().map(_.getString(0))
-        val buckets = qTerms
-          .map(t => org.apache.spark.unsafe.types.UTF8String.fromString(t))
-          .map(u => math.floorMod(
-            org.apache.spark.unsafe.hash.Murmur3_x86_32
-              .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
-                u.numBytes, 42),
-            IndexBuckets))
-          .distinct
+        val buckets = qTerms.map(TermBuckets.of(_, IndexBuckets)).distinct
         postings
           .where(col("term_bucket").isin(buckets.map(Integer.valueOf): _*))
           .where(col("term").isin(qTerms: _*))

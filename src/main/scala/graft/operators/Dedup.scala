@@ -399,25 +399,103 @@ object Dedup extends TrackedCaches {
   /** [[substringDupSpans]] over a precomputed [[winnowPosFingerprints]]
     * frame. */
   def substringDupSpansFromFps(fps: DataFrame, minShared: Int = 2,
-                               maxBucket: Int = 1000): DataFrame = {
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+                               maxBucket: Int = 1000): DataFrame =
+    spansFromPairRows(spanPairRows(capPosFps(fps, maxBucket)), minShared)
+
+  /** Hot-value cap shared by the positional substring-dup joins: at most
+    * `maxBucket` (id, pos)-ordered rows survive per fingerprint value —
+    * the LSH-style guard that keeps a boilerplate 12-gram shared by
+    * millions of documents from exploding the bucket join. Exposed so a
+    * corpus-side fingerprint frame can be capped ONCE, memoized, and
+    * reused across analyses ([[spanPairRowsDelta]]). */
+  def capPosFps(fps: DataFrame, maxBucket: Int = 1000): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("id", "pos")
-    val capped = fps
-      .withColumn("__fn", row_number().over(capW))
+    fps.withColumn("__fn", row_number().over(capW))
       .where(col("__fn") <= maxBucket)
       .drop("__fn")
-    capped.alias("a")
-      .join(capped.alias("b"),
+  }
+
+  /** Raw matched-position pair rows (id1, id2, a_pos, b_pos): one row
+    * per co-occurrence of a fingerprint value between a lower-id (a) and
+    * a higher-id (b) document of one [[capPosFps]]-capped frame — the
+    * shared input of [[spansFromPairRows]] and [[positionsFromPairRows]],
+    * exposed so the corpus-internal half can be computed once, memoized,
+    * and combined with per-analysis deltas ([[spanPairRowsDelta]]).
+    *
+    * Fingerprints held by a single document are dropped BEFORE the join:
+    * they cannot produce a pair, and in a real corpus the overwhelming
+    * majority of fingerprints are singletons, so the join's inputs shrink
+    * by that fraction. The occurrence count rides the cap window's
+    * existing fp exchange — no extra shuffle. */
+  def spanPairRows(capped: DataFrame): DataFrame = {
+    val cntW = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val multi = capped
+      .withColumn("__cnt", count(lit(1)).over(cntW))
+      .where(col("__cnt") >= 2)
+      .drop("__cnt")
+    multi.alias("a")
+      .join(multi.alias("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.pos").as("a_pos"), col("b.pos").as("b_pos"))
+  }
+
+  /** Matched-position pair rows between a memoized capped BASE frame and
+    * a small capped DELTA frame whose ids all sit ABOVE the base id space
+    * (the delta-corpus contract: per-analysis synthetic extras land at
+    * id + 100000-style offsets). Output = (base, delta) co-occurrences
+    * plus delta-internal pairs, in [[spanPairRows]]'s row shape; together
+    * with the memoized base-internal rows it reconstructs the full
+    * combined-frame pair set — each analysis pays ONE broadcast-join scan
+    * of the corpus fingerprints instead of a corpus-wide self-join.
+    *
+    * Cap semantics under decomposition: each side is capped
+    * independently, so a bucket past `maxBucket` keeps its first
+    * `maxBucket` base rows (identical to the combined cap — base ids
+    * order first) AND up to `maxBucket` delta rows, where the combined
+    * cap would admit delta rows only into leftover slots. The cap is a
+    * hot-bucket guard, not semantics; gates run far below it
+    * (oracle-pinned). Pairs violating the id contract (a delta id at or
+    * below a base id) are dropped by the orientation predicate — the
+    * caller owns the offset discipline. */
+  def spanPairRowsDelta(cappedBase: DataFrame,
+                        cappedDelta: DataFrame): DataFrame =
+    cappedBase.alias("a")
+      .join(broadcast(cappedDelta).alias("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.pos").as("a_pos"), col("b.pos").as("b_pos"))
+      .union(spanPairRows(cappedDelta))
+
+  /** Per-pair span aggregation over [[spanPairRows]] rows: (id1, id2,
+    * n_shared, min/max matched offset per side), qualified at
+    * `minShared`. */
+  def spansFromPairRows(rows: DataFrame, minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    rows.groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_shared"),
-        min(col("a.pos")).as("a_min_pos"),
-        max(col("a.pos")).as("a_max_pos"),
-        min(col("b.pos")).as("b_min_pos"),
-        max(col("b.pos")).as("b_max_pos"))
+        min(col("a_pos")).as("a_min_pos"),
+        max(col("a_pos")).as("a_max_pos"),
+        min(col("b_pos")).as("b_min_pos"),
+        max(col("b_pos")).as("b_max_pos"))
       .where(col("n_shared") >= minShared)
+  }
+
+  /** Qualified distinct higher-side positions (id, pos) over
+    * [[spanPairRows]] rows — the [[removeMatchedSpans]] input. Pair
+    * qualification is a count window over the pair key (one exchange;
+    * see [[substringDupPositionsFromFps]]). */
+  def positionsFromPairRows(rows: DataFrame,
+                            minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val pairW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1", "id2")
+    rows.withColumn("__n", count(lit(1)).over(pairW))
+      .where(col("__n") >= minShared)
+      .select(col("id2").as("id"), col("b_pos").as("pos"))
+      .distinct()
   }
 
   /** Matched-POSITION form of [[substringDupSpans]]: every winnowed
@@ -439,33 +517,15 @@ object Dedup extends TrackedCaches {
   }
 
   /** [[substringDupPositions]] over a precomputed
-    * [[winnowPosFingerprints]] frame. */
+    * [[winnowPosFingerprints]] frame. Pair qualification is a COUNT
+    * WINDOW over the pair key rather than a groupBy + semi join back:
+    * one (id1, id2) exchange instead of three (agg exchange + both
+    * semi-join sides), and no second pass over the bucket join's
+    * output. */
   def substringDupPositionsFromFps(fps: DataFrame, minShared: Int = 2,
-                                   maxBucket: Int = 1000): DataFrame = {
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val capW = org.apache.spark.sql.expressions.Window
-      .partitionBy("fp").orderBy("id", "pos")
-    val capped = fps
-      .withColumn("__fn", row_number().over(capW))
-      .where(col("__fn") <= maxBucket)
-      .drop("__fn")
-    // pair qualification as a COUNT WINDOW over the pair key rather than
-    // a groupBy + semi join back: one (id1, id2) exchange instead of
-    // three (agg exchange + both semi-join sides), and no second pass
-    // over the bucket join's output
-    val pairW = org.apache.spark.sql.expressions.Window
-      .partitionBy("id1", "id2")
-    capped.alias("a")
-      .join(capped.alias("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("b.pos").as("pos"))
-      .withColumn("__n", count(lit(1)).over(pairW))
-      .where(col("__n") >= minShared)
-      .select(col("id2").as("id"), col("pos"))
-      .distinct()
-  }
+                                   maxBucket: Int = 1000): DataFrame =
+    positionsFromPairRows(spanPairRows(capPosFps(fps, maxBucket)),
+      minShared)
 
   /** Multi-interval span removal: cluster a document's matched
     * fingerprint positions into ISLANDS (a gap > k + w - 1 — farther

@@ -49,13 +49,14 @@ object CurationQueries {
     p.toString
   }
 
-  /** Token-drift full-recompute oracle — shared verbatim by the batch
-    * incremental-fold gate and the streaming-sink replay gate (the
-    * stream must land on the identical counts). */
-  private lazy val driftOracle: String = {
+  /** Token-drift full-recompute oracle, parameterized by a source
+    * predicate — the batch incremental-fold gate runs it over the whole
+    * table; the streaming-sink replay gate runs it over the id-bounded
+    * slice its fixed-size MemoryStream feed delivers. */
+  private def driftOracleWhere(where: String): String = {
     val toks = TextQueries.sqlToks
     s"""WITH tk AS (SELECT lang = 'en' AS in_a, $toks AS toks
-       |            FROM documents),
+       |            FROM documents$where),
        |tok AS (SELECT in_a, unnest(toks) AS token FROM tk),
        |cnt AS (SELECT token,
        |               count(*) FILTER (WHERE in_a) AS c_a,
@@ -82,6 +83,8 @@ object CurationQueries {
        |       CAST(sum(micro) AS BIGINT) AS js_micro
        |FROM term, tot GROUP BY tot.n_a, tot.n_b""".stripMargin
   }
+
+  private lazy val driftOracle: String = driftOracleWhere("")
 
   val all: Seq[Q] = Seq(
 
@@ -649,10 +652,12 @@ object CurationQueries {
     // (EventStreams.driftSink): a real foreachBatch query folds each
     // micro-batch's token counts into the standing table behind the
     // crash-safe swap — two one-shot streams deliver the even then the
-    // odd docs, and the js readout from the persisted counts must
-    // hash-match the SAME full-recompute oracle as q_drift_incremental:
-    // batch boundaries and the swap must be invisible in the counts.
-    Q("q_stream_drift_replay", driftOracle) { (s, dir) =>
+    // odd docs of a fixed id-bounded slice, and the js readout from the
+    // persisted counts must hash-match the full-recompute oracle over
+    // the same slice: batch boundaries and the swap must be invisible
+    // in the counts.
+    Q("q_stream_drift_replay",
+      driftOracleWhere(" WHERE doc_id < 2000")) { (s, dir) =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -663,8 +668,11 @@ object CurationQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
       def feed(m: Long): Unit = {
+        // the id bound keeps this fixture feed fixed-size at any sf (a
+        // MemoryStream collect must never scale with the table); the
+        // oracle recomputes over the same bounded slice
         val rows = t(s, dir, "documents")
-          .where(col("doc_id") % 2 === m)
+          .where(col("doc_id") % 2 === m && col("doc_id") < 2000)
           .select(col("text"), (col("lang") === "en").as("in_a"))
           .as[(String, Boolean)].collect().toSeq
         val src = MemoryStream[(String, Boolean)]

@@ -32,13 +32,14 @@ object TextQueries {
       org.apache.spark.sql.DataFrame]
 
   /** Memoize+persist the winnowed (k=12, w=8) fingerprints of the BASE
-    * `documents` table — the corpus-side staging frame EVERY substring-dup
-    * gate unions its (tiny, synthetic) extra docs onto. The prefix-copy
-    * gates and the multi-island gate use different augs, so they can't
-    * share a spans frame — but ~99% of each aug IS the base corpus, and
-    * winnowing it is the scan-heavy half of every one of those gates.
-    * At 100 TB this is exactly the "fingerprint the corpus once, reuse
-    * across analyses" shape. */
+    * `documents` table — the corpus-side staging frame. ~99% of every
+    * substring-dup aug IS the base corpus, and winnowing it is the
+    * scan-heavy half of each gate; at 100 TB this is the "fingerprint
+    * the corpus once, reuse across analyses" shape. The positional gates
+    * go one step further and also share the corpus-internal PAIR rows
+    * ([[basePairRows]]); this uncapped frame remains the staging input
+    * for the distinct-fp pair gate (q_dedup_substring), whose cap orders
+    * by id alone. */
   private val baseFpsCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]
@@ -49,6 +50,43 @@ object TextQueries {
       Dedup.winnowPosFingerprints(t(s, dir, "documents"), "doc_id",
           "text", k = 12, w = 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Memoized hot-value-capped view of [[baseFps]] — the frame every
+    * per-analysis delta join scans ([[Dedup.spanPairRowsDelta]]). */
+  private val cappedBaseFpsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  private def cappedBaseFps(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    cappedBaseFpsCache.getOrElseUpdate((s, dir),
+      Dedup.capPosFps(baseFps(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Memoized CORPUS-INTERNAL matched-position pair rows — the expensive
+    * half of every substring-dup analysis (the corpus fingerprint
+    * self-join), computed once per (session, dir). Each gate adds only
+    * its delta: a broadcast join of its tiny synthetic extras against
+    * [[cappedBaseFps]] plus the extras' internal pairs
+    * ([[Dedup.spanPairRowsDelta]]) — base×base pairs are never re-joined
+    * per analysis. At 100 TB this is the "join the corpus against itself
+    * once, reuse across analyses" shape. */
+  private val basePairRowsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  private def basePairRows(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame =
+    basePairRowsCache.getOrElseUpdate((s, dir),
+      Dedup.spanPairRows(cappedBaseFps(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Capped winnow fingerprints of a gate's synthetic extra docs — the
+    * delta side of [[Dedup.spanPairRowsDelta]]. */
+  private def deltaFps(extras: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    Dedup.capPosFps(Dedup.winnowPosFingerprints(
+      extras, "doc_id", "text", k = 12, w = 8))
 
   private def prefixAug(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame = {
@@ -70,20 +108,24 @@ object TextQueries {
 
   private def buildPrefixDupSpans(s: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame =
-    Dedup.substringDupSpansFromFps(
-      baseFps(s, dir).union(Dedup.winnowPosFingerprints(
-        prefixExtras(s, dir), "doc_id", "text", k = 12, w = 8)),
-      minShared = 2)
+    // corpus-internal pairs from the shared memoized frame; this aug's
+    // extras contribute only a broadcast delta join. Pair keys are
+    // disjoint across the two blocks (extras ids sit at +100000), so the
+    // union needs no re-aggregation.
+    Dedup.spansFromPairRows(basePairRows(s, dir), minShared = 2)
+      .union(Dedup.spansFromPairRows(
+        Dedup.spanPairRowsDelta(cappedBaseFps(s, dir),
+          deltaFps(prefixExtras(s, dir))),
+        minShared = 2))
 
   /** Drop the memoized spans frames held for `s` (all dirs). */
-  def evictCaches(s: org.apache.spark.sql.SparkSession): Unit = {
-    spansCache.keys.filter(_._1 eq s).foreach { k =>
-      spansCache.remove(k).foreach(_.unpersist(blocking = false))
-    }
-    baseFpsCache.keys.filter(_._1 eq s).foreach { k =>
-      baseFpsCache.remove(k).foreach(_.unpersist(blocking = false))
-    }
-  }
+  def evictCaches(s: org.apache.spark.sql.SparkSession): Unit =
+    Seq(spansCache, baseFpsCache, cappedBaseFpsCache, basePairRowsCache)
+      .foreach { cache =>
+        cache.keys.filter(_._1 eq s).foreach { k =>
+          cache.remove(k).foreach(_.unpersist(blocking = false))
+        }
+      }
 
   /** Fixture model for q_text_classifier: 64 hashed-bucket weights from a
     * deterministic formula (6-dp values round-trip exactly through both
@@ -646,12 +688,16 @@ object TextQueries {
             md5(col("doc_id").cast("string")), lit(">> "),
             substring(col("text"), 120, 90)).as("text"))
       val aug = docs.select("doc_id", "text").union(extras)
-      // corpus fingerprints come from the shared memoized staging frame;
-      // only the 40 synthetic marker docs are winnowed here
-      val posns = Dedup.substringDupPositionsFromFps(
-        baseFps(s, dir).union(Dedup.winnowPosFingerprints(
-          extras, "doc_id", "text", k = 12, w = 8)),
-        minShared = 2)
+      // corpus-internal qualified positions from the shared memoized
+      // pair-row frame; only the 40 synthetic marker docs are winnowed
+      // and delta-joined here. Position ids are disjoint across the two
+      // blocks (base ids below 100000, extras above), so the union needs
+      // no cross-block distinct.
+      val posns = Dedup.positionsFromPairRows(basePairRows(s, dir),
+          minShared = 2)
+        .union(Dedup.positionsFromPairRows(
+          Dedup.spanPairRowsDelta(cappedBaseFps(s, dir), deltaFps(extras)),
+          minShared = 2))
       Dedup.removeMatchedSpans(aug, "doc_id", "text", posns, k = 12, w = 8)
         .select(col("id").as("doc_id"), col("n_islands"),
           length(col("clean")).as("clean_n"),
@@ -1408,6 +1454,43 @@ object TextQueries {
           slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3)
             .as("terms"))
       graft.operators.PhraseSearch.phraseHits(docs, phrases)
+        .orderBy("phrase_id", "doc_id")
+    },
+
+    // The PERSISTED phrase index through the driver hash
+    // (PhraseSearch.writeIndex/searchIndex): positional postings land in
+    // a term-bucket-partitioned layout ONCE, then the phrase lookup reads
+    // only its terms' bucket directories — the decontamination shape a
+    // 100 TB corpus needs ("sweep against this benchmark suite" must not
+    // re-tokenize the corpus per sweep). Same phrase fixture and the SAME
+    // oracle as q_text_phrase, so the on-disk round trip (partitioned
+    // write, bucket-prune read, 1-based position re-basing) must be
+    // result-identical to the scan path, row for row. writeIndex's
+    // overwrite makes the gate idempotent per invocation.
+    Q("q_text_phrase_index",
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+         |ph AS (SELECT doc_id AS phrase_id, ts[1:3] AS p FROM toks
+         |       WHERE doc_id IN (3, 7, 11)),
+         |m AS (SELECT ph.phrase_id, t.doc_id,
+         |        list_filter(range(1, len(t.ts) - len(ph.p) + 2),
+         |          i -> len(list_filter(range(1, len(ph.p) + 1),
+         |                 j -> t.ts[i + j - 1] = ph.p[j])) = len(ph.p))
+         |          AS starts
+         |      FROM toks t CROSS JOIN ph)
+         |SELECT phrase_id, doc_id, CAST(len(starts) AS BIGINT) AS n_hits,
+         |       CAST(starts[1] AS BIGINT) AS first_pos
+         |FROM m WHERE len(starts) > 0
+         |ORDER BY phrase_id, doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_phrase_index",
+        dir.replace('/', '_').replace(':', '_')).toString
+      graft.operators.PhraseSearch.writeIndex(docs, idxDir)
+      val phrases = docs.where(col("doc_id").isin(3L, 7L, 11L))
+        .select(col("doc_id").as("phrase_id"),
+          slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3)
+            .as("terms"))
+      graft.operators.PhraseSearch.searchIndex(s, idxDir, phrases)
         .orderBy("phrase_id", "doc_id")
     },
 

@@ -226,10 +226,14 @@ object VectorQueries {
     /** Single-phase filtered replay: candidates minus the formula delete
       * set, quantizer untouched — the post-delete search contract shared
       * by the batch ledger (q_ann_index_delete phases it) and the
-      * streaming ledger (q_stream_delete_replay uses it as-is). */
+      * streaming ledger (q_stream_delete_replay uses it as-is). The
+      * delete set is id-BOUNDED (% 17 = 3 AND id < 1700) so the
+      * streaming gate's MemoryStream feed stays a fixed-size fixture at
+      * any sf — at the verify sf every id is under the bound, so the
+      * bound is invisible there. */
     lazy val streamDeleteSql: String = sql
       .replace("WHERE a.id != p.id",
-        "WHERE a.id != p.id AND a.id % 17 != 3")
+        "WHERE a.id != p.id AND NOT (a.id % 17 = 3 AND a.id < 1700)")
 
     lazy val deleteSql: String = streamDeleteSql
       .replace(
@@ -483,7 +487,8 @@ object VectorQueries {
       // idempotent per invocation (bench reps never double-delete)
       Similarity.writeIndex(emb, idxDir, nClusters = 16)
       Similarity.deleteFromIndex(
-        emb.where(col("vec_id") % 17 === 3).select("vec_id"), idxDir)
+        emb.where(col("vec_id") % 17 === 3 && col("vec_id") < 1700)
+          .select("vec_id"), idxDir)
       def search(phase: String) =
         Similarity.searchIndex(s, idxDir, emb.where(col("vec_id") < 5),
             k = 10, nProbe = 4)
@@ -518,7 +523,11 @@ object VectorQueries {
       Similarity.writeIndex(emb, idxDir, nClusters = 16)
       import s.implicits._
       def feed(pred: org.apache.spark.sql.Column, tag: String): Unit = {
-        val rows = emb.where(col("vec_id") % 17 === 3 && pred)
+        // the id bound keeps this fixture feed fixed-size at any sf (a
+        // MemoryStream collect must never scale with the table); the
+        // oracle's delete set carries the same bound
+        val rows = emb
+          .where(col("vec_id") % 17 === 3 && col("vec_id") < 1700 && pred)
           .select("vec_id").as[Long].collect().toSeq
         val src = MemoryStream[Long]
         src.addData(rows: _*)

@@ -187,6 +187,56 @@ class DedupSpec extends SparkSpec {
       s"duplicated passage survived the cut: '$clean'")
   }
 
+  test("base+delta pair decomposition matches the combined self-join " +
+      "for spans AND positions") {
+    // base corpus with an internal dup pair; delta docs above the base
+    // id space copy base passages AND each other (so all three pair
+    // classes — base×base, base×delta, delta×delta — are exercised)
+    val passage = "the quick brown fox jumps over the lazy dog again"
+    val other = "one two three four five six seven eight nine ten"
+    val base = Seq(
+      (1L, s"preamble words here $passage and then a long tail of text"),
+      (2L, s"$passage surrounded by a different story entirely here"),
+      (3L, s"unrelated filler $other closing words follow here now"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (100001L, s"copied opener $passage with delta-side tail"),
+      (100002L, s"copied opener $passage with delta-side tail plus more"),
+      (100003L, s"also grabs $other from the third base document"))
+      .toDF("doc_id", "text")
+    val combinedFps = Dedup.winnowPosFingerprints(base.union(delta),
+      "doc_id", "text", k = 12, w = 8)
+    val cappedBase = Dedup.capPosFps(
+      Dedup.winnowPosFingerprints(base, "doc_id", "text", k = 12, w = 8))
+    val cappedDelta = Dedup.capPosFps(
+      Dedup.winnowPosFingerprints(delta, "doc_id", "text", k = 12, w = 8))
+    val deltaRows = Dedup.spanPairRowsDelta(cappedBase, cappedDelta)
+    val baseRows = Dedup.spanPairRows(cappedBase)
+
+    val spansCombined = Dedup.substringDupSpansFromFps(combinedFps)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val spansDecomp = Dedup.spansFromPairRows(baseRows)
+      .union(Dedup.spansFromPairRows(deltaRows))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(spansDecomp.toSeq == spansCombined.toSeq,
+      s"spans diverge:\n${spansDecomp.toSeq}\n${spansCombined.toSeq}")
+    assert(spansCombined.exists(r => r.head == 1L),  // base×base present
+      s"fixture lost its base-internal pair: ${spansCombined.toSeq}")
+    assert(spansCombined.exists(r => r.head.asInstanceOf[Long] < 100000L
+        && r(1).asInstanceOf[Long] >= 100000L),      // base×delta present
+      s"fixture lost its cross pair: ${spansCombined.toSeq}")
+    assert(spansCombined.exists(r => r.head == 100001L), // delta×delta
+      s"fixture lost its delta-internal pair: ${spansCombined.toSeq}")
+
+    val posCombined = Dedup.substringDupPositionsFromFps(combinedFps)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val posDecomp = Dedup.positionsFromPairRows(baseRows)
+      .union(Dedup.positionsFromPairRows(deltaRows))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(posDecomp.toSeq == posCombined.toSeq,
+      s"positions diverge:\n${posDecomp.toSeq}\n${posCombined.toSeq}")
+  }
+
   test("dedupCorpusSegments keeps each segment once, first owner wins") {
     // 2-word segments: doc 1 = [a b][c d], doc 2 = [c d][e f] (shares
     // "c d"), doc 3 = all-duplicate content of doc 1

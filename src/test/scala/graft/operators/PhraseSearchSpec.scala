@@ -70,4 +70,44 @@ class PhraseSearchSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"phrase search fell back to all-pairs:\n$plan")
   }
+
+  private val idxDocs = Seq(
+    (1L, "a a a a b c"), (2L, "x the big the big the y"),
+    (3L, "the big dog barks"), (4L, "unrelated filler words here"),
+    (5L, "c b a a"))
+  private val idxPhrases = Seq(1L -> Seq("a", "a"),
+    2L -> Seq("the", "big", "the"), 3L -> Seq("b", "a"))
+
+  test("searchIndex over a persisted index is result-identical to " +
+      "phraseHits, on both the pruned and the distributed path") {
+    val docs = idxDocs.toDF("doc_id", "text")
+    val ph = phrases(idxPhrases: _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx").toString
+    PhraseSearch.writeIndex(docs, dir)
+    val expected = PhraseSearch.phraseHits(docs, ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    for (maxTerms <- Seq(65536, 1)) { // pruned path, then forced fallback
+      val got = PhraseSearch.searchIndex(spark, dir, ph,
+          maxTerms = maxTerms)
+        .orderBy("phrase_id", "doc_id").collect().toSeq
+      assert(got == expected,
+        s"maxTerms=$maxTerms: $got != $expected")
+    }
+  }
+
+  test("the pruned search path reads only the phrase terms' bucket " +
+      "partitions") {
+    val docs = idxDocs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx_prune").toString
+    PhraseSearch.writeIndex(docs, dir)
+    val plan = PhraseSearch
+      .searchIndex(spark, dir, phrases(1L -> Seq("a", "a")))
+      .queryExecution.executedPlan.toString
+    // the term_bucket filter must reach the scan as a partition filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("term_bucket"),
+      s"bucket prune must be a partition filter:\n$plan")
+  }
 }
