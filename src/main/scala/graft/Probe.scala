@@ -49,6 +49,61 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (qnames == Seq("--spans")) {
+      // sub-step timing of the substring-dup span machinery
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, StagingCaches}
+      val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+      val baseFps = time("winnow base")(
+        Dedup.winnowPosFingerprints(docs, "doc_id", "text", k = 12, w = 8).transform(StagingCaches.cache))
+      println(s"[probe] baseFps rows = ${time("baseFps count")(baseFps.count())}")
+      val capped = time("cap base")(
+        Dedup.capPosFps(baseFps).transform(StagingCaches.cache))
+      println(s"[probe] capped rows = ${time("capped count")(capped.count())}")
+      val pairRows = time("self-join pairs")(
+        Dedup.spanPairRows(capped)
+          .repartition(col("id1"), col("id2"))
+          .sortWithinPartitions("id1", "id2").transform(StagingCaches.cache))
+      println(s"[probe] pairRows rows = ${time("pairRows count")(pairRows.count())}")
+      val baseSpans = time("spans agg")(
+        Dedup.spansFromPairRows(pairRows).transform(StagingCaches.cache))
+      println(s"[probe] baseSpans rows = ${time("baseSpans count")(baseSpans.count())}")
+      val basePos = time("positions semi")(
+        Dedup.positionsForQualifiedPairs(pairRows, baseSpans))
+      println(s"[probe] basePos rows = ${time("basePos count")(basePos.count())}")
+      val extras = docs
+        .where(col("doc_id") < 40 && length(col("text")) >= 250)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 90), lit(" <<"),
+            md5(col("doc_id").cast("string")), lit(">> "),
+            substring(col("text"), 120, 90)).as("text"))
+      val deltaFps = time("winnow+cap delta")(Dedup.capPosFps(
+        Dedup.winnowPosFingerprints(extras, "doc_id", "text",
+          k = 12, w = 8)))
+      val deltaRows = Dedup.spanPairRowsDelta(capped, deltaFps)
+      val deltaPos = time("delta positions")(
+        Dedup.positionsFromPairRows(deltaRows))
+      println(s"[probe] deltaPos rows = ${time("deltaPos count")(deltaPos.count())}")
+      val aug = docs.select("doc_id", "text").union(extras)
+      val posns = basePos.union(deltaPos)
+        .transform(StagingCaches.cache)
+      println(s"[probe] posns rows = ${time("posns count")(posns.count())}")
+      time("surgery")(
+        Dedup.removeMatchedSpans(aug, "doc_id", "text", posns,
+            k = 12, w = 8)
+          .select(col("id").as("doc_id"), col("n_islands"),
+            length(col("clean")).as("clean_n"),
+            md5(col("clean")).as("clean_md5"))
+          .orderBy("doc_id").count())
+      time("surgery rerun")(
+        Dedup.removeMatchedSpans(aug, "doc_id", "text", posns,
+            k = 12, w = 8).count())
+      println(s"[probe] distinct (pair,b_pos) = ${time("triples")(
+        pairRows.select("id1", "id2", "b_pos").distinct().count())}")
+      println(s"[probe] distinct pairs = ${time("pairs")(
+        pairRows.select("id1", "id2").distinct().count())}")
+      spark.stop(); return
+    }
     qnames.foreach { qname =>
       val fn = SparkEntry.queries(qname)
       time(s"$qname cold")(fn(spark, sfDir).count())

@@ -483,6 +483,22 @@ object Dedup extends TrackedCaches {
       .where(col("n_shared") >= minShared)
   }
 
+  /** [[positionsFromPairRows]] when the pair qualification is ALREADY
+    * computed — a memoized [[spansFromPairRows]] frame built at the same
+    * `minShared`. A semi join against the qualified pair keys replaces
+    * the count window: over a pair-clustered rows frame the narrow key
+    * side broadcasts (or meets the stored partitioning), and the
+    * millions-of-tiny-groups window — one buffered group per CANDIDATE
+    * pair, though only a fraction qualify — never runs. Result-identical
+    * to [[positionsFromPairRows]] at the same minShared (DedupSpec pins
+    * it). */
+  def positionsForQualifiedPairs(rows: DataFrame,
+                                 qualified: DataFrame): DataFrame =
+    rows.join(qualified.select("id1", "id2"), Seq("id1", "id2"),
+        "left_semi")
+      .select(col("id2").as("id"), col("b_pos").as("pos"))
+      .distinct()
+
   /** Qualified distinct higher-side positions (id, pos) over
     * [[spanPairRows]] rows — the [[removeMatchedSpans]] input. Pair
     * qualification is a count window over the pair key (one exchange;

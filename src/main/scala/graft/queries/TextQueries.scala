@@ -63,22 +63,25 @@ object TextQueries {
       Dedup.capPosFps(baseFps(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Memoized CORPUS-INTERNAL matched-position pair rows — the expensive
-    * half of every substring-dup analysis (the corpus fingerprint
-    * self-join), computed once per (session, dir). Each gate adds only
-    * its delta: a broadcast join of its tiny synthetic extras against
-    * [[cappedBaseFps]] plus the extras' internal pairs
-    * ([[Dedup.spanPairRowsDelta]]) — base×base pairs are never re-joined
-    * per analysis. At 100 TB this is the "join the corpus against itself
-    * once, reuse across analyses" shape. */
-  private val basePairRowsCache = scala.collection.concurrent.TrieMap
+  /** Memoized CORPUS-INTERNAL qualified-pair spans — the aggregated
+    * output of the corpus fingerprint self-join (the expensive half of
+    * every substring-dup analysis), computed once per (session, dir).
+    * Each analysis adds only its delta: a broadcast join of its tiny
+    * synthetic extras against [[cappedBaseFps]] plus the extras'
+    * internal pairs ([[Dedup.spanPairRowsDelta]]) — base×base pairs are
+    * never re-joined per analysis. The raw pair rows stream straight
+    * into the aggregation (never cached: 9.6M co-occurrence rows at
+    * sf0.1 versus 2.4M aggregated pairs). At 100 TB this is the "join
+    * the corpus against itself once, reuse across analyses" shape. */
+  private val baseSpansCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]
 
-  private def basePairRows(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame =
-    basePairRowsCache.getOrElseUpdate((s, dir),
-      Dedup.spanPairRows(cappedBaseFps(s, dir))
+  private def baseSpans(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    baseSpansCache.getOrElseUpdate((s, dir),
+      Dedup.spansFromPairRows(
+          Dedup.spanPairRows(cappedBaseFps(s, dir)), minShared = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Capped winnow fingerprints of a gate's synthetic extra docs — the
@@ -112,7 +115,7 @@ object TextQueries {
     // extras contribute only a broadcast delta join. Pair keys are
     // disjoint across the two blocks (extras ids sit at +100000), so the
     // union needs no re-aggregation.
-    Dedup.spansFromPairRows(basePairRows(s, dir), minShared = 2)
+    baseSpans(s, dir)
       .union(Dedup.spansFromPairRows(
         Dedup.spanPairRowsDelta(cappedBaseFps(s, dir),
           deltaFps(prefixExtras(s, dir))),
@@ -120,7 +123,7 @@ object TextQueries {
 
   /** Drop the memoized spans frames held for `s` (all dirs). */
   def evictCaches(s: org.apache.spark.sql.SparkSession): Unit =
-    Seq(spansCache, baseFpsCache, cappedBaseFpsCache, basePairRowsCache)
+    Seq(spansCache, baseFpsCache, cappedBaseFpsCache, baseSpansCache)
       .foreach { cache =>
         cache.keys.filter(_._1 eq s).foreach { k =>
           cache.remove(k).foreach(_.unpersist(blocking = false))
@@ -589,7 +592,7 @@ object TextQueries {
 
     // Multi-interval span removal — the general form of the gate above:
     // matched fingerprint positions cluster into ISLANDS (gap > k+w-1 =
-    // 19 starts a new one) and each island is cut separately, so a
+    // 32 starts a new one) and each island is cut separately, so a
     // document carrying TWO duplicated passages with unique text between
     // them keeps the middle. The fixture plants exactly that: synthetic
     // docs made of two chunks copied from a source doc wrapped around a
@@ -598,6 +601,21 @@ object TextQueries {
     // and the multi-cut surgery — island counts, cleaned lengths, and
     // cleaned md5s are all hash-gated, so a collapsed-to-one-range cut
     // (which would delete the unique middle) fails immediately.
+    //
+    // PARAMETERIZATION (k = 25, w = 8): a REMOVAL operator must cut
+    // verbatim passages, so its fingerprint length has to sit above the
+    // corpus's vocabulary-collision scale. This synthetic corpus is
+    // short word salad over a tiny vocabulary — a 12-char gram is ~2
+    // words and lands in up to 778 of 5000 documents (measured), so at
+    // k = 12 "qualified pairs" are dominated by 2-bigram coincidences
+    // (5.2M candidate pairs for 5000 docs) and the surgery would cut
+    // common phrases out of half the corpus. At k = 25 (~4 words) the
+    // hottest gram covers 16 docs and matches are the planted passages
+    // plus true near-dups — the analysis the gate is FOR. Detection
+    // guarantee: shared runs >= k+w-1 = 32 chars always fingerprint;
+    // the planted 90-char chunks are well above it. The k = 12
+    // hot-bucket pair-enumeration stress stays gated by q_dedup_spans /
+    // q_dedup_substring, which share the memoized corpus frames.
     Q("q_dedup_span_removal_multi", {
       val horner = (lo: String, hi: String) =>
         s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
@@ -615,10 +633,10 @@ object TextQueries {
          |  FROM documents WHERE doc_id < 40 AND length(text) >= 250),
          |h AS (
          |  SELECT doc_id,
-         |         CASE WHEN length(text) < 12
+         |         CASE WHEN length(text) < 25
          |              THEN [${horner("1", "length(text) + 1")}]
-         |              ELSE list_transform(range(1, length(text) - 10),
-         |                     p -> ${horner("p", "p + 12")})
+         |              ELSE list_transform(range(1, length(text) - 23),
+         |                     p -> ${horner("p", "p + 25")})
          |         END AS hs
          |  FROM aug),
          |f AS (
@@ -649,7 +667,7 @@ object TextQueries {
          |         JOIN pair p ON p.id1 = a.doc_id AND p.id2 = b.doc_id),
          |brk AS (SELECT doc_id, pos,
          |               CASE WHEN pos - lag(pos) OVER (
-         |                      PARTITION BY doc_id ORDER BY pos) > 19
+         |                      PARTITION BY doc_id ORDER BY pos) > 32
          |                    THEN 1 ELSE 0 END AS b
          |        FROM pos2),
          |lbl AS (SELECT doc_id, pos,
@@ -660,7 +678,7 @@ object TextQueries {
          |        FROM lbl GROUP BY 1, 2),
          |seg AS (SELECT doc_id, lo, hi,
          |               coalesce(lag(hi) OVER (
-         |                 PARTITION BY doc_id ORDER BY lo), -12) + 12
+         |                 PARTITION BY doc_id ORDER BY lo), -25) + 25
          |                 AS st
          |        FROM isl),
          |kseg AS (SELECT s.doc_id, s.lo,
@@ -671,7 +689,7 @@ object TextQueries {
          |       FROM isl GROUP BY doc_id),
          |cln AS (SELECT k.doc_id,
          |               string_agg(kept, '' ORDER BY lo) ||
-         |                 substr(a.text, max(n.mx) + 13) AS clean,
+         |                 substr(a.text, max(n.mx) + 26) AS clean,
          |               max(n.n_islands) AS n_islands
          |        FROM kseg k JOIN aug a USING (doc_id)
          |        JOIN ni n USING (doc_id)
@@ -688,17 +706,13 @@ object TextQueries {
             md5(col("doc_id").cast("string")), lit(">> "),
             substring(col("text"), 120, 90)).as("text"))
       val aug = docs.select("doc_id", "text").union(extras)
-      // corpus-internal qualified positions from the shared memoized
-      // pair-row frame; only the 40 synthetic marker docs are winnowed
-      // and delta-joined here. Position ids are disjoint across the two
-      // blocks (base ids below 100000, extras above), so the union needs
-      // no cross-block distinct.
-      val posns = Dedup.positionsFromPairRows(basePairRows(s, dir),
-          minShared = 2)
-        .union(Dedup.positionsFromPairRows(
-          Dedup.spanPairRowsDelta(cappedBaseFps(s, dir), deltaFps(extras)),
-          minShared = 2))
-      Dedup.removeMatchedSpans(aug, "doc_id", "text", posns, k = 12, w = 8)
+      // k = 25 (see the oracle header): buckets are true-dup-sized, so
+      // the whole qualification pipeline — winnow, cap, bucket join,
+      // pair count, islands — runs over thousands of rows, not the
+      // vocabulary-collision millions the k = 12 pair gates enumerate
+      val posns = Dedup.substringDupPositions(aug, "doc_id", "text",
+        k = 25, w = 8, minShared = 2)
+      Dedup.removeMatchedSpans(aug, "doc_id", "text", posns, k = 25, w = 8)
         .select(col("id").as("doc_id"), col("n_islands"),
           length(col("clean")).as("clean_n"),
           md5(col("clean")).as("clean_md5"))

@@ -235,6 +235,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(posDecomp.toSeq == posCombined.toSeq,
       s"positions diverge:\n${posDecomp.toSeq}\n${posCombined.toSeq}")
+
+    // the semi-join form over a precomputed qualification frame is the
+    // same operator: window-counted and spans-qualified positions agree
+    val posSemi = Dedup.positionsForQualifiedPairs(baseRows,
+        Dedup.spansFromPairRows(baseRows))
+      .union(Dedup.positionsForQualifiedPairs(deltaRows,
+        Dedup.spansFromPairRows(deltaRows)))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(posSemi.toSeq == posDecomp.toSeq,
+      s"semi-join positions diverge:\n${posSemi.toSeq}\n${posDecomp.toSeq}")
   }
 
   test("dedupCorpusSegments keeps each segment once, first owner wins") {
