@@ -1508,6 +1508,85 @@ object TextQueries {
         .orderBy("phrase_id", "doc_id")
     },
 
+    // Hybrid retrieval via reciprocal rank fusion (operators.Fusion):
+    // the lexical ranking (BM25, query = the query doc's first two
+    // tokens) and the vector ranking (brute cosine over the embeddings,
+    // query = the same id's vector) fuse on RANKS — score(d) =
+    // sum(1/(60+rank)) across lists — so no cross-modality score
+    // calibration is needed and an id surfacing in both lists beats a
+    // single-list head. Fusion runs over the two top-20 lists only (the
+    // corpus is never rescanned); each fused sum has <= 2 addends
+    // (IEEE order-exact), rounds to 4 dp before ranking, id breaks
+    // ties. The oracle replays BM25, cosine, and the fusion arithmetic
+    // end to end.
+    Q("q_text_hybrid_rrf",
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |q AS (SELECT doc_id AS query_id, unnest(toks[1:2]) AS term
+         |      FROM tk WHERE doc_id IN (3, 7, 11)),
+         |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS n_tokens
+         |       FROM tk),
+         |post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+         |         FROM tk),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post
+         |       WHERE term IN (SELECT DISTINCT term FROM q)
+         |       GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |ts AS (SELECT tf.doc_id, tf.term,
+         |              ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5)
+         |                       / (df.df + 0.5))
+         |              * tf.tf * (1.2 + 1.0)
+         |              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+         |                   / (CAST(st.n_tokens AS DOUBLE) / st.n_docs)))
+         |                AS ts
+         |       FROM tf JOIN df USING (term) CROSS JOIN st),
+         |sc AS (SELECT q.query_id, ts.doc_id, round(sum(ts.ts), 4) AS score
+         |       FROM ts JOIN q USING (term) GROUP BY q.query_id, ts.doc_id),
+         |lex AS (SELECT query_id, doc_id AS id, rank FROM (
+         |          SELECT query_id, doc_id, row_number() OVER (
+         |            PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |            AS rank
+         |          FROM sc) WHERE rank <= 20),
+         |vq AS (SELECT vec_id AS query_id,
+         |              CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id IN (3, 7, 11)),
+         |vsc AS (SELECT query_id, e.vec_id AS id,
+         |               round(list_cosine_similarity(qv,
+         |                     CAST(e.embedding AS DOUBLE[])), 4) AS score
+         |        FROM vq, embeddings e WHERE e.vec_id != query_id),
+         |vec AS (SELECT query_id, id, rank FROM (
+         |          SELECT query_id, id, row_number() OVER (
+         |            PARTITION BY query_id ORDER BY score DESC, id)
+         |            AS rank
+         |          FROM vsc) WHERE rank <= 20),
+         |u AS (SELECT query_id, id, CAST(1 AS DOUBLE) / (60 + rank) AS c
+         |      FROM lex
+         |      UNION ALL
+         |      SELECT query_id, id, CAST(1 AS DOUBLE) / (60 + rank)
+         |      FROM vec),
+         |f AS (SELECT query_id, id, round(sum(c), 4) AS score
+         |      FROM u GROUP BY query_id, id),
+         |r AS (SELECT query_id, id, score, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score DESC, id) AS rank
+         |      FROM f)
+         |SELECT query_id, id, score, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.where(col("doc_id").isin(3L, 7L, 11L))
+        .select(col("doc_id").as("query_id"),
+          explode(slice(graft.functions.TextFunctions.tokens(col("text")),
+            1, 2)).as("term"))
+      val lex = graft.operators.Bm25.topK(docs, queries, k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val vec = graft.operators.Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id").isin(3L, 7L, 11L)), k = 20)
+        .select(col("query_id"), col("cand_id").as("id"), col("rank"))
+      graft.operators.Fusion.reciprocalRankFusion(Seq(lex, vec), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // HTML → text extraction (boilerplate strip): script/style payloads
     // dropped WHOLE (a tag-only strip would leak `var x = 1 < 2;` into
     // the corpus — planted), comments and tags dropped, the six dominant

@@ -198,7 +198,12 @@ object AvroCodec {
   def readAvro(spark: SparkSession, dir: String, st: StructType,
                maxBytes: Long = 1L << 30,
                maxDecoded: Long = 1L << 30): DataFrame = {
-    val bin = spark.read.format("binaryFile").load(s"$dir/*.avro")
+    // pathGlobFilter rather than a glob IN the path: DataSource's
+    // streaming-sink probe getFileStatus()es the literal path, and a
+    // glob there logs a spurious FileNotFoundException stack trace per
+    // read (harmless but alarming in driver logs)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro").load(dir)
       .where(col("length") <= maxBytes)
       .select("content")
     val rows = bin.rdd.flatMap(r =>

@@ -1324,6 +1324,38 @@ class Bm25Spec extends SparkSpec {
   }
 }
 
+class FusionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("reciprocal rank fusion: agreement beats a single-list head, " +
+      "missing entries contribute nothing, rounded ties break by id") {
+    // q1: id 20 sits mid-list in BOTH lists and must outrank each
+    // list's unique head; q2: two heads of different lists tie at the
+    // same rounded score and order by id
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 10L, 1))
+      .toDF("query_id", "id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2), (2L, 15L, 1))
+      .toDF("query_id", "id", "rank")
+    val got = Fusion.reciprocalRankFusion(Seq(a, b), k = 10)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, 20L, 0.0325, 1), // 1/62 + 1/61
+      (1L, 10L, 0.0164, 2), // 1/61
+      (1L, 30L, 0.0161, 3), // 1/62
+      (2L, 10L, 0.0164, 1), // tie with 15 at 4 dp; lower id first
+      (2L, 15L, 0.0164, 2)),
+      s"unexpected fusion: ${got.toSeq}")
+  }
+
+  test("fusion k truncates per query") {
+    val a = (1 to 5).map(i => (1L, i.toLong, i)).toDF("query_id", "id", "rank")
+    assert(Fusion.reciprocalRankFusion(Seq(a), k = 3).count() == 3)
+  }
+}
+
 class SemanticDedupSpec extends SparkSpec {
 
   import org.apache.spark.sql.functions._
