@@ -83,7 +83,11 @@ object PhraseSearch {
     * bucket dir. A term's postings live entirely inside its bucket, so a
     * phrase lookup reads only its terms' directories — ~k/64ths of the
     * postings for a k-term phrase, not the corpus. */
-  def writeIndex(docs: DataFrame, dir: String): Unit = {
+  def writeIndex(docs: DataFrame, dir: String): Unit =
+    writePostings(docs, dir, "overwrite")
+
+  private def writePostings(docs: DataFrame, dir: String,
+                            mode: String): Unit = {
     val slices = math.max(1,
       docs.sparkSession.sparkContext.defaultParallelism / IndexBuckets)
     positionalPostings(docs)
@@ -91,9 +95,22 @@ object PhraseSearch {
         pmod(hash(col("term")), lit(IndexBuckets)))
       .repartition(IndexBuckets * slices, col("term_bucket"),
         pmod(hash(col("doc_id")), lit(slices)))
-      .write.mode("overwrite").partitionBy("term_bucket")
+      .write.mode(mode).partitionBy("term_bucket")
       .parquet(s"$dir/postings")
   }
+
+  /** Append a document batch's positional postings into a standing
+    * [[writeIndex]] layout — the nightly-crawl shape: the standing
+    * corpus is never re-tokenized, the batch's postings land as extra
+    * files inside the SAME term-bucket directories (dynamic-partition
+    * append), so partition-pruned lookup and the distributed fallback
+    * both see them with zero search-path changes. O(batch), regardless
+    * of index size. Batch ids may collide with standing ids only if the
+    * caller re-ingests a document — the index stores postings, not doc
+    * rows, so a re-ingest double-counts and the caller owns id
+    * discipline (same contract as Bm25's layout). */
+  def appendToIndex(docs: DataFrame, dir: String): Unit =
+    writePostings(docs, dir, "append")
 
   /** Search a persisted [[writeIndex]] index — result-identical to
     * [[phraseHits]] over the original corpus (PhraseSearchSpec pins it),

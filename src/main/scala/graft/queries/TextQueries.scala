@@ -1508,6 +1508,60 @@ object TextQueries {
         .orderBy("phrase_id", "doc_id")
     },
 
+    // Incremental phrase-index growth (PhraseSearch.appendToIndex) —
+    // the nightly-crawl shape: the standing corpus is indexed once,
+    // a batch of 20 synthetic docs (each opening with doc 3's first 80
+    // chars, so they MUST surface for doc 3's phrase) appends as extra
+    // files inside the same term-bucket directories, and the search
+    // must see standing + appended hits through one partition-pruned
+    // read. Oracle replays the phrase scan over the full augmented
+    // corpus — append-path postings must be indistinguishable from a
+    // full rebuild. writeIndex's overwrite makes the gate idempotent
+    // per invocation (bench reps never double-append).
+    Q("q_text_phrase_index_append",
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT d.doc_id + 200000,
+         |         substr(s.text, 1, 80) || ' batch tail ' ||
+         |           CAST(d.doc_id AS VARCHAR)
+         |  FROM documents d CROSS JOIN (SELECT text FROM documents
+         |                               WHERE doc_id = 3) s
+         |  WHERE d.doc_id < 20),
+         |toks AS (SELECT doc_id, $sqlToks AS ts FROM aug),
+         |ph AS (SELECT doc_id AS phrase_id, ts[1:3] AS p FROM toks
+         |       WHERE doc_id IN (3, 7, 11)),
+         |m AS (SELECT ph.phrase_id, t.doc_id,
+         |        list_filter(range(1, len(t.ts) - len(ph.p) + 2),
+         |          i -> len(list_filter(range(1, len(ph.p) + 1),
+         |                 j -> t.ts[i + j - 1] = ph.p[j])) = len(ph.p))
+         |          AS starts
+         |      FROM toks t CROSS JOIN ph)
+         |SELECT phrase_id, doc_id, CAST(len(starts) AS BIGINT) AS n_hits,
+         |       CAST(starts[1] AS BIGINT) AS first_pos
+         |FROM m WHERE len(starts) > 0
+         |ORDER BY phrase_id, doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_phrase_index_append",
+        dir.replace('/', '_').replace(':', '_')).toString
+      graft.operators.PhraseSearch.writeIndex(docs, idxDir)
+      val opener = docs.where(col("doc_id") === 3)
+        .select(substring(col("text"), 1, 80).as("opener"))
+      val batch = docs.where(col("doc_id") < 20)
+        .crossJoin(broadcast(opener))
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("opener"), lit(" batch tail "),
+            col("doc_id").cast("string")).as("text"))
+      graft.operators.PhraseSearch.appendToIndex(batch, idxDir)
+      val phrases = docs.where(col("doc_id").isin(3L, 7L, 11L))
+        .select(col("doc_id").as("phrase_id"),
+          slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3)
+            .as("terms"))
+      graft.operators.PhraseSearch.searchIndex(s, idxDir, phrases)
+        .orderBy("phrase_id", "doc_id")
+    },
+
     // Hybrid retrieval via reciprocal rank fusion (operators.Fusion):
     // the lexical ranking (BM25, query = the query doc's first two
     // tokens) and the vector ranking (brute cosine over the embeddings,

@@ -96,6 +96,28 @@ class PhraseSearchSpec extends SparkSpec {
     }
   }
 
+  test("appendToIndex is indistinguishable from a full rebuild over " +
+      "the union") {
+    val standing = idxDocs.toDF("doc_id", "text")
+    val batch = Seq((100L, "a a fresh batch doc"), (101L, "the big the end"))
+      .toDF("doc_id", "text")
+    val ph = phrases(idxPhrases: _*)
+    val incDir = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx_inc").toString
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx_full").toString
+    PhraseSearch.writeIndex(standing, incDir)
+    PhraseSearch.appendToIndex(batch, incDir)
+    PhraseSearch.writeIndex(standing.union(batch), fullDir)
+    val inc = PhraseSearch.searchIndex(spark, incDir, ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    val full = PhraseSearch.searchIndex(spark, fullDir, ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    assert(inc == full, s"append diverged from rebuild:\n$inc\n$full")
+    assert(inc.exists(_.getLong(1) >= 100L),
+      s"batch docs never surfaced: $inc")
+  }
+
   test("the pruned search path reads only the phrase terms' bucket " +
       "partitions") {
     val docs = idxDocs.toDF("doc_id", "text")
