@@ -83,8 +83,15 @@ object PhraseSearch {
     * bucket dir. A term's postings live entirely inside its bucket, so a
     * phrase lookup reads only its terms' directories — ~k/64ths of the
     * postings for a k-term phrase, not the corpus. */
-  def writeIndex(docs: DataFrame, dir: String): Unit =
+  def writeIndex(docs: DataFrame, dir: String): Unit = {
     writePostings(docs, dir, "overwrite")
+    // a full rebuild resets the deletion ledger: standing tombstones
+    // refer to the pre-rebuild corpus, and the caller-provided corpus
+    // IS the post-rebuild truth (same contract as Similarity.writeIndex)
+    val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    TombstoneLedger.reset(ts.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration), s"$dir/tombstones")
+  }
 
   private def writePostings(docs: DataFrame, dir: String,
                             mode: String): Unit = {
@@ -112,6 +119,59 @@ object PhraseSearch {
   def appendToIndex(docs: DataFrame, dir: String): Unit =
     writePostings(docs, dir, "append")
 
+  /** Append-only deletion (the right-to-be-forgotten op for TEXT
+    * indexes, the twin of [[Similarity.deleteFromIndex]]): `ids` (a
+    * `doc_id` column) land in the `tombstones` ledger; the postings
+    * stay on disk until [[vacuumIndex]], but [[searchIndex]] masks them
+    * immediately — a tombstoned document can never produce a phrase
+    * hit. One tiny parquet append regardless of index size. */
+  def deleteFromIndex(ids: DataFrame, dir: String): Unit =
+    TombstoneLedger.append(ids.select(col("doc_id")), s"$dir/tombstones")
+
+  /** Test seam: runs after [[vacuumIndex]] snapshots the ledger file
+    * list and before it rewrites/cleans up — the race window a
+    * concurrent [[deleteFromIndex]] lands in. Production no-op. */
+  private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
+
+  /** Physically remove tombstoned documents' postings: anti-join the
+    * ledger snapshot, rewrite the bucket-partitioned layout behind the
+    * crash-safe staged swap, then clear exactly the ledger files this
+    * pass consumed (a tombstone landing mid-pass survives — ONE ledger
+    * enumeration feeds both the anti-join and the cleanup). A full
+    * purge writes a schema-preserving unpartitioned empty parquet so
+    * later reads never die on schema inference. Returns postings rows
+    * removed. */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Long = {
+    val root = s"$dir/tombstones"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val consumed = TombstoneLedger.files(fs, root)
+    val ts = TombstoneLedger.dfFrom(spark, consumed, "doc_id")
+      .getOrElse(return 0L)
+    vacuumAfterSnapshotHook()
+    val postPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val base = spark.read.parquet(postPath.toString)
+    val keep = base.join(ts, Seq("doc_id"), "left_anti")
+    val keepCount = keep.count()
+    val removed = base.count() - keepCount
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.postings.vacuum")
+    if (keepCount == 0L)
+      keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    else {
+      val slices = math.max(1,
+        spark.sparkContext.defaultParallelism / IndexBuckets)
+      keep.repartition(IndexBuckets * slices, col("term_bucket"),
+          pmod(hash(col("doc_id")), lit(slices)))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(tmp.toString)
+    }
+    graft.sources.Formats.swapInto(fs, tmp, postPath)
+    spark.catalog.refreshByPath(postPath.toString)
+    TombstoneLedger.clear(fs, root, consumed)
+    removed
+  }
+
   /** Search a persisted [[writeIndex]] index — result-identical to
     * [[phraseHits]] over the original corpus (PhraseSearchSpec pins it),
     * but the scan opens only the phrase terms' partitions.
@@ -130,7 +190,14 @@ object PhraseSearch {
       posexplode(col("terms")).as(Seq("offset", "term")))
     val qTermDf = phraseTerms.select("term").distinct()
     val smallQ = qTermDf.limit(maxTerms + 1).count() <= maxTerms
-    val postings = spark.read.parquet(s"$dir/postings")
+    // anti-join the deletion ledger BEFORE vote counting, so a
+    // tombstoned document can never produce a phrase hit; unhinted —
+    // AQE broadcasts the ledger while it is small
+    val raw = spark.read.parquet(s"$dir/postings")
+    val masked = TombstoneLedger.df(spark, s"$dir/tombstones", "doc_id")
+      .map(ts => raw.join(ts, Seq("doc_id"), "left_anti"))
+      .getOrElse(raw)
+    val postings = masked
       // 1-based stored positions back to the vote arithmetic's 0-based
       .select(col("term"), col("doc_id"), (col("pos") - 1).as("p0"),
         col("term_bucket"))

@@ -1562,6 +1562,58 @@ object TextQueries {
         .orderBy("phrase_id", "doc_id")
     },
 
+    // Phrase-index deletion lifecycle (PhraseSearch.deleteFromIndex /
+    // vacuumIndex — right-to-be-forgotten for TEXT indexes, the twin of
+    // q_ann_index_delete): rebuild, tombstone the formula set
+    // (doc_id % 13 = 2 AND doc_id < 1300, id-bounded so the set is
+    // fixed-size at any sf; one tiny ledger append, no postings
+    // rewrite), search; then VACUUM (anti-join rewrite behind the
+    // staged swap, ledger cleared) and search again. Both phases must
+    // hash-match the same deleted-filtered phrase replay — the ledger
+    // mask and the physical rewrite pinned by one oracle. writeIndex's
+    // rebuild resets the ledger, so the gate is idempotent per
+    // invocation.
+    Q("q_text_phrase_index_delete",
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+         |ph AS (SELECT doc_id AS phrase_id, ts[1:3] AS p FROM toks
+         |       WHERE doc_id IN (3, 7, 11)),
+         |live AS (SELECT doc_id, ts FROM toks
+         |         WHERE NOT (doc_id % 13 = 2 AND doc_id < 1300)),
+         |m AS (SELECT ph.phrase_id, t.doc_id,
+         |        list_filter(range(1, len(t.ts) - len(ph.p) + 2),
+         |          i -> len(list_filter(range(1, len(ph.p) + 1),
+         |                 j -> t.ts[i + j - 1] = ph.p[j])) = len(ph.p))
+         |          AS starts
+         |      FROM live t CROSS JOIN ph)
+         |SELECT pp.phase, phrase_id, doc_id,
+         |       CAST(len(starts) AS BIGINT) AS n_hits,
+         |       CAST(starts[1] AS BIGINT) AS first_pos
+         |FROM m CROSS JOIN (SELECT unnest(['tombstoned', 'vacuumed'])
+         |                   AS phase) pp
+         |WHERE len(starts) > 0
+         |ORDER BY phase, phrase_id, doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_phrase_index_delete",
+        dir.replace('/', '_').replace(':', '_')).toString
+      graft.operators.PhraseSearch.writeIndex(docs, idxDir)
+      graft.operators.PhraseSearch.deleteFromIndex(
+        docs.where(col("doc_id") % 13 === 2 && col("doc_id") < 1300)
+          .select("doc_id"), idxDir)
+      val phrases = docs.where(col("doc_id").isin(3L, 7L, 11L))
+        .select(col("doc_id").as("phrase_id"),
+          slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3)
+            .as("terms"))
+      def search(phase: String) =
+        graft.operators.PhraseSearch.searchIndex(s, idxDir, phrases)
+          .withColumn("phase", lit(phase))
+      val before = search("tombstoned").localCheckpoint()
+      graft.operators.PhraseSearch.vacuumIndex(s, idxDir)
+      before.unionByName(search("vacuumed"))
+        .select("phase", "phrase_id", "doc_id", "n_hits", "first_pos")
+        .orderBy("phase", "phrase_id", "doc_id")
+    },
+
     // Hybrid retrieval via reciprocal rank fusion (operators.Fusion):
     // the lexical ranking (BM25, query = the query doc's first two
     // tokens) and the vector ranking (brute cosine over the embeddings,

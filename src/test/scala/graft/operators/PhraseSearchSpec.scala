@@ -118,6 +118,65 @@ class PhraseSearchSpec extends SparkSpec {
       s"batch docs never surfaced: $inc")
   }
 
+  test("deleteFromIndex masks immediately; vacuumIndex removes " +
+      "physically with identical results") {
+    val docs = idxDocs.toDF("doc_id", "text")
+    val ph = phrases(idxPhrases: _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx_del").toString
+    PhraseSearch.writeIndex(docs, dir)
+    PhraseSearch.deleteFromIndex(Seq(1L).toDF("doc_id"), dir)
+    val masked = PhraseSearch.searchIndex(spark, dir, ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    assert(!masked.exists(_.getLong(1) == 1L),
+      s"tombstoned doc surfaced: $masked")
+    val expected = PhraseSearch
+      .phraseHits(docs.where(col("doc_id") =!= 1L), ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    assert(masked == expected, s"mask != filtered scan:\n$masked\n$expected")
+    val removed = PhraseSearch.vacuumIndex(spark, dir)
+    assert(removed > 0, "vacuum removed no postings rows")
+    val after = PhraseSearch.searchIndex(spark, dir, ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    assert(after == expected, s"post-vacuum diverged:\n$after\n$expected")
+    // ledger cleared: a second vacuum is a no-op
+    assert(PhraseSearch.vacuumIndex(spark, dir) == 0L)
+  }
+
+  test("a tombstone landing inside vacuum's race window survives and " +
+      "keeps masking") {
+    val docs = idxDocs.toDF("doc_id", "text")
+    val ph = phrases(idxPhrases: _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx_race").toString
+    PhraseSearch.writeIndex(docs, dir)
+    PhraseSearch.deleteFromIndex(Seq(1L).toDF("doc_id"), dir)
+    PhraseSearch.vacuumAfterSnapshotHook =
+      () => PhraseSearch.deleteFromIndex(Seq(2L).toDF("doc_id"), dir)
+    try PhraseSearch.vacuumIndex(spark, dir)
+    finally PhraseSearch.vacuumAfterSnapshotHook = () => ()
+    // the late tombstone was not consumed by the pass and still masks
+    val got = PhraseSearch.searchIndex(spark, dir, ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    val expected = PhraseSearch
+      .phraseHits(docs.where(!col("doc_id").isin(1L, 2L)), ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    assert(got == expected, s"late tombstone lost:\n$got\n$expected")
+    // and the next vacuum applies it physically
+    assert(PhraseSearch.vacuumIndex(spark, dir) > 0L)
+  }
+
+  test("a full purge leaves a readable empty index") {
+    val docs = Seq((1L, "solo doc here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx_purge").toString
+    PhraseSearch.writeIndex(docs, dir)
+    PhraseSearch.deleteFromIndex(Seq(1L).toDF("doc_id"), dir)
+    PhraseSearch.vacuumIndex(spark, dir)
+    assert(PhraseSearch.searchIndex(spark, dir,
+      phrases(1L -> Seq("solo", "doc"))).count() == 0)
+  }
+
   test("the pruned search path reads only the phrase terms' bucket " +
       "partitions") {
     val docs = idxDocs.toDF("doc_id", "text")
