@@ -128,6 +128,15 @@ object PhraseSearch {
   def deleteFromIndex(ids: DataFrame, dir: String): Unit =
     TombstoneLedger.append(ids.select(col("doc_id")), s"$dir/tombstones")
 
+  /** EXACTLY-ONCE streaming deletion: the micro-batch's doc ids land in
+    * a batch-scoped ledger dataset (overwrite by (tag, batchId) —
+    * idempotent under foreachBatch replay); [[searchIndex]] masks them
+    * immediately, [[vacuumIndex]] folds them physically. */
+  def deleteBatchDir(ids: DataFrame, dir: String, tag: String,
+                     batchId: Long): Unit =
+    TombstoneLedger.appendBatch(ids.select(col("doc_id")),
+      s"$dir/tombstones", tag, batchId)
+
   /** Test seam: runs after [[vacuumIndex]] snapshots the ledger file
     * list and before it rewrites/cleans up — the race window a
     * concurrent [[deleteFromIndex]] lands in. Production no-op. */

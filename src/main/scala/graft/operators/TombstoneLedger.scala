@@ -29,6 +29,22 @@ object TombstoneLedger {
     ids.toDF("id").distinct()
       .coalesce(1).write.mode("append").parquet(root)
 
+  /** EXACTLY-ONCE streaming append: the micro-batch's ids land in the
+    * batch-scoped ledger dataset `<root>/<md5(tag)>-<batchId>` with
+    * OVERWRITE, so a replayed batch (foreachBatch is at-least-once)
+    * rewrites its own location instead of accreting ledger rows —
+    * idempotency by placement, the same contract as
+    * [[Similarity.deleteBatchDir]]. */
+  def appendBatch(ids: DataFrame, root: String, tag: String,
+                  batchId: Long): Unit =
+    ids.toDF("id").distinct().coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/${tagHash(tag)}-$batchId")
+
+  private def tagHash(tag: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+
   /** Every parquet leaf file under the ledger — ONE enumeration, to be
     * reused for both the read and the consumed-set cleanup. */
   def files(fs: org.apache.hadoop.fs.FileSystem, root: String)

@@ -1614,6 +1614,65 @@ object TextQueries {
         .orderBy("phase", "phrase_id", "doc_id")
     },
 
+    // STREAMING phrase-index deletion through the driver hash
+    // (EventStreams.phraseDeleteSink — the text twin of
+    // q_stream_delete_replay): two one-shot foreachBatch queries land
+    // doc-id delete requests in batch-scoped ledger datasets (overwrite
+    // by (tag, batchId) — exactly-once by placement), splitting the
+    // formula set (doc_id % 13 = 2 AND doc_id < 1300) across streams;
+    // the post-stream search must hash-match the single-phase
+    // deleted-filtered phrase replay, so ledger batch boundaries must
+    // not be visible. The index dir is wiped first, making the gate
+    // idempotent per invocation.
+    Q("q_stream_phrase_delete_replay",
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+         |ph AS (SELECT doc_id AS phrase_id, ts[1:3] AS p FROM toks
+         |       WHERE doc_id IN (3, 7, 11)),
+         |live AS (SELECT doc_id, ts FROM toks
+         |         WHERE NOT (doc_id % 13 = 2 AND doc_id < 1300)),
+         |m AS (SELECT ph.phrase_id, t.doc_id,
+         |        list_filter(range(1, len(t.ts) - len(ph.p) + 2),
+         |          i -> len(list_filter(range(1, len(ph.p) + 1),
+         |                 j -> t.ts[i + j - 1] = ph.p[j])) = len(ph.p))
+         |          AS starts
+         |      FROM live t CROSS JOIN ph)
+         |SELECT phrase_id, doc_id, CAST(len(starts) AS BIGINT) AS n_hits,
+         |       CAST(starts[1] AS BIGINT) AS first_pos
+         |FROM m WHERE len(starts) > 0
+         |ORDER BY phrase_id, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_phrase_index_streamdel",
+        dir.replace('/', '_').replace(':', '_')).toString
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      graft.operators.PhraseSearch.writeIndex(docs, idxDir)
+      def feed(pred: org.apache.spark.sql.Column, tag: String): Unit = {
+        // id-bounded fixture feed (fixed-size at any sf); the oracle's
+        // delete set carries the same bound
+        val rows = docs
+          .where(col("doc_id") % 13 === 2 && col("doc_id") < 1300 && pred)
+          .select("doc_id").as[Long].collect().toSeq
+        val src = MemoryStream[Long]
+        src.addData(rows: _*)
+        graft.streaming.EventStreams.phraseDeleteSink(
+            src.toDF().toDF("doc_id"), idxDir, tagOverride = Some(tag))
+          .awaitTermination()
+      }
+      feed(col("doc_id") < 650, "purge-a")
+      feed(col("doc_id") >= 650, "purge-b")
+      val phrases = docs.where(col("doc_id").isin(3L, 7L, 11L))
+        .select(col("doc_id").as("phrase_id"),
+          slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3)
+            .as("terms"))
+      graft.operators.PhraseSearch.searchIndex(s, idxDir, phrases)
+        .orderBy("phrase_id", "doc_id")
+    },
+
     // Hybrid retrieval via reciprocal rank fusion (operators.Fusion):
     // the lexical ranking (BM25, query = the query doc's first two
     // tokens) and the vector ranking (brute cosine over the embeddings,

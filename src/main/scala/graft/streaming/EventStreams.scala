@@ -360,6 +360,32 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming PHRASE-index deletion — the text twin of [[deleteSink]]:
+    * each micro-batch of `doc_id` delete requests lands in a
+    * batch-scoped ledger dataset
+    * ([[graft.operators.PhraseSearch.deleteBatchDir]] — overwrite by
+    * (tag, batchId), exactly-once by placement);
+    * `PhraseSearch.searchIndex` masks the ids immediately and
+    * `vacuumIndex` makes removals physical out-of-band. */
+  def phraseDeleteSink(ids: DataFrame, indexDir: String,
+                       checkpointDir: Option[String] = None,
+                       tagOverride: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
+    val writer = checkpointDir.fold(ids.writeStream)(
+      ids.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.PhraseSearch.deleteBatchDir(
+              batch.toDF(), indexDir, tag, batchId)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming corpus-drift maintenance: each micro-batch of documents
     * aggregates to token counts
     * ([[graft.operators.DriftMonitor.tokenCounts]] — slice membership

@@ -166,6 +166,27 @@ class PhraseSearchSpec extends SparkSpec {
     assert(PhraseSearch.vacuumIndex(spark, dir) > 0L)
   }
 
+  test("a replayed streaming delete batch rewrites its ledger slot " +
+      "instead of accreting") {
+    val docs = idxDocs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx_sdel").toString
+    PhraseSearch.writeIndex(docs, dir)
+    PhraseSearch.deleteBatchDir(Seq(1L).toDF("doc_id"), dir, "t", 0L)
+    PhraseSearch.deleteBatchDir(Seq(1L).toDF("doc_id"), dir, "t", 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = TombstoneLedger.files(fs, s"$dir/tombstones")
+    assert(ledger.size == 1, s"replay accreted ledger files: $ledger")
+    val expected = PhraseSearch
+      .phraseHits(docs.where(col("doc_id") =!= 1L),
+        phrases(idxPhrases: _*))
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    val got = PhraseSearch.searchIndex(spark, dir, phrases(idxPhrases: _*))
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    assert(got == expected)
+  }
+
   test("a full purge leaves a readable empty index") {
     val docs = Seq((1L, "solo doc here")).toDF("doc_id", "text")
     val dir = java.nio.file.Files
