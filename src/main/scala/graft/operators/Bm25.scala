@@ -75,14 +75,19 @@ object Bm25 {
     * hash(term) mod 64 — the high-query-volume complement to [[topK]]'s
     * scan+prune (same trade as Similarity.writeIndex: build once, then
     * every search reads only its query terms' buckets, ~1/64th of the
-    * postings per term). A one-row `stats` dataset carries the corpus
-    * constants. A term's postings live entirely inside its bucket, so
-    * df computed from probed buckets alone is exact. */
+    * postings per term). A narrow `doclens` (doc_id, dl) dataset
+    * carries the per-document lengths the corpus constants derive from
+    * — DERIVED at search time rather than stored as a scalar, so
+    * deletions ([[deleteFromIndex]]) correct n_docs/avgdl through the
+    * SAME ledger anti-join that masks postings, with no stored-scalar
+    * staleness window under any vacuum crash ordering. A term's
+    * postings live entirely inside its bucket, so df computed from
+    * probed buckets alone is exact (and from MASKED probed buckets,
+    * exact over live documents). */
   def writeIndex(docs: DataFrame, dir: String): Unit = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    toks.agg(count(lit(1)).as("n_docs"),
-        sum(size(col("toks"))).as("n_tokens"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    toks.select(col("doc_id"), size(col("toks")).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
     // cluster rows toward their bucket dir, but NOT on term_bucket
     // alone — that would cap the write at IndexBuckets tasks. The
     // second hash slice keeps every core writing while bounding the
@@ -100,6 +105,78 @@ object Bm25 {
         pmod(hash(col("doc_id")), lit(slices)))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$dir/postings")
+    // a full rebuild resets the deletion ledger (pre-rebuild tombstones
+    // refer to the old corpus — same contract as the other indexes)
+    TombstoneLedger.reset(
+      new org.apache.hadoop.fs.Path(s"$dir/tombstones").getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration),
+      s"$dir/tombstones")
+  }
+
+  /** Append-only deletion (right-to-be-forgotten for the BM25 index):
+    * `ids` (a `doc_id` column) land in the tombstone ledger; postings
+    * stay on disk until [[vacuumIndex]], but [[searchIndex]] masks them
+    * immediately AND corrects the corpus statistics — n_docs, avgdl,
+    * and df are all computed over LIVE documents only, so post-delete
+    * scores equal a fresh index over the filtered corpus exactly. One
+    * tiny parquet append regardless of index size. */
+  def deleteFromIndex(ids: DataFrame, dir: String): Unit =
+    TombstoneLedger.append(ids.select(col("doc_id")), s"$dir/tombstones")
+
+  /** Test seam: runs after [[vacuumIndex]] snapshots the ledger file
+    * list — the race window a concurrent [[deleteFromIndex]] lands in.
+    * Production no-op. */
+  private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
+
+  /** Physically remove tombstoned documents: anti-join the ledger
+    * snapshot against BOTH index datasets (postings rewritten behind
+    * the crash-safe staged swap in the bucket-partitioned layout;
+    * doclens rewritten the same way), then clear exactly the consumed
+    * ledger files. Any crash ordering stays consistent: the corpus
+    * constants derive from doclens∖ledger and postings read as
+    * postings∖ledger, so whichever dataset swapped first, a search
+    * still scores the live corpus exactly. Returns postings rows
+    * removed. */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Long = {
+    val root = s"$dir/tombstones"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val consumed = TombstoneLedger.files(fs, root)
+    val ts = TombstoneLedger.dfFrom(spark, consumed, "doc_id")
+      .getOrElse(return 0L)
+    vacuumAfterSnapshotHook()
+    val postPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val base = spark.read.parquet(postPath.toString)
+    val keep = base.join(ts, Seq("doc_id"), "left_anti")
+    val keepCount = keep.count()
+    val removed = base.count() - keepCount
+    val tmpP = new org.apache.hadoop.fs.Path(s"$dir/.postings.vacuum")
+    if (keepCount == 0L)
+      keep.coalesce(1).write.mode("overwrite").parquet(tmpP.toString)
+    else {
+      val slices = math.max(1,
+        spark.sparkContext.defaultParallelism / IndexBuckets)
+      keep.repartition(IndexBuckets * slices, col("term_bucket"),
+          pmod(hash(col("doc_id")), lit(slices)))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(tmpP.toString)
+    }
+    graft.sources.Formats.swapInto(fs, tmpP, postPath)
+    spark.catalog.refreshByPath(postPath.toString)
+    val dlPath = new org.apache.hadoop.fs.Path(s"$dir/doclens")
+    val tmpD = new org.apache.hadoop.fs.Path(s"$dir/.doclens.vacuum")
+    val dlKeep = spark.read.parquet(dlPath.toString)
+      .join(ts, Seq("doc_id"), "left_anti")
+    // full purge: coalesce(1) so the unpartitioned write emits one
+    // schema-preserving zero-row file (empty multi-partition writes
+    // emit nothing and brick later reads)
+    (if (dlKeep.isEmpty) dlKeep.coalesce(1) else dlKeep)
+      .write.mode("overwrite").parquet(tmpD.toString)
+    graft.sources.Formats.swapInto(fs, tmpD, dlPath)
+    spark.catalog.refreshByPath(dlPath.toString)
+    TombstoneLedger.clear(fs, root, consumed)
+    removed
   }
 
   /** Search a persisted [[writeIndex]] index — result-identical to
@@ -121,7 +198,16 @@ object Bm25 {
                   k1: Double = 1.2, b: Double = 0.75,
                   maxTerms: Int = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stats = spark.read.parquet(s"$dir/stats").collect().head
+    val ledger = TombstoneLedger.df(spark, s"$dir/tombstones", "doc_id")
+    // corpus constants from doclens MINUS the ledger — the same mask
+    // the postings get, so deletions correct n_docs/avgdl/df exactly
+    // and post-delete scores equal a fresh index over the live corpus
+    val doclens0 = spark.read.parquet(s"$dir/doclens")
+    val doclens = ledger
+      .map(ts => doclens0.join(ts, Seq("doc_id"), "left_anti"))
+      .getOrElse(doclens0)
+    val stats = doclens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("n_tokens")).collect().head
     val nDocs = stats.getLong(0)
     // an index written from an empty corpus has n_docs = 0 and a NULL
     // token sum — same neutral-avgdl guard as topK, empty result flows
@@ -130,7 +216,10 @@ object Bm25 {
       else stats.getLong(1).toDouble / nDocs
     val qTermDf = queries.select("term").distinct()
     val smallQ = qTermDf.limit(maxTerms + 1).count() <= maxTerms
-    val postings = spark.read.parquet(s"$dir/postings")
+    val raw = spark.read.parquet(s"$dir/postings")
+    val postings = ledger
+      .map(ts => raw.join(ts, Seq("doc_id"), "left_anti"))
+      .getOrElse(raw)
     val tf =
       if (smallQ) {
         val qTerms = qTermDf.collect().map(_.getString(0))

@@ -1438,6 +1438,70 @@ object TextQueries {
         .orderBy("query_id", "rank")
     },
 
+    // BM25-index deletion lifecycle (Bm25.deleteFromIndex/vacuumIndex):
+    // right-to-be-forgotten for a SCORED index — the subtle half is the
+    // statistics: n_docs, avgdl, and df must all be computed over LIVE
+    // documents, so post-delete scores equal a fresh index over the
+    // filtered corpus EXACTLY (corpus constants derive from the doclens
+    // dataset anti-joined against the same ledger that masks postings —
+    // no stored-scalar staleness). Tombstoned and vacuumed phases are
+    // hash-matched against ONE filtered BM25 replay; the delete set is
+    // id-bounded (doc_id % 11 = 4 AND doc_id < 1100). writeIndex's
+    // rebuild resets the ledger, so the gate is idempotent.
+    Q("q_text_bm25_index_delete",
+      s"""WITH q(query_id, term) AS (VALUES
+         |       (1, 'spark'), (1, 'window'),
+         |       (2, 'customer'), (2, 'table'), (3, 'vector')),
+         |tk AS (SELECT doc_id, $sqlToks AS toks FROM documents
+         |       WHERE NOT (doc_id % 11 = 4 AND doc_id < 1100)),
+         |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS n_tokens
+         |       FROM tk),
+         |post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+         |         FROM tk),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post
+         |       WHERE term IN (SELECT DISTINCT term FROM q)
+         |       GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |ts AS (SELECT tf.doc_id, tf.term,
+         |              ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5)
+         |                       / (df.df + 0.5))
+         |              * tf.tf * (1.2 + 1.0)
+         |              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+         |                   / (CAST(st.n_tokens AS DOUBLE) / st.n_docs)))
+         |                AS ts
+         |       FROM tf JOIN df USING (term) CROSS JOIN st),
+         |sc AS (SELECT q.query_id, ts.doc_id, round(sum(ts.ts), 4) AS score
+         |       FROM ts JOIN q USING (term) GROUP BY q.query_id, ts.doc_id),
+         |rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |       FROM sc)
+         |SELECT pp.phase, query_id, doc_id, score, rank
+         |FROM rk CROSS JOIN (SELECT unnest(['tombstoned', 'vacuumed'])
+         |                    AS phase) pp
+         |WHERE rank <= 10
+         |ORDER BY phase, query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_bm25_index_delete",
+        dir.replace('/', '_').replace(':', '_')).toString
+      graft.operators.Bm25.writeIndex(docs, idxDir)
+      graft.operators.Bm25.deleteFromIndex(
+        docs.where(col("doc_id") % 11 === 4 && col("doc_id") < 1100)
+          .select("doc_id"), idxDir)
+      val queries = Seq((1L, "spark"), (1L, "window"),
+        (2L, "customer"), (2L, "table"), (3L, "vector"))
+        .toDF("query_id", "term")
+      def search(phase: String) =
+        graft.operators.Bm25.searchIndex(s, idxDir, queries, k = 10)
+          .withColumn("phase", lit(phase))
+      val before = search("tombstoned").localCheckpoint()
+      graft.operators.Bm25.vacuumIndex(s, idxDir)
+      before.unionByName(search("vacuumed"))
+        .select("phase", "query_id", "doc_id", "score", "rank")
+        .orderBy("phase", "query_id", "rank")
+    },
+
     // Positional phrase search (operators.PhraseSearch): exact
     // consecutive-token matching — the retrieval op a bag-of-words index
     // cannot express and the decontamination primitive ("does this

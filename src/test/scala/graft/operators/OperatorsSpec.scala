@@ -1529,6 +1529,62 @@ class Bm25IndexSpec extends SparkSpec {
     assert(!plan.contains("term_bucket IN"),
       s"fallback still uses driver-enumerated bucket pruning:\n$plan")
   }
+
+  test("index deletion masks immediately WITH exact statistics " +
+      "correction; vacuum is physical and idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25d").toString
+    val docs = graft.engine.Tables.t(spark, sf001, "documents")
+    val queries = Seq((1L, "spark"), (1L, "window"), (2L, "customer"))
+      .toDF("query_id", "term")
+    Bm25.writeIndex(docs, dir)
+    val deleted = docs.where(col("doc_id") % 7 === 1).select("doc_id")
+    Bm25.deleteFromIndex(deleted, dir)
+    // scores must equal topK over the FILTERED corpus exactly — n_docs,
+    // avgdl, and df all corrected, not just rows dropped
+    val expected = Bm25
+      .topK(docs.where(col("doc_id") % 7 =!= 1), queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val masked = Bm25.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(masked == expected,
+      s"post-delete scores diverge from the live-corpus index:\n" +
+        s"$masked\n$expected")
+    assert(Bm25.vacuumIndex(spark, dir) > 0L)
+    val after = Bm25.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(after == expected, s"post-vacuum diverged:\n$after\n$expected")
+    assert(Bm25.vacuumIndex(spark, dir) == 0L)
+  }
+
+  test("a tombstone landing inside BM25 vacuum's race window survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25r").toString
+    val docs = Seq((1L, "spark window table"), (2L, "spark customer row"),
+      (3L, "window table vector")).toDF("doc_id", "text")
+    val queries = Seq((1L, "spark"), (1L, "window")).toDF("query_id", "term")
+    Bm25.writeIndex(docs, dir)
+    Bm25.deleteFromIndex(Seq(1L).toDF("doc_id"), dir)
+    Bm25.vacuumAfterSnapshotHook =
+      () => Bm25.deleteFromIndex(Seq(2L).toDF("doc_id"), dir)
+    try Bm25.vacuumIndex(spark, dir)
+    finally Bm25.vacuumAfterSnapshotHook = () => ()
+    val expected = Bm25
+      .topK(docs.where(!col("doc_id").isin(1L, 2L)), queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val got = Bm25.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == expected, s"late tombstone lost:\n$got\n$expected")
+    assert(Bm25.vacuumIndex(spark, dir) > 0L)
+  }
+
+  test("a full BM25 purge leaves a readable empty index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25p").toString
+    val docs = Seq((1L, "solo spark doc")).toDF("doc_id", "text")
+    Bm25.writeIndex(docs, dir)
+    Bm25.deleteFromIndex(Seq(1L).toDF("doc_id"), dir)
+    Bm25.vacuumIndex(spark, dir)
+    assert(Bm25.searchIndex(spark, dir,
+      Seq((1L, "spark")).toDF("query_id", "term"), k = 10).count() == 0)
+  }
 }
 
 /** Bounded-driver contract on the PQ search's query-side collect. */
