@@ -215,8 +215,9 @@ object Similarity {
     // refer to the pre-rebuild corpus, and the caller-provided
     // candidate set IS the post-rebuild truth
     val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    ts.getFileSystem(candidates.sparkSession.sparkContext
-      .hadoopConfiguration).delete(ts, true)
+    TombstoneLedger.reset(ts.getFileSystem(
+      candidates.sparkSession.sparkContext.hadoopConfiguration),
+      s"$dir/tombstones")
   }
 
   /** Cluster assignment rows toward their output directory before the
@@ -271,8 +272,7 @@ object Similarity {
     * filters them immediately. Never rewrites corpus partitions — a
     * delete costs one tiny parquet append regardless of index size. */
   def deleteFromIndex(ids: DataFrame, dir: String): Unit =
-    ids.select(col("vec_id").as("cand_id")).distinct()
-      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    TombstoneLedger.append(ids.select(col("vec_id")), s"$dir/tombstones")
 
   /** EXACTLY-ONCE streaming deletion: the micro-batch's ids land in the
     * batch-scoped ledger dataset
@@ -284,44 +284,12 @@ object Similarity {
     * distinct — but the ledger would grow with every replay.) */
   def deleteBatchDir(ids: DataFrame, dir: String, tag: String,
                      batchId: Long): Unit =
-    ids.select(col("vec_id").as("cand_id")).distinct()
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/tombstones/${tagHash(tag)}-$batchId")
-
-  /** Every parquet leaf file under the ledger — batch appends write
-    * flat files, streaming deletes write batch-scoped subdirectories;
-    * one recursive enumeration serves both layouts. */
-  private def tombstoneFiles(fs: org.apache.hadoop.fs.FileSystem,
-                             dir: String)
-      : Seq[org.apache.hadoop.fs.Path] = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    if (!fs.exists(root)) return Nil
-    val out = Seq.newBuilder[org.apache.hadoop.fs.Path]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
-    }
-    out.result()
-  }
+    TombstoneLedger.appendBatch(ids.select(col("vec_id")),
+      s"$dir/tombstones", tag, batchId)
 
   private def tombstoneDf(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): Option[DataFrame] = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    tombstoneDfFrom(spark, tombstoneFiles(fs, dir))
-  }
-
-  /** The ledger read over an EXPLICIT file list — [[vacuumIndex]] must
-    * build its anti-join input and its end-of-pass delete set from ONE
-    * enumeration, or a tombstone landing between two listings would be
-    * deleted without ever being applied. */
-  private def tombstoneDfFrom(spark: org.apache.spark.sql.SparkSession,
-                              files: Seq[org.apache.hadoop.fs.Path])
-      : Option[DataFrame] =
-    if (files.isEmpty) None
-    else Some(spark.read.parquet(files.map(_.toString): _*)
-      .select("cand_id").distinct())
+                          dir: String): Option[DataFrame] =
+    TombstoneLedger.df(spark, s"$dir/tombstones", "cand_id")
 
   /** Test seam: runs after [[vacuumIndex]] snapshots the ledger file list
     * and before it rewrites/cleans up — the race-window a concurrent
@@ -344,8 +312,9 @@ object Similarity {
     // cleanup: a tombstone file that lands after this snapshot is neither
     // applied nor deleted this pass — it survives for the next one, and
     // searchIndex keeps masking its vector in the meantime.
-    val consumed = tombstoneFiles(fs, dir)
-    val ts = tombstoneDfFrom(spark, consumed).getOrElse(return 0L)
+    val consumed = TombstoneLedger.files(fs, s"$dir/tombstones")
+    val ts = TombstoneLedger.dfFrom(spark, consumed, "cand_id")
+      .getOrElse(return 0L)
     vacuumAfterSnapshotHook()
     compactIndexBatches(spark, dir)
     val asgPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
@@ -375,14 +344,7 @@ object Similarity {
     }
     graft.sources.Formats.swapInto(fs, tmp, asgPath)
     spark.catalog.refreshByPath(asgPath.toString)
-    consumed.foreach(p => fs.delete(p, false))
-    // drop batch-scoped ledger dirs this pass emptied (concurrent new
-    // deletes into fresh dirs survive; a non-empty dir stays)
-    if (fs.exists(tsPath))
-      fs.listStatus(tsPath).filter(_.isDirectory).map(_.getPath)
-        .filter(p => !fs.listStatus(p).exists(
-          _.getPath.getName.endsWith(".parquet")))
-        .foreach(p => fs.delete(p, true))
+    TombstoneLedger.clear(fs, s"$dir/tombstones", consumed)
     removed
   }
 
