@@ -76,9 +76,17 @@ def main():
           f"{os.path.basename(args.current)}): "
           f"{sorted(flagged) or 'none'}")
 
+    # Name the evidence file for the round DOING the adjudication — one
+    # past the bench artifact being adjudicated (r13's regressions are
+    # adjudicated during r14 and belong in BENCH_AB_r14.json). Never
+    # clobber an existing file: committed AB evidence is history.
     rnd = re.search(r"BENCH_r(\d+)", os.path.basename(args.current))
     out_path = os.path.join(
-        REPO, f"BENCH_AB_r{rnd.group(1) if rnd else 'X'}.json")
+        REPO, f"BENCH_AB_r{int(rnd.group(1)) + 1 if rnd else 'X'}.json")
+    if os.path.exists(out_path):
+        raise SystemExit(
+            f"{out_path} already exists — it is committed evidence; "
+            "merge results by hand or move it aside first")
     result = {"baseline": os.path.basename(args.baseline),
               "current": os.path.basename(args.current),
               "threshold": args.threshold, "reps": args.reps,
