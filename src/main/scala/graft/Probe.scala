@@ -49,6 +49,37 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (qnames == Seq("--ivfpq")) {
+      // recall margins for the IVFADC gate pins
+      import org.apache.spark.sql.functions._
+      import graft.operators.{IvfPq, Similarity}
+      val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
+        .select("query_id", "cand_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nProbe = sys.env.getOrElse("IVFPQ_NPROBE", "8").toInt
+      val rerank = sys.env.getOrElse("IVFPQ_RERANK", "100").toInt
+      val mdl = time("fit")(IvfPq.fit(emb, nClusters = 16))
+      val codes = time("encode")({
+        val c = graft.operators.StagingCaches.cache(IvfPq.encode(emb, mdl))
+        c.count(); c
+      })
+      val approx = time("ivfpqTopK")(
+        IvfPq.ivfpqTopK(emb, qs, k = 10, nClusters = 16, nProbe = nProbe,
+            rerank = rerank, model = Some(mdl), codes = Some(codes))
+          .select("query_id", "cand_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val perQ = exact.groupBy(_._1).map { case (q, rows) =>
+        val hits = rows.toSet & approx.filter(_._1 == q).toSet
+        (q, hits.size, rows.length)
+      }.toSeq.sortBy(_._1)
+      perQ.foreach { case (q, h, n) =>
+        println(f"[probe] ivfpq recall q$q = $h/$n") }
+      val mh = perQ.map(_._2).sum; val mn = perQ.map(_._3).sum
+      println(f"[probe] ivfpq mean recall = $mh/$mn = ${mh.toDouble / mn}%.3f")
+      spark.stop(); return
+    }
     if (qnames == Seq("--spans")) {
       // sub-step timing of the substring-dup span machinery
       import org.apache.spark.sql.functions._

@@ -1,0 +1,349 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding.round4
+import graft.functions.VectorFunctions.asDouble
+
+/** IVF-PQ (IVFADC) — the composition of the two ANN scale levers this
+  * library already ships separately: IVF cells (Similarity.scala, the
+  * compute lever — search touches only `nProbe` of `nClusters` cells)
+  * and product quantization (ProductQuant.scala, the memory/IO lever —
+  * a 64-dim float vector becomes `m` small ints). This is the layout
+  * billion-vector indexes actually use (reference behavior surveyed from
+  * the public FAISS IVFADC design, Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011): vectors are assigned to a
+  * coarse cell and only their RESIDUAL against the cell centroid is
+  * PQ-coded, so the codebooks spend their 4 bits/subspace on the
+  * within-cell detail instead of re-describing the coarse structure.
+  *
+  * Cosine formulation: everything is L2-normalized first (cosine is dot
+  * product on the unit sphere). With v̂ = μ̂ + r (residual r against the
+  * normalized cell centroid μ̂),
+  *
+  *   cos(q, v) = q̂·v̂ = q̂·μ̂ + q̂·r ≈ q̂·μ̂ + Σ_sub T[sub][code(sub)]
+  *
+  * where T is the per-(query, probed-cell-independent) inner-product
+  * table of the query subvectors against the residual codebooks, and
+  * q̂·μ̂ is one scalar per (query, probed cell). ADC search is therefore
+  * `m` table lookups + one add per candidate — no candidate vector is
+  * ever read during scoring. A shortlist of `rerank` ADC candidates per
+  * query is re-scored with exact cosine (the standard ADC-prune +
+  * exact-rerank production shape, same as [[ProductQuant.pqTopK]]).
+  *
+  * Scale shape at 100 TB:
+  *   - the fit (coarse centroids + residual codebooks) runs on the same
+  *     xxhash64-bounded 4096-row sample as every other quantizer fit in
+  *     this library — cost independent of corpus size;
+  *   - encoding is ONE scan-local projection over the corpus (centroids
+  *     and codebooks ride the closure — a few KB), no shuffle;
+  *   - search scans CODES ONLY (m ints/vector — with m=8/ks=16 that is
+  *     a 16× smaller scan than the float vectors), restricted to probed
+  *     cells by an equi-join against the broadcast probe tables;
+  *   - exact re-rank touches |Q|·rerank full vectors, a semi-join-sized
+  *     fraction of the corpus.
+  *
+  * Bounded-driver contract: the query side is collected to build the
+  * probe tables (|Q|·nProbe·(m·ks+1) doubles), so it must be small —
+  * enforced by the same loud `limit(maxQ+1)` probe as
+  * [[ProductQuant.pqTopK]]. Callers with more queries batch them.
+  *
+  * Determinism (no RNG anywhere, stable under repartitioning): coarse
+  * fit is [[Similarity.fitCentroids]]; residual codebooks use the same
+  * bounded sample, per-subspace farthest-point init and fixed-iteration
+  * L2 Lloyd ([[ProductQuant.fitBook]]); cell assignment ties to the
+  * lowest centroid id on the 4-decimal-rounded cosine; ADC and exact
+  * scores are rounded to 4 decimals before ranking with id tiebreaks.
+  */
+object IvfPq {
+
+  /** The fitted model: normalized coarse centroids + residual codebooks.
+    * Both tiny (k·d + m·ks·(d/m) doubles) — always broadcastable. */
+  final case class Model(cents: Array[(Int, Array[Double])],
+                         cb: ProductQuant.Codebooks)
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Centroids pre-normalized to the unit sphere, once — cosine
+    * assignment is scale-invariant, and residuals/q̂·μ̂ need the unit
+    * form. */
+  private def unitCents(cents: Array[(Int, Array[Double])])
+      : Array[(Int, Array[Double])] =
+    cents.map { case (cid, cv) => (cid, ProductQuant.l2normalize(cv)) }
+
+  /** Nearest-cell ids by rounded cosine on NORMALIZED vectors, ties to
+    * the lowest centroid id — mirrors Similarity.nearestCentroids'
+    * rounded-cosine/lowest-id rule so assignments agree with the IVF
+    * family's semantics. Both `v` and `nCents` must already be unit
+    * (or zero). */
+  private def nearestCells(v: Array[Double],
+                           nCents: Array[(Int, Array[Double])],
+                           n: Int): Array[Int] =
+    nCents.map { case (cid, nc) =>
+      (-math.rint(dot(v, nc) * 1e4) / 1e4, cid)
+    }.sorted.take(n).map(_._2)
+
+  /** Fit coarse centroids (or reuse a standing fit) + residual codebooks
+    * from the shared deterministic bounded sample. */
+  def fit(candidates: DataFrame, nClusters: Int = 16, m: Int = 8,
+          ks: Int = 16, iters: Int = 5, sampleN: Int = 4096,
+          centroids: Option[DataFrame] = None): Model = {
+    val cents: Array[(Int, Array[Double])] =
+      centroids.getOrElse(Similarity.fitCentroids(candidates, nClusters))
+        .select(col("centroid_id").cast("int"), col("centroid_vec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    val sample: Array[(Long, Array[Double])] = candidates
+      .select(col("vec_id").as("id"), asDouble(col("embedding")).as("vec"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(sampleN)
+      .collect().map(r => (r.getLong(0),
+        ProductQuant.l2normalize(r.getSeq[Double](1).toArray)))
+      .distinctBy(_._1)
+    require(sample.nonEmpty, "cannot fit an IVF-PQ model on an empty corpus")
+    val d = sample.head._2.length
+    require(d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val subDim = d / m
+    // residuals of the sample against each point's own nearest cell —
+    // exactly what encode() computes corpus-wide
+    val nCents = unitCents(cents)
+    val byId = nCents.map(c => c._1 -> c._2).toMap
+    val residuals = sample.map { case (id, v) =>
+      val mu = byId(nearestCells(v, nCents, 1)(0))
+      (id, Array.tabulate(d)(i => v(i) - mu(i)))
+    }
+    val books = Array.tabulate(m) { sub =>
+      ProductQuant.fitBook(residuals.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, sub * subDim,
+          (sub + 1) * subDim))
+      }, ks, iters)
+    }
+    Model(cents, ProductQuant.Codebooks(m, ks, subDim, books))
+  }
+
+  /** Encode the corpus: (cand_id, centroid_id, codes) — one scan-local
+    * projection; the model rides the closure. Codes are the per-subspace
+    * nearest residual-codebook entries (L2, ties to the lowest id). */
+  def encode(candidates: DataFrame, model: Model): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val nCents = unitCents(model.cents)
+    val byId = nCents.map(c => c._1 -> c._2).toMap
+    val cb = model.cb
+    candidates.select(col("vec_id").as("id"),
+        asDouble(col("embedding")).as("vec"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, raw) =>
+        val v = ProductQuant.l2normalize(raw.toArray)
+        val cell = nearestCells(v, nCents, 1)(0)
+        val mu = byId(cell)
+        val r = Array.tabulate(v.length)(i => v(i) - mu(i))
+        val codes = new Array[Int](cb.m)
+        var sub = 0
+        while (sub < cb.m) {
+          val s0 = sub * cb.subDim
+          var best = 0; var bestScore = Double.MaxValue; var c = 0
+          while (c < cb.codes(sub).length) {
+            val cent = cb.codes(sub)(c)
+            var s = 0.0; var i = 0
+            while (i < cb.subDim) {
+              val dd = r(s0 + i) - cent(i); s += dd * dd; i += 1
+            }
+            if (s < bestScore) { bestScore = s; best = c }
+            c += 1
+          }
+          codes(sub) = best
+          sub += 1
+        }
+        (id, cell, codes.toSeq)
+      }.toDF("cand_id", "centroid_id", "codes")
+  }
+
+  /** Per-(query, probed cell) ADC rows: (query_id, centroid_id, qmu,
+    * tbl) — built driver-side from the collected queries and the tiny
+    * model, broadcast against the codes scan. */
+  private def probeTables(spark: SparkSession,
+                          qRows: Array[(Long, Array[Double])],
+                          model: Model, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val cb = model.cb
+    val nCents = unitCents(model.cents)
+    val byId = nCents.map(c => c._1 -> c._2).toMap
+    qRows.toSeq.flatMap { case (qid, qv) =>
+      val tbl = Array.tabulate(cb.m) { sub =>
+        val s0 = sub * cb.subDim
+        cb.codes(sub).map { cent =>
+          var s = 0.0; var i = 0
+          while (i < cb.subDim) { s += qv(s0 + i) * cent(i); i += 1 }
+          s
+        }.toSeq
+      }.toSeq
+      nearestCells(qv, nCents, nProbe).map { cell =>
+        (qid, cell, dot(qv, byId(cell)), tbl)
+      }
+    }.toDF("query_id", "centroid_id", "qmu", "tbl")
+  }
+
+  /** IVFADC top-k: probe `nProbe` cells per query, score candidates in
+    * probed cells by q̂·μ̂ + Σ residual-table lookups (codes only — no
+    * candidate vector read), keep the `rerank` best per query, re-score
+    * that shortlist with exact cosine. */
+  def ivfpqTopK(candidates: DataFrame, queries: DataFrame, k: Int = 10,
+                nClusters: Int = 16, nProbe: Int = 4, m: Int = 8,
+                ks: Int = 16, rerank: Int = 50,
+                centroids: Option[DataFrame] = None,
+                model: Option[Model] = None,
+                codes: Option[DataFrame] = None,
+                maxQ: Int = 65536): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val qProbe = queries.select("vec_id").limit(maxQ + 1).count()
+    require(qProbe <= maxQ,
+      s"ivfpqTopK query side exceeds maxQ=$maxQ rows: probe tables are " +
+        "built driver-side and broadcast, so the query table must be " +
+        "bounded — batch the queries or raise maxQ explicitly")
+    val mdl = model.getOrElse(
+      fit(candidates, nClusters, m, ks, centroids = centroids))
+    val coded = codes.getOrElse(encode(candidates, mdl))
+    val qRows = queries
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("vec"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, raw) => (id, ProductQuant.l2normalize(raw.toArray)) }
+    val probes = probeTables(spark, qRows, mdl, nProbe)
+
+    val adcW = Window.partitionBy("query_id")
+      .orderBy(desc("adc"), asc("cand_id"))
+    val shortlist = coded.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", round4(col("qmu") +
+        expr("aggregate(zip_with(codes, tbl," +
+          " (c, t) -> element_at(t, c + 1)), 0D, (acc, x) -> acc + x)")))
+      .withColumn("__r", row_number().over(adcW))
+      .where(col("__r") <= rerank)
+      .select("query_id", "cand_id")
+
+    rerankExact(candidates.select(col("vec_id").as("cand_id"),
+      asDouble(col("embedding")).as("cv")), shortlist, qRows, k)
+  }
+
+  /** Exact-cosine re-rank of an ADC shortlist against full vectors:
+    * |Q|·rerank rows only — the shortlist broadcasts onto the vector
+    * fetch, never the other way around. */
+  private def rerankExact(cands: DataFrame, shortlist: DataFrame,
+                          qRows: Array[(Long, Array[Double])],
+                          k: Int): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val exactQ = qRows.map { case (id, v) => (id, v.toSeq) }.toSeq
+      .toDF("query_id", "qv")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("cand_id"))
+    cands.join(broadcast(shortlist), "cand_id")
+      .join(broadcast(exactQ), "query_id")
+      .withColumn("score", round4(
+        graft.functions.VectorFunctions.cosine(col("qv"), col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
+  /** Persist an IVF-PQ index: `<dir>/centroids` and `<dir>/codebooks`
+    * (both tiny, one file each), `<dir>/pqcodes` and `<dir>/vectors`
+    * both PARTITIONED by centroid_id — so an `nProbe` search reads the
+    * probed cells' CODE files for ADC scoring and only the probed cells'
+    * vector files (shortlist-filtered) for the exact re-rank. Same
+    * clustered-write discipline as Similarity.clusteredWrite: rows are
+    * repartitioned toward their output directory with a second hash
+    * slice keeping every core writing (tasks × clusters small-file
+    * explosion avoided, parallelism preserved). */
+  def writeIndex(candidates: DataFrame, dir: String, nClusters: Int = 16,
+                 m: Int = 8, ks: Int = 16,
+                 centroids: Option[DataFrame] = None): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val mdl = fit(candidates, nClusters, m, ks, centroids = centroids)
+    mdl.cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "centroid_vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    ProductQuant.codebooksDF(spark, mdl.cb)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    val coded = encode(candidates, mdl)
+    val slices = math.max(1,
+      spark.sparkContext.defaultParallelism / nClusters)
+    coded
+      .repartition(nClusters * slices, col("centroid_id"),
+        pmod(hash(col("cand_id")), lit(slices)))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/pqcodes")
+    candidates
+      .select(col("vec_id").as("cand_id"),
+        asDouble(col("embedding")).as("cand_vec"))
+      .join(coded.select("cand_id", "centroid_id"), "cand_id")
+      .repartition(nClusters * slices, col("centroid_id"),
+        pmod(hash(col("cand_id")), lit(slices)))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/vectors")
+  }
+
+  /** Search a persisted [[writeIndex]] index. Result-identical to
+    * running [[ivfpqTopK]] with the same parameters over the corpus
+    * (asserted in IvfPqSpec): the ADC pass reads ONLY the probed cells'
+    * code files (`centroid_id IN (...)` is a partition filter — pruned
+    * directories are never opened), and the re-rank reads the probed
+    * cells' vector files filtered to the broadcast shortlist. */
+  def searchIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                  k: Int = 10, nProbe: Int = 4, rerank: Int = 50,
+                  maxQ: Int = 65536): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    import spark.implicits._
+    val qProbe = queries.select("vec_id").limit(maxQ + 1).count()
+    require(qProbe <= maxQ,
+      s"searchIndex query side exceeds maxQ=$maxQ rows — batch the queries")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .select("sub", "code_id", "code_vec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val mm = cbRows.map(_._1).max + 1
+    val books = Array.tabulate(mm) { sub =>
+      cbRows.filter(_._1 == sub).sortBy(_._2).map(_._3)
+    }
+    val mdl = Model(cents,
+      ProductQuant.Codebooks(mm, books(0).length, books(0)(0).length, books))
+    val qRows = queries
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("vec"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, raw) => (id, ProductQuant.l2normalize(raw.toArray)) }
+    val probes = probeTables(spark, qRows, mdl, nProbe)
+    val nCents = unitCents(cents)
+    val probedCells = qRows.flatMap { case (_, qv) =>
+      nearestCells(qv, nCents, nProbe) }.distinct.toSeq
+
+    val adcW = Window.partitionBy("query_id")
+      .orderBy(desc("adc"), asc("cand_id"))
+    val shortlist = spark.read.parquet(s"$dir/pqcodes")
+      .where(col("centroid_id").isin(probedCells: _*))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", round4(col("qmu") +
+        expr("aggregate(zip_with(codes, tbl," +
+          " (c, t) -> element_at(t, c + 1)), 0D, (acc, x) -> acc + x)")))
+      .withColumn("__r", row_number().over(adcW))
+      .where(col("__r") <= rerank)
+      .select("query_id", "cand_id")
+    val vecs = spark.read.parquet(s"$dir/vectors")
+      .where(col("centroid_id").isin(probedCells: _*))
+      .select(col("cand_id"), col("cand_vec").as("cv"))
+    rerankExact(vecs, shortlist, qRows, k)
+  }
+}

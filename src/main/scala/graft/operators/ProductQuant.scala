@@ -42,7 +42,7 @@ object ProductQuant {
   final case class Codebooks(m: Int, ks: Int, subDim: Int,
                              codes: Array[Array[Array[Double]]])
 
-  private def l2normalize(v: Array[Double]): Array[Double] = {
+  private[operators] def l2normalize(v: Array[Double]): Array[Double] = {
     var n = 0.0; var i = 0
     while (i < v.length) { n += v(i) * v(i); i += 1 }
     if (n == 0.0) v
@@ -61,12 +61,53 @@ object ProductQuant {
     s
   }
 
+  /** One subspace's codebook over a prepared (id, subvector) sample:
+    * farthest-point init in L2 (first sample point seeds; each next code
+    * is the subvector maximizing its min L2 distance to the chosen set,
+    * id tiebreak) then `iters` Lloyd rounds with half-even 1e-6
+    * re-rounding; empty cells keep their previous code. Shared by the
+    * raw-vector fit below and [[IvfPq]]'s residual fit — identical
+    * determinism contract in both. */
+  private[operators] def fitBook(subSample: Array[(Long, Array[Double])],
+                                 ks: Int, iters: Int): Array[Array[Double]] = {
+    val subDim = subSample.head._2.length
+    val chosen = scala.collection.mutable.Set(subSample.head._1)
+    val init = scala.collection.mutable.ArrayBuffer(subSample.head._2)
+    while (init.size < math.min(ks, subSample.length)) {
+      val next = subSample.filterNot(p => chosen.contains(p._1))
+        .minBy { case (id, v) =>
+          // minBy on (-minDist, id): farthest first, id tiebreak
+          (-init.map(c => math.rint(sqDist(v, c) * 1e6) / 1e6).min, id)
+        }
+      chosen += next._1
+      init += next._2
+    }
+    var cents: Array[Array[Double]] = init.toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](subDim))
+      val counts = new Array[Long](cents.length)
+      subSample.foreach { case (_, v) =>
+        var best = 0; var bestScore = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          val s = sqDist(v, cents(c))
+          if (s < bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(x => math.rint(x / counts(c) * 1e6) / 1e6)
+      }
+    }
+    cents
+  }
+
   /** Per-subspace codebooks from the SAME deterministic bounded sample
     * as Similarity.fitCentroids (smallest xxhash64(id) rows): for each of
-    * the `m` subspaces, farthest-point init (first sample point seeds;
-    * each next code is the subvector maximizing its min L2 distance to
-    * the chosen set, id tiebreak) then `iters` Lloyd rounds in L2 with
-    * half-even 1e-6 re-rounding; empty cells keep their previous code. */
+    * the `m` subspaces, [[fitBook]] over that subspace's sample slices. */
   def fitCodebooks(candidates: DataFrame, m: Int = 8, ks: Int = 16,
                    iters: Int = 5, sampleN: Int = 4096): Codebooks = {
     val sample: Array[(Long, Array[Double])] = candidates
@@ -81,43 +122,10 @@ object ProductQuant {
     val subDim = d / m
 
     val books = Array.tabulate(m) { sub =>
-      val subSample = sample.map { case (id, v) =>
+      fitBook(sample.map { case (id, v) =>
         (id, java.util.Arrays.copyOfRange(v, sub * subDim,
           (sub + 1) * subDim))
-      }
-      // farthest-point init in L2: maximize the min distance to chosen
-      val chosen = scala.collection.mutable.Set(subSample.head._1)
-      val init = scala.collection.mutable.ArrayBuffer(subSample.head._2)
-      while (init.size < math.min(ks, subSample.length)) {
-        val next = subSample.filterNot(p => chosen.contains(p._1))
-          .minBy { case (id, v) =>
-            // minBy on (-minDist, id): farthest first, id tiebreak
-            (-init.map(c => math.rint(sqDist(v, c) * 1e6) / 1e6).min, id)
-          }
-        chosen += next._1
-        init += next._2
-      }
-      var cents: Array[Array[Double]] = init.toArray
-      for (_ <- 1 to iters) {
-        val sums = Array.fill(cents.length)(new Array[Double](subDim))
-        val counts = new Array[Long](cents.length)
-        subSample.foreach { case (_, v) =>
-          var best = 0; var bestScore = Double.MaxValue; var c = 0
-          while (c < cents.length) {
-            val s = sqDist(v, cents(c))
-            if (s < bestScore) { bestScore = s; best = c }
-            c += 1
-          }
-          var i = 0
-          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
-          counts(best) += 1
-        }
-        cents = cents.zipWithIndex.map { case (old, c) =>
-          if (counts(c) == 0) old
-          else sums(c).map(x => math.rint(x / counts(c) * 1e6) / 1e6)
-        }
-      }
-      cents
+      }, ks, iters)
     }
     Codebooks(m, ks, subDim, books)
   }

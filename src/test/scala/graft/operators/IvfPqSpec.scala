@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Tables.t
+
+/** IVF-PQ (IVFADC): recall floor, persisted-index identity, partition
+  * pruning of the probed code/vector scans, and stability under input
+  * repartitioning. */
+class IvfPqSpec extends SparkSpec {
+
+  test("ivfpqTopK achieves reasonable recall vs brute force") {
+    val emb = t(spark, sf001, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = IvfPq.ivfpqTopK(emb, queries, k = 5,
+        nClusters = 8, nProbe = 4, rerank = 50)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall too low")
+  }
+
+  test("exact re-rank means surfaced scores equal brute-force cosine") {
+    val emb = t(spark, sf001, "embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 1000)
+      .select("query_id", "cand_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val approx = IvfPq.ivfpqTopK(emb, queries, k = 10,
+        nClusters = 8, nProbe = 4).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && brute(key) == r.getDouble(2),
+        s"re-ranked score for $key diverged from exact cosine")
+    }
+  }
+
+  test("persisted IVF-PQ index round-trips and matches the direct search") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    IvfPq.writeIndex(emb, dir, nClusters = 8)
+    // inverted-file layout is literal for BOTH the codes and the vectors
+    for (sub <- Seq("pqcodes", "vectors")) {
+      val parts = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+      assert(parts.length == 8,
+        s"expected 8 cluster dirs under $sub, got ${parts.toSeq}")
+    }
+    val qs = emb.where(col("vec_id") < 5)
+    val direct = IvfPq.ivfpqTopK(emb, qs, k = 10, nClusters = 8, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val via = IvfPq.searchIndex(spark, dir, qs, k = 10, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(direct.nonEmpty && direct.sameElements(via),
+      "persisted IVF-PQ search diverged from the direct IVFADC search")
+  }
+
+  test("persisted search prunes unprobed cluster directories at the scan") {
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_prune")
+      .toString
+    IvfPq.writeIndex(emb, dir, nClusters = 8)
+    val qs = emb.where(col("vec_id") === 0)
+    val plan = IvfPq.searchIndex(spark, dir, qs, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    // the probed-cell isin lands as a PartitionFilters entry on the
+    // pqcodes/vectors scans — unprobed directories are never opened
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("centroid_id"),
+      s"probed-cell partition filter missing from the scan:\n$plan")
+  }
+
+  test("results are stable under input repartitioning") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val qs = emb.where(col("vec_id") < 5)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      IvfPq.ivfpqTopK(c, qs, k = 10, nClusters = 8, nProbe = 3)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val a = run(emb)
+    val b = run(emb.repartition(13, col("vec_id")))
+    assert(a.nonEmpty && a.sameElements(b),
+      "IVFADC result changed under a different input partitioning")
+  }
+
+  test("oversized query side fails loudly before any driver collect") {
+    val emb = t(spark, sf001, "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.ivfpqTopK(emb, emb, k = 5, maxQ = 10)
+    }
+    assert(e.getMessage.contains("maxQ"))
+  }
+}
