@@ -85,9 +85,37 @@ object Bm25 {
     * probed buckets alone is exact (and from MASKED probed buckets,
     * exact over live documents). */
   def writeIndex(docs: DataFrame, dir: String): Unit = {
+    writeDatasets(docs, dir, "overwrite")
+    // a full rebuild resets the deletion ledger (pre-rebuild tombstones
+    // refer to the old corpus — same contract as the other indexes)
+    TombstoneLedger.reset(
+      new org.apache.hadoop.fs.Path(s"$dir/tombstones").getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration),
+      s"$dir/tombstones")
+  }
+
+  /** Append a document batch into a standing [[writeIndex]] layout —
+    * the nightly-crawl shape, O(batch) regardless of index size: the
+    * standing corpus is never re-tokenized; the batch's postings land as
+    * extra files inside the SAME term-bucket directories
+    * (dynamic-partition append) and its doclens rows append alongside.
+    * Because [[searchIndex]] DERIVES every corpus statistic — n_docs,
+    * avgdl, df — from those two datasets at search time, an append
+    * corrects all of them exactly (the mirror of how deletion corrects
+    * them through the ledger anti-join): post-append scores equal a
+    * fresh index over the grown corpus, with no stored-scalar staleness.
+    * Batch ids may collide with standing ids only if the caller
+    * re-ingests a document — the index stores postings, not doc rows, so
+    * a re-ingest double-counts and the caller owns id discipline (same
+    * contract as [[PhraseSearch.appendToIndex]]). */
+  def appendToIndex(docs: DataFrame, dir: String): Unit =
+    writeDatasets(docs, dir, "append")
+
+  private def writeDatasets(docs: DataFrame, dir: String,
+                            mode: String): Unit = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     toks.select(col("doc_id"), size(col("toks")).as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/doclens")
+      .write.mode(mode).parquet(s"$dir/doclens")
     // cluster rows toward their bucket dir, but NOT on term_bucket
     // alone — that would cap the write at IndexBuckets tasks. The
     // second hash slice keeps every core writing while bounding the
@@ -103,14 +131,8 @@ object Bm25 {
         pmod(hash(col("term")), lit(IndexBuckets)))
       .repartition(IndexBuckets * slices, col("term_bucket"),
         pmod(hash(col("doc_id")), lit(slices)))
-      .write.mode("overwrite").partitionBy("term_bucket")
+      .write.mode(mode).partitionBy("term_bucket")
       .parquet(s"$dir/postings")
-    // a full rebuild resets the deletion ledger (pre-rebuild tombstones
-    // refer to the old corpus — same contract as the other indexes)
-    TombstoneLedger.reset(
-      new org.apache.hadoop.fs.Path(s"$dir/tombstones").getFileSystem(
-        docs.sparkSession.sparkContext.hadoopConfiguration),
-      s"$dir/tombstones")
   }
 
   /** Append-only deletion (right-to-be-forgotten for the BM25 index):
