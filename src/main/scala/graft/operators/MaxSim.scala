@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{asDouble, cosine}
+
+/** Late-interaction multi-vector retrieval (MaxSim) — the scoring shape
+  * of ColBERT-style retrievers (reference behavior surveyed from the
+  * public ColBERT design, Khattab & Zaharia, SIGIR 2020): a document is
+  * represented by MANY vectors (one per token/patch), a query likewise,
+  * and relevance is
+  *
+  *   score(q, d) = Σ_{i ∈ q tokens} max_{j ∈ d tokens} cos(q_i, d_j)
+  *
+  * — each query token finds its best-matching document token, so the
+  * model keeps token-level interactions a single pooled vector loses
+  * (the reason late interaction beats bi-encoders on precision), while
+  * staying embarrassingly parallel: no cross-token attention at search
+  * time, just cosines, a max, and a sum.
+  *
+  * Scale shape: the query token frame is tiny and BROADCAST onto the
+  * document-token scan — one corpus-scale pass producing
+  * |doc_tokens|·|q_tokens| scored rows, then two map-side-partial
+  * aggregations (max per (query, q-token, doc), sum per (query, doc))
+  * and a per-query top-k window over matched docs only. The corpus is
+  * never collected, never self-joined. At 100 TB the brute pass is the
+  * correctness oracle; the production path prunes the token scan with
+  * the IVF machinery this library already has (assign doc tokens to
+  * cells via [[Similarity.assignClusters]], probe per query token, feed
+  * the surviving doc ids into this scorer) — the standard
+  * candidate-generation + exact-MaxSim-rerank split.
+  *
+  * Determinism contract (hash-gated, not recall-gated): per-pair cosines
+  * are rounded to 4 decimals AND scaled to integers (half-away, the i4
+  * discipline) before the max, so the per-(query, doc) sum folds exact
+  * INTEGERS — immune to partial-aggregation order — and the final score
+  * is one exact integer division by 10⁴. Ties break by doc id.
+  */
+object MaxSim {
+
+  /** round(x·10⁴) half-away-from-zero as a long — integer-exact
+    * accumulation domain for order-independent sums (the same shape as
+    * Similarity's i4). */
+  private def i4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = c * 10000.0
+    when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5)).cast("long")
+  }
+
+  /** Top-`k` documents per query by MaxSim.
+    *
+    * `docTokens`: (doc_id, vec) — one row per document token; token
+    * identity on the document side is irrelevant (it is maxed over).
+    * `queryTokens`: (query_id, tok, vec) — one row per query token.
+    * Returns (query_id, doc_id, score, rank); a query never retrieves
+    * its own id (the family's self-exclusion convention). */
+  def maxSimTopK(docTokens: DataFrame, queryTokens: DataFrame,
+                 k: Int = 10): DataFrame = {
+    val d = docTokens.select(col("doc_id"), asDouble(col("vec")).as("dv"))
+    val q = queryTokens.select(col("query_id"), col("tok"),
+      asDouble(col("vec")).as("qv"))
+    val perTok = d.join(broadcast(q), col("query_id") =!= col("doc_id"))
+      .withColumn("c", i4(cosine(col("qv"), col("dv"))))
+      .groupBy("query_id", "tok", "doc_id")
+      .agg(max(col("c")).as("m"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("doc_id"))
+    perTok.groupBy("query_id", "doc_id")
+      .agg((sum(col("m")) / 10000.0).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+
+  /** Split one pooled vector into `m` contiguous subvector "tokens" —
+    * (id, tok, vec) rows. The gate's stand-in for a real per-token
+    * embedder (none ships in this library's dependency budget); the
+    * operator above is representation-agnostic. */
+  def subvectorTokens(vectors: DataFrame, idCol: String, vecCol: String,
+                      m: Int): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val sd = (size(v) / lit(m)).cast("int") // subvector dim (dims divide)
+    vectors.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(v, s * sd + 1, sd)))
+          .as(Seq("tok", "vec")))
+      .select(col(idCol), col("tok"), col("vec"))
+  }
+}

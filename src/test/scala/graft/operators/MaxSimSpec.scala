@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** MaxSim late-interaction scoring: hand-checked sums, self-exclusion,
+  * and the token decomposition helper. */
+class MaxSimSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("maxsim: each query token takes its best doc token; sums add up") {
+    // doc 10 carries both axes (one token each), doc 20 only axis x —
+    // for a 2-token query (x, y): doc 10 scores 1+1, doc 20 scores 1+0
+    val docToks = Seq(
+      (10L, Seq(1.0, 0.0)), (10L, Seq(0.0, 1.0)),
+      (20L, Seq(1.0, 0.0)), (20L, Seq(1.0, 0.0))
+    ).toDF("doc_id", "vec")
+    val qToks = Seq(
+      (1L, 0, Seq(1.0, 0.0)), (1L, 1, Seq(0.0, 1.0))
+    ).toDF("query_id", "tok", "vec")
+    val got = MaxSim.maxSimTopK(docToks, qToks, k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(got.toSeq == Seq((1L, 10L, 2.0, 1), (1L, 20L, 1.0, 2)),
+      s"got ${got.toSeq}")
+  }
+
+  test("a query never retrieves its own id") {
+    val docToks = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)))
+      .toDF("doc_id", "vec")
+    val qToks = Seq((1L, 0, Seq(1.0, 0.0))).toDF("query_id", "tok", "vec")
+    val got = MaxSim.maxSimTopK(docToks, qToks, k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("subvectorTokens splits into m contiguous slices, 0-indexed") {
+    val vecs = Seq((7L, (1 to 8).map(_.toDouble))).toDF("vec_id", "v")
+    val got = MaxSim.subvectorTokens(vecs, "vec_id", "v", m = 4)
+      .as[(Long, Int, Seq[Double])].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(
+      (7L, 0, Seq(1.0, 2.0)), (7L, 1, Seq(3.0, 4.0)),
+      (7L, 2, Seq(5.0, 6.0)), (7L, 3, Seq(7.0, 8.0))))
+  }
+
+  test("matches brute-force pooled cosine ranking when m = 1") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", m = 1)
+      .withColumnRenamed("vec_id", "doc_id")
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 2), "vec_id", "embedding", m = 1)
+      .withColumnRenamed("vec_id", "query_id")
+    val viaBrute = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 2), k = 10)
+      .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+    // with one token per side MaxSim degenerates to plain cosine ranking
+    val a = MaxSim.maxSimTopK(docToks, qToks, k = 10)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val b = viaBrute.as[(Long, Long, Int)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(a == b, s"m=1 MaxSim diverged from pooled cosine:\n$a\n$b")
+  }
+}
