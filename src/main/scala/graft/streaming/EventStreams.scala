@@ -54,37 +54,77 @@ object EventStreams {
 
   /** Gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — custom per-key state, emitted on timeout.
-    * State is O(active users); the shuffle key is user_id. */
+    * State is O(active users); the shuffle key is user_id. Ties at one
+    * timestamp fold in arrival order; use [[sessionizeKeyed]] when the
+    * result must be hash-reproducible under ties. */
   def sessionize(events: Dataset[Event],
                  gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    sessionizeKeyed(
+      events.map(e => KeyedEvent(e.user_id, 0L, e.ts, e.value)),
+      gapMs / 1000L)
+  }
 
-    def fn(userId: Long, rows: Iterator[Event],
+  case class KeyedEvent(user_id: Long, event_id: Long, ts: Timestamp,
+                        value: Double)
+
+  /** [[sessionize]] under the batch operator's exact contract, for the
+    * driver replay gate: a TOTAL per-key event order — (ts, event_id) —
+    * so the per-session value fold is deterministic even when timestamps
+    * tie (IEEE addition commutes but does not associate; an unordered
+    * fold is a hash hazard), SECOND-granularity gap tests via truncating
+    * division (matching Sessionize.assign's cast arithmetic and DuckDB
+    * date_diff boundary counting), and microsecond-exact session bounds
+    * carried through the state. */
+  def sessionizeKeyed(events: Dataset[KeyedEvent],
+                      gapSeconds: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // Timestamp <-> microseconds, exactly (getTime alone truncates to
+    // millis — the events fixture carries real microsecond components,
+    // and a session bound off by sub-millis fails the driver hash).
+    // Local defs: they compile into the state closure instead of
+    // dragging the (non-serializable) enclosing module along.
+    def usOf(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def tsOf(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+
+    def fn(userId: Long, rows: Iterator[KeyedEvent],
            state: GroupState[SessionState]): Iterator[Session] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(Session(userId, new Timestamp(s.start),
-          new Timestamp(s.lastSeen), s.events, s.total))
+        Iterator(Session(userId, tsOf(s.start), tsOf(s.lastSeen),
+          s.events, s.total))
       } else {
         var closed = List.empty[Session]
-        // Event-time order within the batch; state carries across batches.
-        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          val t = e.ts.getTime
+        // Total event-time order within the batch; state carries across
+        // batches (a session spanning a micro-batch boundary merges).
+        rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+          val t = usOf(e.ts)
           state.getOption match {
-            case Some(s) if t - s.lastSeen <= gapMs =>
+            case Some(s)
+                if t / 1000000L - s.lastSeen / 1000000L <= gapSeconds =>
               state.update(SessionState(s.start, t, s.events + 1,
                 s.total + e.value))
             case Some(s) =>
-              closed ::= Session(userId, new Timestamp(s.start),
-                new Timestamp(s.lastSeen), s.events, s.total)
+              closed ::= Session(userId, tsOf(s.start), tsOf(s.lastSeen),
+                s.events, s.total)
               state.update(SessionState(t, t, 1, e.value))
             case None =>
               state.update(SessionState(t, t, 1, e.value))
           }
         }
-        state.setTimeoutTimestamp(state.get.lastSeen + gapMs)
+        // the supremum of event times that could still continue this
+        // session (second-truncated gap): time out only past it
+        state.setTimeoutTimestamp(
+          (state.get.lastSeen / 1000000L + gapSeconds + 1L) * 1000L)
         closed.reverseIterator
       }
     }

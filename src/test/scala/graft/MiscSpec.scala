@@ -1851,6 +1851,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeKeyed: microsecond bounds survive, ties fold by " +
+      "event_id, second-truncated gap matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[EventStreams.KeyedEvent]
+    def ts(sec: Long, us: Int) = {
+      val t = new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+          + sec * 1000L)
+      t.setNanos(us * 1000); t
+    }
+    val name = "sessions_keyed_spec"
+    val q = EventStreams.sessionizeKeyed(events.toDS(), gapSeconds = 60L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 60.000001s apart in MICROS but exactly 60
+      // whole seconds apart after truncation → SAME session (the batch
+      // operator's cast arithmetic), micros preserved in the bounds
+      events.addData(
+        EventStreams.KeyedEvent(1L, 2L, ts(0, 500001), 1.0),
+        EventStreams.KeyedEvent(1L, 1L, ts(0, 500001), 2.0), // tie with 2
+        EventStreams.KeyedEvent(1L, 3L, ts(60, 999999), 4.0))
+      q.processAllAvailable()
+      // batch 2: 61 truncated seconds after lastSeen → NEW session,
+      // which closes the first one through the gap path
+      events.addData(EventStreams.KeyedEvent(1L, 4L, ts(122, 0), 8.0))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+      assert(got.length == 1, s"expected one closed session, got ${got.length}")
+      val s0 = got.head
+      assert(s0.getAs[java.sql.Timestamp]("session_start") == ts(0, 500001))
+      assert(s0.getAs[java.sql.Timestamp]("session_end") == ts(60, 999999))
+      assert(s0.getAs[Int]("n_events") == 3)
+      // fold order is (ts, event_id): 2.0 + 1.0 + 4.0
+      assert(s0.getAs[Double]("total_value") == 7.0)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   test("watermarkLateReplay flags exactly the behind-watermark stragglers") {
     // arrival order 1..6; event times (minutes): 0, 60, 120, 5, 119, 180
     // with delay = 1h: row 4 (t=5) arrives when wm=120-60=60 → late;
