@@ -454,6 +454,85 @@ object EventQueries {
         .orderBy("doc_id")
     },
 
+    // STREAMING gap sessionization through the driver hash
+    // (EventStreams.sessionizeKeyed — flatMapGroupsWithState with
+    // event-time timeouts, the one stateful-streaming shape the
+    // foreachBatch sinks don't exercise): a bounded event feed
+    // (event_id < 2000 — fixed-size at any sf, oracle carries the same
+    // bound) split across two micro-batches at its time median, so
+    // sessions SPANNING the batch boundary must merge through the state
+    // store; two sentinel batches then advance the watermark past every
+    // open session's timeout so the final sessions emit through the real
+    // timeout path. The result must hash-match the batch Sessionize
+    // oracle exactly — state arithmetic is microsecond-exact and the
+    // gap test is second-truncated, matching the batch operator and
+    // DuckDB's date_diff boundary counting; the per-session value fold
+    // orders by (ts, event_id), so ties can't flip low bits.
+    Q("q_stream_sessionize_replay",
+      """WITH d AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |              OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
+        |                           CAST(ts AS TIMESTAMP)) > 21600
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events WHERE event_id < 2000
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |        CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |      FROM d)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events,
+        |       round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.expressions.Window
+      import graft.streaming.EventStreams
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val gapSeconds = 21600L
+      val rows = t(s, dir, "events").where(col("event_id") < 2000)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[EventStreams.KeyedEvent].collect()
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      val src = MemoryStream[EventStreams.KeyedEvent]
+      val name = "sessions_replay_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = EventStreams.sessionizeKeyed(src.toDS(), gapSeconds)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val sessions = try {
+        val (a, b) = rows.splitAt(rows.length / 2)
+        src.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+        src.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+        // sentinels (filtered below; their own sessions never emit):
+        // flush1 pushes the watermark past every real timeout, flush2
+        // gives the timeouts a micro-batch to fire in
+        val maxTs = rows.last.ts.getTime
+        val flush1 = new java.sql.Timestamp(
+          maxTs + (gapSeconds + 7200L) * 1000L)
+        val flush2 = new java.sql.Timestamp(flush1.getTime + 3600_000L)
+        src.addData(EventStreams.KeyedEvent(-1L, 0L, flush1, 0.0))
+        q.processAllAvailable()
+        src.addData(EventStreams.KeyedEvent(-2L, 0L, flush2, 0.0))
+        q.processAllAvailable()
+        val w = Window.partitionBy("user_id").orderBy("session_start")
+        s.table(name).where(col("user_id") >= 0)
+          .withColumn("session_id",
+            (row_number().over(w) - 1).cast("long"))
+          .select(col("user_id"), col("session_id"), col("session_start"),
+            col("session_end"), col("n_events").cast("long").as("n_events"),
+            round4(col("total_value")).as("total_value"))
+          .orderBy("user_id", "session_id")
+          .localCheckpoint()
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+      sessions
+    },
+
     // Multimodal metadata via REAL byte parsing: image payloads are built
     // as genuine PNG/BMP/JPEG headers (ImageCodec.buildPng/buildBmp/
     // buildJpeg — actual signature + IHDR / BITMAPINFOHEADER / JFIF+SOF0

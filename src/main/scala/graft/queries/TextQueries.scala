@@ -1502,6 +1502,66 @@ object TextQueries {
         .orderBy("phase", "query_id", "rank")
     },
 
+    // BM25-index APPEND lifecycle (Bm25.appendToIndex) — the other half
+    // of the index's statistics discipline: where deletion must correct
+    // n_docs/avgdl/df downward through the ledger anti-join
+    // (q_text_bm25_index_delete), an append must correct them UPWARD —
+    // and because searchIndex derives all three from the doclens/postings
+    // datasets at search time, appending a batch's rows corrects every
+    // statistic exactly, no stored scalar to go stale. The batch
+    // re-ingests docs 0-29 under new ids (+500000); the oracle replays
+    // BM25 over the UNION corpus, so the appended docs must shift idf and
+    // length normalization for EVERY result row, not just add new rows.
+    // O(batch): the standing corpus is never re-tokenized. writeIndex's
+    // rebuild makes the gate idempotent per invocation.
+    Q("q_text_bm25_index_append",
+      s"""WITH q(query_id, term) AS (VALUES
+         |       (1, 'spark'), (1, 'window'),
+         |       (2, 'customer'), (2, 'table'), (3, 'vector')),
+         |tk AS (SELECT doc_id, $sqlToks AS toks FROM documents
+         |       UNION ALL
+         |       SELECT doc_id + 500000 AS doc_id, $sqlToks AS toks
+         |       FROM documents WHERE doc_id < 30),
+         |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS n_tokens
+         |       FROM tk),
+         |post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+         |         FROM tk),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post
+         |       WHERE term IN (SELECT DISTINCT term FROM q)
+         |       GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |ts AS (SELECT tf.doc_id, tf.term,
+         |              ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5)
+         |                       / (df.df + 0.5))
+         |              * tf.tf * (1.2 + 1.0)
+         |              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+         |                   / (CAST(st.n_tokens AS DOUBLE) / st.n_docs)))
+         |                AS ts
+         |       FROM tf JOIN df USING (term) CROSS JOIN st),
+         |sc AS (SELECT q.query_id, ts.doc_id, round(sum(ts.ts), 4) AS score
+         |       FROM ts JOIN q USING (term) GROUP BY q.query_id, ts.doc_id),
+         |rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |       FROM sc)
+         |SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_bm25_index_append",
+        dir.replace('/', '_').replace(':', '_')).toString
+      graft.operators.Bm25.writeIndex(docs, idxDir)
+      graft.operators.Bm25.appendToIndex(
+        docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")),
+        idxDir)
+      val queries = Seq((1L, "spark"), (1L, "window"),
+        (2L, "customer"), (2L, "table"), (3L, "vector"))
+        .toDF("query_id", "term")
+      graft.operators.Bm25.searchIndex(s, idxDir, queries, k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // Positional phrase search (operators.PhraseSearch): exact
     // consecutive-token matching — the retrieval op a bag-of-words index
     // cannot express and the decontamination primitive ("does this

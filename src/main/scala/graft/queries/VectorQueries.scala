@@ -614,19 +614,7 @@ object VectorQueries {
         val approx = Similarity.ivfTopK(emb, qs, k = 10,
           nClusters = 16, nProbe = 8,
           centroids = Some(centroids(s, dir))).select("query_id", "cand_id")
-        val hits = exact.join(approx, Seq("query_id", "cand_id"))
-          .groupBy("query_id").agg(count(lit(1)).as("hits"))
-        val perQuery = exact.groupBy("query_id").agg(count(lit(1)).as("n"))
-          .join(hits, Seq("query_id"), "left")
-          .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
-            col("n"))
-        val meanFlag = perQuery.agg(
-          (sum("hits") * 2 >= sum("n")).as("mean_ok"))
-        perQuery
-          .select(col("query_id"),
-            (col("hits") * 5 >= col("n")).as("recall_ok"))
-          .crossJoin(broadcast(meanFlag))
-          .orderBy("query_id")
+        recallFlags(exact, approx)
     },
 
     // Product-quantization ANN (ADC + exact re-rank) recall contract,
@@ -652,19 +640,120 @@ object VectorQueries {
         val approx = ProductQuant.pqTopK(emb, qs,
             ProductQuant.fitCodebooks(emb), k = 10, rerank = 100)
           .select("query_id", "cand_id")
-        val hits = exact.join(approx, Seq("query_id", "cand_id"))
-          .groupBy("query_id").agg(count(lit(1)).as("hits"))
-        val perQuery = exact.groupBy("query_id").agg(count(lit(1)).as("n"))
-          .join(hits, Seq("query_id"), "left")
-          .select(col("query_id"),
-            coalesce(col("hits"), lit(0L)).as("hits"), col("n"))
-        val meanFlag = perQuery.agg(
-          (sum("hits") * 2 >= sum("n")).as("mean_ok"))
-        perQuery
-          .select(col("query_id"),
-            (col("hits") * 5 >= col("n")).as("recall_ok"))
-          .crossJoin(broadcast(meanFlag))
-          .orderBy("query_id")
+        recallFlags(exact, approx)
+    },
+
+    // IVF-PQ (IVFADC) recall contract — the composition of both ANN scale
+    // levers (IVF cells for compute, PQ residual codes for memory/IO: the
+    // billion-vector production layout; IvfPq.scala has the full shape).
+    // Gated exactly like q_ann_ivf_recall / q_ann_pq_recall: per-query
+    // recall@10 vs the brute-force baseline, flags pinned TRUE with
+    // integer-exact comparisons. The two approximations COMPOUND (cell
+    // misses × ADC-shortlist misses: on this RANDOM corpus ~0.68 × ~0.76
+    // at sf0.1), so the probe is wider than plain IVF's — nProbe 10,
+    // rerank 300. Measured margins: mean 0.94/0.82/0.68 at
+    // sf0.001/0.01/0.1 (>=1.36x over the 0.5 pin); per-query min
+    // 0.9/0.6/0.5 (>=2.5x over the 0.2 pin). Fully deterministic: shared
+    // session k-means fit, farthest-point residual codebooks,
+    // fixed-iteration L2 Lloyd, rounded scores, id tiebreaks.
+    Q("q_ann_ivfpq_recall",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.IvfPq
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.where(col("vec_id") < 5)
+        val exact = StagingCaches.cache(
+          Similarity.bruteForceTopK(emb, qs, k = 10)
+            .select("query_id", "cand_id"))
+        val approx = IvfPq.ivfpqTopK(emb, qs, k = 10,
+            nClusters = 16, nProbe = 10, rerank = 300,
+            centroids = Some(centroids(s, dir)))
+          .select("query_id", "cand_id")
+        recallFlags(exact, approx)
+    },
+
+    // The PERSISTED IVF-PQ index through the driver gate: writeIndex
+    // (centroids + residual codebooks + codes AND vectors partitioned by
+    // cell) then searchIndex, whose ADC pass reads ONLY the probed
+    // cells' CODE files (16× smaller than the vectors; the partition
+    // filter is pinned by IvfPqSpec) and whose re-rank reads probed-cell
+    // vectors filtered to the broadcast shortlist. searchIndex is
+    // result-identical to ivfpqTopK (IvfPqSpec pins it row-for-row), so
+    // the same recall contract gates the on-disk round trip.
+    Q("q_ann_index_pq",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.IvfPq
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.where(col("vec_id") < 5)
+        val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_ivfpq_index",
+          dir.replace('/', '_').replace(':', '_')).toString
+        IvfPq.writeIndex(emb, idxDir, nClusters = 16,
+          centroids = Some(centroids(s, dir)))
+        val exact = StagingCaches.cache(
+          Similarity.bruteForceTopK(emb, qs, k = 10)
+            .select("query_id", "cand_id"))
+        val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
+            nProbe = 10, rerank = 300)
+          .select("query_id", "cand_id")
+        recallFlags(exact, approx)
+    },
+
+    // Late-interaction multi-vector retrieval (operators.MaxSim — the
+    // ColBERT scoring shape): score(q,d) = Σ_{q tokens} max_{d tokens}
+    // cos — token-level interactions a single pooled vector loses.
+    // Token vectors are 8 contiguous 8-dim subvectors of each embedding
+    // (the stand-in for a per-token embedder; the operator is
+    // representation-agnostic). FULLY hash-gated, not recall-gated:
+    // per-pair cosines are rounded AND integer-scaled (i4) before the
+    // max, so the per-doc sum folds exact integers — immune to partial
+    // aggregation order — and the oracle replays the left-fold cosine,
+    // the half-away scaling, and the integer sum expression for
+    // expression.
+    Q("q_ann_maxsim",
+      """WITH tk AS (SELECT unnest(range(8)) AS tok),
+        |dt AS (SELECT vec_id AS doc_id, tk.tok,
+        |         (CAST(embedding AS DOUBLE[]))
+        |           [(tk.tok*8+1):(tk.tok*8+8)] AS dv
+        |       FROM embeddings CROSS JOIN tk),
+        |qt AS (SELECT vec_id AS query_id, tk.tok,
+        |         (CAST(embedding AS DOUBLE[]))
+        |           [(tk.tok*8+1):(tk.tok*8+8)] AS qv
+        |       FROM embeddings CROSS JOIN tk WHERE vec_id < 3),
+        |pr AS (SELECT qt.query_id, qt.tok, dt.doc_id,
+        |         list_reduce(list_transform(list_zip(qt.qv, dt.dv),
+        |           z -> z[1] * z[2]), (x1, y1) -> x1 + y1)
+        |         / (sqrt(list_reduce(list_transform(qt.qv, e1 -> e1 * e1),
+        |              (x2, y2) -> x2 + y2))
+        |            * sqrt(list_reduce(list_transform(dt.dv, e2 -> e2 * e2),
+        |                (x3, y3) -> x3 + y3))) AS craw
+        |       FROM dt CROSS JOIN qt WHERE qt.query_id <> dt.doc_id),
+        |mx AS (SELECT query_id, tok, doc_id,
+        |         max(CASE WHEN craw * 10000.0 >= 0
+        |             THEN CAST(floor(craw * 10000.0 + 0.5) AS BIGINT)
+        |             ELSE CAST(ceil(craw * 10000.0 - 0.5) AS BIGINT) END)
+        |           AS m
+        |       FROM pr GROUP BY query_id, tok, doc_id),
+        |sc AS (SELECT query_id, doc_id,
+        |         CAST(sum(m) AS BIGINT) / 10000.0 AS score
+        |       FROM mx GROUP BY query_id, doc_id),
+        |rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+        |         PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |       FROM sc)
+        |SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import graft.operators.MaxSim
+      val emb = t(s, dir, "embeddings")
+      val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", m = 8)
+        .withColumnRenamed("vec_id", "doc_id")
+      val qToks = MaxSim.subvectorTokens(
+          emb.where(col("vec_id") < 3), "vec_id", "embedding", m = 8)
+        .withColumnRenamed("vec_id", "query_id")
+      MaxSim.maxSimTopK(docToks, qToks, k = 10)
+        .orderBy("query_id", "rank")
     },
 
     // int8 scalar quantization of embeddings — the 4×-8× memory/IO lever
@@ -909,6 +998,30 @@ object VectorQueries {
         .orderBy("query_id", "pick")
     },
   )
+
+  /** The shared recall-contract tail (q_ann_ivf_recall /
+    * q_ann_pq_recall / q_ann_ivfpq_recall / q_ann_index_pq): per-query
+    * hits of `approx` against the `exact` baseline, then the two pinned
+    * flags — per-query `hits*5 >= n` (recall >= 0.2) and corpus
+    * `2*sum_hits >= sum_n` (mean >= 0.5) — both integer-exact so no
+    * IEEE boundary (10*0.3 > 3.0) can flip a flag. */
+  private def recallFlags(exact: org.apache.spark.sql.DataFrame,
+                          approx: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hits = exact.join(approx, Seq("query_id", "cand_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val perQuery = exact.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        col("n"))
+    val meanFlag = perQuery.agg(
+      (sum("hits") * 2 >= sum("n")).as("mean_ok"))
+    perQuery
+      .select(col("query_id"),
+        (col("hits") * 5 >= col("n")).as("recall_ok"))
+      .crossJoin(broadcast(meanFlag))
+      .orderBy("query_id")
+  }
 
   /** One k-means fit per (session, SF dir), shared by q_ann_ivf and
     * q_ann_ivf_recall. The fitted centroids are a driver-local
