@@ -489,8 +489,15 @@ object EventQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.expressions.Window
       import graft.streaming.EventStreams
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
+      // scoped low-fan-out session: flatMapGroupsWithState instantiates
+      // one state store per shuffle partition per micro-batch — at the
+      // bench's 32 partitions x 3 rounds that is pure fixed overhead for
+      // a 2,000-row fixture. A child session (shared SparkContext, own
+      // SQLConf) bounds it without mutating the caller's conf.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+      import s2.implicits._
       val gapSeconds = 21600L
       val rows = t(s, dir, "events").where(col("event_id") < 2000)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
@@ -504,21 +511,22 @@ object EventQueries {
         .outputMode("append").start()
       val sessions = try {
         val (a, b) = rows.splitAt(rows.length / 2)
-        src.addData(a.toIndexedSeq: _*); q.processAllAvailable()
-        src.addData(b.toIndexedSeq: _*); q.processAllAvailable()
         // sentinels (filtered below; their own sessions never emit):
-        // flush1 pushes the watermark past every real timeout, flush2
-        // gives the timeouts a micro-batch to fire in
+        // flush1 rides the second half and pushes the watermark past
+        // every real timeout, flush2 gives the timeouts a micro-batch
+        // to fire in
         val maxTs = rows.last.ts.getTime
         val flush1 = new java.sql.Timestamp(
           maxTs + (gapSeconds + 7200L) * 1000L)
         val flush2 = new java.sql.Timestamp(flush1.getTime + 3600_000L)
-        src.addData(EventStreams.KeyedEvent(-1L, 0L, flush1, 0.0))
+        src.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+        src.addData(b.toIndexedSeq
+          :+ EventStreams.KeyedEvent(-1L, 0L, flush1, 0.0): _*)
         q.processAllAvailable()
         src.addData(EventStreams.KeyedEvent(-2L, 0L, flush2, 0.0))
         q.processAllAvailable()
         val w = Window.partitionBy("user_id").orderBy("session_start")
-        s.table(name).where(col("user_id") >= 0)
+        s2.table(name).where(col("user_id") >= 0)
           .withColumn("session_id",
             (row_number().over(w) - 1).cast("long"))
           .select(col("user_id"), col("session_id"), col("session_start"),
@@ -528,7 +536,7 @@ object EventQueries {
           .localCheckpoint()
       } finally {
         q.stop()
-        s.catalog.dropTempView(name)
+        s2.catalog.dropTempView(name)
       }
       sessions
     },
