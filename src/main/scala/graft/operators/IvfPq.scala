@@ -291,6 +291,70 @@ object IvfPq {
         pmod(hash(col("cand_id")), lit(slices)))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/vectors")
+    // a full rebuild resets the deletion ledger (pre-rebuild tombstones
+    // refer to the old corpus — same contract as the other indexes)
+    TombstoneLedger.reset(
+      new org.apache.hadoop.fs.Path(s"$dir/tombstones").getFileSystem(
+        spark.sparkContext.hadoopConfiguration), s"$dir/tombstones")
+  }
+
+  /** Append-only deletion (right-to-be-forgotten for the PQ index, the
+    * fourth persisted index kind to carry the shared ledger contract):
+    * `ids` (a `vec_id` column) land in the tombstone ledger; codes and
+    * vectors stay on disk until [[vacuumIndex]], but [[searchIndex]]
+    * masks them immediately — a tombstoned vector can never enter the
+    * ADC shortlist, so it can never be retrieved. One tiny parquet
+    * append regardless of index size. */
+  def deleteFromIndex(ids: DataFrame, dir: String): Unit =
+    TombstoneLedger.append(ids.select(col("vec_id")), s"$dir/tombstones")
+
+  /** Test seam: runs after [[vacuumIndex]] snapshots the ledger file
+    * list — the race window a concurrent [[deleteFromIndex]] lands in.
+    * Production no-op. */
+  private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
+
+  /** Physically remove tombstoned vectors from BOTH index datasets
+    * (pqcodes and vectors — each rewritten behind the crash-safe staged
+    * swap in its clustered layout), then clear exactly the consumed
+    * ledger files: ONE ledger enumeration feeds the anti-join and the
+    * cleanup, so a tombstone landing mid-pass is neither applied nor
+    * deleted — it survives to the next pass and [[searchIndex]] keeps
+    * masking it meanwhile. Any crash ordering stays consistent: the
+    * shortlist derives from pqcodes∖ledger, so whichever dataset
+    * swapped first a search still ranks live vectors only. A full purge
+    * writes schema-preserving unpartitioned empty parquet. Returns code
+    * rows removed. */
+  def vacuumIndex(spark: SparkSession, dir: String): Long = {
+    val root = s"$dir/tombstones"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val consumed = TombstoneLedger.files(fs, root)
+    val ts = TombstoneLedger.dfFrom(spark, consumed, "cand_id")
+      .getOrElse(return 0L)
+    vacuumAfterSnapshotHook()
+    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+    val slices = math.max(1,
+      spark.sparkContext.defaultParallelism / math.max(1, nClusters))
+    var removed = 0L
+    for (ds <- Seq("pqcodes", "vectors")) {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$ds")
+      val base = spark.read.parquet(path.toString)
+      val keep = base.join(ts, Seq("cand_id"), "left_anti")
+      val keepCount = keep.count()
+      if (ds == "pqcodes") removed = base.count() - keepCount
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.vacuum")
+      if (keepCount == 0L)
+        keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      else
+        keep.repartition(nClusters * slices, col("centroid_id"),
+            pmod(hash(col("cand_id")), lit(slices)))
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(tmp.toString)
+      graft.sources.Formats.swapInto(fs, tmp, path)
+      spark.catalog.refreshByPath(path.toString)
+    }
+    TombstoneLedger.clear(fs, root, consumed)
+    removed
   }
 
   /** Search a persisted [[writeIndex]] index. Result-identical to
@@ -331,8 +395,17 @@ object IvfPq {
 
     val adcW = Window.partitionBy("query_id")
       .orderBy(desc("adc"), asc("cand_id"))
-    val shortlist = spark.read.parquet(s"$dir/pqcodes")
+    // anti-join the deletion ledger BEFORE the ADC ranking, so a
+    // tombstoned vector can never enter the shortlist; unhinted — AQE
+    // broadcasts the ledger while it is small. Catalyst pushes the
+    // centroid_id partition filter through the anti-join's left side,
+    // so masking never widens the read.
+    val rawCodes = spark.read.parquet(s"$dir/pqcodes")
       .where(col("centroid_id").isin(probedCells: _*))
+    val liveCodes = TombstoneLedger.df(spark, s"$dir/tombstones", "cand_id")
+      .map(ts => rawCodes.join(ts, Seq("cand_id"), "left_anti"))
+      .getOrElse(rawCodes)
+    val shortlist = liveCodes
       .join(broadcast(probes), Seq("centroid_id"))
       .where(col("query_id") =!= col("cand_id"))
       .withColumn("adc", round4(col("qmu") +

@@ -702,6 +702,50 @@ object VectorQueries {
         recallFlags(exact, approx)
     },
 
+    // PQ-index deletion lifecycle (IvfPq.deleteFromIndex/vacuumIndex):
+    // the shared TombstoneLedger contract on the FOURTH persisted index
+    // kind — tombstones mask the ADC shortlist immediately (the
+    // centroid partition filter still pushes through the anti-join's
+    // left side), vacuum rewrites BOTH datasets (pqcodes and vectors)
+    // behind staged swaps and clears exactly the consumed ledger files.
+    // Both phases run the same recall contract as q_ann_index_pq, with
+    // the brute-force baseline computed over the LIVE corpus — a
+    // deleted vector must vanish from retrieval without degrading
+    // recall on the survivors. Delete set id-bounded (vec_id % 17 = 3
+    // AND vec_id < 1700); writeIndex's rebuild resets the ledger, so
+    // the gate is idempotent per invocation.
+    Q("q_ann_index_pq_delete",
+      """SELECT pp.phase, vec_id AS query_id, TRUE AS recall_ok,
+        |       TRUE AS mean_ok
+        |FROM embeddings CROSS JOIN (SELECT unnest(['tombstoned',
+        |       'vacuumed']) AS phase) pp
+        |WHERE vec_id < 5 ORDER BY phase, query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.IvfPq
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.where(col("vec_id") < 5)
+        val dead = col("vec_id") % 17 === 3 && col("vec_id") < 1700
+        val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_ivfpq_index_delete",
+          dir.replace('/', '_').replace(':', '_')).toString
+        IvfPq.writeIndex(emb, idxDir, nClusters = 16,
+          centroids = Some(centroids(s, dir)))
+        IvfPq.deleteFromIndex(emb.where(dead).select("vec_id"), idxDir)
+        val exact = StagingCaches.cache(
+          Similarity.bruteForceTopK(emb.where(!dead), qs, k = 10)
+            .select("query_id", "cand_id"))
+        def flags(phase: String) = recallFlags(exact,
+            IvfPq.searchIndex(s, idxDir, qs, k = 10,
+                nProbe = 10, rerank = 300)
+              .select("query_id", "cand_id"))
+          .withColumn("phase", lit(phase))
+        val before = flags("tombstoned").localCheckpoint()
+        IvfPq.vacuumIndex(s, idxDir)
+        before.unionByName(flags("vacuumed"))
+          .select("phase", "query_id", "recall_ok", "mean_ok")
+          .orderBy("phase", "query_id")
+    },
+
     // Late-interaction multi-vector retrieval (operators.MaxSim — the
     // ColBERT scoring shape): score(q,d) = Σ_{q tokens} max_{d tokens}
     // cos — token-level interactions a single pooled vector loses.

@@ -90,6 +90,75 @@ class IvfPqSpec extends SparkSpec {
       "IVFADC result changed under a different input partitioning")
   }
 
+  test("tombstoned vectors vanish from search immediately and vacuum " +
+      "preserves results while physically removing both datasets' rows") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_del")
+      .toString
+    IvfPq.writeIndex(emb, dir, nClusters = 8)
+    val qs = emb.where(col("vec_id") < 5)
+    def search() = IvfPq.searchIndex(spark, dir, qs, k = 10, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val deadIds = (0L until 500L).filter(_ % 17 == 3).toSet
+    IvfPq.deleteFromIndex(
+      emb.where(col("vec_id") % 17 === 3).select("vec_id"), dir)
+    val masked = search()
+    assert(masked.nonEmpty && masked.forall(r => !deadIds.contains(r._2)),
+      "a tombstoned vector surfaced in the masked search")
+    val removed = IvfPq.vacuumIndex(spark, dir)
+    assert(removed > 0, "vacuum removed nothing")
+    val vacuumed = search()
+    assert(masked.sameElements(vacuumed),
+      "vacuum changed search results")
+    // physically gone from BOTH datasets
+    for (ds <- Seq("pqcodes", "vectors")) {
+      val left = spark.read.parquet(s"$dir/$ds")
+        .where(col("cand_id").isin(deadIds.toSeq: _*)).count()
+      assert(left == 0, s"$ds still holds $left tombstoned rows")
+    }
+    // idempotent: an empty-ledger vacuum is a no-op
+    assert(IvfPq.vacuumIndex(spark, dir) == 0L)
+  }
+
+  test("a tombstone landing inside vacuum's race window survives and " +
+      "keeps masking its vector") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_race")
+      .toString
+    IvfPq.writeIndex(emb, dir, nClusters = 8)
+    val qs = emb.where(col("vec_id") < 5)
+    def hits() = IvfPq.searchIndex(spark, dir, qs, k = 10, nProbe = 3)
+      .select("cand_id").as[Long].collect().toSet
+    val firstHit = hits().min
+    IvfPq.deleteFromIndex(Seq(firstHit + 1000000).toDF("vec_id"), dir)
+    IvfPq.vacuumAfterSnapshotHook = () =>
+      IvfPq.deleteFromIndex(Seq(firstHit).toDF("vec_id"), dir)
+    try IvfPq.vacuumIndex(spark, dir)
+    finally IvfPq.vacuumAfterSnapshotHook = () => ()
+    // the late tombstone was not consumed: still on the ledger, still
+    // masking, and the NEXT vacuum folds it physically
+    assert(!hits().contains(firstHit),
+      "the race-window tombstone stopped masking its vector")
+    assert(IvfPq.vacuumIndex(spark, dir) > 0L,
+      "the surviving tombstone was not folded by the next vacuum")
+    assert(!hits().contains(firstHit))
+  }
+
+  test("a full purge leaves a readable empty index") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings").where(col("vec_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_purge")
+      .toString
+    IvfPq.writeIndex(emb, dir, nClusters = 4)
+    IvfPq.deleteFromIndex(emb.select("vec_id"), dir)
+    IvfPq.vacuumIndex(spark, dir)
+    val got = IvfPq.searchIndex(spark,
+      dir, emb.where(col("vec_id") < 2), k = 5, nProbe = 2)
+    assert(got.count() == 0, "a fully purged index should return nothing")
+  }
+
   test("oversized query side fails loudly before any driver collect") {
     val emb = t(spark, sf001, "embeddings")
     val e = intercept[IllegalArgumentException] {

@@ -1322,6 +1322,28 @@ class Bm25Spec extends SparkSpec {
     // doc saturating one term
     assert(both > single)
   }
+
+  test("appendToIndex corrects n_docs/avgdl/df: post-append search " +
+      "equals a fresh index over the grown corpus, scores included") {
+    val base = Seq(
+      (1L, "cat cat dog"), (2L, "cat fish"), (3L, "dog dog dog dog")
+    ).toDF("doc_id", "text")
+    // a long cat-free batch: shifts avgdl up and leaves cat's df alone,
+    // while a second cat doc shifts cat's idf down — both must land
+    val batch = Seq(
+      (10L, "pig cow hen pig cow hen pig cow"), (11L, "cat pig")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_app")
+      .toString
+    Bm25.writeIndex(base, dir)
+    Bm25.appendToIndex(batch, dir)
+    val got = Bm25.searchIndex(spark, dir, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    val fresh = Bm25.topK(base.union(batch), queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(got.nonEmpty && got.sameElements(fresh),
+      s"appended-index search diverged: got=${got.toSeq} fresh=${fresh.toSeq}")
+  }
 }
 
 class FusionSpec extends SparkSpec {
