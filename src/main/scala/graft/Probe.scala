@@ -80,6 +80,34 @@ object Probe {
       println(f"[probe] ivfpq mean recall = $mh/$mn = ${mh.toDouble / mn}%.3f")
       spark.stop(); return
     }
+    if (qnames == Seq("--pqdel")) {
+      // sub-step timing of the PQ-index deletion gate
+      import org.apache.spark.sql.functions._
+      import graft.operators.{IvfPq, Similarity}
+      val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+      val dead = col("vec_id") % 17 === 3 && col("vec_id") < 1700
+      val idxDir = "/tmp/graft_probe_pqdel"
+      (1 to 2).foreach { rep =>
+        val cents = time(s"fitCentroids rep$rep")(
+          Similarity.fitCentroids(emb, 16))
+        time(s"writeIndex rep$rep")(
+          IvfPq.writeIndex(emb, idxDir, nClusters = 16,
+            centroids = Some(cents)))
+        time(s"delete rep$rep")(
+          IvfPq.deleteFromIndex(emb.where(dead).select("vec_id"), idxDir))
+        time(s"brute rep$rep")(
+          Similarity.bruteForceTopK(emb.where(!dead), qs, k = 10).count())
+        time(s"search1 rep$rep")(
+          IvfPq.searchIndex(spark, idxDir, qs, k = 10, nProbe = 10,
+            rerank = 300).count())
+        time(s"vacuum rep$rep")(IvfPq.vacuumIndex(spark, idxDir))
+        time(s"search2 rep$rep")(
+          IvfPq.searchIndex(spark, idxDir, qs, k = 10, nProbe = 10,
+            rerank = 300).count())
+      }
+      spark.stop(); return
+    }
     if (qnames == Seq("--spans")) {
       // sub-step timing of the substring-dup span machinery
       import org.apache.spark.sql.functions._

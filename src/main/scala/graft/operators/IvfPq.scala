@@ -275,22 +275,27 @@ object IvfPq {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     ProductQuant.codebooksDF(spark, mdl.cb)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    val coded = encode(candidates, mdl)
+    // pinned for the two consumers below (the pqcodes write and the
+    // vectors routing join) — without it the whole encode projection
+    // runs twice
+    val coded = StagingCaches.cache(encode(candidates, mdl))
     val slices = math.max(1,
       spark.sparkContext.defaultParallelism / nClusters)
-    coded
-      .repartition(nClusters * slices, col("centroid_id"),
-        pmod(hash(col("cand_id")), lit(slices)))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/pqcodes")
-    candidates
-      .select(col("vec_id").as("cand_id"),
-        asDouble(col("embedding")).as("cand_vec"))
-      .join(coded.select("cand_id", "centroid_id"), "cand_id")
-      .repartition(nClusters * slices, col("centroid_id"),
-        pmod(hash(col("cand_id")), lit(slices)))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/vectors")
+    try {
+      coded
+        .repartition(nClusters * slices, col("centroid_id"),
+          pmod(hash(col("cand_id")), lit(slices)))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$dir/pqcodes")
+      candidates
+        .select(col("vec_id").as("cand_id"),
+          asDouble(col("embedding")).as("cand_vec"))
+        .join(coded.select("cand_id", "centroid_id"), "cand_id")
+        .repartition(nClusters * slices, col("centroid_id"),
+          pmod(hash(col("cand_id")), lit(slices)))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$dir/vectors")
+    } finally coded.unpersist()
     // a full rebuild resets the deletion ledger (pre-rebuild tombstones
     // refer to the old corpus — same contract as the other indexes)
     TombstoneLedger.reset(
@@ -335,13 +340,20 @@ object IvfPq {
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
     val slices = math.max(1,
       spark.sparkContext.defaultParallelism / math.max(1, nClusters))
+    // the two datasets carry the SAME cand_id set (writeIndex emits one
+    // codes row and one vector row per candidate), so one anti-join
+    // count decides `removed` and the full-purge branch for both —
+    // vectors never pays its own counting pass
     var removed = 0L
+    var keepCount = 0L
     for (ds <- Seq("pqcodes", "vectors")) {
       val path = new org.apache.hadoop.fs.Path(s"$dir/$ds")
       val base = spark.read.parquet(path.toString)
       val keep = base.join(ts, Seq("cand_id"), "left_anti")
-      val keepCount = keep.count()
-      if (ds == "pqcodes") removed = base.count() - keepCount
+      if (ds == "pqcodes") {
+        keepCount = keep.count()
+        removed = base.count() - keepCount
+      }
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.vacuum")
       if (keepCount == 0L)
         keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)

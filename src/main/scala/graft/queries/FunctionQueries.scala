@@ -289,6 +289,138 @@ object FunctionQueries {
         .orderBy("layout", "pred_id")
     },
 
+    // Hilbert-curve clustering key (expressions.Hilbert62, codegen'd) —
+    // the z-order upgrade lakehouse formats offer: consecutive keys are
+    // ALWAYS Manhattan-adjacent cells (Morton jumps diagonally at every
+    // quadrant boundary), so equal key ranges have tighter bounding
+    // boxes. The oracle replays the full top-down quadrant walk — per
+    // level the (3·rx)⊕ry quadrant contribution, bit strip, and
+    // rotate/reflect — as a 31-step recursive CTE, so a single wrong
+    // reflection arm or mask diverges every key.
+    Q("q_layout_hilbert",
+      """WITH RECURSIVE h(l_orderkey, l_linenumber, x, y, s, d) AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(l_partkey & 2147483647 AS BIGINT),
+        |         CAST(l_suppkey & 2147483647 AS BIGINT),
+        |         CAST(1073741824 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN (y & s) <> 0 THEN x & (s - 1)
+        |              WHEN (x & s) <> 0 THEN s - 1 - (y & (s - 1))
+        |              ELSE y & (s - 1) END,
+        |         CASE WHEN (y & s) <> 0 THEN y & (s - 1)
+        |              WHEN (x & s) <> 0 THEN s - 1 - (x & (s - 1))
+        |              ELSE x & (s - 1) END,
+        |         s // 2,
+        |         d + s * s * xor(CASE WHEN (x & s) <> 0 THEN 3 ELSE 0 END,
+        |                         CASE WHEN (y & s) <> 0 THEN 1 ELSE 0 END)
+        |  FROM h WHERE s > 0)
+        |SELECT l_orderkey, l_linenumber, d AS hkey
+        |FROM h WHERE s = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      graft.expressions.Hilbert62.register(s)
+      t(s, dir, "lineitem")
+        .selectExpr("l_orderkey", "l_linenumber",
+          "hilbert62(l_partkey, l_suppkey) AS hkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Hilbert vs Z-order zone-map pruning, measured head to head (the
+    // same boxes and 500-row files as q_layout_zorder_prune): both are
+    // space-filling curves, but Hilbert's no-diagonal-jump walk gives
+    // files tighter 2-D bounding boxes, so box predicates skip at least
+    // as many files. The gate emits the measured accounting for BOTH
+    // layouts under one hash — the oracle replays the Morton interleave
+    // arithmetically and the Hilbert walk recursively, then the same
+    // integer file/zone accounting over each ordering.
+    Q("q_layout_hilbert_prune", {
+      val preds =
+        """preds AS (
+          |  SELECT 1 AS pred_id, 100 AS lo_a, 300 AS hi_a,
+          |         10 AS lo_b, 30 AS hi_b
+          |  UNION ALL SELECT 2, 1500, 1600, 50, 90
+          |  UNION ALL SELECT 3, 0, 2000000, 5, 6)""".stripMargin
+      val zkey =
+        """CAST(list_sum(list_transform(range(0, 31), i ->
+          |  (((l_partkey & 2147483647) >> i) & 1) * (1::BIGINT << (2*i))
+          |  + (((l_suppkey & 2147483647) >> i) & 1)
+          |    * (1::BIGINT << (2*i + 1)))) AS BIGINT)""".stripMargin
+      def acct(tag: String, name: String) =
+        s"""${tag}f AS (SELECT p.pred_id, p.lo_a, p.hi_a, p.lo_b, p.hi_b,
+           |           (rn - 1) // 500 AS file_id,
+           |           min(va) AS min_a, max(va) AS max_a,
+           |           min(vb) AS min_b, max(vb) AS max_b,
+           |           count(*) AS n_rows,
+           |           count(*) FILTER (WHERE va >= p.lo_a AND va < p.hi_a
+           |             AND vb >= p.lo_b AND vb < p.hi_b) AS m
+           |         FROM $tag CROSS JOIN preds p
+           |         GROUP BY 1, 2, 3, 4, 5, 6),
+           |${tag}s AS (SELECT '$name' AS layout, pred_id,
+           |           CAST(count(*) AS BIGINT) AS n_files,
+           |           CAST(sum(CASE WHEN max_a < lo_a OR min_a >= hi_a
+           |                      OR max_b < lo_b OR min_b >= hi_b
+           |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           |           CAST(sum(CASE WHEN max_a < lo_a OR min_a >= hi_a
+           |                      OR max_b < lo_b OR min_b >= hi_b
+           |                    THEN 0 ELSE n_rows END) AS BIGINT)
+           |             AS rows_scanned,
+           |           CAST(sum(m) AS BIGINT) AS rows_selected
+           |         FROM ${tag}f GROUP BY 1, 2)""".stripMargin
+      s"""WITH RECURSIVE $preds,
+         |hk(l_orderkey, l_linenumber, va, vb, x, y, s, d) AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |         CAST(l_partkey & 2147483647 AS BIGINT),
+         |         CAST(l_suppkey & 2147483647 AS BIGINT),
+         |         CAST(1073741824 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, va, vb,
+         |         CASE WHEN (y & s) <> 0 THEN x & (s - 1)
+         |              WHEN (x & s) <> 0 THEN s - 1 - (y & (s - 1))
+         |              ELSE y & (s - 1) END,
+         |         CASE WHEN (y & s) <> 0 THEN y & (s - 1)
+         |              WHEN (x & s) <> 0 THEN s - 1 - (x & (s - 1))
+         |              ELSE x & (s - 1) END,
+         |         s // 2,
+         |         d + s * s * xor(CASE WHEN (x & s) <> 0 THEN 3 ELSE 0 END,
+         |                         CASE WHEN (y & s) <> 0 THEN 1 ELSE 0 END)
+         |  FROM hk WHERE s > 0),
+         |hi AS (SELECT va, vb, row_number() OVER (
+         |         ORDER BY d, l_orderkey, l_linenumber) AS rn
+         |       FROM hk WHERE s = 0),
+         |zo AS (SELECT l_partkey AS va, l_suppkey AS vb,
+         |         row_number() OVER (ORDER BY $zkey,
+         |           l_orderkey, l_linenumber) AS rn
+         |       FROM lineitem),
+         |${acct("hi", "hilbert")},
+         |${acct("zo", "zorder")}
+         |SELECT * FROM his UNION ALL SELECT * FROM zos
+         |ORDER BY layout, pred_id""".stripMargin
+    }) { (s, dir) =>
+      graft.expressions.Hilbert62.register(s)
+      graft.expressions.ZOrder62.register(s)
+      val li = t(s, dir, "lineitem")
+      val ranges = Seq(
+        (1, lit(100L), lit(300L), lit(10L), lit(30L)),
+        (2, lit(1500L), lit(1600L), lit(50L), lit(90L)),
+        (3, lit(0L), lit(2000000L), lit(5L), lit(6L)))
+      val hi = graft.operators.Analyze.zoneMapPruning2(li,
+          "l_partkey", "l_suppkey",
+          Seq(expr("hilbert62(l_partkey, l_suppkey)"), col("l_orderkey"),
+            col("l_linenumber")), 500, ranges)
+        .withColumn("layout", lit("hilbert"))
+      val zo = graft.operators.Analyze.zoneMapPruning2(li,
+          "l_partkey", "l_suppkey",
+          Seq(expr("zorder62(l_partkey, l_suppkey)"), col("l_orderkey"),
+            col("l_linenumber")), 500, ranges)
+        .withColumn("layout", lit("zorder"))
+      hi.unionByName(zo)
+        .select("layout", "pred_id", "n_files", "n_skipped",
+          "rows_scanned", "rows_selected")
+        .orderBy("layout", "pred_id")
+    },
+
     // Zone-map (file min/max statistics) pruning accounting
     // (operators.Analyze.zoneMapPruning): orders laid out as 500-row
     // files under TWO layouts — clustered by (o_orderdate, o_orderkey)
