@@ -303,6 +303,49 @@ object IvfPq {
         spark.sparkContext.hadoopConfiguration), s"$dir/tombstones")
   }
 
+  /** Load a persisted index's model (centroids + codebooks — both tiny,
+    * two small parquet reads). */
+  private def readModel(spark: SparkSession, dir: String): Model = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .select("sub", "code_id", "code_vec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val books = Array.tabulate(m) { sub =>
+      cbRows.filter(_._1 == sub).sortBy(_._2).map(_._3)
+    }
+    Model(cents,
+      ProductQuant.Codebooks(m, books(0).length, books(0)(0).length, books))
+  }
+
+  /** Incremental index growth — the production IVF-PQ contract: the
+    * batch encodes against the STANDING model (coarse cells and residual
+    * codebooks deliberately not refit; rebuild when drift warrants it,
+    * same trade as [[Similarity.appendToIndex]]), and its code/vector
+    * rows land as extra files inside the SAME centroid_id directories
+    * (dynamic-partition append) — O(batch) regardless of index size,
+    * zero search-path changes. Batch id discipline is the caller's
+    * (a re-ingested id would shadow nothing and rank twice). */
+  def appendToIndex(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val mdl = readModel(spark, dir)
+    val coded = StagingCaches.cache(encode(newVectors, mdl))
+    try {
+      // micro-batch-sized appends skip the clustered repartition — a
+      // shuffle per tiny batch costs more than the files it saves
+      coded.write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$dir/pqcodes")
+      newVectors
+        .select(col("vec_id").as("cand_id"),
+          asDouble(col("embedding")).as("cand_vec"))
+        .join(coded.select("cand_id", "centroid_id"), "cand_id")
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$dir/vectors")
+    } finally coded.unpersist()
+  }
+
   /** Append-only deletion (right-to-be-forgotten for the PQ index, the
     * fourth persisted index kind to carry the shared ledger contract):
     * `ids` (a `vec_id` column) land in the tombstone ledger; codes and
@@ -383,25 +426,14 @@ object IvfPq {
     val qProbe = queries.select("vec_id").limit(maxQ + 1).count()
     require(qProbe <= maxQ,
       s"searchIndex query side exceeds maxQ=$maxQ rows — batch the queries")
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val cbRows = spark.read.parquet(s"$dir/codebooks")
-      .select("sub", "code_id", "code_vec").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val mm = cbRows.map(_._1).max + 1
-    val books = Array.tabulate(mm) { sub =>
-      cbRows.filter(_._1 == sub).sortBy(_._2).map(_._3)
-    }
-    val mdl = Model(cents,
-      ProductQuant.Codebooks(mm, books(0).length, books(0)(0).length, books))
+    val mdl = readModel(spark, dir)
     val qRows = queries
       .select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("vec"))
       .as[(Long, Seq[Double])].collect()
       .map { case (id, raw) => (id, ProductQuant.l2normalize(raw.toArray)) }
     val probes = probeTables(spark, qRows, mdl, nProbe)
-    val nCents = unitCents(cents)
+    val nCents = unitCents(mdl.cents)
     val probedCells = qRows.flatMap { case (_, qv) =>
       nearestCells(qv, nCents, nProbe) }.distinct.toSeq
 

@@ -702,6 +702,46 @@ object VectorQueries {
         recallFlags(exact, approx)
     },
 
+    // PQ-index incremental append (IvfPq.appendToIndex): the batch
+    // encodes against the STANDING model — coarse cells and residual
+    // codebooks deliberately not refit, the production contract — and
+    // its code/vector rows land as extra files inside the same
+    // centroid_id directories; O(batch), zero search-path changes. The
+    // appended batch is near-copies of the five query vectors under new
+    // ids, so the post-append search must surface vectors that exist
+    // ONLY in appended files; the recall contract runs against the
+    // brute-force baseline over the UNION corpus. writeIndex's rebuild
+    // makes the gate idempotent per invocation.
+    Q("q_ann_index_pq_append",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.functions.VectorFunctions.asDouble
+        import graft.operators.IvfPq
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.where(col("vec_id") < 5)
+        val v = asDouble(col("embedding"))
+        val batch = emb.where(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+              .as("embedding"))
+        val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_ivfpq_index_append",
+          dir.replace('/', '_').replace(':', '_')).toString
+        IvfPq.writeIndex(emb, idxDir, nClusters = 16,
+          centroids = Some(centroids(s, dir)))
+        IvfPq.appendToIndex(batch, idxDir)
+        val union = emb.select(col("vec_id"), v.as("embedding"))
+          .union(batch)
+        val exact = StagingCaches.cache(
+          Similarity.bruteForceTopK(union, qs, k = 10)
+            .select("query_id", "cand_id"))
+        val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
+            nProbe = 10, rerank = 300)
+          .select("query_id", "cand_id")
+        recallFlags(exact, approx)
+    },
+
     // PQ-index deletion lifecycle (IvfPq.deleteFromIndex/vacuumIndex):
     // the shared TombstoneLedger contract on the FOURTH persisted index
     // kind — tombstones mask the ADC shortlist immediately (the

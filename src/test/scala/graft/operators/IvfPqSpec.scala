@@ -90,6 +90,38 @@ class IvfPqSpec extends SparkSpec {
       "IVFADC result changed under a different input partitioning")
   }
 
+  test("appendToIndex: appended vectors surface in search (encoded " +
+      "against the standing model, landed as extra partition files)") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.asDouble
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app")
+      .toString
+    IvfPq.writeIndex(emb, dir, nClusters = 8)
+    val filesBefore = new java.io.File(s"$dir/pqcodes").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).flatMap(_.listFiles())
+      .length
+    val v = asDouble(col("embedding"))
+    // near-copies of the query vectors under new ids: each must rank
+    // at the top for its source query, through appended files only
+    val batch = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+          .as("embedding"))
+    IvfPq.appendToIndex(batch, dir)
+    val filesAfter = new java.io.File(s"$dir/pqcodes").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).flatMap(_.listFiles())
+      .length
+    assert(filesAfter > filesBefore, "append landed no new code files")
+    val got = IvfPq.searchIndex(spark, dir, emb.where(col("vec_id") < 5),
+        k = 10, nProbe = 4, rerank = 100)
+      .as[(Long, Long, Double, Int)].collect()
+    (0L until 5L).foreach { q =>
+      assert(got.exists(r => r._1 == q && r._2 == q + 1000000),
+        s"appended near-copy of query $q not retrieved")
+    }
+  }
+
   test("tombstoned vectors vanish from search immediately and vacuum " +
       "preserves results while physically removing both datasets' rows") {
     import spark.implicits._
