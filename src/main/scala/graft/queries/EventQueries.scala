@@ -358,6 +358,45 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Native session_window aggregation — Spark's built-in gap-session
+    // operator (the declarative sibling of the manual lag/sum islands in
+    // q_events_sessionize, and the API the STREAMING runtime shares):
+    // windows [ts, ts+gap) merge while they overlap, so a session breaks
+    // exactly when the microsecond diff >= gap — STRICT semantics,
+    // different from the batch operator's second-truncated boundary, and
+    // replayed as such in the oracle (epoch_us arithmetic); window.end =
+    // last event + gap by definition. One shuffle on user_id; the merge
+    // runs inside the session-window aggregation, no self-join.
+    Q("q_events_session_window",
+      """WITH d AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |              OR epoch_us(CAST(ts AS TIMESTAMP))
+        |                 - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+        |                 >= 21600000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 21600 SECOND AS session_end,
+        |       count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "21600 seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round4(sum("value")).as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"),
+          col("total_value"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Pure range join (no equi key): views matched to the 15-minute window
     // after any purchase. The operator (operators.RangeJoin.bucketed)
     // manufactures an equi key by time-bucketing so the plan is a shuffled
