@@ -1073,6 +1073,66 @@ object MediaQueries {
         .orderBy("media_id")
     },
 
+    // Restart-interval (DRI/RSTn) JPEG decode through the driver hash —
+    // promoted from spec-only: every fixture carries a real DRI segment
+    // and RST0-7 markers every 1-3 MCUs (per-doc formula), with the
+    // spec-mandated DC-predictor reset and byte alignment at each
+    // marker. Restart markers exist so a CORRUPTED scan loses one
+    // restart interval instead of the image — and so a decoder can split
+    // one image's entropy stream across workers, the intra-file
+    // parallelism lever for large scans. They must be INVISIBLE in the
+    // decoded output: the oracle is the same pixel formula as
+    // q_multimodal_jpeg_pixels, so a missed predictor reset or
+    // misaligned resync diverges the hash immediately.
+    Q("q_multimodal_jpeg_restart",
+      """WITH d AS (SELECT doc_id AS b,
+        |                  CAST(8 * (doc_id % 3 + 2) AS INT) AS w,
+        |                  CAST(8 * (doc_id % 2 + 2) AS INT) AS h
+        |           FROM documents),
+        |px AS (SELECT b, w, h, unnest(range(0, w * h)) AS k FROM d),
+        |v AS (SELECT b, w, h, k,
+        |             (b * 7 + ((k // w // 8) * (w // 8) + (k % w) // 8)
+        |              * 13 + 37) % 256 AS val
+        |      FROM px)
+        |SELECT b AS media_id, max(w) AS width, max(h) AS height,
+        |       md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY k))
+        |         AS px_md5
+        |FROM v GROUP BY b ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.JpegCodec
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { b =>
+          val w = 8 * (b % 3 + 2).toInt
+          val h = 8 * (b % 2 + 2).toInt
+          val bx = w / 8
+          val vals = Array.tabulate(bx * (h / 8))(k =>
+            ((b * 7 + k.toLong * 13 + 37) % 256).toInt)
+          (b, JpegCodec.buildJpegDcOnly(w, h, vals,
+            restartInterval = (b % 3 + 1).toInt))
+        }
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, bytes) =>
+            JpegCodec.decodeJpegPixels(bytes).map { d =>
+              val sb = new StringBuilder
+              var k = 0
+              while (k < d.pixels.length) {
+                if (k > 0) sb.append(',')
+                sb.append(d.pixels(k) & 0xff)
+                k += 1
+              }
+              md.reset()
+              val dig = md.digest(sb.toString
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              (id, d.width, d.height,
+                dig.map("%02x".format(_)).mkString)
+            }
+          }
+        }
+        .toDF("media_id", "width", "height", "px_md5")
+        .orderBy("media_id")
+    },
+
     // AC-REFINED progressive JPEG (the successive-approximation corner
     // the flat fixture can't reach): per doc a coefficient set with
     // history corrections, newly-significant ±1 after a >16 zero run
