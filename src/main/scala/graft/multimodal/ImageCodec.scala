@@ -251,6 +251,106 @@ object ImageCodec {
     out.toByteArray
   }
 
+  // Adam7 pass grid (PNG §8.2): per pass the origin and stride of the
+  // pixels it carries. Each pass is an independently filtered sub-image.
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** (xo, yo, dx, dy, passWidth, passHeight) for every NON-EMPTY pass —
+    * the shared geometry of the interlaced builder and decoder; a
+    * non-interlaced image is the single identity pass. */
+  private def passGeometry(w: Int, h: Int,
+                           interlaced: Boolean): Seq[(Int, Int, Int, Int, Int, Int)] =
+    if (!interlaced) Seq((0, 0, 1, 1, w, h))
+    else Adam7.map { case (xo, yo, dx, dy) =>
+      (xo, yo, dx, dy,
+        math.max(0, (w - xo + dx - 1) / dx),
+        math.max(0, (h - yo + dy - 1) / dy))
+    }.filter(p => p._5 > 0 && p._6 > 0)
+
+  /** Filter one pass sub-image into `out` (filter byte per scanline,
+    * types cycling `row % 5` — the same rotation as the sequential
+    * builder, so decoders must invert the full suite per pass). */
+  private def filterPass(passPx: Array[Byte], pw: Int, ph: Int,
+                         channels: Int,
+                         out: java.io.ByteArrayOutputStream): Unit = {
+    val rowLen = pw * channels
+    var r = 0
+    while (r < ph) {
+      val f = r % 5
+      out.write(f)
+      var x = 0
+      while (x < rowLen) {
+        val cur = passPx(r * rowLen + x) & 0xff
+        val a = if (x >= channels) passPx(r * rowLen + x - channels) & 0xff
+                else 0
+        val b = if (r > 0) passPx((r - 1) * rowLen + x) & 0xff else 0
+        val c = if (r > 0 && x >= channels)
+                  passPx((r - 1) * rowLen + x - channels) & 0xff
+                else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 => cur - paeth(a, b, c)
+        }
+        out.write(filtered & 0xff)
+        x += 1
+      }
+      r += 1
+    }
+  }
+
+  /** [[buildPngPixels]] with Adam7 interlace (IHDR interlace = 1): the
+    * SAME pixels delivered as seven independently filtered passes — the
+    * progressive layout crawled web PNGs actually ship. Decoders must
+    * reassemble the pass grid exactly; the interlace gate pins that the
+    * two physical layouts converge on identical pixels. */
+  def buildPngPixelsInterlaced(width: Int, height: Int, channels: Int,
+                               pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(channels == 1 || channels == 3, s"channels must be 1|3")
+    require(pixels.length == width * height * channels,
+      s"expected ${width * height * channels} bytes, got ${pixels.length}")
+    val raw = new java.io.ByteArrayOutputStream()
+    passGeometry(width, height, interlaced = true).foreach {
+      case (xo, yo, dx, dy, pw, ph) =>
+        val passPx = new Array[Byte](pw * ph * channels)
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            var ch = 0
+            while (ch < channels) {
+              passPx((py * pw + px) * channels + ch) =
+                pixels(((yo + py * dy) * width + (xo + px * dx))
+                  * channels + ch)
+              ch += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
+        filterPass(passPx, pw, ph, channels, raw)
+    }
+    val zipped = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(zipped)
+    dos.write(raw.toByteArray); dos.finish(); dos.close()
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8
+    ihdr(9) = if (channels == 1) 0 else 2
+    ihdr(12) = 1 // Adam7
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", zipped.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Splice tEXt metadata chunks (PNG §11.3.4: keyword, NUL, Latin-1
     * text) into a PNG right after its IHDR — real chunks, real CRCs;
     * any standards-conformant reader sees them. */
@@ -321,15 +421,19 @@ object ImageCodec {
   }
 
   /** Decode a PNG's ACTUAL pixels: chunk walk (IDAT may be split),
-    * zlib inflate, and the full §9 un-filter pass. Supports the shapes
-    * [[buildPngPixels]] emits (8-bit, gray/RGB, non-interlaced); any
-    * other shape, bad CRC-length structure, or short/corrupt pixel data
-    * returns None — corruption is visible, never fabricated. */
+    * zlib inflate, and the full §9 un-filter pass — per Adam7 pass when
+    * IHDR says interlace 1, each pass an independent sub-image
+    * reassembled onto the §8.2 grid. Supports the shapes
+    * [[buildPngPixels]] / [[buildPngPixelsInterlaced]] emit (8-bit,
+    * gray/RGB); any other shape, bad CRC-length structure, or
+    * short/corrupt pixel data returns None — corruption is visible,
+    * never fabricated. */
   def parsePngPixels(bytes: Array[Byte]): Option[PixelImage] = {
     if (bytes == null || bytes.length < 8) return None
     var i = 0
     while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
     var width = 0; var height = 0; var channels = 0
+    var interlaced = false
     val idat = new java.io.ByteArrayOutputStream()
     var pos = 8
     var seenIhdr = false; var seenIend = false
@@ -348,10 +452,11 @@ object ImageCodec {
           val depth = bytes(dataOff + 8) & 0xff
           val color = bytes(dataOff + 9) & 0xff
           val interlace = bytes(dataOff + 12) & 0xff
-          if (depth != 8 || (color != 0 && color != 2) || interlace != 0)
-            return None
+          if (depth != 8 || (color != 0 && color != 2)
+              || interlace > 1) return None
           width = w.toInt; height = h.toInt
           channels = if (color == 0) 1 else 3
+          interlaced = interlace == 1
           seenIhdr = true
         case "IDAT" =>
           if (!seenIhdr) return None
@@ -366,7 +471,9 @@ object ImageCodec {
     // forged IHDR can't make a metadata scan allocate per-row gigabytes
     if (width.toLong * height * channels > (1L << 26)) return None
     val rowLen = width * channels
-    val expect = height * (1 + rowLen)
+    val passes = passGeometry(width, height, interlaced)
+    val expect = passes.map { case (_, _, _, _, pw, ph) =>
+      ph * (1 + pw * channels) }.sum
     val raw = new Array[Byte](expect)
     // finally-scoped end(): the truncated-stream return and the
     // DataFormatException path must still release the native zlib
@@ -384,33 +491,64 @@ object ImageCodec {
         got += n
       }
       if (got < expect) return None
+      // layout consistency: a stream with MORE pixel bytes than the
+      // declared (interlace, dims) layout needs is a lie somewhere —
+      // e.g. a sequential stream whose IHDR interlace byte was flipped
+      // would otherwise "decode" into scattered garbage
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0)
+        return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
     val px = new Array[Byte](height * rowLen)
-    var r = 0
-    while (r < height) {
-      val f = raw(r * (1 + rowLen)) & 0xff
-      if (f > 4) return None
-      var x = 0
-      while (x < rowLen) {
-        val filt = raw(r * (1 + rowLen) + 1 + x) & 0xff
-        val a = if (x >= channels) px(r * rowLen + x - channels) & 0xff
-                else 0
-        val b = if (r > 0) px((r - 1) * rowLen + x) & 0xff else 0
-        val c = if (r > 0 && x >= channels)
-                  px((r - 1) * rowLen + x - channels) & 0xff
-                else 0
-        val recon = f match {
-          case 0 => filt
-          case 1 => filt + a
-          case 2 => filt + b
-          case 3 => filt + ((a + b) >> 1)
-          case 4 => filt + paeth(a, b, c)
+    var off = 0
+    var passIdx = 0
+    while (passIdx < passes.length) {
+      val (xo, yo, dx, dy, pw, ph) = passes(passIdx)
+      passIdx += 1
+      val passRow = pw * channels
+      val passPx = new Array[Byte](ph * passRow)
+      var r = 0
+      while (r < ph) {
+        val f = raw(off + r * (1 + passRow)) & 0xff
+        if (f > 4) return None
+        var x = 0
+        while (x < passRow) {
+          val filt = raw(off + r * (1 + passRow) + 1 + x) & 0xff
+          val a = if (x >= channels) passPx(r * passRow + x - channels) & 0xff
+                  else 0
+          val b = if (r > 0) passPx((r - 1) * passRow + x) & 0xff else 0
+          val c = if (r > 0 && x >= channels)
+                    passPx((r - 1) * passRow + x - channels) & 0xff
+                  else 0
+          val recon = f match {
+            case 0 => filt
+            case 1 => filt + a
+            case 2 => filt + b
+            case 3 => filt + ((a + b) >> 1)
+            case 4 => filt + paeth(a, b, c)
+          }
+          passPx(r * passRow + x) = (recon & 0xff).toByte
+          x += 1
         }
-        px(r * rowLen + x) = (recon & 0xff).toByte
-        x += 1
+        r += 1
       }
-      r += 1
+      off += ph * (1 + passRow)
+      // scatter the pass onto the output grid (identity when
+      // non-interlaced: one pass at stride 1)
+      var py = 0
+      while (py < ph) {
+        var pxi = 0
+        while (pxi < pw) {
+          var ch = 0
+          while (ch < channels) {
+            px(((yo + py * dy) * width + (xo + pxi * dx)) * channels + ch) =
+              passPx((py * pw + pxi) * channels + ch)
+            ch += 1
+          }
+          pxi += 1
+        }
+        py += 1
+      }
     }
     Some(PixelImage(width, height, channels, px))
   }

@@ -164,6 +164,30 @@ object Multimodal {
       }.toDF("media_id", "payload")
   }
 
+  /** [[syntheticPixelImages]] in the Adam7 INTERLACED layout
+    * ([[ImageCodec.buildPngPixelsInterlaced]]): the same formula pixels
+    * delivered as seven independently filtered passes — the progressive
+    * layout crawled web PNGs ship. The `q_multimodal_png_interlaced`
+    * gate shares the sequential gate's oracle, so the pass-grid
+    * reassembly must converge on the identical statistics. */
+  def syntheticPixelImagesInterlaced(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 13 + 4).toInt
+        val h = (id % 11 + 4).toInt
+        val ch = if (id % 2 == 0) 1 else 3
+        val px = new Array[Byte](w * h * ch)
+        var k = 0
+        while (k < px.length) {
+          px(k) = ((id * 31 + k.toLong * 7 + 13) % 251).toByte
+          k += 1
+        }
+        (id, ImageCodec.buildPngPixelsInterlaced(w, h, ch, px))
+      }.toDF("media_id", "payload")
+  }
+
   /** REAL pixel decode in the mapPartitions seam: inflate + un-filter
     * each payload's actual IDAT bytes and reduce the reconstructed pixel
     * stream to exact integer statistics (sum, min, max, and a

@@ -641,6 +641,42 @@ object EventQueries {
         .orderBy("media_id")
     },
 
+    // Adam7 INTERLACED PNG decode through the driver hash: the same
+    // formula pixels as q_multimodal_pixels delivered as seven
+    // independently filtered passes (the progressive layout crawled web
+    // PNGs ship — IHDR interlace=1, per-pass filter rotation, §8.2 pass
+    // grid). The oracle is the sequential gate's verbatim, so the
+    // pass-grid reassembly must converge on identical statistics — a
+    // transposed origin, wrong stride, or cross-pass filter bleed shifts
+    // px_wsum immediately. The JDK's independent decoder byte-agrees
+    // with ours on these payloads (MultimodalSpec).
+    Q("q_multimodal_png_interlaced",
+      """WITH p AS (SELECT doc_id,
+        |                  CAST(doc_id % 13 + 4 AS INT) AS width,
+        |                  CAST(doc_id % 11 + 4 AS INT) AS height,
+        |                  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END
+        |                       AS INT) AS channels
+        |           FROM documents),
+        |px AS (SELECT doc_id, width, height, channels,
+        |              unnest(range(0, width * height * channels)) AS k
+        |       FROM p),
+        |v AS (SELECT doc_id, width, height, channels, k,
+        |             (doc_id * 31 + k * 7 + 13) % 251 AS val
+        |      FROM px)
+        |SELECT doc_id AS media_id, width, height, channels,
+        |       CAST(count(*) AS BIGINT) AS n_px,
+        |       CAST(sum(val) AS BIGINT) AS px_sum,
+        |       CAST(min(val) AS INT) AS px_min,
+        |       CAST(max(val) AS INT) AS px_max,
+        |       CAST(sum((k + 1) * val) AS BIGINT) AS px_wsum
+        |FROM v GROUP BY doc_id, width, height, channels
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.decodePixelStats(
+          Multimodal.syntheticPixelImagesInterlaced(t(s, dir, "documents")))
+        .orderBy("media_id")
+    },
+
     // Audio-header decode (AudioCodec.parseWav over real RIFF bytes built
     // by the fixture): channels / rate / bits / frame count read from the
     // actual chunk walk — including an odd-sized LIST chunk every third

@@ -186,6 +186,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Adam7 interlaced PNG: exact round-trip, identical pixels to the " +
+      "sequential layout, and the JDK's independent decoder agrees") {
+    import graft.multimodal.ImageCodec
+    // dims cross the 8x8 pass grid unevenly (empty passes, 1-px passes)
+    for ((w, h, ch) <- Seq((1, 1, 1), (3, 2, 3), (8, 8, 1), (13, 5, 3),
+                           (16, 14, 1), (7, 9, 3))) {
+      val px = Array.tabulate(w * h * ch)(k => ((k * 37 + 11) % 256).toByte)
+      val inter = ImageCodec.buildPngPixelsInterlaced(w, h, ch, px)
+      // IHDR says Adam7
+      assert((inter(28) & 0xff) == 1)
+      val img = ImageCodec.parsePngPixels(inter).get
+      assert((img.width, img.height, img.channels) == ((w, h, ch)))
+      assert(img.pixels.toSeq == px.toSeq,
+        s"interlaced round-trip mismatch at ${w}x$h ch=$ch")
+      // the two physical layouts converge on the same pixels
+      val seq = ImageCodec.parsePngPixels(
+        ImageCodec.buildPngPixels(w, h, ch, px)).get
+      assert(seq.pixels.toSeq == img.pixels.toSeq)
+      // javax.imageio's independent PNG decoder must agree byte-exactly
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(inter))
+      assert(bi != null && bi.getWidth == w && bi.getHeight == h,
+        s"ImageIO rejected the interlaced fixture at ${w}x$h")
+      // raw raster samples, not getRGB — getRGB routes grayscale
+      // through the JDK's gray→sRGB color management and gamma-shifts
+      // the values; the raster holds the decoded bytes verbatim
+      val raster = bi.getRaster
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) {
+        val got = raster.getSample(x, y, c)
+        val want = px((y * w + x) * ch + c) & 0xff
+        assert(got == want,
+          s"ImageIO disagrees at ($x,$y,$c) ${w}x$h ch=$ch: $got != $want")
+      }
+    }
+  }
+
   test("PNG pixel decode: corruption yields None, never fabricated pixels") {
     import graft.multimodal.ImageCodec
     val good = ImageCodec.buildPngPixels(8, 8, 3,
@@ -195,6 +231,9 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.parsePngPixels(good.dropRight(15)).isEmpty) // IDAT cut
     val depth16 = good.clone(); depth16(24) = 16 // IHDR bit depth field
     assert(ImageCodec.parsePngPixels(depth16).isEmpty)
+    // a sequential stream RE-LABELED interlaced: the Adam7 layout needs
+    // fewer pixel bytes, so the leftover-stream check must refuse it
+    // (real Adam7 payloads decode — see the interlace round-trip test)
     val interlaced = good.clone(); interlaced(28) = 1 // IHDR interlace field
     assert(ImageCodec.parsePngPixels(interlaced).isEmpty)
     // first IDAT data byte is the zlib header — corrupt stream must fail

@@ -60,6 +60,7 @@ class MultimodalFuzzSpec extends AnyFunSuite {
       ImageCodec.buildBmp(12, 9, pad = 2),
       ImageCodec.buildJpeg(65, 43, pad = 7),
       ImageCodec.buildPngPixels(9, 7, 1, px),
+      ImageCodec.buildPngPixelsInterlaced(9, 7, 1, px),
       ImageCodec.addPngTexts(ImageCodec.buildPngPixels(9, 7, 1, px),
         Seq("k" -> "v", "a" -> "b c")))
     exercise("image", valid, Seq(
