@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Crypto-shredding — GDPR erasure at the VALUE level, the complement
+  * of the index-level tombstone lifecycle (TombstoneLedger): sensitive
+  * columns are encrypted with a PER-SUBJECT key held in a tiny key
+  * table, and "forget subject X" is ONE row delete in the key table —
+  * the ciphertext, already copied into every downstream dataset,
+  * backup, and export, becomes permanently undecipherable without a
+  * single data rewrite. That inversion is the point at 100 TB: the
+  * erasure cost is O(subjects forgotten), not O(bytes ever written).
+  *
+  * Built entirely on Spark's native AES expressions (aes_encrypt /
+  * try_aes_decrypt — codegen'd, no UDFs). The key table is subject-count
+  * sized and broadcasts onto the data scan in both directions.
+  *
+  * Key derivation here is a deterministic md5-based fixture (so gates
+  * and specs replay); production swaps [[keyTable]] for a KMS-backed
+  * source — every other path is key-source-agnostic. AES mode is ECB
+  * for byte-deterministic ciphertext (the determinism discipline every
+  * gate in this library follows); for production secrecy prefer GCM,
+  * which trades that determinism for semantic security — decrypt-side
+  * code is identical.
+  */
+object CryptoShred {
+
+  /** One 16-byte AES-128 key per distinct subject id. */
+  def keyTable(subjects: DataFrame, idCol: String,
+               salt: String): DataFrame =
+    subjects.select(col(idCol).cast("long").as("subject_id")).distinct()
+      .withColumn("dek",
+        unhex(md5(concat(col("subject_id").cast("string"), lit(salt)))))
+
+  /** Encrypt `valueCol` under each row's subject key: the key table
+    * broadcasts onto the data scan; output carries `<valueCol>_enc`
+    * (binary) in place of the plaintext. */
+  def encrypt(df: DataFrame, idCol: String, valueCol: String,
+              keys: DataFrame): DataFrame =
+    df.join(broadcast(keys),
+        df(idCol).cast("long") === keys("subject_id"))
+      .withColumn(s"${valueCol}_enc",
+        aes_encrypt(col(valueCol).cast("binary"), col("dek"), lit("ECB")))
+      .drop(valueCol, "subject_id", "dek")
+
+  /** Forget `ids` (a single-column frame of subject ids): one anti-join
+    * on the subject-count-sized key table. The data is never touched. */
+  def shred(keys: DataFrame, ids: DataFrame): DataFrame =
+    keys.join(ids.select(col(ids.columns.head).cast("long")
+        .as("subject_id")), Seq("subject_id"), "left_anti")
+
+  /** Decrypt `<valueCol>_enc` with whatever keys SURVIVE in the key
+    * table: a left join + try_aes_decrypt, so a shredded subject's
+    * value comes back NULL — not an error, not a placeholder — and
+    * every surviving subject round-trips exactly. */
+  def decrypt(df: DataFrame, idCol: String, valueCol: String,
+              keys: DataFrame): DataFrame =
+    df.join(broadcast(keys),
+        df(idCol).cast("long") === keys("subject_id"), "left")
+      .withColumn(valueCol,
+        try_aes_decrypt(col(s"${valueCol}_enc"), col("dek"), lit("ECB"))
+          .cast("string"))
+      .drop(s"${valueCol}_enc", "subject_id", "dek")
+}

@@ -1034,6 +1034,36 @@ object CurationQueries {
         .orderBy("pseudonym")
     },
 
+    // Crypto-shredding (operators.CryptoShred — GDPR erasure at the
+    // VALUE level, the complement of the tombstone index lifecycle):
+    // c_name encrypts under per-subject AES-128 keys (Spark's native
+    // aes_encrypt, no UDFs), the key table forgets the formula subjects
+    // (c_custkey % 7 = 3 — ONE anti-join on the subject-sized key
+    // table, the data never rewritten), and decryption with the
+    // surviving keys must return every kept name EXACTLY and NULL —
+    // not an error, not a placeholder — for every shredded one. The
+    // oracle replays only the visible contract: plaintext where the key
+    // survived, NULL where it didn't; a single bit of ciphertext
+    // corruption or key mismatch surfaces as a hash break.
+    Q("q_pii_crypto_shred",
+      """SELECT c_custkey AS subject_id,
+        |       CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE c_name END
+        |         AS c_name,
+        |       c_custkey % 7 = 3 AS shredded
+        |FROM customer ORDER BY subject_id""".stripMargin) { (s, dir) =>
+      import graft.operators.CryptoShred
+      val cust = t(s, dir, "customer")
+      val keys = CryptoShred.keyTable(cust, "c_custkey", salt = "r14")
+      val enc = CryptoShred.encrypt(
+        cust.select("c_custkey", "c_name"), "c_custkey", "c_name", keys)
+      val kept = CryptoShred.shred(keys,
+        cust.where(col("c_custkey") % 7 === 3).select("c_custkey"))
+      CryptoShred.decrypt(enc, "c_custkey", "c_name", kept)
+        .select(col("c_custkey").as("subject_id"), col("c_name"),
+          col("c_name").isNull.as("shredded"))
+        .orderBy("subject_id")
+    },
+
     // Benchmark decontamination: flag training documents sharing any
     // 5-gram shingle with a held-out benchmark set — one explode per side
     // and a semi join on the shingle (scan-local signatures, shuffle on
