@@ -85,12 +85,16 @@ object PhraseSearch {
     * postings for a k-term phrase, not the corpus. */
   def writeIndex(docs: DataFrame, dir: String): Unit = {
     writePostings(docs, dir, "overwrite")
-    // a full rebuild resets the deletion ledger: standing tombstones
-    // refer to the pre-rebuild corpus, and the caller-provided corpus
-    // IS the post-rebuild truth (same contract as Similarity.writeIndex)
-    val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    TombstoneLedger.reset(ts.getFileSystem(
-      docs.sparkSession.sparkContext.hadoopConfiguration), s"$dir/tombstones")
+    // a full rebuild resets the deletion ledger AND the streaming batch
+    // dirs: standing tombstones/batches refer to the pre-rebuild corpus
+    // (the fresh postings dir carries no compaction marker, so stale
+    // batch dirs would otherwise resurrect as "live"), and the
+    // caller-provided corpus IS the post-rebuild truth (same contract
+    // as Similarity.writeIndex)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    TombstoneLedger.reset(fs, s"$dir/tombstones")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batches"), true)
   }
 
   private def writePostings(docs: DataFrame, dir: String,
@@ -118,6 +122,53 @@ object PhraseSearch {
     * discipline (same contract as Bm25's layout). */
   def appendToIndex(docs: DataFrame, dir: String): Unit =
     writePostings(docs, dir, "append")
+
+  /** EXACTLY-ONCE streaming ingestion: a micro-batch's positional
+    * postings land in a batch-scoped directory under the index
+    * ([[IndexBatches.writeBatch]] — overwrite by (tag, batchId), the
+    * same idempotency-by-placement contract as the ANN index's), still
+    * partitioned by term_bucket so phrase lookups prune batch dirs too.
+    * The in-place [[appendToIndex]] cannot give a stream this: a
+    * replayed foreachBatch would double-append its postings. */
+  def appendBatchDir(docs: DataFrame, dir: String, tag: String,
+                     batchId: Long): Unit =
+    IndexBatches.writeBatch(
+      positionalPostings(docs)
+        .withColumn("term_bucket", pmod(hash(col("term")), lit(IndexBuckets))),
+      dir, tag, batchId, "term_bucket")
+
+  /** Fold live streaming batch directories into the base postings
+    * layout: one read of base ∪ batches, one clustered rewrite behind
+    * the crash-safe staged swap carrying the compaction high-water
+    * marker (inside the staged dir — atomic with the data); batch-dir
+    * deletion afterwards is best-effort, the marker already suppresses
+    * survivors. */
+  def compactIndexBatches(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    val live = IndexBatches.live(spark, dir, "postings")
+    if (live.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = Seq("term", "doc_id", "pos", "term_bucket").map(col)
+    val base = spark.read.parquet(s"$dir/postings").select(cols: _*)
+    val merged = live.foldLeft(base) { (acc, p) =>
+      acc.union(spark.read.parquet(p).select(cols: _*))
+    }
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.postings.compact")
+    val slices = math.max(1,
+      spark.sparkContext.defaultParallelism / IndexBuckets)
+    merged.repartition(IndexBuckets * slices, col("term_bucket"),
+        pmod(hash(col("doc_id")), lit(slices)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(tmp.toString)
+    IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/postings"), live))
+    graft.sources.Formats.swapInto(fs, tmp,
+      new org.apache.hadoop.fs.Path(s"$dir/postings"))
+    spark.catalog.refreshByPath(s"$dir/postings")
+    live.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
 
   /** Append-only deletion (the right-to-be-forgotten op for TEXT
     * indexes, the twin of [[Similarity.deleteFromIndex]]): `ids` (a
@@ -159,6 +210,10 @@ object PhraseSearch {
     val ts = TombstoneLedger.dfFrom(spark, consumed, "doc_id")
       .getOrElse(return 0L)
     vacuumAfterSnapshotHook()
+    // fold live streaming batch dirs first, so ONE rewrite covers
+    // everything and a delete-then-re-ingest within the epoch resolves
+    // to DELETED — the same answer searchIndex gives (ANN contract)
+    compactIndexBatches(spark, dir)
     val postPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val base = spark.read.parquet(postPath.toString)
     val keep = base.join(ts, Seq("doc_id"), "left_anti")
@@ -175,6 +230,11 @@ object PhraseSearch {
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(tmp.toString)
     }
+    // carry the compaction high-water marker through the rewrite —
+    // losing it would resurface folded batch dirs whose best-effort
+    // delete failed (a double count)
+    IndexBatches.writeMarker(fs, tmp,
+      IndexBatches.readMarker(fs, postPath))
     graft.sources.Formats.swapInto(fs, tmp, postPath)
     spark.catalog.refreshByPath(postPath.toString)
     TombstoneLedger.clear(fs, root, consumed)
@@ -199,10 +259,18 @@ object PhraseSearch {
       posexplode(col("terms")).as(Seq("offset", "term")))
     val qTermDf = phraseTerms.select("term").distinct()
     val smallQ = qTermDf.limit(maxTerms + 1).count() <= maxTerms
+    // live streaming batch dirs union in transparently (they carry the
+    // same term_bucket partitioning, so the prune below prunes them
+    // too); dirs at or below the compaction marker are already merged
+    val pCols = Seq("term", "doc_id", "pos", "term_bucket").map(col)
+    val rawBase = spark.read.parquet(s"$dir/postings").select(pCols: _*)
     // anti-join the deletion ledger BEFORE vote counting, so a
     // tombstoned document can never produce a phrase hit; unhinted —
     // AQE broadcasts the ledger while it is small
-    val raw = spark.read.parquet(s"$dir/postings")
+    val raw = IndexBatches.live(spark, dir, "postings")
+      .foldLeft(rawBase) { (acc, p) =>
+        acc.union(spark.read.parquet(p).select(pCols: _*))
+      }
     val masked = TombstoneLedger.df(spark, s"$dir/tombstones", "doc_id")
       .map(ts => raw.join(ts, Seq("doc_id"), "left_anti"))
       .getOrElse(raw)

@@ -211,13 +211,15 @@ object Similarity {
           asDouble(col("embedding")).as("cand_vec")),
         cents, "cand_id", "cand_vec", 1),
       nClusters, s"$dir/assignments")
-    // a full rebuild resets the deletion ledger: standing tombstones
-    // refer to the pre-rebuild corpus, and the caller-provided
-    // candidate set IS the post-rebuild truth
-    val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    TombstoneLedger.reset(ts.getFileSystem(
-      candidates.sparkSession.sparkContext.hadoopConfiguration),
-      s"$dir/tombstones")
+    // a full rebuild resets the deletion ledger AND the streaming batch
+    // dirs: standing tombstones/batches refer to the pre-rebuild corpus
+    // (the fresh assignments dir carries no compaction marker, so stale
+    // batch dirs would otherwise resurrect as "live"), and the
+    // caller-provided candidate set IS the post-rebuild truth
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      candidates.sparkSession.sparkContext.hadoopConfiguration)
+    TombstoneLedger.reset(fs, s"$dir/tombstones")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batches"), true)
   }
 
   /** Cluster assignment rows toward their output directory before the
@@ -361,12 +363,12 @@ object Similarity {
                      batchId: Long): Unit = {
     val spark = newVectors.sparkSession
     val cents = normalizeCentroids(spark.read.parquet(s"$dir/centroids"))
-    nearestCentroids(
+    IndexBatches.writeBatch(
+      nearestCentroids(
         newVectors.select(col("vec_id").as("cand_id"),
           asDouble(col("embedding")).as("cand_vec")),
-        cents, "cand_id", "cand_vec", 1)
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/batches/${tagHash(tag)}/$batchId")
+        cents, "cand_id", "cand_vec", 1),
+      dir, tag, batchId, "centroid_id")
   }
 
   /** Fold every live batch directory into the base assignments layout:
@@ -393,16 +395,8 @@ object Similarity {
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
     clusteredWrite(merged, math.max(1, nClusters), tmp.toString)
     // merge the old high-waters with everything folded in this pass
-    val folded = live.flatMap(batchDirKey)
-      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
-    val hw = (readCompactionMarker(fs, new org.apache.hadoop.fs.Path(
-      s"$dir/assignments")) ++ folded)
-      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(tmp, "_compacted_batches"), true)
-    try out.write(hw.map { case (t, id) => s"$t\t$id" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/assignments"), live))
     graft.sources.Formats.swapInto(fs, tmp,
       new org.apache.hadoop.fs.Path(s"$dir/assignments"))
     spark.catalog.refreshByPath(s"$dir/assignments")
@@ -410,63 +404,14 @@ object Similarity {
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
   }
 
-  private def tagHash(tag: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(tag.getBytes("UTF-8")).take(8)
-      .map("%02x".format(_)).mkString
-
-  /** (tagHash, batchId) of a batch dir path, None for foreign files. */
-  private def batchDirKey(p: String): Option[(String, Long)] = {
-    val parts = p.split('/')
-    if (parts.length < 2) return None
-    try Some((parts(parts.length - 2), parts(parts.length - 1).toLong))
-    catch { case _: NumberFormatException => None }
-  }
-
   private def readCompactionMarker(fs: org.apache.hadoop.fs.FileSystem,
                                    assignments: org.apache.hadoop.fs.Path)
-      : Map[String, Long] = {
-    val p = new org.apache.hadoop.fs.Path(assignments, "_compacted_batches")
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    // The marker is the ONLY thing suppressing already-folded batch dirs
-    // whose best-effort delete failed: silently discarding it (or any
-    // valid line in it) would resurrect those batches and double-count
-    // rows in every subsequent search. Blank lines are tolerated; any
-    // other unparseable line means real corruption — fail loudly rather
-    // than serve duplicated data.
-    try new String(in.readAllBytes(), "UTF-8").split("\n")
-      .filter(_.trim.nonEmpty)
-      .map { ln =>
-        ln.split("\t", 2) match {
-          case Array(t, id) if scala.util.Try(id.trim.toLong).isSuccess =>
-            t -> id.trim.toLong
-          case _ => throw new IllegalStateException(
-            s"corrupt compaction marker $p: unparseable line " +
-              s"'${ln.take(80)}' — refusing to treat folded batches as " +
-              "live (would double-count); repair or remove the marker")
-        }
-      }.toMap
-    finally in.close()
-  }
+      : Map[String, Long] = IndexBatches.readMarker(fs, assignments)
 
   /** Batch directories not yet folded in by [[compactIndexBatches]]. */
   private def liveBatchDirs(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/batches")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Nil
-    val hw = readCompactionMarker(fs,
-      new org.apache.hadoop.fs.Path(s"$dir/assignments"))
-    fs.listStatus(root).filter(_.isDirectory).toSeq.flatMap { tagDir =>
-      fs.listStatus(tagDir.getPath).filter(_.isDirectory).toSeq
-        .map(_.getPath.toString)
-        .filter(p => batchDirKey(p) match {
-          case Some((t, id)) => hw.get(t).forall(id > _)
-          case None => false
-        })
-    }.sorted
-  }
+                            dir: String): Seq[String] =
+    IndexBatches.live(spark, dir, "assignments")
 
   /** Incremental index growth: assign a NEW batch of vectors against the
     * index's EXISTING centroids and append them into the partitioned

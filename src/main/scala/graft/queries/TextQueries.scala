@@ -1686,6 +1686,78 @@ object TextQueries {
         .orderBy("phrase_id", "doc_id")
     },
 
+    // STREAMING phrase-index ingestion through the driver hash
+    // (EventStreams.phraseIndexSink / PhraseSearch.appendBatchDir): two
+    // REAL one-shot foreachBatch queries land the q_text_phrase_index_
+    // append batch (split 200000-9 / 200010-19) in batch-scoped
+    // directories under the index — overwrite by (tag, batchId),
+    // exactly-once by placement, the in-place append would double-count
+    // under replay — and the post-stream search must hash-match the
+    // SAME oracle as the batch append: batch boundaries must be
+    // invisible. The index dir is wiped first, making the gate
+    // idempotent per invocation.
+    Q("q_stream_phrase_index_replay",
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT d.doc_id + 200000,
+         |         substr(s.text, 1, 80) || ' batch tail ' ||
+         |           CAST(d.doc_id AS VARCHAR)
+         |  FROM documents d CROSS JOIN (SELECT text FROM documents
+         |                               WHERE doc_id = 3) s
+         |  WHERE d.doc_id < 20),
+         |toks AS (SELECT doc_id, $sqlToks AS ts FROM aug),
+         |ph AS (SELECT doc_id AS phrase_id, ts[1:3] AS p FROM toks
+         |       WHERE doc_id IN (3, 7, 11)),
+         |m AS (SELECT ph.phrase_id, t.doc_id,
+         |        list_filter(range(1, len(t.ts) - len(ph.p) + 2),
+         |          i -> len(list_filter(range(1, len(ph.p) + 1),
+         |                 j -> t.ts[i + j - 1] = ph.p[j])) = len(ph.p))
+         |          AS starts
+         |      FROM toks t CROSS JOIN ph)
+         |SELECT phrase_id, doc_id, CAST(len(starts) AS BIGINT) AS n_hits,
+         |       CAST(starts[1] AS BIGINT) AS first_pos
+         |FROM m WHERE len(starts) > 0
+         |ORDER BY phrase_id, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_phrase_index_stream",
+        dir.replace('/', '_').replace(':', '_')).toString
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      graft.operators.PhraseSearch.writeIndex(docs, idxDir)
+      val opener = docs.where(col("doc_id") === 3)
+        .select(substring(col("text"), 1, 80).as("opener"))
+      val batch = docs.where(col("doc_id") < 20)
+        .crossJoin(broadcast(opener))
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("opener"), lit(" batch tail "),
+            col("doc_id").cast("string")).as("text"))
+      def feed(pred: org.apache.spark.sql.Column, tag: String): Unit = {
+        // bounded fixture feed: the batch is 20 rows at any sf
+        val rows = batch.where(pred)
+          .as[(Long, String)].collect().toSeq
+        val src = MemoryStream[(Long, String)]
+        src.addData(rows: _*)
+        graft.streaming.EventStreams.phraseIndexSink(
+            src.toDF().toDF("doc_id", "text"), idxDir,
+            tagOverride = Some(tag))
+          .awaitTermination()
+      }
+      feed(col("doc_id") < 200010, "crawl-a")
+      feed(col("doc_id") >= 200010, "crawl-b")
+      val phrases = docs.where(col("doc_id").isin(3L, 7L, 11L))
+        .select(col("doc_id").as("phrase_id"),
+          slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3)
+            .as("terms"))
+      graft.operators.PhraseSearch.searchIndex(s, idxDir, phrases)
+        .orderBy("phrase_id", "doc_id")
+    },
+
     // Phrase-index deletion lifecycle (PhraseSearch.deleteFromIndex /
     // vacuumIndex — right-to-be-forgotten for TEXT indexes, the twin of
     // q_ann_index_delete): rebuild, tombstone the formula set

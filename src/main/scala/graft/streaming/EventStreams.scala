@@ -426,6 +426,34 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming PHRASE-INDEX ingestion — the text twin of [[indexSink]]:
+    * each micro-batch of (doc_id, text) documents tokenizes to
+    * positional postings and lands in a batch-scoped directory under
+    * the index ([[graft.operators.PhraseSearch.appendBatchDir]] —
+    * overwrite by (tag, batchId), exactly-once by placement; the
+    * in-place append would double-count under foreachBatch replay).
+    * `searchIndex` unions live batch dirs transparently (still
+    * term-bucket-pruned); `compactIndexBatches` folds them into the
+    * base layout on whatever cadence suits. */
+  def phraseIndexSink(docs: DataFrame, indexDir: String,
+                      checkpointDir: Option[String] = None,
+                      tagOverride: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
+    val writer = checkpointDir.fold(docs.writeStream)(
+      docs.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.PhraseSearch.appendBatchDir(
+              batch.toDF(), indexDir, tag, batchId)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming corpus-drift maintenance: each micro-batch of documents
     * aggregates to token counts
     * ([[graft.operators.DriftMonitor.tokenCounts]] — slice membership

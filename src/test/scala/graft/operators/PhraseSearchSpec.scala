@@ -187,6 +187,67 @@ class PhraseSearchSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streamed batch dirs are indistinguishable from a rebuild; a " +
+      "replayed batch rewrites its slot; compaction folds and the " +
+      "marker suppresses folded dirs") {
+    val standing = idxDocs.toDF("doc_id", "text")
+    val batch = Seq((100L, "a a fresh batch doc"), (101L, "the big the end"))
+      .toDF("doc_id", "text")
+    val ph = phrases(idxPhrases: _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx_stream").toString
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx_stream_full").toString
+    PhraseSearch.writeIndex(standing, dir)
+    PhraseSearch.appendBatchDir(batch, dir, "crawl", 0L)
+    // at-least-once replay: the SAME (tag, batch) rewrites its slot
+    PhraseSearch.appendBatchDir(batch, dir, "crawl", 0L)
+    PhraseSearch.writeIndex(standing.union(batch), fullDir)
+    val full = PhraseSearch.searchIndex(spark, fullDir, ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    val streamed = PhraseSearch.searchIndex(spark, dir, ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    assert(streamed == full,
+      s"streamed batch dirs diverged from rebuild:\n$streamed\n$full")
+    // compaction folds the batch into the base and results are stable
+    PhraseSearch.compactIndexBatches(spark, dir)
+    val compacted = PhraseSearch.searchIndex(spark, dir, ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    assert(compacted == full, "compaction changed search results")
+    // a folded dir resurrected on disk is suppressed by the marker
+    PhraseSearch.appendBatchDir(batch, dir, "crawl", 0L)
+    val again = PhraseSearch.searchIndex(spark, dir, ph)
+      .orderBy("phrase_id", "doc_id").collect().toSeq
+    assert(again == full,
+      "a batch dir at/below the compaction marker was double-counted")
+    // a NEW batch id above the marker is live
+    PhraseSearch.appendBatchDir(
+      Seq((200L, "a a late arrival")).toDF("doc_id", "text"),
+      dir, "crawl", 1L)
+    assert(PhraseSearch.searchIndex(spark, dir,
+        phrases(1L -> Seq("a", "a")))
+      .where(col("doc_id") === 200L).count() == 1)
+  }
+
+  test("vacuum folds live batch dirs first: a streamed-then-deleted " +
+      "doc is physically gone after one vacuum") {
+    val standing = idxDocs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx_stream_vac").toString
+    PhraseSearch.writeIndex(standing, dir)
+    PhraseSearch.appendBatchDir(
+      Seq((300L, "a a streamed then forgotten")).toDF("doc_id", "text"),
+      dir, "crawl", 0L)
+    PhraseSearch.deleteFromIndex(Seq(300L).toDF("doc_id"), dir)
+    assert(PhraseSearch.vacuumIndex(spark, dir) > 0L)
+    // physically absent from the base layout AND no live batch dirs left
+    assert(spark.read.parquet(s"$dir/postings")
+      .where(col("doc_id") === 300L).count() == 0)
+    assert(PhraseSearch.searchIndex(spark, dir,
+        phrases(1L -> Seq("a", "a")))
+      .where(col("doc_id") === 300L).count() == 0)
+  }
+
   test("a full purge leaves a readable empty index") {
     val docs = Seq((1L, "solo doc here")).toDF("doc_id", "text")
     val dir = java.nio.file.Files
