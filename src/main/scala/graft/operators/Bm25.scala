@@ -86,12 +86,15 @@ object Bm25 {
     * exact over live documents). */
   def writeIndex(docs: DataFrame, dir: String): Unit = {
     writeDatasets(docs, dir, "overwrite")
-    // a full rebuild resets the deletion ledger (pre-rebuild tombstones
-    // refer to the old corpus — same contract as the other indexes)
-    TombstoneLedger.reset(
-      new org.apache.hadoop.fs.Path(s"$dir/tombstones").getFileSystem(
-        docs.sparkSession.sparkContext.hadoopConfiguration),
-      s"$dir/tombstones")
+    // a full rebuild resets the deletion ledger AND the streaming batch
+    // dirs (pre-rebuild tombstones/batches refer to the old corpus, and
+    // the fresh postings dir carries no compaction marker, so stale
+    // batch dirs would otherwise resurrect as live — same contract as
+    // the other indexes)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    TombstoneLedger.reset(fs, s"$dir/tombstones")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batches"), true)
   }
 
   /** Append a document batch into a standing [[writeIndex]] layout —
@@ -135,6 +138,88 @@ object Bm25 {
       .parquet(s"$dir/postings")
   }
 
+  /** EXACTLY-ONCE streaming ingestion: one micro-batch lands under
+    * `batches/<tagHash>/<batchId>` with OVERWRITE (idempotent placement
+    * — the in-place [[appendToIndex]] would double-count under
+    * foreachBatch replay), carrying BOTH datasets the index derives
+    * everything from: `postings/` (term-bucket-partitioned, so lookups
+    * prune batch dirs too) and `doclens/` — the batch's documents
+    * correct n_docs/avgdl/df exactly the moment the batch commits,
+    * because [[searchIndex]] derives the statistics from doclens ∪
+    * batch doclens at search time. */
+  def appendBatchDir(docs: DataFrame, dir: String, tag: String,
+                     batchId: Long): Unit = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val batchRoot =
+      s"$dir/batches/${IndexBatches.tagHash(tag)}/$batchId"
+    // two sub-datasets inside ONE batch dir: written postings-first,
+    // doclens last — a crashed half-written batch is rewritten wholesale
+    // by the replay (overwrite), never half-counted
+    toks
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket",
+        pmod(hash(col("term")), lit(IndexBuckets)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$batchRoot/postings")
+    toks.select(col("doc_id"), size(col("toks")).as("dl"))
+      .write.mode("overwrite").parquet(s"$batchRoot/doclens")
+  }
+
+  /** Fold live streaming batch directories into the base layout.
+    *
+    * Two datasets cannot swap atomically, so no ordering alone closes
+    * the window where one has folded the batches and the other's
+    * liveness decision (the marker in POSTINGS) hasn't committed —
+    * whichever order, a crash inside it would leave stats permanently
+    * double-counting or missing the batch. The contract that survives
+    * EVERY interleaving is idempotence by natural key instead: a
+    * document's (doc_id, dl) row and a term's (term, doc_id, dl, tf)
+    * row are identical wherever they appear, so folding DEDUPLICATES on
+    * those keys, and [[searchIndex]] applies the same dedup whenever
+    * live batch dirs exist — a batch counted in both the base and a
+    * still-live dir collapses back to one row. Order here (doclens
+    * folds first, postings+marker commit last) just minimizes the
+    * dedup-covered window; a half-crashed pass re-runs to the same
+    * result because the folds are dedup-idempotent. */
+  def compactIndexBatches(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    val live = IndexBatches.live(spark, dir, "postings")
+    if (live.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1,
+      spark.sparkContext.defaultParallelism / IndexBuckets)
+    val dCols = Seq("doc_id", "dl").map(col)
+    val dBase = spark.read.parquet(s"$dir/doclens").select(dCols: _*)
+    val dMerged = live.foldLeft(dBase) { (acc, p) =>
+      acc.union(spark.read.parquet(s"$p/doclens").select(dCols: _*))
+    }.dropDuplicates("doc_id")
+    val dTmp = new org.apache.hadoop.fs.Path(s"$dir/.doclens.compact")
+    dMerged.write.mode("overwrite").parquet(dTmp.toString)
+    graft.sources.Formats.swapInto(fs, dTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/doclens"))
+    spark.catalog.refreshByPath(s"$dir/doclens")
+    val pCols = Seq("term", "doc_id", "dl", "tf", "term_bucket").map(col)
+    val pBase = spark.read.parquet(s"$dir/postings").select(pCols: _*)
+    val pMerged = live.foldLeft(pBase) { (acc, p) =>
+      acc.union(spark.read.parquet(s"$p/postings").select(pCols: _*))
+    }.dropDuplicates("term", "doc_id")
+    val pTmp = new org.apache.hadoop.fs.Path(s"$dir/.postings.compact")
+    pMerged.repartition(IndexBuckets * slices, col("term_bucket"),
+        pmod(hash(col("doc_id")), lit(slices)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(pTmp.toString)
+    IndexBatches.writeMarker(fs, pTmp, IndexBatches.mergedMarker(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/postings"), live))
+    graft.sources.Formats.swapInto(fs, pTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/postings"))
+    spark.catalog.refreshByPath(s"$dir/postings")
+    live.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
+
   /** Append-only deletion (right-to-be-forgotten for the BM25 index):
     * `ids` (a `doc_id` column) land in the tombstone ledger; postings
     * stay on disk until [[vacuumIndex]], but [[searchIndex]] masks them
@@ -168,6 +253,9 @@ object Bm25 {
     val ts = TombstoneLedger.dfFrom(spark, consumed, "doc_id")
       .getOrElse(return 0L)
     vacuumAfterSnapshotHook()
+    // fold live streaming batch dirs first: one rewrite covers
+    // everything, and a streamed-then-deleted doc resolves DELETED
+    compactIndexBatches(spark, dir)
     val postPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val base = spark.read.parquet(postPath.toString)
     val keep = base.join(ts, Seq("doc_id"), "left_anti")
@@ -184,6 +272,11 @@ object Bm25 {
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(tmpP.toString)
     }
+    // carry the compaction high-water marker through the rewrite —
+    // losing it would resurface folded batch dirs whose best-effort
+    // delete failed (a double count)
+    IndexBatches.writeMarker(fs, tmpP,
+      IndexBatches.readMarker(fs, postPath))
     graft.sources.Formats.swapInto(fs, tmpP, postPath)
     spark.catalog.refreshByPath(postPath.toString)
     val dlPath = new org.apache.hadoop.fs.Path(s"$dir/doclens")
@@ -221,10 +314,23 @@ object Bm25 {
                   maxTerms: Int = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ledger = TombstoneLedger.df(spark, s"$dir/tombstones", "doc_id")
+    // live streaming batch dirs union in transparently; whenever any
+    // exist, BOTH datasets deduplicate on their natural keys — a batch
+    // present in the base AND a still-live dir (the compaction crash
+    // window) collapses back to one row, so statistics never
+    // double-count under any swap interleaving
+    val liveDirs = IndexBatches.live(spark, dir, "postings")
     // corpus constants from doclens MINUS the ledger — the same mask
     // the postings get, so deletions correct n_docs/avgdl/df exactly
     // and post-delete scores equal a fresh index over the live corpus
-    val doclens0 = spark.read.parquet(s"$dir/doclens")
+    val dCols = Seq("doc_id", "dl").map(col)
+    val doclens0raw = liveDirs.foldLeft(
+        spark.read.parquet(s"$dir/doclens").select(dCols: _*)) { (acc, p) =>
+      acc.union(spark.read.parquet(s"$p/doclens").select(dCols: _*))
+    }
+    val doclens0 =
+      if (liveDirs.isEmpty) doclens0raw
+      else doclens0raw.dropDuplicates("doc_id")
     val doclens = ledger
       .map(ts => doclens0.join(ts, Seq("doc_id"), "left_anti"))
       .getOrElse(doclens0)
@@ -238,11 +344,15 @@ object Bm25 {
       else stats.getLong(1).toDouble / nDocs
     val qTermDf = queries.select("term").distinct()
     val smallQ = qTermDf.limit(maxTerms + 1).count() <= maxTerms
-    val raw = spark.read.parquet(s"$dir/postings")
+    val pCols = Seq("term", "doc_id", "dl", "tf", "term_bucket").map(col)
+    val raw = liveDirs.foldLeft(
+        spark.read.parquet(s"$dir/postings").select(pCols: _*)) { (acc, p) =>
+      acc.union(spark.read.parquet(s"$p/postings").select(pCols: _*))
+    }
     val postings = ledger
       .map(ts => raw.join(ts, Seq("doc_id"), "left_anti"))
       .getOrElse(raw)
-    val tf =
+    val pruned =
       if (smallQ) {
         val qTerms = qTermDf.collect().map(_.getString(0))
         val buckets = qTerms.map(TermBuckets.of(_, IndexBuckets)).distinct
@@ -252,6 +362,10 @@ object Bm25 {
       } else {
         postings.join(qTermDf, "term")
       }
+    // dedup AFTER pruning — the shuffle covers query-term rows only
+    val tf =
+      if (liveDirs.isEmpty) pruned
+      else pruned.dropDuplicates("term", "doc_id")
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = df.select(col("term"),
       log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5)

@@ -1562,6 +1562,80 @@ object TextQueries {
         .orderBy("query_id", "rank")
     },
 
+    // STREAMING BM25-index ingestion through the driver hash
+    // (EventStreams.bm25IndexSink / Bm25.appendBatchDir): two REAL
+    // one-shot foreachBatch queries land the q_text_bm25_index_append
+    // batch (split 500000-14 / 500015-29) in batch-scoped directories
+    // carrying BOTH datasets — postings AND doclens — so each batch
+    // corrects n_docs/avgdl/df the moment it commits (exactly-once by
+    // placement; the in-place append would double-count under replay).
+    // The post-stream search must hash-match the SAME oracle as the
+    // batch append: scores over the union corpus, batch boundaries
+    // invisible. The index dir is wiped first, making the gate
+    // idempotent per invocation.
+    Q("q_stream_bm25_index_replay",
+      s"""WITH q(query_id, term) AS (VALUES
+         |       (1, 'spark'), (1, 'window'),
+         |       (2, 'customer'), (2, 'table'), (3, 'vector')),
+         |tk AS (SELECT doc_id, $sqlToks AS toks FROM documents
+         |       UNION ALL
+         |       SELECT doc_id + 500000 AS doc_id, $sqlToks AS toks
+         |       FROM documents WHERE doc_id < 30),
+         |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS n_tokens
+         |       FROM tk),
+         |post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+         |         FROM tk),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post
+         |       WHERE term IN (SELECT DISTINCT term FROM q)
+         |       GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |ts AS (SELECT tf.doc_id, tf.term,
+         |              ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5)
+         |                       / (df.df + 0.5))
+         |              * tf.tf * (1.2 + 1.0)
+         |              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+         |                   / (CAST(st.n_tokens AS DOUBLE) / st.n_docs)))
+         |                AS ts
+         |       FROM tf JOIN df USING (term) CROSS JOIN st),
+         |sc AS (SELECT q.query_id, ts.doc_id, round(sum(ts.ts), 4) AS score
+         |       FROM ts JOIN q USING (term) GROUP BY q.query_id, ts.doc_id),
+         |rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |       FROM sc)
+         |SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_bm25_index_stream",
+        dir.replace('/', '_').replace(':', '_')).toString
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      graft.operators.Bm25.writeIndex(docs, idxDir)
+      val batch = docs.where(col("doc_id") < 30)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      def feed(pred: org.apache.spark.sql.Column, tag: String): Unit = {
+        // bounded fixture feed: the batch is 30 rows at any sf
+        val rows = batch.where(pred).as[(Long, String)].collect().toSeq
+        val src = MemoryStream[(Long, String)]
+        src.addData(rows: _*)
+        graft.streaming.EventStreams.bm25IndexSink(
+            src.toDF().toDF("doc_id", "text"), idxDir,
+            tagOverride = Some(tag))
+          .awaitTermination()
+      }
+      feed(col("doc_id") < 500015, "crawl-a")
+      feed(col("doc_id") >= 500015, "crawl-b")
+      val queries = Seq((1L, "spark"), (1L, "window"),
+        (2L, "customer"), (2L, "table"), (3L, "vector"))
+        .toDF("query_id", "term")
+      graft.operators.Bm25.searchIndex(s, idxDir, queries, k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // Positional phrase search (operators.PhraseSearch): exact
     // consecutive-token matching — the retrieval op a bag-of-words index
     // cannot express and the decontamination primitive ("does this

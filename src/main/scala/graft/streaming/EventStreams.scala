@@ -454,6 +454,33 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming BM25-index ingestion — the scored-index twin of
+    * [[phraseIndexSink]]: each micro-batch of (doc_id, text) documents
+    * lands BOTH index datasets (term-bucket postings AND doclens) in a
+    * batch-scoped directory ([[graft.operators.Bm25.appendBatchDir]] —
+    * overwrite by (tag, batchId), exactly-once by placement), so the
+    * batch corrects n_docs/avgdl/df the moment it commits;
+    * `Bm25.searchIndex` unions live batch dirs with natural-key dedup,
+    * `compactIndexBatches` folds them out-of-band. */
+  def bm25IndexSink(docs: DataFrame, indexDir: String,
+                    checkpointDir: Option[String] = None,
+                    tagOverride: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
+    val writer = checkpointDir.fold(docs.writeStream)(
+      docs.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Bm25.appendBatchDir(
+              batch.toDF(), indexDir, tag, batchId)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming corpus-drift maintenance: each micro-batch of documents
     * aggregates to token counts
     * ([[graft.operators.DriftMonitor.tokenCounts]] — slice membership

@@ -1323,6 +1323,62 @@ class Bm25Spec extends SparkSpec {
     assert(both > single)
   }
 
+  test("streamed batch dirs correct statistics like a rebuild; a " +
+      "replayed batch rewrites its slot; compaction is dedup-idempotent " +
+      "even with a folded dir resurrected as live") {
+    val base = Seq(
+      (1L, "cat cat dog"), (2L, "cat fish"), (3L, "dog dog dog dog")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "pig cow hen pig cow hen pig cow"), (11L, "cat pig")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_sb")
+      .toString
+    Bm25.writeIndex(base, dir)
+    Bm25.appendBatchDir(batch, dir, "crawl", 0L)
+    // at-least-once replay: the SAME (tag, batch) rewrites its slot
+    Bm25.appendBatchDir(batch, dir, "crawl", 0L)
+    val fresh = Bm25.topK(base.union(batch), queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    def got() = Bm25.searchIndex(spark, dir, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(got().sameElements(fresh),
+      "streamed batch diverged from a rebuild (stats or postings)")
+    Bm25.compactIndexBatches(spark, dir)
+    assert(got().sameElements(fresh), "compaction changed results")
+    // the crash window, simulated: a folded batch dir resurrected on
+    // disk at/below the marker — dedup + the marker must keep every
+    // statistic single-counted
+    Bm25.appendBatchDir(batch, dir, "crawl", 0L)
+    assert(got().sameElements(fresh),
+      "a resurrected folded batch double-counted stats or postings")
+    // and a re-run compaction converges instead of re-folding
+    Bm25.compactIndexBatches(spark, dir)
+    assert(got().sameElements(fresh))
+  }
+
+  test("a streamed-then-deleted doc resolves DELETED through one vacuum") {
+    val base = Seq((1L, "cat cat dog"), (2L, "cat fish"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_sv")
+      .toString
+    Bm25.writeIndex(base, dir)
+    Bm25.appendBatchDir(Seq((20L, "cat streamed then forgotten"))
+      .toDF("doc_id", "text"), dir, "crawl", 0L)
+    Bm25.deleteFromIndex(Seq(20L).toDF("doc_id"), dir)
+    assert(Bm25.vacuumIndex(spark, dir) > 0L)
+    assert(spark.read.parquet(s"$dir/postings")
+      .where($"doc_id" === 20L).count() == 0)
+    assert(spark.read.parquet(s"$dir/doclens")
+      .where($"doc_id" === 20L).count() == 0)
+    val fresh = Bm25.topK(base, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    val got = Bm25.searchIndex(spark, dir, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(got.sameElements(fresh),
+      "post-vacuum scores diverged from the never-ingested corpus")
+  }
+
   test("appendToIndex corrects n_docs/avgdl/df: post-append search " +
       "equals a fresh index over the grown corpus, scores included") {
     val base = Seq(
