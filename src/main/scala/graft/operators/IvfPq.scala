@@ -296,11 +296,14 @@ object IvfPq {
         .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$dir/vectors")
     } finally coded.unpersist()
-    // a full rebuild resets the deletion ledger (pre-rebuild tombstones
-    // refer to the old corpus — same contract as the other indexes)
-    TombstoneLedger.reset(
-      new org.apache.hadoop.fs.Path(s"$dir/tombstones").getFileSystem(
-        spark.sparkContext.hadoopConfiguration), s"$dir/tombstones")
+    // a full rebuild resets the deletion ledger AND the streaming batch
+    // dirs (pre-rebuild state refers to the old corpus; the fresh
+    // pqcodes dir carries no compaction marker, so stale batch dirs
+    // would otherwise resurrect as live)
+    val fsRoot = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    TombstoneLedger.reset(fsRoot, s"$dir/tombstones")
+    fsRoot.delete(new org.apache.hadoop.fs.Path(s"$dir/batches"), true)
   }
 
   /** Load a persisted index's model (centroids + codebooks — both tiny,
@@ -346,6 +349,69 @@ object IvfPq {
     } finally coded.unpersist()
   }
 
+  /** EXACTLY-ONCE streaming ingestion: one micro-batch encodes against
+    * the STANDING model and lands under `batches/<tagHash>/<batchId>`
+    * with OVERWRITE (idempotent placement — the in-place
+    * [[appendToIndex]] would double-count under foreachBatch replay),
+    * carrying BOTH datasets (`pqcodes/` and `vectors/`, each
+    * centroid-partitioned so probes prune batch dirs too). */
+  def appendBatchDir(newVectors: DataFrame, dir: String, tag: String,
+                     batchId: Long): Unit = {
+    val spark = newVectors.sparkSession
+    val mdl = readModel(spark, dir)
+    val coded = StagingCaches.cache(encode(newVectors, mdl))
+    val batchRoot =
+      s"$dir/batches/${IndexBatches.tagHash(tag)}/$batchId"
+    try {
+      coded.write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$batchRoot/pqcodes")
+      newVectors
+        .select(col("vec_id").as("cand_id"),
+          asDouble(col("embedding")).as("cand_vec"))
+        .join(coded.select("cand_id", "centroid_id"), "cand_id")
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$batchRoot/vectors")
+    } finally coded.unpersist()
+  }
+
+  /** Fold live streaming batch directories into the base layout: both
+    * datasets fold with natural-key dedup (cand_id — a batch present in
+    * the base AND a still-live dir collapses to one row), staged swaps,
+    * the compaction marker committing inside the staged PQCODES dir
+    * (the dataset [[IndexBatches.live]] reads it from) — the same
+    * crash-every-interleaving contract as [[Bm25.compactIndexBatches]]. */
+  def compactIndexBatches(spark: SparkSession, dir: String): Unit = {
+    val live = IndexBatches.live(spark, dir, "pqcodes")
+    if (live.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+    val slices = math.max(1,
+      spark.sparkContext.defaultParallelism / math.max(1, nClusters))
+    for ((ds, cols) <- Seq(
+        "vectors" -> Seq("cand_id", "cand_vec", "centroid_id"),
+        "pqcodes" -> Seq("cand_id", "codes", "centroid_id"))) {
+      val sel = cols.map(col)
+      val base = spark.read.parquet(s"$dir/$ds").select(sel: _*)
+      val merged = live.foldLeft(base) { (acc, p) =>
+        acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
+      }.dropDuplicates("cand_id")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
+      merged.repartition(nClusters * slices, col("centroid_id"),
+          pmod(hash(col("cand_id")), lit(slices)))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(tmp.toString)
+      if (ds == "pqcodes")
+        IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
+          new org.apache.hadoop.fs.Path(s"$dir/pqcodes"), live))
+      graft.sources.Formats.swapInto(fs, tmp,
+        new org.apache.hadoop.fs.Path(s"$dir/$ds"))
+      spark.catalog.refreshByPath(s"$dir/$ds")
+    }
+    live.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
+
   /** Append-only deletion (right-to-be-forgotten for the PQ index, the
     * fourth persisted index kind to carry the shared ledger contract):
     * `ids` (a `vec_id` column) land in the tombstone ledger; codes and
@@ -380,6 +446,9 @@ object IvfPq {
     val ts = TombstoneLedger.dfFrom(spark, consumed, "cand_id")
       .getOrElse(return 0L)
     vacuumAfterSnapshotHook()
+    // fold live streaming batch dirs first: one rewrite covers
+    // everything, and a streamed-then-deleted vector resolves DELETED
+    compactIndexBatches(spark, dir)
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
     val slices = math.max(1,
       spark.sparkContext.defaultParallelism / math.max(1, nClusters))
@@ -405,6 +474,9 @@ object IvfPq {
             pmod(hash(col("cand_id")), lit(slices)))
           .write.mode("overwrite").partitionBy("centroid_id")
           .parquet(tmp.toString)
+      // carry the compaction marker through the pqcodes rewrite
+      if (ds == "pqcodes")
+        IndexBatches.writeMarker(fs, tmp, IndexBatches.readMarker(fs, path))
       graft.sources.Formats.swapInto(fs, tmp, path)
       spark.catalog.refreshByPath(path.toString)
     }
@@ -439,13 +511,26 @@ object IvfPq {
 
     val adcW = Window.partitionBy("query_id")
       .orderBy(desc("adc"), asc("cand_id"))
+    // live streaming batch dirs union in transparently (probed-cell
+    // pruning applies to them too); while any exist, both datasets
+    // dedup on cand_id so the compaction crash window never
+    // double-counts (same contract as Bm25.searchIndex)
+    val liveDirs = IndexBatches.live(spark, dir, "pqcodes")
+    val cCols = Seq("cand_id", "codes", "centroid_id").map(col)
+    val rawCodes0 = liveDirs.foldLeft(
+        spark.read.parquet(s"$dir/pqcodes").select(cCols: _*)
+          .where(col("centroid_id").isin(probedCells: _*))) { (acc, p) =>
+      acc.union(spark.read.parquet(s"$p/pqcodes").select(cCols: _*)
+        .where(col("centroid_id").isin(probedCells: _*)))
+    }
+    val rawCodes =
+      if (liveDirs.isEmpty) rawCodes0
+      else rawCodes0.dropDuplicates("cand_id")
     // anti-join the deletion ledger BEFORE the ADC ranking, so a
     // tombstoned vector can never enter the shortlist; unhinted — AQE
     // broadcasts the ledger while it is small. Catalyst pushes the
     // centroid_id partition filter through the anti-join's left side,
     // so masking never widens the read.
-    val rawCodes = spark.read.parquet(s"$dir/pqcodes")
-      .where(col("centroid_id").isin(probedCells: _*))
     val liveCodes = TombstoneLedger.df(spark, s"$dir/tombstones", "cand_id")
       .map(ts => rawCodes.join(ts, Seq("cand_id"), "left_anti"))
       .getOrElse(rawCodes)
@@ -458,8 +543,15 @@ object IvfPq {
       .withColumn("__r", row_number().over(adcW))
       .where(col("__r") <= rerank)
       .select("query_id", "cand_id")
-    val vecs = spark.read.parquet(s"$dir/vectors")
-      .where(col("centroid_id").isin(probedCells: _*))
+    val vCols = Seq("cand_id", "cand_vec", "centroid_id").map(col)
+    val vecs0 = liveDirs.foldLeft(
+        spark.read.parquet(s"$dir/vectors").select(vCols: _*)
+          .where(col("centroid_id").isin(probedCells: _*))) { (acc, p) =>
+      acc.union(spark.read.parquet(s"$p/vectors").select(vCols: _*)
+        .where(col("centroid_id").isin(probedCells: _*)))
+    }
+    val vecs = (if (liveDirs.isEmpty) vecs0
+                else vecs0.dropDuplicates("cand_id"))
       .select(col("cand_id"), col("cand_vec").as("cv"))
     rerankExact(vecs, shortlist, qRows, k)
   }

@@ -742,6 +742,66 @@ object VectorQueries {
         recallFlags(exact, approx)
     },
 
+    // STREAMING PQ-index ingestion through the driver gate
+    // (EventStreams.pqIndexSink / IvfPq.appendBatchDir): two REAL
+    // one-shot foreachBatch queries land the q_ann_index_pq_append
+    // batch (split 0-9 / 10-19), each micro-batch encoding against the
+    // STANDING model and landing codes AND vectors in batch-scoped
+    // directories (exactly-once by placement). The post-stream search
+    // runs the same recall contract against the union-corpus brute
+    // baseline — appended vectors must surface through batch-dir files
+    // only, batch boundaries invisible. The index dir is wiped first,
+    // making the gate idempotent per invocation.
+    Q("q_stream_pq_index_replay",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.functions.VectorFunctions.asDouble
+        import graft.operators.IvfPq
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.where(col("vec_id") < 5)
+        val v = asDouble(col("embedding"))
+        val batch = emb.where(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+              .as("embedding"))
+        val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_ivfpq_index_stream",
+          dir.replace('/', '_').replace(':', '_')).toString
+        val fs = new org.apache.hadoop.fs.Path(idxDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+        IvfPq.writeIndex(emb, idxDir, nClusters = 16,
+          centroids = Some(centroids(s, dir)))
+        def feed(lo: Long, hi: Long, tag: String): Unit = {
+          // bounded fixture feed: 10 rows per stream at any sf
+          val rows = batch
+            .where(col("vec_id") >= 1000000L + lo
+              && col("vec_id") < 1000000L + hi)
+            .as[(Long, Seq[Double])].collect().toSeq
+          val src = MemoryStream[(Long, Seq[Double])]
+          src.addData(rows: _*)
+          graft.streaming.EventStreams.pqIndexSink(
+              src.toDF().toDF("vec_id", "embedding"), idxDir,
+              tagOverride = Some(tag))
+            .awaitTermination()
+        }
+        feed(0L, 10L, "crawl-a")
+        feed(10L, 20L, "crawl-b")
+        val union = emb.select(col("vec_id"), v.as("embedding"))
+          .union(batch)
+        val exact = StagingCaches.cache(
+          Similarity.bruteForceTopK(union, qs, k = 10)
+            .select("query_id", "cand_id"))
+        val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
+            nProbe = 10, rerank = 300)
+          .select("query_id", "cand_id")
+        recallFlags(exact, approx)
+    },
+
     // PQ-index deletion lifecycle (IvfPq.deleteFromIndex/vacuumIndex):
     // the shared TombstoneLedger contract on the FOURTH persisted index
     // kind — tombstones mask the ADC shortlist immediately (the

@@ -481,6 +481,33 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming PQ-INDEX ingestion — [[indexSink]] for the IVF-PQ
+    * layout: each micro-batch of (vec_id, embedding) rows encodes
+    * against the index's STANDING model (centroids + residual
+    * codebooks, deliberately not refit) and lands codes AND vectors in
+    * a batch-scoped directory ([[graft.operators.IvfPq.appendBatchDir]]
+    * — overwrite by (tag, batchId), exactly-once by placement);
+    * `IvfPq.searchIndex` unions live batch dirs with cand_id dedup,
+    * `compactIndexBatches` folds them out-of-band. */
+  def pqIndexSink(vectors: DataFrame, indexDir: String,
+                  checkpointDir: Option[String] = None,
+                  tagOverride: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
+    val writer = checkpointDir.fold(vectors.writeStream)(
+      vectors.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.IvfPq.appendBatchDir(
+              batch.toDF(), indexDir, tag, batchId)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming corpus-drift maintenance: each micro-batch of documents
     * aggregates to token counts
     * ([[graft.operators.DriftMonitor.tokenCounts]] — slice membership

@@ -122,6 +122,61 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("streamed batch dirs match the in-place append exactly; a " +
+      "replayed batch rewrites its slot; compaction is dedup-idempotent") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.asDouble
+    val emb = t(spark, sf001, "embeddings")
+    val v = asDouble(col("embedding"))
+    val batch = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+          .as("embedding"))
+    val qs = emb.where(col("vec_id") < 5)
+    val sDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_sb").toString
+    val aDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_sb_ref").toString
+    IvfPq.writeIndex(emb, sDir, nClusters = 8)
+    IvfPq.writeIndex(emb, aDir, nClusters = 8)
+    IvfPq.appendBatchDir(batch, sDir, "crawl", 0L)
+    IvfPq.appendBatchDir(batch, sDir, "crawl", 0L) // at-least-once replay
+    IvfPq.appendToIndex(batch, aDir)
+    def res(d: String) = IvfPq.searchIndex(spark, d, qs,
+        k = 10, nProbe = 4, rerank = 100)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val ref = res(aDir)
+    assert(ref.nonEmpty && res(sDir).sameElements(ref),
+      "streamed batch dirs diverged from the in-place append")
+    IvfPq.compactIndexBatches(spark, sDir)
+    assert(res(sDir).sameElements(ref), "compaction changed results")
+    // crash window: a folded dir resurrected at/below the marker
+    IvfPq.appendBatchDir(batch, sDir, "crawl", 0L)
+    assert(res(sDir).sameElements(ref),
+      "a resurrected folded batch double-counted")
+    IvfPq.compactIndexBatches(spark, sDir)
+    assert(res(sDir).sameElements(ref))
+  }
+
+  test("a streamed-then-deleted vector resolves DELETED through one " +
+      "vacuum, physically gone from both datasets") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_sv").toString
+    IvfPq.writeIndex(emb, dir, nClusters = 8)
+    IvfPq.appendBatchDir(
+      emb.where(col("vec_id") === 7)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")),
+      dir, "crawl", 0L)
+    IvfPq.deleteFromIndex(Seq(1000007L).toDF("vec_id"), dir)
+    assert(IvfPq.vacuumIndex(spark, dir) > 0L)
+    for (ds <- Seq("pqcodes", "vectors"))
+      assert(spark.read.parquet(s"$dir/$ds")
+        .where(col("cand_id") === 1000007L).count() == 0,
+        s"$ds still holds the streamed-then-deleted vector")
+  }
+
   test("tombstoned vectors vanish from search immediately and vacuum " +
       "preserves results while physically removing both datasets' rows") {
     import spark.implicits._
