@@ -412,6 +412,84 @@ object IvfPq {
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
   }
 
+  /** Out-of-band model refresh — the maintenance step [[appendToIndex]]
+    * and the streaming sink deliberately skip: batches encode against
+    * stale cells and codebooks, so as the corpus drifts both the coarse
+    * routing AND the residual quantization error degrade. Recenter
+    * re-fits the WHOLE model (cells + residual codebooks) from the
+    * vectors the index stores, re-encodes every vector, and swaps all
+    * four datasets in behind staged writes — live streaming batch dirs
+    * fold in first (their rows carry old-cell routing), the compaction
+    * marker carries through, standing tombstones keep masking (the
+    * ledger is untouched; a pending delete stays pending).
+    *
+    * Crash contract: four directories cannot swap atomically. The swap
+    * order (vectors, pqcodes+marker, codebooks, centroids) means an
+    * interruption leaves codes encoded under a model the reader hasn't
+    * fully switched to yet — ADC recall DEGRADES until recenter
+    * re-runs, but nothing fabricates: the exact re-rank still scores
+    * every surfaced candidate with its true cosine, and re-running
+    * recenter converges (it reads only the vectors dataset, which is
+    * model-independent). Returns (n_vectors, n_moved, n_clusters). */
+  def recenterIndex(spark: SparkSession, dir: String, nClusters: Int = 16,
+                    m: Int = 8, ks: Int = 16): DataFrame = {
+    import spark.implicits._
+    compactIndexBatches(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = spark.read.parquet(s"$dir/vectors")
+      .select(col("cand_id"), col("cand_vec"),
+        col("centroid_id").as("old_cid"))
+    val asEmb = old.select(col("cand_id").as("vec_id"),
+      col("cand_vec").as("embedding"))
+    val mdl = fit(asEmb, nClusters, m, ks)
+    val coded = StagingCaches.cache(encode(asEmb, mdl))
+    try {
+      val slices = math.max(1,
+        spark.sparkContext.defaultParallelism / math.max(1, nClusters))
+      val tmpV = new org.apache.hadoop.fs.Path(s"$dir/.vectors.recenter")
+      val tmpP = new org.apache.hadoop.fs.Path(s"$dir/.pqcodes.recenter")
+      val tmpB = new org.apache.hadoop.fs.Path(s"$dir/.codebooks.recenter")
+      val tmpC = new org.apache.hadoop.fs.Path(s"$dir/.centroids.recenter")
+      old.select(col("cand_id"), col("cand_vec"))
+        .join(coded.select("cand_id", "centroid_id"), "cand_id")
+        .repartition(nClusters * slices, col("centroid_id"),
+          pmod(hash(col("cand_id")), lit(slices)))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(tmpV.toString)
+      coded.repartition(nClusters * slices, col("centroid_id"),
+          pmod(hash(col("cand_id")), lit(slices)))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(tmpP.toString)
+      ProductQuant.codebooksDF(spark, mdl.cb)
+        .coalesce(1).write.mode("overwrite").parquet(tmpB.toString)
+      mdl.cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("centroid_id", "centroid_vec")
+        .coalesce(1).write.mode("overwrite").parquet(tmpC.toString)
+      // drift stats from the STAGED routing, before any swap
+      val Seq((total, moved)) = coded
+        .select(col("cand_id"), col("centroid_id"))
+        .join(old.select(col("cand_id"), col("old_cid")), "cand_id")
+        .agg(count(lit(1)), sum(when(col("centroid_id") =!= col("old_cid"),
+          1L).otherwise(0L)))
+        .as[(Long, Long)].collect().toSeq
+      IndexBatches.writeMarker(fs, tmpP, IndexBatches.readMarker(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/pqcodes")))
+      graft.sources.Formats.swapInto(fs, tmpV,
+        new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+      graft.sources.Formats.swapInto(fs, tmpP,
+        new org.apache.hadoop.fs.Path(s"$dir/pqcodes"))
+      graft.sources.Formats.swapInto(fs, tmpB,
+        new org.apache.hadoop.fs.Path(s"$dir/codebooks"))
+      graft.sources.Formats.swapInto(fs, tmpC,
+        new org.apache.hadoop.fs.Path(s"$dir/centroids"))
+      Seq("vectors", "pqcodes", "codebooks", "centroids")
+        .foreach(ds => spark.catalog.refreshByPath(s"$dir/$ds"))
+      Seq((total, moved, nClusters.toLong))
+        .toDF("n_vectors", "n_moved", "n_clusters")
+    } finally coded.unpersist()
+  }
+
   /** Append-only deletion (right-to-be-forgotten for the PQ index, the
     * fourth persisted index kind to carry the shared ledger contract):
     * `ids` (a `vec_id` column) land in the tombstone ledger; codes and

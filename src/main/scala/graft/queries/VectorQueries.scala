@@ -742,6 +742,46 @@ object VectorQueries {
         recallFlags(exact, approx)
     },
 
+    // PQ-index model refresh (IvfPq.recenterIndex) — the out-of-band
+    // maintenance step the append paths deliberately skip: batches
+    // encode against stale cells AND stale residual codebooks, so
+    // recenter re-fits the whole model from the vectors the index
+    // stores, re-encodes, and swaps all four datasets behind staged
+    // writes. IvfPqSpec pins that recenter-after-appends is
+    // row-identical to a fresh index over the union (same vector set →
+    // same deterministic fit); the gate runs the recall contract over
+    // the union corpus through the refreshed on-disk model.
+    Q("q_ann_index_pq_recenter",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.functions.VectorFunctions.asDouble
+        import graft.operators.IvfPq
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.where(col("vec_id") < 5)
+        val v = asDouble(col("embedding"))
+        val batch = emb.where(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+              .as("embedding"))
+        val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_ivfpq_index_recenter",
+          dir.replace('/', '_').replace(':', '_')).toString
+        IvfPq.writeIndex(emb, idxDir, nClusters = 16,
+          centroids = Some(centroids(s, dir)))
+        IvfPq.appendToIndex(batch, idxDir)
+        IvfPq.recenterIndex(s, idxDir, nClusters = 16).collect()
+        val union = emb.select(col("vec_id"), v.as("embedding"))
+          .union(batch)
+        val exact = StagingCaches.cache(
+          Similarity.bruteForceTopK(union, qs, k = 10)
+            .select("query_id", "cand_id"))
+        val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
+            nProbe = 10, rerank = 300)
+          .select("query_id", "cand_id")
+        recallFlags(exact, approx)
+    },
+
     // STREAMING PQ-index ingestion through the driver gate
     // (EventStreams.pqIndexSink / IvfPq.appendBatchDir): two REAL
     // one-shot foreachBatch queries land the q_ann_index_pq_append

@@ -158,6 +158,37 @@ class IvfPqSpec extends SparkSpec {
     assert(res(sDir).sameElements(ref))
   }
 
+  test("recenter after appends is row-identical to a fresh index over " +
+      "the union (same vector set, same deterministic fit)") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.asDouble
+    val emb = t(spark, sf001, "embeddings")
+    val v = asDouble(col("embedding"))
+    val batch = emb.where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+          .as("embedding"))
+    val qs = emb.where(col("vec_id") < 5)
+    val rDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rc").toString
+    val fDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rc_ref").toString
+    IvfPq.writeIndex(emb, rDir, nClusters = 8)
+    IvfPq.appendToIndex(batch, rDir)
+    val stats = IvfPq.recenterIndex(spark, rDir, nClusters = 8)
+      .as[(Long, Long, Long)].collect().head
+    assert(stats._1 == emb.count() + 10, s"recenter saw ${stats._1} vectors")
+    IvfPq.writeIndex(
+      emb.select(col("vec_id"), v.as("embedding")).union(batch),
+      fDir, nClusters = 8)
+    def res(d: String) = IvfPq.searchIndex(spark, d, qs,
+        k = 10, nProbe = 4, rerank = 100)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val a = res(rDir); val b = res(fDir)
+    assert(a.nonEmpty && a.sameElements(b),
+      "recentered index diverged from a fresh rebuild over the union")
+  }
+
   test("a streamed-then-deleted vector resolves DELETED through one " +
       "vacuum, physically gone from both datasets") {
     import spark.implicits._
