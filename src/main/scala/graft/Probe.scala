@@ -108,6 +108,36 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (qnames == Seq("--maxsim")) {
+      // recall margins for the pruned-MaxSim gate pins
+      import org.apache.spark.sql.functions._
+      import graft.operators.MaxSim
+      val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+      val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+        .withColumnRenamed("vec_id", "doc_id")
+      val qToks = MaxSim.subvectorTokens(
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", 8)
+        .withColumnRenamed("vec_id", "query_id")
+      val exact = MaxSim.maxSimTopK(docToks, qToks, k = 10)
+        .select("query_id", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nProbe = sys.env.getOrElse("MAXSIM_NPROBE", "4").toInt
+      val topT = sys.env.getOrElse("MAXSIM_TOPT", "32").toInt
+      val approx = time("pruned")(
+        MaxSim.maxSimTopKPruned(docToks, qToks, k = 10,
+            nClusters = 16, nProbe = nProbe, tokenTopT = topT)
+          .select("query_id", "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val perQ = exact.groupBy(_._1).map { case (qid, rows) =>
+        (qid, (rows.toSet & approx.filter(_._1 == qid).toSet).size,
+          rows.length)
+      }.toSeq.sortBy(_._1)
+      perQ.foreach { case (qid, h, n) =>
+        println(f"[probe] maxsim recall q$qid = $h/$n") }
+      val mh = perQ.map(_._2).sum; val mn = perQ.map(_._3).sum
+      println(f"[probe] maxsim mean = $mh/$mn = ${mh.toDouble / mn}%.3f")
+      spark.stop(); return
+    }
     if (qnames == Seq("--spans")) {
       // sub-step timing of the substring-dup span machinery
       import org.apache.spark.sql.functions._

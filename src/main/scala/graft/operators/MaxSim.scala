@@ -60,7 +60,15 @@ object MaxSim {
     val d = docTokens.select(col("doc_id"), asDouble(col("vec")).as("dv"))
     val q = queryTokens.select(col("query_id"), col("tok"),
       asDouble(col("vec")).as("qv"))
-    val perTok = d.join(broadcast(q), col("query_id") =!= col("doc_id"))
+    scoreAndRank(
+      d.join(broadcast(q), col("query_id") =!= col("doc_id")), k)
+  }
+
+  /** The shared MaxSim scoring tail over (query_id, tok, doc_id, qv,
+    * dv) pair rows: integer-scaled per-pair cosines → max per query
+    * token → exact-integer sum per doc → per-query top-k. */
+  private def scoreAndRank(pairs: DataFrame, k: Int): DataFrame = {
+    val perTok = pairs
       .withColumn("c", i4(cosine(col("qv"), col("dv"))))
       .groupBy("query_id", "tok", "doc_id")
       .agg(max(col("c")).as("m"))
@@ -71,6 +79,65 @@ object MaxSim {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
+  }
+
+  /** The production path the brute scorer's docstring promises — the
+    * ColBERT two-stage: TOKEN-level ANN candidate generation + exact
+    * MaxSim re-rank. Document tokens assign ONCE to coarse cells (the
+    * family's deterministic k-means, fit on a bounded sample of token
+    * vectors); each query token probes its `nProbe` nearest cells,
+    * scores the doc tokens in those cells, and keeps its `tokenTopT`
+    * best MATCHING TOKENS; the union of those tokens' documents is the
+    * candidate set (≤ |q tokens|·tokenTopT docs per query, independent
+    * of corpus size — mere cell co-membership would be vacuous: with
+    * several probes per query token, every cell is probed and every
+    * doc "matches"); exact MaxSim then scores candidate pairs only. At
+    * 100 TB the corpus-scale work is one assignment scan + one
+    * cell-pruned scored join — [[maxSimTopK]]'s all-pairs token cross
+    * never materializes. Recall is approximate (a document none of
+    * whose tokens reach any per-token top-T is invisible) and gated by
+    * the recall contract with [[maxSimTopK]] as the exact baseline.
+    *
+    * `docTokens` here carries a `tok` index too — (doc_id, tok, vec) —
+    * so token identities are stable for the fit sample (the synthetic
+    * token id is doc_id·1024 + tok; token counts must stay < 1024).
+    * Deterministic throughout: the shared k-means fit, rounded
+    * integer-scaled cosines, id tiebreaks. */
+  def maxSimTopKPruned(docTokens: DataFrame, queryTokens: DataFrame,
+                       k: Int = 10, nClusters: Int = 16,
+                       nProbe: Int = 4, tokenTopT: Int = 32): DataFrame = {
+    val dTok = docTokens.select(
+      (col("doc_id") * 1024 + col("tok")).as("tid"),
+      asDouble(col("vec")).as("dv"))
+    val qTok = queryTokens.select(
+      (col("query_id") * 1024 + col("tok")).as("qtid"),
+      asDouble(col("vec")).as("qv"))
+    val cents = Similarity.fitCentroids(
+      dTok.select(col("tid").as("vec_id"), col("dv").as("embedding")),
+      nClusters)
+      .select(col("centroid_id").cast("int").as("centroid_id"),
+        col("centroid_vec"))
+    val assigned = Similarity.nearestCentroids(
+      dTok, cents, "tid", "dv", 1)
+    val probes = Similarity.nearestCentroids(
+      qTok, cents, "qtid", "qv", nProbe)
+    // token-level ANN: per query token the tokenTopT best doc tokens in
+    // its probed cells (scored join pruned to co-probed cells)
+    val wTok = Window.partitionBy("qtid")
+      .orderBy(desc("tc"), asc("tid"))
+    val cand = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("tc", i4(cosine(col("qv"), col("dv"))))
+      .withColumn("__r", row_number().over(wTok))
+      .where(col("__r") <= tokenTopT)
+      .select((col("qtid") / 1024).cast("long").as("query_id"),
+        (col("tid") / 1024).cast("long").as("doc_id"))
+      .where(col("query_id") =!= col("doc_id"))
+      .distinct()
+    val d = docTokens.select(col("doc_id"), asDouble(col("vec")).as("dv"))
+    val q = queryTokens.select(col("query_id"), col("tok"),
+      asDouble(col("vec")).as("qv"))
+    scoreAndRank(
+      d.join(broadcast(cand), "doc_id").join(broadcast(q), "query_id"), k)
   }
 
   /** Split one pooled vector into `m` contiguous subvector "tokens" —

@@ -614,10 +614,12 @@ object Similarity {
       col("centroid_vec").as("centroid_vec"))
 
   /** Top-`n` centroids per vector by rounded cosine, ties to the lowest
-    * centroid id — the assignment (n=1) and probe (n=nProbe) primitive. */
-  private def nearestCentroids(df: DataFrame, cents: DataFrame,
-                               idCol: String, vecCol: String,
-                               n: Int): DataFrame = {
+    * centroid id — the assignment (n=1) and probe (n=nProbe) primitive
+    * (package-shared: MaxSim's candidate generation reuses it over
+    * token vectors). */
+  private[operators] def nearestCentroids(df: DataFrame, cents: DataFrame,
+                                          idCol: String, vecCol: String,
+                                          n: Int): DataFrame = {
     val w = Window.partitionBy(idCol)
       .orderBy(desc("cscore"), asc("centroid_id"))
     df.join(broadcast(cents), expr("true"))

@@ -42,6 +42,35 @@ class MaxSimSpec extends SparkSpec {
       (7L, 2, Seq(5.0, 6.0)), (7L, 3, Seq(7.0, 8.0))))
   }
 
+  test("pruned two-stage: surfaced scores equal the exact scorer's, " +
+      "the candidate cap genuinely prunes, recall floor holds") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    val exact = MaxSim.maxSimTopK(docToks, qToks, k = 10)
+      .as[(Long, Long, Double, Int)].collect()
+    val exactScore = exact.map(r => (r._1, r._2) -> r._3).toMap
+    // tight budget: per query at most 8 tokens x 8 best tokens = 64
+    // candidate docs of 500 — the prune must be REAL
+    val pruned = MaxSim.maxSimTopKPruned(docToks, qToks, k = 10,
+        nClusters = 16, nProbe = 4, tokenTopT = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      exactScore.get((r._1, r._2)).foreach { s =>
+        assert(s == r._3, s"pruned score diverged for ${(r._1, r._2)}")
+      }
+    }
+    val recall = exact.map(r => (r._1, r._2)).toSet
+      .intersect(pruned.map(r => (r._1, r._2)).toSet).size.toDouble /
+      exact.length
+    assert(recall >= 0.5, s"pruned recall $recall too low at topT=8")
+  }
+
   test("matches brute-force pooled cosine ranking when m = 1") {
     import org.apache.spark.sql.functions._
     val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
