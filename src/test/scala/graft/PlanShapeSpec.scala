@@ -648,6 +648,55 @@ class PlanShapeSpec extends SparkSpec {
       s"rank-sum AUC must use the bounded prefix scan, not a window:\n$plan")
   }
 
+  test("IVFADC shortlist joins the codes scan against BROADCAST probe " +
+      "tables, never a cartesian; hilbert key stays scan-local codegen") {
+    import graft.operators.IvfPq
+    val emb = t(spark, sf001, "embeddings")
+    val plan = physical(IvfPq.ivfpqTopK(emb,
+      emb.where(col("vec_id") < 3), k = 5, nClusters = 8, nProbe = 2))
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"ADC pass must be a broadcast equi-join on the cell id:\n$plan")
+    graft.expressions.Hilbert62.register(spark)
+    val hp = physical(t(spark, sf001, "lineitem")
+      .selectExpr("hilbert62(l_partkey, l_suppkey) AS h"))
+    assert(!hp.contains("Exchange") && hp.contains("*("),
+      s"hilbert62 must be a scan-local codegen'd projection:\n$hp")
+  }
+
+  test("MaxSim is one corpus pass + two partial-aggregations — no " +
+      "self-join, no corpus-side window before the final rank") {
+    import graft.operators.MaxSim
+    val emb = t(spark, sf001, "embeddings")
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 2), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    val plan = physical(MaxSim.maxSimTopK(docToks, qToks, k = 5))
+    // the query side is tiny and rides a broadcast nested-loop on the
+    // self-exclusion predicate; the doc-token frame appears once
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query tokens must broadcast onto one doc-token pass:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"MaxSim must never shuffle-join or cross the corpus:\n$plan")
+    // exactly the two aggregations (partial+final each) and ONE window
+    assert(plan.split("HashAggregate").length - 1 == 4,
+      s"expected 2 aggregations (partial+final):\n$plan")
+  }
+
+  test("native session_window sessionization shuffles once on the key") {
+    val plan = physical(
+      SparkEntry.queries("q_events_session_window")(spark, sf001))
+    // one hash exchange for the session aggregation (plus the
+    // presentation sort's range exchange)
+    val hashEx = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected one hash exchange for session_window, got $hashEx:\n$plan")
+  }
+
   test("bloom-layout point lookup pushes the IN predicate to the " +
       "parquet scan") {
     // the reader-side bloom row-group skip only engages for predicates
