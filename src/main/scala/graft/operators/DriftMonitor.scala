@@ -106,4 +106,39 @@ object DriftMonitor {
         count(lit(1)).as("vocab"),
         coalesce(sum("micro"), lit(0L)).as("js_micro"))
   }
+
+  /** Population stability index off a (possibly merged) counts table —
+    * the industry-standard drift score next to [[jsFromCounts]]' JS
+    * divergence (PSI is what model-monitoring runbooks threshold on:
+    * < 0.1 stable, > 0.25 investigate):
+    *
+    *   PSI = Σ_tokens (p_a − p_b) · ln(p_a / p_b)
+    *
+    * with add-one (Laplace) smoothing over the JOINT vocabulary, so a
+    * token seen in only one slice contributes a finite term — the
+    * textbook ε-substitution made deterministic and engine-replayable
+    * (ε becomes 1/(n + V), a value both engines derive from integers).
+    * Same micro-nat quantization discipline as the JS readout: every
+    * per-token term is non-negative ((p_a − p_b) and ln(p_a/p_b) share
+    * a sign) and rounds to integer micro-nats BEFORE the sum, so
+    * partial-aggregation order can't flip a bit. One aggregation over
+    * the counts table — O(vocab), never O(corpus). */
+  def psiFromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(
+      coalesce(sum("c_a"), lit(0L)).as("n_a"),
+      coalesce(sum("c_b"), lit(0L)).as("n_b"),
+      count(lit(1)).as("v")).collect().head
+    val (nA, nB, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    require(nA > 0 && nB > 0,
+      s"both slices need tokens to compare (n_a=$nA, n_b=$nB)")
+    val pa = (col("c_a") + lit(1.0)) / lit((nA + v).toDouble)
+    val pb = (col("c_b") + lit(1.0)) / lit((nB + v).toDouble)
+    val term = (pa - pb) * log(pa / pb)
+    counts
+      .select(round(term * lit(1000000.0), 0).cast("long").as("micro"))
+      .agg(
+        lit(nA).as("n_a"), lit(nB).as("n_b"),
+        lit(v).as("vocab"),
+        coalesce(sum("micro"), lit(0L)).as("psi_micro"))
+  }
 }

@@ -629,6 +629,41 @@ object CurationQueries {
         t(s, dir, "documents"), "text", col("lang") === "en")
     },
 
+    // Population stability index (DriftMonitor.psiFromCounts) — the
+    // drift score monitoring runbooks actually threshold on (< 0.1
+    // stable, > 0.25 investigate), next to the JS gate: Laplace
+    // smoothing over the JOINT vocabulary keeps one-sided tokens
+    // finite (ε = 1/(n+V), derived from integers on both engines),
+    // per-token terms are non-negative and quantize to micro-nats
+    // BEFORE the sum. Same counts table, same O(vocab) readout.
+    Q("q_drift_psi", {
+      val toks = TextQueries.sqlToks
+      s"""WITH tk AS (SELECT lang = 'en' AS in_a, $toks AS toks
+         |            FROM documents),
+         |tok AS (SELECT in_a, unnest(toks) AS token FROM tk),
+         |cnt AS (SELECT token,
+         |               count(*) FILTER (WHERE in_a) AS c_a,
+         |               count(*) FILTER (WHERE NOT in_a) AS c_b
+         |        FROM tok GROUP BY token),
+         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+         |               CAST(sum(c_b) AS BIGINT) AS n_b,
+         |               CAST(count(*) AS BIGINT) AS v FROM cnt),
+         |term AS (SELECT CAST(round(
+         |           ((c_a + 1.0) / (tot.n_a + tot.v)
+         |             - (c_b + 1.0) / (tot.n_b + tot.v)) *
+         |           ln(((c_a + 1.0) / (tot.n_a + tot.v)) /
+         |              ((c_b + 1.0) / (tot.n_b + tot.v)))
+         |           * 1000000.0) AS BIGINT) AS micro
+         |         FROM cnt, tot)
+         |SELECT tot.n_a, tot.n_b, tot.v AS vocab,
+         |       CAST(sum(micro) AS BIGINT) AS psi_micro
+         |FROM term, tot GROUP BY tot.n_a, tot.n_b, tot.v""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.DriftMonitor.psiFromCounts(
+        graft.operators.DriftMonitor.tokenCounts(
+          t(s, dir, "documents"), "text", col("lang") === "en"))
+    },
+
     // Incremental drift (DriftMonitor.tokenCounts/mergeCounts/
     // jsFromCounts): the corpus arrives as two batches (doc_id parity),
     // each batch aggregated separately, count tables merged token-wise,
