@@ -221,6 +221,36 @@ class DriftMonitorSpec extends SparkSpec {
     assert(top == "drift", s"expected 'drift' to rank first, got $top")
   }
 
+  test("PSI: identical slices score ~0, a shifted slice scores higher " +
+      "than a mildly drifted one, merged counts read the same as one pass") {
+    val same = docs(
+      (1L, "alpha beta gamma", true), (2L, "alpha beta gamma", false))
+    val psi0 = DriftMonitor.psiFromCounts(
+        DriftMonitor.tokenCounts(same, "text", col("in_a")))
+      .select("psi_micro").as[Long].head()
+    assert(psi0 == 0L, s"identical slices must give PSI 0, got $psi0")
+    def psiOf(d: org.apache.spark.sql.DataFrame) =
+      DriftMonitor.psiFromCounts(
+          DriftMonitor.tokenCounts(d, "text", col("in_a")))
+        .select("psi_micro").as[Long].head()
+    val mild = psiOf(docs(
+      (1L, "aa aa aa bb", true), (2L, "aa aa bb bb", false)))
+    val wild = psiOf(docs(
+      (1L, "aa aa aa aa", true), (2L, "bb bb bb bb", false)))
+    assert(mild > 0L && wild > mild,
+      s"PSI must order drift severity: mild=$mild wild=$wild")
+    // incremental contract: counts merged from two batches read the same
+    val d = graft.engine.Tables.t(spark, sf001, "documents").limit(100)
+    val pred = col("lang") === "en"
+    val full = DriftMonitor.psiFromCounts(
+      DriftMonitor.tokenCounts(d, "text", pred)).collect().toSeq
+    val merged = DriftMonitor.psiFromCounts(DriftMonitor.mergeCounts(
+      DriftMonitor.tokenCounts(d.where(col("doc_id") % 2 === 0), "text", pred),
+      DriftMonitor.tokenCounts(d.where(col("doc_id") % 2 === 1), "text", pred)
+    )).collect().toSeq
+    assert(full == merged, "PSI off merged counts diverged from one pass")
+  }
+
   test("jsDivergence is partitioning-invariant (integer quantization)") {
     val base = graft.engine.Tables.t(spark, sf001, "documents").limit(80)
     val a = DriftMonitor.jsDivergence(base.repartition(1), "text",
