@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * erasure cost is O(subjects forgotten), not O(bytes ever written).
   *
   * Built entirely on Spark's native AES expressions (aes_encrypt /
-  * try_aes_decrypt — codegen'd, no UDFs). The key table is subject-count
-  * sized and broadcasts onto the data scan in both directions.
+  * try_aes_decrypt — codegen'd, no UDFs). The key-table joins are
+  * UNHINTED: AQE broadcasts the subject-count-sized table while it is
+  * small and shuffles past that — a hard broadcast hint would cap the
+  * subject population at driver memory.
   *
   * Key derivation here is a deterministic md5-based fixture (so gates
   * and specs replay); production swaps [[keyTable]] for a KMS-backed
@@ -33,13 +35,12 @@ object CryptoShred {
       .withColumn("dek",
         unhex(md5(concat(col("subject_id").cast("string"), lit(salt)))))
 
-  /** Encrypt `valueCol` under each row's subject key: the key table
-    * broadcasts onto the data scan; output carries `<valueCol>_enc`
-    * (binary) in place of the plaintext. */
+  /** Encrypt `valueCol` under each row's subject key (unhinted join —
+    * see the object note); output carries `<valueCol>_enc` (binary) in
+    * place of the plaintext. */
   def encrypt(df: DataFrame, idCol: String, valueCol: String,
               keys: DataFrame): DataFrame =
-    df.join(broadcast(keys),
-        df(idCol).cast("long") === keys("subject_id"))
+    df.join(keys, df(idCol).cast("long") === keys("subject_id"))
       .withColumn(s"${valueCol}_enc",
         aes_encrypt(col(valueCol).cast("binary"), col("dek"), lit("ECB")))
       .drop(valueCol, "subject_id", "dek")
@@ -56,8 +57,7 @@ object CryptoShred {
     * every surviving subject round-trips exactly. */
   def decrypt(df: DataFrame, idCol: String, valueCol: String,
               keys: DataFrame): DataFrame =
-    df.join(broadcast(keys),
-        df(idCol).cast("long") === keys("subject_id"), "left")
+    df.join(keys, df(idCol).cast("long") === keys("subject_id"), "left")
       .withColumn(valueCol,
         try_aes_decrypt(col(s"${valueCol}_enc"), col("dek"), lit("ECB"))
           .cast("string"))
