@@ -255,6 +255,48 @@ object IvfPq {
       .select("query_id", "cand_id", "score", "rank")
   }
 
+  /** [[ivfpqTopK]] for query tables BEYOND the bounded-driver cap — the
+    * batching loop the maxQ contract tells callers to run, as code: the
+    * query table gets a deterministic dense rank ONCE (ordered by id,
+    * computed distributed and cached), each ⌈n/maxQ⌉ slice runs the
+    * bounded search against the SAME fitted model and encoded corpus
+    * (fit and encode happen once, not per slice), and the results
+    * union. Per-query results are identical to a single oversized call
+    * because queries never interact — the cap exists only to bound the
+    * driver-side probe tables. */
+  def ivfpqTopKAll(candidates: DataFrame, queries: DataFrame, k: Int = 10,
+                   nClusters: Int = 16, nProbe: Int = 4, m: Int = 8,
+                   ks: Int = 16, rerank: Int = 50,
+                   centroids: Option[DataFrame] = None,
+                   maxQ: Int = 65536): DataFrame = {
+    val spark = candidates.sparkSession
+    val mdl = fit(candidates, nClusters, m, ks, centroids = centroids)
+    val coded = StagingCaches.cache(encode(candidates, mdl))
+    // distributed global rank (GlobalRank's range-repartition shape) —
+    // a bare Window.orderBy would collapse the query table to one task
+    val ranked = StagingCaches.cache(
+      GlobalRank.withRowNumber(
+          queries.select(col("vec_id"), col("embedding")),
+          "__rn", Seq(asc("vec_id")))
+        .withColumn("__chunk", ((col("__rn") - 1) / maxQ).cast("int"))
+        .drop("__rn"))
+    val nChunks = ranked.agg(max("__chunk")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0) + 1))
+      .getOrElse(0)
+    (0 until nChunks)
+      .map { c =>
+        ivfpqTopK(candidates,
+          ranked.where(col("__chunk") === c).drop("__chunk"),
+          k, nClusters, nProbe, m, ks, rerank,
+          model = Some(mdl), codes = Some(coded), maxQ = maxQ)
+      }
+      .reduceOption(_ unionByName _)
+      .getOrElse(
+        // zero queries: an empty frame in the result schema
+        ivfpqTopK(candidates, queries.limit(0), k, nClusters, nProbe,
+          m, ks, rerank, model = Some(mdl), codes = Some(coded)))
+  }
+
   /** Persist an IVF-PQ index: `<dir>/centroids` and `<dir>/codebooks`
     * (both tiny, one file each), `<dir>/pqcodes` and `<dir>/vectors`
     * both PARTITIONED by centroid_id — so an `nProbe` search reads the

@@ -277,6 +277,24 @@ class IvfPqSpec extends SparkSpec {
     assert(got.count() == 0, "a fully purged index should return nothing")
   }
 
+  test("ivfpqTopKAll batches past the maxQ cap and matches the " +
+      "single-call result per query") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val qs = emb.where(col("vec_id") < 7)
+    val one = IvfPq.ivfpqTopK(emb, qs, k = 5, nClusters = 8, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    // maxQ = 2 forces 4 chunks; fit/encode happen once, results union
+    val batched = IvfPq.ivfpqTopKAll(emb, qs, k = 5, nClusters = 8,
+        nProbe = 3, maxQ = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(one.nonEmpty && batched.sameElements(one),
+      "batched search diverged from the single bounded call")
+    // zero queries: empty result in the right schema, no crash
+    assert(IvfPq.ivfpqTopKAll(emb, qs.limit(0), k = 5,
+      nClusters = 8, maxQ = 2).count() == 0)
+  }
+
   test("oversized query side fails loudly before any driver collect") {
     val emb = t(spark, sf001, "embeddings")
     val e = intercept[IllegalArgumentException] {
