@@ -308,10 +308,12 @@ object IvfPq {
     * explosion avoided, parallelism preserved). */
   def writeIndex(candidates: DataFrame, dir: String, nClusters: Int = 16,
                  m: Int = 8, ks: Int = 16,
-                 centroids: Option[DataFrame] = None): Unit = {
+                 centroids: Option[DataFrame] = None,
+                 model: Option[Model] = None): Unit = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val mdl = fit(candidates, nClusters, m, ks, centroids = centroids)
+    val mdl = model.getOrElse(
+      fit(candidates, nClusters, m, ks, centroids = centroids))
     mdl.cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("centroid_id", "centroid_vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")

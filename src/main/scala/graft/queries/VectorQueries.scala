@@ -668,7 +668,7 @@ object VectorQueries {
             .select("query_id", "cand_id"))
         val approx = IvfPq.ivfpqTopK(emb, qs, k = 10,
             nClusters = 16, nProbe = 10, rerank = 300,
-            centroids = Some(centroids(s, dir)))
+            model = Some(pqModel(s, dir)))
           .select("query_id", "cand_id")
         recallFlags(exact, approx)
     },
@@ -692,7 +692,7 @@ object VectorQueries {
           "graft_ivfpq_index",
           dir.replace('/', '_').replace(':', '_')).toString
         IvfPq.writeIndex(emb, idxDir, nClusters = 16,
-          centroids = Some(centroids(s, dir)))
+          model = Some(pqModel(s, dir)))
         val exact = StagingCaches.cache(
           Similarity.bruteForceTopK(emb, qs, k = 10)
             .select("query_id", "cand_id"))
@@ -729,7 +729,7 @@ object VectorQueries {
           "graft_ivfpq_index_append",
           dir.replace('/', '_').replace(':', '_')).toString
         IvfPq.writeIndex(emb, idxDir, nClusters = 16,
-          centroids = Some(centroids(s, dir)))
+          model = Some(pqModel(s, dir)))
         IvfPq.appendToIndex(batch, idxDir)
         val union = emb.select(col("vec_id"), v.as("embedding"))
           .union(batch)
@@ -768,7 +768,7 @@ object VectorQueries {
           "graft_ivfpq_index_recenter",
           dir.replace('/', '_').replace(':', '_')).toString
         IvfPq.writeIndex(emb, idxDir, nClusters = 16,
-          centroids = Some(centroids(s, dir)))
+          model = Some(pqModel(s, dir)))
         IvfPq.appendToIndex(batch, idxDir)
         IvfPq.recenterIndex(s, idxDir, nClusters = 16).collect()
         val union = emb.select(col("vec_id"), v.as("embedding"))
@@ -815,7 +815,7 @@ object VectorQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
         IvfPq.writeIndex(emb, idxDir, nClusters = 16,
-          centroids = Some(centroids(s, dir)))
+          model = Some(pqModel(s, dir)))
         def feed(lo: Long, hi: Long, tag: String): Unit = {
           // bounded fixture feed: 10 rows per stream at any sf
           val rows = batch
@@ -869,7 +869,7 @@ object VectorQueries {
           "graft_ivfpq_index_delete",
           dir.replace('/', '_').replace(':', '_')).toString
         IvfPq.writeIndex(emb, idxDir, nClusters = 16,
-          centroids = Some(centroids(s, dir)))
+          model = Some(pqModel(s, dir)))
         IvfPq.deleteFromIndex(emb.where(dead).select("vec_id"), idxDir)
         val exact = StagingCaches.cache(
           Similarity.bruteForceTopK(emb.where(!dead), qs, k = 10)
@@ -1258,6 +1258,30 @@ object VectorQueries {
       }
       per.getOrElseUpdate(dir,
         Similarity.fitCentroids(t(s, dir, "embeddings"), k = 16))
+    }
+
+  /** One IVF-PQ model fit per (session, SF dir) — the PQ twin of the
+    * centroid cache below, shared by the six q_ann_*pq* gates: the fit
+    * is deterministic over the full embeddings table with the shared
+    * coarse centroids, so every gate's own fit would produce the
+    * identical model; memoizing it is exact and saves a bounded sample
+    * collect + driver Lloyd per gate. Plain arrays (no DataFrame), but
+    * keyed weakly by session like centCache so a dead session's entries
+    * collect. */
+  private val pqModelCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, graft.operators.IvfPq.Model]]
+  private def pqModel(s: org.apache.spark.sql.SparkSession,
+                      dir: String): graft.operators.IvfPq.Model =
+    pqModelCache.synchronized {
+      var per = pqModelCache.get(s)
+      if (per == null) {
+        per = scala.collection.mutable.Map.empty
+        pqModelCache.put(s, per)
+      }
+      per.getOrElseUpdate(dir,
+        graft.operators.IvfPq.fit(t(s, dir, "embeddings"),
+          nClusters = 16, centroids = Some(centroids(s, dir))))
     }
 
   /** Embeddings with planted near-dups (see q_dedup_embed): ids < 50, plus
