@@ -140,6 +140,117 @@ object MaxSim {
       d.join(broadcast(cand), "doc_id").join(broadcast(q), "query_id"), k)
   }
 
+  /** Number of doc-id hash partitions in the candidate-fetch dataset. */
+  val DocBuckets = 64
+
+  /** Persist a token index for repeated [[maxSimTopKPruned]]-shaped
+    * retrieval — the serve path: re-embedding and re-clustering the
+    * corpus per query batch doesn't scale, so the index stores the
+    * token vectors TWICE, each layout serving one phase of the
+    * two-stage search:
+    *
+    *   - `tokens/` partitioned by `centroid_id` — the candidate
+    *     GENERATION scan reads only probed cells' directories;
+    *   - `doctokens/` partitioned by `doc_bucket` = hash(doc_id) mod 64
+    *     — the exact re-rank fetches ONLY the candidate documents'
+    *     buckets (a doc's tokens scatter across cells, so the cell
+    *     layout cannot serve the per-document fetch);
+    *   - `centroids/` — the tiny coarse quantizer.
+    *
+    * Same clustered-write discipline as every index in this library. */
+  def writeTokenIndex(docTokens: DataFrame, dir: String,
+                      nClusters: Int = 16): Unit = {
+    val spark = docTokens.sparkSession
+    val toks = docTokens.select(col("doc_id"), col("tok"),
+      asDouble(col("vec")).as("vec"))
+    val dTok = toks.select(
+      (col("doc_id") * 1024 + col("tok")).as("tid"), col("vec"))
+    val cents = Similarity.fitCentroids(
+      dTok.select(col("tid").as("vec_id"), col("vec").as("embedding")),
+      nClusters)
+      .select(col("centroid_id").cast("int").as("centroid_id"),
+        col("centroid_vec"))
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val slices = math.max(1,
+      spark.sparkContext.defaultParallelism / math.max(1, nClusters))
+    Similarity.nearestCentroids(dTok, cents, "tid", "vec", 1)
+      .select((col("tid") / 1024).cast("long").as("doc_id"),
+        (col("tid") % 1024).cast("int").as("tok"),
+        col("vec"), col("centroid_id"))
+      .repartition(nClusters * slices, col("centroid_id"),
+        pmod(hash(col("doc_id")), lit(slices)))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/tokens")
+    toks
+      .withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(DocBuckets)))
+      .repartition(DocBuckets * slices, col("doc_bucket"),
+        pmod(hash(col("tok")), lit(slices)))
+      .write.mode("overwrite").partitionBy("doc_bucket")
+      .parquet(s"$dir/doctokens")
+  }
+
+  /** Search a persisted [[writeTokenIndex]] index — result-identical to
+    * [[maxSimTopKPruned]] over the original token frame (same
+    * deterministic fit, same per-token top-T rule; MaxSimSpec pins it):
+    * the candidate scan reads ONLY the probed cells' token files
+    * (partition filter), and the exact re-rank reads ONLY the candidate
+    * documents' buckets, row-filtered to the candidate ids — both
+    * prunes land at the scans.
+    *
+    * Bounded-driver contract: query tokens are collected to route
+    * probes, and candidate doc ids (≤ |q tokens|·tokenTopT by
+    * construction) are collected to derive the fetch buckets; the
+    * `limit(maxQ+1)` probe bounds the query side loudly first. */
+  def searchTokenIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queryTokens: DataFrame, k: Int = 10,
+                       nProbe: Int = 4, tokenTopT: Int = 32,
+                       maxQ: Int = 65536): DataFrame = {
+    import spark.implicits._
+    val qProbe = queryTokens.select("query_id").limit(maxQ + 1).count()
+    require(qProbe <= maxQ,
+      s"searchTokenIndex query side exceeds maxQ=$maxQ token rows — " +
+        "batch the queries")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val qTok = queryTokens.select(
+      (col("query_id") * 1024 + col("tok")).as("qtid"),
+      asDouble(col("vec")).as("qv"))
+    val probes = Similarity.nearestCentroids(
+      qTok, cents, "qtid", "qv", nProbe)
+    val probedCells = probes.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val wTok = Window.partitionBy("qtid")
+      .orderBy(desc("tc"), asc("tid"))
+    val cand = spark.read.parquet(s"$dir/tokens")
+      .where(col("centroid_id").isin(probedCells: _*))
+      .select((col("doc_id") * 1024 + col("tok")).as("tid"),
+        col("doc_id"), col("vec").as("dv"), col("centroid_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("tc", i4(cosine(col("qv"), col("dv"))))
+      .withColumn("__r", row_number().over(wTok))
+      .where(col("__r") <= tokenTopT)
+      .select((col("qtid") / 1024).cast("long").as("query_id"),
+        col("doc_id"))
+      .where(col("query_id") =!= col("doc_id"))
+      .distinct()
+      .localCheckpoint() // bounded (≤ |q tokens|·topT): both consumers
+    val candIds = cand.select("doc_id").distinct()
+      .as[Long].collect()
+    val buckets = candIds
+      .map(d => math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(d, 42),
+        DocBuckets))
+      .distinct.toSeq
+    val fetched = spark.read.parquet(s"$dir/doctokens")
+      .where(col("doc_bucket").isin(buckets.map(Integer.valueOf): _*))
+      .where(col("doc_id").isin(candIds: _*))
+      .select(col("doc_id"), asDouble(col("vec")).as("dv"))
+    val q = queryTokens.select(col("query_id"), col("tok"),
+      asDouble(col("vec")).as("qv"))
+    scoreAndRank(
+      fetched.join(broadcast(cand), "doc_id")
+        .join(broadcast(q), "query_id"), k)
+  }
+
   /** Split one pooled vector into `m` contiguous subvector "tokens" —
     * (id, tok, vec) rows. The gate's stand-in for a real per-token
     * embedder (none ships in this library's dependency budget); the

@@ -970,6 +970,40 @@ object VectorQueries {
         recallFlags(exact, approx)
     },
 
+    // The PERSISTED token index through the driver gate
+    // (MaxSim.writeTokenIndex/searchTokenIndex) — the serve path:
+    // token vectors land TWICE, each layout serving one search phase
+    // (cell-partitioned `tokens` for candidate generation, doc-bucket-
+    // partitioned `doctokens` for the candidate fetch — a doc's tokens
+    // scatter across cells, so one layout can't serve both). Both
+    // prunes land at the scans (MaxSimSpec pins the plan), and
+    // searchTokenIndex is row-identical to the in-memory pruned search
+    // (same deterministic fit, same top-T rule — also spec-pinned), so
+    // the same recall contract gates the on-disk round trip.
+    Q("q_ann_maxsim_index",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.MaxSim
+        val emb = t(s, dir, "embeddings")
+        val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+          .withColumnRenamed("vec_id", "doc_id")
+        val qToks = MaxSim.subvectorTokens(
+            emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+          .withColumnRenamed("vec_id", "query_id")
+        val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_maxsim_index",
+          dir.replace('/', '_').replace(':', '_')).toString
+        MaxSim.writeTokenIndex(docToks, idxDir, nClusters = 16)
+        val exact = StagingCaches.cache(
+          MaxSim.maxSimTopK(docToks, qToks, k = 10)
+            .select(col("query_id"), col("doc_id").as("cand_id")))
+        val approx = MaxSim.searchTokenIndex(s, idxDir, qToks, k = 10,
+            nProbe = 6, tokenTopT = 64)
+          .select(col("query_id"), col("doc_id").as("cand_id"))
+        recallFlags(exact, approx)
+    },
+
     // int8 scalar quantization of embeddings — the 4×-8× memory/IO lever
     // for ANN storage. Cosine is scale-invariant, so the quantized cosine
     // runs directly on the codes; the gate emits the code-vs-original

@@ -71,6 +71,41 @@ class MaxSimSpec extends SparkSpec {
     assert(recall >= 0.5, s"pruned recall $recall too low at topT=8")
   }
 
+  test("persisted token index round-trips: searchTokenIndex is " +
+      "row-identical to the in-memory pruned search, and both scans " +
+      "carry their partition prunes") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_idx").toString
+    MaxSim.writeTokenIndex(docToks, dir, nClusters = 16)
+    val mem = MaxSim.maxSimTopKPruned(docToks, qToks, k = 10,
+        nClusters = 16, nProbe = 4, tokenTopT = 16)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val idxDf = MaxSim.searchTokenIndex(spark, dir, qToks, k = 10,
+      nProbe = 4, tokenTopT = 16)
+    val idx = idxDf
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(mem.nonEmpty && idx.sameElements(mem),
+      "persisted token-index search diverged from the in-memory pruned " +
+        s"search:\n${idx.toSeq}\n${mem.toSeq}")
+    // both layouts exist and are partition-pruned at the scan
+    for (ds <- Seq("tokens", "doctokens")) {
+      val pfx = if (ds == "tokens") "centroid_id=" else "doc_bucket="
+      assert(new java.io.File(s"$dir/$ds").listFiles()
+        .exists(_.getName.startsWith(pfx)), s"$ds not partitioned")
+    }
+    val plan = idxDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("doc_bucket"),
+      s"candidate fetch must partition-prune on doc_bucket:\n$plan")
+  }
+
   test("matches brute-force pooled cosine ranking when m = 1") {
     import org.apache.spark.sql.functions._
     val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
