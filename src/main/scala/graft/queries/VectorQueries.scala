@@ -961,9 +961,7 @@ object VectorQueries {
         val qToks = MaxSim.subvectorTokens(
             emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
           .withColumnRenamed("vec_id", "query_id")
-        val exact = StagingCaches.cache(
-          MaxSim.maxSimTopK(docToks, qToks, k = 10)
-            .select(col("query_id"), col("doc_id").as("cand_id")))
+        val exact = maxsimExact(s, dir)
         val approx = MaxSim.maxSimTopKPruned(docToks, qToks, k = 10,
             nClusters = 16, nProbe = 6, tokenTopT = 64)
           .select(col("query_id"), col("doc_id").as("cand_id"))
@@ -995,9 +993,7 @@ object VectorQueries {
           "graft_maxsim_index",
           dir.replace('/', '_').replace(':', '_')).toString
         MaxSim.writeTokenIndex(docToks, idxDir, nClusters = 16)
-        val exact = StagingCaches.cache(
-          MaxSim.maxSimTopK(docToks, qToks, k = 10)
-            .select(col("query_id"), col("doc_id").as("cand_id")))
+        val exact = maxsimExact(s, dir)
         val approx = MaxSim.searchTokenIndex(s, idxDir, qToks, k = 10,
             nProbe = 6, tokenTopT = 64)
           .select(col("query_id"), col("doc_id").as("cand_id"))
@@ -1316,6 +1312,37 @@ object VectorQueries {
       per.getOrElseUpdate(dir,
         graft.operators.IvfPq.fit(t(s, dir, "embeddings"),
           nClusters = 16, centroids = Some(centroids(s, dir))))
+    }
+
+  /** The exact MaxSim top-10 baseline per (session, SF dir) — shared by
+    * the two recall-contract gates (q_ann_maxsim_pruned /
+    * q_ann_maxsim_index); deterministic, so the memo is exact. Persisted
+    * via StagingCaches so the per-gate release hygiene still applies to
+    * downstream frames; the memoized frame itself is a localCheckpoint
+    * (session-lifetime, tiny: queries×10 rows). */
+  private val maxsimExactCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
+  private def maxsimExact(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    maxsimExactCache.synchronized {
+      var per = maxsimExactCache.get(s)
+      if (per == null) {
+        per = scala.collection.mutable.Map.empty
+        maxsimExactCache.put(s, per)
+      }
+      per.getOrElseUpdate(dir, {
+        import graft.operators.MaxSim
+        val emb = t(s, dir, "embeddings")
+        val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+          .withColumnRenamed("vec_id", "doc_id")
+        val qToks = MaxSim.subvectorTokens(
+            emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+          .withColumnRenamed("vec_id", "query_id")
+        MaxSim.maxSimTopK(docToks, qToks, k = 10)
+          .select(col("query_id"), col("doc_id").as("cand_id"))
+          .localCheckpoint()
+      })
     }
 
   /** Embeddings with planted near-dups (see q_dedup_embed): ids < 50, plus
