@@ -187,6 +187,11 @@ object MaxSim {
         pmod(hash(col("tok")), lit(slices)))
       .write.mode("overwrite").partitionBy("doc_bucket")
       .parquet(s"$dir/doctokens")
+    // a full rebuild resets the deletion ledger (pre-rebuild tombstones
+    // refer to the old corpus — same contract as the other indexes)
+    TombstoneLedger.reset(
+      new org.apache.hadoop.fs.Path(s"$dir/tombstones").getFileSystem(
+        spark.sparkContext.hadoopConfiguration), s"$dir/tombstones")
   }
 
   /** Search a persisted [[writeTokenIndex]] index — result-identical to
@@ -220,8 +225,16 @@ object MaxSim {
       .collect().map(_.getInt(0)).toSeq
     val wTok = Window.partitionBy("qtid")
       .orderBy(desc("tc"), asc("tid"))
-    val cand = spark.read.parquet(s"$dir/tokens")
+    // anti-join the deletion ledger BEFORE candidate generation, so a
+    // tombstoned document can neither seed candidates nor be fetched;
+    // unhinted — AQE broadcasts the ledger while it is small
+    val ledger = TombstoneLedger.df(spark, s"$dir/tombstones", "doc_id")
+    val rawTokens = spark.read.parquet(s"$dir/tokens")
       .where(col("centroid_id").isin(probedCells: _*))
+    val liveTokens = ledger
+      .map(ts => rawTokens.join(ts, Seq("doc_id"), "left_anti"))
+      .getOrElse(rawTokens)
+    val cand = liveTokens
       .select((col("doc_id") * 1024 + col("tok")).as("tid"),
         col("doc_id"), col("vec").as("dv"), col("centroid_id"))
       .join(broadcast(probes), Seq("centroid_id"))
@@ -249,6 +262,67 @@ object MaxSim {
     scoreAndRank(
       fetched.join(broadcast(cand), "doc_id")
         .join(broadcast(q), "query_id"), k)
+  }
+
+  /** Append-only deletion (right-to-be-forgotten for the token index —
+    * the FIFTH persisted index kind carrying the shared ledger
+    * contract): `ids` (a `doc_id` column) land in the tombstone ledger;
+    * both layouts stay on disk until [[vacuumTokenIndex]], but
+    * [[searchTokenIndex]] masks them immediately — a tombstoned
+    * document can neither seed candidates nor be fetched. One tiny
+    * parquet append regardless of index size. */
+  def deleteFromTokenIndex(ids: DataFrame, dir: String): Unit =
+    TombstoneLedger.append(ids.select(col("doc_id")), s"$dir/tombstones")
+
+  /** Test seam: runs after [[vacuumTokenIndex]] snapshots the ledger
+    * file list — the race window a concurrent [[deleteFromTokenIndex]]
+    * lands in. Production no-op. */
+  private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
+
+  /** Physically remove tombstoned documents' tokens from BOTH layouts
+    * (each rewritten behind the crash-safe staged swap in its own
+    * partitioning), then clear exactly the consumed ledger files (the
+    * single-enumeration discipline: a tombstone landing mid-pass
+    * survives and keeps masking). Any crash ordering stays consistent —
+    * candidates derive from tokens∖ledger and the fetch from
+    * doctokens∖ledger, so whichever layout swapped first a search still
+    * scores live documents only. Returns token rows removed. */
+  def vacuumTokenIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Long = {
+    val root = s"$dir/tombstones"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val consumed = TombstoneLedger.files(fs, root)
+    val ts = TombstoneLedger.dfFrom(spark, consumed, "doc_id")
+      .getOrElse(return 0L)
+    vacuumAfterSnapshotHook()
+    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+    var removed = 0L
+    for ((ds, part) <- Seq("tokens" -> "centroid_id",
+        "doctokens" -> "doc_bucket")) {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$ds")
+      val base = spark.read.parquet(path.toString)
+      val keep = base.join(ts, Seq("doc_id"), "left_anti")
+      val keepCount = keep.count()
+      if (ds == "tokens") removed = base.count() - keepCount
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.vacuum")
+      if (keepCount == 0L)
+        keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      else {
+        val fanout = if (part == "centroid_id") math.max(1, nClusters)
+                     else DocBuckets
+        val slices = math.max(1,
+          spark.sparkContext.defaultParallelism / fanout)
+        keep.repartition(fanout * slices, col(part),
+            pmod(hash(col("doc_id")), lit(slices)))
+          .write.mode("overwrite").partitionBy(part)
+          .parquet(tmp.toString)
+      }
+      graft.sources.Formats.swapInto(fs, tmp, path)
+      spark.catalog.refreshByPath(path.toString)
+    }
+    TombstoneLedger.clear(fs, root, consumed)
+    removed
   }
 
   /** Split one pooled vector into `m` contiguous subvector "tokens" —

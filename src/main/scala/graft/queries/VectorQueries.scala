@@ -1000,6 +1000,54 @@ object VectorQueries {
         recallFlags(exact, approx)
     },
 
+    // Token-index deletion lifecycle (MaxSim.deleteFromTokenIndex /
+    // vacuumTokenIndex): the shared TombstoneLedger contract on the
+    // FIFTH persisted index kind — tombstones mask BOTH layouts
+    // immediately (a deleted doc can neither seed candidates nor be
+    // fetched), vacuum rewrites both behind staged swaps from one
+    // ledger enumeration. Both phases run the recall contract against
+    // the exact MaxSim baseline over the LIVE corpus; delete set
+    // id-bounded (vec_id % 17 = 3 AND vec_id < 1700); writeTokenIndex's
+    // rebuild resets the ledger, so the gate is idempotent.
+    Q("q_ann_maxsim_index_delete",
+      """SELECT pp.phase, vec_id AS query_id, TRUE AS recall_ok,
+        |       TRUE AS mean_ok
+        |FROM embeddings CROSS JOIN (SELECT unnest(['tombstoned',
+        |       'vacuumed']) AS phase) pp
+        |WHERE vec_id < 3 ORDER BY phase, query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.MaxSim
+        val emb = t(s, dir, "embeddings")
+        val dead = col("vec_id") % 17 === 3 && col("vec_id") < 1700
+        val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+          .withColumnRenamed("vec_id", "doc_id")
+        val qToks = MaxSim.subvectorTokens(
+            emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+          .withColumnRenamed("vec_id", "query_id")
+        val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_maxsim_index_delete",
+          dir.replace('/', '_').replace(':', '_')).toString
+        MaxSim.writeTokenIndex(docToks, idxDir, nClusters = 16)
+        MaxSim.deleteFromTokenIndex(
+          emb.where(dead).select(col("vec_id").as("doc_id")), idxDir)
+        val liveToks = MaxSim.subvectorTokens(
+            emb.where(!dead), "vec_id", "embedding", 8)
+          .withColumnRenamed("vec_id", "doc_id")
+        val exact = StagingCaches.cache(
+          MaxSim.maxSimTopK(liveToks, qToks, k = 10)
+            .select(col("query_id"), col("doc_id").as("cand_id")))
+        def flags(phase: String) = recallFlags(exact,
+            MaxSim.searchTokenIndex(s, idxDir, qToks, k = 10,
+                nProbe = 6, tokenTopT = 64)
+              .select(col("query_id"), col("doc_id").as("cand_id")))
+          .withColumn("phase", lit(phase))
+        val before = flags("tombstoned").localCheckpoint()
+        MaxSim.vacuumTokenIndex(s, idxDir)
+        before.unionByName(flags("vacuumed"))
+          .select("phase", "query_id", "recall_ok", "mean_ok")
+          .orderBy("phase", "query_id")
+    },
+
     // int8 scalar quantization of embeddings — the 4×-8× memory/IO lever
     // for ANN storage. Cosine is scale-invariant, so the quantized cosine
     // runs directly on the codes; the gate emits the code-vs-original

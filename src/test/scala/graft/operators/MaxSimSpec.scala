@@ -106,6 +106,42 @@ class MaxSimSpec extends SparkSpec {
       s"candidate fetch must partition-prune on doc_bucket:\n$plan")
   }
 
+  test("token-index deletion: tombstones mask both layouts immediately, " +
+      "vacuum preserves results and physically removes both, a " +
+      "race-window tombstone survives") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_del").toString
+    MaxSim.writeTokenIndex(docToks, dir, nClusters = 16)
+    def hits() = MaxSim.searchTokenIndex(spark, dir, qToks,
+        k = 10, nProbe = 4, tokenTopT = 16)
+      .select("doc_id").as[Long].collect().toSet
+    val victim = hits().min
+    MaxSim.deleteFromTokenIndex(Seq(victim).toDF("doc_id"), dir)
+    val masked = hits()
+    assert(!masked.contains(victim), "tombstoned doc still retrieved")
+    // race seam: a tombstone landing inside vacuum's window survives
+    val second = masked.min
+    MaxSim.vacuumAfterSnapshotHook = () =>
+      MaxSim.deleteFromTokenIndex(Seq(second).toDF("doc_id"), dir)
+    try assert(MaxSim.vacuumTokenIndex(spark, dir) > 0L)
+    finally MaxSim.vacuumAfterSnapshotHook = () => ()
+    for (ds <- Seq("tokens", "doctokens"))
+      assert(spark.read.parquet(s"$dir/$ds")
+        .where(col("doc_id") === victim).count() == 0,
+        s"$ds still holds the vacuumed doc")
+    assert(!hits().contains(second),
+      "the race-window tombstone stopped masking")
+    assert(MaxSim.vacuumTokenIndex(spark, dir) > 0L,
+      "the surviving tombstone was not folded by the next vacuum")
+  }
+
   test("matches brute-force pooled cosine ranking when m = 1") {
     import org.apache.spark.sql.functions._
     val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
