@@ -108,6 +108,35 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (qnames == Seq("--maxsimdel")) {
+      // sub-step timing of the MaxSim token-index deletion gate
+      import org.apache.spark.sql.functions._
+      import graft.operators.MaxSim
+      val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+      val dead = col("vec_id") % 17 === 3 && col("vec_id") < 1700
+      val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+        .withColumnRenamed("vec_id", "doc_id")
+      val qToks = MaxSim.subvectorTokens(
+          emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+        .withColumnRenamed("vec_id", "query_id")
+      val idxDir = "/tmp/graft_probe_maxsimdel"
+      (1 to 2).foreach { rep =>
+        time(s"writeTokenIndex rep$rep")(
+          MaxSim.writeTokenIndex(docToks, idxDir, nClusters = 16))
+        time(s"delete rep$rep")(MaxSim.deleteFromTokenIndex(
+          emb.where(dead).select(col("vec_id").as("doc_id")), idxDir))
+        time(s"exact30 rep$rep")(
+          MaxSim.maxSimTopK(docToks, qToks, k = 30).count())
+        time(s"search1 rep$rep")(
+          MaxSim.searchTokenIndex(spark, idxDir, qToks, k = 10,
+            nProbe = 6, tokenTopT = 64).count())
+        time(s"vacuum rep$rep")(MaxSim.vacuumTokenIndex(spark, idxDir))
+        time(s"search2 rep$rep")(
+          MaxSim.searchTokenIndex(spark, idxDir, qToks, k = 10,
+            nProbe = 6, tokenTopT = 64).count())
+      }
+      spark.stop(); return
+    }
     if (qnames == Seq("--maxsim")) {
       // recall margins for the pruned-MaxSim gate pins
       import org.apache.spark.sql.functions._

@@ -268,19 +268,19 @@ object Bpe {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
-      (children: Seq[Expression]) =>
-        BpeTokenCount(children.head, children(1)))
+      Builders.arity("bpe_token_count", 2)(children =>
+        BpeTokenCount(children.head, children(1))))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
-      (children: Seq[Expression]) =>
-        BpeEncode(children.head, children(1), children(2)))
+      Builders.arity("bpe_encode", 3)(children =>
+        BpeEncode(children.head, children(1), children(2))))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bpe_encode_ls"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode_ls"),
-      (children: Seq[Expression]) =>
+      Builders.arity("bpe_encode_ls", 3)(children =>
         BpeEncode(children.head, children(1), children(2),
-          spaceAware = true))
+          spaceAware = true)))
   }
 
   /** Offline merge learning on a bounded driver-side sample — the same

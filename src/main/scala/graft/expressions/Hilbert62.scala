@@ -88,5 +88,5 @@ object Hilbert62 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("hilbert62"), info,
-      (children: Seq[Expression]) => Hilbert62(children.head, children(1)))
+      Builders.arity("hilbert62", 2)(children => Hilbert62(children.head, children(1))))
 }

@@ -112,8 +112,8 @@ object LinearTextScore {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("hashed_logit"),
       new ExpressionInfo(classOf[HashedLogit].getName, "hashed_logit"),
-      (children: Seq[Expression]) =>
-        HashedLogit(children.head, children(1)))
+      Builders.arity("hashed_logit", 2)(children =>
+        HashedLogit(children.head, children(1))))
 
   /** Offline logistic-regression fit on a bounded driver-side sample —
     * the same train-on-sample contract as the IVF/PQ fits: fixed epoch

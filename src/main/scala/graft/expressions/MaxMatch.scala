@@ -154,12 +154,12 @@ object MaxMatch {
       FunctionIdentifier("max_match_encode"),
       new ExpressionInfo(classOf[MaxMatchEncode].getName,
         "max_match_encode"),
-      (children: Seq[Expression]) =>
-        MaxMatchEncode(children.head, children(1)))
+      Builders.arity("max_match_encode", 2)(children =>
+        MaxMatchEncode(children.head, children(1))))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("max_match_count"),
       new ExpressionInfo(classOf[MaxMatchCount].getName, "max_match_count"),
-      (children: Seq[Expression]) =>
-        MaxMatchCount(children.head, children(1)))
+      Builders.arity("max_match_count", 2)(children =>
+        MaxMatchCount(children.head, children(1))))
   }
 }

@@ -180,12 +180,12 @@ object MinHash {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (children: Seq[Expression]) =>
-        WordShingles(children.head, intArg(children(1), "shingle size k")))
+      Builders.arity("word_shingles", 2)(children =>
+        WordShingles(children.head, intArg(children(1), "shingle size k"))))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) =>
-        MinHashSig(children.head, intArg(children(1), "signature size m")))
+      Builders.arity("minhash_sig", 2)(children =>
+        MinHashSig(children.head, intArg(children(1), "signature size m"))))
   }
 }

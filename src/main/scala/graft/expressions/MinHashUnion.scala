@@ -152,5 +152,5 @@ object MinHashUnion {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_union"), info,
-      (children: Seq[Expression]) => MinHashUnion(children.head))
+      Builders.arity("minhash_union", 1)(children => MinHashUnion(children.head)))
 }

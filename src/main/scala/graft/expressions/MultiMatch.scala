@@ -167,6 +167,6 @@ object MultiMatch {
       FunctionIdentifier("multi_match_count"),
       new ExpressionInfo(classOf[MultiMatchCount].getName,
         "multi_match_count"),
-      (children: Seq[Expression]) =>
-        MultiMatchCount(children.head, children(1)))
+      Builders.arity("multi_match_count", 2)(children =>
+        MultiMatchCount(children.head, children(1))))
 }

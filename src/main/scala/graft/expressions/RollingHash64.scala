@@ -80,5 +80,5 @@ object RollingHash64 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("rolling_hash64"), info,
-      (children: Seq[Expression]) => RollingHash64(children.head))
+      Builders.arity("rolling_hash64", 1)(children => RollingHash64(children.head)))
 }

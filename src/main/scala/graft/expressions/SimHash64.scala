@@ -95,5 +95,5 @@ object SimHash64 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), info,
-      (children: Seq[Expression]) => SimHash64(children.head))
+      Builders.arity("simhash64", 1)(children => SimHash64(children.head)))
 }

@@ -122,10 +122,10 @@ object TextScore {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangId].getName, "lang_id"),
-      (children: Seq[Expression]) => LangId(children.head))
+      Builders.arity("lang_id", 1)(children => LangId(children.head)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("quality_score"),
       new ExpressionInfo(classOf[QualityScore].getName, "quality_score"),
-      (children: Seq[Expression]) => QualityScore(children.head))
+      Builders.arity("quality_score", 1)(children => QualityScore(children.head)))
   }
 }

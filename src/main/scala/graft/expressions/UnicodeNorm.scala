@@ -147,18 +147,18 @@ object UnicodeNorm {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nfc_norm"),
       new ExpressionInfo(classOf[NfcNorm].getName, "nfc_norm"),
-      (children: Seq[Expression]) => NfcNorm(children.head))
+      Builders.arity("nfc_norm", 1)(children => NfcNorm(children.head)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
-      (children: Seq[Expression]) => StripAccents(children.head))
+      Builders.arity("strip_accents", 1)(children => StripAccents(children.head)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nfkc_norm"),
       new ExpressionInfo(classOf[NfkcNorm].getName, "nfkc_norm"),
-      (children: Seq[Expression]) => NfkcNorm(children.head))
+      Builders.arity("nfkc_norm", 1)(children => NfkcNorm(children.head)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("strip_invisible"),
       new ExpressionInfo(classOf[StripInvisible].getName, "strip_invisible"),
-      (children: Seq[Expression]) => StripInvisible(children.head))
+      Builders.arity("strip_invisible", 1)(children => StripInvisible(children.head)))
   }
 }

@@ -192,13 +192,13 @@ object Unigram {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("unigram_encode"),
       new ExpressionInfo(classOf[UnigramEncode].getName, "unigram_encode"),
-      (children: Seq[Expression]) =>
-        UnigramEncode(children.head, children(1)))
+      Builders.arity("unigram_encode", 2)(children =>
+        UnigramEncode(children.head, children(1))))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("unigram_cost"),
       new ExpressionInfo(classOf[UnigramCost].getName, "unigram_cost"),
-      (children: Seq[Expression]) =>
-        UnigramCost(children.head, children(1)))
+      Builders.arity("unigram_cost", 2)(children =>
+        UnigramCost(children.head, children(1))))
   }
 
   /** Offline unigram-LM vocabulary fitting on a bounded driver-side

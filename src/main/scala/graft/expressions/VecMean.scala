@@ -128,5 +128,5 @@ object VecMean {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_mean"),
       new ExpressionInfo(classOf[VecMean].getName, "vec_mean"),
-      (children: Seq[Expression]) => VecMean(children.head))
+      Builders.arity("vec_mean", 1)(children => VecMean(children.head)))
 }

@@ -99,5 +99,5 @@ object HyperplaneSig64 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("hyperplane_sig64"), info,
-      (children: Seq[Expression]) => HyperplaneSig64(children.head))
+      Builders.arity("hyperplane_sig64", 1)(children => HyperplaneSig64(children.head)))
 }

@@ -240,13 +240,13 @@ object Winnow {
       FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,
         "winnow_fingerprints"),
-      (children: Seq[Expression]) =>
-        WinnowFingerprints(children(0), children(1), children(2)))
+      Builders.arity("winnow_fingerprints", 3)(children =>
+        WinnowFingerprints(children(0), children(1), children(2))))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("winnow_fingerprint_pos"),
       new ExpressionInfo(classOf[WinnowFingerprintPos].getName,
         "winnow_fingerprint_pos"),
-      (children: Seq[Expression]) =>
-        WinnowFingerprintPos(children(0), children(1), children(2)))
+      Builders.arity("winnow_fingerprint_pos", 3)(children =>
+        WinnowFingerprintPos(children(0), children(1), children(2))))
   }
 }

@@ -75,5 +75,5 @@ object ZOrder62 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("zorder62"), info,
-      (children: Seq[Expression]) => ZOrder62(children.head, children(1)))
+      Builders.arity("zorder62", 2)(children => ZOrder62(children.head, children(1))))
 }

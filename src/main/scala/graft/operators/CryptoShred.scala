@@ -37,12 +37,22 @@ object CryptoShred {
 
   /** Encrypt `valueCol` under each row's subject key (unhinted join —
     * see the object note); output carries `<valueCol>_enc` (binary) in
-    * place of the plaintext. */
+    * place of the plaintext. Requires key coverage of every input
+    * subject: a row whose subject has no key (data ingested after that
+    * subject was shredded, or a stale key snapshot) FAILS LOUDLY via a
+    * scan-local assert — an inner join would silently drop it, which
+    * for an encryption path is undocumented data loss. */
   def encrypt(df: DataFrame, idCol: String, valueCol: String,
               keys: DataFrame): DataFrame =
-    df.join(keys, df(idCol).cast("long") === keys("subject_id"))
+    df.join(keys, df(idCol).cast("long") === keys("subject_id"), "left")
       .withColumn(s"${valueCol}_enc",
-        aes_encrypt(col(valueCol).cast("binary"), col("dek"), lit("ECB")))
+        when(assert_true(col("dek").isNotNull,
+            concat(lit("CryptoShred.encrypt: no key for subject "),
+              df(idCol).cast("string"),
+              lit(" — rebuild the key table over the input's subjects " +
+                "before encrypting"))).isNull,
+          aes_encrypt(col(valueCol).cast("binary"), col("dek"),
+            lit("ECB"))))
       .drop(valueCol, "subject_id", "dek")
 
   /** Forget `ids` (a single-column frame of subject ids): one anti-join

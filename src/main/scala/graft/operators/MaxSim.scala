@@ -48,6 +48,25 @@ object MaxSim {
     when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5)).cast("long")
   }
 
+  /** Packed synthetic token id `id·1024 + tok` as a LONG, with a
+    * scan-local guard: the packing is injective only for `id ≥ 0` and
+    * `0 ≤ tok < 1024`, so a violating row RAISES (assert_true, codegen'd
+    * inline — no extra validation pass) instead of silently corrupting
+    * the recovered id in the truncating `tid/1024` unpack. The long cast
+    * also pins every id arithmetic/hash site to one type — `hash()` of
+    * an IntegerType id would bucket differently than the long it is
+    * compared against at search time. */
+  private def packedTid(id: org.apache.spark.sql.Column,
+                        tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = id.cast("long")
+    val t = tok.cast("long")
+    val guard = assert_true(d >= 0 && t >= 0 && t < 1024,
+      concat(lit("MaxSim packed token id requires id >= 0 and 0 <= tok " +
+          "< 1024; got id="),
+        d.cast("string"), lit(", tok="), t.cast("string")))
+    when(guard.isNull, d * 1024L + t)
+  }
+
   /** Top-`k` documents per query by MaxSim.
     *
     * `docTokens`: (doc_id, vec) — one row per document token; token
@@ -107,10 +126,10 @@ object MaxSim {
                        k: Int = 10, nClusters: Int = 16,
                        nProbe: Int = 4, tokenTopT: Int = 32): DataFrame = {
     val dTok = docTokens.select(
-      (col("doc_id") * 1024 + col("tok")).as("tid"),
+      packedTid(col("doc_id"), col("tok")).as("tid"),
       asDouble(col("vec")).as("dv"))
     val qTok = queryTokens.select(
-      (col("query_id") * 1024 + col("tok")).as("qtid"),
+      packedTid(col("query_id"), col("tok")).as("qtid"),
       asDouble(col("vec")).as("qv"))
     val cents = Similarity.fitCentroids(
       dTok.select(col("tid").as("vec_id"), col("dv").as("embedding")),
@@ -161,10 +180,15 @@ object MaxSim {
   def writeTokenIndex(docTokens: DataFrame, dir: String,
                       nClusters: Int = 16): Unit = {
     val spark = docTokens.sparkSession
-    val toks = docTokens.select(col("doc_id"), col("tok"),
-      asDouble(col("vec")).as("vec"))
+    // doc_id normalized to LONG here, once, so the stored doc_bucket
+    // column (hash of doc_id) and the search-side driver-computed
+    // Murmur3.hashLong buckets agree for EVERY input id type — an
+    // IntegerType doc_id hashes via hashInt and would land candidate
+    // fetches in the wrong buckets (silently missing documents)
+    val toks = docTokens.select(col("doc_id").cast("long").as("doc_id"),
+      col("tok"), asDouble(col("vec")).as("vec"))
     val dTok = toks.select(
-      (col("doc_id") * 1024 + col("tok")).as("tid"), col("vec"))
+      packedTid(col("doc_id"), col("tok")).as("tid"), col("vec"))
     val cents = Similarity.fitCentroids(
       dTok.select(col("tid").as("vec_id"), col("vec").as("embedding")),
       nClusters)
@@ -217,7 +241,7 @@ object MaxSim {
         "batch the queries")
     val cents = spark.read.parquet(s"$dir/centroids")
     val qTok = queryTokens.select(
-      (col("query_id") * 1024 + col("tok")).as("qtid"),
+      packedTid(col("query_id"), col("tok")).as("qtid"),
       asDouble(col("vec")).as("qv"))
     val probes = Similarity.nearestCentroids(
       qTok, cents, "qtid", "qv", nProbe)
@@ -235,7 +259,7 @@ object MaxSim {
       .map(ts => rawTokens.join(ts, Seq("doc_id"), "left_anti"))
       .getOrElse(rawTokens)
     val cand = liveTokens
-      .select((col("doc_id") * 1024 + col("tok")).as("tid"),
+      .select(packedTid(col("doc_id"), col("tok")).as("tid"),
         col("doc_id"), col("vec").as("dv"), col("centroid_id"))
       .join(broadcast(probes), Seq("centroid_id"))
       .withColumn("tc", i4(cosine(col("qv"), col("dv"))))

@@ -121,6 +121,20 @@ object TextQueries {
           deltaFps(prefixExtras(s, dir))),
         minShared = 2))
 
+  /** Materialize the cross-gate span staging (corpus fingerprints, the
+    * capped view, the corpus-internal qualified spans, and the shared
+    * prefix-dup spans frame) — Bench's untimed warmup (`staging_sec`),
+    * so the "fingerprint the corpus once" cost stops being charged to
+    * whichever span gate runs first (r14: q_dedup_spans as first
+    * materializer read 13.9 s at the driver vs 0.17 s warm). */
+  def warmStaging(s: org.apache.spark.sql.SparkSession,
+                  dir: String): Unit = {
+    baseFps(s, dir).count()
+    cappedBaseFps(s, dir).count()
+    baseSpans(s, dir).count()
+    prefixDupSpans(s, dir).count()
+  }
+
   /** Drop the memoized spans frames held for `s` (all dirs). */
   def evictCaches(s: org.apache.spark.sql.SparkSession): Unit =
     Seq(spansCache, baseFpsCache, cappedBaseFpsCache, baseSpansCache)
@@ -1482,10 +1496,8 @@ object TextQueries {
          |ORDER BY phase, query_id, rank""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_bm25_index_delete",
-        dir.replace('/', '_').replace(':', '_')).toString
-      graft.operators.Bm25.writeIndex(docs, idxDir)
+      val idxDir = IndexFixtures.cloned(s, dir, "bm25")(p =>
+        graft.operators.Bm25.writeIndex(docs, p))
       graft.operators.Bm25.deleteFromIndex(
         docs.where(col("doc_id") % 11 === 4 && col("doc_id") < 1100)
           .select("doc_id"), idxDir)
@@ -1863,10 +1875,8 @@ object TextQueries {
          |WHERE len(starts) > 0
          |ORDER BY phase, phrase_id, doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_phrase_index_delete",
-        dir.replace('/', '_').replace(':', '_')).toString
-      graft.operators.PhraseSearch.writeIndex(docs, idxDir)
+      val idxDir = IndexFixtures.cloned(s, dir, "phrase")(p =>
+        graft.operators.PhraseSearch.writeIndex(docs, p))
       graft.operators.PhraseSearch.deleteFromIndex(
         docs.where(col("doc_id") % 13 === 2 && col("doc_id") < 1300)
           .select("doc_id"), idxDir)

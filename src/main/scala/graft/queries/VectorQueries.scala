@@ -480,12 +480,11 @@ object VectorQueries {
     // still query (id 3 does); it just can't be retrieved.
     Q("q_ann_index_delete", IvfReplay.deleteSql) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_ivf_index_delete",
-        dir.replace('/', '_').replace(':', '_')).toString
-      // writeIndex's overwrite + tombstone reset makes the gate
-      // idempotent per invocation (bench reps never double-delete)
-      Similarity.writeIndex(emb, idxDir, nClusters = 16)
+      // a fresh private clone of the shared clean-index snapshot keeps
+      // the gate idempotent per invocation (bench reps never
+      // double-delete) without re-paying writeIndex per invocation
+      val idxDir = IndexFixtures.cloned(s, dir, "ivf")(p =>
+        Similarity.writeIndex(emb, p, nClusters = 16))
       Similarity.deleteFromIndex(
         emb.where(col("vec_id") % 17 === 3 && col("vec_id") < 1700)
           .select("vec_id"), idxDir)
@@ -865,11 +864,9 @@ object VectorQueries {
         val emb = t(s, dir, "embeddings")
         val qs = emb.where(col("vec_id") < 5)
         val dead = col("vec_id") % 17 === 3 && col("vec_id") < 1700
-        val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          "graft_ivfpq_index_delete",
-          dir.replace('/', '_').replace(':', '_')).toString
-        IvfPq.writeIndex(emb, idxDir, nClusters = 16,
-          model = Some(pqModel(s, dir)))
+        val idxDir = IndexFixtures.cloned(s, dir, "ivfpq")(p =>
+          IvfPq.writeIndex(emb, p, nClusters = 16,
+            model = Some(pqModel(s, dir))))
         IvfPq.deleteFromIndex(emb.where(dead).select("vec_id"), idxDir)
         val exact = StagingCaches.cache(
           Similarity.bruteForceTopK(emb.where(!dead), qs, k = 10)
@@ -961,7 +958,7 @@ object VectorQueries {
         val qToks = MaxSim.subvectorTokens(
             emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
           .withColumnRenamed("vec_id", "query_id")
-        val exact = maxsimExact(s, dir)
+        val exact = maxsimExact10(s, dir)
         val approx = MaxSim.maxSimTopKPruned(docToks, qToks, k = 10,
             nClusters = 16, nProbe = 6, tokenTopT = 64)
           .select(col("query_id"), col("doc_id").as("cand_id"))
@@ -993,7 +990,7 @@ object VectorQueries {
           "graft_maxsim_index",
           dir.replace('/', '_').replace(':', '_')).toString
         MaxSim.writeTokenIndex(docToks, idxDir, nClusters = 16)
-        val exact = maxsimExact(s, dir)
+        val exact = maxsimExact10(s, dir)
         val approx = MaxSim.searchTokenIndex(s, idxDir, qToks, k = 10,
             nProbe = 6, tokenTopT = 64)
           .select(col("query_id"), col("doc_id").as("cand_id"))
@@ -1024,18 +1021,32 @@ object VectorQueries {
         val qToks = MaxSim.subvectorTokens(
             emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
           .withColumnRenamed("vec_id", "query_id")
-        val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          "graft_maxsim_index_delete",
-          dir.replace('/', '_').replace(':', '_')).toString
-        MaxSim.writeTokenIndex(docToks, idxDir, nClusters = 16)
+        val idxDir = IndexFixtures.cloned(s, dir, "maxsim")(p =>
+          MaxSim.writeTokenIndex(docToks, p, nClusters = 16))
         MaxSim.deleteFromTokenIndex(
           emb.where(dead).select(col("vec_id").as("doc_id")), idxDir)
-        val liveToks = MaxSim.subvectorTokens(
-            emb.where(!dead), "vec_id", "embedding", 8)
-          .withColumnRenamed("vec_id", "doc_id")
+        // LIVE-corpus exact baseline DERIVED from the memoized
+        // full-corpus top-30 (no second corpus-scale MaxSim pass —
+        // r14's one profile gap): deletions never reorder survivors,
+        // so the live top-10 is the first 10 live rows of the
+        // full-corpus ranking. Exact iff ≥10 of each query's top-30
+        // survive — validated loudly below (dead rate is 1/17, so the
+        // depth-30 prefix has huge slack).
+        val w10 = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rank")
         val exact = StagingCaches.cache(
-          MaxSim.maxSimTopK(liveToks, qToks, k = 10)
-            .select(col("query_id"), col("doc_id").as("cand_id")))
+          maxsimExact(s, dir)
+            .join(emb.where(dead).select(col("vec_id").as("cand_id")),
+              Seq("cand_id"), "left_anti")
+            .withColumn("live_rank", row_number().over(w10))
+            .where(col("live_rank") <= 10)
+            .select("query_id", "cand_id"))
+        val depthOk = exact.groupBy("query_id").count()
+          .agg(min("count")).head().getLong(0)
+        require(depthOk == 10L,
+          "live-baseline derivation exhausted the stored top-30 prefix " +
+            s"(a query kept only $depthOk live rows) — deepen the " +
+            "memoized maxsimExact k")
         def flags(phase: String) = recallFlags(exact,
             MaxSim.searchTokenIndex(s, idxDir, qToks, k = 10,
                 nProbe = 6, tokenTopT = 64)
@@ -1046,6 +1057,51 @@ object VectorQueries {
         before.unionByName(flags("vacuumed"))
           .select("phase", "query_id", "recall_ok", "mean_ok")
           .orderBy("phase", "query_id")
+    },
+
+    // The SHARED exact-MaxSim baseline, independently recomputed by the
+    // oracle — the anti-self-certification gate: the three recall
+    // contracts above (q_ann_maxsim_pruned / _index / _index_delete) all
+    // measure against the session-memoized maxsimExact frame, so a
+    // regression in the Spark-side exact scorer would silently pass
+    // every TRUE-flag recall gate. This gate hashes that exact frame
+    // (all 30 ranks deep — the full prefix the contracts consume,
+    // including the delete gate's live-baseline derivation) against a
+    // full DuckDB MaxSim replay, so the baseline itself can FAIL.
+    Q("q_ann_maxsim_baseline30",
+      """WITH tk AS (SELECT unnest(range(8)) AS tok),
+        |dt AS (SELECT vec_id AS doc_id, tk.tok,
+        |         (CAST(embedding AS DOUBLE[]))
+        |           [(tk.tok*8+1):(tk.tok*8+8)] AS dv
+        |       FROM embeddings CROSS JOIN tk),
+        |qt AS (SELECT vec_id AS query_id, tk.tok,
+        |         (CAST(embedding AS DOUBLE[]))
+        |           [(tk.tok*8+1):(tk.tok*8+8)] AS qv
+        |       FROM embeddings CROSS JOIN tk WHERE vec_id < 3),
+        |pr AS (SELECT qt.query_id, qt.tok, dt.doc_id,
+        |         list_reduce(list_transform(list_zip(qt.qv, dt.dv),
+        |           z -> z[1] * z[2]), (x1, y1) -> x1 + y1)
+        |         / (sqrt(list_reduce(list_transform(qt.qv, e1 -> e1 * e1),
+        |              (x2, y2) -> x2 + y2))
+        |            * sqrt(list_reduce(list_transform(dt.dv, e2 -> e2 * e2),
+        |                (x3, y3) -> x3 + y3))) AS craw
+        |       FROM dt CROSS JOIN qt WHERE qt.query_id <> dt.doc_id),
+        |mx AS (SELECT query_id, tok, doc_id,
+        |         max(CASE WHEN craw * 10000.0 >= 0
+        |             THEN CAST(floor(craw * 10000.0 + 0.5) AS BIGINT)
+        |             ELSE CAST(ceil(craw * 10000.0 - 0.5) AS BIGINT) END)
+        |           AS m
+        |       FROM pr GROUP BY query_id, tok, doc_id),
+        |sc AS (SELECT query_id, doc_id,
+        |         CAST(sum(m) AS BIGINT) AS si4
+        |       FROM mx GROUP BY query_id, doc_id),
+        |rk AS (SELECT query_id, doc_id, row_number() OVER (
+        |         PARTITION BY query_id
+        |         ORDER BY si4 DESC, doc_id) AS rank
+        |       FROM sc)
+        |SELECT query_id, doc_id AS cand_id, rank FROM rk WHERE rank <= 30
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      maxsimExact(s, dir).orderBy("query_id", "rank")
     },
 
     // int8 scalar quantization of embeddings — the 4×-8× memory/IO lever
@@ -1362,12 +1418,16 @@ object VectorQueries {
           nClusters = 16, centroids = Some(centroids(s, dir))))
     }
 
-  /** The exact MaxSim top-10 baseline per (session, SF dir) — shared by
-    * the two recall-contract gates (q_ann_maxsim_pruned /
-    * q_ann_maxsim_index); deterministic, so the memo is exact. Persisted
-    * via StagingCaches so the per-gate release hygiene still applies to
-    * downstream frames; the memoized frame itself is a localCheckpoint
-    * (session-lifetime, tiny: queries×10 rows). */
+  /** The exact MaxSim top-30 baseline per (session, SF dir), WITH rank —
+    * shared by the three recall-contract gates (q_ann_maxsim_pruned /
+    * q_ann_maxsim_index take rank ≤ 10; q_ann_maxsim_index_delete
+    * derives its LIVE-corpus top-10 by anti-joining the tombstoned ids
+    * and re-ranking the surviving prefix — exact, because deleting docs
+    * never reorders the survivors, so the live top-10 is the first 10
+    * live rows of the full-corpus ranking; the depth-30 prefix is
+    * validated per query at use). Deterministic, so the memo is exact.
+    * The memoized frame is a localCheckpoint (session-lifetime, tiny:
+    * queries×30 rows). */
   private val maxsimExactCache = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
     scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
@@ -1387,11 +1447,31 @@ object VectorQueries {
         val qToks = MaxSim.subvectorTokens(
             emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
           .withColumnRenamed("vec_id", "query_id")
-        MaxSim.maxSimTopK(docToks, qToks, k = 10)
-          .select(col("query_id"), col("doc_id").as("cand_id"))
+        MaxSim.maxSimTopK(docToks, qToks, k = 30)
+          .select(col("query_id"), col("doc_id").as("cand_id"),
+            col("rank"))
           .localCheckpoint()
       })
     }
+
+  /** [[maxsimExact]] restricted to the top-10 contract depth. */
+  private def maxsimExact10(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    maxsimExact(s, dir).where(col("rank") <= 10)
+      .select("query_id", "cand_id")
+
+  /** Force the cross-gate memoized fits and baselines (coarse centroids,
+    * the IVF-PQ model, the exact-MaxSim baseline) — Bench's untimed
+    * warmup (`staging_sec`): all three are shared by several gates and
+    * otherwise get charged to the FIRST payer in map iteration order
+    * (r14: q_ann_ivf read 2.8× at the driver as first payer of the
+    * centroid fit the six PQ gates reuse). */
+  def warmStaging(s: org.apache.spark.sql.SparkSession,
+                  dir: String): Unit = {
+    centroids(s, dir)
+    pqModel(s, dir)
+    maxsimExact(s, dir).count()
+  }
 
   /** Embeddings with planted near-dups (see q_dedup_embed): ids < 50, plus
     * ×2-scaled copies of ids < 25 and +0.1-first-component perturbations of

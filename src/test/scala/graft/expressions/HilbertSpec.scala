@@ -73,4 +73,21 @@ class HilbertSpec extends SparkSpec {
       assert(h == HilbertUtil.hilbert62(x, y), s"($x,$y)")
     }
   }
+
+  test("wrong argument count is a descriptive analysis-time error, " +
+      "never IndexOutOfBounds or a silently dropped argument") {
+    Hilbert62.register(spark)
+    ZOrder62.register(spark)
+    for ((sql, want) <- Seq(
+        "SELECT hilbert62(1L)" -> "hilbert62 expects exactly 2 arguments, got 1",
+        "SELECT hilbert62(1L, 2L, 3L)" -> "hilbert62 expects exactly 2 arguments, got 3",
+        "SELECT zorder62(1L)" -> "zorder62 expects exactly 2 arguments, got 1")) {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains(want)),
+        s"$sql: wanted '$want' in ${messages(e)}")
+    }
+  }
 }

@@ -49,6 +49,22 @@ class CryptoShredSpec extends SparkSpec {
       "two subjects with one value must not share ciphertext")
   }
 
+  test("encrypt FAILS LOUDLY when a subject has no key — never silently " +
+      "drops the row (stale key snapshot / post-shred ingest)") {
+    val partial = CryptoShred.keyTable(
+      people.where(col("id") <= 2), "id", salt = "s")
+    // collect(), not count(): column pruning under count() would drop
+    // the guarded projection entirely (the guard is scan-local — it
+    // fires when the encrypted column is computed, like any expression)
+    val e = intercept[Exception](
+      CryptoShred.encrypt(people, "id", "name", partial).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("no key for subject")),
+      s"wanted the no-key error, got ${messages(e)}")
+  }
+
   test("a wrong key never half-decrypts: try_aes_decrypt yields NULL") {
     val keys = CryptoShred.keyTable(people, "id", salt = "s")
     val enc = CryptoShred.encrypt(people, "id", "name", keys)

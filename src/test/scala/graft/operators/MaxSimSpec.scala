@@ -142,6 +142,55 @@ class MaxSimSpec extends SparkSpec {
       "the surviving tombstone was not folded by the next vacuum")
   }
 
+  test("IntegerType doc_id: persisted index search returns the same " +
+      "documents as the canonical LongType run (doc_bucket hash must " +
+      "not depend on the input id type)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val docToksL = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val docToksI = docToksL.withColumn("doc_id", col("doc_id").cast("int"))
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    def run(toks: org.apache.spark.sql.DataFrame) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_maxsim_int").toString
+      MaxSim.writeTokenIndex(toks, dir, nClusters = 16)
+      MaxSim.searchTokenIndex(spark, dir, qToks, k = 10,
+          nProbe = 4, tokenTopT = 16)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+        .toSeq
+    }
+    val viaLong = run(docToksL)
+    val viaInt = run(docToksI)
+    assert(viaLong.nonEmpty && viaInt == viaLong,
+      s"int-typed doc_id diverged:\n$viaInt\n$viaLong")
+  }
+
+  test("packed-token-id guard: tok >= 1024 and negative ids raise " +
+      "instead of silently corrupting the recovered doc_id") {
+    import org.apache.spark.sql.functions._
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val wideTok = Seq((1L, 1024, Seq(1.0, 0.0)), (2L, 0, Seq(0.0, 1.0)))
+      .toDF("doc_id", "tok", "vec")
+    val negId = Seq((-1L, 0, Seq(1.0, 0.0))).toDF("doc_id", "tok", "vec")
+    val q = Seq((9L, 0, Seq(1.0, 0.0))).toDF("query_id", "tok", "vec")
+    for (bad <- Seq(wideTok, negId)) {
+      val e = intercept[Exception](
+        MaxSim.maxSimTopKPruned(bad, q, k = 5, nClusters = 2).count())
+      assert(messages(e).exists(_.contains("packed token id")),
+        s"wanted the packed-id guard, got ${messages(e)}")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_maxsim_guard").toString
+      val w = intercept[Exception](MaxSim.writeTokenIndex(bad, dir, 2))
+      assert(messages(w).exists(_.contains("packed token id")),
+        s"writeTokenIndex: wanted the packed-id guard, got ${messages(w)}")
+    }
+  }
+
   test("matches brute-force pooled cosine ranking when m = 1") {
     import org.apache.spark.sql.functions._
     val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
