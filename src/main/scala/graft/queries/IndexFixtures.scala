@@ -3,22 +3,24 @@ package graft.queries
 import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.SparkSession
 
-/** Shared PREBUILT clean-index snapshots for the `*_index_delete`
-  * lifecycle gates.
+/** Shared PREBUILT clean-index snapshots for the persisted-index
+  * lifecycle gates (search / append / recenter / delete, all five
+  * kinds: IVF, IVF-PQ, BM25, phrase, MaxSim tokens).
   *
   * Every index-lifecycle gate is idempotent per invocation: it must
   * start from a clean index no matter how many times the bench re-runs
-  * it. Until r14 each delete gate guaranteed that by REBUILDING its
-  * index per invocation — principled, but the bench then re-pays five
-  * full `writeIndex` passes per run while the clean index it rebuilds
-  * is byte-identical every time (deterministic fits, deterministic
-  * writes). This tier keeps the contract but amortizes the write: the
-  * FIRST gate to ask for a kind builds one snapshot per (sf dir, kind)
-  * in this JVM, and every invocation gets its own cheap local COPY to
-  * mutate (tombstones, vacuum swaps) — a fresh copy is
-  * rebuild-equivalent by determinism, and IndexFixturesSpec pins
-  * exactly that (cloned snapshot ≡ fresh rebuild, search-row-identical,
-  * including after delete+vacuum).
+  * it. Until r14 each gate guaranteed that by REBUILDING its index per
+  * invocation — principled, but one bench run then paid ~15 full
+  * `writeIndex` passes while the clean index each rebuild produces is
+  * byte-identical every time (deterministic fits, deterministic
+  * writes). This tier keeps the contract but amortizes the write: ONE
+  * snapshot per (sf dir, kind) per JVM (pre-built by the staging
+  * warmup, or by the first gate to touch the kind), read directly by
+  * search-only gates ([[shared]]) and copied cheaply for mutating
+  * gates ([[cloned]]) — a fresh copy is rebuild-equivalent by
+  * determinism, and IndexFixturesSpec pins exactly that (cloned
+  * snapshot ≡ fresh rebuild, search-row-identical, including after
+  * delete+vacuum).
   *
   * The snapshot is keyed in MEMORY, not trusted from disk: a stale
   * on-disk snapshot from an older binary must never serve this run, so
@@ -33,21 +35,29 @@ object IndexFixtures {
   private val built = scala.collection.concurrent.TrieMap
     .empty[(String, String), String] // (sfDir, kind) -> snapshot dir
 
-  /** A fresh, private, mutable copy of the memoized clean `kind` index
-    * for `sfDir` (built via `build` on first touch per JVM). */
-  def cloned(s: SparkSession, sfDir: String, kind: String)
-            (build: String => Unit): String = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val snap = built.getOrElseUpdate((sfDir, kind), {
+  /** The memoized clean `kind` snapshot for `sfDir` (built via `build`
+    * on first touch per JVM) — for READ-ONLY consumers (search-only
+    * gates) and the staging warmup; mutating gates go through
+    * [[cloned]]. */
+  def shared(s: SparkSession, sfDir: String, kind: String)
+            (build: String => Unit): String =
+    built.getOrElseUpdate((sfDir, kind), {
       val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft_fixture_$kind",
         sfDir.replace('/', '_').replace(':', '_')).toString
       val sp = new Path(p)
-      val fs = sp.getFileSystem(conf)
+      val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(sp, true) // never inherit a previous JVM's layout
       build(p)
       p
     })
+
+  /** A fresh, private, mutable copy of the memoized clean `kind` index
+    * for `sfDir` — for gates that tombstone/append/vacuum/recenter. */
+  def cloned(s: SparkSession, sfDir: String, kind: String)
+            (build: String => Unit): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val snap = shared(s, sfDir, kind)(build)
     val work = java.nio.file.Files
       .createTempDirectory(s"graft_${kind}_clone").toString
     val fs = new Path(work).getFileSystem(conf)

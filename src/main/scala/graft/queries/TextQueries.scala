@@ -121,18 +121,32 @@ object TextQueries {
           deltaFps(prefixExtras(s, dir))),
         minShared = 2))
 
+  /** Clean-index fixture builders for the text index kinds — the SAME
+    * builder every lifecycle gate passes to [[IndexFixtures]], so the
+    * warmup-built snapshot and a gate-built one are identical. */
+  private[queries] def buildBm25(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String => Unit =
+    p => graft.operators.Bm25.writeIndex(t(s, dir, "documents"), p)
+
+  private[queries] def buildPhrase(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): String => Unit =
+    p => graft.operators.PhraseSearch.writeIndex(t(s, dir, "documents"), p)
+
   /** Materialize the cross-gate span staging (corpus fingerprints, the
     * capped view, the corpus-internal qualified spans, and the shared
-    * prefix-dup spans frame) — Bench's untimed warmup (`staging_sec`),
-    * so the "fingerprint the corpus once" cost stops being charged to
-    * whichever span gate runs first (r14: q_dedup_spans as first
-    * materializer read 13.9 s at the driver vs 0.17 s warm). */
+    * prefix-dup spans frame) plus the two text-index fixtures — Bench's
+    * untimed warmup (`staging_sec`), so the "fingerprint the corpus
+    * once" cost stops being charged to whichever span gate runs first
+    * (r14: q_dedup_spans as first materializer read 13.9 s at the
+    * driver vs 0.17 s warm). */
   def warmStaging(s: org.apache.spark.sql.SparkSession,
                   dir: String): Unit = {
     baseFps(s, dir).count()
     cappedBaseFps(s, dir).count()
     baseSpans(s, dir).count()
     prefixDupSpans(s, dir).count()
+    IndexFixtures.shared(s, dir, "bm25")(buildBm25(s, dir))
+    IndexFixtures.shared(s, dir, "phrase")(buildPhrase(s, dir))
   }
 
   /** Drop the memoized spans frames held for `s` (all dirs). */
@@ -1496,8 +1510,7 @@ object TextQueries {
          |ORDER BY phase, query_id, rank""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val idxDir = IndexFixtures.cloned(s, dir, "bm25")(p =>
-        graft.operators.Bm25.writeIndex(docs, p))
+      val idxDir = IndexFixtures.cloned(s, dir, "bm25")(buildBm25(s, dir))
       graft.operators.Bm25.deleteFromIndex(
         docs.where(col("doc_id") % 11 === 4 && col("doc_id") < 1100)
           .select("doc_id"), idxDir)
@@ -1559,10 +1572,7 @@ object TextQueries {
          |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_bm25_index_append",
-        dir.replace('/', '_').replace(':', '_')).toString
-      graft.operators.Bm25.writeIndex(docs, idxDir)
+      val idxDir = IndexFixtures.cloned(s, dir, "bm25")(buildBm25(s, dir))
       graft.operators.Bm25.appendToIndex(
         docs.where(col("doc_id") < 30)
           .select((col("doc_id") + 500000).as("doc_id"), col("text")),
@@ -1706,10 +1716,9 @@ object TextQueries {
          |FROM m WHERE len(starts) > 0
          |ORDER BY phrase_id, doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_phrase_index",
-        dir.replace('/', '_').replace(':', '_')).toString
-      graft.operators.PhraseSearch.writeIndex(docs, idxDir)
+      // search-only: reads the shared clean-index snapshot directly
+      val idxDir = IndexFixtures.shared(s, dir, "phrase")(
+        buildPhrase(s, dir))
       val phrases = docs.where(col("doc_id").isin(3L, 7L, 11L))
         .select(col("doc_id").as("phrase_id"),
           slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3)
@@ -1752,10 +1761,8 @@ object TextQueries {
          |FROM m WHERE len(starts) > 0
          |ORDER BY phrase_id, doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_phrase_index_append",
-        dir.replace('/', '_').replace(':', '_')).toString
-      graft.operators.PhraseSearch.writeIndex(docs, idxDir)
+      val idxDir = IndexFixtures.cloned(s, dir, "phrase")(
+        buildPhrase(s, dir))
       val opener = docs.where(col("doc_id") === 3)
         .select(substring(col("text"), 1, 80).as("opener"))
       val batch = docs.where(col("doc_id") < 20)
@@ -1875,8 +1882,8 @@ object TextQueries {
          |WHERE len(starts) > 0
          |ORDER BY phase, phrase_id, doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val idxDir = IndexFixtures.cloned(s, dir, "phrase")(p =>
-        graft.operators.PhraseSearch.writeIndex(docs, p))
+      val idxDir = IndexFixtures.cloned(s, dir, "phrase")(
+        buildPhrase(s, dir))
       graft.operators.PhraseSearch.deleteFromIndex(
         docs.where(col("doc_id") % 13 === 2 && col("doc_id") < 1300)
           .select("doc_id"), idxDir)
