@@ -226,27 +226,34 @@ object MaxSim {
     * documents' buckets, row-filtered to the candidate ids — both
     * prunes land at the scans.
     *
-    * Bounded-driver contract: query tokens are collected to route
-    * probes, and candidate doc ids (≤ |q tokens|·tokenTopT by
-    * construction) are collected to derive the fetch buckets; the
-    * `limit(maxQ+1)` probe bounds the query side loudly first. */
+    * Bounded-driver contract: the probe ASSIGNMENTS are collected once
+    * (≤ maxQ·nProbe rows — the `limit` bounds the collect loudly
+    * before it can grow with the query side) and serve three uses from
+    * that single job: the maxQ guard, the probed-cell partition
+    * filter, and a local-relation broadcast into the candidate scan
+    * (the distributed probe derivation would otherwise recompute
+    * inside that scan's job); candidate doc ids (≤ |q tokens|·tokenTopT
+    * by construction) are collected to derive the fetch buckets. */
   def searchTokenIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, queryTokens: DataFrame, k: Int = 10,
                        nProbe: Int = 4, tokenTopT: Int = 32,
                        maxQ: Int = 65536): DataFrame = {
     import spark.implicits._
-    val qProbe = queryTokens.select("query_id").limit(maxQ + 1).count()
-    require(qProbe <= maxQ,
-      s"searchTokenIndex query side exceeds maxQ=$maxQ token rows — " +
-        "batch the queries")
     val cents = spark.read.parquet(s"$dir/centroids")
     val qTok = queryTokens.select(
       packedTid(col("query_id"), col("tok")).as("qtid"),
       asDouble(col("vec")).as("qv"))
-    val probes = Similarity.nearestCentroids(
+    val probesDist = Similarity.nearestCentroids(
       qTok, cents, "qtid", "qv", nProbe)
-    val probedCells = probes.select("centroid_id").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val cap = maxQ * nProbe + 1
+    val probeRows = probesDist.limit(cap).collect()
+    require(probeRows.length < cap,
+      s"searchTokenIndex query side exceeds maxQ=$maxQ token rows — " +
+        "batch the queries")
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesDist.schema)
+    val probedCells = probeRows.map(r =>
+      r.getInt(r.fieldIndex("centroid_id"))).distinct.toSeq
     val wTok = Window.partitionBy("qtid")
       .orderBy(desc("tc"), asc("tid"))
     // anti-join the deletion ledger BEFORE candidate generation, so a

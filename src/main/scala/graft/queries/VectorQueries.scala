@@ -597,11 +597,9 @@ object VectorQueries {
       (s, dir) =>
         val emb = t(s, dir, "embeddings")
         val qs = emb.where(col("vec_id") < 5)
-        // persisted: the brute-force frame feeds both the hit join and the
-        // per-query denominator — without it the full cosine scan runs twice
-        val exact = StagingCaches.cache(
-          Similarity.bruteForceTopK(emb, qs, k = 10)
-            .select("query_id", "cand_id"))
+        // the memoized top-30 baseline's prefix (localCheckpoint) feeds
+        // both the hit join and the per-query denominator
+        val exact = bruteExact10(s, dir)
         val approx = Similarity.ivfTopK(emb, qs, k = 10,
           nClusters = 16, nProbe = 8,
           centroids = Some(centroids(s, dir))).select("query_id", "cand_id")
@@ -625,9 +623,7 @@ object VectorQueries {
         import graft.operators.ProductQuant
         val emb = t(s, dir, "embeddings")
         val qs = emb.where(col("vec_id") < 5)
-        val exact = StagingCaches.cache(
-          Similarity.bruteForceTopK(emb, qs, k = 10)
-            .select("query_id", "cand_id"))
+        val exact = bruteExact10(s, dir)
         val approx = ProductQuant.pqTopK(emb, qs,
             ProductQuant.fitCodebooks(emb), k = 10, rerank = 100)
           .select("query_id", "cand_id")
@@ -654,9 +650,7 @@ object VectorQueries {
         import graft.operators.IvfPq
         val emb = t(s, dir, "embeddings")
         val qs = emb.where(col("vec_id") < 5)
-        val exact = StagingCaches.cache(
-          Similarity.bruteForceTopK(emb, qs, k = 10)
-            .select("query_id", "cand_id"))
+        val exact = bruteExact10(s, dir)
         val approx = IvfPq.ivfpqTopK(emb, qs, k = 10,
             nClusters = 16, nProbe = 10, rerank = 300,
             model = Some(pqModel(s, dir)))
@@ -682,9 +676,7 @@ object VectorQueries {
         // search-only: reads the shared clean-index snapshot directly
         val idxDir = IndexFixtures.shared(s, dir, "ivfpq")(
           buildIvfPq(s, dir))
-        val exact = StagingCaches.cache(
-          Similarity.bruteForceTopK(emb, qs, k = 10)
-            .select("query_id", "cand_id"))
+        val exact = bruteExact10(s, dir)
         val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
             nProbe = 10, rerank = 300)
           .select("query_id", "cand_id")
@@ -851,9 +843,24 @@ object VectorQueries {
         val idxDir = IndexFixtures.cloned(s, dir, "ivfpq")(
           buildIvfPq(s, dir))
         IvfPq.deleteFromIndex(emb.where(dead).select("vec_id"), idxDir)
+        // LIVE-corpus exact baseline DERIVED from the memoized
+        // full-corpus top-30 (same argument as the MaxSim delete gate:
+        // deletions never reorder survivors; depth validated below)
+        val wLive = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rank")
         val exact = StagingCaches.cache(
-          Similarity.bruteForceTopK(emb.where(!dead), qs, k = 10)
+          bruteExact30(s, dir)
+            .join(emb.where(dead).select(col("vec_id").as("cand_id")),
+              Seq("cand_id"), "left_anti")
+            .withColumn("live_rank", row_number().over(wLive))
+            .where(col("live_rank") <= 10)
             .select("query_id", "cand_id"))
+        val depthOk = exact.groupBy("query_id").count()
+          .agg(min("count")).head().getLong(0)
+        require(depthOk == 10L,
+          "live-baseline derivation exhausted the stored top-30 prefix " +
+            s"(a query kept only $depthOk live rows) — deepen the " +
+            "memoized bruteExact30 k")
         def flags(phase: String) = recallFlags(exact,
             IvfPq.searchIndex(s, idxDir, qs, k = 10,
                 nProbe = 10, rerank = 300)
@@ -1035,6 +1042,34 @@ object VectorQueries {
         before.unionByName(flags("vacuumed"))
           .select("phase", "query_id", "recall_ok", "mean_ok")
           .orderBy("phase", "query_id")
+    },
+
+    // The SHARED brute-force baseline, independently recomputed by the
+    // oracle — the single-vector anti-self-certification gate, twin of
+    // q_ann_brute_baseline30's MaxSim sibling below: the four
+    // full-corpus recall contracts (IVF / PQ / IVFADC / persisted PQ)
+    // consume this memoized frame's top-10 prefix, and the PQ delete
+    // gate derives its live baseline from the full 30 — so the frame
+    // they all trust is hashed against a full DuckDB cosine replay, 30
+    // ranks deep, scores included.
+    Q("q_ann_brute_baseline30",
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS cand_id,
+        |         round(list_cosine_similarity(qv,
+        |               CAST(e.embedding AS DOUBLE[])), 4) AS score
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, cand_id, score, rank FROM ranked
+        |WHERE rank <= 30 ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+        bruteExact30(s, dir).orderBy("query_id", "rank")
     },
 
     // The SHARED exact-MaxSim baseline, independently recomputed by the
@@ -1438,6 +1473,41 @@ object VectorQueries {
     maxsimExact(s, dir).where(col("rank") <= 10)
       .select("query_id", "cand_id")
 
+  /** The exact brute-force cosine top-30 baseline per (session, SF
+    * dir), with score and rank — the single-vector twin of
+    * [[maxsimExact]]: shared by the four full-corpus recall contracts
+    * (rank ≤ 10 prefix) and by q_ann_index_pq_delete's LIVE-corpus
+    * derivation (anti-join tombstones + re-rank — exact while ≥10 of
+    * each query's top-30 survive, validated loudly at use), and
+    * independently oracle-checked by q_ann_brute_baseline30 so the
+    * frame every contract trusts can FAIL on its own. Deterministic,
+    * tiny (queries×30 rows), session-lifetime localCheckpoint. */
+  private val bruteExactCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
+  private def bruteExact30(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame =
+    bruteExactCache.synchronized {
+      var per = bruteExactCache.get(s)
+      if (per == null) {
+        per = scala.collection.mutable.Map.empty
+        bruteExactCache.put(s, per)
+      }
+      per.getOrElseUpdate(dir, {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+            k = 30)
+          .withColumn("rank", col("rank").cast("long"))
+          .localCheckpoint()
+      })
+    }
+
+  /** [[bruteExact30]] restricted to the top-10 contract depth. */
+  private def bruteExact10(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame =
+    bruteExact30(s, dir).where(col("rank") <= 10)
+      .select("query_id", "cand_id")
+
   /** Clean-index fixture builders, one per vector index kind — the
     * SAME builder every lifecycle gate passes to [[IndexFixtures]], so
     * the warmup-built snapshot and a gate-built one are identical. */
@@ -1470,6 +1540,7 @@ object VectorQueries {
     centroids(s, dir)
     pqModel(s, dir)
     maxsimExact(s, dir).count()
+    bruteExact30(s, dir).count()
     IndexFixtures.shared(s, dir, "ivf")(buildIvf(s, dir))
     IndexFixtures.shared(s, dir, "ivfpq")(buildIvfPq(s, dir))
     IndexFixtures.shared(s, dir, "maxsim")(buildMaxsim(s, dir))

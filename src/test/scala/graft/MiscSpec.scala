@@ -2029,6 +2029,12 @@ class StagingCacheSpec extends SparkSpec {
       "q_sample_cluster_balanced")
     graft.operators.OperatorCaches.releaseAll(spark)
     for (name <- staged) {
+      // first pass warms the cross-gate session memos (bruteExact30 /
+      // maxsimExact localCheckpoints — EXEMPT from releaseAll by
+      // design); the delta of the second pass is the per-pass leak
+      // class the driver's long sessions accumulate
+      assert(graft.SparkEntry.queries(name)(spark, sf001).count() > 0)
+      graft.operators.OperatorCaches.releaseAll(spark)
       val before = spark.sparkContext.getPersistentRDDs.keySet
       assert(graft.SparkEntry.queries(name)(spark, sf001).count() > 0)
       graft.operators.OperatorCaches.releaseAll(spark)
