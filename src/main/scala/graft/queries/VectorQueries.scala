@@ -422,16 +422,10 @@ object VectorQueries {
     // writeIndex's overwrite makes the gate idempotent per invocation
     // (bench reps never double-append).
     Q("q_ann_index_append", IvfReplay.appendSql) { (s, dir) =>
-      import graft.functions.VectorFunctions.asDouble
       val emb = t(s, dir, "embeddings")
       // appends mutate: a private clone of the clean snapshot
       val idxDir = IndexFixtures.cloned(s, dir, "ivf")(buildIvf(s, dir))
-      val v = asDouble(col("embedding"))
-      val batch = emb.where(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000).as("vec_id"),
-          concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
-            .as("embedding"))
-      Similarity.appendToIndex(batch, idxDir)
+      Similarity.appendToIndex(perturbedBatch(emb), idxDir)
       Similarity.searchIndex(s, idxDir, emb.where(col("vec_id") < 5),
           k = 10, nProbe = 4)
         .withColumn("rank", col("rank").cast("long"))
@@ -446,15 +440,9 @@ object VectorQueries {
     // sample order, Lloyd folds, and the staged double swap must all
     // land exactly where the SQL does.
     Q("q_ann_index_recenter", IvfReplay.recenterSql) { (s, dir) =>
-      import graft.functions.VectorFunctions.asDouble
       val emb = t(s, dir, "embeddings")
       val idxDir = IndexFixtures.cloned(s, dir, "ivf")(buildIvf(s, dir))
-      val v = asDouble(col("embedding"))
-      val batch = emb.where(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000).as("vec_id"),
-          concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
-            .as("embedding"))
-      Similarity.appendToIndex(batch, idxDir)
+      Similarity.appendToIndex(perturbedBatch(emb), idxDir)
       Similarity.recenterIndex(s, idxDir, nClusters = 16).collect()
       Similarity.searchIndex(s, idxDir, emb.where(col("vec_id") < 5),
           k = 10, nProbe = 4)
@@ -701,19 +689,11 @@ object VectorQueries {
         import graft.operators.IvfPq
         val emb = t(s, dir, "embeddings")
         val qs = emb.where(col("vec_id") < 5)
-        val v = asDouble(col("embedding"))
-        val batch = emb.where(col("vec_id") < 20)
-          .select((col("vec_id") + 1000000).as("vec_id"),
-            concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
-              .as("embedding"))
+        val batch = perturbedBatch(emb)
         val idxDir = IndexFixtures.cloned(s, dir, "ivfpq")(
           buildIvfPq(s, dir))
         IvfPq.appendToIndex(batch, idxDir)
-        val union = emb.select(col("vec_id"), v.as("embedding"))
-          .union(batch)
-        val exact = StagingCaches.cache(
-          Similarity.bruteForceTopK(union, qs, k = 10)
-            .select("query_id", "cand_id"))
+        val exact = bruteUnion10(s, dir)
         val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
             nProbe = 10, rerank = 300)
           .select("query_id", "cand_id")
@@ -737,20 +717,12 @@ object VectorQueries {
         import graft.operators.IvfPq
         val emb = t(s, dir, "embeddings")
         val qs = emb.where(col("vec_id") < 5)
-        val v = asDouble(col("embedding"))
-        val batch = emb.where(col("vec_id") < 20)
-          .select((col("vec_id") + 1000000).as("vec_id"),
-            concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
-              .as("embedding"))
+        val batch = perturbedBatch(emb)
         val idxDir = IndexFixtures.cloned(s, dir, "ivfpq")(
           buildIvfPq(s, dir))
         IvfPq.appendToIndex(batch, idxDir)
         IvfPq.recenterIndex(s, idxDir, nClusters = 16).collect()
-        val union = emb.select(col("vec_id"), v.as("embedding"))
-          .union(batch)
-        val exact = StagingCaches.cache(
-          Similarity.bruteForceTopK(union, qs, k = 10)
-            .select("query_id", "cand_id"))
+        val exact = bruteUnion10(s, dir)
         val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
             nProbe = 10, rerank = 300)
           .select("query_id", "cand_id")
@@ -778,11 +750,7 @@ object VectorQueries {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
         val qs = emb.where(col("vec_id") < 5)
-        val v = asDouble(col("embedding"))
-        val batch = emb.where(col("vec_id") < 20)
-          .select((col("vec_id") + 1000000).as("vec_id"),
-            concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
-              .as("embedding"))
+        val batch = perturbedBatch(emb)
         val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           "graft_ivfpq_index_stream",
           dir.replace('/', '_').replace(':', '_')).toString
@@ -806,11 +774,7 @@ object VectorQueries {
         }
         feed(0L, 10L, "crawl-a")
         feed(10L, 20L, "crawl-b")
-        val union = emb.select(col("vec_id"), v.as("embedding"))
-          .union(batch)
-        val exact = StagingCaches.cache(
-          Similarity.bruteForceTopK(union, qs, k = 10)
-            .select("query_id", "cand_id"))
+        val exact = bruteUnion10(s, dir)
         val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
             nProbe = 10, rerank = 300)
           .select("query_id", "cand_id")
@@ -1042,6 +1006,38 @@ object VectorQueries {
         before.unionByName(flags("vacuumed"))
           .select("phase", "query_id", "recall_ok", "mean_ok")
           .orderBy("phase", "query_id")
+    },
+
+    // The UNION-corpus brute baseline (embeddings ∪ the standard
+    // perturbed batch), independently recomputed by the oracle — the
+    // third shared exact frame: the three PQ growth contracts
+    // (append / recenter / streamed ingest) measure against its top-10
+    // prefix, so the baseline they trust is hashed against a DuckDB
+    // replay of the SAME batch derivation + cosine top-30.
+    Q("q_ann_union_baseline30",
+      """WITH aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings
+        |             UNION ALL
+        |             SELECT vec_id + 1000000,
+        |                    list_concat([CAST(embedding AS DOUBLE[])[1]
+        |                                   + 0.1],
+        |                                CAST(embedding AS DOUBLE[])[2:64])
+        |             FROM embeddings WHERE vec_id < 20),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM aug
+        |      WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS cand_id,
+        |         round(list_cosine_similarity(qv, e.v), 4) AS score
+        |  FROM q, aug e WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, cand_id, score, rank FROM ranked
+        |WHERE rank <= 30 ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+        bruteUnion30(s, dir).orderBy("query_id", "rank")
     },
 
     // The SHARED brute-force baseline, independently recomputed by the
@@ -1508,6 +1504,54 @@ object VectorQueries {
     bruteExact30(s, dir).where(col("rank") <= 10)
       .select("query_id", "cand_id")
 
+  /** The standard append fixture batch every index-growth gate uses:
+    * near-copies of ids < 20 (first component +0.1) landed at
+    * vec_id + 1000000 — one definition for the five gates and the
+    * oracles that replay it. */
+  private[queries] def perturbedBatch(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.VectorFunctions.asDouble
+    val v = asDouble(col("embedding"))
+    emb.where(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+          .as("embedding"))
+  }
+
+  /** The exact brute-force top-30 over the UNION corpus (embeddings ∪
+    * [[perturbedBatch]]) — the baseline the three PQ growth contracts
+    * (append / recenter / streamed ingest) share; memoized like
+    * [[bruteExact30]] and oracle-checked by q_ann_union_baseline30. */
+  private val bruteUnionCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
+  private def bruteUnion30(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame =
+    bruteUnionCache.synchronized {
+      var per = bruteUnionCache.get(s)
+      if (per == null) {
+        per = scala.collection.mutable.Map.empty
+        bruteUnionCache.put(s, per)
+      }
+      per.getOrElseUpdate(dir, {
+        import graft.functions.VectorFunctions.asDouble
+        val emb = t(s, dir, "embeddings")
+        val union = emb.select(col("vec_id"),
+            asDouble(col("embedding")).as("embedding"))
+          .union(perturbedBatch(emb))
+        Similarity.bruteForceTopK(union, emb.where(col("vec_id") < 5),
+            k = 30)
+          .withColumn("rank", col("rank").cast("long"))
+          .localCheckpoint()
+      })
+    }
+
+  /** [[bruteUnion30]] restricted to the top-10 contract depth. */
+  private def bruteUnion10(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame =
+    bruteUnion30(s, dir).where(col("rank") <= 10)
+      .select("query_id", "cand_id")
+
   /** Clean-index fixture builders, one per vector index kind — the
     * SAME builder every lifecycle gate passes to [[IndexFixtures]], so
     * the warmup-built snapshot and a gate-built one are identical. */
@@ -1541,6 +1585,7 @@ object VectorQueries {
     pqModel(s, dir)
     maxsimExact(s, dir).count()
     bruteExact30(s, dir).count()
+    bruteUnion30(s, dir).count()
     IndexFixtures.shared(s, dir, "ivf")(buildIvf(s, dir))
     IndexFixtures.shared(s, dir, "ivfpq")(buildIvfPq(s, dir))
     IndexFixtures.shared(s, dir, "maxsim")(buildMaxsim(s, dir))
