@@ -295,6 +295,41 @@ object MaxSim {
         .join(broadcast(q), "query_id"), k)
   }
 
+  /** Incremental token-index growth — the MaxSim analog of
+    * [[Similarity.appendToIndex]], completing the append path on the
+    * fifth index kind: the batch's tokens assign against the index's
+    * STANDING coarse cells (quantizer deliberately not refit — rebuild
+    * via [[writeTokenIndex]] when drift warrants, the same trade every
+    * append path in this library makes) and land as extra files inside
+    * the SAME `centroid_id=` directories of the `tokens/` layout, and
+    * under the standing `doc_bucket=` partitioning of `doctokens/`
+    * (the bucket hash is over the long-normalized doc_id, so fetches
+    * route identically for standing and appended documents). O(batch)
+    * regardless of index size; micro-batch-sized appends skip the
+    * clustered repartition (a shuffle per tiny batch costs more than
+    * the files it saves); zero search-path changes — candidate
+    * generation and the per-doc fetch read appended files
+    * transparently. Batch id discipline is the caller's (a re-ingested
+    * doc_id would shadow nothing and rank twice). */
+  def appendToTokenIndex(docTokens: DataFrame, dir: String): Unit = {
+    val spark = docTokens.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val toks = docTokens.select(col("doc_id").cast("long").as("doc_id"),
+      col("tok"), asDouble(col("vec")).as("vec"))
+    val dTok = toks.select(
+      packedTid(col("doc_id"), col("tok")).as("tid"), col("vec"))
+    Similarity.nearestCentroids(dTok, cents, "tid", "vec", 1)
+      .select((col("tid") / 1024).cast("long").as("doc_id"),
+        (col("tid") % 1024).cast("int").as("tok"),
+        col("vec"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/tokens")
+    toks
+      .withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(DocBuckets)))
+      .write.mode("append").partitionBy("doc_bucket")
+      .parquet(s"$dir/doctokens")
+  }
+
   /** Append-only deletion (right-to-be-forgotten for the token index —
     * the FIFTH persisted index kind carrying the shared ledger
     * contract): `ids` (a `doc_id` column) land in the tombstone ledger;

@@ -948,6 +948,83 @@ object VectorQueries {
         recallFlags(exact, approx)
     },
 
+    // Token-index incremental APPEND (MaxSim.appendToTokenIndex) — the
+    // growth path on the FIFTH index kind, completing the append
+    // symmetry (ANN, PQ, BM25, phrase all have one): the batch's tokens
+    // assign against the STANDING coarse cells (quantizer deliberately
+    // not refit — the library-wide append contract) and land as extra
+    // files inside the standing centroid_id= / doc_bucket= directories
+    // of BOTH layouts; zero search-path changes. The batch is
+    // near-copies of the first 20 docs (ids +1000000), so each query's
+    // own near-copy MUST surface — the appended documents are only
+    // reachable through appended files. Recall contract against the
+    // UNION-corpus exact MaxSim baseline (oracle-checked below).
+    Q("q_ann_maxsim_index_append",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.MaxSim
+        val emb = t(s, dir, "embeddings")
+        val idxDir = IndexFixtures.cloned(s, dir, "maxsim")(
+          buildMaxsim(s, dir))
+        MaxSim.appendToTokenIndex(
+          MaxSim.subvectorTokens(perturbedBatch(emb),
+              "vec_id", "embedding", 8)
+            .withColumnRenamed("vec_id", "doc_id"),
+          idxDir)
+        val exact = maxsimUnionExact(s, dir).where(col("rank") <= 10)
+          .select("query_id", "cand_id")
+        val approx = MaxSim.searchTokenIndex(s, idxDir,
+            maxsimQueryToks(s, dir), k = 10, nProbe = 6, tokenTopT = 64)
+          .select(col("query_id"), col("doc_id").as("cand_id"))
+        recallFlags(exact, approx)
+    },
+
+    // The UNION-corpus exact-MaxSim baseline, independently recomputed
+    // by the oracle — the append contract above measures against this
+    // memoized frame, so it is hashed against a full DuckDB MaxSim
+    // replay over the SAME batch derivation, 30 ranks deep.
+    Q("q_ann_maxsim_union_baseline30",
+      """WITH tk AS (SELECT unnest(range(8)) AS tok),
+        |aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings
+        |        UNION ALL
+        |        SELECT vec_id + 1000000,
+        |               list_concat([CAST(embedding AS DOUBLE[])[1] + 0.1],
+        |                           CAST(embedding AS DOUBLE[])[2:64])
+        |        FROM embeddings WHERE vec_id < 20),
+        |dt AS (SELECT vec_id AS doc_id, tk.tok,
+        |         v[(tk.tok*8+1):(tk.tok*8+8)] AS dv
+        |       FROM aug CROSS JOIN tk),
+        |qt AS (SELECT vec_id AS query_id, tk.tok,
+        |         v[(tk.tok*8+1):(tk.tok*8+8)] AS qv
+        |       FROM aug CROSS JOIN tk WHERE vec_id < 3),
+        |pr AS (SELECT qt.query_id, qt.tok, dt.doc_id,
+        |         list_reduce(list_transform(list_zip(qt.qv, dt.dv),
+        |           z -> z[1] * z[2]), (x1, y1) -> x1 + y1)
+        |         / (sqrt(list_reduce(list_transform(qt.qv, e1 -> e1 * e1),
+        |              (x2, y2) -> x2 + y2))
+        |            * sqrt(list_reduce(list_transform(dt.dv, e2 -> e2 * e2),
+        |                (x3, y3) -> x3 + y3))) AS craw
+        |       FROM dt CROSS JOIN qt WHERE qt.query_id <> dt.doc_id),
+        |mx AS (SELECT query_id, tok, doc_id,
+        |         max(CASE WHEN craw * 10000.0 >= 0
+        |             THEN CAST(floor(craw * 10000.0 + 0.5) AS BIGINT)
+        |             ELSE CAST(ceil(craw * 10000.0 - 0.5) AS BIGINT) END)
+        |           AS m
+        |       FROM pr GROUP BY query_id, tok, doc_id),
+        |sc AS (SELECT query_id, doc_id,
+        |         CAST(sum(m) AS BIGINT) AS si4
+        |       FROM mx GROUP BY query_id, doc_id),
+        |rk AS (SELECT query_id, doc_id, row_number() OVER (
+        |         PARTITION BY query_id
+        |         ORDER BY si4 DESC, doc_id) AS rank
+        |       FROM sc)
+        |SELECT query_id, doc_id AS cand_id, rank FROM rk WHERE rank <= 30
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      maxsimUnionExact(s, dir).orderBy("query_id", "rank")
+    },
+
     // Token-index deletion lifecycle (MaxSim.deleteFromTokenIndex /
     // vacuumTokenIndex): the shared TombstoneLedger contract on the
     // FIFTH persisted index kind — tombstones mask BOTH layouts
@@ -1380,52 +1457,49 @@ object VectorQueries {
       .orderBy("query_id")
   }
 
-  /** One k-means fit per (session, SF dir), shared by q_ann_ivf and
-    * q_ann_ivf_recall. The fitted centroids are a driver-local
-    * LocalRelation (k×dim doubles), so the memo is exact across actions
-    * and costs no recomputation. Keyed WEAKLY by the session object — a
-    * DataFrame is bound to the session that built it, and serving one to
-    * a different (or restarted) session would fail or mix catalogs; the
-    * weak key also lets a dead session's entries (and the frames pinning
-    * it) be collected instead of accumulating in a long-lived JVM. */
-  private val centCache = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
-  private def centroids(s: org.apache.spark.sql.SparkSession,
-                        dir: String): org.apache.spark.sql.DataFrame =
-    centCache.synchronized {
-      var per = centCache.get(s)
+  /** Session-scoped memo for DETERMINISTIC derived values keyed by SF
+    * dir (fits, exact baselines). Keyed WEAKLY by the session object —
+    * a DataFrame is bound to the session that built it, and serving one
+    * to a different (or restarted) session would fail or mix catalogs;
+    * the weak key also lets a dead session's entries (and the frames
+    * pinning it) be collected instead of accumulating in a long-lived
+    * JVM. Memoizing is exact because every builder below is
+    * deterministic over (session, dir). */
+  private final class SessionMemo[V] {
+    private val cache = new java.util.WeakHashMap[
+      org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, V]]
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String)
+             (build: => V): V = cache.synchronized {
+      var per = cache.get(s)
       if (per == null) {
         per = scala.collection.mutable.Map.empty
-        centCache.put(s, per)
+        cache.put(s, per)
       }
-      per.getOrElseUpdate(dir,
-        Similarity.fitCentroids(t(s, dir, "embeddings"), k = 16))
+      per.getOrElseUpdate(dir, build)
     }
+  }
+
+  /** One k-means fit per (session, SF dir), shared by q_ann_ivf and
+    * q_ann_ivf_recall — a driver-local LocalRelation (k×dim doubles). */
+  private val centCache = new SessionMemo[org.apache.spark.sql.DataFrame]
+  private def centroids(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    centCache(s, dir)(
+      Similarity.fitCentroids(t(s, dir, "embeddings"), k = 16))
 
   /** One IVF-PQ model fit per (session, SF dir) — the PQ twin of the
     * centroid cache below, shared by the six q_ann_*pq* gates: the fit
     * is deterministic over the full embeddings table with the shared
     * coarse centroids, so every gate's own fit would produce the
     * identical model; memoizing it is exact and saves a bounded sample
-    * collect + driver Lloyd per gate. Plain arrays (no DataFrame), but
-    * keyed weakly by session like centCache so a dead session's entries
-    * collect. */
-  private val pqModelCache = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[String, graft.operators.IvfPq.Model]]
+    * collect + driver Lloyd per gate (plain arrays, no DataFrame). */
+  private val pqModelCache = new SessionMemo[graft.operators.IvfPq.Model]
   private def pqModel(s: org.apache.spark.sql.SparkSession,
                       dir: String): graft.operators.IvfPq.Model =
-    pqModelCache.synchronized {
-      var per = pqModelCache.get(s)
-      if (per == null) {
-        per = scala.collection.mutable.Map.empty
-        pqModelCache.put(s, per)
-      }
-      per.getOrElseUpdate(dir,
-        graft.operators.IvfPq.fit(t(s, dir, "embeddings"),
-          nClusters = 16, centroids = Some(centroids(s, dir))))
-    }
+    pqModelCache(s, dir)(
+      graft.operators.IvfPq.fit(t(s, dir, "embeddings"),
+        nClusters = 16, centroids = Some(centroids(s, dir))))
 
   /** The exact MaxSim top-30 baseline per (session, SF dir), WITH rank —
     * shared by the three recall-contract gates (q_ann_maxsim_pruned /
@@ -1437,30 +1511,50 @@ object VectorQueries {
     * validated per query at use). Deterministic, so the memo is exact.
     * The memoized frame is a localCheckpoint (session-lifetime, tiny:
     * queries×30 rows). */
-  private val maxsimExactCache = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
+  private val maxsimExactCache =
+    new SessionMemo[org.apache.spark.sql.DataFrame]
   private def maxsimExact(s: org.apache.spark.sql.SparkSession,
                           dir: String): org.apache.spark.sql.DataFrame =
-    maxsimExactCache.synchronized {
-      var per = maxsimExactCache.get(s)
-      if (per == null) {
-        per = scala.collection.mutable.Map.empty
-        maxsimExactCache.put(s, per)
-      }
-      per.getOrElseUpdate(dir, {
-        import graft.operators.MaxSim
-        val emb = t(s, dir, "embeddings")
-        val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
-          .withColumnRenamed("vec_id", "doc_id")
-        val qToks = MaxSim.subvectorTokens(
-            emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
-          .withColumnRenamed("vec_id", "query_id")
-        MaxSim.maxSimTopK(docToks, qToks, k = 30)
-          .select(col("query_id"), col("doc_id").as("cand_id"),
-            col("rank"))
-          .localCheckpoint()
-      })
+    maxsimExactCache(s, dir) {
+      import graft.operators.MaxSim
+      val emb = t(s, dir, "embeddings")
+      val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+        .withColumnRenamed("vec_id", "doc_id")
+      MaxSim.maxSimTopK(docToks, maxsimQueryToks(s, dir), k = 30)
+        .select(col("query_id"), col("doc_id").as("cand_id"),
+          col("rank"))
+        .localCheckpoint()
+    }
+
+  /** The MaxSim family's shared query-token frame (queries < 3). */
+  private def maxsimQueryToks(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.MaxSim.subvectorTokens(
+        t(s, dir, "embeddings").where(col("vec_id") < 3),
+        "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+
+  /** The exact MaxSim top-30 over the UNION corpus (embeddings ∪
+    * [[perturbedBatch]]) — the baseline the token-index APPEND contract
+    * measures against; memoized like [[maxsimExact]] and
+    * oracle-checked by q_ann_maxsim_union_baseline30. */
+  private val maxsimUnionCache =
+    new SessionMemo[org.apache.spark.sql.DataFrame]
+  private def maxsimUnionExact(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame =
+    maxsimUnionCache(s, dir) {
+      import graft.functions.VectorFunctions.asDouble
+      import graft.operators.MaxSim
+      val emb = t(s, dir, "embeddings")
+      val union = emb.select(col("vec_id"),
+          asDouble(col("embedding")).as("embedding"))
+        .union(perturbedBatch(emb))
+      val docToks = MaxSim.subvectorTokens(union, "vec_id", "embedding", 8)
+        .withColumnRenamed("vec_id", "doc_id")
+      MaxSim.maxSimTopK(docToks, maxsimQueryToks(s, dir), k = 30)
+        .select(col("query_id"), col("doc_id").as("cand_id"),
+          col("rank"))
+        .localCheckpoint()
     }
 
   /** [[maxsimExact]] restricted to the top-10 contract depth. */
@@ -1478,24 +1572,16 @@ object VectorQueries {
     * independently oracle-checked by q_ann_brute_baseline30 so the
     * frame every contract trusts can FAIL on its own. Deterministic,
     * tiny (queries×30 rows), session-lifetime localCheckpoint. */
-  private val bruteExactCache = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
+  private val bruteExactCache =
+    new SessionMemo[org.apache.spark.sql.DataFrame]
   private def bruteExact30(s: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame =
-    bruteExactCache.synchronized {
-      var per = bruteExactCache.get(s)
-      if (per == null) {
-        per = scala.collection.mutable.Map.empty
-        bruteExactCache.put(s, per)
-      }
-      per.getOrElseUpdate(dir, {
-        val emb = t(s, dir, "embeddings")
-        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
-            k = 30)
-          .withColumn("rank", col("rank").cast("long"))
-          .localCheckpoint()
-      })
+    bruteExactCache(s, dir) {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+          k = 30)
+        .withColumn("rank", col("rank").cast("long"))
+        .localCheckpoint()
     }
 
   /** [[bruteExact30]] restricted to the top-10 contract depth. */
@@ -1522,28 +1608,20 @@ object VectorQueries {
     * [[perturbedBatch]]) — the baseline the three PQ growth contracts
     * (append / recenter / streamed ingest) share; memoized like
     * [[bruteExact30]] and oracle-checked by q_ann_union_baseline30. */
-  private val bruteUnionCache = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
+  private val bruteUnionCache =
+    new SessionMemo[org.apache.spark.sql.DataFrame]
   private def bruteUnion30(s: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame =
-    bruteUnionCache.synchronized {
-      var per = bruteUnionCache.get(s)
-      if (per == null) {
-        per = scala.collection.mutable.Map.empty
-        bruteUnionCache.put(s, per)
-      }
-      per.getOrElseUpdate(dir, {
-        import graft.functions.VectorFunctions.asDouble
-        val emb = t(s, dir, "embeddings")
-        val union = emb.select(col("vec_id"),
-            asDouble(col("embedding")).as("embedding"))
-          .union(perturbedBatch(emb))
-        Similarity.bruteForceTopK(union, emb.where(col("vec_id") < 5),
-            k = 30)
-          .withColumn("rank", col("rank").cast("long"))
-          .localCheckpoint()
-      })
+    bruteUnionCache(s, dir) {
+      import graft.functions.VectorFunctions.asDouble
+      val emb = t(s, dir, "embeddings")
+      val union = emb.select(col("vec_id"),
+          asDouble(col("embedding")).as("embedding"))
+        .union(perturbedBatch(emb))
+      Similarity.bruteForceTopK(union, emb.where(col("vec_id") < 5),
+          k = 30)
+        .withColumn("rank", col("rank").cast("long"))
+        .localCheckpoint()
     }
 
   /** [[bruteUnion30]] restricted to the top-10 contract depth. */
@@ -1584,6 +1662,7 @@ object VectorQueries {
     centroids(s, dir)
     pqModel(s, dir)
     maxsimExact(s, dir).count()
+    maxsimUnionExact(s, dir).count()
     bruteExact30(s, dir).count()
     bruteUnion30(s, dir).count()
     IndexFixtures.shared(s, dir, "ivf")(buildIvf(s, dir))

@@ -191,6 +191,42 @@ class MaxSimSpec extends SparkSpec {
     }
   }
 
+  test("appendToTokenIndex: appended near-copies surface at rank 1 for " +
+      "their source queries, landing inside the STANDING partition " +
+      "layout of both datasets") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_app").toString
+    MaxSim.writeTokenIndex(docToks, dir, nClusters = 16)
+    val v = graft.functions.VectorFunctions.asDouble(col("embedding"))
+    val batch = emb.where(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+          .as("embedding"))
+    MaxSim.appendToTokenIndex(
+      MaxSim.subvectorTokens(batch, "vec_id", "embedding", 8)
+        .withColumnRenamed("vec_id", "doc_id"), dir)
+    val top1 = MaxSim.searchTokenIndex(spark, dir, qToks, k = 10,
+        nProbe = 6, tokenTopT = 64)
+      .where(col("rank") === 1).select("query_id", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    for (q <- 0L to 2L)
+      assert(top1(q) == q + 1000000,
+        s"query $q: near-copy not at rank 1 (got ${top1.get(q)})")
+    // the append reused the standing partition layout — no stray dirs
+    for ((ds, pfx) <- Seq("tokens" -> "centroid_id=",
+        "doctokens" -> "doc_bucket="))
+      assert(new java.io.File(s"$dir/$ds").listFiles()
+        .filter(_.isDirectory).forall(_.getName.startsWith(pfx)),
+        s"$ds gained a non-$pfx directory")
+  }
+
   test("matches brute-force pooled cosine ranking when m = 1") {
     import org.apache.spark.sql.functions._
     val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
