@@ -330,6 +330,65 @@ object MaxSim {
       .parquet(s"$dir/doctokens")
   }
 
+  /** Out-of-band quantizer refresh — the maintenance step
+    * [[appendToTokenIndex]] deliberately skips, completing the
+    * append+recenter pair on every QUANTIZED index kind (IVF, PQ,
+    * MaxSim tokens; the text kinds' maintenance is compaction instead):
+    * batches appended against stale cells land in the nearest SURVIVING
+    * cell, so as the token distribution drifts the coarse quantizer's
+    * cells stop matching the data and candidate-generation recall
+    * decays. This refits the cells from the tokens THE INDEX ALREADY
+    * STORES (no original corpus needed — the tokens layout is the
+    * model-independent store) and rewrites that layout under the new
+    * cells; `doctokens/` is untouched (bucketed by doc_id, model-free),
+    * and pending tombstones stay pending (the ledger is not consulted —
+    * deletes keep masking and vacuum stays correct).
+    *
+    * Equivalence contract (MaxSimSpec): after recentering, search is
+    * row-identical to [[writeTokenIndex]] built fresh over the same
+    * token set — the fit samples by xxhash64(tid), which depends only
+    * on the (tid, vector) set, never on which layout supplied it.
+    *
+    * Crash contract: centroids and tokens cannot swap atomically; an
+    * interruption between the two swaps degrades candidate-generation
+    * recall (probing new cells over an old layout or vice versa) but
+    * never fabricates — the exact re-rank still scores true cosines on
+    * whatever surfaces — and re-running converges (recenter reads only
+    * the model-independent token store). */
+  def recenterTokenIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, nClusters: Int = 16): Unit = {
+    val stored = spark.read.parquet(s"$dir/tokens")
+    val dTok = stored.select(
+      packedTid(col("doc_id"), col("tok")).as("tid"),
+      asDouble(col("vec")).as("vec"))
+    val cents = Similarity.fitCentroids(
+      dTok.select(col("tid").as("vec_id"), col("vec").as("embedding")),
+      nClusters)
+      .select(col("centroid_id").cast("int").as("centroid_id"),
+        col("centroid_vec"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1,
+      spark.sparkContext.defaultParallelism / math.max(1, nClusters))
+    val tokTmp = new org.apache.hadoop.fs.Path(s"$dir/.tokens.recenter")
+    Similarity.nearestCentroids(dTok, cents, "tid", "vec", 1)
+      .select((col("tid") / 1024).cast("long").as("doc_id"),
+        (col("tid") % 1024).cast("int").as("tok"),
+        col("vec"), col("centroid_id"))
+      .repartition(nClusters * slices, col("centroid_id"),
+        pmod(hash(col("doc_id")), lit(slices)))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(tokTmp.toString)
+    val centTmp = new org.apache.hadoop.fs.Path(s"$dir/.centroids.recenter")
+    cents.coalesce(1).write.mode("overwrite").parquet(centTmp.toString)
+    graft.sources.Formats.swapInto(fs, tokTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/tokens"))
+    graft.sources.Formats.swapInto(fs, centTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/centroids"))
+    spark.catalog.refreshByPath(s"$dir/tokens")
+    spark.catalog.refreshByPath(s"$dir/centroids")
+  }
+
   /** Append-only deletion (right-to-be-forgotten for the token index —
     * the FIFTH persisted index kind carrying the shared ledger
     * contract): `ids` (a `doc_id` column) land in the tombstone ledger;

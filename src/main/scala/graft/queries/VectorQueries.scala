@@ -980,6 +980,39 @@ object VectorQueries {
         recallFlags(exact, approx)
     },
 
+    // Token-index quantizer refresh (MaxSim.recenterTokenIndex) — the
+    // maintenance step the append path defers, completing the
+    // append+recenter pair on every QUANTIZED index kind (IVF, PQ,
+    // MaxSim tokens): re-fits the coarse cells from the tokens the
+    // index already stores and rewrites the cell layout behind staged
+    // swaps; doctokens (bucketed by doc_id, model-free) is untouched.
+    // MaxSimSpec pins recenter-after-append ≡ fresh rebuild over the
+    // union ROW-FOR-ROW (same token set → same deterministic fit); the
+    // gate runs the recall contract over the union corpus through the
+    // refreshed on-disk model, against the oracle-checked union
+    // baseline.
+    Q("q_ann_maxsim_index_recenter",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.MaxSim
+        val emb = t(s, dir, "embeddings")
+        val idxDir = IndexFixtures.cloned(s, dir, "maxsim")(
+          buildMaxsim(s, dir))
+        MaxSim.appendToTokenIndex(
+          MaxSim.subvectorTokens(perturbedBatch(emb),
+              "vec_id", "embedding", 8)
+            .withColumnRenamed("vec_id", "doc_id"),
+          idxDir)
+        MaxSim.recenterTokenIndex(s, idxDir, nClusters = 16)
+        val exact = maxsimUnionExact(s, dir).where(col("rank") <= 10)
+          .select("query_id", "cand_id")
+        val approx = MaxSim.searchTokenIndex(s, idxDir,
+            maxsimQueryToks(s, dir), k = 10, nProbe = 6, tokenTopT = 64)
+          .select(col("query_id"), col("doc_id").as("cand_id"))
+        recallFlags(exact, approx)
+    },
+
     // The UNION-corpus exact-MaxSim baseline, independently recomputed
     // by the oracle — the append contract above measures against this
     // memoized frame, so it is hashed against a full DuckDB MaxSim

@@ -227,6 +227,40 @@ class MaxSimSpec extends SparkSpec {
         s"$ds gained a non-$pfx directory")
   }
 
+  test("recenterTokenIndex after appends ≡ a fresh writeTokenIndex over " +
+      "the union token set, search-row-identical (same tid/vector set " +
+      "→ same deterministic fit), with doctokens untouched") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val base = emb.where(col("vec_id") >= 3)
+    val batch = emb.where(col("vec_id") < 3)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      MaxSim.subvectorTokens(df, "vec_id", "embedding", 8)
+        .withColumnRenamed("vec_id", "doc_id")
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    val grown = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_rec_a").toString
+    MaxSim.writeTokenIndex(toks(base), grown, nClusters = 8)
+    MaxSim.appendToTokenIndex(toks(batch), grown)
+    MaxSim.recenterTokenIndex(spark, grown, nClusters = 8)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_rec_b").toString
+    MaxSim.writeTokenIndex(toks(emb), fresh, nClusters = 8)
+    def rows(dir: String) =
+      MaxSim.searchTokenIndex(spark, dir, qToks, k = 10,
+          nProbe = 4, tokenTopT = 16)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+        .toSeq
+    val a = rows(grown); val b = rows(fresh)
+    assert(a.nonEmpty && a == b,
+      s"recentered index diverged from fresh rebuild:\n$a\n$b")
+    // doctokens untouched by recenter: still the standing bucket layout
+    assert(new java.io.File(s"$grown/doctokens").listFiles()
+      .filter(_.isDirectory).forall(_.getName.startsWith("doc_bucket=")))
+  }
+
   test("matches brute-force pooled cosine ranking when m = 1") {
     import org.apache.spark.sql.functions._
     val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
