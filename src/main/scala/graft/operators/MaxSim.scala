@@ -211,11 +211,15 @@ object MaxSim {
         pmod(hash(col("tok")), lit(slices)))
       .write.mode("overwrite").partitionBy("doc_bucket")
       .parquet(s"$dir/doctokens")
-    // a full rebuild resets the deletion ledger (pre-rebuild tombstones
-    // refer to the old corpus — same contract as the other indexes)
-    TombstoneLedger.reset(
-      new org.apache.hadoop.fs.Path(s"$dir/tombstones").getFileSystem(
-        spark.sparkContext.hadoopConfiguration), s"$dir/tombstones")
+    // a full rebuild resets the deletion ledger AND the streaming batch
+    // dirs (pre-rebuild tombstones/batches refer to the old corpus —
+    // same contract as the other indexes; the fresh tokens/ overwrite
+    // above carries no high-water marker, so stale batch dirs left
+    // standing would resurrect as live)
+    val fsRoot = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fsRoot.delete(new org.apache.hadoop.fs.Path(s"$dir/batches"), true)
+    TombstoneLedger.reset(fsRoot, s"$dir/tombstones")
   }
 
   /** Search a persisted [[writeTokenIndex]] index — result-identical to
@@ -260,8 +264,21 @@ object MaxSim {
     // tombstoned document can neither seed candidates nor be fetched;
     // unhinted — AQE broadcasts the ledger while it is small
     val ledger = TombstoneLedger.df(spark, s"$dir/tombstones", "doc_id")
-    val rawTokens = spark.read.parquet(s"$dir/tokens")
-      .where(col("centroid_id").isin(probedCells: _*))
+    // live streaming batch dirs union in transparently (the probed-cell
+    // partition filter prunes them too); while any exist, both layouts
+    // dedup on the (doc_id, tok) natural key so the compaction crash
+    // window never double-counts (same contract as IvfPq.searchIndex)
+    val liveDirs = IndexBatches.live(spark, dir, "tokens")
+    val tCols = Seq("doc_id", "tok", "vec", "centroid_id").map(col)
+    val rawTokens0 = liveDirs.foldLeft(
+        spark.read.parquet(s"$dir/tokens").select(tCols: _*)
+          .where(col("centroid_id").isin(probedCells: _*))) { (acc, p) =>
+      acc.union(spark.read.parquet(s"$p/tokens").select(tCols: _*)
+        .where(col("centroid_id").isin(probedCells: _*)))
+    }
+    val rawTokens =
+      if (liveDirs.isEmpty) rawTokens0
+      else rawTokens0.dropDuplicates("doc_id", "tok")
     val liveTokens = ledger
       .map(ts => rawTokens.join(ts, Seq("doc_id"), "left_anti"))
       .getOrElse(rawTokens)
@@ -284,10 +301,17 @@ object MaxSim {
         org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(d, 42),
         DocBuckets))
       .distinct.toSeq
-    val fetched = spark.read.parquet(s"$dir/doctokens")
+    val dCols = Seq("doc_id", "tok", "vec", "doc_bucket").map(col)
+    def bucketed(p: String) = spark.read.parquet(p).select(dCols: _*)
       .where(col("doc_bucket").isin(buckets.map(Integer.valueOf): _*))
       .where(col("doc_id").isin(candIds: _*))
-      .select(col("doc_id"), asDouble(col("vec")).as("dv"))
+    val fetched0 = liveDirs.foldLeft(bucketed(s"$dir/doctokens")) {
+      (acc, p) => acc.union(bucketed(s"$p/doctokens"))
+    }
+    val fetched =
+      (if (liveDirs.isEmpty) fetched0
+       else fetched0.dropDuplicates("doc_id", "tok"))
+        .select(col("doc_id"), asDouble(col("vec")).as("dv"))
     val q = queryTokens.select(col("query_id"), col("tok"),
       asDouble(col("vec")).as("qv"))
     scoreAndRank(
@@ -330,6 +354,90 @@ object MaxSim {
       .parquet(s"$dir/doctokens")
   }
 
+  /** EXACTLY-ONCE streaming ingestion for the token index — the MaxSim
+    * leg of the [[IndexBatches]] contract, making all FIVE persisted
+    * index kinds streaming-ingestible: one micro-batch of
+    * (doc_id, tok, vec) token rows encodes against the STANDING coarse
+    * cells (same deliberate no-refit trade as [[appendToTokenIndex]])
+    * and lands BOTH layouts under `batches/<tagHash>/<batchId>` with
+    * OVERWRITE — foreachBatch is at-least-once, and a replayed batch
+    * REWRITES its own location instead of double-appending (idempotency
+    * by placement; the in-place append would double-count every token
+    * on replay, and a doc ranked twice is a wrong answer, not a
+    * degraded one). Each batch dataset carries the base layout's own
+    * partitioning (`centroid_id=` / `doc_bucket=`), so the search-path
+    * probes and bucket fetches prune batch dirs exactly like the
+    * standing data. */
+  def appendTokenBatchDir(docTokens: DataFrame, dir: String, tag: String,
+                          batchId: Long): Unit = {
+    val spark = docTokens.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val toks = StagingCaches.cache(
+      docTokens.select(col("doc_id").cast("long").as("doc_id"),
+        col("tok"), asDouble(col("vec")).as("vec")))
+    try {
+      val batchRoot =
+        s"$dir/batches/${IndexBatches.tagHash(tag)}/$batchId"
+      val dTok = toks.select(
+        packedTid(col("doc_id"), col("tok")).as("tid"), col("vec"))
+      Similarity.nearestCentroids(dTok, cents, "tid", "vec", 1)
+        .select((col("tid") / 1024).cast("long").as("doc_id"),
+          (col("tid") % 1024).cast("int").as("tok"),
+          col("vec"), col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$batchRoot/tokens")
+      toks
+        .withColumn("doc_bucket",
+          pmod(hash(col("doc_id")), lit(DocBuckets)))
+        .write.mode("overwrite").partitionBy("doc_bucket")
+        .parquet(s"$batchRoot/doctokens")
+    } finally toks.unpersist()
+  }
+
+  /** Fold live streaming batch directories into both standing layouts:
+    * each folds with natural-key dedup on (doc_id, tok) — a token
+    * present in the base AND a still-live dir collapses to one row, so
+    * the compaction crash window never double-counts — behind staged
+    * swaps, the high-water marker committing INSIDE the staged TOKENS
+    * dir (the dataset [[IndexBatches.live]] reads it from; doctokens
+    * swaps FIRST so a crash between the two swaps leaves the marker
+    * unset and the batch dirs still live, where read-side dedup
+    * absorbs the already-folded rows). Batch-dir deletion afterwards
+    * is best-effort — the marker already suppresses survivors. */
+  def compactTokenIndexBatches(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Unit = {
+    val live = IndexBatches.live(spark, dir, "tokens")
+    if (live.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+    for ((ds, part) <- Seq("doctokens" -> "doc_bucket",
+        "tokens" -> "centroid_id")) {
+      val sel = Seq("doc_id", "tok", "vec", part).map(col)
+      val base = spark.read.parquet(s"$dir/$ds").select(sel: _*)
+      val merged = live.foldLeft(base) { (acc, p) =>
+        acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
+      }.dropDuplicates("doc_id", "tok")
+      val fanout = if (part == "centroid_id") math.max(1, nClusters)
+                   else DocBuckets
+      val slices = math.max(1,
+        spark.sparkContext.defaultParallelism / fanout)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
+      merged.repartition(fanout * slices, col(part),
+          pmod(hash(col("doc_id")), lit(slices)))
+        .write.mode("overwrite").partitionBy(part)
+        .parquet(tmp.toString)
+      if (ds == "tokens")
+        IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
+          new org.apache.hadoop.fs.Path(s"$dir/tokens"), live))
+      graft.sources.Formats.swapInto(fs, tmp,
+        new org.apache.hadoop.fs.Path(s"$dir/$ds"))
+      spark.catalog.refreshByPath(s"$dir/$ds")
+    }
+    live.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
+
   /** Out-of-band quantizer refresh — the maintenance step
     * [[appendToTokenIndex]] deliberately skips, completing the
     * append+recenter pair on every QUANTIZED index kind (IVF, PQ,
@@ -357,6 +465,11 @@ object MaxSim {
     * the model-independent token store). */
   def recenterTokenIndex(spark: org.apache.spark.sql.SparkSession,
                          dir: String, nClusters: Int = 16): Unit = {
+    // fold live streaming batch dirs first: the refit must see their
+    // tokens, and the tokens swap below would otherwise discard the
+    // compaction high-water marker stored inside the directory
+    // (resurrecting folded-but-undeleted batches as duplicates)
+    compactTokenIndexBatches(spark, dir)
     val stored = spark.read.parquet(s"$dir/tokens")
     val dTok = stored.select(
       packedTid(col("doc_id"), col("tok")).as("tid"),
@@ -381,6 +494,9 @@ object MaxSim {
       .parquet(tokTmp.toString)
     val centTmp = new org.apache.hadoop.fs.Path(s"$dir/.centroids.recenter")
     cents.coalesce(1).write.mode("overwrite").parquet(centTmp.toString)
+    // carry the compaction marker through the tokens rewrite
+    IndexBatches.writeMarker(fs, tokTmp, IndexBatches.readMarker(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/tokens")))
     graft.sources.Formats.swapInto(fs, tokTmp,
       new org.apache.hadoop.fs.Path(s"$dir/tokens"))
     graft.sources.Formats.swapInto(fs, centTmp,
@@ -414,6 +530,12 @@ object MaxSim {
     * scores live documents only. Returns token rows removed. */
   def vacuumTokenIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Long = {
+    // fold live streaming batch dirs first — vacuum rewrites the BASE
+    // layouts and then clears the consumed ledger, so a tombstoned
+    // document whose tokens sat in an unfolded batch dir would
+    // RESURFACE once its tombstone is cleared (same ordering contract
+    // as Similarity.vacuumIndex)
+    compactTokenIndexBatches(spark, dir)
     val root = s"$dir/tombstones"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -443,6 +565,9 @@ object MaxSim {
           .write.mode("overwrite").partitionBy(part)
           .parquet(tmp.toString)
       }
+      // carry the compaction marker through the tokens rewrite
+      if (ds == "tokens")
+        IndexBatches.writeMarker(fs, tmp, IndexBatches.readMarker(fs, path))
       graft.sources.Formats.swapInto(fs, tmp, path)
       spark.catalog.refreshByPath(path.toString)
     }

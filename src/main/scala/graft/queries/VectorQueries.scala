@@ -1013,6 +1013,53 @@ object VectorQueries {
         recallFlags(exact, approx)
     },
 
+    // Streaming TOKEN-INDEX ingestion (EventStreams.maxsimIndexSink →
+    // MaxSim.appendTokenBatchDir) — the exactly-once contract on the
+    // FIFTH index kind, closing streaming ingestion across all five:
+    // two real micro-batch streams (MemoryStream, AvailableNow) land
+    // the standard perturbed batch as batch-scoped dual-layout dirs
+    // (overwrite by (tag, batchId) — a replayed batch rewrites its own
+    // location), and searchTokenIndex unions the live dirs with
+    // (doc_id, tok) dedup transparently — each query's near-copy is
+    // only reachable through streamed files. Recall contract against
+    // the UNION-corpus exact MaxSim baseline (oracle-checked below).
+    Q("q_stream_maxsim_index_replay",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.MaxSim
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val batchToks = MaxSim.subvectorTokens(perturbedBatch(emb),
+            "vec_id", "embedding", 8)
+          .withColumnRenamed("vec_id", "doc_id")
+        val idxDir = IndexFixtures.cloned(s, dir, "maxsim")(
+          buildMaxsim(s, dir))
+        def feed(lo: Long, hi: Long, tag: String): Unit = {
+          // bounded fixture feed: ≤80 token rows per stream at any sf
+          val rows = batchToks
+            .where(col("doc_id") >= 1000000L + lo
+              && col("doc_id") < 1000000L + hi)
+            .as[(Long, Int, Seq[Double])].collect().toSeq
+          val src = MemoryStream[(Long, Int, Seq[Double])]
+          src.addData(rows: _*)
+          graft.streaming.EventStreams.maxsimIndexSink(
+              src.toDF().toDF("doc_id", "tok", "vec"), idxDir,
+              tagOverride = Some(tag))
+            .awaitTermination()
+        }
+        feed(0L, 10L, "crawl-a")
+        feed(10L, 20L, "crawl-b")
+        val exact = maxsimUnionExact(s, dir).where(col("rank") <= 10)
+          .select("query_id", "cand_id")
+        val approx = MaxSim.searchTokenIndex(s, idxDir,
+            maxsimQueryToks(s, dir), k = 10, nProbe = 6, tokenTopT = 64)
+          .select(col("query_id"), col("doc_id").as("cand_id"))
+        recallFlags(exact, approx)
+    },
+
     // The UNION-corpus exact-MaxSim baseline, independently recomputed
     // by the oracle — the append contract above measures against this
     // memoized frame, so it is hashed against a full DuckDB MaxSim

@@ -508,6 +508,35 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming TOKEN-INDEX ingestion — [[pqIndexSink]] for the MaxSim
+    * dual layout, closing streaming ingestion over all FIVE persisted
+    * index kinds: each micro-batch of (doc_id, tok, vec) token rows
+    * assigns against the index's STANDING coarse cells (quantizer
+    * deliberately not refit) and lands BOTH layouts in a batch-scoped
+    * directory ([[graft.operators.MaxSim.appendTokenBatchDir]] —
+    * overwrite by (tag, batchId), exactly-once by placement);
+    * `MaxSim.searchTokenIndex` unions live batch dirs with
+    * (doc_id, tok) dedup, `compactTokenIndexBatches` folds them
+    * out-of-band. */
+  def maxsimIndexSink(docTokens: DataFrame, indexDir: String,
+                      checkpointDir: Option[String] = None,
+                      tagOverride: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
+    val writer = checkpointDir.fold(docTokens.writeStream)(
+      docTokens.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.MaxSim.appendTokenBatchDir(
+              batch.toDF(), indexDir, tag, batchId)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming corpus-drift maintenance: each micro-batch of documents
     * aggregates to token counts
     * ([[graft.operators.DriftMonitor.tokenCounts]] — slice membership

@@ -261,6 +261,69 @@ class MaxSimSpec extends SparkSpec {
       .filter(_.isDirectory).forall(_.getName.startsWith("doc_bucket=")))
   }
 
+  test("streaming batch dirs: exactly-once by placement, crash-window " +
+      "dedup, compaction ≡ and suppresses replayed folded batches, " +
+      "vacuum folds first so a deleted batch-only doc cannot resurface") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_stream").toString
+    MaxSim.writeTokenIndex(docToks, dir, nClusters = 16)
+    val v = graft.functions.VectorFunctions.asDouble(col("embedding"))
+    def nearCopies(offset: Long) = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 3)
+          .select((col("vec_id") + offset).as("vec_id"),
+            concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+              .as("embedding")),
+        "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    def rows() = MaxSim.searchTokenIndex(spark, dir, qToks, k = 10,
+        nProbe = 6, tokenTopT = 64)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      .toSeq
+    MaxSim.appendTokenBatchDir(nearCopies(1000000L), dir, "crawl", 0L)
+    val once = rows()
+    for (q <- 0L to 2L)
+      assert(once.exists(r => r._1 == q && r._2 == q + 1000000 && r._4 == 1),
+        s"query $q: batch-dir near-copy not at rank 1")
+    // at-least-once replay: the same (tag, batchId) REWRITES its
+    // batch-scoped location — search unchanged
+    MaxSim.appendTokenBatchDir(nearCopies(1000000L), dir, "crawl", 0L)
+    assert(rows() == once, "replayed micro-batch double-counted")
+    // compaction fold: search-identical, live dirs consumed
+    MaxSim.compactTokenIndexBatches(spark, dir)
+    assert(rows() == once, "compaction changed search results")
+    assert(IndexBatches.live(spark, dir, "tokens").isEmpty,
+      "batch dirs still live after compaction")
+    // a batch replayed AFTER its fold is suppressed by the high-water
+    // marker (its rows are already in the base layout)
+    MaxSim.appendTokenBatchDir(nearCopies(1000000L), dir, "crawl", 0L)
+    assert(IndexBatches.live(spark, dir, "tokens").isEmpty,
+      "folded batch id resurrected as live")
+    assert(rows() == once, "suppressed replay still changed results")
+    // crash-window shape: rows in the base AND a still-live dir (a new
+    // tag) collapse to one through the (doc_id, tok) dedup
+    MaxSim.appendTokenBatchDir(nearCopies(1000000L), dir, "recrawl", 7L)
+    assert(rows() == once, "base∪batch duplicate rows double-counted")
+    MaxSim.compactTokenIndexBatches(spark, dir)
+    // vacuum folds batches FIRST: a doc living only in a batch dir is
+    // physically removed and cannot resurface once its tombstone clears
+    MaxSim.appendTokenBatchDir(nearCopies(2000000L), dir, "crawl", 1L)
+    MaxSim.deleteFromTokenIndex(Seq(2000000L, 2000001L, 2000002L)
+      .toDF("doc_id"), dir)
+    assert(MaxSim.vacuumTokenIndex(spark, dir) > 0L)
+    assert(rows() == once, "vacuumed batch docs still retrieved")
+    for (ds <- Seq("tokens", "doctokens"))
+      assert(spark.read.parquet(s"$dir/$ds")
+        .where(col("doc_id") >= 2000000L).count() == 0,
+        s"$ds still holds vacuumed batch-only docs")
+  }
+
   test("matches brute-force pooled cosine ranking when m = 1") {
     import org.apache.spark.sql.functions._
     val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
