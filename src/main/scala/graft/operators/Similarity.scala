@@ -159,6 +159,60 @@ object Similarity {
       .select("query_id", "cand_id", "score", "rank")
   }
 
+  /** Binary-quantized top-k retrieval: a 64-bit hyperplane sign sketch
+    * per vector (`expressions.HyperplaneSig64`, scan-local codegen — the
+    * same sketch the embedding near-dup path banks on), a per-query
+    * Hamming-distance shortlist over the sketches, then an exact-cosine
+    * re-rank of the shortlist only. The cheapest first stage a
+    * 100 TB vector store has: the shortlist scan touches 8 BYTES per
+    * vector (64× smaller than 64 float64 dims), XOR+popcount stays in
+    * whole-stage codegen, and full vectors are read for `shortlist`
+    * candidates per query only.
+    *
+    * Scale shape: queries broadcast; the shortlist window orders by
+    * (hamming, cand_id) with `shortlist` ≤ the WindowGroupLimit
+    * threshold, so each map task forwards at most `shortlist` rows per
+    * query below the exchange — the shuffle carries O(tasks·|q|·
+    * shortlist) sketch rows, never the corpus (PlanShapeSpec pins the
+    * partial WindowGroupLimit).
+    *
+    * Fully deterministic, engine-replayable: the sketch is the
+    * deterministic plane table, Hamming is integer, ties break by id,
+    * and the re-rank scores are rounded before ranking — so the whole
+    * pipeline is hash-gated against a DuckDB replay, not just
+    * recall-flagged. */
+  def hammingTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                  shortlist: Int = 100): DataFrame = {
+    require(k > 0 && shortlist >= k,
+      s"need shortlist ($shortlist) >= k ($k) > 0")
+    require(shortlist <= 1000,
+      s"shortlist ($shortlist) must stay within the WindowGroupLimit " +
+        "threshold (1000) — above it the per-query rank filter loses " +
+        "its partial pre-exchange pass and every sketch row shuffles")
+    graft.expressions.HyperplaneSig64.register(candidates.sparkSession)
+    val c = candidates.select(col("vec_id").as("cand_id"),
+        asDouble(col("embedding")).as("cand_vec"))
+      .withColumn("csig", expr("hyperplane_sig64(cand_vec)"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("query_vec"))
+      .withColumn("qsig", expr("hyperplane_sig64(query_vec)"))
+    val wH = Window.partitionBy("query_id")
+      .orderBy(asc("hamming"), asc("cand_id"))
+    val short = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("hamming",
+        bit_count(col("csig").bitwiseXOR(col("qsig"))).cast("int"))
+      .withColumn("__h", row_number().over(wH))
+      .where(col("__h") <= shortlist)
+    val wS = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("cand_id"))
+    short
+      .withColumn("score", graft.functions.Rounding.round4(
+        cosine(col("query_vec"), col("cand_vec"))))
+      .withColumn("rank", row_number().over(wS))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "hamming", "score", "rank")
+  }
+
   /** IVF (inverted-file) ANN: assign candidates to their nearest centroid,
     * then search only the `nProbe` centroids closest to each query.
     *
@@ -250,14 +304,27 @@ object Similarity {
     * batch dirs at or below the compaction high-water marker are
     * already merged into the base layout and skipped. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+                  queries: DataFrame, k: Int, nProbe: Int = 4,
+                  filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val cents = normalizeCentroids(spark.read.parquet(s"$dir/centroids"))
     val assigned = spark.read.parquet(s"$dir/assignments")
       .select(col("cand_id"), col("cand_vec"), col("centroid_id"))
-    val all = liveBatchDirs(spark, dir).foldLeft(assigned) { (acc, p) =>
+    val all0 = liveBatchDirs(spark, dir).foldLeft(assigned) { (acc, p) =>
       acc.union(spark.read.parquet(p)
         .select(col("cand_id"), col("cand_vec"), col("centroid_id")))
     }
+    // FILTERED search (predicate + vector search, the "within category"
+    // shape): the predicate applies BEFORE ranking — candidates failing
+    // it never occupy shortlist slots, so the top-k is the top-k OF THE
+    // FILTERED corpus, not a post-filtered (and possibly short) top-k
+    // of the unfiltered one. Over a column in the index datasets the
+    // predicate pushes to the parquet scans (batch dirs included);
+    // probes still prune partitions first. Recall caveat is the
+    // standard one: a highly selective predicate empties probed cells —
+    // raise nProbe (or brute-force the filtered slice) as selectivity
+    // grows.
+    val all = filter.fold(all0)(all0.where)
     // anti-join the deletion ledger BEFORE ranking, so a tombstoned
     // vector can never occupy a top-k slot; unhinted — AQE broadcasts
     // the ledger while it is small and shuffles past that (deletions

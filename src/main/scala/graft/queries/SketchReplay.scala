@@ -185,4 +185,51 @@ private[queries] object SketchReplay {
        |  AND round(list_cosine_similarity(v1, v2), 4) >= 0.99
        |ORDER BY id1, id2""".stripMargin
   }
+
+  /** Full q_ann_hamming oracle: the binary-quantized RETRIEVAL pipeline
+    * (Similarity.hammingTopK) replayed end-to-end — the deterministic
+    * hyperplane table and sign-bit signatures of [[embedLshSql]] over
+    * the WHOLE embeddings corpus, per-query Hamming shortlist of 50
+    * (integer distance, ties by id), exact rounded-cosine re-rank to
+    * top-10. Every stage is deterministic, so the gate is hash-exact —
+    * an ANN gate the oracle can actually fail, not a recall flag. */
+  lazy val hammingTopKSql: String = {
+    val plane = s"(((${mix("CAST(i AS HUGEINT) * 4294967296 + CAST(j AS HUGEINT)")})" +
+      s" // 2048) / 9007199254740992.0) * 2.0 - 1.0"
+    val dot = "list_reduce(list_transform(list_zip(v, pl[CAST(i + 1 AS INT)])," +
+      " z -> z[1] * z[2]), (x1, y1) -> x1 + y1)"
+    s"""WITH pt AS (SELECT i, list(g ORDER BY j) AS gs FROM (
+       |              SELECT i, j, $plane AS g
+       |              FROM range(0, 64) t1(i), range(0, 64) t2(j)) GROUP BY i),
+       |pls AS (SELECT list(gs ORDER BY i) AS pl FROM pt),
+       |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |         FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |                 list_transform(range(0, 64), i ->
+       |                   CASE WHEN $dot >= 0 THEN CAST(1 AS HUGEINT) << i
+       |                        ELSE CAST(0 AS HUGEINT) END)),
+       |                 (a, x) -> a + x) AS su
+       |        FROM base, pls),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, su AS qsu
+       |       FROM sig WHERE vec_id < 5),
+       |sh AS (SELECT qs.query_id, s.vec_id AS cand_id, s.v, qs.qv,
+       |              CAST(bit_count(xor(${toSigned64("s.su")},
+       |                                 ${toSigned64("qs.qsu")})) AS BIGINT)
+       |                AS hamming
+       |       FROM sig s JOIN qs ON qs.query_id <> s.vec_id),
+       |sl AS (SELECT query_id, cand_id, v, qv, hamming,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY hamming, cand_id) AS hr
+       |       FROM sh),
+       |rr AS (SELECT query_id, cand_id, hamming,
+       |              round(list_cosine_similarity(v, qv), 4) AS score
+       |       FROM sl WHERE hr <= 50),
+       |rk AS (SELECT query_id, cand_id, hamming, score,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, cand_id) AS rank
+       |       FROM rr)
+       |SELECT query_id, cand_id, hamming, score, rank
+       |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -341,6 +341,24 @@ object VectorQueries {
           .orderBy("query_id", "rank")
     },
 
+    // Binary-quantized retrieval (Similarity.hammingTopK): 64-bit
+    // hyperplane sign sketch per vector (8 bytes — a 64× scan reduction
+    // over the float64 vectors), per-query Hamming shortlist (integer
+    // distance, id tiebreak, partial WindowGroupLimit below the
+    // exchange), exact rounded-cosine re-rank of the 50-deep shortlist.
+    // FULLY hash-gated, not recall-flagged: every stage is
+    // deterministic, so the oracle (SketchReplay.hammingTopKSql —
+    // plane table, sign folds, xor/popcount, both windows) replays the
+    // pipeline end-to-end and can fail on any divergence.
+    Q("q_ann_hamming", SketchReplay.hammingTopKSql) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.hammingTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+          shortlist = 50)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // Hard-negative mining (Similarity.hardNegativeTopK): the top-k
     // most-similar candidates per query EXCLUDING near-duplicates
     // (rounded score >= 0.99 — positives/leakage, not negatives). The
@@ -410,6 +428,53 @@ object VectorQueries {
           k = 10, nProbe = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // FILTERED search on the persisted IVF index (searchIndex's filter
+    // param): predicate + vector search — "nearest neighbors WITHIN a
+    // category". The predicate applies before ranking (a failing
+    // candidate never occupies a shortlist slot, so the result is the
+    // top-k OF the filtered slice) and pushes to the assignment scans.
+    // Recall contract vs the exact brute top-k over the SAME filtered
+    // slice — that baseline is itself fully hash-gated by
+    // q_ann_filtered_baseline10 below, so the contract chains to a
+    // frame DuckDB independently recomputes.
+    Q("q_ann_filtered",
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
+      (s, dir) =>
+        val emb = t(s, dir, "embeddings")
+        val idxDir = IndexFixtures.shared(s, dir, "ivf")(buildIvf(s, dir))
+        val approx = Similarity.searchIndex(s, idxDir,
+            emb.where(col("vec_id") < 5), k = 10, nProbe = 8,
+            filter = Some(col("cand_id") % 3 === 1))
+          .select("query_id", "cand_id")
+        recallFlags(filteredBrute10(s, dir), approx)
+    },
+
+    // The filtered-slice exact baseline, independently recomputed by the
+    // oracle — q_ann_filtered measures against this memoized frame, so
+    // it is hashed against a DuckDB brute top-10 over the same
+    // vec_id % 3 = 1 slice.
+    Q("q_ann_filtered_baseline10",
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS cand_id,
+        |         round(list_cosine_similarity(qv,
+        |               CAST(e.embedding AS DOUBLE[])), 4) AS score
+        |  FROM q, embeddings e
+        |  WHERE e.vec_id != q.query_id AND e.vec_id % 3 = 1),
+        |ranked AS (
+        |  SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, cand_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, cand_id, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+        filteredBrute10(s, dir).orderBy("query_id", "rank")
     },
 
     // Incremental index growth through the driver hash
@@ -1710,6 +1775,22 @@ object VectorQueries {
     bruteUnion30(s, dir).where(col("rank") <= 10)
       .select("query_id", "cand_id")
 
+  /** Exact brute top-10 over the vec_id % 3 = 1 slice — the baseline
+    * the filtered-search contract measures against; memoized and
+    * oracle-checked by q_ann_filtered_baseline10. */
+  private val filteredBruteCache =
+    new SessionMemo[org.apache.spark.sql.DataFrame]
+  private def filteredBrute10(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    filteredBruteCache(s, dir) {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.where(col("vec_id") % 3 === 1),
+          emb.where(col("vec_id") < 5), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("query_id", "cand_id", "rank")
+        .localCheckpoint()
+    }
+
   /** Clean-index fixture builders, one per vector index kind — the
     * SAME builder every lifecycle gate passes to [[IndexFixtures]], so
     * the warmup-built snapshot and a gate-built one are identical. */
@@ -1745,6 +1826,7 @@ object VectorQueries {
     maxsimUnionExact(s, dir).count()
     bruteExact30(s, dir).count()
     bruteUnion30(s, dir).count()
+    filteredBrute10(s, dir).count()
     IndexFixtures.shared(s, dir, "ivf")(buildIvf(s, dir))
     IndexFixtures.shared(s, dir, "ivfpq")(buildIvfPq(s, dir))
     IndexFixtures.shared(s, dir, "maxsim")(buildMaxsim(s, dir))

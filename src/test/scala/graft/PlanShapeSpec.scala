@@ -142,6 +142,23 @@ class PlanShapeSpec extends SparkSpec {
       s"rank<=k filter did not push a partial WindowGroupLimit:\n$plan")
   }
 
+  test("hammingTopK shortlist pushes a partial WindowGroupLimit and " +
+      "broadcasts the query side") {
+    import graft.operators.Similarity
+    val emb = t(spark, sf001, "embeddings")
+    val plan = physical(Similarity.hammingTopK(emb,
+      emb.where(col("vec_id") < 5), k = 10, shortlist = 50))
+    val limits = plan.sliding("WindowGroupLimit".length)
+      .count(_ == "WindowGroupLimit")
+    // partial (map-side, pre-exchange) + final: each task forwards at
+    // most `shortlist` sketch rows per query — the corpus never shuffles
+    assert(limits >= 2,
+      s"hamming shortlist did not push a partial WindowGroupLimit:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$plan")
+  }
+
   test("validation report reads the table once, whatever the rule count") {
     import graft.operators.Validate
     val plan = physical(Validate.report(t(spark, sf001, "orders"), Seq(

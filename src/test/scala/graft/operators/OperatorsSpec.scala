@@ -507,6 +507,66 @@ class SimilaritySpec extends SparkSpec {
       "persisted-index search diverged from the direct IVF search")
   }
 
+  test("hammingTopK: a corpus-covering shortlist reproduces brute-force " +
+      "exactly; a tight shortlist stays deterministic and self-excluding") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val qs = emb.where(col("vec_id") < 5)
+    val n = emb.count().toInt
+    // shortlist >= corpus - 1: the hamming stage prunes nothing, so the
+    // exact-cosine re-rank must equal bruteForceTopK row-for-row
+    val brute = Similarity.bruteForceTopK(emb, qs, k = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val full = Similarity.hammingTopK(emb, qs, k = 10,
+        shortlist = math.min(1000, n))
+      .select("query_id", "cand_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(brute.nonEmpty && full.sameElements(brute),
+      "corpus-covering hamming shortlist diverged from brute force")
+    // tight shortlist: deterministic across invocations, never the
+    // query itself, exactly k rows per query
+    val a = Similarity.hammingTopK(emb, qs, k = 10, shortlist = 20)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = Similarity.hammingTopK(emb, qs, k = 10, shortlist = 20)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.sameElements(b), "hammingTopK not deterministic")
+    val rows = Similarity.hammingTopK(emb, qs, k = 10, shortlist = 20)
+      .as[(Long, Long, Int, Double, Int)].collect()
+    assert(rows.forall(r => r._1 != r._2), "query retrieved itself")
+    assert(rows.groupBy(_._1).forall(_._2.length == 10))
+    intercept[IllegalArgumentException] {
+      Similarity.hammingTopK(emb, qs, k = 10, shortlist = 1001)
+    }
+  }
+
+  test("searchIndex filter: results come from the filtered slice only " +
+      "and equal the direct IVF search over the pre-filtered corpus " +
+      "with the index's own centroids") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_filter").toString
+    Similarity.writeIndex(emb, dir, nClusters = 8)
+    val qs = emb.where(col("vec_id") < 5)
+    val filtered = Similarity.searchIndex(spark, dir, qs, k = 10,
+        nProbe = 3, filter = Some(col("cand_id") % 3 === 1))
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(filtered.nonEmpty && filtered.forall(_._2 % 3 == 1),
+      "a candidate outside the filtered slice surfaced")
+    // reference: the same probe search over the pre-filtered corpus,
+    // quantized by the INDEX's centroids (not a refit)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val direct = Similarity.ivfTopK(emb.where(col("vec_id") % 3 === 1),
+        qs, k = 10, nProbe = 3, centroids = Some(cents))
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(filtered.sameElements(direct),
+      "filtered index search diverged from the pre-filtered direct search")
+    // and filter = None stays the unfiltered path
+    val unf = Similarity.searchIndex(spark, dir, qs, k = 10, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(unf.exists(_._2 % 3 != 1))
+  }
+
   test("appendToIndex grows the index batch-at-a-time and search sees " +
       "old and new vectors identically") {
     import spark.implicits._
