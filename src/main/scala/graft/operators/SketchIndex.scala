@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.asDouble
+
+/** Persisted binary-sketch index — the materialized form of
+  * [[Similarity.hammingTopK]] (reference behavior surveyed from the
+  * binary-quantization serving pattern: FAISS's flat binary indexes and
+  * the sign-random-projection LSH literature, Charikar STOC 2002): the
+  * 64-bit hyperplane sign sketch is computed ONCE at write time and
+  * stored as its own 8-bytes-per-vector dataset, so the search-time
+  * first stage scans sketches only — at 100 TB of float64 embeddings
+  * the sketch dataset is ~1.6 TB, a 64× scan reduction that no longer
+  * pays the sketch computation per query batch. Full vectors live in a
+  * second dataset bucketed by id hash, read only to exact-re-rank each
+  * query's `shortlist` candidates (the fetch prunes to the candidates'
+  * buckets at the scan).
+  *
+  * Layout: `sketches/` (vec_id, sig, bucket — flat, no partitioning:
+  * the first stage is a deliberate full scan of the smallest possible
+  * dataset) and `vectors/` (vec_id, vec) PARTITIONED by bucket =
+  * pmod(hash(vec_id), [[Buckets]]).
+  *
+  * Lifecycle: the SIXTH index kind on the shared contracts —
+  * streaming ingestion via [[appendBatchDir]]/[[compactIndexBatches]]
+  * ([[IndexBatches]]: overwrite by (tag, batchId), read-side dedup on
+  * vec_id while live dirs exist, marker inside the staged sketches
+  * dir), deletion via the [[TombstoneLedger]] (masked before the
+  * shortlist, physical at [[vacuumIndex]]), in-place growth via
+  * [[appendToIndex]]. No quantizer to recenter — the plane table is
+  * fixed, so append never drifts (the trade: no data-adaptive cells
+  * either; that is what the IVF kinds are for).
+  *
+  * Determinism: search is row-identical to [[Similarity.hammingTopK]]
+  * over the same live corpus (same sketch expression, same integer
+  * Hamming, same id tiebreaks, same rounded re-rank — SketchIndexSpec
+  * pins it), so the driver gate shares the brute pipeline's hash-exact
+  * DuckDB oracle rather than a recall flag.
+  */
+object SketchIndex {
+
+  /** Bucket fanout of the vectors dataset (the re-rank fetch prune). */
+  val Buckets = 64
+
+  private def withSketch(vectors: DataFrame): DataFrame = {
+    graft.expressions.HyperplaneSig64.register(vectors.sparkSession)
+    vectors.select(col("vec_id").cast("long").as("vec_id"),
+        asDouble(col("embedding")).as("vec"))
+      .withColumn("sig", expr("hyperplane_sig64(vec)"))
+      .withColumn("bucket", pmod(hash(col("vec_id")), lit(Buckets)))
+  }
+
+  /** Build both datasets. A rebuild resets the deletion ledger and any
+    * streaming batch dirs (they refer to the pre-rebuild corpus, and
+    * the fresh sketches/ overwrite carries no high-water marker). */
+  def writeIndex(vectors: DataFrame, dir: String): Unit = {
+    val spark = vectors.sparkSession
+    val vs = withSketch(vectors)
+    vs.select("vec_id", "sig", "bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/sketches")
+    val slices = math.max(1,
+      spark.sparkContext.defaultParallelism / Buckets)
+    vs.select(col("vec_id"), col("vec"), col("bucket"))
+      .repartition(Buckets * slices, col("bucket"),
+        pmod(hash(col("vec_id")), lit(slices)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/vectors")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batches"), true)
+    TombstoneLedger.reset(fs, s"$dir/tombstones")
+  }
+
+  /** In-place growth: new rows land as extra files (sketches flat,
+    * vectors inside the standing bucket dirs). O(batch); the fixed
+    * plane table means appends never degrade the sketch (nothing to
+    * recenter). Batch id discipline is the caller's. */
+  def appendToIndex(newVectors: DataFrame, dir: String): Unit = {
+    val vs = withSketch(newVectors)
+    vs.select("vec_id", "sig", "bucket")
+      .coalesce(1).write.mode("append").parquet(s"$dir/sketches")
+    vs.select(col("vec_id"), col("vec"), col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/vectors")
+  }
+
+  /** EXACTLY-ONCE streaming ingestion: one micro-batch lands BOTH
+    * datasets under `batches/<tagHash>/<batchId>` with OVERWRITE —
+    * idempotency by placement, the shared [[IndexBatches]] contract. */
+  def appendBatchDir(newVectors: DataFrame, dir: String, tag: String,
+                     batchId: Long): Unit = {
+    val vs = StagingCaches.cache(withSketch(newVectors))
+    try {
+      val root = s"$dir/batches/${IndexBatches.tagHash(tag)}/$batchId"
+      vs.select("vec_id", "sig", "bucket")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/sketches")
+      vs.select(col("vec_id"), col("vec"), col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/vectors")
+    } finally vs.unpersist()
+  }
+
+  /** Fold live streaming batch dirs into both standing datasets with
+    * vec_id dedup behind staged swaps; vectors first, the high-water
+    * marker committing inside the staged SKETCHES dir last. */
+  def compactIndexBatches(spark: SparkSession, dir: String): Unit = {
+    val live = IndexBatches.live(spark, dir, "sketches")
+    if (live.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((ds, cols) <- Seq(
+        "vectors" -> Seq("vec_id", "vec", "bucket"),
+        "sketches" -> Seq("vec_id", "sig", "bucket"))) {
+      val sel = cols.map(col)
+      val base = spark.read.parquet(s"$dir/$ds").select(sel: _*)
+      val merged = live.foldLeft(base) { (acc, p) =>
+        acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
+      }.dropDuplicates("vec_id")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
+      if (ds == "sketches")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      else {
+        val slices = math.max(1,
+          spark.sparkContext.defaultParallelism / Buckets)
+        merged.repartition(Buckets * slices, col("bucket"),
+            pmod(hash(col("vec_id")), lit(slices)))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(tmp.toString)
+      }
+      if (ds == "sketches")
+        IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
+          new org.apache.hadoop.fs.Path(s"$dir/sketches"), live))
+      graft.sources.Formats.swapInto(fs, tmp,
+        new org.apache.hadoop.fs.Path(s"$dir/$ds"))
+      spark.catalog.refreshByPath(s"$dir/$ds")
+    }
+    live.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
+
+  /** Append-only deletion on the shared ledger: one tiny parquet
+    * append; [[searchIndex]] masks immediately, [[vacuumIndex]] makes
+    * it physical. */
+  def deleteFromIndex(ids: DataFrame, dir: String): Unit =
+    TombstoneLedger.append(ids.select(col("vec_id")), s"$dir/tombstones")
+
+  /** Search the persisted index — row-identical to
+    * [[Similarity.hammingTopK]] over the live corpus. The first stage
+    * scans the 8-bytes-per-vector sketches dataset (live batch dirs
+    * union in with vec_id dedup; the ledger anti-joins BEFORE the
+    * shortlist window so a tombstoned vector never occupies a slot);
+    * the exact re-rank fetches only the candidates' buckets,
+    * row-filtered to the candidate ids — both prunes land at the
+    * vectors scan. Bounded driver: the shortlist collect is
+    * ≤ |Q|·shortlist rows, with a loud maxQ guard before it can grow
+    * with the query side. */
+  def searchIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                  k: Int, shortlist: Int = 100,
+                  maxQ: Int = 4096): DataFrame = {
+    require(k > 0 && shortlist >= k,
+      s"need shortlist ($shortlist) >= k ($k) > 0")
+    require(shortlist <= 1000,
+      s"shortlist ($shortlist) must stay within the WindowGroupLimit " +
+        "threshold (1000)")
+    graft.expressions.HyperplaneSig64.register(spark)
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+        asDouble(col("embedding")).as("query_vec"))
+      .withColumn("qsig", expr("hyperplane_sig64(query_vec)"))
+    val nQ = q.limit(maxQ + 1).count()
+    require(nQ <= maxQ,
+      s"searchIndex query side exceeds maxQ=$maxQ rows — batch the queries")
+    val liveDirs = IndexBatches.live(spark, dir, "sketches")
+    val sCols = Seq("vec_id", "sig", "bucket").map(col)
+    val sketches0 = liveDirs.foldLeft(
+        spark.read.parquet(s"$dir/sketches").select(sCols: _*)) {
+      (acc, p) =>
+        acc.union(spark.read.parquet(s"$p/sketches").select(sCols: _*))
+    }
+    val sketches =
+      if (liveDirs.isEmpty) sketches0
+      else sketches0.dropDuplicates("vec_id")
+    val ledger = TombstoneLedger.df(spark, s"$dir/tombstones", "vec_id")
+    val liveSk = ledger
+      .map(ts => sketches.join(ts, Seq("vec_id"), "left_anti"))
+      .getOrElse(sketches)
+    val wH = Window.partitionBy("query_id")
+      .orderBy(asc("hamming"), asc("cand_id"))
+    // one bounded collect (≤ |Q|·shortlist rows) serves the bucket
+    // partition filter, the candidate row filter, and the re-rank's
+    // (query, cand, hamming) pairs — the distributed derivation would
+    // recompute the shortlist inside the fetch job
+    val shortRows = liveSk
+      .select(col("vec_id").as("cand_id"), col("sig"), col("bucket"))
+      .join(broadcast(q.select("query_id", "qsig")),
+        col("query_id") =!= col("cand_id"))
+      .withColumn("hamming",
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("int"))
+      .withColumn("__h", row_number().over(wH))
+      .where(col("__h") <= shortlist)
+      .select("query_id", "cand_id", "hamming", "bucket")
+      .collect()
+    val buckets = shortRows.map(r => r.getInt(r.fieldIndex("bucket")))
+      .distinct.toSeq
+    val candIds = shortRows.map(r => r.getLong(r.fieldIndex("cand_id")))
+      .distinct.toSeq
+    val pairs = spark.createDataFrame(
+      java.util.Arrays.asList(shortRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cand_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hamming",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType))))
+      .drop("bucket")
+    val vCols = Seq("vec_id", "vec", "bucket").map(col)
+    def bucketed(p: String) = spark.read.parquet(p).select(vCols: _*)
+      .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .where(col("vec_id").isin(candIds: _*))
+    val fetched0 = liveDirs.foldLeft(bucketed(s"$dir/vectors")) {
+      (acc, p) => acc.union(bucketed(s"$p/vectors"))
+    }
+    val fetched =
+      (if (liveDirs.isEmpty) fetched0
+       else fetched0.dropDuplicates("vec_id"))
+        .select(col("vec_id").as("cand_id"), col("vec").as("cand_vec"))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("cand_id"))
+    fetched.join(broadcast(pairs), "cand_id")
+      .join(broadcast(q.select("query_id", "query_vec")), "query_id")
+      .withColumn("score", graft.functions.Rounding.round4(
+        graft.functions.VectorFunctions.cosine(
+          col("query_vec"), col("cand_vec"))))
+      .withColumn("rank", row_number().over(wS))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "hamming", "score", "rank")
+  }
+
+  /** Test seam: runs after [[vacuumIndex]] snapshots the ledger file
+    * list — the race window a concurrent [[deleteFromIndex]] lands in.
+    * Production no-op. */
+  private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
+
+  /** Physically remove tombstoned vectors from BOTH datasets (staged
+    * swaps; live batch dirs fold in first — vacuum clears the consumed
+    * ledger, so an unfolded batch dir would resurface a tombstoned
+    * vector once cleared), then clear exactly the consumed ledger
+    * files. Returns rows removed. */
+  def vacuumIndex(spark: SparkSession, dir: String): Long = {
+    compactIndexBatches(spark, dir)
+    val root = s"$dir/tombstones"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val consumed = TombstoneLedger.files(fs, root)
+    val ts = TombstoneLedger.dfFrom(spark, consumed, "vec_id")
+      .getOrElse(return 0L)
+    vacuumAfterSnapshotHook()
+    var removed = 0L
+    for (ds <- Seq("vectors", "sketches")) {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$ds")
+      val base = spark.read.parquet(path.toString)
+      val keep = base.join(ts, Seq("vec_id"), "left_anti")
+      val keepCount = keep.count()
+      if (ds == "sketches") removed = base.count() - keepCount
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.vacuum")
+      if (ds == "sketches" || keepCount == 0L)
+        keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      else {
+        val slices = math.max(1,
+          spark.sparkContext.defaultParallelism / Buckets)
+        keep.repartition(Buckets * slices, col("bucket"),
+            pmod(hash(col("vec_id")), lit(slices)))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(tmp.toString)
+      }
+      // carry the compaction marker through the sketches rewrite
+      if (ds == "sketches")
+        IndexBatches.writeMarker(fs, tmp, IndexBatches.readMarker(fs, path))
+      graft.sources.Formats.swapInto(fs, tmp, path)
+      spark.catalog.refreshByPath(path.toString)
+    }
+    TombstoneLedger.clear(fs, root, consumed)
+    removed
+  }
+}

@@ -359,6 +359,26 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // The PERSISTED form (operators.SketchIndex — the sixth index kind
+    // on the shared lifecycle contracts): sketches computed once at
+    // write time into an 8-bytes-per-vector dataset (the first stage
+    // scans THAT, not the float vectors — the 64× reduction is
+    // materialized, not recomputed per query), full vectors bucketed by
+    // id hash and fetched for the shortlist only. Search is
+    // row-identical to the in-memory pipeline (spec-pinned), so this
+    // gate shares the SAME hash-exact DuckDB oracle — no recall flag.
+    Q("q_ann_hamming_index", SketchReplay.hammingTopKSql) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      // search-only: reads the shared clean-index snapshot directly
+      val idxDir = IndexFixtures.shared(s, dir, "sketch")(
+        buildSketch(s, dir))
+      graft.operators.SketchIndex.searchIndex(s, idxDir,
+          emb.where(col("vec_id") < 5), k = 10, shortlist = 50)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // Hard-negative mining (Similarity.hardNegativeTopK): the top-k
     // most-similar candidates per query EXCLUDING near-duplicates
     // (rounded score >= 0.99 — positives/leakage, not negatives). The
@@ -1803,6 +1823,10 @@ object VectorQueries {
     p => graft.operators.IvfPq.writeIndex(t(s, dir, "embeddings"), p,
       nClusters = 16, model = Some(pqModel(s, dir)))
 
+  private[queries] def buildSketch(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): String => Unit =
+    p => graft.operators.SketchIndex.writeIndex(t(s, dir, "embeddings"), p)
+
   private[queries] def buildMaxsim(s: org.apache.spark.sql.SparkSession,
                                    dir: String): String => Unit =
     p => graft.operators.MaxSim.writeTokenIndex(
@@ -1830,6 +1854,7 @@ object VectorQueries {
     IndexFixtures.shared(s, dir, "ivf")(buildIvf(s, dir))
     IndexFixtures.shared(s, dir, "ivfpq")(buildIvfPq(s, dir))
     IndexFixtures.shared(s, dir, "maxsim")(buildMaxsim(s, dir))
+    IndexFixtures.shared(s, dir, "sketch")(buildSketch(s, dir))
   }
 
   /** Embeddings with planted near-dups (see q_dedup_embed): ids < 50, plus

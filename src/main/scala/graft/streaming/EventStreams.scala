@@ -400,6 +400,65 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming SKETCH-INDEX ingestion — [[indexSink]] for the binary-
+    * sketch layout ([[graft.operators.SketchIndex]]): each micro-batch
+    * of (vec_id, embedding) rows is sketched once and lands BOTH
+    * datasets (8-byte sketches + bucketed vectors) in a batch-scoped
+    * dir (overwrite by (tag, batchId), exactly-once by placement);
+    * `SketchIndex.searchIndex` unions live dirs with vec_id dedup,
+    * `compactIndexBatches` folds them out-of-band. No quantizer —
+    * streamed batches never drift the fixed plane table. */
+  def sketchIndexSink(vectors: DataFrame, indexDir: String,
+                      checkpointDir: Option[String] = None,
+                      tagOverride: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
+    val writer = checkpointDir.fold(vectors.writeStream)(
+      vectors.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.SketchIndex.appendBatchDir(
+              batch.toDF(), indexDir, tag, batchId)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming index deletion for ANY ledger-bearing index kind — the
+    * generic form of [[deleteSink]]/[[phraseDeleteSink]], closing
+    * streaming DELETION over all five kinds the way [[maxsimIndexSink]]
+    * closed ingestion: every persisted index (ANN, phrase, BM25, PQ,
+    * MaxSim tokens) carries its tombstone ledger at
+    * `<indexDir>/tombstones` with the shared [[graft.operators
+    * .TombstoneLedger]] contract, so one sink serves them all — each
+    * micro-batch of delete-request ids (a single-column frame, any
+    * name — the ledger normalizes to `id` and each search path renames
+    * at read) lands in a batch-scoped ledger dataset (overwrite by
+    * (tag, batchId), exactly-once by placement);
+    * the kind's search masks the ids immediately and its vacuum makes
+    * removals physical out-of-band. */
+  def tombstoneSink(ids: DataFrame, indexDir: String,
+                    checkpointDir: Option[String] = None,
+                    tagOverride: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
+    val writer = checkpointDir.fold(ids.writeStream)(
+      ids.writeStream.option("checkpointLocation", _))
+    writer.outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.TombstoneLedger.appendBatch(
+              batch.toDF(), s"$indexDir/tombstones", tag, batchId)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming PHRASE-index deletion — the text twin of [[deleteSink]]:
     * each micro-batch of `doc_id` delete requests lands in a
     * batch-scoped ledger dataset

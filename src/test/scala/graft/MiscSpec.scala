@@ -2236,6 +2236,64 @@ class DriftSinkSpec extends SparkSpec {
       "recenter over streamed batches diverges from the refit ivfTopK")
   }
 
+  test("tombstoneSink: one generic streaming-delete sink masks BM25, " +
+      "PQ, and MaxSim-token searches immediately; a replayed batch " +
+      "rewrites its ledger slot instead of accreting") {
+    import graft.operators.{Bm25, IvfPq, MaxSim, TombstoneLedger}
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tombsink").toString
+    // three index kinds, three ledgers, one sink
+    val bmDir = s"$root/bm25"; val pqDir = s"$root/pq"
+    val msDir = s"$root/maxsim"
+    Bm25.writeIndex(Seq(
+        (1L, "cat cat dog"), (2L, "cat fish"), (3L, "dog dog")
+      ).toDF("doc_id", "text"), bmDir)
+    IvfPq.writeIndex(emb, pqDir, nClusters = 8)
+    val toks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    MaxSim.writeTokenIndex(toks, msDir, nClusters = 8)
+    val qText = Seq((100L, "cat")).toDF("query_id", "term")
+    val qVec = emb.where(col("vec_id") < 2)
+    val qToks = MaxSim.subvectorTokens(qVec, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    def bmHits() = Bm25.searchIndex(spark, bmDir, qText, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    def pqHits() = IvfPq.searchIndex(spark, pqDir, qVec, k = 5,
+      nProbe = 8, rerank = 50).select("cand_id").as[Long].collect().toSet
+    def msHits() = MaxSim.searchTokenIndex(spark, msDir, qToks, k = 5,
+      nProbe = 4, tokenTopT = 16).select("doc_id").as[Long].collect().toSet
+    val bmVictim = bmHits().min
+    val pqVictim = pqHits().min
+    val msVictim = msHits().min
+    def feed(dir: String, ids: Seq[Long]): Unit = {
+      val src = MemoryStream[Long]
+      src.addData(ids: _*)
+      graft.streaming.EventStreams.tombstoneSink(
+          src.toDF().toDF("id"), dir, tagOverride = Some("gdpr"))
+        .awaitTermination()
+    }
+    feed(bmDir, Seq(bmVictim))
+    feed(pqDir, Seq(pqVictim))
+    feed(msDir, Seq(msVictim))
+    assert(!bmHits().contains(bmVictim), "BM25 victim still retrieved")
+    assert(!pqHits().contains(pqVictim), "PQ victim still retrieved")
+    assert(!msHits().contains(msVictim), "MaxSim victim still retrieved")
+    // at-least-once replay: a new one-shot query with the same tag
+    // restarts at batchId 0 — the replay must REWRITE its slot
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = TombstoneLedger.files(fs, s"$pqDir/tombstones").size
+    feed(pqDir, Seq(pqVictim))
+    assert(TombstoneLedger.files(fs, s"$pqDir/tombstones").size == before,
+      "replayed delete batch accreted ledger files")
+    assert(!pqHits().contains(pqVictim))
+    // and vacuum makes each removal physical through the shared ledger
+    assert(IvfPq.vacuumIndex(spark, pqDir) > 0L)
+    assert(!pqHits().contains(pqVictim), "vacuum resurfaced the victim")
+  }
+
   test("driftFold is idempotent under at-least-once replay of a " +
       "checkpointed batch") {
     import graft.operators.DriftMonitor
