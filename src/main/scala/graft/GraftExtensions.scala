@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BpeTokenCount, Builders, HyperplaneSig64, LangId, MaxMatchCount, MaxMatchEncode, MinHash, MinHashSig, MinHashUnion, MultiMatchCount, NfcNorm, NfkcNorm, QualityScore, RollingHash64, SimHash64, StripAccents, StripInvisible, UnigramCost, UnigramEncode, VecMean, WinnowFingerprintPos, WinnowFingerprints, WordShingles, ZOrder62}
+import graft.expressions.{BpeTokenCount, Builders, HashEmbed, HyperplaneSig64, LangId, MaxMatchCount, MaxMatchEncode, MinHash, MinHashSig, MinHashUnion, MultiMatchCount, NfcNorm, NfkcNorm, QualityScore, RollingHash64, SimHash64, StripAccents, StripInvisible, UnigramCost, UnigramEncode, VecMean, WinnowFingerprintPos, WinnowFingerprints, WordShingles, ZOrder62}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       Builders.arity("minhash_sig", 2)(children => MinHashSig(children.head,
         MinHash.intArg(children(1), "signature size m")))))
+    ext.injectFunction((FunctionIdentifier("hash_embed"),
+      HashEmbed.info, Builders.arity("hash_embed", 2)(children =>
+        HashEmbed(children.head,
+          MinHash.intArg(children(1), "embedding dims d")))))
     ext.injectFunction((FunctionIdentifier("hyperplane_sig64"),
       HyperplaneSig64.info, Builders.arity("hyperplane_sig64", 1)(children => HyperplaneSig64(children.head))))
     ext.injectFunction((FunctionIdentifier("lang_id"),

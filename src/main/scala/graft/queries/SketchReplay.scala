@@ -186,6 +186,40 @@ private[queries] object SketchReplay {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Full q_text_hash_embed oracle: the feature-hashing embedder
+    * replayed per token — Spark murmur3 over token bytes with the
+    * SimHash seed pair (the byte-level replay [[simhashSql]] proved),
+    * unsigned mod-d scatter, ±1 from the sign hash's low bit, dense
+    * d-dim signed-count sum including untouched (zero) dims. Distinct
+    * tokens hash once and re-join so duplicates scatter once per
+    * occurrence, exactly like the engine's per-row loop. */
+  lazy val hashEmbedSql: String = {
+    val d = 16
+    s"""WITH tok AS (SELECT doc_id,
+       |              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |            FROM documents),
+       |dt AS (SELECT DISTINCT t FROM tok),
+       |th AS (SELECT t,
+       |              CAST((${murmur32("t", BigInt("9747b28c", 16))}) % $d
+       |                AS BIGINT) AS dim,
+       |              CASE WHEN (${murmur32("t", BigInt("85ebca6b", 16))})
+       |                     % 2 = 1
+       |                   THEN 1 ELSE -1 END AS s
+       |       FROM dt),
+       |sc AS (SELECT tok.doc_id, th.dim, th.s FROM tok JOIN th USING (t)),
+       |agg AS (SELECT doc_id, dim, CAST(sum(s) AS DOUBLE) AS value
+       |        FROM sc GROUP BY doc_id, dim),
+       |grid AS (SELECT d.doc_id, dims.dim
+       |         FROM (SELECT DISTINCT doc_id FROM documents) d
+       |         CROSS JOIN (SELECT CAST(unnest(range(0, $d)) AS BIGINT)
+       |                       AS dim) dims)
+       |SELECT grid.doc_id AS doc_id, grid.dim AS dim,
+       |       coalesce(agg.value, 0.0) AS value
+       |FROM grid LEFT JOIN agg
+       |  ON grid.doc_id = agg.doc_id AND grid.dim = agg.dim
+       |ORDER BY grid.doc_id, grid.dim""".stripMargin
+  }
+
   /** Full q_ann_hamming oracle: the binary-quantized RETRIEVAL pipeline
     * (Similarity.hammingTopK) replayed end-to-end — the deterministic
     * hyperplane table and sign-bit signatures of [[embedLshSql]] over

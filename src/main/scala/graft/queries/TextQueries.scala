@@ -902,6 +902,24 @@ object TextQueries {
         .orderBy("id1", "id2")
     },
 
+    // Feature-hashing embedder (expressions.HashEmbed — the hashing
+    // trick, Weinberger et al. 2009): the text→vector bridge that lets
+    // documents flow into the embedding stack (near-dup, ANN, the
+    // persisted indexes) with no external embedder and no vocabulary
+    // fit. Codegen'd scan-local projection; seeds are SimHash's pair,
+    // so the byte-level murmur replay q_dedup_simhash proved carries
+    // over. Output exploded to (doc_id, dim, value) — dense, zero dims
+    // included — and hash-matched against the full per-token replay.
+    Q("q_text_hash_embed", SketchReplay.hashEmbedSql) { (s, dir) =>
+      graft.expressions.HashEmbed.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          expr("hash_embed(split(trim(lower(text)), '\\\\s+'), 16)")))
+        .select(col("doc_id"), col("pos").cast("long").as("dim"),
+          col("col").as("value"))
+        .orderBy("doc_id", "dim")
+    },
+
     // SimHash near-dup pairs via the custom codegen'd simhash64
     // expression. Rows-only through round 6 ("Murmur3 isn't available in
     // DuckDB") — it is: SketchReplay.simhashSql replays Spark's

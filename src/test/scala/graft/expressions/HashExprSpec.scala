@@ -144,3 +144,78 @@ class ZOrder62Spec extends SparkSpec {
     assert(lowQuad < highY)
   }
 }
+
+class HashEmbedSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private def embed(toks: Seq[String], d: Int): Seq[Double] = {
+    HashEmbed.register(spark)
+    Seq(toks).toDF("toks").selectExpr(s"hash_embed(toks, $d)")
+      .as[Seq[Double]].head
+  }
+
+  test("scatter arithmetic: token multiplicity adds, dims fixed, " +
+      "exact integers, matches a direct reference") {
+    val a = embed(Seq("cat", "dog"), 16)
+    assert(a.length == 16)
+    assert(a.map(math.abs).sum == 2.0, "two tokens scatter ±1 each")
+    assert(a.forall(v => v == math.rint(v)), "counts must be integers")
+    // multiplicity: the same token twice doubles its contribution
+    val twice = embed(Seq("cat", "cat"), 16)
+    val once = embed(Seq("cat"), 16)
+    assert(twice == once.map(_ * 2))
+    // order-insensitive (a bag, not a sequence)
+    assert(embed(Seq("dog", "cat"), 16) == a)
+    // direct reference via Spark's own murmur primitive
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    def h(s: String, seed: Int) = {
+      val u = UTF8String.fromString(s)
+      Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+        u.numBytes(), seed)
+    }
+    val ref = new Array[Double](16)
+    for (t <- Seq("cat", "dog")) {
+      val idx = (java.lang.Integer.toUnsignedLong(
+        h(t, 0x9747b28c)) % 16).toInt
+      ref(idx) += (if ((h(t, 0x85ebca6b) & 1) == 1) 1.0 else -1.0)
+    }
+    assert(a == ref.toSeq)
+  }
+
+  test("bridges text into the vector stack: near-identical documents " +
+      "embed near-identically and retrieve each other via hammingTopK") {
+    HashEmbed.register(spark)
+    val docs = graft.engine.Tables.t(spark, sf001, "documents")
+      .limit(50)
+      .selectExpr("doc_id AS vec_id",
+        "hash_embed(split(trim(lower(text)), '\\\\s+'), 64) AS embedding")
+    // plant exact copies: hamming 0, cosine 1 — must retrieve at rank 1
+    val planted = docs.where(col("vec_id") < 3)
+      .selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    val top = graft.operators.Similarity.hammingTopK(
+        docs.union(planted), docs.where(col("vec_id") < 3), k = 3,
+        shortlist = 20)
+      .where(col("rank") === 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    for (q <- 0L to 2L)
+      assert(top(q) == q + 100000,
+        s"query $q: its exact hash-embed copy not at rank 1")
+  }
+
+  test("wrong argument shapes fail loudly") {
+    HashEmbed.register(spark)
+    intercept[Exception] {
+      Seq(Seq("a")).toDF("toks").selectExpr("hash_embed(toks)").collect()
+    }
+    intercept[Exception] {
+      Seq(Seq("a")).toDF("toks")
+        .selectExpr("hash_embed(toks, 0)").collect()
+    }
+    intercept[Exception] {
+      Seq("notarray").toDF("s").selectExpr("hash_embed(s, 16)").collect()
+    }
+  }
+}
