@@ -39,11 +39,28 @@ object CryptoShred {
     * see the object note); output carries `<valueCol>_enc` (binary) in
     * place of the plaintext. Requires key coverage of every input
     * subject: a row whose subject has no key (data ingested after that
-    * subject was shredded, or a stale key snapshot) FAILS LOUDLY via a
-    * scan-local assert — an inner join would silently drop it, which
-    * for an encryption path is undocumented data loss. */
+    * subject was shredded, or a stale key snapshot) FAILS LOUDLY — an
+    * eager precondition (one early-out anti-join job, immune to column
+    * pruning) plus a scan-local assert as defense in depth — where an
+    * inner join would silently drop it, which for an encryption path
+    * is undocumented data loss. */
   def encrypt(df: DataFrame, idCol: String, valueCol: String,
-              keys: DataFrame): DataFrame =
+              keys: DataFrame): DataFrame = {
+    // The coverage contract is enforced EAGERLY with one tiny
+    // early-out job (O(distinct unkeyed subjects), limit 1): the
+    // scan-local assert below lives in the `_enc` projection, so any
+    // plan that prunes that column (count(), a downstream select that
+    // drops it) would silently skip the check — and unlike the old
+    // inner join, the left join would then PROPAGATE unkeyed rows.
+    // A precondition fails deterministically regardless of plan shape.
+    val unkeyed = df.select(df(idCol).cast("long").as("subject_id"))
+      .distinct()
+      .join(keys.select("subject_id"), Seq("subject_id"), "left_anti")
+      .limit(1).collect()
+    require(unkeyed.isEmpty,
+      s"CryptoShred.encrypt: no key for subject ${unkeyed.headOption
+        .map(_.get(0)).getOrElse("")} — rebuild the key table over " +
+        "the input's subjects before encrypting")
     df.join(keys, df(idCol).cast("long") === keys("subject_id"), "left")
       .withColumn(s"${valueCol}_enc",
         when(assert_true(col("dek").isNotNull,
@@ -54,6 +71,7 @@ object CryptoShred {
           aes_encrypt(col(valueCol).cast("binary"), col("dek"),
             lit("ECB"))))
       .drop(valueCol, "subject_id", "dek")
+  }
 
   /** Forget `ids` (a single-column frame of subject ids): one anti-join
     * on the subject-count-sized key table. The data is never touched. */

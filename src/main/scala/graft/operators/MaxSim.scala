@@ -48,21 +48,28 @@ object MaxSim {
     when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5)).cast("long")
   }
 
+  /** The largest doc id the packed token id can carry without long
+    * overflow: id·1024 + tok ≤ Long.MaxValue. */
+  private val MaxPackableId = (Long.MaxValue - 1023L) / 1024L
+
   /** Packed synthetic token id `id·1024 + tok` as a LONG, with a
-    * scan-local guard: the packing is injective only for `id ≥ 0` and
-    * `0 ≤ tok < 1024`, so a violating row RAISES (assert_true, codegen'd
-    * inline — no extra validation pass) instead of silently corrupting
-    * the recovered id in the truncating `tid/1024` unpack. The long cast
-    * also pins every id arithmetic/hash site to one type — `hash()` of
-    * an IntegerType id would bucket differently than the long it is
-    * compared against at search time. */
+    * scan-local guard: the packing is injective only for
+    * `0 ≤ id ≤ [[MaxPackableId]]` and `0 ≤ tok < 1024`, so a violating
+    * row RAISES (assert_true, codegen'd inline — no extra validation
+    * pass) instead of silently corrupting the packed value (the unpack
+    * itself is exact for every guarded id: integral `div`/`%`, never
+    * double division, so there is no 2^53 precision cliff below the
+    * guard). The long cast also pins every id arithmetic/hash site to
+    * one type — `hash()` of an IntegerType id would bucket differently
+    * than the long it is compared against at search time. */
   private def packedTid(id: org.apache.spark.sql.Column,
                         tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val d = id.cast("long")
     val t = tok.cast("long")
-    val guard = assert_true(d >= 0 && t >= 0 && t < 1024,
-      concat(lit("MaxSim packed token id requires id >= 0 and 0 <= tok " +
-          "< 1024; got id="),
+    val guard = assert_true(
+      d >= 0 && d <= MaxPackableId && t >= 0 && t < 1024,
+      concat(lit("MaxSim packed token id requires 0 <= id <= " +
+          s"$MaxPackableId and 0 <= tok < 1024; got id="),
         d.cast("string"), lit(", tok="), t.cast("string")))
     when(guard.isNull, d * 1024L + t)
   }
@@ -148,8 +155,8 @@ object MaxSim {
       .withColumn("tc", i4(cosine(col("qv"), col("dv"))))
       .withColumn("__r", row_number().over(wTok))
       .where(col("__r") <= tokenTopT)
-      .select((col("qtid") / 1024).cast("long").as("query_id"),
-        (col("tid") / 1024).cast("long").as("doc_id"))
+      .select(expr("qtid div 1024").as("query_id"),
+        expr("tid div 1024").as("doc_id"))
       .where(col("query_id") =!= col("doc_id"))
       .distinct()
     val d = docTokens.select(col("doc_id"), asDouble(col("vec")).as("dv"))
@@ -198,7 +205,7 @@ object MaxSim {
     val slices = math.max(1,
       spark.sparkContext.defaultParallelism / math.max(1, nClusters))
     Similarity.nearestCentroids(dTok, cents, "tid", "vec", 1)
-      .select((col("tid") / 1024).cast("long").as("doc_id"),
+      .select(expr("tid div 1024").as("doc_id"),
         (col("tid") % 1024).cast("int").as("tok"),
         col("vec"), col("centroid_id"))
       .repartition(nClusters * slices, col("centroid_id"),
@@ -231,13 +238,18 @@ object MaxSim {
     * prunes land at the scans.
     *
     * Bounded-driver contract: the probe ASSIGNMENTS are collected once
-    * (≤ maxQ·nProbe rows — the `limit` bounds the collect loudly
-    * before it can grow with the query side) and serve three uses from
-    * that single job: the maxQ guard, the probed-cell partition
-    * filter, and a local-relation broadcast into the candidate scan
-    * (the distributed probe derivation would otherwise recompute
-    * inside that scan's job); candidate doc ids (≤ |q tokens|·tokenTopT
-    * by construction) are collected to derive the fetch buckets. */
+    * — IDS ONLY, (qtid, centroid_id): query VECTORS never ride the
+    * collect (at the 65536-token default they would be ~134 MB of
+    * boxed arrays on the driver) — bounded at maxQ·nProbe rows by a
+    * loud `limit`, with the token count itself re-checked against maxQ
+    * from the collected distinct qtids (an index with fewer centroids
+    * than nProbe emits fewer rows per token, which would otherwise
+    * inflate the effective limit past the documented contract). The one
+    * job serves three uses: the maxQ guard, the probed-cell partition
+    * filter, and the probe pairs for the candidate scan (re-joined to
+    * their vectors distributively against the tiny qTok frame before
+    * the broadcast); candidate doc ids (≤ |q tokens|·tokenTopT by
+    * construction) are collected to derive the fetch buckets. */
   def searchTokenIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, queryTokens: DataFrame, k: Int = 10,
                        nProbe: Int = 4, tokenTopT: Int = 32,
@@ -248,14 +260,23 @@ object MaxSim {
       packedTid(col("query_id"), col("tok")).as("qtid"),
       asDouble(col("vec")).as("qv"))
     val probesDist = Similarity.nearestCentroids(
-      qTok, cents, "qtid", "qv", nProbe)
+        qTok, cents, "qtid", "qv", nProbe)
+      .select("qtid", "centroid_id")
     val cap = maxQ * nProbe + 1
     val probeRows = probesDist.limit(cap).collect()
     require(probeRows.length < cap,
       s"searchTokenIndex query side exceeds maxQ=$maxQ token rows — " +
         "batch the queries")
+    val qtids = probeRows.map(_.getLong(0)).distinct
+    require(qtids.length <= maxQ,
+      s"searchTokenIndex query side exceeds maxQ=$maxQ token rows — " +
+        "batch the queries")
+    // query vectors re-attach distributively: the local relation
+    // carries ids only, the join output (≤ maxQ·nProbe rows) feeds the
+    // broadcast below
     val probes = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probesDist.schema)
+        java.util.Arrays.asList(probeRows: _*), probesDist.schema)
+      .join(qTok, "qtid")
     val probedCells = probeRows.map(r =>
       r.getInt(r.fieldIndex("centroid_id"))).distinct.toSeq
     val wTok = Window.partitionBy("qtid")
@@ -289,7 +310,7 @@ object MaxSim {
       .withColumn("tc", i4(cosine(col("qv"), col("dv"))))
       .withColumn("__r", row_number().over(wTok))
       .where(col("__r") <= tokenTopT)
-      .select((col("qtid") / 1024).cast("long").as("query_id"),
+      .select(expr("qtid div 1024").as("query_id"),
         col("doc_id"))
       .where(col("query_id") =!= col("doc_id"))
       .distinct()
@@ -343,7 +364,7 @@ object MaxSim {
     val dTok = toks.select(
       packedTid(col("doc_id"), col("tok")).as("tid"), col("vec"))
     Similarity.nearestCentroids(dTok, cents, "tid", "vec", 1)
-      .select((col("tid") / 1024).cast("long").as("doc_id"),
+      .select(expr("tid div 1024").as("doc_id"),
         (col("tid") % 1024).cast("int").as("tok"),
         col("vec"), col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
@@ -381,7 +402,7 @@ object MaxSim {
       val dTok = toks.select(
         packedTid(col("doc_id"), col("tok")).as("tid"), col("vec"))
       Similarity.nearestCentroids(dTok, cents, "tid", "vec", 1)
-        .select((col("tid") / 1024).cast("long").as("doc_id"),
+        .select(expr("tid div 1024").as("doc_id"),
           (col("tid") % 1024).cast("int").as("tok"),
           col("vec"), col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id")
@@ -485,7 +506,7 @@ object MaxSim {
       spark.sparkContext.defaultParallelism / math.max(1, nClusters))
     val tokTmp = new org.apache.hadoop.fs.Path(s"$dir/.tokens.recenter")
     Similarity.nearestCentroids(dTok, cents, "tid", "vec", 1)
-      .select((col("tid") / 1024).cast("long").as("doc_id"),
+      .select(expr("tid div 1024").as("doc_id"),
         (col("tid") % 1024).cast("int").as("tok"),
         col("vec"), col("centroid_id"))
       .repartition(nClusters * slices, col("centroid_id"),

@@ -53,21 +53,32 @@ object SketchIndex {
       .withColumn("bucket", pmod(hash(col("vec_id")), lit(Buckets)))
   }
 
+  /** Sketch-dataset file fanout: a handful of files, written through a
+    * repartition EXCHANGE (never coalesce(1), which would propagate up
+    * and serialize the whole read+sketch pipeline into one task — at
+    * the scale the object doc claims, a single-threaded build). */
+  private def sketchFanout(spark: SparkSession): Int =
+    math.max(1, spark.sparkContext.defaultParallelism / 8)
+
   /** Build both datasets. A rebuild resets the deletion ledger and any
     * streaming batch dirs (they refer to the pre-rebuild corpus, and
     * the fresh sketches/ overwrite carries no high-water marker). */
   def writeIndex(vectors: DataFrame, dir: String): Unit = {
     val spark = vectors.sparkSession
-    val vs = withSketch(vectors)
-    vs.select("vec_id", "sig", "bucket")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/sketches")
-    val slices = math.max(1,
-      spark.sparkContext.defaultParallelism / Buckets)
-    vs.select(col("vec_id"), col("vec"), col("bucket"))
-      .repartition(Buckets * slices, col("bucket"),
-        pmod(hash(col("vec_id")), lit(slices)))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/vectors")
+    // cached: both dataset writes consume the sketch computation
+    val vs = StagingCaches.cache(withSketch(vectors))
+    try {
+      vs.select("vec_id", "sig", "bucket")
+        .repartition(sketchFanout(spark))
+        .write.mode("overwrite").parquet(s"$dir/sketches")
+      val slices = math.max(1,
+        spark.sparkContext.defaultParallelism / Buckets)
+      vs.select(col("vec_id"), col("vec"), col("bucket"))
+        .repartition(Buckets * slices, col("bucket"),
+          pmod(hash(col("vec_id")), lit(slices)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/vectors")
+    } finally vs.unpersist()
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batches"), true)
@@ -79,12 +90,18 @@ object SketchIndex {
     * plane table means appends never degrade the sketch (nothing to
     * recenter). Batch id discipline is the caller's. */
   def appendToIndex(newVectors: DataFrame, dir: String): Unit = {
-    val vs = withSketch(newVectors)
-    vs.select("vec_id", "sig", "bucket")
-      .coalesce(1).write.mode("append").parquet(s"$dir/sketches")
-    vs.select(col("vec_id"), col("vec"), col("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$dir/vectors")
+    // cached: both appended datasets consume the sketch computation;
+    // coalesce(1) is right HERE — appends are micro-batch-sized by
+    // contract, and the cache boundary stops the coalesce propagating
+    // into the batch's own lineage
+    val vs = StagingCaches.cache(withSketch(newVectors))
+    try {
+      vs.select("vec_id", "sig", "bucket")
+        .coalesce(1).write.mode("append").parquet(s"$dir/sketches")
+      vs.select(col("vec_id"), col("vec"), col("bucket"))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$dir/vectors")
+    } finally vs.unpersist()
   }
 
   /** EXACTLY-ONCE streaming ingestion: one micro-batch lands BOTH
@@ -121,7 +138,8 @@ object SketchIndex {
       }.dropDuplicates("vec_id")
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
       if (ds == "sketches")
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        merged.repartition(sketchFanout(spark))
+          .write.mode("overwrite").parquet(tmp.toString)
       else {
         val slices = math.max(1,
           spark.sparkContext.defaultParallelism / Buckets)
@@ -268,8 +286,11 @@ object SketchIndex {
       val keepCount = keep.count()
       if (ds == "sketches") removed = base.count() - keepCount
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.vacuum")
-      if (ds == "sketches" || keepCount == 0L)
+      if (keepCount == 0L)
         keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      else if (ds == "sketches")
+        keep.repartition(sketchFanout(spark))
+          .write.mode("overwrite").parquet(tmp.toString)
       else {
         val slices = math.max(1,
           spark.sparkContext.defaultParallelism / Buckets)

@@ -52,14 +52,33 @@ object IndexFixtures {
       p
     })
 
+  /** Clones handed out by [[cloned]] this JVM — deleted on exit so
+    * repeated bench reps / long-lived hosts never accumulate full index
+    * copies in the temp dir (each mutating-gate invocation clones; a
+    * multi-rep bench would otherwise leave reps×gates copies behind). */
+  private val clones =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    clones.forEach { p =>
+      try {
+        val sp = new Path(p)
+        sp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(sp, true)
+        ()
+      } catch { case _: Throwable => () }
+    }))
+
   /** A fresh, private, mutable copy of the memoized clean `kind` index
-    * for `sfDir` — for gates that tombstone/append/vacuum/recenter. */
+    * for `sfDir` — for gates that tombstone/append/vacuum/recenter.
+    * Registered for deletion at JVM exit. */
   def cloned(s: SparkSession, sfDir: String, kind: String)
             (build: String => Unit): String = {
     val conf = s.sparkContext.hadoopConfiguration
     val snap = shared(s, sfDir, kind)(build)
     val work = java.nio.file.Files
       .createTempDirectory(s"graft_${kind}_clone").toString
+    clones.add(work)
     val fs = new Path(work).getFileSystem(conf)
     // the temp dir already exists — copy each child so the clone has
     // the snapshot's layout directly under `work` (no nesting)

@@ -355,20 +355,30 @@ object EventStreams {
   def indexSink(vectors: DataFrame, indexDir: String,
                 checkpointDir: Option[String] = None,
                 tagOverride: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchDirSink(vectors, checkpointDir, tagOverride)(
+      graft.operators.Similarity.appendBatchDir(_, indexDir, _, _))
+
+  /** The shared scaffold of every one-shot index/ledger sink: tag
+    * derivation, optional checkpoint, Append mode, AvailableNow
+    * trigger, empty-batch skip. The tag scopes batch placement:
+    * normally the checkpoint location (the identity that survives a
+    * restart); un-checkpointed callers running several one-shot
+    * queries against one target pass distinct tagOverrides so their
+    * batch-0 locations don't collide. One definition — a contract
+    * change (trigger, checkpoint handling, empty-batch policy) lands
+    * in every sink at once instead of drifting across copies. */
+  private def batchDirSink(df: DataFrame, checkpointDir: Option[String],
+                           tagOverride: Option[String])
+      (perBatch: (DataFrame, String, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // the tag scopes batch-dir placement: normally the checkpoint
-    // location (the identity that survives a restart); un-checkpointed
-    // callers running several one-shot queries against one index pass
-    // distinct tagOverrides so their batch-0 dirs don't collide
     val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
-    val writer = checkpointDir.fold(vectors.writeStream)(
-      vectors.writeStream.option("checkpointLocation", _))
+    val writer = checkpointDir.fold(df.writeStream)(
+      df.writeStream.option("checkpointLocation", _))
     writer.outputMode(OutputMode.Append)
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.Similarity.appendBatchDir(
-              batch.toDF(), indexDir, tag, batchId)
+          if (!batch.isEmpty) perBatch(batch.toDF(), tag, batchId)
           ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -384,21 +394,9 @@ object EventStreams {
   def deleteSink(ids: DataFrame, indexDir: String,
                  checkpointDir: Option[String] = None,
                  tagOverride: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
-    val writer = checkpointDir.fold(ids.writeStream)(
-      ids.writeStream.option("checkpointLocation", _))
-    writer.outputMode(OutputMode.Append)
-      .foreachBatch {
-        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.Similarity.deleteBatchDir(
-              batch.toDF(), indexDir, tag, batchId)
-          ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchDirSink(ids, checkpointDir, tagOverride)(
+      graft.operators.Similarity.deleteBatchDir(_, indexDir, _, _))
 
   /** Streaming SKETCH-INDEX ingestion — [[indexSink]] for the binary-
     * sketch layout ([[graft.operators.SketchIndex]]): each micro-batch
@@ -411,21 +409,9 @@ object EventStreams {
   def sketchIndexSink(vectors: DataFrame, indexDir: String,
                       checkpointDir: Option[String] = None,
                       tagOverride: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
-    val writer = checkpointDir.fold(vectors.writeStream)(
-      vectors.writeStream.option("checkpointLocation", _))
-    writer.outputMode(OutputMode.Append)
-      .foreachBatch {
-        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.SketchIndex.appendBatchDir(
-              batch.toDF(), indexDir, tag, batchId)
-          ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchDirSink(vectors, checkpointDir, tagOverride)(
+      graft.operators.SketchIndex.appendBatchDir(_, indexDir, _, _))
 
   /** Streaming index deletion for ANY ledger-bearing index kind — the
     * generic form of [[deleteSink]]/[[phraseDeleteSink]], closing
@@ -443,21 +429,10 @@ object EventStreams {
   def tombstoneSink(ids: DataFrame, indexDir: String,
                     checkpointDir: Option[String] = None,
                     tagOverride: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
-    val writer = checkpointDir.fold(ids.writeStream)(
-      ids.writeStream.option("checkpointLocation", _))
-    writer.outputMode(OutputMode.Append)
-      .foreachBatch {
-        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.TombstoneLedger.appendBatch(
-              batch.toDF(), s"$indexDir/tombstones", tag, batchId)
-          ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchDirSink(ids, checkpointDir, tagOverride)(
+      graft.operators.TombstoneLedger.appendBatch(
+        _, s"$indexDir/tombstones", _, _))
 
   /** Streaming PHRASE-index deletion — the text twin of [[deleteSink]]:
     * each micro-batch of `doc_id` delete requests lands in a
@@ -469,21 +444,9 @@ object EventStreams {
   def phraseDeleteSink(ids: DataFrame, indexDir: String,
                        checkpointDir: Option[String] = None,
                        tagOverride: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
-    val writer = checkpointDir.fold(ids.writeStream)(
-      ids.writeStream.option("checkpointLocation", _))
-    writer.outputMode(OutputMode.Append)
-      .foreachBatch {
-        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.PhraseSearch.deleteBatchDir(
-              batch.toDF(), indexDir, tag, batchId)
-          ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchDirSink(ids, checkpointDir, tagOverride)(
+      graft.operators.PhraseSearch.deleteBatchDir(_, indexDir, _, _))
 
   /** Streaming PHRASE-INDEX ingestion — the text twin of [[indexSink]]:
     * each micro-batch of (doc_id, text) documents tokenizes to
@@ -497,21 +460,9 @@ object EventStreams {
   def phraseIndexSink(docs: DataFrame, indexDir: String,
                       checkpointDir: Option[String] = None,
                       tagOverride: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
-    val writer = checkpointDir.fold(docs.writeStream)(
-      docs.writeStream.option("checkpointLocation", _))
-    writer.outputMode(OutputMode.Append)
-      .foreachBatch {
-        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.PhraseSearch.appendBatchDir(
-              batch.toDF(), indexDir, tag, batchId)
-          ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchDirSink(docs, checkpointDir, tagOverride)(
+      graft.operators.PhraseSearch.appendBatchDir(_, indexDir, _, _))
 
   /** Streaming BM25-index ingestion — the scored-index twin of
     * [[phraseIndexSink]]: each micro-batch of (doc_id, text) documents
@@ -524,21 +475,9 @@ object EventStreams {
   def bm25IndexSink(docs: DataFrame, indexDir: String,
                     checkpointDir: Option[String] = None,
                     tagOverride: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
-    val writer = checkpointDir.fold(docs.writeStream)(
-      docs.writeStream.option("checkpointLocation", _))
-    writer.outputMode(OutputMode.Append)
-      .foreachBatch {
-        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.Bm25.appendBatchDir(
-              batch.toDF(), indexDir, tag, batchId)
-          ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchDirSink(docs, checkpointDir, tagOverride)(
+      graft.operators.Bm25.appendBatchDir(_, indexDir, _, _))
 
   /** Streaming PQ-INDEX ingestion — [[indexSink]] for the IVF-PQ
     * layout: each micro-batch of (vec_id, embedding) rows encodes
@@ -551,25 +490,13 @@ object EventStreams {
   def pqIndexSink(vectors: DataFrame, indexDir: String,
                   checkpointDir: Option[String] = None,
                   tagOverride: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
-    val writer = checkpointDir.fold(vectors.writeStream)(
-      vectors.writeStream.option("checkpointLocation", _))
-    writer.outputMode(OutputMode.Append)
-      .foreachBatch {
-        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.IvfPq.appendBatchDir(
-              batch.toDF(), indexDir, tag, batchId)
-          ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchDirSink(vectors, checkpointDir, tagOverride)(
+      graft.operators.IvfPq.appendBatchDir(_, indexDir, _, _))
 
   /** Streaming TOKEN-INDEX ingestion — [[pqIndexSink]] for the MaxSim
-    * dual layout, closing streaming ingestion over all FIVE persisted
-    * index kinds: each micro-batch of (doc_id, tok, vec) token rows
+    * dual layout (with [[sketchIndexSink]], streaming ingestion covers
+    * all six persisted index kinds): each micro-batch of (doc_id, tok, vec) token rows
     * assigns against the index's STANDING coarse cells (quantizer
     * deliberately not refit) and lands BOTH layouts in a batch-scoped
     * directory ([[graft.operators.MaxSim.appendTokenBatchDir]] —
@@ -580,21 +507,9 @@ object EventStreams {
   def maxsimIndexSink(docTokens: DataFrame, indexDir: String,
                       checkpointDir: Option[String] = None,
                       tagOverride: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val tag = tagOverride.orElse(checkpointDir).getOrElse("uncheckpointed")
-    val writer = checkpointDir.fold(docTokens.writeStream)(
-      docTokens.writeStream.option("checkpointLocation", _))
-    writer.outputMode(OutputMode.Append)
-      .foreachBatch {
-        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.MaxSim.appendTokenBatchDir(
-              batch.toDF(), indexDir, tag, batchId)
-          ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchDirSink(docTokens, checkpointDir, tagOverride)(
+      graft.operators.MaxSim.appendTokenBatchDir(_, indexDir, _, _))
 
   /** Streaming corpus-drift maintenance: each micro-batch of documents
     * aggregates to token counts
