@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintenance readout for any persisted index — the signal the
+  * lifecycle operators leave implicit: every kind accretes live
+  * streaming batch dirs (until its compactIndexBatches folds them) and
+  * pending tombstones (until its vacuum makes deletion physical), and
+  * at 100 TB the decision "compact/vacuum NOW or keep serving" is made
+  * from numbers, not intuition. One metadata pass per dataset (file
+  * count + bytes from the FileSystem listing — no data read) plus one
+  * tiny distinct-count job over the ledger; row counts are optional
+  * (they read parquet footers via Spark, still no column data).
+  *
+  * Generic over the layout: callers name the kind's datasets
+  * (e.g. `Seq("sketches", "vectors")` for [[SketchIndex]],
+  * `Seq("tokens", "doctokens")` for the MaxSim token index,
+  * `Seq("postings", "doclens")` for [[Bm25]]) — the batches/ and
+  * tombstones/ conventions are shared by all six kinds.
+  */
+object IndexStats {
+
+  /** One row per dataset: (dataset, n_files, bytes, n_rows) plus the
+    * index-level maintenance counters repeated on each row
+    * (live_batch_dirs — dirs [[IndexBatches.live]] would fold;
+    * pending_tombstones — distinct ids the next vacuum would remove).
+    * `countRows = false` skips the footer-read row counts for a pure
+    * metadata listing. */
+  def stats(spark: SparkSession, dir: String, datasets: Seq[String],
+            countRows: Boolean = true): DataFrame = {
+    import spark.implicits._
+    require(datasets.nonEmpty, "name at least one dataset")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(root)) return Nil
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f
+      }
+      out.result()
+    }
+    val liveBatches = IndexBatches.live(spark, dir, datasets.head).size
+    val tombstones = TombstoneLedger.df(spark, s"$dir/tombstones", "id")
+      .map(_.count()).getOrElse(0L)
+    datasets.map { ds =>
+      val files = leafFiles(s"$dir/$ds")
+      val rows =
+        if (!countRows || files.isEmpty) -1L
+        else spark.read.parquet(s"$dir/$ds").count()
+      (ds, files.size.toLong, files.map(_.getLen).sum, rows,
+        liveBatches.toLong, tombstones)
+    }.toDF("dataset", "n_files", "bytes", "n_rows",
+      "live_batch_dirs", "pending_tombstones")
+  }
+
+  /** The maintenance decision, as data: true when the index is due for
+    * compaction (live batch dirs past `maxLiveBatches`) or vacuum
+    * (pending tombstones past `maxTombstones`). */
+  def due(spark: SparkSession, dir: String, datasets: Seq[String],
+          maxLiveBatches: Int = 16, maxTombstones: Long = 100000L)
+      : (Boolean, Boolean) = {
+    val head = stats(spark, dir, datasets, countRows = false)
+      .select("live_batch_dirs", "pending_tombstones").head()
+    (head.getLong(0) > maxLiveBatches, head.getLong(1) > maxTombstones)
+  }
+}
