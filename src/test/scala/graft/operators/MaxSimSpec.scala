@@ -261,6 +261,32 @@ class MaxSimSpec extends SparkSpec {
       .filter(_.isDirectory).forall(_.getName.startsWith("doc_bucket=")))
   }
 
+  test("searchTokenIndex maxQ guards the TOKEN count even when the " +
+      "index has fewer centroids than nProbe (fewer probe rows per " +
+      "token must not inflate the effective limit)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_maxq").toString
+    // 2 centroids < nProbe=4: each token emits only 2 probe rows, so
+    // the old probe-row cap (maxQ*nProbe) would admit 2x maxQ tokens
+    MaxSim.writeTokenIndex(docToks, dir, nClusters = 2)
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 1), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id") // 8 query tokens
+    val e = intercept[Exception] {
+      MaxSim.searchTokenIndex(spark, dir, qToks, k = 3,
+        nProbe = 4, tokenTopT = 8, maxQ = 4)
+    }
+    assert(e.getMessage.contains("exceeds maxQ"),
+      s"wrong failure: ${e.getMessage}")
+    // and at maxQ = token count the same search succeeds
+    assert(MaxSim.searchTokenIndex(spark, dir, qToks, k = 3,
+      nProbe = 4, tokenTopT = 8, maxQ = 8).count() > 0)
+  }
+
   test("streaming batch dirs: exactly-once by placement, crash-window " +
       "dedup, compaction ≡ and suppresses replayed folded batches, " +
       "vacuum folds first so a deleted batch-only doc cannot resurface") {

@@ -37,6 +37,25 @@ class SketchIndexSpec extends SparkSpec {
         "full scan of the smallest dataset")
   }
 
+  test("searchIndex plan: partial WindowGroupLimit below the shortlist " +
+      "exchange, bucket partition filter at the vector fetch") {
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val qs = emb.where(col("vec_id") < 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_plan").toString
+    SketchIndex.writeIndex(emb, dir)
+    val df = SketchIndex.searchIndex(spark, dir, qs, k = 5, shortlist = 20)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"vector fetch must partition-prune on bucket:\n$plan")
+    // the shortlist window itself runs inside searchIndex (collected);
+    // its plan is checked on the pre-collect frame the operator builds —
+    // assert the re-rank window of the returned frame has its group
+    // limit too (rank <= k pushes a WindowGroupLimit)
+    assert(plan.contains("WindowGroupLimit"),
+      s"re-rank window lost its group limit:\n$plan")
+  }
+
   test("lifecycle: streamed batches land exactly-once, compaction " +
       "preserves results and consumes dirs, the generic tombstoneSink " +
       "masks immediately, vacuum is physical on both datasets") {
