@@ -220,6 +220,76 @@ private[queries] object SketchReplay {
        |ORDER BY grid.doc_id, grid.dim""".stripMargin
   }
 
+  /** Full q_text_ann_e2e oracle: TEXT-to-retrieval end-to-end — the
+    * [[hashEmbedSql]] embedder (at d=64) composed with the
+    * [[hammingTopKSql]] retrieval stack, replayed as ONE DuckDB query:
+    * tokens → murmur scatter → dense 64-dim vectors → plane-table sign
+    * signatures → Hamming shortlist → exact rounded-cosine re-rank.
+    * Every stage deterministic, so a documents table retrieves over
+    * itself with no external embedder and the gate hashes the ROWS. */
+  lazy val textAnnE2eSql: String = {
+    val d = 64
+    val plane = s"(((${mix("CAST(i AS HUGEINT) * 4294967296 + CAST(j AS HUGEINT)")})" +
+      s" // 2048) / 9007199254740992.0) * 2.0 - 1.0"
+    val dot = "list_reduce(list_transform(list_zip(v, pl[CAST(i + 1 AS INT)])," +
+      " z -> z[1] * z[2]), (x1, y1) -> x1 + y1)"
+    s"""WITH tok AS (SELECT doc_id,
+       |              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |            FROM documents),
+       |dt AS (SELECT DISTINCT t FROM tok),
+       |th AS (SELECT t,
+       |              CAST((${murmur32("t", BigInt("9747b28c", 16))}) % $d
+       |                AS BIGINT) AS dim,
+       |              CASE WHEN (${murmur32("t", BigInt("85ebca6b", 16))})
+       |                     % 2 = 1
+       |                   THEN 1 ELSE -1 END AS s
+       |       FROM dt),
+       |sc AS (SELECT tok.doc_id, th.dim, th.s FROM tok JOIN th USING (t)),
+       |agg AS (SELECT doc_id, dim, CAST(sum(s) AS DOUBLE) AS value
+       |        FROM sc GROUP BY doc_id, dim),
+       |grid AS (SELECT d0.doc_id, dims.dim
+       |         FROM (SELECT DISTINCT doc_id FROM documents) d0
+       |         CROSS JOIN (SELECT CAST(unnest(range(0, $d)) AS BIGINT)
+       |                       AS dim) dims),
+       |vecs AS (SELECT grid.doc_id AS vec_id,
+       |                list(coalesce(agg.value, 0.0)
+       |                     ORDER BY grid.dim) AS v
+       |         FROM grid LEFT JOIN agg
+       |           ON grid.doc_id = agg.doc_id AND grid.dim = agg.dim
+       |         GROUP BY grid.doc_id),
+       |pt AS (SELECT i, list(g ORDER BY j) AS gs FROM (
+       |         SELECT i, j, $plane AS g
+       |         FROM range(0, 64) t1(i), range(0, $d) t2(j)) GROUP BY i),
+       |pls AS (SELECT list(gs ORDER BY i) AS pl FROM pt),
+       |sig AS (SELECT vec_id, v,
+       |               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |                 list_transform(range(0, 64), i ->
+       |                   CASE WHEN $dot >= 0 THEN CAST(1 AS HUGEINT) << i
+       |                        ELSE CAST(0 AS HUGEINT) END)),
+       |                 (a, x) -> a + x) AS su
+       |        FROM vecs, pls),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, su AS qsu
+       |       FROM sig WHERE vec_id < 3),
+       |sh AS (SELECT qs.query_id, s2.vec_id AS cand_id, s2.v, qs.qv,
+       |              CAST(bit_count(xor(${toSigned64("s2.su")},
+       |                                 ${toSigned64("qs.qsu")})) AS BIGINT)
+       |                AS hamming
+       |       FROM sig s2 JOIN qs ON qs.query_id <> s2.vec_id),
+       |sl AS (SELECT query_id, cand_id, v, qv, hamming,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY hamming, cand_id) AS hr
+       |       FROM sh),
+       |rr AS (SELECT query_id, cand_id, hamming,
+       |              round(list_cosine_similarity(v, qv), 4) AS score
+       |       FROM sl WHERE hr <= 30),
+       |rk AS (SELECT query_id, cand_id, hamming, score,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, cand_id) AS rank
+       |       FROM rr)
+       |SELECT query_id, cand_id, hamming, score, rank
+       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Full q_ann_hamming oracle: the binary-quantized RETRIEVAL pipeline
     * (Similarity.hammingTopK) replayed end-to-end — the deterministic
     * hyperplane table and sign-bit signatures of [[embedLshSql]] over

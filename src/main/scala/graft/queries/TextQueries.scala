@@ -920,6 +920,27 @@ object TextQueries {
         .orderBy("doc_id", "dim")
     },
 
+    // TEXT-to-retrieval end-to-end: the documents table retrieves over
+    // ITSELF with no external embedder — hash_embed (d=64) feeds
+    // hammingTopK, two pipelines that are each hash-exact composing
+    // into one gate whose oracle replays the WHOLE path (murmur
+    // scatter → dense vectors → plane signatures → Hamming shortlist →
+    // rounded-cosine re-rank) in a single DuckDB query. This is the
+    // curation-pipeline shape the embedder exists for: any text table
+    // becomes ANN input inline, in the same scan.
+    Q("q_text_ann_e2e", SketchReplay.textAnnE2eSql) { (s, dir) =>
+      graft.expressions.HashEmbed.register(s)
+      val docs = t(s, dir, "documents")
+        .selectExpr("doc_id AS vec_id",
+          "hash_embed(split(trim(lower(text)), '\\\\s+'), 64) AS embedding")
+      graft.operators.Similarity.hammingTopK(docs,
+          docs.where(col("vec_id") < 3),
+          k = 5, shortlist = 30)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // SimHash near-dup pairs via the custom codegen'd simhash64
     // expression. Rows-only through round 6 ("Murmur3 isn't available in
     // DuckDB") — it is: SketchReplay.simhashSql replays Spark's
