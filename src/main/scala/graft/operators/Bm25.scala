@@ -235,12 +235,13 @@ object Bm25 {
     * Production no-op. */
   private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
 
-  /** Physically remove tombstoned documents: anti-join the ledger
-    * snapshot against BOTH index datasets (postings rewritten behind
-    * the crash-safe staged swap in the bucket-partitioned layout;
-    * doclens rewritten the same way), then clear exactly the consumed
-    * ledger files. Any crash ordering stays consistent: the corpus
-    * constants derive from doclens∖ledger and postings read as
+  /** Physically remove tombstoned documents from BOTH index datasets:
+    * postings via [[SelectiveVacuum]] — only the term buckets
+    * CONTAINING a tombstoned document's postings are rewritten and
+    * leaf-swapped (O(affected buckets), not O(index)) — and the small
+    * doclens dataset behind a full staged swap; then clear exactly the
+    * consumed ledger files. Any crash ordering stays consistent: the
+    * corpus constants derive from doclens∖ledger and postings read as
     * postings∖ledger, so whichever dataset swapped first, a search
     * still scores the live corpus exactly. Returns postings rows
     * removed. */
@@ -256,29 +257,13 @@ object Bm25 {
     // fold live streaming batch dirs first: one rewrite covers
     // everything, and a streamed-then-deleted doc resolves DELETED
     compactIndexBatches(spark, dir)
-    val postPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val base = spark.read.parquet(postPath.toString)
-    val keep = base.join(ts, Seq("doc_id"), "left_anti")
-    val keepCount = keep.count()
-    val removed = base.count() - keepCount
-    val tmpP = new org.apache.hadoop.fs.Path(s"$dir/.postings.vacuum")
-    if (keepCount == 0L)
-      keep.coalesce(1).write.mode("overwrite").parquet(tmpP.toString)
-    else {
-      val slices = math.max(1,
-        spark.sparkContext.defaultParallelism / IndexBuckets)
-      keep.repartition(IndexBuckets * slices, col("term_bucket"),
-          pmod(hash(col("doc_id")), lit(slices)))
-        .write.mode("overwrite").partitionBy("term_bucket")
-        .parquet(tmpP.toString)
-    }
-    // carry the compaction high-water marker through the rewrite —
-    // losing it would resurface folded batch dirs whose best-effort
-    // delete failed (a double count)
-    IndexBatches.writeMarker(fs, tmpP,
-      IndexBatches.readMarker(fs, postPath))
-    graft.sources.Formats.swapInto(fs, tmpP, postPath)
-    spark.catalog.refreshByPath(postPath.toString)
+    // postings: partition-selective — only the term buckets CONTAINING
+    // a tombstoned document's postings are rewritten and leaf-swapped
+    // (the compaction marker at the postings root is untouched)
+    val removed = SelectiveVacuum(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/postings"), "term_bucket",
+      "doc_id", ts, slices = math.max(1,
+        spark.sparkContext.defaultParallelism / IndexBuckets))
     val dlPath = new org.apache.hadoop.fs.Path(s"$dir/doclens")
     val tmpD = new org.apache.hadoop.fs.Path(s"$dir/.doclens.vacuum")
     val dlKeep = spark.read.parquet(dlPath.toString)

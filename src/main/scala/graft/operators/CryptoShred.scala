@@ -43,9 +43,19 @@ object CryptoShred {
     * eager precondition (one early-out anti-join job, immune to column
     * pruning) plus a scan-local assert as defense in depth — where an
     * inner join would silently drop it, which for an encryption path
-    * is undocumented data loss. */
+    * is undocumented data loss.
+    *
+    * Cost note: the eager check is one extra scan + distinct shuffle of
+    * the input's id column per call — roughly doubling encrypt cost on
+    * inputs where the scan dominates — and is check-then-act against a
+    * concurrently mutated key table (correctness is still covered by
+    * the retained scan-local assert). Callers whose downstream plan
+    * provably retains the `_enc` column may pass
+    * `eagerCoverageCheck = false` to skip the extra job and rely on the
+    * in-scan assert alone. */
   def encrypt(df: DataFrame, idCol: String, valueCol: String,
-              keys: DataFrame): DataFrame = {
+              keys: DataFrame,
+              eagerCoverageCheck: Boolean = true): DataFrame = {
     // The coverage contract is enforced EAGERLY with one tiny
     // early-out job (O(distinct unkeyed subjects), limit 1): the
     // scan-local assert below lives in the `_enc` projection, so any
@@ -53,14 +63,16 @@ object CryptoShred {
     // drops it) would silently skip the check — and unlike the old
     // inner join, the left join would then PROPAGATE unkeyed rows.
     // A precondition fails deterministically regardless of plan shape.
-    val unkeyed = df.select(df(idCol).cast("long").as("subject_id"))
-      .distinct()
-      .join(keys.select("subject_id"), Seq("subject_id"), "left_anti")
-      .limit(1).collect()
-    require(unkeyed.isEmpty,
-      s"CryptoShred.encrypt: no key for subject ${unkeyed.headOption
-        .map(_.get(0)).getOrElse("")} — rebuild the key table over " +
-        "the input's subjects before encrypting")
+    if (eagerCoverageCheck) {
+      val unkeyed = df.select(df(idCol).cast("long").as("subject_id"))
+        .distinct()
+        .join(keys.select("subject_id"), Seq("subject_id"), "left_anti")
+        .limit(1).collect()
+      require(unkeyed.isEmpty,
+        s"CryptoShred.encrypt: no key for subject ${unkeyed.headOption
+          .map(_.get(0)).getOrElse("")} — rebuild the key table over " +
+          "the input's subjects before encrypting")
+    }
     df.join(keys, df(idCol).cast("long") === keys("subject_id"), "left")
       .withColumn(s"${valueCol}_enc",
         when(assert_true(col("dek").isNotNull,

@@ -26,9 +26,18 @@ object IndexStats {
     * (live_batch_dirs — dirs [[IndexBatches.live]] would fold;
     * pending_tombstones — distinct ids the next vacuum would remove).
     * `countRows = false` skips the footer-read row counts for a pure
-    * metadata listing. */
+    * metadata listing.
+    *
+    * `markerDataset` names the dataset carrying the compaction
+    * high-water marker (the one each kind's compact writes it into:
+    * `sketches`, `tokens`, `postings`, `assignments`, `pqcodes`);
+    * when None it defaults to `datasets.head`, which matches the
+    * scaladoc orderings above — but a caller listing datasets in any
+    * other order MUST name it, or already-folded batch dirs count as
+    * live and `due` over-reports compaction pressure. */
   def stats(spark: SparkSession, dir: String, datasets: Seq[String],
-            countRows: Boolean = true): DataFrame = {
+            countRows: Boolean = true,
+            markerDataset: Option[String] = None): DataFrame = {
     import spark.implicits._
     require(datasets.nonEmpty, "name at least one dataset")
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -44,7 +53,8 @@ object IndexStats {
       }
       out.result()
     }
-    val liveBatches = IndexBatches.live(spark, dir, datasets.head).size
+    val liveBatches = IndexBatches.live(spark, dir,
+      markerDataset.getOrElse(datasets.head)).size
     val tombstones = TombstoneLedger.df(spark, s"$dir/tombstones", "id")
       .map(_.count()).getOrElse(0L)
     datasets.map { ds =>
@@ -62,9 +72,11 @@ object IndexStats {
     * compaction (live batch dirs past `maxLiveBatches`) or vacuum
     * (pending tombstones past `maxTombstones`). */
   def due(spark: SparkSession, dir: String, datasets: Seq[String],
-          maxLiveBatches: Int = 16, maxTombstones: Long = 100000L)
+          maxLiveBatches: Int = 16, maxTombstones: Long = 100000L,
+          markerDataset: Option[String] = None)
       : (Boolean, Boolean) = {
-    val head = stats(spark, dir, datasets, countRows = false)
+    val head = stats(spark, dir, datasets, countRows = false,
+        markerDataset = markerDataset)
       .select("live_batch_dirs", "pending_tombstones").head()
     (head.getLong(0) > maxLiveBatches, head.getLong(1) > maxTombstones)
   }

@@ -549,17 +549,18 @@ object IvfPq {
     * Production no-op. */
   private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
 
-  /** Physically remove tombstoned vectors from BOTH index datasets
-    * (pqcodes and vectors — each rewritten behind the crash-safe staged
-    * swap in its clustered layout), then clear exactly the consumed
-    * ledger files: ONE ledger enumeration feeds the anti-join and the
-    * cleanup, so a tombstone landing mid-pass is neither applied nor
-    * deleted — it survives to the next pass and [[searchIndex]] keeps
-    * masking it meanwhile. Any crash ordering stays consistent: the
-    * shortlist derives from pqcodes∖ledger, so whichever dataset
-    * swapped first a search still ranks live vectors only. A full purge
-    * writes schema-preserving unpartitioned empty parquet. Returns code
-    * rows removed. */
+  /** Physically remove tombstoned vectors from BOTH index datasets —
+    * pqcodes and vectors, each via [[SelectiveVacuum]]: only the
+    * centroid cells CONTAINING tombstoned vectors are rewritten and
+    * leaf-swapped (O(affected cells), not O(index); the compaction
+    * marker at the pqcodes root is untouched by leaf swaps) — then
+    * clear exactly the consumed ledger files: ONE ledger enumeration
+    * feeds the anti-join and the cleanup, so a tombstone landing
+    * mid-pass is neither applied nor deleted — it survives to the next
+    * pass and [[searchIndex]] keeps masking it meanwhile. Any crash
+    * ordering stays consistent: the shortlist derives from
+    * pqcodes∖ledger, so whichever partitions swapped first a search
+    * still ranks live vectors only. Returns code rows removed. */
   def vacuumIndex(spark: SparkSession, dir: String): Long = {
     val root = s"$dir/tombstones"
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -574,33 +575,12 @@ object IvfPq {
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
     val slices = math.max(1,
       spark.sparkContext.defaultParallelism / math.max(1, nClusters))
-    // the two datasets carry the SAME cand_id set (writeIndex emits one
-    // codes row and one vector row per candidate), so one anti-join
-    // count decides `removed` and the full-purge branch for both —
-    // vectors never pays its own counting pass
     var removed = 0L
-    var keepCount = 0L
     for (ds <- Seq("pqcodes", "vectors")) {
-      val path = new org.apache.hadoop.fs.Path(s"$dir/$ds")
-      val base = spark.read.parquet(path.toString)
-      val keep = base.join(ts, Seq("cand_id"), "left_anti")
-      if (ds == "pqcodes") {
-        keepCount = keep.count()
-        removed = base.count() - keepCount
-      }
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.vacuum")
-      if (keepCount == 0L)
-        keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      else
-        keep.repartition(nClusters * slices, col("centroid_id"),
-            pmod(hash(col("cand_id")), lit(slices)))
-          .write.mode("overwrite").partitionBy("centroid_id")
-          .parquet(tmp.toString)
-      // carry the compaction marker through the pqcodes rewrite
-      if (ds == "pqcodes")
-        IndexBatches.writeMarker(fs, tmp, IndexBatches.readMarker(fs, path))
-      graft.sources.Formats.swapInto(fs, tmp, path)
-      spark.catalog.refreshByPath(path.toString)
+      val n = SelectiveVacuum(spark,
+        new org.apache.hadoop.fs.Path(s"$dir/$ds"), "centroid_id",
+        "cand_id", ts, slices)
+      if (ds == "pqcodes") removed = n
     }
     TombstoneLedger.clear(fs, root, consumed)
     removed

@@ -229,32 +229,32 @@ object MaxSim {
     TombstoneLedger.reset(fsRoot, s"$dir/tombstones")
   }
 
-  /** Search a persisted [[writeTokenIndex]] index — result-identical to
-    * [[maxSimTopKPruned]] over the original token frame (same
-    * deterministic fit, same per-token top-T rule; MaxSimSpec pins it):
-    * the candidate scan reads ONLY the probed cells' token files
-    * (partition filter), and the exact re-rank reads ONLY the candidate
-    * documents' buckets, row-filtered to the candidate ids — both
-    * prunes land at the scans.
-    *
-    * Bounded-driver contract: the probe ASSIGNMENTS are collected once
-    * — IDS ONLY, (qtid, centroid_id): query VECTORS never ride the
-    * collect (at the 65536-token default they would be ~134 MB of
-    * boxed arrays on the driver) — bounded at maxQ·nProbe rows by a
-    * loud `limit`, with the token count itself re-checked against maxQ
-    * from the collected distinct qtids (an index with fewer centroids
-    * than nProbe emits fewer rows per token, which would otherwise
-    * inflate the effective limit past the documented contract). The one
-    * job serves three uses: the maxQ guard, the probed-cell partition
-    * filter, and the probe pairs for the candidate scan (re-joined to
-    * their vectors distributively against the tiny qTok frame before
-    * the broadcast); candidate doc ids (≤ |q tokens|·tokenTopT by
-    * construction) are collected to derive the fetch buckets. */
-  def searchTokenIndex(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, queryTokens: DataFrame, k: Int = 10,
-                       nProbe: Int = 4, tokenTopT: Int = 32,
-                       maxQ: Int = 65536): DataFrame = {
-    import spark.implicits._
+  /** Precomputed probe assignments for [[searchTokenIndex]]: each query
+    * token's `nProbe` nearest coarse cells, collected once under the
+    * bounded-driver contract (ids only — query vectors never ride the
+    * collect). Valid for ANY search against the same index dir while
+    * the quantizer stands: append, delete, vacuum, and batch compaction
+    * never move centroids (only [[recenterTokenIndex]] refits), so a
+    * serving tier plans probes once per query batch and reuses the plan
+    * across index mutations — a vacuum between two searches of the same
+    * queries re-pays neither the centroid read nor the assignment job. */
+  final class TokenProbes private[MaxSim] (
+    private[MaxSim] val rows: Array[org.apache.spark.sql.Row],
+    private[MaxSim] val schema: org.apache.spark.sql.types.StructType,
+    private[MaxSim] val probedCells: Seq[Int])
+
+  /** Assign query tokens to their probed cells and collect the
+    * (qtid, centroid_id) pairs — the probe half of [[searchTokenIndex]],
+    * split out so repeated searches of the SAME queries against the
+    * SAME quantizer share one assignment job. Bounded at maxQ·nProbe
+    * rows by a loud `limit`, with the token count itself re-checked
+    * against maxQ from the collected distinct qtids (an index with
+    * fewer centroids than nProbe emits fewer rows per token, which
+    * would otherwise inflate the effective limit past the documented
+    * contract). */
+  def planTokenProbes(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, queryTokens: DataFrame,
+                      nProbe: Int = 4, maxQ: Int = 65536): TokenProbes = {
     val cents = spark.read.parquet(s"$dir/centroids")
     val qTok = queryTokens.select(
       packedTid(col("query_id"), col("tok")).as("qtid"),
@@ -271,14 +271,45 @@ object MaxSim {
     require(qtids.length <= maxQ,
       s"searchTokenIndex query side exceeds maxQ=$maxQ token rows — " +
         "batch the queries")
+    new TokenProbes(probeRows, probesDist.schema,
+      probeRows.map(r =>
+        r.getInt(r.fieldIndex("centroid_id"))).distinct.toSeq)
+  }
+
+  /** Search a persisted [[writeTokenIndex]] index — result-identical to
+    * [[maxSimTopKPruned]] over the original token frame (same
+    * deterministic fit, same per-token top-T rule; MaxSimSpec pins it):
+    * the candidate scan reads ONLY the probed cells' token files
+    * (partition filter), and the exact re-rank reads ONLY the candidate
+    * documents' buckets, semi-joined down to the candidate documents —
+    * both prunes land at the scans.
+    *
+    * Bounded-driver contract: the probe ASSIGNMENTS are collected once
+    * (see [[planTokenProbes]] — pass `probes` to share that job across
+    * repeated searches of the same queries); the candidate pairs
+    * (≤ |q tokens|·tokenTopT rows by construction) are collected once,
+    * and that one collect serves the fetch-bucket partition filter, the
+    * candidate-document semi-join, and the re-rank's broadcast pair
+    * relation — never an `isin` over the candidate ids, whose literal
+    * list would be a driver-side plan-size hazard at the documented
+    * bounds. */
+  def searchTokenIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queryTokens: DataFrame, k: Int = 10,
+                       nProbe: Int = 4, tokenTopT: Int = 32,
+                       maxQ: Int = 65536,
+                       probes: Option[TokenProbes] = None): DataFrame = {
+    val qTok = queryTokens.select(
+      packedTid(col("query_id"), col("tok")).as("qtid"),
+      asDouble(col("vec")).as("qv"))
+    val plan = probes.getOrElse(
+      planTokenProbes(spark, dir, queryTokens, nProbe, maxQ))
     // query vectors re-attach distributively: the local relation
     // carries ids only, the join output (≤ maxQ·nProbe rows) feeds the
     // broadcast below
-    val probes = spark.createDataFrame(
-        java.util.Arrays.asList(probeRows: _*), probesDist.schema)
+    val probesDf = spark.createDataFrame(
+        java.util.Arrays.asList(plan.rows: _*), plan.schema)
       .join(qTok, "qtid")
-    val probedCells = probeRows.map(r =>
-      r.getInt(r.fieldIndex("centroid_id"))).distinct.toSeq
+    val probedCells = plan.probedCells
     val wTok = Window.partitionBy("qtid")
       .orderBy(desc("tc"), asc("tid"))
     // anti-join the deletion ledger BEFORE candidate generation, so a
@@ -303,10 +334,13 @@ object MaxSim {
     val liveTokens = ledger
       .map(ts => rawTokens.join(ts, Seq("doc_id"), "left_anti"))
       .getOrElse(rawTokens)
-    val cand = liveTokens
+    // one bounded collect (≤ |q tokens|·tokenTopT rows by the top-T
+    // rule) serves the fetch-bucket partition filter, the candidate
+    // semi-join relation, and the re-rank's broadcast pairs
+    val candRows = liveTokens
       .select(packedTid(col("doc_id"), col("tok")).as("tid"),
         col("doc_id"), col("vec").as("dv"), col("centroid_id"))
-      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(probesDf), Seq("centroid_id"))
       .withColumn("tc", i4(cosine(col("qv"), col("dv"))))
       .withColumn("__r", row_number().over(wTok))
       .where(col("__r") <= tokenTopT)
@@ -314,18 +348,35 @@ object MaxSim {
         col("doc_id"))
       .where(col("query_id") =!= col("doc_id"))
       .distinct()
-      .localCheckpoint() // bounded (≤ |q tokens|·topT): both consumers
-    val candIds = cand.select("doc_id").distinct()
-      .as[Long].collect()
+      .collect()
+    val candSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    val cand = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), candSchema)
+    val candIds = candRows.map(_.getLong(1)).distinct
+    val candDocs = spark.createDataFrame(
+      java.util.Arrays.asList(candIds.map(
+        org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
     val buckets = candIds
       .map(d => math.floorMod(
         org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(d, 42),
         DocBuckets))
       .distinct.toSeq
     val dCols = Seq("doc_id", "tok", "vec", "doc_bucket").map(col)
+    // candidate-document prune: the bucket list stays a literal
+    // partition filter (≤ DocBuckets values), but the per-row id prune
+    // is a broadcast SEMI-join against the local candidate relation —
+    // an isin over candIds would embed up to |q|·tokenTopT literals in
+    // the plan (driver-side analysis hazard at the documented bounds)
     def bucketed(p: String) = spark.read.parquet(p).select(dCols: _*)
       .where(col("doc_bucket").isin(buckets.map(Integer.valueOf): _*))
-      .where(col("doc_id").isin(candIds: _*))
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val fetched0 = liveDirs.foldLeft(bucketed(s"$dir/doctokens")) {
       (acc, p) => acc.union(bucketed(s"$p/doctokens"))
     }
@@ -541,14 +592,18 @@ object MaxSim {
     * lands in. Production no-op. */
   private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
 
-  /** Physically remove tombstoned documents' tokens from BOTH layouts
-    * (each rewritten behind the crash-safe staged swap in its own
-    * partitioning), then clear exactly the consumed ledger files (the
-    * single-enumeration discipline: a tombstone landing mid-pass
-    * survives and keeps masking). Any crash ordering stays consistent —
-    * candidates derive from tokens∖ledger and the fetch from
-    * doctokens∖ledger, so whichever layout swapped first a search still
-    * scores live documents only. Returns token rows removed. */
+  /** Physically remove tombstoned documents' tokens from BOTH layouts —
+    * each via [[SelectiveVacuum]]: only the centroid cells (tokens/)
+    * and doc buckets (doctokens/) CONTAINING tombstoned documents are
+    * rewritten and leaf-swapped, O(affected partitions) instead of
+    * O(index); the compaction high-water marker at the tokens root is
+    * untouched by leaf swaps — then clear exactly the consumed ledger
+    * files (the single-enumeration discipline: a tombstone landing
+    * mid-pass survives and keeps masking). Any crash ordering stays
+    * consistent — candidates derive from tokens∖ledger and the fetch
+    * from doctokens∖ledger, so whichever partitions swapped first a
+    * search still scores live documents only. Returns token rows
+    * removed. */
   def vacuumTokenIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Long = {
     // fold live streaming batch dirs first — vacuum rewrites the BASE
@@ -566,31 +621,14 @@ object MaxSim {
     vacuumAfterSnapshotHook()
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
     var removed = 0L
-    for ((ds, part) <- Seq("tokens" -> "centroid_id",
-        "doctokens" -> "doc_bucket")) {
-      val path = new org.apache.hadoop.fs.Path(s"$dir/$ds")
-      val base = spark.read.parquet(path.toString)
-      val keep = base.join(ts, Seq("doc_id"), "left_anti")
-      val keepCount = keep.count()
-      if (ds == "tokens") removed = base.count() - keepCount
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.vacuum")
-      if (keepCount == 0L)
-        keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      else {
-        val fanout = if (part == "centroid_id") math.max(1, nClusters)
-                     else DocBuckets
-        val slices = math.max(1,
-          spark.sparkContext.defaultParallelism / fanout)
-        keep.repartition(fanout * slices, col(part),
-            pmod(hash(col("doc_id")), lit(slices)))
-          .write.mode("overwrite").partitionBy(part)
-          .parquet(tmp.toString)
-      }
-      // carry the compaction marker through the tokens rewrite
-      if (ds == "tokens")
-        IndexBatches.writeMarker(fs, tmp, IndexBatches.readMarker(fs, path))
-      graft.sources.Formats.swapInto(fs, tmp, path)
-      spark.catalog.refreshByPath(path.toString)
+    for ((ds, part, fanout) <- Seq(
+        ("tokens", "centroid_id", math.max(1, nClusters)),
+        ("doctokens", "doc_bucket", DocBuckets))) {
+      val n = SelectiveVacuum(spark,
+        new org.apache.hadoop.fs.Path(s"$dir/$ds"), part, "doc_id", ts,
+        slices = math.max(1,
+          spark.sparkContext.defaultParallelism / fanout))
+      if (ds == "tokens") removed = n
     }
     TombstoneLedger.clear(fs, root, consumed)
     removed

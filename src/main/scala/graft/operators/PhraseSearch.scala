@@ -193,14 +193,13 @@ object PhraseSearch {
     * concurrent [[deleteFromIndex]] lands in. Production no-op. */
   private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
 
-  /** Physically remove tombstoned documents' postings: anti-join the
-    * ledger snapshot, rewrite the bucket-partitioned layout behind the
-    * crash-safe staged swap, then clear exactly the ledger files this
+  /** Physically remove tombstoned documents' postings via
+    * [[SelectiveVacuum]]: only the term buckets CONTAINING a tombstoned
+    * document's postings are rewritten and leaf-swapped (O(affected
+    * buckets), not O(index)), then clear exactly the ledger files this
     * pass consumed (a tombstone landing mid-pass survives — ONE ledger
-    * enumeration feeds both the anti-join and the cleanup). A full
-    * purge writes a schema-preserving unpartitioned empty parquet so
-    * later reads never die on schema inference. Returns postings rows
-    * removed. */
+    * enumeration feeds both the anti-join and the cleanup). Returns
+    * postings rows removed. */
   def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
                   dir: String): Long = {
     val root = s"$dir/tombstones"
@@ -214,29 +213,13 @@ object PhraseSearch {
     // everything and a delete-then-re-ingest within the epoch resolves
     // to DELETED — the same answer searchIndex gives (ANN contract)
     compactIndexBatches(spark, dir)
-    val postPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val base = spark.read.parquet(postPath.toString)
-    val keep = base.join(ts, Seq("doc_id"), "left_anti")
-    val keepCount = keep.count()
-    val removed = base.count() - keepCount
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.postings.vacuum")
-    if (keepCount == 0L)
-      keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    else {
-      val slices = math.max(1,
-        spark.sparkContext.defaultParallelism / IndexBuckets)
-      keep.repartition(IndexBuckets * slices, col("term_bucket"),
-          pmod(hash(col("doc_id")), lit(slices)))
-        .write.mode("overwrite").partitionBy("term_bucket")
-        .parquet(tmp.toString)
-    }
-    // carry the compaction high-water marker through the rewrite —
-    // losing it would resurface folded batch dirs whose best-effort
-    // delete failed (a double count)
-    IndexBatches.writeMarker(fs, tmp,
-      IndexBatches.readMarker(fs, postPath))
-    graft.sources.Formats.swapInto(fs, tmp, postPath)
-    spark.catalog.refreshByPath(postPath.toString)
+    // postings: partition-selective — only the term buckets CONTAINING
+    // a tombstoned document's postings are rewritten and leaf-swapped
+    // (the compaction marker at the postings root is untouched)
+    val removed = SelectiveVacuum(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/postings"), "term_bucket",
+      "doc_id", ts, slices = math.max(1,
+        spark.sparkContext.defaultParallelism / IndexBuckets))
     TombstoneLedger.clear(fs, root, consumed)
     removed
   }

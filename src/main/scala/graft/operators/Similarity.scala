@@ -368,11 +368,13 @@ object Similarity {
   /** Physically remove tombstoned vectors: fold live batch dirs first
     * ([[compactIndexBatches]] — so one rewrite covers everything, and a
     * delete-then-re-append within the epoch resolves to DELETED, the
-    * same answer [[searchIndex]] gives), anti-join the ledger snapshot,
-    * rewrite assignments behind the crash-safe staged swap CARRYING the
-    * compaction high-water marker forward, then clear exactly the
-    * ledger files this pass consumed (concurrent new tombstones
-    * survive). Returns the number of rows removed. */
+    * same answer [[searchIndex]] gives), then rewrite ONLY the
+    * centroid cells containing tombstoned vectors
+    * ([[SelectiveVacuum]] — O(affected cells), not O(index); the
+    * compaction high-water marker lives at the dataset ROOT and leaf
+    * swaps never touch it), then clear exactly the ledger files this
+    * pass consumed (concurrent new tombstones survive). Returns the
+    * number of rows removed. */
   def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
                   dir: String): Long = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
@@ -387,32 +389,10 @@ object Similarity {
     vacuumAfterSnapshotHook()
     compactIndexBatches(spark, dir)
     val asgPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
-    val base = spark.read.parquet(asgPath.toString)
-      .select(col("cand_id"), col("cand_vec"), col("centroid_id"))
-    val keep = base.join(ts, Seq("cand_id"), "left_anti")
-    val keepCount = keep.count()
-    val removed = base.count() - keepCount
-    val marker = readCompactionMarker(fs, asgPath)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.assignments.vacuum")
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
-    if (keepCount == 0L) {
-      // full purge: a dynamic-partition write of zero rows emits no part
-      // files (only _SUCCESS), and every later read of the swapped-in
-      // directory dies on schema inference. Write the empty frame
-      // UNPARTITIONED instead — FileFormatWriter emits one zero-row
-      // parquet file that preserves the schema, and searchIndex /
-      // compactIndexBatches read centroid_id as an ordinary column.
-      keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    } else clusteredWrite(keep, math.max(1, nClusters), tmp.toString)
-    if (marker.nonEmpty) {
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(tmp, "_compacted_batches"), true)
-      try out.write(marker.map { case (t, id) => s"$t\t$id" }
-        .mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-    }
-    graft.sources.Formats.swapInto(fs, tmp, asgPath)
-    spark.catalog.refreshByPath(asgPath.toString)
+    val removed = SelectiveVacuum(spark, asgPath, "centroid_id",
+      "cand_id", ts, slices = math.max(1,
+        spark.sparkContext.defaultParallelism / math.max(1, nClusters)))
     TombstoneLedger.clear(fs, s"$dir/tombstones", consumed)
     removed
   }

@@ -34,6 +34,18 @@ import graft.functions.VectorFunctions.asDouble
   * fixed, so append never drifts (the trade: no data-adaptive cells
   * either; that is what the IVF kinds are for).
   *
+  * Ingest-id contract (shared by every index kind): a vec_id appears
+  * in at most ONE logical version across base + batches. The read-side
+  * dropDuplicates exists ONLY for the compaction crash window, where
+  * the surviving copies are byte-identical (a folded-but-undeleted
+  * batch dir), so any winner is the same row. RE-ingesting an existing
+  * id with DIFFERENT data is unsupported until a compaction folds the
+  * layouts: the sketches dedup and the vectors dedup pick winners
+  * independently, so sig and vector could come from different versions
+  * (inconsistent hamming vs score, nondeterministic results). Replace
+  * a vector by [[deleteFromIndex]] + append under the same id, or
+  * rebuild.
+  *
   * Determinism: search is row-identical to [[Similarity.hammingTopK]]
   * over the same live corpus (same sketch expression, same integer
   * Hamming, same id tiebreaks, same rounded re-rank — SketchIndexSpec
@@ -236,10 +248,21 @@ object SketchIndex {
         org.apache.spark.sql.types.StructField("bucket",
           org.apache.spark.sql.types.IntegerType))))
       .drop("bucket")
+    // candidate prune: the bucket list stays a literal partition filter
+    // (≤ Buckets values), but the per-row id prune is a broadcast
+    // SEMI-join against a local relation of the candidate ids — an isin
+    // over candIds would embed up to |Q|·shortlist literals in the plan
+    // (driver-side plan-size hazard at the documented bounds)
+    val candDocs = spark.createDataFrame(
+      java.util.Arrays.asList(candIds.map(
+        org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType))))
     val vCols = Seq("vec_id", "vec", "bucket").map(col)
     def bucketed(p: String) = spark.read.parquet(p).select(vCols: _*)
       .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
-      .where(col("vec_id").isin(candIds: _*))
+      .join(broadcast(candDocs), Seq("vec_id"), "left_semi")
     val fetched0 = liveDirs.foldLeft(bucketed(s"$dir/vectors")) {
       (acc, p) => acc.union(bucketed(s"$p/vectors"))
     }
@@ -264,11 +287,17 @@ object SketchIndex {
     * Production no-op. */
   private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
 
-  /** Physically remove tombstoned vectors from BOTH datasets (staged
-    * swaps; live batch dirs fold in first — vacuum clears the consumed
-    * ledger, so an unfolded batch dir would resurface a tombstoned
-    * vector once cleared), then clear exactly the consumed ledger
-    * files. Returns rows removed. */
+  /** Physically remove tombstoned vectors from BOTH datasets: the
+    * bucket-partitioned vectors/ goes through [[SelectiveVacuum]]
+    * (only buckets CONTAINING tombstoned ids are rewritten and
+    * leaf-swapped — O(affected buckets), not O(index)); the flat
+    * sketches/ is a full staged-swap rewrite BY DESIGN — it is the
+    * deliberately-smallest dataset (8 B/vector) and carries the
+    * compaction marker, so its rewrite is the cheap one. Live batch
+    * dirs fold in first (vacuum clears the consumed ledger, so an
+    * unfolded batch dir would resurface a tombstoned vector once
+    * cleared), then exactly the consumed ledger files clear. Returns
+    * rows removed. */
   def vacuumIndex(spark: SparkSession, dir: String): Long = {
     compactIndexBatches(spark, dir)
     val root = s"$dir/tombstones"
@@ -278,33 +307,25 @@ object SketchIndex {
     val ts = TombstoneLedger.dfFrom(spark, consumed, "vec_id")
       .getOrElse(return 0L)
     vacuumAfterSnapshotHook()
-    var removed = 0L
-    for (ds <- Seq("vectors", "sketches")) {
-      val path = new org.apache.hadoop.fs.Path(s"$dir/$ds")
-      val base = spark.read.parquet(path.toString)
-      val keep = base.join(ts, Seq("vec_id"), "left_anti")
-      val keepCount = keep.count()
-      if (ds == "sketches") removed = base.count() - keepCount
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.vacuum")
-      if (keepCount == 0L)
-        keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      else if (ds == "sketches")
-        keep.repartition(sketchFanout(spark))
-          .write.mode("overwrite").parquet(tmp.toString)
-      else {
-        val slices = math.max(1,
-          spark.sparkContext.defaultParallelism / Buckets)
-        keep.repartition(Buckets * slices, col("bucket"),
-            pmod(hash(col("vec_id")), lit(slices)))
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(tmp.toString)
-      }
-      // carry the compaction marker through the sketches rewrite
-      if (ds == "sketches")
-        IndexBatches.writeMarker(fs, tmp, IndexBatches.readMarker(fs, path))
-      graft.sources.Formats.swapInto(fs, tmp, path)
-      spark.catalog.refreshByPath(path.toString)
-    }
+    SelectiveVacuum(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/vectors"), "bucket",
+      "vec_id", ts, slices = math.max(1,
+        spark.sparkContext.defaultParallelism / Buckets))
+    val path = new org.apache.hadoop.fs.Path(s"$dir/sketches")
+    val base = spark.read.parquet(path.toString)
+    val keep = base.join(ts, Seq("vec_id"), "left_anti")
+    val keepCount = keep.count()
+    val removed = base.count() - keepCount
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.sketches.vacuum")
+    if (keepCount == 0L)
+      keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    else
+      keep.repartition(sketchFanout(spark))
+        .write.mode("overwrite").parquet(tmp.toString)
+    // carry the compaction marker through the sketches rewrite
+    IndexBatches.writeMarker(fs, tmp, IndexBatches.readMarker(fs, path))
+    graft.sources.Formats.swapInto(fs, tmp, path)
+    spark.catalog.refreshByPath(path.toString)
     TombstoneLedger.clear(fs, root, consumed)
     removed
   }

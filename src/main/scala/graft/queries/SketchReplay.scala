@@ -297,7 +297,15 @@ private[queries] object SketchReplay {
     * (integer distance, ties by id), exact rounded-cosine re-rank to
     * top-10. Every stage is deterministic, so the gate is hash-exact —
     * an ANN gate the oracle can actually fail, not a recall flag. */
-  lazy val hammingTopKSql: String = {
+  lazy val hammingTopKSql: String = hammingTopKSqlOver(
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+
+  /** [[hammingTopKSql]] parameterized over its corpus: `baseSql` must
+    * yield (vec_id, v DOUBLE[]) — the maintenance gate replays the
+    * SAME retrieval stack over embeddings ∪ streamed batches ∖ deletes,
+    * so the index the cadence pass compacted and vacuumed is held to a
+    * hash-exact oracle, not a recall flag. */
+  def hammingTopKSqlOver(baseSql: String, phaseSql: String = ""): String = {
     val plane = s"(((${mix("CAST(i AS HUGEINT) * 4294967296 + CAST(j AS HUGEINT)")})" +
       s" // 2048) / 9007199254740992.0) * 2.0 - 1.0"
     val dot = "list_reduce(list_transform(list_zip(v, pl[CAST(i + 1 AS INT)])," +
@@ -306,8 +314,7 @@ private[queries] object SketchReplay {
        |              SELECT i, j, $plane AS g
        |              FROM range(0, 64) t1(i), range(0, 64) t2(j)) GROUP BY i),
        |pls AS (SELECT list(gs ORDER BY i) AS pl FROM pt),
-       |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |         FROM embeddings),
+       |base AS ($baseSql),
        |sig AS (SELECT vec_id, v,
        |               list_reduce(list_prepend(CAST(0 AS HUGEINT),
        |                 list_transform(range(0, 64), i ->
@@ -333,7 +340,12 @@ private[queries] object SketchReplay {
        |              row_number() OVER (PARTITION BY query_id
        |                                 ORDER BY score DESC, cand_id) AS rank
        |       FROM rr)
-       |SELECT query_id, cand_id, hamming, score, rank
-       |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |${if (phaseSql.isEmpty)
+           "SELECT query_id, cand_id, hamming, score, rank\n" +
+           "FROM rk WHERE rank <= 10 ORDER BY query_id, rank"
+         else
+           s"SELECT pp.phase, query_id, cand_id, hamming, score, rank\n" +
+           s"FROM rk CROSS JOIN (SELECT unnest([$phaseSql]) AS phase) pp\n" +
+           "WHERE rank <= 10 ORDER BY phase, query_id, rank"}""".stripMargin
   }
 }

@@ -149,6 +149,302 @@ object VectorQueries {
          |         FROM lloyd WHERE i = 5)""".stripMargin
     }
 
+    /** Row-hashed recall oracle for q_ann_ivf_recall: replays BOTH
+      * pipelines — the full IVF path at the gate's nProbe=8 (the same
+      * fit replay every IVF oracle shares) AND the exact brute top-10 —
+      * and emits the per-query hit counts their intersection yields.
+      * The oracle therefore RECOMPUTES the recall measurement instead
+      * of pinning a Spark-computed flag: any divergence in the fit, the
+      * probes, the ranking, or the baseline fails the hash. */
+    lazy val recallSql: String =
+      s"""WITH RECURSIVE
+         |${fitPrefix()},
+         |emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |        FROM embeddings),
+         |ascore AS (SELECT e.id, e.v, c.cid,
+         |                  round(${cosx("e.v", "c.cv")}, 4) AS cs
+         |           FROM emb e, cent c),
+         |assigned AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY cs DESC, cid) AS rn
+         |  FROM ascore) WHERE rn = 1),
+         |probes AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY cs DESC, cid) AS rn
+         |  FROM ascore WHERE id < 5) WHERE rn <= 8),
+         |pairs AS (SELECT p.id AS query_id, a.id AS cand_id,
+         |                 round(${cosx("p.v", "a.v")}, 4) AS score
+         |          FROM probes p JOIN assigned a USING (cid)
+         |          WHERE a.id != p.id),
+         |ranked AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, cand_id) AS rank
+         |  FROM pairs) WHERE rank <= 10),
+         |brute AS (SELECT query_id, cand_id FROM (
+         |  SELECT q.id AS query_id, e.id AS cand_id,
+         |         row_number() OVER (PARTITION BY q.id
+         |           ORDER BY round(${cosx("q.v", "e.v")}, 4) DESC, e.id)
+         |           AS rn
+         |  FROM emb q JOIN emb e ON e.id != q.id
+         |  WHERE q.id < 5) WHERE rn <= 10),
+         |nn AS (SELECT query_id, count(*) AS n FROM brute GROUP BY query_id),
+         |hh AS (SELECT b.query_id, count(*) AS hits
+         |       FROM brute b JOIN ranked r USING (query_id, cand_id)
+         |       GROUP BY b.query_id)
+         |SELECT nn.query_id, coalesce(hh.hits, 0) AS hits, nn.n
+         |FROM nn LEFT JOIN hh USING (query_id)
+         |ORDER BY query_id""".stripMargin
+
+    /** L2 squared distance with the same left-fold element order as
+      * ProductQuant.sqDist's while loop. */
+    private def sqd(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), " +
+        s"zq -> (zq[1] - zq[2]) * (zq[1] - zq[2])), (xq, yq) -> xq + yq)"
+
+    /** Raw dot product with IvfPq.dot's left-fold order. */
+    private def dotx(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), " +
+        s"zd -> zd[1] * zd[2]), (xz, yz) -> xz + yz)"
+
+    /** CTE chain replaying ProductQuant.fitCodebooks + encode: the
+      * l2-normalized corpus (`nrm`), the xxhash64-ordered sample, ONE
+      * recursive farthest-point init across all m=8 subspaces (max-min
+      * L2 at half-even 1e-6 rounding, id tiebreak), 5 L2 Lloyd rounds
+      * per subspace (first-minimum assignment ties, half-even 1e-6
+      * re-rounded means, sample-order summation), the per-subspace
+      * codebook list (`bkl`), and the nearest-code corpus encoding
+      * (`enc`). Subvector slicing is 64/8 = 8 dims, the testdata
+      * embedding shape every vector oracle already pins. */
+    private def pqFitCtes(src: String = "embeddings"): String =
+      s"""${xxhCtes(src)},
+         |${pqNormCte("hk", "nrm")},
+         |${pqBookCtes()}""".stripMargin
+
+    /** l2-normalize a (id, v, h) CTE into `(id, v, h, nv)` — the exact
+      * ProductQuant.l2normalize (zero-norm vectors pass through). */
+    private def pqNormCte(from: String, name: String): String =
+      s"""$name AS (SELECT id, v, h,
+         |               CASE WHEN nn = 0.0 THEN v
+         |                    ELSE list_transform(v, xn -> xn / sqrt(nn))
+         |               END AS nv
+         |        FROM (SELECT id, v, h,
+         |                     list_reduce(list_transform(v, en -> en * en),
+         |                                 (an, bn) -> an + bn) AS nn
+         |              FROM $from))""".stripMargin
+
+    /** Codebook fit + corpus encoding over a standing `nrm(id, v, h,
+      * nv)` CTE — `nv` is whatever vector family the caller quantizes
+      * (l2-normalized vectors for plain PQ, per-cell residuals for
+      * IVFADC); `extraEncCols` rides extra nrm columns (e.g. the cell
+      * id) through to `enc`. */
+    private def pqBookCtes(extraEncCols: String = ""): String = {
+      val fpPick = rintx("(" + sqd("p.sv", "c") + ") * 1000000.0") +
+        " / 1000000.0"
+      s"""sq1 AS (SELECT list(struct_pack(id := id, v := nv)
+         |                    ORDER BY h, id) AS pts
+         |        FROM (SELECT id, nv, h FROM nrm ORDER BY h, id
+         |              LIMIT 4096)),
+         |subs AS (SELECT tq.sub,
+         |                list_transform(pts, pq -> struct_pack(
+         |                  id := pq.id,
+         |                  sv := pq.v[CAST(tq.sub*8+1 AS INT):CAST(tq.sub*8+8 AS INT)]))
+         |                  AS pts
+         |         FROM range(0, 8) tq(sub), sq1),
+         |fpq(sub, n, chosen, cents) AS (
+         |  SELECT sub, 1, [pts[1].id], [pts[1].sv] FROM subs
+         |  UNION ALL
+         |  SELECT sub, n + 1, list_append(chosen, pick.id),
+         |         list_append(cents,
+         |           list_filter(pts, q2 -> q2.id = pick.id)[1].sv)
+         |  FROM (
+         |    SELECT sub, n, chosen, cents, pts,
+         |           list_min(list_transform(
+         |             list_filter(pts, p0 -> NOT list_contains(chosen, p0.id)),
+         |             p -> struct_pack(
+         |               s := -list_min(list_transform(cents,
+         |                      c -> $fpPick)),
+         |               id := p.id))) AS pick
+         |    FROM fpq JOIN subs USING (sub)
+         |    WHERE n < least(16, len(pts))
+         |  )
+         |),
+         |seedq AS (SELECT sub, cents FROM fpq JOIN subs USING (sub)
+         |          WHERE n = least(16, len(pts))),
+         |lloydq(sub, i, cents) AS (
+         |  SELECT sub, 0, cents FROM seedq
+         |  UNION ALL
+         |  SELECT sub, i + 1,
+         |         list_transform(range(1, len(cents) + 1), ci ->
+         |           CASE WHEN len(list_filter(asg, a1 -> a1.b = ci)) = 0
+         |                THEN cents[ci]
+         |           ELSE list_transform(
+         |                  list_reduce(
+         |                    list_transform(list_filter(asg, a2 -> a2.b = ci),
+         |                                   a3 -> a3.v),
+         |                    (va, vb) -> list_transform(list_zip(va, vb),
+         |                                               z2 -> z2[1] + z2[2])),
+         |                  x9 -> ${rintx("x9 / len(list_filter(asg, a4 -> a4.b = ci)) * 1000000.0")} / 1000000.0)
+         |           END)
+         |  FROM (
+         |    SELECT sub, i, cents,
+         |           list_transform(pts, p -> struct_pack(
+         |             b := list_position(
+         |                    list_transform(cents, c -> ${sqd("p.sv", "c")}),
+         |                    list_min(list_transform(cents,
+         |                      c -> ${sqd("p.sv", "c")}))),
+         |             v := p.sv)) AS asg
+         |    FROM lloydq JOIN subs USING (sub)
+         |    WHERE i < 5
+         |  )
+         |),
+         |bkl AS (SELECT list(cents ORDER BY sub) AS bks
+         |        FROM lloydq WHERE i = 5),
+         |enc AS (SELECT n0.id$extraEncCols,
+         |               list_transform(range(0, 8), sq ->
+         |                 list_position(
+         |                   list_transform(bks[CAST(sq + 1 AS INT)], c ->
+                               ${sqd("n0.nv[CAST(sq*8+1 AS INT):CAST(sq*8+8 AS INT)]", "c")}),
+         |                   list_min(list_transform(bks[CAST(sq + 1 AS INT)], c ->
+                               ${sqd("n0.nv[CAST(sq*8+1 AS INT):CAST(sq*8+8 AS INT)]", "c")}))) - 1)
+         |                 AS codes
+         |        FROM nrm n0, bkl)""".stripMargin
+    }
+
+    /** Row-hashed PQ recall oracle (q_ann_pq_recall): replays the
+      * ENTIRE ProductQuant pipeline — [[pqFitCtes]], per-query ADC
+      * (per-subspace inner-product lookups summed in subspace order,
+      * round-half-away 1e-4), the 100-deep ADC shortlist, exact-cosine
+      * re-rank to top-10 — PLUS the brute top-10 baseline, and emits
+      * per-query hit counts. Like [[recallSql]], the oracle RECOMPUTES
+      * the recall measurement end to end. */
+    lazy val pqRecallSql: String =
+      s"""WITH RECURSIVE
+         |${pqFitCtes()},
+         |qn AS (SELECT id AS query_id, nv AS qv FROM nrm WHERE id < 5),
+         |adcs AS (SELECT q.query_id, e.id AS cand_id,
+         |                round(list_reduce(list_prepend(0.0,
+         |                  list_transform(range(0, 8), sa ->
+         |                    list_reduce(list_transform(list_zip(
+         |                        q.qv[CAST(sa*8+1 AS INT):CAST(sa*8+8 AS INT)],
+         |                        bks[CAST(sa + 1 AS INT)][CAST(e.codes[CAST(sa + 1 AS INT)] + 1 AS INT)]),
+         |                      zz -> zz[1] * zz[2]), (xd, yd) -> xd + yd))),
+         |                  (aa, xx) -> aa + xx), 4) AS adc
+         |         FROM qn q, enc e, bkl
+         |         WHERE e.id != q.query_id),
+         |sl AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc DESC, cand_id) AS rn
+         |  FROM adcs) WHERE rn <= 100),
+         |rr AS (SELECT s.query_id, s.cand_id,
+         |              round(${cosx("q.qv", "e0.v")}, 4) AS score
+         |       FROM sl s JOIN qn q USING (query_id)
+         |       JOIN hk e0 ON e0.id = s.cand_id),
+         |rkd AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, cand_id) AS rank
+         |  FROM rr) WHERE rank <= 10),
+         |brute AS (SELECT query_id, cand_id FROM (
+         |  SELECT q.id AS query_id, e.id AS cand_id,
+         |         row_number() OVER (PARTITION BY q.id
+         |           ORDER BY round(${cosx("q.v", "e.v")}, 4) DESC, e.id)
+         |           AS rn
+         |  FROM hk q JOIN hk e ON e.id != q.id
+         |  WHERE q.id < 5) WHERE rn <= 10),
+         |nn AS (SELECT query_id, count(*) AS n FROM brute GROUP BY query_id),
+         |hh AS (SELECT b.query_id, count(*) AS hits
+         |       FROM brute b JOIN rkd r USING (query_id, cand_id)
+         |       GROUP BY b.query_id)
+         |SELECT nn.query_id, coalesce(hh.hits, 0) AS hits, nn.n
+         |FROM nn LEFT JOIN hh USING (query_id)
+         |ORDER BY query_id""".stripMargin
+
+    /** Row-hashed IVFADC recall oracle (q_ann_ivfpq_recall): stacks the
+      * coarse-fit replay ([[fitPrefix]] — the SAME cosine k-means every
+      * IVF oracle shares) with the PQ machinery over RESIDUALS: unit
+      * centroids, per-vector cell assignment (4-decimal-rounded q̂·μ̂,
+      * lowest-cid ties), residual vectors, per-subspace residual
+      * codebooks ([[pqBookCtes]]), nProbe=10 probes with raw q̂·μ̂
+      * offsets, ADC over probed cells only, the 300-deep shortlist,
+      * exact-cosine re-rank — plus the brute top-10 baseline, emitting
+      * per-query hit counts the oracle fully recomputes. */
+    lazy val ivfpqRecallSql: String =
+      s"""WITH RECURSIVE
+         |${fitPrefix()},
+         |ucent AS (SELECT cid,
+         |                 CASE WHEN cn = 0.0 THEN cv
+         |                      ELSE list_transform(cv, xu -> xu / sqrt(cn))
+         |                 END AS uc
+         |          FROM (SELECT cid, cv,
+         |                       list_reduce(list_transform(cv, eu -> eu * eu),
+         |                                   (au, bu) -> au + bu) AS cn
+         |                FROM cent)),
+         |${pqNormCte("hk", "nrm0")},
+         |rda AS (SELECT n.id, u.cid,
+         |               ${rintx("(" + dotx("n.nv", "u.uc") + ") * 10000.0")} / 10000.0 AS rd,
+         |               u.uc
+         |        FROM nrm0 n, ucent u),
+         |acell AS (SELECT id, cid AS cell, uc FROM (
+         |  SELECT id, cid, uc, rd,
+         |         row_number() OVER (PARTITION BY id
+         |                            ORDER BY rd DESC, cid) AS rn
+         |  FROM rda) WHERE rn = 1),
+         |nrm AS (SELECT n.id, n.v, n.h, a.cell,
+         |               list_transform(list_zip(n.nv, a.uc),
+         |                              zr -> zr[1] - zr[2]) AS nv
+         |        FROM nrm0 n JOIN acell a USING (id)),
+         |${pqBookCtes(", n0.cell")},
+         |qn AS (SELECT id AS query_id, nv AS qv FROM nrm0 WHERE id < 5),
+         |probes AS (SELECT query_id, cell, qmu FROM (
+         |  SELECT q.query_id, u.cid AS cell,
+         |         ${dotx("q.qv", "u.uc")} AS qmu,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${rintx("(" + dotx("q.qv", "u.uc") + ") * 10000.0")} / 10000.0 DESC, u.cid) AS rn
+         |  FROM qn q, ucent u) WHERE rn <= 10),
+         |adcs AS (SELECT q.query_id, e.id AS cand_id,
+         |                round(p.qmu + list_reduce(list_prepend(0.0,
+         |                  list_transform(range(0, 8), sa ->
+         |                    list_reduce(list_transform(list_zip(
+         |                        q.qv[CAST(sa*8+1 AS INT):CAST(sa*8+8 AS INT)],
+         |                        bks[CAST(sa + 1 AS INT)][CAST(e.codes[CAST(sa + 1 AS INT)] + 1 AS INT)]),
+         |                      zz -> zz[1] * zz[2]), (xd, yd) -> xd + yd))),
+         |                  (aa, xx) -> aa + xx), 4) AS adc
+         |         FROM probes p
+         |         JOIN enc e ON e.cell = p.cell
+         |         JOIN qn q ON q.query_id = p.query_id
+         |         CROSS JOIN bkl
+         |         WHERE e.id != q.query_id),
+         |sl AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc DESC, cand_id) AS rn
+         |  FROM adcs) WHERE rn <= 300),
+         |rr AS (SELECT s.query_id, s.cand_id,
+         |              round(${cosx("q.qv", "e0.v")}, 4) AS score
+         |       FROM sl s JOIN qn q USING (query_id)
+         |       JOIN hk e0 ON e0.id = s.cand_id),
+         |rkd AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, cand_id) AS rank
+         |  FROM rr) WHERE rank <= 10),
+         |brute AS (SELECT query_id, cand_id FROM (
+         |  SELECT q.id AS query_id, e.id AS cand_id,
+         |         row_number() OVER (PARTITION BY q.id
+         |           ORDER BY round(${cosx("q.v", "e.v")}, 4) DESC, e.id)
+         |           AS rn
+         |  FROM hk q JOIN hk e ON e.id != q.id
+         |  WHERE q.id < 5) WHERE rn <= 10),
+         |nn AS (SELECT query_id, count(*) AS n FROM brute GROUP BY query_id),
+         |hh AS (SELECT b.query_id, count(*) AS hits
+         |       FROM brute b JOIN rkd r USING (query_id, cand_id)
+         |       GROUP BY b.query_id)
+         |SELECT nn.query_id, coalesce(hh.hits, 0) AS hits, nn.n
+         |FROM nn LEFT JOIN hh USING (query_id)
+         |ORDER BY query_id""".stripMargin
+
     lazy val sql: String =
       s"""WITH RECURSIVE
          |${fitPrefix()},
@@ -377,6 +673,58 @@ object VectorQueries {
         .withColumn("hamming", col("hamming").cast("long"))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // IndexStats-driven cadence maintenance (IndexMaintenance.maintain):
+    // the out-of-band pass that CONSUMES the IndexStats readout — three
+    // streamed-shape batch dirs + two tombstones put the index over
+    // both thresholds, one maintain() folds the dirs and vacuums the
+    // ledger (vacuum subsumes compaction), a second maintain() finds
+    // nothing due and does nothing. Search results are IDENTICAL before
+    // (debt: live dirs unioned, tombstones masked) and after
+    // (maintained: folded, physical) — BOTH phases hash against ONE
+    // DuckDB replay of the full retrieval stack over
+    // embeddings∖deletes ∪ batches, so the equivalence is
+    // oracle-gated, not self-certified.
+    Q("q_index_maintenance", SketchReplay.hammingTopKSqlOver(
+      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |          FROM embeddings WHERE vec_id NOT IN (40, 41)
+        |          UNION ALL
+        |          SELECT vec_id + 1000000,
+        |                 list_concat([CAST(embedding AS DOUBLE[])[1] + 0.1],
+        |                             CAST(embedding AS DOUBLE[])[2:64])
+        |          FROM embeddings WHERE vec_id < 20""".stripMargin,
+      phaseSql = "'debt', 'maintained'")) { (s, dir) =>
+      import graft.operators.{IndexBatches, IndexMaintenance, SketchIndex}
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idxDir = IndexFixtures.cloned(s, dir, "sketch")(
+        buildSketch(s, dir))
+      val batch = perturbedBatch(emb)
+      for ((lo, hi, b) <- Seq((0, 7, 0L), (7, 14, 1L), (14, 20, 2L)))
+        SketchIndex.appendBatchDir(
+          batch.where(col("vec_id") >= 1000000L + lo &&
+            col("vec_id") < 1000000L + hi), idxDir, "crawl", b)
+      SketchIndex.deleteFromIndex(Seq(40L, 41L).toDF("vec_id"), idxDir)
+      val qs = emb.where(col("vec_id") < 5)
+      def search() = SketchIndex.searchIndex(s, idxDir, qs, k = 10,
+          shortlist = 50)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .withColumn("rank", col("rank").cast("long"))
+      val pre = search().withColumn("phase", lit("debt")).localCheckpoint()
+      val rep = IndexMaintenance.maintain(s, idxDir, "sketch",
+        maxLiveBatches = 2, maxTombstones = 1)
+      require(rep.compactionDue && rep.vacuumDue && rep.vacuumedRows == 2L,
+        s"maintenance pass did not consume the planted debt: $rep")
+      require(IndexBatches.live(s, idxDir, "sketches").isEmpty,
+        "cadence pass left live batch dirs standing")
+      val idle = IndexMaintenance.maintain(s, idxDir, "sketch",
+        maxLiveBatches = 2, maxTombstones = 1)
+      require(!idle.compactionDue && !idle.vacuumDue && !idle.compacted,
+        s"idle maintenance pass found phantom debt: $idle")
+      pre.unionByName(search().withColumn("phase", lit("maintained")))
+        .select("phase", "query_id", "cand_id", "hamming", "score", "rank")
+        .orderBy("phase", "query_id", "rank")
     },
 
     // Hard-negative mining (Similarity.hardNegativeTopK): the top-k
@@ -652,83 +1000,71 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
-    // IVF recall contract, oracle-gated: the query computes recall@10 of
-    // the IVF path against the brute-force baseline per query vector and
-    // emits two flags the oracle pins TRUE — per-query recall >= 0.2 and
-    // corpus-mean recall >= 0.5 (the headline floor; at nProbe/nClusters
-    // = 8/16 on this RANDOM corpus the k-means cells have no true cluster
-    // structure to exploit, so per-query recall genuinely spreads — the
-    // mean is the stable statistic). Both comparisons are integer-exact
-    // (hits*5 >= n, 2*sum_hits >= sum_n) so no IEEE boundary (10*0.3 >
-    // 3.0) can flip a flag. Fully deterministic: farthest-point-seeded
-    // k-means, rounded scores, id tiebreaks. Measured margins: mean is
-    // 0.74/0.68/0.88 at sf0.01/0.1/0.001 (>=1.36x over the 0.5 pin);
-    // per-query min is 0.5/0.3/0.8 (>=1.5x over the 0.2 pin).
-    Q("q_ann_ivf_recall",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
-      (s, dir) =>
-        val emb = t(s, dir, "embeddings")
-        val qs = emb.where(col("vec_id") < 5)
-        // the memoized top-30 baseline's prefix (localCheckpoint) feeds
-        // both the hit join and the per-query denominator
-        val exact = bruteExact10(s, dir)
-        val approx = Similarity.ivfTopK(emb, qs, k = 10,
-          nClusters = 16, nProbe = 8,
-          centroids = Some(centroids(s, dir))).select("query_id", "cand_id")
-        recallFlags(exact, approx)
+    // IVF recall contract, ROW-HASHED (converted from TRUE flags at
+    // r16): the gate emits the per-query HIT COUNTS of the IVF path
+    // (nProbe=8) against the brute-force top-10, and the oracle
+    // independently RECOMPUTES both pipelines — the full k-means fit
+    // replay (xxhash64 sample order, farthest-point init, Lloyd) at
+    // nProbe=8 plus the exact cosine baseline — so any recall movement
+    // in either direction fails the hash. This is strictly tighter
+    // than the old >=0.2/>=0.5 flags: the measurement itself is now
+    // the contract. Fully deterministic on both engines: rounded
+    // scores, id tiebreaks, integer hit counts.
+    Q("q_ann_ivf_recall", IvfReplay.recallSql) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+      // the memoized top-30 baseline's prefix (localCheckpoint) feeds
+      // both the hit join and the per-query denominator
+      val exact = bruteExact10(s, dir)
+      val approx = Similarity.ivfTopK(emb, qs, k = 10,
+        nClusters = 16, nProbe = 8,
+        centroids = Some(centroids(s, dir))).select("query_id", "cand_id")
+      recallCounts(exact, approx)
     },
 
     // Product-quantization ANN (ADC + exact re-rank) recall contract,
-    // oracle-gated exactly like q_ann_ivf_recall: per-query recall@10 of
-    // the PQ path (m=8 subspaces, 16-entry L2 codebooks per subspace,
-    // 100-candidate ADC shortlist re-ranked by exact cosine) against the
-    // brute-force baseline, flags pinned TRUE with integer-exact
-    // comparisons. Measured margins: mean 0.80/0.86/0.66 at
-    // sf0.001/0.01/0.1 (>=1.32x over the 0.5 pin); per-query min
-    // 0.6/0.8/0.4 (>=2x over the 0.2 pin). Fully deterministic: same
-    // xxhash64-bounded sample as the IVF fit, farthest-point init per
-    // subspace, fixed-iteration L2 Lloyd, rounded scores, id tiebreaks.
-    Q("q_ann_pq_recall",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
-      (s, dir) =>
-        import graft.operators.ProductQuant
-        val emb = t(s, dir, "embeddings")
-        val qs = emb.where(col("vec_id") < 5)
-        val exact = bruteExact10(s, dir)
-        val approx = ProductQuant.pqTopK(emb, qs,
-            ProductQuant.fitCodebooks(emb), k = 10, rerank = 100)
-          .select("query_id", "cand_id")
-        recallFlags(exact, approx)
+    // ROW-HASHED (converted from TRUE flags at r16, like
+    // q_ann_ivf_recall): the gate emits per-query HIT COUNTS of the PQ
+    // path (m=8 subspaces, 16-entry L2 codebooks per subspace,
+    // 100-candidate ADC shortlist re-ranked by exact cosine) against
+    // the brute top-10, and the oracle RECOMPUTES the whole pipeline —
+    // l2-normalize, xxhash64 sample order, per-subspace farthest-point
+    // init, 5 L2 Lloyd rounds, nearest-code encoding, ADC tables,
+    // shortlist, exact re-rank — plus the baseline, in DuckDB. Fully
+    // deterministic on both engines: half-even 1e-6 fit rounding,
+    // sample-order summation, first-minimum assignment ties, rounded
+    // scores, id tiebreaks.
+    Q("q_ann_pq_recall", IvfReplay.pqRecallSql) { (s, dir) =>
+      import graft.operators.ProductQuant
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+      val exact = bruteExact10(s, dir)
+      val approx = ProductQuant.pqTopK(emb, qs,
+          ProductQuant.fitCodebooks(emb), k = 10, rerank = 100)
+        .select("query_id", "cand_id")
+      recallCounts(exact, approx)
     },
 
     // IVF-PQ (IVFADC) recall contract — the composition of both ANN scale
     // levers (IVF cells for compute, PQ residual codes for memory/IO: the
     // billion-vector production layout; IvfPq.scala has the full shape).
-    // Gated exactly like q_ann_ivf_recall / q_ann_pq_recall: per-query
-    // recall@10 vs the brute-force baseline, flags pinned TRUE with
-    // integer-exact comparisons. The two approximations COMPOUND (cell
-    // misses × ADC-shortlist misses: on this RANDOM corpus ~0.68 × ~0.76
-    // at sf0.1), so the probe is wider than plain IVF's — nProbe 10,
-    // rerank 300. Measured margins: mean 0.94/0.82/0.68 at
-    // sf0.001/0.01/0.1 (>=1.36x over the 0.5 pin); per-query min
-    // 0.9/0.6/0.5 (>=2.5x over the 0.2 pin). Fully deterministic: shared
-    // session k-means fit, farthest-point residual codebooks,
-    // fixed-iteration L2 Lloyd, rounded scores, id tiebreaks.
-    Q("q_ann_ivfpq_recall",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
-      (s, dir) =>
-        import graft.operators.IvfPq
-        val emb = t(s, dir, "embeddings")
-        val qs = emb.where(col("vec_id") < 5)
-        val exact = bruteExact10(s, dir)
-        val approx = IvfPq.ivfpqTopK(emb, qs, k = 10,
-            nClusters = 16, nProbe = 10, rerank = 300,
-            model = Some(pqModel(s, dir)))
-          .select("query_id", "cand_id")
-        recallFlags(exact, approx)
+    // ROW-HASHED (converted from TRUE flags at r16, completing the
+    // family with q_ann_ivf_recall / q_ann_pq_recall): the gate emits
+    // per-query HIT COUNTS of the IVFADC path (nProbe 10, rerank 300)
+    // against the brute top-10, and the oracle RECOMPUTES the entire
+    // stack — the shared coarse-fit replay, unit centroids, residuals,
+    // per-subspace residual codebooks, probes with q̂·μ̂ offsets, ADC
+    // over probed cells, exact re-rank — plus the baseline, in DuckDB.
+    Q("q_ann_ivfpq_recall", IvfReplay.ivfpqRecallSql) { (s, dir) =>
+      import graft.operators.IvfPq
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+      val exact = bruteExact10(s, dir)
+      val approx = IvfPq.ivfpqTopK(emb, qs, k = 10,
+          nClusters = 16, nProbe = 10, rerank = 300,
+          model = Some(pqModel(s, dir)))
+        .select("query_id", "cand_id")
+      recallCounts(exact, approx)
     },
 
     // The PERSISTED IVF-PQ index through the driver gate: writeIndex
@@ -1238,9 +1574,15 @@ object VectorQueries {
           "live-baseline derivation exhausted the stored top-30 prefix " +
             s"(a query kept only $depthOk live rows) — deepen the " +
             "memoized maxsimExact k")
+        // one probe plan serves BOTH phases: delete and vacuum never
+        // move the coarse quantizer, so the pre- and post-vacuum
+        // searches share the query→cell assignment job (the serving-
+        // tier shape — probes are per query batch, not per mutation)
+        val probePlan = MaxSim.planTokenProbes(s, idxDir, qToks,
+          nProbe = 6)
         def flags(phase: String) = recallFlags(exact,
             MaxSim.searchTokenIndex(s, idxDir, qToks, k = 10,
-                nProbe = 6, tokenTopT = 64)
+                nProbe = 6, tokenTopT = 64, probes = Some(probePlan))
               .select(col("query_id"), col("doc_id").as("cand_id")))
           .withColumn("phase", lit(phase))
         val before = flags("tombstoned").localCheckpoint()
@@ -1604,6 +1946,24 @@ object VectorQueries {
     * flags — per-query `hits*5 >= n` (recall >= 0.2) and corpus
     * `2*sum_hits >= sum_n` (mean >= 0.5) — both integer-exact so no
     * IEEE boundary (10*0.3 > 3.0) can flip a flag. */
+  /** Row-hashed recall measurement: per-query (hits, n) of `approx`
+    * against `exact` — the conversion target for the TRUE-flag recall
+    * gates whose pipelines have full DuckDB replays (the oracle
+    * recomputes BOTH sides and the same counts, so any recall movement
+    * in either direction fails the hash — strictly tighter than a
+    * thresholded flag). */
+  private def recallCounts(exact: org.apache.spark.sql.DataFrame,
+                           approx: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hits = exact.join(approx, Seq("query_id", "cand_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        col("n"))
+      .orderBy("query_id")
+  }
+
   private def recallFlags(exact: org.apache.spark.sql.DataFrame,
                           approx: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

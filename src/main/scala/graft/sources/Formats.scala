@@ -123,6 +123,28 @@ object Formats {
     fs.delete(old, true)
   }
 
+  /** Zero-row rewrite of a PARTITIONED dataset that stays readable AND
+    * appendable: a dynamic-partition write of zero rows emits no part
+    * files (only _SUCCESS), so every later read of the swapped-in
+    * directory dies on schema inference — while a flat zero-row file at
+    * the ROOT (the schema-preserving trick the unpartitioned datasets
+    * use) turns the NEXT append's `part=N/` subdirectories into the
+    * mixed flat/partitioned layout Spark's partition discovery rejects.
+    * Writing the zero-row file INSIDE a literal `part=0/` leaf keeps
+    * both properties: the file carries the data schema, the directory
+    * name carries the partition column (discovered as int, matching
+    * every index layout's bucket/cell column type). `tmp` is cleared
+    * first so a crashed earlier rewrite cannot leave stale files beside
+    * the leaf. */
+  def writeEmptyPartitioned(df: org.apache.spark.sql.DataFrame,
+                            part: String, fs: FileSystem,
+                            tmp: Path): Unit = {
+    fs.delete(tmp, true)
+    df.where(org.apache.spark.sql.functions.lit(false)).drop(part)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(tmp, s"$part=0").toString)
+  }
+
   /** Small-files compaction: rewrite a parquet dataset into files of
     * roughly `targetBytes` each, then swap the directory crash-safely
     * ([[swapInto]]). Incremental appends (A7) accumulate one file per commit

@@ -369,4 +369,62 @@ class MaxSimSpec extends SparkSpec {
       .sortBy(r => (r._1, r._3)).toSeq
     assert(a == b, s"m=1 MaxSim diverged from pooled cosine:\n$a\n$b")
   }
+
+  test("a shared probe plan is result-identical to per-search probing, " +
+      "before AND after a delete+vacuum (the quantizer never moved)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_probeplan").toString
+    MaxSim.writeTokenIndex(docToks, dir, nClusters = 16)
+    val plan = MaxSim.planTokenProbes(spark, dir, qToks, nProbe = 4)
+    def rows(p: Option[MaxSim.TokenProbes]) =
+      MaxSim.searchTokenIndex(spark, dir, qToks, k = 10, nProbe = 4,
+          tokenTopT = 16, probes = p)
+        .as[(Long, Long, Double, Int)].collect()
+        .sortBy(r => (r._1, r._4)).toSeq
+    assert(rows(Some(plan)) == rows(None),
+      "shared probe plan diverged from per-search probing")
+    val victim = rows(None).head._2
+    MaxSim.deleteFromTokenIndex(Seq(victim).toDF("doc_id"), dir)
+    MaxSim.vacuumTokenIndex(spark, dir)
+    // the pre-vacuum plan still serves: delete/vacuum never move cells
+    val after = rows(Some(plan))
+    assert(after == rows(None),
+      "stale-after-vacuum probe plan diverged — centroids moved?")
+    assert(!after.exists(_._2 == victim), "vacuumed doc retrieved")
+  }
+
+  test("vacuum-everything then append keeps BOTH token layouts " +
+      "consistent (no mixed flat/partitioned directory)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+      .where(col("vec_id") < 20)
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_purge").toString
+    MaxSim.writeTokenIndex(docToks, dir, nClusters = 4)
+    MaxSim.deleteFromTokenIndex(emb.select(col("vec_id").as("doc_id")),
+      dir)
+    assert(MaxSim.vacuumTokenIndex(spark, dir) > 0L)
+    for (ds <- Seq("tokens", "doctokens"))
+      assert(spark.read.parquet(s"$dir/$ds").count() == 0L,
+        s"purged $ds must still read (schema-carrying leaf)")
+    MaxSim.appendToTokenIndex(docToks, dir)
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 2), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    assert(MaxSim.searchTokenIndex(spark, dir, qToks, k = 3,
+        nProbe = 2, tokenTopT = 8).count() > 0,
+      "post-purge append not searchable")
+    for (ds <- Seq("tokens", "doctokens"))
+      assert(spark.read.parquet(s"$dir/$ds").count() > 0L,
+        s"mixed layout broke the $ds read after append")
+  }
 }

@@ -116,4 +116,28 @@ class SketchIndexSpec extends SparkSpec {
         s"$ds still holds the vacuumed vector")
     assert(!rows().exists(_._2 == victim), "vacuum resurfaced the victim")
   }
+
+  test("vacuum-everything then append keeps the vectors layout " +
+      "consistent (no mixed flat/partitioned directory)") {
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+      .where(col("vec_id") < 20)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_purge").toString
+    SketchIndex.writeIndex(emb, dir)
+    // tombstone the ENTIRE corpus: the vacuum rewrite has zero rows to
+    // keep, the branch that used to write a FLAT empty file at the
+    // vectors root — which made the next append's bucket=N dirs a mixed
+    // layout Spark's partition discovery rejects
+    SketchIndex.deleteFromIndex(emb.select(col("vec_id")), dir)
+    assert(SketchIndex.vacuumIndex(spark, dir) == 20L)
+    assert(spark.read.parquet(s"$dir/vectors").count() == 0L,
+      "purged vectors dataset must still read (schema-carrying leaf)")
+    SketchIndex.appendToIndex(emb, dir)
+    val got = SketchIndex.searchIndex(spark, dir,
+        emb.where(col("vec_id") < 2), k = 3, shortlist = 10)
+      .as[(Long, Long, Int, Double, Int)].collect()
+    assert(got.nonEmpty, "post-purge append not searchable")
+    assert(spark.read.parquet(s"$dir/vectors").count() == 20L,
+      "mixed layout broke the vectors read after append")
+  }
 }
