@@ -620,16 +620,23 @@ object MaxSim {
       .getOrElse(return 0L)
     vacuumAfterSnapshotHook()
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
-    var removed = 0L
-    for ((ds, part, fanout) <- Seq(
-        ("tokens", "centroid_id", math.max(1, nClusters)),
-        ("doctokens", "doc_bucket", DocBuckets))) {
-      val n = SelectiveVacuum(spark,
-        new org.apache.hadoop.fs.Path(s"$dir/$ds"), part, "doc_id", ts,
-        slices = math.max(1,
-          spark.sparkContext.defaultParallelism / fanout))
-      if (ds == "tokens") removed = n
+    // the two layouts' rewrites are independent (different datasets,
+    // one reader each) — run them as concurrent Spark job chains so the
+    // vacuum's wall-clock is max(tokens, doctokens), not the sum
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val passes = Seq(
+      ("tokens", "centroid_id", math.max(1, nClusters)),
+      ("doctokens", "doc_bucket", DocBuckets)).map {
+      case (ds, part, fanout) => scala.concurrent.Future(
+        ds -> SelectiveVacuum(spark,
+          new org.apache.hadoop.fs.Path(s"$dir/$ds"), part, "doc_id", ts,
+          slices = math.max(1,
+            spark.sparkContext.defaultParallelism / fanout)))
     }
+    val removed = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(passes),
+      scala.concurrent.duration.Duration.Inf).toMap.apply("tokens")
     TombstoneLedger.clear(fs, root, consumed)
     removed
   }

@@ -50,8 +50,8 @@ object Sketches {
       count(lit(1)).as("n")).head()
     if (sk.isNullAt(0)) { // zero input rows aggregate to a NULL sketch
       import spark.implicits._
-      return Seq.empty[(String, Long, Boolean, Boolean)]
-        .toDF(itemCol, "true_cnt", "lower_ok", "upper_ok")
+      return Seq.empty[(String, Long, Long)]
+        .toDF(itemCol, "true_cnt", "est_cnt")
     }
     val cms = CountMinSketch.readFrom(
       new ByteArrayInputStream(sk.getAs[Array[Byte]]("cms")))
@@ -60,14 +60,21 @@ object Sketches {
       .agg(count(lit(1)).as("true_cnt"))
       .orderBy(desc("true_cnt"), col(itemCol))
       .limit(k).collect()
+    // the CMS error contract fails LOUDLY here (estimate ≥ truth
+    // always; ≤ truth + ⌈eps·N⌉); the returned rows carry the raw
+    // ESTIMATES so the driver gate hashes the sketch's actual output
+    // against a full DuckDB replay of the sketch, not a flag
     val rows = top.toIndexedSeq.map { r =>
       val item = r.getString(0)
       val t = r.getLong(1)
       val est = cms.estimateCount(item)
-      (item, t, est >= t, est <= t + slack)
+      require(est >= t && est <= t + slack,
+        s"CMS error contract violated for '$item': est=$est " +
+          s"true=$t slack=$slack")
+      (item, t, est)
     }
     import spark.implicits._
-    rows.toDF(itemCol, "true_cnt", "lower_ok", "upper_ok")
+    rows.toDF(itemCol, "true_cnt", "est_cnt")
       .orderBy(itemCol)
   }
 

@@ -61,18 +61,15 @@ object ApproxQueries {
     },
 
     // Count-min-sketch heavy hitters over the document token stream: the
-    // top-20 tokens by exact count, each certified against the CMS error
-    // contract (estimate ≥ truth always; ≤ truth + ⌈eps·N⌉ at the fixed
-    // seed). The oracle replays the exact top-k; the sketch itself is the
-    // O(1/eps) fixed-size artifact that would ship at 100 TB.
-    Q("q_sketch_cms_topk",
-      s"""WITH tok AS (SELECT unnest(${TextQueries.sqlToks}) AS token
-         |             FROM documents),
-         |cnt AS (SELECT token, count(*) AS true_cnt FROM tok GROUP BY token),
-         |top AS (SELECT token, true_cnt FROM cnt
-         |        ORDER BY true_cnt DESC, token LIMIT 20)
-         |SELECT token, true_cnt, TRUE AS lower_ok, TRUE AS upper_ok
-         |FROM top ORDER BY token""".stripMargin) { (s, dir) =>
+    // top-20 tokens by exact count WITH THEIR SKETCH ESTIMATES. FULLY
+    // ROW-HASHED since r16: the oracle replays Spark's CountMinSketch
+    // itself in DuckDB (double murmur, |int32| bucketing, depth-7 ×
+    // width-2000 counters, min over rows — SketchReplay.cmsTopKSql), so
+    // the sketch's actual output is what the hash pins; the error
+    // contract (estimate ≥ truth, ≤ truth + ⌈eps·N⌉) fails loudly
+    // inside the operator. The sketch is the O(1/eps) fixed-size
+    // artifact that would ship at 100 TB.
+    Q("q_sketch_cms_topk", SketchReplay.cmsTopKSql) { (s, dir) =>
       val toks = t(s, dir, "documents")
         .select(explode(graft.functions.TextFunctions.tokens(col("text")))
           .as("token"))

@@ -71,7 +71,16 @@ object IndexFixtures {
 
   /** A fresh, private, mutable copy of the memoized clean `kind` index
     * for `sfDir` — for gates that tombstone/append/vacuum/recenter.
-    * Registered for deletion at JVM exit. */
+    * Registered for deletion at JVM exit.
+    *
+    * Files HARDLINK to the snapshot instead of copying: parquet data
+    * files are immutable once written (every mutation in this library
+    * is write-new-then-swap or append-new-file — nothing rewrites a
+    * file in place), so a link-clone behaves identically to a copy at
+    * near-zero cost, and deleting the clone merely unlinks. Falls back
+    * to a byte copy per file when linking is unsupported (non-local
+    * fs, cross-device temp). This is dev-fixture machinery — the
+    * production clone of an index is a storage-layer copy job. */
   def cloned(s: SparkSession, sfDir: String, kind: String)
             (build: String => Unit): String = {
     val conf = s.sparkContext.hadoopConfiguration
@@ -80,11 +89,27 @@ object IndexFixtures {
       .createTempDirectory(s"graft_${kind}_clone").toString
     clones.add(work)
     val fs = new Path(work).getFileSystem(conf)
-    // the temp dir already exists — copy each child so the clone has
-    // the snapshot's layout directly under `work` (no nesting)
+    def linkTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(from)) {
+        java.nio.file.Files.createDirectories(to)
+        val it = java.nio.file.Files.list(from).iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          linkTree(c, to.resolve(c.getFileName))
+        }
+      } else java.nio.file.Files.createLink(to, from)
+    }
     fs.listStatus(new Path(snap)).foreach { st =>
-      FileUtil.copy(fs, st.getPath, fs,
-        new Path(work, st.getPath.getName), false, conf)
+      val from = java.nio.file.Paths.get(st.getPath.toUri.getPath)
+      val to = java.nio.file.Paths.get(work, st.getPath.getName)
+      try linkTree(from, to)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          // clear any partial link tree, then fall back to a byte copy
+          fs.delete(new Path(work, st.getPath.getName), true)
+          FileUtil.copy(fs, st.getPath, fs,
+            new Path(work, st.getPath.getName), false, conf)
+      }
     }
     work
   }

@@ -51,7 +51,13 @@ private[queries] object SketchReplay {
   /** 32-bit Murmur3 of token expression `t` (ASCII string) with `seed`,
     * as Spark's hashUnsafeBytes computes it. Also consumed by the
     * hashed-classifier gate (TextQueries), which buckets by this hash. */
-  private[queries] def murmur32(t: String, seed: BigInt): String = {
+  private[queries] def murmur32(t: String, seed: BigInt): String =
+    murmur32E(t, seed.toString)
+
+  /** [[murmur32]] with the seed as a SQL EXPRESSION (unsigned 32-bit
+    * HUGEINT domain) — the CMS replay chains h2 = murmur(t, seed = h1),
+    * where h1 is a per-row column, not a literal. */
+  private[queries] def murmur32E(t: String, seed: String): String = {
     val blocks =
       s"""list_transform(range(0, length($t) // 4), i ->
          |  CAST(ord($t[CAST(4*i+1 AS INT)]) + 256 * ord($t[CAST(4*i+2 AS INT)])
@@ -347,5 +353,47 @@ private[queries] object SketchReplay {
            s"SELECT pp.phase, query_id, cand_id, hamming, score, rank\n" +
            s"FROM rk CROSS JOIN (SELECT unnest([$phaseSql]) AS phase) pp\n" +
            "WHERE rank <= 10 ORDER BY phase, query_id, rank"}""".stripMargin
+  }
+
+  /** Full q_sketch_cms_topk oracle: Spark's CountMinSketch replayed
+    * byte-for-byte (decompiled from spark-sketch's CountMinSketchImpl,
+    * a public-source Guava-style double-hashing CMS) — per token
+    * h1 = Murmur3_x86_32.hashUnsafeBytes(bytes, 0),
+    * h2 = hashUnsafeBytes(bytes, h1), bucket_i = |int32(h1 + i·h2)| %
+    * width for rows i < depth; counters sum token multiplicities per
+    * (row, bucket); the estimate is the min over rows — depth 7 ×
+    * width 2000 at the gate's (eps 0.001, confidence 0.99). The int32
+    * reinterpretation + Math.abs is exact in unbounded arithmetic:
+    * |c - 2^32| for c ≥ 2^31 (the MIN_VALUE edge included). The gate
+    * emits the ESTIMATES, so the sketch itself — not a flag derived
+    * from it — is what the oracle recomputes and can fail. */
+  lazy val cmsTopKSql: String = {
+    val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+       |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+       |        FROM tok GROUP BY token),
+       |th1 AS MATERIALIZED (SELECT token, true_cnt,
+       |              ${murmur32E("token", "0")} AS h1u
+       |       FROM cnt),
+       |th AS MATERIALIZED (SELECT token, true_cnt, h1u,
+       |             ${murmur32E("token", "h1u")} AS h2u
+       |      FROM th1),
+       |bk AS (SELECT token, true_cnt, i,
+       |              CAST((CASE WHEN c >= 2147483648 THEN 4294967296 - c
+       |                         ELSE c END) % 2000 AS BIGINT) AS bucket
+       |       FROM (SELECT token, true_cnt, i,
+       |                    (h1u + CAST(i AS HUGEINT) * h2u) % 4294967296
+       |                      AS c
+       |             FROM th, range(0, 7) r(i))),
+       |ctr AS (SELECT i, bucket, CAST(sum(true_cnt) AS BIGINT) AS w
+       |        FROM bk GROUP BY i, bucket),
+       |est AS (SELECT b.token, min(c2.w) AS est_cnt
+       |        FROM bk b JOIN ctr c2 USING (i, bucket)
+       |        GROUP BY b.token),
+       |top AS (SELECT token, true_cnt FROM cnt
+       |        ORDER BY true_cnt DESC, token LIMIT 20)
+       |SELECT t.token, t.true_cnt, e.est_cnt
+       |FROM top t JOIN est e USING (token)
+       |ORDER BY t.token""".stripMargin
   }
 }

@@ -233,12 +233,17 @@ object VectorQueries {
          |                                 (an, bn) -> an + bn) AS nn
          |              FROM $from))""".stripMargin
 
-    /** Codebook fit + corpus encoding over a standing `nrm(id, v, h,
-      * nv)` CTE — `nv` is whatever vector family the caller quantizes
-      * (l2-normalized vectors for plain PQ, per-cell residuals for
-      * IVFADC); `extraEncCols` rides extra nrm columns (e.g. the cell
+    /** Codebook fit + corpus encoding: the BOOKS always fit from the
+      * standing `nrm(id, v, h, nv)` CTE (the fit corpus — `nv` is
+      * whatever vector family the caller quantizes: l2-normalized
+      * vectors for plain PQ, per-cell residuals for IVFADC), while the
+      * ENCODE pass reads `encFrom` (the search corpus — differs from
+      * the fit corpus in the append/streamed lifecycle variants, whose
+      * model deliberately stands while the corpus grows);
+      * `extraEncCols` rides extra encode-source columns (e.g. the cell
       * id) through to `enc`. */
-    private def pqBookCtes(extraEncCols: String = ""): String = {
+    private def pqBookCtes(extraEncCols: String = "",
+                           encFrom: String = "nrm"): String = {
       val fpPick = rintx("(" + sqd("p.sv", "c") + ") * 1000000.0") +
         " / 1000000.0"
       s"""sq1 AS (SELECT list(struct_pack(id := id, v := nv)
@@ -298,7 +303,7 @@ object VectorQueries {
          |    WHERE i < 5
          |  )
          |),
-         |bkl AS (SELECT list(cents ORDER BY sub) AS bks
+         |bkl AS MATERIALIZED (SELECT list(cents ORDER BY sub) AS bks
          |        FROM lloydq WHERE i = 5),
          |enc AS (SELECT n0.id$extraEncCols,
          |               list_transform(range(0, 8), sq ->
@@ -308,7 +313,7 @@ object VectorQueries {
          |                   list_min(list_transform(bks[CAST(sq + 1 AS INT)], c ->
                                ${sqd("n0.nv[CAST(sq*8+1 AS INT):CAST(sq*8+8 AS INT)]", "c")}))) - 1)
          |                 AS codes
-         |        FROM nrm n0, bkl)""".stripMargin
+         |        FROM $encFrom n0, bkl)""".stripMargin
     }
 
     /** Row-hashed PQ recall oracle (q_ann_pq_recall): replays the
@@ -372,59 +377,7 @@ object VectorQueries {
       * per-query hit counts the oracle fully recomputes. */
     lazy val ivfpqRecallSql: String =
       s"""WITH RECURSIVE
-         |${fitPrefix()},
-         |ucent AS (SELECT cid,
-         |                 CASE WHEN cn = 0.0 THEN cv
-         |                      ELSE list_transform(cv, xu -> xu / sqrt(cn))
-         |                 END AS uc
-         |          FROM (SELECT cid, cv,
-         |                       list_reduce(list_transform(cv, eu -> eu * eu),
-         |                                   (au, bu) -> au + bu) AS cn
-         |                FROM cent)),
-         |${pqNormCte("hk", "nrm0")},
-         |rda AS (SELECT n.id, u.cid,
-         |               ${rintx("(" + dotx("n.nv", "u.uc") + ") * 10000.0")} / 10000.0 AS rd,
-         |               u.uc
-         |        FROM nrm0 n, ucent u),
-         |acell AS (SELECT id, cid AS cell, uc FROM (
-         |  SELECT id, cid, uc, rd,
-         |         row_number() OVER (PARTITION BY id
-         |                            ORDER BY rd DESC, cid) AS rn
-         |  FROM rda) WHERE rn = 1),
-         |nrm AS (SELECT n.id, n.v, n.h, a.cell,
-         |               list_transform(list_zip(n.nv, a.uc),
-         |                              zr -> zr[1] - zr[2]) AS nv
-         |        FROM nrm0 n JOIN acell a USING (id)),
-         |${pqBookCtes(", n0.cell")},
-         |qn AS (SELECT id AS query_id, nv AS qv FROM nrm0 WHERE id < 5),
-         |probes AS (SELECT query_id, cell, qmu FROM (
-         |  SELECT q.query_id, u.cid AS cell,
-         |         ${dotx("q.qv", "u.uc")} AS qmu,
-         |         row_number() OVER (PARTITION BY q.query_id
-         |           ORDER BY ${rintx("(" + dotx("q.qv", "u.uc") + ") * 10000.0")} / 10000.0 DESC, u.cid) AS rn
-         |  FROM qn q, ucent u) WHERE rn <= 10),
-         |adcs AS (SELECT q.query_id, e.id AS cand_id,
-         |                round(p.qmu + list_reduce(list_prepend(0.0,
-         |                  list_transform(range(0, 8), sa ->
-         |                    list_reduce(list_transform(list_zip(
-         |                        q.qv[CAST(sa*8+1 AS INT):CAST(sa*8+8 AS INT)],
-         |                        bks[CAST(sa + 1 AS INT)][CAST(e.codes[CAST(sa + 1 AS INT)] + 1 AS INT)]),
-         |                      zz -> zz[1] * zz[2]), (xd, yd) -> xd + yd))),
-         |                  (aa, xx) -> aa + xx), 4) AS adc
-         |         FROM probes p
-         |         JOIN enc e ON e.cell = p.cell
-         |         JOIN qn q ON q.query_id = p.query_id
-         |         CROSS JOIN bkl
-         |         WHERE e.id != q.query_id),
-         |sl AS (SELECT query_id, cand_id FROM (
-         |  SELECT query_id, cand_id,
-         |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY adc DESC, cand_id) AS rn
-         |  FROM adcs) WHERE rn <= 300),
-         |rr AS (SELECT s.query_id, s.cand_id,
-         |              round(${cosx("q.qv", "e0.v")}, 4) AS score
-         |       FROM sl s JOIN qn q USING (query_id)
-         |       JOIN hk e0 ON e0.id = s.cand_id),
+         |${ivfpqStack()},
          |rkd AS (SELECT query_id, cand_id FROM (
          |  SELECT query_id, cand_id,
          |         row_number() OVER (PARTITION BY query_id
@@ -445,7 +398,172 @@ object VectorQueries {
          |FROM nn LEFT JOIN hh USING (query_id)
          |ORDER BY query_id""".stripMargin
 
-    lazy val sql: String =
+    /** Shared top-10 tail over the stack's `rr`: plain rows, or the
+      * same rows phase-crossed for multi-phase gates. */
+    private def ivfpqFinal(phases: String = ""): String =
+      s"""rk AS (SELECT query_id, cand_id, score,
+         |              row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY score DESC, cand_id)
+         |                AS rank
+         |       FROM rr)
+         |${if (phases.isEmpty)
+             "SELECT query_id, cand_id, score, rank FROM rk\n" +
+             "WHERE rank <= 10 ORDER BY query_id, rank"
+           else
+             "SELECT pp.phase, query_id, cand_id, score, rank\n" +
+             s"FROM rk CROSS JOIN (SELECT unnest([$phases]) AS phase) pp\n" +
+             "WHERE rank <= 10 ORDER BY phase, query_id, rank"}""".stripMargin
+
+    /** FULL-ROW IVFADC oracle (q_ann_index_pq): the same stack, final
+      * rows (query_id, cand_id, score, rank) — the persisted-index
+      * search is result-identical to ivfpqTopK (IvfPqSpec pins it), so
+      * the on-disk round trip hashes against the complete DuckDB
+      * replay, scores included, no recall flag anywhere. */
+    lazy val ivfpqSql: String =
+      s"""WITH RECURSIVE
+         |${ivfpqStack()},
+         |${ivfpqFinal()}""".stripMargin
+
+    /** FULL append-lifecycle oracle (q_ann_index_pq_append AND
+      * q_stream_pq_index_replay): the perturbed batch joins the
+      * encode/search corpus while the MODEL stands — exactly
+      * appendToIndex's / the streaming sink's no-refit trade. */
+    lazy val ivfpqAppendSql: String =
+      s"""WITH RECURSIVE
+         |${ivfpqStack(batchInCorpus = true)},
+         |${ivfpqFinal()}""".stripMargin
+
+    /** FULL recenter-lifecycle oracle (q_ann_index_pq_recenter): the
+      * whole model — coarse cells AND residual books — refits over the
+      * stored union, and the search runs over the same union. */
+    lazy val ivfpqRecenterSql: String =
+      s"""WITH RECURSIVE
+         |${ivfpqStack(batchInCorpus = true, batchInFit = true)},
+         |${ivfpqFinal()}""".stripMargin
+
+    /** FULL two-phase deletion oracle (q_ann_index_pq_delete): the
+      * formula delete set excluded before the ADC shortlist (the
+      * ledger's semantics — a dead id never occupies a slot; the model
+      * stands), two phases of identical rows pinning both the mask and
+      * the partition-selective physical rewrite. */
+    lazy val ivfpqDeleteSql: String =
+      s"""WITH RECURSIVE
+         |${ivfpqStack(candCond =
+             " AND NOT (e.id % 17 = 3 AND e.id < 1700)")},
+         |${ivfpqFinal(phases = "'tombstoned', 'vacuumed'")}""".stripMargin
+
+    /** The shared IVFADC CTE stack through `rr` (exact-cosine-scored
+      * shortlist rows): coarse fit replay, unit centroids, residual
+      * codebooks, nProbe=10 probes, ADC over probed cells, 300-deep
+      * shortlist — the gate settings of q_ann_ivfpq_recall AND
+      * q_ann_index_pq (IvfPq.searchIndex is row-identical to
+      * ivfpqTopK at the same parameters).
+      *
+      * Lifecycle parameterization: `batchInCorpus` unions the standard
+      * perturbed batch into the ENCODE/SEARCH corpus (append /
+      * streamed-ingest gates — the model deliberately stands);
+      * `batchInFit` also refits coarse cells AND residual books over
+      * the union (the recenter gate — recenterIndex refits the whole
+      * model from stored vectors); `candCond` excludes tombstoned ids
+      * before the ADC shortlist (the delete gate — the ledger
+      * anti-joins pqcodes before ranking, so a dead id never occupies
+      * a slot). */
+    private def ivfpqStack(batchInCorpus: Boolean = false,
+                           batchInFit: Boolean = false,
+                           candCond: String = ""): String = {
+      val fitSrc = if (batchInFit) "ubase" else "embeddings"
+      val corpusSrc = if (batchInCorpus) "ubase" else "embeddings"
+      s"""ubase AS (SELECT vec_id, embedding FROM embeddings
+         |          UNION ALL
+         |          SELECT vec_id + 1000000,
+         |                 list_concat([CAST(embedding AS DOUBLE[])[1]
+         |                                + 0.1],
+         |                             CAST(embedding AS DOUBLE[])[2:64])
+         |          FROM embeddings WHERE vec_id < 20),
+         |${fitPrefix(fitSrc)},
+         |ucent AS MATERIALIZED (SELECT cid,
+         |                 CASE WHEN cn = 0.0 THEN cv
+         |                      ELSE list_transform(cv, xu -> xu / sqrt(cn))
+         |                 END AS uc
+         |          FROM (SELECT cid, cv,
+         |                       list_reduce(list_transform(cv, eu -> eu * eu),
+         |                                   (au, bu) -> au + bu) AS cn
+         |                FROM cent)),
+         |${pqNormCte("hk", "nrm0")},
+         |rda AS (SELECT n.id, u.cid,
+         |               ${rintx("(" + dotx("n.nv", "u.uc") + ") * 10000.0")} / 10000.0 AS rd,
+         |               u.uc
+         |        FROM nrm0 n, ucent u),
+         |acell AS (SELECT id, cid AS cell, uc FROM (
+         |  SELECT id, cid, uc, rd,
+         |         row_number() OVER (PARTITION BY id
+         |                            ORDER BY rd DESC, cid) AS rn
+         |  FROM rda) WHERE rn = 1),
+         |nrm AS MATERIALIZED (SELECT n.id, n.v, n.h, a.cell,
+         |               list_transform(list_zip(n.nv, a.uc),
+         |                              zr -> zr[1] - zr[2]) AS nv
+         |        FROM nrm0 n JOIN acell a USING (id)),
+         |corp0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |          FROM $corpusSrc),
+         |corpn AS (SELECT id, v,
+         |                 CASE WHEN cn2 = 0.0 THEN v
+         |                      ELSE list_transform(v, xn -> xn / sqrt(cn2))
+         |                 END AS nv
+         |          FROM (SELECT id, v,
+         |                       list_reduce(list_transform(v, en -> en * en),
+         |                                   (an, bn) -> an + bn) AS cn2
+         |                FROM corp0)),
+         |crda AS (SELECT n.id, u.cid,
+         |               ${rintx("(" + dotx("n.nv", "u.uc") + ") * 10000.0")} / 10000.0 AS rd,
+         |               u.uc
+         |        FROM corpn n, ucent u),
+         |cacell AS (SELECT id, cid AS cell, uc FROM (
+         |  SELECT id, cid, uc, rd,
+         |         row_number() OVER (PARTITION BY id
+         |                            ORDER BY rd DESC, cid) AS rn
+         |  FROM crda) WHERE rn = 1),
+         |cnrm AS MATERIALIZED (SELECT n.id, a.cell,
+         |                list_transform(list_zip(n.nv, a.uc),
+         |                               zr -> zr[1] - zr[2]) AS nv
+         |         FROM corpn n JOIN cacell a USING (id)),
+         |${pqBookCtes(", n0.cell", encFrom = "cnrm")},
+         |qn AS (SELECT id AS query_id, nv AS qv FROM corpn WHERE id < 5),
+         |probes AS (SELECT query_id, cell, qmu FROM (
+         |  SELECT q.query_id, u.cid AS cell,
+         |         ${dotx("q.qv", "u.uc")} AS qmu,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${rintx("(" + dotx("q.qv", "u.uc") + ") * 10000.0")} / 10000.0 DESC, u.cid) AS rn
+         |  FROM qn q, ucent u) WHERE rn <= 10),
+         |adcs AS (SELECT q.query_id, e.id AS cand_id,
+         |                round(p.qmu + list_reduce(list_prepend(0.0,
+         |                  list_transform(range(0, 8), sa ->
+         |                    list_reduce(list_transform(list_zip(
+         |                        q.qv[CAST(sa*8+1 AS INT):CAST(sa*8+8 AS INT)],
+         |                        bks[CAST(sa + 1 AS INT)][CAST(e.codes[CAST(sa + 1 AS INT)] + 1 AS INT)]),
+         |                      zz -> zz[1] * zz[2]), (xd, yd) -> xd + yd))),
+         |                  (aa, xx) -> aa + xx), 4) AS adc
+         |         FROM probes p
+         |         JOIN enc e ON e.cell = p.cell
+         |         JOIN qn q ON q.query_id = p.query_id
+         |         CROSS JOIN bkl
+         |         WHERE e.id != q.query_id$candCond),
+         |sl AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc DESC, cand_id) AS rn
+         |  FROM adcs) WHERE rn <= 300),
+         |rr AS (SELECT s.query_id, s.cand_id,
+         |              round(${cosx("q.qv", "e0.v")}, 4) AS score
+         |       FROM sl s JOIN qn q USING (query_id)
+         |       JOIN corp0 e0 ON e0.id = s.cand_id)""".stripMargin
+    }
+
+    /** The IVF search replay parameterized on probe width and an extra
+      * candidate predicate — `sql` (nProbe=4, unfiltered) serves
+      * q_ann_ivf / q_ann_index_search; `filteredSql` (nProbe=8,
+      * cand_id % 3 = 1) serves q_ann_filtered, whose predicate applies
+      * BEFORE ranking exactly like Similarity.searchIndex's filter. */
+    private def searchSql(nProbe: Int, candCond: String = ""): String =
       s"""WITH RECURSIVE
          |${fitPrefix()},
          |emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -460,17 +578,149 @@ object VectorQueries {
          |probes AS (SELECT id, v, cid FROM (
          |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
          |           ORDER BY cs DESC, cid) AS rn
-         |  FROM ascore WHERE id < 5) WHERE rn <= 4),
+         |  FROM ascore WHERE id < 5) WHERE rn <= $nProbe),
          |pairs AS (SELECT p.id AS query_id, a.id AS cand_id,
          |                 round(${cosx("p.v", "a.v")}, 4) AS score
          |          FROM probes p JOIN assigned a USING (cid)
-         |          WHERE a.id != p.id),
+         |          WHERE a.id != p.id$candCond),
          |ranked AS (SELECT query_id, cand_id, score,
          |                  row_number() OVER (PARTITION BY query_id
          |                                     ORDER BY score DESC, cand_id) AS rank
          |           FROM pairs)
          |SELECT query_id, cand_id, score, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+    lazy val sql: String = searchSql(4)
+
+    /** FULL two-stage MaxSim oracle (q_ann_maxsim_pruned AND
+      * q_ann_maxsim_index — searchTokenIndex is row-identical to the
+      * in-memory pruned search, MaxSimSpec pins it): the token corpus
+      * as packed tids (doc_id·1024 + tok over m=8 subvector tokens),
+      * the shared coarse-fit replay fitted OVER TOKENS, token-level ANN
+      * candidate generation (nProbe=6 probed cells per query token,
+      * per-token top-64 by integer-scaled cosine, id ties), and the
+      * exact integer MaxSim re-rank of candidate documents to top-10 —
+      * the complete replay with scores, no recall flag anywhere. */
+    lazy val maxsimPrunedSql: String = maxsimTwoStageSql()
+
+    /** FULL append-lifecycle oracle (q_ann_maxsim_index_append AND
+      * q_stream_maxsim_index_replay — streamed batch dirs serve reads
+      * identically to in-place appends): the perturbed batch's tokens
+      * join the SEARCH corpus while the coarse fit stays on the
+      * original tokens — exactly appendToTokenIndex's
+      * deliberately-no-refit trade. */
+    lazy val maxsimAppendSql: String =
+      maxsimTwoStageSql(batchInCorpus = true)
+
+    /** FULL recenter-lifecycle oracle (q_ann_maxsim_index_recenter):
+      * the quantizer refits over the stored UNION (recenterTokenIndex
+      * reads the model-independent token store), and the search runs
+      * over the same union. */
+    lazy val maxsimRecenterSql: String =
+      maxsimTwoStageSql(batchInCorpus = true, batchInFit = true)
+
+    /** FULL two-phase deletion oracle (q_ann_maxsim_index_delete): the
+      * same two-stage replay with the formula delete set
+      * (doc_id % 17 = 3 AND doc_id < 1700) excluded from the DOC-TOKEN
+      * side before the per-query-token top-64 window — exactly the
+      * ledger's semantics (a tombstoned document neither seeds
+      * candidates nor occupies a slot; the coarse fit stands, deletion
+      * never refits). Two phases of identical rows: the
+      * tombstone-masked search and the post-vacuum search must agree
+      * row for row, so the ledger anti-join AND the physical
+      * partition-selective rewrite hash against one replay. */
+    lazy val maxsimDeleteSql: String = maxsimTwoStageSql(
+      tokenCond = "WHERE NOT (id // 1024 % 17 = 3 AND id // 1024 < 1700)",
+      phases = "'tombstoned', 'vacuumed'")
+
+    /** The two-stage MaxSim replay, parameterized for the lifecycle
+      * variants: `batchInCorpus` unions the standard perturbed batch's
+      * tokens into the SEARCH corpus (append / streamed-ingest gates);
+      * `batchInFit` also refits the coarse quantizer over the union
+      * (the recenter gate — recenterTokenIndex refits from the stored
+      * union, while plain append deliberately keeps the standing
+      * cells); `tokenCond` excludes tombstoned documents' tokens
+      * before the candidate window (the delete gate); `phases`
+      * cross-joins the final rows (multi-phase gates). */
+    private def maxsimTwoStageSql(tokenCond: String = "",
+                                  phases: String = "",
+                                  batchInCorpus: Boolean = false,
+                                  batchInFit: Boolean = false): String = {
+      def i4(c: String): String =
+        s"CASE WHEN ($c) * 10000.0 >= 0" +
+          s" THEN CAST(floor(($c) * 10000.0 + 0.5) AS BIGINT)" +
+          s" ELSE CAST(ceil(($c) * 10000.0 - 0.5) AS BIGINT) END"
+      val fitSrc = if (batchInFit) "utok" else "dtok"
+      val corpusSrc = if (batchInCorpus) "utok" else "dtok"
+      s"""WITH RECURSIVE
+         |dtok AS (SELECT vec_id * 1024 + tk.tok AS vec_id,
+         |                CAST(embedding AS DOUBLE[])
+         |                  [(tk.tok*8+1):(tk.tok*8+8)] AS embedding
+         |         FROM embeddings,
+         |              (SELECT unnest(range(8)) AS tok) tk),
+         |utok AS (SELECT vec_id, embedding FROM dtok
+         |         UNION ALL
+         |         SELECT (vec_id + 1000000) * 1024 + tk.tok AS vec_id,
+         |                (list_concat([CAST(embedding AS DOUBLE[])[1]
+         |                                + 0.1],
+         |                             CAST(embedding AS DOUBLE[])[2:64]))
+         |                  [(tk.tok*8+1):(tk.tok*8+8)] AS embedding
+         |         FROM embeddings,
+         |              (SELECT unnest(range(8)) AS tok) tk
+         |         WHERE vec_id < 20),
+         |${fitPrefix(fitSrc)},
+         |ctok AS (SELECT vec_id AS id,
+         |                CAST(embedding AS DOUBLE[]) AS v
+         |         FROM $corpusSrc),
+         |tsc AS MATERIALIZED (SELECT e.id, e.v, c.cid,
+         |               round(${cosx("e.v", "c.cv")}, 4) AS cs
+         |        FROM ctok e, cent c),
+         |tasg AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY cs DESC, cid) AS rn
+         |  FROM tsc $tokenCond) WHERE rn = 1),
+         |tprb AS (SELECT id AS qtid, v AS qv, cid FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY cs DESC, cid) AS rn
+         |  FROM tsc WHERE id // 1024 < 3) WHERE rn <= 6),
+         |cand AS (SELECT DISTINCT qtid // 1024 AS query_id,
+         |                         tid // 1024 AS doc_id FROM (
+         |  SELECT p.qtid, a.id AS tid,
+         |         row_number() OVER (PARTITION BY p.qtid
+         |           ORDER BY ${i4(cosx("p.qv", "a.v"))} DESC, a.id) AS tr
+         |  FROM tprb p JOIN tasg a USING (cid))
+         |  WHERE tr <= 64 AND qtid // 1024 != tid // 1024),
+         |qt AS (SELECT id // 1024 AS query_id, id % 1024 AS tok, v AS qv
+         |       FROM ctok WHERE id // 1024 < 3),
+         |dt AS (SELECT id // 1024 AS doc_id, v AS dv FROM ctok),
+         |pr AS (SELECT c.query_id, qt.tok, c.doc_id,
+         |              ${i4(cosx("qt.qv", "dt.dv"))} AS ci
+         |       FROM cand c
+         |       JOIN qt ON qt.query_id = c.query_id
+         |       JOIN dt ON dt.doc_id = c.doc_id),
+         |mx AS (SELECT query_id, tok, doc_id, max(ci) AS m
+         |       FROM pr GROUP BY query_id, tok, doc_id),
+         |sc AS (SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS si4
+         |       FROM mx GROUP BY query_id, doc_id),
+         |rk AS (SELECT query_id, doc_id,
+         |              CAST(si4 AS DOUBLE) / 10000.0 AS score,
+         |              row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY si4 DESC, doc_id)
+         |                AS rank
+         |       FROM sc)
+         |${if (phases.isEmpty)
+             "SELECT query_id, doc_id, score, rank FROM rk\n" +
+             "WHERE rank <= 10 ORDER BY query_id, rank"
+           else
+             "SELECT pp.phase, query_id, doc_id, score, rank\n" +
+             s"FROM rk CROSS JOIN (SELECT unnest([$phases]) AS phase) pp\n" +
+             "WHERE rank <= 10 ORDER BY phase, query_id, rank"}""".stripMargin
+    }
+
+    /** FULL-ROW filtered-search oracle (q_ann_filtered): predicate +
+      * vector search, the predicate applied before ranking — the
+      * complete replay, no recall flag. */
+    lazy val filteredSql: String = searchSql(8, " AND a.id % 3 = 1")
 
     /** Append-lifecycle oracle: the SAME fit replay (the quantizer is
       * deliberately NOT refit on append — centroids come from the
@@ -701,7 +951,7 @@ object VectorQueries {
       val idxDir = IndexFixtures.cloned(s, dir, "sketch")(
         buildSketch(s, dir))
       val batch = perturbedBatch(emb)
-      for ((lo, hi, b) <- Seq((0, 7, 0L), (7, 14, 1L), (14, 20, 2L)))
+      for ((lo, hi, b) <- Seq((0, 10, 0L), (10, 20, 1L)))
         SketchIndex.appendBatchDir(
           batch.where(col("vec_id") >= 1000000L + lo &&
             col("vec_id") < 1000000L + hi), idxDir, "crawl", b)
@@ -713,13 +963,13 @@ object VectorQueries {
         .withColumn("rank", col("rank").cast("long"))
       val pre = search().withColumn("phase", lit("debt")).localCheckpoint()
       val rep = IndexMaintenance.maintain(s, idxDir, "sketch",
-        maxLiveBatches = 2, maxTombstones = 1)
+        maxLiveBatches = 1, maxTombstones = 1)
       require(rep.compactionDue && rep.vacuumDue && rep.vacuumedRows == 2L,
         s"maintenance pass did not consume the planted debt: $rep")
       require(IndexBatches.live(s, idxDir, "sketches").isEmpty,
         "cadence pass left live batch dirs standing")
       val idle = IndexMaintenance.maintain(s, idxDir, "sketch",
-        maxLiveBatches = 2, maxTombstones = 1)
+        maxLiveBatches = 1, maxTombstones = 1)
       require(!idle.compactionDue && !idle.vacuumDue && !idle.compacted,
         s"idle maintenance pass found phantom debt: $idle")
       pre.unionByName(search().withColumn("phase", lit("maintained")))
@@ -803,21 +1053,21 @@ object VectorQueries {
     // category". The predicate applies before ranking (a failing
     // candidate never occupies a shortlist slot, so the result is the
     // top-k OF the filtered slice) and pushes to the assignment scans.
-    // Recall contract vs the exact brute top-k over the SAME filtered
-    // slice — that baseline is itself fully hash-gated by
-    // q_ann_filtered_baseline10 below, so the contract chains to a
-    // frame DuckDB independently recomputes.
-    Q("q_ann_filtered",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
-      (s, dir) =>
-        val emb = t(s, dir, "embeddings")
-        val idxDir = IndexFixtures.shared(s, dir, "ivf")(buildIvf(s, dir))
-        val approx = Similarity.searchIndex(s, idxDir,
-            emb.where(col("vec_id") < 5), k = 10, nProbe = 8,
-            filter = Some(col("cand_id") % 3 === 1))
-          .select("query_id", "cand_id")
-        recallFlags(filteredBrute10(s, dir), approx)
+    // FULLY ROW-HASHED (converted from TRUE flags at r16): the oracle
+    // replays the filtered IVF search end to end — the shared fit
+    // replay at nProbe=8 with the cand_id % 3 = 1 predicate applied
+    // before ranking, exactly like the operator — so the gate hashes
+    // query/candidate/score/rank, no recall flag. (The exact filtered
+    // baseline stays separately hash-gated by q_ann_filtered_baseline10
+    // below for the spec-level recall property.)
+    Q("q_ann_filtered", IvfReplay.filteredSql) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val idxDir = IndexFixtures.shared(s, dir, "ivf")(buildIvf(s, dir))
+      Similarity.searchIndex(s, idxDir,
+          emb.where(col("vec_id") < 5), k = 10, nProbe = 8,
+          filter = Some(col("cand_id") % 3 === 1))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     },
 
     // The filtered-slice exact baseline, independently recomputed by the
@@ -1072,24 +1322,22 @@ object VectorQueries {
     // cell) then searchIndex, whose ADC pass reads ONLY the probed
     // cells' CODE files (16× smaller than the vectors; the partition
     // filter is pinned by IvfPqSpec) and whose re-rank reads probed-cell
-    // vectors filtered to the broadcast shortlist. searchIndex is
-    // result-identical to ivfpqTopK (IvfPqSpec pins it row-for-row), so
-    // the same recall contract gates the on-disk round trip.
-    Q("q_ann_index_pq",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
-      (s, dir) =>
-        import graft.operators.IvfPq
-        val emb = t(s, dir, "embeddings")
-        val qs = emb.where(col("vec_id") < 5)
-        // search-only: reads the shared clean-index snapshot directly
-        val idxDir = IndexFixtures.shared(s, dir, "ivfpq")(
-          buildIvfPq(s, dir))
-        val exact = bruteExact10(s, dir)
-        val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
-            nProbe = 10, rerank = 300)
-          .select("query_id", "cand_id")
-        recallFlags(exact, approx)
+    // vectors filtered to the broadcast shortlist. FULLY ROW-HASHED
+    // (converted from TRUE flags at r16): searchIndex is
+    // result-identical to ivfpqTopK (IvfPqSpec pins it row-for-row),
+    // and the oracle replays the ENTIRE IVFADC stack in DuckDB — so the
+    // on-disk round trip hashes query/candidate/score/rank exactly, no
+    // recall flag anywhere.
+    Q("q_ann_index_pq", IvfReplay.ivfpqSql) { (s, dir) =>
+      import graft.operators.IvfPq
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+      // search-only: reads the shared clean-index snapshot directly
+      val idxDir = IndexFixtures.shared(s, dir, "ivfpq")(
+        buildIvfPq(s, dir))
+      IvfPq.searchIndex(s, idxDir, qs, k = 10, nProbe = 10, rerank = 300)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     },
 
     // PQ-index incremental append (IvfPq.appendToIndex): the batch
@@ -1102,23 +1350,21 @@ object VectorQueries {
     // ONLY in appended files; the recall contract runs against the
     // brute-force baseline over the UNION corpus. writeIndex's rebuild
     // makes the gate idempotent per invocation.
-    Q("q_ann_index_pq_append",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
-      (s, dir) =>
-        import graft.functions.VectorFunctions.asDouble
-        import graft.operators.IvfPq
-        val emb = t(s, dir, "embeddings")
-        val qs = emb.where(col("vec_id") < 5)
-        val batch = perturbedBatch(emb)
-        val idxDir = IndexFixtures.cloned(s, dir, "ivfpq")(
-          buildIvfPq(s, dir))
-        IvfPq.appendToIndex(batch, idxDir)
-        val exact = bruteUnion10(s, dir)
-        val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
-            nProbe = 10, rerank = 300)
-          .select("query_id", "cand_id")
-        recallFlags(exact, approx)
+    // FULLY ROW-HASHED (converted from recall flags at r16): the
+    // appended index's search hashes query/candidate/score/rank
+    // against the IVFADC replay whose encode/search corpus is the
+    // union while the MODEL stands — appendToIndex's no-refit trade is
+    // the oracle's contract.
+    Q("q_ann_index_pq_append", IvfReplay.ivfpqAppendSql) { (s, dir) =>
+      import graft.operators.IvfPq
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+      val idxDir = IndexFixtures.cloned(s, dir, "ivfpq")(
+        buildIvfPq(s, dir))
+      IvfPq.appendToIndex(perturbedBatch(emb), idxDir)
+      IvfPq.searchIndex(s, idxDir, qs, k = 10, nProbe = 10, rerank = 300)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     },
 
     // PQ-index model refresh (IvfPq.recenterIndex) — the out-of-band
@@ -1130,24 +1376,23 @@ object VectorQueries {
     // row-identical to a fresh index over the union (same vector set →
     // same deterministic fit); the gate runs the recall contract over
     // the union corpus through the refreshed on-disk model.
-    Q("q_ann_index_pq_recenter",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
+    // FULLY ROW-HASHED (converted from recall flags at r16): after the
+    // model refresh the search hashes against the replay whose coarse
+    // cells AND residual books refit over the stored union — the
+    // whole-model recenter path is pinned by the hash.
+    Q("q_ann_index_pq_recenter", IvfReplay.ivfpqRecenterSql) {
       (s, dir) =>
-        import graft.functions.VectorFunctions.asDouble
         import graft.operators.IvfPq
         val emb = t(s, dir, "embeddings")
         val qs = emb.where(col("vec_id") < 5)
-        val batch = perturbedBatch(emb)
         val idxDir = IndexFixtures.cloned(s, dir, "ivfpq")(
           buildIvfPq(s, dir))
-        IvfPq.appendToIndex(batch, idxDir)
+        IvfPq.appendToIndex(perturbedBatch(emb), idxDir)
         IvfPq.recenterIndex(s, idxDir, nClusters = 16).collect()
-        val exact = bruteUnion10(s, dir)
-        val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
-            nProbe = 10, rerank = 300)
-          .select("query_id", "cand_id")
-        recallFlags(exact, approx)
+        IvfPq.searchIndex(s, idxDir, qs, k = 10, nProbe = 10,
+            rerank = 300)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
     },
 
     // STREAMING PQ-index ingestion through the driver gate
@@ -1160,9 +1405,10 @@ object VectorQueries {
     // baseline — appended vectors must surface through batch-dir files
     // only, batch boundaries invisible. The index dir is wiped first,
     // making the gate idempotent per invocation.
-    Q("q_stream_pq_index_replay",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) {
+    // FULLY ROW-HASHED (converted from recall flags at r16): the
+    // streamed index answers the SAME complete IVFADC replay as the
+    // in-place append gate — batch dirs are a storage detail.
+    Q("q_stream_pq_index_replay", IvfReplay.ivfpqAppendSql) {
       (s, dir) =>
         import graft.functions.VectorFunctions.asDouble
         import graft.operators.IvfPq
@@ -1195,11 +1441,10 @@ object VectorQueries {
         }
         feed(0L, 10L, "crawl-a")
         feed(10L, 20L, "crawl-b")
-        val exact = bruteUnion10(s, dir)
-        val approx = IvfPq.searchIndex(s, idxDir, qs, k = 10,
-            nProbe = 10, rerank = 300)
-          .select("query_id", "cand_id")
-        recallFlags(exact, approx)
+        IvfPq.searchIndex(s, idxDir, qs, k = 10, nProbe = 10,
+            rerank = 300)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
     },
 
     // PQ-index deletion lifecycle (IvfPq.deleteFromIndex/vacuumIndex):
@@ -1214,48 +1459,30 @@ object VectorQueries {
     // recall on the survivors. Delete set id-bounded (vec_id % 17 = 3
     // AND vec_id < 1700); writeIndex's rebuild resets the ledger, so
     // the gate is idempotent per invocation.
-    Q("q_ann_index_pq_delete",
-      """SELECT pp.phase, vec_id AS query_id, TRUE AS recall_ok,
-        |       TRUE AS mean_ok
-        |FROM embeddings CROSS JOIN (SELECT unnest(['tombstoned',
-        |       'vacuumed']) AS phase) pp
-        |WHERE vec_id < 5 ORDER BY phase, query_id""".stripMargin) {
-      (s, dir) =>
-        import graft.operators.IvfPq
-        val emb = t(s, dir, "embeddings")
-        val qs = emb.where(col("vec_id") < 5)
-        val dead = col("vec_id") % 17 === 3 && col("vec_id") < 1700
-        val idxDir = IndexFixtures.cloned(s, dir, "ivfpq")(
-          buildIvfPq(s, dir))
-        IvfPq.deleteFromIndex(emb.where(dead).select("vec_id"), idxDir)
-        // LIVE-corpus exact baseline DERIVED from the memoized
-        // full-corpus top-30 (same argument as the MaxSim delete gate:
-        // deletions never reorder survivors; depth validated below)
-        val wLive = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy("rank")
-        val exact = StagingCaches.cache(
-          bruteExact30(s, dir)
-            .join(emb.where(dead).select(col("vec_id").as("cand_id")),
-              Seq("cand_id"), "left_anti")
-            .withColumn("live_rank", row_number().over(wLive))
-            .where(col("live_rank") <= 10)
-            .select("query_id", "cand_id"))
-        val depthOk = exact.groupBy("query_id").count()
-          .agg(min("count")).head().getLong(0)
-        require(depthOk == 10L,
-          "live-baseline derivation exhausted the stored top-30 prefix " +
-            s"(a query kept only $depthOk live rows) — deepen the " +
-            "memoized bruteExact30 k")
-        def flags(phase: String) = recallFlags(exact,
-            IvfPq.searchIndex(s, idxDir, qs, k = 10,
-                nProbe = 10, rerank = 300)
-              .select("query_id", "cand_id"))
+    Q("q_ann_index_pq_delete", IvfReplay.ivfpqDeleteSql) { (s, dir) =>
+      // FULLY ROW-HASHED (converted from recall flags at r16): both
+      // phases hash query/candidate/score/rank against one IVFADC
+      // replay with the delete set excluded before the ADC shortlist —
+      // the ledger anti-join AND the partition-selective physical
+      // rewrite must both reproduce it. Retires the derived
+      // live-baseline machinery the flags needed.
+      import graft.operators.IvfPq
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+      val dead = col("vec_id") % 17 === 3 && col("vec_id") < 1700
+      val idxDir = IndexFixtures.cloned(s, dir, "ivfpq")(
+        buildIvfPq(s, dir))
+      IvfPq.deleteFromIndex(emb.where(dead).select("vec_id"), idxDir)
+      def rows(phase: String) =
+        IvfPq.searchIndex(s, idxDir, qs, k = 10, nProbe = 10,
+            rerank = 300)
+          .withColumn("rank", col("rank").cast("long"))
           .withColumn("phase", lit(phase))
-        val before = flags("tombstoned").localCheckpoint()
-        IvfPq.vacuumIndex(s, idxDir)
-        before.unionByName(flags("vacuumed"))
-          .select("phase", "query_id", "recall_ok", "mean_ok")
-          .orderBy("phase", "query_id")
+      val before = rows("tombstoned").localCheckpoint()
+      IvfPq.vacuumIndex(s, idxDir)
+      before.unionByName(rows("vacuumed"))
+        .select("phase", "query_id", "cand_id", "score", "rank")
+        .orderBy("phase", "query_id", "rank")
     },
 
     // Late-interaction multi-vector retrieval (operators.MaxSim — the
@@ -1322,22 +1549,22 @@ object VectorQueries {
     // 1.0/1.0/0.78 at sf0.001/0.01/0.1 (>=1.56x over the 0.5 pin);
     // per-query min 1.0/1.0/0.6 (>=3x over the 0.2 pin) — at sf0.1 the
     // candidate cap is a real 4x prune (512 of 2000 docs).
-    Q("q_ann_maxsim_pruned",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin) {
-      (s, dir) =>
-        import graft.operators.MaxSim
-        val emb = t(s, dir, "embeddings")
-        val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
-          .withColumnRenamed("vec_id", "doc_id")
-        val qToks = MaxSim.subvectorTokens(
-            emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
-          .withColumnRenamed("vec_id", "query_id")
-        val exact = maxsimExact10(s, dir)
-        val approx = MaxSim.maxSimTopKPruned(docToks, qToks, k = 10,
-            nClusters = 16, nProbe = 6, tokenTopT = 64)
-          .select(col("query_id"), col("doc_id").as("cand_id"))
-        recallFlags(exact, approx)
+    // FULLY ROW-HASHED (converted from TRUE flags at r16): the oracle
+    // replays the complete two-stage MaxSim — the coarse fit over
+    // PACKED token ids, token-ANN candidate generation (nProbe=6,
+    // per-query-token top-64 by integer-scaled cosine), exact integer
+    // MaxSim re-rank — so the gate hashes query/doc/score/rank, no
+    // recall flag. (The exact baseline stays separately hash-gated by
+    // q_ann_maxsim_baseline30 for the spec-level recall property.)
+    Q("q_ann_maxsim_pruned", IvfReplay.maxsimPrunedSql) { (s, dir) =>
+      import graft.operators.MaxSim
+      val emb = t(s, dir, "embeddings")
+      val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+        .withColumnRenamed("vec_id", "doc_id")
+      MaxSim.maxSimTopKPruned(docToks, maxsimQueryToks(s, dir), k = 10,
+          nClusters = 16, nProbe = 6, tokenTopT = 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     },
 
     // The PERSISTED token index through the driver gate
@@ -1350,23 +1577,20 @@ object VectorQueries {
     // searchTokenIndex is row-identical to the in-memory pruned search
     // (same deterministic fit, same top-T rule — also spec-pinned), so
     // the same recall contract gates the on-disk round trip.
-    Q("q_ann_maxsim_index",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin) {
-      (s, dir) =>
-        import graft.operators.MaxSim
-        val emb = t(s, dir, "embeddings")
-        val qToks = MaxSim.subvectorTokens(
-            emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
-          .withColumnRenamed("vec_id", "query_id")
-        // search-only: reads the shared clean-index snapshot directly
-        val idxDir = IndexFixtures.shared(s, dir, "maxsim")(
-          buildMaxsim(s, dir))
-        val exact = maxsimExact10(s, dir)
-        val approx = MaxSim.searchTokenIndex(s, idxDir, qToks, k = 10,
-            nProbe = 6, tokenTopT = 64)
-          .select(col("query_id"), col("doc_id").as("cand_id"))
-        recallFlags(exact, approx)
+    // FULLY ROW-HASHED (converted from TRUE flags at r16):
+    // searchTokenIndex is row-identical to the in-memory pruned search
+    // (spec-pinned), so the on-disk round trip shares
+    // q_ann_maxsim_pruned's complete DuckDB replay — the persisted
+    // dual-layout search hashes query/doc/score/rank exactly.
+    Q("q_ann_maxsim_index", IvfReplay.maxsimPrunedSql) { (s, dir) =>
+      import graft.operators.MaxSim
+      // search-only: reads the shared clean-index snapshot directly
+      val idxDir = IndexFixtures.shared(s, dir, "maxsim")(
+        buildMaxsim(s, dir))
+      MaxSim.searchTokenIndex(s, idxDir, maxsimQueryToks(s, dir), k = 10,
+          nProbe = 6, tokenTopT = 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     },
 
     // Token-index incremental APPEND (MaxSim.appendToTokenIndex) — the
@@ -1380,9 +1604,13 @@ object VectorQueries {
     // own near-copy MUST surface — the appended documents are only
     // reachable through appended files. Recall contract against the
     // UNION-corpus exact MaxSim baseline (oracle-checked below).
-    Q("q_ann_maxsim_index_append",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin) {
+    // FULLY ROW-HASHED (converted from recall flags at r16): the
+    // appended index's search hashes query/doc/score/rank against the
+    // two-stage replay whose corpus is embeddings ∪ the perturbed
+    // batch while the coarse fit stays on the ORIGINAL tokens —
+    // appendToTokenIndex's no-refit trade is itself the oracle's
+    // contract now.
+    Q("q_ann_maxsim_index_append", IvfReplay.maxsimAppendSql) {
       (s, dir) =>
         import graft.operators.MaxSim
         val emb = t(s, dir, "embeddings")
@@ -1393,12 +1621,10 @@ object VectorQueries {
               "vec_id", "embedding", 8)
             .withColumnRenamed("vec_id", "doc_id"),
           idxDir)
-        val exact = maxsimUnionExact(s, dir).where(col("rank") <= 10)
-          .select("query_id", "cand_id")
-        val approx = MaxSim.searchTokenIndex(s, idxDir,
+        MaxSim.searchTokenIndex(s, idxDir,
             maxsimQueryToks(s, dir), k = 10, nProbe = 6, tokenTopT = 64)
-          .select(col("query_id"), col("doc_id").as("cand_id"))
-        recallFlags(exact, approx)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
     },
 
     // Token-index quantizer refresh (MaxSim.recenterTokenIndex) — the
@@ -1412,9 +1638,12 @@ object VectorQueries {
     // gate runs the recall contract over the union corpus through the
     // refreshed on-disk model, against the oracle-checked union
     // baseline.
-    Q("q_ann_maxsim_index_recenter",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin) {
+    // FULLY ROW-HASHED (converted from recall flags at r16): after the
+    // quantizer refresh the search hashes against the replay whose
+    // coarse fit AND corpus are both the union — recenterTokenIndex
+    // refits from the stored (model-independent) token union, so the
+    // refit path itself is pinned by the hash, not a recall floor.
+    Q("q_ann_maxsim_index_recenter", IvfReplay.maxsimRecenterSql) {
       (s, dir) =>
         import graft.operators.MaxSim
         val emb = t(s, dir, "embeddings")
@@ -1426,12 +1655,10 @@ object VectorQueries {
             .withColumnRenamed("vec_id", "doc_id"),
           idxDir)
         MaxSim.recenterTokenIndex(s, idxDir, nClusters = 16)
-        val exact = maxsimUnionExact(s, dir).where(col("rank") <= 10)
-          .select("query_id", "cand_id")
-        val approx = MaxSim.searchTokenIndex(s, idxDir,
+        MaxSim.searchTokenIndex(s, idxDir,
             maxsimQueryToks(s, dir), k = 10, nProbe = 6, tokenTopT = 64)
-          .select(col("query_id"), col("doc_id").as("cand_id"))
-        recallFlags(exact, approx)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
     },
 
     // Streaming TOKEN-INDEX ingestion (EventStreams.maxsimIndexSink →
@@ -1444,9 +1671,11 @@ object VectorQueries {
     // (doc_id, tok) dedup transparently — each query's near-copy is
     // only reachable through streamed files. Recall contract against
     // the UNION-corpus exact MaxSim baseline (oracle-checked below).
-    Q("q_stream_maxsim_index_replay",
-      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
-        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin) {
+    // FULLY ROW-HASHED (converted from recall flags at r16): the
+    // streamed index answers the SAME complete replay as the in-place
+    // append gate — batch dirs are a storage detail, not a semantic
+    // one, and now the hash proves it.
+    Q("q_stream_maxsim_index_replay", IvfReplay.maxsimAppendSql) {
       (s, dir) =>
         import graft.operators.MaxSim
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1473,12 +1702,10 @@ object VectorQueries {
         }
         feed(0L, 10L, "crawl-a")
         feed(10L, 20L, "crawl-b")
-        val exact = maxsimUnionExact(s, dir).where(col("rank") <= 10)
-          .select("query_id", "cand_id")
-        val approx = MaxSim.searchTokenIndex(s, idxDir,
+        MaxSim.searchTokenIndex(s, idxDir,
             maxsimQueryToks(s, dir), k = 10, nProbe = 6, tokenTopT = 64)
-          .select(col("query_id"), col("doc_id").as("cand_id"))
-        recallFlags(exact, approx)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
     },
 
     // The UNION-corpus exact-MaxSim baseline, independently recomputed
@@ -1535,61 +1762,40 @@ object VectorQueries {
     // the exact MaxSim baseline over the LIVE corpus; delete set
     // id-bounded (vec_id % 17 = 3 AND vec_id < 1700); writeTokenIndex's
     // rebuild resets the ledger, so the gate is idempotent.
-    Q("q_ann_maxsim_index_delete",
-      """SELECT pp.phase, vec_id AS query_id, TRUE AS recall_ok,
-        |       TRUE AS mean_ok
-        |FROM embeddings CROSS JOIN (SELECT unnest(['tombstoned',
-        |       'vacuumed']) AS phase) pp
-        |WHERE vec_id < 3 ORDER BY phase, query_id""".stripMargin) {
+    Q("q_ann_maxsim_index_delete", IvfReplay.maxsimDeleteSql) {
       (s, dir) =>
+        // FULLY ROW-HASHED (converted from recall flags at r16): both
+        // phases hash query/doc/score/rank against ONE DuckDB replay of
+        // the two-stage search with the delete set excluded from the
+        // doc-token side — the ledger anti-join (tombstoned phase) AND
+        // the partition-selective physical rewrite (vacuumed phase)
+        // must both reproduce the replay exactly. This also retires the
+        // derived-live-baseline machinery the old flags needed (one
+        // less window + agg per invocation).
         import graft.operators.MaxSim
         val emb = t(s, dir, "embeddings")
         val dead = col("vec_id") % 17 === 3 && col("vec_id") < 1700
-        val qToks = MaxSim.subvectorTokens(
-            emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
-          .withColumnRenamed("vec_id", "query_id")
+        val qToks = maxsimQueryToks(s, dir)
         val idxDir = IndexFixtures.cloned(s, dir, "maxsim")(
           buildMaxsim(s, dir))
         MaxSim.deleteFromTokenIndex(
           emb.where(dead).select(col("vec_id").as("doc_id")), idxDir)
-        // LIVE-corpus exact baseline DERIVED from the memoized
-        // full-corpus top-30 (no second corpus-scale MaxSim pass —
-        // r14's one profile gap): deletions never reorder survivors,
-        // so the live top-10 is the first 10 live rows of the
-        // full-corpus ranking. Exact iff ≥10 of each query's top-30
-        // survive — validated loudly below (dead rate is 1/17, so the
-        // depth-30 prefix has huge slack).
-        val w10 = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy("rank")
-        val exact = StagingCaches.cache(
-          maxsimExact(s, dir)
-            .join(emb.where(dead).select(col("vec_id").as("cand_id")),
-              Seq("cand_id"), "left_anti")
-            .withColumn("live_rank", row_number().over(w10))
-            .where(col("live_rank") <= 10)
-            .select("query_id", "cand_id"))
-        val depthOk = exact.groupBy("query_id").count()
-          .agg(min("count")).head().getLong(0)
-        require(depthOk == 10L,
-          "live-baseline derivation exhausted the stored top-30 prefix " +
-            s"(a query kept only $depthOk live rows) — deepen the " +
-            "memoized maxsimExact k")
         // one probe plan serves BOTH phases: delete and vacuum never
         // move the coarse quantizer, so the pre- and post-vacuum
         // searches share the query→cell assignment job (the serving-
         // tier shape — probes are per query batch, not per mutation)
         val probePlan = MaxSim.planTokenProbes(s, idxDir, qToks,
           nProbe = 6)
-        def flags(phase: String) = recallFlags(exact,
-            MaxSim.searchTokenIndex(s, idxDir, qToks, k = 10,
-                nProbe = 6, tokenTopT = 64, probes = Some(probePlan))
-              .select(col("query_id"), col("doc_id").as("cand_id")))
-          .withColumn("phase", lit(phase))
-        val before = flags("tombstoned").localCheckpoint()
+        def rows(phase: String) =
+          MaxSim.searchTokenIndex(s, idxDir, qToks, k = 10,
+              nProbe = 6, tokenTopT = 64, probes = Some(probePlan))
+            .withColumn("rank", col("rank").cast("long"))
+            .withColumn("phase", lit(phase))
+        val before = rows("tombstoned").localCheckpoint()
         MaxSim.vacuumTokenIndex(s, idxDir)
-        before.unionByName(flags("vacuumed"))
-          .select("phase", "query_id", "recall_ok", "mean_ok")
-          .orderBy("phase", "query_id")
+        before.unionByName(rows("vacuumed"))
+          .select("phase", "query_id", "doc_id", "score", "rank")
+          .orderBy("phase", "query_id", "rank")
     },
 
     // The UNION-corpus brute baseline (embeddings ∪ the standard
@@ -2082,12 +2288,6 @@ object VectorQueries {
         .localCheckpoint()
     }
 
-  /** [[maxsimExact]] restricted to the top-10 contract depth. */
-  private def maxsimExact10(s: org.apache.spark.sql.SparkSession,
-                            dir: String): org.apache.spark.sql.DataFrame =
-    maxsimExact(s, dir).where(col("rank") <= 10)
-      .select("query_id", "cand_id")
-
   /** The exact brute-force cosine top-30 baseline per (session, SF
     * dir), with score and rank — the single-vector twin of
     * [[maxsimExact]]: shared by the four full-corpus recall contracts
@@ -2148,12 +2348,6 @@ object VectorQueries {
         .withColumn("rank", col("rank").cast("long"))
         .localCheckpoint()
     }
-
-  /** [[bruteUnion30]] restricted to the top-10 contract depth. */
-  private def bruteUnion10(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame =
-    bruteUnion30(s, dir).where(col("rank") <= 10)
-      .select("query_id", "cand_id")
 
   /** Exact brute top-10 over the vec_id % 3 = 1 slice — the baseline
     * the filtered-search contract measures against; memoized and
