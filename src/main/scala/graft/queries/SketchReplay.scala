@@ -99,19 +99,21 @@ private[queries] object SketchReplay {
     s"CAST(CASE WHEN ($u) >= ${BigInt(1) << 63} THEN ($u) - $M64" +
       s" ELSE ($u) END AS BIGINT)"
 
-  /** Full q_dedup_simhash oracle: tokens → 64-bit hashes (distinct-token
-    * memoization, then re-joined so duplicates vote once per occurrence)
-    * → ±1 bit vote → 7-band LSH → hamming ≤ 6. */
-  lazy val simhashSql: String = {
-    val bands = 7 // maxHamming 6 + 1
-    s"""WITH tok AS (SELECT doc_id,
+  /** The SimHash signature CTE chain over `src` (a table or subquery
+    * with doc_id/text): tokens → 64-bit hashes (distinct-token
+    * memoization, then re-joined so duplicates vote once per
+    * occurrence) → ±1 bit vote → `sig(doc_id, su)`. Shared by the
+    * banded oracle and the brute recall oracle. */
+  private def simhashSigCtes(src: String): String =
+    s"""tok AS (SELECT doc_id,
        |              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
-       |            FROM documents),
+       |            FROM $src),
        |dt AS (SELECT DISTINCT t FROM tok),
-       |th AS (SELECT t, CAST(${tokenHash64("t")} AS HUGEINT) AS hu FROM dt),
+       |th AS MATERIALIZED (SELECT t, CAST(${tokenHash64("t")} AS HUGEINT) AS hu
+       |                    FROM dt),
        |dh AS (SELECT doc_id, list(hu) AS hs
        |       FROM tok JOIN th USING (t) GROUP BY doc_id),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |               list_reduce(list_prepend(CAST(0 AS HUGEINT),
        |                 list_transform(range(0, 64), b ->
        |                   CASE WHEN 2 * len(list_filter(hs,
@@ -120,7 +122,51 @@ private[queries] object SketchReplay {
        |                        THEN CAST(1 AS HUGEINT) << b
        |                        ELSE CAST(0 AS HUGEINT) END)),
        |                 (a, x) -> a + x) AS su
-       |        FROM dh),
+       |        FROM dh)""".stripMargin
+
+  /** Full q_dedup_simhash_recall oracle (ROW-HASHED since r16): the
+    * BRUTE O(n²) hamming-pair frame over the 300-doc subset, every
+    * stage independently recomputed — the gate emits Spark's brute
+    * pairs and proves banded == brute with a loud in-gate set-equality
+    * check, so the banding property has no self-certified flag left. */
+  lazy val simhashBruteSql: String =
+    s"""WITH ${simhashSigCtes(
+           "(SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 300)")},
+       |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |                 CAST(bit_count(xor(${toSigned64("a.su")},
+       |                                    ${toSigned64("b.su")})) AS BIGINT)
+       |                   AS hamming
+       |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 6
+       |ORDER BY id1, id2""".stripMargin
+
+  /** Full q_dedup_embed_lsh_recall oracle (ROW-HASHED since r16): the
+    * EXACT brute cosine-pair frame over the planted augmented corpus
+    * (scaled exact copies + first-component perturbations), rounded
+    * half-away at 4 decimals like the engine — the gate emits Spark's
+    * exact pairs and pins LSH ⊆ exact and planted-recall with loud
+    * in-gate checks. */
+  lazy val embedBruteSql: String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |              FROM embeddings WHERE vec_id < 50),
+       |aug AS (SELECT vec_id, v FROM base
+       |        UNION ALL
+       |        SELECT vec_id + 100000, list_transform(v, x -> x * 2.0)
+       |        FROM base WHERE vec_id < 25
+       |        UNION ALL
+       |        SELECT vec_id + 100000, list_concat([v[1] + 0.1], v[2:64])
+       |        FROM base WHERE vec_id >= 25)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+       |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+       |ORDER BY id1, id2""".stripMargin
+
+  /** Full q_dedup_simhash oracle: the factored signature chain over
+    * the whole corpus → 7-band LSH → hamming ≤ 6. */
+  lazy val simhashSql: String = {
+    val bands = 7 // maxHamming 6 + 1
+    s"""WITH ${simhashSigCtes("documents")},
        |banded AS (SELECT doc_id, su, unnest(${bandList("su", bands)}) AS key,
        |                  unnest(range(0, $bands)) AS band
        |           FROM sig),

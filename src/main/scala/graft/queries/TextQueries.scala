@@ -965,28 +965,33 @@ object TextQueries {
     // seven radii. Deterministic: simhash64 is a fixed hash — the oracle
     // pins every flag TRUE, converting DedupSpec's property test into a
     // driver gate.
-    Q("q_dedup_simhash_recall",
-      """SELECT range AS radius, TRUE AS band_complete, TRUE AS band_sound
-        |FROM range(7) ORDER BY radius""".stripMargin) { (s, dir) =>
+    // FULLY ROW-HASHED (converted from TRUE flags at r16): the gate
+    // emits the BRUTE O(n²) hamming pairs over the 300-doc subset —
+    // the oracle recomputes them end to end (murmur token hashes, bit
+    // votes, all-pairs XOR/popcount) — and proves the banded path
+    // set-equal to them with a loud in-gate check, so the pigeonhole
+    // completeness/soundness property has no self-certified flag left
+    // (banded-side hashing is q_dedup_simhash's job).
+    Q("q_dedup_simhash_recall", graft.queries.SketchReplay
+        .simhashBruteSql) { (s, dir) =>
       val subset = t(s, dir, "documents").orderBy("doc_id").limit(300)
-      val banded = Dedup.simhashPairs(subset, "doc_id", "text",
-        maxHamming = 6)
-      val brute = Dedup.simhashBrutePairs(subset, "doc_id", "text",
-        maxHamming = 6, maxDocs = 300)
-      val missMin = brute
-        .join(banded.select("id1", "id2"), Seq("id1", "id2"), "left_anti")
-        .agg(min("hamming").as("miss_min"))
-      val extraMin = banded
-        .join(brute.select("id1", "id2"), Seq("id1", "id2"), "left_anti")
-        .agg(min("hamming").as("extra_min"))
-      s.range(7).toDF("radius")
-        .crossJoin(broadcast(missMin)).crossJoin(broadcast(extraMin))
-        .select(col("radius"),
-          (col("miss_min").isNull || col("miss_min") > col("radius"))
-            .as("band_complete"),
-          (col("extra_min").isNull || col("extra_min") > col("radius"))
-            .as("band_sound"))
-        .orderBy("radius")
+      val banded = graft.operators.StagingCaches.cache(
+        Dedup.simhashPairs(subset, "doc_id", "text", maxHamming = 6)
+          .select("id1", "id2"))
+      val brute = graft.operators.StagingCaches.cache(
+        Dedup.simhashBrutePairs(subset, "doc_id", "text",
+            maxHamming = 6, maxDocs = 300)
+          .select(col("id1"), col("id2"),
+            col("hamming").cast("long").as("hamming")))
+      try {
+        val bn = banded.count()
+        val rn = brute.count()
+        val in = banded.join(brute, Seq("id1", "id2")).count()
+        require(bn == rn && in == bn,
+          s"simhash banding lost set-equality with the brute scan: " +
+            s"banded=$bn brute=$rn intersection=$in")
+        brute.orderBy("id1", "id2").localCheckpoint()
+      } finally { banded.unpersist(); brute.unpersist() }
     },
 
     // End-to-end corpus curation — the training-data pipeline in one

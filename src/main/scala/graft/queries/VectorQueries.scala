@@ -592,6 +592,33 @@ object VectorQueries {
 
     lazy val sql: String = searchSql(4)
 
+    /** FULL cluster-balanced-sampling oracle (q_sample_cluster_balanced):
+      * the shared fit replay, every vector's cell assignment, then the
+      * md5-ordered top-20 per cluster — Spark's md5 hex string and
+      * DuckDB's sort identically, so the exact sample rows are
+      * recomputable and the cap/cover/subset properties hold by
+      * construction of the replay (hash equality is strictly stronger
+      * than the old pinned flags). */
+    lazy val clusterSampleSql: String =
+      s"""WITH RECURSIVE
+         |${fitPrefix()},
+         |emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |        FROM embeddings),
+         |ascore AS (SELECT e.id, e.v, c.cid,
+         |                  round(${cosx("e.v", "c.cv")}, 4) AS cs
+         |           FROM emb e, cent c),
+         |assigned AS (SELECT id, cid FROM (
+         |  SELECT id, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY cs DESC, cid) AS rn
+         |  FROM ascore) WHERE rn = 1),
+         |samp AS (SELECT cid AS centroid_id, id AS cand_id FROM (
+         |  SELECT cid, id,
+         |         row_number() OVER (PARTITION BY cid
+         |           ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+         |  FROM assigned) WHERE rn <= 20)
+         |SELECT centroid_id, cand_id FROM samp
+         |ORDER BY centroid_id, cand_id""".stripMargin
+
     /** FULL two-stage MaxSim oracle (q_ann_maxsim_pruned AND
       * q_ann_maxsim_index — searchTokenIndex is row-identical to the
       * in-memory pruned search, MaxSimSpec pins it): the token corpus
@@ -1989,30 +2016,37 @@ object VectorQueries {
     // the verify stage applies the same rounded cosine threshold). The
     // oracle pins both TRUE, so a regression in the sketch, the banding,
     // or the verify join fails the driver's hash gate.
-    Q("q_dedup_embed_lsh_recall",
-      """SELECT vec_id AS id1, vec_id + 100000 AS id2,
-        |       TRUE AS found, TRUE AS lsh_sound
-        |FROM embeddings WHERE vec_id < 50 ORDER BY id1""".stripMargin) {
+    // FULLY ROW-HASHED (converted from TRUE flags at r16): the gate
+    // emits the EXACT brute cosine pairs over the planted augmented
+    // corpus — the oracle recomputes them end to end — and pins the
+    // LSH properties with loud in-gate checks: soundness (LSH ⊆ exact)
+    // and planted recall (every (id, id+100000) pair surfaces through
+    // the sketch+banding path). The LSH side's own rows are hash-gated
+    // by q_dedup_embed_lsh.
+    Q("q_dedup_embed_lsh_recall", SketchReplay.embedBruteSql) {
       (s, dir) =>
         val aug = augmentedEmbeddings(s, dir)
         val lsh = StagingCaches.cache(
           Dedup.embeddingNearDupLsh(aug, "vec_id", "v",
               threshold = 0.99, maxHamming = 10)
             .select("id1", "id2"))
-        val exact = Dedup.embeddingNearDupPairs(aug, "vec_id", "v",
-            threshold = 0.99, maxDocs = 1000)
-          .select("id1", "id2")
-        val soundFlag = lsh.join(exact, Seq("id1", "id2"), "left_anti")
-          .agg((count(lit(1)) === 0).as("lsh_sound"))
-        val planted = t(s, dir, "embeddings").where(col("vec_id") < 50)
-          .select(col("vec_id").as("id1"),
-            (col("vec_id") + 100000).as("id2"))
-        planted
-          .join(lsh.withColumn("hit", lit(true)), Seq("id1", "id2"), "left")
-          .select(col("id1"), col("id2"),
-            coalesce(col("hit"), lit(false)).as("found"))
-          .crossJoin(broadcast(soundFlag))
-          .orderBy("id1")
+        val exact = StagingCaches.cache(
+          Dedup.embeddingNearDupPairs(aug, "vec_id", "v",
+            threshold = 0.99, maxDocs = 1000))
+        try {
+          val unsound = lsh.join(exact, Seq("id1", "id2"), "left_anti")
+            .count()
+          require(unsound == 0L,
+            s"LSH emitted $unsound pairs outside the exact baseline")
+          val planted = t(s, dir, "embeddings").where(col("vec_id") < 50)
+            .select(col("vec_id").as("id1"),
+              (col("vec_id") + 100000).as("id2"))
+          val missed = planted
+            .join(lsh, Seq("id1", "id2"), "left_anti").count()
+          require(missed == 0L,
+            s"LSH missed $missed planted near-dup pairs")
+          exact.orderBy("id1", "id2").localCheckpoint()
+        } finally { lsh.unpersist(); exact.unpersist() }
     },
 
     // SemDeDup (Dedup.semanticDedup): semantic near-dup pruning bounded
@@ -2034,37 +2068,21 @@ object VectorQueries {
 
     // Cluster-balanced (SemDeDup-shape) sampling: k-means clusters as
     // semantic strata, up to 20 vectors per cluster by deterministic hash
-    // order. The k-means fit has no DuckDB twin, so the gate is
-    // self-certified (the q_ann_ivf_recall pattern): per-cluster counts
-    // must equal least(20, cluster size) (cap_ok), every nonempty cluster
-    // must be represented (cover_ok), and the sample must be a duplicate-
-    // free subset (subset_ok) — the oracle pins all three TRUE and
-    // recomputes the corpus size. Fully deterministic: seedless k-means,
-    // rounded assignment scores, md5 sample order.
-    Q("q_sample_cluster_balanced",
-      """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
-        |       TRUE AS cap_ok, TRUE AS cover_ok, TRUE AS subset_ok
-        |""".stripMargin) { (s, dir) =>
-      import graft.operators.Sampling
-      val emb = t(s, dir, "embeddings")
-      val assigned = StagingCaches.cache(Similarity
-        .assignClusters(emb, nClusters = 16,
-          centroids = Some(centroids(s, dir))))
-      val sampled = StagingCaches.cache(Sampling
-        .perGroupSample(assigned, "centroid_id", "cand_id", 20))
-      val perCluster = assigned
-        .groupBy("centroid_id").agg(count(lit(1)).as("n"))
-        .join(sampled.groupBy("centroid_id").agg(count(lit(1)).as("sn")),
-          Seq("centroid_id"), "left")
-      val flags = perCluster.agg(
-        every(coalesce(col("sn"), lit(0L)) === least(lit(20L), col("n")))
-          .as("cap_ok"),
-        every(col("sn").isNotNull).as("cover_ok"))
-      val subset = sampled.agg(
-        (count(lit(1)) === countDistinct(col("cand_id"))).as("subset_ok"))
-      emb.agg(count(lit(1)).as("n_vecs"))
-        .crossJoin(broadcast(flags))
-        .crossJoin(broadcast(subset))
+    // order. FULLY ROW-HASHED (converted from TRUE flags at r16 — the
+    // k-means fit DOES have a DuckDB twin, the IvfReplay machinery):
+    // the gate emits the exact sample rows and the oracle recomputes
+    // fit + assignment + the md5-ordered per-cluster top-20, which
+    // subsumes the old cap/cover/subset flags by construction.
+    Q("q_sample_cluster_balanced", IvfReplay.clusterSampleSql) {
+      (s, dir) =>
+        import graft.operators.Sampling
+        val emb = t(s, dir, "embeddings")
+        val assigned = Similarity.assignClusters(emb, nClusters = 16,
+          centroids = Some(centroids(s, dir)))
+        Sampling.perGroupSample(assigned, "centroid_id", "cand_id", 20)
+          .select(col("centroid_id").cast("long").as("centroid_id"),
+            col("cand_id"))
+          .orderBy("centroid_id", "cand_id")
     },
 
     // Per-label embedding centroids through the custom vec_mean aggregate
