@@ -702,7 +702,7 @@ object VectorQueries {
          |tsc AS MATERIALIZED (SELECT e.id, e.v, c.cid,
          |               round(${cosx("e.v", "c.cv")}, 4) AS cs
          |        FROM ctok e, cent c),
-         |tasg AS (SELECT id, v, cid FROM (
+         |tasg AS MATERIALIZED (SELECT id, v, cid FROM (
          |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
          |           ORDER BY cs DESC, cid) AS rn
          |  FROM tsc $tokenCond) WHERE rn = 1),
@@ -710,7 +710,7 @@ object VectorQueries {
          |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
          |           ORDER BY cs DESC, cid) AS rn
          |  FROM tsc WHERE id // 1024 < 3) WHERE rn <= 6),
-         |cand AS (SELECT DISTINCT qtid // 1024 AS query_id,
+         |cand AS MATERIALIZED (SELECT DISTINCT qtid // 1024 AS query_id,
          |                         tid // 1024 AS doc_id FROM (
          |  SELECT p.qtid, a.id AS tid,
          |         row_number() OVER (PARTITION BY p.qtid
