@@ -728,4 +728,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!readSchema.contains("o_orderkey"),
       s"projection not pruned on the bloom-enabled scan: $readSchema")
   }
+
+  test("maxsim index fetch prunes candidates with a broadcast SEMI join, " +
+      "never an isin literal list, and partition-filters on doc_bucket") {
+    import graft.operators.MaxSim
+    val emb = t(spark, sf001, "embeddings")
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_plan_maxsim").toString
+    MaxSim.writeTokenIndex(docToks, dir, nClusters = 8)
+    val plan = physical(MaxSim.searchTokenIndex(spark, dir, qToks,
+      k = 5, nProbe = 2, tokenTopT = 8))
+    // the r15 ADVICE hazard: an isin over candIds embeds up to
+    // |q|·tokenTopT literals into the plan — the prune must be a
+    // broadcast LeftSemi against the local candidate relation instead
+    assert(plan.contains("LeftSemi"),
+      s"candidate prune lost its broadcast semi join:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("doc_bucket"),
+      s"fetch lost the doc_bucket partition filter:\n$plan")
+    // doc_id appears in join keys; an INSET/IN over it at the scan's
+    // row-filter line would be the literal-list regression
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(!pushed.contains("In(doc_id"),
+      s"candidate ids leaked back into a pushed literal list: $pushed")
+  }
 }
