@@ -178,7 +178,9 @@ object Graph extends TrackedCaches {
         .join(inbound.select(col("dst").as("v"), col("s")), Seq("v"), "left")
         .select(col("v"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      // lineage cadence: release-tracked, so long driver sessions do
+      // not accumulate one pinned checkpoint RDD per 5 iterations
+      if (i % 5 == 0 && i < iters) ranks = trackedCheckpoint(ranks)
     }
     ranks.join(deg.select(col("src").as("v"), col("deg")), "v")
       .select(col("v").as("vertex"), col("deg"), col("r").as("rank_micro"))
@@ -215,7 +217,8 @@ object Graph extends TrackedCaches {
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
           .as("best"))
         .select(col("id"), col("best.l").as("lbl"))
-      if (i % 5 == 0 && i < rounds) labels = labels.localCheckpoint()
+      // lineage cadence: release-tracked (see pageRankFixedPoint)
+      if (i % 5 == 0 && i < rounds) labels = trackedCheckpoint(labels)
     }
     labels.select(col("id"), col("lbl").as("community"))
   }

@@ -565,14 +565,17 @@ object EventQueries {
         src.addData(EventStreams.KeyedEvent(-2L, 0L, flush2, 0.0))
         q.processAllAvailable()
         val w = Window.partitionBy("user_id").orderBy("session_start")
-        s2.table(name).where(col("user_id") >= 0)
-          .withColumn("session_id",
-            (row_number().over(w) - 1).cast("long"))
-          .select(col("user_id"), col("session_id"), col("session_start"),
-            col("session_end"), col("n_events").cast("long").as("n_events"),
-            round4(col("total_value")).as("total_value"))
-          .orderBy("user_id", "session_id")
-          .localCheckpoint()
+        // eager checkpoint (release-tracked): the temp view is dropped
+        // in the finally, so the result must sever from it here
+        graft.operators.StagingCaches.checkpointed(
+          s2.table(name).where(col("user_id") >= 0)
+            .withColumn("session_id",
+              (row_number().over(w) - 1).cast("long"))
+            .select(col("user_id"), col("session_id"),
+              col("session_start"), col("session_end"),
+              col("n_events").cast("long").as("n_events"),
+              round4(col("total_value")).as("total_value"))
+            .orderBy("user_id", "session_id"))
       } finally {
         q.stop()
         s2.catalog.dropTempView(name)

@@ -983,15 +983,17 @@ object TextQueries {
             maxHamming = 6, maxDocs = 300)
           .select(col("id1"), col("id2"),
             col("hamming").cast("long").as("hamming")))
-      try {
-        val bn = banded.count()
-        val rn = brute.count()
-        val in = banded.join(brute, Seq("id1", "id2")).count()
-        require(bn == rn && in == bn,
-          s"simhash banding lost set-equality with the brute scan: " +
-            s"banded=$bn brute=$rn intersection=$in")
-        brute.orderBy("id1", "id2").localCheckpoint()
-      } finally { banded.unpersist(); brute.unpersist() }
+      // both frames are StagingCaches-tracked: releaseAll unpins them
+      // after the driver consumes the result — no per-invocation
+      // localCheckpoint (it pins an RDD releaseAll never sees) and no
+      // eager unpersist (the consumer would recompute `brute` cold)
+      val bn = banded.count()
+      val rn = brute.count()
+      val in = banded.join(brute, Seq("id1", "id2")).count()
+      require(bn == rn && in == bn,
+        s"simhash banding lost set-equality with the brute scan: " +
+          s"banded=$bn brute=$rn intersection=$in")
+      brute.orderBy("id1", "id2")
     },
 
     // End-to-end corpus curation — the training-data pipeline in one
@@ -1564,7 +1566,8 @@ object TextQueries {
       def search(phase: String) =
         graft.operators.Bm25.searchIndex(s, idxDir, queries, k = 10)
           .withColumn("phase", lit(phase))
-      val before = search("tombstoned").localCheckpoint()
+      val before = graft.operators.StagingCaches.checkpointed(
+        search("tombstoned"))
       graft.operators.Bm25.vacuumIndex(s, idxDir)
       before.unionByName(search("vacuumed"))
         .select("phase", "query_id", "doc_id", "score", "rank")
@@ -1938,7 +1941,8 @@ object TextQueries {
       def search(phase: String) =
         graft.operators.PhraseSearch.searchIndex(s, idxDir, phrases)
           .withColumn("phase", lit(phase))
-      val before = search("tombstoned").localCheckpoint()
+      val before = graft.operators.StagingCaches.checkpointed(
+        search("tombstoned"))
       graft.operators.PhraseSearch.vacuumIndex(s, idxDir)
       before.unionByName(search("vacuumed"))
         .select("phase", "phrase_id", "doc_id", "n_hits", "first_pos")

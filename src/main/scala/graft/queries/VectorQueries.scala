@@ -988,7 +988,8 @@ object VectorQueries {
           shortlist = 50)
         .withColumn("hamming", col("hamming").cast("long"))
         .withColumn("rank", col("rank").cast("long"))
-      val pre = search().withColumn("phase", lit("debt")).localCheckpoint()
+      val pre = StagingCaches.checkpointed(
+        search().withColumn("phase", lit("debt")))
       val rep = IndexMaintenance.maintain(s, idxDir, "sketch",
         maxLiveBatches = 1, maxTombstones = 1)
       require(rep.compactionDue && rep.vacuumDue && rep.vacuumedRows == 2L,
@@ -1184,7 +1185,8 @@ object VectorQueries {
           .withColumn("rank", col("rank").cast("long"))
           .withColumn("phase", lit(phase))
       val tombstoned = search("tombstoned")
-      val before = tombstoned.localCheckpoint() // materialize pre-vacuum
+      // materialize pre-vacuum, release-tracked
+      val before = StagingCaches.checkpointed(tombstoned)
       Similarity.vacuumIndex(s, idxDir)
       before.unionByName(search("vacuumed"))
         .select("phase", "query_id", "cand_id", "score", "rank")
@@ -1505,7 +1507,7 @@ object VectorQueries {
             rerank = 300)
           .withColumn("rank", col("rank").cast("long"))
           .withColumn("phase", lit(phase))
-      val before = rows("tombstoned").localCheckpoint()
+      val before = StagingCaches.checkpointed(rows("tombstoned"))
       IvfPq.vacuumIndex(s, idxDir)
       before.unionByName(rows("vacuumed"))
         .select("phase", "query_id", "cand_id", "score", "rank")
@@ -1818,7 +1820,7 @@ object VectorQueries {
               nProbe = 6, tokenTopT = 64, probes = Some(probePlan))
             .withColumn("rank", col("rank").cast("long"))
             .withColumn("phase", lit(phase))
-        val before = rows("tombstoned").localCheckpoint()
+        val before = StagingCaches.checkpointed(rows("tombstoned"))
         MaxSim.vacuumTokenIndex(s, idxDir)
         before.unionByName(rows("vacuumed"))
           .select("phase", "query_id", "doc_id", "score", "rank")
@@ -2033,20 +2035,24 @@ object VectorQueries {
         val exact = StagingCaches.cache(
           Dedup.embeddingNearDupPairs(aug, "vec_id", "v",
             threshold = 0.99, maxDocs = 1000))
-        try {
-          val unsound = lsh.join(exact, Seq("id1", "id2"), "left_anti")
-            .count()
-          require(unsound == 0L,
-            s"LSH emitted $unsound pairs outside the exact baseline")
-          val planted = t(s, dir, "embeddings").where(col("vec_id") < 50)
-            .select(col("vec_id").as("id1"),
-              (col("vec_id") + 100000).as("id2"))
-          val missed = planted
-            .join(lsh, Seq("id1", "id2"), "left_anti").count()
-          require(missed == 0L,
-            s"LSH missed $missed planted near-dup pairs")
-          exact.orderBy("id1", "id2").localCheckpoint()
-        } finally { lsh.unpersist(); exact.unpersist() }
+        // no eager unpersist and no localCheckpoint here: both frames
+        // are StagingCaches-tracked, so OperatorCaches.releaseAll owns
+        // them AFTER the driver consumes the returned result — a
+        // per-invocation checkpoint pinned an RDD releaseAll never saw
+        // (the r16 514/515 leak), and a `finally` unpersist would force
+        // the consumer to recompute `exact` from cold
+        val unsound = lsh.join(exact, Seq("id1", "id2"), "left_anti")
+          .count()
+        require(unsound == 0L,
+          s"LSH emitted $unsound pairs outside the exact baseline")
+        val planted = t(s, dir, "embeddings").where(col("vec_id") < 50)
+          .select(col("vec_id").as("id1"),
+            (col("vec_id") + 100000).as("id2"))
+        val missed = planted
+          .join(lsh, Seq("id1", "id2"), "left_anti").count()
+        require(missed == 0L,
+          s"LSH missed $missed planted near-dup pairs")
+        exact.orderBy("id1", "id2")
     },
 
     // SemDeDup (Dedup.semanticDedup): semantic near-dup pruning bounded

@@ -1993,6 +1993,92 @@ class SpansCacheSpec extends SparkSpec {
   }
 }
 
+object MiscSpec {
+  /** Every gate whose lambda pins per-invocation state the driver's
+    * long sessions must not accumulate: StagingCaches.cache frames (the
+    * r9 sweep of raw persists) AND StagingCaches.checkpointed snapshots
+    * (the r17 sweep of raw per-gate localCheckpoints — pre-mutation
+    * search results, stream temp-view severing, recall baselines).
+    * CheckpointHygieneSpec mechanically re-derives the checkpointed
+    * half from source, so a new `.checkpointed(` gate that is missing
+    * here fails the suite. */
+  val stagedGates: Seq[String] = Seq(
+    "q_corpus_curate", "q_text_tfidf", "q_text_novelty",
+    "q_ann_ivf_recall", "q_ann_pq_recall", "q_dedup_embed_lsh_recall",
+    "q_sample_cluster_balanced",
+    "q_dedup_simhash_recall", "q_index_maintenance",
+    "q_ann_index_delete", "q_ann_index_pq_delete",
+    "q_ann_maxsim_index_delete", "q_text_bm25_index_delete",
+    "q_text_phrase_index_delete", "q_stream_sessionize_replay")
+}
+
+/** Static source-level hygiene: the per-gate pinned-block leak class is
+  * closed STRUCTURALLY, not by sampling. Raw `.localCheckpoint()` pins
+  * an RDD outside the CacheManager that OperatorCaches.releaseAll never
+  * sees (the r16 514/515 leak) — every per-invocation checkpoint must
+  * route through the tracked seams (StagingCaches.checkpointed /
+  * TrackedCaches.trackedCheckpoint); the only exempt raw sites are the
+  * session-lifetime memoized fixtures, pinned by exact count below. */
+class CheckpointHygieneSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def sources(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+  }
+
+  private def read(f: java.io.File): String = {
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.mkString finally src.close()
+  }
+
+  test("raw localCheckpoint sites in src/main are exactly the exempt " +
+      "session-lifetime memos") {
+    // (file basename -> allowed count); anything else must use the
+    // tracked seams so releaseAll can unpin it
+    val exempt = Map(
+      "VectorQueries.scala" -> 5, // bruteExact30/maxsimExact-class memos
+      "TrackedCaches.scala" -> 1) // the seam itself
+    def countOcc(s: String, sub: String): Int = {
+      var i = 0; var n = 0
+      while ({ i = s.indexOf(sub, i); i >= 0 }) { n += 1; i += sub.length }
+      n
+    }
+    val hits = sources("src/main/scala/graft").flatMap { f =>
+      val n = countOcc(read(f), ".localCheckpoint()")
+      if (n > 0) Some(f.getName -> n) else None
+    }.toMap
+    assert(hits == exempt,
+      s"raw .localCheckpoint() drift: found $hits, exempt $exempt — " +
+        "route per-invocation checkpoints through " +
+        "StagingCaches.checkpointed / trackedCheckpoint, or update the " +
+        "exempt memo pin with a session-lifetime justification")
+  }
+
+  test("every gate that snapshots via StagingCaches.checkpointed is in " +
+      "the leak-contract staged list") {
+    val gateRe = """Q\("([^"]+)"""".r
+    val usingSeam = sources("src/main/scala/graft/queries").flatMap { f =>
+      val lines = read(f).linesIterator.toSeq
+      var current: String = null
+      lines.flatMap { l =>
+        gateRe.findFirstMatchIn(l).foreach(m => current = m.group(1))
+        if (l.contains(".checkpointed(") && current != null) Some(current)
+        else None
+      }
+    }.toSet
+    val missing = usingSeam -- MiscSpec.stagedGates.toSet
+    assert(missing.isEmpty,
+      s"gates snapshotting through the seam but missing from the " +
+        s"staged leak contract: $missing — add them to " +
+        "MiscSpec.stagedGates")
+    // and the sweep actually found the class (guards against the regex
+    // silently matching nothing after a refactor)
+    assert(usingSeam.size >= 7, s"seam sweep found only $usingSeam")
+  }
+}
+
 class StagingCacheSpec extends SparkSpec {
 
   test("OperatorCaches.releaseAll unpins query-layer staging frames") {
@@ -2024,9 +2110,7 @@ class StagingCacheSpec extends SparkSpec {
     // StagingCaches (the r9 sweep of raw per-call persists): a pinned
     // block surviving releaseAll here is exactly the leak class the
     // driver's long sessions accumulate
-    val staged = Seq("q_corpus_curate", "q_text_tfidf", "q_text_novelty",
-      "q_ann_ivf_recall", "q_ann_pq_recall", "q_dedup_embed_lsh_recall",
-      "q_sample_cluster_balanced")
+    val staged = MiscSpec.stagedGates
     graft.operators.OperatorCaches.releaseAll(spark)
     for (name <- staged) {
       // first pass warms the cross-gate session memos (bruteExact30 /
