@@ -334,10 +334,18 @@ object MaxSim {
     val liveTokens = ledger
       .map(ts => rawTokens.join(ts, Seq("doc_id"), "left_anti"))
       .getOrElse(rawTokens)
-    // one bounded collect (≤ |q tokens|·tokenTopT rows by the top-T
-    // rule) serves the fetch-bucket partition filter, the candidate
-    // semi-join relation, and the re-rank's broadcast pairs
-    val candRows = liveTokens
+    // the candidate PAIR frame stays DISTRIBUTED: one eager
+    // release-tracked localCheckpoint (StagingCaches.checkpointed —
+    // OperatorCaches.releaseAll unpins it after the pass is consumed)
+    // materializes the expensive probe-scored stage exactly once, and
+    // it then serves the candidate semi-join AND the re-rank broadcast
+    // without recompute. The driver collects only the DISTINCT doc ids
+    // the bucket partition filter needs — bounded by the candidate
+    // count but typically far below it, and two orders of magnitude
+    // below the full query×doc pair set a row collect would box onto
+    // the driver (up to maxQ·tokenTopT rows ≈ hundreds of MB at the
+    // documented bounds)
+    val cand = StagingCaches.checkpointed(liveTokens
       .select(packedTid(col("doc_id"), col("tok")).as("tid"),
         col("doc_id"), col("vec").as("dv"), col("centroid_id"))
       .join(broadcast(probesDf), Seq("centroid_id"))
@@ -347,22 +355,9 @@ object MaxSim {
       .select(expr("qtid div 1024").as("query_id"),
         col("doc_id"))
       .where(col("query_id") =!= col("doc_id"))
-      .distinct()
-      .collect()
-    val candSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("query_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType)))
-    val cand = spark.createDataFrame(
-      java.util.Arrays.asList(candRows: _*), candSchema)
-    val candIds = candRows.map(_.getLong(1)).distinct
-    val candDocs = spark.createDataFrame(
-      java.util.Arrays.asList(candIds.map(
-        org.apache.spark.sql.Row(_)): _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType))))
+      .distinct())
+    val candDocs = cand.select("doc_id").distinct()
+    val candIds = candDocs.collect().map(_.getLong(0))
     val buckets = candIds
       .map(d => math.floorMod(
         org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(d, 42),
@@ -622,21 +617,50 @@ object MaxSim {
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
     // the two layouts' rewrites are independent (different datasets,
     // one reader each) — run them as concurrent Spark job chains so the
-    // vacuum's wall-clock is max(tokens, doctokens), not the sum
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    val passes = Seq(
+    // vacuum's wall-clock is max(tokens, doctokens), not the sum.
+    // Discipline (not the global pool + Await(Inf) this used to be):
+    // a DEDICATED 2-thread pool (blocking Spark actions on
+    // ExecutionContext.global starve unrelated callers of the shared
+    // pool), a BOUNDED await (a hung Spark job must not hang the vacuum
+    // forever — `graft.vacuum.timeoutSec`, default 6 h, covers any
+    // plausible two-layout rewrite), and fail-fast sibling CANCELLATION
+    // via per-pass job groups (a failure in one layout cancels the
+    // other's running jobs instead of letting them burn the cluster)
+    val timeoutSec = spark.conf.getOption("graft.vacuum.timeoutSec")
+      .map(_.toLong).getOrElse(21600L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-maxsim-vacuum")
+        t.setDaemon(true); t
+      })
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val grp = s"graft-maxsim-vacuum-${java.util.UUID.randomUUID()}"
+    val specs = Seq(
       ("tokens", "centroid_id", math.max(1, nClusters)),
-      ("doctokens", "doc_bucket", DocBuckets)).map {
-      case (ds, part, fanout) => scala.concurrent.Future(
-        ds -> SelectiveVacuum(spark,
-          new org.apache.hadoop.fs.Path(s"$dir/$ds"), part, "doc_id", ts,
-          slices = math.max(1,
-            spark.sparkContext.defaultParallelism / fanout)))
-    }
-    val removed = scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(passes),
-      scala.concurrent.duration.Duration.Inf).toMap.apply("tokens")
+      ("doctokens", "doc_bucket", DocBuckets))
+    val removed = try {
+      val passes = specs.map { case (ds, part, fanout) =>
+        scala.concurrent.Future {
+          spark.sparkContext.setJobGroup(s"$grp-$ds",
+            s"maxsim vacuum: $ds", interruptOnCancel = true)
+          try ds -> SelectiveVacuum(spark,
+            new org.apache.hadoop.fs.Path(s"$dir/$ds"), part, "doc_id",
+            ts, slices = math.max(1,
+              spark.sparkContext.defaultParallelism / fanout))
+          finally spark.sparkContext.clearJobGroup()
+        }
+      }
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(passes),
+        scala.concurrent.duration.Duration(timeoutSec,
+          java.util.concurrent.TimeUnit.SECONDS)).toMap.apply("tokens")
+      catch { case e: Throwable =>
+        specs.foreach { case (ds, _, _) =>
+          spark.sparkContext.cancelJobGroup(s"$grp-$ds") }
+        throw e
+      }
+    } finally pool.shutdown()
     TombstoneLedger.clear(fs, root, consumed)
     removed
   }

@@ -42,7 +42,13 @@ import org.apache.spark.sql.functions._
   * A fully-purged dataset (no partition leaf survives) is left with one
   * zero-row schema-carrying file inside a literal `part=0/` leaf — the
   * same readable-AND-appendable empty layout the full-purge rewrite
-  * uses ([[graft.sources.Formats.writeEmptyPartitioned]]).
+  * uses ([[graft.sources.Formats.writeEmptyPartitioned]]). That empty
+  * leaf is staged BEFORE the first live leaf is removed, so at every
+  * instant (including after a crash at any point) at least one
+  * schema-carrying leaf exists — reads and the next vacuum never hit a
+  * schema-inference failure. Leaf rename-asides are dot-prefixed
+  * (see [[graft.sources.Formats.swapInto]]) so partition discovery
+  * never parses an in-flight or crashed swap's aside directory.
   */
 object SelectiveVacuum {
 
@@ -73,15 +79,59 @@ object SelectiveVacuum {
       .repartition(math.max(1, affected.size * slices), col(part),
         pmod(hash(col(idCol)), lit(slices)))
       .write.mode("overwrite").partitionBy(part).parquet(tmp.toString)
-    for (v <- affected) {
-      val staged = new org.apache.hadoop.fs.Path(tmp, s"$part=$v")
-      val live = new org.apache.hadoop.fs.Path(dsPath, s"$part=$v")
+    // full-purge crash safety: if this pass deletes EVERY live leaf and
+    // stages none back (all rows tombstoned), a crash after the last
+    // delete but before the empty-leaf restore would leave a dataset
+    // with only root metadata — schema inference then fails for readers
+    // AND for the next vacuum, so it never converges. Stage the
+    // zero-row schema-carrying `part=0` leaf BEFORE any leaf is
+    // removed: at every instant at least one schema-carrying leaf
+    // exists on disk.
+    def leafName(v: Any) = s"$part=$v"
+    val stagedLeaves =
+      if (fs.exists(tmp))
+        fs.listStatus(tmp).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith(s"$part=")).toSet
+      else Set.empty[String]
+    val liveLeaves = fs.listStatus(dsPath).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(s"$part=")).toSet
+    val fullPurge =
+      stagedLeaves.isEmpty && liveLeaves.subsetOf(affected.map(leafName).toSet)
+    if (fullPurge) {
+      val tmpEmpty = new org.apache.hadoop.fs.Path(
+        dsPath.getParent, s".${dsPath.getName}.vacuumempty")
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      graft.sources.Formats.writeEmptyPartitioned(empty, part, fs, tmpEmpty)
+      val emptyLeaf = new org.apache.hadoop.fs.Path(tmpEmpty, s"$part=0")
+      if (liveLeaves.contains(s"$part=0")) {
+        // a live part=0 leaf is being purged: hand the empty leaf to the
+        // swap loop as its staged replacement — swapInto keeps a leaf
+        // standing across the swap, and part=0 is processed FIRST below
+        // so every other live leaf still exists during its swap window
+        if (!fs.rename(emptyLeaf,
+            new org.apache.hadoop.fs.Path(tmp, s"$part=0")))
+          throw new java.io.IOException(
+            s"could not stage the empty leaf for $dsPath")
+      } else if (!fs.rename(emptyLeaf,
+          new org.apache.hadoop.fs.Path(dsPath, s"$part=0")))
+        throw new java.io.IOException(
+          s"could not pre-place the empty leaf under $dsPath")
+      fs.delete(tmpEmpty, true)
+    }
+    val ordered =
+      if (fullPurge) affected.sortBy(v => if (leafName(v) == s"$part=0") 0 else 1)
+      else affected
+    for (v <- ordered) {
+      val staged = new org.apache.hadoop.fs.Path(tmp, leafName(v))
+      val live = new org.apache.hadoop.fs.Path(dsPath, leafName(v))
       if (fs.exists(staged))
         graft.sources.Formats.swapInto(fs, staged, live)
       else fs.delete(live, true) // every row of the partition tombstoned
     }
     fs.delete(tmp, true)
-    // fully purged: leave the readable-and-appendable empty layout
+    // converging fallback (e.g. a pre-existing broken state from older
+    // layouts): if no leaf survived, restore the empty layout
     val anyLeaf = fs.exists(dsPath) && fs.listStatus(dsPath).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith(s"$part="))
     if (!anyLeaf) {

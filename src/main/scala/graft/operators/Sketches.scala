@@ -33,10 +33,22 @@ object Sketches {
     * `O(1/eps · ln(1/δ))` counters, independent of N — and the k result
     * rows ever reach the driver. The exact top-k pass exists to CERTIFY
     * the sketch in the gate; a production pipeline ships the sketch alone.
+    *
+    * Error-contract enforcement: `estimate ≥ truth` holds ALWAYS (CMS
+    * never under-counts — a violation is an implementation bug) and is
+    * require-checked unconditionally. The upper bound
+    * `estimate ≤ truth + ⌈eps·N⌉` holds only with probability
+    * `confidence` PER QUERY — on arbitrary data/seeds a legitimate
+    * ~(1−confidence) tail event would otherwise crash the operator
+    * instead of being observable in its output, so it is checked only
+    * under `strictBound` (the fixed-seed driver gate sets it: there the
+    * bound is deterministic and a trip means a regression, not tail
+    * luck). Library callers read the violation off the returned
+    * `est_cnt`/`true_cnt` columns instead.
     */
   def cmsHeavyHitters(items: DataFrame, itemCol: String, k: Int,
                       eps: Double, confidence: Double,
-                      seed: Int): DataFrame = {
+                      seed: Int, strictBound: Boolean = false): DataFrame = {
     require(items.schema(itemCol).dataType ==
       org.apache.spark.sql.types.StringType,
       s"cmsHeavyHitters certifies string items; $itemCol is " +
@@ -60,16 +72,20 @@ object Sketches {
       .agg(count(lit(1)).as("true_cnt"))
       .orderBy(desc("true_cnt"), col(itemCol))
       .limit(k).collect()
-    // the CMS error contract fails LOUDLY here (estimate ≥ truth
-    // always; ≤ truth + ⌈eps·N⌉); the returned rows carry the raw
-    // ESTIMATES so the driver gate hashes the sketch's actual output
-    // against a full DuckDB replay of the sketch, not a flag
+    // estimate ≥ truth is unconditional (a violation is a bug); the
+    // probabilistic upper bound trips only under strictBound (see
+    // scaladoc). The returned rows carry the raw ESTIMATES so the driver
+    // gate hashes the sketch's actual output against a full DuckDB
+    // replay of the sketch, not a flag
     val rows = top.toIndexedSeq.map { r =>
       val item = r.getString(0)
       val t = r.getLong(1)
       val est = cms.estimateCount(item)
-      require(est >= t && est <= t + slack,
-        s"CMS error contract violated for '$item': est=$est " +
+      require(est >= t,
+        s"CMS under-counted '$item': est=$est true=$t — " +
+          "count-min can never under-estimate; implementation bug")
+      require(!strictBound || est <= t + slack,
+        s"CMS error bound violated for '$item': est=$est " +
           s"true=$t slack=$slack")
       (item, t, est)
     }

@@ -73,8 +73,10 @@ object ApproxQueries {
       val toks = t(s, dir, "documents")
         .select(explode(graft.functions.TextFunctions.tokens(col("text")))
           .as("token"))
+      // strictBound: with this FIXED corpus + seed the eps·N bound is
+      // deterministic — a trip here is a regression, never tail luck
       Sketches.cmsHeavyHitters(toks, "token", k = 20,
-        eps = 0.001, confidence = 0.99, seed = 42)
+        eps = 0.001, confidence = 0.99, seed = 42, strictBound = true)
     },
 
     // Bounded-error quantiles: percentile_approx (GK sketch, mergeable,

@@ -108,13 +108,23 @@ object Formats {
 
   /** Crash-safe directory swap: rename the live dir aside, rename the new
     * dir into place, then drop the old. A crash between the two renames
-    * leaves BOTH copies on disk (`.old` + the new dir) for recovery —
-    * unlike delete-then-rename, where a crash after the delete loses the
-    * table. Single-writer warehouse semantics (concurrent readers of the
-    * moving directory are out of scope, as with the reference's
+    * leaves BOTH copies on disk (`.<name>.old` + the new dir) for
+    * recovery — unlike delete-then-rename, where a crash after the delete
+    * loses the table. The aside name is DOT-PREFIXED so partition
+    * discovery never parses it: when `live` is a partition LEAF inside a
+    * dataset root (the [[graft.operators.SelectiveVacuum]] per-leaf
+    * swap), an un-hidden `part=3.old` sibling would be read as a
+    * partition VALUE `"3.old"` between rename-aside and delete —
+    * flipping the partition column to string and resurfacing tombstoned
+    * rows for any concurrent reader, and permanently after a crash in
+    * that window. Dot-prefixed paths are invisible to Spark/Hadoop
+    * listing (same convention as the staging dirs), so in-flight and
+    * crashed swaps alike leave reads correct. Single-writer warehouse
+    * semantics otherwise (a reader holding an open handle on the moving
+    * directory itself is out of scope, as with the reference's
     * truncate-reload). */
   def swapInto(fs: FileSystem, newDir: Path, live: Path): Unit = {
-    val old = new Path(live.toString + ".old")
+    val old = new Path(live.getParent, s".${live.getName}.old")
     fs.delete(old, true) // leftover from a prior crashed swap
     if (fs.exists(live) && !fs.rename(live, old))
       throw new IOException(s"could not move $live aside to $old")

@@ -115,12 +115,11 @@ class SketchesSpec extends SparkSpec {
     // zipf-ish: item i appears ~ 1000/i times — heavy head, long tail
     val items = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"item_$i"))
     val df = items.toDF("token").repartition(8)
-    // the operator itself now enforces the error contract loudly and
-    // returns the raw estimates (the driver gate hashes them against a
-    // full DuckDB replay of Spark's CountMinSketch)
+    // strictBound on: this fixture + seed is deterministic, so the
+    // eps·N bound check is a regression guard here, not tail luck
     val out = Sketches
       .cmsHeavyHitters(df, "token", k = 10, eps = 0.001,
-        confidence = 0.99, seed = 7)
+        confidence = 0.99, seed = 7, strictBound = true)
       .as[(String, Long, Long)].collect()
     assert(out.length == 10)
     val n = items.size
