@@ -74,4 +74,64 @@ object IndexMaintenance {
     } else Report(compactionDue, vacuumDue,
       compacted = false, vacuumedRows = 0L)
   }
+
+  /** What one warehouse sweep touched: every index dir found, its
+    * detected kind, and the pass's [[Report]]. */
+  final case class SweepEntry(dir: String, kind: String, report: Report)
+
+  /** Detect which registry kind owns the index at `path` from its
+    * dataset layout. Each kind writes a signature dataset no other kind
+    * has (`doctokens`→maxsim, `pqcodes`→ivfpq, `sketches`→sketch,
+    * `assignments`→ivf, `doclens`→bm25; bare `postings`→phrase), so
+    * detection needs only a directory listing — no marker file, no data
+    * read, and pre-existing indexes written by any version of the six
+    * builders are sweepable as-is. Returns None for a directory that is
+    * not an index (a warehouse root legitimately holds other datasets).
+    */
+  def detectKind(fs: org.apache.hadoop.fs.FileSystem,
+                 path: org.apache.hadoop.fs.Path): Option[String] = {
+    val names = fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    if (names("doctokens")) Some("maxsim")
+    else if (names("pqcodes")) Some("ivfpq")
+    else if (names("sketches")) Some("sketch")
+    else if (names("assignments")) Some("ivf")
+    else if (names("doclens")) Some("bm25")
+    else if (names("postings")) Some("phrase")
+    else None
+  }
+
+  /** The warehouse janitor: one sweep over a root directory holding
+    * MANY persisted indexes pays every index's due debt under one
+    * policy — the 100 TB deployment shape (a serving tier hosts dozens
+    * of indexes; nobody schedules a cron entry per index). Walks the
+    * root's direct children, detects each index's kind from its layout
+    * ([[detectKind]]), and runs [[maintain]] on each; children that are
+    * not indexes (other warehouse datasets, `_`/`.`-prefixed metadata)
+    * are skipped. Passes run SEQUENTIALLY by design: the janitor is the
+    * out-of-band, off-peak path, and one index's O(affected partitions)
+    * rewrite at a time bounds the cluster resources maintenance can
+    * take from serving — wall-clock is not the janitor's contract,
+    * bounded interference is. Returns one [[SweepEntry]] per index
+    * found (idle entries included, so the caller can alert on an index
+    * that is never due yet keeps growing — a threshold misconfig). */
+  def sweep(spark: SparkSession, warehouseRoot: String,
+            maxLiveBatches: Int = 16,
+            maxTombstones: Long = 100000L): Seq[SweepEntry] = {
+    val root = new org.apache.hadoop.fs.Path(warehouseRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .sortBy(_.getName.toString) // deterministic sweep order
+      .toSeq
+      .flatMap { p =>
+        detectKind(fs, p).map { kind =>
+          SweepEntry(p.toString, kind,
+            maintain(spark, p.toString, kind, maxLiveBatches,
+              maxTombstones))
+        }
+      }
+  }
 }
