@@ -299,33 +299,103 @@ object SketchIndex {
     * cleared), then exactly the consumed ledger files clear. Returns
     * rows removed. */
   def vacuumIndex(spark: SparkSession, dir: String): Long = {
-    compactIndexBatches(spark, dir)
     val root = s"$dir/tombstones"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val consumed = TombstoneLedger.files(fs, root)
-    val ts = TombstoneLedger.dfFrom(spark, consumed, "vec_id")
-      .getOrElse(return 0L)
+    val tsOpt = TombstoneLedger.dfFrom(spark, consumed, "vec_id")
+    if (tsOpt.isEmpty) { compactIndexBatches(spark, dir); return 0L }
+    val ts = tsOpt.get
     vacuumAfterSnapshotHook()
-    SelectiveVacuum(spark,
-      new org.apache.hadoop.fs.Path(s"$dir/vectors"), "bucket",
-      "vec_id", ts, slices = math.max(1,
-        spark.sparkContext.defaultParallelism / Buckets))
-    val path = new org.apache.hadoop.fs.Path(s"$dir/sketches")
-    val base = spark.read.parquet(path.toString)
-    val keep = base.join(ts, Seq("vec_id"), "left_anti")
-    val keepCount = keep.count()
-    val removed = base.count() - keepCount
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.sketches.vacuum")
-    if (keepCount == 0L)
-      keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    else
-      keep.repartition(sketchFanout(spark))
-        .write.mode("overwrite").parquet(tmp.toString)
-    // carry the compaction marker through the sketches rewrite
-    IndexBatches.writeMarker(fs, tmp, IndexBatches.readMarker(fs, path))
-    graft.sources.Formats.swapInto(fs, tmp, path)
-    spark.catalog.refreshByPath(path.toString)
+    val live = IndexBatches.live(spark, dir, "sketches")
+    val removed = if (live.isEmpty) {
+      // no compaction debt: vectors rewrite stays partition-SELECTIVE
+      // (only buckets containing tombstoned rows are touched)
+      SelectiveVacuum(spark,
+        new org.apache.hadoop.fs.Path(s"$dir/vectors"), "bucket",
+        "vec_id", ts, slices = math.max(1,
+          spark.sparkContext.defaultParallelism / Buckets))
+      val path = new org.apache.hadoop.fs.Path(s"$dir/sketches")
+      val base = spark.read.parquet(path.toString)
+      val keep = base.join(ts, Seq("vec_id"), "left_anti")
+      val keepCount = keep.count()
+      val n = base.count() - keepCount
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.sketches.vacuum")
+      if (keepCount == 0L)
+        keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      else
+        keep.repartition(sketchFanout(spark))
+          .write.mode("overwrite").parquet(tmp.toString)
+      // carry the compaction marker through the sketches rewrite
+      IndexBatches.writeMarker(fs, tmp, IndexBatches.readMarker(fs, path))
+      graft.sources.Formats.swapInto(fs, tmp, path)
+      spark.catalog.refreshByPath(path.toString)
+      n
+    } else {
+      // compaction debt AND vacuum debt: the fold already forces a full
+      // staged rewrite of both datasets, so FUSE the purge into it —
+      // (base ∪ batches) deduped ∖ ledger, ONE rewrite per dataset.
+      // Running compactIndexBatches first and purging after (the old
+      // shape) rewrote every byte of both datasets twice back to back;
+      // the substep profile of the maintenance gate put that double
+      // rewrite at ~45% of the whole pass. Same crash contract as
+      // compaction: vectors swaps first, the merged high-water marker
+      // commits inside the staged SKETCHES dir last, batch dirs are
+      // deleted only after both swaps, and the ledger clears last of
+      // all (an interruption anywhere leaves reads correct — unfolded
+      // batch dirs still union in, the standing ledger still masks).
+      // one vec_id-only counting job up front: post-fold total and the
+      // purged subset together (replaces the old shape's three separate
+      // counts), so the empty-keep edge is known before either write
+      def mergedOf(ds: String, cols: Seq[String]) = {
+        val sel = cols.map(col)
+        live.foldLeft(spark.read.parquet(s"$dir/$ds").select(sel: _*)) {
+          (acc, p) =>
+            acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
+        }.dropDuplicates("vec_id")
+      }
+      val cnt = mergedOf("sketches", Seq("vec_id"))
+        .join(ts.select(col("vec_id"), lit(1).as("__t"))
+          .dropDuplicates("vec_id"), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("tot"),
+          coalesce(sum(coalesce(col("__t"), lit(0))), lit(0L))
+            .cast("long").as("rm"))
+        .head()
+      val n = cnt.getLong(1)
+      val keepCount = cnt.getLong(0) - n
+      for ((ds, cols) <- Seq(
+          "vectors" -> Seq("vec_id", "vec", "bucket"),
+          "sketches" -> Seq("vec_id", "sig", "bucket"))) {
+        val keep = mergedOf(ds, cols).join(ts, Seq("vec_id"), "left_anti")
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
+        if (ds == "sketches") {
+          if (keepCount == 0L)
+            keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          else keep.repartition(sketchFanout(spark))
+            .write.mode("overwrite").parquet(tmp.toString)
+          IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
+            new org.apache.hadoop.fs.Path(s"$dir/sketches"), live))
+        } else if (keepCount == 0L) {
+          // full purge: a dynamic-partition write of zero rows emits no
+          // leaves — leave the readable-and-appendable empty layout
+          graft.sources.Formats.writeEmptyPartitioned(keep, "bucket",
+            fs, tmp)
+        } else {
+          val slices = math.max(1,
+            spark.sparkContext.defaultParallelism / Buckets)
+          keep.repartition(Buckets * slices, col("bucket"),
+              pmod(hash(col("vec_id")), lit(slices)))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(tmp.toString)
+        }
+        graft.sources.Formats.swapInto(fs, tmp,
+          new org.apache.hadoop.fs.Path(s"$dir/$ds"))
+        spark.catalog.refreshByPath(s"$dir/$ds")
+      }
+      live.foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      n
+    }
     TombstoneLedger.clear(fs, root, consumed)
     removed
   }
