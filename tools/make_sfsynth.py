@@ -45,13 +45,21 @@ def main():
     cols = [r[0] for r in con.sql(
         f"DESCRIBE SELECT * FROM '{src}/documents.parquet'").fetchall()]
     other = ", ".join(c for c in cols if c not in ("doc_id", "text"))
-    vows = "aeiou"
+    # per-copy FULL-ALPHABET caesar shift: distinct for every k < 26, so
+    # no two copies share text. (The original 5-vowel rotation cycled
+    # mod 5 — at factor >= 6 copy k and k+5 were byte-identical, planting
+    # an exact duplicate of the whole corpus and quadratically exploding
+    # the substring-dedup pair count this tool's docstring promises to
+    # keep constant. Measured: q_dedup_substring read ~112 s on the
+    # degenerate factor-10 corpus vs ~49 s once copies are distinct.)
+    assert factor <= 26, "caesar-shift copies are distinct only up to 26"
+    alpha = "abcdefghijklmnopqrstuvwxyz"
     parts = []
     for k in range(factor):
-        rot = vows[k % 5:] + vows[:k % 5]
+        rot = alpha[k:] + alpha[:k]
         parts.append(f"""
           SELECT doc_id + {k * m} AS doc_id,
-                 translate(text, '{vows}', '{rot}') AS text
+                 translate(text, '{alpha}', '{rot}') AS text
                  {', ' + other if other else ''}
           FROM '{src}/documents.parquet'""")
     con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
