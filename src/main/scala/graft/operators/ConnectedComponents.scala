@@ -127,13 +127,21 @@ object ConnectedComponents extends TrackedCaches {
           min("cand").as("canonical"))
         updated =
           if (iter % CheckpointEvery == CheckpointEvery - 1)
-            updated.localCheckpoint(true) // truncate the iterative lineage
+            // truncate the iterative lineage; release-TRACKED, because
+            // Dataset.unpersist never reaches a localCheckpoint's pinned
+            // RDD — only releaseCaches (via OperatorCaches.releaseAll)
+            // unpins these rounds. ≤ maxIter/CheckpointEvery label-sized
+            // frames pinned per call, freed at release.
+            trackedCheckpoint(updated)
           else tracked(updated)
         // count() (not isEmpty) fully materializes the round before the
         // previous copy is released
         converged = updated.where(col("canonical") =!= col("__prev"))
           .count() == 0
-        labels.unpersist() // updated is materialized; free the prior copy
+        // updated is materialized; free the prior copy now when it was a
+        // plain persist (checkpointed rounds are a no-op here — their
+        // pinned RDD is released by the tracked seam, not unpersist)
+        labels.unpersist()
         labels = updated.drop("__prev")
         iter += 1
       }
@@ -238,9 +246,11 @@ object ConnectedComponents extends TrackedCaches {
         // times (sym twice, nbrMin, three reads of `large`), so an
         // un-truncated lineage grows ~9^rounds and the optimizer/explain
         // machinery blows up after a handful — and rounds are O(log n)
-        // few, so per-round truncation costs almost nothing here
-        val updated = reattached.union(centers).distinct()
-          .localCheckpoint(true)
+        // few, so per-round truncation costs almost nothing here.
+        // Release-tracked: O(log n) shrinking edge-sized frames pinned
+        // per call, unpinned by OperatorCaches.releaseAll.
+        val updated = trackedCheckpoint(
+          reattached.union(centers).distinct())
         val nUpdated = updated.count()
         // distinct sets: equal counts + empty anti-join ⇒ equal sets
         converged = nUpdated == nEdges &&
@@ -295,10 +305,13 @@ object ConnectedComponents extends TrackedCaches {
     // attribute deduplication re-ANALYZE the nested plan, and the
     // multiplicative plan size costs tens of seconds of Catalyst time on
     // 60-row frames (measured 52 s before truncation, 1.4 s after).
-    // Checkpointed leaves make every plan below shallow.
-    val l = labels.select(col("id"), col("canonical")).localCheckpoint(true)
-    val p = newPairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
-      .localCheckpoint(true)
+    // Checkpointed leaves make every plan below shallow. All three are
+    // release-tracked (OperatorCaches.releaseAll unpins them), which
+    // makes the RETURNED frame consume-before-release: materialize it
+    // before releasing, as the driver's gate sessions do.
+    val l = trackedCheckpoint(labels.select(col("id"), col("canonical")))
+    val p = trackedCheckpoint(
+      newPairs.select(col(id1Col).as("a"), col(id2Col).as("b")))
     val mapped = p
       .join(l.select(col("id").as("a"), col("canonical").as("ca")),
         Seq("a"), "left")
@@ -307,9 +320,9 @@ object ConnectedComponents extends TrackedCaches {
       .select(coalesce(col("ca"), col("a")).as("ca"),
         coalesce(col("cb"), col("b")).as("cb"))
     val contracted = mapped.where(col("ca") =!= col("cb"))
-    val remap = canonicalize(contracted, "ca", "cb", maxIter)
-      .select(col("id").as("old_c"), col("canonical").as("new_c"))
-      .localCheckpoint(true)
+    val remap = trackedCheckpoint(
+      canonicalize(contracted, "ca", "cb", maxIter)
+        .select(col("id").as("old_c"), col("canonical").as("new_c")))
     val updated = l
       .join(remap, l("canonical") === remap("old_c"), "left")
       .select(col("id"),

@@ -139,11 +139,14 @@ object Graph extends TrackedCaches {
         // TRIPLES per round and a 13-round peel OOMs the driver in
         // Catalyst before a single task runs. Checkpointing bounds the
         // plan at one round; the frame is edge-sized and only shrinks.
-        e = tracked(e
+        // Release-tracked: the old persist-over-checkpoint layering was
+        // redundant (a checkpoint is already materialized in the block
+        // manager) and unreleasable (unpersist never reaches the
+        // checkpoint RDD's pin — only the tracked seam does).
+        e = trackedCheckpoint(e
           .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
           .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
-          .select("src", "dst")
-          .localCheckpoint(true))
+          .select("src", "dst"))
       }
       i += 1
     }

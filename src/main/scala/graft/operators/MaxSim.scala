@@ -286,13 +286,26 @@ object MaxSim {
     *
     * Bounded-driver contract: the probe ASSIGNMENTS are collected once
     * (see [[planTokenProbes]] — pass `probes` to share that job across
-    * repeated searches of the same queries); the candidate pairs
-    * (≤ |q tokens|·tokenTopT rows by construction) are collected once,
-    * and that one collect serves the fetch-bucket partition filter, the
-    * candidate-document semi-join, and the re-rank's broadcast pair
-    * relation — never an `isin` over the candidate ids, whose literal
+    * repeated searches of the same queries); the candidate PAIR frame
+    * (≤ |q tokens|·tokenTopT rows by construction) stays DISTRIBUTED,
+    * materialized exactly once through a release-tracked eager
+    * localCheckpoint ([[graft.operators.StagingCaches.checkpointed]])
+    * that then serves both the candidate-document semi-join and the
+    * re-rank's broadcast pair relation without recompute. The driver
+    * collects only the DISTINCT candidate doc ids the bucket partition
+    * filter needs — never an `isin` over the pair rows, whose literal
     * list would be a driver-side plan-size hazard at the documented
-    * bounds. */
+    * bounds.
+    *
+    * Consume-before-release contract: the checkpoint deliberately SEVERS
+    * the result from the index directory, so a search planned before a
+    * vacuum/compaction can never silently recompute over the mutated
+    * files — which also means the returned frame is NOT recomputable
+    * once [[graft.operators.OperatorCaches.releaseAll]] runs (a
+    * post-release re-read fails loudly on the missing checkpoint
+    * blocks). Materialize or consume the result within the pass, then
+    * release; callers that never release accumulate one pinned
+    * checkpoint RDD per search until `releaseAll`. */
   def searchTokenIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, queryTokens: DataFrame, k: Int = 10,
                        nProbe: Int = 4, tokenTopT: Int = 32,

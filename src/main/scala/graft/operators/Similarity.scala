@@ -579,7 +579,14 @@ object Similarity {
     * (queries proceed in parallel; the loop is k small shuffles, plan
     * growth truncated per round the same way kCore does). Bound
     * `shortlist` (s ≤ ~100) and the s² stays trivial; the corpus is
-    * never touched again. */
+    * never touched again.
+    *
+    * The per-round truncation checkpoints are release-tracked
+    * ([[graft.operators.StagingCaches.checkpointed]] — k+2 small pinned
+    * frames per call, unpinned by
+    * [[graft.operators.OperatorCaches.releaseAll]]), so the returned
+    * frame is consume-before-release: materialize the picks before
+    * releasing, as the driver's gate sessions do. */
   def mmrTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               shortlist: Int, lambdaNum: Int = 7,
               lambdaDen: Int = 10): DataFrame = {
@@ -589,22 +596,20 @@ object Similarity {
     val wNum = lambdaNum.toLong
     val wPen = (lambdaDen - lambdaNum).toLong
     val wRel = Window.partitionBy("qid").orderBy(desc("rel"), asc("cid"))
-    val short = mmrShortlist(candidates, queries, shortlist)
-      .localCheckpoint(true)
+    val short = StagingCaches.checkpointed(
+      mmrShortlist(candidates, queries, shortlist))
     // pairwise sims within each query's shortlist: s² rows per query
     val a = short.select(col("qid"), col("cid").as("ca"), col("cv").as("va"))
     val b = short.select(col("qid"), col("cid").as("cb"), col("cv").as("vb"))
-    val sims = a.join(b, Seq("qid"))
+    val sims = StagingCaches.checkpointed(a.join(b, Seq("qid"))
       .where(col("ca") =!= col("cb"))
       .select(col("qid"), col("ca"), col("cb"),
-        i4(cosine(col("va"), col("vb"))).as("sim"))
-      .localCheckpoint(true)
+        i4(cosine(col("va"), col("vb"))).as("sim")))
     val members = short.select("qid", "cid", "rel")
-    var sel = members
+    var sel = StagingCaches.checkpointed(members
       .withColumn("__rn", row_number().over(wRel))
       .where(col("__rn") === 1)
-      .select(col("qid"), col("cid"), col("rel"), lit(1).as("pick"))
-      .localCheckpoint(true)
+      .select(col("qid"), col("cid"), col("rel"), lit(1).as("pick")))
     for (i <- 2 to k) {
       val rem = members.join(sel.select("qid", "cid"), Seq("qid", "cid"),
         "left_anti")
@@ -620,7 +625,7 @@ object Similarity {
         .withColumn("__rn", row_number().over(wS))
         .where(col("__rn") === 1)
         .select(col("qid"), col("cid"), col("rel"), lit(i).as("pick"))
-      sel = sel.unionByName(next).localCheckpoint(true)
+      sel = StagingCaches.checkpointed(sel.unionByName(next))
     }
     sel.select(col("qid").as("query_id"), col("pick"),
       col("cid").as("cand_id"), col("rel").as("rel_i4"))

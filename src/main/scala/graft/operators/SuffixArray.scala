@@ -116,7 +116,10 @@ object SuffixArray extends TrackedCaches {
       // and the optimizer/AQE re-walk (even just RENDERING) the whole
       // history — long-doc corpora blow the driver on plan strings alone
       nxt =
-        if (round % 3 == 2) nxt.localCheckpoint(true)
+        // release-tracked: unpersist never reaches a checkpoint's pinned
+        // RDD, so the cadence rounds route through the seam releaseAll
+        // drains (≤ rounds/3 = O(log maxlen) frames pinned per call)
+        if (round % 3 == 2) trackedCheckpoint(nxt)
         else { val t = tracked(nxt); t.count(); t }
       cur = nxt
       h *= 2
@@ -277,7 +280,8 @@ object SuffixArray extends TrackedCaches {
             col("lcp") + h).otherwise(col("lcp")))
         .drop("q1", "q2", "rh1", "rh2")
       // same lineage bound as the build loop: two joins nest per table
-      if (round % 3 == 2) cur = cur.localCheckpoint(true)
+      // (release-tracked for the same reason as the build cadence)
+      if (round % 3 == 2) cur = trackedCheckpoint(cur)
       round += 1
     }
     // equal ranks of truncated prefixes overshoot past the string end —

@@ -44,7 +44,18 @@ private[operators] trait TrackedCaches {
     * reaches it; we reach through the LogicalRDD the checkpoint returns
     * and fail LOUDLY if the plan shape ever stops matching (a silent
     * fallback would reintroduce the exact per-gate leak class this seam
-    * exists to close). */
+    * exists to close).
+    *
+    * Concurrency scope: checkpoint tracking is keyed by the SHARED
+    * SparkContext (so a parent-session release reaches checkpoints taken
+    * under a `newSession()` child — the scoped-SQLConf gate pattern),
+    * which means `releaseCaches` for ONE root session unpins EVERY
+    * session's tracked checkpoints on that context. That is the designed
+    * contract for the sequential driver this repo serves (one pass in
+    * flight at a time, release after consuming); two concurrent
+    * INDEPENDENT root sessions on one context must coordinate their
+    * releases externally, or one session's release destroys the other's
+    * in-flight non-recomputable snapshot. */
   protected def trackedCheckpoint(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
     val rdd = cp.queryExecution.logical match {

@@ -126,6 +126,11 @@ object Formats {
   def swapInto(fs: FileSystem, newDir: Path, live: Path): Unit = {
     val old = new Path(live.getParent, s".${live.getName}.old")
     fs.delete(old, true) // leftover from a prior crashed swap
+    // retro-clean the UN-hidden aside a crash under the pre-dot-prefix
+    // code could have left: an exposed `part=N.old` sibling corrupts
+    // partition discovery (string-typed value, resurfaced rows) on every
+    // read until removed, so each swap sweeps the legacy spelling too
+    fs.delete(new Path(live.getParent, s"${live.getName}.old"), true)
     if (fs.exists(live) && !fs.rename(live, old))
       throw new IOException(s"could not move $live aside to $old")
     if (!fs.rename(newDir, live))

@@ -2009,7 +2009,11 @@ object MiscSpec {
     "q_dedup_simhash_recall", "q_index_maintenance",
     "q_ann_index_delete", "q_ann_index_pq_delete",
     "q_ann_maxsim_index_delete", "q_text_bm25_index_delete",
-    "q_text_phrase_index_delete", "q_stream_sessionize_replay")
+    "q_text_phrase_index_delete", "q_stream_sessionize_replay",
+    // mmrTopK's k+2 per-call truncation checkpoints route through
+    // StagingCaches since r18 (they were raw eager localCheckpoints the
+    // r17 no-arg census could not see)
+    "q_ann_mmr")
 }
 
 /** Static source-level hygiene: the per-gate pinned-block leak class is
@@ -2033,27 +2037,44 @@ class CheckpointHygieneSpec extends org.scalatest.funsuite.AnyFunSuite {
     try src.mkString finally src.close()
   }
 
-  test("raw localCheckpoint sites in src/main are exactly the exempt " +
-      "session-lifetime memos") {
-    // (file basename -> allowed count); anything else must use the
-    // tracked seams so releaseAll can unpin it
+  test("raw localCheckpoint sites in src/main (ANY arity) are exactly " +
+      "the exempt justified sites") {
+    // (file basename -> allowed count). The census counts the CLASS —
+    // `.localCheckpoint(` at any arity, not one spelling (the r17
+    // no-arg census left ~13 eager `(true)` sites invisible, including
+    // mmrTopK's k+2 unreleased per-call pins). Anything not listed must
+    // route through the tracked seams so releaseAll can unpin it; every
+    // exemption carries its one-line justification here:
     val exempt = Map(
-      "VectorQueries.scala" -> 5, // bruteExact30/maxsimExact-class memos
-      "TrackedCaches.scala" -> 1) // the seam itself
+      // session-lifetime memoized fixtures (bruteExact30/maxsimExact
+      // class): pinned once per session BY DESIGN, amortized across
+      // many gates — releaseAll deliberately never touches them
+      "VectorQueries.scala" -> 5,
+      // the tracked seam itself (trackedCheckpoint's own call)
+      "TrackedCaches.scala" -> 1,
+      // pipeline-scoped temp-table materialization: pins live exactly
+      // as long as the metadata pipeline run that owns the session,
+      // bounded by the pipeline's table count, GC-recovered after
+      "Runner.scala" -> 3,
+      // per-merge-round lineage truncation, up to nMerges (≤10k)
+      // vocab-sized rounds per call: tracking would hold strong refs
+      // that BLOCK ContextCleaner GC of superseded rounds mid-call;
+      // raw checkpoints let each round's pin die with its reference
+      "BpeTrain.scala" -> 2)
     def countOcc(s: String, sub: String): Int = {
       var i = 0; var n = 0
       while ({ i = s.indexOf(sub, i); i >= 0 }) { n += 1; i += sub.length }
       n
     }
     val hits = sources("src/main/scala/graft").flatMap { f =>
-      val n = countOcc(read(f), ".localCheckpoint()")
+      val n = countOcc(read(f), ".localCheckpoint(")
       if (n > 0) Some(f.getName -> n) else None
     }.toMap
     assert(hits == exempt,
-      s"raw .localCheckpoint() drift: found $hits, exempt $exempt — " +
+      s"raw .localCheckpoint( drift: found $hits, exempt $exempt — " +
         "route per-invocation checkpoints through " +
-        "StagingCaches.checkpointed / trackedCheckpoint, or update the " +
-        "exempt memo pin with a session-lifetime justification")
+        "StagingCaches.checkpointed / trackedCheckpoint, or add an " +
+        "exemption WITH a justification comment above")
   }
 
   test("every gate that snapshots via StagingCaches.checkpointed is in " +
