@@ -70,14 +70,31 @@ object IndexStats {
 
   /** The maintenance decision, as data: true when the index is due for
     * compaction (live batch dirs past `maxLiveBatches`) or vacuum
-    * (pending tombstones past `maxTombstones`). */
+    * (pending tombstones past `maxTombstones`).
+    *
+    * METADATA-ONLY unless genuinely ambiguous: live-batch detection is
+    * a directory listing, and the tombstone check first takes the
+    * parquet-footer row bound ([[TombstoneLedger.pendingRowBound]]) —
+    * bound ≤ threshold proves not-due (distinct ≤ sum) with no Spark
+    * job, so a janitor sweeping dozens of idle or
+    * deleted-but-under-threshold indexes runs zero jobs. Only a bound
+    * over the threshold pays one exact distinct-count job (re-deleted
+    * ids could inflate the bound past a threshold the distinct count is
+    * still under). */
   def due(spark: SparkSession, dir: String, datasets: Seq[String],
           maxLiveBatches: Int = 16, maxTombstones: Long = 100000L,
           markerDataset: Option[String] = None)
       : (Boolean, Boolean) = {
-    val head = stats(spark, dir, datasets, countRows = false,
-        markerDataset = markerDataset)
-      .select("live_batch_dirs", "pending_tombstones").head()
-    (head.getLong(0) > maxLiveBatches, head.getLong(1) > maxTombstones)
+    val liveBatches = IndexBatches.live(spark, dir,
+      markerDataset.getOrElse(datasets.head)).size
+    val root = s"$dir/tombstones"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val ledgerFiles = TombstoneLedger.files(fs, root)
+    val vacuumDue =
+      TombstoneLedger.pendingRowBound(conf, ledgerFiles) > maxTombstones &&
+        TombstoneLedger.dfFrom(spark, ledgerFiles, "id")
+          .map(_.count()).getOrElse(0L) > maxTombstones
+    (liveBatches > maxLiveBatches, vacuumDue)
   }
 }

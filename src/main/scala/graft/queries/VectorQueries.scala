@@ -1005,6 +1005,98 @@ object VectorQueries {
         .orderBy("phase", "query_id", "rank")
     },
 
+    // The warehouse janitor (IndexMaintenance.sweep): ONE pass over a
+    // root holding all six index kinds plus a non-index dataset pays
+    // every due debt under one policy — the 100 TB serving-tier shape
+    // (dozens of indexes, no cron entry per index). The gate plants
+    // mixed debt (sketch: 2 live batch dirs over the compaction
+    // threshold; ivf/bm25: tombstones over the vacuum threshold;
+    // ivfpq/maxsim/phrase: idle), sweeps once, and emits one row per index:
+    // the sweep's own report (what was due, what was paid, rows
+    // vacuumed) plus post-sweep due flags re-read from IndexStats and a
+    // search-equality flag (pre-sweep ledger-masked searches collected
+    // and compared against post-sweep physical reads in-body — a
+    // mismatch fails the gate loudly before the oracle ever sees it).
+    // The oracle derives every count from the same corpora: the ANN
+    // vacuums remove exactly the tombstoned vectors present in the
+    // 60-vector corpus; the bm25 vacuum removes the deleted documents'
+    // distinct-term posting rows, replayed through the same tokenizer.
+    Q("q_warehouse_sweep",
+      s"""WITH tk AS (SELECT doc_id, ${TextQueries.sqlToks} AS toks
+         |            FROM (SELECT doc_id, text FROM documents
+         |                  ORDER BY doc_id LIMIT 40)),
+         |bm AS (SELECT count(*) AS vr FROM (
+         |         SELECT DISTINCT doc_id, unnest(toks) AS term FROM tk
+         |         WHERE doc_id IN (3, 9))),
+         |ann AS (SELECT count(*) AS vr FROM embeddings
+         |        WHERE vec_id IN (7, 11) AND vec_id < 60)
+         |SELECT 'bm25' AS kind, false AS compaction_due,
+         |       true AS vacuum_due, false AS compacted,
+         |       (SELECT vr FROM bm) AS vacuumed_rows,
+         |       false AS post_compaction_due, false AS post_vacuum_due,
+         |       true AS searches_identical
+         |UNION ALL SELECT 'ivf', false, true, false,
+         |       (SELECT vr FROM ann), false, false, true
+         |UNION ALL SELECT 'ivfpq', false, false, false,
+         |       CAST(0 AS BIGINT), false, false, true
+         |UNION ALL SELECT 'maxsim', false, false, false,
+         |       CAST(0 AS BIGINT), false, false, true
+         |UNION ALL SELECT 'phrase', false, false, false,
+         |       CAST(0 AS BIGINT), false, false, true
+         |UNION ALL SELECT 'sketch', true, false, true,
+         |       CAST(0 AS BIGINT), false, false, true
+         |ORDER BY kind""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{Bm25, IndexMaintenance, IndexStats,
+        SketchIndex}
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 60)
+      // per-invocation idempotence at clone cost, not rebuild cost: the
+      // six tiny indexes AND their planted debt are deterministic
+      // writes, so the debted warehouse is memoized once per JVM
+      // (fixture kind "warehouse", prewarmed by warmStaging) and
+      // hardlink-cloned here — the gate pays for the SWEEP, not for
+      // rebuilding what the sweep maintains
+      val root = IndexFixtures.cloned(s, dir, "warehouse")(
+        buildWarehouse(s, dir))
+      // the invariant the sweep must preserve: debt-phase searches
+      // (live dirs unioned, tombstones ledger-masked) equal the
+      // post-sweep physical reads bit for bit. Attested on the
+      // compacted kind (sketch) and a vacuumed text kind (bm25) — the
+      // four-kind equality is pinned by IndexMaintenanceRegistrySpec;
+      // re-attesting all kinds here would double the gate's search jobs
+      // for coverage the suite already has.
+      val qs = emb.where(col("vec_id") < 3)
+      val terms = Seq((1L, "spark"), (2L, "customer"))
+        .toDF("query_id", "term")
+      def searches(): Map[String, Seq[String]] = Map(
+        "sketch" -> SketchIndex.searchIndex(s, s"$root/idx_sketch", qs,
+          k = 10, shortlist = 50).collect().map(_.toString).sorted.toSeq,
+        "bm25" -> Bm25.searchIndex(s, s"$root/idx_bm25", terms, k = 10)
+          .collect().map(_.toString).sorted.toSeq)
+      val before = searches()
+      val entries = IndexMaintenance.sweep(s, root,
+        maxLiveBatches = 1, maxTombstones = 1)
+      require(entries.size == 6 &&
+          entries.map(_.kind).toSet == IndexMaintenance.kinds.keySet,
+        s"sweep did not visit exactly the six indexes: $entries")
+      require(entries.forall(e => e.dir.endsWith(s"idx_${e.kind}")),
+        s"kind detection mismatched a directory: $entries")
+      val identical = searches() == before
+      require(identical, "the janitor sweep changed search results")
+      val rows = entries.map { e =>
+        val k = IndexMaintenance.kinds(e.kind)
+        val (pc, pv) = IndexStats.due(s, e.dir, k.datasets,
+          maxLiveBatches = 1, maxTombstones = 1,
+          markerDataset = Some(k.marker))
+        (e.kind, e.report.compactionDue, e.report.vacuumDue,
+          e.report.compacted, e.report.vacuumedRows, pc, pv, identical)
+      }
+      rows.toDF("kind", "compaction_due", "vacuum_due", "compacted",
+          "vacuumed_rows", "post_compaction_due", "post_vacuum_due",
+          "searches_identical")
+        .orderBy("kind")
+    },
+
     // Hard-negative mining (Similarity.hardNegativeTopK): the top-k
     // most-similar candidates per query EXCLUDING near-duplicates
     // (rounded score >= 0.99 — positives/leakage, not negatives). The
@@ -2413,6 +2505,47 @@ object VectorQueries {
         .withColumnRenamed("vec_id", "doc_id"),
       p, nClusters = 16)
 
+  /** The q_warehouse_sweep fixture: a root holding all six index kinds
+    * (tiny corpora — 60 vectors, 40 documents) WITH their debt already
+    * planted (sketch: 2 live batch dirs; ivf/bm25: tombstones;
+    * ivfpq/maxsim/phrase: idle) plus a non-index dataset the janitor must
+    * skip. Debt planting is deterministic writes, so the debted root
+    * memoizes like any clean-index fixture; the gate clones it and pays
+    * only for the sweep. */
+  private[queries] def buildWarehouse(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): String => Unit = {
+    root =>
+      import s.implicits._
+      import graft.operators.{Bm25, IvfPq, MaxSim, PhraseSearch,
+        SketchIndex}
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 60)
+      val docs = t(s, dir, "documents").orderBy("doc_id").limit(40)
+        .select("doc_id", "text")
+      val toks = MaxSim.subvectorTokens(emb.where(col("vec_id") < 40),
+          "vec_id", "embedding", 8)
+        .withColumnRenamed("vec_id", "doc_id")
+      Similarity.writeIndex(emb, s"$root/idx_ivf", nClusters = 4)
+      IvfPq.writeIndex(emb, s"$root/idx_ivfpq", nClusters = 4)
+      SketchIndex.writeIndex(emb, s"$root/idx_sketch")
+      MaxSim.writeTokenIndex(toks, s"$root/idx_maxsim", nClusters = 4)
+      Bm25.writeIndex(docs, s"$root/idx_bm25")
+      PhraseSearch.writeIndex(docs, s"$root/idx_phrase")
+      docs.limit(5).write.parquet(s"$root/plain_dataset")
+      // mixed debt under the gate's sweep-wide policy (maxLiveBatches=1,
+      // maxTombstones=1)
+      val v = graft.functions.VectorFunctions.asDouble(col("embedding"))
+      def batch(k: Int) = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L * (k + 1)).as("vec_id"),
+          concat(array(element_at(v, 1) + 0.1 * (k + 1)), slice(v, 2, 63))
+            .as("embedding"))
+      for (k <- 0 until 2)
+        SketchIndex.appendBatchDir(batch(k), s"$root/idx_sketch", "crawl",
+          k.toLong)
+      val victims = Seq(7L, 11L).toDF("vec_id")
+      Similarity.deleteFromIndex(victims, s"$root/idx_ivf")
+      Bm25.deleteFromIndex(Seq(3L, 9L).toDF("doc_id"), s"$root/idx_bm25")
+  }
+
   /** Force the cross-gate memoized fits, baselines, and clean-index
     * snapshots (coarse centroids, the IVF-PQ model, the exact-MaxSim
     * baseline, the three vector-index fixtures) — Bench's untimed
@@ -2433,6 +2566,7 @@ object VectorQueries {
     IndexFixtures.shared(s, dir, "ivfpq")(buildIvfPq(s, dir))
     IndexFixtures.shared(s, dir, "maxsim")(buildMaxsim(s, dir))
     IndexFixtures.shared(s, dir, "sketch")(buildSketch(s, dir))
+    IndexFixtures.shared(s, dir, "warehouse")(buildWarehouse(s, dir))
   }
 
   /** Embeddings with planted near-dups (see q_dedup_embed): ids < 50, plus

@@ -53,5 +53,24 @@ class IndexStatsSpec extends SparkSpec {
     val fast = IndexStats.stats(spark, dir, ds, countRows = false)
       .select("n_rows").as[Long].collect()
     assert(fast.forall(_ == -1L))
+    // due()'s footer-bound fast path must keep DISTINCT semantics when
+    // the bound is ambiguous: the same id deleted twice is two ledger
+    // rows (bound 2 > 1) but ONE pending tombstone — not due at
+    // maxTombstones = 1, due at 0
+    SketchIndex.deleteFromIndex(Seq(5L).toDF("vec_id"), dir)
+    SketchIndex.deleteFromIndex(Seq(5L).toDF("vec_id"), dir)
+    assert(TombstoneLedger.pendingRowBound(
+      spark.sparkContext.hadoopConfiguration,
+      TombstoneLedger.files(
+        new org.apache.hadoop.fs.Path(s"$dir/tombstones").getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        s"$dir/tombstones")) == 2L,
+      "two single-id deletes must read as a 2-row footer bound")
+    assert(IndexStats.due(spark, dir, ds, maxTombstones = 1) ==
+      (false, false),
+      "a re-deleted id must not trip the vacuum threshold its " +
+        "distinct count is under")
+    assert(IndexStats.due(spark, dir, ds, maxTombstones = 0) ==
+      (false, true))
   }
 }
