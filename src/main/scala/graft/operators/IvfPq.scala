@@ -550,17 +550,25 @@ object IvfPq {
   private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
 
   /** Physically remove tombstoned vectors from BOTH index datasets —
-    * pqcodes and vectors, each via [[SelectiveVacuum]]: only the
-    * centroid cells CONTAINING tombstoned vectors are rewritten and
-    * leaf-swapped (O(affected cells), not O(index); the compaction
-    * marker at the pqcodes root is untouched by leaf swaps) — then
-    * clear exactly the consumed ledger files: ONE ledger enumeration
-    * feeds the anti-join and the cleanup, so a tombstone landing
-    * mid-pass is neither applied nor deleted — it survives to the next
-    * pass and [[searchIndex]] keeps masking it meanwhile. Any crash
-    * ordering stays consistent: the shortlist derives from
-    * pqcodes∖ledger, so whichever partitions swapped first a search
-    * still ranks live vectors only. Returns code rows removed. */
+    * pqcodes and vectors. With no live streaming batch dirs, each goes
+    * through [[SelectiveVacuum]]: only the centroid cells CONTAINING
+    * tombstoned vectors are rewritten and leaf-swapped (O(affected
+    * cells), not O(index); the compaction marker at the pqcodes root is
+    * untouched by leaf swaps). With live batch dirs the fold already
+    * forces a full staged rewrite of both datasets, so the purge FUSES
+    * into it — (base ∪ batches) deduped ∖ ledger, ONE rewrite per
+    * dataset instead of the old compact-then-vacuum double write (the
+    * same fusion [[SketchIndex.vacuumIndex]] shipped first; at scale
+    * the vacuum-with-debt path writes each byte once). Crash contract
+    * unchanged from compaction: vectors swaps first, the merged
+    * high-water marker commits inside the staged PQCODES dir, batch
+    * dirs are deleted only after both swaps, and the ledger clears last
+    * of all — ONE ledger enumeration feeds the anti-join and the
+    * cleanup, so a tombstone landing mid-pass is neither applied nor
+    * deleted (it survives and [[searchIndex]] keeps masking it). Any
+    * crash ordering stays consistent: the shortlist derives from
+    * pqcodes∖ledger, so whichever dataset swapped first a search still
+    * ranks live vectors only. Returns code rows removed. */
   def vacuumIndex(spark: SparkSession, dir: String): Long = {
     val root = s"$dir/tombstones"
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -569,18 +577,63 @@ object IvfPq {
     val ts = TombstoneLedger.dfFrom(spark, consumed, "cand_id")
       .getOrElse(return 0L)
     vacuumAfterSnapshotHook()
-    // fold live streaming batch dirs first: one rewrite covers
-    // everything, and a streamed-then-deleted vector resolves DELETED
-    compactIndexBatches(spark, dir)
+    val live = IndexBatches.live(spark, dir, "pqcodes")
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
     val slices = math.max(1,
       spark.sparkContext.defaultParallelism / math.max(1, nClusters))
-    var removed = 0L
-    for (ds <- Seq("pqcodes", "vectors")) {
-      val n = SelectiveVacuum(spark,
-        new org.apache.hadoop.fs.Path(s"$dir/$ds"), "centroid_id",
-        "cand_id", ts, slices)
-      if (ds == "pqcodes") removed = n
+    val removed = if (live.isEmpty) {
+      var r = 0L
+      for (ds <- Seq("pqcodes", "vectors")) {
+        val n = SelectiveVacuum(spark,
+          new org.apache.hadoop.fs.Path(s"$dir/$ds"), "centroid_id",
+          "cand_id", ts, slices)
+        if (ds == "pqcodes") r = n
+      }
+      r
+    } else {
+      def mergedOf(ds: String, cols: Seq[String]) = {
+        val sel = cols.map(col)
+        live.foldLeft(spark.read.parquet(s"$dir/$ds").select(sel: _*)) {
+          (acc, p) =>
+            acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
+        }.dropDuplicates("cand_id")
+      }
+      // one cand_id-only counting job up front: post-fold total and the
+      // purged subset together, so the empty-keep edge is known before
+      // either write (ts is distinct by TombstoneLedger contract)
+      val cnt = mergedOf("pqcodes", Seq("cand_id"))
+        .join(ts.withColumn("__t", lit(1)), Seq("cand_id"), "left")
+        .agg(count(lit(1)).as("tot"),
+          coalesce(sum(coalesce(col("__t"), lit(0))), lit(0L))
+            .cast("long").as("rm"))
+        .head()
+      val n = cnt.getLong(1)
+      val keepCount = cnt.getLong(0) - n
+      for ((ds, cols) <- Seq(
+          "vectors" -> Seq("cand_id", "cand_vec", "centroid_id"),
+          "pqcodes" -> Seq("cand_id", "codes", "centroid_id"))) {
+        val keep = mergedOf(ds, cols).join(ts, Seq("cand_id"), "left_anti")
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
+        if (keepCount == 0L)
+          // full purge: a dynamic-partition write of zero rows emits no
+          // leaves — leave the readable-and-appendable empty layout
+          graft.sources.Formats.writeEmptyPartitioned(keep, "centroid_id",
+            fs, tmp)
+        else
+          keep.repartition(nClusters * slices, col("centroid_id"),
+              pmod(hash(col("cand_id")), lit(slices)))
+            .write.mode("overwrite").partitionBy("centroid_id")
+            .parquet(tmp.toString)
+        if (ds == "pqcodes")
+          IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
+            new org.apache.hadoop.fs.Path(s"$dir/pqcodes"), live))
+        graft.sources.Formats.swapInto(fs, tmp,
+          new org.apache.hadoop.fs.Path(s"$dir/$ds"))
+        spark.catalog.refreshByPath(s"$dir/$ds")
+      }
+      live.foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      n
     }
     TombstoneLedger.clear(fs, root, consumed)
     removed

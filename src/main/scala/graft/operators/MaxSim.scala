@@ -600,36 +600,46 @@ object MaxSim {
     * lands in. Production no-op. */
   private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
 
-  /** Physically remove tombstoned documents' tokens from BOTH layouts —
-    * each via [[SelectiveVacuum]]: only the centroid cells (tokens/)
-    * and doc buckets (doctokens/) CONTAINING tombstoned documents are
-    * rewritten and leaf-swapped, O(affected partitions) instead of
-    * O(index); the compaction high-water marker at the tokens root is
-    * untouched by leaf swaps — then clear exactly the consumed ledger
-    * files (the single-enumeration discipline: a tombstone landing
-    * mid-pass survives and keeps masking). Any crash ordering stays
-    * consistent — candidates derive from tokens∖ledger and the fetch
-    * from doctokens∖ledger, so whichever partitions swapped first a
-    * search still scores live documents only. Returns token rows
-    * removed. */
+  /** Physically remove tombstoned documents' tokens from BOTH layouts.
+    * With no live streaming batch dirs, each goes through
+    * [[SelectiveVacuum]]: only the centroid cells (tokens/) and doc
+    * buckets (doctokens/) CONTAINING tombstoned documents are rewritten
+    * and leaf-swapped, O(affected partitions) instead of O(index); the
+    * compaction high-water marker at the tokens root is untouched by
+    * leaf swaps. With live batch dirs the fold already forces a full
+    * staged rewrite of both layouts, so the purge FUSES into it —
+    * (base ∪ batches) deduped ∖ ledger, ONE rewrite per layout instead
+    * of the old compact-then-vacuum double write (the fusion
+    * [[SketchIndex.vacuumIndex]] shipped first; at scale the
+    * vacuum-with-debt path writes each byte once). Crash contract
+    * unchanged from compaction: both rewrites stage concurrently, then
+    * doctokens swaps FIRST and the merged high-water marker commits
+    * inside the staged TOKENS dir, batch dirs are deleted only after
+    * both swaps, and the consumed ledger files clear last of all (the
+    * single-enumeration discipline: a tombstone landing mid-pass
+    * survives and keeps masking). Any crash ordering stays consistent —
+    * candidates derive from tokens∖ledger and the fetch from
+    * doctokens∖ledger, so whichever layout swapped first a search still
+    * scores live documents only. Returns token rows removed. */
   def vacuumTokenIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Long = {
-    // fold live streaming batch dirs first — vacuum rewrites the BASE
-    // layouts and then clears the consumed ledger, so a tombstoned
-    // document whose tokens sat in an unfolded batch dir would
-    // RESURFACE once its tombstone is cleared (same ordering contract
-    // as Similarity.vacuumIndex)
-    compactTokenIndexBatches(spark, dir)
     val root = s"$dir/tombstones"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val consumed = TombstoneLedger.files(fs, root)
-    val ts = TombstoneLedger.dfFrom(spark, consumed, "doc_id")
-      .getOrElse(return 0L)
+    val tsOpt = TombstoneLedger.dfFrom(spark, consumed, "doc_id")
+    if (tsOpt.isEmpty) {
+      // nothing to purge: pay any compaction debt and leave (folding
+      // here keeps the vacuum-subsumes-compaction maintenance contract)
+      compactTokenIndexBatches(spark, dir)
+      return 0L
+    }
+    val ts = tsOpt.get
     vacuumAfterSnapshotHook()
+    val live = IndexBatches.live(spark, dir, "tokens")
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
-    // the two layouts' rewrites are independent (different datasets,
-    // one reader each) — run them as concurrent Spark job chains so the
+    // the two layouts' jobs are independent (different datasets, one
+    // reader each) — run them as concurrent Spark job chains so the
     // vacuum's wall-clock is max(tokens, doctokens), not the sum.
     // Discipline (not the global pool + Await(Inf) this used to be):
     // a DEDICATED 2-thread pool (blocking Spark actions on
@@ -650,28 +660,88 @@ object MaxSim {
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val grp = s"graft-maxsim-vacuum-${java.util.UUID.randomUUID()}"
     val specs = Seq(
-      ("tokens", "centroid_id", math.max(1, nClusters)),
-      ("doctokens", "doc_bucket", DocBuckets))
-    val removed = try {
+      ("doctokens", "doc_bucket", DocBuckets),
+      ("tokens", "centroid_id", math.max(1, nClusters)))
+    def concurrently[A](run: (String, String, Int) => A): Map[String, A] = {
       val passes = specs.map { case (ds, part, fanout) =>
         scala.concurrent.Future {
           spark.sparkContext.setJobGroup(s"$grp-$ds",
             s"maxsim vacuum: $ds", interruptOnCancel = true)
-          try ds -> SelectiveVacuum(spark,
-            new org.apache.hadoop.fs.Path(s"$dir/$ds"), part, "doc_id",
-            ts, slices = math.max(1,
-              spark.sparkContext.defaultParallelism / fanout))
+          try ds -> run(ds, part, fanout)
           finally spark.sparkContext.clearJobGroup()
         }
       }
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(passes),
         scala.concurrent.duration.Duration(timeoutSec,
-          java.util.concurrent.TimeUnit.SECONDS)).toMap.apply("tokens")
+          java.util.concurrent.TimeUnit.SECONDS)).toMap
       catch { case e: Throwable =>
         specs.foreach { case (ds, _, _) =>
           spark.sparkContext.cancelJobGroup(s"$grp-$ds") }
         throw e
+      }
+    }
+    val removed = try {
+      if (live.isEmpty) {
+        // no compaction debt: both rewrites stay partition-SELECTIVE
+        concurrently { (ds, part, fanout) =>
+          SelectiveVacuum(spark,
+            new org.apache.hadoop.fs.Path(s"$dir/$ds"), part, "doc_id",
+            ts, slices = math.max(1,
+              spark.sparkContext.defaultParallelism / fanout))
+        }.apply("tokens")
+      } else {
+        def mergedOf(ds: String, part: String) = {
+          val sel = Seq("doc_id", "tok", "vec", part).map(col)
+          live.foldLeft(
+              spark.read.parquet(s"$dir/$ds").select(sel: _*)) {
+            (acc, p) =>
+              acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
+          }.dropDuplicates("doc_id", "tok")
+        }
+        // one doc_id-only counting job up front: post-fold token-row
+        // total and the purged subset together, so the empty-keep edge
+        // is known before either write (ts is distinct by
+        // TombstoneLedger contract)
+        val cnt = mergedOf("tokens", "centroid_id").select("doc_id")
+          .join(ts.withColumn("__t", lit(1)), Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("tot"),
+            coalesce(sum(coalesce(col("__t"), lit(0))), lit(0L))
+              .cast("long").as("rm"))
+          .head()
+        val n = cnt.getLong(1)
+        val keepCount = cnt.getLong(0) - n
+        // stage both fused rewrites concurrently; swap sequentially in
+        // the compaction order (doctokens first, tokens + marker last)
+        val tmps = concurrently { (ds, part, fanout) =>
+          val keep = mergedOf(ds, part).join(ts, Seq("doc_id"), "left_anti")
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
+          if (keepCount == 0L)
+            // full purge: a dynamic-partition write of zero rows emits
+            // no leaves — leave the readable-and-appendable empty layout
+            graft.sources.Formats.writeEmptyPartitioned(keep, part, fs,
+              tmp)
+          else {
+            val slices = math.max(1,
+              spark.sparkContext.defaultParallelism / fanout)
+            keep.repartition(fanout * slices, col(part),
+                pmod(hash(col("doc_id")), lit(slices)))
+              .write.mode("overwrite").partitionBy(part)
+              .parquet(tmp.toString)
+          }
+          tmp
+        }
+        IndexBatches.writeMarker(fs, tmps("tokens"),
+          IndexBatches.mergedMarker(fs,
+            new org.apache.hadoop.fs.Path(s"$dir/tokens"), live))
+        for ((ds, _, _) <- specs) {
+          graft.sources.Formats.swapInto(fs, tmps(ds),
+            new org.apache.hadoop.fs.Path(s"$dir/$ds"))
+          spark.catalog.refreshByPath(s"$dir/$ds")
+        }
+        live.foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        n
       }
     } finally pool.shutdown()
     TombstoneLedger.clear(fs, root, consumed)

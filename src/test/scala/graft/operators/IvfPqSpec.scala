@@ -277,6 +277,32 @@ class IvfPqSpec extends SparkSpec {
     assert(got.count() == 0, "a fully purged index should return nothing")
   }
 
+  test("a full purge through the FUSED vacuum (live batch dirs + " +
+      "everything tombstoned) leaves a readable, appendable layout") {
+    import spark.implicits._
+    val emb = t(spark, sf001, "embeddings").where(col("vec_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_fp")
+      .toString
+    IvfPq.writeIndex(emb, dir, nClusters = 4)
+    IvfPq.appendBatchDir(
+      emb.where(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")),
+      dir, "crawl", 0L)
+    // tombstone EVERY id, base and batch alike → the fused rewrite's
+    // keep set is empty and must write the schema-carrying empty layout
+    IvfPq.deleteFromIndex(
+      emb.select("vec_id").union(emb.where(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000).as("vec_id"))), dir)
+    assert(IvfPq.vacuumIndex(spark, dir) == 23L)
+    val qs = emb.where(col("vec_id") < 2)
+    assert(IvfPq.searchIndex(spark, dir, qs, k = 5, nProbe = 2)
+      .count() == 0, "a fully purged index should return nothing")
+    // the layout survives an append — the empty rewrite kept schema
+    IvfPq.appendToIndex(emb.where(col("vec_id") < 5), dir)
+    assert(IvfPq.searchIndex(spark, dir, qs, k = 5, nProbe = 2)
+      .count() > 0, "append after a fused full purge broke the layout")
+  }
+
   test("ivfpqTopKAll batches past the maxQ cap and matches the " +
       "single-call result per query") {
     import spark.implicits._

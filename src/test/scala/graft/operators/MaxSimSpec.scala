@@ -427,4 +427,44 @@ class MaxSimSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/$ds").count() > 0L,
         s"mixed layout broke the $ds read after append")
   }
+
+  test("a full purge through the FUSED vacuum (live batch dirs + " +
+      "everything tombstoned) leaves both layouts readable and " +
+      "appendable") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.engine.Tables.t(spark, sf001, "embeddings")
+      .where(col("vec_id") < 20)
+    val docToks = MaxSim.subvectorTokens(emb, "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_fp").toString
+    MaxSim.writeTokenIndex(docToks, dir, nClusters = 4)
+    MaxSim.appendTokenBatchDir(
+      MaxSim.subvectorTokens(
+          emb.where(col("vec_id") < 3)
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", 8)
+        .withColumnRenamed("vec_id", "doc_id"),
+      dir, "crawl", 0L)
+    // tombstone EVERY doc, base and batch alike → the fused rewrite's
+    // keep set is empty and must write the schema-carrying empty layout
+    MaxSim.deleteFromTokenIndex(
+      emb.select(col("vec_id").as("doc_id"))
+        .union(emb.where(col("vec_id") < 3)
+          .select((col("vec_id") + 1000000).as("doc_id"))), dir)
+    // 20 base + 3 batch docs × 8 tokens each
+    assert(MaxSim.vacuumTokenIndex(spark, dir) == 184L)
+    for (ds <- Seq("tokens", "doctokens"))
+      assert(spark.read.parquet(s"$dir/$ds").count() == 0L,
+        s"fused-purged $ds must still read (schema-carrying leaf)")
+    MaxSim.appendToTokenIndex(docToks, dir)
+    val qToks = MaxSim.subvectorTokens(
+        emb.where(col("vec_id") < 2), "vec_id", "embedding", 8)
+      .withColumnRenamed("vec_id", "query_id")
+    assert(MaxSim.searchTokenIndex(spark, dir, qToks, k = 3,
+        nProbe = 2, tokenTopT = 8).count() > 0,
+      "append after a fused full purge broke the layout")
+  }
 }
