@@ -74,13 +74,15 @@ object IndexStats {
     *
     * METADATA-ONLY unless genuinely ambiguous: live-batch detection is
     * a directory listing, and the tombstone check first takes the
-    * parquet-footer row bound ([[TombstoneLedger.pendingRowBound]]) —
-    * bound ≤ threshold proves not-due (distinct ≤ sum) with no Spark
-    * job, so a janitor sweeping dozens of idle or
-    * deleted-but-under-threshold indexes runs zero jobs. Only a bound
-    * over the threshold pays one exact distinct-count job (re-deleted
-    * ids could inflate the bound past a threshold the distinct count is
-    * still under). */
+    * parquet-footer (lower, upper) bounds
+    * ([[TombstoneLedger.pendingRowBounds]]) — upper ≤ threshold proves
+    * not-due (distinct ≤ sum) and lower > threshold proves due (each
+    * file is internally distinct, so the largest file's rows ≤
+    * distinct), both with no Spark job: a janitor sweeping dozens of
+    * indexes, idle OR clearly in debt, runs zero jobs. Only a
+    * threshold strictly inside the [max-file, sum] sandwich — possible
+    * when re-deleted ids recur across files — pays the one exact
+    * distinct-count job. */
   def due(spark: SparkSession, dir: String, datasets: Seq[String],
           maxLiveBatches: Int = 16, maxTombstones: Long = 100000L,
           markerDataset: Option[String] = None)
@@ -91,10 +93,12 @@ object IndexStats {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val ledgerFiles = TombstoneLedger.files(fs, root)
+    val (lower, upper) = TombstoneLedger.pendingRowBounds(conf, ledgerFiles)
     val vacuumDue =
-      TombstoneLedger.pendingRowBound(conf, ledgerFiles) > maxTombstones &&
-        TombstoneLedger.dfFrom(spark, ledgerFiles, "id")
-          .map(_.count()).getOrElse(0L) > maxTombstones
+      if (upper <= maxTombstones) false
+      else if (lower > maxTombstones) true
+      else TombstoneLedger.dfFrom(spark, ledgerFiles, "id")
+        .map(_.count()).getOrElse(0L) > maxTombstones
     (liveBatches > maxLiveBatches, vacuumDue)
   }
 }

@@ -77,23 +77,28 @@ object TombstoneLedger {
     dfFrom(spark, files(fs, root), asCol)
   }
 
-  /** Driver-side UPPER BOUND on pending tombstones: the sum of the
-    * ledger files' parquet-footer row counts. Each file is
-    * distinct-deduped at append time, but the same id may recur ACROSS
-    * files (a re-delete), so the footer sum bounds the distinct count
-    * from above — enough for a maintenance threshold to prove an index
-    * NOT due without running a Spark job (the janitor's idle pass over
-    * a many-index serving tier must be metadata-only). Driver IO is one
-    * footer read per ledger file, bounded by the delete calls since the
-    * last vacuum. */
-  def pendingRowBound(conf: org.apache.hadoop.conf.Configuration,
-                      ledgerFiles: Seq[org.apache.hadoop.fs.Path]): Long =
-    ledgerFiles.map { p =>
+  /** Driver-side (lower, upper) BOUNDS on the distinct pending
+    * tombstone count, from the ledger files' parquet-footer row counts
+    * alone. Each file is distinct-deduped at append time, so the
+    * LARGEST single file's row count bounds the distinct total from
+    * BELOW; the same id may recur ACROSS files (a re-delete), so the
+    * sum bounds it from ABOVE. A maintenance threshold outside the
+    * [max, sum] sandwich resolves due/not-due without running a Spark
+    * job (the janitor's pass over a many-index serving tier must be
+    * metadata-only); only a threshold strictly inside it needs the
+    * exact distinct count. Driver IO is one footer read per ledger
+    * file, bounded by the delete calls since the last vacuum. */
+  def pendingRowBounds(conf: org.apache.hadoop.conf.Configuration,
+                       ledgerFiles: Seq[org.apache.hadoop.fs.Path])
+      : (Long, Long) = {
+    val counts = ledgerFiles.map { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(p, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
-    }.sum
+    }
+    (if (counts.isEmpty) 0L else counts.max, counts.sum)
+  }
 
   /** Delete exactly the consumed files, then drop batch-scoped subdirs
     * the pass emptied (a concurrent delete into a fresh dir survives; a

@@ -53,19 +53,21 @@ class IndexStatsSpec extends SparkSpec {
     val fast = IndexStats.stats(spark, dir, ds, countRows = false)
       .select("n_rows").as[Long].collect()
     assert(fast.forall(_ == -1L))
-    // due()'s footer-bound fast path must keep DISTINCT semantics when
-    // the bound is ambiguous: the same id deleted twice is two ledger
-    // rows (bound 2 > 1) but ONE pending tombstone — not due at
-    // maxTombstones = 1, due at 0
+    // due()'s footer-bounds fast path must keep DISTINCT semantics in
+    // the ambiguous sandwich: the same id deleted twice is two ledger
+    // files of one row each — (lower, upper) = (1, 2) — so a threshold
+    // of 1 sits strictly inside the sandwich and must fall through to
+    // the exact distinct count (ONE pending tombstone → not due),
+    // while a threshold of 0 resolves due from the lower bound alone
     SketchIndex.deleteFromIndex(Seq(5L).toDF("vec_id"), dir)
     SketchIndex.deleteFromIndex(Seq(5L).toDF("vec_id"), dir)
-    assert(TombstoneLedger.pendingRowBound(
+    assert(TombstoneLedger.pendingRowBounds(
       spark.sparkContext.hadoopConfiguration,
       TombstoneLedger.files(
         new org.apache.hadoop.fs.Path(s"$dir/tombstones").getFileSystem(
           spark.sparkContext.hadoopConfiguration),
-        s"$dir/tombstones")) == 2L,
-      "two single-id deletes must read as a 2-row footer bound")
+        s"$dir/tombstones")) == (1L, 2L),
+      "two single-id delete files must read as footer bounds (1, 2)")
     assert(IndexStats.due(spark, dir, ds, maxTombstones = 1) ==
       (false, false),
       "a re-deleted id must not trip the vacuum threshold its " +
