@@ -106,6 +106,11 @@ object ConnectedComponents extends TrackedCaches {
         return localLabels(sym)
       var labels = tracked(sym.select(col("a").as("id")).distinct()
         .withColumn("canonical", col("id")))
+      // the frame whose persist an eager unpersist can actually reach:
+      // `labels` becomes a Project (drop) OVER the persisted round below,
+      // and CacheManager.uncacheQuery matches whole plans — unpersisting
+      // the projection is a silent no-op, so the raw round frame is kept
+      var labelsPersisted = labels
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -138,17 +143,19 @@ object ConnectedComponents extends TrackedCaches {
         // previous copy is released
         converged = updated.where(col("canonical") =!= col("__prev"))
           .count() == 0
-        // updated is materialized; free the prior copy now when it was a
-        // plain persist (checkpointed rounds are a no-op here — their
-        // pinned RDD is released by the tracked seam, not unpersist)
-        labels.unpersist()
+        // updated is materialized; eagerly free the prior round's plain
+        // persist so peak storage stays at two label frames, not one per
+        // round (checkpointed rounds are a no-op here — their pinned RDD
+        // is released by the tracked seam, not unpersist)
+        labelsPersisted.unpersist()
+        labelsPersisted = updated
         labels = updated.drop("__prev")
         iter += 1
       }
       if (!converged) {
         // free the last round's persisted frame before failing loudly —
         // the finally below only covers `sym`
-        labels.unpersist(blocking = false)
+        labelsPersisted.unpersist(blocking = false)
         throw new IllegalArgumentException(
           s"requirement failed: connected components did not converge " +
             s"in $maxIter rounds — graph diameter exceeds the bound; " +

@@ -73,16 +73,14 @@ object IndexStats {
     * (pending tombstones past `maxTombstones`).
     *
     * METADATA-ONLY unless genuinely ambiguous: live-batch detection is
-    * a directory listing, and the tombstone check first takes the
-    * parquet-footer (lower, upper) bounds
-    * ([[TombstoneLedger.pendingRowBounds]]) — upper ≤ threshold proves
-    * not-due (distinct ≤ sum) and lower > threshold proves due (each
-    * file is internally distinct, so the largest file's rows ≤
-    * distinct), both with no Spark job: a janitor sweeping dozens of
-    * indexes, idle OR clearly in debt, runs zero jobs. Only a
-    * threshold strictly inside the [max-file, sum] sandwich — possible
-    * when re-deleted ids recur across files — pays the one exact
-    * distinct-count job. */
+    * a directory listing, and the tombstone check resolves from
+    * parquet-footer row counts ([[TombstoneLedger.pendingExceeds]] —
+    * files' sum ≤ threshold proves not-due, any single file over the
+    * threshold proves due and short-circuits the footer scan), both
+    * with no Spark job: a janitor sweeping dozens of indexes, idle OR
+    * clearly in debt, runs zero jobs. Only a threshold strictly inside
+    * the [max-file, sum] sandwich — possible when re-deleted ids recur
+    * across files — pays the one exact distinct-count job. */
   def due(spark: SparkSession, dir: String, datasets: Seq[String],
           maxLiveBatches: Int = 16, maxTombstones: Long = 100000L,
           markerDataset: Option[String] = None)
@@ -93,12 +91,10 @@ object IndexStats {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val ledgerFiles = TombstoneLedger.files(fs, root)
-    val (lower, upper) = TombstoneLedger.pendingRowBounds(conf, ledgerFiles)
-    val vacuumDue =
-      if (upper <= maxTombstones) false
-      else if (lower > maxTombstones) true
-      else TombstoneLedger.dfFrom(spark, ledgerFiles, "id")
-        .map(_.count()).getOrElse(0L) > maxTombstones
+    val vacuumDue = TombstoneLedger
+      .pendingExceeds(conf, ledgerFiles, maxTombstones)
+      .getOrElse(TombstoneLedger.dfFrom(spark, ledgerFiles, "id")
+        .map(_.count()).getOrElse(0L) > maxTombstones)
     (liveBatches > maxLiveBatches, vacuumDue)
   }
 }

@@ -574,8 +574,15 @@ object IvfPq {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val consumed = TombstoneLedger.files(fs, root)
-    val ts = TombstoneLedger.dfFrom(spark, consumed, "cand_id")
-      .getOrElse(return 0L)
+    val tsOpt = TombstoneLedger.dfFrom(spark, consumed, "cand_id")
+    if (tsOpt.isEmpty) {
+      // nothing to purge: pay any compaction debt and leave (folding
+      // here keeps the vacuum-subsumes-compaction maintenance contract
+      // consistent with the sketch and maxsim kinds)
+      compactIndexBatches(spark, dir)
+      return 0L
+    }
+    val ts = tsOpt.get
     vacuumAfterSnapshotHook()
     val live = IndexBatches.live(spark, dir, "pqcodes")
     val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt

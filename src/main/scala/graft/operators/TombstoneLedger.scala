@@ -77,27 +77,34 @@ object TombstoneLedger {
     dfFrom(spark, files(fs, root), asCol)
   }
 
-  /** Driver-side (lower, upper) BOUNDS on the distinct pending
-    * tombstone count, from the ledger files' parquet-footer row counts
-    * alone. Each file is distinct-deduped at append time, so the
-    * LARGEST single file's row count bounds the distinct total from
-    * BELOW; the same id may recur ACROSS files (a re-delete), so the
-    * sum bounds it from ABOVE. A maintenance threshold outside the
-    * [max, sum] sandwich resolves due/not-due without running a Spark
-    * job (the janitor's pass over a many-index serving tier must be
-    * metadata-only); only a threshold strictly inside it needs the
-    * exact distinct count. Driver IO is one footer read per ledger
-    * file, bounded by the delete calls since the last vacuum. */
-  def pendingRowBounds(conf: org.apache.hadoop.conf.Configuration,
-                       ledgerFiles: Seq[org.apache.hadoop.fs.Path])
-      : (Long, Long) = {
-    val counts = ledgerFiles.map { p =>
+  /** Driver-side answer to "do pending tombstones exceed `threshold`?"
+    * from the ledger files' parquet-footer row counts alone. Each file
+    * is distinct-deduped at append time, so a SINGLE file's row count
+    * bounds the distinct total from BELOW — one file over the threshold
+    * proves DUE and short-circuits the scan (the deep-in-debt index the
+    * janitor targets resolves on its first large footer, not after
+    * reading every file); the files' SUM bounds it from above — sum ≤
+    * threshold proves NOT due. Either way no Spark job runs (the
+    * janitor's pass over a many-index serving tier must be
+    * metadata-only). Returns None only for a threshold strictly inside
+    * the [max-file, sum] sandwich — possible when re-deleted ids recur
+    * across files — where the caller must pay the exact distinct
+    * count. Driver IO is at most one footer read per ledger file,
+    * bounded by the delete calls since the last vacuum. */
+  def pendingExceeds(conf: org.apache.hadoop.conf.Configuration,
+                     ledgerFiles: Seq[org.apache.hadoop.fs.Path],
+                     threshold: Long): Option[Boolean] = {
+    var sum = 0L
+    val it = ledgerFiles.iterator
+    while (it.hasNext) {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(p, conf)
+        .fromPath(it.next(), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
+      val n = try r.getRecordCount finally r.close()
+      if (n > threshold) return Some(true) // single-file lower bound
+      sum += n
     }
-    (if (counts.isEmpty) 0L else counts.max, counts.sum)
+    if (sum <= threshold) Some(false) else None
   }
 
   /** Delete exactly the consumed files, then drop batch-scoped subdirs

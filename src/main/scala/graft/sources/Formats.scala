@@ -127,10 +127,15 @@ object Formats {
     val old = new Path(live.getParent, s".${live.getName}.old")
     fs.delete(old, true) // leftover from a prior crashed swap
     // retro-clean the UN-hidden aside a crash under the pre-dot-prefix
-    // code could have left: an exposed `part=N.old` sibling corrupts
-    // partition discovery (string-typed value, resurfaced rows) on every
-    // read until removed, so each swap sweeps the legacy spelling too
-    fs.delete(new Path(live.getParent, s"${live.getName}.old"), true)
+    // code could have left — but ONLY for partition LEAVES (`k=v`
+    // names), where the exposed `part=N.old` sibling corrupts partition
+    // discovery (string-typed value, resurfaced rows) on every read
+    // until removed. The leaf namespace is machine-owned, so the sweep
+    // can never hit user data there; for whole-dataset swaps a sibling
+    // `<name>.old` is harmless to reads AND could be a user's own
+    // backup directory — deleting it unasked would be data loss.
+    if (live.getName.contains("="))
+      fs.delete(new Path(live.getParent, s"${live.getName}.old"), true)
     if (fs.exists(live) && !fs.rename(live, old))
       throw new IOException(s"could not move $live aside to $old")
     if (!fs.rename(newDir, live))

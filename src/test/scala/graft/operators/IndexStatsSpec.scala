@@ -53,21 +53,25 @@ class IndexStatsSpec extends SparkSpec {
     val fast = IndexStats.stats(spark, dir, ds, countRows = false)
       .select("n_rows").as[Long].collect()
     assert(fast.forall(_ == -1L))
-    // due()'s footer-bounds fast path must keep DISTINCT semantics in
-    // the ambiguous sandwich: the same id deleted twice is two ledger
-    // files of one row each — (lower, upper) = (1, 2) — so a threshold
-    // of 1 sits strictly inside the sandwich and must fall through to
-    // the exact distinct count (ONE pending tombstone → not due),
-    // while a threshold of 0 resolves due from the lower bound alone
+    // due()'s footer fast path must keep DISTINCT semantics in the
+    // ambiguous sandwich: the same id deleted twice is two ledger
+    // files of one row each — max-file 1, sum 2 — so a threshold of 1
+    // sits strictly inside the sandwich (pendingExceeds = None) and
+    // due() must fall through to the exact distinct count (ONE pending
+    // tombstone → not due), while a threshold of 0 resolves due from a
+    // single file's count alone and 2 resolves not-due from the sum
     SketchIndex.deleteFromIndex(Seq(5L).toDF("vec_id"), dir)
     SketchIndex.deleteFromIndex(Seq(5L).toDF("vec_id"), dir)
-    assert(TombstoneLedger.pendingRowBounds(
-      spark.sparkContext.hadoopConfiguration,
-      TombstoneLedger.files(
-        new org.apache.hadoop.fs.Path(s"$dir/tombstones").getFileSystem(
-          spark.sparkContext.hadoopConfiguration),
-        s"$dir/tombstones")) == (1L, 2L),
-      "two single-id delete files must read as footer bounds (1, 2)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lFiles = TombstoneLedger.files(
+      new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+        .getFileSystem(conf), s"$dir/tombstones")
+    assert(TombstoneLedger.pendingExceeds(conf, lFiles, 1L).isEmpty,
+      "threshold inside the [max-file, sum] sandwich must be ambiguous")
+    assert(TombstoneLedger.pendingExceeds(conf, lFiles, 0L)
+      .contains(true), "a single 1-row file must prove due at 0")
+    assert(TombstoneLedger.pendingExceeds(conf, lFiles, 2L)
+      .contains(false), "sum 2 must prove not-due at threshold 2")
     assert(IndexStats.due(spark, dir, ds, maxTombstones = 1) ==
       (false, false),
       "a re-deleted id must not trip the vacuum threshold its " +

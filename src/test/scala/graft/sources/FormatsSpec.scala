@@ -73,6 +73,31 @@ class FormatsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Long].collect().toSet == expect)
   }
 
+  test("swapInto retro-cleans a legacy un-hidden .old aside ONLY for " +
+      "partition leaves — a user's sibling backup dir survives") {
+    val root = Files.createTempDirectory("graft-swap-legacy")
+    val fs = new org.apache.hadoop.fs.Path(root.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(name: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(root.toString, name)
+      fs.mkdirs(p); p
+    }
+    // leaf case: a crashed pre-dot-prefix swap left `part=3.old` —
+    // exposed to partition discovery, must be swept by the next swap
+    val leaf = mk("part=3"); mk("part=3.old")
+    Formats.swapInto(fs, mk(".part=3.stage"), leaf)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root.toString,
+        "part=3.old")),
+      "legacy leaf aside survived the swap and would corrupt discovery")
+    // whole-dataset case: `events.old` beside `events` is invisible to
+    // reads of `events` and may be the USER'S backup — never deleted
+    val events = mk("events"); mk("events.old")
+    Formats.swapInto(fs, mk(".events.stage"), events)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root.toString,
+        "events.old")),
+      "swapInto deleted a sibling directory it does not own")
+  }
+
   test("compact with a sort key clusters files by that key") {
     val dir = Files.createTempDirectory("graft-compact2").toString + "/t"
     Formats.overwrite(
