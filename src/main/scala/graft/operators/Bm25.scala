@@ -187,38 +187,21 @@ object Bm25 {
                           dir: String): Unit = {
     val live = IndexBatches.live(spark, dir, "postings")
     if (live.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val slices = math.max(1,
-      spark.sparkContext.defaultParallelism / IndexBuckets)
-    val dCols = Seq("doc_id", "dl").map(col)
-    val dBase = spark.read.parquet(s"$dir/doclens").select(dCols: _*)
-    val dMerged = live.foldLeft(dBase) { (acc, p) =>
-      acc.union(spark.read.parquet(s"$p/doclens").select(dCols: _*))
-    }.dropDuplicates("doc_id")
-    val dTmp = new org.apache.hadoop.fs.Path(s"$dir/.doclens.compact")
-    dMerged.write.mode("overwrite").parquet(dTmp.toString)
-    graft.sources.Formats.swapInto(fs, dTmp,
-      new org.apache.hadoop.fs.Path(s"$dir/doclens"))
-    spark.catalog.refreshByPath(s"$dir/doclens")
-    val pCols = Seq("term", "doc_id", "dl", "tf", "term_bucket").map(col)
-    val pBase = spark.read.parquet(s"$dir/postings").select(pCols: _*)
-    val pMerged = live.foldLeft(pBase) { (acc, p) =>
-      acc.union(spark.read.parquet(s"$p/postings").select(pCols: _*))
-    }.dropDuplicates("term", "doc_id")
-    val pTmp = new org.apache.hadoop.fs.Path(s"$dir/.postings.compact")
-    pMerged.repartition(IndexBuckets * slices, col("term_bucket"),
-        pmod(hash(col("doc_id")), lit(slices)))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(pTmp.toString)
-    IndexBatches.writeMarker(fs, pTmp, IndexBatches.mergedMarker(fs,
-      new org.apache.hadoop.fs.Path(s"$dir/postings"), live))
-    graft.sources.Formats.swapInto(fs, pTmp,
-      new org.apache.hadoop.fs.Path(s"$dir/postings"))
-    spark.catalog.refreshByPath(s"$dir/postings")
-    live.foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    IndexBatches.foldAndPurge(spark, dir, "bm25", live, None, Nil,
+      fusedDatasets)
   }
+
+  /** The kind's [[IndexBatches.foldAndPurge]] parameters: doclens folds
+    * flat with doc_id dedup (tiny — no repartition), postings folds
+    * under the term-bucket layout with (term, doc_id) dedup and
+    * carries the high-water marker (staged/swapped last). */
+  private val fusedDatasets = Seq(
+    IndexBatches.FusedDataset("doclens", Seq("doc_id", "dl"),
+      Seq("doc_id"), None, 0, "doc_id"),
+    IndexBatches.FusedDataset("postings",
+      Seq("term", "doc_id", "dl", "tf", "term_bucket"),
+      Seq("term", "doc_id"), Some("term_bucket"), IndexBuckets,
+      "doc_id"))
 
   /** Append-only deletion (right-to-be-forgotten for the BM25 index):
     * `ids` (a `doc_id` column) land in the tombstone ledger; postings
@@ -235,16 +218,24 @@ object Bm25 {
     * Production no-op. */
   private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
 
-  /** Physically remove tombstoned documents from BOTH index datasets:
-    * postings via [[SelectiveVacuum]] — only the term buckets
-    * CONTAINING a tombstoned document's postings are rewritten and
-    * leaf-swapped (O(affected buckets), not O(index)) — and the small
-    * doclens dataset behind a full staged swap; then clear exactly the
-    * consumed ledger files. Any crash ordering stays consistent: the
-    * corpus constants derive from doclens∖ledger and postings read as
+  /** Physically remove tombstoned documents from BOTH index datasets,
+    * then clear exactly the consumed ledger files. With no live
+    * streaming batch dirs: postings via [[SelectiveVacuum]] — only the
+    * term buckets CONTAINING a tombstoned document's postings are
+    * rewritten and leaf-swapped (O(affected buckets), not O(index)) —
+    * and the small doclens dataset behind a full staged swap. With
+    * live batch dirs the fold already forces a full staged rewrite of
+    * both datasets, so the purge FUSES into it — (base ∪ batches)
+    * dedup ∖ ledger, ONE rewrite per dataset, each byte written once
+    * ([[IndexBatches.foldAndPurge]]; a streamed-then-deleted doc still
+    * resolves DELETED because the ledger snapshot covers the folded
+    * batches). Any crash ordering stays consistent: the corpus
+    * constants derive from doclens∖ledger and postings read as
     * postings∖ledger, so whichever dataset swapped first, a search
     * still scores the live corpus exactly. Returns postings rows
-    * removed. */
+    * removed (POST-DEDUP logical rows on the fused path — a
+    * re-ingested document's duplicate postings collapse in the fold
+    * regardless of the purge). */
   def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
                   dir: String): Long = {
     val root = s"$dir/tombstones"
@@ -254,27 +245,32 @@ object Bm25 {
     val ts = TombstoneLedger.dfFrom(spark, consumed, "doc_id")
       .getOrElse(return 0L)
     vacuumAfterSnapshotHook()
-    // fold live streaming batch dirs first: one rewrite covers
-    // everything, and a streamed-then-deleted doc resolves DELETED
-    compactIndexBatches(spark, dir)
-    // postings: partition-selective — only the term buckets CONTAINING
-    // a tombstoned document's postings are rewritten and leaf-swapped
-    // (the compaction marker at the postings root is untouched)
-    val removed = SelectiveVacuum(spark,
-      new org.apache.hadoop.fs.Path(s"$dir/postings"), "term_bucket",
-      "doc_id", ts, slices = math.max(1,
-        spark.sparkContext.defaultParallelism / IndexBuckets))
-    val dlPath = new org.apache.hadoop.fs.Path(s"$dir/doclens")
-    val tmpD = new org.apache.hadoop.fs.Path(s"$dir/.doclens.vacuum")
-    val dlKeep = spark.read.parquet(dlPath.toString)
-      .join(ts, Seq("doc_id"), "left_anti")
-    // full purge: coalesce(1) so the unpartitioned write emits one
-    // schema-preserving zero-row file (empty multi-partition writes
-    // emit nothing and brick later reads)
-    (if (dlKeep.isEmpty) dlKeep.coalesce(1) else dlKeep)
-      .write.mode("overwrite").parquet(tmpD.toString)
-    graft.sources.Formats.swapInto(fs, tmpD, dlPath)
-    spark.catalog.refreshByPath(dlPath.toString)
+    val live = IndexBatches.live(spark, dir, "postings")
+    val removed = if (live.isEmpty) {
+      // postings: partition-selective — only the term buckets
+      // CONTAINING a tombstoned document's postings are rewritten and
+      // leaf-swapped (the compaction marker at the postings root is
+      // untouched)
+      val n = SelectiveVacuum(spark,
+        new org.apache.hadoop.fs.Path(s"$dir/postings"), "term_bucket",
+        "doc_id", ts, slices = math.max(1,
+          spark.sparkContext.defaultParallelism / IndexBuckets))
+      val dlPath = new org.apache.hadoop.fs.Path(s"$dir/doclens")
+      val tmpD = new org.apache.hadoop.fs.Path(s"$dir/.doclens.vacuum")
+      val dlKeep = spark.read.parquet(dlPath.toString)
+        .join(ts, Seq("doc_id"), "left_anti")
+      // full purge: coalesce(1) so the unpartitioned write emits one
+      // schema-preserving zero-row file (empty multi-partition writes
+      // emit nothing and brick later reads)
+      (if (dlKeep.isEmpty) dlKeep.coalesce(1) else dlKeep)
+        .write.mode("overwrite").parquet(tmpD.toString)
+      graft.sources.Formats.swapInto(fs, tmpD, dlPath)
+      spark.catalog.refreshByPath(dlPath.toString)
+      n
+    } else {
+      IndexBatches.foldAndPurge(spark, dir, "bm25", live, Some(ts),
+        Seq("doc_id"), fusedDatasets)
+    }
     TombstoneLedger.clear(fs, root, consumed)
     removed
   }

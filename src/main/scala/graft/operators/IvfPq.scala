@@ -427,33 +427,24 @@ object IvfPq {
   def compactIndexBatches(spark: SparkSession, dir: String): Unit = {
     val live = IndexBatches.live(spark, dir, "pqcodes")
     if (live.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
-    val slices = math.max(1,
-      spark.sparkContext.defaultParallelism / math.max(1, nClusters))
-    for ((ds, cols) <- Seq(
-        "vectors" -> Seq("cand_id", "cand_vec", "centroid_id"),
-        "pqcodes" -> Seq("cand_id", "codes", "centroid_id"))) {
-      val sel = cols.map(col)
-      val base = spark.read.parquet(s"$dir/$ds").select(sel: _*)
-      val merged = live.foldLeft(base) { (acc, p) =>
-        acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
-      }.dropDuplicates("cand_id")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
-      merged.repartition(nClusters * slices, col("centroid_id"),
-          pmod(hash(col("cand_id")), lit(slices)))
-        .write.mode("overwrite").partitionBy("centroid_id")
-        .parquet(tmp.toString)
-      if (ds == "pqcodes")
-        IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
-          new org.apache.hadoop.fs.Path(s"$dir/pqcodes"), live))
-      graft.sources.Formats.swapInto(fs, tmp,
-        new org.apache.hadoop.fs.Path(s"$dir/$ds"))
-      spark.catalog.refreshByPath(s"$dir/$ds")
-    }
-    live.foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    IndexBatches.foldAndPurge(spark, dir, "ivfpq", live, None, Nil,
+      fusedDatasets(spark, dir))
+  }
+
+  /** The kind's [[IndexBatches.foldAndPurge]] parameters: cand_id-deduped
+    * fold, both datasets cell-partitioned, vectors staged/swapped first,
+    * the high-water marker committing inside the staged PQCODES dir
+    * last. */
+  private def fusedDatasets(spark: SparkSession, dir: String) = {
+    val nClusters = math.max(1,
+      spark.read.parquet(s"$dir/centroids").count().toInt)
+    Seq(
+      IndexBatches.FusedDataset("vectors",
+        Seq("cand_id", "cand_vec", "centroid_id"), Seq("cand_id"),
+        Some("centroid_id"), nClusters, "cand_id"),
+      IndexBatches.FusedDataset("pqcodes",
+        Seq("cand_id", "codes", "centroid_id"), Seq("cand_id"),
+        Some("centroid_id"), nClusters, "cand_id"))
   }
 
   /** Out-of-band model refresh — the maintenance step [[appendToIndex]]
@@ -585,62 +576,33 @@ object IvfPq {
     val ts = tsOpt.get
     vacuumAfterSnapshotHook()
     val live = IndexBatches.live(spark, dir, "pqcodes")
-    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
-    val slices = math.max(1,
-      spark.sparkContext.defaultParallelism / math.max(1, nClusters))
     val removed = if (live.isEmpty) {
-      var r = 0L
-      for (ds <- Seq("pqcodes", "vectors")) {
-        val n = SelectiveVacuum(spark,
-          new org.apache.hadoop.fs.Path(s"$dir/$ds"), "centroid_id",
-          "cand_id", ts, slices)
-        if (ds == "pqcodes") r = n
-      }
-      r
+      // no compaction debt: both rewrites stay partition-SELECTIVE and
+      // run as concurrent job chains (independent datasets, one reader
+      // each — wall-clock max, not sum; the shared staging harness)
+      val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+      val slices = math.max(1,
+        spark.sparkContext.defaultParallelism / math.max(1, nClusters))
+      IndexBatches.concurrently(spark, "ivfpq-vacuum",
+        Seq("pqcodes", "vectors").map(ds => ds -> { () =>
+          SelectiveVacuum(spark,
+            new org.apache.hadoop.fs.Path(s"$dir/$ds"), "centroid_id",
+            "cand_id", ts, slices)
+        })).apply("pqcodes")
     } else {
-      def mergedOf(ds: String, cols: Seq[String]) = {
-        val sel = cols.map(col)
-        live.foldLeft(spark.read.parquet(s"$dir/$ds").select(sel: _*)) {
-          (acc, p) =>
-            acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
-        }.dropDuplicates("cand_id")
-      }
-      // one cand_id-only counting job up front: post-fold total and the
-      // purged subset together, so the empty-keep edge is known before
-      // either write (ts is distinct by TombstoneLedger contract)
-      val cnt = mergedOf("pqcodes", Seq("cand_id"))
-        .join(ts.withColumn("__t", lit(1)), Seq("cand_id"), "left")
-        .agg(count(lit(1)).as("tot"),
-          coalesce(sum(coalesce(col("__t"), lit(0))), lit(0L))
-            .cast("long").as("rm"))
-        .head()
-      val n = cnt.getLong(1)
-      val keepCount = cnt.getLong(0) - n
-      for ((ds, cols) <- Seq(
-          "vectors" -> Seq("cand_id", "cand_vec", "centroid_id"),
-          "pqcodes" -> Seq("cand_id", "codes", "centroid_id"))) {
-        val keep = mergedOf(ds, cols).join(ts, Seq("cand_id"), "left_anti")
-        val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
-        if (keepCount == 0L)
-          // full purge: a dynamic-partition write of zero rows emits no
-          // leaves — leave the readable-and-appendable empty layout
-          graft.sources.Formats.writeEmptyPartitioned(keep, "centroid_id",
-            fs, tmp)
-        else
-          keep.repartition(nClusters * slices, col("centroid_id"),
-              pmod(hash(col("cand_id")), lit(slices)))
-            .write.mode("overwrite").partitionBy("centroid_id")
-            .parquet(tmp.toString)
-        if (ds == "pqcodes")
-          IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
-            new org.apache.hadoop.fs.Path(s"$dir/pqcodes"), live))
-        graft.sources.Formats.swapInto(fs, tmp,
-          new org.apache.hadoop.fs.Path(s"$dir/$ds"))
-        spark.catalog.refreshByPath(s"$dir/$ds")
-      }
-      live.foreach(p =>
-        fs.delete(new org.apache.hadoop.fs.Path(p), true))
-      n
+      // compaction debt AND vacuum debt: the purge fuses into the fold
+      // — (base ∪ batches) dedup ∖ ledger, one staged rewrite per
+      // dataset, both staged concurrently, the removed count riding the
+      // pqcodes write job (shared [[IndexBatches.foldAndPurge]]
+      // machinery). Crash contract unchanged: vectors swaps first, the
+      // merged high-water marker commits inside the staged PQCODES dir,
+      // batch dirs are deleted only after both swaps, the ledger clears
+      // last of all. Returns POST-DEDUP logical code rows removed — a
+      // re-ingested cand_id duplicated across base and batch dirs
+      // collapses in the fold regardless of the purge, so physical rows
+      // can exceed this count.
+      IndexBatches.foldAndPurge(spark, dir, "ivfpq", live, Some(ts),
+        Seq("cand_id"), fusedDatasets(spark, dir))
     }
     TombstoneLedger.clear(fs, root, consumed)
     removed

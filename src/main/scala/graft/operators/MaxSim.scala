@@ -297,11 +297,20 @@ object MaxSim {
     * list would be a driver-side plan-size hazard at the documented
     * bounds.
     *
-    * Consume-before-release contract: the checkpoint deliberately SEVERS
-    * the result from the index directory, so a search planned before a
-    * vacuum/compaction can never silently recompute over the mutated
-    * files — which also means the returned frame is NOT recomputable
-    * once [[graft.operators.OperatorCaches.releaseAll]] runs (a
+    * Consume-before-release contract: the checkpoint severs CANDIDATE
+    * GENERATION from the index directory — the expensive probe-scored
+    * stage can never silently recompute over files a later
+    * vacuum/compaction mutated. The doctokens FETCH side is NOT
+    * severed: a result consumed after an index mutation re-reads the
+    * then-live doctokens files. That is safe by construction — the
+    * pinned candidate set already excludes every tombstoned document
+    * (the ledger anti-join ran before candidate generation), vacuum
+    * only removes rows, and fold/compaction preserves the (doc_id,
+    * tok) row set the fetch deduplicates on — but a caller wanting
+    * byte-identical pre-mutation results must materialize the returned
+    * frame before mutating the index. The checkpoint also means the
+    * returned frame is NOT recomputable once
+    * [[graft.operators.OperatorCaches.releaseAll]] runs (a
     * post-release re-read fails loudly on the missing checkpoint
     * blocks). Materialize or consume the result within the pass, then
     * release; callers that never release accumulate one pinned
@@ -488,34 +497,26 @@ object MaxSim {
                                dir: String): Unit = {
     val live = IndexBatches.live(spark, dir, "tokens")
     if (live.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
-    for ((ds, part) <- Seq("doctokens" -> "doc_bucket",
-        "tokens" -> "centroid_id")) {
-      val sel = Seq("doc_id", "tok", "vec", part).map(col)
-      val base = spark.read.parquet(s"$dir/$ds").select(sel: _*)
-      val merged = live.foldLeft(base) { (acc, p) =>
-        acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
-      }.dropDuplicates("doc_id", "tok")
-      val fanout = if (part == "centroid_id") math.max(1, nClusters)
-                   else DocBuckets
-      val slices = math.max(1,
-        spark.sparkContext.defaultParallelism / fanout)
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
-      merged.repartition(fanout * slices, col(part),
-          pmod(hash(col("doc_id")), lit(slices)))
-        .write.mode("overwrite").partitionBy(part)
-        .parquet(tmp.toString)
-      if (ds == "tokens")
-        IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
-          new org.apache.hadoop.fs.Path(s"$dir/tokens"), live))
-      graft.sources.Formats.swapInto(fs, tmp,
-        new org.apache.hadoop.fs.Path(s"$dir/$ds"))
-      spark.catalog.refreshByPath(s"$dir/$ds")
-    }
-    live.foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    IndexBatches.foldAndPurge(spark, dir, "maxsim", live, None, Nil,
+      fusedDatasets(spark, dir))
+  }
+
+  /** The kind's [[IndexBatches.foldAndPurge]] parameters: both layouts
+    * fold with natural-key dedup on (doc_id, tok), doctokens staged/
+    * swapped first, the high-water marker committing inside the staged
+    * TOKENS dir last (the dataset [[IndexBatches.live]] reads it
+    * from). */
+  private def fusedDatasets(spark: org.apache.spark.sql.SparkSession,
+                            dir: String) = {
+    val nClusters = math.max(1,
+      spark.read.parquet(s"$dir/centroids").count().toInt)
+    Seq(
+      IndexBatches.FusedDataset("doctokens",
+        Seq("doc_id", "tok", "vec", "doc_bucket"), Seq("doc_id", "tok"),
+        Some("doc_bucket"), DocBuckets, "doc_id"),
+      IndexBatches.FusedDataset("tokens",
+        Seq("doc_id", "tok", "vec", "centroid_id"), Seq("doc_id", "tok"),
+        Some("centroid_id"), nClusters, "doc_id"))
   }
 
   /** Out-of-band quantizer refresh — the maintenance step
@@ -637,113 +638,37 @@ object MaxSim {
     val ts = tsOpt.get
     vacuumAfterSnapshotHook()
     val live = IndexBatches.live(spark, dir, "tokens")
-    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
-    // the two layouts' jobs are independent (different datasets, one
-    // reader each) — run them as concurrent Spark job chains so the
-    // vacuum's wall-clock is max(tokens, doctokens), not the sum.
-    // Discipline (not the global pool + Await(Inf) this used to be):
-    // a DEDICATED 2-thread pool (blocking Spark actions on
-    // ExecutionContext.global starve unrelated callers of the shared
-    // pool), a BOUNDED await (a hung Spark job must not hang the vacuum
-    // forever — `graft.vacuum.timeoutSec`, default 6 h, covers any
-    // plausible two-layout rewrite), and fail-fast sibling CANCELLATION
-    // via per-pass job groups (a failure in one layout cancels the
-    // other's running jobs instead of letting them burn the cluster)
-    val timeoutSec = spark.conf.getOption("graft.vacuum.timeoutSec")
-      .map(_.toLong).getOrElse(21600L)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-maxsim-vacuum")
-        t.setDaemon(true); t
-      })
-    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val grp = s"graft-maxsim-vacuum-${java.util.UUID.randomUUID()}"
-    val specs = Seq(
-      ("doctokens", "doc_bucket", DocBuckets),
-      ("tokens", "centroid_id", math.max(1, nClusters)))
-    def concurrently[A](run: (String, String, Int) => A): Map[String, A] = {
-      val passes = specs.map { case (ds, part, fanout) =>
-        scala.concurrent.Future {
-          spark.sparkContext.setJobGroup(s"$grp-$ds",
-            s"maxsim vacuum: $ds", interruptOnCancel = true)
-          try ds -> run(ds, part, fanout)
-          finally spark.sparkContext.clearJobGroup()
-        }
-      }
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(passes),
-        scala.concurrent.duration.Duration(timeoutSec,
-          java.util.concurrent.TimeUnit.SECONDS)).toMap
-      catch { case e: Throwable =>
-        specs.foreach { case (ds, _, _) =>
-          spark.sparkContext.cancelJobGroup(s"$grp-$ds") }
-        throw e
-      }
-    }
-    val removed = try {
-      if (live.isEmpty) {
-        // no compaction debt: both rewrites stay partition-SELECTIVE
-        concurrently { (ds, part, fanout) =>
+    val removed = if (live.isEmpty) {
+      // no compaction debt: both rewrites stay partition-SELECTIVE and
+      // run as concurrent Spark job chains (independent datasets, one
+      // reader each — wall-clock max(tokens, doctokens), not the sum;
+      // the shared [[IndexBatches.concurrently]] harness: dedicated
+      // pool, bounded await, fail-fast sibling cancellation)
+      val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+      IndexBatches.concurrently(spark, "maxsim-vacuum", Seq(
+        ("doctokens", DocBuckets),
+        ("tokens", math.max(1, nClusters))).map { case (ds, fanout) =>
+        ds -> { () =>
           SelectiveVacuum(spark,
-            new org.apache.hadoop.fs.Path(s"$dir/$ds"), part, "doc_id",
-            ts, slices = math.max(1,
+            new org.apache.hadoop.fs.Path(s"$dir/$ds"),
+            if (ds == "tokens") "centroid_id" else "doc_bucket",
+            "doc_id", ts, slices = math.max(1,
               spark.sparkContext.defaultParallelism / fanout))
-        }.apply("tokens")
-      } else {
-        def mergedOf(ds: String, part: String) = {
-          val sel = Seq("doc_id", "tok", "vec", part).map(col)
-          live.foldLeft(
-              spark.read.parquet(s"$dir/$ds").select(sel: _*)) {
-            (acc, p) =>
-              acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
-          }.dropDuplicates("doc_id", "tok")
         }
-        // one doc_id-only counting job up front: post-fold token-row
-        // total and the purged subset together, so the empty-keep edge
-        // is known before either write (ts is distinct by
-        // TombstoneLedger contract)
-        val cnt = mergedOf("tokens", "centroid_id").select("doc_id")
-          .join(ts.withColumn("__t", lit(1)), Seq("doc_id"), "left")
-          .agg(count(lit(1)).as("tot"),
-            coalesce(sum(coalesce(col("__t"), lit(0))), lit(0L))
-              .cast("long").as("rm"))
-          .head()
-        val n = cnt.getLong(1)
-        val keepCount = cnt.getLong(0) - n
-        // stage both fused rewrites concurrently; swap sequentially in
-        // the compaction order (doctokens first, tokens + marker last)
-        val tmps = concurrently { (ds, part, fanout) =>
-          val keep = mergedOf(ds, part).join(ts, Seq("doc_id"), "left_anti")
-          val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
-          if (keepCount == 0L)
-            // full purge: a dynamic-partition write of zero rows emits
-            // no leaves — leave the readable-and-appendable empty layout
-            graft.sources.Formats.writeEmptyPartitioned(keep, part, fs,
-              tmp)
-          else {
-            val slices = math.max(1,
-              spark.sparkContext.defaultParallelism / fanout)
-            keep.repartition(fanout * slices, col(part),
-                pmod(hash(col("doc_id")), lit(slices)))
-              .write.mode("overwrite").partitionBy(part)
-              .parquet(tmp.toString)
-          }
-          tmp
-        }
-        IndexBatches.writeMarker(fs, tmps("tokens"),
-          IndexBatches.mergedMarker(fs,
-            new org.apache.hadoop.fs.Path(s"$dir/tokens"), live))
-        for ((ds, _, _) <- specs) {
-          graft.sources.Formats.swapInto(fs, tmps(ds),
-            new org.apache.hadoop.fs.Path(s"$dir/$ds"))
-          spark.catalog.refreshByPath(s"$dir/$ds")
-        }
-        live.foreach(p =>
-          fs.delete(new org.apache.hadoop.fs.Path(p), true))
-        n
-      }
-    } finally pool.shutdown()
+      }).apply("tokens")
+    } else {
+      // compaction debt AND vacuum debt: the purge fuses into the fold
+      // — (base ∪ batches) dedup ∖ ledger, ONE staged rewrite per
+      // layout, both staged concurrently then swapped sequentially in
+      // the compaction order (doctokens first, tokens + marker last),
+      // with the removed count riding the tokens write job (shared
+      // [[IndexBatches.foldAndPurge]] machinery). Returns POST-DEDUP
+      // logical token rows removed — a (doc_id, tok) row duplicated
+      // across base and a still-live batch dir collapses in the fold
+      // regardless of the purge.
+      IndexBatches.foldAndPurge(spark, dir, "maxsim", live, Some(ts),
+        Seq("doc_id"), fusedDatasets(spark, dir))
+    }
     TombstoneLedger.clear(fs, root, consumed)
     removed
   }

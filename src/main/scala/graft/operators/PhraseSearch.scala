@@ -147,28 +147,20 @@ object PhraseSearch {
                           dir: String): Unit = {
     val live = IndexBatches.live(spark, dir, "postings")
     if (live.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cols = Seq("term", "doc_id", "pos", "term_bucket").map(col)
-    val base = spark.read.parquet(s"$dir/postings").select(cols: _*)
-    val merged = live.foldLeft(base) { (acc, p) =>
-      acc.union(spark.read.parquet(p).select(cols: _*))
-    }
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.postings.compact")
-    val slices = math.max(1,
-      spark.sparkContext.defaultParallelism / IndexBuckets)
-    merged.repartition(IndexBuckets * slices, col("term_bucket"),
-        pmod(hash(col("doc_id")), lit(slices)))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(tmp.toString)
-    IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
-      new org.apache.hadoop.fs.Path(s"$dir/postings"), live))
-    graft.sources.Formats.swapInto(fs, tmp,
-      new org.apache.hadoop.fs.Path(s"$dir/postings"))
-    spark.catalog.refreshByPath(s"$dir/postings")
-    live.foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    IndexBatches.foldAndPurge(spark, dir, "phrase", live, None, Nil,
+      fusedDatasets)
   }
+
+  /** The kind's [[IndexBatches.foldAndPurge]] parameters: one
+    * term-bucket-partitioned positional dataset carrying the marker; NO
+    * natural-key dedup (a position row is not unique by (term, doc_id)
+    * and id discipline is the caller's — [[appendToIndex]]'s contract),
+    * and batch dirs ARE the dataset (single-dataset
+    * [[IndexBatches.writeBatch]] layout). */
+  private val fusedDatasets = Seq(
+    IndexBatches.FusedDataset("postings",
+      Seq("term", "doc_id", "pos", "term_bucket"), Nil,
+      Some("term_bucket"), IndexBuckets, "doc_id", batchNested = false))
 
   /** Append-only deletion (the right-to-be-forgotten op for TEXT
     * indexes, the twin of [[Similarity.deleteFromIndex]]): `ids` (a
@@ -193,13 +185,21 @@ object PhraseSearch {
     * concurrent [[deleteFromIndex]] lands in. Production no-op. */
   private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
 
-  /** Physically remove tombstoned documents' postings via
-    * [[SelectiveVacuum]]: only the term buckets CONTAINING a tombstoned
-    * document's postings are rewritten and leaf-swapped (O(affected
-    * buckets), not O(index)), then clear exactly the ledger files this
-    * pass consumed (a tombstone landing mid-pass survives — ONE ledger
-    * enumeration feeds both the anti-join and the cleanup). Returns
-    * postings rows removed. */
+  /** Physically remove tombstoned documents' postings, then clear
+    * exactly the ledger files this pass consumed (a tombstone landing
+    * mid-pass survives — ONE ledger enumeration feeds both the
+    * anti-join and the cleanup). With no live streaming batch dirs the
+    * rewrite is partition-SELECTIVE via [[SelectiveVacuum]]: only the
+    * term buckets CONTAINING a tombstoned document's postings are
+    * rewritten and leaf-swapped (O(affected buckets), not O(index);
+    * the compaction marker at the postings root is untouched). With
+    * live batch dirs the fold already forces a full staged rewrite, so
+    * the purge FUSES into it — (base ∪ batches) ∖ ledger in ONE
+    * rewrite, each byte written once ([[IndexBatches.foldAndPurge]]; a
+    * delete-then-re-ingest within the epoch still resolves to DELETED —
+    * the same answer [[searchIndex]] gives — because the ledger
+    * snapshot covers the folded batches). Returns postings rows
+    * removed. */
   def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
                   dir: String): Long = {
     val root = s"$dir/tombstones"
@@ -209,17 +209,16 @@ object PhraseSearch {
     val ts = TombstoneLedger.dfFrom(spark, consumed, "doc_id")
       .getOrElse(return 0L)
     vacuumAfterSnapshotHook()
-    // fold live streaming batch dirs first, so ONE rewrite covers
-    // everything and a delete-then-re-ingest within the epoch resolves
-    // to DELETED — the same answer searchIndex gives (ANN contract)
-    compactIndexBatches(spark, dir)
-    // postings: partition-selective — only the term buckets CONTAINING
-    // a tombstoned document's postings are rewritten and leaf-swapped
-    // (the compaction marker at the postings root is untouched)
-    val removed = SelectiveVacuum(spark,
-      new org.apache.hadoop.fs.Path(s"$dir/postings"), "term_bucket",
-      "doc_id", ts, slices = math.max(1,
-        spark.sparkContext.defaultParallelism / IndexBuckets))
+    val live = IndexBatches.live(spark, dir, "postings")
+    val removed = if (live.isEmpty) {
+      SelectiveVacuum(spark,
+        new org.apache.hadoop.fs.Path(s"$dir/postings"), "term_bucket",
+        "doc_id", ts, slices = math.max(1,
+          spark.sparkContext.defaultParallelism / IndexBuckets))
+    } else {
+      IndexBatches.foldAndPurge(spark, dir, "phrase", live, Some(ts),
+        Seq("doc_id"), fusedDatasets)
+    }
     TombstoneLedger.clear(fs, root, consumed)
     removed
   }

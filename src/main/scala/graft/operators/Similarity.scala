@@ -365,16 +365,34 @@ object Similarity {
     * [[deleteFromIndex]] lands in. Production leaves it a no-op. */
   private[graft] var vacuumAfterSnapshotHook: () => Unit = () => ()
 
-  /** Physically remove tombstoned vectors: fold live batch dirs first
-    * ([[compactIndexBatches]] — so one rewrite covers everything, and a
-    * delete-then-re-append within the epoch resolves to DELETED, the
-    * same answer [[searchIndex]] gives), then rewrite ONLY the
-    * centroid cells containing tombstoned vectors
+  /** The kind's [[IndexBatches.foldAndPurge]] parameters: one
+    * cell-partitioned dataset carrying the marker; NO natural-key dedup
+    * (id discipline is the caller's — [[appendToIndex]]'s contract),
+    * and batch dirs ARE the dataset (no nested subdir — the
+    * single-dataset [[IndexBatches.writeBatch]] layout). */
+  private def fusedDatasets(spark: org.apache.spark.sql.SparkSession,
+                            dir: String) = Seq(
+    IndexBatches.FusedDataset("assignments",
+      Seq("cand_id", "cand_vec", "centroid_id"), Nil,
+      Some("centroid_id"), math.max(1,
+        spark.read.parquet(s"$dir/centroids").count().toInt),
+      "cand_id", batchNested = false))
+
+  /** Physically remove tombstoned vectors, then clear exactly the
+    * ledger files this pass consumed (concurrent new tombstones
+    * survive). With no live streaming batch dirs, the rewrite is
+    * partition-SELECTIVE — only the centroid cells containing
+    * tombstoned vectors are rewritten and leaf-swapped
     * ([[SelectiveVacuum]] — O(affected cells), not O(index); the
     * compaction high-water marker lives at the dataset ROOT and leaf
-    * swaps never touch it), then clear exactly the ledger files this
-    * pass consumed (concurrent new tombstones survive). Returns the
-    * number of rows removed. */
+    * swaps never touch it). With live batch dirs the fold already
+    * forces a full staged rewrite, so the purge FUSES into it —
+    * (base ∪ batches) ∖ ledger in ONE rewrite, each byte written once,
+    * the merged marker committing inside the staged dir
+    * ([[IndexBatches.foldAndPurge]]; a delete-then-re-append within the
+    * epoch still resolves to DELETED, the same answer [[searchIndex]]
+    * gives, because the ledger snapshot covers the folded batches).
+    * Returns the number of rows removed. */
   def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
                   dir: String): Long = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
@@ -387,12 +405,17 @@ object Similarity {
     val ts = TombstoneLedger.dfFrom(spark, consumed, "cand_id")
       .getOrElse(return 0L)
     vacuumAfterSnapshotHook()
-    compactIndexBatches(spark, dir)
-    val asgPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
-    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
-    val removed = SelectiveVacuum(spark, asgPath, "centroid_id",
-      "cand_id", ts, slices = math.max(1,
-        spark.sparkContext.defaultParallelism / math.max(1, nClusters)))
+    val live = liveBatchDirs(spark, dir)
+    val removed = if (live.isEmpty) {
+      val asgPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+      val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+      SelectiveVacuum(spark, asgPath, "centroid_id",
+        "cand_id", ts, slices = math.max(1,
+          spark.sparkContext.defaultParallelism / math.max(1, nClusters)))
+    } else {
+      IndexBatches.foldAndPurge(spark, dir, "ivf", live, Some(ts),
+        Seq("cand_id"), fusedDatasets(spark, dir))
+    }
     TombstoneLedger.clear(fs, s"$dir/tombstones", consumed)
     removed
   }
@@ -430,25 +453,8 @@ object Similarity {
                           dir: String): Unit = {
     val live = liveBatchDirs(spark, dir)
     if (live.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = spark.read.parquet(s"$dir/assignments")
-      .select(col("cand_id"), col("cand_vec"), col("centroid_id"))
-    val merged = live.foldLeft(base) { (acc, p) =>
-      acc.union(spark.read.parquet(p)
-        .select(col("cand_id"), col("cand_vec"), col("centroid_id")))
-    }
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.assignments.compact")
-    val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
-    clusteredWrite(merged, math.max(1, nClusters), tmp.toString)
-    // merge the old high-waters with everything folded in this pass
-    IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
-      new org.apache.hadoop.fs.Path(s"$dir/assignments"), live))
-    graft.sources.Formats.swapInto(fs, tmp,
-      new org.apache.hadoop.fs.Path(s"$dir/assignments"))
-    spark.catalog.refreshByPath(s"$dir/assignments")
-    live.foreach(p => // best-effort; the marker already suppresses them
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    IndexBatches.foldAndPurge(spark, dir, "ivf", live, None, Nil,
+      fusedDatasets(spark, dir))
   }
 
   private def readCompactionMarker(fs: org.apache.hadoop.fs.FileSystem,

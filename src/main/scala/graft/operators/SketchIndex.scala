@@ -132,43 +132,24 @@ object SketchIndex {
     } finally vs.unpersist()
   }
 
+  /** The kind's [[IndexBatches.foldAndPurge]] parameters: vec_id-deduped
+    * fold, vectors staged first, the high-water marker committing inside
+    * the staged SKETCHES dir last (the deliberately-smallest dataset —
+    * 8 B/vector — so its full rewrite is the cheap one). */
+  private def fusedDatasets(spark: SparkSession) = Seq(
+    IndexBatches.FusedDataset("vectors", Seq("vec_id", "vec", "bucket"),
+      Seq("vec_id"), Some("bucket"), Buckets, "vec_id"),
+    IndexBatches.FusedDataset("sketches", Seq("vec_id", "sig", "bucket"),
+      Seq("vec_id"), None, sketchFanout(spark), "vec_id"))
+
   /** Fold live streaming batch dirs into both standing datasets with
     * vec_id dedup behind staged swaps; vectors first, the high-water
     * marker committing inside the staged SKETCHES dir last. */
   def compactIndexBatches(spark: SparkSession, dir: String): Unit = {
     val live = IndexBatches.live(spark, dir, "sketches")
     if (live.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for ((ds, cols) <- Seq(
-        "vectors" -> Seq("vec_id", "vec", "bucket"),
-        "sketches" -> Seq("vec_id", "sig", "bucket"))) {
-      val sel = cols.map(col)
-      val base = spark.read.parquet(s"$dir/$ds").select(sel: _*)
-      val merged = live.foldLeft(base) { (acc, p) =>
-        acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
-      }.dropDuplicates("vec_id")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
-      if (ds == "sketches")
-        merged.repartition(sketchFanout(spark))
-          .write.mode("overwrite").parquet(tmp.toString)
-      else {
-        val slices = math.max(1,
-          spark.sparkContext.defaultParallelism / Buckets)
-        merged.repartition(Buckets * slices, col("bucket"),
-            pmod(hash(col("vec_id")), lit(slices)))
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(tmp.toString)
-      }
-      if (ds == "sketches")
-        IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
-          new org.apache.hadoop.fs.Path(s"$dir/sketches"), live))
-      graft.sources.Formats.swapInto(fs, tmp,
-        new org.apache.hadoop.fs.Path(s"$dir/$ds"))
-      spark.catalog.refreshByPath(s"$dir/$ds")
-    }
-    live.foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    IndexBatches.foldAndPurge(spark, dir, "sketch", live, None, Nil,
+      fusedDatasets(spark))
   }
 
   /** Append-only deletion on the shared ledger: one tiny parquet
@@ -333,68 +314,22 @@ object SketchIndex {
       n
     } else {
       // compaction debt AND vacuum debt: the fold already forces a full
-      // staged rewrite of both datasets, so FUSE the purge into it —
-      // (base ∪ batches) deduped ∖ ledger, ONE rewrite per dataset.
-      // Running compactIndexBatches first and purging after (the old
-      // shape) rewrote every byte of both datasets twice back to back;
-      // the substep profile of the maintenance gate put that double
-      // rewrite at ~45% of the whole pass. Same crash contract as
-      // compaction: vectors swaps first, the merged high-water marker
-      // commits inside the staged SKETCHES dir last, batch dirs are
-      // deleted only after both swaps, and the ledger clears last of
-      // all (an interruption anywhere leaves reads correct — unfolded
-      // batch dirs still union in, the standing ledger still masks).
-      // one vec_id-only counting job up front: post-fold total and the
-      // purged subset together (replaces the old shape's three separate
-      // counts), so the empty-keep edge is known before either write
-      def mergedOf(ds: String, cols: Seq[String]) = {
-        val sel = cols.map(col)
-        live.foldLeft(spark.read.parquet(s"$dir/$ds").select(sel: _*)) {
-          (acc, p) =>
-            acc.union(spark.read.parquet(s"$p/$ds").select(sel: _*))
-        }.dropDuplicates("vec_id")
-      }
-      val cnt = mergedOf("sketches", Seq("vec_id"))
-        .join(ts.select(col("vec_id"), lit(1).as("__t"))
-          .dropDuplicates("vec_id"), Seq("vec_id"), "left")
-        .agg(count(lit(1)).as("tot"),
-          coalesce(sum(coalesce(col("__t"), lit(0))), lit(0L))
-            .cast("long").as("rm"))
-        .head()
-      val n = cnt.getLong(1)
-      val keepCount = cnt.getLong(0) - n
-      for ((ds, cols) <- Seq(
-          "vectors" -> Seq("vec_id", "vec", "bucket"),
-          "sketches" -> Seq("vec_id", "sig", "bucket"))) {
-        val keep = mergedOf(ds, cols).join(ts, Seq("vec_id"), "left_anti")
-        val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ds.compact")
-        if (ds == "sketches") {
-          if (keepCount == 0L)
-            keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          else keep.repartition(sketchFanout(spark))
-            .write.mode("overwrite").parquet(tmp.toString)
-          IndexBatches.writeMarker(fs, tmp, IndexBatches.mergedMarker(fs,
-            new org.apache.hadoop.fs.Path(s"$dir/sketches"), live))
-        } else if (keepCount == 0L) {
-          // full purge: a dynamic-partition write of zero rows emits no
-          // leaves — leave the readable-and-appendable empty layout
-          graft.sources.Formats.writeEmptyPartitioned(keep, "bucket",
-            fs, tmp)
-        } else {
-          val slices = math.max(1,
-            spark.sparkContext.defaultParallelism / Buckets)
-          keep.repartition(Buckets * slices, col("bucket"),
-              pmod(hash(col("vec_id")), lit(slices)))
-            .write.mode("overwrite").partitionBy("bucket")
-            .parquet(tmp.toString)
-        }
-        graft.sources.Formats.swapInto(fs, tmp,
-          new org.apache.hadoop.fs.Path(s"$dir/$ds"))
-        spark.catalog.refreshByPath(s"$dir/$ds")
-      }
-      live.foreach(p =>
-        fs.delete(new org.apache.hadoop.fs.Path(p), true))
-      n
+      // staged rewrite of both datasets, so the purge FUSES into it —
+      // (base ∪ batches) deduped ∖ ledger, ONE rewrite per dataset with
+      // the removed count riding the sketches write job (the shared
+      // [[IndexBatches.foldAndPurge]] machinery; running
+      // compactIndexBatches first and purging after rewrote every byte
+      // twice back to back — ~45% of the maintenance gate when
+      // profiled). Crash contract unchanged: vectors swaps first, the
+      // merged high-water marker commits inside the staged SKETCHES dir
+      // last, batch dirs are deleted only after both swaps, and the
+      // ledger clears last of all (an interruption anywhere leaves
+      // reads correct — unfolded batch dirs still union in, the
+      // standing ledger still masks). Returns post-dedup logical rows
+      // removed (a re-ingested duplicate collapses in the fold
+      // regardless of the purge).
+      IndexBatches.foldAndPurge(spark, dir, "sketch", live, Some(ts),
+        Seq("vec_id"), fusedDatasets(spark))
     }
     TombstoneLedger.clear(fs, root, consumed)
     removed
