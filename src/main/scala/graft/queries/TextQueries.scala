@@ -1512,22 +1512,35 @@ object TextQueries {
         .orderBy("query_id", "rank")
     },
 
-    // BM25-index deletion lifecycle (Bm25.deleteFromIndex/vacuumIndex):
-    // right-to-be-forgotten for a SCORED index — the subtle half is the
-    // statistics: n_docs, avgdl, and df must all be computed over LIVE
-    // documents, so post-delete scores equal a fresh index over the
-    // filtered corpus EXACTLY (corpus constants derive from the doclens
-    // dataset anti-joined against the same ledger that masks postings —
-    // no stored-scalar staleness). Tombstoned and vacuumed phases are
-    // hash-matched against ONE filtered BM25 replay; the delete set is
-    // id-bounded (doc_id % 11 = 4 AND doc_id < 1100). writeIndex's
-    // rebuild resets the ledger, so the gate is idempotent.
+    // BM25-index deletion lifecycle WITH COMPACTION DEBT
+    // (Bm25.deleteFromIndex/vacuumIndex on the FUSED fold∖ledger debt
+    // path): right-to-be-forgotten for a SCORED index — the subtle
+    // half is the statistics: n_docs, avgdl, and df must all be
+    // computed over LIVE documents (base ∪ live batch dirs ∖ ledger
+    // pre-vacuum), so post-delete scores equal a fresh index over the
+    // filtered corpus EXACTLY (corpus constants derive from the
+    // doclens dataset anti-joined against the same ledger that masks
+    // postings — no stored-scalar staleness). The gate lands a
+    // re-ingest batch (docs 0-29 at +500000) as a LIVE streaming batch
+    // dir and tombstones the base formula set (doc_id % 11 = 4 AND
+    // doc_id < 1100) PLUS its echo in the batch (streamed-then-deleted
+    // docs that die before ever being folded); the vacuum then fuses
+    // fold and purge into one staged rewrite per dataset. Tombstoned
+    // and vacuumed phases are hash-matched against ONE filtered
+    // union-corpus BM25 replay. The clone is private per invocation,
+    // so the gate is idempotent.
     Q("q_text_bm25_index_delete",
       s"""WITH q(query_id, term) AS (VALUES
          |       (1, 'spark'), (1, 'window'),
          |       (2, 'customer'), (2, 'table'), (3, 'vector')),
-         |tk AS (SELECT doc_id, $sqlToks AS toks FROM documents
-         |       WHERE NOT (doc_id % 11 = 4 AND doc_id < 1100)),
+         |tk0 AS (SELECT doc_id, $sqlToks AS toks FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 500000 AS doc_id, $sqlToks AS toks
+         |        FROM documents WHERE doc_id < 30),
+         |tk AS (SELECT doc_id, toks FROM tk0
+         |       WHERE NOT (doc_id % 11 = 4 AND doc_id < 1100)
+         |         AND NOT (doc_id >= 500000
+         |                  AND (doc_id - 500000) % 11 = 4)),
          |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS n_tokens
          |       FROM tk),
          |post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
@@ -1557,9 +1570,18 @@ object TextQueries {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val idxDir = IndexFixtures.cloned(s, dir, "bm25")(buildBm25(s, dir))
+      // plant COMPACTION DEBT: the re-ingest batch lands as a LIVE
+      // streaming batch dir (appendBatchDir — deliberately not
+      // folded), so the vacuum below takes the fused fold∖ledger path
+      val batch = docs.where(col("doc_id") < 30)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      graft.operators.Bm25.appendBatchDir(batch, idxDir, "debt", 0L)
       graft.operators.Bm25.deleteFromIndex(
         docs.where(col("doc_id") % 11 === 4 && col("doc_id") < 1100)
-          .select("doc_id"), idxDir)
+          .select("doc_id")
+          .union(batch
+            .where((col("doc_id") - 500000) % 11 === 4)
+            .select("doc_id")), idxDir)
       val queries = Seq((1L, "spark"), (1L, "window"),
         (2L, "customer"), (2L, "table"), (3L, "vector"))
         .toDF("query_id", "term")
@@ -1898,23 +1920,32 @@ object TextQueries {
         .orderBy("phrase_id", "doc_id")
     },
 
-    // Phrase-index deletion lifecycle (PhraseSearch.deleteFromIndex /
-    // vacuumIndex — right-to-be-forgotten for TEXT indexes, the twin of
-    // q_ann_index_delete): rebuild, tombstone the formula set
-    // (doc_id % 13 = 2 AND doc_id < 1300, id-bounded so the set is
-    // fixed-size at any sf; one tiny ledger append, no postings
-    // rewrite), search; then VACUUM (anti-join rewrite behind the
-    // staged swap, ledger cleared) and search again. Both phases must
-    // hash-match the same deleted-filtered phrase replay — the ledger
-    // mask and the physical rewrite pinned by one oracle. writeIndex's
-    // rebuild resets the ledger, so the gate is idempotent per
-    // invocation.
+    // Phrase-index deletion lifecycle WITH COMPACTION DEBT
+    // (PhraseSearch.deleteFromIndex / vacuumIndex — right-to-be-
+    // forgotten for TEXT indexes, the twin of q_ann_index_delete,
+    // exercised on the FUSED fold∖ledger debt path): clone, land a
+    // re-ingest batch (docs 0-19 at +200000) as a LIVE streaming batch
+    // dir, tombstone the formula set (doc_id % 13 = 2 AND
+    // doc_id < 1300, id-bounded so the set is fixed-size at any sf)
+    // PLUS its echo in the batch (streamed-then-deleted docs), search;
+    // then VACUUM — the purge fuses into the fold, one staged rewrite
+    // covering base ∪ batch ∖ ledger — and search again. Both phases
+    // must hash-match the same deleted-filtered union replay (the
+    // surviving batch copies of docs 3, 7, 11 surface as extra phrase
+    // hits) — the ledger mask over live batch dirs, the fold, and the
+    // purge pinned by one oracle. The clone is private per invocation,
+    // so the gate is idempotent.
     Q("q_text_phrase_index_delete",
-      s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents
+         |              UNION ALL
+         |              SELECT doc_id + 200000 AS doc_id, $sqlToks AS ts
+         |              FROM documents WHERE doc_id < 20),
          |ph AS (SELECT doc_id AS phrase_id, ts[1:3] AS p FROM toks
          |       WHERE doc_id IN (3, 7, 11)),
          |live AS (SELECT doc_id, ts FROM toks
-         |         WHERE NOT (doc_id % 13 = 2 AND doc_id < 1300)),
+         |         WHERE NOT (doc_id % 13 = 2 AND doc_id < 1300)
+         |           AND NOT (doc_id >= 200000
+         |                    AND (doc_id - 200000) % 13 = 2)),
          |m AS (SELECT ph.phrase_id, t.doc_id,
          |        list_filter(range(1, len(t.ts) - len(ph.p) + 2),
          |          i -> len(list_filter(range(1, len(ph.p) + 1),
@@ -1931,9 +1962,19 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val idxDir = IndexFixtures.cloned(s, dir, "phrase")(
         buildPhrase(s, dir))
+      // plant COMPACTION DEBT: the re-ingest batch lands as a LIVE
+      // streaming batch dir (appendBatchDir — deliberately not
+      // folded), so the vacuum below takes the fused fold∖ledger path
+      val batch = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      graft.operators.PhraseSearch.appendBatchDir(batch, idxDir,
+        "debt", 0L)
       graft.operators.PhraseSearch.deleteFromIndex(
         docs.where(col("doc_id") % 13 === 2 && col("doc_id") < 1300)
-          .select("doc_id"), idxDir)
+          .select("doc_id")
+          .union(batch
+            .where((col("doc_id") - 200000) % 13 === 2)
+            .select("doc_id")), idxDir)
       val phrases = docs.where(col("doc_id").isin(3L, 7L, 11L))
         .select(col("doc_id").as("phrase_id"),
           slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3)

@@ -789,17 +789,9 @@ object VectorQueries {
          |SELECT query_id, cand_id, score, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-    /** Delete-lifecycle oracle: the same fit replay (tombstones never
-      * touch the quantizer) with the formula delete set (id % 17 = 3)
-      * excluded from the CANDIDATE side only — a deleted id may still
-      * query, it just can't be retrieved. Two phases of identical rows:
-      * the tombstone-filtered search and the post-vacuum search must
-      * agree row for row, so both the ledger anti-join and the physical
-      * rewrite are pinned by one hash. */
     /** Single-phase filtered replay: candidates minus the formula delete
-      * set, quantizer untouched — the post-delete search contract shared
-      * by the batch ledger (q_ann_index_delete phases it) and the
-      * streaming ledger (q_stream_delete_replay uses it as-is). The
+      * set, quantizer untouched — the post-delete search contract of
+      * the streaming ledger (q_stream_delete_replay uses it as-is). The
       * delete set is id-BOUNDED (% 17 = 3 AND id < 1700) so the
       * streaming gate's MemoryStream feed stays a fixed-size fixture at
       * any sf — at the verify sf every id is under the bound, so the
@@ -808,7 +800,24 @@ object VectorQueries {
       .replace("WHERE a.id != p.id",
         "WHERE a.id != p.id AND NOT (a.id % 17 = 3 AND a.id < 1700)")
 
-    lazy val deleteSql: String = streamDeleteSql
+    /** Delete-WITH-DEBT lifecycle oracle (q_ann_index_delete): the
+      * APPEND replay's union corpus (base ∪ the standard perturbed
+      * batch at +1000000 — the gate lands it as a LIVE streaming batch
+      * dir, so the vacuum exercises the fused fold∖ledger debt path)
+      * minus the formula delete set on BOTH sides: the base formula
+      * (id % 17 = 3 AND id < 1700) and its echo in the batch (id ≥ 10⁶
+      * with (id − 10⁶) % 17 = 3 — a streamed-then-deleted vector that
+      * dies before ever being folded). Tombstones never touch the
+      * quantizer, and a deleted id may still query — it just can't be
+      * retrieved. Two phases of identical rows: the tombstone-masked
+      * pre-vacuum search (base ∪ live batch dir ∖ ledger) and the
+      * post-vacuum search (one fused rewrite) must agree row for row,
+      * so the ledger mask, the fold, and the purge are pinned by one
+      * hash. */
+    lazy val deleteSql: String = appendSql
+      .replace("WHERE a.id != p.id",
+        "WHERE a.id != p.id AND NOT (a.id % 17 = 3 AND a.id < 1700)" +
+          " AND NOT (a.id >= 1000000 AND (a.id - 1000000) % 17 = 3)")
       .replace(
         "SELECT query_id, cand_id, score, rank FROM ranked\n" +
           "WHERE rank <= 10 ORDER BY query_id, rank",
@@ -1253,14 +1262,18 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
-    // Index deletion lifecycle through the driver hash
-    // (Similarity.deleteFromIndex / vacuumIndex — the training-data
-    // right-to-be-forgotten op): rebuild, tombstone the formula set
-    // (vec_id % 17 = 3; one tiny ledger append, no corpus rewrite),
-    // search; then VACUUM (physical anti-join rewrite behind the staged
-    // swap, ledger cleared) and search again. Both phases must
-    // hash-match the same filtered fit replay — the ledger anti-join
-    // and the post-vacuum layout pinned by one oracle. A deleted id may
+    // Index deletion lifecycle WITH COMPACTION DEBT through the driver
+    // hash (Similarity.deleteFromIndex / vacuumIndex — the
+    // training-data right-to-be-forgotten op, exercised on the FUSED
+    // fold∖ledger debt path): clone the clean index, land the standard
+    // perturbed batch as a LIVE streaming batch dir (appendBatchDir —
+    // deliberately NOT folded), tombstone the formula set on the base
+    // corpus PLUS its echo in the batch (a streamed-then-deleted
+    // vector), search; then VACUUM — with live batch dirs the purge
+    // fuses into the fold, one staged rewrite covering base ∪ batch ∖
+    // ledger — and search again. Both phases must hash-match the same
+    // filtered union replay — the ledger mask over live batch dirs,
+    // the fold, and the purge pinned by one oracle. A deleted id may
     // still query (id 3 does); it just can't be retrieved.
     Q("q_ann_index_delete", IvfReplay.deleteSql) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -1268,9 +1281,13 @@ object VectorQueries {
       // the gate idempotent per invocation (bench reps never
       // double-delete) without re-paying writeIndex per invocation
       val idxDir = IndexFixtures.cloned(s, dir, "ivf")(buildIvf(s, dir))
+      Similarity.appendBatchDir(perturbedBatch(emb), idxDir, "debt", 0L)
       Similarity.deleteFromIndex(
         emb.where(col("vec_id") % 17 === 3 && col("vec_id") < 1700)
-          .select("vec_id"), idxDir)
+          .select("vec_id")
+          .union(perturbedBatch(emb)
+            .where((col("vec_id") - 1000000) % 17 === 3)
+            .select("vec_id")), idxDir)
       def search(phase: String) =
         Similarity.searchIndex(s, idxDir, emb.where(col("vec_id") < 5),
             k = 10, nProbe = 4)
