@@ -15,6 +15,16 @@ import org.apache.spark.sql.SparkSession
   * VectorQueries fixtures) — those are shared across queries by design
   * and pay for themselves. */
 object OperatorCaches {
+
+  /** Register a `newSession()` CHILD as releasing with `root`: caches
+    * and checkpoints the child's queries pin are unpinned by
+    * `releaseAll(root)` — and ONLY by it; an independent sibling root
+    * session on the same SparkContext can never release them. Call this
+    * right after creating a scoped-SQLConf child session whose work
+    * routes through the tracked seams. */
+  def adoptSession(child: SparkSession, root: SparkSession): Unit =
+    SessionLineage.adopt(child, root)
+
   def releaseAll(s: SparkSession): Unit = {
     Dedup.releaseCaches(s)
     Graph.releaseCaches(s)

@@ -3,6 +3,33 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
+/** Root-session resolution for cache/checkpoint tracking: gates may run
+  * under a `newSession()` CHILD session (the scoped-SQLConf pattern —
+  * shared SparkContext, private conf), but their pinned blocks must
+  * release with the PARENT the driver calls `releaseCaches` on.
+  * [[adopt]] records that lineage; [[rootOf]] follows it to a fixpoint.
+  * Links are weak-keyed by the child, so a discarded scoped session
+  * never outlives its garbage collection here. */
+private[operators] object SessionLineage {
+  private val parents = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  def adopt(child: SparkSession, root: SparkSession): Unit =
+    if (child ne root) parents.put(child, root)
+
+  def rootOf(s: SparkSession): SparkSession = {
+    var cur = s
+    var hops = 0
+    while (hops < 64) {
+      val p = parents.get(cur)
+      if (p == null || (p eq cur)) return cur
+      cur = p
+      hops += 1
+    }
+    cur
+  }
+}
+
 /** Session-scoped persist tracking shared by the iterative/self-joining
   * operators ([[Dedup]], [[Graph]]). Their intermediates back lazily
   * returned results, so they cannot unpersist eagerly; every persist is
@@ -17,19 +44,31 @@ private[operators] trait TrackedCaches {
     .empty[SparkSession,
       java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]
 
-  // keyed by SparkContext, not SparkSession: gates may checkpoint under
-  // a scoped child session (s.newSession() for a low-fan-out SQLConf),
-  // but the pinned blocks live in the SHARED context — releaseCaches on
-  // the parent session must still reach them
+  // keyed by ROOT SparkSession (SessionLineage): gates may checkpoint
+  // under a scoped child session (s.newSession() for a low-fan-out
+  // SQLConf, registered via OperatorCaches.adoptSession), and
+  // releaseCaches on the parent must still reach those pins — but two
+  // INDEPENDENT root sessions on one SparkContext must never release
+  // each other's in-flight non-recomputable snapshots (the hazard the
+  // previous context-wide keying documented instead of preventing).
+  // Entries are WeakReferences: the queue must not be the thing keeping
+  // a checkpoint RDD alive — a caller that never releases (an external
+  // library user) drops their result frame, the RDD becomes
+  // unreachable, and ContextCleaner reclaims its blocks on GC exactly
+  // as if the tracking were absent. releaseCaches unpins whatever is
+  // still alive, eagerly.
   private val checkpoints = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.SparkContext,
+    .empty[SparkSession,
       java.util.concurrent.ConcurrentLinkedQueue[
-        org.apache.spark.rdd.RDD[_]]]
+        java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]]
 
-  /** persist + remember, so `releaseCaches` can unpin later. */
+  /** persist + remember, so `releaseCaches` can unpin later. Strong
+    * references by design — a persisted plan lives in the shared
+    * CacheManager until an explicit unpersist, so GC alone could never
+    * release it; release-then-reuse recomputes. */
   protected def tracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    persisted.getOrElseUpdate(df.sparkSession,
+    persisted.getOrElseUpdate(SessionLineage.rootOf(df.sparkSession),
       new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(p)
     p
   }
@@ -46,16 +85,12 @@ private[operators] trait TrackedCaches {
     * fallback would reintroduce the exact per-gate leak class this seam
     * exists to close).
     *
-    * Concurrency scope: checkpoint tracking is keyed by the SHARED
-    * SparkContext (so a parent-session release reaches checkpoints taken
-    * under a `newSession()` child — the scoped-SQLConf gate pattern),
-    * which means `releaseCaches` for ONE root session unpins EVERY
-    * session's tracked checkpoints on that context. That is the designed
-    * contract for the sequential driver this repo serves (one pass in
-    * flight at a time, release after consuming); two concurrent
-    * INDEPENDENT root sessions on one context must coordinate their
-    * releases externally, or one session's release destroys the other's
-    * in-flight non-recomputable snapshot. */
+    * Lifecycle: the queue holds the RDD WEAKLY — `releaseCaches` on the
+    * root session unpins eagerly (the sequential-driver contract:
+    * release after consuming each pass), while a caller that never
+    * releases falls back to ContextCleaner reclamation once their
+    * result frame is unreachable, instead of accumulating permanently
+    * pinned blocks. */
   protected def trackedCheckpoint(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
     val rdd = cp.queryExecution.logical match {
@@ -64,23 +99,31 @@ private[operators] trait TrackedCaches {
         "localCheckpoint no longer yields a LogicalRDD plan — the " +
           s"tracked-checkpoint release seam cannot unpin it: $other")
     }
-    checkpoints.getOrElseUpdate(cp.sparkSession.sparkContext,
+    checkpoints.getOrElseUpdate(SessionLineage.rootOf(cp.sparkSession),
       new java.util.concurrent.ConcurrentLinkedQueue[
-        org.apache.spark.rdd.RDD[_]]()).add(rdd)
+        java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]())
+      .add(new java.lang.ref.WeakReference(rdd))
     cp
   }
 
-  /** Unpersist every intermediate this object pinned for `s`. Call after
-    * the returned results are consumed (persisted frames recompute if
+  /** Unpersist every intermediate this object pinned for `s` (resolved
+    * to its root session — a scoped child's pins release with the
+    * parent; an independent sibling session's never do). Call after the
+    * returned results are consumed (persisted frames recompute if
     * re-used; checkpointed snapshots do NOT — they are pass-scoped). */
   def releaseCaches(s: SparkSession): Unit = {
-    Option(persisted.remove(s).orNull).foreach { q =>
+    val root = SessionLineage.rootOf(s)
+    Option(persisted.remove(root).orNull).foreach { q =>
       var df = q.poll()
       while (df != null) { df.unpersist(blocking = false); df = q.poll() }
     }
-    Option(checkpoints.remove(s.sparkContext).orNull).foreach { q =>
-      var rdd = q.poll()
-      while (rdd != null) { rdd.unpersist(blocking = false); rdd = q.poll() }
+    Option(checkpoints.remove(root).orNull).foreach { q =>
+      var ref = q.poll()
+      while (ref != null) {
+        val rdd = ref.get()
+        if (rdd != null) rdd.unpersist(blocking = false)
+        ref = q.poll()
+      }
     }
   }
 }

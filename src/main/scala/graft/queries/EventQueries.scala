@@ -534,6 +534,10 @@ object EventQueries {
       // a 2,000-row fixture. A child session (shared SparkContext, own
       // SQLConf) bounds it without mutating the caller's conf.
       val s2 = s.newSession()
+      // the scoped child's checkpoint pins must release with the
+      // CALLER's releaseAll (checkpoint tracking is keyed by root
+      // session, not SparkContext — sibling-session isolation)
+      graft.operators.OperatorCaches.adoptSession(s2, s)
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
       import s2.implicits._

@@ -123,18 +123,26 @@ object Formats {
     * semantics otherwise (a reader holding an open handle on the moving
     * directory itself is out of scope, as with the reference's
     * truncate-reload). */
+  /** The machine-owned partition-leaf shape ([[swapInto]]'s retro-clean
+    * gate): an identifier column name, `=`, an integer value. */
+  private val IntLeaf = "^[A-Za-z_][A-Za-z0-9_]*=-?[0-9]+$".r
+
   def swapInto(fs: FileSystem, newDir: Path, live: Path): Unit = {
     val old = new Path(live.getParent, s".${live.getName}.old")
     fs.delete(old, true) // leftover from a prior crashed swap
     // retro-clean the UN-hidden aside a crash under the pre-dot-prefix
-    // code could have left — but ONLY for partition LEAVES (`k=v`
-    // names), where the exposed `part=N.old` sibling corrupts partition
-    // discovery (string-typed value, resurfaced rows) on every read
-    // until removed. The leaf namespace is machine-owned, so the sweep
-    // can never hit user data there; for whole-dataset swaps a sibling
-    // `<name>.old` is harmless to reads AND could be a user's own
-    // backup directory — deleting it unasked would be data loss.
-    if (live.getName.contains("="))
+    // code could have left — but ONLY for INT-VALUED partition LEAVES
+    // (`col=-?digits` names, the one shape every index layout in this
+    // library writes), where the exposed `part=N.old` sibling corrupts
+    // partition discovery (string-typed value, resurfaced rows) on
+    // every read until removed. That namespace is machine-owned, so
+    // the sweep can never hit user data there. Anything else is left
+    // standing: for a STRING-typed partition column a legitimate
+    // sibling leaf like `part=backup.old` would be indistinguishable
+    // from a crashed swap of `part=backup`, and for whole-dataset
+    // swaps a `<name>.old` could be a user's own backup — deleting
+    // either unasked would be data loss.
+    if (IntLeaf.matches(live.getName))
       fs.delete(new Path(live.getParent, s"${live.getName}.old"), true)
     if (fs.exists(live) && !fs.rename(live, old))
       throw new IOException(s"could not move $live aside to $old")

@@ -2147,6 +2147,39 @@ class StagingCacheSpec extends SparkSpec {
       assert(leaked.isEmpty, s"$name leaked pinned RDDs: $leaked")
     }
   }
+
+  test("checkpoint release is ROOT-SESSION scoped: a sibling root's " +
+      "release never destroys another root's in-flight snapshot; an " +
+      "adopted child's pins release with its parent") {
+    val sA = spark.newSession()
+    val sB = spark.newSession()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // sA pins a non-recomputable snapshot through the tracked seam
+    val dfA = graft.operators.StagingCaches.checkpointed(
+      sA.range(0, 100).toDF("id"))
+    assert(dfA.count() == 100)
+    // a scoped child of sA (the EventQueries gate pattern) pins another
+    val child = sA.newSession()
+    graft.operators.OperatorCaches.adoptSession(child, sA)
+    val dfC = graft.operators.StagingCaches.checkpointed(
+      child.range(0, 50).toDF("id"))
+    assert(dfC.count() == 50)
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.size == 2, s"expected 2 pinned checkpoint RDDs: $pinned")
+    // an INDEPENDENT sibling root releasing must not touch either pin —
+    // under the old SparkContext-wide keying this destroyed them both
+    graft.operators.OperatorCaches.releaseAll(sB)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before)
+        == pinned,
+      "a sibling session's releaseAll unpinned another root's snapshot")
+    assert(dfA.count() == 100,
+      "sibling release destroyed an in-flight non-recomputable snapshot")
+    // the OWNING root's release unpins its own AND its adopted child's
+    graft.operators.OperatorCaches.releaseAll(sA)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"releaseAll(root) left pinned checkpoints standing: $leaked")
+  }
 }
 
 class UnicodeNormSpec extends SparkSpec {

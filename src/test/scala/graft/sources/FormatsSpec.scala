@@ -96,6 +96,16 @@ class FormatsSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(root.toString,
         "events.old")),
       "swapInto deleted a sibling directory it does not own")
+    // STRING-valued leaf case: `part=backup.old` is a legitimate leaf
+    // of a string-typed partition column, indistinguishable from a
+    // crashed swap of `part=backup` — the sweep is gated to the
+    // int-valued leaves this library writes and must leave it standing
+    val strLeaf = mk("part=backup"); mk("part=backup.old")
+    Formats.swapInto(fs, mk(".part=backup.stage"), strLeaf)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root.toString,
+        "part=backup.old")),
+      "swapInto swept a string-valued sibling leaf it cannot " +
+        "distinguish from live data")
   }
 
   test("compact with a sort key clusters files by that key") {
