@@ -247,26 +247,36 @@ object Bm25 {
     vacuumAfterSnapshotHook()
     val live = IndexBatches.live(spark, dir, "postings")
     val removed = if (live.isEmpty) {
-      // postings: partition-selective — only the term buckets
-      // CONTAINING a tombstoned document's postings are rewritten and
-      // leaf-swapped (the compaction marker at the postings root is
-      // untouched)
-      val n = SelectiveVacuum(spark,
-        new org.apache.hadoop.fs.Path(s"$dir/postings"), "term_bucket",
-        "doc_id", ts, slices = math.max(1,
-          spark.sparkContext.defaultParallelism / IndexBuckets))
-      val dlPath = new org.apache.hadoop.fs.Path(s"$dir/doclens")
-      val tmpD = new org.apache.hadoop.fs.Path(s"$dir/.doclens.vacuum")
-      val dlKeep = spark.read.parquet(dlPath.toString)
-        .join(ts, Seq("doc_id"), "left_anti")
-      // full purge: coalesce(1) so the unpartitioned write emits one
-      // schema-preserving zero-row file (empty multi-partition writes
-      // emit nothing and brick later reads)
-      (if (dlKeep.isEmpty) dlKeep.coalesce(1) else dlKeep)
-        .write.mode("overwrite").parquet(tmpD.toString)
-      graft.sources.Formats.swapInto(fs, tmpD, dlPath)
-      spark.catalog.refreshByPath(dlPath.toString)
-      n
+      // the two datasets' independent job chains run concurrently
+      // through the shared harness (wall-clock max, not sum); either
+      // may commit first — reads stay exact throughout because every
+      // corpus constant derives from doclens∖ledger and postings read
+      // as postings∖ledger (the crash-ordering argument above).
+      IndexBatches.concurrently[Long](spark, "bm25-vacuum", Seq(
+        // postings: partition-selective — only the term buckets
+        // CONTAINING a tombstoned document's postings are rewritten
+        // and leaf-swapped (the compaction marker at the postings root
+        // is untouched)
+        "postings" -> { () =>
+          SelectiveVacuum(spark,
+            new org.apache.hadoop.fs.Path(s"$dir/postings"),
+            "term_bucket", "doc_id", ts, slices = math.max(1,
+              spark.sparkContext.defaultParallelism / IndexBuckets))
+        },
+        "doclens" -> { () =>
+          val dlPath = new org.apache.hadoop.fs.Path(s"$dir/doclens")
+          val tmpD = new org.apache.hadoop.fs.Path(s"$dir/.doclens.vacuum")
+          val dlKeep = spark.read.parquet(dlPath.toString)
+            .join(ts, Seq("doc_id"), "left_anti")
+          // full purge: coalesce(1) so the unpartitioned write emits
+          // one schema-preserving zero-row file (empty multi-partition
+          // writes emit nothing and brick later reads)
+          (if (dlKeep.isEmpty) dlKeep.coalesce(1) else dlKeep)
+            .write.mode("overwrite").parquet(tmpD.toString)
+          graft.sources.Formats.swapInto(fs, tmpD, dlPath)
+          spark.catalog.refreshByPath(dlPath.toString)
+          0L
+        })).apply("postings")
     } else {
       IndexBatches.foldAndPurge(spark, dir, "bm25", live, Some(ts),
         Seq("doc_id"), fusedDatasets)

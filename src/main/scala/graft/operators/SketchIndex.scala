@@ -291,22 +291,37 @@ object SketchIndex {
     val live = IndexBatches.live(spark, dir, "sketches")
     val removed = if (live.isEmpty) {
       // no compaction debt: vectors rewrite stays partition-SELECTIVE
-      // (only buckets containing tombstoned rows are touched)
-      SelectiveVacuum(spark,
-        new org.apache.hadoop.fs.Path(s"$dir/vectors"), "bucket",
-        "vec_id", ts, slices = math.max(1,
-          spark.sparkContext.defaultParallelism / Buckets))
+      // (only buckets containing tombstoned rows are touched), and the
+      // two datasets' independent job chains run concurrently through
+      // the shared harness (wall-clock max, not sum). The sketches
+      // task STAGES only; marker carry and swap stay on the caller
+      // thread after both chains finish.
       val path = new org.apache.hadoop.fs.Path(s"$dir/sketches")
-      val base = spark.read.parquet(path.toString)
-      val keep = base.join(ts, Seq("vec_id"), "left_anti")
-      val keepCount = keep.count()
-      val n = base.count() - keepCount
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.sketches.vacuum")
-      if (keepCount == 0L)
-        keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      else
-        keep.repartition(sketchFanout(spark))
-          .write.mode("overwrite").parquet(tmp.toString)
+      val res = IndexBatches.concurrently[Any](spark, "sketch-vacuum",
+        Seq(
+          "vectors" -> { () =>
+            SelectiveVacuum(spark,
+              new org.apache.hadoop.fs.Path(s"$dir/vectors"), "bucket",
+              "vec_id", ts, slices = math.max(1,
+                spark.sparkContext.defaultParallelism / Buckets)): Any
+          },
+          "sketches" -> { () =>
+            val base = spark.read.parquet(path.toString)
+            val keep = base.join(ts, Seq("vec_id"), "left_anti")
+            val keepCount = keep.count()
+            val n = base.count() - keepCount
+            val tmp =
+              new org.apache.hadoop.fs.Path(s"$dir/.sketches.vacuum")
+            if (keepCount == 0L)
+              keep.coalesce(1).write.mode("overwrite")
+                .parquet(tmp.toString)
+            else
+              keep.repartition(sketchFanout(spark))
+                .write.mode("overwrite").parquet(tmp.toString)
+            (tmp, n): Any
+          }))
+      val (tmp, n) = res("sketches")
+        .asInstanceOf[(org.apache.hadoop.fs.Path, Long)]
       // carry the compaction marker through the sketches rewrite
       IndexBatches.writeMarker(fs, tmp, IndexBatches.readMarker(fs, path))
       graft.sources.Formats.swapInto(fs, tmp, path)
