@@ -25,6 +25,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE (r19, measured): AQE bytes-based coalescing
+      // (coalescePartitions.parallelismFirst=false + a 64m advisory)
+      // was A/B-tested here and REJECTED — total 335→383s. This
+      // catalog's shuffles are byte-small but compute-dense (winnowing
+      // fingerprints, Hilbert codes, JPEG refinement, jaccard pairs),
+      // so sizing reducers by bytes serializes CPU-bound stages
+      // (q_dedup_substring 7.1→13.3s, q_layout_hilbert_prune
+      // 2.6→8.8s). The default parallelism-first coalescing is the
+      // right call for this workload shape; see OPTIMIZATION_r19.md.
+      // Partition-dir discovery: the persisted indexes' datasets fan out
+      // to 16-64 hive leaves, and the default threshold (32 paths)
+      // launches a DISTRIBUTED listing job for anything wider — one
+      // extra Spark job per read of a 64-leaf dataset, far slower than
+      // the driver listing a local/fast filesystem. Raised so listing
+      // stays driver-side up to 1024 dirs (env-overridable for object
+      // stores where distributed listing pays).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LISTING_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet footer caches, so the first

@@ -108,6 +108,38 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (qnames == Seq("--bm25del")) {
+      // sub-step timing of the BM25 delete-with-debt gate (r19: it read
+      // 14.3s in the driver-methodology bench vs 3.96 for its r18
+      // clean-path shape — find where the fused fold pays)
+      import org.apache.spark.sql.functions._
+      import graft.operators.Bm25
+      import spark.implicits._
+      val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+      val idxDir = "/tmp/graft_probe_bm25del"
+      val queries = Seq((1L, "spark"), (1L, "window"),
+        (2L, "customer"), (2L, "table"), (3L, "vector"))
+        .toDF("query_id", "term")
+      (1 to 2).foreach { rep =>
+        time(s"writeIndex rep$rep")(Bm25.writeIndex(docs, idxDir))
+        val batch = docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+        time(s"appendBatchDir rep$rep")(
+          Bm25.appendBatchDir(batch, idxDir, "debt", 0L))
+        time(s"delete rep$rep")(Bm25.deleteFromIndex(
+          docs.where(col("doc_id") % 11 === 4 && col("doc_id") < 1100)
+            .select("doc_id")
+            .union(batch.where((col("doc_id") - 500000) % 11 === 4)
+              .select("doc_id")), idxDir))
+        time(s"search1 rep$rep")(
+          Bm25.searchIndex(spark, idxDir, queries, k = 10).count())
+        time(s"vacuum rep$rep")(Bm25.vacuumIndex(spark, idxDir))
+        time(s"search2 rep$rep")(
+          Bm25.searchIndex(spark, idxDir, queries, k = 10).count())
+        graft.operators.OperatorCaches.releaseAll(spark)
+      }
+      spark.stop(); return
+    }
     if (qnames == Seq("--maxsimdel")) {
       // sub-step timing of the MaxSim token-index deletion gate
       import org.apache.spark.sql.functions._

@@ -33,15 +33,24 @@ object Bm25 {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    // one scalar row: corpus size + mean doc length (exact-int division)
+    // one scalar row: corpus size + mean doc length. INLINE since r19 —
+    // the stats agg rides the scoring job as a broadcast cross-join of
+    // one row (the exact shape the DuckDB oracle uses) instead of a
+    // separate collect() action: one job where there were two, and no
+    // driver sync point between the corpus scan and the scoring pass
+    // (guide §1.2 / §5 — the values, and therefore every score bit,
+    // are unchanged: same count/sum longs cast to double in the same
+    // IEEE expression order as the old driver-side literals)
     val corpus = toks.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("toks"))).as("n_tokens")).collect().head
-    val nDocs = corpus.getLong(0)
+      sum(size(col("toks"))).as("n_tokens"))
     // empty corpus: a neutral avgdl keeps the (empty) pipeline NaN-free,
     // and the result schema stays the real plan's — no hardcoded types
     // that could diverge from the ids' actual types
-    val avgdl =
-      if (nDocs == 0) 1.0 else corpus.getLong(1).toDouble / nDocs
+    val withStats = (df: DataFrame) => df.join(broadcast(
+      corpus.select(col("n_docs").cast("double").as("__ndocs"),
+        when(col("n_docs") === 0 || col("n_tokens").isNull, 1.0)
+          .otherwise(col("n_tokens").cast("double") / col("n_docs"))
+          .as("__avgdl"))))
     val posting = toks
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
@@ -49,13 +58,13 @@ object Bm25 {
     val tf = posting.groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = df.select(col("term"),
-      log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5)
+    val idf = withStats(df).select(col("term"),
+      log(lit(1.0) + (col("__ndocs") - col("df") + 0.5)
         / (col("df") + 0.5)).as("idf"))
-    val termScore = tf.join(broadcast(idf), "term")
+    val termScore = withStats(tf.join(broadcast(idf), "term"))
       .withColumn("ts",
         col("idf") * col("tf") * (lit(k1) + 1.0)
-          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
     val scored = termScore
       .join(broadcast(queries), Seq("term"))
       .groupBy("query_id", "doc_id")
@@ -155,15 +164,22 @@ object Bm25 {
     // two sub-datasets inside ONE batch dir: written postings-first,
     // doclens last — a crashed half-written batch is rewritten wholesale
     // by the replay (overwrite), never half-counted
+    // clustered to the leaf (r19): the tf groupBy leaves the frame
+    // hash-partitioned by (term, doc_id), so an unclustered dynamic
+    // write emits up to tasks × buckets tiny files per micro-batch,
+    // each taxing every later union-read (guide §6); the doclens rows
+    // of one micro-batch are one small file by construction
     toks
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
       .withColumn("term_bucket",
         pmod(hash(col("term")), lit(IndexBuckets)))
+      .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$batchRoot/postings")
     toks.select(col("doc_id"), size(col("toks")).as("dl"))
+      .repartition(1)
       .write.mode("overwrite").parquet(s"$batchRoot/doclens")
   }
 
@@ -325,16 +341,26 @@ object Bm25 {
     val doclens = ledger
       .map(ts => doclens0.join(ts, Seq("doc_id"), "left_anti"))
       .getOrElse(doclens0)
-    val stats = doclens.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("n_tokens")).collect().head
-    val nDocs = stats.getLong(0)
-    // an index written from an empty corpus has n_docs = 0 and a NULL
-    // token sum — same neutral-avgdl guard as topK, empty result flows
-    val avgdl =
-      if (nDocs == 0 || stats.isNullAt(1)) 1.0
-      else stats.getLong(1).toDouble / nDocs
+    // INLINE since r19 (same move as [[topK]]): the corpus-constant agg
+    // rides the scoring job as a one-row broadcast cross-join instead
+    // of a separate collect() action — one job fewer per search, no
+    // driver sync between the doclens scan and scoring, identical
+    // values bit for bit. An index written from an empty corpus has
+    // n_docs = 0 and a NULL token sum — same neutral-avgdl guard as
+    // topK, empty result flows.
+    val withStats = (df: DataFrame) => df.join(broadcast(
+      doclens.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("n_tokens"))
+        .select(col("n_docs").cast("double").as("__ndocs"),
+          when(col("n_docs") === 0 || col("n_tokens").isNull, 1.0)
+            .otherwise(col("n_tokens").cast("double") / col("n_docs"))
+            .as("__avgdl"))))
     val qTermDf = queries.select("term").distinct()
-    val smallQ = qTermDf.limit(maxTerms + 1).count() <= maxTerms
+    // ONE bounded collect decides the strategy AND supplies the term
+    // list (r19 — the previous shape paid a separate limit+count job
+    // before re-collecting the same rows for the pruning path)
+    val qTermProbe = qTermDf.limit(maxTerms + 1).collect()
+    val smallQ = qTermProbe.length <= maxTerms
     val pCols = Seq("term", "doc_id", "dl", "tf", "term_bucket").map(col)
     val raw = liveDirs.foldLeft(
         spark.read.parquet(s"$dir/postings").select(pCols: _*)) { (acc, p) =>
@@ -345,7 +371,7 @@ object Bm25 {
       .getOrElse(raw)
     val pruned =
       if (smallQ) {
-        val qTerms = qTermDf.collect().map(_.getString(0))
+        val qTerms = qTermProbe.map(_.getString(0))
         val buckets = qTerms.map(TermBuckets.of(_, IndexBuckets)).distinct
         postings
           .where(col("term_bucket").isin(buckets.map(Integer.valueOf): _*))
@@ -358,13 +384,13 @@ object Bm25 {
       if (liveDirs.isEmpty) pruned
       else pruned.dropDuplicates("term", "doc_id")
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = df.select(col("term"),
-      log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5)
+    val idf = withStats(df).select(col("term"),
+      log(lit(1.0) + (col("__ndocs") - col("df") + 0.5)
         / (col("df") + 0.5)).as("idf"))
-    val termScore = tf.join(broadcast(idf), "term")
+    val termScore = withStats(tf.join(broadcast(idf), "term"))
       .withColumn("ts",
         col("idf") * col("tf") * (lit(k1) + 1.0)
-          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
     val scored = termScore
       .join(if (smallQ) broadcast(queries) else queries, Seq("term"))
       .groupBy("query_id", "doc_id")

@@ -39,10 +39,20 @@ object IndexBatches {
 
   /** Write one micro-batch dataset into its batch-scoped directory
     * (OVERWRITE — replays rewrite, never accrete), partitioned like the
-    * base layout so partition pruning prunes batch dirs too. */
+    * base layout so partition pruning prunes batch dirs too.
+    *
+    * The rows are CLUSTERED to their partition value first (r19,
+    * guide §6 small files): the upstream frame usually arrives hash-
+    * partitioned by id (the assignment window / groupBy), so an
+    * unclustered dynamic-partition write emits up to
+    * tasks × |values| files — hundreds of KB-sized files for one
+    * micro-batch, each charging a footer read + open cost to EVERY
+    * subsequent search that unions the live dirs. One tiny extra
+    * shuffle of the micro-batch bounds it to one file per leaf. */
   def writeBatch(df: DataFrame, dir: String, tag: String, batchId: Long,
                  partitionCol: String): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCol)
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol)
       .parquet(s"$dir/batches/${tagHash(tag)}/$batchId")
 
   /** The compaction high-water marker stored inside `base`. The marker
@@ -238,23 +248,31 @@ object IndexBatches {
       "foldAndPurge needs at least one dataset and one live batch dir")
     val hConf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hConf)
-    def mergedOf(d: FusedDataset): DataFrame = {
+    def rawMergedOf(d: FusedDataset): DataFrame = {
       val sel = d.columns.map(col)
-      val merged0 = live.foldLeft(
+      live.foldLeft(
           spark.read.parquet(s"$dir/${d.name}").select(sel: _*)) {
         (acc, p) =>
           val bp = if (d.batchNested) s"$p/${d.name}" else p
           acc.union(spark.read.parquet(bp).select(sel: _*))
       }
-      if (d.dedupKeys.nonEmpty) merged0.dropDuplicates(d.dedupKeys)
-      else merged0
     }
     def stage(d: FusedDataset): org.apache.hadoop.fs.Path = {
-      val merged = mergedOf(d)
-      val keep = ts match {
-        case None => merged
-        case Some(t) => merged.join(t, tsKeys, "left_anti")
+      // purge BEFORE dedup: tsKeys ⊆ dedupKeys for every dedup kind
+      // (doc_id ⊆ (term,doc_id)/(doc_id,tok); vec_id/cand_id equal
+      // their kinds' keys), so a dedup group is wholly tombstoned or
+      // wholly live and the anti-join commutes with dropDuplicates —
+      // identical keep set, but the dedup exchange never carries the
+      // tombstoned rows (guide §2.3: shuffle fewer bytes; the anti-join
+      // is a broadcast against the small ledger, applied at scan side)
+      val merged0 = rawMergedOf(d)
+      val purged = ts match {
+        case None => merged0
+        case Some(t) => merged0.join(t, tsKeys, "left_anti")
       }
+      val keep =
+        if (d.dedupKeys.nonEmpty) purged.dropDuplicates(d.dedupKeys)
+        else purged
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/.${d.name}.compact")
       d.partitionCol match {
         case Some(part) =>
@@ -297,9 +315,17 @@ object IndexBatches {
     // after staging, zero jobs.
     val countTask: Seq[(String, () => Any)] =
       if (ts.isDefined && last.dedupKeys.nonEmpty)
-        Seq("__removed" -> (() => mergedOf(last)
-          .select(tsKeys.map(col): _*)
+        // semi-join BEFORE the dedup (same commuting argument as the
+        // keep path: tsKeys ⊆ dedupKeys, groups are wholly tombstoned
+        // or wholly live) — the post-dedup removed count is identical,
+        // but the distinct exchange carries only the TOMBSTONED rows'
+        // keys instead of re-shuffling the whole merged corpus (the
+        // old shape paid a second full-corpus dedup shuffle for a
+        // count whose answer only involves the dead rows)
+        Seq("__removed" -> (() => rawMergedOf(last)
+          .select(last.dedupKeys.map(col): _*)
           .join(ts.get, tsKeys, "left_semi")
+          .dropDuplicates(last.dedupKeys)
           .count()))
       else Nil
     val results = concurrently[Any](spark, kind,
@@ -334,6 +360,19 @@ object IndexBatches {
     live.foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
     removed
+  }
+
+  /** Driver-side row count of a tiny metadata dataset (centroid /
+    * codebook class — one or a few files by construction) from parquet
+    * footers: the r19 replacement for the `read.parquet(...).count()`
+    * Spark jobs the vacuum/fold paths used to launch just to derive a
+    * write fanout — same value, zero jobs (guide §1.2: don't pay a
+    * distributed action for driver-side metadata). */
+  private[operators] def footerRows(spark: SparkSession,
+                                    path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    parquetRowCount(p.getFileSystem(conf), conf, p)
   }
 
   /** Driver-side row count of a parquet dataset from its file FOOTERS —

@@ -407,12 +407,18 @@ object IvfPq {
     val batchRoot =
       s"$dir/batches/${IndexBatches.tagHash(tag)}/$batchId"
     try {
-      coded.write.mode("overwrite").partitionBy("centroid_id")
+      // clustered to the leaf (r19): the encoded frame arrives hash-
+      // partitioned by id, so an unclustered dynamic write emits up to
+      // tasks × cells tiny files per micro-batch, each taxing every
+      // later union-read (guide §6)
+      coded.repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$batchRoot/pqcodes")
       newVectors
         .select(col("vec_id").as("cand_id"),
           asDouble(col("embedding")).as("cand_vec"))
         .join(coded.select("cand_id", "centroid_id"), "cand_id")
+        .repartition(col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$batchRoot/vectors")
     } finally coded.unpersist()
@@ -437,7 +443,7 @@ object IvfPq {
     * last. */
   private def fusedDatasets(spark: SparkSession, dir: String) = {
     val nClusters = math.max(1,
-      spark.read.parquet(s"$dir/centroids").count().toInt)
+      IndexBatches.footerRows(spark, s"$dir/centroids").toInt)
     Seq(
       IndexBatches.FusedDataset("vectors",
         Seq("cand_id", "cand_vec", "centroid_id"), Seq("cand_id"),
@@ -580,7 +586,7 @@ object IvfPq {
       // no compaction debt: both rewrites stay partition-SELECTIVE and
       // run as concurrent job chains (independent datasets, one reader
       // each — wall-clock max, not sum; the shared staging harness)
-      val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+      val nClusters = IndexBatches.footerRows(spark, s"$dir/centroids").toInt
       val slices = math.max(1,
         spark.sparkContext.defaultParallelism / math.max(1, nClusters))
       IndexBatches.concurrently(spark, "ivfpq-vacuum",

@@ -469,15 +469,22 @@ object MaxSim {
         s"$dir/batches/${IndexBatches.tagHash(tag)}/$batchId"
       val dTok = toks.select(
         packedTid(col("doc_id"), col("tok")).as("tid"), col("vec"))
+      // clustered to the leaf (r19): the assignment window leaves the
+      // frame hash-partitioned by token id, so an unclustered dynamic
+      // write emits up to tasks × leaves tiny files per micro-batch
+      // (tokens: ×cells, doctokens: ×64 buckets), each taxing every
+      // later union-read (guide §6)
       Similarity.nearestCentroids(dTok, cents, "tid", "vec", 1)
         .select(expr("tid div 1024").as("doc_id"),
           (col("tid") % 1024).cast("int").as("tok"),
           col("vec"), col("centroid_id"))
+        .repartition(col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$batchRoot/tokens")
       toks
         .withColumn("doc_bucket",
           pmod(hash(col("doc_id")), lit(DocBuckets)))
+        .repartition(col("doc_bucket"))
         .write.mode("overwrite").partitionBy("doc_bucket")
         .parquet(s"$batchRoot/doctokens")
     } finally toks.unpersist()
@@ -509,7 +516,7 @@ object MaxSim {
   private def fusedDatasets(spark: org.apache.spark.sql.SparkSession,
                             dir: String) = {
     val nClusters = math.max(1,
-      spark.read.parquet(s"$dir/centroids").count().toInt)
+      IndexBatches.footerRows(spark, s"$dir/centroids").toInt)
     Seq(
       IndexBatches.FusedDataset("doctokens",
         Seq("doc_id", "tok", "vec", "doc_bucket"), Seq("doc_id", "tok"),
@@ -644,7 +651,7 @@ object MaxSim {
       // reader each — wall-clock max(tokens, doctokens), not the sum;
       // the shared [[IndexBatches.concurrently]] harness: dedicated
       // pool, bounded await, fail-fast sibling cancellation)
-      val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+      val nClusters = IndexBatches.footerRows(spark, s"$dir/centroids").toInt
       IndexBatches.concurrently(spark, "maxsim-vacuum", Seq(
         ("doctokens", DocBuckets),
         ("tokens", math.max(1, nClusters))).map { case (ds, fanout) =>

@@ -375,7 +375,7 @@ object Similarity {
     IndexBatches.FusedDataset("assignments",
       Seq("cand_id", "cand_vec", "centroid_id"), Nil,
       Some("centroid_id"), math.max(1,
-        spark.read.parquet(s"$dir/centroids").count().toInt),
+        IndexBatches.footerRows(spark, s"$dir/centroids").toInt),
       "cand_id", batchNested = false))
 
   /** Physically remove tombstoned vectors, then clear exactly the
@@ -408,7 +408,7 @@ object Similarity {
     val live = liveBatchDirs(spark, dir)
     val removed = if (live.isEmpty) {
       val asgPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
-      val nClusters = spark.read.parquet(s"$dir/centroids").count().toInt
+      val nClusters = IndexBatches.footerRows(spark, s"$dir/centroids").toInt
       SelectiveVacuum(spark, asgPath, "centroid_id",
         "cand_id", ts, slices = math.max(1,
           spark.sparkContext.defaultParallelism / math.max(1, nClusters)))

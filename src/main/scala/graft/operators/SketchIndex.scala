@@ -126,7 +126,12 @@ object SketchIndex {
       val root = s"$dir/batches/${IndexBatches.tagHash(tag)}/$batchId"
       vs.select("vec_id", "sig", "bucket")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/sketches")
+      // clustered to the leaf (r19): the cached frame is scan/shuffle-
+      // partitioned, not bucket-partitioned — an unclustered dynamic
+      // write emits up to tasks × buckets tiny files per micro-batch,
+      // each taxing every later union-read (guide §6)
       vs.select(col("vec_id"), col("vec"), col("bucket"))
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$root/vectors")
     } finally vs.unpersist()
