@@ -140,6 +140,39 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (qnames == Seq("--sketchmaint")) {
+      // sub-step timing of the q_index_maintenance gate shape
+      import org.apache.spark.sql.functions._
+      import graft.operators.{IndexMaintenance, SketchIndex}
+      import spark.implicits._
+      val emb = graft.engine.Tables.t(spark, sfDir, "embeddings")
+      val idxDir = "/tmp/graft_probe_sketchmaint"
+      val v = graft.functions.VectorFunctions.asDouble(col("embedding"))
+      val batch = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          concat(array(element_at(v, 1) + 0.1), slice(v, 2, 63))
+            .as("embedding"))
+      (1 to 2).foreach { rep =>
+        time(s"writeIndex rep$rep")(SketchIndex.writeIndex(emb, idxDir))
+        for ((lo, hi, b) <- Seq((0, 10, 0L), (10, 20, 1L)))
+          time(s"appendBatchDir$b rep$rep")(SketchIndex.appendBatchDir(
+            batch.where(col("vec_id") >= 1000000L + lo &&
+              col("vec_id") < 1000000L + hi), idxDir, "crawl", b))
+        time(s"delete rep$rep")(SketchIndex.deleteFromIndex(
+          Seq(40L, 41L).toDF("vec_id"), idxDir))
+        val qs = emb.where(col("vec_id") < 5)
+        time(s"search1 rep$rep")(SketchIndex.searchIndex(
+          spark, idxDir, qs, k = 10, shortlist = 50).count())
+        time(s"maintain rep$rep")(IndexMaintenance.maintain(
+          spark, idxDir, "sketch", maxLiveBatches = 1, maxTombstones = 1))
+        time(s"idle rep$rep")(IndexMaintenance.maintain(
+          spark, idxDir, "sketch", maxLiveBatches = 1, maxTombstones = 1))
+        time(s"search2 rep$rep")(SketchIndex.searchIndex(
+          spark, idxDir, qs, k = 10, shortlist = 50).count())
+        graft.operators.OperatorCaches.releaseAll(spark)
+      }
+      spark.stop(); return
+    }
     if (qnames == Seq("--maxsimdel")) {
       // sub-step timing of the MaxSim token-index deletion gate
       import org.apache.spark.sql.functions._

@@ -100,8 +100,17 @@ object BpeTrain {
       .orderBy(desc("freq"), asc("word"))
       .limit(vocabSize)
       // the top-N lands in ONE partition (TakeOrderedAndProject); spread
-      // it back out or every merge round's pair explode runs serial
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      // it back out or a LARGE vocabulary's merge rounds run serial.
+      // Width is sized from the ROW COUNT (r19, guide §2.5 — a
+      // synthetic width of `cpus` gave a 150-word vocabulary 32
+      // partitions, so every one of the 12 rounds' two jobs paid 32
+      // near-empty tasks): ~1k words per partition, capped at the
+      // session's shuffle width, floor 1 — the same value at any core
+      // count for a small vocab, and the full cluster width for the
+      // millions-of-words corpora the scale note describes.
+      .repartition(math.min(
+        docs.sparkSession.sessionState.conf.numShufflePartitions,
+        math.max(1, vocabSize / 1024)))
     learnMerges(counts, nMerges)
   }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Scalable global row numbering.
   *
@@ -12,8 +12,25 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * This operator computes the identical result distributed:
   * range-repartition + sort on the rank ordering (the same single exchange a
-  * global ORDER BY pays), then `zipWithIndex` — which assigns contiguous
-  * indices via per-partition counts, never funneling rows through one task.
+  * global ORDER BY pays), then contiguous indices from per-partition counts
+  * — never funneling rows through one task.
+  *
+  * Index assignment (r19 — previously `RDD.zipWithIndex`): the sorted frame
+  * takes `monotonically_increasing_id()` (= partitionId·2³³ + the row's
+  * position within its partition, exactly the coordinates zipWithIndex
+  * derives), one 1-row-per-partition partial aggregation collects the
+  * per-partition row counts, and the rank is `running offset of the row's
+  * partition + its local position + 1` via a broadcast join of the tiny
+  * offsets table. Same ranks bit for bit (the ordering is total and the
+  * frame is pinned, so both formulations read the same sorted row
+  * positions), but the whole path stays in Tungsten with whole-stage
+  * codegen — the old `.rdd.zipWithIndex().map(Row.fromSeq …)` round-trip
+  * deserialized EVERY row to external objects and re-internalized it
+  * through `createDataFrame`, a per-byte format conversion (and a codegen
+  * break) this operator exists to avoid at 100 TB. The offsets ride a
+  * broadcast JOIN, not a map literal: at cluster scale `parts` can be
+  * thousands, and a thousands-entry literal in the plan is the same
+  * plan-size hazard as an `isin` over collected ids.
   *
   * The ordering must be total (add a unique tiebreaker) for a deterministic
   * result — the same requirement the window form has.
@@ -25,17 +42,34 @@ object GlobalRank extends TrackedCaches {
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
-    // zipWithIndex runs TWO jobs (per-partition counts, then materialize);
-    // persist the sorted frame so the upstream aggregation/sort/shuffle
-    // executes once, not twice. Session-tracked: long-lived sessions call
+    // persist the sorted+id'd frame so the upstream
+    // aggregation/sort/shuffle executes once for the counts pass and
+    // once-cached for the ranked read, and so the assigned ids are
+    // pinned. Session-tracked: long-lived sessions call
     // [[GlobalRank.releaseCaches]] after consuming results.
     val sorted = tracked(df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*))
-    val schema = StructType(sorted.schema.fields :+
-      StructField(rankCol, LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex().map { case (r, idx) =>
-      Row.fromSeq(r.toSeq :+ (idx + 1))
-    }
-    spark.createDataFrame(ranked, schema)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__gr_mid", monotonically_increasing_id()))
+    val pidOf = shiftright(col("__gr_mid"), 33)
+    val localOf = col("__gr_mid").bitwiseAND(lit((1L << 33) - 1))
+    // one partial-aggregated count per partition (a `parts`-row shuffle),
+    // collected to build the running offsets
+    val counts = sorted.groupBy(pidOf.as("__gr_pid"))
+      .agg(count(lit(1)).as("__gr_n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = counts
+      .scanLeft((-1L, 0L, 0L)) { case ((_, off, n), (pid, cnt)) =>
+        (pid, off + n, cnt)
+      }
+      .drop(1)
+      .map { case (pid, off, _) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__gr_pid", "__gr_off")
+    sorted.withColumn("__gr_pid", pidOf)
+      .join(broadcast(offDf), "__gr_pid")
+      .withColumn(rankCol, col("__gr_off") + localOf + 1L)
+      .select(df.columns.map(col) :+ col(rankCol): _*)
   }
 }

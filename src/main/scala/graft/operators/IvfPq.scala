@@ -204,19 +204,22 @@ object IvfPq {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val spark = candidates.sparkSession
     import spark.implicits._
-    val qProbe = queries.select("vec_id").limit(maxQ + 1).count()
-    require(qProbe <= maxQ,
-      s"ivfpqTopK query side exceeds maxQ=$maxQ rows: probe tables are " +
-        "built driver-side and broadcast, so the query table must be " +
-        "bounded — batch the queries or raise maxQ explicitly")
     val mdl = model.getOrElse(
       fit(candidates, nClusters, m, ks, centroids = centroids))
     val coded = codes.getOrElse(encode(candidates, mdl))
+    // the maxQ bound rides the query collect itself (r19 — a loud
+    // limit cap + length recheck, the planTokenProbes pattern) instead
+    // of a separate limit+count guard job before it
     val qRows = queries
       .select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("vec"))
+      .limit(maxQ + 1)
       .as[(Long, Seq[Double])].collect()
       .map { case (id, raw) => (id, ProductQuant.l2normalize(raw.toArray)) }
+    require(qRows.length <= maxQ,
+      s"ivfpqTopK query side exceeds maxQ=$maxQ rows: probe tables are " +
+        "built driver-side and broadcast, so the query table must be " +
+        "bounded — batch the queries or raise maxQ explicitly")
     val probes = probeTables(spark, qRows, mdl, nProbe)
 
     val adcW = Window.partitionBy("query_id")
@@ -625,15 +628,17 @@ object IvfPq {
                   maxQ: Int = 65536): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     import spark.implicits._
-    val qProbe = queries.select("vec_id").limit(maxQ + 1).count()
-    require(qProbe <= maxQ,
-      s"searchIndex query side exceeds maxQ=$maxQ rows — batch the queries")
     val mdl = readModel(spark, dir)
+    // maxQ bound rides the query collect itself (r19 — loud limit cap
+    // + length recheck instead of a separate limit+count guard job)
     val qRows = queries
       .select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("vec"))
+      .limit(maxQ + 1)
       .as[(Long, Seq[Double])].collect()
       .map { case (id, raw) => (id, ProductQuant.l2normalize(raw.toArray)) }
+    require(qRows.length <= maxQ,
+      s"searchIndex query side exceeds maxQ=$maxQ rows — batch the queries")
     val probes = probeTables(spark, qRows, mdl, nProbe)
     val nCents = unitCents(mdl.cents)
     val probedCells = qRows.flatMap { case (_, qv) =>

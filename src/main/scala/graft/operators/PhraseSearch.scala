@@ -240,7 +240,11 @@ object PhraseSearch {
       size(col("terms")).as("k"),
       posexplode(col("terms")).as(Seq("offset", "term")))
     val qTermDf = phraseTerms.select("term").distinct()
-    val smallQ = qTermDf.limit(maxTerms + 1).count() <= maxTerms
+    // ONE bounded collect decides the strategy AND supplies the term
+    // list (r19, same move as Bm25.searchIndex — the old shape paid a
+    // limit+count job, then re-collected the same rows for pruning)
+    val qTermProbe = qTermDf.limit(maxTerms + 1).collect()
+    val smallQ = qTermProbe.length <= maxTerms
     // live streaming batch dirs union in transparently (they carry the
     // same term_bucket partitioning, so the prune below prunes them
     // too); dirs at or below the compaction marker are already merged
@@ -262,7 +266,7 @@ object PhraseSearch {
         col("term_bucket"))
     val pruned =
       if (smallQ) {
-        val qTerms = qTermDf.collect().map(_.getString(0))
+        val qTerms = qTermProbe.map(_.getString(0))
         postings
           .where(col("term_bucket").isin(
             qTerms.map(TermBuckets.of(_, IndexBuckets))

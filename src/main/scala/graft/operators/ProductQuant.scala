@@ -188,18 +188,20 @@ object ProductQuant {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val spark = candidates.sparkSession
     import spark.implicits._
-    val qProbe = queries.select("vec_id").limit(maxQ + 1).count()
-    require(qProbe <= maxQ,
-      s"pqTopK query side exceeds maxQ=$maxQ rows: the per-query ADC " +
-        "tables are built driver-side and broadcast, so the query table " +
-        "must be bounded — batch the queries or raise maxQ explicitly")
     // per-query IP tables against the codebooks: |Q| x m x ks doubles,
-    // built from the two tiny inputs and broadcast onto the codes scan
+    // built from the two tiny inputs and broadcast onto the codes scan.
+    // The maxQ bound rides the collect itself (r19 — loud limit cap +
+    // length recheck instead of a separate limit+count guard job).
     val qRows = queries
       .select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("vec"))
+      .limit(maxQ + 1)
       .as[(Long, Seq[Double])].collect()
       .map { case (id, raw) => (id, l2normalize(raw.toArray)) }
+    require(qRows.length <= maxQ,
+      s"pqTopK query side exceeds maxQ=$maxQ rows: the per-query ADC " +
+        "tables are built driver-side and broadcast, so the query table " +
+        "must be bounded — batch the queries or raise maxQ explicitly")
     val tables = qRows.map { case (qid, qv) =>
       val tbl = Array.tabulate(cb.m) { sub =>
         val s0 = sub * cb.subDim

@@ -185,9 +185,6 @@ object SketchIndex {
     val q = queries.select(col("vec_id").cast("long").as("query_id"),
         asDouble(col("embedding")).as("query_vec"))
       .withColumn("qsig", expr("hyperplane_sig64(query_vec)"))
-    val nQ = q.limit(maxQ + 1).count()
-    require(nQ <= maxQ,
-      s"searchIndex query side exceeds maxQ=$maxQ rows — batch the queries")
     val liveDirs = IndexBatches.live(spark, dir, "sketches")
     val sCols = Seq("vec_id", "sig", "bucket").map(col)
     val sketches0 = liveDirs.foldLeft(
@@ -207,7 +204,14 @@ object SketchIndex {
     // one bounded collect (≤ |Q|·shortlist rows) serves the bucket
     // partition filter, the candidate row filter, and the re-rank's
     // (query, cand, hamming) pairs — the distributed derivation would
-    // recompute the shortlist inside the fetch job
+    // recompute the shortlist inside the fetch job. The maxQ bound
+    // rides THIS collect (r19, the planTokenProbes pattern — a loud
+    // `limit` cap at maxQ·shortlist rows plus a distinct-query recheck
+    // from the collected rows) instead of paying a separate
+    // limit+count guard job on the query side first; the worst-case
+    // driver footprint is the same |Q ≤ maxQ|·shortlist bound as
+    // before.
+    val cap = maxQ * shortlist + 1
     val shortRows = liveSk
       .select(col("vec_id").as("cand_id"), col("sig"), col("bucket"))
       .join(broadcast(q.select("query_id", "qsig")),
@@ -217,7 +221,11 @@ object SketchIndex {
       .withColumn("__h", row_number().over(wH))
       .where(col("__h") <= shortlist)
       .select("query_id", "cand_id", "hamming", "bucket")
+      .limit(cap)
       .collect()
+    require(shortRows.length < cap &&
+        shortRows.iterator.map(_.getLong(0)).toSet.size <= maxQ,
+      s"searchIndex query side exceeds maxQ=$maxQ rows — batch the queries")
     val buckets = shortRows.map(r => r.getInt(r.fieldIndex("bucket")))
       .distinct.toSeq
     val candIds = shortRows.map(r => r.getLong(r.fieldIndex("cand_id")))
