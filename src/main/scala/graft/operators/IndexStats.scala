@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * from numbers, not intuition. One metadata pass per dataset (file
   * count + bytes from the FileSystem listing — no data read) plus one
   * tiny distinct-count job over the ledger; row counts are optional
-  * (they read parquet footers via Spark, still no column data).
+  * (driver-side parquet-footer sums since r19 — no Spark job at all).
   *
   * Generic over the layout: callers name the kind's datasets
   * (e.g. `Seq("sketches", "vectors")` for [[SketchIndex]],
@@ -59,9 +59,12 @@ object IndexStats {
       .map(_.count()).getOrElse(0L)
     datasets.map { ds =>
       val files = leafFiles(s"$dir/$ds")
+      // driver-side footer sums (r19): same number the Spark count job
+      // produced (both read only footers and skip hidden files), zero
+      // jobs — stats() now runs exactly ONE job (the ledger distinct)
       val rows =
         if (!countRows || files.isEmpty) -1L
-        else spark.read.parquet(s"$dir/$ds").count()
+        else IndexBatches.footerRows(spark, s"$dir/$ds")
       (ds, files.size.toLong, files.map(_.getLen).sum, rows,
         liveBatches.toLong, tombstones)
     }.toDF("dataset", "n_files", "bytes", "n_rows",
