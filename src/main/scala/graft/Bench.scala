@@ -13,6 +13,50 @@ import org.apache.spark.sql.SparkSession
   * slowest queries that fit the byte budget; `value` is always the total
   * across ALL queries and `n_queries`/`omitted` record the coverage.
   */
+/** Dev-only (see SPARK_GRAFT_BENCH_METRICS in [[Bench]]): per-gate task
+  * metric sums, reset between gates. Listener events arrive async; the
+  * bench sleeps briefly before reading, which is fine for attribution
+  * (this never runs on driver invocations). */
+private[graft] final class BenchTaskMetrics
+    extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  val nTasks = new AtomicLong; val runMs = new AtomicLong
+  val gcMs = new AtomicLong; val maxTaskMs = new AtomicLong
+  val spillB = new AtomicLong; val fetchWaitMs = new AtomicLong
+  val cpuMs = new AtomicLong; val nJobs = new AtomicLong
+  val serMs = new AtomicLong; val schedDelayMs = new AtomicLong
+  override def onTaskEnd(
+      te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      nTasks.incrementAndGet()
+      runMs.addAndGet(m.executorRunTime)
+      cpuMs.addAndGet(m.executorCpuTime / 1000000)
+      gcMs.addAndGet(m.jvmGCTime)
+      spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+      serMs.addAndGet(m.executorDeserializeTime + m.resultSerializationTime)
+      if (te.taskInfo != null) {
+        val wall = te.taskInfo.duration
+        maxTaskMs.getAndUpdate(c => math.max(c, wall))
+        schedDelayMs.addAndGet(math.max(0L,
+          wall - m.executorRunTime - m.executorDeserializeTime -
+            m.resultSerializationTime))
+      }
+    }
+  }
+  override def onJobEnd(
+      je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+    nJobs.incrementAndGet()
+  def reset(): Unit = Seq(nTasks, runMs, gcMs, maxTaskMs, spillB,
+    fetchWaitMs, cpuMs, nJobs, serMs, schedDelayMs).foreach(_.set(0))
+  def line: String =
+    s"jobs=${nJobs.get} tasks=${nTasks.get} runMs=${runMs.get} " +
+      s"cpuMs=${cpuMs.get} taskGcMs=${gcMs.get} maxTaskMs=${maxTaskMs.get} " +
+      s"spillB=${spillB.get} fetchWaitMs=${fetchWaitMs.get} " +
+      s"serMs=${serMs.get} schedDelayMs=${schedDelayMs.get}"
+}
+
 object Bench {
   private val MaxLineBytes = 1800
 
@@ -85,6 +129,31 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // dev-only per-gate diagnostics (the driver sets no env): a
+    // SparkListener accumulating task metrics plus whole-JVM GC-bean
+    // deltas, printed to STDERR per gate. Used to attribute one-off
+    // full-run spikes (r19/r20: identical code, 3-25x one-off gate
+    // readings) to GC / spill / fetch-wait / straggler — see
+    // OPTIMIZATION_r20.md. Off by default; the timed path is unchanged
+    // when the env is absent.
+    val metrics = sys.env.contains("SPARK_GRAFT_BENCH_METRICS")
+    val gm = if (metrics) Some(new BenchTaskMetrics) else None
+    gm.foreach(spark.sparkContext.addSparkListener)
+    def gcNow(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val beans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
+    }
+    // whole-VM cpu ticks (user, system, idle, iowait, steal) — the box is
+    // a VM, so "host-neighbor load" shows up ONLY as steal ticks; per-gate
+    // deltas label a spike as external (steal/iowait) vs internal
+    def cpuTicks(): Array[Long] =
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        Array(f(0) + f(1), f(2), f(3), f(4), if (f.length > 7) f(7) else 0L)
+      } catch { case _: Throwable => Array(0L, 0L, 0L, 0L, 0L) }
     val base = SparkEntry.queries
     val selected = only match {
       case Some(names) => names.map(n => n -> base(n))
@@ -93,12 +162,29 @@ object Bench {
     val results = selected
       .map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
+          gm.foreach(_.reset())
+          val gc0 = if (metrics) gcNow() else (0L, 0L)
+          val ct0 = if (metrics) cpuTicks() else null
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           // released INSIDE the timed span: a query pays for its own
           // cache cleanup, and the next query starts unburdened
           graft.operators.OperatorCaches.releaseAll(spark)
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          gm.foreach { g =>
+            Thread.sleep(80) // let the async listener bus drain
+            val gc1 = gcNow()
+            val ct1 = cpuTicks()
+            val d = ct1.zip(ct0).map { case (a, b) => a - b }
+            val heapUsed = (Runtime.getRuntime.totalMemory -
+              Runtime.getRuntime.freeMemory) / (1 << 20)
+            System.err.println(f"[gate-metrics] $name wall=$dt%.2f ${g.line}" +
+              s" jvmGcN=${gc1._1 - gc0._1} jvmGcMs=${gc1._2 - gc0._2}" +
+              s" heapMb=$heapUsed" +
+              s" tkUser=${d(0)} tkSys=${d(1)} tkIdle=${d(2)}" +
+              s" tkIo=${d(3)} tkSteal=${d(4)}")
+          }
+          dt
         }
         if (reps > 1) System.err.println(
           s"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(", ")}")

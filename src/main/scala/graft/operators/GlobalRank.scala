@@ -40,6 +40,11 @@ object GlobalRank extends TrackedCaches {
   def withRowNumber(df: DataFrame, rankCol: String, order: Seq[Column],
                     numPartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
+    // loud-failure guards (ADVICE r19): withColumn would silently CLOBBER
+    // an input column named like the internal helpers and the final
+    // select would return the internal value
+    require(!df.columns.exists(_.startsWith("__gr_")),
+      s"input schema reserves no __gr_* names: ${df.columns.mkString(", ")}")
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
     // persist the sorted+id'd frame so the upstream
@@ -47,17 +52,36 @@ object GlobalRank extends TrackedCaches {
     // once-cached for the ranked read, and so the assigned ids are
     // pinned. Session-tracked: long-lived sessions call
     // [[GlobalRank.releaseCaches]] after consuming results.
+    // The partition coordinate is spark_partition_id() (a documented,
+    // layout-free API); only the WITHIN-partition position derives from
+    // monotonically_increasing_id's documented "current implementation"
+    // layout (position = low 33 bits), and the counts pass VALIDATES that
+    // assumption per partition (min 0, max n-1, and the high bits agree
+    // with the partition id) so an upstream layout change fails loudly
+    // instead of corrupting ranks (ADVICE r19).
     val sorted = tracked(df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("__gr_mid", monotonically_increasing_id()))
-    val pidOf = shiftright(col("__gr_mid"), 33)
+      .withColumn("__gr_mid", monotonically_increasing_id())
+      .withColumn("__gr_pid", spark_partition_id().cast("long")))
+    val pidOf = col("__gr_pid")
     val localOf = col("__gr_mid").bitwiseAND(lit((1L << 33) - 1))
     // one partial-aggregated count per partition (a `parts`-row shuffle),
     // collected to build the running offsets
-    val counts = sorted.groupBy(pidOf.as("__gr_pid"))
-      .agg(count(lit(1)).as("__gr_n"))
+    val counts = sorted.groupBy(pidOf)
+      .agg(count(lit(1)).as("__gr_n"), min(localOf).as("__gr_lo"),
+        max(localOf).as("__gr_hi"),
+        max(shiftright(col("__gr_mid"), 33)).as("__gr_hipid"),
+        min(shiftright(col("__gr_mid"), 33)).as("__gr_lopid"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { r =>
+        require(r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1L &&
+          r.getLong(4) == r.getLong(0) && r.getLong(5) == r.getLong(0),
+          "monotonically_increasing_id no longer encodes " +
+            s"(partition << 33 | position): partition ${r.getLong(0)} saw " +
+            s"local [${r.getLong(2)}, ${r.getLong(3)}] of ${r.getLong(1)} " +
+            s"rows, id-derived pid [${r.getLong(5)}, ${r.getLong(4)}]")
+        (r.getLong(0), r.getLong(1))
+      }
       .sortBy(_._1)
     val offsets = counts
       .scanLeft((-1L, 0L, 0L)) { case ((_, off, n), (pid, cnt)) =>
@@ -67,8 +91,7 @@ object GlobalRank extends TrackedCaches {
       .map { case (pid, off, _) => (pid, off) }
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__gr_pid", "__gr_off")
-    sorted.withColumn("__gr_pid", pidOf)
-      .join(broadcast(offDf), "__gr_pid")
+    sorted.join(broadcast(offDf), "__gr_pid")
       .withColumn(rankCol, col("__gr_off") + localOf + 1L)
       .select(df.columns.map(col) :+ col(rankCol): _*)
   }

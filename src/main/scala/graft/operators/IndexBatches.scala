@@ -372,7 +372,14 @@ object IndexBatches {
                                     path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
-    parquetRowCount(p.getFileSystem(conf), conf, p)
+    val fs = p.getFileSystem(conf)
+    // every caller derives a write fanout from a by-construction-present
+    // metadata dataset — a missing dir means a corrupt index, and
+    // proceeding with fanout clamped to 1 would hide it (ADVICE r19;
+    // the old read.parquet(...).count() threw AnalysisException here)
+    require(fs.exists(p),
+      s"footerRows: metadata dataset missing at $path — corrupt index")
+    parquetRowCount(fs, conf, p)
   }
 
   /** Driver-side row count of a parquet dataset from its file FOOTERS —

@@ -204,12 +204,11 @@ object IvfPq {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val spark = candidates.sparkSession
     import spark.implicits._
-    val mdl = model.getOrElse(
-      fit(candidates, nClusters, m, ks, centroids = centroids))
-    val coded = codes.getOrElse(encode(candidates, mdl))
     // the maxQ bound rides the query collect itself (r19 — a loud
     // limit cap + length recheck, the planTokenProbes pattern) instead
-    // of a separate limit+count guard job before it
+    // of a separate limit+count guard job before it; the collect runs
+    // BEFORE fit/encode so an oversized query table fails before paying
+    // KMeans training (ADVICE r19)
     val qRows = queries
       .select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("vec"))
@@ -220,6 +219,9 @@ object IvfPq {
       s"ivfpqTopK query side exceeds maxQ=$maxQ rows: probe tables are " +
         "built driver-side and broadcast, so the query table must be " +
         "bounded — batch the queries or raise maxQ explicitly")
+    val mdl = model.getOrElse(
+      fit(candidates, nClusters, m, ks, centroids = centroids))
+    val coded = codes.getOrElse(encode(candidates, mdl))
     val probes = probeTables(spark, qRows, mdl, nProbe)
 
     val adcW = Window.partitionBy("query_id")

@@ -172,7 +172,19 @@ object SketchIndex {
     * row-filtered to the candidate ids — both prunes land at the
     * vectors scan. Bounded driver: the shortlist collect is
     * ≤ |Q|·shortlist rows, with a loud maxQ guard before it can grow
-    * with the query side. */
+    * with the query side.
+    *
+    * maxQ CONTRACT (weakened deliberately at r19, ADVICE-acknowledged):
+    * the bound rides the shortlist collect — a `limit(maxQ·shortlist+1)`
+    * cap plus a distinct-query recheck — so the guarded quantity is the
+    * DRIVER FOOTPRINT (shortlist rows collected), not raw query-table
+    * rows. A query table whose surplus rows match no bucket passes, and
+    * the broadcast of the (query_id, qsig) projection is then the
+    * binding limit: an unbounded query table fails with Spark's loud
+    * broadcast-size error rather than this require. The alternative
+    * (a separate distinct-count probe on the query side) costs one extra
+    * driver action per search on the hot path — rejected; batch callers
+    * go through the documented search budget anyway. */
   def searchIndex(spark: SparkSession, dir: String, queries: DataFrame,
                   k: Int, shortlist: Int = 100,
                   maxQ: Int = 4096): DataFrame = {
