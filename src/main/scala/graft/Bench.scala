@@ -87,6 +87,15 @@ object Bench {
       // stores where distributed listing pays).
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         sys.env.getOrElse("SPARK_GRAFT_LISTING_THRESHOLD", "1024"))
+      // AQE toggle, env-overridable for A/B runs (r20): AQE materializes
+      // every shuffle stage as its own job and re-plans at each boundary
+      // — per-stage driver latency that dominates sub-second queries on
+      // this latency-bound catalog. Default measured in r20 (see
+      // OPTIMIZATION_r20.md); production clusters with real data volumes
+      // want AQE on (skew splitting, runtime coalescing), so the switch
+      // is a conf, not a code fork.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet footer caches, so the first
@@ -154,6 +163,16 @@ object Bench {
         val f = l.trim.split("\\s+").drop(1).map(_.toLong)
         Array(f(0) + f(1), f(2), f(3), f(4), if (f.length > 7) f(7) else 0L)
       } catch { case _: Throwable => Array(0L, 0L, 0L, 0L, 0L) }
+    // Janino compilation counter (driver-side, on the critical path the
+    // first time each codegen stage executes) — per-gate deltas plus the
+    // running mean compile time say how much of the per-gate floor is
+    // codegen compilation (the histogram is reservoir-sampled, so the
+    // mean is approximate; the count is exact)
+    def codegenStat(): (Long, Double) = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME
+      (h.getCount, h.getSnapshot.getMean)
+    }
     val base = SparkEntry.queries
     val selected = only match {
       case Some(names) => names.map(n => n -> base(n))
@@ -165,6 +184,7 @@ object Bench {
           gm.foreach(_.reset())
           val gc0 = if (metrics) gcNow() else (0L, 0L)
           val ct0 = if (metrics) cpuTicks() else null
+          val cg0 = if (metrics) codegenStat() else (0L, 0.0)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           // released INSIDE the timed span: a query pays for its own
@@ -182,7 +202,8 @@ object Bench {
               s" jvmGcN=${gc1._1 - gc0._1} jvmGcMs=${gc1._2 - gc0._2}" +
               s" heapMb=$heapUsed" +
               s" tkUser=${d(0)} tkSys=${d(1)} tkIdle=${d(2)}" +
-              s" tkIo=${d(3)} tkSteal=${d(4)}")
+              s" tkIo=${d(3)} tkSteal=${d(4)}" +
+              f" cgN=${codegenStat()._1 - cg0._1} cgMeanMs=${cg0._2}%.1f")
           }
           dt
         }

@@ -274,9 +274,15 @@ object Dedup extends TrackedCaches {
       .select(col("p.tok").as("tok"), col("id"), col("n"))
     // staged: the whole posting derivation (explode → df join → per-doc
     // sort → prefix slice → hot cap) feeds BOTH sides of the candidate
-    // self-join; un-persisted, Spark derives it twice end to end
+    // self-join; un-persisted, Spark derives it twice end to end.
+    // The tok exchange width is pinned (user repartition is exempt from
+    // AQE coalescing): postings are byte-small but the candidate
+    // self-join + verify they feed is compute-dense (12.5M pair
+    // intersections at sf0.1) — see substringDupPairsFromDistinctFps.
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val capped = graft.operators.StagingCaches.cache(
-      postings.withColumn("__c",
+      postings.repartition(par, col("tok"))
+        .withColumn("__c",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy("tok")))
         .where(col("__c") <= maxPosting).drop("__c"))
@@ -347,7 +353,20 @@ object Dedup extends TrackedCaches {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("id")
-    val capped = fps
+    // explicit-width fp exchange (r20, measured): fingerprints are
+    // byte-SMALL but the downstream cap-window → self-join → pair
+    // aggregation is compute-DENSE (9.6M pair rows from a ~5 MB shuffle
+    // at sf0.1), so AQE's minPartitionSize-driven coalescing merges the
+    // reduce side to a handful of tasks and serializes the stage (4.3 s
+    // straggler; the gate read 7.4 s with the planner-chosen exchange vs
+    // 3.2 s pinned). A user-specified repartition(N, fp) is exempt from
+    // AQE coalescing by contract, satisfies the window/join clustering
+    // (no extra exchange), and N = defaultParallelism is the same width
+    // a cluster would run — partition sizing must follow WORK density,
+    // not bytes, for this operator (the r19 AQE-rejection lesson,
+    // applied at the operator seam).
+    val par = fps.sparkSession.sparkContext.defaultParallelism
+    val capped = fps.repartition(par, col("fp"))
       .withColumn("__fn", row_number().over(capW))
       .where(col("__fn") <= maxBucket)
       .drop("__fn")
@@ -412,7 +431,14 @@ object Dedup extends TrackedCaches {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("id", "pos")
-    fps.withColumn("__fn", row_number().over(capW))
+    // explicit-width fp exchange — see substringDupPairsFromDistinctFps:
+    // the downstream pair join is compute-dense on byte-small shuffle
+    // input, so the width is pinned against AQE's bytes-based coalescing
+    // (the window and every downstream fp-keyed step ride this one
+    // exchange)
+    val par = fps.sparkSession.sparkContext.defaultParallelism
+    fps.repartition(par, col("fp"))
+      .withColumn("__fn", row_number().over(capW))
       .where(col("__fn") <= maxBucket)
       .drop("__fn")
   }

@@ -37,6 +37,18 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank extends TrackedCaches {
 
+  /** The size-adaptive rank-shuffle width `withRowNumber` defaults to:
+    * one partition per ~32 MB of the optimizer's size estimate, floored
+    * at 1 and capped at the session shuffle width. Exposed for tests
+    * and for callers that want the derivation against a different frame
+    * than the one they rank (e.g. pre-filter estimates). */
+  def adaptiveParts(df: DataFrame): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(32L << 20)
+    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+    ((est / target) + 1).min(BigInt(math.max(1, cap))).max(BigInt(1)).toInt
+  }
+
   def withRowNumber(df: DataFrame, rankCol: String, order: Seq[Column],
                     numPartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
@@ -45,8 +57,19 @@ object GlobalRank extends TrackedCaches {
     // select would return the internal value
     require(!df.columns.exists(_.startsWith("__gr_")),
       s"input schema reserves no __gr_* names: ${df.columns.mkString(", ")}")
-    val parts = numPartitions.getOrElse(
-      spark.sessionState.conf.numShufflePartitions)
+    // Scale-ADAPTIVE width (r20, guide §2): derive the rank-shuffle
+    // partition count from the optimizer's size estimate instead of a
+    // constant — a leaderboard-sized frame ranks in a handful of
+    // partitions (fewer tiny tasks, fewer straggler slots) while a
+    // 100 TB frame still fans out to the full session width (the
+    // estimate grows with input size, and an over-estimate only means
+    // full width, i.e. exactly the pre-r20 behavior). The result is
+    // width-independent: ranks come from the total sort order, so any
+    // partition count yields identical output. Catalyst estimates
+    // without CBO stats can be far off in BOTH directions after joins
+    // and aggregations — the clamp keeps either failure mode benign
+    // (floor 1, cap session shuffle width).
+    val parts = numPartitions.getOrElse(adaptiveParts(df))
     // persist the sorted+id'd frame so the upstream
     // aggregation/sort/shuffle executes once for the counts pass and
     // once-cached for the ranked read, and so the assigned ids are

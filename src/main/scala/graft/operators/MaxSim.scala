@@ -367,7 +367,13 @@ object MaxSim {
     // below the full query×doc pair set a row collect would box onto
     // the driver (up to maxQ·tokenTopT rows ≈ hundreds of MB at the
     // documented bounds)
-    val cand = StagingCaches.checkpointed(liveTokens
+    // LAZY checkpoint (r20): the candidate-id collect right below is the
+    // materializing action, so the probe-scored stage pays ONE job for
+    // checkpoint + distinct-ids instead of two (eager checkpoint job,
+    // then the id collect re-reading the blocks). Severing still happens
+    // before searchTokenIndex returns — the collect runs here, ahead of
+    // any caller-side index mutation.
+    val cand = StagingCaches.checkpointedLazy(liveTokens
       .select(packedTid(col("doc_id"), col("tok")).as("tid"),
         col("doc_id"), col("vec").as("dv"), col("centroid_id"))
       .join(broadcast(probesDf), Seq("centroid_id"))

@@ -23,4 +23,15 @@ object StagingCaches extends TrackedCaches {
     * Unlike [[cache]] frames the result cannot recompute after
     * [[OperatorCaches.releaseAll]] — consume it within the pass. */
   def checkpointed(df: DataFrame): DataFrame = trackedCheckpoint(df)
+
+  /** [[checkpointed]] with LAZY materialization: the snapshot pins on
+    * the caller's FIRST action over it instead of paying a dedicated
+    * materialization job. Same release tracking and same
+    * cannot-recompute-after-release contract; the caller owns running
+    * an action before any input mutation it needs severing from (the
+    * MaxSim search fuses its candidate-id collect with the
+    * materialization this way — one job instead of two, severed before
+    * the search returns). */
+  def checkpointedLazy(df: DataFrame): DataFrame =
+    trackedCheckpoint(df, eager = false)
 }

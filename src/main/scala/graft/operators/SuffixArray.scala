@@ -57,10 +57,14 @@ object SuffixArray extends TrackedCaches {
                          rankTables: Seq[(Int, DataFrame)],
                          localAdjacent: Option[DataFrame])
 
-  /** Build the generalized suffix array of `docs(docCol, textCol)`. */
+  /** Build the generalized suffix array of `docs(docCol, textCol)`.
+    * `rankPartitions` overrides the doubling rounds' rank-shuffle width
+    * (default: GlobalRank's size-adaptive derivation — tiny corpora
+    * rank narrow, large corpora at full session width). */
   def build(docs: DataFrame, docCol: String = "doc_id",
             textCol: String = "text",
-            localThreshold: Long = 1L << 20): Built = {
+            localThreshold: Long = 1L << 20,
+            rankPartitions: Option[Int] = None): Built = {
     val integralDoc = {
       import org.apache.spark.sql.types._
       Set[DataType](LongType, IntegerType, ShortType, ByteType)
@@ -92,7 +96,7 @@ object SuffixArray extends TrackedCaches {
     }
     // rank_1: dense rank of the first character (alphabet-sized frame)
     val alpha = GlobalRank.withRowNumber(
-      chars.select("c").distinct(), "r", Seq(asc("c")))
+      chars.select("c").distinct(), "r", Seq(asc("c")), rankPartitions)
     var cur = tracked(chars.join(alpha, "c").select("doc", "pos", "r"))
     cur.count()
     var tables = List(1 -> cur)
@@ -108,7 +112,7 @@ object SuffixArray extends TrackedCaches {
           coalesce(col("r2"), lit(0L)).as("r2"))
       val ranked = GlobalRank.withRowNumber(
         pairs.select("r", "r2").distinct(), "nr",
-        Seq(asc("r"), asc("r2")))
+        Seq(asc("r"), asc("r2")), rankPartitions)
       var nxt = pairs.join(ranked, Seq("r", "r2"))
         .select(col("doc"), col("pos"), col("nr").as("r"))
       // periodic lineage truncation (the ConnectedComponents contract):
@@ -256,9 +260,11 @@ object SuffixArray extends TrackedCaches {
     * (ties broken by (doc, pos) — a total order). Output:
     * (doc1, pos1, doc2, pos2, lcp). Precomputed when the driver-local
     * build ran; otherwise the rank-table binary descent. */
-  def adjacentLcp(b: Built): DataFrame = b.localAdjacent.getOrElse {
+  def adjacentLcp(b: Built,
+                  rankPartitions: Option[Int] = None): DataFrame =
+      b.localAdjacent.getOrElse {
     val ord = GlobalRank.withRowNumber(b.ranks, "rn",
-      Seq(asc("r"), asc("doc"), asc("pos")))
+      Seq(asc("r"), asc("doc"), asc("pos")), rankPartitions)
     val nxt = ord.select((col("rn") - 1).as("rn"), col("doc").as("doc2"),
       col("pos").as("pos2"))
     var cur = ord.join(nxt, "rn")

@@ -91,8 +91,9 @@ private[operators] trait TrackedCaches {
     * releases falls back to ContextCleaner reclamation once their
     * result frame is unreachable, instead of accumulating permanently
     * pinned blocks. */
-  protected def trackedCheckpoint(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
+  protected def trackedCheckpoint(df: DataFrame,
+                                  eager: Boolean = true): DataFrame = {
+    val cp = df.localCheckpoint(eager)
     val rdd = cp.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       case other => throw new IllegalStateException(
