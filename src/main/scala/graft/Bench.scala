@@ -125,9 +125,27 @@ object Bench {
     // any gate's own RESULT: gate-specific frames stay cold.
     val stagingSec = {
       val t0 = System.nanoTime()
-      graft.queries.VaultQueries.warmStaging(spark, sfDir)
-      graft.queries.TextQueries.warmStaging(spark, sfDir)
-      graft.queries.VectorQueries.warmStaging(spark, sfDir)
+      // the three families build DISJOINT memoized frames and fixture
+      // dirs, so they overlap on one SparkContext (guide §2.6: submit
+      // independent job chains from a small pool so the tail of one
+      // build back-fills cores the others freed). Serial wall-clock was
+      // ~50 s; max(family) is the floor.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-staging-warm"); t.setDaemon(true); t
+        })
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val warms = Seq[() => Unit](
+          () => graft.queries.VaultQueries.warmStaging(spark, sfDir),
+          () => graft.queries.TextQueries.warmStaging(spark, sfDir),
+          () => graft.queries.VectorQueries.warmStaging(spark, sfDir))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            warms.map(f => scala.concurrent.Future(f()))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
     }
     // dev-only A/B filter (the driver sets no env): comma-separated query

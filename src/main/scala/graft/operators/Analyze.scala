@@ -115,8 +115,20 @@ object Analyze {
       : DataFrame = {
     require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
     require(ranges.nonEmpty, "need at least one predicate box")
-    val ranked = GlobalRank.withRowNumber(df, "__rn", order)
-      .select(col(colA).as("va"), col(colB).as("vb"),
+    // project BEFORE ranking (r20, guide §2.3): GlobalRank persists the
+    // sorted frame, and that persist boundary blocks column pruning — so
+    // ranking the caller's raw frame cached EVERY column sorted
+    // (lineitem's 16 columns for this 2-column analysis; measured ~half
+    // the gate's task time). The order expressions materialize as
+    // columns of a slim projection, ranked by those values — same total
+    // order, same ranks, same accounting. Order columns must be plain
+    // expressions (all catalog callers comply); a SortOrder-wrapped
+    // Column fails loudly at the alias.
+    val ordNames = order.indices.map(i => s"__ord$i")
+    val slim = df.select(col(colA).as("va") +: col(colB).as("vb") +:
+      order.zip(ordNames).map { case (c, n) => c.as(n) }: _*)
+    val ranked = GlobalRank.withRowNumber(slim, "__rn", ordNames.map(col))
+      .select(col("va"), col("vb"),
         ((col("__rn") - 1) / rowsPerFile).cast("long").as("file_id"))
     val matchCols = ranges.map { case (id, loA, hiA, loB, hiB) =>
       count(when(col("va") >= loA && col("va") < hiA &&
@@ -170,8 +182,12 @@ object Analyze {
                      ranges: Seq[(Int, Column, Column)]): DataFrame = {
     require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
     require(ranges.nonEmpty, "need at least one predicate range")
-    val ranked = GlobalRank.withRowNumber(df, "__rn", order)
-      .select(col(valueCol).as("v"),
+    // slim projection before the rank — same reasoning as the 2-D form
+    val ordNames = order.indices.map(i => s"__ord$i")
+    val slim = df.select(col(valueCol).as("v") +:
+      order.zip(ordNames).map { case (c, n) => c.as(n) }: _*)
+    val ranked = GlobalRank.withRowNumber(slim, "__rn", ordNames.map(col))
+      .select(col("v"),
         ((col("__rn") - 1) / rowsPerFile).cast("long").as("file_id"))
     val matchCols = ranges.map { case (id, lo, hi) =>
       count(when(col("v") >= lo && col("v") < hi, 1)).as(s"__m$id")
